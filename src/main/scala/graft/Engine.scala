@@ -1,0 +1,85 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, LongType}
+
+/** Session tuning, fixture table loading, and engine-parity column helpers.
+  *
+  * Design notes (100 TB posture):
+  *  - Everything is a lazy `DataFrame -> DataFrame` transform — Spark (Catalyst
+  *    + Tungsten) IS the engine; there is no custom IR. Filters/projections
+  *    stay declarative so predicate pushdown + column pruning reach the
+  *    parquet scans.
+  *  - Double aggregation across rows is order-dependent (shuffles reorder
+  *    partial aggregation at scale). Every cross-row SUM/AVG of doubles goes
+  *    through an exact DECIMAL accumulator ([[dsum]]/[[davg]]) so results are
+  *    bit-identical regardless of partitioning/parallelism — and identical to
+  *    the DuckDB oracle.
+  *  - [[md5Long]] is a portable 60-bit hash (md5 prefix) computable by any
+  *    engine; used by MinHash/SimHash/fingerprint operators so their results
+  *    are verifiable cross-engine (Spark's murmur3 `hash()` is not).
+  */
+object Engine {
+
+  /** Per-query session tuning. Called at the top of every registered query so
+    * correctness does not depend on who built the SparkSession.
+    *  - ANSI off: the reference's semantics are "parse failure -> null"
+    *    (`/root/reference/data_pipeline.py:663` coerces bad dates to NaT);
+    *    Spark 4 defaults to ANSI which would throw instead.
+    *  - nanosAsLong: the `events` fixture stores TIMESTAMP(NANOS) which the
+    *    vectorized parquet reader rejects; reading as epoch-nano longs is
+    *    also exactly what DuckDB's `epoch_ns`/`epoch_us` sees.
+    */
+  def tune(spark: SparkSession): Unit = {
+    spark.conf.set("spark.sql.ansi.enabled", "false")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
+  /** Load a fixture table. `events.ts` arrives as LongType epoch-nanos. */
+  def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    spark.read.parquet(s"$sfDir/$name.parquet")
+
+  // ---------------------------------------------------------------- parity
+
+  /** Exact, order-independent sum of a double column: accumulate as
+    * DECIMAL(18,scale) then present as DOUBLE. Identical in Spark and DuckDB
+    * (`CAST(SUM(CAST(x AS DECIMAL(18,s))) AS DOUBLE)`), so safe under any
+    * shuffle/AQE re-plan at any scale.
+    */
+  def dsum(c: Column, scale: Int = 4): Column =
+    sum(c.cast(DecimalType(18, scale))).cast("double")
+
+  /** Exact average built from [[dsum]] / COUNT(*). */
+  def davg(c: Column, scale: Int = 4): Column =
+    dsum(c, scale) / count(lit(1))
+
+  /** Portable 60-bit hash: first 15 hex chars of md5, as a non-negative long.
+    * DuckDB equivalent: `('0x' || substr(md5(x), 1, 15))::BIGINT`.
+    */
+  def md5Long(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast(LongType)
+
+  // SQL-side fragments for oracle strings (DuckDB dialect).
+  def DSUM(e: String, scale: Int = 4): String =
+    s"CAST(SUM(CAST(($e) AS DECIMAL(18,$scale))) AS DOUBLE)"
+  def DAVG(e: String, scale: Int = 4): String =
+    s"(${DSUM(e, scale)} / COUNT(*))"
+  def MD5L(e: String): String =
+    s"(('0x' || substr(md5($e), 1, 15))::BIGINT)"
+}
+
+/** One registered engine query: a Spark implementation plus (when ANSI-SQL
+  * expressible) a DuckDB oracle over the same parquet tables. `oracle=None`
+  * downgrades the driver check to rows-only (used for approximate/streaming
+  * ops whose results SQL cannot reproduce).
+  */
+final case class GQuery(
+    name: String,
+    doc: String,
+    fn: (SparkSession, String) => DataFrame,
+    oracle: Option[String])
+
+trait QueryModule { def queries: Seq[GQuery] }
