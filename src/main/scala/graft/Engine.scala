@@ -45,16 +45,19 @@ object Engine {
   // ---------------------------------------------------------------- parity
 
   /** Exact, order-independent sum of a double column: accumulate as
-    * DECIMAL(18,scale) then present as DOUBLE. Identical in Spark and DuckDB
-    * (`CAST(SUM(CAST(x AS DECIMAL(18,s))) AS DOUBLE)`), so safe under any
-    * shuffle/AQE re-plan at any scale.
+    * DECIMAL(38,scale) then present as DOUBLE. Identical in Spark and DuckDB
+    * (`CAST(SUM(CAST(x AS DECIMAL(38,s))) AS DOUBLE)`), so safe under any
+    * shuffle/AQE re-plan at any scale. Width 38 (DuckDB backs it with a
+    * 128-bit hugeint) so values up to ~1e31 at scale 6 cannot overflow-null.
     */
-  def dsum(c: Column, scale: Int = 4): Column =
-    sum(c.cast(DecimalType(18, scale))).cast("double")
+  def dsum(c: Column, scale: Int = 6): Column =
+    sum(c.cast(DecimalType(38, scale))).cast("double")
 
-  /** Exact average built from [[dsum]] / COUNT(*). */
-  def davg(c: Column, scale: Int = 4): Column =
-    dsum(c, scale) / count(lit(1))
+  /** Exact average built from [[dsum]] / COUNT(col) — counts only non-null
+    * inputs, matching SQL AVG and pandas `.mean()` (which skips NaN).
+    */
+  def davg(c: Column, scale: Int = 6): Column =
+    dsum(c, scale) / count(c)
 
   /** Portable 60-bit hash: first 15 hex chars of md5, as a non-negative long.
     * DuckDB equivalent: `('0x' || substr(md5(x), 1, 15))::BIGINT`.
@@ -63,10 +66,10 @@ object Engine {
     conv(substring(md5(c), 1, 15), 16, 10).cast(LongType)
 
   // SQL-side fragments for oracle strings (DuckDB dialect).
-  def DSUM(e: String, scale: Int = 4): String =
-    s"CAST(SUM(CAST(($e) AS DECIMAL(18,$scale))) AS DOUBLE)"
-  def DAVG(e: String, scale: Int = 4): String =
-    s"(${DSUM(e, scale)} / COUNT(*))"
+  def DSUM(e: String, scale: Int = 6): String =
+    s"CAST(SUM(CAST(($e) AS DECIMAL(38,$scale))) AS DOUBLE)"
+  def DAVG(e: String, scale: Int = 6): String =
+    s"(${DSUM(e, scale)} / COUNT($e))"
   def MD5L(e: String): String =
     s"(('0x' || substr(md5($e), 1, 15))::BIGINT)"
 }
