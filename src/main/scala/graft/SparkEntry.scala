@@ -13,6 +13,13 @@ object SparkEntry {
   private def modules: Seq[QueryModule] = Seq(
     graft.operators.Cleaning,
     graft.operators.Relational,
+    graft.operators.Dedup,
+    graft.operators.Similarity,
+    graft.operators.TextOps,
+    graft.operators.Events,
+    graft.sources.RoundTrip,
+    graft.streaming.StreamOps,
+    graft.functions.Multimodal,
   )
 
   lazy val registry: Seq[GQuery] = modules.flatMap(_.queries)

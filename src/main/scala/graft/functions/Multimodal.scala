@@ -1,0 +1,92 @@
+package graft.functions
+
+import graft.Engine._
+import graft.{GQuery, QueryModule}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal column plumbing: image/audio/video payloads as opaque `binary`
+  * columns with typed metadata, processed in partition-sized batches.
+  *
+  * The Spark-side machinery is real and tested — schema (binary payload +
+  * metadata struct), partition-wise batch iteration via a typed
+  * mapPartitions, deterministic output — while the actual codec is STUBBED
+  * (`fakeDecode`): this container has no image/audio libraries, so the
+  * "decode" is a deterministic byte-level reduction the DuckDB oracle can
+  * replay. Swapping `fakeDecode` for a real JNI/FFmpeg/JPEG decoder changes
+  * no plumbing: same batch shape, same schema, same partitioning.
+  *
+  * Scale posture: payloads never pass through a shuffle — the imperative
+  * stage is a narrow mapPartitions directly over the scan, and only the
+  * small extracted features (ints) flow into the aggregation.
+  */
+object Multimodal extends QueryModule {
+
+  /** Input row: payload + typed metadata, the multimodal table contract. */
+  final case class MediaRow(doc_id: Long, source: String, payload: Array[Byte],
+                            width: Int, height: Int, n_frames: Long)
+
+  /** Extracted features; produced batch-wise inside mapPartitions. */
+  final case class MediaFeatures(doc_id: Long, source: String, payload_len: Long,
+                                 checksum: Long, n_frames: Long)
+
+  /** STUB codec: a real implementation would decode image/audio bytes here
+    * (per-partition, reusing a native decoder instance). Deterministic fake:
+    * sum of the first 16 payload bytes.
+    */
+  private def fakeDecode(payload: Array[Byte]): Long = {
+    var acc = 0L
+    var i = 0
+    val n = math.min(16, payload.length)
+    while (i < n) { acc += payload(i) & 0xffL; i += 1 }
+    acc
+  }
+
+  /** Media feature extraction: documents.text bytes stand in for an image
+    * payload; metadata derives deterministically from n_chars. The batch
+    * stage is a typed mapPartitions (one decoder per partition at scale).
+    */
+  def mediaFeatures(s: SparkSession, dir: String): DataFrame = {
+    tune(s)
+    import s.implicits._
+    val media = table(s, dir, "documents").select(
+      col("doc_id"), col("source"),
+      col("text").cast("binary").as("payload"),
+      (col("n_chars") % 64 + 16).cast("int").as("width"),
+      (col("n_chars") % 48 + 16).cast("int").as("height"),
+      expr("n_chars div 100").as("n_frames"))
+      .as[MediaRow]
+    val feats = media.mapPartitions { rows =>
+      // batch boundary: at scale, initialize the (native) codec once here
+      rows.map { r =>
+        MediaFeatures(r.doc_id, r.source, r.payload.length.toLong,
+          fakeDecode(r.payload), r.n_frames)
+      }
+    }
+    feats.toDF()
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+           sum(col("payload_len")).cast("long").as("sum_payload"),
+           sum(col("checksum")).cast("long").as("sum_checksum"),
+           max(col("n_frames")).as("max_frames"))
+  }
+
+  private val mediaFeaturesSql =
+    """SELECT d.source, COUNT(*) AS n_docs,
+      |CAST(SUM(octet_length(encode(d.text))) AS BIGINT) AS sum_payload,
+      |CAST(SUM(ck.cksum) AS BIGINT) AS sum_checksum,
+      |CAST(MAX(d.n_chars // 100) AS BIGINT) AS max_frames
+      |FROM documents d
+      |JOIN (SELECT doc_id, SUM(ascii(substr(text, i, 1))) AS cksum
+      |      FROM (SELECT doc_id, text, unnest(range(1, least(length(text), 16)+1)) AS i
+      |            FROM documents)
+      |      GROUP BY doc_id) ck
+      |ON ck.doc_id = d.doc_id
+      |GROUP BY d.source""".stripMargin
+
+  override val queries: Seq[GQuery] = Seq(
+    GQuery("q85_media_features",
+      "binary payload + metadata columns, batch feature extraction via mapPartitions (codec stubbed)",
+      mediaFeatures, Some(mediaFeaturesSql)),
+  )
+}

@@ -1,0 +1,250 @@
+package graft.operators
+
+import graft.Engine._
+import graft.{GQuery, QueryModule}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Document deduplication for LLM training-data pipelines: exact dedup,
+  * MinHash+LSH near-dup candidates, SimHash fingerprints, and exact n-gram
+  * Jaccard verification of candidates.
+  *
+  * Scale posture (the part that matters at 100 TB):
+  *  - NO all-pairs crossJoin anywhere. Candidate pairs come from an LSH
+  *    band-bucket equi-join: docs only meet if a 4-minhash band collides, so
+  *    the shuffle key is the band signature and the join is linear in the
+  *    number of colliding docs, not quadratic in the corpus.
+  *  - MinHash signatures are 16 permutations of ONE md5 hash per shingle
+  *    (cheap modular arithmetic), computed in a single groupBy with 16 min()
+  *    partial aggregates — map-side combine collapses each doc to one row
+  *    before the shuffle.
+  *  - Exact Jaccard runs ONLY on the LSH candidates (semi-join pruned).
+  *
+  * The md5-based hash (Engine.md5Long) is engine-portable, so every stage is
+  * verified bit-for-bit against the DuckDB oracle.
+  *
+  * Reference provenance: the reference has no dedup beyond its per-file
+  * idempotency probe (/root/reference/data_pipeline.py:138-142); this module
+  * is the LLM-pipeline extension surface (BASELINE.json north star).
+  */
+object Dedup extends QueryModule {
+
+  private val P = 2147483647L // 2^31 - 1 (Mersenne prime)
+  private val A = Seq(2L, 3L, 5L, 7L, 11L, 13L, 17L, 19L, 23L, 29L, 31L, 37L, 41L, 43L, 47L, 53L)
+  private def B(j: Int): Long = 7919L * j + 13L
+
+  /** Corpus with injected near-duplicates (prefix-truncated) and exact
+    * duplicates, so dedup operators have real work at any SF. Both engines
+    * build the identical frame.
+    */
+  def augmentedDocs(s: SparkSession, dir: String): DataFrame = {
+    val d = table(s, dir, "documents").select(col("doc_id"), col("text"), col("lang"))
+    val near = d.filter(col("doc_id") % 10 === 0)
+      .select((col("doc_id") + 100000L).as("doc_id"), expr("substr(text, 11)").as("text"), col("lang"))
+    val exact = d.filter(col("doc_id") % 7 === 0)
+      .select((col("doc_id") + 200000L).as("doc_id"), col("text"), col("lang"))
+    d.unionByName(near).unionByName(exact)
+  }
+
+  private val augmentedDocsSql =
+    """docs AS (
+      |  SELECT doc_id, text, lang FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 100000, substr(text, 11), lang FROM documents WHERE doc_id % 10 = 0
+      |  UNION ALL
+      |  SELECT doc_id + 200000, text, lang FROM documents WHERE doc_id % 7 = 0)""".stripMargin
+
+  /** Word 2-gram shingles, one row per (doc, shingle). */
+  def shingles(docs: DataFrame): DataFrame =
+    docs.withColumn("ws", split(col("text"), " "))
+      .filter(size(col("ws")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(ws)-1), i -> concat_ws(' ', element_at(ws, i), element_at(ws, i+1)))")).as("sh"))
+
+  private val shinglesSql =
+    """sh AS (
+      |  SELECT doc_id, s[i] || ' ' || s[i+1] AS sh
+      |  FROM (SELECT doc_id, s, unnest(range(1, len(s))) AS i
+      |        FROM (SELECT doc_id, string_split(text, ' ') AS s FROM docs)
+      |        WHERE len(s) >= 2))""".stripMargin
+
+  /** Exact dedup (hash-groupBy keep-first): group identical texts, keep the
+    * min doc_id, summarize per language. One shuffle on the text hash.
+    */
+  def dedupExact(s: SparkSession, dir: String): DataFrame = {
+    tune(s)
+    augmentedDocs(s, dir)
+      .groupBy(col("lang"), col("text"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("copies"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_unique"),
+           sum(col("copies")).as("n_docs"),
+           sum(col("copies") - 1).as("n_dup_docs"),
+           min(col("keep_id")).as("first_keep"))
+  }
+
+  private val dedupExactSql =
+    s"""WITH $augmentedDocsSql
+       |SELECT lang, COUNT(*) AS n_unique,
+       |CAST(SUM(copies) AS BIGINT) AS n_docs,
+       |CAST(SUM(copies - 1) AS BIGINT) AS n_dup_docs,
+       |MIN(keep_id) AS first_keep
+       |FROM (SELECT lang, text, MIN(doc_id) AS keep_id, COUNT(*) AS copies
+       |      FROM docs GROUP BY lang, text)
+       |GROUP BY lang""".stripMargin
+
+  /** 16-permutation MinHash signatures, one row per doc. */
+  private def minhashSigs(s: SparkSession, dir: String): DataFrame = {
+    val sh = shingles(augmentedDocs(s, dir))
+      .withColumn("hm", md5Long(col("sh")) % P)
+    val aggs = (0 until 16).map(j => min((lit(A(j)) * col("hm") + lit(B(j))) % P).as(s"m$j"))
+    sh.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
+  }
+
+  private val minhashSigsSql = {
+    val mins = (0 until 16)
+      .map(j => s"MIN((${A(j)}*hm + ${B(j)}) % $P) AS m$j").mkString(", ")
+    s"""hs AS (SELECT doc_id, ${MD5L("sh")} % $P AS hm FROM sh),
+       |sigs AS (SELECT doc_id, $mins FROM hs GROUP BY doc_id)""".stripMargin
+  }
+
+  /** LSH bands: 4 bands x 4 rows; docs collide iff one whole band matches. */
+  private def bandRows(sigs: DataFrame): DataFrame = {
+    val bandStructs = (0 until 4).map { b =>
+      val ms = (0 until 4).map(i => s"m${4 * b + i}").mkString(", ")
+      s"struct($b AS band, concat_ws('_', $ms) AS bk)"
+    }
+    sigs.select(col("doc_id"), explode(expr(s"array(${bandStructs.mkString(", ")})")).as("bs"))
+      .select(col("doc_id"), col("bs.band").as("band"), col("bs.bk").as("bk"))
+  }
+
+  private val bandRowsSql = {
+    val selects = (0 until 4).map { b =>
+      val ms = (0 until 4).map(i => s"CAST(m${4 * b + i} AS VARCHAR)")
+        .mkString(" || '_' || ")
+      s"SELECT doc_id, $b AS band, $ms AS bk FROM sigs"
+    }
+    s"""bands AS (${selects.mkString(" UNION ALL ")})"""
+  }
+
+  private val candSql =
+    """cand AS (
+      |  SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+      |  FROM bands a JOIN bands b
+      |    ON a.band = b.band AND a.bk = b.bk AND a.doc_id < b.doc_id)""".stripMargin
+
+  /** MinHash near-dup candidates: band-bucket join + signature similarity. */
+  def minhashCandidates(s: SparkSession, dir: String): DataFrame = {
+    tune(s)
+    val sigs = minhashSigs(s, dir).cache()
+    val bands = bandRows(sigs)
+    val cand = bands.alias("a")
+      .join(bands.alias("b"),
+        col("a.band") === col("b.band") && col("a.bk") === col("b.bk") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+      .distinct()
+    val sa = sigs.columns.foldLeft(sigs)((df, c) => df.withColumnRenamed(c, if (c == "doc_id") "da" else s"a_$c"))
+    val sb = sigs.columns.foldLeft(sigs)((df, c) => df.withColumnRenamed(c, if (c == "doc_id") "db" else s"b_$c"))
+    val simExpr = (0 until 16)
+      .map(j => when(col(s"a_m$j") === col(s"b_m$j"), 1).otherwise(0))
+      .reduce(_ + _) / lit(16.0)
+    cand.join(sa, "da").join(sb, "db")
+      .select(col("da"), col("db"), simExpr.as("sig_sim"))
+  }
+
+  private val minhashCandidatesSql = {
+    val sim = (0 until 16)
+      .map(j => s"CASE WHEN a.m$j = b.m$j THEN 1 ELSE 0 END").mkString(" + ")
+    s"""WITH $augmentedDocsSql,
+       |$shinglesSql,
+       |$minhashSigsSql,
+       |$bandRowsSql,
+       |$candSql
+       |SELECT da, db, ($sim) / 16.0 AS sig_sim
+       |FROM cand JOIN sigs a ON a.doc_id = da JOIN sigs b ON b.doc_id = db""".stripMargin
+  }
+
+  /** Exact 2-gram Jaccard verification, computed ONLY for LSH candidates. */
+  def jaccardVerify(s: SparkSession, dir: String): DataFrame = {
+    tune(s)
+    val cand = minhashCandidates(s, dir).select(col("da"), col("db"))
+    val shd = shingles(augmentedDocs(s, dir)).distinct().cache()
+    val sizes = shd.groupBy(col("doc_id")).agg(count(lit(1)).as("nsh"))
+    val inter = cand
+      .join(shd.select(col("doc_id").as("da"), col("sh")), "da")
+      .join(shd.select(col("doc_id").as("db"), col("sh")), Seq("db", "sh"))
+      .groupBy(col("da"), col("db"))
+      .agg(count(lit(1)).as("n_inter"))
+    inter
+      .join(sizes.select(col("doc_id").as("da"), col("nsh").as("na")), "da")
+      .join(sizes.select(col("doc_id").as("db"), col("nsh").as("nb")), "db")
+      .select(col("da"), col("db"), col("n_inter"),
+        (col("na") + col("nb") - col("n_inter")).as("n_union"),
+        (col("n_inter") / (col("na") + col("nb") - col("n_inter"))).as("jacc"),
+        (col("n_inter") / (col("na") + col("nb") - col("n_inter")) >= 0.6).as("is_dup"))
+  }
+
+  private val jaccardVerifySql = {
+    s"""WITH $augmentedDocsSql,
+       |$shinglesSql,
+       |$minhashSigsSql,
+       |$bandRowsSql,
+       |$candSql,
+       |shd AS (SELECT DISTINCT doc_id, sh FROM sh),
+       |sizes AS (SELECT doc_id, COUNT(*) AS nsh FROM shd GROUP BY doc_id),
+       |inter AS (SELECT c.da, c.db, COUNT(*) AS n_inter
+       |          FROM cand c
+       |          JOIN shd x ON x.doc_id = c.da
+       |          JOIN shd y ON y.doc_id = c.db AND y.sh = x.sh
+       |          GROUP BY c.da, c.db)
+       |SELECT i.da, i.db, i.n_inter,
+       |  sa.nsh + sb.nsh - i.n_inter AS n_union,
+       |  i.n_inter / (sa.nsh + sb.nsh - i.n_inter) AS jacc,
+       |  i.n_inter / (sa.nsh + sb.nsh - i.n_inter) >= 0.6 AS is_dup
+       |FROM inter i
+       |JOIN sizes sa ON sa.doc_id = i.da
+       |JOIN sizes sb ON sb.doc_id = i.db""".stripMargin
+  }
+
+  /** 32-bit SimHash fingerprints from word-level hashes: per-bit majority
+    * vote folded into one integer. 32 partial-agg sums, single shuffle.
+    */
+  def simhash(s: SparkSession, dir: String): DataFrame = {
+    tune(s)
+    val toks = augmentedDocs(s, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .withColumn("h", md5Long(col("w")))
+    val votes = (0 until 32).map(j =>
+      sum(expr(s"(shiftright(h, $j) & 1) * 2 - 1")).as(s"sb$j"))
+    val fp = (0 until 32)
+      .map(j => when(col(s"sb$j") > 0, lit(1L << j)).otherwise(lit(0L)))
+      .reduce(_ + _)
+    toks.groupBy(col("doc_id"))
+      .agg(votes.head, votes.tail: _*)
+      .select(col("doc_id"), fp.as("fp"))
+  }
+
+  private val simhashSql = {
+    val votes = (0 until 32)
+      .map(j => s"SUM(((h >> $j) & 1) * 2 - 1) AS sb$j").mkString(", ")
+    val fp = (0 until 32)
+      .map(j => s"(CASE WHEN sb$j > 0 THEN ${1L << j} ELSE 0 END)").mkString(" + ")
+    s"""WITH $augmentedDocsSql,
+       |toks AS (SELECT doc_id, ${MD5L("w")} AS h
+       |         FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM docs)),
+       |votes AS (SELECT doc_id, $votes FROM toks GROUP BY doc_id)
+       |SELECT doc_id, CAST($fp AS BIGINT) AS fp FROM votes""".stripMargin
+  }
+
+  override val queries: Seq[GQuery] = Seq(
+    GQuery("q60_dedup_exact", "exact dedup via hash-groupBy keep-first, per-lang summary",
+      dedupExact, Some(dedupExactSql)),
+    GQuery("q61_minhash_lsh", "MinHash signatures + LSH band-bucket candidate pairs (no crossJoin)",
+      minhashCandidates, Some(minhashCandidatesSql)),
+    GQuery("q62_simhash", "32-bit SimHash fingerprint per doc (bit-majority vote)",
+      simhash, Some(simhashSql)),
+    GQuery("q63_jaccard_verify", "exact n-gram Jaccard on LSH candidates only",
+      jaccardVerify, Some(jaccardVerifySql)),
+  )
+}

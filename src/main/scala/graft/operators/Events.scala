@@ -1,0 +1,146 @@
+package graft.operators
+
+import graft.Engine._
+import graft.{GQuery, QueryModule}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Event-stream analytics over the `events` fixture in batch mode (the
+  * streaming variants live in graft.streaming). JSON prop extraction (F14),
+  * tumbling windows, gap-based sessionization, inter-event deltas, and a
+  * conversion funnel.
+  *
+  * Timestamp parity: the fixture stores TIMESTAMP(NANOS); Spark (with
+  * nanosAsLong) sees the full epoch-nano long while DuckDB 1.0 truncates to
+  * micros on read — so every query first aligns on micros via `ts div 1000`
+  * (Spark) == `epoch_us(ts)` (DuckDB). Exact integer arithmetic after that.
+  *
+  * Reference provenance: the reference's system loop is cron + incremental
+  * query + dedup (SURVEY §2.9) — these are its Spark-native analytic
+  * equivalents over a real event table.
+  */
+object Events extends QueryModule {
+
+  private def ev(s: SparkSession, dir: String): DataFrame =
+    table(s, dir, "events")
+      .withColumn("us", expr("ts div 1000"))
+
+  /** JSON extraction + serialization (F13/F14): pull `k` out of the props
+    * JSON, aggregate by it, and re-serialize a compact JSON sample.
+    */
+  def jsonProps(s: SparkSession, dir: String): DataFrame = {
+    tune(s)
+    ev(s, dir)
+      .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+      .withColumn("j", to_json(struct(col("event_type").as("t"), col("k").as("k"))))
+      .groupBy(col("k"))
+      .agg(count(lit(1)).as("n"),
+           dsum(col("value")).as("sum_value"),
+           min(col("j")).as("min_json"))
+  }
+
+  private val jsonPropsSql =
+    s"""SELECT k, COUNT(*) AS n, ${DSUM("value")} AS sum_value, MIN(j) AS min_json
+       |FROM (SELECT CAST(json_extract_string(props, '$$.k') AS BIGINT) AS k, value,
+       |        json_object('t', event_type, 'k', CAST(json_extract_string(props, '$$.k') AS BIGINT))::VARCHAR AS j
+       |      FROM events)
+       |GROUP BY k""".stripMargin
+
+  /** Tumbling 1-hour windows via Spark's window() — the batch shape of the
+    * streaming aggregation. Window start surfaced as epoch seconds.
+    */
+  def hourlyWindows(s: SparkSession, dir: String): DataFrame = {
+    tune(s)
+    ev(s, dir)
+      .withColumn("et", expr("timestamp_micros(us)"))
+      .groupBy(window(col("et"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+      .select(col("window.start").cast("long").as("hour_epoch"),
+              col("event_type"), col("n"), col("sum_value"))
+  }
+
+  private[graft] val hourlyWindowsSql =
+    s"""SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_epoch,
+       |event_type, COUNT(*) AS n, ${DSUM("value")} AS sum_value
+       |FROM events
+       |GROUP BY 1, 2""".stripMargin
+
+  /** Gap-based sessionization (30-min inactivity) via session_window, rolled
+    * up per user. The oracle replays it as gaps-and-islands SQL — same
+    * semantics, each engine's idiomatic form.
+    */
+  def sessions(s: SparkSession, dir: String): DataFrame = {
+    tune(s)
+    val perSession = ev(s, dir)
+      .withColumn("et", expr("timestamp_micros(us)"))
+      .groupBy(col("user_id"), session_window(col("et"), "30 minutes"))
+      .agg(count(lit(1)).as("n_events"))
+    perSession.groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_sessions"),
+           sum(col("n_events")).cast("long").as("n_events"))
+  }
+
+  private val sessionsSql =
+    """SELECT user_id,
+      |CAST(1 + SUM(CASE WHEN gap >= 1800000000 THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions,
+      |COUNT(*) AS n_events
+      |FROM (SELECT user_id,
+      |        epoch_us(ts) - LAG(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS gap
+      |      FROM events)
+      |GROUP BY user_id""".stripMargin
+
+  /** Inter-event deltas per user (lag), bucketed into minutes, capped. */
+  def eventDeltas(s: SparkSession, dir: String): DataFrame = {
+    tune(s)
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
+    ev(s, dir)
+      .withColumn("prev_us", lag(col("us"), 1).over(w))
+      .filter(col("prev_us").isNotNull)
+      .withColumn("delta_min", least(expr("(us - prev_us) div 60000000"), lit(120L)))
+      .groupBy(col("delta_min"))
+      .agg(count(lit(1)).as("n"))
+  }
+
+  private val eventDeltasSql =
+    """SELECT least(gap // 60000000, 120) AS delta_min, COUNT(*) AS n
+      |FROM (SELECT epoch_us(ts) - LAG(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS gap
+      |      FROM events)
+      |WHERE gap IS NOT NULL
+      |GROUP BY 1""".stripMargin
+
+  /** Conversion funnel: users whose first 'view' precedes their last
+    * 'purchase'. One grouped pass, conditional min/max.
+    */
+  def funnel(s: SparkSession, dir: String): DataFrame = {
+    tune(s)
+    ev(s, dir)
+      .groupBy(col("user_id"))
+      .agg(min(when(col("event_type") === "view", col("us"))).as("first_view"),
+           max(when(col("event_type") === "purchase", col("us"))).as("last_purchase"))
+      .agg(
+        sum(when(col("first_view").isNotNull && col("last_purchase").isNotNull &&
+          col("first_view") < col("last_purchase"), 1L).otherwise(0L)).as("n_converted"),
+        count(col("first_view")).as("n_view_users"),
+        count(col("last_purchase")).as("n_purchase_users"))
+  }
+
+  private val funnelSql =
+    """SELECT
+      |CAST(SUM(CASE WHEN first_view IS NOT NULL AND last_purchase IS NOT NULL
+      |              AND first_view < last_purchase THEN 1 ELSE 0 END) AS BIGINT) AS n_converted,
+      |COUNT(first_view) AS n_view_users,
+      |COUNT(last_purchase) AS n_purchase_users
+      |FROM (SELECT user_id,
+      |        MIN(CASE WHEN event_type = 'view' THEN epoch_us(ts) END) AS first_view,
+      |        MAX(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END) AS last_purchase
+      |      FROM events GROUP BY user_id)""".stripMargin
+
+  override val queries: Seq[GQuery] = Seq(
+    GQuery("q54_json_props", "JSON prop extraction + compact re-serialization (F13/F14)", jsonProps, Some(jsonPropsSql)),
+    GQuery("q71_hourly_windows", "tumbling 1h windows via window() (ST1 batch shape)", hourlyWindows, Some(hourlyWindowsSql)),
+    GQuery("q72_sessions", "30-min gap sessionization via session_window (ST1)", sessions, Some(sessionsSql)),
+    GQuery("q73_event_deltas", "per-user inter-event lag deltas bucketed (W1)", eventDeltas, Some(eventDeltasSql)),
+    GQuery("q74_funnel", "view->purchase conversion funnel", funnel, Some(funnelSql)),
+  )
+}

@@ -1,0 +1,194 @@
+package graft.operators
+
+import graft.Engine._
+import graft.{GQuery, QueryModule}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text analysis for LLM training-data curation over `documents`: n-gram
+  * language ID, quality scoring, token statistics, and rolling-hash document
+  * fingerprints. All pure column expressions (whole-stage codegen, no UDFs);
+  * every derived number is exact-integer or fixed-order IEEE double so the
+  * DuckDB oracle matches bit-for-bit.
+  *
+  * Reference provenance: the reference has no text analytics; this is the
+  * LLM-pipeline extension surface (BASELINE.json north star). The HTML strip
+  * (F12) lives in Relational.htmlStrip; this module covers the corpus-stats
+  * side.
+  */
+object TextOps extends QueryModule {
+
+  /** Count non-overlapping occurrences of word `w` (space-delimited) via the
+    * replace-length trick — identical greedy left-to-right semantics in both
+    * engines, exact integer result.
+    */
+  private def wcount(w: String) =
+    expr(s"(length(pt) - length(replace(pt, ' $w ', ''))) div ${w.length + 2}")
+
+  private def wcountSql(w: String) =
+    s"((length(pt) - length(replace(pt, ' $w ', ''))) // ${w.length + 2})"
+
+  /** Keyword-profile language ID: score each doc against per-class marker
+    * words, argmax with a deterministic priority order, then confusion-matrix
+    * it against the labeled `lang` column.
+    */
+  def langId(s: SparkSession, dir: String): DataFrame = {
+    tune(s)
+    table(s, dir, "documents")
+      .withColumn("pt", concat(lit(" "), col("text"), lit(" ")))
+      .withColumn("s_a", wcount("table") + wcount("row") + wcount("query"))
+      .withColumn("s_b", wcount("data") + wcount("value") + wcount("stream"))
+      .withColumn("s_c", wcount("merge") + wcount("batch") + wcount("window"))
+      .withColumn("predicted",
+        when(col("s_a") >= col("s_b") && col("s_a") >= col("s_c"), "cls_a")
+          .when(col("s_b") >= col("s_c"), "cls_b")
+          .otherwise("cls_c"))
+      .groupBy(col("lang"), col("predicted"))
+      .agg(count(lit(1)).as("n"))
+  }
+
+  private val langIdSql = {
+    val sa = s"${wcountSql("table")} + ${wcountSql("row")} + ${wcountSql("query")}"
+    val sb = s"${wcountSql("data")} + ${wcountSql("value")} + ${wcountSql("stream")}"
+    val sc = s"${wcountSql("merge")} + ${wcountSql("batch")} + ${wcountSql("window")}"
+    s"""SELECT lang, predicted, COUNT(*) AS n FROM (
+       |  SELECT lang,
+       |    CASE WHEN s_a >= s_b AND s_a >= s_c THEN 'cls_a'
+       |         WHEN s_b >= s_c THEN 'cls_b'
+       |         ELSE 'cls_c' END AS predicted
+       |  FROM (SELECT lang, $sa AS s_a, $sb AS s_b, $sc AS s_c
+       |        FROM (SELECT lang, ' ' || text || ' ' AS pt FROM documents)))
+       |GROUP BY lang, predicted""".stripMargin
+  }
+
+  /** Quality scoring: token count, mean word length, stopword ratio, folded
+    * into a bounded [0,1] score and bucketed into deciles. The double
+    * arithmetic is written in the same order in both engines.
+    */
+  def qualityScore(s: SparkSession, dir: String): DataFrame = {
+    tune(s)
+    table(s, dir, "documents")
+      .withColumn("pt", concat(lit(" "), col("text"), lit(" ")))
+      .withColumn("n_tok", size(regexp_extract_all(col("text"), lit("[a-z0-9]+"), lit(0))))
+      .withColumn("alpha_len", length(regexp_replace(col("text"), "[^a-z0-9]", "")))
+      .withColumn("stop_cnt", wcount("a") + wcount("the"))
+      .withColumn("avg_wlen", col("alpha_len") / col("n_tok"))
+      .withColumn("stop_ratio", col("stop_cnt") / col("n_tok"))
+      .withColumn("quality",
+        lit(0.4) * least(col("avg_wlen") / lit(8.0), lit(1.0)) +
+        lit(0.3) * least(col("n_tok") / lit(300.0), lit(1.0)) +
+        lit(0.3) * (lit(1.0) - least(col("stop_ratio") * lit(5.0), lit(1.0))))
+      .withColumn("bucket", floor(col("quality") * 10).cast("long"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"), davg(col("quality"), 9).as("avg_quality"))
+  }
+
+  private val qualityScoreSql =
+    s"""SELECT bucket, COUNT(*) AS n, ${DAVG("quality", 9)} AS avg_quality FROM (
+       |  SELECT CAST(floor(quality * 10) AS BIGINT) AS bucket, quality FROM (
+       |    SELECT 0.4 * least(avg_wlen / 8.0, 1.0)
+       |         + 0.3 * least(n_tok / 300.0, 1.0)
+       |         + 0.3 * (1.0 - least(stop_ratio * 5.0, 1.0)) AS quality
+       |    FROM (
+       |      SELECT n_tok, alpha_len / n_tok AS avg_wlen, stop_cnt / n_tok AS stop_ratio
+       |      FROM (
+       |        SELECT CAST(len(regexp_extract_all(text, '[a-z0-9]+')) AS INT) AS n_tok,
+       |               length(regexp_replace(text, '[^a-z0-9]', '', 'g')) AS alpha_len,
+       |               ${wcountSql("a")} + ${wcountSql("the")} AS stop_cnt
+       |        FROM (SELECT text, ' ' || text || ' ' AS pt FROM documents)))))
+       |GROUP BY bucket""".stripMargin
+
+  /** Token statistics per language: doc counts, total/mean tokens, distinct
+    * vocabulary size. Two aggregations joined on lang (the explode for
+    * vocabulary is kept separate so the cheap stats don't pay for it).
+    */
+  def tokenStats(s: SparkSession, dir: String): DataFrame = {
+    tune(s)
+    val d = table(s, dir, "documents")
+      .withColumn("toks", regexp_extract_all(col("text"), lit("[a-z0-9]+"), lit(0)))
+    val perDoc = d.select(col("lang"), size(col("toks")).as("nt"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+           sum(col("nt")).cast("long").as("total_tokens"),
+           davg(col("nt")).as("avg_tokens"))
+    val vocab = d.select(col("lang"), explode(col("toks")).as("tok"))
+      .groupBy(col("lang"))
+      .agg(countDistinct(col("tok")).as("n_vocab"))
+    perDoc.join(vocab, "lang")
+  }
+
+  private val tokenStatsSql =
+    s"""SELECT t1.lang, n_docs, total_tokens, avg_tokens, n_vocab
+       |FROM (
+       |  SELECT lang, COUNT(*) AS n_docs,
+       |         CAST(SUM(nt) AS BIGINT) AS total_tokens, ${DAVG("nt")} AS avg_tokens
+       |  FROM (SELECT lang, CAST(len(regexp_extract_all(text, '[a-z0-9]+')) AS INT) AS nt
+       |        FROM documents)
+       |  GROUP BY lang) t1
+       |JOIN (
+       |  SELECT lang, CAST(COUNT(DISTINCT tok) AS BIGINT) AS n_vocab
+       |  FROM (SELECT lang, unnest(regexp_extract_all(text, '[a-z0-9]+')) AS tok FROM documents)
+       |  GROUP BY lang) t2
+       |ON t1.lang = t2.lang""".stripMargin
+
+  /** Rolling-hash fingerprint: min/max of the portable md5 hash over all
+    * char 8-gram shingles (winnowing's min-hash selection), plus distinct
+    * shingle count. One explode + one grouped agg.
+    */
+  def fingerprint(s: SparkSession, dir: String): DataFrame = {
+    tune(s)
+    table(s, dir, "documents")
+      .filter(length(col("text")) >= 8)
+      .select(col("doc_id"), col("text"),
+        explode(sequence(lit(1), length(col("text")) - 7)).as("i"))
+      .select(col("doc_id"), expr("substr(text, i, 8)").as("sh"))
+      .withColumn("h", md5Long(col("sh")))
+      .groupBy(col("doc_id"))
+      .agg(min(col("h")).as("fp_min"),
+           max(col("h")).as("fp_max"),
+           countDistinct(col("sh")).as("n_shingles"))
+  }
+
+  private val fingerprintSql =
+    s"""SELECT doc_id, MIN(h) AS fp_min, MAX(h) AS fp_max,
+       |CAST(COUNT(DISTINCT sh) AS BIGINT) AS n_shingles
+       |FROM (
+       |  SELECT doc_id, sh, ${MD5L("sh")} AS h
+       |  FROM (SELECT doc_id, substr(text, i, 8) AS sh
+       |        FROM (SELECT doc_id, text, unnest(range(1, length(text)-6)) AS i
+       |              FROM documents WHERE length(text) >= 8)))
+       |GROUP BY doc_id""".stripMargin
+
+  /** XPath-style XML field extraction (F15/S3): the reference's XML config
+    * scan as a data-plane operator. Spark uses the built-in xpath_string;
+    * the oracle extracts the same field with a regex — same result, each
+    * engine's idiomatic mechanism.
+    */
+  def xmlExtract(s: SparkSession, dir: String): DataFrame = {
+    tune(s)
+    table(s, dir, "nation")
+      .withColumn("xml", concat(lit("<cfg><table>t"), col("n_nationkey") % 5,
+        lit("</table><bucket>b"), col("n_regionkey"), lit("</bucket></cfg>")))
+      .withColumn("tbl", expr("xpath_string(xml, '/cfg/table')"))
+      .withColumn("bkt", expr("xpath_string(xml, '/cfg/bucket')"))
+      .select(col("n_nationkey"), col("tbl"), col("bkt"))
+  }
+
+  private val xmlExtractSql =
+    """SELECT n_nationkey,
+      |regexp_extract(xml, '<table>([^<]*)</table>', 1) AS tbl,
+      |regexp_extract(xml, '<bucket>([^<]*)</bucket>', 1) AS bkt
+      |FROM (SELECT n_nationkey,
+      |        '<cfg><table>t' || CAST(n_nationkey % 5 AS VARCHAR) ||
+      |        '</table><bucket>b' || CAST(n_regionkey AS VARCHAR) ||
+      |        '</bucket></cfg>' AS xml
+      |      FROM nation)""".stripMargin
+
+  override val queries: Seq[GQuery] = Seq(
+    GQuery("q56_xml_extract", "XPath XML field extraction (F15/S3)", xmlExtract, Some(xmlExtractSql)),
+    GQuery("q66_lang_id", "keyword-profile language ID + confusion matrix", langId, Some(langIdSql)),
+    GQuery("q67_quality_score", "doc quality scoring bucketed into deciles", qualityScore, Some(qualityScoreSql)),
+    GQuery("q68_token_stats", "per-lang token counts + vocabulary size", tokenStats, Some(tokenStatsSql)),
+    GQuery("q69_fingerprint", "rolling-hash char-8-gram doc fingerprints", fingerprint, Some(fingerprintSql)),
+  )
+}

@@ -1,0 +1,71 @@
+package graft.sources
+
+import graft.Engine._
+import graft.{GQuery, QueryModule}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Source/sink coverage (S1/S2/S6/S9): CSV and JSON scans proven by a full
+  * write -> read-back -> aggregate roundtrip against the parquet original.
+  * The oracle aggregates the parquet directly — any formatting/parsing loss
+  * in our writer/reader would break the hash match.
+  *
+  * Values survive exactly: Spark writes doubles as shortest-roundtrip
+  * decimal strings and timestamps as ISO-8601, both of which parse back to
+  * identical bits with an explicit schema (inference is NOT used — at 100 TB
+  * schema inference means a second full scan and silently wrong types).
+  *
+  * Reference provenance: CSV scan /root/reference/data_pipeline.py:283-303,
+  * JSON scan :263-281, file sinks :338-350/:564-572.
+  */
+object RoundTrip extends QueryModule {
+
+  private def tmpDir(name: String) = s"/root/repo/target/qtmp/$name"
+
+  /** CSV sink + scan roundtrip over customer (strings, ints, doubles). */
+  def csvRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    tune(s)
+    val c = table(s, dir, "customer")
+    val path = tmpDir("csv_customer")
+    c.write.mode("overwrite").option("header", "true").csv(path)
+    s.read.schema(c.schema).option("header", "true").csv(path)
+      .agg(count(lit(1)).as("n"),
+           dsum(col("c_acctbal")).as("sum_bal"),
+           min(col("c_name")).as("min_name"),
+           max(col("c_name")).as("max_name"),
+           countDistinct(col("c_mktsegment")).as("n_segments"))
+  }
+
+  private val csvRoundtripSql =
+    s"""SELECT COUNT(*) AS n, ${DSUM("c_acctbal")} AS sum_bal,
+       |MIN(c_name) AS min_name, MAX(c_name) AS max_name,
+       |CAST(COUNT(DISTINCT c_mktsegment) AS BIGINT) AS n_segments
+       |FROM customer""".stripMargin
+
+  /** JSON sink + scan roundtrip over an orders subset (incl. timestamps). */
+  def jsonRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    tune(s)
+    val o = table(s, dir, "orders").filter(col("o_orderkey") % 10 === 0)
+    val path = tmpDir("json_orders")
+    o.write.mode("overwrite").json(path)
+    s.read.schema(o.schema).json(path)
+      .agg(count(lit(1)).as("n"),
+           dsum(col("o_totalprice")).as("sum_price"),
+           min(col("o_orderdate").cast("date")).as("d_min"),
+           max(col("o_orderdate").cast("date")).as("d_max"),
+           countDistinct(col("o_orderstatus")).as("n_status"))
+  }
+
+  private val jsonRoundtripSql =
+    s"""SELECT COUNT(*) AS n, ${DSUM("o_totalprice")} AS sum_price,
+       |MIN(CAST(o_orderdate AS DATE)) AS d_min, MAX(CAST(o_orderdate AS DATE)) AS d_max,
+       |CAST(COUNT(DISTINCT o_orderstatus) AS BIGINT) AS n_status
+       |FROM orders WHERE o_orderkey % 10 = 0""".stripMargin
+
+  override val queries: Seq[GQuery] = Seq(
+    GQuery("q82_csv_roundtrip", "CSV sink+scan roundtrip vs parquet oracle (S1/S9)",
+      csvRoundtrip, Some(csvRoundtripSql)),
+    GQuery("q83_json_roundtrip", "JSON sink+scan roundtrip vs parquet oracle (S2/S6)",
+      jsonRoundtrip, Some(jsonRoundtripSql)),
+  )
+}

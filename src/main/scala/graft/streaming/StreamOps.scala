@@ -1,0 +1,57 @@
+package graft.streaming
+
+import graft.Engine._
+import graft.{GQuery, QueryModule}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+/** Structured Streaming (ST1): the reference's system loop — daily cron +
+  * date-incremental pull + dedup (SURVEY §2.9) — is exactly a file-source
+  * stream with Trigger.AvailableNow and idempotent sinks. This module runs
+  * the same tumbling-window aggregation as the batch q71 through a real
+  * readStream -> withWatermark -> window -> writeStream pipeline and lets
+  * the driver verify it against the SAME DuckDB oracle: streaming/batch
+  * equivalence, machine-checked.
+  *
+  * Reference provenance: cron trigger
+  * /root/reference/.github/workflows/data-pipeline.yml:6-7; incremental
+  * query + dedup /root/reference/data_pipeline.py:117-142.
+  */
+object StreamOps extends QueryModule {
+
+  private val counter = new java.util.concurrent.atomic.AtomicLong(0)
+
+  /** Tumbling 1-hour windows over the events file stream, AvailableNow. */
+  def streamHourly(s: SparkSession, dir: String): DataFrame = {
+    tune(s)
+    val schema = s.read.parquet(s"$dir/events.parquet").schema
+    val src = s.readStream
+      .schema(schema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+    val agg = src
+      .withColumn("et", expr("timestamp_micros(ts div 1000)"))
+      .withWatermark("et", "1 hour")
+      .groupBy(window(col("et"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+      .select(col("window.start").cast("long").as("hour_epoch"),
+              col("event_type"), col("n"), col("sum_value"))
+    val qname = s"graft_stream_hourly_${counter.incrementAndGet()}"
+    val q = agg.writeStream
+      .format("memory")
+      .queryName(qname)
+      .outputMode("complete")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.table(qname)
+  }
+
+  override val queries: Seq[GQuery] = Seq(
+    // Same oracle as the batch q71 — proves streaming == batch.
+    GQuery("q84_stream_hourly",
+      "readStream + watermark + tumbling window, AvailableNow (ST1); oracle == batch q71",
+      streamHourly, Some(graft.operators.Events.hourlyWindowsSql)),
+  )
+}
