@@ -1,0 +1,42 @@
+package graft
+
+import graft.operators.Similarity
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class SimilaritySpec extends AnyFunSuite {
+  private lazy val s = TestSpark.spark
+
+  test("brute-force KNN returns exactly k=5 ranked neighbors per probe") {
+    val knn = Similarity.cosineKnn(s, TestSpark.sf).cache()
+    val perQ = knn.groupBy("qid").count().agg(min("count"), max("count")).collect()(0)
+    assert(perQ.getLong(0) == 5 && perQ.getLong(1) == 5)
+    // cosine is bounded and ranks are 1..5
+    assert(knn.filter(col("cosim") > 1.000000001 || col("cosim") < -1.000000001).count() == 0)
+    assert(knn.agg(max("rn")).collect()(0).getInt(0) == 5)
+  }
+
+  test("IVF probe results are a subset of the brute-force candidates' scores") {
+    val bf = Similarity.cosineKnn(s, TestSpark.sf)
+      .select(col("qid"), col("vid"), col("cosim"))
+    val ivf = Similarity.ivfAnn(s, TestSpark.sf)
+      .select(col("qid"), col("vid"), col("cosim"))
+    // every IVF pair that brute force also scored must agree exactly
+    val joined = ivf.alias("i").join(bf.alias("b"), Seq("qid", "vid"))
+      .filter(col("i.cosim") =!= col("b.cosim"))
+    assert(joined.count() == 0)
+  }
+
+  test("cosine of a vector with itself is 1.0 (sanity on the math path)") {
+    import s.implicits._
+    val v = Seq((1L, Array(0.6f, 0.8f)), (2L, Array(0.6f, 0.8f))).toDF("vec_id", "embedding")
+    v.createOrReplaceTempView("tiny_emb")
+    val cos = s.sql(
+      """SELECT CAST(aggregate(zip_with(a.embedding, b.embedding, (x, y) -> CAST(x AS DOUBLE)*CAST(y AS DOUBLE)),
+        |       CAST(0 AS DOUBLE), (acc, v) -> acc + v) /
+        |       (sqrt(aggregate(transform(a.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)), CAST(0 AS DOUBLE), (acc, v) -> acc + v)) *
+        |        sqrt(aggregate(transform(b.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)), CAST(0 AS DOUBLE), (acc, v) -> acc + v))) AS DOUBLE) AS c
+        |FROM tiny_emb a JOIN tiny_emb b ON a.vec_id = 1 AND b.vec_id = 2""".stripMargin)
+    assert(math.abs(cos.collect()(0).getDouble(0) - 1.0) < 1e-12)
+  }
+}
