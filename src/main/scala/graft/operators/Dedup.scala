@@ -94,11 +94,10 @@ object Dedup extends QueryModule {
        |GROUP BY lang""".stripMargin
 
   /** 16-permutation MinHash signatures, one row per doc. */
-  private def minhashSigs(s: SparkSession, dir: String): DataFrame = {
-    val sh = shingles(augmentedDocs(s, dir))
-      .withColumn("hm", md5Long(col("sh")) % P)
+  private def sigsFrom(sh: DataFrame): DataFrame = {
+    val hm = sh.withColumn("hm", md5Long(col("sh")) % P)
     val aggs = (0 until 16).map(j => min((lit(A(j)) * col("hm") + lit(B(j))) % P).as(s"m$j"))
-    sh.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
+    hm.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
   }
 
   private val minhashSigsSql = {
@@ -133,17 +132,22 @@ object Dedup extends QueryModule {
       |  FROM bands a JOIN bands b
       |    ON a.band = b.band AND a.bk = b.bk AND a.doc_id < b.doc_id)""".stripMargin
 
-  /** MinHash near-dup candidates: band-bucket join + signature similarity. */
-  def minhashCandidates(s: SparkSession, dir: String): DataFrame = {
-    tune(s)
-    val sigs = minhashSigs(s, dir).cache()
+  /** Band-bucket equi-join: distinct colliding pairs (da < db). */
+  private def candFrom(sigs: DataFrame): DataFrame = {
     val bands = bandRows(sigs)
-    val cand = bands.alias("a")
+    bands.alias("a")
       .join(bands.alias("b"),
         col("a.band") === col("b.band") && col("a.bk") === col("b.bk") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
       .distinct()
+  }
+
+  /** MinHash near-dup candidates: band-bucket join + signature similarity. */
+  def minhashCandidates(s: SparkSession, dir: String): DataFrame = {
+    tune(s)
+    val sigs = sigsFrom(shingles(augmentedDocs(s, dir))).cache()
+    val cand = candFrom(sigs)
     val sa = sigs.columns.foldLeft(sigs)((df, c) => df.withColumnRenamed(c, if (c == "doc_id") "da" else s"a_$c"))
     val sb = sigs.columns.foldLeft(sigs)((df, c) => df.withColumnRenamed(c, if (c == "doc_id") "db" else s"b_$c"))
     val simExpr = (0 until 16)
@@ -165,11 +169,15 @@ object Dedup extends QueryModule {
        |FROM cand JOIN sigs a ON a.doc_id = da JOIN sigs b ON b.doc_id = db""".stripMargin
   }
 
-  /** Exact 2-gram Jaccard verification, computed ONLY for LSH candidates. */
+  /** Exact 2-gram Jaccard verification, computed ONLY for LSH candidates.
+    * The shingle frame is computed once and reused for both the signatures
+    * and the exact set intersection.
+    */
   def jaccardVerify(s: SparkSession, dir: String): DataFrame = {
     tune(s)
-    val cand = minhashCandidates(s, dir).select(col("da"), col("db"))
-    val shd = shingles(augmentedDocs(s, dir)).distinct().cache()
+    val sh = shingles(augmentedDocs(s, dir)).cache()
+    val cand = candFrom(sigsFrom(sh))
+    val shd = sh.distinct().cache()
     val sizes = shd.groupBy(col("doc_id")).agg(count(lit(1)).as("nsh"))
     val inter = cand
       .join(shd.select(col("doc_id").as("da"), col("sh")), "da")
