@@ -36,6 +36,9 @@ object Engine {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.adaptive.enabled", "true")
+    // native vector functions usable from SQL in any session (see also
+    // graft.functions.GraftExtensions for the spark.sql.extensions path)
+    graft.functions.VectorFunctions.register(spark)
   }
 
   /** Load a fixture table. `events.ts` arrives as LongType epoch-nanos. */

@@ -200,6 +200,21 @@ object Relational extends QueryModule {
       .agg(approx_count_distinct(col("o_custkey")).as("approx_custs"))
   }
 
+  /** Typed UDAF (X3): graft.functions.ExactMean — the Aggregator form of the
+    * exact decimal mean, checked against the same DuckDB fragment as davg.
+    */
+  def customUdaf(s: SparkSession, dir: String): DataFrame = {
+    tune(s)
+    val exactMean = udaf(graft.functions.ExactMean)
+    table(s, dir, "orders")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"), exactMean(col("o_totalprice")).as("avg_price_exact"))
+  }
+
+  private val customUdafSql =
+    s"""SELECT o_orderpriority, COUNT(*) AS n, ${DAVG("o_totalprice")} AS avg_price_exact
+       |FROM orders GROUP BY o_orderpriority""".stripMargin
+
   /** row_number window: latest order per customer (W1). */
   def windowLatest(s: SparkSession, dir: String): DataFrame = {
     tune(s)
@@ -423,6 +438,7 @@ object Relational extends QueryModule {
     GQuery("q22_cube", "CUBE grouping sets (A5)", cubeAgg, Some(cubeAggSql)),
     GQuery("q23_distinct", "exact COUNT DISTINCT per group (A5)", distinctAgg, Some(distinctAggSql)),
     GQuery("q24_approx_distinct", "HLL approx_count_distinct (A5, sketch; rows-only check)", approxDistinct, None),
+    GQuery("q25_custom_udaf", "typed Aggregator UDAF: exact decimal mean (X3)", customUdaf, Some(customUdafSql)),
     GQuery("q30_window_latest", "row_number latest-per-key (W1)", windowLatest, Some(windowLatestSql)),
     GQuery("q31_window_running", "running sum frame + lag + datediff (W1)", windowRunning, Some(windowRunningSql)),
     GQuery("q32_window_rank", "rank/dense_rank/lag (W1)", windowRank, Some(windowRankSql)),

@@ -27,14 +27,16 @@ import org.apache.spark.sql.functions._
   */
 object Similarity extends QueryModule {
 
-  /** Per-row L2 norm via a codegen'd fold — no shuffle, no explode. */
+  /** Per-row L2 norm via the native graft_dot expression (tight codegen
+    * loop, graft.functions.FloatVectorDot) — no shuffle, no explode.
+    */
   private def withNorm(df: DataFrame): DataFrame =
-    df.withColumn("nrm", expr(
-      "sqrt(aggregate(embedding, CAST(0 AS DOUBLE), (acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))"))
+    df.withColumn("nrm", expr("sqrt(graft_dot(embedding, embedding))"))
 
-  /** Per-row dot product of two embedding columns, double-widened fold. */
-  private val dotExpr = expr(
-    "aggregate(zip_with(qemb, vemb, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), CAST(0 AS DOUBLE), (acc, p) -> acc + p)")
+  /** Per-row dot product of two embedding columns (native expression;
+    * identical left-to-right double accumulation as a zip_with fold).
+    */
+  private val dotExpr = expr("graft_dot(qemb, vemb)")
 
   private val flatSql =
     """flat AS (

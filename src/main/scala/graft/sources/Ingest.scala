@@ -1,0 +1,92 @@
+package graft.sources
+
+import org.apache.spark.sql.Dataset
+import scala.reflect.ClassTag
+
+/** Chunked, retrying, dead-lettering sink semantics (C1/C2/C3) —
+  * the reference's upload_dataframe_in_chunks + retry + spill
+  * (/root/reference/data_pipeline.py:501-572), distributed:
+  *
+  *  - chunking happens per partition (no driver-side iteration), so
+  *    the write parallelism is the data parallelism;
+  *  - a failed chunk is retried once at a smaller size (the reference's
+  *    5000 -> 1000 fallback);
+  *  - rows that still fail are RETURNED as a dataset — the dead-letter
+  *    side the caller persists (CSV spill, S9) — so
+  *    rows_in == rows_written + rows_dead always holds.
+  *
+  * The writer callback stands in for the reference's REST/JDBC batch call;
+  * at scale it would hold one connection per partition.
+  */
+object ChunkedIngest {
+
+  /** Push `ds` through `write` in chunks; returns the dead-lettered rows.
+    * `write` must be serializable (it runs on executors) and is expected to
+    * be atomic per call: it either persists the whole chunk or throws.
+    */
+  def chunkedWrite[T: ClassTag](ds: Dataset[T], chunkSize: Int, retrySize: Int)(
+      write: Seq[T] => Unit): Dataset[T] = {
+    require(chunkSize > 0 && retrySize > 0 && retrySize <= chunkSize)
+    import ds.sparkSession.implicits._
+    implicit val enc = ds.encoder
+    ds.mapPartitions { rows =>
+      rows.grouped(chunkSize).flatMap { chunk =>
+        try { write(chunk); Iterator.empty }
+        catch {
+          case _: Exception =>
+            chunk.grouped(retrySize).flatMap { small =>
+              try { write(small); Nil }
+              catch { case _: Exception => small }
+            }.iterator
+        }
+      }
+    }
+  }
+}
+
+/** Landing-zone maintenance (S10/C6/P5): list a directory, skip dotfiles,
+  * delete the rest in bounded batches — the reference's removeexistingfiles
+  * (/root/reference/data_pipeline.py:305-336) over any Hadoop filesystem.
+  */
+object Storage {
+
+  import org.apache.hadoop.fs.{FileSystem, Path}
+
+  /** Deletes all non-dotfiles under `dir` in batches; returns count deleted. */
+  def resetLandingZone(spark: org.apache.spark.sql.SparkSession, dir: String,
+                       batchSize: Int = 20): Int = {
+    val path = new Path(dir)
+    val fs = FileSystem.get(path.toUri, spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(path)) return 0
+    val files = fs.listStatus(path).toSeq
+      .filter(_.isFile)
+      .filterNot(_.getPath.getName.startsWith(".")) // dotfile filter (P5)
+    files.grouped(batchSize).foreach(_.foreach(f => fs.delete(f.getPath, false)))
+    files.size
+  }
+}
+
+/** Notification gating (C5/S11): the reference proceeds with the upload only
+  * if the "started" notification succeeded (EMAIL_STATUS global,
+  * /root/reference/data_pipeline.py:153-160). Modeled as plain driver-side
+  * control flow around a pluggable notifier — notifications are not a
+  * data-plane concern.
+  */
+trait Notifier extends Serializable {
+  def send(subject: String, body: String): Boolean
+}
+
+object Pipeline {
+
+  /** Runs `action` only if the start notification succeeds; sends the
+    * completion notification afterwards. Returns None when gated off.
+    */
+  def withNotification[T](n: Notifier, job: String)(action: => T): Option[T] = {
+    if (!n.send(s"$job started", s"pipeline $job starting")) None
+    else {
+      val out = action
+      n.send(s"$job completed", s"pipeline $job done")
+      Some(out)
+    }
+  }
+}

@@ -1,0 +1,63 @@
+package graft
+
+import graft.functions.{ExactMean, FloatVectorDot}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The custom extension surface: the native codegen FloatVectorDot
+  * expression (via SQL registration) and the ExactMean Aggregator.
+  */
+class FunctionsSpec extends AnyFunSuite {
+  private lazy val s = TestSpark.spark
+
+  test("graft_dot: native expression computes the double dot product") {
+    Engine.tune(s)
+    import s.implicits._
+    val df = Seq((Array(1.0f, 2.0f, 3.0f), Array(4.0f, 5.0f, 6.0f)))
+      .toDF("a", "b")
+    val out = df.selectExpr("graft_dot(a, b) AS d").collect()(0).getDouble(0)
+    assert(out == 32.0)
+  }
+
+  test("graft_dot: null array yields null; mismatched lengths use the min") {
+    Engine.tune(s)
+    import s.implicits._
+    val df = Seq(
+      (Some(Array(1.0f, 1.0f)), Some(Array(2.0f, 3.0f, 9.0f))),
+      (None, Some(Array(1.0f)))
+    ).toDF("a", "b")
+    val rows = df.selectExpr("graft_dot(a, b) AS d").collect()
+    assert(rows(0).getDouble(0) == 5.0)
+    assert(rows(1).isNullAt(0))
+  }
+
+  test("graft_dot matches the zip_with/aggregate fold on fixture embeddings") {
+    Engine.tune(s)
+    val e = s.read.parquet(s"${TestSpark.sf}/embeddings.parquet").limit(50)
+    val cmp = e.selectExpr(
+      "graft_dot(embedding, embedding) AS native",
+      "aggregate(zip_with(embedding, embedding, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), CAST(0 AS DOUBLE), (acc, p) -> acc + p) AS fold")
+    assert(cmp.filter(col("native") =!= col("fold")).count() == 0)
+  }
+
+  test("ExactMean UDAF equals davg and is partition-independent") {
+    import s.implicits._
+    val vals = (1 to 1001).map(i => i * 0.01)
+    val exactMean = udaf(ExactMean)
+    val m1 = vals.toDF("v").repartition(1)
+      .agg(exactMean(col("v"))).collect()(0).getDouble(0)
+    val m9 = vals.toDF("v").repartition(9)
+      .agg(exactMean(col("v"))).collect()(0).getDouble(0)
+    val ref = vals.toDF("v").agg(Engine.davg(col("v"))).collect()(0).getDouble(0)
+    assert(m1 == m9 && m1 == ref)
+  }
+
+  test("interpreted eval path agrees with codegen (expression fallback)") {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    val a = Literal.create(Array(0.5f, 0.25f), org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.FloatType))
+    val b = Literal.create(Array(2.0f, 4.0f), org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.FloatType))
+    val out = FloatVectorDot(a, b).eval(null)
+    assert(out == 2.0)
+  }
+}

@@ -1,0 +1,84 @@
+package graft
+
+import graft.sources.{ChunkedIngest, Notifier, Pipeline, Storage}
+import graft.streaming.IncrementalIngest
+import org.apache.spark.util.LongAccumulator
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.{Files, Paths}
+
+/** The reference's reliability loop (C1/C2/C3/C5/C6/S4/S10) exercised
+  * end-to-end: chunked writes with retry + dead-letter, landing-zone reset
+  * with dotfile survival, notification gating, and exactly-once incremental
+  * file ingestion across repeated runs.
+  */
+class IngestSpec extends AnyFunSuite {
+  private lazy val s = TestSpark.spark
+
+  test("chunked write: failed chunks retry smaller; poison rows dead-letter; totals conserve") {
+    import s.implicits._
+    val n = 1000
+    val written: LongAccumulator = s.sparkContext.longAccumulator("written")
+    val ds = s.range(0, n).as[Long].repartition(4)
+    // the "REST endpoint": rejects any batch containing a poison row (id % 97 == 0)
+    val dead = ChunkedIngest.chunkedWrite(ds, chunkSize = 100, retrySize = 1) { chunk =>
+      if (chunk.exists(_ % 97 == 0)) throw new RuntimeException("rejected batch")
+      written.add(chunk.size)
+    }
+    val deadRows = dead.collect().sorted
+    val expectedPoison = (0L until n).filter(_ % 97 == 0)
+    assert(deadRows.toSeq == expectedPoison)
+    assert(written.value + deadRows.length == n) // rows_in == written + dead
+  }
+
+  test("chunked write: clean data writes everything, dead-letter empty") {
+    import s.implicits._
+    val written = s.sparkContext.longAccumulator("written2")
+    val dead = ChunkedIngest.chunkedWrite(s.range(0, 500).as[Long], 128, 16) { c =>
+      written.add(c.size)
+    }
+    assert(dead.count() == 0 && written.value == 500)
+  }
+
+  test("landing-zone reset deletes files in batches but spares dotfiles (S10/C6/P5)") {
+    val dir = Files.createTempDirectory("graft_landing")
+    (1 to 45).foreach(i => Files.writeString(dir.resolve(s"file_$i.csv"), "x"))
+    Files.writeString(dir.resolve(".keep"), "x")
+    val deleted = Storage.resetLandingZone(s, dir.toString, batchSize = 20)
+    assert(deleted == 45)
+    val left = Files.list(dir).toArray.map(_.toString)
+    assert(left.length == 1 && left(0).endsWith(".keep"))
+  }
+
+  test("notification gate: action runs only if start notification succeeds (C5)") {
+    val sent = scala.collection.mutable.ListBuffer[String]()
+    val good = new Notifier { def send(subj: String, b: String) = { sent += subj; true } }
+    val bad = new Notifier { def send(subj: String, b: String) = false }
+    var ran = 0
+    assert(Pipeline.withNotification(good, "job")( { ran += 1; 42 } ).contains(42))
+    assert(sent.toList == List("job started", "job completed"))
+    assert(Pipeline.withNotification(bad, "job")( { ran += 1; 42 } ).isEmpty)
+    assert(ran == 1) // gated action never executed
+  }
+
+  test("incremental ingest is exactly-once across runs (S4: the Gmail-analog loop)") {
+    val base = Files.createTempDirectory("graft_incr").toString
+    val (landing, ckpt, out) = (s"$base/landing", s"$base/ckpt", s"$base/out")
+    Files.createDirectories(Paths.get(landing))
+    val schema = org.apache.spark.sql.types.StructType.fromDDL("id LONG, v DOUBLE")
+
+    Files.writeString(Paths.get(s"$landing/batch1.csv"), "id,v\n1,1.5\n2,2.5\n")
+    IncrementalIngest.ingestOnce(s, landing, ckpt, out, schema)
+    assert(s.read.parquet(out).count() == 2)
+
+    // rerun with nothing new: no duplicates (the reference's dedup probe)
+    IncrementalIngest.ingestOnce(s, landing, ckpt, out, schema)
+    assert(s.read.parquet(out).count() == 2)
+
+    // a new file lands: only it is picked up
+    Files.writeString(Paths.get(s"$landing/batch2.csv"), "id,v\n3,3.5\n")
+    IncrementalIngest.ingestOnce(s, landing, ckpt, out, schema)
+    val rows = s.read.parquet(out)
+    assert(rows.count() == 3)
+    assert(rows.select("id").collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L, 3L))
+  }
+}
