@@ -64,6 +64,12 @@ object Engine {
 
   /** Portable 60-bit hash: first 15 hex chars of md5, as a non-negative long.
     * DuckDB equivalent: `('0x' || substr(md5(x), 1, 15))::BIGINT`.
+    *
+    * Canonicalization contract: pass STRING columns only. Spark and DuckDB
+    * render non-string types to text differently (double formatting,
+    * timestamp formats), which would silently break cross-engine hash
+    * parity — so callers cast/format explicitly first; integral types cast
+    * to their plain decimal digits ("123") identically in both engines.
     */
   def md5Long(c: Column): Column =
     conv(substring(md5(c), 1, 15), 16, 10).cast(LongType)

@@ -202,6 +202,32 @@ object Cleaning extends QueryModule {
        |CAST(COUNT(DISTINCT o_orderstatus) AS BIGINT) AS n_status
        |FROM orders""".stripMargin
 
+  /** NaN -> null normalization (F8): the reference's replace({np.nan: None})
+    * before serialization. NaNs are injected deterministically, normalized
+    * with isnan, and the aggregates prove NaNs no longer poison sums.
+    */
+  def nanNormalize(s: SparkSession, dir: String): DataFrame = {
+    tune(s)
+    val withNan = when(col("l_orderkey") % 11 === 0, lit(Double.NaN))
+      .otherwise(col("l_quantity"))
+    table(s, dir, "lineitem")
+      .withColumn("q_raw", withNan)
+      .withColumn("q_norm", when(isnan(col("q_raw")), lit(null)).otherwise(col("q_raw")))
+      .agg(count(lit(1)).as("n_rows"),
+           sum(when(isnan(col("q_raw")), 1L).otherwise(0L)).as("n_nan"),
+           count(col("q_norm")).as("n_clean"),
+           dsum(col("q_norm")).as("sum_clean"))
+  }
+
+  private val nanNormalizeSql =
+    s"""SELECT COUNT(*) AS n_rows,
+       |CAST(SUM(CASE WHEN isnan(q_raw) THEN 1 ELSE 0 END) AS BIGINT) AS n_nan,
+       |COUNT(q_norm) AS n_clean, ${DSUM("q_norm")} AS sum_clean
+       |FROM (
+       |  SELECT q_raw, CASE WHEN isnan(q_raw) THEN NULL ELSE q_raw END AS q_norm
+       |  FROM (SELECT CASE WHEN l_orderkey % 11 = 0 THEN 'NaN'::DOUBLE ELSE l_quantity END AS q_raw
+       |        FROM lineitem))""".stripMargin
+
   /** Dead-letter split (C2/C3): one declarative pass that classifies rows as
     * parseable vs not (no per-row retry loop — a partitioned split scales; a
     * row-wise retry does not). Both sides are accounted for so
@@ -269,6 +295,8 @@ object Cleaning extends QueryModule {
       absFix, Some(absFixSql)),
     GQuery("q06_reconcile", "whole-table reconciliation aggregates (A1-A4)",
       reconcile, Some(reconcileSql)),
+    GQuery("q07_nan_normalize", "NaN -> null normalization before aggregation (F8)",
+      nanNormalize, Some(nanNormalizeSql)),
     GQuery("q15_deadletter", "one-pass parseable/dead split accounting (C2/C3)",
       deadLetter, Some(deadLetterSql)),
     GQuery("q16_deadletter_rows", "the dead-lettered (unparseable) rows themselves (C3 spill)",

@@ -4,7 +4,7 @@ import graft.Engine._
 import graft.{GQuery, QueryModule}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.streaming.{GroupStateTimeout, Trigger}
 
 /** Structured Streaming (ST1): the reference's system loop — daily cron +
   * date-incremental pull + dedup (SURVEY §2.9) — is exactly a file-source
@@ -48,10 +48,51 @@ object StreamOps extends QueryModule {
     s.table(qname)
   }
 
+  final case class UserCount(user_id: Long, n_events: Long)
+
+  /** Custom streaming state (ST1/X3 surface): per-user running event counts
+    * via mapGroupsWithState — the KeyValueGroupedDataset escape hatch for
+    * state machines the built-in windows can't express. With one
+    * AvailableNow batch the emitted updates equal the batch group counts,
+    * so the DuckDB oracle checks it directly.
+    */
+  def statefulUserCounts(s: SparkSession, dir: String): DataFrame = {
+    tune(s)
+    import s.implicits._
+    val schema = s.read.parquet(s"$dir/events.parquet").schema
+    val src = s.readStream
+      .schema(schema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+    val counts = src.select(col("user_id")).as[Long]
+      .groupByKey(identity)
+      .mapGroupsWithState[Long, UserCount](GroupStateTimeout.NoTimeout) {
+        (uid, events, state) =>
+          val cur = state.getOption.getOrElse(0L) + events.size
+          state.update(cur)
+          UserCount(uid, cur)
+      }
+    val qname = s"graft_stream_state_${counter.incrementAndGet()}"
+    val q = counts.toDF().writeStream
+      .format("memory")
+      .queryName(qname)
+      .outputMode("update")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.table(qname)
+  }
+
+  private val statefulUserCountsSql =
+    "SELECT user_id, COUNT(*) AS n_events FROM events GROUP BY user_id"
+
   override val queries: Seq[GQuery] = Seq(
     // Same oracle as the batch q71 — proves streaming == batch.
     GQuery("q84_stream_hourly",
       "readStream + watermark + tumbling window, AvailableNow (ST1); oracle == batch q71",
       streamHourly, Some(graft.operators.Events.hourlyWindowsSql)),
+    GQuery("q86_stream_state",
+      "mapGroupsWithState per-user running counts, AvailableNow (ST1 custom state)",
+      statefulUserCounts, Some(statefulUserCountsSql)),
   )
 }

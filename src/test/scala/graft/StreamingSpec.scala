@@ -17,4 +17,13 @@ class StreamingSpec extends AnyFunSuite {
     assert(batch.count() > 0)
     assert(stream.except(batch).isEmpty && batch.except(stream).isEmpty)
   }
+
+  test("mapGroupsWithState running counts == batch group counts") {
+    import org.apache.spark.sql.functions._
+    val stream = StreamOps.statefulUserCounts(s, TestSpark.sf)
+    val batch = s.read.parquet(s"${TestSpark.sf}/events.parquet")
+      .groupBy(col("user_id")).agg(count(lit(1)).as("n_events"))
+    assert(stream.count() > 0)
+    assert(stream.except(batch).isEmpty && batch.except(stream).isEmpty)
+  }
 }
