@@ -65,6 +65,27 @@ object Events extends QueryModule {
        |FROM events
        |GROUP BY 1, 2""".stripMargin
 
+  /** Sliding windows (2h width, 1h slide): each event lands in two
+    * overlapping windows. The oracle replays the window assignment by
+    * unnesting the two aligned starts per event.
+    */
+  def slidingWindows(s: SparkSession, dir: String): DataFrame = {
+    tune(s)
+    ev(s, dir)
+      .withColumn("et", expr("timestamp_micros(us)"))
+      .groupBy(window(col("et"), "2 hours", "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+      .select(col("window.start").cast("long").as("win_epoch"),
+              col("event_type"), col("n"), col("sum_value"))
+  }
+
+  private val slidingWindowsSql =
+    s"""SELECT win_epoch, event_type, COUNT(*) AS n, ${DSUM("value")} AS sum_value
+       |FROM (SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) - k*3600 AS win_epoch,
+       |             event_type, value
+       |      FROM events, UNNEST([0, 1]) AS t(k))
+       |GROUP BY 1, 2""".stripMargin
+
   /** Gap-based sessionization (30-min inactivity) via session_window, rolled
     * up per user. The oracle replays it as gaps-and-islands SQL — same
     * semantics, each engine's idiomatic form.
@@ -139,6 +160,7 @@ object Events extends QueryModule {
   override val queries: Seq[GQuery] = Seq(
     GQuery("q54_json_props", "JSON prop extraction + compact re-serialization (F13/F14)", jsonProps, Some(jsonPropsSql)),
     GQuery("q71_hourly_windows", "tumbling 1h windows via window() (ST1 batch shape)", hourlyWindows, Some(hourlyWindowsSql)),
+    GQuery("q76_sliding_windows", "sliding 2h/1h windows via window() (ST1)", slidingWindows, Some(slidingWindowsSql)),
     GQuery("q72_sessions", "30-min gap sessionization via session_window (ST1)", sessions, Some(sessionsSql)),
     GQuery("q73_event_deltas", "per-user inter-event lag deltas bucketed (W1)", eventDeltas, Some(eventDeltasSql)),
     GQuery("q74_funnel", "view->purchase conversion funnel", funnel, Some(funnelSql)),

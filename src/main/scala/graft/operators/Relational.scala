@@ -200,6 +200,34 @@ object Relational extends QueryModule {
       .agg(approx_count_distinct(col("o_custkey")).as("approx_custs"))
   }
 
+  /** Statistical aggregates with engineered parity: variance/stddev from the
+    * exact decimal sum-of-squares identity (not the engines' own streaming
+    * moment implementations, whose low bits differ), plus exact median.
+    */
+  def statsAgg(s: SparkSession, dir: String): DataFrame = {
+    tune(s)
+    val x = col("o_totalprice")
+    val n = count(x).cast("double")
+    // sum of squares at decimal scale 0: the scaled integer stays below 2^53,
+    // so the decimal->double cast is exact in BOTH engines (at scale 6 DuckDB
+    // double-rounds through its hugeint and drifts a few ulps)
+    val varExpr = (dsum(x * x, 0) - dsum(x) * dsum(x) / n) / (n - lit(1.0))
+    table(s, dir, "orders")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"),
+           varExpr.as("var_price"),
+           sqrt(varExpr).as("stddev_price"),
+           median(x).as("median_price"))
+  }
+
+  private val statsAggSql = {
+    val v = s"((${DSUM("o_totalprice * o_totalprice", 0)} - ${DSUM("o_totalprice")} * ${DSUM("o_totalprice")} / CAST(COUNT(o_totalprice) AS DOUBLE)) / (CAST(COUNT(o_totalprice) AS DOUBLE) - 1.0))"
+    s"""SELECT o_orderpriority, COUNT(*) AS n,
+       |$v AS var_price, sqrt($v) AS stddev_price,
+       |median(o_totalprice) AS median_price
+       |FROM orders GROUP BY o_orderpriority""".stripMargin
+  }
+
   /** Typed UDAF (X3): graft.functions.ExactMean — the Aggregator form of the
     * exact decimal mean, checked against the same DuckDB fragment as davg.
     */
@@ -439,6 +467,7 @@ object Relational extends QueryModule {
     GQuery("q23_distinct", "exact COUNT DISTINCT per group (A5)", distinctAgg, Some(distinctAggSql)),
     GQuery("q24_approx_distinct", "HLL approx_count_distinct (A5, sketch; rows-only check)", approxDistinct, None),
     GQuery("q25_custom_udaf", "typed Aggregator UDAF: exact decimal mean (X3)", customUdaf, Some(customUdafSql)),
+    GQuery("q26_stats", "variance/stddev via exact decimal identity + exact median (A5)", statsAgg, Some(statsAggSql)),
     GQuery("q30_window_latest", "row_number latest-per-key (W1)", windowLatest, Some(windowLatestSql)),
     GQuery("q31_window_running", "running sum frame + lag + datediff (W1)", windowRunning, Some(windowRunningSql)),
     GQuery("q32_window_rank", "rank/dense_rank/lag (W1)", windowRank, Some(windowRankSql)),
