@@ -178,6 +178,74 @@ object Relational extends QueryModule {
     s"""SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n, ${DSUM("o_totalprice")} AS sum_price
        |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)""".stripMargin
 
+  /** Explicit GROUPING SETS with grouping_id disambiguation (A5). */
+  def groupingSets(s: SparkSession, dir: String): DataFrame = {
+    tune(s)
+    table(s, dir, "orders").createOrReplaceTempView("orders_gs")
+    s.sql(
+      s"""SELECT o_orderstatus, o_orderpriority,
+         |CAST(grouping(o_orderstatus) AS INT) AS g_status,
+         |CAST(grouping(o_orderpriority) AS INT) AS g_prio,
+         |COUNT(*) AS n, ${DSUMSPARK("o_totalprice")} AS sum_price
+         |FROM orders_gs
+         |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())""".stripMargin)
+  }
+
+  // Spark-side SQL fragment mirroring Engine.DSUM (Spark dialect is identical here)
+  private def DSUMSPARK(e: String): String =
+    s"CAST(SUM(CAST(($e) AS DECIMAL(38,6))) AS DOUBLE)"
+
+  private val groupingSetsSql =
+    s"""SELECT o_orderstatus, o_orderpriority,
+       |CAST(GROUPING(o_orderstatus) AS INT) AS g_status,
+       |CAST(GROUPING(o_orderpriority) AS INT) AS g_prio,
+       |COUNT(*) AS n, ${DSUM("o_totalprice")} AS sum_price
+       |FROM orders
+       |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())""".stripMargin
+
+  /** Pivot (A5 breadth): per-month order counts spread across status
+    * columns. Explicit pivot values keep the schema deterministic; the
+    * oracle expresses the same thing as conditional aggregation.
+    */
+  def pivotAgg(s: SparkSession, dir: String): DataFrame = {
+    tune(s)
+    table(s, dir, "orders")
+      .withColumn("yr", date_format(col("o_orderdate"), "yyyy"))
+      .groupBy(col("yr"))
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(count(lit(1)))
+      .select(col("yr"), coalesce(col("F"), lit(0L)).as("n_f"),
+              coalesce(col("O"), lit(0L)).as("n_o"), coalesce(col("P"), lit(0L)).as("n_p"))
+  }
+
+  private val pivotAggSql =
+    """SELECT strftime(o_orderdate, '%Y') AS yr,
+      |CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_f,
+      |CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_o,
+      |CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS n_p
+      |FROM orders GROUP BY 1""".stripMargin
+
+  /** Array-function breadth (F16): split/sort/slice/join/contains over the
+    * document word arrays — pure structural string-array ops, exact parity.
+    */
+  def arrayFns(s: SparkSession, dir: String): DataFrame = {
+    tune(s)
+    table(s, dir, "documents")
+      .withColumn("ws", split(col("text"), " "))
+      .select(col("doc_id"),
+        size(col("ws")).as("n_words"),
+        array_join(slice(sort_array(col("ws")), 1, 3), "-").as("first3_sorted"),
+        array_contains(col("ws"), "data").cast("boolean").as("has_data"),
+        element_at(col("ws"), 1).as("first_word"))
+  }
+
+  private val arrayFnsSql =
+    """SELECT doc_id, CAST(len(ws) AS INT) AS n_words,
+      |array_to_string(list_sort(ws)[1:3], '-') AS first3_sorted,
+      |list_contains(ws, 'data') AS has_data,
+      |ws[1] AS first_word
+      |FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)""".stripMargin
+
   /** Exact COUNT(DISTINCT) per group. */
   def distinctAgg(s: SparkSession, dir: String): DataFrame = {
     tune(s)
@@ -464,6 +532,9 @@ object Relational extends QueryModule {
     GQuery("q20_group_agg", "grouped multi-agg (A5)", groupAgg, Some(groupAggSql)),
     GQuery("q21_rollup", "ROLLUP grouping sets (A5)", rollupAgg, Some(rollupAggSql)),
     GQuery("q22_cube", "CUBE grouping sets (A5)", cubeAgg, Some(cubeAggSql)),
+    GQuery("q27_grouping_sets", "explicit GROUPING SETS + grouping() (A5)", groupingSets, Some(groupingSetsSql)),
+    GQuery("q28_pivot", "pivot with explicit values vs conditional-agg oracle (A5)", pivotAgg, Some(pivotAggSql)),
+    GQuery("q58_array_fns", "split/sort/slice/join/contains array breadth (F16)", arrayFns, Some(arrayFnsSql)),
     GQuery("q23_distinct", "exact COUNT DISTINCT per group (A5)", distinctAgg, Some(distinctAggSql)),
     GQuery("q24_approx_distinct", "HLL approx_count_distinct (A5, sketch; rows-only check)", approxDistinct, None),
     GQuery("q25_custom_udaf", "typed Aggregator UDAF: exact decimal mean (X3)", customUdaf, Some(customUdafSql)),
