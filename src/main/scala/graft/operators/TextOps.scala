@@ -143,15 +143,17 @@ object TextOps extends QueryModule {
         explode(sequence(lit(1), length(col("text")) - 7)).as("i"))
       .select(col("doc_id"), expr("substr(text, i, 8)").as("sh"))
       .withColumn("h", md5Long(col("sh")))
+      // distinct over the 60-bit hash, not the string: same count (collision
+      // odds ~2^-60) but the shuffle carries longs instead of shingle text
       .groupBy(col("doc_id"))
       .agg(min(col("h")).as("fp_min"),
            max(col("h")).as("fp_max"),
-           countDistinct(col("sh")).as("n_shingles"))
+           countDistinct(col("h")).as("n_shingles"))
   }
 
   private val fingerprintSql =
     s"""SELECT doc_id, MIN(h) AS fp_min, MAX(h) AS fp_max,
-       |CAST(COUNT(DISTINCT sh) AS BIGINT) AS n_shingles
+       |CAST(COUNT(DISTINCT h) AS BIGINT) AS n_shingles
        |FROM (
        |  SELECT doc_id, sh, ${MD5L("sh")} AS h
        |  FROM (SELECT doc_id, substr(text, i, 8) AS sh
