@@ -144,6 +144,77 @@ object Similarity extends QueryModule {
        |  FROM pcos)
        |WHERE rn <= 3""".stripMargin
 
+  /** Deterministic random-hyperplane weights, derived from md5 so DuckDB
+    * reproduces them bit-for-bit: w(j,pos) = md5_60("j_pos") % 2001 - 1000,
+    * used as w/1000.0. 8 hyperplanes -> 256 sign-buckets.
+    */
+  private def hyperplaneWeights: Seq[Seq[Long]] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def h60(s: String): Long = {
+      val hex = md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(15)
+      java.lang.Long.parseLong(hex, 16)
+    }
+    (0 until 8).map(j => (1 to 64).map(pos => h60(s"${j}_$pos") % 2001L - 1000L))
+  }
+
+  /** Embedding-cosine near-dup via sign-LSH (random hyperplane) bucketing:
+    * each vector gets an 8-bit signature of dot-product signs against fixed
+    * hyperplanes; only same-bucket pairs are compared exactly. The bucket
+    * join replaces the quadratic all-pairs comparison — at scale the bucket
+    * id is the shuffle/partition key and candidate volume is sum of
+    * per-bucket squares, not corpus².
+    */
+  def embeddingNearDup(s: SparkSession, dir: String): DataFrame = {
+    tune(s)
+    val e = withNorm(table(s, dir, "embeddings").select(col("vec_id"), col("embedding")))
+    val ws = hyperplaneWeights
+    val dots = (0 until 8).map { j =>
+      expr(s"aggregate(zip_with(embedding, array(${ws(j).mkString(",")}), " +
+        "(x, w) -> CAST(x AS DOUBLE) * (CAST(w AS DOUBLE) / 1000.0)), " +
+        "CAST(0 AS DOUBLE), (acc, p) -> acc + p)").as(s"d$j")
+    }
+    val withDots = e.select(col("vec_id") +: col("embedding") +: col("nrm") +: dots: _*)
+    val bucket = (0 until 8)
+      .map(j => when(col(s"d$j") >= 0, lit(1L << j)).otherwise(lit(0L)))
+      .reduce(_ + _)
+    val b = withDots.select(col("vec_id"), col("embedding"), col("nrm"), bucket.as("bucket"))
+    val a = b.select(col("vec_id").as("da"), col("embedding").as("qemb"),
+      col("nrm").as("na"), col("bucket"))
+    val c = b.select(col("vec_id").as("db"), col("embedding").as("vemb"),
+      col("nrm").as("nb"), col("bucket"))
+    a.join(c, Seq("bucket"))
+      .filter(col("da") < col("db"))
+      .withColumn("cosim0", dotExpr / (col("na") * col("nb")))
+      .select(col("da"), col("db"), col("bucket"),
+        round(col("cosim0"), 9).as("cosim"),
+        (round(col("cosim0"), 9) >= 0.8).as("is_dup"))
+  }
+
+  private val embeddingNearDupSql =
+    s"""WITH $flatSql,
+       |$normsSql,
+       |H AS (SELECT j, pos,
+       |        (('0x' || substr(md5(CAST(j AS VARCHAR) || '_' || CAST(pos AS VARCHAR)), 1, 15))::BIGINT % 2001 - 1000) AS w
+       |      FROM range(8) t(j), range(1, 65) p(pos)),
+       |dots AS (SELECT f.vec_id, h.j,
+       |           CAST(SUM(CAST(f.xd * (CAST(h.w AS DOUBLE) / 1000.0) AS DECIMAL(38,20))) AS DOUBLE) AS d
+       |         FROM flat f JOIN H h ON f.pos = h.pos
+       |         GROUP BY f.vec_id, h.j),
+       |buckets AS (SELECT vec_id,
+       |              CAST(SUM(CASE WHEN d >= 0 THEN (1::BIGINT << j) ELSE 0 END) AS BIGINT) AS bucket
+       |            FROM dots GROUP BY vec_id),
+       |pairs AS (SELECT a.vec_id AS da, b.vec_id AS db, a.bucket
+       |          FROM buckets a JOIN buckets b ON a.bucket = b.bucket AND a.vec_id < b.vec_id),
+       |pd AS (SELECT p.da, p.db, p.bucket,
+       |         CAST(SUM(CAST(x.xd * y.xd AS DECIMAL(38,20))) AS DOUBLE) AS dot
+       |       FROM pairs p
+       |       JOIN flat x ON x.vec_id = p.da
+       |       JOIN flat y ON y.vec_id = p.db AND y.pos = x.pos
+       |       GROUP BY p.da, p.db, p.bucket)
+       |SELECT da, db, bucket, round(cosim, 9) AS cosim, round(cosim, 9) >= 0.8 AS is_dup
+       |FROM (SELECT pd.da, pd.db, pd.bucket, pd.dot / (na.nrm * nb.nrm) AS cosim
+       |      FROM pd JOIN norms na ON na.vec_id = pd.da JOIN norms nb ON nb.vec_id = pd.db)""".stripMargin
+
   /** Array/vector column breadth (F16): structural access to the embedding
     * column — dims, first/last elements — no float arithmetic, so values
     * pass through from parquet bit-identically.
@@ -166,5 +237,7 @@ object Similarity extends QueryModule {
     GQuery("q55_array_ops", "array column structural access (F16)", arrayOps, Some(arrayOpsSql)),
     GQuery("q64_cosine_knn", "brute-force exact cosine top-5, broadcast probes + per-row folds", cosineKnn, Some(cosineKnnSql)),
     GQuery("q65_ivf_ann", "IVF-partitioned ANN: centroid assignment + in-cluster top-3", ivfAnn, Some(ivfAnnSql)),
+    GQuery("q78_embedding_neardup", "embedding-cosine near-dup via sign-LSH bucket join (no all-pairs)",
+      embeddingNearDup, Some(embeddingNearDupSql)),
   )
 }
