@@ -106,10 +106,15 @@ object TextOps extends QueryModule {
     tune(s)
     val d = table(s, dir, "documents")
       .withColumn("toks", regexp_extract_all(col("text"), lit("[a-z0-9]+"), lit(0)))
-    val perDoc = d.select(col("lang"), size(col("toks")).as("nt"))
+      // BPE-style pre-tokenizer: word pieces of <=4 chars, digit runs, or
+      // any other non-space symbol (portable subset of the GPT-2 pattern)
+      .withColumn("bpe_toks",
+        regexp_extract_all(col("text"), lit("[a-z]{1,4}|[0-9]+|[^a-z0-9 ]"), lit(0)))
+    val perDoc = d.select(col("lang"), size(col("toks")).as("nt"), size(col("bpe_toks")).as("nb"))
       .groupBy(col("lang"))
       .agg(count(lit(1)).as("n_docs"),
            sum(col("nt")).cast("long").as("total_tokens"),
+           sum(col("nb")).cast("long").as("total_bpe_tokens"),
            davg(col("nt")).as("avg_tokens"))
     val vocab = d.select(col("lang"), explode(col("toks")).as("tok"))
       .groupBy(col("lang"))
@@ -118,11 +123,14 @@ object TextOps extends QueryModule {
   }
 
   private val tokenStatsSql =
-    s"""SELECT t1.lang, n_docs, total_tokens, avg_tokens, n_vocab
+    s"""SELECT t1.lang, n_docs, total_tokens, total_bpe_tokens, avg_tokens, n_vocab
        |FROM (
        |  SELECT lang, COUNT(*) AS n_docs,
-       |         CAST(SUM(nt) AS BIGINT) AS total_tokens, ${DAVG("nt")} AS avg_tokens
-       |  FROM (SELECT lang, CAST(len(regexp_extract_all(text, '[a-z0-9]+')) AS INT) AS nt
+       |         CAST(SUM(nt) AS BIGINT) AS total_tokens,
+       |         CAST(SUM(nb) AS BIGINT) AS total_bpe_tokens,
+       |         ${DAVG("nt")} AS avg_tokens
+       |  FROM (SELECT lang, CAST(len(regexp_extract_all(text, '[a-z0-9]+')) AS INT) AS nt,
+       |               CAST(len(regexp_extract_all(text, '[a-z]{1,4}|[0-9]+|[^a-z0-9 ]')) AS INT) AS nb
        |        FROM documents)
        |  GROUP BY lang) t1
        |JOIN (
