@@ -21,6 +21,11 @@ object Bench {
     Engine.tune(spark)
     spark.sparkContext.setLogLevel("WARN")
 
+    // untimed warmup: JVM/codegen/session startup should not be billed to
+    // whichever query happens to run first
+    try SparkEntry.entry(spark).write.format("noop").mode("overwrite").save()
+    catch { case _: Throwable => () }
+
     val names = SparkEntry.queries.keys.toSeq.sorted
     val timings = scala.collection.mutable.LinkedHashMap[String, Double]()
     val errors = scala.collection.mutable.ListBuffer[String]()

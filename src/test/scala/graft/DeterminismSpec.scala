@@ -1,0 +1,35 @@
+package graft
+
+import graft.operators.{Cleaning, Dedup}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The engine's central correctness claim: results are bit-identical under
+  * any parallelism (the decimal accumulators make double aggregation
+  * order-independent, hashes are portable, ties are broken totally). Run the
+  * same queries under different shuffle partitioning and compare row sets
+  * exactly.
+  */
+class DeterminismSpec extends AnyFunSuite {
+  private lazy val s = TestSpark.spark
+
+  private def collectSorted(df: org.apache.spark.sql.DataFrame): Seq[String] =
+    df.collect().map(_.toString).sorted.toSeq
+
+  private def underPartitions[T](n: Int)(body: => T): T = {
+    val prev = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", n.toString)
+    try body finally s.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
+  test("flagship aggregates are identical under 1 vs 32 shuffle partitions") {
+    val a = underPartitions(1)(collectSorted(Cleaning.pipelineAgg(s, TestSpark.sf)))
+    val b = underPartitions(32)(collectSorted(Cleaning.pipelineAgg(s, TestSpark.sf)))
+    assert(a == b)
+  }
+
+  test("minhash signatures are identical under 2 vs 16 shuffle partitions") {
+    val a = underPartitions(2)(collectSorted(Dedup.minhashCandidates(s, TestSpark.sf)))
+    val b = underPartitions(16)(collectSorted(Dedup.minhashCandidates(s, TestSpark.sf)))
+    assert(a == b)
+  }
+}
