@@ -169,6 +169,49 @@ object TextOps extends QueryModule {
        |              FROM documents WHERE length(text) >= 8)))
        |GROUP BY doc_id""".stripMargin
 
+  /** Capstone composition: the LLM data-curation pipeline end to end —
+    * quality gate -> exact dedup (keep-first) -> per-language corpus stats —
+    * one declarative plan over the duplicate-injected corpus, proving the
+    * operators compose into the actual product pipeline.
+    */
+  def curationPipeline(s: SparkSession, dir: String): DataFrame = {
+    tune(s)
+    val kept = Dedup.augmentedDocs(s, dir)
+      .withColumn("nt", size(regexp_extract_all(col("text"), lit("[a-z0-9]+"), lit(0))))
+      .filter(col("nt") >= 20 && col("nt") <= 400) // quality gate
+      .groupBy(col("lang"), col("text"))            // exact dedup, keep-first
+      .agg(min(col("doc_id")).as("keep_id"), min(col("nt")).as("nt"), count(lit(1)).as("copies"))
+    kept.groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_kept"),
+           sum(col("copies") - 1).cast("long").as("n_dropped_dups"),
+           sum(col("nt")).cast("long").as("total_tokens"),
+           davg(col("nt")).as("avg_tokens"),
+           min(col("keep_id")).as("first_keep"))
+  }
+
+  private val curationPipelineSql =
+    s"""WITH docs AS (
+       |  SELECT doc_id, text, lang FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + 100000, substr(text, 11), lang FROM documents WHERE doc_id % 10 = 0
+       |  UNION ALL
+       |  SELECT doc_id + 200000, text, lang FROM documents WHERE doc_id % 7 = 0),
+       |gated AS (
+       |  SELECT * FROM (
+       |    SELECT doc_id, text, lang,
+       |           CAST(len(regexp_extract_all(text, '[a-z0-9]+')) AS INT) AS nt
+       |    FROM docs)
+       |  WHERE nt >= 20 AND nt <= 400),
+       |deduped AS (
+       |  SELECT lang, text, MIN(doc_id) AS keep_id, MIN(nt) AS nt, COUNT(*) AS copies
+       |  FROM gated GROUP BY lang, text)
+       |SELECT lang, COUNT(*) AS n_kept,
+       |CAST(SUM(copies - 1) AS BIGINT) AS n_dropped_dups,
+       |CAST(SUM(nt) AS BIGINT) AS total_tokens,
+       |${DAVG("nt")} AS avg_tokens,
+       |MIN(keep_id) AS first_keep
+       |FROM deduped GROUP BY lang""".stripMargin
+
   /** XPath-style XML field extraction (F15/S3): the reference's XML config
     * scan as a data-plane operator. Spark uses the built-in xpath_string;
     * the oracle extracts the same field with a regex — same result, each
@@ -200,5 +243,7 @@ object TextOps extends QueryModule {
     GQuery("q67_quality_score", "doc quality scoring bucketed into deciles", qualityScore, Some(qualityScoreSql)),
     GQuery("q68_token_stats", "per-lang token counts + vocabulary size", tokenStats, Some(tokenStatsSql)),
     GQuery("q69_fingerprint", "rolling-hash char-8-gram doc fingerprints", fingerprint, Some(fingerprintSql)),
+    GQuery("q79_curation_pipeline", "composed curation: quality gate -> exact dedup -> corpus stats",
+      curationPipeline, Some(curationPipelineSql)),
   )
 }
