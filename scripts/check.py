@@ -41,6 +41,18 @@ def main():
         gcols, wcols = sorted(got.columns), sorted(want.columns)
         if gcols != wcols:
             print(f"FAIL {name}: schema {gcols} vs {wcols}"); n_fail += 1; continue
+        # dtype families must agree too (the driver's schema_match may check)
+        def fam(dt):
+            k = str(dt)
+            if "int" in k: return "int"
+            if "float" in k or "double" in k: return "float"
+            if "bool" in k: return "bool"
+            if "datetime" in k or "date" in k: return "datetime"
+            return "obj"
+        mism = [(c, str(got[c].dtype), str(want[c].dtype)) for c in gcols
+                if fam(got[c].dtype) != fam(want[c].dtype)]
+        if mism:
+            print(f"WARN {name}: dtype families differ: {mism}")
         g = sorted(tuple(norm(v) for v in row) for row in got[gcols].itertuples(index=False, name=None))
         w = sorted(tuple(norm(v) for v in row) for row in want[wcols].itertuples(index=False, name=None))
         if len(g) != len(w):

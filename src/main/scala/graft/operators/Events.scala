@@ -88,7 +88,10 @@ object Events extends QueryModule {
 
   /** Gap-based sessionization (30-min inactivity) via session_window, rolled
     * up per user. The oracle replays it as gaps-and-islands SQL — same
-    * semantics, each engine's idiomatic form.
+    * semantics, each engine's idiomatic form. Boundary semantics: Spark
+    * merges an event at EXACTLY the gap distance into the session
+    * (inclusive), so the islands rule is `gap > 30min` starts a new
+    * session, not `>=` (pinned by EventsSpec).
     */
   def sessions(s: SparkSession, dir: String): DataFrame = {
     tune(s)
@@ -103,7 +106,7 @@ object Events extends QueryModule {
 
   private val sessionsSql =
     """SELECT user_id,
-      |CAST(1 + SUM(CASE WHEN gap >= 1800000000 THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions,
+      |CAST(1 + SUM(CASE WHEN gap > 1800000000 THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions,
       |COUNT(*) AS n_events
       |FROM (SELECT user_id,
       |        epoch_us(ts) - LAG(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS gap
