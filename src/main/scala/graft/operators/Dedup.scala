@@ -6,8 +6,11 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Document deduplication for LLM training-data pipelines: exact dedup,
-  * MinHash+LSH near-dup candidates, SimHash fingerprints, and exact n-gram
-  * Jaccard verification of candidates.
+  * MinHash+LSH near-dup candidates (Broder 1997, "On the resemblance and
+  * containment of documents"; banding per Leskovec/Rajaraman/Ullman, Mining
+  * of Massive Datasets ch.3), SimHash fingerprints (Charikar 2002,
+  * "Similarity estimation techniques from rounding algorithms"), and exact
+  * n-gram Jaccard verification of candidates.
   *
   * Scale posture (the part that matters at 100 TB):
   *  - NO all-pairs crossJoin anywhere. Candidate pairs come from an LSH

@@ -46,6 +46,28 @@ object Events extends QueryModule {
        |      FROM events)
        |GROUP BY k""".stripMargin
 
+  /** Map-typed column breadth (F16): parse the JSON props into a MapType
+    * column and access keys/values structurally.
+    */
+  def mapOps(s: SparkSession, dir: String): DataFrame = {
+    tune(s)
+    ev(s, dir)
+      .filter(col("event_id") < 200)
+      .withColumn("m", from_json(col("props"), org.apache.spark.sql.types.MapType(
+        org.apache.spark.sql.types.StringType, org.apache.spark.sql.types.LongType)))
+      .select(col("event_id"),
+        array_join(map_keys(col("m")), ",").as("keys"),
+        element_at(col("m"), "k").as("k_val"),
+        size(col("m")).as("n_entries"))
+  }
+
+  private val mapOpsSql =
+    """SELECT event_id,
+      |array_to_string(json_keys(props), ',') AS keys,
+      |CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val,
+      |CAST(len(json_keys(props)) AS INT) AS n_entries
+      |FROM events WHERE event_id < 200""".stripMargin
+
   /** Tumbling 1-hour windows via Spark's window() — the batch shape of the
     * streaming aggregation. Window start surfaced as epoch seconds.
     */
@@ -162,6 +184,7 @@ object Events extends QueryModule {
 
   override val queries: Seq[GQuery] = Seq(
     GQuery("q54_json_props", "JSON prop extraction + compact re-serialization (F13/F14)", jsonProps, Some(jsonPropsSql)),
+    GQuery("q57_map_ops", "MapType column access: keys/values/size (F16)", mapOps, Some(mapOpsSql)),
     GQuery("q71_hourly_windows", "tumbling 1h windows via window() (ST1 batch shape)", hourlyWindows, Some(hourlyWindowsSql)),
     GQuery("q76_sliding_windows", "sliding 2h/1h windows via window() (ST1)", slidingWindows, Some(slidingWindowsSql)),
     GQuery("q72_sessions", "30-min gap sessionization via session_window (ST1)", sessions, Some(sessionsSql)),
