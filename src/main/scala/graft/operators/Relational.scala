@@ -105,7 +105,10 @@ object Relational extends QueryModule {
     val src = source.alias("s")
     val cols = target.columns.map { c =>
       if (c == key) coalesce(col(s"s.$c"), col(s"t.$c")).as(c)
-      else coalesce(when(col(s"s.$key").isNotNull, col(s"s.$c")), col(s"t.$c")).as(c)
+      // matched rows take the source value even when it is NULL (MERGE
+      // "UPDATE SET *" semantics) — a coalesce here would silently keep the
+      // target value whenever the source column is null
+      else when(col(s"s.$key").isNotNull, col(s"s.$c")).otherwise(col(s"t.$c")).as(c)
     }
     t.join(src, col(s"t.$key") === col(s"s.$key"), "full_outer").select(cols.toSeq: _*)
   }

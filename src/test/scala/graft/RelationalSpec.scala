@@ -24,6 +24,18 @@ class RelationalSpec extends AnyFunSuite {
       (1L, "a", 10.0), (2L, "B", 99.0), (3L, "c", 30.0), (4L, "d", 40.0)))
   }
 
+  test("mergeUpsert: a NULL source value on a matched row overwrites the target") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(StructField("id", LongType), StructField("tag", StringType),
+      StructField("v", DoubleType)))
+    val src = s.createDataFrame(
+      java.util.Arrays.asList(Row(2L, null, 7.0)), schema)
+    val out = Relational.mergeUpsert(target, src, "id")
+      .filter(col("id") === 2L).collect()(0)
+    assert(out.isNullAt(1) && out.getDouble(2) == 7.0) // tag nulled, not kept
+  }
+
   test("mergeUpsert is idempotent: applying the same source twice == once") {
     val once = Relational.mergeUpsert(target, source, "id")
     val twice = Relational.mergeUpsert(once, source, "id")
