@@ -70,9 +70,14 @@ object Engine {
     * timestamp formats), which would silently break cross-engine hash
     * parity — so callers cast/format explicitly first; integral types cast
     * to their plain decimal digits ("123") identically in both engines.
+    *
+    * Implemented as the native [[graft.functions.Md5Long60]] expression
+    * (registered by [[tune]]): numerically identical to
+    * `conv(substring(md5(c),1,15),16,10)` but without materializing the hex
+    * string — the digest's top 60 bits are taken directly.
     */
   def md5Long(c: Column): Column =
-    conv(substring(md5(c), 1, 15), 16, 10).cast(LongType)
+    call_function("graft_md5_60", c)
 
   // SQL-side fragments for oracle strings (DuckDB dialect).
   def DSUM(e: String, scale: Int = 6): String =

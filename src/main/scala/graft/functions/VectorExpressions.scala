@@ -70,14 +70,68 @@ case class FloatVectorDot(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Runtime helpers called from generated code (one static call keeps the
+  * generated Java trivial).
+  */
+object GraftHash {
+  private val mdLocal = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  /** Top 60 bits of md5(s) — numerically identical to parsing the first 15
+    * hex chars of the digest (Engine.md5Long's portable contract, DuckDB:
+    * `('0x' || substr(md5(x),1,15))::BIGINT`) without materializing the hex
+    * string: 15 hex chars = bytes 0..6 plus the high nibble of byte 7,
+    * i.e. the first 8 bytes read big-endian, shifted right by 4.
+    */
+  def md5_60(s: org.apache.spark.unsafe.types.UTF8String): Long = {
+    val md = mdLocal.get()
+    md.reset()
+    val d = md.digest(s.getBytes)
+    var acc = 0L
+    var i = 0
+    while (i < 8) { acc = (acc << 8) | (d(i) & 0xffL); i += 1 }
+    acc >>> 4
+  }
+}
+
+/** Native 60-bit md5 hash of a string column: the portable dedup hash
+  * without the hex-string/substring/conv round-trip of the composed form.
+  */
+case class Md5Long60(child: Expression) extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case _: org.apache.spark.sql.types.StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a STRING argument, got ${other.simpleString}")
+  }
+
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+
+  override def prettyName: String = "graft_md5_60"
+
+  override protected def nullSafeEval(input: Any): Any =
+    GraftHash.md5_60(input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.GraftHash.md5_60($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Md5Long60 =
+    copy(child = newChild)
+}
+
 object VectorFunctions {
 
-  /** Register graft_dot into an existing session's function registry so any
-    * SQL/expr can call it, regardless of how the session was built.
+  /** Register the native functions into an existing session's registry so
+    * any SQL/expr can call them, regardless of how the session was built.
     */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_dot", (exprs: Seq[Expression]) => FloatVectorDot(exprs.head, exprs(1)),
+      "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_md5_60", (exprs: Seq[Expression]) => Md5Long60(exprs.head),
       "built-in")
   }
 }
@@ -92,5 +146,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("graft_dot"),
       new ExpressionInfo(classOf[FloatVectorDot].getName, "graft_dot"),
       (exprs: Seq[Expression]) => FloatVectorDot(exprs.head, exprs(1))))
+    e.injectFunction((
+      new FunctionIdentifier("graft_md5_60"),
+      new ExpressionInfo(classOf[Md5Long60].getName, "graft_md5_60"),
+      (exprs: Seq[Expression]) => Md5Long60(exprs.head)))
   }
 }

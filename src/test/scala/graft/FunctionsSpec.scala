@@ -52,6 +52,20 @@ class FunctionsSpec extends AnyFunSuite {
     assert(m1 == m9 && m1 == ref)
   }
 
+  test("graft_md5_60 equals the composed hex-substring-conv form") {
+    Engine.tune(s)
+    val d = s.read.parquet(s"${TestSpark.sf}/documents.parquet").limit(100)
+    val cmp = d.selectExpr(
+      "graft_md5_60(text) AS native",
+      "CAST(conv(substring(md5(text), 1, 15), 16, 10) AS BIGINT) AS composed")
+    import org.apache.spark.sql.functions.col
+    assert(cmp.filter(col("native") =!= col("composed")).count() == 0)
+    // known vector: md5('hello') = 5d41402abc4b2a76..., first 15 hex chars
+    import s.implicits._
+    val v = Seq("hello").toDF("t").selectExpr("graft_md5_60(t)").collect()(0).getLong(0)
+    assert(v == java.lang.Long.parseLong("5d41402abc4b2a7", 16))
+  }
+
   test("interpreted eval path agrees with codegen (expression fallback)") {
     import org.apache.spark.sql.catalyst.expressions.Literal
     import org.apache.spark.sql.catalyst.util.ArrayData
