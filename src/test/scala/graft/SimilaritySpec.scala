@@ -27,6 +27,15 @@ class SimilaritySpec extends AnyFunSuite {
     assert(joined.count() == 0)
   }
 
+  test("sign-LSH near-dup plan is a bucket equi-join, not a cross product") {
+    val plan = Similarity.embeddingNearDup(s, TestSpark.sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), s"plan was:\n$plan")
+    // the only BNLJ allowed in this module is the tiny broadcast probe side
+    // of KNN; the near-dup candidate join must be a hash join on bucket
+    assert(plan.contains("Join") && plan.contains("bucket"), s"plan was:\n$plan")
+  }
+
   test("cosine of a vector with itself is 1.0 (sanity on the math path)") {
     import s.implicits._
     val v = Seq((1L, Array(0.6f, 0.8f)), (2L, Array(0.6f, 0.8f))).toDF("vec_id", "embedding")
