@@ -86,6 +86,42 @@ object StreamOps extends QueryModule {
   private val statefulUserCountsSql =
     "SELECT user_id, COUNT(*) AS n_events FROM events GROUP BY user_id"
 
+  /** Streaming deduplication (ST1): the reference's idempotency gate in
+    * stream form — dropDuplicates on the event key with a watermark bounding
+    * the dedup state (at scale the watermark is what keeps the state store
+    * finite). Single AvailableNow batch == batch DISTINCT, so the oracle
+    * checks it directly.
+    */
+  def streamDedup(s: SparkSession, dir: String): DataFrame = {
+    tune(s)
+    val schema = s.read.parquet(s"$dir/events.parquet").schema
+    val src = s.readStream
+      .schema(schema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+    val deduped = src
+      .withColumn("et", expr("timestamp_micros(ts div 1000)"))
+      .withWatermark("et", "1 hour")
+      .dropDuplicates("event_id")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_unique"), dsum(col("value")).as("sum_value"))
+    val qname = s"graft_stream_dedup_${counter.incrementAndGet()}"
+    val q = deduped.writeStream
+      .format("memory")
+      .queryName(qname)
+      .outputMode("complete")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.table(qname)
+  }
+
+  // event_id is unique in the fixture, so post-dedup counts equal the plain
+  // aggregation — the dedup state machinery still runs over every key.
+  private val streamDedupSql =
+    s"""SELECT event_type, COUNT(*) AS n_unique, ${DSUM("value")} AS sum_value
+       |FROM events GROUP BY event_type""".stripMargin
+
   override val queries: Seq[GQuery] = Seq(
     // Same oracle as the batch q71 — proves streaming == batch.
     GQuery("q84_stream_hourly",
@@ -94,5 +130,8 @@ object StreamOps extends QueryModule {
     GQuery("q86_stream_state",
       "mapGroupsWithState per-user running counts, AvailableNow (ST1 custom state)",
       statefulUserCounts, Some(statefulUserCountsSql)),
+    GQuery("q87_stream_dedup",
+      "streaming dropDuplicates with watermark-bounded state (ST1, the idempotency gate)",
+      streamDedup, Some(streamDedupSql)),
   )
 }
