@@ -84,9 +84,60 @@ object Multimodal extends QueryModule {
       |ON ck.doc_id = d.doc_id
       |GROUP BY d.source""".stripMargin
 
+  /** Frame sampling + resize stub: treat the payload as n_frames fixed-size
+    * "frames" (100 bytes each), sample every 2nd frame, and reduce each
+    * sampled frame with the stub codec (ascii sum of its first 4 bytes).
+    * The resize stub clamps the payload to width*height bytes. All shapes a
+    * real video/image pipeline needs — decode swapped in later, plumbing
+    * (frame addressing, sampling stride, per-frame reduction) real now.
+    */
+  def mediaFrames(s: SparkSession, dir: String): DataFrame = {
+    tune(s)
+    val d = table(s, dir, "documents")
+      .withColumn("n_frames", expr("n_chars div 100"))
+      .withColumn("resized_len",
+        least(length(col("text")), (col("n_chars") % 64 + 16) * (col("n_chars") % 48 + 16)).cast("long"))
+    val frames = d.filter(col("n_frames") >= 1)
+      .select(col("doc_id"), col("text"), col("n_frames"),
+        explode(expr("sequence(0, CAST(n_frames AS INT) - 1)")).as("i"))
+      .filter(col("i") % 2 === 0) // sampling stride 2
+      .withColumn("frame", expr("substr(text, i * 100 + 1, 100)"))
+      .withColumn("fck", expr(
+        "ascii(substr(frame,1,1)) + ascii(substr(frame,2,1)) + ascii(substr(frame,3,1)) + ascii(substr(frame,4,1))"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_sampled"), sum(col("fck")).cast("long").as("sum_frame_ck"))
+    d.select(col("doc_id"), col("n_frames"), col("resized_len"))
+      .join(frames, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_frames"), col("resized_len"),
+        coalesce(col("n_sampled"), lit(0L)).as("n_sampled"),
+        coalesce(col("sum_frame_ck"), lit(0L)).as("sum_frame_ck"))
+  }
+
+  private val mediaFramesSql =
+    """SELECT d.doc_id, d.n_frames, d.resized_len,
+      |COALESCE(f.n_sampled, 0) AS n_sampled,
+      |COALESCE(f.sum_frame_ck, 0) AS sum_frame_ck
+      |FROM (SELECT doc_id, text, n_chars // 100 AS n_frames,
+      |        CAST(least(length(text), (n_chars % 64 + 16) * (n_chars % 48 + 16)) AS BIGINT) AS resized_len
+      |      FROM documents) d
+      |LEFT JOIN (
+      |  SELECT doc_id, COUNT(*) AS n_sampled, CAST(SUM(fck) AS BIGINT) AS sum_frame_ck
+      |  FROM (SELECT doc_id,
+      |          ascii(substr(frame,1,1)) + ascii(substr(frame,2,1)) +
+      |          ascii(substr(frame,3,1)) + ascii(substr(frame,4,1)) AS fck
+      |        FROM (SELECT doc_id, substr(text, i * 100 + 1, 100) AS frame
+      |              FROM (SELECT doc_id, text, unnest(range(0, n_chars // 100)) AS i
+      |                    FROM documents WHERE n_chars // 100 >= 1)
+      |              WHERE i % 2 = 0))
+      |  GROUP BY doc_id) f
+      |ON f.doc_id = d.doc_id""".stripMargin
+
   override val queries: Seq[GQuery] = Seq(
     GQuery("q85_media_features",
       "binary payload + metadata columns, batch feature extraction via mapPartitions (codec stubbed)",
       mediaFeatures, Some(mediaFeaturesSql)),
+    GQuery("q88_media_frames",
+      "frame sampling (stride 2) + resize stub over payload frames",
+      mediaFrames, Some(mediaFramesSql)),
   )
 }
