@@ -246,16 +246,55 @@ object Dedup extends QueryModule {
       .select(col("doc_id"), fp.as("fp"))
   }
 
-  private val simhashSql = {
+  private val simhashCtes = {
     val votes = (0 until 32)
       .map(j => s"SUM(((h >> $j) & 1) * 2 - 1) AS sb$j").mkString(", ")
     val fp = (0 until 32)
       .map(j => s"(CASE WHEN sb$j > 0 THEN ${1L << j} ELSE 0 END)").mkString(" + ")
-    s"""WITH $augmentedDocsSql,
+    s"""$augmentedDocsSql,
        |toks AS (SELECT doc_id, ${MD5L("w")} AS h
        |         FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM docs)),
-       |votes AS (SELECT doc_id, $votes FROM toks GROUP BY doc_id)
-       |SELECT doc_id, CAST($fp AS BIGINT) AS fp FROM votes""".stripMargin
+       |votes AS (SELECT doc_id, $votes FROM toks GROUP BY doc_id),
+       |fps AS (SELECT doc_id, CAST($fp AS BIGINT) AS fp FROM votes)""".stripMargin
+  }
+
+  private val simhashSql =
+    s"WITH $simhashCtes\nSELECT doc_id, fp FROM fps"
+
+  /** SimHash near-dup pairs: byte-band blocking (docs within hamming
+    * distance d of each other must agree on at least one of the 4 bytes
+    * when d < 4 per the pigeonhole principle) then exact hamming distance
+    * via bit_count(xor). Equi-join on (band, byte) — never all-pairs.
+    */
+  def simhashPairs(s: SparkSession, dir: String): DataFrame = {
+    tune(s)
+    val fps = simhash(s, dir).cache()
+    val bandStructs = (0 until 4)
+      .map(j => s"struct($j AS band, shiftright(fp, ${8 * j}) & 255 AS bkey)")
+    val bands = fps.select(col("doc_id"), col("fp"),
+      explode(expr(s"array(${bandStructs.mkString(", ")})")).as("bs"))
+      .select(col("doc_id"), col("fp"), col("bs.band").as("band"), col("bs.bkey").as("bkey"))
+    bands.alias("a")
+      .join(bands.alias("b"),
+        col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"),
+        expr("bit_count(a.fp ^ b.fp)").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= 3)
+  }
+
+  private val simhashPairsSql = {
+    val bandSelects = (0 until 4)
+      .map(j => s"SELECT doc_id, fp, $j AS band, (fp >> ${8 * j}) & 255 AS bkey FROM fps")
+      .mkString(" UNION ALL ")
+    s"""WITH $simhashCtes,
+       |bands AS ($bandSelects)
+       |SELECT DISTINCT a.doc_id AS da, b.doc_id AS db,
+       |CAST(bit_count(xor(a.fp, b.fp)) AS INT) AS hamming
+       |FROM bands a JOIN bands b
+       |ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+       |WHERE bit_count(xor(a.fp, b.fp)) <= 3""".stripMargin
   }
 
   override val queries: Seq[GQuery] = Seq(
@@ -267,5 +306,7 @@ object Dedup extends QueryModule {
       simhash, Some(simhashSql)),
     GQuery("q63_jaccard_verify", "exact n-gram Jaccard on LSH candidates only",
       jaccardVerify, Some(jaccardVerifySql)),
+    GQuery("q89_simhash_pairs", "SimHash near-dup pairs: byte-band blocking + hamming(bit_count^xor)",
+      simhashPairs, Some(simhashPairsSql)),
   )
 }
