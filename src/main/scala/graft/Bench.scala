@@ -26,7 +26,9 @@ object Bench {
     try SparkEntry.entry(spark).write.format("noop").mode("overwrite").save()
     catch { case _: Throwable => () }
 
-    val names = SparkEntry.queries.keys.toSeq.sorted
+    // optional args = query-name subset (dev iteration); no args = full set
+    val all = SparkEntry.queries.keys.toSeq.sorted
+    val names = if (args.nonEmpty) all.filter(args.toSet) else all
     val timings = scala.collection.mutable.LinkedHashMap[String, Double]()
     val errors = scala.collection.mutable.ListBuffer[String]()
     names.foreach { name =>

@@ -45,6 +45,21 @@ object Engine {
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
     spark.read.parquet(s"$sfDir/$name.parquet")
 
+  /** Spread a small input across the cluster before a CPU-expansion stage.
+    *
+    * Scans parallelize by input bytes (file splits / row groups), but stages
+    * like shingling or char-n-gram explosion multiply work 50-300x per input
+    * byte — a compacted single-row-group file (exactly our fixtures) or a
+    * small dimension table would otherwise run the whole expansion in one
+    * task. Partition by expected downstream work (rows), not input bytes.
+    * The shuffle moves only the tiny input; the expansion itself then runs
+    * at full parallelism. Do NOT use on large fact-table scans — those are
+    * already split by the source and a repartition there would be a
+    * full-data shuffle for nothing.
+    */
+  def spread(df: DataFrame): DataFrame =
+    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+
   // ---------------------------------------------------------------- parity
 
   /** Exact, order-independent sum of a double column: accumulate as

@@ -46,7 +46,10 @@ object Dedup extends QueryModule {
       .select((col("doc_id") + 100000L).as("doc_id"), expr("substr(text, 11)").as("text"), col("lang"))
     val exact = d.filter(col("doc_id") % 7 === 0)
       .select((col("doc_id") + 200000L).as("doc_id"), col("text"), col("lang"))
-    d.unionByName(near).unionByName(exact)
+    // one spread AFTER the union: everything downstream is a 50-300x CPU
+    // expansion (shingling, char n-grams) over a compact input — spread it
+    // by rows, not input bytes, with a single small shuffle
+    spread(d.unionByName(near).unionByName(exact))
   }
 
   private val augmentedDocsSql =
@@ -64,15 +67,32 @@ object Dedup extends QueryModule {
       .select(col("doc_id"), explode(expr(
         "transform(sequence(1, size(ws)-1), i -> concat_ws(' ', element_at(ws, i), element_at(ws, i+1)))")).as("sh"))
 
-  /** The shingle index is the shared substrate of the whole dedup family
-    * (MinHash, Jaccard) — build it once per session+dir and reuse, exactly
-    * as a production pipeline materializes its shingle table once and runs
-    * every dedup stage against it.
+  /** The shingle index, MinHash signatures, and LSH candidate pairs are the
+    * shared substrate of the whole dedup family — build them once per
+    * session+dir and reuse, exactly as a production pipeline materializes
+    * its shingle/signature tables once and runs every dedup stage against
+    * them. Caching sigs also matters within one query: the LSH band
+    * self-join scans the signature table twice, and without materialization
+    * each branch would recompute the full shingle+hash pipeline.
+    *
+    * Weak-keyed by the owning SparkSession: when a session is dropped, its
+    * entry (and the DataFrames inside) become unreachable, and Spark's
+    * ContextCleaner unpersists garbage-collected cached RDDs — no leak, no
+    * identityHashCode-reuse hazard, no cross-session handout.
     */
-  private val shingleCache = scala.collection.concurrent.TrieMap[String, DataFrame]()
-  private def cachedShingles(s: SparkSession, dir: String): DataFrame =
-    shingleCache.getOrElseUpdate(s"${System.identityHashCode(s)}_$dir",
-      shingles(augmentedDocs(s, dir)).cache())
+  private final case class DedupFrames(
+      sh: DataFrame, shd: DataFrame, sigs: DataFrame, cand: DataFrame)
+  private val frameCache =
+    new java.util.WeakHashMap[SparkSession, scala.collection.mutable.Map[String, DedupFrames]]()
+  private def frames(s: SparkSession, dir: String): DedupFrames = frameCache.synchronized {
+    frameCache
+      .computeIfAbsent(s, _ => scala.collection.mutable.Map.empty)
+      .getOrElseUpdate(dir, {
+        val sh = shingles(augmentedDocs(s, dir)).cache()
+        val sigs = sigsFrom(sh).cache()
+        DedupFrames(sh, sh.distinct().cache(), sigs, candFrom(sigs).cache())
+      })
+  }
 
   private val shinglesSql =
     """sh AS (
@@ -159,8 +179,8 @@ object Dedup extends QueryModule {
   /** MinHash near-dup candidates: band-bucket join + signature similarity. */
   def minhashCandidates(s: SparkSession, dir: String): DataFrame = {
     tune(s)
-    val sigs = sigsFrom(cachedShingles(s, dir)).cache()
-    val cand = candFrom(sigs)
+    val f = frames(s, dir)
+    val (sigs, cand) = (f.sigs, f.cand)
     val sa = sigs.columns.foldLeft(sigs)((df, c) => df.withColumnRenamed(c, if (c == "doc_id") "da" else s"a_$c"))
     val sb = sigs.columns.foldLeft(sigs)((df, c) => df.withColumnRenamed(c, if (c == "doc_id") "db" else s"b_$c"))
     val simExpr = (0 until 16)
@@ -188,9 +208,8 @@ object Dedup extends QueryModule {
     */
   def jaccardVerify(s: SparkSession, dir: String): DataFrame = {
     tune(s)
-    val sh = cachedShingles(s, dir)
-    val cand = candFrom(sigsFrom(sh))
-    val shd = sh.distinct().cache()
+    val f = frames(s, dir)
+    val (cand, shd) = (f.cand, f.shd)
     val sizes = shd.groupBy(col("doc_id")).agg(count(lit(1)).as("nsh"))
     val inter = cand
       .join(shd.select(col("doc_id").as("da"), col("sh")), "da")

@@ -34,7 +34,7 @@ object TextOps extends QueryModule {
     */
   def langId(s: SparkSession, dir: String): DataFrame = {
     tune(s)
-    table(s, dir, "documents")
+    spread(table(s, dir, "documents"))
       .withColumn("pt", concat(lit(" "), col("text"), lit(" ")))
       .withColumn("s_a", wcount("table") + wcount("row") + wcount("query"))
       .withColumn("s_b", wcount("data") + wcount("value") + wcount("stream"))
@@ -67,7 +67,7 @@ object TextOps extends QueryModule {
     */
   def qualityScore(s: SparkSession, dir: String): DataFrame = {
     tune(s)
-    table(s, dir, "documents")
+    spread(table(s, dir, "documents"))
       .withColumn("pt", concat(lit(" "), col("text"), lit(" ")))
       .withColumn("n_tok", size(regexp_extract_all(col("text"), lit("[a-z0-9]+"), lit(0))))
       .withColumn("alpha_len", length(regexp_replace(col("text"), "[^a-z0-9]", "")))
@@ -104,7 +104,7 @@ object TextOps extends QueryModule {
     */
   def tokenStats(s: SparkSession, dir: String): DataFrame = {
     tune(s)
-    val d = table(s, dir, "documents")
+    val d = spread(table(s, dir, "documents"))
       .withColumn("toks", regexp_extract_all(col("text"), lit("[a-z0-9]+"), lit(0)))
       // BPE-style pre-tokenizer: word pieces of <=4 chars, digit runs, or
       // any other non-space symbol (portable subset of the GPT-2 pattern)
@@ -145,7 +145,8 @@ object TextOps extends QueryModule {
     */
   def fingerprint(s: SparkSession, dir: String): DataFrame = {
     tune(s)
-    table(s, dir, "documents")
+    // char-8-gram explosion is a ~300x expansion: spread first
+    spread(table(s, dir, "documents"))
       .filter(length(col("text")) >= 8)
       .select(col("doc_id"), col("text"),
         explode(sequence(lit(1), length(col("text")) - 7)).as("i"))

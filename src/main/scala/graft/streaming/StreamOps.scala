@@ -22,9 +22,24 @@ object StreamOps extends QueryModule {
 
   private val counter = new java.util.concurrent.atomic.AtomicLong(0)
 
+  /** Run a stateful streaming query with state-store parallelism sized to
+    * its key volume. Shuffle-partition count is baked into a streaming
+    * checkpoint at first start, so it is a first-class sizing decision:
+    * every state partition pays a store open + delta-file commit per
+    * micro-batch, and 32 stores for ~1e5 keys is pure fixed overhead. At
+    * cluster scale (1e9+ keys across hundreds of executors) the same knob
+    * goes UP so each store's delta stays memory-resident.
+    */
+  private def withStatePartitions[T](s: SparkSession, n: Int)(f: => T): T = {
+    val prev = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", n.toString)
+    try f finally s.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
   /** Tumbling 1-hour windows over the events file stream, AvailableNow. */
   def streamHourly(s: SparkSession, dir: String): DataFrame = {
     tune(s)
+    withStatePartitions(s, 8) {
     val schema = s.read.parquet(s"$dir/events.parquet").schema
     val src = s.readStream
       .schema(schema)
@@ -46,6 +61,7 @@ object StreamOps extends QueryModule {
       .start()
     q.awaitTermination()
     s.table(qname)
+    }
   }
 
   final case class UserCount(user_id: Long, n_events: Long)
@@ -59,6 +75,7 @@ object StreamOps extends QueryModule {
   def statefulUserCounts(s: SparkSession, dir: String): DataFrame = {
     tune(s)
     import s.implicits._
+    withStatePartitions(s, 8) {
     val schema = s.read.parquet(s"$dir/events.parquet").schema
     val src = s.readStream
       .schema(schema)
@@ -81,6 +98,7 @@ object StreamOps extends QueryModule {
       .start()
     q.awaitTermination()
     s.table(qname)
+    }
   }
 
   private val statefulUserCountsSql =
@@ -94,6 +112,7 @@ object StreamOps extends QueryModule {
     */
   def streamDedup(s: SparkSession, dir: String): DataFrame = {
     tune(s)
+    withStatePartitions(s, 8) {
     val schema = s.read.parquet(s"$dir/events.parquet").schema
     val src = s.readStream
       .schema(schema)
@@ -114,6 +133,7 @@ object StreamOps extends QueryModule {
       .start()
     q.awaitTermination()
     s.table(qname)
+    }
   }
 
   // event_id is unique in the fixture, so post-dedup counts equal the plain
