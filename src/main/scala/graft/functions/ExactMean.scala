@@ -14,8 +14,11 @@ object ExactMean extends Aggregator[Double, (JBigDecimal, Long), Double] {
 
   override def zero: (JBigDecimal, Long) = (JBigDecimal.ZERO, 0L)
 
+  // valueOf (Double.toString semantics) matches Spark's CAST(double AS
+  // DECIMAL) exactly; `new JBigDecimal(double)` would take the exact binary
+  // expansion, which rounds differently at half-way values like x.0000005.
   override def reduce(b: (JBigDecimal, Long), a: Double): (JBigDecimal, Long) =
-    (b._1.add(new JBigDecimal(a).setScale(6, RoundingMode.HALF_UP)), b._2 + 1)
+    (b._1.add(JBigDecimal.valueOf(a).setScale(6, RoundingMode.HALF_UP)), b._2 + 1)
 
   override def merge(x: (JBigDecimal, Long), y: (JBigDecimal, Long)): (JBigDecimal, Long) =
     (x._1.add(y._1), x._2 + y._2)

@@ -32,14 +32,13 @@ object Multimodal extends QueryModule {
 
   /** STUB codec: a real implementation would decode image/audio bytes here
     * (per-partition, reusing a native decoder instance). Deterministic fake:
-    * sum of the first 16 payload bytes.
+    * sum of the first 16 codepoints of the payload decoded as UTF-8 (0 for
+    * an empty payload) — codepoint-based, not byte-based, so the oracle's
+    * character functions replay it identically for any unicode text.
     */
   private def fakeDecode(payload: Array[Byte]): Long = {
-    var acc = 0L
-    var i = 0
-    val n = math.min(16, payload.length)
-    while (i < n) { acc += payload(i) & 0xffL; i += 1 }
-    acc
+    val s = new String(payload, java.nio.charset.StandardCharsets.UTF_8)
+    s.codePoints().limit(16).asLongStream().sum()
   }
 
   /** Media feature extraction: documents.text bytes stand in for an image
@@ -74,10 +73,10 @@ object Multimodal extends QueryModule {
   private val mediaFeaturesSql =
     """SELECT d.source, COUNT(*) AS n_docs,
       |CAST(SUM(octet_length(encode(d.text))) AS BIGINT) AS sum_payload,
-      |CAST(SUM(ck.cksum) AS BIGINT) AS sum_checksum,
+      |CAST(SUM(COALESCE(ck.cksum, 0)) AS BIGINT) AS sum_checksum,
       |CAST(MAX(d.n_chars // 100) AS BIGINT) AS max_frames
       |FROM documents d
-      |JOIN (SELECT doc_id, SUM(ascii(substr(text, i, 1))) AS cksum
+      |LEFT JOIN (SELECT doc_id, SUM(ascii(substr(text, i, 1))) AS cksum
       |      FROM (SELECT doc_id, text, unnest(range(1, least(length(text), 16)+1)) AS i
       |            FROM documents)
       |      GROUP BY doc_id) ck

@@ -279,9 +279,15 @@ object Relational extends QueryModule {
     tune(s)
     val x = col("o_totalprice")
     val n = count(x).cast("double")
-    // sum of squares at decimal scale 0: the scaled integer stays below 2^53,
-    // so the decimal->double cast is exact in BOTH engines (at scale 6 DuckDB
-    // double-rounds through its hugeint and drifts a few ulps)
+    // Sum of squares at decimal scale 0. Exact-cast bound: the decimal->
+    // double cast is lossless while per-group SUM(x^2) < 2^53, i.e.
+    // rows_per_group * max(x)^2 < 9.0e15 — with o_totalprice <= ~6e5 that
+    // holds to ~25k rows/group (sf<=0.3 for this fixture). Beyond it the
+    // sum is still computed exactly in decimal and both engines round the
+    // same exact integer to double; DuckDB and the JVM both round
+    // half-to-even here, so parity survives, but the *result* is no longer
+    // exact — callers needing the guarantee at larger scales should keep
+    // the variance identity in DECIMAL end-to-end instead of this cast.
     val varExpr = (dsum(x * x, 0) - dsum(x) * dsum(x) / n) / (n - lit(1.0))
     table(s, dir, "orders")
       .groupBy(col("o_orderpriority"))

@@ -61,8 +61,11 @@ object Storage {
     val files = fs.listStatus(path).toSeq
       .filter(_.isFile)
       .filterNot(_.getPath.getName.startsWith(".")) // dotfile filter (P5)
-    files.grouped(batchSize).foreach(_.foreach(f => fs.delete(f.getPath, false)))
-    files.size
+    // count only deletes the filesystem confirmed, so a failed delete
+    // (permissions, concurrent removal) can't overstate the tally
+    files.grouped(batchSize)
+      .map(_.count(f => fs.delete(f.getPath, false)))
+      .sum
   }
 }
 
