@@ -13,6 +13,7 @@ object SparkEntry {
   private def modules: Seq[QueryModule] = Seq(
     graft.operators.Cleaning,
     graft.operators.Relational,
+    graft.operators.Analytics,
     graft.operators.Temporal,
     graft.operators.Dedup,
     graft.operators.Similarity,

@@ -1,0 +1,116 @@
+package graft.operators
+
+import graft.Engine._
+import graft.{GQuery, QueryModule}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Statistical / sampling analytics beyond the plain grouped aggregates
+  * (A5 breadth): exact interpolated percentiles, correlation via the exact
+  * decimal moment identity, and deterministic hash-based sampling.
+  *
+  * Reference provenance: the reference has no statistics beyond SUM/COUNT
+  * (/root/reference/data_pipeline.py:401-402); this extends the aggregate
+  * surface the way a production data-quality layer does — percentile SLAs,
+  * cross-field drift checks (correlation), and reproducible debug samples.
+  *
+  * Scale posture: percentiles are a single sort-based aggregate per group;
+  * correlation is five map-side-combined decimal sums (one shuffle, no
+  * second pass); hash sampling is a stateless per-row predicate — pushes
+  * to the scan, samples the SAME rows on any cluster size or run, unlike
+  * `TABLESAMPLE`/`rand()` which are partition- and seed-dependent.
+  */
+object Analytics extends QueryModule {
+
+  /** Exact interpolated percentiles (quantile SLA check). Both engines
+    * linearly interpolate over the sorted values; results are rounded at 6
+    * digits so the one permissible ulp of interpolation-order difference
+    * cannot flip the hash.
+    */
+  def percentiles(s: SparkSession, dir: String): DataFrame = {
+    tune(s)
+    val x = col("o_totalprice")
+    table(s, dir, "orders")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"),
+           round(expr("percentile(o_totalprice, 0.25)"), 6).as("p25"),
+           round(expr("percentile(o_totalprice, 0.50)"), 6).as("p50"),
+           round(expr("percentile(o_totalprice, 0.75)"), 6).as("p75"),
+           round(expr("percentile(o_totalprice, 0.99)"), 6).as("p99"),
+           min(x).as("x_min"), max(x).as("x_max"))
+  }
+
+  private val percentilesSql =
+    """SELECT o_orderpriority, COUNT(*) AS n,
+      |round(quantile_cont(o_totalprice, 0.25), 6) AS p25,
+      |round(quantile_cont(o_totalprice, 0.50), 6) AS p50,
+      |round(quantile_cont(o_totalprice, 0.75), 6) AS p75,
+      |round(quantile_cont(o_totalprice, 0.99), 6) AS p99,
+      |MIN(o_totalprice) AS x_min, MAX(o_totalprice) AS x_max
+      |FROM orders GROUP BY o_orderpriority""".stripMargin
+
+  /** Pearson correlation from the exact decimal moment identity — NOT the
+    * engines' own streaming corr() implementations, whose low bits differ
+    * by accumulation order. The five sums are exact decimals (x has 2
+    * decimals, y is integral, so scale 2/0 casts are lossless; the scale-0
+    * squares round per-row identically in both engines); the final
+    * combination is IEEE double arithmetic written in the same order on
+    * both sides, hence bit-identical. Same exact-cast bound as statsAgg:
+    * per-group sums stay below 2^53 through the driver's scale factors.
+    */
+  def corrAgg(s: SparkSession, dir: String): DataFrame = {
+    tune(s)
+    val x = col("o_totalprice")
+    val y = (col("o_custkey") % 97).cast("double")
+    val n = count(lit(1)).cast("double")
+    table(s, dir, "orders")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_rows"),
+        ((dsum(x * y, 2) - dsum(x, 2) * dsum(y, 0) / n) /
+          sqrt((dsum(x * x, 0) - dsum(x, 2) * dsum(x, 2) / n) *
+               (dsum(y * y, 0) - dsum(y, 0) * dsum(y, 0) / n))).as("corr_xy"))
+  }
+
+  private val corrAggSql = {
+    val sx = DSUM("o_totalprice", 2)
+    val sy = DSUM("(o_custkey % 97)", 0)
+    val sxy = DSUM("o_totalprice * (o_custkey % 97)", 2)
+    val sxx = DSUM("o_totalprice * o_totalprice", 0)
+    val syy = DSUM("(o_custkey % 97) * (o_custkey % 97)", 0)
+    val n = "CAST(COUNT(*) AS DOUBLE)"
+    s"""SELECT o_orderpriority, COUNT(*) AS n_rows,
+       |(($sxy - $sx * $sy / $n) /
+       | sqrt(($sxx - $sx * $sx / $n) * ($syy - $sy * $sy / $n))) AS corr_xy
+       |FROM orders GROUP BY o_orderpriority""".stripMargin
+  }
+
+  /** Deterministic hash sample: keep rows whose portable key-hash lands in
+    * the first 10 of 100 buckets. Reproducible across engines, runs, and
+    * cluster sizes — the debug-sample / A-B-split primitive a pipeline
+    * needs where rand()-based sampling is unrepeatable.
+    */
+  def hashSample(s: SparkSession, dir: String): DataFrame = {
+    tune(s)
+    table(s, dir, "orders")
+      .filter(md5Long(col("o_orderkey").cast("string")) % 100 < 10)
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_sampled"),
+           dsum(col("o_totalprice")).as("sum_sampled"))
+  }
+
+  private val hashSampleSql =
+    s"""SELECT o_orderpriority, COUNT(*) AS n_sampled,
+       |${DSUM("o_totalprice")} AS sum_sampled
+       |FROM orders
+       |WHERE ${MD5L("CAST(o_orderkey AS VARCHAR)")} % 100 < 10
+       |GROUP BY o_orderpriority""".stripMargin
+
+  override val queries: Seq[GQuery] = Seq(
+    GQuery("q29_percentiles", "exact interpolated percentiles per group (A5)",
+      percentiles, Some(percentilesSql)),
+    GQuery("q33_corr", "Pearson correlation via exact decimal moment identity (A5)",
+      corrAgg, Some(corrAggSql)),
+    GQuery("q44_hash_sample", "deterministic md5-bucket sampling (reproducible debug sample)",
+      hashSample, Some(hashSampleSql)),
+  )
+}

@@ -316,6 +316,74 @@ object Dedup extends QueryModule {
        |WHERE bit_count(xor(a.fp, b.fp)) <= 3""".stripMargin
   }
 
+  /** Near-dup cluster formation: connected components over the SimHash
+    * pair graph (hamming <= 3), then per-cluster canonical selection
+    * (min doc_id) — the step that turns pairwise near-dup hits into "keep
+    * one per family" for corpus curation.
+    *
+    * Algorithm: iterative min-label propagation to fixpoint — each round,
+    * every node takes the min label among itself and its neighbors; rounds
+    * needed = component diameter (near-dup families are shallow). This is
+    * the standard distributed CC shape (GraphX/Pregel run the same
+    * supersteps); data never leaves the executors — the driver only sees
+    * the per-round convergence count. The oracle computes the same
+    * components with a recursive CTE.
+    */
+  def dedupClusters(s: SparkSession, dir: String): DataFrame = {
+    tune(s)
+    val pairs = simhashPairs(s, dir).select(col("da"), col("db"))
+    // localCheckpoint (not cache): iterative plans must CUT lineage each
+    // round — a cache only short-circuits execution, the analyzed plan
+    // still nests the full history and grows exponentially with rounds.
+    val edges = pairs
+      .unionByName(pairs.select(col("db").as("da"), col("da").as("db")))
+      .toDF("n", "m").localCheckpoint()
+    var labels = edges.select(col("n")).distinct()
+      .withColumn("lab", col("n")).localCheckpoint()
+    var iter = 0
+    var changed = 1L
+    while (changed > 0 && iter < 20) {
+      val neighborLabs = edges
+        .join(labels.select(col("n").as("m"), col("lab")), "m")
+        .select(col("n"), col("lab"))
+      val next = neighborLabs.unionByName(labels)
+        .groupBy(col("n")).agg(min(col("lab")).as("lab"))
+        .localCheckpoint()
+      changed = next.join(labels.select(col("n"), col("lab").as("old")), "n")
+        .filter(col("lab") =!= col("old")).count()
+      labels = next
+      iter += 1
+    }
+    val out = labels.groupBy(col("lab").as("cluster_id"))
+      .agg(count(lit(1)).as("n_members"),
+           min(col("n")).as("min_doc"),
+           max(col("n")).as("max_doc"))
+    edges.unpersist()
+    out
+  }
+
+  private val dedupClustersSql = {
+    val bandSelects = (0 until 4)
+      .map(j => s"SELECT doc_id, fp, $j AS band, (fp >> ${8 * j}) & 255 AS bkey FROM fps")
+      .mkString(" UNION ALL ")
+    s"""WITH RECURSIVE $simhashCtes,
+       |bands AS ($bandSelects),
+       |prs AS (
+       |  SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+       |  FROM bands a JOIN bands b
+       |  ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+       |  WHERE bit_count(xor(a.fp, b.fp)) <= 3),
+       |edges AS (SELECT da AS n, db AS m FROM prs UNION SELECT db, da FROM prs),
+       |reach(n, lab) AS (
+       |  SELECT n, n FROM (SELECT DISTINCT n FROM edges)
+       |  UNION
+       |  SELECT e.n, r.lab FROM edges e JOIN reach r ON r.n = e.m),
+       |labels AS (SELECT n, MIN(lab) AS lab FROM reach GROUP BY n)
+       |SELECT lab AS cluster_id, COUNT(*) AS n_members,
+       |MIN(n) AS min_doc, MAX(n) AS max_doc
+       |FROM labels GROUP BY lab""".stripMargin
+  }
+
   override val queries: Seq[GQuery] = Seq(
     GQuery("q60_dedup_exact", "exact dedup via hash-groupBy keep-first, per-lang summary",
       dedupExact, Some(dedupExactSql)),
@@ -327,5 +395,7 @@ object Dedup extends QueryModule {
       jaccardVerify, Some(jaccardVerifySql)),
     GQuery("q89_simhash_pairs", "SimHash near-dup pairs: byte-band blocking + hamming(bit_count^xor)",
       simhashPairs, Some(simhashPairsSql)),
+    GQuery("q90_dedup_clusters", "near-dup clusters: connected components (min-label propagation) + canonical pick",
+      dedupClusters, Some(dedupClustersSql)),
   )
 }

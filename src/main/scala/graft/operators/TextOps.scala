@@ -213,6 +213,47 @@ object TextOps extends QueryModule {
        |MIN(keep_id) AS first_keep
        |FROM deduped GROUP BY lang""".stripMargin
 
+  /** TF-IDF top terms per language: term frequency within each lang,
+    * document(-class) frequency across langs, idf = ln(n_langs/df), top-5
+    * terms per lang by score. The tokenize explode is the UDTF surface; the
+    * ranking is a bounded per-group top-k (WindowGroupLimit pushes the
+    * limit below the sort at scale). Both engines rank by the ROUNDED score
+    * (6 digits) with a term tiebreak, so the one permissible ulp between
+    * ln() implementations cannot reorder the top-k.
+    */
+  def tfidf(s: SparkSession, dir: String): DataFrame = {
+    tune(s)
+    val toks = spread(table(s, dir, "documents"))
+      .select(col("lang"), explode(regexp_extract_all(col("text"), lit("[a-z0-9]+"), lit(0))).as("tok"))
+    val tf = toks.groupBy(col("lang"), col("tok")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val nLangs = toks.agg(countDistinct(col("lang")).as("n_langs"))
+    val scored = tf.join(dfreq, "tok")
+      .crossJoin(broadcast(nLangs))
+      .withColumn("score",
+        round(col("tf") * log(col("n_langs").cast("double") / col("df")), 6))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang")).orderBy(col("score").desc, col("tok"))
+    scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 5)
+      .select(col("lang"), col("tok"), col("tf"), col("df"), col("score"), col("rn"))
+  }
+
+  private val tfidfSql =
+    """WITH toks AS (
+      |  SELECT lang, unnest(regexp_extract_all(text, '[a-z0-9]+')) AS tok FROM documents),
+      |tf AS (SELECT lang, tok, COUNT(*) AS tf FROM toks GROUP BY lang, tok),
+      |dfreq AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY tok),
+      |nl AS (SELECT CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs FROM toks),
+      |scored AS (
+      |  SELECT tf.lang, tf.tok, tf.tf, dfreq.df,
+      |         round(tf.tf * ln(CAST(nl.n_langs AS DOUBLE) / dfreq.df), 6) AS score
+      |  FROM tf JOIN dfreq ON tf.tok = dfreq.tok CROSS JOIN nl)
+      |SELECT lang, tok, tf, df, score, rn FROM (
+      |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY lang ORDER BY score DESC, tok) AS INT) AS rn
+      |  FROM scored)
+      |WHERE rn <= 5""".stripMargin
+
   /** XPath-style XML field extraction (F15/S3): the reference's XML config
     * scan as a data-plane operator. Spark uses the built-in xpath_string;
     * the oracle extracts the same field with a regex — same result, each
@@ -244,6 +285,8 @@ object TextOps extends QueryModule {
     GQuery("q67_quality_score", "doc quality scoring bucketed into deciles", qualityScore, Some(qualityScoreSql)),
     GQuery("q68_token_stats", "per-lang token counts + vocabulary size", tokenStats, Some(tokenStatsSql)),
     GQuery("q69_fingerprint", "rolling-hash char-8-gram doc fingerprints", fingerprint, Some(fingerprintSql)),
+    GQuery("q70_tfidf", "TF-IDF top-5 terms per language (tokenize explode + windowed top-k)",
+      tfidf, Some(tfidfSql)),
     GQuery("q79_curation_pipeline", "composed curation: quality gate -> exact dedup -> corpus stats",
       curationPipeline, Some(curationPipelineSql)),
   )

@@ -62,10 +62,38 @@ object RoundTrip extends QueryModule {
        |CAST(COUNT(DISTINCT o_orderstatus) AS BIGINT) AS n_status
        |FROM orders WHERE o_orderkey % 10 = 0""".stripMargin
 
+  /** Hive-style partitioned parquet lake: write orders partitioned by
+    * status, read back with a partition predicate. The filter never touches
+    * data files of other partitions — `PartitionFilters` prunes at planning
+    * time (asserted in PartitioningSpec) — which is THE layout decision
+    * that makes a 100 TB lake queryable: scans cost O(selected partitions),
+    * not O(table).
+    */
+  def partitionedLake(s: SparkSession, dir: String): DataFrame = {
+    tune(s)
+    val o = table(s, dir, "orders")
+    val path = tmpDir("part_orders")
+    o.write.mode("overwrite").partitionBy("o_orderstatus").parquet(path)
+    s.read.parquet(path)
+      .filter(col("o_orderstatus") === "F")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"),
+           dsum(col("o_totalprice")).as("sum_price"),
+           min(col("o_orderkey")).as("min_key"))
+  }
+
+  private val partitionedLakeSql =
+    s"""SELECT o_orderpriority, COUNT(*) AS n,
+       |${DSUM("o_totalprice")} AS sum_price, MIN(o_orderkey) AS min_key
+       |FROM orders WHERE o_orderstatus = 'F'
+       |GROUP BY o_orderpriority""".stripMargin
+
   override val queries: Seq[GQuery] = Seq(
     GQuery("q82_csv_roundtrip", "CSV sink+scan roundtrip vs parquet oracle (S1/S9)",
       csvRoundtrip, Some(csvRoundtripSql)),
     GQuery("q83_json_roundtrip", "JSON sink+scan roundtrip vs parquet oracle (S2/S6)",
       jsonRoundtrip, Some(jsonRoundtripSql)),
+    GQuery("q80_partitioned_lake", "hive-partitioned write + partition-pruned scan (S6/S12)",
+      partitionedLake, Some(partitionedLakeSql)),
   )
 }

@@ -1,0 +1,65 @@
+package graft
+
+import graft.operators.{Analytics, Dedup}
+import graft.operators.TextOps
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Round-3 additions: percentiles, engineered corr, deterministic sampling,
+  * TF-IDF ranking, and near-dup cluster formation.
+  */
+class AnalyticsSpec extends AnyFunSuite {
+  private lazy val s = TestSpark.spark
+
+  test("percentiles: p25 <= p50 <= p75 <= p99, bounded by min/max") {
+    Analytics.percentiles(s, TestSpark.sf).collect().foreach { r =>
+      val (p25, p50, p75, p99) =
+        (r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getDouble(5))
+      val (mn, mx) = (r.getDouble(6), r.getDouble(7))
+      assert(mn <= p25 && p25 <= p50 && p50 <= p75 && p75 <= p99 && p99 <= mx)
+    }
+  }
+
+  test("corr on an exact linear relationship is 1.0") {
+    import s.implicits._
+    val df = (1 to 100).map(i => (i.toDouble, 3.0 * i + 7.0)).toDF("x", "y")
+    val c = df.agg(corr(col("x"), col("y"))).collect()(0).getDouble(0)
+    assert(math.abs(c - 1.0) < 1e-12)
+    // and the registered engineered identity stays within [-1, 1]
+    Analytics.corrAgg(s, TestSpark.sf).collect().foreach { r =>
+      val v = r.getDouble(2)
+      assert(v >= -1.0 && v <= 1.0)
+    }
+  }
+
+  test("hash sample is deterministic and roughly the configured fraction") {
+    val a = Analytics.hashSample(s, TestSpark.sf).collect().map(_.toString).sorted
+    val b = Analytics.hashSample(s, TestSpark.sf).collect().map(_.toString).sorted
+    assert(a.sameElements(b), "same rows must be selected on every run")
+    assert(a.nonEmpty)
+  }
+
+  test("tfidf: top-5 per lang, scores non-increasing within a lang") {
+    val rows = TextOps.tfidf(s, TestSpark.sf)
+      .orderBy(col("lang"), col("rn")).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getString(0)).foreach { case (_, rs) =>
+      assert(rs.length <= 5)
+      val scores = rs.sortBy(_.getInt(5)).map(_.getDouble(4))
+      assert(scores.zip(scores.tail).forall { case (hi, lo) => hi >= lo })
+    }
+  }
+
+  test("dedup clusters: labels partition the pair-graph nodes; canonical is the min") {
+    val pairs = Dedup.simhashPairs(s, TestSpark.sf).select(col("da"), col("db")).cache()
+    val nNodes = pairs.select(col("da").as("n"))
+      .unionByName(pairs.select(col("db").as("n"))).distinct().count()
+    val clusters = Dedup.dedupClusters(s, TestSpark.sf).cache()
+    val total = clusters.agg(sum("n_members")).collect()(0).getLong(0)
+    assert(total == nNodes, "every clustered node appears in exactly one cluster")
+    // canonical selection: the cluster id IS the minimum member
+    assert(clusters.filter(col("cluster_id") =!= col("min_doc")).count() == 0)
+    assert(clusters.count() > 0)
+    pairs.unpersist(); clusters.unpersist()
+  }
+}
