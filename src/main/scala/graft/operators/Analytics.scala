@@ -105,11 +105,99 @@ object Analytics extends QueryModule {
        |WHERE ${MD5L("CAST(o_orderkey AS VARCHAR)")} % 100 < 10
        |GROUP BY o_orderpriority""".stripMargin
 
+  /** Scalar-subquery shape: rows above the global average. The scalar side
+    * is a one-row aggregate broadcast against the fact scan — Catalyst
+    * plans the same thing for an actual scalar subquery; the comparison
+    * uses the exact-decimal average so both engines threshold on the
+    * identical double.
+    */
+  def aboveAvg(s: SparkSession, dir: String): DataFrame = {
+    tune(s)
+    val o = table(s, dir, "orders")
+    val avgP = o.agg(davg(col("o_totalprice")).as("avg_p"))
+    o.join(broadcast(avgP))
+      .filter(col("o_totalprice") > col("avg_p"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_above"),
+           dsum(col("o_totalprice")).as("sum_above"))
+  }
+
+  private val aboveAvgSql =
+    s"""SELECT o_orderpriority, COUNT(*) AS n_above,
+       |${DSUM("o_totalprice")} AS sum_above
+       |FROM orders
+       |WHERE o_totalprice > (SELECT ${DAVG("o_totalprice")} FROM orders)
+       |GROUP BY o_orderpriority""".stripMargin
+
+  /** Wide->long UNPIVOT of the lineitem measure columns, then per-measure
+    * aggregates — the melt/normalize shape every metrics pipeline needs.
+    */
+  def unpivotMeasures(s: SparkSession, dir: String): DataFrame = {
+    tune(s)
+    table(s, dir, "lineitem")
+      .unpivot(
+        Array(col("l_returnflag")),
+        Array(col("l_quantity"), col("l_extendedprice"), col("l_discount"), col("l_tax")),
+        "measure", "value")
+      .groupBy(col("l_returnflag"), col("measure"))
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+  }
+
+  private val unpivotMeasuresSql = {
+    val arms = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+      .map(c => s"SELECT l_returnflag, '$c' AS measure, $c AS value FROM lineitem")
+      .mkString(" UNION ALL ")
+    s"""SELECT l_returnflag, measure, COUNT(*) AS n, ${DSUM("value")} AS sum_value
+       |FROM ($arms) GROUP BY l_returnflag, measure""".stripMargin
+  }
+
+  /** Distribution window functions (W1 breadth): ntile / percent_rank /
+    * cume_dist / first_value / last_value over a unique ordering key, so
+    * every rank is deterministic and the rational-valued distributions are
+    * bit-identical across engines.
+    */
+  def windowDist(s: SparkSession, dir: String): DataFrame = {
+    tune(s)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("o_orderpriority")).orderBy(col("o_orderkey"))
+    val wFull = w.rowsBetween(
+      org.apache.spark.sql.expressions.Window.unboundedPreceding,
+      org.apache.spark.sql.expressions.Window.unboundedFollowing)
+    table(s, dir, "orders")
+      .select(col("o_orderpriority"), col("o_orderkey"),
+        ntile(4).over(w).as("quartile"),
+        round(percent_rank().over(w), 9).as("pct_rank"),
+        round(cume_dist().over(w), 9).as("cume"),
+        first(col("o_orderkey")).over(w).as("first_key"),
+        last(col("o_orderkey")).over(wFull).as("last_key"))
+      .filter(col("o_orderkey") % 199 === 0)
+  }
+
+  private val windowDistSql =
+    """SELECT * FROM (
+      |  SELECT o_orderpriority, o_orderkey,
+      |    CAST(ntile(4) OVER w AS INT) AS quartile,
+      |    round(percent_rank() OVER w, 9) AS pct_rank,
+      |    round(cume_dist() OVER w, 9) AS cume,
+      |    first_value(o_orderkey) OVER w AS first_key,
+      |    last_value(o_orderkey) OVER
+      |      (PARTITION BY o_orderpriority ORDER BY o_orderkey
+      |       ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_key
+      |  FROM orders
+      |  WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_orderkey))
+      |WHERE o_orderkey % 199 = 0""".stripMargin
+
   override val queries: Seq[GQuery] = Seq(
     GQuery("q29_percentiles", "exact interpolated percentiles per group (A5)",
       percentiles, Some(percentilesSql)),
     GQuery("q33_corr", "Pearson correlation via exact decimal moment identity (A5)",
       corrAgg, Some(corrAggSql)),
+    GQuery("q34_above_avg", "scalar-subquery threshold: rows above global exact average",
+      aboveAvg, Some(aboveAvgSql)),
+    GQuery("q35_unpivot", "UNPIVOT wide measures to long + per-measure aggregates",
+      unpivotMeasures, Some(unpivotMeasuresSql)),
+    GQuery("q36_window_dist", "ntile/percent_rank/cume_dist/first/last window breadth (W1)",
+      windowDist, Some(windowDistSql)),
     GQuery("q44_hash_sample", "deterministic md5-bucket sampling (reproducible debug sample)",
       hashSample, Some(hashSampleSql)),
   )

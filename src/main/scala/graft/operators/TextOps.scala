@@ -254,6 +254,24 @@ object TextOps extends QueryModule {
       |  FROM scored)
       |WHERE rn <= 5""".stripMargin
 
+  /** posexplode (UDTF surface, X3): tokenize with ordinal positions — the
+    * generator form that keeps token order, which plain explode loses.
+    * First five tokens of every 50th doc.
+    */
+  def posExplodeTokens(s: SparkSession, dir: String): DataFrame = {
+    tune(s)
+    table(s, dir, "documents")
+      .filter(col("doc_id") % 50 === 0)
+      .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "w")))
+      .filter(col("pos") < 5)
+  }
+
+  private val posExplodeTokensSql =
+    """SELECT doc_id, CAST(i - 1 AS INT) AS pos, s[i] AS w
+      |FROM (SELECT doc_id, s, unnest(range(1, least(len(s), 5) + 1)) AS i
+      |      FROM (SELECT doc_id, string_split(text, ' ') AS s
+      |            FROM documents WHERE doc_id % 50 = 0))""".stripMargin
+
   /** XPath-style XML field extraction (F15/S3): the reference's XML config
     * scan as a data-plane operator. Spark uses the built-in xpath_string;
     * the oracle extracts the same field with a regex — same result, each
@@ -287,6 +305,8 @@ object TextOps extends QueryModule {
     GQuery("q69_fingerprint", "rolling-hash char-8-gram doc fingerprints", fingerprint, Some(fingerprintSql)),
     GQuery("q70_tfidf", "TF-IDF top-5 terms per language (tokenize explode + windowed top-k)",
       tfidf, Some(tfidfSql)),
+    GQuery("q45_posexplode", "posexplode tokenizer with ordinal positions (X3 generator)",
+      posExplodeTokens, Some(posExplodeTokensSql)),
     GQuery("q79_curation_pipeline", "composed curation: quality gate -> exact dedup -> corpus stats",
       curationPipeline, Some(curationPipelineSql)),
   )

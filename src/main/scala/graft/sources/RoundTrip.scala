@@ -62,6 +62,30 @@ object RoundTrip extends QueryModule {
        |CAST(COUNT(DISTINCT o_orderstatus) AS BIGINT) AS n_status
        |FROM orders WHERE o_orderkey % 10 = 0""".stripMargin
 
+  /** ORC sink + scan roundtrip (columnar format breadth beyond parquet):
+    * same explicit-schema discipline; the oracle aggregates the parquet
+    * original, so any type/precision loss in the ORC writer/reader breaks
+    * the hash.
+    */
+  def orcRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    tune(s)
+    val p = table(s, dir, "part")
+    val path = tmpDir("orc_part")
+    p.write.mode("overwrite").orc(path)
+    s.read.schema(p.schema).orc(path)
+      .agg(count(lit(1)).as("n"),
+           dsum(col("p_retailprice")).as("sum_price"),
+           min(col("p_name")).as("min_name"),
+           max(col("p_name")).as("max_name"),
+           countDistinct(col("p_brand")).as("n_brands"))
+  }
+
+  private val orcRoundtripSql =
+    s"""SELECT COUNT(*) AS n, ${DSUM("p_retailprice")} AS sum_price,
+       |MIN(p_name) AS min_name, MAX(p_name) AS max_name,
+       |CAST(COUNT(DISTINCT p_brand) AS BIGINT) AS n_brands
+       |FROM part""".stripMargin
+
   /** Hive-style partitioned parquet lake: write orders partitioned by
     * status, read back with a partition predicate. The filter never touches
     * data files of other partitions — `PartitionFilters` prunes at planning
@@ -95,5 +119,7 @@ object RoundTrip extends QueryModule {
       jsonRoundtrip, Some(jsonRoundtripSql)),
     GQuery("q80_partitioned_lake", "hive-partitioned write + partition-pruned scan (S6/S12)",
       partitionedLake, Some(partitionedLakeSql)),
+    GQuery("q81_orc_roundtrip", "ORC sink+scan roundtrip vs parquet oracle (S6/S12)",
+      orcRoundtrip, Some(orcRoundtripSql)),
   )
 }

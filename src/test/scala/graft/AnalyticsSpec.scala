@@ -50,6 +50,26 @@ class AnalyticsSpec extends AnyFunSuite {
     }
   }
 
+  test("above-avg threshold broadcasts the one-row scalar side") {
+    val plan = Analytics.aboveAvg(s, TestSpark.sf).queryExecution.executedPlan.toString
+    assert(plan.contains("Broadcast"), s"scalar side must broadcast:\n$plan")
+  }
+
+  test("unpivot emits one long row per (row, measure)") {
+    val n = s.read.parquet(s"${TestSpark.sf}/lineitem.parquet").count()
+    val long = Analytics.unpivotMeasures(s, TestSpark.sf)
+      .agg(sum("n")).collect()(0).getLong(0)
+    assert(long == 4 * n)
+  }
+
+  test("window distributions: pct_rank in [0,1], quartile in 1..4") {
+    Analytics.windowDist(s, TestSpark.sf).collect().foreach { r =>
+      assert(r.getInt(2) >= 1 && r.getInt(2) <= 4)
+      assert(r.getDouble(3) >= 0.0 && r.getDouble(3) <= 1.0)
+      assert(r.getDouble(4) > 0.0 && r.getDouble(4) <= 1.0)
+    }
+  }
+
   test("dedup clusters: labels partition the pair-graph nodes; canonical is the min") {
     val pairs = Dedup.simhashPairs(s, TestSpark.sf).select(col("da"), col("db")).cache()
     val nNodes = pairs.select(col("da").as("n"))
