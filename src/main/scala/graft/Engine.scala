@@ -39,6 +39,9 @@ object Engine {
     // native vector functions usable from SQL in any session (see also
     // graft.functions.GraftExtensions for the spark.sql.extensions path)
     graft.functions.VectorFunctions.register(spark)
+    // optimizer rule: HOF zip_with/aggregate dot products -> native kernel
+    if (!spark.experimental.extraOptimizations.contains(graft.functions.DotProductRewrite))
+      spark.experimental.extraOptimizations ++= Seq(graft.functions.DotProductRewrite)
   }
 
   /** Load a fixture table. `events.ts` arrives as LongType epoch-nanos. */

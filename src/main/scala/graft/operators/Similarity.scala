@@ -33,10 +33,15 @@ object Similarity extends QueryModule {
   private def withNorm(df: DataFrame): DataFrame =
     df.withColumn("nrm", expr("sqrt(graft_dot(embedding, embedding))"))
 
-  /** Per-row dot product of two embedding columns (native expression;
-    * identical left-to-right double accumulation as a zip_with fold).
+  /** Per-row dot product of two embedding columns, written in the
+    * declarative higher-order form — the DotProductRewrite optimizer rule
+    * substitutes the native codegen kernel (graft_dot) at planning time,
+    * so the readable spelling and the fast plan are the same thing
+    * (asserted in FunctionsSpec).
     */
-  private val dotExpr = expr("graft_dot(qemb, vemb)")
+  private val dotExpr = expr(
+    "aggregate(zip_with(qemb, vemb, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), " +
+      "CAST(0.0 AS DOUBLE), (acc, p) -> acc + p)")
 
   private val flatSql =
     """flat AS (

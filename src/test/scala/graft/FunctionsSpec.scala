@@ -19,7 +19,7 @@ class FunctionsSpec extends AnyFunSuite {
     assert(out == 32.0)
   }
 
-  test("graft_dot: null array yields null; mismatched lengths use the min") {
+  test("graft_dot: null array or mismatched lengths yield null (fold-equivalent)") {
     Engine.tune(s)
     import s.implicits._
     val df = Seq(
@@ -27,8 +27,31 @@ class FunctionsSpec extends AnyFunSuite {
       (None, Some(Array(1.0f)))
     ).toDF("a", "b")
     val rows = df.selectExpr("graft_dot(a, b) AS d").collect()
-    assert(rows(0).getDouble(0) == 5.0)
+    // zip_with pads the short side with null and the fold absorbs it:
+    // a length mismatch is a null total, not a silent partial sum
+    assert(rows(0).isNullAt(0))
     assert(rows(1).isNullAt(0))
+  }
+
+  test("DotProductRewrite: HOF zip_with/aggregate dot plans as the native kernel") {
+    Engine.tune(s)
+    val e = s.read.parquet(s"${TestSpark.sf}/embeddings.parquet").limit(5)
+    val q = e.selectExpr(
+      "vec_id",
+      "aggregate(zip_with(embedding, embedding, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), CAST(0.0 AS DOUBLE), (acc, p) -> acc + p) AS d")
+    assert(q.queryExecution.optimizedPlan.toString.contains("graft_dot"),
+      s"rule must rewrite the fold:\n${q.queryExecution.optimizedPlan}")
+    val native = e.selectExpr("vec_id", "graft_dot(embedding, embedding) AS d")
+    assert(q.collect().map(_.getDouble(1)).sameElements(native.collect().map(_.getDouble(1))))
+  }
+
+  test("DotProductRewrite: float-typed multiply (no double cast) is NOT rewritten") {
+    Engine.tune(s)
+    val e = s.read.parquet(s"${TestSpark.sf}/embeddings.parquet").limit(5)
+    val q = e.selectExpr(
+      "aggregate(zip_with(embedding, embedding, (x, y) -> CAST(x * y AS DOUBLE)), CAST(0.0 AS DOUBLE), (acc, p) -> acc + p) AS d")
+    assert(!q.queryExecution.optimizedPlan.toString.contains("graft_dot"),
+      "a float-precision multiply rounds differently and must stay as written")
   }
 
   test("graft_dot matches the zip_with/aggregate fold on fixture embeddings") {
