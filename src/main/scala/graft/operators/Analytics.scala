@@ -187,6 +187,38 @@ object Analytics extends QueryModule {
       |  WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_orderkey))
       |WHERE o_orderkey % 199 = 0""".stripMargin
 
+  /** Stratified quota sampling: exactly k docs per language, chosen by a
+    * deterministic hash order — the "balanced subset" primitive for eval
+    * sets and per-class caps. Windowed rank over (hash, id) gives every
+    * engine, run, and cluster size the same k rows per stratum; a
+    * rand()-based sample can guarantee neither the quota nor the rows.
+    */
+  def stratifiedSample(s: SparkSession, dir: String): DataFrame = {
+    tune(s)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang"))
+      .orderBy(md5Long(col("doc_id").cast("string")), col("doc_id"))
+    table(s, dir, "documents")
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 20)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_sampled"),
+           sum(col("doc_id")).as("id_checksum"),
+           sum(col("n_chars")).cast("long").as("sampled_chars"))
+  }
+
+  private val stratifiedSampleSql =
+    s"""SELECT lang, COUNT(*) AS n_sampled,
+       |CAST(SUM(doc_id) AS BIGINT) AS id_checksum,
+       |CAST(SUM(n_chars) AS BIGINT) AS sampled_chars
+       |FROM (
+       |  SELECT lang, doc_id, n_chars,
+       |    ROW_NUMBER() OVER (PARTITION BY lang
+       |      ORDER BY ${MD5L("CAST(doc_id AS VARCHAR)")}, doc_id) AS rk
+       |  FROM documents)
+       |WHERE rk <= 20
+       |GROUP BY lang""".stripMargin
+
   override val queries: Seq[GQuery] = Seq(
     GQuery("q29_percentiles", "exact interpolated percentiles per group (A5)",
       percentiles, Some(percentilesSql)),
@@ -200,5 +232,7 @@ object Analytics extends QueryModule {
       windowDist, Some(windowDistSql)),
     GQuery("q44_hash_sample", "deterministic md5-bucket sampling (reproducible debug sample)",
       hashSample, Some(hashSampleSql)),
+    GQuery("q49_stratified_sample", "stratified quota sample: exactly k per class by hash order",
+      stratifiedSample, Some(stratifiedSampleSql)),
   )
 }

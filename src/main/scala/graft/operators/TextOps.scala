@@ -254,6 +254,130 @@ object TextOps extends QueryModule {
       |  FROM scored)
       |WHERE rn <= 5""".stripMargin
 
+  /** PII redaction (curation pass every training corpus runs): mask
+    * email- and phone-shaped spans with typed placeholders. PII spans are
+    * synthesized deterministically around fixture text so both engines
+    * scrub identical bytes; the patterns use portable regex subsets
+    * (character classes + bounded repeats — identical in Java regex and
+    * RE2). Counts prove every injected span was caught.
+    */
+  def piiRedact(s: SparkSession, dir: String): DataFrame = {
+    tune(s)
+    table(s, dir, "documents")
+      .withColumn("raw", concat(
+        lit("contact user"), col("doc_id"), lit("@corp.example or +1-555-"),
+        lpad((col("doc_id") % 10000).cast("string"), 4, "0"),
+        lit(" re: "), expr("substr(text, 1, 40)")))
+      .withColumn("redacted",
+        regexp_replace(
+          regexp_replace(col("raw"), "[a-z0-9]+@[a-z]+\\.[a-z]+", "<EMAIL>"),
+          "\\+1-555-[0-9]{4}", "<PHONE>"))
+      .agg(count(lit(1)).as("n_docs"),
+           sum(when(col("redacted").contains("<EMAIL>"), 1L).otherwise(0L)).as("n_email_hits"),
+           sum(when(col("redacted").contains("<PHONE>"), 1L).otherwise(0L)).as("n_phone_hits"),
+           sum(when(col("redacted").rlike("@|\\+1-555"), 1L).otherwise(0L)).as("n_leaks"),
+           sum(length(col("raw")) - length(col("redacted"))).as("chars_removed"))
+  }
+
+  private val piiRedactSql =
+    """SELECT COUNT(*) AS n_docs,
+      |CAST(SUM(CASE WHEN contains(redacted, '<EMAIL>') THEN 1 ELSE 0 END) AS BIGINT) AS n_email_hits,
+      |CAST(SUM(CASE WHEN contains(redacted, '<PHONE>') THEN 1 ELSE 0 END) AS BIGINT) AS n_phone_hits,
+      |CAST(SUM(CASE WHEN regexp_matches(redacted, '@|\+1-555') THEN 1 ELSE 0 END) AS BIGINT) AS n_leaks,
+      |CAST(SUM(length(raw) - length(redacted)) AS BIGINT) AS chars_removed
+      |FROM (
+      |  SELECT raw, regexp_replace(
+      |           regexp_replace(raw, '[a-z0-9]+@[a-z]+\.[a-z]+', '<EMAIL>', 'g'),
+      |           '\+1-555-[0-9]{4}', '<PHONE>', 'g') AS redacted
+      |  FROM (SELECT 'contact user' || CAST(doc_id AS VARCHAR) || '@corp.example or +1-555-'
+      |               || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+      |               || ' re: ' || substr(text, 1, 40) AS raw
+      |        FROM documents))""".stripMargin
+
+  /** Repetition ratio (Gopher-style quality rule): 1 - distinct/total word
+    * 3-grams per doc — boilerplate and looped generations score high. One
+    * explode + two-level aggregate; per-lang stats plus the count of docs
+    * over the 0.2 threshold.
+    */
+  def repetitionRatio(s: SparkSession, dir: String): DataFrame = {
+    tune(s)
+    val grams = spread(table(s, dir, "documents"))
+      .withColumn("ws", split(col("text"), " "))
+      .filter(size(col("ws")) >= 3)
+      .select(col("doc_id"), col("lang"), explode(expr(
+        "transform(sequence(1, size(ws)-2), i -> concat_ws(' ', element_at(ws, i), element_at(ws, i+1), element_at(ws, i+2)))")).as("g"))
+    grams.groupBy(col("doc_id"), col("lang"))
+      .agg(count(lit(1)).as("n_total"), countDistinct(col("g")).as("n_distinct"))
+      .withColumn("rep_ratio", lit(1.0) - col("n_distinct") / col("n_total"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+           davg(col("rep_ratio"), 9).as("avg_rep"),
+           sum(when(col("rep_ratio") > 0.2, 1L).otherwise(0L)).as("n_repetitive"))
+  }
+
+  private val repetitionRatioSql =
+    s"""SELECT lang, COUNT(*) AS n_docs, ${DAVG("rep_ratio", 9)} AS avg_rep,
+       |CAST(SUM(CASE WHEN rep_ratio > 0.2 THEN 1 ELSE 0 END) AS BIGINT) AS n_repetitive
+       |FROM (
+       |  SELECT doc_id, lang, 1.0 - (CAST(COUNT(DISTINCT g) AS DOUBLE) / COUNT(*)) AS rep_ratio
+       |  FROM (
+       |    SELECT doc_id, lang, s[i] || ' ' || s[i+1] || ' ' || s[i+2] AS g
+       |    FROM (SELECT doc_id, lang, s, unnest(range(1, len(s)-1)) AS i
+       |          FROM (SELECT doc_id, lang, string_split(text, ' ') AS s FROM documents)
+       |          WHERE len(s) >= 3))
+       |  GROUP BY doc_id, lang)
+       |GROUP BY lang""".stripMargin
+
+  /** Benchmark-contamination check: overlap of each corpus doc's char
+    * 8-gram hash set against a held-out "benchmark" slice (every 100th
+    * doc). The benchmark side is tiny by construction, so the overlap
+    * probe is a broadcast-able inner join on the shingle hash — at 100 TB
+    * the benchmark hash set is still MBs and the corpus side never
+    * shuffles by content, only aggregates per doc.
+    */
+  def contamination(s: SparkSession, dir: String): DataFrame = {
+    tune(s)
+    val grams = spread(table(s, dir, "documents"))
+      .filter(length(col("text")) >= 8)
+      .select(col("doc_id"), col("lang"), col("text"),
+        explode(sequence(lit(1), length(col("text")) - 7)).as("i"))
+      .select(col("doc_id"), col("lang"), md5Long(expr("substr(text, i, 8)")).as("h"))
+    val bench = grams.filter(col("doc_id") % 100 === 0)
+      .select(col("h")).distinct()
+    val corpus = grams.filter(col("doc_id") % 100 =!= 0)
+    val overlap = corpus.join(broadcast(bench), Seq("h"), "left_semi")
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(countDistinct(col("h")).as("n_overlap"))
+    val perDoc = corpus.groupBy(col("doc_id"), col("lang"))
+      .agg(countDistinct(col("h")).as("n_grams"))
+      .join(overlap, Seq("doc_id", "lang"), "left")
+      .withColumn("n_overlap", coalesce(col("n_overlap"), lit(0L)))
+    perDoc.groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+           sum(when(col("n_overlap") * 10 >= col("n_grams"), 1L).otherwise(0L)).as("n_contaminated"),
+           max(col("n_overlap")).as("max_overlap"))
+  }
+
+  private val contaminationSql =
+    """WITH grams AS (
+      |  SELECT doc_id, lang, (('0x' || substr(md5(substr(text, i, 8)), 1, 15))::BIGINT) AS h
+      |  FROM (SELECT doc_id, lang, text, unnest(range(1, length(text)-6)) AS i
+      |        FROM documents WHERE length(text) >= 8)),
+      |bench AS (SELECT DISTINCT h FROM grams WHERE doc_id % 100 = 0),
+      |corpus AS (SELECT * FROM grams WHERE doc_id % 100 <> 0),
+      |ov AS (SELECT doc_id, lang, COUNT(DISTINCT h) AS n_overlap
+      |       FROM corpus WHERE h IN (SELECT h FROM bench)
+      |       GROUP BY doc_id, lang),
+      |per_doc AS (
+      |  SELECT c.doc_id, c.lang, COUNT(DISTINCT c.h) AS n_grams,
+      |         COALESCE(ANY_VALUE(ov.n_overlap), 0) AS n_overlap
+      |  FROM corpus c LEFT JOIN ov ON ov.doc_id = c.doc_id AND ov.lang = c.lang
+      |  GROUP BY c.doc_id, c.lang)
+      |SELECT lang, COUNT(*) AS n_docs,
+      |CAST(SUM(CASE WHEN n_overlap * 10 >= n_grams THEN 1 ELSE 0 END) AS BIGINT) AS n_contaminated,
+      |CAST(MAX(n_overlap) AS BIGINT) AS max_overlap
+      |FROM per_doc GROUP BY lang""".stripMargin
+
   /** posexplode (UDTF surface, X3): tokenize with ordinal positions — the
     * generator form that keeps token order, which plain explode loses.
     * First five tokens of every 50th doc.
@@ -307,6 +431,12 @@ object TextOps extends QueryModule {
       tfidf, Some(tfidfSql)),
     GQuery("q45_posexplode", "posexplode tokenizer with ordinal positions (X3 generator)",
       posExplodeTokens, Some(posExplodeTokensSql)),
+    GQuery("q46_pii_redact", "PII redaction: email/phone masking with leak accounting",
+      piiRedact, Some(piiRedactSql)),
+    GQuery("q47_repetition", "repetition ratio (distinct/total word 3-grams) quality rule",
+      repetitionRatio, Some(repetitionRatioSql)),
+    GQuery("q48_contamination", "benchmark contamination: 8-gram overlap vs held-out slice",
+      contamination, Some(contaminationSql)),
     GQuery("q79_curation_pipeline", "composed curation: quality gate -> exact dedup -> corpus stats",
       curationPipeline, Some(curationPipelineSql)),
   )

@@ -22,6 +22,25 @@ object StreamOps extends QueryModule {
 
   private val counter = new java.util.concurrent.atomic.AtomicLong(0)
 
+  /** Checkpoints for these harness queries are ephemeral by construction
+    * (memory sink + AvailableNow), so they live on fast local tmpfs and
+    * are removed after the run — the state stores' per-batch delta
+    * commits then cost memory writes, not disk fsyncs. Production keeps
+    * OFFSET checkpoints on durable storage; state-store working dirs
+    * belong on fast local disk there as well. Process-unique base so a
+    * rerun can never resume a stale checkpoint (which would silently
+    * skip the input as already-processed).
+    */
+  private val ckBase = s"/dev/shm/graft-ck/${java.util.UUID.randomUUID()}"
+  private def dropCheckpoint(dir: String): Unit = {
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles).foreach(_.foreach(rm))
+      f.delete(): Unit
+    }
+    scala.util.Try(rm(new java.io.File(dir)))
+    scala.util.Try(new java.io.File(ckBase).delete()): Unit // parent, once empty
+  }
+
   /** Run a stateful streaming query with state-store parallelism sized to
     * its key volume. Shuffle-partition count is baked into a streaming
     * checkpoint at first start, so it is a first-class sizing decision:
@@ -56,10 +75,12 @@ object StreamOps extends QueryModule {
     val q = agg.writeStream
       .format("memory")
       .queryName(qname)
+      .option("checkpointLocation", s"$ckBase/$qname")
       .outputMode("complete")
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
+    dropCheckpoint(s"$ckBase/$qname")
     s.table(qname)
     }
   }
@@ -93,10 +114,12 @@ object StreamOps extends QueryModule {
     val q = counts.toDF().writeStream
       .format("memory")
       .queryName(qname)
+      .option("checkpointLocation", s"$ckBase/$qname")
       .outputMode("update")
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
+    dropCheckpoint(s"$ckBase/$qname")
     s.table(qname)
     }
   }
@@ -128,10 +151,12 @@ object StreamOps extends QueryModule {
     val q = deduped.writeStream
       .format("memory")
       .queryName(qname)
+      .option("checkpointLocation", s"$ckBase/$qname")
       .outputMode("complete")
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
+    dropCheckpoint(s"$ckBase/$qname")
     s.table(qname)
     }
   }

@@ -70,6 +70,37 @@ class AnalyticsSpec extends AnyFunSuite {
     }
   }
 
+  test("pii redaction: every injected span caught, zero leaks") {
+    val r = TextOps.piiRedact(s, TestSpark.sf).collect()(0)
+    val nDocs = r.getLong(0)
+    assert(r.getLong(1) == nDocs, "every doc has an injected email")
+    assert(r.getLong(2) == nDocs, "every doc has an injected phone")
+    assert(r.getLong(3) == 0L, "no PII-shaped text survives redaction")
+  }
+
+  test("repetition ratio stays in [0,1) and near-dup slices score high") {
+    TextOps.repetitionRatio(s, TestSpark.sf).collect().foreach { r =>
+      val avg = r.getDouble(2)
+      assert(avg >= 0.0 && avg < 1.0)
+    }
+  }
+
+  test("contamination: benchmark slice overlap is bounded by gram counts") {
+    TextOps.contamination(s, TestSpark.sf).collect().foreach { r =>
+      assert(r.getLong(1) >= r.getLong(2), "contaminated <= docs")
+      assert(r.getLong(3) >= 0L)
+    }
+  }
+
+  test("stratified sample: exactly k per stratum, deterministic") {
+    val a = Analytics.stratifiedSample(s, TestSpark.sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    a.foreach { case (_, n, _) => assert(n == 20L) }
+    val b = Analytics.stratifiedSample(s, TestSpark.sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    assert(a.sameElements(b))
+  }
+
   test("dedup clusters: labels partition the pair-graph nodes; canonical is the min") {
     val pairs = Dedup.simhashPairs(s, TestSpark.sf).select(col("da"), col("db")).cache()
     val nNodes = pairs.select(col("da").as("n"))
