@@ -62,6 +62,37 @@ object RoundTrip extends QueryModule {
        |CAST(COUNT(DISTINCT o_orderstatus) AS BIGINT) AS n_status
        |FROM orders WHERE o_orderkey % 10 = 0""".stripMargin
 
+  /** Schema evolution across lake files (the add-a-column migration every
+    * long-lived table goes through): an old batch without the new column
+    * and a new batch with it, read together via mergeSchema — old rows
+    * surface null for the added column, aggregates account for both
+    * generations. Explicit generation split on the key so the oracle can
+    * replay it.
+    */
+  def schemaEvolution(s: SparkSession, dir: String): DataFrame = {
+    tune(s)
+    val o = table(s, dir, "orders")
+    val path = tmpDir("evo_orders")
+    o.filter(col("o_orderkey") % 2 === 0)
+      .select(col("o_orderkey"), col("o_totalprice"))
+      .write.mode("overwrite").parquet(s"$path/gen=old")
+    o.filter(col("o_orderkey") % 2 === 1)
+      .select(col("o_orderkey"), col("o_totalprice"), col("o_orderpriority"))
+      .write.mode("overwrite").parquet(s"$path/gen=new")
+    s.read.option("mergeSchema", "true").parquet(path)
+      .agg(count(lit(1)).as("n_rows"),
+           count(col("o_orderpriority")).as("n_with_priority"),
+           sum(when(col("o_orderpriority").isNull, 1L).otherwise(0L)).as("n_legacy"),
+           dsum(col("o_totalprice")).as("sum_total"))
+  }
+
+  private val schemaEvolutionSql =
+    s"""SELECT COUNT(*) AS n_rows,
+       |COUNT(CASE WHEN o_orderkey % 2 = 1 THEN o_orderpriority END) AS n_with_priority,
+       |CAST(SUM(CASE WHEN o_orderkey % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_legacy,
+       |${DSUM("o_totalprice")} AS sum_total
+       |FROM orders""".stripMargin
+
   /** ORC sink + scan roundtrip (columnar format breadth beyond parquet):
     * same explicit-schema discipline; the oracle aggregates the parquet
     * original, so any type/precision loss in the ORC writer/reader breaks
@@ -121,5 +152,7 @@ object RoundTrip extends QueryModule {
       partitionedLake, Some(partitionedLakeSql)),
     GQuery("q81_orc_roundtrip", "ORC sink+scan roundtrip vs parquet oracle (S6/S12)",
       orcRoundtrip, Some(orcRoundtripSql)),
+    GQuery("q92_schema_evolution", "mergeSchema read across old/new-generation lake files",
+      schemaEvolution, Some(schemaEvolutionSql)),
   )
 }

@@ -127,6 +127,64 @@ object StreamOps extends QueryModule {
   private val statefulUserCountsSql =
     "SELECT user_id, COUNT(*) AS n_events FROM events GROUP BY user_id"
 
+  /** The Spark-4 arbitrary-state API (transformWithState): a
+    * StatefulProcessor with an explicit named ValueState — the successor
+    * to mapGroupsWithState, with typed state handles, TTL, and timers.
+    * Requires the RocksDB state store (checked at query start), which is
+    * also the store you would run at cluster scale: state lives off-heap
+    * / on local disk with changelog checkpointing instead of full JVM-heap
+    * maps.
+    */
+  private class UserCountProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, Long, UserCount] {
+    @transient private var count: org.apache.spark.sql.streaming.ValueState[Long] = _
+    override def init(outputMode: org.apache.spark.sql.streaming.OutputMode,
+                      timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      count = getHandle.getValueState[Long]("count", org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+    override def handleInputRows(key: Long, rows: Iterator[Long],
+        timerValues: org.apache.spark.sql.streaming.TimerValues): Iterator[UserCount] = {
+      val cur = (if (count.exists()) count.get() else 0L) + rows.size
+      count.update(cur)
+      Iterator.single(UserCount(key, cur))
+    }
+  }
+
+  /** Per-user running counts via transformWithState (ST1/X3, modern API);
+    * one AvailableNow batch makes the update stream equal the batch group
+    * counts, so it shares q86's DuckDB oracle.
+    */
+  def transformWithStateCounts(s: SparkSession, dir: String): DataFrame = {
+    tune(s)
+    import s.implicits._
+    val prevProvider = s.conf.get("spark.sql.streaming.stateStore.providerClass")
+    s.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try withStatePartitions(s, 8) {
+      val schema = s.read.parquet(s"$dir/events.parquet").schema
+      val src = s.readStream
+        .schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(dir)
+      val counts = src.select(col("user_id")).as[Long]
+        .groupByKey(identity)
+        .transformWithState(new UserCountProcessor,
+          org.apache.spark.sql.streaming.TimeMode.None(),
+          org.apache.spark.sql.streaming.OutputMode.Update())
+      val qname = s"graft_stream_tws_${counter.incrementAndGet()}"
+      val q = counts.toDF().writeStream
+        .format("memory")
+        .queryName(qname)
+        .option("checkpointLocation", s"$ckBase/$qname")
+        .outputMode("update")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      dropCheckpoint(s"$ckBase/$qname")
+      s.table(qname)
+    } finally s.conf.set("spark.sql.streaming.stateStore.providerClass", prevProvider)
+  }
+
   /** Streaming deduplication (ST1): the reference's idempotency gate in
     * stream form — dropDuplicates on the event key with a watermark bounding
     * the dedup state (at scale the watermark is what keeps the state store
@@ -178,5 +236,8 @@ object StreamOps extends QueryModule {
     GQuery("q87_stream_dedup",
       "streaming dropDuplicates with watermark-bounded state (ST1, the idempotency gate)",
       streamDedup, Some(streamDedupSql)),
+    GQuery("q91_stream_tws",
+      "transformWithState StatefulProcessor + RocksDB store (modern arbitrary-state API)",
+      transformWithStateCounts, Some(statefulUserCountsSql)),
   )
 }

@@ -31,4 +31,34 @@ class PartitioningSpec extends AnyFunSuite {
     val direct = orders.filter(col("o_year") === 1995).count()
     assert(q.count() == direct && direct > 0)
   }
+
+  test("AQE splits a skewed sort-merge join at runtime") {
+    import s.implicits._
+    Engine.tune(s)
+    val prev = Seq(
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.autoBroadcastJoinThreshold").map(k => k -> s.conf.getOption(k)).toMap
+    try {
+      // thresholds scaled down so the fixture-sized hot key trips the same
+      // AQE machinery that handles real skew at cluster scale
+      s.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "64KB")
+      s.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16KB")
+      s.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ
+      val hot = s.range(300000).select(lit(0L).as("k"), col("id").as("v"))
+        .union(s.range(1000).select((col("id") % 50 + 1).as("k"), col("id").as("v")))
+      val dim = s.range(51).select(col("id").as("k"), (col("id") * 10).as("w"))
+      val j = hot.join(dim, "k")
+      // action on j's OWN QueryExecution — an action on a derived frame
+      // would leave this AdaptiveSparkPlan un-finalized
+      assert(j.collect().length == 301000)
+      val plan = j.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true"),
+        s"AQE must mark the hot partition as skewed:\n$plan")
+    } finally prev.foreach { case (k, v) =>
+      v.fold(s.conf.unset(k))(s.conf.set(k, _))
+    }
+  }
 }
