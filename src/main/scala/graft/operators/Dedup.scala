@@ -342,15 +342,24 @@ object Dedup extends QueryModule {
     * the per-round convergence count. The oracle computes the same
     * components with a recursive CTE.
     */
-  def dedupClusters(s: SparkSession, dir: String): DataFrame = {
-    tune(s)
-    val pairs = simhashPairs(s, dir).select(col("da"), col("db"))
+  /** Connected components over an undirected pair list `(da, db)`:
+    * returns one row per node with its component label (the minimum
+    * reachable node id). Reusable across any near-dup pair source
+    * (SimHash, MinHash, embedding LSH).
+    *
+    * Iterative min-label propagation with pointer jumping, the standard
+    * distributed CC shape (GraphX/Pregel run the same supersteps); the
+    * driver only ever sees the per-round convergence count.
+    */
+  def connectedComponents(pairs: DataFrame): DataFrame = {
+    val s = pairs.sparkSession
+    val Seq(a, b) = pairs.columns.toSeq.take(2)
     // localCheckpoint (not cache): iterative plans must CUT lineage each
     // round — a cache only short-circuits execution, the analyzed plan
     // still nests the full history and grows exponentially with rounds.
-    val edges = pairs
-      .unionByName(pairs.select(col("db").as("da"), col("da").as("db")))
-      .toDF("n", "m").localCheckpoint()
+    val edges = pairs.select(col(a).as("n"), col(b).as("m"))
+      .unionByName(pairs.select(col(b).as("n"), col(a).as("m")))
+      .localCheckpoint()
     var labels = edges.select(col("n")).distinct()
       .withColumn("lab", col("n")).localCheckpoint()
     // The label frame is tiny relative to the corpus (only docs that hit a
@@ -383,12 +392,17 @@ object Dedup extends QueryModule {
         labels = next.select(col("n"), col("lab"))
         iter += 1
       }
+      labels
     } finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+  }
+
+  def dedupClusters(s: SparkSession, dir: String): DataFrame = {
+    tune(s)
+    val labels = connectedComponents(simhashPairs(s, dir).select(col("da"), col("db")))
     val out = labels.groupBy(col("lab").as("cluster_id"))
       .agg(count(lit(1)).as("n_members"),
            min(col("n")).as("min_doc"),
            max(col("n")).as("max_doc"))
-    edges.unpersist()
     out
   }
 

@@ -182,7 +182,34 @@ object Events extends QueryModule {
       |        MAX(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END) AS last_purchase
       |      FROM events GROUP BY user_id)""".stripMargin
 
+  /** VariantType (Spark 4's open semi-structured type): parse the JSON
+    * props once into a variant, extract typed fields with variant_get —
+    * the shredded-storage path for JSON at scale, replacing per-access
+    * string re-parsing (get_json_object) with a binary-encoded value.
+    */
+  def variantProps(s: SparkSession, dir: String): DataFrame = {
+    tune(s)
+    table(s, dir, "events")
+      .withColumn("v", parse_json(col("props")))
+      .withColumn("k", expr("variant_get(v, '$.k', 'bigint')"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+           count(col("k")).as("n_k"),
+           sum(col("k")).as("sum_k"),
+           min(col("k")).as("min_k"),
+           max(col("k")).as("max_k"))
+  }
+
+  private val variantPropsSql =
+    """SELECT event_type, COUNT(*) AS n, COUNT(k) AS n_k,
+      |CAST(SUM(k) AS BIGINT) AS sum_k, MIN(k) AS min_k, MAX(k) AS max_k
+      |FROM (SELECT event_type, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+      |      FROM events)
+      |GROUP BY event_type""".stripMargin
+
   override val queries: Seq[GQuery] = Seq(
+    GQuery("q93_variant", "VariantType parse_json + typed variant_get extraction (F14, Spark 4)",
+      variantProps, Some(variantPropsSql)),
     GQuery("q54_json_props", "JSON prop extraction + compact re-serialization (F13/F14)", jsonProps, Some(jsonPropsSql)),
     GQuery("q57_map_ops", "MapType column access: keys/values/size (F16)", mapOps, Some(mapOpsSql)),
     GQuery("q71_hourly_windows", "tumbling 1h windows via window() (ST1 batch shape)", hourlyWindows, Some(hourlyWindowsSql)),

@@ -101,6 +101,35 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(a.sameElements(b))
   }
 
+  test("connected components match a reference union-find on random graphs") {
+    import s.implicits._
+    val rnd = new scala.util.Random(42)
+    (1 to 3).foreach { _ =>
+      val n = 30
+      val edges = (1 to 40)
+        .map(_ => (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter(e => e._1 != e._2)
+        .map(e => (math.min(e._1, e._2), math.max(e._1, e._2)))
+        .distinct
+      val labels = Dedup.connectedComponents(edges.toDF("da", "db"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      // reference union-find, always attaching the larger root under the
+      // smaller one, so each component's root IS its minimum node id
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        val p = parent.getOrElse(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      edges.foreach { case (x, y) =>
+        val (rx, ry) = (find(x), find(y))
+        if (rx != ry) parent(math.max(rx, ry)) = math.min(rx, ry)
+      }
+      val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+      assert(labels.keySet == nodes.toSet)
+      nodes.foreach(nd => assert(labels(nd) == find(nd), s"node $nd"))
+    }
+  }
+
   test("dedup clusters: labels partition the pair-graph nodes; canonical is the min") {
     val pairs = Dedup.simhashPairs(s, TestSpark.sf).select(col("da"), col("db")).cache()
     val nNodes = pairs.select(col("da").as("n"))
