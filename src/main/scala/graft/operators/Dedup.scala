@@ -278,17 +278,20 @@ object Dedup extends QueryModule {
       .select(col("doc_id"), fp.as("fp"))
   }
 
-  private val simhashCtes = {
+  // toks/votes/fps CTEs alone (over an existing `docs` CTE), so oracles
+  // combining the simhash and minhash families don't redefine `docs`
+  private val simhashCoreCtes = {
     val votes = (0 until 32)
       .map(j => s"SUM(((h >> $j) & 1) * 2 - 1) AS sb$j").mkString(", ")
     val fp = (0 until 32)
       .map(j => s"(CASE WHEN sb$j > 0 THEN ${1L << j} ELSE 0 END)").mkString(" + ")
-    s"""$augmentedDocsSql,
-       |toks AS (SELECT doc_id, ${MD5L("w")} AS h
+    s"""toks AS (SELECT doc_id, ${MD5L("w")} AS h
        |         FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM docs)),
        |votes AS (SELECT doc_id, $votes FROM toks GROUP BY doc_id),
        |fps AS (SELECT doc_id, CAST($fp AS BIGINT) AS fp FROM votes)""".stripMargin
   }
+
+  private val simhashCtes = s"$augmentedDocsSql,\n$simhashCoreCtes"
 
   private val simhashSql =
     s"WITH $simhashCtes\nSELECT doc_id, fp FROM fps"
@@ -428,6 +431,59 @@ object Dedup extends QueryModule {
        |FROM labels GROUP BY lab""".stripMargin
   }
 
+  /** Multi-signal dedup clustering: union the MinHash-LSH candidate pairs
+    * (signature similarity >= 0.75) with the SimHash pairs (hamming <= 3),
+    * form connected components over the combined evidence, and report the
+    * cluster-size histogram — the "one family per near-dup group across
+    * ALL detectors" rollup a curation pipeline actually dedupes against.
+    * Both pair sources come from the session-cached substrate, so the
+    * marginal cost is the union + the component loop.
+    */
+  def multiSignalClusters(s: SparkSession, dir: String): DataFrame = {
+    tune(s)
+    val mh = minhashCandidates(s, dir)
+      .filter(col("sig_sim") >= 0.75)
+      .select(col("da"), col("db"))
+    val sh = simhashPairs(s, dir).select(col("da"), col("db"))
+    val labels = connectedComponents(mh.unionByName(sh).distinct())
+    labels.groupBy(col("lab")).agg(count(lit(1)).as("sz"))
+      .groupBy(col("sz").as("cluster_size"))
+      .agg(count(lit(1)).as("n_clusters"))
+  }
+
+  private val multiSignalClustersSql = {
+    val sim = (0 until 16)
+      .map(j => s"CASE WHEN a.m$j = b.m$j THEN 1 ELSE 0 END").mkString(" + ")
+    val sbandSelects = (0 until 4)
+      .map(j => s"SELECT doc_id, fp, $j AS band, (fp >> ${8 * j}) & 255 AS bkey FROM fps")
+      .mkString(" UNION ALL ")
+    s"""WITH RECURSIVE $augmentedDocsSql,
+       |$shinglesSql,
+       |$minhashSigsSql,
+       |$bandRowsSql,
+       |$candSql,
+       |$simhashCoreCtes,
+       |sbands AS ($sbandSelects),
+       |mh AS (SELECT da, db FROM (
+       |  SELECT da, db, ($sim) / 16.0 AS sig_sim
+       |  FROM cand JOIN sigs a ON a.doc_id = da JOIN sigs b ON b.doc_id = db)
+       |  WHERE sig_sim >= 0.75),
+       |sp AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+       |       FROM sbands a JOIN sbands b
+       |       ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+       |       WHERE bit_count(xor(a.fp, b.fp)) <= 3),
+       |allp AS (SELECT da, db FROM mh UNION SELECT da, db FROM sp),
+       |edges AS (SELECT da AS n, db AS m FROM allp UNION SELECT db, da FROM allp),
+       |reach(n, lab) AS (
+       |  SELECT n, n FROM (SELECT DISTINCT n FROM edges)
+       |  UNION
+       |  SELECT e.n, r.lab FROM edges e JOIN reach r ON r.n = e.m),
+       |labels AS (SELECT n, MIN(lab) AS lab FROM reach GROUP BY n)
+       |SELECT sz AS cluster_size, COUNT(*) AS n_clusters
+       |FROM (SELECT lab, COUNT(*) AS sz FROM labels GROUP BY lab)
+       |GROUP BY sz""".stripMargin
+  }
+
   override val queries: Seq[GQuery] = Seq(
     GQuery("q60_dedup_exact", "exact dedup via hash-groupBy keep-first, per-lang summary",
       dedupExact, Some(dedupExactSql)),
@@ -441,5 +497,7 @@ object Dedup extends QueryModule {
       simhashPairs, Some(simhashPairsSql)),
     GQuery("q90_dedup_clusters", "near-dup clusters: connected components (min-label propagation) + canonical pick",
       dedupClusters, Some(dedupClustersSql)),
+    GQuery("q94_multi_signal_clusters", "clusters over combined MinHash + SimHash evidence, size histogram",
+      multiSignalClusters, Some(multiSignalClustersSql)),
   )
 }

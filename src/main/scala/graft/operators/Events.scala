@@ -182,6 +182,34 @@ object Events extends QueryModule {
       |        MAX(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END) AS last_purchase
       |      FROM events GROUP BY user_id)""".stripMargin
 
+  /** Hour-over-hour retention: of the users active in hour h, how many
+    * come back in h+1 — the cohort primitive behind DAU/WAU curves. One
+    * distinct (user, hour) frame self-joined on the shifted hour; both
+    * sides shuffle on the same key so the join is co-partitioned.
+    */
+  def retention(s: SparkSession, dir: String): DataFrame = {
+    tune(s)
+    val uh = table(s, dir, "events")
+      .select(col("user_id"), expr("(ts div 1000) div 3600000000").as("hr"))
+      .distinct()
+    val nxt = uh.select(col("user_id"), (col("hr") - 1).as("hr"))
+    uh.join(nxt.withColumn("retained", lit(1L)).distinct(),
+        Seq("user_id", "hr"), "left")
+      .groupBy(col("hr"))
+      .agg(count(lit(1)).as("n_active"),
+           sum(coalesce(col("retained"), lit(0L))).as("n_retained"))
+  }
+
+  private val retentionSql =
+    """SELECT hr, COUNT(*) AS n_active,
+      |CAST(SUM(CASE WHEN retained THEN 1 ELSE 0 END) AS BIGINT) AS n_retained
+      |FROM (
+      |  SELECT uh.user_id, uh.hr,
+      |         EXISTS (SELECT 1 FROM (SELECT DISTINCT user_id, epoch_us(ts) // 3600000000 AS hr FROM events) n
+      |                 WHERE n.user_id = uh.user_id AND n.hr = uh.hr + 1) AS retained
+      |  FROM (SELECT DISTINCT user_id, epoch_us(ts) // 3600000000 AS hr FROM events) uh)
+      |GROUP BY hr""".stripMargin
+
   /** VariantType (Spark 4's open semi-structured type): parse the JSON
     * props once into a variant, extract typed fields with variant_get —
     * the shredded-storage path for JSON at scale, replacing per-access
@@ -210,6 +238,8 @@ object Events extends QueryModule {
   override val queries: Seq[GQuery] = Seq(
     GQuery("q93_variant", "VariantType parse_json + typed variant_get extraction (F14, Spark 4)",
       variantProps, Some(variantPropsSql)),
+    GQuery("q77_retention", "hour-over-hour cohort retention (co-partitioned self-join)",
+      retention, Some(retentionSql)),
     GQuery("q54_json_props", "JSON prop extraction + compact re-serialization (F13/F14)", jsonProps, Some(jsonPropsSql)),
     GQuery("q57_map_ops", "MapType column access: keys/values/size (F16)", mapOps, Some(mapOpsSql)),
     GQuery("q71_hourly_windows", "tumbling 1h windows via window() (ST1 batch shape)", hourlyWindows, Some(hourlyWindowsSql)),

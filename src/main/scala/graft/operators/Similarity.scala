@@ -238,8 +238,36 @@ object Similarity extends QueryModule {
       |embedding[1] AS first_x, embedding[-1] AS last_x
       |FROM embeddings""".stripMargin
 
+  /** Higher-order-function breadth (F16/X3): filter / exists / forall /
+    * transform over the embedding arrays — the lambda surface for array
+    * columns beyond the dot-product fold (which DotProductRewrite lowers
+    * to the native kernel).
+    */
+  def hofOps(s: SparkSession, dir: String): DataFrame = {
+    tune(s)
+    table(s, dir, "embeddings")
+      .select(col("vec_id"),
+        expr("size(filter(embedding, x -> x > 0))").as("n_pos"),
+        // compare in double on both engines: 0.15 has no exact float, and a
+        // float-vs-double threshold flips for values inside the gap
+        expr("exists(embedding, x -> CAST(x AS DOUBLE) > 0.15D)").as("any_big"),
+        expr("forall(embedding, x -> abs(x) < 1)").as("all_small"),
+        expr("CAST(element_at(transform(embedding, x -> x * CAST(2 AS FLOAT)), 1) AS DOUBLE)").as("first_doubled"))
+      .filter(col("vec_id") % 10 === 0)
+  }
+
+  private val hofOpsSql =
+    """SELECT vec_id,
+      |CAST(len(list_filter(embedding, x -> x > 0)) AS INT) AS n_pos,
+      |len(list_filter(embedding, x -> x > 0.15)) > 0 AS any_big,
+      |len(list_filter(embedding, x -> abs(x) < 1)) = len(embedding) AS all_small,
+      |CAST(embedding[1] AS DOUBLE) * 2 AS first_doubled
+      |FROM embeddings WHERE vec_id % 10 = 0""".stripMargin
+
   override val queries: Seq[GQuery] = Seq(
     GQuery("q55_array_ops", "array column structural access (F16)", arrayOps, Some(arrayOpsSql)),
+    GQuery("q59_hof_ops", "filter/exists/forall/transform higher-order array breadth (F16)",
+      hofOps, Some(hofOpsSql)),
     GQuery("q64_cosine_knn", "brute-force exact cosine top-5, broadcast probes + per-row folds", cosineKnn, Some(cosineKnnSql)),
     GQuery("q65_ivf_ann", "IVF-partitioned ANN: centroid assignment + in-cluster top-3", ivfAnn, Some(ivfAnnSql)),
     GQuery("q78_embedding_neardup", "embedding-cosine near-dup via sign-LSH bucket join (no all-pairs)",
