@@ -94,18 +94,21 @@ object Dedup extends QueryModule {
       })
   }
 
-  /** SimHash fingerprints, cached per session+dir like [[frames]]: the
-    * fingerprint table feeds q62 (dump), q89 (pairing), and q90
-    * (clustering) — one signature build, three consumers, exactly as a
-    * production pipeline materializes its fingerprint table once.
+  /** Generic session-scoped materialization for the other shared substrate
+    * frames (SimHash fingerprints feed q62/q89/q90/q94; the SimHash pair
+    * list feeds q89/q90/q94; MinHash candidates feed q61/q94) — one build,
+    * N consumers, same weak-keyed lifecycle as [[frames]].
     */
-  private val fpsCache =
+  private val genericCache =
     new java.util.WeakHashMap[SparkSession, scala.collection.mutable.Map[String, DataFrame]]()
-  private def cachedFps(s: SparkSession, dir: String): DataFrame = fpsCache.synchronized {
-    fpsCache
-      .computeIfAbsent(s, _ => scala.collection.mutable.Map.empty)
-      .getOrElseUpdate(dir, simhash(s, dir).cache())
-  }
+  private def sessionCached(s: SparkSession, key: String)(build: => DataFrame): DataFrame =
+    genericCache.synchronized {
+      genericCache
+        .computeIfAbsent(s, _ => scala.collection.mutable.Map.empty)
+        .getOrElseUpdate(key, build.cache())
+    }
+  private def cachedFps(s: SparkSession, dir: String): DataFrame =
+    sessionCached(s, s"fps:$dir")(simhash(s, dir))
 
   private val shinglesSql =
     """sh AS (
@@ -192,15 +195,17 @@ object Dedup extends QueryModule {
   /** MinHash near-dup candidates: band-bucket join + signature similarity. */
   def minhashCandidates(s: SparkSession, dir: String): DataFrame = {
     tune(s)
-    val f = frames(s, dir)
-    val (sigs, cand) = (f.sigs, f.cand)
-    val sa = sigs.columns.foldLeft(sigs)((df, c) => df.withColumnRenamed(c, if (c == "doc_id") "da" else s"a_$c"))
-    val sb = sigs.columns.foldLeft(sigs)((df, c) => df.withColumnRenamed(c, if (c == "doc_id") "db" else s"b_$c"))
-    val simExpr = (0 until 16)
-      .map(j => when(col(s"a_m$j") === col(s"b_m$j"), 1).otherwise(0))
-      .reduce(_ + _) / lit(16.0)
-    cand.join(sa, "da").join(sb, "db")
-      .select(col("da"), col("db"), simExpr.as("sig_sim"))
+    sessionCached(s, s"mhc:$dir") {
+      val f = frames(s, dir)
+      val (sigs, cand) = (f.sigs, f.cand)
+      val sa = sigs.columns.foldLeft(sigs)((df, c) => df.withColumnRenamed(c, if (c == "doc_id") "da" else s"a_$c"))
+      val sb = sigs.columns.foldLeft(sigs)((df, c) => df.withColumnRenamed(c, if (c == "doc_id") "db" else s"b_$c"))
+      val simExpr = (0 until 16)
+        .map(j => when(col(s"a_m$j") === col(s"b_m$j"), 1).otherwise(0))
+        .reduce(_ + _) / lit(16.0)
+      cand.join(sa, "da").join(sb, "db")
+        .select(col("da"), col("db"), simExpr.as("sig_sim"))
+    }
   }
 
   private val minhashCandidatesSql = {
@@ -303,6 +308,10 @@ object Dedup extends QueryModule {
     */
   def simhashPairs(s: SparkSession, dir: String): DataFrame = {
     tune(s)
+    sessionCached(s, s"shp:$dir") { simhashPairsUncached(s, dir) }
+  }
+
+  private def simhashPairsUncached(s: SparkSession, dir: String): DataFrame = {
     val fps = cachedFps(s, dir)
     val bandStructs = (0 until 4)
       .map(j => s"struct($j AS band, shiftright(fp, ${8 * j}) & 255 AS bkey)")
@@ -395,6 +404,7 @@ object Dedup extends QueryModule {
         labels = next.select(col("n"), col("lab"))
         iter += 1
       }
+      System.err.println(s"[graft] connectedComponents converged in $iter rounds")
       labels
     } finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
   }
