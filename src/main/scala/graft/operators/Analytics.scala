@@ -219,6 +219,104 @@ object Analytics extends QueryModule {
        |WHERE rk <= 20
        |GROUP BY lang""".stripMargin
 
+  /** Fuzzy entity matching with blocking: distinct part names, blocked on
+    * (noun, adjective initial), pairwise Levenshtein within each block —
+    * the entity-resolution shape where the blocking key bounds candidate
+    * pairs (sum of per-block squares), never all-pairs.
+    */
+  def fuzzyBlocked(s: SparkSession, dir: String): DataFrame = {
+    tune(s)
+    val names = table(s, dir, "part").select(col("p_name")).distinct()
+      .withColumn("noun", element_at(split(col("p_name"), " "), 2))
+      .withColumn("blk", col("noun"))
+    val a = names.select(col("blk"), col("noun"), col("p_name").as("na"))
+    val b = names.select(col("blk"), col("p_name").as("nb"))
+    a.join(b, "blk")
+      .filter(col("na") < col("nb"))
+      .withColumn("dist", levenshtein(col("na"), col("nb")))
+      .filter(col("dist") <= 4)
+      .groupBy(col("noun"))
+      .agg(count(lit(1)).as("n_close_pairs"),
+           min(col("dist")).as("min_dist"),
+           min(concat(col("na"), lit("|"), col("nb"))).as("first_pair"))
+  }
+
+  private val fuzzyBlockedSql =
+    """SELECT noun, COUNT(*) AS n_close_pairs,
+      |CAST(MIN(dist) AS INT) AS min_dist,
+      |MIN(na || '|' || nb) AS first_pair
+      |FROM (
+      |  SELECT a.noun, a.na, b.nb, levenshtein(a.na, b.nb) AS dist
+      |  FROM (SELECT DISTINCT p_name AS na,
+      |          string_split(p_name, ' ')[2] AS noun
+      |        FROM part) a
+      |  JOIN (SELECT DISTINCT p_name AS nb,
+      |          string_split(p_name, ' ')[2] AS noun
+      |        FROM part) b
+      |  ON a.noun = b.noun AND a.na < b.nb)
+      |WHERE dist <= 4
+      |GROUP BY noun""".stripMargin
+
+  /** Bit/bool aggregate breadth (A5): bit_and/or/xor and bool_and/or over
+    * integral event keys — exact integer results in both engines.
+    */
+  def bitAggs(s: SparkSession, dir: String): DataFrame = {
+    tune(s)
+    table(s, dir, "events")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+           expr("bit_and(user_id)").as("b_and"),
+           expr("bit_or(user_id)").as("b_or"),
+           expr("bit_xor(user_id)").as("b_xor"),
+           expr("bool_and(user_id % 2 = 0)").as("all_even"),
+           expr("bool_or(user_id > 990)").as("any_high"))
+  }
+
+  private val bitAggsSql =
+    """SELECT event_type, COUNT(*) AS n,
+      |bit_and(user_id) AS b_and, bit_or(user_id) AS b_or, bit_xor(user_id) AS b_xor,
+      |bool_and(user_id % 2 = 0) AS all_even, bool_or(user_id > 990) AS any_high
+      |FROM events GROUP BY event_type""".stripMargin
+
+  /** KMV (k-minimum-values) distinct-count sketch as a typed Aggregator
+    * (X3, the "novel sketch" surface): keep the k smallest distinct
+    * 60-bit hashes per group; estimate distinct = (k-1) * 2^60 / kthMin.
+    * Unlike HLL, the sketch state is a deterministic function of the
+    * input SET, so merge order cannot change the result and the DuckDB
+    * oracle reproduces the estimate EXACTLY — an approximate algorithm
+    * with a bit-exact cross-engine check.
+    */
+  def kmvDistinct(s: SparkSession, dir: String): DataFrame = {
+    tune(s)
+    val kmv = udaf(graft.functions.KmvSketch, org.apache.spark.sql.Encoders.scalaLong)
+    table(s, dir, "orders")
+      .withColumn("h", md5Long(col("o_custkey").cast("string")))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_rows"),
+           countDistinct(col("o_custkey")).as("n_exact"),
+           kmv(col("h")).as("kmv_estimate"))
+  }
+
+  private val kmvDistinctSql =
+    """SELECT g AS o_orderpriority, ANY_VALUE(n_rows) AS n_rows,
+      |ANY_VALUE(n_exact) AS n_exact,
+      |CASE WHEN ANY_VALUE(cnt) < 64 THEN CAST(ANY_VALUE(cnt) AS DOUBLE)
+      |     ELSE (63 * pow(2.0, 60)) / CAST(MAX(CASE WHEN rn = 64 THEN h END) AS DOUBLE)
+      |END AS kmv_estimate
+      |FROM (
+      |  SELECT d.g, d.h,
+      |         ROW_NUMBER() OVER (PARTITION BY d.g ORDER BY d.h) AS rn,
+      |         COUNT(*) OVER (PARTITION BY d.g) AS cnt,
+      |         t.n_rows, t.n_exact
+      |  FROM (SELECT DISTINCT o_orderpriority AS g,
+      |          (('0x' || substr(md5(CAST(o_custkey AS VARCHAR)), 1, 15))::BIGINT) AS h
+      |        FROM orders) d
+      |  JOIN (SELECT o_orderpriority AS g, COUNT(*) AS n_rows,
+      |          CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_exact
+      |        FROM orders GROUP BY o_orderpriority) t
+      |  ON t.g = d.g)
+      |GROUP BY g""".stripMargin
+
   override val queries: Seq[GQuery] = Seq(
     GQuery("q29_percentiles", "exact interpolated percentiles per group (A5)",
       percentiles, Some(percentilesSql)),
@@ -234,5 +332,11 @@ object Analytics extends QueryModule {
       hashSample, Some(hashSampleSql)),
     GQuery("q49_stratified_sample", "stratified quota sample: exactly k per class by hash order",
       stratifiedSample, Some(stratifiedSampleSql)),
+    GQuery("q95_fuzzy_blocked", "blocked Levenshtein entity matching (no all-pairs)",
+      fuzzyBlocked, Some(fuzzyBlockedSql)),
+    GQuery("q96_bit_aggs", "bit_and/or/xor + bool_and/or aggregate breadth (A5)",
+      bitAggs, Some(bitAggsSql)),
+    GQuery("q97_kmv_sketch", "KMV distinct sketch (typed Aggregator) with bit-exact oracle",
+      kmvDistinct, Some(kmvDistinctSql)),
   )
 }
