@@ -84,6 +84,60 @@ object Analytics extends QueryModule {
        |FROM orders GROUP BY o_orderpriority""".stripMargin
   }
 
+  /** Correlated LATERAL subquery (SQL surface): per-priority top-2 orders
+    * by price via a lateral per-row subquery — Catalyst decorrelates it
+    * into the same windowed plan a hand-written rank would produce, which
+    * is exactly why the declarative SQL spelling is safe at scale.
+    */
+  def lateralTopK(s: SparkSession, dir: String): DataFrame = {
+    tune(s)
+    table(s, dir, "orders").createOrReplaceTempView("orders_v")
+    s.sql(
+      """SELECT p.o_orderpriority, t.o_orderkey, t.o_totalprice
+        |FROM (SELECT DISTINCT o_orderpriority FROM orders_v) p,
+        |LATERAL (SELECT o_orderkey, o_totalprice FROM orders_v o
+        |         WHERE o.o_orderpriority = p.o_orderpriority
+        |         ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t""".stripMargin)
+  }
+
+  private val lateralTopKSql =
+    """SELECT p.o_orderpriority, t.o_orderkey, t.o_totalprice
+      |FROM (SELECT DISTINCT o_orderpriority FROM orders) p,
+      |LATERAL (SELECT o_orderkey, o_totalprice FROM orders o
+      |         WHERE o.o_orderpriority = p.o_orderpriority
+      |         ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t""".stripMargin
+
+  /** Correlated EXISTS / NOT EXISTS (SQL surface): customers with and
+    * without high-value orders — Catalyst rewrites to semi/anti joins,
+    * the same plans as q12/q13's DataFrame spellings.
+    */
+  def existsSubquery(s: SparkSession, dir: String): DataFrame = {
+    tune(s)
+    table(s, dir, "orders").createOrReplaceTempView("orders_v")
+    table(s, dir, "customer").createOrReplaceTempView("customer_v")
+    s.sql(
+      """SELECT c.c_mktsegment,
+        |  CAST(SUM(CASE WHEN EXISTS (SELECT 1 FROM orders_v o
+        |    WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000)
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_big_spenders,
+        |  CAST(SUM(CASE WHEN NOT EXISTS (SELECT 1 FROM orders_v o
+        |    WHERE o.o_custkey = c.c_custkey)
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_no_orders,
+        |  COUNT(*) AS n_customers
+        |FROM customer_v c GROUP BY c.c_mktsegment""".stripMargin)
+  }
+
+  private val existsSubquerySql =
+    """SELECT c.c_mktsegment,
+      |  CAST(SUM(CASE WHEN EXISTS (SELECT 1 FROM orders o
+      |    WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000)
+      |    THEN 1 ELSE 0 END) AS BIGINT) AS n_big_spenders,
+      |  CAST(SUM(CASE WHEN NOT EXISTS (SELECT 1 FROM orders o
+      |    WHERE o.o_custkey = c.c_custkey)
+      |    THEN 1 ELSE 0 END) AS BIGINT) AS n_no_orders,
+      |  COUNT(*) AS n_customers
+      |FROM customer c GROUP BY c.c_mktsegment""".stripMargin
+
   /** Deterministic hash sample: keep rows whose portable key-hash lands in
     * the first 10 of 100 buckets. Reproducible across engines, runs, and
     * cluster sizes — the debug-sample / A-B-split primitive a pipeline
@@ -328,6 +382,10 @@ object Analytics extends QueryModule {
       unpivotMeasures, Some(unpivotMeasuresSql)),
     GQuery("q36_window_dist", "ntile/percent_rank/cume_dist/first/last window breadth (W1)",
       windowDist, Some(windowDistSql)),
+    GQuery("q38_lateral_topk", "correlated LATERAL subquery: per-group top-2 (SQL surface)",
+      lateralTopK, Some(lateralTopKSql)),
+    GQuery("q39_exists_subquery", "correlated EXISTS / NOT EXISTS rewritten to semi/anti joins",
+      existsSubquery, Some(existsSubquerySql)),
     GQuery("q44_hash_sample", "deterministic md5-bucket sampling (reproducible debug sample)",
       hashSample, Some(hashSampleSql)),
     GQuery("q49_stratified_sample", "stratified quota sample: exactly k per class by hash order",

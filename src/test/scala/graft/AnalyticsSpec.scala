@@ -101,6 +101,23 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(a.sameElements(b))
   }
 
+  test("KMV sketch is partition-independent and exact below k") {
+    import s.implicits._
+    val kmv = udaf(graft.functions.KmvSketch, org.apache.spark.sql.Encoders.scalaLong)
+    // 40 distinct values < k=64: the sketch must report the exact count
+    val small = (1 to 200).map(i => (i % 40).toLong * 7919L)
+    val e1 = small.toDF("h").repartition(1).agg(kmv(col("h"))).collect()(0).getDouble(0)
+    val e13 = small.toDF("h").repartition(13).agg(kmv(col("h"))).collect()(0).getDouble(0)
+    assert(e1 == 40.0 && e13 == 40.0)
+    // 5000 distinct hashes > k: estimate identical under any partitioning
+    val big = (1 to 5000).map(i => graft.functions.GraftHash.md5_60(
+      org.apache.spark.unsafe.types.UTF8String.fromString(i.toString)))
+    val b1 = big.toDF("h").repartition(1).agg(kmv(col("h"))).collect()(0).getDouble(0)
+    val b17 = big.toDF("h").repartition(17).agg(kmv(col("h"))).collect()(0).getDouble(0)
+    assert(b1 == b17)
+    assert(math.abs(b1 - 5000.0) / 5000.0 < 0.35, s"estimate $b1 too far from 5000")
+  }
+
   test("connected components match a reference union-find on random graphs") {
     import s.implicits._
     val rnd = new scala.util.Random(42)
