@@ -67,6 +67,30 @@ object Storage {
       .map(_.count(f => fs.delete(f.getPath, false)))
       .sum
   }
+
+  /** Small-file compaction: rewrite a parquet directory into
+    * ceil(totalBytes / targetBytes) files. The lake-maintenance job every
+    * streaming/incremental sink eventually needs — thousands of
+    * micro-batch files kill scan planning (one task + one open per file);
+    * compaction restores O(data/target) tasks. Write-then-swap so readers
+    * never observe a half-written directory.
+    */
+  def compact(spark: org.apache.spark.sql.SparkSession, dir: String,
+              targetBytes: Long = 128L * 1024 * 1024): Int = {
+    val path = new Path(dir)
+    val fs = FileSystem.get(path.toUri, spark.sparkContext.hadoopConfiguration)
+    val total = fs.listStatus(path).filter(_.isFile)
+      .filterNot(_.getPath.getName.startsWith(".")).map(_.getLen).sum
+    val n = math.max(1, math.ceil(total.toDouble / targetBytes).toInt)
+    val tmp = new Path(path.getParent, s".${path.getName}_compacting")
+    spark.read.parquet(dir).repartition(n)
+      .write.mode("overwrite").parquet(tmp.toString)
+    val bak = new Path(path.getParent, s".${path.getName}_old")
+    fs.rename(path, bak)
+    fs.rename(tmp, path)
+    fs.delete(bak, true)
+    n
+  }
 }
 
 /** Notification gating (C5/S11): the reference proceeds with the upload only

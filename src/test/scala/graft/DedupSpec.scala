@@ -39,6 +39,12 @@ class DedupSpec extends AnyFunSuite {
     assert(a == b)
   }
 
+  test("multi-signal clustering path contains no cartesian product") {
+    val plan = Dedup.multiSignalClusters(s, TestSpark.sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), s"plan was:\n$plan")
+  }
+
   test("candidate generation contains no cartesian product in the plan") {
     val plan = Dedup.minhashCandidates(s, TestSpark.sf)
       .queryExecution.executedPlan.toString

@@ -2,6 +2,7 @@ package graft
 
 import graft.sources.{ChunkedIngest, Notifier, Pipeline, Storage}
 import graft.streaming.IncrementalIngest
+import org.apache.spark.sql.functions.{col, sum}
 import org.apache.spark.util.LongAccumulator
 import org.scalatest.funsuite.AnyFunSuite
 import java.nio.file.{Files, Paths}
@@ -47,6 +48,22 @@ class IngestSpec extends AnyFunSuite {
     assert(deleted == 45)
     val left = Files.list(dir).toArray.map(_.toString)
     assert(left.length == 1 && left(0).endsWith(".keep"))
+  }
+
+  test("compaction rewrites many small files into few, preserving rows") {
+    import s.implicits._
+    val dir = Files.createTempDirectory("graft_compact").resolve("t").toString
+    // 24 micro-batch-sized files
+    s.range(0, 2400).select(col("id"), (col("id") * 2).as("v"))
+      .repartition(24).write.mode("overwrite").parquet(dir)
+    val before = new java.io.File(dir).listFiles.count(_.getName.endsWith(".parquet"))
+    assert(before == 24)
+    val sumBefore = s.read.parquet(dir).agg(sum("v")).collect()(0).getLong(0)
+    Storage.compact(s, dir, targetBytes = 1024L * 1024)
+    val after = new java.io.File(dir).listFiles.count(_.getName.endsWith(".parquet"))
+    assert(after < before, s"expected fewer files, got $after")
+    assert(s.read.parquet(dir).count() == 2400)
+    assert(s.read.parquet(dir).agg(sum("v")).collect()(0).getLong(0) == sumBefore)
   }
 
   test("notification gate: action runs only if start notification succeeds (C5)") {
