@@ -210,6 +210,56 @@ object Events extends QueryModule {
       |  FROM (SELECT DISTINCT user_id, epoch_us(ts) // 3600000000 AS hr FROM events) uh)
       |GROUP BY hr""".stripMargin
 
+  /** Gap-fill + forward-fill: build the complete hourly spine per event
+    * type, left-join the observed hourly aggregates, and carry the last
+    * observed value across the gaps (`last(..., ignoreNulls)` over an
+    * ordered window) — the resample/ffill primitive time-series ETL
+    * needs; missing buckets otherwise silently vanish from downstream
+    * joins and charts.
+    */
+  def gapFill(s: SparkSession, dir: String): DataFrame = {
+    tune(s)
+    val hourly = table(s, dir, "events")
+      .select(col("event_type"), expr("(ts div 1000) div 3600000000").as("hr"), col("value"))
+      .groupBy(col("event_type"), col("hr"))
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+    val bounds = hourly.agg(min(col("hr")).as("mn"), max(col("hr")).as("mx"))
+    val spine = hourly.select(col("event_type")).distinct()
+      .crossJoin(broadcast(bounds))
+      .select(col("event_type"), explode(expr("sequence(mn, mx)")).as("hr"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("event_type")).orderBy(col("hr"))
+    val filled = spine.join(hourly, Seq("event_type", "hr"), "left")
+      .withColumn("n0", coalesce(col("n"), lit(0L)))
+      .withColumn("carried", last(col("sum_value"), ignoreNulls = true).over(w))
+    filled.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_hours"),
+           sum(when(col("n0") === 0, 1L).otherwise(0L)).as("n_gap_hours"),
+           dsum(col("carried")).as("sum_carried"))
+  }
+
+  private val gapFillSql =
+    s"""WITH hourly AS (
+       |  SELECT event_type, epoch_us(ts) // 3600000000 AS hr,
+       |         COUNT(*) AS n, ${DSUM("value")} AS sum_value
+       |  FROM events GROUP BY event_type, hr),
+       |b AS (SELECT MIN(hr) AS mn, MAX(hr) AS mx FROM hourly),
+       |spine AS (
+       |  SELECT t.event_type, u.hr
+       |  FROM (SELECT DISTINCT event_type FROM hourly) t,
+       |       (SELECT unnest(range(mn, mx + 1)) AS hr FROM b) u),
+       |filled AS (
+       |  SELECT sp.event_type, sp.hr,
+       |         COALESCE(h.n, 0) AS n0,
+       |         last_value(h.sum_value IGNORE NULLS) OVER
+       |           (PARTITION BY sp.event_type ORDER BY sp.hr) AS carried
+       |  FROM spine sp LEFT JOIN hourly h
+       |  ON h.event_type = sp.event_type AND h.hr = sp.hr)
+       |SELECT event_type, COUNT(*) AS n_hours,
+       |CAST(SUM(CASE WHEN n0 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_gap_hours,
+       |${DSUM("carried")} AS sum_carried
+       |FROM filled GROUP BY event_type""".stripMargin
+
   /** VariantType (Spark 4's open semi-structured type): parse the JSON
     * props once into a variant, extract typed fields with variant_get —
     * the shredded-storage path for JSON at scale, replacing per-access
@@ -240,6 +290,8 @@ object Events extends QueryModule {
       variantProps, Some(variantPropsSql)),
     GQuery("q77_retention", "hour-over-hour cohort retention (co-partitioned self-join)",
       retention, Some(retentionSql)),
+    GQuery("q37_gapfill", "hourly spine gap-fill + forward-fill (resample/ffill primitive)",
+      gapFill, Some(gapFillSql)),
     GQuery("q54_json_props", "JSON prop extraction + compact re-serialization (F13/F14)", jsonProps, Some(jsonPropsSql)),
     GQuery("q57_map_ops", "MapType column access: keys/values/size (F16)", mapOps, Some(mapOpsSql)),
     GQuery("q71_hourly_windows", "tumbling 1h windows via window() (ST1 batch shape)", hourlyWindows, Some(hourlyWindowsSql)),
