@@ -383,21 +383,22 @@ object Dedup extends QueryModule {
       var iter = 0
       var changed = 1L
       while (changed > 0 && iter < 20) {
+        // the self rows carry the previous label through the aggregate
+        // (max(old) — only self rows are non-null), so no extra join is
+        // needed to detect convergence
         val neighborMin = edges
           .join(labels.select(col("n").as("m"), col("lab")), "m")
-          .select(col("n"), col("lab"))
-          .unionByName(labels)
-          .groupBy(col("n")).agg(min(col("lab")).as("lab"))
+          .select(col("n"), col("lab"), lit(null).cast("long").as("old"))
+          .unionByName(labels.select(col("n"), col("lab"), col("lab").as("old")))
+          .groupBy(col("n")).agg(min(col("lab")).as("lab"), max(col("old")).as("old"))
           .cache() // shallow plan (labels is checkpointed); used twice below
         // pointer jumping: replace each label by its label's label
         // (label(x) <= x), collapsing chains in O(log diameter) rounds
-        // instead of one hop per round. The previous label rides along so
-        // convergence is a filter over the checkpointed frame — one
-        // materializing job per round, not two.
+        // instead of one hop per round; convergence is then a filter over
+        // the checkpointed frame — one materializing job per round.
         val next = neighborMin
           .join(neighborMin.select(col("n").as("lab"), col("lab").as("lab2")), Seq("lab"))
-          .select(col("n"), col("lab2").as("lab"))
-          .join(labels.select(col("n"), col("lab").as("old")), "n")
+          .select(col("n"), col("lab2").as("lab"), col("old"))
           .localCheckpoint()
         changed = next.filter(col("lab") =!= col("old")).count()
         neighborMin.unpersist()
