@@ -371,6 +371,49 @@ object Analytics extends QueryModule {
       |  ON t.g = d.g)
       |GROUP BY g""".stripMargin
 
+  /** Cross-engine table checksum — the migration-validation primitive: an
+    * order-independent fingerprint (bit_xor of the portable row hash over
+    * a canonical row rendering) per table. Two engines agreeing on this
+    * value have byte-identical logical content, regardless of row order,
+    * partitioning, or file layout; it is how a user switching engines
+    * proves the swap lost nothing. Doubles are rendered through
+    * DECIMAL(18,2) so both engines print identical bytes.
+    */
+  def tableChecksum(s: SparkSession, dir: String): DataFrame = {
+    tune(s)
+    def sig(name: String, keyExpr: String): DataFrame =
+      table(s, dir, name)
+        .withColumn("h", md5Long(expr(keyExpr)))
+        .agg(count(lit(1)).as("n_rows"), expr("bit_xor(h)").as("checksum"))
+        .select(lit(name).as("tbl"), col("n_rows"), col("checksum"))
+    sig("orders",
+        "concat_ws('|', o_orderkey, o_custkey, o_orderstatus, " +
+          "CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS STRING), CAST(o_orderdate AS DATE))")
+      .unionByName(sig("customer",
+        "concat_ws('|', c_custkey, c_name, c_mktsegment, " +
+          "CAST(CAST(c_acctbal AS DECIMAL(18,2)) AS STRING))"))
+      .unionByName(sig("part",
+        "concat_ws('|', p_partkey, p_name, p_brand, " +
+          "CAST(CAST(p_retailprice AS DECIMAL(18,2)) AS STRING))"))
+  }
+
+  private val tableChecksumSql = {
+    def sig(name: String, keyExpr: String) =
+      s"""SELECT '$name' AS tbl, COUNT(*) AS n_rows,
+         |bit_xor(${MD5L(keyExpr)}) AS checksum FROM $name""".stripMargin
+    Seq(
+      sig("orders",
+        "concat_ws('|', o_orderkey, o_custkey, o_orderstatus, " +
+          "CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR), CAST(o_orderdate AS DATE))"),
+      sig("customer",
+        "concat_ws('|', c_custkey, c_name, c_mktsegment, " +
+          "CAST(CAST(c_acctbal AS DECIMAL(18,2)) AS VARCHAR))"),
+      sig("part",
+        "concat_ws('|', p_partkey, p_name, p_brand, " +
+          "CAST(CAST(p_retailprice AS DECIMAL(18,2)) AS VARCHAR))")
+    ).mkString(" UNION ALL ")
+  }
+
   override val queries: Seq[GQuery] = Seq(
     GQuery("q29_percentiles", "exact interpolated percentiles per group (A5)",
       percentiles, Some(percentilesSql)),
@@ -396,5 +439,7 @@ object Analytics extends QueryModule {
       bitAggs, Some(bitAggsSql)),
     GQuery("q97_kmv_sketch", "KMV distinct sketch (typed Aggregator) with bit-exact oracle",
       kmvDistinct, Some(kmvDistinctSql)),
+    GQuery("q98_table_checksum", "order-independent cross-engine table fingerprint (migration validation)",
+      tableChecksum, Some(tableChecksumSql)),
   )
 }
