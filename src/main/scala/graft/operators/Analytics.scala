@@ -371,6 +371,35 @@ object Analytics extends QueryModule {
       |  ON t.g = d.g)
       |GROUP BY g""".stripMargin
 
+  /** Percent-of-total (ratio_to_report): each order's share of its
+    * priority group's revenue. The window total goes through the exact
+    * DECIMAL accumulator — a plain double window SUM is order-dependent
+    * and would drift under shuffle re-plans; the decimal sum is the same
+    * value on any partitioning, so the shares are bit-stable.
+    */
+  def ratioToReport(s: SparkSession, dir: String): DataFrame = {
+    tune(s)
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("o_orderpriority"))
+    table(s, dir, "orders")
+      .withColumn("grp_total",
+        sum(col("o_totalprice").cast(org.apache.spark.sql.types.DecimalType(38, 6)))
+          .over(w).cast("double"))
+      .withColumn("share", round(col("o_totalprice") / col("grp_total"), 12))
+      .filter(col("o_orderkey") % 199 === 0)
+      .select(col("o_orderpriority"), col("o_orderkey"), col("o_totalprice"),
+        col("grp_total"), col("share"))
+  }
+
+  private val ratioToReportSql =
+    """SELECT o_orderpriority, o_orderkey, o_totalprice, grp_total,
+      |round(o_totalprice / grp_total, 12) AS share
+      |FROM (
+      |  SELECT o_orderpriority, o_orderkey, o_totalprice,
+      |    CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) OVER
+      |      (PARTITION BY o_orderpriority) AS DOUBLE) AS grp_total
+      |  FROM orders)
+      |WHERE o_orderkey % 199 = 0""".stripMargin
+
   /** Cross-engine table checksum — the migration-validation primitive: an
     * order-independent fingerprint (bit_xor of the portable row hash over
     * a canonical row rendering) per table. Two engines agreeing on this
@@ -425,6 +454,8 @@ object Analytics extends QueryModule {
       unpivotMeasures, Some(unpivotMeasuresSql)),
     GQuery("q36_window_dist", "ntile/percent_rank/cume_dist/first/last window breadth (W1)",
       windowDist, Some(windowDistSql)),
+    GQuery("q19_ratio_to_report", "percent-of-total via decimal-exact window sum (W1)",
+      ratioToReport, Some(ratioToReportSql)),
     GQuery("q38_lateral_topk", "correlated LATERAL subquery: per-group top-2 (SQL surface)",
       lateralTopK, Some(lateralTopKSql)),
     GQuery("q39_exists_subquery", "correlated EXISTS / NOT EXISTS rewritten to semi/anti joins",
