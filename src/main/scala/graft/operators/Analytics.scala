@@ -401,20 +401,30 @@ object Analytics extends QueryModule {
       |WHERE o_orderkey % 199 = 0""".stripMargin
 
   /** Cross-engine table checksum — the migration-validation primitive: an
-    * order-independent fingerprint (bit_xor of the portable row hash over
-    * a canonical row rendering) per table. Two engines agreeing on this
-    * value have byte-identical logical content, regardless of row order,
-    * partitioning, or file layout; it is how a user switching engines
-    * proves the swap lost nothing. Doubles are rendered through
+    * order-independent fingerprint of the portable row hash over a
+    * canonical row rendering, per table. The fingerprint is the SUM of the
+    * 60-bit row hashes reduced mod 2^60 (exact decimal/hugeint
+    * accumulation, so it is order- and partitioning-independent), which is
+    * multiset-sensitive: a row duplicated and another dropped shifts the
+    * sum, where a bit_xor fingerprint cancels any row occurring an even
+    * number of times ({A,A,B,B} xor-collides with {C,C,B,B}). bit_xor is
+    * kept as a second, independent signal. Doubles are rendered through
     * DECIMAL(18,2) so both engines print identical bytes.
     */
+  private[graft] def tableSig(df: DataFrame, name: String, keyExpr: String): DataFrame =
+    df.withColumn("h", md5Long(expr(keyExpr)))
+      .agg(count(lit(1)).as("n_rows"),
+           expr("bit_xor(h)").as("xor_sig"),
+           // exact DECIMAL(38,0) accumulation (n_rows * 2^60 stays far below
+           // 10^38 at any realistic scale), then mod 2^60 back to BIGINT
+           expr("CAST(sum(CAST(h AS DECIMAL(38,0))) % 1152921504606846976 AS BIGINT)")
+             .as("checksum"))
+      .select(lit(name).as("tbl"), col("n_rows"), col("xor_sig"), col("checksum"))
+
   def tableChecksum(s: SparkSession, dir: String): DataFrame = {
     tune(s)
     def sig(name: String, keyExpr: String): DataFrame =
-      table(s, dir, name)
-        .withColumn("h", md5Long(expr(keyExpr)))
-        .agg(count(lit(1)).as("n_rows"), expr("bit_xor(h)").as("checksum"))
-        .select(lit(name).as("tbl"), col("n_rows"), col("checksum"))
+      tableSig(table(s, dir, name), name, keyExpr)
     sig("orders",
         "concat_ws('|', o_orderkey, o_custkey, o_orderstatus, " +
           "CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS STRING), CAST(o_orderdate AS DATE))")
@@ -429,7 +439,9 @@ object Analytics extends QueryModule {
   private val tableChecksumSql = {
     def sig(name: String, keyExpr: String) =
       s"""SELECT '$name' AS tbl, COUNT(*) AS n_rows,
-         |bit_xor(${MD5L(keyExpr)}) AS checksum FROM $name""".stripMargin
+         |bit_xor(${MD5L(keyExpr)}) AS xor_sig,
+         |CAST(SUM(CAST(${MD5L(keyExpr)} AS HUGEINT)) % 1152921504606846976 AS BIGINT) AS checksum
+         |FROM $name""".stripMargin
     Seq(
       sig("orders",
         "concat_ws('|', o_orderkey, o_custkey, o_orderstatus, " +

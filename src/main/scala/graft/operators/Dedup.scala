@@ -376,13 +376,18 @@ object Dedup extends QueryModule {
       .withColumn("lab", col("n")).localCheckpoint()
     // The label frame is tiny relative to the corpus (only docs that hit a
     // near-dup pair); per-round shuffles at full width would be pure
-    // scheduling overhead — size the loop's parallelism to the frame.
+    // scheduling overhead — size the loop's parallelism to the frame:
+    // ~500k edge rows per partition, floor 8 (edges is already
+    // materialized by the localCheckpoint, so the count is a cheap scan).
+    val edgeRows = edges.count() // already includes both directions
+    val loopParts = math.max(8L, edgeRows / 500000L).min(100000L).toString
     val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
-    s.conf.set("spark.sql.shuffle.partitions", "8")
+    s.conf.set("spark.sql.shuffle.partitions", loopParts)
     try {
       var iter = 0
       var changed = 1L
-      while (changed > 0 && iter < 20) {
+      val maxIter = 20
+      while (changed > 0 && iter < maxIter) {
         // the self rows carry the previous label through the aggregate
         // (max(old) — only self rows are non-null), so no extra join is
         // needed to detect convergence
@@ -405,6 +410,12 @@ object Dedup extends QueryModule {
         labels = next.select(col("n"), col("lab"))
         iter += 1
       }
+      // With pointer jumping, rounds ~ log2(component diameter): 20 rounds
+      // covers diameters up to ~2^20. Hitting the cap unconverged would
+      // silently return WRONG labels — that must be fatal, not a log line.
+      if (changed > 0)
+        throw new IllegalStateException(
+          s"connectedComponents did not converge in $maxIter rounds ($changed labels still moving)")
       System.err.println(s"[graft] connectedComponents converged in $iter rounds")
       labels
     } finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)

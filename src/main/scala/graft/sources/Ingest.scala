@@ -79,15 +79,37 @@ object Storage {
               targetBytes: Long = 128L * 1024 * 1024): Int = {
     val path = new Path(dir)
     val fs = FileSystem.get(path.toUri, spark.sparkContext.hadoopConfiguration)
+    val tmp = new Path(path.getParent, s".${path.getName}_compacting")
+    val bak = new Path(path.getParent, s".${path.getName}_old")
+    // Recover from a crashed prior run BEFORE touching anything. Hadoop
+    // rename signals failure by returning false, so a stale bak/tmp must be
+    // resolved explicitly or the renames below fail and could strand (or
+    // worse, delete) the only live copy.
+    if (fs.exists(bak)) {
+      if (!fs.exists(path)) {
+        // prior run died between the two swap renames: bak IS the live data
+        if (!fs.rename(bak, path))
+          throw new java.io.IOException(s"compact: cannot restore $bak -> $path")
+      } else fs.delete(bak, true) // prior run died after the swap: bak is garbage
+    }
+    if (fs.exists(tmp)) fs.delete(tmp, true)
     val total = fs.listStatus(path).filter(_.isFile)
       .filterNot(_.getPath.getName.startsWith(".")).map(_.getLen).sum
     val n = math.max(1, math.ceil(total.toDouble / targetBytes).toInt)
-    val tmp = new Path(path.getParent, s".${path.getName}_compacting")
     spark.read.parquet(dir).repartition(n)
       .write.mode("overwrite").parquet(tmp.toString)
-    val bak = new Path(path.getParent, s".${path.getName}_old")
-    fs.rename(path, bak)
-    fs.rename(tmp, path)
+    if (!fs.rename(path, bak)) {
+      fs.delete(tmp, true)
+      throw new java.io.IOException(s"compact: rename $path -> $bak failed; original untouched")
+    }
+    if (!fs.rename(tmp, path)) {
+      // bak is now the ONLY live copy — roll it back before any delete
+      if (!fs.rename(bak, path))
+        throw new java.io.IOException(
+          s"compact: swap failed AND rollback failed; live data is at $bak")
+      fs.delete(tmp, true)
+      throw new java.io.IOException(s"compact: rename $tmp -> $path failed; original restored")
+    }
     fs.delete(bak, true)
     n
   }

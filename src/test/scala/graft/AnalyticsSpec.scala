@@ -118,6 +118,23 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(math.abs(b1 - 5000.0) / 5000.0 < 0.35, s"estimate $b1 too far from 5000")
   }
 
+  test("table checksum: sum fingerprint catches the dup-pair swap xor misses") {
+    import s.implicits._
+    // {A,A,B,B} vs {C,C,B,B}: same row count, every row occurs an even
+    // number of times, so bit_xor cancels to 0 on both — only the wrapping
+    // SUM fingerprint distinguishes the two tables.
+    val t1 = Seq("A", "A", "B", "B").toDF("k")
+    val t2 = Seq("C", "C", "B", "B").toDF("k")
+    val r1 = Analytics.tableSig(t1, "t1", "k").collect()(0)
+    val r2 = Analytics.tableSig(t2, "t2", "k").collect()(0)
+    assert(r1.getLong(1) == r2.getLong(1), "same n_rows")
+    assert(r1.getLong(2) == r2.getLong(2), "xor fingerprint collides by construction")
+    assert(r1.getLong(3) != r2.getLong(3), "sum fingerprint must distinguish the tables")
+    // and the sum fingerprint is order/partitioning-independent
+    val r1b = Analytics.tableSig(t1.repartition(3), "t1", "k").collect()(0)
+    assert(r1.getLong(3) == r1b.getLong(3))
+  }
+
   test("connected components match a reference union-find on random graphs") {
     import s.implicits._
     val rnd = new scala.util.Random(42)

@@ -66,6 +66,32 @@ class IngestSpec extends AnyFunSuite {
     assert(s.read.parquet(dir).agg(sum("v")).collect()(0).getLong(0) == sumBefore)
   }
 
+  test("compaction recovers from a crashed prior run's stale bak/tmp dirs") {
+    import s.implicits._
+    val parent = Files.createTempDirectory("graft_compact_crash")
+    val dir = parent.resolve("t").toString
+    s.range(0, 100).select(col("id"), (col("id") * 3).as("v"))
+      .repartition(4).write.mode("overwrite").parquet(dir)
+    val sum0 = s.read.parquet(dir).agg(sum("v")).collect()(0).getLong(0)
+    // crash scenario A: prior run died between the two swap renames — the
+    // live data sits in .t_old and `dir` is gone; compact must restore it
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(dir), s.sparkContext.hadoopConfiguration)
+    val path = new org.apache.hadoop.fs.Path(dir)
+    val bak = new org.apache.hadoop.fs.Path(parent.resolve(".t_old").toString)
+    assert(fs.rename(path, bak))
+    Storage.compact(s, dir, targetBytes = 1024L * 1024)
+    assert(s.read.parquet(dir).agg(sum("v")).collect()(0).getLong(0) == sum0)
+    assert(!fs.exists(bak), "stale bak cleaned up after successful swap")
+    // crash scenario B: stale bak AND tmp exist alongside live data — both
+    // must be discarded, live data wins
+    val tmp = new org.apache.hadoop.fs.Path(parent.resolve(".t_compacting").toString)
+    fs.mkdirs(bak); fs.mkdirs(tmp)
+    Storage.compact(s, dir, targetBytes = 1024L * 1024)
+    assert(s.read.parquet(dir).agg(sum("v")).collect()(0).getLong(0) == sum0)
+    assert(!fs.exists(bak) && !fs.exists(tmp))
+  }
+
   test("notification gate: action runs only if start notification succeeds (C5)") {
     val sent = scala.collection.mutable.ListBuffer[String]()
     val good = new Notifier { def send(subj: String, b: String) = { sent += subj; true } }
