@@ -75,38 +75,22 @@ object Dedup extends QueryModule {
     * self-join scans the signature table twice, and without materialization
     * each branch would recompute the full shingle+hash pipeline.
     *
-    * Weak-keyed by the owning SparkSession: when a session is dropped, its
-    * entry (and the DataFrames inside) become unreachable, and Spark's
-    * ContextCleaner unpersists garbage-collected cached RDDs — no leak, no
-    * identityHashCode-reuse hazard, no cross-session handout.
+    * Lifecycle is [[graft.SessionCache]]: bounded LRU over sessions with
+    * explicit unpersist on eviction (a weak-keyed map cannot collect here —
+    * a Dataset strongly references its own SparkSession).
     */
+  private def sessionCached(s: SparkSession, key: String)(build: => DataFrame): DataFrame =
+    graft.SessionCache.cached(s, s"dedup:$key")(build)
   private final case class DedupFrames(
       sh: DataFrame, shd: DataFrame, sigs: DataFrame, cand: DataFrame)
-  private val frameCache =
-    new java.util.WeakHashMap[SparkSession, scala.collection.mutable.Map[String, DedupFrames]]()
-  private def frames(s: SparkSession, dir: String): DedupFrames = frameCache.synchronized {
-    frameCache
-      .computeIfAbsent(s, _ => scala.collection.mutable.Map.empty)
-      .getOrElseUpdate(dir, {
-        val sh = shingles(augmentedDocs(s, dir)).cache()
-        val sigs = sigsFrom(sh).cache()
-        DedupFrames(sh, sh.distinct().cache(), sigs, candFrom(sigs).cache())
-      })
+  private def frames(s: SparkSession, dir: String): DedupFrames = {
+    val sh = sessionCached(s, s"sh:$dir")(shingles(augmentedDocs(s, dir)))
+    val sigs = sessionCached(s, s"sigs:$dir")(sigsFrom(sh))
+    DedupFrames(sh,
+      sessionCached(s, s"shd:$dir")(sh.distinct()),
+      sigs,
+      sessionCached(s, s"cand:$dir")(candFrom(sigs)))
   }
-
-  /** Generic session-scoped materialization for the other shared substrate
-    * frames (SimHash fingerprints feed q62/q89/q90/q94; the SimHash pair
-    * list feeds q89/q90/q94; MinHash candidates feed q61/q94) — one build,
-    * N consumers, same weak-keyed lifecycle as [[frames]].
-    */
-  private val genericCache =
-    new java.util.WeakHashMap[SparkSession, scala.collection.mutable.Map[String, DataFrame]]()
-  private def sessionCached(s: SparkSession, key: String)(build: => DataFrame): DataFrame =
-    genericCache.synchronized {
-      genericCache
-        .computeIfAbsent(s, _ => scala.collection.mutable.Map.empty)
-        .getOrElseUpdate(key, build.cache())
-    }
   private def cachedFps(s: SparkSession, dir: String): DataFrame =
     sessionCached(s, s"fps:$dir")(simhash(s, dir))
 

@@ -337,22 +337,32 @@ object TextOps extends QueryModule {
     */
   def contamination(s: SparkSession, dir: String): DataFrame = {
     tune(s)
-    val grams = spread(table(s, dir, "documents"))
-      .filter(length(col("text")) >= 8)
-      .select(col("doc_id"), col("lang"), col("text"),
-        explode(sequence(lit(1), length(col("text")) - 7)).as("i"))
-      .select(col("doc_id"), col("lang"), md5Long(expr("substr(text, i, 8)")).as("h"))
-    val bench = grams.filter(col("doc_id") % 100 === 0)
-      .select(col("h")).distinct()
-    val corpus = grams.filter(col("doc_id") % 100 =!= 0)
-    val overlap = corpus.join(broadcast(bench), Seq("h"), "left_semi")
+    // The ~300x char-gram expansion is the expensive stage, and every
+    // consumer needs the per-doc DISTINCT gram-hash set — so build that set
+    // entirely row-local as array_distinct(transform(...)): the expansion
+    // never exists as rows, needs no distinct shuffle, and the cached
+    // substrate is one compact array row per doc. (Round-3 shape exploded
+    // and recomputed the grams three times.)
+    val docGrams = graft.SessionCache.cached(s, s"textops:grams8:$dir") {
+      spread(table(s, dir, "documents"))
+        .filter(length(col("text")) >= 8)
+        .select(col("doc_id"), col("lang"),
+          expr("array_distinct(transform(sequence(1, length(text)-7), " +
+            "i -> graft_md5_60(substr(text, i, 8))))").as("hs"))
+    }
+    val bench = docGrams.filter(col("doc_id") % 100 === 0)
+      .select(explode(col("hs")).as("h")).distinct()
+    val corpus = docGrams.filter(col("doc_id") % 100 =!= 0)
+    // only the overlap probe ever explodes, and the post-join shuffle
+    // carries matched grams only (bounded by the benchmark's size)
+    val overlap = corpus.select(col("doc_id"), col("lang"), explode(col("hs")).as("h"))
+      .join(broadcast(bench), Seq("h"), "left_semi")
       .groupBy(col("doc_id"), col("lang"))
-      .agg(countDistinct(col("h")).as("n_overlap"))
-    val perDoc = corpus.groupBy(col("doc_id"), col("lang"))
-      .agg(countDistinct(col("h")).as("n_grams"))
+      .agg(count(lit(1)).as("n_overlap"))
+    corpus.select(col("doc_id"), col("lang"), size(col("hs")).as("n_grams"))
       .join(overlap, Seq("doc_id", "lang"), "left")
       .withColumn("n_overlap", coalesce(col("n_overlap"), lit(0L)))
-    perDoc.groupBy(col("lang"))
+      .groupBy(col("lang"))
       .agg(count(lit(1)).as("n_docs"),
            sum(when(col("n_overlap") * 10 >= col("n_grams"), 1L).otherwise(0L)).as("n_contaminated"),
            max(col("n_overlap")).as("max_overlap"))
