@@ -49,6 +49,39 @@ object Analytics extends QueryModule {
       |MIN(o_totalprice) AS x_min, MAX(o_totalprice) AS x_max
       |FROM orders GROUP BY o_orderpriority""".stripMargin
 
+  /** Sketch-path percentiles — the 100 TB alternative to q29's exact
+    * sort-based percentile(): approx_percentile's GK quantile summary is a
+    * partial-aggregable sketch (ObjectHashAggregate, NO per-group full
+    * sort), with a deterministic rank-error guarantee of n/accuracy. The
+    * guarantee is what the oracle checks: a second linear scan counts rows
+    * at-or-below each sketch output, and booleans assert the observed rank
+    * sits within p*n ± (2n/accuracy + 2); DuckDB expects TRUE. Both scans
+    * are hash aggregates — this query never sorts anything.
+    */
+  def approxQuantiles(s: SparkSession, dir: String): DataFrame = {
+    tune(s)
+    val acc = 1000
+    val o = table(s, dir, "orders").select(col("o_orderpriority"), col("o_totalprice"))
+    val sk = o.groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"),
+           expr(s"approx_percentile(o_totalprice, array(0.5D, 0.99D), $acc)").as("ap"))
+      .select(col("o_orderpriority"), col("n"),
+              col("ap")(0).as("p50a"), col("ap")(1).as("p99a"))
+    o.join(broadcast(sk), "o_orderpriority")
+      .groupBy(col("o_orderpriority"))
+      .agg(first(col("n")).as("n"),
+           sum(when(col("o_totalprice") <= col("p50a"), 1L).otherwise(0L)).as("r50"),
+           sum(when(col("o_totalprice") <= col("p99a"), 1L).otherwise(0L)).as("r99"))
+      .select(col("o_orderpriority"), col("n"),
+        (abs(col("r50") - col("n") * 0.5) <= col("n") * 2.0 / acc + 2).as("p50_rank_ok"),
+        (abs(col("r99") - col("n") * 0.99) <= col("n") * 2.0 / acc + 2).as("p99_rank_ok"))
+  }
+
+  private val approxQuantilesSql =
+    """SELECT o_orderpriority, COUNT(*) AS n,
+      |TRUE AS p50_rank_ok, TRUE AS p99_rank_ok
+      |FROM orders GROUP BY o_orderpriority""".stripMargin
+
   /** Pearson correlation from the exact decimal moment identity — NOT the
     * engines' own streaming corr() implementations, whose low bits differ
     * by accumulation order. The five sums are exact decimals (x has 2
@@ -458,6 +491,8 @@ object Analytics extends QueryModule {
   override val queries: Seq[GQuery] = Seq(
     GQuery("q29_percentiles", "exact interpolated percentiles per group (A5)",
       percentiles, Some(percentilesSql)),
+    GQuery("q100_approx_quantiles", "GK-sketch approx_percentile with machine-checked rank-error contract (no sort)",
+      approxQuantiles, Some(approxQuantilesSql)),
     GQuery("q33_corr", "Pearson correlation via exact decimal moment identity (A5)",
       corrAgg, Some(corrAggSql)),
     GQuery("q34_above_avg", "scalar-subquery threshold: rows above global exact average",

@@ -261,15 +261,29 @@ object Relational extends QueryModule {
     """SELECT o_orderpriority, CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_custs, COUNT(*) AS n
       |FROM orders GROUP BY o_orderpriority""".stripMargin
 
-  /** approx_count_distinct (HLL sketch) — approximate, so no SQL oracle; the
-    * driver records a rows-only check. This is the 100 TB path for distincts.
+  /** approx_count_distinct (HLL sketch) — the 100 TB path for distincts.
+    * DuckDB cannot reproduce Spark's HLL++ registers, but the ERROR BOUND is
+    * checkable: the query emits the exact count plus a boolean asserting the
+    * estimate landed within 10% (5x the configured rsd of 0.02 — HLL++ is
+    * deterministic for a given input set, so this is a stable property of
+    * the data, not a flaky statistical test), and the oracle expects TRUE.
+    * The approximate algorithm thus gets a hard machine-checked contract
+    * instead of the previous rows-only non-check.
     */
   def approxDistinct(s: SparkSession, dir: String): DataFrame = {
     tune(s)
     table(s, dir, "orders")
       .groupBy(col("o_orderpriority"))
-      .agg(approx_count_distinct(col("o_custkey")).as("approx_custs"))
+      .agg(countDistinct(col("o_custkey")).as("n_exact"),
+           approx_count_distinct(col("o_custkey"), 0.02).as("n_approx"))
+      .select(col("o_orderpriority"), col("n_exact"),
+        (abs(col("n_approx") - col("n_exact")) <= col("n_exact") * 0.10).as("approx_ok"))
   }
+
+  private val approxDistinctSql =
+    """SELECT o_orderpriority, CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_exact,
+      |TRUE AS approx_ok
+      |FROM orders GROUP BY o_orderpriority""".stripMargin
 
   /** Statistical aggregates with engineered parity: variance/stddev from the
     * exact decimal sum-of-squares identity (not the engines' own streaming
@@ -545,7 +559,8 @@ object Relational extends QueryModule {
     GQuery("q28_pivot", "pivot with explicit values vs conditional-agg oracle (A5)", pivotAgg, Some(pivotAggSql)),
     GQuery("q58_array_fns", "split/sort/slice/join/contains array breadth (F16)", arrayFns, Some(arrayFnsSql)),
     GQuery("q23_distinct", "exact COUNT DISTINCT per group (A5)", distinctAgg, Some(distinctAggSql)),
-    GQuery("q24_approx_distinct", "HLL approx_count_distinct (A5, sketch; rows-only check)", approxDistinct, None),
+    GQuery("q24_approx_distinct", "HLL approx_count_distinct with machine-checked 10% error contract (A5)",
+      approxDistinct, Some(approxDistinctSql)),
     GQuery("q25_custom_udaf", "typed Aggregator UDAF: exact decimal mean (X3)", customUdaf, Some(customUdafSql)),
     GQuery("q26_stats", "variance/stddev via exact decimal identity + exact median (A5)", statsAgg, Some(statsAggSql)),
     GQuery("q30_window_latest", "row_number latest-per-key (W1)", windowLatest, Some(windowLatestSql)),

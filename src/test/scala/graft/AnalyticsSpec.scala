@@ -118,6 +118,17 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(math.abs(b1 - 5000.0) / 5000.0 < 0.35, s"estimate $b1 too far from 5000")
   }
 
+  test("approx quantiles: sketch path plans with NO sort, contracts hold") {
+    val df = Analytics.approxQuantiles(s, TestSpark.sf)
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r => assert(r.getBoolean(2) && r.getBoolean(3),
+      s"rank-error contract violated: $r") }
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Sort"), s"sketch path must not sort:\n$plan")
+    assert(plan.contains("ObjectHashAggregate"), "GK summary aggregates via ObjectHashAggregate")
+  }
+
   test("table checksum: sum fingerprint catches the dup-pair swap xor misses") {
     import s.implicits._
     // {A,A,B,B} vs {C,C,B,B}: same row count, every row occurs an even
