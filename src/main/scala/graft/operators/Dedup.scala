@@ -3,6 +3,7 @@ package graft.operators
 import graft.Engine._
 import graft.{GQuery, QueryModule}
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Document deduplication for LLM training-data pipelines: exact dedup,
@@ -61,19 +62,85 @@ object Dedup extends QueryModule {
       |  SELECT doc_id + 200000, text, lang FROM documents WHERE doc_id % 7 = 0)""".stripMargin
 
   /** Word 2-gram shingles, one row per (doc, shingle). */
-  def shingles(docs: DataFrame): DataFrame =
+  private[graft] def shingles(docs: DataFrame): DataFrame =
     docs.withColumn("ws", split(col("text"), " "))
       .filter(size(col("ws")) >= 2)
       .select(col("doc_id"), explode(expr(
         "transform(sequence(1, size(ws)-1), i -> concat_ws(' ', element_at(ws, i), element_at(ws, i+1)))")).as("sh"))
 
-  /** The shingle index, MinHash signatures, and LSH candidate pairs are the
-    * shared substrate of the whole dedup family — build them once per
-    * session+dir and reuse, exactly as a production pipeline materializes
-    * its shingle/signature tables once and runs every dedup stage against
-    * them. Caching sigs also matters within one query: the LSH band
-    * self-join scans the signature table twice, and without materialization
-    * each branch would recompute the full shingle+hash pipeline.
+  /** Exact-duplicate top-off — the skew defense that makes the LSH family
+    * survive an identical-document flood (10^6 copies of the same license
+    * header is the canonical 100 TB failure mode). All per-text CPU
+    * (shingling, MinHash, SimHash) and every LSH band bucket operate on ONE
+    * REPRESENTATIVE per unique text; identical docs therefore collapse
+    * BEFORE any bucket exists, so no band bucket can go quadratic from
+    * exact copies. Member-level pairs are reconstructed afterwards: pairs
+    * inside a duplicate group are emitted directly (their similarity is 1.0
+    * by definition), and rep-level pairs expand to member pairs carrying
+    * the rep-level metric (identical texts have identical signatures, so
+    * the expansion is exact, not an approximation — the final output is
+    * bit-identical to running LSH over every doc, which is what the DuckDB
+    * oracles still compute).
+    */
+  private[graft] def dupGroups(docs: DataFrame): DataFrame =
+    docs.groupBy(col("text"))
+      .agg(min(col("doc_id")).as("gid"), collect_list(col("doc_id")).as("ids"))
+
+  /** One row per unique text, keyed like a doc so the shingle/sig/fp
+    * pipeline runs unchanged over representatives. */
+  private[graft] def repsOf(groups: DataFrame): DataFrame =
+    groups.select(col("gid").as("doc_id"), col("text"))
+
+  /** (doc_id, gid) membership. */
+  private[graft] def membersOf(groups: DataFrame): DataFrame =
+    groups.select(col("gid"), explode(col("ids")).as("doc_id"))
+
+  /** All intra-group member pairs (da < db), generated row-local by a
+    * double explode of the id array — group size g yields g^2 generator
+    * rows in place, never a shuffle. Non-group columns pass through (so a
+    * caller can attach per-group metrics first). Output volume is
+    * intrinsic (these pairs ARE duplicates); a production variant that
+    * only needs "keep one per group" would emit (rep, member) instead.
+    */
+  private[graft] def selfPairs(groups: DataFrame): DataFrame =
+    groups.withColumn("da", explode(col("ids")))
+      .withColumn("db", explode(col("ids")))
+      .filter(col("da") < col("db"))
+      .drop("ids", "text", "gid")
+
+  /** Expand rep-level pair rows (ga, gb, metric...) to member-level
+    * (da, db, metric...): every member of ga pairs with every member of
+    * gb, ordered. Metrics pass through unchanged — identical texts have
+    * identical signatures, so the rep-level metric IS the member metric.
+    */
+  private[graft] def expandPairs(repPairs: DataFrame, members: DataFrame): DataFrame = {
+    val ma = members.select(col("gid").as("ga"), col("doc_id").as("a"))
+    val mb = members.select(col("gid").as("gb"), col("doc_id").as("b"))
+    repPairs.join(ma, "ga").join(mb, "gb")
+      .withColumn("da", least(col("a"), col("b")))
+      .withColumn("db", greatest(col("a"), col("b")))
+      .drop("a", "b", "ga", "gb")
+  }
+
+  /** Deterministic hot-bucket cap: within each LSH bucket keep only the
+    * `cap` smallest ids for pairing. The top-off already collapses exact
+    * copies, so a bucket this large means a flood of NEAR-identical texts;
+    * the cap bounds that bucket's pair volume at cap^2 (the capped docs
+    * can still pair through their other bands). Inert at fixture scale
+    * (default 1024 >> any real bucket), so oracle parity is unaffected;
+    * the mechanics are pinned by DedupSpec on adversarial frames.
+    */
+  private[graft] val BandCap = 1024
+  private[graft] def capBuckets(rows: DataFrame, bucketCols: Seq[String], cap: Int): DataFrame = {
+    val w = Window.partitionBy(bucketCols.map(col): _*).orderBy(col("doc_id"))
+    rows.withColumn("__rk", row_number().over(w)).filter(col("__rk") <= cap).drop("__rk")
+  }
+
+  /** The duplicate groups, rep shingle index, MinHash signatures, and LSH
+    * candidate pairs are the shared substrate of the whole dedup family —
+    * build them once per session+dir and reuse, exactly as a production
+    * pipeline materializes its signature tables once and runs every dedup
+    * stage against them.
     *
     * Lifecycle is [[graft.SessionCache]]: bounded LRU over sessions with
     * explicit unpersist on eviction (a weak-keyed map cannot collect here —
@@ -81,18 +148,18 @@ object Dedup extends QueryModule {
     */
   private def sessionCached(s: SparkSession, key: String)(build: => DataFrame): DataFrame =
     graft.SessionCache.cached(s, s"dedup:$key")(build)
-  private final case class DedupFrames(
-      sh: DataFrame, shd: DataFrame, sigs: DataFrame, cand: DataFrame)
-  private def frames(s: SparkSession, dir: String): DedupFrames = {
-    val sh = sessionCached(s, s"sh:$dir")(shingles(augmentedDocs(s, dir)))
-    val sigs = sessionCached(s, s"sigs:$dir")(sigsFrom(sh))
-    DedupFrames(sh,
-      sessionCached(s, s"shd:$dir")(sh.distinct()),
-      sigs,
-      sessionCached(s, s"cand:$dir")(candFrom(sigs)))
-  }
+  private def grpF(s: SparkSession, dir: String): DataFrame =
+    sessionCached(s, s"grp:$dir")(dupGroups(augmentedDocs(s, dir)))
+  private def shF(s: SparkSession, dir: String): DataFrame =
+    sessionCached(s, s"sh:$dir")(shingles(repsOf(grpF(s, dir))))
+  private def shdF(s: SparkSession, dir: String): DataFrame =
+    sessionCached(s, s"shd:$dir")(shF(s, dir).distinct())
+  private def sigsF(s: SparkSession, dir: String): DataFrame =
+    sessionCached(s, s"sigs:$dir")(sigsFrom(shF(s, dir)))
+  private def candF(s: SparkSession, dir: String): DataFrame =
+    sessionCached(s, s"cand:$dir")(candFrom(sigsF(s, dir)))
   private def cachedFps(s: SparkSession, dir: String): DataFrame =
-    sessionCached(s, s"fps:$dir")(simhash(s, dir))
+    sessionCached(s, s"fps:$dir")(simhashFrom(repsOf(grpF(s, dir))))
 
   private val shinglesSql =
     """sh AS (
@@ -127,7 +194,7 @@ object Dedup extends QueryModule {
        |GROUP BY lang""".stripMargin
 
   /** 16-permutation MinHash signatures, one row per doc. */
-  private def sigsFrom(sh: DataFrame): DataFrame = {
+  private[graft] def sigsFrom(sh: DataFrame): DataFrame = {
     val hm = sh.withColumn("hm", md5Long(col("sh")) % P)
     val aggs = (0 until 16).map(j => min((lit(A(j)) * col("hm") + lit(B(j))) % P).as(s"m$j"))
     hm.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
@@ -141,7 +208,7 @@ object Dedup extends QueryModule {
   }
 
   /** LSH bands: 4 bands x 4 rows; docs collide iff one whole band matches. */
-  private def bandRows(sigs: DataFrame): DataFrame = {
+  private[graft] def bandRows(sigs: DataFrame): DataFrame = {
     val bandStructs = (0 until 4).map { b =>
       val ms = (0 until 4).map(i => s"m${4 * b + i}").mkString(", ")
       s"struct($b AS band, concat_ws('_', $ms) AS bk)"
@@ -165,30 +232,47 @@ object Dedup extends QueryModule {
       |  FROM bands a JOIN bands b
       |    ON a.band = b.band AND a.bk = b.bk AND a.doc_id < b.doc_id)""".stripMargin
 
-  /** Band-bucket equi-join: distinct colliding pairs (da < db). */
-  private def candFrom(sigs: DataFrame): DataFrame = {
-    val bands = bandRows(sigs)
+  /** Band-bucket equi-join over capped buckets: distinct colliding
+    * REP-level pairs (ga < gb). */
+  private[graft] def candFrom(sigs: DataFrame, cap: Int = BandCap): DataFrame = {
+    val bands = capBuckets(bandRows(sigs), Seq("band", "bk"), cap)
     bands.alias("a")
       .join(bands.alias("b"),
         col("a.band") === col("b.band") && col("a.bk") === col("b.bk") &&
           col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+      .select(col("a.doc_id").as("ga"), col("b.doc_id").as("gb"))
       .distinct()
+  }
+
+  /** Rep-level candidates + intra-group pairs, expanded to member level —
+    * the full q61 pipeline over any docs frame (test hook for adversarial
+    * corpora; the registered query wires the session-cached substrate).
+    */
+  private[graft] def minhashAssemble(groups: DataFrame, sigs: DataFrame,
+                                     cand: DataFrame): DataFrame = {
+    val members = membersOf(groups)
+    val sa = sigs.columns.foldLeft(sigs)((df, c) => df.withColumnRenamed(c, if (c == "doc_id") "ga" else s"a_$c"))
+    val sb = sigs.columns.foldLeft(sigs)((df, c) => df.withColumnRenamed(c, if (c == "doc_id") "gb" else s"b_$c"))
+    val simExpr = (0 until 16)
+      .map(j => when(col(s"a_m$j") === col(s"b_m$j"), 1).otherwise(0))
+      .reduce(_ + _) / lit(16.0)
+    val cross = expandPairs(
+      cand.join(sa, "ga").join(sb, "gb").select(col("ga"), col("gb"), simExpr.as("sig_sim")),
+      members).select(col("da"), col("db"), col("sig_sim"))
+    // identical texts have identical shingle sets, hence identical
+    // signatures: intra-group similarity is exactly 16/16. Restricted to
+    // groups that HAVE a signature (a <2-word text has no shingles and
+    // never entered the LSH pipeline — same as the per-doc formulation).
+    val self = selfPairs(groups.join(sigs.select(col("doc_id").as("gid")), "gid"))
+      .select(col("da"), col("db"), lit(1.0).as("sig_sim"))
+    cross.unionByName(self)
   }
 
   /** MinHash near-dup candidates: band-bucket join + signature similarity. */
   def minhashCandidates(s: SparkSession, dir: String): DataFrame = {
     tune(s)
     sessionCached(s, s"mhc:$dir") {
-      val f = frames(s, dir)
-      val (sigs, cand) = (f.sigs, f.cand)
-      val sa = sigs.columns.foldLeft(sigs)((df, c) => df.withColumnRenamed(c, if (c == "doc_id") "da" else s"a_$c"))
-      val sb = sigs.columns.foldLeft(sigs)((df, c) => df.withColumnRenamed(c, if (c == "doc_id") "db" else s"b_$c"))
-      val simExpr = (0 until 16)
-        .map(j => when(col(s"a_m$j") === col(s"b_m$j"), 1).otherwise(0))
-        .reduce(_ + _) / lit(16.0)
-      cand.join(sa, "da").join(sb, "db")
-        .select(col("da"), col("db"), simExpr.as("sig_sim"))
+      minhashAssemble(grpF(s, dir), sigsF(s, dir), candF(s, dir))
     }
   }
 
@@ -210,21 +294,31 @@ object Dedup extends QueryModule {
     */
   def jaccardVerify(s: SparkSession, dir: String): DataFrame = {
     tune(s)
-    val f = frames(s, dir)
-    val (cand, shd) = (f.cand, f.shd)
+    val groups = grpF(s, dir)
+    val (cand, shd) = (candF(s, dir), shdF(s, dir))
+    // set arithmetic at REP level only: identical texts have identical
+    // shingle sets, so member-level jaccard is the rep-level jaccard
     val sizes = shd.groupBy(col("doc_id")).agg(count(lit(1)).as("nsh"))
     val inter = cand
-      .join(shd.select(col("doc_id").as("da"), col("sh")), "da")
-      .join(shd.select(col("doc_id").as("db"), col("sh")), Seq("db", "sh"))
-      .groupBy(col("da"), col("db"))
+      .join(shd.select(col("doc_id").as("ga"), col("sh")), "ga")
+      .join(shd.select(col("doc_id").as("gb"), col("sh")), Seq("gb", "sh"))
+      .groupBy(col("ga"), col("gb"))
       .agg(count(lit(1)).as("n_inter"))
-    inter
-      .join(sizes.select(col("doc_id").as("da"), col("nsh").as("na")), "da")
-      .join(sizes.select(col("doc_id").as("db"), col("nsh").as("nb")), "db")
-      .select(col("da"), col("db"), col("n_inter"),
+    val repMetrics = inter
+      .join(sizes.select(col("doc_id").as("ga"), col("nsh").as("na")), "ga")
+      .join(sizes.select(col("doc_id").as("gb"), col("nsh").as("nb")), "gb")
+      .select(col("ga"), col("gb"), col("n_inter"),
         (col("na") + col("nb") - col("n_inter")).as("n_union"),
         (col("n_inter") / (col("na") + col("nb") - col("n_inter"))).as("jacc"),
         (col("n_inter") / (col("na") + col("nb") - col("n_inter")) >= 0.6).as("is_dup"))
+    val cross = expandPairs(repMetrics, membersOf(groups))
+      .select(col("da"), col("db"), col("n_inter"), col("n_union"), col("jacc"), col("is_dup"))
+    // intra-group pairs: identical sets, n_inter = n_union = |set|, jacc 1
+    val self = selfPairs(groups.join(
+        sizes.select(col("doc_id").as("gid"), col("nsh")), "gid"))
+      .select(col("da"), col("db"), col("nsh").as("n_inter"), col("nsh").as("n_union"),
+        lit(1.0).as("jacc"), lit(true).as("is_dup"))
+    cross.unionByName(self)
   }
 
   private val jaccardVerifySql = {
@@ -252,9 +346,8 @@ object Dedup extends QueryModule {
   /** 32-bit SimHash fingerprints from word-level hashes: per-bit majority
     * vote folded into one integer. 32 partial-agg sums, single shuffle.
     */
-  def simhash(s: SparkSession, dir: String): DataFrame = {
-    tune(s)
-    val toks = augmentedDocs(s, dir)
+  private[graft] def simhashFrom(docs: DataFrame): DataFrame = {
+    val toks = docs
       .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
       .withColumn("h", md5Long(col("w")))
     val votes = (0 until 32).map(j =>
@@ -265,6 +358,16 @@ object Dedup extends QueryModule {
     toks.groupBy(col("doc_id"))
       .agg(votes.head, votes.tail: _*)
       .select(col("doc_id"), fp.as("fp"))
+  }
+
+  /** Per-doc fingerprints: computed once per unique text, joined back to
+    * members (identical texts have identical token multisets, hence
+    * identical fingerprints). */
+  def simhash(s: SparkSession, dir: String): DataFrame = {
+    tune(s)
+    membersOf(grpF(s, dir))
+      .join(cachedFps(s, dir).select(col("doc_id").as("gid"), col("fp")), "gid")
+      .select(col("doc_id"), col("fp"))
   }
 
   // toks/votes/fps CTEs alone (over an existing `docs` CTE), so oracles
@@ -292,24 +395,38 @@ object Dedup extends QueryModule {
     */
   def simhashPairs(s: SparkSession, dir: String): DataFrame = {
     tune(s)
-    sessionCached(s, s"shp:$dir") { simhashPairsUncached(s, dir) }
+    sessionCached(s, s"shp:$dir") {
+      simhashPairsAssemble(grpF(s, dir), cachedFps(s, dir))
+    }
   }
 
-  private def simhashPairsUncached(s: SparkSession, dir: String): DataFrame = {
-    val fps = cachedFps(s, dir)
+  /** Full q89 pipeline over any (groups, rep fingerprints): byte-band
+    * blocking with capped buckets at REP level, exact hamming on rep
+    * collisions, then member expansion + intra-group pairs (hamming 0 by
+    * construction — identical token multisets give identical fps).
+    */
+  private[graft] def simhashPairsAssemble(groups: DataFrame, fps: DataFrame,
+                                          cap: Int = BandCap): DataFrame = {
     val bandStructs = (0 until 4)
       .map(j => s"struct($j AS band, shiftright(fp, ${8 * j}) & 255 AS bkey)")
-    val bands = fps.select(col("doc_id"), col("fp"),
-      explode(expr(s"array(${bandStructs.mkString(", ")})")).as("bs"))
-      .select(col("doc_id"), col("fp"), col("bs.band").as("band"), col("bs.bkey").as("bkey"))
-    bands.alias("a")
+    val bands = capBuckets(
+      fps.select(col("doc_id"), col("fp"),
+        explode(expr(s"array(${bandStructs.mkString(", ")})")).as("bs"))
+        .select(col("doc_id"), col("fp"), col("bs.band").as("band"), col("bs.bkey").as("bkey")),
+      Seq("band", "bkey"), cap)
+    val repPairs = bands.alias("a")
       .join(bands.alias("b"),
         col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
           col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"),
+      .select(col("a.doc_id").as("ga"), col("b.doc_id").as("gb"),
         expr("bit_count(a.fp ^ b.fp)").as("hamming"))
       .distinct()
       .filter(col("hamming") <= 3)
+    val cross = expandPairs(repPairs, membersOf(groups))
+      .select(col("da"), col("db"), col("hamming"))
+    val self = selfPairs(groups.join(fps.select(col("doc_id").as("gid")), "gid"))
+      .select(col("da"), col("db"), lit(0).as("hamming"))
+    cross.unionByName(self)
   }
 
   private val simhashPairsSql = {

@@ -51,4 +51,97 @@ class DedupSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct"), s"plan was:\n$plan")
     assert(!plan.contains("BroadcastNestedLoopJoin"), s"plan was:\n$plan")
   }
+
+  test("identical-doc flood: top-off collapses 10k copies to size-1 LSH buckets") {
+    import s.implicits._
+    // the canonical 100 TB failure mode: 10^4 copies of one boilerplate
+    // text. The exact-dup top-off must collapse them to ONE representative
+    // before any band bucket exists — every minhash band bucket and every
+    // simhash byte-band bucket stays at one row, so the band self-joins
+    // cannot go quadratic.
+    val flood = (0 until 10000).map(i => (i.toLong, "all work and no play makes jack a dull boy"))
+    val distinctDocs = (0 until 20).map(i =>
+      (100000L + i, s"a$i b${i * 7} c${i * 13} d${i * 31} e${i * 57} f${i * 91}"))
+    val docs = (flood ++ distinctDocs).toDF("doc_id", "text")
+    val groups = Dedup.dupGroups(docs).cache()
+    assert(groups.count() == 21, "10k identical docs form exactly one group")
+    val sigs = Dedup.sigsFrom(Dedup.shingles(Dedup.repsOf(groups)))
+    val maxMinhashBucket = Dedup.bandRows(sigs)
+      .groupBy(col("band"), col("bk")).count()
+      .agg(max("count")).collect()(0).getLong(0)
+    assert(maxMinhashBucket == 1L, s"minhash band buckets must not aggregate the flood: $maxMinhashBucket")
+    // and the flood's pairs are still fully recovered through the group
+    val self = Dedup.selfPairs(groups.filter(col("gid") === 0L))
+    assert(self.count() == 10000L * 9999L / 2)
+    groups.unpersist()
+  }
+
+  test("bucket cap keeps the smallest `cap` ids per bucket, deterministically") {
+    import s.implicits._
+    // 100 near-identical docs landing in ONE band bucket + a small bucket:
+    // the cap must bound the big bucket at `cap` rows (the smallest ids,
+    // so the choice is deterministic) and leave the small bucket alone.
+    val rows = ((0 until 100).map(i => (i.toLong, 0, "hot")) ++
+      Seq((500L, 1, "cold"), (501L, 1, "cold"))).toDF("doc_id", "band", "bk")
+    val capped = Dedup.capBuckets(rows, Seq("band", "bk"), cap = 16).cache()
+    assert(capped.filter(col("bk") === "hot").count() == 16)
+    assert(capped.filter(col("bk") === "hot").agg(max("doc_id")).collect()(0).getLong(0) == 15L)
+    assert(capped.filter(col("bk") === "cold").count() == 2)
+    capped.unpersist()
+  }
+
+  test("capped LSH candidates bound pair volume at cap^2 per bucket") {
+    import s.implicits._
+    // near-identical texts (distinct, so the top-off can't merge them)
+    // that still share every minhash band: with cap=8 the band join may
+    // produce at most C(8,2) pairs per band from the hot bucket
+    val docs = (0 until 64).map(i => (i.toLong, "shared prefix words repeated " * 30 + s"tail$i"))
+      .toDF("doc_id", "text")
+    val groups = Dedup.dupGroups(docs)
+    assert(groups.count() == 64, "texts are distinct — top-off must NOT merge them")
+    val sigs = Dedup.sigsFrom(Dedup.shingles(Dedup.repsOf(groups)))
+    val uncapped = Dedup.candFrom(sigs).count()
+    val capped = Dedup.candFrom(sigs, cap = 8).count()
+    assert(capped <= 4 * 8 * 7 / 2, s"capped candidates must be bounded: $capped")
+    assert(capped < uncapped, "cap must actually bite on the adversarial fixture")
+  }
+
+  test("rep-level assembly output equals per-doc LSH on a mixed corpus") {
+    import s.implicits._
+    // 30 docs: one exact-dup family of 10, two near-dup texts, the rest
+    // distinct. The rep-level top-off + expansion must produce EXACTLY the
+    // pair set of the naive per-doc pipeline (groups of size 1 make the
+    // assembly degenerate to it).
+    val base = "the quick brown fox jumps over the lazy dog again and again " * 4
+    val docs = ((0 until 10).map(i => (i.toLong, base)) ++
+      Seq((20L, base + "extra tail"), (21L, base + "extra tail words")) ++
+      (30 until 48).map(i => (i.toLong, s"totally different text $i " * 10 + s"${i * 13}"))
+      ).toDF("doc_id", "text")
+    val groups = Dedup.dupGroups(docs).cache()
+    val got = Dedup.minhashAssemble(groups,
+        Dedup.sigsFrom(Dedup.shingles(Dedup.repsOf(groups))),
+        Dedup.candFrom(Dedup.sigsFrom(Dedup.shingles(Dedup.repsOf(groups)))))
+      .select("da", "db", "sig_sim").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // naive reference: per-doc sigs, uncapped band join (groups of size 1)
+    val naiveGroups = Dedup.dupGroups(
+      docs.withColumn("text", concat(col("text"), lit(" uniq"), col("doc_id"))))
+    // ^ make every text unique so dupGroups is the identity mapping
+    val naiveSigs = Dedup.sigsFrom(Dedup.shingles(docs.select(col("doc_id"), col("text"))))
+    val naiveBands = Dedup.bandRows(naiveSigs)
+    val naive = naiveBands.alias("a")
+      .join(naiveBands.alias("b"),
+        col("a.band") === col("b.band") && col("a.bk") === col("b.bk") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("da"), col("b.doc_id").as("db")).distinct()
+      .join(naiveSigs.toDF("da" +: (0 until 16).map(j => s"a_m$j"): _*), "da")
+      .join(naiveSigs.toDF("db" +: (0 until 16).map(j => s"b_m$j"): _*), "db")
+      .select(col("da"), col("db"),
+        ((0 until 16).map(j => when(col(s"a_m$j") === col(s"b_m$j"), 1).otherwise(0))
+          .reduce(_ + _) / lit(16.0)).as("sig_sim"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got == naive, s"only-in-assembly: ${got -- naive}\nonly-in-naive: ${naive -- got}")
+    assert(naiveGroups.count() == 30) // sanity: uniq-suffix trick worked
+    groups.unpersist()
+  }
 }
