@@ -185,6 +185,104 @@ object StreamOps extends QueryModule {
     } finally s.conf.set("spark.sql.streaming.stateStore.providerClass", prevProvider)
   }
 
+  /** Watermark LATE-DATA DROP semantics (ST1) — the one streaming behavior
+    * a production user actually hits: an event arriving after the watermark
+    * passed its window is silently discarded, not merged. q84/q87 process
+    * complete input in one batch, so their watermarks never drop anything;
+    * this query PROVES the drop across a real two-batch run:
+    *
+    *  1. The events fixture is split by event-time into three source files
+    *     with increasing mod-times: the newest hour (the "tip", carrying
+    *     the max event time), the rest of the most recent 6 hours, and a
+    *     late file (everything older).
+    *  2. maxFilesPerTrigger=1 + AvailableNow processes them as three
+    *     micro-batches in that order. Spark's two-watermark model
+    *     (SPARK-40925) filters late INPUT with the watermark as of the
+    *     PREVIOUS batch's planning — so the tip must land two batches
+    *     ahead: by the late batch, the late-event watermark is
+    *     max(on-time event time) - 1h, every late row sits hours below
+    *     it, and the entire late batch is dropped.
+    *  3. Append mode then emits exactly the on-time windows whose end is
+    *     at-or-below the final watermark.
+    *
+    * The DuckDB oracle recomputes that contract from the batch table: the
+    * hourly aggregate of ONLY the on-time slice, restricted to windows
+    * closed by the final watermark. If late data leaked into the stream
+    * state (or on-time windows leaked past the watermark), the hash
+    * comparison fails. Reference contract: the date-windowed incremental
+    * pull (/root/reference/data_pipeline.py:117-120) ignores late mail the
+    * same way — here the cutoff is explicit, machine-checked semantics.
+    */
+  def streamLate(s: SparkSession, dir: String): DataFrame = {
+    tune(s)
+    withStatePartitions(s, 8) {
+      val ev = s.read.parquet(s"$dir/events.parquet")
+      val schema = ev.schema
+      val hmax = ev.agg(max(expr("ts div 1000 div 3600000000"))).collect()(0).getLong(0)
+      val cut = hmax - 6
+      val srcDir = s"$ckBase/late_src_${counter.incrementAndGet()}"
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        new java.net.URI("file:///"), s.sparkContext.hadoopConfiguration)
+      def stage(df: org.apache.spark.sql.DataFrame, name: String, mtime: Long): Unit = {
+        val tmp = s"$srcDir/.stage_$name"
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        val part = fs.globStatus(new org.apache.hadoop.fs.Path(s"$tmp/part-*.parquet"))(0).getPath
+        val dest = new org.apache.hadoop.fs.Path(s"$srcDir/$name.parquet")
+        fs.rename(part, dest)
+        fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+        fs.setTimes(dest, mtime, -1)
+      }
+      // file order must be deterministic: name AND mod-time agree,
+      // whichever the source sorts by. The tip goes first so the
+      // late-event watermark has advanced by the time the late batch runs.
+      val t0 = 1000000000000L
+      stage(ev.filter(expr(s"ts div 1000 div 3600000000 = $hmax")), "b0_tip", t0)
+      stage(ev.filter(expr(s"ts div 1000 div 3600000000 > $cut and ts div 1000 div 3600000000 < $hmax")),
+        "b1_rest", t0 + 600000L)
+      stage(ev.filter(expr(s"ts div 1000 div 3600000000 <= $cut")), "b2_late", t0 + 1200000L)
+      val src = s.readStream
+        .schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(srcDir)
+      val agg = src
+        .withColumn("et", expr("timestamp_micros(ts div 1000)"))
+        .withWatermark("et", "1 hour")
+        .groupBy(window(col("et"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+        .select(col("window.start").cast("long").as("hour_epoch"),
+                col("event_type"), col("n"), col("sum_value"))
+      val qname = s"graft_stream_late_${counter.incrementAndGet()}"
+      val q = agg.writeStream
+        .format("memory")
+        .queryName(qname)
+        .option("checkpointLocation", s"$ckBase/$qname")
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val batches = q.recentProgress.count(_.numInputRows > 0)
+      require(batches >= 3, s"late-drop harness needs >= 3 non-empty micro-batches, got $batches")
+      dropCheckpoint(s"$ckBase/$qname")
+      dropCheckpoint(srcDir)
+      s.table(qname)
+    }
+  }
+
+  /** The on-time slice aggregated in batch, restricted to windows the
+    * final watermark closed — what the stream MUST emit iff it dropped
+    * every late row and nothing else. */
+  private val streamLateSql =
+    s"""WITH e AS (SELECT epoch_us(ts) AS et_us, epoch_us(ts) // 3600000000 AS hr,
+       |                  event_type, value FROM events),
+       |hm AS (SELECT MAX(hr) AS hmax FROM e),
+       |a AS (SELECT * FROM e WHERE hr > (SELECT hmax FROM hm) - 6),
+       |wm AS (SELECT MAX(et_us) - 3600000000 AS w FROM a)
+       |SELECT CAST(hr * 3600 AS BIGINT) AS hour_epoch, event_type,
+       |COUNT(*) AS n, ${DSUM("value")} AS sum_value
+       |FROM a
+       |WHERE (hr + 1) * 3600000000 <= (SELECT w FROM wm)
+       |GROUP BY hr, event_type""".stripMargin
+
   /** Streaming deduplication (ST1): the reference's idempotency gate in
     * stream form — dropDuplicates on the event key with a watermark bounding
     * the dedup state (at scale the watermark is what keeps the state store
@@ -239,5 +337,8 @@ object StreamOps extends QueryModule {
     GQuery("q91_stream_tws",
       "transformWithState StatefulProcessor + RocksDB store (modern arbitrary-state API)",
       transformWithStateCounts, Some(statefulUserCountsSql)),
+    GQuery("q99_stream_late",
+      "two-batch watermark run: late batch provably dropped, append emits closed windows only",
+      streamLate, Some(streamLateSql)),
   )
 }

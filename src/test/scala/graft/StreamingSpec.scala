@@ -18,6 +18,21 @@ class StreamingSpec extends AnyFunSuite {
     assert(stream.except(batch).isEmpty && batch.except(stream).isEmpty)
   }
 
+  test("watermark drops the late batch: no late window ever emitted, open windows withheld") {
+    import org.apache.spark.sql.functions._
+    val ev = s.read.parquet(s"${TestSpark.sf}/events.parquet")
+    val hmax = ev.agg(max(expr("ts div 1000 div 3600000000"))).collect()(0).getLong(0)
+    val out = graft.streaming.StreamOps.streamLate(s, TestSpark.sf).cache()
+    assert(out.count() > 0)
+    // every late event (hours <= hmax-6) was dropped: its window never appears
+    assert(out.filter(col("hour_epoch") <= (hmax - 6) * 3600L).count() == 0,
+      "late windows must not be emitted")
+    // and windows the final watermark hasn't closed are withheld by append
+    assert(out.agg(max("hour_epoch")).collect()(0).getLong(0) <= (hmax - 2) * 3600L,
+      "open windows must not be emitted")
+    out.unpersist()
+  }
+
   test("mapGroupsWithState running counts == batch group counts") {
     import org.apache.spark.sql.functions._
     val stream = StreamOps.statefulUserCounts(s, TestSpark.sf)
