@@ -75,43 +75,111 @@ object Storage {
     * compaction restores O(data/target) tasks. Write-then-swap so readers
     * never observe a half-written directory.
     */
+  /** Recover stale swap dirs from a crashed prior run BEFORE touching
+    * anything. Hadoop rename signals failure by returning false, so a
+    * stale bak/tmp must be resolved explicitly or the swap renames fail
+    * and could strand (or worse, delete) the only live copy.
+    */
+  private[sources] def recoverStaleSwap(fs: FileSystem, path: Path, tmp: Path, bak: Path): Unit = {
+    if (fs.exists(bak)) {
+      if (!fs.exists(path)) {
+        // prior run died between the two swap renames: bak IS the live data
+        if (!fs.rename(bak, path))
+          throw new java.io.IOException(s"swap recovery: cannot restore $bak -> $path")
+      } else fs.delete(bak, true) // prior run died after the swap: bak is garbage
+    }
+    if (fs.exists(tmp)) fs.delete(tmp, true): Unit
+  }
+
+  /** Atomic-as-available directory swap: path -> bak, tmp -> path, drop
+    * bak; every rename return value checked, rollback before any delete.
+    */
+  private[sources] def guardedSwap(fs: FileSystem, path: Path, tmp: Path, bak: Path): Unit = {
+    if (!fs.rename(path, bak)) {
+      fs.delete(tmp, true)
+      throw new java.io.IOException(s"swap: rename $path -> $bak failed; original untouched")
+    }
+    if (!fs.rename(tmp, path)) {
+      // bak is now the ONLY live copy — roll it back before any delete
+      if (!fs.rename(bak, path))
+        throw new java.io.IOException(s"swap failed AND rollback failed; live data is at $bak")
+      fs.delete(tmp, true)
+      throw new java.io.IOException(s"swap: rename $tmp -> $path failed; original restored")
+    }
+    fs.delete(bak, true): Unit
+  }
+
   def compact(spark: org.apache.spark.sql.SparkSession, dir: String,
               targetBytes: Long = 128L * 1024 * 1024): Int = {
     val path = new Path(dir)
     val fs = FileSystem.get(path.toUri, spark.sparkContext.hadoopConfiguration)
     val tmp = new Path(path.getParent, s".${path.getName}_compacting")
     val bak = new Path(path.getParent, s".${path.getName}_old")
-    // Recover from a crashed prior run BEFORE touching anything. Hadoop
-    // rename signals failure by returning false, so a stale bak/tmp must be
-    // resolved explicitly or the renames below fail and could strand (or
-    // worse, delete) the only live copy.
-    if (fs.exists(bak)) {
-      if (!fs.exists(path)) {
-        // prior run died between the two swap renames: bak IS the live data
-        if (!fs.rename(bak, path))
-          throw new java.io.IOException(s"compact: cannot restore $bak -> $path")
-      } else fs.delete(bak, true) // prior run died after the swap: bak is garbage
-    }
-    if (fs.exists(tmp)) fs.delete(tmp, true)
+    recoverStaleSwap(fs, path, tmp, bak)
     val total = fs.listStatus(path).filter(_.isFile)
       .filterNot(_.getPath.getName.startsWith(".")).map(_.getLen).sum
     val n = math.max(1, math.ceil(total.toDouble / targetBytes).toInt)
     spark.read.parquet(dir).repartition(n)
       .write.mode("overwrite").parquet(tmp.toString)
-    if (!fs.rename(path, bak)) {
-      fs.delete(tmp, true)
-      throw new java.io.IOException(s"compact: rename $path -> $bak failed; original untouched")
-    }
-    if (!fs.rename(tmp, path)) {
-      // bak is now the ONLY live copy — roll it back before any delete
-      if (!fs.rename(bak, path))
-        throw new java.io.IOException(
-          s"compact: swap failed AND rollback failed; live data is at $bak")
-      fs.delete(tmp, true)
-      throw new java.io.IOException(s"compact: rename $tmp -> $path failed; original restored")
-    }
-    fs.delete(bak, true)
+    guardedSwap(fs, path, tmp, bak)
     n
+  }
+}
+
+/** Durable partition-scoped MERGE on a hive-partitioned parquet lake — the
+  * reference's upsert sink (/root/reference/data_pipeline.py:501-535) as an
+  * actual lake operation, not just q14's pure-query semantics. Delta or
+  * Iceberg would be the idiomatic transactional answer; the offline build
+  * carries no such dependency, so the guarded write-then-swap protocol
+  * from [[Storage.compact]] is the available equivalent.
+  */
+object Lake {
+
+  import org.apache.hadoop.fs.{FileSystem, Path}
+  import org.apache.spark.sql.{DataFrame, SparkSession}
+  import org.apache.spark.sql.functions.col
+
+  /** Upsert `updates` into the lake at `dir` (layout `dir/part=value/`):
+    * per affected partition, rows are resolved by `keyCol` (update wins,
+    * new keys insert) and the partition directory is rewritten through a
+    * temp dir + guarded swap, so readers never observe a half-written
+    * partition and a crashed run is recovered on the next apply.
+    *
+    * Scale contract: the unit of work is O(affected partitions) — only
+    * partitions PRESENT IN THE UPDATES are listed, read, or rewritten; a
+    * 10-partition update against a 100k-partition lake touches 10
+    * directories. The resolution is a pure function of (partition
+    * content, updates), so applying the same batch twice leaves identical
+    * content — reruns after a crash are safe (proven in IngestSpec).
+    * Assumes keys don't move across partitions (stable key->partition
+    * mapping) and path-safe partition values; returns #partitions written.
+    */
+  def mergeUpsert(spark: SparkSession, dir: String, updates: DataFrame,
+                  keyCol: String, partCol: String): Int = {
+    val parts = updates.select(col(partCol)).distinct().collect()
+      .map(_.get(0).toString).sorted
+    require(parts.forall(p => !p.exists("/\\:*?\"<>|%".contains(_))),
+      s"partition values must be path-safe, got: ${parts.mkString(",")}")
+    val base = new Path(dir)
+    val fs = FileSystem.get(base.toUri, spark.sparkContext.hadoopConfiguration)
+    parts.foreach { p =>
+      val live = new Path(base, s"$partCol=$p")
+      val tmp = new Path(base, s".$partCol=$p.merging")
+      val bak = new Path(base, s".$partCol=$p.old")
+      Storage.recoverStaleSwap(fs, live, tmp, bak)
+      val upd = updates.filter(col(partCol) === p).drop(partCol)
+      val merged =
+        if (fs.exists(live)) {
+          val old = spark.read.parquet(live.toString)
+          upd.unionByName(
+            old.join(upd.select(col(keyCol)), Seq(keyCol), "left_anti"))
+        } else upd
+      merged.write.mode("overwrite").parquet(tmp.toString)
+      if (fs.exists(live)) Storage.guardedSwap(fs, live, tmp, bak)
+      else if (!fs.rename(tmp, live))
+        throw new java.io.IOException(s"mergeUpsert: cannot create partition $live")
+    }
+    parts.length
   }
 }
 

@@ -143,7 +143,62 @@ object RoundTrip extends QueryModule {
        |FROM orders WHERE o_orderstatus = 'F'
        |GROUP BY o_orderpriority""".stripMargin
 
+  /** Durable MERGE on the lake (S7 as a sink): build a hive-partitioned
+    * orders lake, apply one deterministic update batch (price corrections
+    * on keys % 10, inserts with shifted keys on keys % 7, touching two of
+    * the five partitions) through [[Lake.mergeUpsert]] TWICE — the second
+    * apply must be a no-op (idempotence is part of the contract under
+    * test) — then read the lake back and aggregate. The oracle recomputes
+    * the expected merged state from the raw table, so a dropped row, a
+    * double-applied update, or a corrupted untouched partition all fail
+    * the hash compare.
+    */
+  def mergeLake(s: SparkSession, dir: String): DataFrame = {
+    tune(s)
+    val o = table(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        col("o_totalprice"), col("o_orderpriority"))
+    val path = tmpDir("merge_lake")
+    o.write.mode("overwrite").partitionBy("o_orderpriority").parquet(path)
+    val touched = o.filter(col("o_orderpriority").isin("1-URGENT", "3-MEDIUM"))
+    val upd = touched.filter(col("o_orderkey") % 10 === 0)
+      .withColumn("o_totalprice", col("o_totalprice") + 1000.0)
+      .unionByName(touched.filter(col("o_orderkey") % 7 === 0)
+        .withColumn("o_orderkey", col("o_orderkey") + 10000000L)
+        .withColumn("o_orderstatus", lit("N")))
+    graft.sources.Lake.mergeUpsert(s, path, upd, "o_orderkey", "o_orderpriority")
+    graft.sources.Lake.mergeUpsert(s, path, upd, "o_orderkey", "o_orderpriority")
+    s.read.parquet(path)
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"),
+           dsum(col("o_totalprice")).as("sum_price"),
+           sum(when(col("o_orderkey") > 10000000L, 1L).otherwise(0L)).as("n_inserted"),
+           sum(when(col("o_orderstatus") === "N", 1L).otherwise(0L)).as("n_status_new"))
+  }
+
+  private val mergeLakeSql =
+    s"""WITH base AS (SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderpriority
+       |              FROM orders),
+       |upd AS (
+       |  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice + 1000 AS o_totalprice,
+       |         o_orderpriority
+       |  FROM base WHERE o_orderpriority IN ('1-URGENT','3-MEDIUM') AND o_orderkey % 10 = 0
+       |  UNION ALL
+       |  SELECT o_orderkey + 10000000, o_custkey, 'N', o_totalprice, o_orderpriority
+       |  FROM base WHERE o_orderpriority IN ('1-URGENT','3-MEDIUM') AND o_orderkey % 7 = 0),
+       |merged AS (
+       |  SELECT * FROM upd
+       |  UNION ALL
+       |  SELECT * FROM base b
+       |  WHERE NOT EXISTS (SELECT 1 FROM upd u WHERE u.o_orderkey = b.o_orderkey))
+       |SELECT o_orderpriority, COUNT(*) AS n, ${DSUM("o_totalprice")} AS sum_price,
+       |CAST(SUM(CASE WHEN o_orderkey > 10000000 THEN 1 ELSE 0 END) AS BIGINT) AS n_inserted,
+       |CAST(SUM(CASE WHEN o_orderstatus = 'N' THEN 1 ELSE 0 END) AS BIGINT) AS n_status_new
+       |FROM merged GROUP BY o_orderpriority""".stripMargin
+
   override val queries: Seq[GQuery] = Seq(
+    GQuery("q101_merge_lake", "durable partition-scoped MERGE sink: upsert applied twice == once (S7)",
+      mergeLake, Some(mergeLakeSql)),
     GQuery("q82_csv_roundtrip", "CSV sink+scan roundtrip vs parquet oracle (S1/S9)",
       csvRoundtrip, Some(csvRoundtripSql)),
     GQuery("q83_json_roundtrip", "JSON sink+scan roundtrip vs parquet oracle (S2/S6)",

@@ -1,6 +1,6 @@
 package graft
 
-import graft.sources.{ChunkedIngest, Notifier, Pipeline, Storage}
+import graft.sources.{ChunkedIngest, Lake, Notifier, Pipeline, Storage}
 import graft.streaming.IncrementalIngest
 import org.apache.spark.sql.functions.{col, sum}
 import org.apache.spark.util.LongAccumulator
@@ -90,6 +90,35 @@ class IngestSpec extends AnyFunSuite {
     Storage.compact(s, dir, targetBytes = 1024L * 1024)
     assert(s.read.parquet(dir).agg(sum("v")).collect()(0).getLong(0) == sum0)
     assert(!fs.exists(bak) && !fs.exists(tmp))
+  }
+
+  test("lake mergeUpsert: idempotent, partition-scoped, creates new partitions") {
+    import s.implicits._
+    val lake = Files.createTempDirectory("graft_lake").resolve("t").toString
+    (1 to 90).map(i => (i.toLong, i * 10.0, s"p${i % 3}"))
+      .toDF("k", "v", "part")
+      .write.mode("overwrite").partitionBy("part").parquet(lake)
+    // updates touch p0 only: modify k%9==0, insert three new keys; plus a
+    // brand-new partition p9
+    val upd = ((1 to 90).filter(i => i % 3 == 0 && i % 9 == 0).map(i => (i.toLong, -1.0, "p0")) ++
+      Seq((1001L, 1.0, "p0"), (1002L, 2.0, "p0"), (1003L, 3.0, "p0"),
+          (2001L, 9.0, "p9"))).toDF("k", "v", "part")
+    def snapshot() = s.read.parquet(lake).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getString(2))).toSet
+    def p1Files() = new java.io.File(s"$lake/part=p1").listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(f => (f.getName, f.lastModified)).toSet
+    val before = p1Files()
+    assert(Lake.mergeUpsert(s, lake, upd, "k", "part") == 2) // p0 + p9
+    val once = snapshot()
+    // merged content: updates win, inserts present, new partition exists
+    assert(once.contains((9L, -1.0, "p0")) && !once.contains((9L, 90.0, "p0")))
+    assert(once.contains((1001L, 1.0, "p0")) && once.contains((2001L, 9.0, "p9")))
+    assert(once.count(_._3 == "p1") == 30, "untouched partition content intact")
+    // partition scoping: untouched partition's files were never rewritten
+    assert(p1Files() == before, "untouched partition files must not be touched")
+    // idempotence: applying the same batch again changes nothing
+    Lake.mergeUpsert(s, lake, upd, "k", "part")
+    assert(snapshot() == once)
   }
 
   test("notification gate: action runs only if start notification succeeds (C5)") {
