@@ -16,6 +16,13 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * long-lived JVM that churns through sessions therefore holds at most
   * `maxSessions` sessions' worth of cached RDD blocks, and the common
   * one-session-per-JVM drivers (Verify, Bench, tests) never evict at all.
+  *
+  * Caveat (inherent to Spark, pinned in SessionCacheSpec): the
+  * CacheManager is SHARED across sessions of one SparkContext and keyed by
+  * canonical plan, so unpersisting an evicted session's frame also drops a
+  * plan-identical frame another live session cached — the next consumer
+  * simply recomputes and re-caches, a performance blip, not a correctness
+  * hazard.
   */
 object SessionCache {
 
