@@ -388,6 +388,80 @@ object TextOps extends QueryModule {
       |CAST(MAX(n_overlap) AS BIGINT) AS max_overlap
       |FROM per_doc GROUP BY lang""".stripMargin
 
+  /** Sequence packing (training-data shaping): assign documents to
+    * fixed-token-budget packs (context windows) by offset — pack_id =
+    * floor(start_offset / budget) over a running token count. The running
+    * sum is SHARDED: partitioned by (lang, hash-shard-of-16), so each
+    * sort covers one shard, never a global order — at 100 TB packing is
+    * embarrassingly parallel per shard, which is exactly how a real
+    * pre-tokenization packer shards its input. Deterministic order
+    * (doc_id) inside a shard makes the packing reproducible across
+    * engines, runs, and cluster sizes.
+    */
+  def seqPack(s: SparkSession, dir: String): DataFrame = {
+    tune(s)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang"), col("shard")).orderBy(col("doc_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    table(s, dir, "documents")
+      .select(col("doc_id"), col("lang"),
+        size(split(col("text"), " ")).as("n_tokens"),
+        pmod(md5Long(col("doc_id").cast("string")), lit(16)).as("shard"))
+      .withColumn("cum", sum(col("n_tokens")).over(w))
+      .withColumn("pack_id", expr("(cum - n_tokens) div 2048"))
+      .groupBy(col("lang"), col("shard"), col("pack_id"))
+      .agg(count(lit(1)).as("docs_in_pack"), sum(col("n_tokens")).as("pack_tokens"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_packs"),
+           sum(col("docs_in_pack")).as("n_docs"),
+           sum(col("pack_tokens")).as("total_tokens"),
+           max(col("pack_tokens")).as("max_pack_tokens"))
+  }
+
+  private val seqPackSql =
+    s"""WITH d AS (SELECT doc_id, lang,
+       |             CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
+       |             ${MD5L("CAST(doc_id AS VARCHAR)")} % 16 AS shard
+       |           FROM documents),
+       |c AS (SELECT *, SUM(n_tokens) OVER (PARTITION BY lang, shard ORDER BY doc_id
+       |                 ROWS UNBOUNDED PRECEDING) AS cum FROM d),
+       |p AS (SELECT lang, shard, (cum - n_tokens) // 2048 AS pack_id,
+       |        COUNT(*) AS docs_in_pack, CAST(SUM(n_tokens) AS BIGINT) AS pack_tokens
+       |      FROM c GROUP BY 1, 2, 3)
+       |SELECT lang, COUNT(*) AS n_packs, CAST(SUM(docs_in_pack) AS BIGINT) AS n_docs,
+       |CAST(SUM(pack_tokens) AS BIGINT) AS total_tokens,
+       |CAST(MAX(pack_tokens) AS BIGINT) AS max_pack_tokens
+       |FROM p GROUP BY lang""".stripMargin
+
+  /** Corpus mixture weights (data-mixing): temperature-sampled per-language
+    * weights w_l = T_l^alpha / sum(T_m^alpha) with alpha = 0.5 — the
+    * up/down-sampling knob every multi-source training mix uses. One
+    * grouped pass + a broadcast one-row total; weights rounded at 9 digits
+    * so the (tiny, order-dependent) double-summation ulp of the 5-value
+    * total cannot flip the cross-engine hash.
+    */
+  def mixWeights(s: SparkSession, dir: String): DataFrame = {
+    tune(s)
+    val perLang = table(s, dir, "documents")
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+           sum(size(split(col("text"), " "))).as("n_tokens"))
+    val wsum = perLang.agg(sum(sqrt(col("n_tokens").cast("double"))).as("wsum"))
+    perLang.join(broadcast(wsum))
+      .select(col("lang"), col("n_docs"), col("n_tokens"),
+        round(sqrt(col("n_tokens").cast("double")) / col("wsum"), 9).as("mix_weight"))
+  }
+
+  private val mixWeightsSql =
+    """WITH pl AS (SELECT lang, COUNT(*) AS n_docs,
+      |              CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+      |            FROM documents GROUP BY lang),
+      |ws AS (SELECT SUM(sqrt(CAST(n_tokens AS DOUBLE))) AS wsum FROM pl)
+      |SELECT lang, n_docs, n_tokens,
+      |round(sqrt(CAST(n_tokens AS DOUBLE)) / (SELECT wsum FROM ws), 9) AS mix_weight
+      |FROM pl""".stripMargin
+
   /** posexplode (UDTF surface, X3): tokenize with ordinal positions — the
     * generator form that keeps token order, which plain explode loses.
     * First five tokens of every 50th doc.
@@ -449,5 +523,9 @@ object TextOps extends QueryModule {
       contamination, Some(contaminationSql)),
     GQuery("q79_curation_pipeline", "composed curation: quality gate -> exact dedup -> corpus stats",
       curationPipeline, Some(curationPipelineSql)),
+    GQuery("q102_seq_pack", "sequence packing: sharded running-token-count pack assignment (training shaping)",
+      seqPack, Some(seqPackSql)),
+    GQuery("q103_mix_weights", "temperature-sampled corpus mixture weights (data mixing)",
+      mixWeights, Some(mixWeightsSql)),
   )
 }

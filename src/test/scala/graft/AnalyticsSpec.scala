@@ -129,6 +129,17 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(plan.contains("ObjectHashAggregate"), "GK summary aggregates via ObjectHashAggregate")
   }
 
+  test("seq packing conserves docs and tokens; mix weights sum to 1") {
+    val docs = s.read.parquet(s"${TestSpark.sf}/documents.parquet")
+    val nDocs = docs.count()
+    val packed = TextOps.seqPack(s, TestSpark.sf).collect()
+    assert(packed.map(_.getLong(2)).sum == nDocs, "packing must conserve documents")
+    packed.foreach(r => assert(r.getLong(1) <= r.getLong(2), "packs hold >= 1 doc each"))
+    val weights = TextOps.mixWeights(s, TestSpark.sf).collect().map(_.getDouble(3))
+    assert(math.abs(weights.sum - 1.0) < 1e-6, s"mixture weights must sum to 1, got ${weights.sum}")
+    assert(weights.forall(w => w > 0 && w < 1))
+  }
+
   test("table checksum: sum fingerprint catches the dup-pair swap xor misses") {
     import s.implicits._
     // {A,A,B,B} vs {C,C,B,B}: same row count, every row occurs an even
