@@ -284,6 +284,49 @@ object Similarity extends QueryModule {
        |FROM (SELECT pd.da, pd.db, pd.dot / (na.nrm * nb.nrm) AS cosim
        |      FROM pd JOIN norms na ON na.vec_id = pd.da JOIN norms nb ON nb.vec_id = pd.db)""".stripMargin
 
+  /** Symmetric int8 quantization of the embedding column — the storage
+    * compression step an embedding lake actually runs (4x smaller than
+    * float32) — with per-vector absmax scaling and exact reconstruction
+    * error accounting. Entirely row-local double arithmetic; rounding is
+    * spelled floor(x*scale + 0.5) explicitly so both engines compute
+    * bit-identical quantized values and errors (library round() ties
+    * differ across engines: HALF_UP vs HALF_EVEN).
+    */
+  def quantizeInt8(s: SparkSession, dir: String): DataFrame = {
+    tune(s)
+    table(s, dir, "embeddings")
+      .select(col("vec_id"), col("label"), col("embedding"))
+      .withColumn("mx", expr(
+        "aggregate(embedding, CAST(0 AS DOUBLE), (acc, x) -> greatest(acc, abs(CAST(x AS DOUBLE))))"))
+      .filter(col("mx") > 0)
+      .withColumn("scale", expr("CAST(127 AS DOUBLE) / mx"))
+      .withColumn("maxerr", expr(
+        "array_max(transform(embedding, x -> abs(CAST(x AS DOUBLE) - " +
+          "greatest(CAST(-127 AS DOUBLE), least(CAST(127 AS DOUBLE), " +
+          "floor(CAST(x AS DOUBLE) * scale + 0.5D))) / scale)))"))
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n_vecs"),
+           round(davg(col("maxerr"), 12), 9).as("avg_maxerr"),
+           round(max(col("maxerr")), 9).as("worst_err"))
+  }
+
+  private val quantizeInt8Sql =
+    s"""WITH f AS (
+       |  SELECT vec_id, label, i AS pos, CAST(embedding[i] AS DOUBLE) AS xd
+       |  FROM (SELECT vec_id, label, embedding, unnest(range(1, len(embedding)+1)) AS i
+       |        FROM embeddings)),
+       |m AS (SELECT vec_id, MAX(abs(xd)) AS mx FROM f GROUP BY vec_id),
+       |sc AS (SELECT vec_id, CAST(127 AS DOUBLE) / mx AS scale FROM m WHERE mx > 0),
+       |err AS (
+       |  SELECT f.vec_id, f.label,
+       |    MAX(abs(f.xd - greatest(CAST(-127 AS DOUBLE), least(CAST(127 AS DOUBLE),
+       |        floor(f.xd * s.scale + 0.5))) / s.scale)) AS maxerr
+       |  FROM f JOIN sc s USING (vec_id) GROUP BY f.vec_id, f.label)
+       |SELECT label, COUNT(*) AS n_vecs,
+       |round(${DAVG("maxerr", 12)}, 9) AS avg_maxerr,
+       |round(MAX(maxerr), 9) AS worst_err
+       |FROM err GROUP BY label""".stripMargin
+
   /** Array/vector column breadth (F16): structural access to the embedding
     * column — dims, first/last elements — no float arithmetic, so values
     * pass through from parquet bit-identically.
@@ -336,5 +379,7 @@ object Similarity extends QueryModule {
     GQuery("q65_ivf_ann", "IVF-partitioned ANN: centroid assignment + in-cluster top-3", ivfAnn, Some(ivfAnnSql)),
     GQuery("q78_embedding_neardup", "embedding-cosine near-dup via sign-LSH bucket join (no all-pairs)",
       embeddingNearDup, Some(embeddingNearDupSql)),
+    GQuery("q104_quantize_int8", "symmetric int8 embedding quantization with exact reconstruction-error accounting",
+      quantizeInt8, Some(quantizeInt8Sql)),
   )
 }
