@@ -460,27 +460,77 @@ object Dedup extends QueryModule {
     * reachable node id). Reusable across any near-dup pair source
     * (SimHash, MinHash, embedding LSH).
     *
-    * Iterative min-label propagation with pointer jumping, the standard
-    * distributed CC shape (GraphX/Pregel run the same supersteps); the
-    * driver only ever sees the per-round convergence count.
+    * Two-tier strategy, size-gated on the edge count (the same shape
+    * GraphFrames' connectedComponents uses):
+    *  - SMALL graphs (<= spark.graft.cc.localMaxEdges, default 20M edges):
+    *    exact union-find over the whole edge list in ONE executor partition
+    *    via mapPartitions — a single job, data never touches the driver.
+    *    Near-dup pair graphs are collision survivors, typically orders of
+    *    magnitude smaller than the corpus, so this is the common case even
+    *    at 100 TB; 20M (Long,Long) edges is ~320 MB of parent-map heap.
+    *  - LARGE graphs: iterative min-label propagation with pointer jumping,
+    *    the standard distributed CC shape (GraphX/Pregel run the same
+    *    supersteps); the driver only ever sees per-round convergence counts.
+    * Both paths produce the identical labeling (component label = minimum
+    * member id), pinned by the AnalyticsSpec random-graph property test.
     */
   def connectedComponents(pairs: DataFrame): DataFrame = {
     val s = pairs.sparkSession
     val Seq(a, b) = pairs.columns.toSeq.take(2)
+    // localCheckpoint: materialize the (possibly expensive) pair source once;
+    // both the count gate and the chosen CC path reuse the cached blocks.
+    val raw = pairs.select(col(a).cast("long").as("n"), col(b).cast("long").as("m"))
+      .localCheckpoint()
+    val edgeRows = raw.count()
+    val localMax = s.conf.getOption("spark.graft.cc.localMaxEdges")
+      .map(_.toLong).getOrElse(20000000L)
+    if (edgeRows <= localMax) ccSinglePartition(raw)
+    else ccIterative(raw, edgeRows)
+  }
+
+  /** Exact union-find (path compression, union-by-min so each root IS its
+    * component's minimum id) over the full edge list in one executor
+    * partition. One Spark job; no driver-side collect.
+    */
+  private def ccSinglePartition(raw: DataFrame): DataFrame = {
+    val s = raw.sparkSession
+    import s.implicits._
+    raw.as[(Long, Long)].repartition(1).mapPartitions { it =>
+      val parent = scala.collection.mutable.LongMap.empty[Long]
+      def find(x0: Long): Long = {
+        var x = x0
+        while (parent.getOrElse(x, x) != x) x = parent(x)
+        var y = x0 // path compression: point the whole chain at the root
+        while (parent.getOrElse(y, y) != y) { val p = parent(y); parent(y) = x; y = p }
+        x
+      }
+      it.foreach { case (n, m) =>
+        parent.getOrElseUpdate(n, n); parent.getOrElseUpdate(m, m)
+        val rn = find(n); val rm = find(m)
+        if (rn != rm) { if (rn < rm) parent(rm) = rn else parent(rn) = rm }
+      }
+      // snapshot keys before the final finds: path compression mutates values
+      val nodes = parent.keys.toArray
+      nodes.iterator.map(k => (k, find(k)))
+    }.toDF("n", "lab")
+  }
+
+  /** Distributed iterative path for graphs too large for one partition. */
+  private def ccIterative(raw: DataFrame, edgeRows0: Long): DataFrame = {
+    val s = raw.sparkSession
     // localCheckpoint (not cache): iterative plans must CUT lineage each
     // round — a cache only short-circuits execution, the analyzed plan
     // still nests the full history and grows exponentially with rounds.
-    val edges = pairs.select(col(a).as("n"), col(b).as("m"))
-      .unionByName(pairs.select(col(b).as("n"), col(a).as("m")))
+    val edges = raw
+      .unionByName(raw.select(col("m").as("n"), col("n").as("m")))
       .localCheckpoint()
     var labels = edges.select(col("n")).distinct()
       .withColumn("lab", col("n")).localCheckpoint()
     // The label frame is tiny relative to the corpus (only docs that hit a
     // near-dup pair); per-round shuffles at full width would be pure
     // scheduling overhead — size the loop's parallelism to the frame:
-    // ~500k edge rows per partition, floor 8 (edges is already
-    // materialized by the localCheckpoint, so the count is a cheap scan).
-    val edgeRows = edges.count() // already includes both directions
+    // ~500k edge rows per partition, floor 8.
+    val edgeRows = edgeRows0 * 2 // both directions
     val loopParts = math.max(8L, edgeRows / 500000L).min(100000L).toString
     val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
     s.conf.set("spark.sql.shuffle.partitions", loopParts)

@@ -160,15 +160,21 @@ class AnalyticsSpec extends AnyFunSuite {
   test("connected components match a reference union-find on random graphs") {
     import s.implicits._
     val rnd = new scala.util.Random(42)
-    (1 to 3).foreach { _ =>
+    // forcedLocalMax 0 forces the distributed iterative path; the default
+    // (unset) takes the single-partition union-find path — both must agree
+    // with the reference labeling
+    (1 to 3).zip(Seq(None, Some("0"), None)).foreach { case (_, forcedLocalMax) =>
       val n = 30
       val edges = (1 to 40)
         .map(_ => (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
         .filter(e => e._1 != e._2)
         .map(e => (math.min(e._1, e._2), math.max(e._1, e._2)))
         .distinct
-      val labels = Dedup.connectedComponents(edges.toDF("da", "db"))
-        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      forcedLocalMax.foreach(v => s.conf.set("spark.graft.cc.localMaxEdges", v))
+      val labels = try {
+        Dedup.connectedComponents(edges.toDF("da", "db"))
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      } finally s.conf.unset("spark.graft.cc.localMaxEdges")
       // reference union-find, always attaching the larger root under the
       // smaller one, so each component's root IS its minimum node id
       val parent = scala.collection.mutable.Map[Long, Long]()
