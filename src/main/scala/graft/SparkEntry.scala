@@ -19,6 +19,7 @@ object SparkEntry {
     graft.operators.Similarity,
     graft.operators.TextOps,
     graft.operators.Events,
+    graft.operators.ScaleOps,
     graft.sources.RoundTrip,
     graft.streaming.StreamOps,
     graft.functions.Multimodal,

