@@ -283,6 +283,109 @@ object ScaleOps extends QueryModule {
       |FROM cxy c JOIN cx a ON a.x = c.x JOIN cy b ON b.y = c.y CROSS JOIN tot t
       |ORDER BY c.c_xy DESC, c.x, c.y LIMIT 15""".stripMargin
 
+  /** Tokenizer-prep vocabulary construction: top-V tokens by corpus count
+    * (V=16, total tie-break on the token so the vocabulary is deterministic),
+    * then per-language OOV accounting against that vocabulary. The vocab is
+    * a top-k over the token-count aggregate — tiny — and is broadcast back
+    * against the token stream, so the corpus is never shuffled twice; OOV
+    * rate is reported in integer milli units (no float division).
+    */
+  def vocabOov(s: SparkSession, dir: String): DataFrame = {
+    tune(s)
+    val toks = spread(table(s, dir, "documents"))
+      .select(col("lang"), explode(split(col("text"), " ")).as("tok"))
+      .filter(length(col("tok")) > 0)
+    val vocab = toks.groupBy(col("tok")).agg(count(lit(1)).as("cn"))
+      .orderBy(col("cn").desc, col("tok")).limit(16)
+      .select(col("tok"), lit(1).as("in_vocab"))
+    toks.join(broadcast(vocab), Seq("tok"), "left_outer")
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("total_tokens"),
+           sum(when(col("in_vocab").isNull, 1L).otherwise(0L)).as("oov_tokens"))
+      .select(col("lang"), col("total_tokens"), col("oov_tokens"),
+        expr("(oov_tokens * 1000) div total_tokens").as("oov_milli"))
+  }
+
+  private val vocabOovSql =
+    """WITH t AS (
+      |  SELECT lang, tok FROM (
+      |    SELECT lang, unnest(string_split(text, ' ')) AS tok FROM documents)
+      |  WHERE len(tok) > 0),
+      |vocab AS (SELECT tok FROM (SELECT tok, COUNT(*) AS cn FROM t GROUP BY tok)
+      |          ORDER BY cn DESC, tok LIMIT 16),
+      |j AS (SELECT t.lang, CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END AS oov
+      |      FROM t LEFT JOIN vocab v ON v.tok = t.tok)
+      |SELECT lang, COUNT(*) AS total_tokens,
+      |CAST(SUM(oov) AS BIGINT) AS oov_tokens,
+      |CAST((SUM(oov) * 1000) // COUNT(*) AS BIGINT) AS oov_milli
+      |FROM j GROUP BY lang""".stripMargin
+
+  /** Importance resampling (quality-weighted downsampling): each document
+    * keeps a hash-lottery ticket with win probability proportional to its
+    * (capped) token count — keep iff md5(doc_id) mod 1000 < min(n_tokens,80)
+    * * 10. Deterministic (same corpus -> same sample on any cluster size, no
+    * RNG state), embarrassingly parallel (a pure per-row predicate, no
+    * shuffle before the rollup), and exactly the systematic-sampling shape a
+    * 100 TB mixing run uses to upweight long documents without a sort.
+    */
+  def importanceResample(s: SparkSession, dir: String): DataFrame = {
+    tune(s)
+    table(s, dir, "documents")
+      .select(col("doc_id"), col("lang"), size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      .withColumn("w_milli", least(col("n_tokens"), lit(80L)) * 10L)
+      .withColumn("kept",
+        pmod(md5Long(col("doc_id").cast("string")), lit(1000)) < col("w_milli"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+           sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
+           sum(when(col("kept"), col("n_tokens")).otherwise(0L)).as("kept_tokens"))
+  }
+
+  private val importanceResampleSql =
+    s"""WITH d AS (SELECT doc_id, lang,
+       |             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+       |           FROM documents),
+       |k AS (SELECT lang, n_tokens,
+       |        CASE WHEN ${MD5L("CAST(doc_id AS VARCHAR)")} % 1000 <
+       |          least(n_tokens, 80) * 10 THEN 1 ELSE 0 END AS kept
+       |      FROM d)
+       |SELECT lang, COUNT(*) AS n_docs,
+       |CAST(SUM(kept) AS BIGINT) AS n_kept,
+       |CAST(SUM(CASE WHEN kept = 1 THEN n_tokens ELSE 0 END) AS BIGINT) AS kept_tokens
+       |FROM k GROUP BY lang""".stripMargin
+
+  /** Per-source cap (single-domain dominance control): keep at most 15
+    * documents per source, selected by hash rank (md5 of doc_id, doc_id
+    * tie-break) so the survivors are a deterministic uniform subsample of
+    * each source rather than "whatever sorted first". One window per source
+    * partition — at 100 TB the partitions are per-domain and independent;
+    * a pathologically huge single domain is exactly the case the cap
+    * exists for, and its rank-window shuffles only that domain's rows.
+    */
+  def sourceCap(s: SparkSession, dir: String): DataFrame = {
+    tune(s)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source"))
+      .orderBy(md5Long(col("doc_id").cast("string")), col("doc_id"))
+    table(s, dir, "documents")
+      .select(col("doc_id"), col("source"))
+      .withColumn("rk", row_number().over(w))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+           sum(when(col("rk") <= 15, 1L).otherwise(0L)).as("n_kept"),
+           sum(when(col("rk") > 15, 1L).otherwise(0L)).as("n_dropped"))
+  }
+
+  private val sourceCapSql =
+    s"""WITH r AS (SELECT source,
+       |             ROW_NUMBER() OVER (PARTITION BY source
+       |               ORDER BY ${MD5L("CAST(doc_id AS VARCHAR)")}, doc_id) AS rk
+       |           FROM documents)
+       |SELECT source, COUNT(*) AS n_docs,
+       |CAST(SUM(CASE WHEN rk <= 15 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       |CAST(SUM(CASE WHEN rk > 15 THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped
+       |FROM r GROUP BY source""".stripMargin
+
   override val queries: Seq[GQuery] = Seq(
     GQuery("q105_heavy_hitters",
       "Count-Min sketch heavy hitters with machine-checked one-sided error contract",
@@ -302,5 +405,14 @@ object ScaleOps extends QueryModule {
     GQuery("q110_bigram_lift",
       "collocation mining: bigram lift (integer milli-PMI core), row-local pair formation",
       bigramLift, Some(bigramLiftSql)),
+    GQuery("q111_vocab_oov",
+      "tokenizer prep: top-V vocabulary + per-language OOV accounting",
+      vocabOov, Some(vocabOovSql)),
+    GQuery("q112_importance_resample",
+      "quality-weighted downsampling via deterministic hash lottery",
+      importanceResample, Some(importanceResampleSql)),
+    GQuery("q113_source_cap",
+      "per-source document cap by hash rank (single-domain dominance control)",
+      sourceCap, Some(sourceCapSql)),
   )
 }

@@ -88,6 +88,31 @@ class ScaleOpsSpec extends AnyFunSuite {
     d.unpersist()
   }
 
+  test("source cap keeps at most 15 per source and accounts for every doc") {
+    val r = ScaleOps.sourceCap(s, TestSpark.sf).cache()
+    assert(r.filter(col("n_kept") > 15).count() == 0)
+    assert(r.filter(col("n_kept") + col("n_dropped") =!= col("n_docs")).count() == 0)
+    r.unpersist()
+  }
+
+  test("importance resampling upweights long documents") {
+    val dir = TestSpark.sf
+    val d = table(s, dir, "documents")
+      .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      .withColumn("kept",
+        pmod(md5Long(col("doc_id").cast("string")), lit(1000)) < least(col("n_tokens"), lit(80L)) * 10L)
+      .cache()
+    val meanKept = d.filter(col("kept")).agg(avg("n_tokens")).collect()(0).getDouble(0)
+    val meanDropped = d.filter(!col("kept")).agg(avg("n_tokens")).collect()(0).getDouble(0)
+    assert(meanKept > meanDropped,
+      s"hash lottery must favor long docs (kept avg $meanKept vs dropped $meanDropped)")
+    // and the rollup agrees with the per-doc predicate
+    val rollup = ScaleOps.importanceResample(s, dir)
+      .agg(sum("n_kept")).collect()(0).getLong(0)
+    assert(rollup == d.filter(col("kept")).count())
+    d.unpersist()
+  }
+
   test("bigram lift is scale-free: doubling the corpus leaves lift_milli unchanged") {
     // lift = c_xy * N / (c_x * c_y): doubling every count cancels exactly —
     // pin that the integer formula preserves this (ranking is intrinsic,
