@@ -184,11 +184,34 @@ object ScaleOps extends QueryModule {
       val pos = s"pmod(graft_md5_60(concat(CAST(l_partkey AS STRING), '#', '$j')), $M)"
       s"(coalesce(element_at(bm, CAST($pos div 64 AS INT)), 0L) & shiftleft(1L, CAST($pos % 64 AS INT))) != 0"
     }.mkString(" AND ")
-    table(s, dir, "lineitem")
+    // Plan-shape note: with a broadcastable dim (fixture scale), Catalyst's
+    // semi-join pushdown rules evaluate the exact semi-join below the bloom
+    // probe — harmless, since neither side shuffles the fact. The case the
+    // bloom exists for is a dim TOO BIG to broadcast: the exact join must
+    // then shuffle the fact, and the bloom must prune BEFORE that shuffle.
+    // The pushdown rules (PushDownLeftSemiAntiJoin and
+    // PushLeftSemiLeftAntiThroughJoin) reorder unconditionally — they cross
+    // even an explicit repartition barrier — so shuffleExact mode uses
+    // Spark's supported knob for exactly this, excludedRules, to keep the
+    // written order: bloom filter, THEN the sort-merge exact join whose
+    // exchange moves only bloom survivors. (The exclusion is a session conf;
+    // callers opt in for the scale-profiled job, as a production tuning
+    // would.)
+    val shuffleExact = s.conf.getOption("spark.graft.bloomJoin.shuffleExact").exists(_.toBoolean)
+    if (shuffleExact) {
+      val pushRules = Seq(
+        "org.apache.spark.sql.catalyst.optimizer.PushDownLeftSemiAntiJoin",
+        "org.apache.spark.sql.catalyst.optimizer.PushLeftSemiLeftAntiThroughJoin")
+      val prev = s.conf.getOption("spark.sql.optimizer.excludedRules")
+        .toSeq.flatMap(_.split(",")).filter(_.nonEmpty)
+      s.conf.set("spark.sql.optimizer.excludedRules", (prev ++ pushRules).distinct.mkString(","))
+    }
+    val passed = table(s, dir, "lineitem")
       .select(col("l_partkey"), col("l_quantity"), col("l_returnflag"))
       .crossJoin(broadcast(bloom))
       .filter(expr(mightContain))
-      .join(dim, col("l_partkey") === col("p_partkey"), "left_semi")
+    val dimSide = if (shuffleExact) dim.hint("SHUFFLE_MERGE") else dim
+    passed.join(dimSide, col("l_partkey") === col("p_partkey"), "left_semi")
       .groupBy(col("l_returnflag"))
       .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("sum_qty"))
   }

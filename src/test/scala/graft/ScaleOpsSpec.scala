@@ -47,6 +47,30 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(withBloom.exceptAll(plain).count() == 0 && plain.exceptAll(withBloom).count() == 0)
   }
 
+  test("shuffleExact mode: bloom probe sits below the exact join's shuffle") {
+    s.conf.set("spark.graft.bloomJoin.shuffleExact", "true")
+    try {
+      val df = ScaleOps.bloomJoin(s, TestSpark.sf)
+      val plan = df.queryExecution.executedPlan.toString
+      // the exact join must be the shuffle (sort-merge) form, and the bloom
+      // probe (the BroadcastNestedLoopJoin with the bit-mask condition)
+      // must appear BELOW it — i.e. the bloom prunes the shuffle input
+      val smj = plan.indexOf("SortMergeJoin")
+      val bnlj = plan.indexOf("BroadcastNestedLoopJoin")
+      assert(smj >= 0, s"expected a sort-merge exact join in:\n$plan")
+      assert(bnlj > smj, "bloom probe must be inside the exact join's shuffle input")
+      // and results are still identical to the broadcast form
+      val shuffleRows = df.collect().map(_.toString).sorted
+      s.conf.unset("spark.graft.bloomJoin.shuffleExact")
+      s.conf.unset("spark.sql.optimizer.excludedRules")
+      val broadcastRows = ScaleOps.bloomJoin(s, TestSpark.sf).collect().map(_.toString).sorted
+      assert(shuffleRows.sameElements(broadcastRows))
+    } finally {
+      s.conf.unset("spark.graft.bloomJoin.shuffleExact")
+      s.conf.unset("spark.sql.optimizer.excludedRules")
+    }
+  }
+
   test("count-min estimates never underestimate and dominate exact counts") {
     val hh = ScaleOps.heavyHitters(s, TestSpark.sf).cache()
     assert(hh.count() == 20)
