@@ -409,6 +409,92 @@ object ScaleOps extends QueryModule {
        |CAST(SUM(CASE WHEN rk > 15 THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped
        |FROM r GROUP BY source""".stripMargin
 
+  /** Deterministic synthetic change log over the orders table (both engines
+    * build the identical frame): every order INSERTs at seq 1, every third
+    * UPDATEs (price * 1.1) at seq 2, every fifth DELETEs at seq 3 — enough
+    * op-mix that CDC apply and SCD2 history both have real work.
+    */
+  private def changeLog(s: SparkSession, dir: String): DataFrame = {
+    val o = table(s, dir, "orders")
+      .select(col("o_orderkey").as("k"), col("o_totalprice").as("price"),
+              col("o_orderpriority").as("grp"))
+    o.select(col("k"), lit(1).as("seq"), lit("I").as("op"), col("price").as("v"), col("grp"))
+      .unionByName(o.filter(col("k") % 3 === 0)
+        .select(col("k"), lit(2).as("seq"), lit("U").as("op"),
+                (col("price") * 1.1).as("v"), col("grp")))
+      .unionByName(o.filter(col("k") % 5 === 0)
+        .select(col("k"), lit(3).as("seq"), lit("D").as("op"),
+                lit(null).cast("double").as("v"), col("grp")))
+  }
+
+  private val changeLogSql =
+    """chg AS (
+      |  SELECT o_orderkey AS k, 1 AS seq, 'I' AS op, o_totalprice AS v,
+      |         o_orderpriority AS grp FROM orders
+      |  UNION ALL
+      |  SELECT o_orderkey, 2, 'U', o_totalprice * 1.1, o_orderpriority
+      |  FROM orders WHERE o_orderkey % 3 = 0
+      |  UNION ALL
+      |  SELECT o_orderkey, 3, 'D', NULL, o_orderpriority
+      |  FROM orders WHERE o_orderkey % 5 = 0)""".stripMargin
+
+  /** CDC apply: collapse an ordered change log (I/U/D per key, monotone
+    * sequence numbers) to the final table state — keep each key's LAST
+    * change (row_number over seq desc), drop keys whose last op is a
+    * delete. ONE shuffle on the key; at 100 TB this is the standard
+    * "apply the day's binlog to the lake" shape, and the window partitions
+    * are per-key so a hot key costs only its own changes.
+    */
+  def cdcApply(s: SparkSession, dir: String): DataFrame = {
+    tune(s)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("k")).orderBy(col("seq").desc)
+    changeLog(s, dir)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1 && col("op") =!= "D")
+      .groupBy(col("grp"))
+      .agg(count(lit(1)).as("n_live"), dsum(col("v")).as("sum_v"))
+  }
+
+  private val cdcApplySql =
+    s"""WITH $changeLogSql,
+       |last AS (
+       |  SELECT k, op, v, grp,
+       |         ROW_NUMBER() OVER (PARTITION BY k ORDER BY seq DESC) AS rn
+       |  FROM chg)
+       |SELECT grp, COUNT(*) AS n_live, ${DSUM("v")} AS sum_v
+       |FROM last WHERE rn = 1 AND op <> 'D'
+       |GROUP BY grp""".stripMargin
+
+  /** SCD type-2 history build: turn the change log into validity intervals
+    * — each version is effective from its own sequence number until the
+    * next change to the same key (lead over the per-key window; null lead =
+    * still current). The dimensional-warehouse primitive for "what did this
+    * row look like when". Same single key-shuffle as cdcApply.
+    */
+  def scd2History(s: SparkSession, dir: String): DataFrame = {
+    tune(s)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("k")).orderBy(col("seq"))
+    changeLog(s, dir)
+      .withColumn("eff_to", lead(col("seq"), 1).over(w))
+      .groupBy(col("grp"))
+      .agg(count(lit(1)).as("n_versions"),
+           sum(when(col("eff_to").isNull && col("op") =!= "D", 1L).otherwise(0L)).as("n_current"),
+           sum(when(col("eff_to").isNotNull, col("eff_to") - col("seq")).otherwise(0L)).as("closed_span"))
+  }
+
+  private val scd2HistorySql =
+    s"""WITH $changeLogSql,
+       |v AS (
+       |  SELECT grp, op, seq,
+       |         LEAD(seq) OVER (PARTITION BY k ORDER BY seq) AS eff_to
+       |  FROM chg)
+       |SELECT grp, COUNT(*) AS n_versions,
+       |CAST(SUM(CASE WHEN eff_to IS NULL AND op <> 'D' THEN 1 ELSE 0 END) AS BIGINT) AS n_current,
+       |CAST(SUM(CASE WHEN eff_to IS NOT NULL THEN eff_to - seq ELSE 0 END) AS BIGINT) AS closed_span
+       |FROM v GROUP BY grp""".stripMargin
+
   override val queries: Seq[GQuery] = Seq(
     GQuery("q105_heavy_hitters",
       "Count-Min sketch heavy hitters with machine-checked one-sided error contract",
@@ -437,5 +523,11 @@ object ScaleOps extends QueryModule {
     GQuery("q113_source_cap",
       "per-source document cap by hash rank (single-domain dominance control)",
       sourceCap, Some(sourceCapSql)),
+    GQuery("q114_cdc_apply",
+      "CDC apply: collapse an I/U/D change log to final state, last-writer-wins",
+      cdcApply, Some(cdcApplySql)),
+    GQuery("q115_scd2_history",
+      "SCD type-2 history: validity intervals from a change log via per-key lead",
+      scd2History, Some(scd2HistorySql)),
   )
 }

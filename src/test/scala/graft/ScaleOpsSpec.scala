@@ -137,6 +137,34 @@ class ScaleOpsSpec extends AnyFunSuite {
     d.unpersist()
   }
 
+  test("cdc apply: live keys = inserts minus deletes; deleted keys never survive") {
+    val dir = TestSpark.sf
+    val orders = table(s, dir, "orders")
+    val total = orders.count()
+    val deleted = orders.filter(col("o_orderkey") % 5 === 0).count()
+    val live = ScaleOps.cdcApply(s, dir).agg(sum("n_live")).collect()(0).getLong(0)
+    assert(live == total - deleted)
+  }
+
+  test("scd2 history: per-key version/current accounting is exact") {
+    val dir = TestSpark.sf
+    val orders = table(s, dir, "orders")
+    val total = orders.count()
+    val upd = orders.filter(col("o_orderkey") % 3 === 0).count()
+    val del = orders.filter(col("o_orderkey") % 5 === 0).count()
+    val r = ScaleOps.scd2History(s, dir)
+      .agg(sum("n_versions"), sum("n_current"), sum("closed_span")).collect()(0)
+    assert(r.getLong(0) == total + upd + del, "one version per change event")
+    assert(r.getLong(1) == total - del, "current = keys whose last op is not D")
+    // closed interval spans: each non-final version closes at the next seq
+    val expectedSpan = orders
+      .filter(col("o_orderkey") % 3 === 0 || col("o_orderkey") % 5 === 0)
+      .select(when(col("o_orderkey") % 3 === 0 && col("o_orderkey") % 5 === 0, 2L)
+        .when(col("o_orderkey") % 3 === 0, 1L).otherwise(2L).as("sp"))
+      .agg(sum("sp")).collect()(0).getLong(0)
+    assert(r.getLong(2) == expectedSpan)
+  }
+
   test("bigram lift is scale-free: doubling the corpus leaves lift_milli unchanged") {
     // lift = c_xy * N / (c_x * c_y): doubling every count cancels exactly —
     // pin that the integer formula preserves this (ranking is intrinsic,
