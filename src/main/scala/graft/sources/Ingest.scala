@@ -156,6 +156,19 @@ object Lake {
     */
   def mergeUpsert(spark: SparkSession, dir: String, updates: DataFrame,
                   keyCol: String, partCol: String): Int = {
+    // `updates` is consumed once for partition discovery plus twice per
+    // affected partition — without a persist the (possibly expensive)
+    // update computation re-runs for every consumer. Tolerate callers who
+    // already persisted at a different level.
+    val cachedHere =
+      try { updates.persist(); true }
+      catch { case _: IllegalArgumentException | _: UnsupportedOperationException => false }
+    try mergeUpsertImpl(spark, dir, updates, keyCol, partCol)
+    finally if (cachedHere) { updates.unpersist(false): Unit }
+  }
+
+  private def mergeUpsertImpl(spark: SparkSession, dir: String, updates: DataFrame,
+                              keyCol: String, partCol: String): Int = {
     val parts = updates.select(col(partCol)).distinct().collect()
       .map(_.get(0).toString).sorted
     require(parts.forall(p => !p.exists("/\\:*?\"<>|%".contains(_))),

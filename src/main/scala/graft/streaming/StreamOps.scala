@@ -283,6 +283,85 @@ object StreamOps extends QueryModule {
        |WHERE (hr + 1) * 3600000000 <= (SELECT w FROM wm)
        |GROUP BY hr, event_type""".stripMargin
 
+  /** Streaming merge sink: foreachBatch + [[graft.sources.Lake.mergeUpsert]]
+    * — the production "apply each micro-batch's changes to the lake" shape
+    * (Delta's MERGE-per-batch, hand-rolled on the guarded-swap lake). Two
+    * staged micro-batches (event-id parity, pinned name+mtime order) each
+    * upsert their per-user latest row into a shard-partitioned lake; later
+    * batches overwrite overlapping keys, so the final lake is
+    * last-writer-wins in (batch, ts, event_id) order — which is exactly
+    * what the batch oracle ranks. Proves the durable sink composes with
+    * streaming and stays idempotent per partition swap.
+    */
+  def streamMerge(s: SparkSession, dir: String): DataFrame = {
+    tune(s)
+    withStatePartitions(s, 8) {
+      val ev = s.read.parquet(s"$dir/events.parquet")
+        .select(col("event_id"), col("ts"), col("user_id"), col("value"))
+      val schema = ev.schema
+      val base = s"$ckBase/merge_${counter.incrementAndGet()}"
+      val srcDir = s"$base/src"
+      val lake = s"$base/lake"
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        new java.net.URI("file:///"), s.sparkContext.hadoopConfiguration)
+      def stage(df: DataFrame, name: String, mtime: Long): Unit = {
+        val tmp = s"$srcDir/.stage_$name"
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        val part = fs.globStatus(new org.apache.hadoop.fs.Path(s"$tmp/part-*.parquet"))(0).getPath
+        val dest = new org.apache.hadoop.fs.Path(s"$srcDir/$name.parquet")
+        fs.rename(part, dest)
+        fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+        fs.setTimes(dest, mtime, -1)
+      }
+      val t0 = 1000000000000L
+      stage(ev.filter(col("event_id") % 2 === 0), "b0_even", t0)
+      stage(ev.filter(col("event_id") % 2 === 1), "b1_odd", t0 + 600000L)
+      val src = s.readStream
+        .schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(srcDir)
+      val qname = s"graft_stream_merge_${counter.incrementAndGet()}"
+      val q = src.writeStream
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          // per-batch CDC reduction: one row per user (latest by ts then
+          // event_id), then a partition-scoped durable upsert
+          val w = org.apache.spark.sql.expressions.Window
+            .partitionBy(col("user_id")).orderBy(col("ts").desc, col("event_id").desc)
+          val latest = batch
+            .withColumn("rn", row_number().over(w)).filter(col("rn") === 1).drop("rn")
+            .withColumn("shard", pmod(col("user_id"), lit(4)))
+          graft.sources.Lake.mergeUpsert(batch.sparkSession, lake, latest, "user_id", "shard")
+          ()
+        }
+        .option("checkpointLocation", s"$ckBase/$qname")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val batches = q.recentProgress.count(_.numInputRows > 0)
+      require(batches >= 2, s"merge harness needs >= 2 non-empty micro-batches, got $batches")
+      dropCheckpoint(s"$ckBase/$qname")
+      dropCheckpoint(srcDir)
+      // the lake itself stays on tmpfs until process exit: the returned
+      // frame reads it lazily
+      s.read.parquet(lake)
+        .groupBy(col("shard").cast("long").as("shard"))
+        .agg(count(lit(1)).as("n_users"),
+             dsum(col("value")).as("sum_v"),
+             max(col("event_id")).as("last_id"))
+    }
+  }
+
+  /** Last-writer-wins in (batch, ts, event_id) order, computed in batch:
+    * what the merged lake MUST contain. */
+  private val streamMergeSql =
+    s"""WITH e AS (SELECT event_id, epoch_us(ts) AS ts_us, user_id, value,
+       |                  event_id % 2 AS batch FROM events),
+       |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+       |        ORDER BY batch DESC, ts_us DESC, event_id DESC) AS rn FROM e)
+       |SELECT CAST(user_id % 4 AS BIGINT) AS shard, COUNT(*) AS n_users,
+       |${DSUM("value")} AS sum_v, CAST(MAX(event_id) AS BIGINT) AS last_id
+       |FROM r WHERE rn = 1 GROUP BY 1""".stripMargin
+
   /** Streaming deduplication (ST1): the reference's idempotency gate in
     * stream form — dropDuplicates on the event key with a watermark bounding
     * the dedup state (at scale the watermark is what keeps the state store
@@ -340,5 +419,8 @@ object StreamOps extends QueryModule {
     GQuery("q99_stream_late",
       "two-batch watermark run: late batch provably dropped, append emits closed windows only",
       streamLate, Some(streamLateSql)),
+    GQuery("q116_stream_merge",
+      "streaming CDC sink: foreachBatch mergeUpsert into the guarded-swap lake, two micro-batches",
+      streamMerge, Some(streamMergeSql)),
   )
 }
