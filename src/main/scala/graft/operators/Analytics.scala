@@ -488,7 +488,97 @@ object Analytics extends QueryModule {
     ).mkString(" UNION ALL ")
   }
 
+  /** Equi-width histogram binning (the profile/summarize primitive):
+    * bucket = min(floor(price / 50k), 11), pure integer bucketing computed
+    * identically by any engine — a single partial+final aggregate, no
+    * sort, no window; the 100 TB shape for "what does this column look
+    * like" (contrast q29's exact sort-based percentiles).
+    */
+  def histogram(s: SparkSession, dir: String): DataFrame = {
+    tune(s)
+    table(s, dir, "orders")
+      .select(col("o_totalprice"),
+        least(floor(col("o_totalprice") / 50000).cast("long"), lit(11L)).as("bucket"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"),
+           dsum(col("o_totalprice")).as("sum_v"),
+           min(col("o_totalprice")).as("min_v"),
+           max(col("o_totalprice")).as("max_v"))
+  }
+
+  private val histogramSql =
+    s"""SELECT CAST(least(floor(o_totalprice / 50000), 11) AS BIGINT) AS bucket,
+       |COUNT(*) AS n, ${DSUM("o_totalprice")} AS sum_v,
+       |MIN(o_totalprice) AS min_v, MAX(o_totalprice) AS max_v
+       |FROM orders GROUP BY 1""".stripMargin
+
+  /** Data-quality audit: a rule battery evaluated as plain aggregates —
+    * referential orphans (anti-join), domain violations, null rates, and
+    * key uniqueness — each rule one row with its violation count and the
+    * checked population. The "expectations" nightly every lake pipeline
+    * runs; every rule is a scan-local aggregate or a single anti-join, so
+    * the audit costs one pass per fact table at any scale.
+    */
+  def dqAudit(s: SparkSession, dir: String): DataFrame = {
+    tune(s)
+    val li = table(s, dir, "lineitem")
+    val o = table(s, dir, "orders")
+    val orphans = li.join(o.select(col("o_orderkey")),
+        col("l_orderkey") === col("o_orderkey"), "left_anti")
+      .agg(count(lit(1)).as("n_violations"))
+      .select(lit("fk_lineitem_orders").as("rule"), col("n_violations"))
+      .crossJoin(li.agg(count(lit(1)).as("n_checked")))
+    val qty = li.agg(
+        sum(when(col("l_quantity") <= 0, 1L).otherwise(0L)).as("n_violations"),
+        count(lit(1)).as("n_checked"))
+      .select(lit("quantity_positive").as("rule"), col("n_violations"), col("n_checked"))
+    val disc = li.agg(
+        sum(when(col("l_discount") < 0 || col("l_discount") > 1, 1L).otherwise(0L)).as("n_violations"),
+        count(lit(1)).as("n_checked"))
+      .select(lit("discount_in_unit_range").as("rule"), col("n_violations"), col("n_checked"))
+    val nulls = o.agg(
+        sum(when(col("o_orderdate").isNull, 1L).otherwise(0L)).as("n_violations"),
+        count(lit(1)).as("n_checked"))
+      .select(lit("orderdate_not_null").as("rule"), col("n_violations"), col("n_checked"))
+    val dupes = o.agg(
+        (count(lit(1)) - countDistinct(col("o_orderkey"))).as("n_violations"),
+        count(lit(1)).as("n_checked"))
+      .select(lit("orderkey_unique").as("rule"), col("n_violations"), col("n_checked"))
+    orphans.unionByName(qty).unionByName(disc).unionByName(nulls).unionByName(dupes)
+      .withColumn("passed", col("n_violations") === 0)
+  }
+
+  private val dqAuditSql =
+    """SELECT 'fk_lineitem_orders' AS rule,
+      |  (SELECT COUNT(*) FROM lineitem l WHERE NOT EXISTS
+      |     (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)) AS n_violations,
+      |  (SELECT COUNT(*) FROM lineitem) AS n_checked
+      |UNION ALL
+      |SELECT 'quantity_positive',
+      |  CAST(SUM(CASE WHEN l_quantity <= 0 THEN 1 ELSE 0 END) AS BIGINT), COUNT(*)
+      |FROM lineitem
+      |UNION ALL
+      |SELECT 'discount_in_unit_range',
+      |  CAST(SUM(CASE WHEN l_discount < 0 OR l_discount > 1 THEN 1 ELSE 0 END) AS BIGINT), COUNT(*)
+      |FROM lineitem
+      |UNION ALL
+      |SELECT 'orderdate_not_null',
+      |  CAST(SUM(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END) AS BIGINT), COUNT(*)
+      |FROM orders
+      |UNION ALL
+      |SELECT 'orderkey_unique',
+      |  CAST(COUNT(*) - COUNT(DISTINCT o_orderkey) AS BIGINT), COUNT(*)
+      |FROM orders""".stripMargin
+
+  private val dqAuditSqlFinal =
+    s"""SELECT rule, n_violations, n_checked, n_violations = 0 AS passed
+       |FROM ($dqAuditSql)""".stripMargin
+
   override val queries: Seq[GQuery] = Seq(
+    GQuery("q117_histogram", "equi-width histogram binning: integer buckets, one partial+final agg",
+      histogram, Some(histogramSql)),
+    GQuery("q119_dq_audit", "data-quality rule battery: FK orphans, domains, nulls, key uniqueness",
+      dqAudit, Some(dqAuditSqlFinal)),
     GQuery("q29_percentiles", "exact interpolated percentiles per group (A5)",
       percentiles, Some(percentilesSql)),
     GQuery("q100_approx_quantiles", "GK-sketch approx_percentile with machine-checked rank-error contract (no sort)",

@@ -285,7 +285,47 @@ object Events extends QueryModule {
       |      FROM events)
       |GROUP BY event_type""".stripMargin
 
+  /** Value-based (RANGE) window frame: per-user trailing-1-hour event count
+    * and exact decimal sum — the time-interval frame the ROWS-based windows
+    * (q31) can't express. RANGE frames bound by VALUE, so gaps in event
+    * times are handled correctly; the per-user partitions are independent
+    * at scale (a hot user costs only its own ordered pass). Reported as
+    * per-event-type burst maxima so the output stays small at any SF.
+    */
+  def rangeWindow(s: SparkSession, dir: String): DataFrame = {
+    tune(s)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts_s"))
+      .rangeBetween(-3600L, 0L)
+    table(s, dir, "events")
+      .select(col("user_id"), col("event_type"), col("value"),
+        expr("ts div 1000000000").as("ts_s"))
+      .withColumn("cnt_1h", count(lit(1)).over(w))
+      .withColumn("sum_1h",
+        sum(col("value").cast(org.apache.spark.sql.types.DecimalType(38, 6))).over(w)
+          .cast("double"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+           max(col("cnt_1h")).as("max_burst"),
+           max(col("sum_1h")).as("max_sum_1h"))
+  }
+
+  private val rangeWindowSql =
+    """SELECT event_type, COUNT(*) AS n_events,
+      |CAST(MAX(cnt_1h) AS BIGINT) AS max_burst, MAX(sum_1h) AS max_sum_1h
+      |FROM (
+      |  SELECT event_type,
+      |    COUNT(*) OVER w AS cnt_1h,
+      |    CAST(SUM(CAST(value AS DECIMAL(38,6))) OVER w AS DOUBLE) AS sum_1h
+      |  FROM (SELECT user_id, event_type, value,
+      |          epoch_us(ts) // 1000000 AS ts_s FROM events)
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts_s
+      |               RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW))
+      |GROUP BY event_type""".stripMargin
+
   override val queries: Seq[GQuery] = Seq(
+    GQuery("q118_range_window", "value-based RANGE window: trailing-1h per-user burst stats (W1)",
+      rangeWindow, Some(rangeWindowSql)),
     GQuery("q93_variant", "VariantType parse_json + typed variant_get extraction (F14, Spark 4)",
       variantProps, Some(variantPropsSql)),
     GQuery("q77_retention", "hour-over-hour cohort retention (co-partitioned self-join)",
