@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{Cleaning, Dedup}
+import graft.operators.{Cleaning, Dedup, ScaleOps}
 import org.scalatest.funsuite.AnyFunSuite
 
 /** The engine's central correctness claim: results are bit-identical under
@@ -31,5 +31,20 @@ class DeterminismSpec extends AnyFunSuite {
     val a = underPartitions(2)(collectSorted(Dedup.minhashCandidates(s, TestSpark.sf)))
     val b = underPartitions(16)(collectSorted(Dedup.minhashCandidates(s, TestSpark.sf)))
     assert(a == b)
+  }
+
+  test("count-min sketch and top-k ranking are identical under 1 vs 16 partitions") {
+    val a = underPartitions(1)(collectSorted(ScaleOps.heavyHitters(s, TestSpark.sf)))
+    val b = underPartitions(16)(collectSorted(ScaleOps.heavyHitters(s, TestSpark.sf)))
+    assert(a == b)
+  }
+
+  test("cdc apply and importance resample are identical under 1 vs 16 partitions") {
+    val a1 = underPartitions(1)(collectSorted(ScaleOps.cdcApply(s, TestSpark.sf)))
+    val b1 = underPartitions(16)(collectSorted(ScaleOps.cdcApply(s, TestSpark.sf)))
+    assert(a1 == b1)
+    val a2 = underPartitions(1)(collectSorted(ScaleOps.importanceResample(s, TestSpark.sf)))
+    val b2 = underPartitions(16)(collectSorted(ScaleOps.importanceResample(s, TestSpark.sf)))
+    assert(a2 == b2)
   }
 }
