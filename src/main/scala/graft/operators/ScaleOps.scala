@@ -18,6 +18,26 @@ import org.apache.spark.sql.functions._
   */
 object ScaleOps extends QueryModule {
 
+  /** Shared tokenizer substrates, session-cached ([[graft.SessionCache]]):
+    * one scan+split for all consumers, exactly as a production pipeline
+    * materializes its tokenized corpus once per run. `docToksF` keeps the
+    * per-document token array (span/chunk/bigram construction is row-local
+    * over it); `toksF` is its exploded stream form.
+    */
+  private def docToksF(s: SparkSession, dir: String): DataFrame =
+    graft.SessionCache.cached(s, s"scaleops:doctoks:$dir") {
+      spread(table(s, dir, "documents"))
+        .select(col("doc_id"), col("lang"), col("source"), split(col("text"), " ").as("toks"))
+        .withColumn("n", size(col("toks")))
+    }
+
+  private def toksF(s: SparkSession, dir: String): DataFrame =
+    graft.SessionCache.cached(s, s"scaleops:toks:$dir") {
+      docToksF(s, dir)
+        .select(col("doc_id"), col("lang"), explode(col("toks")).as("tok"))
+        .filter(length(col("tok")) > 0)
+    }
+
   /** Count-Min sketch heavy hitters (Cormode/Muthukrishnan 2005): d=4 hash
     * rows x w=512 counters built straight from the token stream with a
     * map-side-combined groupBy on (row, bucket) — the sketch build is ONE
@@ -32,9 +52,7 @@ object ScaleOps extends QueryModule {
   def heavyHitters(s: SparkSession, dir: String): DataFrame = {
     tune(s)
     val js = array((0 until 4).map(lit): _*)
-    val toks = spread(table(s, dir, "documents"))
-      .select(explode(split(col("text"), " ")).as("tok"))
-      .filter(length(col("tok")) > 0)
+    val toks = toksF(s, dir).select(col("tok"))
     val exact = toks.groupBy(col("tok")).agg(count(lit(1)).as("exact_n"))
     val cms = toks.select(col("tok"), explode(js).as("j"))
       .withColumn("bucket",
@@ -83,9 +101,7 @@ object ScaleOps extends QueryModule {
     */
   def spanDedup(s: SparkSession, dir: String): DataFrame = {
     tune(s)
-    val d = spread(table(s, dir, "documents"))
-      .select(col("doc_id"), col("lang"), split(col("text"), " ").as("toks"))
-      .withColumn("n", size(col("toks")))
+    val d = docToksF(s, dir)
     val spans = d.select(col("doc_id"), col("lang"),
         explode(expr(
           "transform(sequence(0, (n - 1) div 8), g -> array_join(slice(toks, g*8+1, 8), ' '))"))
@@ -129,9 +145,7 @@ object ScaleOps extends QueryModule {
     */
   def chunkDocs(s: SparkSession, dir: String): DataFrame = {
     tune(s)
-    val d = spread(table(s, dir, "documents"))
-      .select(col("doc_id"), col("lang"), split(col("text"), " ").as("t"))
-      .withColumn("n", size(col("t")))
+    val d = docToksF(s, dir).withColumnRenamed("toks", "t")
     d.select(col("doc_id"), col("lang"),
         explode(expr("transform(sequence(0, (n - 1) div 24), g -> slice(t, g*24+1, 32))")).as("c"))
       .select(col("doc_id"), col("lang"),
@@ -274,9 +288,8 @@ object ScaleOps extends QueryModule {
     */
   def bigramLift(s: SparkSession, dir: String): DataFrame = {
     tune(s)
-    val bg = spread(table(s, dir, "documents"))
-      .select(split(col("text"), " ").as("t"))
-      .withColumn("n", size(col("t")))
+    val bg = docToksF(s, dir)
+      .select(col("toks").as("t"), col("n"))
       .filter(col("n") >= 2)
       .select(explode(expr(
         "transform(sequence(1, n - 1), i -> named_struct('x', t[i-1], 'y', t[i]))")).as("b"))
@@ -315,9 +328,7 @@ object ScaleOps extends QueryModule {
     */
   def vocabOov(s: SparkSession, dir: String): DataFrame = {
     tune(s)
-    val toks = spread(table(s, dir, "documents"))
-      .select(col("lang"), explode(split(col("text"), " ")).as("tok"))
-      .filter(length(col("tok")) > 0)
+    val toks = toksF(s, dir).select(col("lang"), col("tok"))
     val vocab = toks.groupBy(col("tok")).agg(count(lit(1)).as("cn"))
       .orderBy(col("cn").desc, col("tok")).limit(16)
       .select(col("tok"), lit(1).as("in_vocab"))
@@ -353,8 +364,8 @@ object ScaleOps extends QueryModule {
     */
   def importanceResample(s: SparkSession, dir: String): DataFrame = {
     tune(s)
-    table(s, dir, "documents")
-      .select(col("doc_id"), col("lang"), size(split(col("text"), " ")).cast("long").as("n_tokens"))
+    docToksF(s, dir)
+      .select(col("doc_id"), col("lang"), col("n").cast("long").as("n_tokens"))
       .withColumn("w_milli", least(col("n_tokens"), lit(80L)) * 10L)
       .withColumn("kept",
         pmod(md5Long(col("doc_id").cast("string")), lit(1000)) < col("w_milli"))
@@ -390,7 +401,7 @@ object ScaleOps extends QueryModule {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("source"))
       .orderBy(md5Long(col("doc_id").cast("string")), col("doc_id"))
-    table(s, dir, "documents")
+    docToksF(s, dir)
       .select(col("doc_id"), col("source"))
       .withColumn("rk", row_number().over(w))
       .groupBy(col("source"))
