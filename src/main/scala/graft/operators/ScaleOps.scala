@@ -141,7 +141,12 @@ object ScaleOps extends QueryModule {
     * (transform/slice over the token array — the explode multiplies rows
     * ~n/24x but never shuffles); the only shuffle is the final per-language
     * rollup. distinct_chunks (portable hash) measures how much the overlap
-    * + repeated boilerplate would dedup in a chunk store.
+    * + repeated boilerplate would dedup in a chunk store. Scale note: the
+    * per-language COUNT(DISTINCT hash) is exact (required by the oracle);
+    * at corpus scale the same statistic would ride the sketch path —
+    * approx_count_distinct or the KMV aggregate (q97/q24 pattern) — since
+    * an exact distinct over billions of chunk hashes is a full shuffle of
+    * the hash column.
     */
   def chunkDocs(s: SparkSession, dir: String): DataFrame = {
     tune(s)
@@ -392,9 +397,14 @@ object ScaleOps extends QueryModule {
     * documents per source, selected by hash rank (md5 of doc_id, doc_id
     * tie-break) so the survivors are a deterministic uniform subsample of
     * each source rather than "whatever sorted first". One window per source
-    * partition — at 100 TB the partitions are per-domain and independent;
-    * a pathologically huge single domain is exactly the case the cap
-    * exists for, and its rank-window shuffles only that domain's rows.
+    * partition; per-domain partitions are independent at scale. Honest
+    * caveat: a pathologically huge single domain lands its whole row set
+    * on one rank-window reducer. The production refinement is two-phase —
+    * pre-filter each huge domain with a hash threshold ~ cap/|domain|
+    * (cheap count-min or metadata gives |domain|), then exact-rank only
+    * the ~cap survivors; the rank window here is then always small. The
+    * single-window form is kept because it is the exact semantics the
+    * refinement must reproduce.
     */
   def sourceCap(s: SparkSession, dir: String): DataFrame = {
     tune(s)
