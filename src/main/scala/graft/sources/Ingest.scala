@@ -175,7 +175,7 @@ object Lake {
       s"partition values must be path-safe, got: ${parts.mkString(",")}")
     val base = new Path(dir)
     val fs = FileSystem.get(base.toUri, spark.sparkContext.hadoopConfiguration)
-    parts.foreach { p =>
+    def mergeOne(p: String): Unit = {
       val live = new Path(base, s"$partCol=$p")
       val tmp = new Path(base, s".$partCol=$p.merging")
       val bak = new Path(base, s".$partCol=$p.old")
@@ -191,6 +191,26 @@ object Lake {
       if (fs.exists(live)) Storage.guardedSwap(fs, live, tmp, bak)
       else if (!fs.rename(tmp, live))
         throw new java.io.IOException(s"mergeUpsert: cannot create partition $live")
+    }
+    // Partition merges are independent (disjoint directories, disjoint
+    // update slices), so run them concurrently from driver threads: the
+    // Spark scheduler interleaves the per-partition jobs and an
+    // N-partition apply costs ~one partition's latency, not N. Failure in
+    // any partition propagates; completed partitions stay applied —
+    // which is safe because the apply is idempotent per partition
+    // (rerun == same content, proven in IngestSpec).
+    val par = math.min(parts.length, 8)
+    if (par <= 1) parts.foreach(mergeOne)
+    else {
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(par)
+      implicit val ec: scala.concurrent.ExecutionContext =
+        scala.concurrent.ExecutionContext.fromExecutorService(pool)
+      try {
+        val all = scala.concurrent.Future.traverse(parts.toList) { p =>
+          scala.concurrent.Future(mergeOne(p))
+        }
+        scala.concurrent.Await.result(all, scala.concurrent.duration.Duration.Inf): Unit
+      } finally pool.shutdown()
     }
     parts.length
   }
