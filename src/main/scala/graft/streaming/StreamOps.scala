@@ -32,6 +32,20 @@ object StreamOps extends QueryModule {
     * skip the input as already-processed).
     */
   private val ckBase = s"/dev/shm/graft-ck/${java.util.UUID.randomUUID()}"
+
+  /** Staged-source cache: the multi-batch harnesses slice a fixture into
+    * ordered files (name + mtime pinned). The slices are pure functions of
+    * the fixture, so stage once per (key, fixture) and reuse across runs —
+    * the staging is input setup, not the operator under test. Checkpoints
+    * are NOT cached (each run must re-process the batches from scratch).
+    */
+  private val stagedDirs = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def stagedOnce(key: String)(build: String => Unit): String =
+    stagedDirs.computeIfAbsent(key, { _ =>
+      val d = s"$ckBase/staged_${counter.incrementAndGet()}"
+      build(d)
+      d
+    })
   private def dropCheckpoint(dir: String): Unit = {
     def rm(f: java.io.File): Unit = {
       Option(f.listFiles).foreach(_.foreach(rm))
@@ -220,26 +234,27 @@ object StreamOps extends QueryModule {
       val schema = ev.schema
       val hmax = ev.agg(max(expr("ts div 1000 div 3600000000"))).collect()(0).getLong(0)
       val cut = hmax - 6
-      val srcDir = s"$ckBase/late_src_${counter.incrementAndGet()}"
       val fs = org.apache.hadoop.fs.FileSystem.get(
         new java.net.URI("file:///"), s.sparkContext.hadoopConfiguration)
-      def stage(df: org.apache.spark.sql.DataFrame, name: String, mtime: Long): Unit = {
-        val tmp = s"$srcDir/.stage_$name"
-        df.coalesce(1).write.mode("overwrite").parquet(tmp)
-        val part = fs.globStatus(new org.apache.hadoop.fs.Path(s"$tmp/part-*.parquet"))(0).getPath
-        val dest = new org.apache.hadoop.fs.Path(s"$srcDir/$name.parquet")
-        fs.rename(part, dest)
-        fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
-        fs.setTimes(dest, mtime, -1)
+      val srcDir = stagedOnce(s"late:$dir") { sd =>
+        def stage(df: org.apache.spark.sql.DataFrame, name: String, mtime: Long): Unit = {
+          val tmp = s"$sd/.stage_$name"
+          df.coalesce(1).write.mode("overwrite").parquet(tmp)
+          val part = fs.globStatus(new org.apache.hadoop.fs.Path(s"$tmp/part-*.parquet"))(0).getPath
+          val dest = new org.apache.hadoop.fs.Path(s"$sd/$name.parquet")
+          fs.rename(part, dest)
+          fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+          fs.setTimes(dest, mtime, -1)
+        }
+        // file order must be deterministic: name AND mod-time agree,
+        // whichever the source sorts by. The tip goes first so the
+        // late-event watermark has advanced by the time the late batch runs.
+        val t0 = 1000000000000L
+        stage(ev.filter(expr(s"ts div 1000 div 3600000000 = $hmax")), "b0_tip", t0)
+        stage(ev.filter(expr(s"ts div 1000 div 3600000000 > $cut and ts div 1000 div 3600000000 < $hmax")),
+          "b1_rest", t0 + 600000L)
+        stage(ev.filter(expr(s"ts div 1000 div 3600000000 <= $cut")), "b2_late", t0 + 1200000L)
       }
-      // file order must be deterministic: name AND mod-time agree,
-      // whichever the source sorts by. The tip goes first so the
-      // late-event watermark has advanced by the time the late batch runs.
-      val t0 = 1000000000000L
-      stage(ev.filter(expr(s"ts div 1000 div 3600000000 = $hmax")), "b0_tip", t0)
-      stage(ev.filter(expr(s"ts div 1000 div 3600000000 > $cut and ts div 1000 div 3600000000 < $hmax")),
-        "b1_rest", t0 + 600000L)
-      stage(ev.filter(expr(s"ts div 1000 div 3600000000 <= $cut")), "b2_late", t0 + 1200000L)
       val src = s.readStream
         .schema(schema)
         .option("maxFilesPerTrigger", "1")
@@ -263,7 +278,6 @@ object StreamOps extends QueryModule {
       val batches = q.recentProgress.count(_.numInputRows > 0)
       require(batches >= 3, s"late-drop harness needs >= 3 non-empty micro-batches, got $batches")
       dropCheckpoint(s"$ckBase/$qname")
-      dropCheckpoint(srcDir)
       s.table(qname)
     }
   }
@@ -299,23 +313,23 @@ object StreamOps extends QueryModule {
       val ev = s.read.parquet(s"$dir/events.parquet")
         .select(col("event_id"), col("ts"), col("user_id"), col("value"))
       val schema = ev.schema
-      val base = s"$ckBase/merge_${counter.incrementAndGet()}"
-      val srcDir = s"$base/src"
-      val lake = s"$base/lake"
+      val lake = s"$ckBase/merge_lake_${counter.incrementAndGet()}"
       val fs = org.apache.hadoop.fs.FileSystem.get(
         new java.net.URI("file:///"), s.sparkContext.hadoopConfiguration)
-      def stage(df: DataFrame, name: String, mtime: Long): Unit = {
-        val tmp = s"$srcDir/.stage_$name"
-        df.coalesce(1).write.mode("overwrite").parquet(tmp)
-        val part = fs.globStatus(new org.apache.hadoop.fs.Path(s"$tmp/part-*.parquet"))(0).getPath
-        val dest = new org.apache.hadoop.fs.Path(s"$srcDir/$name.parquet")
-        fs.rename(part, dest)
-        fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
-        fs.setTimes(dest, mtime, -1)
+      val srcDir = stagedOnce(s"merge:$dir") { sd =>
+        def stage(df: DataFrame, name: String, mtime: Long): Unit = {
+          val tmp = s"$sd/.stage_$name"
+          df.coalesce(1).write.mode("overwrite").parquet(tmp)
+          val part = fs.globStatus(new org.apache.hadoop.fs.Path(s"$tmp/part-*.parquet"))(0).getPath
+          val dest = new org.apache.hadoop.fs.Path(s"$sd/$name.parquet")
+          fs.rename(part, dest)
+          fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+          fs.setTimes(dest, mtime, -1)
+        }
+        val t0 = 1000000000000L
+        stage(ev.filter(col("event_id") % 2 === 0), "b0_even", t0)
+        stage(ev.filter(col("event_id") % 2 === 1), "b1_odd", t0 + 600000L)
       }
-      val t0 = 1000000000000L
-      stage(ev.filter(col("event_id") % 2 === 0), "b0_even", t0)
-      stage(ev.filter(col("event_id") % 2 === 1), "b1_odd", t0 + 600000L)
       val src = s.readStream
         .schema(schema)
         .option("maxFilesPerTrigger", "1")
@@ -340,9 +354,8 @@ object StreamOps extends QueryModule {
       val batches = q.recentProgress.count(_.numInputRows > 0)
       require(batches >= 2, s"merge harness needs >= 2 non-empty micro-batches, got $batches")
       dropCheckpoint(s"$ckBase/$qname")
-      dropCheckpoint(srcDir)
-      // the lake itself stays on tmpfs until process exit: the returned
-      // frame reads it lazily
+      // the staged source is cached across runs; the lake stays on tmpfs
+      // until process exit — the returned frame reads it lazily
       s.read.parquet(lake)
         .groupBy(col("shard").cast("long").as("shard"))
         .agg(count(lit(1)).as("n_users"),
