@@ -343,6 +343,75 @@ object Dedup extends QueryModule {
        |JOIN sizes sb ON sb.doc_id = i.db""".stripMargin
   }
 
+  /** Broder containment on LSH candidates: c(A in B) = |A ∩ B| / |A| — the
+    * ONE-SIDED resemblance that catches "A is a truncation/quote/excerpt of
+    * B", which symmetric Jaccard under-scores (a 10-shingle doc fully inside
+    * a 1000-shingle doc has jacc ~= 0.01 but containment 1.0). Same pruned
+    * substrate as q63: set arithmetic at rep level only, candidates from the
+    * LSH band join, never all-pairs. (Broder 1997 defines both resemblance
+    * and containment; the dedup literature uses containment for
+    * quote/boilerplate subsumption.)
+    */
+  def containment(s: SparkSession, dir: String): DataFrame = {
+    tune(s)
+    val groups = grpF(s, dir)
+    val (cand, shd) = (candF(s, dir), shdF(s, dir))
+    val sizes = shd.groupBy(col("doc_id")).agg(count(lit(1)).as("nsh"))
+    val inter = cand
+      .join(shd.select(col("doc_id").as("ga"), col("sh")), "ga")
+      .join(shd.select(col("doc_id").as("gb"), col("sh")), Seq("gb", "sh"))
+      .groupBy(col("ga"), col("gb"))
+      .agg(count(lit(1)).as("n_inter"))
+    val repMetrics = inter
+      .join(sizes.select(col("doc_id").as("ga"), col("nsh").as("na")), "ga")
+      .join(sizes.select(col("doc_id").as("gb"), col("nsh").as("nb")), "gb")
+      .select(col("ga"), col("gb"), col("n_inter"),
+        (col("n_inter") / col("na")).as("cont_a_in_b"),
+        (col("n_inter") / col("nb")).as("cont_b_in_a"),
+        (col("n_inter") === col("na") || col("n_inter") === col("nb")).as("is_subset"))
+    // expandPairs normalizes to da < db, which SWAPS some pairs — fine for
+    // symmetric metrics (q63), but containment is one-sided, so the two
+    // directional metrics must swap with the pair orientation
+    val ma = membersOf(groups).select(col("gid").as("ga"), col("doc_id").as("a"))
+    val mb = membersOf(groups).select(col("gid").as("gb"), col("doc_id").as("b"))
+    val cross = repMetrics.join(ma, "ga").join(mb, "gb")
+      .select(
+        least(col("a"), col("b")).as("da"),
+        greatest(col("a"), col("b")).as("db"),
+        col("n_inter"),
+        when(col("a") <= col("b"), col("cont_a_in_b")).otherwise(col("cont_b_in_a")).as("cont_a_in_b"),
+        when(col("a") <= col("b"), col("cont_b_in_a")).otherwise(col("cont_a_in_b")).as("cont_b_in_a"),
+        col("is_subset"))
+    // intra-group pairs: identical shingle sets — containment 1 both ways
+    val self = selfPairs(groups.join(
+        sizes.select(col("doc_id").as("gid"), col("nsh")), "gid"))
+      .select(col("da"), col("db"), col("nsh").as("n_inter"),
+        lit(1.0).as("cont_a_in_b"), lit(1.0).as("cont_b_in_a"), lit(true).as("is_subset"))
+    cross.unionByName(self)
+  }
+
+  private val containmentSql = {
+    s"""WITH $augmentedDocsSql,
+       |$shinglesSql,
+       |$minhashSigsSql,
+       |$bandRowsSql,
+       |$candSql,
+       |shd AS (SELECT DISTINCT doc_id, sh FROM sh),
+       |sizes AS (SELECT doc_id, COUNT(*) AS nsh FROM shd GROUP BY doc_id),
+       |inter AS (SELECT c.da, c.db, COUNT(*) AS n_inter
+       |          FROM cand c
+       |          JOIN shd x ON x.doc_id = c.da
+       |          JOIN shd y ON y.doc_id = c.db AND y.sh = x.sh
+       |          GROUP BY c.da, c.db)
+       |SELECT i.da, i.db, i.n_inter,
+       |  i.n_inter / sa.nsh AS cont_a_in_b,
+       |  i.n_inter / sb.nsh AS cont_b_in_a,
+       |  (i.n_inter = sa.nsh OR i.n_inter = sb.nsh) AS is_subset
+       |FROM inter i
+       |JOIN sizes sa ON sa.doc_id = i.da
+       |JOIN sizes sb ON sb.doc_id = i.db""".stripMargin
+  }
+
   /** 32-bit SimHash fingerprints from word-level hashes: per-bit majority
     * vote folded into one integer. 32 partial-agg sums, single shuffle.
     */
@@ -666,6 +735,8 @@ object Dedup extends QueryModule {
       simhash, Some(simhashSql)),
     GQuery("q63_jaccard_verify", "exact n-gram Jaccard on LSH candidates only",
       jaccardVerify, Some(jaccardVerifySql)),
+    GQuery("q120_containment", "Broder containment (one-sided resemblance) on LSH candidates",
+      containment, Some(containmentSql)),
     GQuery("q89_simhash_pairs", "SimHash near-dup pairs: byte-band blocking + hamming(bit_count^xor)",
       simhashPairs, Some(simhashPairsSql)),
     GQuery("q90_dedup_clusters", "near-dup clusters: connected components (min-label propagation) + canonical pick",

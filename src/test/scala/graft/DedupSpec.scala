@@ -24,6 +24,24 @@ class DedupSpec extends AnyFunSuite {
     assert(exactPairs.count() > 0)
   }
 
+  test("containment: prefix-truncated near-dups are subsumed by their source") {
+    val c = Dedup.containment(s, TestSpark.sf).cache()
+    // the augmented corpus injects prefix-truncations (doc_id + 100000):
+    // the truncation's shingles are (nearly) all inside the original, so
+    // one direction of containment must dominate the symmetric jaccard
+    val j = Dedup.jaccardVerify(s, TestSpark.sf)
+      .select(col("da"), col("db"), col("jacc"))
+    val both = c.join(j, Seq("da", "db")).cache()
+    assert(both.filter(
+      org.apache.spark.sql.functions.greatest(col("cont_a_in_b"), col("cont_b_in_a")) < col("jacc") - 1e-12)
+      .count() == 0, "max containment is always >= jaccard")
+    // exact copies: containment 1 both directions and flagged subset
+    assert(c.filter(col("cont_a_in_b") === 1.0 && col("cont_b_in_a") === 1.0 && !col("is_subset"))
+      .count() == 0)
+    assert(c.filter(col("is_subset")).count() > 0)
+    both.unpersist(); c.unpersist()
+  }
+
   test("jaccard verification: exact copies have jacc == 1.0 and is_dup") {
     val j = Dedup.jaccardVerify(s, TestSpark.sf)
       .filter(col("db") === col("da") + 200000L)
