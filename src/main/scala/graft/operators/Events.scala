@@ -260,6 +260,95 @@ object Events extends QueryModule {
        |${DSUM("carried")} AS sum_carried
        |FROM filled GROUP BY event_type""".stripMargin
 
+  /** Linear interpolation of missing time-series points — the other
+    * resample primitive next to q37's forward-fill. A sparse hourly
+    * event-rate series (known points only at hr%5 in {0,3}, so both 1- and
+    * 2-hour gaps occur) is joined onto the dense spine; each gap row finds
+    * its bracketing known points with four ignoreNulls window scans
+    * (last/first over the before/after frames — two ordered passes per
+    * series partition, no self-join) and interpolates in integer
+    * MICRO-UNITS: iv = (prev*(span-dist) + next*dist)*1e6 div span. The
+    * numerator is non-negative, so truncating (Spark div) and flooring
+    * (DuckDB //) integer division agree, and the whole computation is
+    * exact — no float ulp can flip a decimal rounding boundary (a lesson:
+    * the double-arithmetic form of this query drifted at 2 of 3 SFs).
+    * Edges clamp to the nearest known point. Per-series partitions are
+    * independent at scale, exactly like q37/q118.
+    */
+  def interpolate(s: SparkSession, dir: String): DataFrame = {
+    tune(s)
+    val known = table(s, dir, "events")
+      .select(col("event_type"), expr("(ts div 1000) div 3600000000").as("hr"))
+      .groupBy(col("event_type"), col("hr"))
+      .agg(count(lit(1)).as("v"))
+      .filter(col("hr") % 5 === 0 || col("hr") % 5 === 3)
+    val bounds = known.agg(min(col("hr")).as("mn"), max(col("hr")).as("mx"))
+    val spine = known.select(col("event_type")).distinct()
+      .crossJoin(broadcast(bounds))
+      .select(col("event_type"), explode(expr("sequence(mn, mx)")).as("hr"))
+    import org.apache.spark.sql.expressions.Window
+    val wB = Window.partitionBy(col("event_type")).orderBy(col("hr"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val wA = Window.partitionBy(col("event_type")).orderBy(col("hr"))
+      .rowsBetween(0, Window.unboundedFollowing)
+    val filled = spine.join(known, Seq("event_type", "hr"), "left")
+      .withColumn("prev_v", last(col("v"), ignoreNulls = true).over(wB))
+      .withColumn("prev_hr", last(when(col("v").isNotNull, col("hr")), ignoreNulls = true).over(wB))
+      .withColumn("next_v", first(col("v"), ignoreNulls = true).over(wA))
+      .withColumn("next_hr", first(when(col("v").isNotNull, col("hr")), ignoreNulls = true).over(wA))
+      .withColumn("iv_micro",
+        when(col("v").isNotNull, col("v") * 1000000L)
+          .when(col("prev_v").isNull, col("next_v") * 1000000L)
+          .when(col("next_v").isNull, col("prev_v") * 1000000L)
+          .otherwise(expr(
+            """((prev_v * (next_hr - hr) + next_v * (hr - prev_hr)) * 1000000L)
+              | div (next_hr - prev_hr)""".stripMargin)))
+    filled.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_hours"),
+           sum(when(col("v").isNotNull, 1L).otherwise(0L)).as("n_known"),
+           sum(when(col("v").isNull, 1L).otherwise(0L)).as("n_interp"),
+           sum(col("iv_micro")).as("sum_iv_micro"))
+  }
+
+  private val interpolateSql =
+    """WITH known AS (
+      |  SELECT event_type, hr, v FROM (
+      |    SELECT event_type, epoch_us(ts) // 3600000000 AS hr,
+      |           COUNT(*) AS v
+      |    FROM events GROUP BY event_type, hr)
+      |  WHERE hr % 5 = 0 OR hr % 5 = 3),
+      |b AS (SELECT MIN(hr) AS mn, MAX(hr) AS mx FROM known),
+      |spine AS (
+      |  SELECT t.event_type, u.hr
+      |  FROM (SELECT DISTINCT event_type FROM known) t,
+      |       (SELECT unnest(range(mn, mx + 1)) AS hr FROM b) u),
+      |filled AS (
+      |  SELECT sp.event_type, sp.hr, k.v,
+      |    last_value(k.v IGNORE NULLS) OVER wb AS prev_v,
+      |    last_value(CASE WHEN k.v IS NOT NULL THEN sp.hr END IGNORE NULLS) OVER wb AS prev_hr,
+      |    first_value(k.v IGNORE NULLS) OVER wa AS next_v,
+      |    first_value(CASE WHEN k.v IS NOT NULL THEN sp.hr END IGNORE NULLS) OVER wa AS next_hr
+      |  FROM spine sp LEFT JOIN known k
+      |  ON k.event_type = sp.event_type AND k.hr = sp.hr
+      |  WINDOW wb AS (PARTITION BY sp.event_type ORDER BY sp.hr
+      |                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+      |         wa AS (PARTITION BY sp.event_type ORDER BY sp.hr
+      |                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)),
+      |interp AS (
+      |  SELECT event_type, v,
+      |    CASE WHEN v IS NOT NULL THEN v * 1000000
+      |         WHEN prev_v IS NULL THEN next_v * 1000000
+      |         WHEN next_v IS NULL THEN prev_v * 1000000
+      |         ELSE ((prev_v * (next_hr - hr) + next_v * (hr - prev_hr)) * 1000000)
+      |              // (next_hr - prev_hr)
+      |    END AS iv_micro
+      |  FROM filled)
+      |SELECT event_type, COUNT(*) AS n_hours,
+      |CAST(SUM(CASE WHEN v IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_known,
+      |CAST(SUM(CASE WHEN v IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_interp,
+      |CAST(SUM(iv_micro) AS BIGINT) AS sum_iv_micro
+      |FROM interp GROUP BY event_type""".stripMargin
+
   /** VariantType (Spark 4's open semi-structured type): parse the JSON
     * props once into a variant, extract typed fields with variant_get —
     * the shredded-storage path for JSON at scale, replacing per-access
@@ -326,6 +415,8 @@ object Events extends QueryModule {
   override val queries: Seq[GQuery] = Seq(
     GQuery("q118_range_window", "value-based RANGE window: trailing-1h per-user burst stats (W1)",
       rangeWindow, Some(rangeWindowSql)),
+    GQuery("q121_interpolate", "linear interpolation of gap hours (resample primitive next to q37 ffill)",
+      interpolate, Some(interpolateSql)),
     GQuery("q93_variant", "VariantType parse_json + typed variant_get extraction (F14, Spark 4)",
       variantProps, Some(variantPropsSql)),
     GQuery("q77_retention", "hour-over-hour cohort retention (co-partitioned self-join)",
