@@ -10,11 +10,14 @@ import org.apache.spark.sql.functions._
   *
   * The Spark-side machinery is real and tested — schema (binary payload +
   * metadata struct), partition-wise batch iteration via a typed
-  * mapPartitions, deterministic output — while the actual codec is STUBBED
-  * (`fakeDecode`): this container has no image/audio libraries, so the
-  * "decode" is a deterministic byte-level reduction the DuckDB oracle can
-  * replay. Swapping `fakeDecode` for a real JNI/FFmpeg/JPEG decoder changes
-  * no plumbing: same batch shape, same schema, same partitioning.
+  * mapPartitions, deterministic output. For IMAGES the codec itself is now
+  * real too: [[imageCodec]] (q122) encodes and decodes actual PNG bytes
+  * through the JDK's own `javax.imageio` (headless, zero extra deps) with
+  * a formula oracle that only matches if the round-trip is lossless. The
+  * q85/q88 text-byte `fakeDecode` is kept as the audio/video stand-in
+  * (those codecs have no JDK implementation and this container has no
+  * media libraries); swapping it for a JNI/FFmpeg decoder changes no
+  * plumbing: same batch shape, same schema, same partitioning.
   *
   * Scale posture: payloads never pass through a shuffle — the imperative
   * stage is a narrow mapPartitions directly over the scan, and only the
@@ -131,6 +134,100 @@ object Multimodal extends QueryModule {
       |  GROUP BY doc_id) f
       |ON f.doc_id = d.doc_id""".stripMargin
 
+  final case class ImgRow(doc_id: Long, source: String, png: Array[Byte])
+  final case class ImgFeat(doc_id: Long, source: String,
+                           sum_r: Long, sum_g: Long, sum_b: Long, ok: Boolean)
+
+  /** REAL image codec path (no stub): deterministic 8x8 RGB images are
+    * encoded to actual PNG bytes and decoded back through the JDK's own
+    * codec (`javax.imageio`, headless, zero extra dependencies), then
+    * nearest-neighbor downsampled 8x8 -> 4x4 with explicit integer index
+    * math (library resamplers interpolate platform-dependently; index
+    * sampling is exact) and reduced to per-channel integer pixel sums.
+    *
+    * The oracle computes the same sums straight from the pixel FORMULA —
+    * so the hash only matches if the PNG bytes round-trip losslessly
+    * through the real encoder and decoder. This closes the "codec is
+    * stubbed" gap for images: the q85/q88 plumbing (batch mapPartitions,
+    * binary columns, metadata) now has a genuine encode/decode instance
+    * behind the same shape. PNG byte LENGTH is deliberately not oracled —
+    * encoder output size is implementation-defined; decoded pixels are not.
+    *
+    * Scale posture: identical to q85 — payloads never cross a shuffle,
+    * both codec stages are narrow mapPartitions over the scan, and only
+    * small integer features enter the aggregation.
+    */
+  def imageCodec(s: SparkSession, dir: String): DataFrame = {
+    tune(s)
+    import s.implicits._
+    val docs = table(s, dir, "documents")
+      .select(col("doc_id"), col("source")).as[(Long, String)]
+    val encoded = docs.mapPartitions { it =>
+      it.map { case (id, src) =>
+        val img = new java.awt.image.BufferedImage(
+          8, 8, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        var y = 0
+        while (y < 8) {
+          var x = 0
+          while (x < 8) {
+            val r = ((id * 31 + x * 7 + y * 13) % 256).toInt
+            val g = ((id * 17 + x * 3 + y * 5) % 256).toInt
+            val b = ((id * 7 + x * 11 + y * 3) % 256).toInt
+            img.setRGB(x, y, (r << 16) | (g << 8) | b)
+            x += 1
+          }
+          y += 1
+        }
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "png", bos)
+        ImgRow(id, src, bos.toByteArray)
+      }
+    }
+    val feats = encoded.mapPartitions { it =>
+      it.map { row =>
+        val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(row.png))
+        var sr = 0L; var sg = 0L; var sb = 0L
+        var j = 0
+        while (j < 4) {
+          var i = 0
+          while (i < 4) {
+            val p = img.getRGB(i * 2, j * 2) // nearest-neighbor 2x stride
+            sr += (p >> 16) & 255; sg += (p >> 8) & 255; sb += p & 255
+            i += 1
+          }
+          j += 1
+        }
+        ImgFeat(row.doc_id, row.source, sr, sg, sb,
+          img.getWidth == 8 && img.getHeight == 8)
+      }
+    }
+    feats.toDF().groupBy(col("source"))
+      .agg(count(lit(1)).as("n_images"),
+           sum(col("sum_r")).as("tot_r"),
+           sum(col("sum_g")).as("tot_g"),
+           sum(col("sum_b")).as("tot_b"),
+           sum(when(col("ok"), 1L).otherwise(0L)).as("n_ok"))
+  }
+
+  private val imageCodecSql =
+    """WITH px AS (
+      |  SELECT doc_id, source, xi.i*2 AS x, yj.j*2 AS y
+      |  FROM documents,
+      |       (SELECT unnest(range(4)) AS i) xi,
+      |       (SELECT unnest(range(4)) AS j) yj),
+      |f AS (
+      |  SELECT doc_id, source,
+      |    SUM((doc_id*31 + x*7 + y*13) % 256) AS sr,
+      |    SUM((doc_id*17 + x*3 + y*5) % 256) AS sg,
+      |    SUM((doc_id*7 + x*11 + y*3) % 256) AS sb
+      |  FROM px GROUP BY doc_id, source)
+      |SELECT source, COUNT(*) AS n_images,
+      |CAST(SUM(sr) AS BIGINT) AS tot_r,
+      |CAST(SUM(sg) AS BIGINT) AS tot_g,
+      |CAST(SUM(sb) AS BIGINT) AS tot_b,
+      |COUNT(*) AS n_ok
+      |FROM f GROUP BY source""".stripMargin
+
   override val queries: Seq[GQuery] = Seq(
     GQuery("q85_media_features",
       "binary payload + metadata columns, batch feature extraction via mapPartitions (codec stubbed)",
@@ -138,5 +235,8 @@ object Multimodal extends QueryModule {
     GQuery("q88_media_frames",
       "frame sampling (stride 2) + resize stub over payload frames",
       mediaFrames, Some(mediaFramesSql)),
+    GQuery("q122_image_codec",
+      "REAL PNG encode/decode via JDK ImageIO + integer nearest-neighbor resize, formula oracle",
+      imageCodec, Some(imageCodecSql)),
   )
 }
