@@ -228,6 +228,87 @@ object Multimodal extends QueryModule {
       |COUNT(*) AS n_ok
       |FROM f GROUP BY source""".stripMargin
 
+  final case class WavRow(doc_id: Long, source: String, wav: Array[Byte])
+  final case class WavFeat(doc_id: Long, source: String,
+                           n_samples: Long, sum_abs: Long, peak: Long, ok: Boolean)
+
+  /** REAL audio codec path: deterministic 16-bit PCM waveforms (256 samples,
+    * 8 kHz mono) are encoded to actual WAV bytes and decoded back through
+    * the JDK's `javax.sound.sampled` (headless, zero extra dependencies),
+    * then reduced to integer loudness features (sum of |sample|, peak).
+    * PCM-in-WAV is lossless, so the formula oracle only matches if the
+    * container round-trip preserves every sample — the audio analog of
+    * q122's PNG proof. Only video now lacks a real codec (none exists in
+    * the JDK; its frame-sampling plumbing remains q88).
+    */
+  def audioCodec(s: SparkSession, dir: String): DataFrame = {
+    tune(s)
+    import s.implicits._
+    val docs = table(s, dir, "documents")
+      .select(col("doc_id"), col("source")).as[(Long, String)]
+    val n = 256
+    val encoded = docs.mapPartitions { it =>
+      it.map { case (id, src) =>
+        val pcm = new Array[Byte](n * 2)
+        var i = 0
+        while (i < n) {
+          val v = (((id * 31 + i.toLong * 7) % 65536L) - 32768L).toShort
+          pcm(2 * i) = (v & 0xff).toByte          // little-endian
+          pcm(2 * i + 1) = ((v >> 8) & 0xff).toByte
+          i += 1
+        }
+        val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+        val ais = new javax.sound.sampled.AudioInputStream(
+          new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.sound.sampled.AudioSystem.write(
+          ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+        WavRow(id, src, bos.toByteArray)
+      }
+    }
+    val feats = encoded.mapPartitions { it =>
+      it.map { row =>
+        val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(row.wav))
+        val buf = ais.readAllBytes()
+        val fmt = ais.getFormat
+        val nsamp = buf.length / 2
+        var sumAbs = 0L; var peak = 0L
+        var i = 0
+        while (i < nsamp) {
+          val v = (((buf(2 * i + 1) & 0xff) << 8) | (buf(2 * i) & 0xff)).toShort.toLong
+          val a = math.abs(v)
+          sumAbs += a; if (a > peak) peak = a
+          i += 1
+        }
+        WavFeat(row.doc_id, row.source, nsamp.toLong, sumAbs, peak,
+          fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1)
+      }
+    }
+    feats.toDF().groupBy(col("source"))
+      .agg(count(lit(1)).as("n_clips"),
+           sum(col("n_samples")).as("tot_samples"),
+           sum(col("sum_abs")).as("tot_abs"),
+           max(col("peak")).as("max_peak"),
+           sum(when(col("ok"), 1L).otherwise(0L)).as("n_ok"))
+  }
+
+  private val audioCodecSql =
+    """WITH smp AS (
+      |  SELECT doc_id, source,
+      |         ((doc_id*31 + i*7) % 65536) - 32768 AS v
+      |  FROM documents, (SELECT unnest(range(256)) AS i) s),
+      |f AS (
+      |  SELECT doc_id, source, COUNT(*) AS n_samples,
+      |    SUM(abs(v)) AS sum_abs, MAX(abs(v)) AS peak
+      |  FROM smp GROUP BY doc_id, source)
+      |SELECT source, COUNT(*) AS n_clips,
+      |CAST(SUM(n_samples) AS BIGINT) AS tot_samples,
+      |CAST(SUM(sum_abs) AS BIGINT) AS tot_abs,
+      |CAST(MAX(peak) AS BIGINT) AS max_peak,
+      |COUNT(*) AS n_ok
+      |FROM f GROUP BY source""".stripMargin
+
   override val queries: Seq[GQuery] = Seq(
     GQuery("q85_media_features",
       "binary payload + metadata columns, batch feature extraction via mapPartitions (codec stubbed)",
@@ -238,5 +319,8 @@ object Multimodal extends QueryModule {
     GQuery("q122_image_codec",
       "REAL PNG encode/decode via JDK ImageIO + integer nearest-neighbor resize, formula oracle",
       imageCodec, Some(imageCodecSql)),
+    GQuery("q123_audio_codec",
+      "REAL WAV/PCM encode/decode via JDK javax.sound + integer loudness features, formula oracle",
+      audioCodec, Some(audioCodecSql)),
   )
 }
