@@ -309,6 +309,116 @@ object Multimodal extends QueryModule {
       |COUNT(*) AS n_ok
       |FROM f GROUP BY source""".stripMargin
 
+  final case class GifRow(doc_id: Long, source: String, gif: Array[Byte])
+  final case class GifFeat(doc_id: Long, source: String, n_frames: Long,
+                           sum_g0: Long, sum_g2: Long, ok: Boolean)
+
+  /** REAL multi-frame container path (the video analog): 4-frame 8x8
+    * grayscale animations are encoded as actual animated GIFs through the
+    * JDK's ImageIO sequence writer and read back frame-by-frame, sampling
+    * every second frame (the q88 stride) and reducing each sampled frame
+    * to an integer gray sum. An explicit 256-gray IndexColorModel palette
+    * makes GIF encoding lossless BY CONSTRUCTION (every pixel value is a
+    * palette entry), so the formula oracle only matches if the container
+    * preserves frame order and content. True video codecs (H.264 etc.)
+    * have no JDK implementation — that part stays honestly out of scope —
+    * but container demux + frame sampling, the Spark-side shape of video
+    * processing, is now proven against a real format.
+    */
+  def framesCodec(s: SparkSession, dir: String): DataFrame = {
+    tune(s)
+    import s.implicits._
+    val docs = table(s, dir, "documents")
+      .select(col("doc_id"), col("source")).as[(Long, String)]
+    val encoded = docs.mapPartitions { it =>
+      // one writer instance per partition: the "init the codec once per
+      // batch" contract from q85, with a real codec
+      val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+      val gray = new Array[Byte](256)
+      var gi = 0
+      while (gi < 256) { gray(gi) = gi.toByte; gi += 1 }
+      val palette = new java.awt.image.IndexColorModel(8, 256, gray, gray, gray)
+      it.map { case (id, src) =>
+        val bos = new java.io.ByteArrayOutputStream()
+        val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+        writer.setOutput(ios)
+        writer.prepareWriteSequence(null)
+        var k = 0
+        while (k < 4) {
+          val img = new java.awt.image.BufferedImage(
+            8, 8, java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, palette)
+          val raster = img.getRaster
+          var y = 0
+          while (y < 8) {
+            var x = 0
+            while (x < 8) {
+              raster.setSample(x, y, 0,
+                ((id * 31 + k * 97 + x * 7 + y * 13) % 256).toInt)
+              x += 1
+            }
+            y += 1
+          }
+          writer.writeToSequence(new javax.imageio.IIOImage(img, null, null), null)
+          k += 1
+        }
+        writer.endWriteSequence()
+        ios.close()
+        GifRow(id, src, bos.toByteArray)
+      }
+    }
+    val feats = encoded.mapPartitions { it =>
+      val reader = javax.imageio.ImageIO.getImageReadersByFormatName("gif").next()
+      it.map { row =>
+        val iis = javax.imageio.ImageIO.createImageInputStream(
+          new java.io.ByteArrayInputStream(row.gif))
+        reader.setInput(iis)
+        val n = reader.getNumImages(true)
+        def graySum(idx: Int): Long = {
+          val img = reader.read(idx)
+          var sum = 0L
+          var y = 0
+          while (y < 8) {
+            var x = 0
+            while (x < 8) { sum += img.getRGB(x, y) & 255; x += 1 }
+            y += 1
+          }
+          sum
+        }
+        // frame sampling at stride 2: frames 0 and 2 of 4
+        val f = GifFeat(row.doc_id, row.source, n.toLong,
+          graySum(0), graySum(2), n == 4)
+        iis.close()
+        f
+      }
+    }
+    feats.toDF().groupBy(col("source"))
+      .agg(count(lit(1)).as("n_videos"),
+           sum(col("n_frames")).as("tot_frames"),
+           sum(col("sum_g0")).as("tot_g0"),
+           sum(col("sum_g2")).as("tot_g2"),
+           sum(when(col("ok"), 1L).otherwise(0L)).as("n_ok"))
+  }
+
+  private val framesCodecSql =
+    """WITH px AS (
+      |  SELECT doc_id, source, k.k, x.x, y.y,
+      |         (doc_id*31 + k.k*97 + x.x*7 + y.y*13) % 256 AS g
+      |  FROM documents,
+      |       (SELECT unnest(range(0, 4, 2)) AS k) k,
+      |       (SELECT unnest(range(8)) AS x) x,
+      |       (SELECT unnest(range(8)) AS y) y),
+      |f AS (
+      |  SELECT doc_id, source,
+      |    SUM(CASE WHEN k = 0 THEN g ELSE 0 END) AS sum_g0,
+      |    SUM(CASE WHEN k = 2 THEN g ELSE 0 END) AS sum_g2
+      |  FROM px GROUP BY doc_id, source)
+      |SELECT source, COUNT(*) AS n_videos,
+      |CAST(COUNT(*) * 4 AS BIGINT) AS tot_frames,
+      |CAST(SUM(sum_g0) AS BIGINT) AS tot_g0,
+      |CAST(SUM(sum_g2) AS BIGINT) AS tot_g2,
+      |COUNT(*) AS n_ok
+      |FROM f GROUP BY source""".stripMargin
+
   override val queries: Seq[GQuery] = Seq(
     GQuery("q85_media_features",
       "binary payload + metadata columns, batch feature extraction via mapPartitions (codec stubbed)",
@@ -322,5 +432,8 @@ object Multimodal extends QueryModule {
     GQuery("q123_audio_codec",
       "REAL WAV/PCM encode/decode via JDK javax.sound + integer loudness features, formula oracle",
       audioCodec, Some(audioCodecSql)),
+    GQuery("q124_frames_codec",
+      "REAL multi-frame container: animated GIF write/demux + stride-2 frame sampling, formula oracle",
+      framesCodec, Some(framesCodecSql)),
   )
 }
