@@ -430,6 +430,36 @@ object ScaleOps extends QueryModule {
        |CAST(SUM(CASE WHEN rk > 15 THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped
        |FROM r GROUP BY source""".stripMargin
 
+  /** Deterministic stratified train/val/test split: per-language hash
+    * buckets assign every document to exactly one split (~80/10/10) with
+    * zero RNG state — the same corpus yields the same split on any cluster
+    * size, any run, any engine, and membership is checkable per row (the
+    * property `randomSplit` famously lacks). Stratification by language
+    * comes free: the hash is uniform within every stratum. The oracle
+    * recomputes membership and proves the three splits partition the
+    * corpus (per-lang counts sum to the stratum size).
+    */
+  def trainSplit(s: SparkSession, dir: String): DataFrame = {
+    tune(s)
+    docToksF(s, dir)
+      .select(col("doc_id"), col("lang"), col("n").cast("long").as("n_tokens"))
+      .withColumn("bucket", pmod(md5Long(concat(lit("split#"), col("doc_id").cast("string"))), lit(10)))
+      .withColumn("split",
+        when(col("bucket") < 8, "train").when(col("bucket") === 8, "val").otherwise("test"))
+      .groupBy(col("lang"), col("split"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"))
+  }
+
+  private val trainSplitSql =
+    s"""WITH d AS (SELECT doc_id, lang,
+       |             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+       |             ${MD5L("'split#' || CAST(doc_id AS VARCHAR)")} % 10 AS bucket
+       |           FROM documents)
+       |SELECT lang,
+       |CASE WHEN bucket < 8 THEN 'train' WHEN bucket = 8 THEN 'val' ELSE 'test' END AS split,
+       |COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS n_tokens
+       |FROM d GROUP BY 1, 2""".stripMargin
+
   /** Deterministic synthetic change log over the orders table (both engines
     * build the identical frame): every order INSERTs at seq 1, every third
     * UPDATEs (price * 1.1) at seq 2, every fifth DELETEs at seq 3 — enough
@@ -550,5 +580,8 @@ object ScaleOps extends QueryModule {
     GQuery("q115_scd2_history",
       "SCD type-2 history: validity intervals from a change log via per-key lead",
       scd2History, Some(scd2HistorySql)),
+    GQuery("q125_train_split",
+      "deterministic stratified train/val/test split via hash buckets (no RNG state)",
+      trainSplit, Some(trainSplitSql)),
   )
 }

@@ -137,6 +137,23 @@ class ScaleOpsSpec extends AnyFunSuite {
     d.unpersist()
   }
 
+  test("train/val/test split partitions every stratum exactly") {
+    val dir = TestSpark.sf
+    val r = ScaleOps.trainSplit(s, dir).cache()
+    // the three splits partition each language: counts sum to stratum size
+    val perLang = r.groupBy("lang").agg(sum("n_docs").as("total"))
+    val docs = table(s, dir, "documents").groupBy("lang").count()
+    val j = perLang.join(docs, "lang")
+    assert(j.filter(col("total") =!= col("count")).count() == 0)
+    // every (lang, split) cell is disjoint by construction (one bucket per
+    // doc); spot the ratio: train strictly dominates val and test
+    val bySplit = r.groupBy("split").agg(sum("n_docs").as("n"))
+      .collect().map(x => x.getString(0) -> x.getLong(1)).toMap
+    assert(bySplit("train") > bySplit.getOrElse("val", 0L))
+    assert(bySplit("train") > bySplit.getOrElse("test", 0L))
+    r.unpersist()
+  }
+
   test("cdc apply: live keys = inserts minus deletes; deleted keys never survive") {
     val dir = TestSpark.sf
     val orders = table(s, dir, "orders")
