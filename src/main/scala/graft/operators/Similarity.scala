@@ -86,6 +86,54 @@ object Similarity extends QueryModule {
        |  FROM cos)
        |WHERE rn <= 5""".stripMargin
 
+  /** Hard-negative mining for contrastive training: for each probe, the
+    * top-4 MOST similar vectors with a DIFFERENT label — the negatives
+    * that actually teach a contrastive model something (random negatives
+    * are trivially separable). Identical shape to [[cosineKnn]]: probes
+    * broadcast, native codegen dot via the rewrite rule, WindowGroupLimit
+    * top-k — the wrong-label filter rides the same linear pass, so mining
+    * costs no more than the KNN it extends. At scale the candidate side
+    * would be the IVF-bucketed path (q65) instead of the full corpus.
+    */
+  def hardNegatives(s: SparkSession, dir: String): DataFrame = {
+    tune(s)
+    val e = withNorm(table(s, dir, "embeddings")
+      .select(col("vec_id"), col("embedding"), col("label")))
+    val v = e.select(col("vec_id").as("vid"), col("embedding").as("vemb"),
+      col("nrm").as("nv"), col("label").as("vlab"))
+    val q = e.filter(col("vec_id") < 16)
+      .select(col("vec_id").as("qid"), col("embedding").as("qemb"),
+        col("nrm").as("nq"), col("label").as("qlab"))
+    val cos = v.join(broadcast(q), col("qid") =!= col("vid") && col("qlab") =!= col("vlab"))
+      .withColumn("cosim0", dotExpr / (col("nq") * col("nv")))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cosim0").desc, col("vid"))
+    cos.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 4)
+      .select(col("qid"), col("qlab"), col("vid"), col("vlab"),
+        round(col("cosim0"), 9).as("cosim"), col("rn"))
+  }
+
+  private val hardNegativesSql =
+    s"""WITH $flatSql,
+       |$normsSql,
+       |lab AS (SELECT vec_id, label FROM embeddings),
+       |dots AS (
+       |  SELECT q.vec_id AS qid, v.vec_id AS vid,
+       |         CAST(SUM(CAST(q.xd*v.xd AS DECIMAL(38,20))) AS DOUBLE) AS dot
+       |  FROM flat q JOIN flat v ON q.pos = v.pos AND q.vec_id <> v.vec_id
+       |  WHERE q.vec_id < 16
+       |  GROUP BY q.vec_id, v.vec_id),
+       |cos AS (
+       |  SELECT qid, la.label AS qlab, vid, lb.label AS vlab,
+       |         dot / (a.nrm * b.nrm) AS cosim
+       |  FROM dots JOIN norms a ON a.vec_id = qid JOIN norms b ON b.vec_id = vid
+       |  JOIN lab la ON la.vec_id = qid JOIN lab lb ON lb.vec_id = vid
+       |  WHERE la.label <> lb.label)
+       |SELECT qid, qlab, vid, vlab, round(cosim, 9) AS cosim, rn FROM (
+       |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosim DESC, vid) AS INT) AS rn
+       |  FROM cos)
+       |WHERE rn <= 4""".stripMargin
+
   /** IVF ANN: assign every vector to its nearest centroid (broadcast
     * cross + per-row folds), then each probe searches only its own cluster.
     *
@@ -376,6 +424,8 @@ object Similarity extends QueryModule {
     GQuery("q59_hof_ops", "filter/exists/forall/transform higher-order array breadth (F16)",
       hofOps, Some(hofOpsSql)),
     GQuery("q64_cosine_knn", "brute-force exact cosine top-5, broadcast probes + per-row folds", cosineKnn, Some(cosineKnnSql)),
+    GQuery("q126_hard_negatives", "contrastive hard-negative mining: top-4 most-similar wrong-label vectors",
+      hardNegatives, Some(hardNegativesSql)),
     GQuery("q65_ivf_ann", "IVF-partitioned ANN: centroid assignment + in-cluster top-3", ivfAnn, Some(ivfAnnSql)),
     GQuery("q78_embedding_neardup", "embedding-cosine near-dup via sign-LSH bucket join (no all-pairs)",
       embeddingNearDup, Some(embeddingNearDupSql)),
