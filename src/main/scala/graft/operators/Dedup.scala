@@ -641,6 +641,41 @@ object Dedup extends QueryModule {
     } finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
   }
 
+  /** Near-dup graph degree histogram: how many documents have k near-dup
+    * neighbors — the diagnostic every dedup rollout reads first (a heavy
+    * tail means boilerplate families; a spike at high k means the LSH
+    * threshold is too loose). One groupBy over the existing SimHash pair
+    * list (both directions), then a count-of-counts — no new substrate,
+    * no new shuffle shape.
+    */
+  def degreeHistogram(s: SparkSession, dir: String): DataFrame = {
+    tune(s)
+    val pairs = simhashPairs(s, dir).select(col("da"), col("db"))
+    val deg = pairs.select(col("da").as("d"))
+      .unionByName(pairs.select(col("db").as("d")))
+      .groupBy(col("d")).agg(count(lit(1)).as("k"))
+    deg.groupBy(col("k"))
+      .agg(count(lit(1)).as("n_docs"), min(col("d")).as("min_doc"))
+  }
+
+  private val degreeHistogramSql = {
+    s"""WITH $simhashCtes,
+       |bands AS (${(0 until 4)
+        .map(j => s"SELECT doc_id, fp, $j AS band, (fp >> ${8 * j}) & 255 AS bkey FROM fps")
+        .mkString(" UNION ALL ")}),
+       |prs AS (
+       |  SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+       |  FROM bands a JOIN bands b
+       |  ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+       |  WHERE bit_count(xor(a.fp, b.fp)) <= 3),
+       |deg AS (
+       |  SELECT d, COUNT(*) AS k FROM (
+       |    SELECT da AS d FROM prs UNION ALL SELECT db FROM prs)
+       |  GROUP BY d)
+       |SELECT k, COUNT(*) AS n_docs, MIN(d) AS min_doc
+       |FROM deg GROUP BY k""".stripMargin
+  }
+
   def dedupClusters(s: SparkSession, dir: String): DataFrame = {
     tune(s)
     val labels = connectedComponents(simhashPairs(s, dir).select(col("da"), col("db")))
@@ -739,6 +774,8 @@ object Dedup extends QueryModule {
       containment, Some(containmentSql)),
     GQuery("q89_simhash_pairs", "SimHash near-dup pairs: byte-band blocking + hamming(bit_count^xor)",
       simhashPairs, Some(simhashPairsSql)),
+    GQuery("q127_degree_histogram", "near-dup graph degree histogram (dedup rollout diagnostic)",
+      degreeHistogram, Some(degreeHistogramSql)),
     GQuery("q90_dedup_clusters", "near-dup clusters: connected components (min-label propagation) + canonical pick",
       dedupClusters, Some(dedupClustersSql)),
     GQuery("q94_multi_signal_clusters", "clusters over combined MinHash + SimHash evidence, size histogram",
