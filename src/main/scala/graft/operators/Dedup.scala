@@ -160,6 +160,21 @@ object Dedup extends QueryModule {
     sessionCached(s, s"cand:$dir")(candFrom(sigsF(s, dir)))
   private def cachedFps(s: SparkSession, dir: String): DataFrame =
     sessionCached(s, s"fps:$dir")(simhashFrom(repsOf(grpF(s, dir))))
+  /** Rep-level shingle-set sizes and candidate-pair intersections — shared
+    * by every exact-verification metric (jaccard q63, containment q120).
+    */
+  private def sizesF(s: SparkSession, dir: String): DataFrame =
+    sessionCached(s, s"sizes:$dir")(
+      shdF(s, dir).groupBy(col("doc_id")).agg(count(lit(1)).as("nsh")))
+  private def interF(s: SparkSession, dir: String): DataFrame =
+    sessionCached(s, s"inter:$dir") {
+      val shd = shdF(s, dir)
+      candF(s, dir)
+        .join(shd.select(col("doc_id").as("ga"), col("sh")), "ga")
+        .join(shd.select(col("doc_id").as("gb"), col("sh")), Seq("gb", "sh"))
+        .groupBy(col("ga"), col("gb"))
+        .agg(count(lit(1)).as("n_inter"))
+    }
 
   private val shinglesSql =
     """sh AS (
@@ -295,15 +310,11 @@ object Dedup extends QueryModule {
   def jaccardVerify(s: SparkSession, dir: String): DataFrame = {
     tune(s)
     val groups = grpF(s, dir)
-    val (cand, shd) = (candF(s, dir), shdF(s, dir))
     // set arithmetic at REP level only: identical texts have identical
-    // shingle sets, so member-level jaccard is the rep-level jaccard
-    val sizes = shd.groupBy(col("doc_id")).agg(count(lit(1)).as("nsh"))
-    val inter = cand
-      .join(shd.select(col("doc_id").as("ga"), col("sh")), "ga")
-      .join(shd.select(col("doc_id").as("gb"), col("sh")), Seq("gb", "sh"))
-      .groupBy(col("ga"), col("gb"))
-      .agg(count(lit(1)).as("n_inter"))
+    // shingle sets, so member-level jaccard is the rep-level jaccard;
+    // sizes + intersections are session-cached (shared with q120)
+    val sizes = sizesF(s, dir)
+    val inter = interF(s, dir)
     val repMetrics = inter
       .join(sizes.select(col("doc_id").as("ga"), col("nsh").as("na")), "ga")
       .join(sizes.select(col("doc_id").as("gb"), col("nsh").as("nb")), "gb")
@@ -355,13 +366,8 @@ object Dedup extends QueryModule {
   def containment(s: SparkSession, dir: String): DataFrame = {
     tune(s)
     val groups = grpF(s, dir)
-    val (cand, shd) = (candF(s, dir), shdF(s, dir))
-    val sizes = shd.groupBy(col("doc_id")).agg(count(lit(1)).as("nsh"))
-    val inter = cand
-      .join(shd.select(col("doc_id").as("ga"), col("sh")), "ga")
-      .join(shd.select(col("doc_id").as("gb"), col("sh")), Seq("gb", "sh"))
-      .groupBy(col("ga"), col("gb"))
-      .agg(count(lit(1)).as("n_inter"))
+    val sizes = sizesF(s, dir)
+    val inter = interF(s, dir)
     val repMetrics = inter
       .join(sizes.select(col("doc_id").as("ga"), col("nsh").as("na")), "ga")
       .join(sizes.select(col("doc_id").as("gb"), col("nsh").as("nb")), "gb")
