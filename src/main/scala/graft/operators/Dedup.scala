@@ -81,10 +81,19 @@ object Dedup extends QueryModule {
     * the expansion is exact, not an approximation — the final output is
     * bit-identical to running LSH over every doc, which is what the DuckDB
     * oracles still compute).
+    *
+    * The grouping SHUFFLE is keyed on md5(text) — 128 bits, collision odds
+    * ~n^2/2^128 (immaterial at any corpus size) — so the exchange moves a
+    * 32-byte key per row, never the document itself as the sort/hash key.
+    * One representative text per unique key still crosses the wire (as the
+    * `first` partial aggregate), which is intrinsic: downstream shingling
+    * needs exactly one copy of each unique text.
     */
   private[graft] def dupGroups(docs: DataFrame): DataFrame =
-    docs.groupBy(col("text"))
-      .agg(min(col("doc_id")).as("gid"), collect_list(col("doc_id")).as("ids"))
+    docs.groupBy(md5(col("text")).as("tkey"))
+      .agg(min(col("doc_id")).as("gid"), collect_list(col("doc_id")).as("ids"),
+           first(col("text")).as("text"))
+      .drop("tkey")
 
   /** One row per unique text, keyed like a doc so the shingle/sig/fp
     * pipeline runs unchanged over representatives. */
@@ -95,18 +104,42 @@ object Dedup extends QueryModule {
   private[graft] def membersOf(groups: DataFrame): DataFrame =
     groups.select(col("gid"), explode(col("ids")).as("doc_id"))
 
-  /** All intra-group member pairs (da < db), generated row-local by a
-    * double explode of the id array — group size g yields g^2 generator
-    * rows in place, never a shuffle. Non-group columns pass through (so a
-    * caller can attach per-group metrics first). Output volume is
-    * intrinsic (these pairs ARE duplicates); a production variant that
-    * only needs "keep one per group" would emit (rep, member) instead.
+  /** All intra-group member pairs (da < db), DISTRIBUTED. Output volume is
+    * intrinsic (these pairs ARE duplicates), but no single task may own a
+    * mega-group's g(g-1)/2 pairs: the earlier double-explode form generated
+    * g^2 rows from ONE input row in ONE task — exactly the single-task
+    * blowup the exact-dup top-off exists to prevent (a 10^5-copy group is
+    * ~5e9 pairs). Instead, pair members through a salted self-join:
+    * side B lands in bucket pmod(id, nb) with nb = min(g, [[SelfPairSalts]]);
+    * side A replicates to every bucket and is REPARTITIONED on (gid, bucket),
+    * so each pair meets exactly once and a group's pair emission spreads
+    * over nb tasks (at most ~g*ceil(g/nb) pairs per task) regardless of the
+    * join strategy AQE picks (a broadcast of B keeps A's partitioning).
+    * Singleton groups replicate 1x — the common case pays one narrow
+    * shuffle of the member list, nothing more. Non-group columns pass
+    * through on side A (callers attach per-group metrics first).
     */
-  private[graft] def selfPairs(groups: DataFrame): DataFrame =
-    groups.withColumn("da", explode(col("ids")))
-      .withColumn("db", explode(col("ids")))
+  private[graft] val SelfPairSalts = 32
+  private[graft] def selfPairs(groups: DataFrame): DataFrame = {
+    val metric = groups.columns.filterNot(Set("ids", "text", "gid").contains)
+    val m = groups.drop("text")
+      .withColumn("nb", least(size(col("ids")), lit(SelfPairSalts)))
+      .withColumn("id", explode(col("ids")))
+      .drop("ids")
+    // explicit partition COUNT (not just keys): AQE sizes coalescing from
+    // the map output of this tiny exchange and cannot see the g^2 join
+    // expansion behind it — a keys-only repartition gets coalesced back to
+    // one or two tasks, recreating the single-task blowup.
+    val np = groups.sparkSession.sparkContext.defaultParallelism
+    val a = m.select(Seq(col("gid"), col("id").as("da"),
+        explode(expr("sequence(0, nb - 1)")).as("bkt")) ++ metric.map(col): _*)
+      .repartition(np, col("gid"), col("bkt"))
+    val b = m.select(col("gid"), pmod(col("id"), col("nb")).cast("int").as("bkt"),
+      col("id").as("db"))
+    a.join(b, Seq("gid", "bkt"))
       .filter(col("da") < col("db"))
-      .drop("ids", "text", "gid")
+      .drop("gid", "bkt")
+  }
 
   /** Expand rep-level pair rows (ga, gb, metric...) to member-level
     * (da, db, metric...): every member of ga pairs with every member of
@@ -184,12 +217,16 @@ object Dedup extends QueryModule {
       |        WHERE len(s) >= 2))""".stripMargin
 
   /** Exact dedup (hash-groupBy keep-first): group identical texts, keep the
-    * min doc_id, summarize per language. One shuffle on the text hash.
+    * min doc_id, summarize per language. One shuffle keyed on (lang,
+    * md5(text)) — nothing downstream needs the text, so the exchange moves
+    * 32-byte digests, not documents (the map-side partial agg collapses
+    * local copies before the shuffle either way; the hash key keeps the
+    * sort/compare cost per row constant too).
     */
   def dedupExact(s: SparkSession, dir: String): DataFrame = {
     tune(s)
     augmentedDocs(s, dir)
-      .groupBy(col("lang"), col("text"))
+      .groupBy(col("lang"), md5(col("text")).as("tkey"))
       .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("copies"))
       .groupBy(col("lang"))
       .agg(count(lit(1)).as("n_unique"),

@@ -257,9 +257,16 @@ object Similarity extends QueryModule {
     val base = table(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
     val bits = lshBits(base.count())
     val nH = LshBands * bits
+    // group SHUFFLE keyed on a 96-bit hash pair of the vector (xxhash64 +
+    // murmur3), not the 256-byte float array itself — collision odds
+    // ~n^2/2^96 are immaterial, and the exchange sorts/compares 12-byte
+    // keys. One representative embedding per unique key still crosses the
+    // wire (the `first` partial agg) — intrinsic, the LSH needs it.
     val groups = graft.SessionCache.cached(s, s"sim:grp:$dir") {
-      base.groupBy(col("embedding"))
-        .agg(min(col("vec_id")).as("gid"), collect_list(col("vec_id")).as("ids"))
+      base.groupBy(xxhash64(col("embedding")).as("k1"), hash(col("embedding")).as("k2"))
+        .agg(min(col("vec_id")).as("gid"), collect_list(col("vec_id")).as("ids"),
+             first(col("embedding")).as("embedding"))
+        .drop("k1", "k2")
     }
     val reps = withNorm(groups.select(col("gid").as("vec_id"), col("embedding")))
     val ws = hyperplaneWeights(nH)

@@ -64,10 +64,18 @@ class DedupSpec extends AnyFunSuite {
   }
 
   test("candidate generation contains no cartesian product in the plan") {
-    val plan = Dedup.minhashCandidates(s, TestSpark.sf)
-      .queryExecution.executedPlan.toString
+    val df = Dedup.minhashCandidates(s, TestSpark.sf)
+    val plan = df.queryExecution.executedPlan.toString
     assert(!plan.contains("CartesianProduct"), s"plan was:\n$plan")
     assert(!plan.contains("BroadcastNestedLoopJoin"), s"plan was:\n$plan")
+    // and under AQE's runtime re-plan: run an action on the SAME frame,
+    // then re-inspect — executedPlan now holds the final adaptive plan
+    df.count()
+    val finalPlan = df.queryExecution.executedPlan.toString
+    assert(finalPlan.contains("isFinalPlan=true") || !finalPlan.contains("AdaptiveSparkPlan"),
+      s"expected the finalized adaptive plan:\n$finalPlan")
+    assert(!finalPlan.contains("CartesianProduct"), s"final plan was:\n$finalPlan")
+    assert(!finalPlan.contains("BroadcastNestedLoopJoin"), s"final plan was:\n$finalPlan")
   }
 
   test("identical-doc flood: top-off collapses 10k copies to size-1 LSH buckets") {
@@ -88,9 +96,22 @@ class DedupSpec extends AnyFunSuite {
       .groupBy(col("band"), col("bk")).count()
       .agg(max("count")).collect()(0).getLong(0)
     assert(maxMinhashBucket == 1L, s"minhash band buckets must not aggregate the flood: $maxMinhashBucket")
-    // and the flood's pairs are still fully recovered through the group
+    // and the flood's pairs are still fully recovered through the group —
+    // DISTRIBUTED: the 5e7 intra-group pairs must not all be emitted by one
+    // task (the old double-explode routed g^2 rows through a single task;
+    // the salted self-join must spread them across the bucket range)
     val self = Dedup.selfPairs(groups.filter(col("gid") === 0L))
-    assert(self.count() == 10000L * 9999L / 2)
+      .withColumn("pid", org.apache.spark.sql.functions.spark_partition_id())
+    val byTask = self.groupBy(col("pid")).count().collect()
+    val total = byTask.map(_.getLong(1)).sum
+    assert(total == 10000L * 9999L / 2)
+    // spread is bounded by the session's parallelism (local[4] in tests,
+    // SelfPairSalts=32 buckets on a real cluster)
+    val np = math.min(s.sparkContext.defaultParallelism, Dedup.SelfPairSalts)
+    assert(byTask.length >= math.min(np, 8),
+      s"pair emission must spread across tasks, got ${byTask.length} partitions")
+    assert(byTask.map(_.getLong(1)).max <= total / 2,
+      s"no single task may own the group's pairs: max=${byTask.map(_.getLong(1)).max} of $total")
     groups.unpersist()
   }
 
