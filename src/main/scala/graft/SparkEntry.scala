@@ -21,6 +21,7 @@ object SparkEntry {
     graft.operators.Events,
     graft.operators.ScaleOps,
     graft.sources.RoundTrip,
+    graft.sources.JdbcUpsert,
     graft.streaming.StreamOps,
     graft.functions.Multimodal,
   )

@@ -1,0 +1,233 @@
+package graft.sources
+
+import java.sql.{Connection, DriverManager, PreparedStatement}
+
+import graft.Engine._
+import graft.{GQuery, QueryModule}
+import org.apache.spark.sql.{DataFrame, Encoders, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Relational upsert sink over a REAL JDBC connection lifecycle (S7/C1/C2/C3)
+  * — the reference's terminal operator (`supabase.table(...).upsert(...,
+  * on_conflict="id")` in chunks of 5000 with a 1000-row retry and a CSV
+  * spill of permanently-failed rows, /root/reference/data_pipeline.py:501-572)
+  * as a distributed Spark sink:
+  *
+  *  - ONE connection per partition (not per chunk): `foreachPartition`-style
+  *    lifecycle inside `mapPartitions`, so write parallelism is the data
+  *    parallelism and connection setup amortizes over the partition.
+  *  - Upsert per chunk is a TRANSACTION: a batched UPDATE for every row,
+  *    then a batched INSERT for the rows the update counts said were absent
+  *    — two round-trips per chunk, the portable equivalent of
+  *    `ON CONFLICT (key) DO UPDATE` (Derby's MERGE rejects derived-VALUES
+  *    sources, and this two-batch form runs unchanged on any JDBC target).
+  *    Commit on success, rollback on any failure — a failed chunk leaves
+  *    NO partial rows, which is what makes the retry sound.
+  *  - A failed chunk is retried at `retrySize`; rows that still fail are
+  *    returned as the dead-letter DataFrame (same schema), so
+  *    rows_in == rows_upserted + rows_dead always holds and the caller
+  *    spills survivors exactly like the reference's failed-upload CSV.
+  *
+  * Batches must be key-unique (one row per key per upsert call) — the same
+  * contract PostgreSQL enforces for `INSERT .. ON CONFLICT DO UPDATE`.
+  * The embedded Derby engine that ships with Spark backs the tests and the
+  * registered query; against a networked store only the URL changes.
+  */
+object JdbcUpsert extends QueryModule {
+
+  private[sources] def ddlType(dt: DataType): String = dt match {
+    case LongType       => "BIGINT"
+    case IntegerType    => "INTEGER"
+    case ShortType      => "SMALLINT"
+    case DoubleType     => "DOUBLE"
+    case FloatType      => "REAL"
+    case BooleanType    => "BOOLEAN"
+    case DateType       => "DATE"
+    case TimestampType  => "TIMESTAMP"
+    case d: DecimalType => s"DECIMAL(${d.precision},${d.scale})"
+    case StringType     => "VARCHAR(4000)"
+    case other => throw new IllegalArgumentException(s"unsupported sink type: $other")
+  }
+
+  private def jdbcType(dt: DataType): Int = dt match {
+    case LongType       => java.sql.Types.BIGINT
+    case IntegerType    => java.sql.Types.INTEGER
+    case ShortType      => java.sql.Types.SMALLINT
+    case DoubleType     => java.sql.Types.DOUBLE
+    case FloatType      => java.sql.Types.REAL
+    case BooleanType    => java.sql.Types.BOOLEAN
+    case DateType       => java.sql.Types.DATE
+    case TimestampType  => java.sql.Types.TIMESTAMP
+    case _: DecimalType => java.sql.Types.DECIMAL
+    case _              => java.sql.Types.VARCHAR
+  }
+
+  private def bind(ps: PreparedStatement, pos: Int, r: Row, field: Int, dt: DataType): Unit =
+    if (r.isNullAt(field)) ps.setNull(pos, jdbcType(dt))
+    else dt match {
+      case LongType       => ps.setLong(pos, r.getLong(field))
+      case IntegerType    => ps.setInt(pos, r.getInt(field))
+      case ShortType      => ps.setShort(pos, r.getShort(field))
+      case DoubleType     => ps.setDouble(pos, r.getDouble(field))
+      case FloatType      => ps.setFloat(pos, r.getFloat(field))
+      case BooleanType    => ps.setBoolean(pos, r.getBoolean(field))
+      case DateType       => ps.setDate(pos, r.getDate(field))
+      case TimestampType  => ps.setTimestamp(pos, r.getTimestamp(field))
+      case _: DecimalType => ps.setBigDecimal(pos, r.getDecimal(field))
+      case _              => ps.setString(pos, r.getString(field))
+    }
+
+  /** CREATE TABLE from the DataFrame schema if absent (Derby has no
+    * IF NOT EXISTS; X0Y32 = already exists). Driver-side, once per sink.
+    */
+  def ensureTable(url: String, table: String, schema: StructType, keys: Seq[String]): Unit = {
+    val cols = schema.fields.map(f => s"${f.name} ${ddlType(f.dataType)}").mkString(", ")
+    val ddl = s"CREATE TABLE $table ($cols, PRIMARY KEY (${keys.mkString(", ")}))"
+    val conn = DriverManager.getConnection(url)
+    try {
+      val st = conn.createStatement()
+      try st.execute(ddl)
+      catch { case e: java.sql.SQLException if e.getSQLState == "X0Y32" => () }
+      finally st.close()
+    } finally conn.close()
+  }
+
+  /** Upsert `df` into `table` by `keys`; returns the dead-lettered rows.
+    * An action on the returned frame drives the writes (lazy, like every
+    * Spark sink built on mapPartitions) — callers count() it and spill
+    * survivors, mirroring q15/q16's dead-letter accounting.
+    */
+  def upsert(df: DataFrame, url: String, table: String, keys: Seq[String],
+             chunkSize: Int = 5000, retrySize: Int = 1000): DataFrame = {
+    require(keys.nonEmpty && keys.forall(df.columns.contains))
+    val schema = df.schema
+    val cols = schema.fields.map(_.name).toSeq
+    val nonKeys = cols.filterNot(keys.contains)
+    val updateSql = s"UPDATE $table SET ${nonKeys.map(c => s"$c = ?").mkString(", ")} " +
+      s"WHERE ${keys.map(k => s"$k = ?").mkString(" AND ")}"
+    val insertSql = s"INSERT INTO $table (${cols.mkString(", ")}) " +
+      s"VALUES (${cols.map(_ => "?").mkString(", ")})"
+    val fieldIdx = cols.zipWithIndex.toMap
+    val types = schema.fields.map(_.dataType)
+
+    df.mapPartitions { rows =>
+      if (!rows.hasNext) Iterator.empty
+      else {
+        val conn = DriverManager.getConnection(url)
+        val dead = scala.collection.mutable.ArrayBuffer.empty[Row]
+        try {
+          conn.setAutoCommit(false)
+          val upd = conn.prepareStatement(updateSql)
+          val ins = conn.prepareStatement(insertSql)
+          // one chunk = one transaction: either every row of the chunk is
+          // upserted or none is (rollback), so retries never double-apply
+          def writeChunk(chunk: Seq[Row]): Unit =
+            try {
+              chunk.foreach { r =>
+                var p = 1
+                nonKeys.foreach { c => bind(upd, p, r, fieldIdx(c), types(fieldIdx(c))); p += 1 }
+                keys.foreach { c => bind(upd, p, r, fieldIdx(c), types(fieldIdx(c))); p += 1 }
+                upd.addBatch()
+              }
+              val counts = upd.executeBatch()
+              chunk.iterator.zip(counts.iterator).filter(_._2 == 0).foreach { case (r, _) =>
+                cols.foreach { c =>
+                  bind(ins, fieldIdx(c) + 1, r, fieldIdx(c), types(fieldIdx(c)))
+                }
+                ins.addBatch()
+              }
+              ins.executeBatch()
+              conn.commit()
+            } catch {
+              case e: Exception =>
+                try conn.rollback()
+                catch { case _: Exception => () }
+                upd.clearBatch(); ins.clearBatch()
+                throw e
+            }
+          // eager per partition: the writes ARE the work; survivors (small
+          // by construction) buffer so the connection can close before the
+          // iterator is handed back
+          rows.grouped(chunkSize).foreach { chunk =>
+            try writeChunk(chunk)
+            catch {
+              case _: Exception =>
+                chunk.grouped(retrySize).foreach { small =>
+                  try writeChunk(small)
+                  catch { case _: Exception => dead ++= small }
+                }
+            }
+          }
+        } finally conn.close()
+        dead.iterator
+      }
+    }(Encoders.row(schema))
+  }
+
+  private def memUrl(dir: String): String =
+    s"jdbc:derby:memory:graft_${dir.replaceAll("[^A-Za-z0-9]", "_")};create=true"
+
+  /** End-to-end upsert proof as an oracled query: seed a keyed orders slice
+    * into embedded Derby, apply an overlay batch (price/status updates on
+    * half the keys + brand-new keys), read the table back over JDBC, and
+    * aggregate the merged state. The DuckDB oracle computes the same merged
+    * state from the parquet directly — update-wins, insert-new, and
+    * value round-trip through the store are all load-bearing in the hash.
+    * Idempotent by construction (re-running re-applies the same two
+    * batches), so bench reruns and shared sessions are safe.
+    */
+  def jdbcUpsertRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    tune(s)
+    val url = memUrl(dir)
+    val o = table(s, dir, "orders")
+      .select(col("o_orderkey").as("id"), col("o_custkey").as("cust"),
+        col("o_totalprice").as("price"), col("o_orderstatus").as("status"))
+    val base = o.filter(col("id") % 20 === 0)
+    val overlay = o.filter(col("id") % 40 === 0)
+      .withColumn("price", col("price") + 1000.0d)
+      .withColumn("status", lit("U"))
+      .unionByName(o.filter(col("id") % 100 === 0)
+        .withColumn("id", col("id") + 1)
+        .withColumn("status", lit("N")))
+    ensureTable(url, "GRAFT_ORDERS", base.schema, Seq("id"))
+    val dead1 = upsert(base, url, "GRAFT_ORDERS", Seq("id"), chunkSize = 500, retrySize = 100).count()
+    val dead2 = upsert(overlay, url, "GRAFT_ORDERS", Seq("id"), chunkSize = 500, retrySize = 100).count()
+    s.read.format("jdbc").option("url", url).option("dbtable", "GRAFT_ORDERS").load()
+      .agg(count(lit(1)).as("n"),
+           dsum(col("price")).as("sum_price"),
+           sum(when(col("status") === "U", 1L).otherwise(0L)).as("n_updated"),
+           sum(when(col("status") === "N", 1L).otherwise(0L)).as("n_inserted"),
+           min(col("id")).as("min_id"), max(col("id")).as("max_id"))
+      .withColumn("n_dead", lit(dead1 + dead2))
+  }
+
+  private val jdbcUpsertRoundtripSql =
+    s"""WITH base AS (
+       |  SELECT o_orderkey AS id, o_custkey AS cust, o_totalprice AS price,
+       |         o_orderstatus AS status
+       |  FROM orders WHERE o_orderkey % 20 = 0),
+       |overlay AS (
+       |  SELECT o_orderkey AS id, o_custkey AS cust, o_totalprice + 1000 AS price,
+       |         'U' AS status
+       |  FROM orders WHERE o_orderkey % 40 = 0
+       |  UNION ALL
+       |  SELECT o_orderkey + 1, o_custkey, o_totalprice, 'N'
+       |  FROM orders WHERE o_orderkey % 100 = 0),
+       |merged AS (
+       |  SELECT * FROM overlay
+       |  UNION ALL
+       |  SELECT * FROM base WHERE id NOT IN (SELECT id FROM overlay))
+       |SELECT COUNT(*) AS n, ${DSUM("price")} AS sum_price,
+       |CAST(SUM(CASE WHEN status = 'U' THEN 1 ELSE 0 END) AS BIGINT) AS n_updated,
+       |CAST(SUM(CASE WHEN status = 'N' THEN 1 ELSE 0 END) AS BIGINT) AS n_inserted,
+       |MIN(id) AS min_id, MAX(id) AS max_id,
+       |CAST(0 AS BIGINT) AS n_dead
+       |FROM merged""".stripMargin
+
+  override val queries: Seq[GQuery] = Seq(
+    GQuery("q130_jdbc_upsert",
+      "chunked JDBC upsert (update-wins merge + inserts) into embedded Derby, read back + verified",
+      jdbcUpsertRoundtrip, Some(jdbcUpsertRoundtripSql)),
+  )
+}

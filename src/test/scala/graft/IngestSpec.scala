@@ -40,6 +40,46 @@ class IngestSpec extends AnyFunSuite {
     assert(dead.count() == 0 && written.value == 500)
   }
 
+  test("JDBC upsert: chunk rollback, smaller-chunk retry, poison dead-letter over a live store") {
+    import graft.sources.JdbcUpsert
+    import s.implicits._
+    val url = "jdbc:derby:memory:ingestspec;create=true"
+    // a real server-side rejection: the store's CHECK constraint is the
+    // injected failure (the whole chunk's transaction must roll back)
+    val conn = java.sql.DriverManager.getConnection(url)
+    try {
+      val st = conn.createStatement()
+      try st.execute("CREATE TABLE UPS (id BIGINT PRIMARY KEY, amt DOUBLE CHECK (amt >= 0))")
+      catch { case e: java.sql.SQLException if e.getSQLState == "X0Y32" => st.execute("DELETE FROM UPS"): Unit }
+      st.close()
+    } finally conn.close()
+    val n = 1000
+    val df = s.range(0, n)
+      .select(col("id"), org.apache.spark.sql.functions.when(col("id") % 97 === 0, -1.0d)
+        .otherwise(col("id").cast("double")).as("amt"))
+      .repartition(4)
+    val dead = JdbcUpsert.upsert(df, url, "UPS", Seq("id"), chunkSize = 100, retrySize = 1)
+      .collect().map(_.getLong(0)).sorted
+    val expectedPoison = (0L until n).filter(_ % 97 == 0)
+    assert(dead.toSeq == expectedPoison, "exactly the constraint-violating rows dead-letter")
+    def q(sql: String): Long = {
+      val c = java.sql.DriverManager.getConnection(url)
+      try { val rs = c.createStatement().executeQuery(sql); rs.next(); rs.getLong(1) }
+      finally c.close()
+    }
+    // conservation against the live store: rows_in == stored + dead, and a
+    // failed chunk left no partial rows (every surviving id is non-poison)
+    assert(q("SELECT COUNT(*) FROM UPS") == n - expectedPoison.length)
+    assert(q("SELECT COUNT(*) FROM UPS WHERE amt < 0") == 0L)
+    // idempotence + update-wins: re-upserting shifted values changes rows
+    // in place, never duplicates keys
+    val shifted = s.range(0, n).filter(col("id") % 97 =!= 0)
+      .select(col("id"), (col("id") + 0.5d).as("amt"))
+    assert(JdbcUpsert.upsert(shifted, url, "UPS", Seq("id"), 100, 10).count() == 0)
+    assert(q("SELECT COUNT(*) FROM UPS") == n - expectedPoison.length)
+    assert(q("SELECT COUNT(*) FROM UPS WHERE amt = id + 0.5") == n - expectedPoison.length)
+  }
+
   test("landing-zone reset deletes files in batches but spares dotfiles (S10/C6/P5)") {
     val dir = Files.createTempDirectory("graft_landing")
     (1 to 45).foreach(i => Files.writeString(dir.resolve(s"file_$i.csv"), "x"))
