@@ -254,6 +254,13 @@ object Similarity extends QueryModule {
     */
   def embeddingNearDup(s: SparkSession, dir: String): DataFrame = {
     tune(s)
+    // the pair frame is the shared substrate of the embedding near-dup
+    // family (q78 output, q128 degree diagnostic, q129 clusters) — build
+    // once per session+dir, like the text-LSH substrate in Dedup
+    graft.SessionCache.cached(s, s"sim:pairs:$dir")(buildEmbeddingNearDup(s, dir))
+  }
+
+  private def buildEmbeddingNearDup(s: SparkSession, dir: String): DataFrame = {
     val base = table(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
     val bits = lshBits(base.count())
     val nH = LshBands * bits
@@ -310,8 +317,12 @@ object Similarity extends QueryModule {
       .select(col("da"), col("db"), col("cosim"), (col("cosim") >= 0.8).as("is_dup"))
   }
 
-  private val embeddingNearDupSql =
-    s"""WITH $flatSql,
+  /** CTE block ending in `pcs(da, db, cosim)` — the rounded cosine pair
+    * frame shared by q78/q128/q129 oracles (mirror of the session-cached
+    * Spark substrate).
+    */
+  private val embPairCtes =
+    s"""$flatSql,
        |$normsSql,
        |bits AS (SELECT CAST(least(24, greatest(8, ceil(log2(COUNT(*))))) AS INT) AS b
        |         FROM embeddings),
@@ -334,10 +345,78 @@ object Similarity extends QueryModule {
        |       FROM pairs p
        |       JOIN flat x ON x.vec_id = p.da
        |       JOIN flat y ON y.vec_id = p.db AND y.pos = x.pos
-       |       GROUP BY p.da, p.db)
-       |SELECT da, db, round(cosim, 9) AS cosim, round(cosim, 9) >= 0.8 AS is_dup
-       |FROM (SELECT pd.da, pd.db, pd.dot / (na.nrm * nb.nrm) AS cosim
-       |      FROM pd JOIN norms na ON na.vec_id = pd.da JOIN norms nb ON nb.vec_id = pd.db)""".stripMargin
+       |       GROUP BY p.da, p.db),
+       |pcs AS (SELECT da, db, round(cosim, 9) AS cosim
+       |        FROM (SELECT pd.da, pd.db, pd.dot / (na.nrm * nb.nrm) AS cosim
+       |              FROM pd JOIN norms na ON na.vec_id = pd.da JOIN norms nb ON nb.vec_id = pd.db))""".stripMargin
+
+  private val embeddingNearDupSql =
+    s"""WITH $embPairCtes
+       |SELECT da, db, cosim, cosim >= 0.8 AS is_dup FROM pcs""".stripMargin
+
+  /** The diagnostic graph's edge threshold. The fixture embeddings are
+    * (by design) near-uniform random vectors — LSH-colliding pairs top out
+    * near cosim 0.5 and q78's is_dup=0.8 production threshold matches
+    * nothing — so the rollout diagnostics read the top of the actual
+    * candidate distribution instead of an empty graph. On a real corpus
+    * this knob IS the production threshold.
+    */
+  private val DiagThreshold = 0.25
+
+  /** Embedding near-dup degree histogram — q127's rollout diagnostic for
+    * the embedding family: how many vectors have k near-dup neighbors in
+    * the cosine graph (cosim >= [[DiagThreshold]]). One groupBy over the
+    * session-cached q78 pair frame, no new shuffle shape.
+    */
+  def embeddingDegreeHistogram(s: SparkSession, dir: String): DataFrame = {
+    tune(s)
+    val pairs = embeddingNearDup(s, dir).filter(col("cosim") >= DiagThreshold)
+      .select(col("da"), col("db"))
+    val deg = pairs.select(col("da").as("d"))
+      .unionByName(pairs.select(col("db").as("d")))
+      .groupBy(col("d")).agg(count(lit(1)).as("k"))
+    deg.groupBy(col("k"))
+      .agg(count(lit(1)).as("n_vecs"), min(col("d")).as("min_vec"))
+  }
+
+  private val embeddingDegreeHistogramSql =
+    s"""WITH $embPairCtes,
+       |dup AS (SELECT da, db FROM pcs WHERE cosim >= $DiagThreshold),
+       |deg AS (SELECT d, COUNT(*) AS k FROM (
+       |          SELECT da AS d FROM dup UNION ALL SELECT db FROM dup)
+       |        GROUP BY d)
+       |SELECT k, COUNT(*) AS n_vecs, MIN(d) AS min_vec
+       |FROM deg GROUP BY k""".stripMargin
+
+  /** Embedding near-dup clusters — q90's cluster formation for the
+    * embedding family: connected components over the cosine near-dup graph
+    * (cosim >= 0.8), per-cluster canonical pick. Reuses the shared
+    * [[graft.operators.Dedup.connectedComponents]] two-tier engine over
+    * the session-cached q78 pair frame.
+    */
+  def embeddingClusters(s: SparkSession, dir: String): DataFrame = {
+    tune(s)
+    val pairs = embeddingNearDup(s, dir).filter(col("cosim") >= DiagThreshold)
+      .select(col("da"), col("db"))
+    Dedup.connectedComponents(pairs)
+      .groupBy(col("lab").as("cluster_id"))
+      .agg(count(lit(1)).as("n_members"),
+           min(col("n")).as("min_vec"),
+           max(col("n")).as("max_vec"))
+  }
+
+  private val embeddingClustersSql =
+    s"""WITH RECURSIVE $embPairCtes,
+       |dup AS (SELECT da, db FROM pcs WHERE cosim >= $DiagThreshold),
+       |edges AS (SELECT da AS n, db AS m FROM dup UNION SELECT db, da FROM dup),
+       |reach(n, lab) AS (
+       |  SELECT n, n FROM (SELECT DISTINCT n FROM edges)
+       |  UNION
+       |  SELECT e.n, r.lab FROM edges e JOIN reach r ON r.n = e.m),
+       |labels AS (SELECT n, MIN(lab) AS lab FROM reach GROUP BY n)
+       |SELECT lab AS cluster_id, COUNT(*) AS n_members,
+       |MIN(n) AS min_vec, MAX(n) AS max_vec
+       |FROM labels GROUP BY lab""".stripMargin
 
   /** Symmetric int8 quantization of the embedding column — the storage
     * compression step an embedding lake actually runs (4x smaller than
@@ -436,6 +515,10 @@ object Similarity extends QueryModule {
     GQuery("q65_ivf_ann", "IVF-partitioned ANN: centroid assignment + in-cluster top-3", ivfAnn, Some(ivfAnnSql)),
     GQuery("q78_embedding_neardup", "embedding-cosine near-dup via sign-LSH bucket join (no all-pairs)",
       embeddingNearDup, Some(embeddingNearDupSql)),
+    GQuery("q128_embedding_degree", "embedding near-dup degree histogram (rollout diagnostic, rides q78's pair frame)",
+      embeddingDegreeHistogram, Some(embeddingDegreeHistogramSql)),
+    GQuery("q129_embedding_clusters", "connected components over the cosine near-dup graph, canonical pick per cluster",
+      embeddingClusters, Some(embeddingClustersSql)),
     GQuery("q104_quantize_int8", "symmetric int8 embedding quantization with exact reconstruction-error accounting",
       quantizeInt8, Some(quantizeInt8Sql)),
   )
