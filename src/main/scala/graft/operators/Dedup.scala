@@ -110,35 +110,73 @@ object Dedup extends QueryModule {
     * g^2 rows from ONE input row in ONE task — exactly the single-task
     * blowup the exact-dup top-off exists to prevent (a 10^5-copy group is
     * ~5e9 pairs). Instead, pair members through a salted self-join:
-    * side B lands in bucket pmod(id, nb) with nb = min(g, [[SelfPairSalts]]);
-    * side A replicates to every bucket and is REPARTITIONED on (gid, bucket),
-    * so each pair meets exactly once and a group's pair emission spreads
-    * over nb tasks (at most ~g*ceil(g/nb) pairs per task) regardless of the
+    * side B lands in bucket pmod(id, nb); side A replicates to every bucket
+    * and is REPARTITIONED on (gid, bucket), so each pair meets exactly once
+    * and a group's pair emission spreads over nb tasks regardless of the
     * join strategy AQE picks (a broadcast of B keeps A's partitioning).
+    *
+    * The bucket count SCALES with group size: one bucket emits
+    * g*ceil(g/nb) pairs, so nb = min(g, max([[SelfPairSalts]],
+    * ceil(g^2/T))) bounds per-bucket pair volume at ~T =
+    * [[selfPairTarget]] rows for ANY g (a fixed salt count would leave a
+    * 10^6-copy flood routing ~g^2/32 pairs through each task). The
+    * partition count likewise scales to ~2x the largest group's bucket
+    * fan-out — with fewer partitions than buckets, pigeonholing would
+    * re-concentrate nb/np buckets per task and void the bound. Sizing that
+    * count costs one tiny driver-side max() over the (session-cached)
+    * groups frame; the replication overhead is g*nb = g^3/T side-A rows,
+    * vanishing next to the g^2/2 output. Beyond [[SelfPairNpCap]]
+    * partitions the per-task bound degrades gracefully to g^2/cap — at
+    * that point the OUTPUT itself (>10^13 rows) is infeasible to
+    * materialize anywhere, so the cap is never the binding constraint.
+    *
     * Singleton groups replicate 1x — the common case pays one narrow
     * shuffle of the member list, nothing more. Non-group columns pass
-    * through on side A (callers attach per-group metrics first).
+    * through on side A (callers attach per-group metrics first); the
+    * internal working columns are __sp_-prefixed and the outputs are
+    * da/db, all reserved (enforced) so a caller metric can never be
+    * silently overwritten or mis-joined.
     */
   private[graft] val SelfPairSalts = 32
+  private[graft] val SelfPairNpCap = 1 << 20
+  /** Target pair rows per task; configurable so the spec can exercise the
+    * scaling law at fixture scale. */
+  private[graft] def selfPairTarget(s: SparkSession): Long =
+    s.conf.get("spark.graft.selfPairs.targetPairsPerTask", "200000000").toLong
   private[graft] def selfPairs(groups: DataFrame): DataFrame = {
+    val reserved = Set("__sp_nb", "__sp_id", "__sp_bkt", "da", "db")
+    require(!groups.columns.exists(reserved.contains),
+      s"selfPairs reserves columns ${reserved.mkString(", ")}; rename the passthrough column")
     val metric = groups.columns.filterNot(Set("ids", "text", "gid").contains)
+    val s = groups.sparkSession
+    val target = selfPairTarget(s)
+    def nBuckets(g: Long): Long =
+      math.min(g, math.max(SelfPairSalts.toLong, math.ceil(g.toDouble * g / target).toLong))
+    val gCol = size(col("ids")).cast("long")
     val m = groups.drop("text")
-      .withColumn("nb", least(size(col("ids")), lit(SelfPairSalts)))
-      .withColumn("id", explode(col("ids")))
+      .withColumn("__sp_nb",
+        least(gCol, greatest(lit(SelfPairSalts.toLong),
+          ceil(gCol * gCol / lit(target.toDouble)).cast("long"))).cast("int"))
+      .withColumn("__sp_id", explode(col("ids")))
       .drop("ids")
     // explicit partition COUNT (not just keys): AQE sizes coalescing from
     // the map output of this tiny exchange and cannot see the g^2 join
     // expansion behind it — a keys-only repartition gets coalesced back to
     // one or two tasks, recreating the single-task blowup.
-    val np = groups.sparkSession.sparkContext.defaultParallelism
-    val a = m.select(Seq(col("gid"), col("id").as("da"),
-        explode(expr("sequence(0, nb - 1)")).as("bkt")) ++ metric.map(col): _*)
-      .repartition(np, col("gid"), col("bkt"))
-    val b = m.select(col("gid"), pmod(col("id"), col("nb")).cast("int").as("bkt"),
-      col("id").as("db"))
-    a.join(b, Seq("gid", "bkt"))
+    val maxG = groups.agg(max(size(col("ids")))).head.get(0) match {
+      case null   => 0L
+      case i: Int => i.toLong
+    }
+    val np = math.max(s.sparkContext.defaultParallelism.toLong,
+      math.min(2L * nBuckets(maxG), SelfPairNpCap.toLong)).toInt
+    val a = m.select(Seq(col("gid"), col("__sp_id").as("da"),
+        explode(expr("sequence(0, __sp_nb - 1)")).as("__sp_bkt")) ++ metric.map(col): _*)
+      .repartition(np, col("gid"), col("__sp_bkt"))
+    val b = m.select(col("gid"), pmod(col("__sp_id"), col("__sp_nb")).cast("int").as("__sp_bkt"),
+      col("__sp_id").as("db"))
+    a.join(b, Seq("gid", "__sp_bkt"))
       .filter(col("da") < col("db"))
-      .drop("gid", "bkt")
+      .drop("gid", "__sp_bkt")
   }
 
   /** Expand rep-level pair rows (ga, gb, metric...) to member-level

@@ -97,21 +97,39 @@ class DedupSpec extends AnyFunSuite {
       .agg(max("count")).collect()(0).getLong(0)
     assert(maxMinhashBucket == 1L, s"minhash band buckets must not aggregate the flood: $maxMinhashBucket")
     // and the flood's pairs are still fully recovered through the group —
-    // DISTRIBUTED: the 5e7 intra-group pairs must not all be emitted by one
-    // task (the old double-explode routed g^2 rows through a single task;
-    // the salted self-join must spread them across the bucket range)
-    val self = Dedup.selfPairs(groups.filter(col("gid") === 0L))
-      .withColumn("pid", org.apache.spark.sql.functions.spark_partition_id())
-    val byTask = self.groupBy(col("pid")).count().collect()
-    val total = byTask.map(_.getLong(1)).sum
-    assert(total == 10000L * 9999L / 2)
-    // spread is bounded by the session's parallelism (local[4] in tests,
-    // SelfPairSalts=32 buckets on a real cluster)
-    val np = math.min(s.sparkContext.defaultParallelism, Dedup.SelfPairSalts)
-    assert(byTask.length >= math.min(np, 8),
-      s"pair emission must spread across tasks, got ${byTask.length} partitions")
-    assert(byTask.map(_.getLong(1)).max <= total / 2,
-      s"no single task may own the group's pairs: max=${byTask.map(_.getLong(1)).max} of $total")
+    // DISTRIBUTED with a HARD per-task cap: the bucket count must scale
+    // with group size so no task ever owns more than ~targetPairsPerTask
+    // pairs. The scaling law is dimensionless (pairs/task <= c*T for any
+    // g with nb = ceil(g^2/T)), so exercising it at g=1e4 with T scaled
+    // down to 2e6 proves the same bound a 1e5-copy group gets at the 2e8
+    // production default. Broadcast threshold pinned explicitly: the
+    // spread assertion relies on the b-side broadcasting so the join
+    // output inherits a's explicit repartition (ADVICE r6).
+    val target = 2000000L
+    val prevT = s.conf.getOption("spark.graft.selfPairs.targetPairsPerTask")
+    val prevB = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    s.conf.set("spark.graft.selfPairs.targetPairsPerTask", target.toString)
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    try {
+      val self = Dedup.selfPairs(groups.filter(col("gid") === 0L))
+        .withColumn("pid", org.apache.spark.sql.functions.spark_partition_id())
+      val byTask = self.groupBy(col("pid")).count().collect()
+      val total = byTask.map(_.getLong(1)).sum
+      assert(total == 10000L * 9999L / 2)
+      // g=1e4, T=2e6 -> nb = ceil(1e8/2e6) = 50 buckets over >=100
+      // partitions: wide spread and a hard cap per task
+      assert(byTask.length >= 16,
+        s"pair emission must spread across tasks, got ${byTask.length} partitions")
+      val maxTask = byTask.map(_.getLong(1)).max
+      assert(maxTask <= 2L * target,
+        s"per-task pair volume must be capped near targetPairsPerTask: max=$maxTask > 2*$target")
+    } finally {
+      prevT match {
+        case Some(v) => s.conf.set("spark.graft.selfPairs.targetPairsPerTask", v)
+        case None    => s.conf.unset("spark.graft.selfPairs.targetPairsPerTask")
+      }
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold", prevB)
+    }
     groups.unpersist()
   }
 
