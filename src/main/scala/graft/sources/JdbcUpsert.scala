@@ -29,8 +29,25 @@ import org.apache.spark.sql.types._
   *    rows_in == rows_upserted + rows_dead always holds and the caller
   *    spills survivors exactly like the reference's failed-upload CSV.
   *
-  * Batches must be key-unique (one row per key per upsert call) — the same
-  * contract PostgreSQL enforces for `INSERT .. ON CONFLICT DO UPDATE`.
+  * Batches should be key-unique (one row per key per upsert call) — the
+  * same contract PostgreSQL enforces for `INSERT .. ON CONFLICT DO UPDATE`.
+  * Violations are handled defensively rather than raced: `upsert`
+  * hash-partitions its input on the keys before writing (two partitions
+  * can never race the UPDATE-miss→INSERT window on the same key), and
+  * within a chunk duplicate keys collapse to their LAST occurrence —
+  * exactly what applying them sequentially would produce — so a duplicate
+  * never manufactures a PK violation that burns the rollback-retry path
+  * and dead-letters innocent neighbors. The rows_in == rows_upserted +
+  * rows_dead conservation is stated over key-unique input.
+  *
+  * Insert detection requires the driver to return EXACT update counts from
+  * `executeBatch`. Drivers that return `Statement.SUCCESS_NO_INFO` (-2) for
+  * batched updates (MySQL with rewriteBatchedStatements, some Oracle
+  * configs) make "row was absent" undecidable, so the sink FAILS FAST on
+  * that chunk (rollback → retry → dead-letter) rather than silently
+  * dropping inserts; on such targets disable batch rewriting or lower the
+  * chunk size to 1.
+  *
   * The embedded Derby engine that ships with Spark backs the tests and the
   * registered query; against a networked store only the URL changes.
   */
@@ -111,7 +128,9 @@ object JdbcUpsert extends QueryModule {
     val fieldIdx = cols.zipWithIndex.toMap
     val types = schema.fields.map(_.dataType)
 
-    df.mapPartitions { rows =>
+    // co-locate equal keys: the UPDATE-miss→INSERT detection is sound only
+    // if no other partition can interleave on the same key (see scaladoc)
+    df.repartition(keys.map(col): _*).mapPartitions { rows =>
       if (!rows.hasNext) Iterator.empty
       else {
         val conn = DriverManager.getConnection(url)
@@ -120,9 +139,22 @@ object JdbcUpsert extends QueryModule {
           conn.setAutoCommit(false)
           val upd = conn.prepareStatement(updateSql)
           val ins = conn.prepareStatement(insertSql)
+          val keyIdx = keys.map(fieldIdx)
           // one chunk = one transaction: either every row of the chunk is
           // upserted or none is (rollback), so retries never double-apply
-          def writeChunk(chunk: Seq[Row]): Unit =
+          def writeChunk(chunkIn: Seq[Row]): Unit = {
+            // last-writer-wins on within-chunk duplicate keys: the batched
+            // UPDATE runs before the batched INSERT, so two same-key rows
+            // would both observe "absent" and double-insert — collapsing
+            // to the last occurrence is semantically identical to applying
+            // the rows one at a time
+            val chunk =
+              if (chunkIn.lengthCompare(1) <= 0) chunkIn
+              else {
+                val last = scala.collection.mutable.LinkedHashMap.empty[Seq[Any], Row]
+                chunkIn.foreach(r => last(keyIdx.map(r.get)) = r)
+                if (last.size == chunkIn.size) chunkIn else last.values.toSeq
+              }
             try {
               chunk.foreach { r =>
                 var p = 1
@@ -131,6 +163,13 @@ object JdbcUpsert extends QueryModule {
                 upd.addBatch()
               }
               val counts = upd.executeBatch()
+              // SUCCESS_NO_INFO makes "row was absent" undecidable — fail
+              // the chunk (rollback → retry → dead-letter) instead of
+              // silently never inserting absent rows
+              if (counts.exists(_ == java.sql.Statement.SUCCESS_NO_INFO))
+                throw new java.sql.SQLException(
+                  "driver returned SUCCESS_NO_INFO for a batched UPDATE; " +
+                    "exact counts are required for upsert insert-detection")
               chunk.iterator.zip(counts.iterator).filter(_._2 == 0).foreach { case (r, _) =>
                 cols.foreach { c =>
                   bind(ins, fieldIdx(c) + 1, r, fieldIdx(c), types(fieldIdx(c)))
@@ -146,6 +185,7 @@ object JdbcUpsert extends QueryModule {
                 upd.clearBatch(); ins.clearBatch()
                 throw e
             }
+          }
           // eager per partition: the writes ARE the work; survivors (small
           // by construction) buffer so the connection can close before the
           // iterator is handed back
@@ -176,9 +216,20 @@ object JdbcUpsert extends QueryModule {
     * value round-trip through the store are all load-bearing in the hash.
     * Idempotent by construction (re-running re-applies the same two
     * batches), so bench reruns and shared sessions are safe.
+    *
+    * LOCAL-MODE PROOF RIG: `jdbc:derby:memory:` resolves per-JVM, so on a
+    * multi-executor cluster every executor would open its own empty store
+    * and the driver-side read-back would see a fraction of the rows. The
+    * guard below makes that impossible to hit silently; the `upsert` sink
+    * itself is cluster-ready — only this query's STORE is local (point the
+    * URL at a networked JDBC target to run it distributed).
     */
   def jdbcUpsertRoundtrip(s: SparkSession, dir: String): DataFrame = {
     tune(s)
+    require(s.sparkContext.isLocal,
+      "q130 is a local-mode proof rig: jdbc:derby:memory: is JVM-local, so " +
+        "executors on a real cluster would each open a private empty store; " +
+        "use a networked JDBC url to run this distributed")
     val url = memUrl(dir)
     val o = table(s, dir, "orders")
       .select(col("o_orderkey").as("id"), col("o_custkey").as("cust"),
@@ -227,7 +278,8 @@ object JdbcUpsert extends QueryModule {
 
   override val queries: Seq[GQuery] = Seq(
     GQuery("q130_jdbc_upsert",
-      "chunked JDBC upsert (update-wins merge + inserts) into embedded Derby, read back + verified",
+      "chunked JDBC upsert (update-wins merge + inserts) into embedded Derby, read back + verified" +
+        " — local-mode rig: the in-memory Derby store is JVM-local (sink itself is cluster-ready)",
       jdbcUpsertRoundtrip, Some(jdbcUpsertRoundtripSql)),
   )
 }

@@ -80,6 +80,39 @@ class IngestSpec extends AnyFunSuite {
     assert(q("SELECT COUNT(*) FROM UPS WHERE amt = id + 0.5") == n - expectedPoison.length)
   }
 
+  test("JDBC upsert: duplicate key split across input partitions cannot race the insert window") {
+    import graft.sources.JdbcUpsert
+    val url = "jdbc:derby:memory:ingestspec_dup;create=true"
+    val schema0 = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("amt", org.apache.spark.sql.types.DoubleType)))
+    JdbcUpsert.ensureTable(url, "DUP", schema0, Seq("id"))
+    // the same key in BOTH input partitions: without the key-repartition
+    // inside upsert, both partitions can observe UPDATE count 0 and both
+    // INSERT — a PK violation that burns the rollback-retry path. With
+    // retrySize == chunkSize the retry CANNOT self-heal (a violating chunk
+    // retries at the same size, fails identically, and dead-letters), so
+    // dead == 0 proves no PK violation ever happened: the repartition
+    // co-located the copies and the within-chunk last-writer-wins collapse
+    // absorbed them.
+    val rows = (0L until 50L).map(i => org.apache.spark.sql.Row(i, i.toDouble))
+    // 4 explicit slices: each key's two copies land 2 slices apart
+    val df = s.createDataFrame(s.sparkContext.parallelize(rows ++ rows, 4), schema0)
+    assert(df.rdd.getNumPartitions == 4, "fixture must start key-split across partitions")
+    val deadDf = JdbcUpsert.upsert(df, url, "DUP", Seq("id"), chunkSize = 10, retrySize = 10)
+    // the co-location is structural, not timing luck: the sink's plan must
+    // carry the internal hash-repartition on the upsert keys
+    assert(deadDf.queryExecution.optimizedPlan.toString.contains("RepartitionByExpression"),
+      s"upsert must repartition on keys:\n${deadDf.queryExecution.optimizedPlan}")
+    assert(deadDf.count() == 0, "duplicate keys must be absorbed, not raced into the retry path")
+    val c = java.sql.DriverManager.getConnection(url)
+    try {
+      val rs = c.createStatement().executeQuery("SELECT COUNT(*), COUNT(DISTINCT id) FROM DUP")
+      rs.next()
+      assert(rs.getLong(1) == 50L && rs.getLong(2) == 50L, "exactly one stored row per key")
+    } finally c.close()
+  }
+
   test("landing-zone reset deletes files in batches but spares dotfiles (S10/C6/P5)") {
     val dir = Files.createTempDirectory("graft_landing")
     (1 to 45).foreach(i => Files.writeString(dir.resolve(s"file_$i.csv"), "x"))
