@@ -363,9 +363,10 @@ object Similarity extends QueryModule {
     */
   private val DiagThreshold = 0.25
 
-  /** Embedding near-dup degree histogram — q127's rollout diagnostic for
-    * the embedding family: how many vectors have k near-dup neighbors in
-    * the cosine graph (cosim >= [[DiagThreshold]]). One groupBy over the
+  /** Embedding near-dup degree histogram (q128) — the embedding-family
+    * analog of q127's text diagnostic: how many vectors have k near-dup
+    * neighbors in the cosine graph (cosim >= [[DiagThreshold]], NOT q78's
+    * is_dup=0.8 — see the design note above). One groupBy over the
     * session-cached q78 pair frame, no new shuffle shape.
     */
   def embeddingDegreeHistogram(s: SparkSession, dir: String): DataFrame = {
@@ -388,9 +389,12 @@ object Similarity extends QueryModule {
        |SELECT k, COUNT(*) AS n_vecs, MIN(d) AS min_vec
        |FROM deg GROUP BY k""".stripMargin
 
-  /** Embedding near-dup clusters — q90's cluster formation for the
-    * embedding family: connected components over the cosine near-dup graph
-    * (cosim >= 0.8), per-cluster canonical pick. Reuses the shared
+  /** Embedding near-dup clusters (q129) — the embedding-family analog of
+    * q90's text cluster formation: connected components over the cosine
+    * near-dup graph at [[DiagThreshold]] (0.25, NOT q78's is_dup=0.8: the
+    * fixture's near-uniform random vectors never reach 0.8, so clusters
+    * form at the diagnostic threshold — on a real corpus this knob is the
+    * production threshold), per-cluster canonical pick. Reuses the shared
     * [[graft.operators.Dedup.connectedComponents]] two-tier engine over
     * the session-cached q78 pair frame.
     */
@@ -515,9 +519,9 @@ object Similarity extends QueryModule {
     GQuery("q65_ivf_ann", "IVF-partitioned ANN: centroid assignment + in-cluster top-3", ivfAnn, Some(ivfAnnSql)),
     GQuery("q78_embedding_neardup", "embedding-cosine near-dup via sign-LSH bucket join (no all-pairs)",
       embeddingNearDup, Some(embeddingNearDupSql)),
-    GQuery("q128_embedding_degree", "embedding near-dup degree histogram (rollout diagnostic, rides q78's pair frame)",
+    GQuery("q128_embedding_degree", "embedding near-dup degree histogram at the diagnostic threshold 0.25, rides q78's pair frame",
       embeddingDegreeHistogram, Some(embeddingDegreeHistogramSql)),
-    GQuery("q129_embedding_clusters", "connected components over the cosine near-dup graph, canonical pick per cluster",
+    GQuery("q129_embedding_clusters", "connected components over the cosine graph at the diagnostic threshold 0.25 (not q78's 0.8), canonical pick per cluster",
       embeddingClusters, Some(embeddingClustersSql)),
     GQuery("q104_quantize_int8", "symmetric int8 embedding quantization with exact reconstruction-error accounting",
       quantizeInt8, Some(quantizeInt8Sql)),

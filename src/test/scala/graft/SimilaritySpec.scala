@@ -72,21 +72,49 @@ class SimilaritySpec extends AnyFunSuite {
     assert((n / m - m).abs <= m, s"modulus $m must make K ~ sqrt($n)")
   }
 
-  test("identical-embedding flood stays linear: one rep, all pairs recovered") {
+  test("identical-embedding flood stays linear: one rep, all pairs recovered, spread capped") {
     import s.implicits._
-    // a broken encoder emitting one constant vector 5k times: the top-off
-    // must collapse the flood to ONE representative (so the bucket join
-    // sees one row per band), while the pair output still contains all
-    // C(5000,2) duplicate pairs by construction
+    // a broken encoder emitting one constant vector 5k times — the
+    // embedding-family mirror of DedupSpec's text flood. The grouping is
+    // the PRODUCTION keying (xxhash64 + murmur3 of the vector, exactly as
+    // buildEmbeddingNearDup shuffles it): the top-off must collapse the
+    // flood to ONE representative (so the band-bucket join sees one row
+    // per band), the pair output still contains all C(5000,2) duplicate
+    // pairs, and no single task may own them — the size-scaled salted
+    // self-join must spread them under a hard per-task cap.
     val vec = Array.tabulate(8)(i => 0.1f * (i + 1))
     val flood = (0 until 5000).map(i => (i.toLong, vec))
     val others = (0 until 10).map(i =>
       (90000L + i, Array.tabulate(8)(d => if (d == i % 8) 1.0f else 0.01f * i)))
     val docs = (flood ++ others).toDF("vec_id", "embedding")
-    val groups = docs.groupBy(col("embedding"))
+    val groups = docs
+      .groupBy(xxhash64(col("embedding")).as("k1"), hash(col("embedding")).as("k2"))
       .agg(min(col("vec_id")).as("gid"), collect_list(col("vec_id")).as("ids"))
-    assert(groups.count() == 11, "flood collapses to one group")
-    val floodPairs = graft.operators.Dedup.selfPairs(groups.filter(col("gid") === 0L))
-    assert(floodPairs.count() == 5000L * 4999L / 2)
+      .drop("k1", "k2")
+    assert(groups.count() == 11, "flood collapses to one group under the production hash keys")
+    val target = 500000L
+    val prevT = s.conf.getOption("spark.graft.selfPairs.targetPairsPerTask")
+    val prevB = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    s.conf.set("spark.graft.selfPairs.targetPairsPerTask", target.toString)
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    try {
+      val floodPairs = graft.operators.Dedup.selfPairs(groups.filter(col("gid") === 0L))
+        .withColumn("pid", org.apache.spark.sql.functions.spark_partition_id())
+      val byTask = floodPairs.groupBy(col("pid")).count().collect()
+      val total = byTask.map(_.getLong(1)).sum
+      assert(total == 5000L * 4999L / 2)
+      // g=5e3, T=5e5 -> nb = ceil(2.5e7/5e5) = 50 buckets over >=100 tasks
+      assert(byTask.length >= 16,
+        s"pair emission must spread across tasks, got ${byTask.length} partitions")
+      val maxTask = byTask.map(_.getLong(1)).max
+      assert(maxTask <= 2L * target,
+        s"per-task pair volume must be capped near targetPairsPerTask: max=$maxTask > 2*$target")
+    } finally {
+      prevT match {
+        case Some(v) => s.conf.set("spark.graft.selfPairs.targetPairsPerTask", v)
+        case None    => s.conf.unset("spark.graft.selfPairs.targetPairsPerTask")
+      }
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold", prevB)
+    }
   }
 }
