@@ -617,10 +617,22 @@ object Dedup extends QueryModule {
     *    via mapPartitions — a single job, data never touches the driver.
     *    Near-dup pair graphs are collision survivors, typically orders of
     *    magnitude smaller than the corpus, so this is the common case even
-    *    at 100 TB; 20M (Long,Long) edges is ~320 MB of parent-map heap.
+    *    at 100 TB.
     *  - LARGE graphs: iterative min-label propagation with pointer jumping,
     *    the standard distributed CC shape (GraphX/Pregel run the same
     *    supersteps); the driver only ever sees per-round convergence counts.
+    *
+    * The 20M default is MEASURED, not guessed ([[graft.CcBench]], local[32],
+    * chain graphs, min-of-2): union-find / iterative seconds were
+    * 22/40 at 5M edges, 36/78 at 10M, 51/83 at 20M, 103/167 at 40M — the
+    * single-partition tier stays 1.6-2x faster through 40M on this host, so
+    * the gate is NOT a local wall-clock crossover. It bounds (a) the one
+    * task's heap — the open-addressed parent map is ~1 GB at 20M edges and
+    * doubles at 40M — and (b) straggler latency (51s single-task at 20M vs
+    * 103s at 40M). On a real cluster the iterative tier's throughput scales
+    * with total cores while union-find is always one core, so the true
+    * crossover only moves DOWN with cluster size; 20M keeps the local tier
+    * for exactly the graphs where its single-job latency wins.
     * Both paths produce the identical labeling (component label = minimum
     * member id), pinned by the AnalyticsSpec random-graph property test.
     */
