@@ -854,6 +854,133 @@ object Dedup extends QueryModule {
        |GROUP BY sz""".stripMargin
   }
 
+  /** Incremental near-dup screening: classify each NEW document against a
+    * FROZEN corpus as an exact duplicate (its digest is already present),
+    * a near-duplicate (LSH band collision with a corpus doc, verified at
+    * signature similarity >= [[IncNearThreshold]]), or accepted. This is
+    * THE incremental operation of a production dedup pipeline: a corpus
+    * is deduped once (q61's batch pass), its signature index is
+    * materialized, and every subsequent ingest batch is screened against
+    * that index — the corpus is never rescanned, let alone re-paired
+    * against itself.
+    *
+    * Scale posture mirrors q61's: the batch gets the same exact-dup
+    * top-off (every decision is computed once per unique text and
+    * expanded to members), the index probes are equi-joins — digest →
+    * digest-set, (band, bk) → capped band index — and AQE broadcasts
+    * whichever side is small (typically the batch; a 100 TB corpus index
+    * stays shuffle-partitioned on its join key). Per-batch cost is the
+    * batch's own signatures plus those joins; corpus cost is zero.
+    *
+    * Reference provenance: the reference's per-file idempotency probe
+    * (/root/reference/data_pipeline.py:138-142) is the exact-match rim of
+    * this operator; the near-dup tier is the LLM-pipeline extension.
+    */
+  private[graft] val IncNearThreshold = 0.5
+  private[graft] def incrementalScreen(corpusDigests: DataFrame, corpusSigs: DataFrame,
+                                       corpusBands: DataFrame, newB: DataFrame): DataFrame = {
+    val newGroups = dupGroups(newB)
+    val newSigs = sigsFrom(shingles(repsOf(newGroups)))
+    val exactRej = newGroups.select(col("gid"), md5(col("text")).as("tkey"))
+      .join(corpusDigests, "tkey").select(col("gid")).withColumn("ex", lit(1))
+    val cand = bandRows(newSigs).alias("n")
+      .join(corpusBands.alias("c"),
+        col("n.band") === col("c.band") && col("n.bk") === col("c.bk"))
+      .select(col("n.doc_id").as("nid"), col("c.doc_id").as("cid")).distinct()
+    val sa = newSigs.columns.foldLeft(newSigs)((df, c) =>
+      df.withColumnRenamed(c, if (c == "doc_id") "nid" else s"a_$c"))
+    val sb = corpusSigs.columns.foldLeft(corpusSigs)((df, c) =>
+      df.withColumnRenamed(c, if (c == "doc_id") "cid" else s"b_$c"))
+    val simExpr = (0 until 16)
+      .map(j => when(col(s"a_m$j") === col(s"b_m$j"), 1).otherwise(0))
+      .reduce(_ + _) / lit(16.0)
+    val nearRej = cand.join(sa, "nid").join(sb, "cid")
+      .filter(simExpr >= IncNearThreshold)
+      .select(col("nid").as("gid")).distinct().withColumn("nr", lit(1))
+    membersOf(newGroups)
+      .join(exactRej, Seq("gid"), "left")
+      .join(nearRej, Seq("gid"), "left")
+      .select(col("doc_id"),
+        when(col("ex") === 1, "exact")
+          .when(col("nr") === 1, "near")
+          .otherwise("accept").as("decision"))
+  }
+
+  /** q131: per-lang admission summary of the new batch (augmented docs
+    * >= 100000: the injected near- and exact-duplicates) screened against
+    * the frozen base corpus (< 100000). The corpus index — unique-text
+    * digests, rep-level signatures, capped band rows — is session-cached,
+    * the in-process analog of the parquet signature tables a production
+    * pipeline persists between ingest batches.
+    */
+  def incrementalNearDup(s: SparkSession, dir: String): DataFrame = {
+    tune(s)
+    val docs = augmentedDocs(s, dir)
+    val corpus = docs.filter(col("doc_id") < 100000L)
+    val newB = docs.filter(col("doc_id") >= 100000L)
+    val dig = sessionCached(s, s"incD:$dir")(
+      corpus.select(md5(col("text")).as("tkey")).distinct())
+    val csigs = sessionCached(s, s"incS:$dir")(
+      sigsFrom(shingles(repsOf(dupGroups(corpus)))))
+    val cbands = sessionCached(s, s"incB:$dir")(
+      capBuckets(bandRows(csigs), Seq("band", "bk"), BandCap))
+    incrementalScreen(dig, csigs, cbands, newB)
+      .join(newB.select(col("doc_id"), col("lang")), "doc_id")
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_new"),
+        sum(when(col("decision") === "exact", 1).otherwise(0)).as("n_rej_exact"),
+        sum(when(col("decision") === "near", 1).otherwise(0)).as("n_rej_near"),
+        sum(when(col("decision") === "accept", 1).otherwise(0)).as("n_accept"))
+  }
+
+  /** Per-side shingle/signature/band CTEs over `rep_<side>` (one row per
+    * unique text) — the oracle's analog of the frozen index + batch
+    * signature build. */
+  private def sideSigsSql(side: String): String = {
+    val mins = (0 until 16).map(j => s"MIN((${A(j)}*hm + ${B(j)}) % $P) AS m$j").mkString(", ")
+    val bandSelects = (0 until 4).map { b =>
+      val ms = (0 until 4).map(i => s"CAST(m${4 * b + i} AS VARCHAR)").mkString(" || '_' || ")
+      s"SELECT doc_id, $b AS band, $ms AS bk FROM sigs_$side"
+    }.mkString(" UNION ALL ")
+    s"""sh_$side AS (
+       |  SELECT doc_id, s[i] || ' ' || s[i+1] AS sh
+       |  FROM (SELECT doc_id, s, unnest(range(1, len(s))) AS i
+       |        FROM (SELECT doc_id, string_split(text, ' ') AS s FROM rep_$side)
+       |        WHERE len(s) >= 2)),
+       |hs_$side AS (SELECT doc_id, ${MD5L("sh")} % $P AS hm FROM sh_$side),
+       |sigs_$side AS (SELECT doc_id, $mins FROM hs_$side GROUP BY doc_id),
+       |bands_$side AS ($bandSelects)""".stripMargin
+  }
+
+  private val incrementalNearDupSql = {
+    val sim = (0 until 16).map(j => s"CASE WHEN a.m$j = b.m$j THEN 1 ELSE 0 END").mkString(" + ")
+    s"""WITH $augmentedDocsSql,
+       |corpus AS (SELECT * FROM docs WHERE doc_id < 100000),
+       |newb AS (SELECT * FROM docs WHERE doc_id >= 100000),
+       |rep_cor AS (SELECT MIN(doc_id) AS doc_id, text FROM corpus GROUP BY text),
+       |rep_new AS (SELECT MIN(doc_id) AS doc_id, text FROM newb GROUP BY text),
+       |${sideSigsSql("cor")},
+       |${sideSigsSql("new")},
+       |cand_i AS (
+       |  SELECT DISTINCT n.doc_id AS nid, c.doc_id AS cid
+       |  FROM bands_new n JOIN bands_cor c ON n.band = c.band AND n.bk = c.bk),
+       |near_g AS (
+       |  SELECT DISTINCT nid FROM cand_i
+       |  JOIN sigs_new a ON a.doc_id = nid
+       |  JOIN sigs_cor b ON b.doc_id = cid
+       |  WHERE ($sim) / 16.0 >= 0.5),
+       |exact_g AS (SELECT doc_id AS nid FROM rep_new WHERE text IN (SELECT text FROM corpus))
+       |SELECT n.lang, COUNT(*) AS n_new,
+       |CAST(SUM(CASE WHEN e.nid IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_rej_exact,
+       |CAST(SUM(CASE WHEN e.nid IS NULL AND nr.nid IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_rej_near,
+       |CAST(SUM(CASE WHEN e.nid IS NULL AND nr.nid IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_accept
+       |FROM newb n
+       |JOIN rep_new g ON g.text = n.text
+       |LEFT JOIN exact_g e ON e.nid = g.doc_id
+       |LEFT JOIN near_g nr ON nr.nid = g.doc_id
+       |GROUP BY n.lang""".stripMargin
+  }
+
   override val queries: Seq[GQuery] = Seq(
     GQuery("q60_dedup_exact", "exact dedup via hash-groupBy keep-first, per-lang summary",
       dedupExact, Some(dedupExactSql)),
@@ -873,5 +1000,8 @@ object Dedup extends QueryModule {
       dedupClusters, Some(dedupClustersSql)),
     GQuery("q94_multi_signal_clusters", "clusters over combined MinHash + SimHash evidence, size histogram",
       multiSignalClusters, Some(multiSignalClustersSql)),
+    GQuery("q131_incremental_neardup",
+      "incremental screening of a new batch against a frozen corpus index (exact digests + LSH bands)",
+      incrementalNearDup, Some(incrementalNearDupSql)),
   )
 }

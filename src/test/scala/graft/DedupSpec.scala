@@ -133,6 +133,32 @@ class DedupSpec extends AnyFunSuite {
     groups.unpersist()
   }
 
+  test("incremental screening classifies exact / near / novel new docs correctly") {
+    import s.implicits._
+    // Frozen corpus: two long distinct docs. New batch: an exact copy of
+    // doc 0, a prefix-truncation of doc 0 (near), a fresh doc (accept),
+    // and two identical copies of the truncation (same group => same
+    // decision for both members).
+    val t0 = (1 to 30).map(i => s"alpha$i").mkString(" ")
+    val t1 = (1 to 30).map(i => s"beta$i").mkString(" ")
+    val corpus = Seq((0L, t0), (1L, t1)).toDF("doc_id", "text")
+    val trunc = t0.split(" ").drop(2).mkString(" ")
+    val fresh = (1 to 30).map(i => s"gamma$i").mkString(" ")
+    val newB = Seq((10L, t0), (11L, trunc), (12L, fresh), (13L, trunc))
+      .toDF("doc_id", "text")
+    val cSigs = Dedup.sigsFrom(Dedup.shingles(Dedup.repsOf(Dedup.dupGroups(corpus))))
+    val dec = Dedup.incrementalScreen(
+      corpus.select(md5(col("text")).as("tkey")).distinct(),
+      cSigs,
+      Dedup.capBuckets(Dedup.bandRows(cSigs), Seq("band", "bk"), 1024),
+      newB
+    ).collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(dec(10L) == "exact")
+    assert(dec(11L) == "near", s"28/29 shared shingles must pass the 0.5 sig-sim gate: $dec")
+    assert(dec(13L) == dec(11L), "identical new docs share one group-level decision")
+    assert(dec(12L) == "accept")
+  }
+
   test("bucket cap keeps the smallest `cap` ids per bucket, deterministically") {
     import s.implicits._
     // 100 near-identical docs landing in ONE band bucket + a small bucket:
