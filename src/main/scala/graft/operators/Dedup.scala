@@ -981,6 +981,57 @@ object Dedup extends QueryModule {
        |GROUP BY n.lang""".stripMargin
   }
 
+  /** Train/test split leakage: near-dup pairs that CROSS the q125 split
+    * boundary — each such pair is an eval-contamination event (a test doc
+    * whose near-copy was trained on), the thing dedup-before-split exists
+    * to prevent. Distinct from q48's benchmark contamination (external
+    * benchmark vs corpus); this audits the corpus against its OWN split.
+    *
+    * Rides the session-cached q61 member-level pair frame (zero new
+    * substrate; one groupBy over pairs that already exist) and re-derives
+    * each side's split with q125's deterministic hash-bucket formula — no
+    * join against a split table needed, membership is checkable per row.
+    * Split labels are least/greatest-normalized so (train,test) and
+    * (test,train) aggregate together.
+    */
+  def splitLeakage(s: SparkSession, dir: String): DataFrame = {
+    tune(s)
+    def splitOf(c: org.apache.spark.sql.Column) = {
+      val b = pmod(md5Long(concat(lit("split#"), c.cast("string"))), lit(10))
+      when(b < 8, "train").when(b === 8, "val").otherwise("test")
+    }
+    minhashCandidates(s, dir)
+      .filter(col("sig_sim") >= IncNearThreshold)
+      .withColumn("sa", splitOf(col("da")))
+      .withColumn("sb", splitOf(col("db")))
+      .groupBy(least(col("sa"), col("sb")).as("split_a"),
+               greatest(col("sa"), col("sb")).as("split_b"))
+      .agg(count(lit(1)).as("n_pairs"),
+           sum(when(col("sig_sim") === 1.0, 1).otherwise(0)).as("n_exact"))
+  }
+
+  private val splitLeakageSql = {
+    val sim = (0 until 16).map(j => s"CASE WHEN a.m$j = b.m$j THEN 1 ELSE 0 END").mkString(" + ")
+    def splitOf(c: String) =
+      s"""CASE WHEN ${MD5L(s"'split#' || CAST($c AS VARCHAR)")} % 10 < 8 THEN 'train'
+         |     WHEN ${MD5L(s"'split#' || CAST($c AS VARCHAR)")} % 10 = 8 THEN 'val'
+         |     ELSE 'test' END""".stripMargin
+    s"""WITH $augmentedDocsSql,
+       |$shinglesSql,
+       |$minhashSigsSql,
+       |$bandRowsSql,
+       |$candSql,
+       |prs AS (
+       |  SELECT da, db, ($sim) / 16.0 AS sig_sim
+       |  FROM cand JOIN sigs a ON a.doc_id = da JOIN sigs b ON b.doc_id = db
+       |  WHERE ($sim) / 16.0 >= 0.5),
+       |lab AS (SELECT sig_sim, ${splitOf("da")} AS sa, ${splitOf("db")} AS sb FROM prs)
+       |SELECT LEAST(sa, sb) AS split_a, GREATEST(sa, sb) AS split_b,
+       |COUNT(*) AS n_pairs,
+       |CAST(SUM(CASE WHEN sig_sim = 1.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_exact
+       |FROM lab GROUP BY 1, 2""".stripMargin
+  }
+
   override val queries: Seq[GQuery] = Seq(
     GQuery("q60_dedup_exact", "exact dedup via hash-groupBy keep-first, per-lang summary",
       dedupExact, Some(dedupExactSql)),
@@ -1003,5 +1054,8 @@ object Dedup extends QueryModule {
     GQuery("q131_incremental_neardup",
       "incremental screening of a new batch against a frozen corpus index (exact digests + LSH bands)",
       incrementalNearDup, Some(incrementalNearDupSql)),
+    GQuery("q132_split_leakage",
+      "near-dup pairs crossing the train/val/test split boundary (eval contamination audit)",
+      splitLeakage, Some(splitLeakageSql)),
   )
 }

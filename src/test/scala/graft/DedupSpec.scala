@@ -159,6 +159,17 @@ class DedupSpec extends AnyFunSuite {
     assert(dec(12L) == "accept")
   }
 
+  test("split leakage audit finds cross-split near-dup pairs on the fixture") {
+    val rows = Dedup.splitLeakage(s, TestSpark.sf).collect()
+    val cross = rows.filter(r => r.getString(0) != r.getString(1))
+    // the injected duplicates get independent hash buckets, so some pairs
+    // must land across the 80/10/10 boundary (P[all same side] is tiny)
+    assert(cross.nonEmpty, s"expected cross-split pairs, got ${rows.mkString(";")}")
+    assert(cross.map(_.getLong(2)).sum > 0)
+    // exact-copy leaks are a subset of all leaks
+    rows.foreach(r => assert(r.getLong(3) <= r.getLong(2)))
+  }
+
   test("bucket cap keeps the smallest `cap` ids per bucket, deterministically") {
     import s.implicits._
     // 100 near-identical docs landing in ONE band bucket + a small bucket:
