@@ -546,6 +546,55 @@ object ScaleOps extends QueryModule {
        |CAST(SUM(CASE WHEN eff_to IS NOT NULL THEN eff_to - seq ELSE 0 END) AS BIGINT) AS closed_span
        |FROM v GROUP BY grp""".stripMargin
 
+  /** Re-aggregatable distinct sketches (Datasketches HLL) — THE incremental
+    * rollup pattern at 100 TB: per-month sketches of the customer set are
+    * built in one pass (in production: persisted beside each partition as
+    * it lands), and ANY later rollup — global, rolling window, ad-hoc
+    * region — is a merge of kilobyte sketch blobs. The fact table is never
+    * rescanned and distincts are never recounted; `approx_count_distinct`
+    * (q24) cannot do this because its per-group state is not exposed for
+    * re-aggregation, which is exactly what hll_sketch_agg/hll_union_agg
+    * add.
+    *
+    * Like q24, sketch registers are not reproducible in DuckDB, so the
+    * query emits exact counts plus machine-checked booleans the oracle
+    * expects TRUE: each month's estimate within 20% of its exact count
+    * (lgK=12 -> rse ~1.6%; 12x slack makes the bound a stable property of
+    * the data, not a flaky statistical test), and for the global row a
+    * MERGE-CONSISTENCY contract as well: the estimate from merging the
+    * per-month sketches must land within 5% of the single-pass
+    * whole-table sketch estimate. (Not exact equality: the Datasketches
+    * union gadget accumulates at HLL_8 and re-targets on output, so the
+    * merged registers can differ slightly from a directly-built sketch's
+    * — measured 1491 merged vs 1494 direct vs 1500 exact at sf0.01.)
+    */
+  def sketchMerge(s: SparkSession, dir: String): DataFrame = {
+    tune(s)
+    val o = table(s, dir, "orders")
+      .select(col("o_custkey"), date_format(col("o_orderdate"), "yyyy-MM").as("scope"))
+    val monthly = o.groupBy(col("scope"))
+      .agg(hll_sketch_agg(col("o_custkey")).as("sk"),
+           countDistinct(col("o_custkey")).as("n_exact"))
+    val monthRows = monthly.select(col("scope"), col("n_exact"),
+      (abs(hll_sketch_estimate(col("sk")) - col("n_exact")) <= col("n_exact") * 0.20)
+        .as("bound_ok"))
+    val merged = monthly.agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("em"))
+    val direct = o.agg(countDistinct(col("o_custkey")).as("n_exact"),
+      hll_sketch_estimate(hll_sketch_agg(col("o_custkey"))).as("ed"))
+    val globalRow = direct.crossJoin(merged).select(
+      lit("global").as("scope"), col("n_exact"),
+      ((abs(col("em") - col("n_exact")) <= col("n_exact") * 0.20) &&
+        abs(col("em") - col("ed")) <= col("ed") * 0.05).as("bound_ok"))
+    monthRows.unionByName(globalRow)
+  }
+
+  private val sketchMergeSql =
+    """SELECT strftime(o_orderdate, '%Y-%m') AS scope,
+      |CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_exact, TRUE AS bound_ok
+      |FROM orders GROUP BY 1
+      |UNION ALL
+      |SELECT 'global', CAST(COUNT(DISTINCT o_custkey) AS BIGINT), TRUE FROM orders""".stripMargin
+
   override val queries: Seq[GQuery] = Seq(
     GQuery("q105_heavy_hitters",
       "Count-Min sketch heavy hitters with machine-checked one-sided error contract",
@@ -583,5 +632,8 @@ object ScaleOps extends QueryModule {
     GQuery("q125_train_split",
       "deterministic stratified train/val/test split via hash buckets (no RNG state)",
       trainSplit, Some(trainSplitSql)),
+    GQuery("q133_sketch_merge",
+      "re-aggregatable HLL distinct sketches: per-month build, lossless merge rollup",
+      sketchMerge, Some(sketchMergeSql)),
   )
 }
