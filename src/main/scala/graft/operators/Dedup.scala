@@ -906,31 +906,51 @@ object Dedup extends QueryModule {
           .otherwise("accept").as("decision"))
   }
 
-  /** q131: per-lang admission summary of the new batch (augmented docs
-    * >= 100000: the injected near- and exact-duplicates) screened against
-    * the frozen base corpus (< 100000). The corpus index — unique-text
-    * digests, rep-level signatures, capped band rows — is session-cached,
-    * the in-process analog of the parquet signature tables a production
-    * pipeline persists between ingest batches.
-    */
-  def incrementalNearDup(s: SparkSession, dir: String): DataFrame = {
-    tune(s)
-    val docs = augmentedDocs(s, dir)
-    val corpus = docs.filter(col("doc_id") < 100000L)
-    val newB = docs.filter(col("doc_id") >= 100000L)
+  /** The frozen corpus index — unique-text digests, rep-level signatures,
+    * capped band rows — session-cached, the in-process analog of the
+    * parquet signature tables a production pipeline persists between
+    * ingest batches. */
+  private def corpusIndex(s: SparkSession, dir: String): (DataFrame, DataFrame, DataFrame) = {
+    val corpus = augmentedDocs(s, dir).filter(col("doc_id") < 100000L)
     val dig = sessionCached(s, s"incD:$dir")(
       corpus.select(md5(col("text")).as("tkey")).distinct())
     val csigs = sessionCached(s, s"incS:$dir")(
       sigsFrom(shingles(repsOf(dupGroups(corpus)))))
     val cbands = sessionCached(s, s"incB:$dir")(
       capBuckets(bandRows(csigs), Seq("band", "bk"), BandCap))
-    incrementalScreen(dig, csigs, cbands, newB)
+    (dig, csigs, cbands)
+  }
+
+  /** Screen one arriving batch against the cached frozen index — the
+    * per-micro-batch entry point of the streaming ingest loop (q134);
+    * q131 is its one-shot batch form. A doc's decision depends only on
+    * its own text vs the index, so ANY partitioning of the ingest into
+    * batches yields identical per-doc decisions (the intra-batch top-off
+    * grouping is purely a compute optimization). */
+  def screenBatch(s: SparkSession, dir: String, batch: DataFrame): DataFrame = {
+    tune(s)
+    val (dig, csigs, cbands) = corpusIndex(s, dir)
+    incrementalScreen(dig, csigs, cbands, batch)
+  }
+
+  /** Per-lang admission rollup of screening decisions (shared by q131 and
+    * the streaming q134, which MUST agree with it row-for-row). */
+  private[graft] def screenSummary(decisions: DataFrame, newB: DataFrame): DataFrame =
+    decisions
       .join(newB.select(col("doc_id"), col("lang")), "doc_id")
       .groupBy(col("lang"))
       .agg(count(lit(1)).as("n_new"),
         sum(when(col("decision") === "exact", 1).otherwise(0)).as("n_rej_exact"),
         sum(when(col("decision") === "near", 1).otherwise(0)).as("n_rej_near"),
         sum(when(col("decision") === "accept", 1).otherwise(0)).as("n_accept"))
+
+  /** q131: per-lang admission summary of the new batch (augmented docs
+    * >= 100000: the injected near- and exact-duplicates) screened against
+    * the frozen base corpus (< 100000). */
+  def incrementalNearDup(s: SparkSession, dir: String): DataFrame = {
+    tune(s)
+    val newB = augmentedDocs(s, dir).filter(col("doc_id") >= 100000L)
+    screenSummary(screenBatch(s, dir, newB), newB)
   }
 
   /** Per-side shingle/signature/band CTEs over `rep_<side>` (one row per
@@ -952,7 +972,7 @@ object Dedup extends QueryModule {
        |bands_$side AS ($bandSelects)""".stripMargin
   }
 
-  private val incrementalNearDupSql = {
+  private[graft] val incrementalNearDupSql = {
     val sim = (0 until 16).map(j => s"CASE WHEN a.m$j = b.m$j THEN 1 ELSE 0 END").mkString(" + ")
     s"""WITH $augmentedDocsSql,
        |corpus AS (SELECT * FROM docs WHERE doc_id < 100000),

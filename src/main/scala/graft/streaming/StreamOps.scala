@@ -415,6 +415,65 @@ object StreamOps extends QueryModule {
     s"""SELECT event_type, COUNT(*) AS n_unique, ${DSUM("value")} AS sum_value
        |FROM events GROUP BY event_type""".stripMargin
 
+  /** Streaming incremental dedup screening: the production ingest loop.
+    * New documents arrive as files; each micro-batch is screened against
+    * the FROZEN corpus signature index ([[graft.operators.Dedup.screenBatch]])
+    * and its per-doc decisions are appended to the admission log. Because
+    * a doc's decision depends only on its own text vs the index, any
+    * micro-batch partitioning yields identical decisions — so the rollup
+    * over the streamed admission log is verified against the SAME oracle
+    * as the one-shot batch q131: streaming == batch, machine-checked
+    * (the q84/q71 pattern, applied to the dedup family).
+    *
+    * Two staged micro-batches (doc-id parity, pinned name+mtime order);
+    * the index is session-cached across batches exactly as a production
+    * job holds its persisted signature tables open across triggers.
+    */
+  def streamScreen(s: SparkSession, dir: String): DataFrame = {
+    tune(s)
+    withStatePartitions(s, 8) {
+      val newB = graft.operators.Dedup.augmentedDocs(s, dir)
+        .filter(col("doc_id") >= 100000L)
+      val schema = newB.schema
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        new java.net.URI("file:///"), s.sparkContext.hadoopConfiguration)
+      val srcDir = stagedOnce(s"screen:$dir") { sd =>
+        def stage(df: DataFrame, name: String, mtime: Long): Unit = {
+          val tmp = s"$sd/.stage_$name"
+          df.coalesce(1).write.mode("overwrite").parquet(tmp)
+          val part = fs.globStatus(new org.apache.hadoop.fs.Path(s"$tmp/part-*.parquet"))(0).getPath
+          val dest = new org.apache.hadoop.fs.Path(s"$sd/$name.parquet")
+          fs.rename(part, dest)
+          fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+          fs.setTimes(dest, mtime, -1)
+        }
+        val t0 = 1000000000000L
+        stage(newB.filter(col("doc_id") % 2 === 0), "b0_even", t0)
+        stage(newB.filter(col("doc_id") % 2 === 1), "b1_odd", t0 + 600000L)
+      }
+      val out = s"$ckBase/screen_out_${counter.incrementAndGet()}"
+      val src = s.readStream
+        .schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(srcDir)
+      val qname = s"graft_stream_screen_${counter.incrementAndGet()}"
+      val q = src.writeStream
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          graft.operators.Dedup.screenBatch(batch.sparkSession, dir, batch)
+            .write.mode("append").parquet(out)
+          ()
+        }
+        .option("checkpointLocation", s"$ckBase/$qname")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val batches = q.recentProgress.count(_.numInputRows > 0)
+      require(batches >= 2, s"screen harness needs >= 2 non-empty micro-batches, got $batches")
+      dropCheckpoint(s"$ckBase/$qname")
+      graft.operators.Dedup.screenSummary(s.read.parquet(out), newB)
+    }
+  }
+
   override val queries: Seq[GQuery] = Seq(
     // Same oracle as the batch q71 — proves streaming == batch.
     GQuery("q84_stream_hourly",
@@ -435,5 +494,9 @@ object StreamOps extends QueryModule {
     GQuery("q116_stream_merge",
       "streaming CDC sink: foreachBatch mergeUpsert into the guarded-swap lake, two micro-batches",
       streamMerge, Some(streamMergeSql)),
+    // Same oracle as the batch q131 — proves streaming screening == batch.
+    GQuery("q134_stream_screen",
+      "streaming incremental dedup: per-micro-batch screening against the frozen index; oracle == batch q131",
+      streamScreen, Some(graft.operators.Dedup.incrementalNearDupSql)),
   )
 }
