@@ -801,6 +801,55 @@ object Dedup extends QueryModule {
        |FROM labels GROUP BY lab""".stripMargin
   }
 
+  /** Soft dedup: instead of DROPPING near-duplicates, DOWNWEIGHT them —
+    * every document in a near-dup cluster of size k contributes weight
+    * 1/k to the training mixture, so each duplicated "idea" counts once
+    * no matter how many copies exist. The soft alternative to hard
+    * removal: no document is discarded (rare-but-duplicated content
+    * keeps its best copy available), yet boilerplate floods stop
+    * dominating the mixture. Weights are exact integer ppm
+    * (1e6 div k — floor division agrees across engines) so the per-lang
+    * effective sizes verify bit-for-bit; docs outside any near-dup
+    * cluster weigh exactly 1.0. Rides the same SimHash pair graph and
+    * CC labeling as q90 — zero new substrate.
+    */
+  def softDedupWeights(s: SparkSession, dir: String): DataFrame = {
+    tune(s)
+    val labels = connectedComponents(simhashPairs(s, dir).select(col("da"), col("db")))
+    val sizes = labels.groupBy(col("lab")).agg(count(lit(1)).as("k"))
+    val kOf = labels.join(sizes, "lab").select(col("n").as("doc_id"), col("k"))
+    augmentedDocs(s, dir)
+      .join(kOf, Seq("doc_id"), "left")
+      .withColumn("w_ppm", expr("1000000 div coalesce(k, 1)"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("w_ppm")).as("effective_ppm"))
+  }
+
+  private val softDedupWeightsSql = {
+    val bandSelects = (0 until 4)
+      .map(j => s"SELECT doc_id, fp, $j AS band, (fp >> ${8 * j}) & 255 AS bkey FROM fps")
+      .mkString(" UNION ALL ")
+    s"""WITH RECURSIVE $simhashCtes,
+       |bands AS ($bandSelects),
+       |prs AS (
+       |  SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+       |  FROM bands a JOIN bands b
+       |  ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+       |  WHERE bit_count(xor(a.fp, b.fp)) <= 3),
+       |edges AS (SELECT da AS n, db AS m FROM prs UNION SELECT db, da FROM prs),
+       |reach(n, lab) AS (
+       |  SELECT n, n FROM (SELECT DISTINCT n FROM edges)
+       |  UNION
+       |  SELECT e.n, r.lab FROM edges e JOIN reach r ON r.n = e.m),
+       |labels AS (SELECT n, MIN(lab) AS lab FROM reach GROUP BY n),
+       |ksz AS (SELECT lab, COUNT(*) AS k FROM labels GROUP BY lab),
+       |kof AS (SELECT labels.n AS doc_id, k FROM labels JOIN ksz ON labels.lab = ksz.lab)
+       |SELECT d.lang, COUNT(*) AS n_docs,
+       |CAST(SUM(1000000 // COALESCE(k, 1)) AS BIGINT) AS effective_ppm
+       |FROM docs d LEFT JOIN kof ON d.doc_id = kof.doc_id
+       |GROUP BY d.lang""".stripMargin
+  }
+
   /** Multi-signal dedup clustering: union the MinHash-LSH candidate pairs
     * (signature similarity >= 0.75) with the SimHash pairs (hamming <= 3),
     * form connected components over the combined evidence, and report the
@@ -1077,5 +1126,8 @@ object Dedup extends QueryModule {
     GQuery("q132_split_leakage",
       "near-dup pairs crossing the train/val/test split boundary (eval contamination audit)",
       splitLeakage, Some(splitLeakageSql)),
+    GQuery("q135_softdedup_weights",
+      "soft dedup: 1/cluster-size document weights (integer ppm), per-lang effective corpus size",
+      softDedupWeights, Some(softDedupWeightsSql)),
   )
 }

@@ -505,6 +505,60 @@ object TextOps extends QueryModule {
       |        '</bucket></cfg>' AS xml
       |      FROM nation)""".stripMargin
 
+  /** Deterministic pseudonymization that PRESERVES referential integrity —
+    * the privacy transform a training pipeline applies to identifier
+    * columns before the data leaves the trust boundary (the sibling of
+    * q46's free-text PII redaction). Every customer key, in BOTH the
+    * customer dim and the orders fact, is replaced by a salted keyed
+    * digest: equal keys map to equal pseudonyms (joins still work across
+    * tables), distinct keys stay distinct (collision odds ~n²/2⁶⁴), and
+    * reversal requires the salt. Runs as pure column expressions over
+    * both scans — no lookup table to build, distribute, or leak.
+    *
+    * The contract is machine-checked in-frame, not asserted: pseudonym
+    * cardinality equals key cardinality on each table (injectivity), and
+    * the orders→customer join count is IDENTICAL before and after the
+    * transform (referential integrity). The oracle recomputes everything
+    * exactly (the digest is the portable md5-prefix).
+    */
+  def pseudonymize(s: SparkSession, dir: String): DataFrame = {
+    tune(s)
+    def pseud(c: org.apache.spark.sql.Column) =
+      md5Long(concat(lit("pseud#"), c.cast("string")))
+    val cust = table(s, dir, "customer").select(col("c_custkey"))
+    val ords = table(s, dir, "orders").select(col("o_custkey"))
+    val card = cust.agg(
+      countDistinct(col("c_custkey")).as("n_keys"),
+      countDistinct(pseud(col("c_custkey"))).as("n_pseudonyms"))
+    val joinOrig = ords
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .agg(count(lit(1)).as("n_join_orig"))
+    val joinPseud = ords.select(pseud(col("o_custkey")).as("p_o"))
+      .join(cust.select(pseud(col("c_custkey")).as("p_c")), col("p_o") === col("p_c"))
+      .agg(count(lit(1)).as("n_join_pseud"))
+    card.crossJoin(joinOrig).crossJoin(joinPseud)
+      .select(col("n_keys"), col("n_pseudonyms"),
+        (col("n_keys") === col("n_pseudonyms")).as("injective"),
+        col("n_join_orig"), col("n_join_pseud"),
+        (col("n_join_orig") === col("n_join_pseud")).as("ri_preserved"))
+  }
+
+  private val pseudonymizeSql = {
+    val pc = MD5L("'pseud#' || CAST(c_custkey AS VARCHAR)")
+    val po = MD5L("'pseud#' || CAST(o_custkey AS VARCHAR)")
+    s"""WITH card AS (
+       |  SELECT CAST(COUNT(DISTINCT c_custkey) AS BIGINT) AS n_keys,
+       |         CAST(COUNT(DISTINCT $pc) AS BIGINT) AS n_pseudonyms
+       |  FROM customer),
+       |jo AS (SELECT COUNT(*) AS n_join_orig
+       |       FROM orders JOIN customer ON o_custkey = c_custkey),
+       |jp AS (SELECT COUNT(*) AS n_join_pseud
+       |       FROM orders JOIN customer ON $po = $pc)
+       |SELECT n_keys, n_pseudonyms, n_keys = n_pseudonyms AS injective,
+       |n_join_orig, n_join_pseud, n_join_orig = n_join_pseud AS ri_preserved
+       |FROM card, jo, jp""".stripMargin
+  }
+
   override val queries: Seq[GQuery] = Seq(
     GQuery("q56_xml_extract", "XPath XML field extraction (F15/S3)", xmlExtract, Some(xmlExtractSql)),
     GQuery("q66_lang_id", "keyword-profile language ID + confusion matrix", langId, Some(langIdSql)),
@@ -527,5 +581,8 @@ object TextOps extends QueryModule {
       seqPack, Some(seqPackSql)),
     GQuery("q103_mix_weights", "temperature-sampled corpus mixture weights (data mixing)",
       mixWeights, Some(mixWeightsSql)),
+    GQuery("q136_pseudonymize",
+      "referential-integrity-preserving keyed pseudonymization with in-frame contract checks",
+      pseudonymize, Some(pseudonymizeSql)),
   )
 }
