@@ -559,6 +559,75 @@ object TextOps extends QueryModule {
        |FROM card, jo, jp""".stripMargin
   }
 
+  /** Corpus datacard: the one-artifact summary every shipped training
+    * dataset carries — size, composition, duplication, hygiene — as
+    * (metric, value) rows. ONE full pass over `documents` (every per-doc
+    * metric is a column expression feeding partial aggregates) plus one
+    * distinct on the text digest for the unique-text count; at 100 TB
+    * that is a scan and a digest-keyed shuffle, nothing quadratic. All
+    * values are exact integers (token totals, flag counts, mean tokens in
+    * ppm via floor division) so the card is bit-reproducible — a datacard
+    * that drifts between engines or runs is worse than none.
+    */
+  def datacard(s: SparkSession, dir: String): DataFrame = {
+    tune(s)
+    val d = table(s, dir, "documents")
+      .withColumn("n_toks", size(split(col("text"), " ")).cast("long"))
+      .withColumn("has_email",
+        when(col("text").rlike("[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+"), 1L).otherwise(0L))
+      .withColumn("short_doc", when(col("n_toks") < 10, 1L).otherwise(0L))
+    val uniq = d.select(md5(col("text")).as("tk")).distinct()
+      .agg(count(lit(1)).as("n_unique_texts"))
+    val agg = d.agg(
+      count(lit(1)).as("n_docs"),
+      countDistinct(col("lang")).as("n_langs"),
+      countDistinct(col("source")).as("n_sources"),
+      sum(col("n_toks")).as("n_tokens"),
+      sum(col("n_chars")).as("n_chars"),
+      sum(col("has_email")).as("n_docs_with_email"),
+      sum(col("short_doc")).as("n_short_docs"))
+    agg.crossJoin(uniq)
+      .withColumn("mean_tokens_ppm", expr("n_tokens * 1000000 div n_docs"))
+      .selectExpr(
+        """stack(9,
+          |'n_docs', n_docs,
+          |'n_langs', n_langs,
+          |'n_sources', n_sources,
+          |'n_tokens', n_tokens,
+          |'n_chars', n_chars,
+          |'n_unique_texts', n_unique_texts,
+          |'n_docs_with_email', n_docs_with_email,
+          |'n_short_docs', n_short_docs,
+          |'mean_tokens_ppm', mean_tokens_ppm) AS (metric, value)""".stripMargin)
+  }
+
+  private val datacardSql =
+    """WITH d AS (
+      |  SELECT CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks, n_chars,
+      |    CASE WHEN regexp_matches(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+')
+      |         THEN 1 ELSE 0 END AS has_email,
+      |    lang, source, text
+      |  FROM documents),
+      |agg AS (
+      |  SELECT COUNT(*) AS n_docs,
+      |    CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+      |    CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+      |    CAST(SUM(n_toks) AS BIGINT) AS n_tokens,
+      |    CAST(SUM(n_chars) AS BIGINT) AS n_chars,
+      |    CAST(COUNT(DISTINCT text) AS BIGINT) AS n_unique_texts,
+      |    CAST(SUM(has_email) AS BIGINT) AS n_docs_with_email,
+      |    CAST(SUM(CASE WHEN n_toks < 10 THEN 1 ELSE 0 END) AS BIGINT) AS n_short_docs
+      |  FROM d)
+      |SELECT 'n_docs' AS metric, n_docs AS value FROM agg
+      |UNION ALL SELECT 'n_langs', n_langs FROM agg
+      |UNION ALL SELECT 'n_sources', n_sources FROM agg
+      |UNION ALL SELECT 'n_tokens', n_tokens FROM agg
+      |UNION ALL SELECT 'n_chars', n_chars FROM agg
+      |UNION ALL SELECT 'n_unique_texts', n_unique_texts FROM agg
+      |UNION ALL SELECT 'n_docs_with_email', n_docs_with_email FROM agg
+      |UNION ALL SELECT 'n_short_docs', n_short_docs FROM agg
+      |UNION ALL SELECT 'mean_tokens_ppm', n_tokens * 1000000 // n_docs FROM agg""".stripMargin
+
   override val queries: Seq[GQuery] = Seq(
     GQuery("q56_xml_extract", "XPath XML field extraction (F15/S3)", xmlExtract, Some(xmlExtractSql)),
     GQuery("q66_lang_id", "keyword-profile language ID + confusion matrix", langId, Some(langIdSql)),
@@ -584,5 +653,8 @@ object TextOps extends QueryModule {
     GQuery("q136_pseudonymize",
       "referential-integrity-preserving keyed pseudonymization with in-frame contract checks",
       pseudonymize, Some(pseudonymizeSql)),
+    GQuery("q137_datacard",
+      "corpus datacard: exact-integer (metric, value) summary in one scan + one digest-distinct",
+      datacard, Some(datacardSql)),
   )
 }
