@@ -159,6 +159,39 @@ class DedupSpec extends AnyFunSuite {
     assert(dec(12L) == "accept")
   }
 
+  test("incremental screening: invariants hold and the plan is equi-join only") {
+    import s.implicits._
+    // invariant fixture: 40 random-ish docs (deterministic seed), corpus =
+    // first 25 texts, batch mixes corpus copies, fresh docs, one-word docs
+    val rnd = new scala.util.Random(7)
+    def doc(n: Int) = (1 to 12).map(_ => s"w${rnd.nextInt(40 + n)}").mkString(" ")
+    val corpusTexts = (1 to 25).map(i => doc(i))
+    val corpus = corpusTexts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val batchRows =
+      corpusTexts.take(5).zipWithIndex.map { case (t, i) => (100L + i, t) } ++ // copies
+        (1 to 5).map(i => (200L + i, doc(100 + i))) ++                         // fresh
+        Seq((300L, "solo"))                                                     // < 2 words
+    val batch = batchRows.toDF("doc_id", "text")
+    val cSigs = Dedup.sigsFrom(Dedup.shingles(Dedup.repsOf(Dedup.dupGroups(corpus))))
+    def screen() = Dedup.incrementalScreen(
+      corpus.select(md5(col("text")).as("tkey")).distinct(), cSigs,
+      Dedup.capBuckets(Dedup.bandRows(cSigs), Seq("band", "bk"), 1024), batch)
+    val df = screen()
+    val dec = df.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // every doc gets exactly one decision
+    assert(dec.size == batchRows.size)
+    // a text present in the corpus is ALWAYS exact, never near/accept
+    (0 until 5).foreach(i => assert(dec(100L + i) == "exact"))
+    // a doc with < 2 words has no shingles: it can never be near
+    assert(dec(300L) != "near")
+    // deterministic: a second run yields identical decisions
+    assert(screen().collect().map(r => r.getLong(0) -> r.getString(1)).toMap == dec)
+    // scale shape: index probes are equi-joins, never a cartesian product
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), s"plan was:\n$plan")
+  }
+
   test("split leakage audit finds cross-split near-dup pairs on the fixture") {
     val rows = Dedup.splitLeakage(s, TestSpark.sf).collect()
     val cross = rows.filter(r => r.getString(0) != r.getString(1))
