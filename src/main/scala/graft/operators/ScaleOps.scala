@@ -595,6 +595,68 @@ object ScaleOps extends QueryModule {
       |UNION ALL
       |SELECT 'global', CAST(COUNT(DISTINCT o_custkey) AS BIGINT), TRUE FROM orders""".stripMargin
 
+  /** Z-order (Morton) layout audit — WHY a 100 TB lake interleaves its
+    * sort key. Rows are bucketed on two dims (customer, order day; exact
+    * integer range-scaling to 8 bits each), assigned to "files" two ways —
+    * Morton-interleaved z div 256 vs the naive date-linear layout — and
+    * each layout is scored by the per-file min/max envelope width on BOTH
+    * dims (what parquet row-group pruning actually reads): average
+    * fraction of each dim's space covered per file, in exact ppm. The
+    * date-linear layout gives perfect date envelopes and useless customer
+    * envelopes (every file spans ~the full customer space — a customer
+    * point-lookup prunes nothing); z-order makes BOTH envelopes tight, so
+    * either predicate skips most files. Pure integer arithmetic start to
+    * finish (floor-div bucket scaling, bit interleave, ppm) — the oracle
+    * reproduces every number exactly.
+    */
+  def zorderLayout(s: SparkSession, dir: String): DataFrame = {
+    tune(s)
+    val o = table(s, dir, "orders")
+      .select(col("o_custkey").cast("long").as("ck"),
+        datediff(col("o_orderdate").cast("date"), lit("1992-01-01").cast("date"))
+          .cast("long").as("day"))
+    val mm = o.agg(min("ck").as("cmin"), max("ck").as("cmax"),
+                   min("day").as("dmin"), max("day").as("dmax"))
+    val b = o.crossJoin(broadcast(mm))
+      .withColumn("cb", expr("(ck - cmin) * 256 div (cmax - cmin + 1)"))
+      .withColumn("db", expr("(day - dmin) * 256 div (dmax - dmin + 1)"))
+      .select(col("cb"), col("db"))
+    val zExpr = (0 until 8)
+      .map(i => s"(((cb >> $i) & 1) << ${2 * i}) + (((db >> $i) & 1) << ${2 * i + 1})")
+      .mkString(" + ")
+    val files = b.select(lit("zorder").as("layout"),
+        expr(s"($zExpr) div 256").as("file"), col("cb"), col("db"))
+      .unionByName(b.select(lit("linear_date").as("layout"),
+        col("db").as("file"), col("cb"), col("db")))
+    files.groupBy(col("layout"), col("file"))
+      .agg((max("cb") - min("cb") + 1).as("cw"), (max("db") - min("db") + 1).as("dw"))
+      .groupBy(col("layout"))
+      .agg(count(lit(1)).as("n_files"),
+        expr("sum(cw) * 1000000 div (256 * count(1))").as("cust_cover_ppm"),
+        expr("sum(dw) * 1000000 div (256 * count(1))").as("date_cover_ppm"))
+  }
+
+  private val zorderLayoutSql = {
+    val zExpr = (0 until 8)
+      .map(i => s"(((cb >> $i) & 1) << ${2 * i}) + (((db >> $i) & 1) << ${2 * i + 1})")
+      .mkString(" + ")
+    s"""WITH o AS (SELECT CAST(o_custkey AS BIGINT) AS ck,
+       |             CAST(CAST(o_orderdate AS DATE) - DATE '1992-01-01' AS BIGINT) AS day
+       |           FROM orders),
+       |mm AS (SELECT MIN(ck) AS cmin, MAX(ck) AS cmax,
+       |              MIN(day) AS dmin, MAX(day) AS dmax FROM o),
+       |b AS (SELECT (ck - cmin) * 256 // (cmax - cmin + 1) AS cb,
+       |             (day - dmin) * 256 // (dmax - dmin + 1) AS db FROM o, mm),
+       |fl AS (SELECT 'zorder' AS layout, ($zExpr) // 256 AS file, cb, db FROM b
+       |       UNION ALL SELECT 'linear_date', db, cb, db FROM b),
+       |pf AS (SELECT layout, file, MAX(cb) - MIN(cb) + 1 AS cw,
+       |              MAX(db) - MIN(db) + 1 AS dw FROM fl GROUP BY 1, 2)
+       |SELECT layout, COUNT(*) AS n_files,
+       |CAST(SUM(cw) * 1000000 // (256 * COUNT(*)) AS BIGINT) AS cust_cover_ppm,
+       |CAST(SUM(dw) * 1000000 // (256 * COUNT(*)) AS BIGINT) AS date_cover_ppm
+       |FROM pf GROUP BY layout""".stripMargin
+  }
+
   override val queries: Seq[GQuery] = Seq(
     GQuery("q105_heavy_hitters",
       "Count-Min sketch heavy hitters with machine-checked one-sided error contract",
@@ -635,5 +697,8 @@ object ScaleOps extends QueryModule {
     GQuery("q133_sketch_merge",
       "re-aggregatable HLL distinct sketches: per-month build, lossless merge rollup",
       sketchMerge, Some(sketchMergeSql)),
+    GQuery("q138_zorder_layout",
+      "Z-order vs linear file layout: per-file min/max envelope audit (data-skipping score)",
+      zorderLayout, Some(zorderLayoutSql)),
   )
 }
