@@ -196,6 +196,109 @@ object RoundTrip extends QueryModule {
        |CAST(SUM(CASE WHEN o_orderstatus = 'N' THEN 1 ELSE 0 END) AS BIGINT) AS n_status_new
        |FROM merged GROUP BY o_orderpriority""".stripMargin
 
+  /** Real MIME wire format for the email rim — the last config-plane gap
+    * vs the reference, which builds RFC-2822 messages and base64-encodes
+    * attachments (/root/reference/data_pipeline.py:611-620 send path,
+    * :146 attachment decode). One multipart/mixed message per nation is
+    * CONSTRUCTED byte-for-byte (headers, boundary, text/html part,
+    * base64 text/csv attachment) and then PARSED BACK with the same
+    * column-expression toolkit (regexp header extraction, boundary
+    * splits, unbase64) — all codegen'd, no mail library, no network.
+    * The oracle rebuilds and re-parses the identical wire bytes, so the
+    * hash match proves the format round-trips losslessly: subject
+    * survives, the decoded attachment equals the original payload, and
+    * the HTML body strips to the expected text.
+    */
+  def mimeRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    tune(s)
+    val crlf = "\r\n"
+    val n = table(s, dir, "nation").select(col("n_nationkey"), col("n_name"))
+      .withColumn("csv", concat(lit("nationkey,name"), lit(crlf),
+        col("n_nationkey").cast("string"), lit(","), col("n_name")))
+      .withColumn("subject", concat(lit("Dealer Transactions Report "), col("n_name")))
+      .withColumn("bnd", concat(lit("B"), col("n_nationkey").cast("string")))
+    val raw = n.withColumn("raw", concat(
+      lit("From: pipeline@example.invalid"), lit(crlf),
+      lit("To: ops@example.invalid"), lit(crlf),
+      lit("Subject: "), col("subject"), lit(crlf),
+      lit("MIME-Version: 1.0"), lit(crlf),
+      lit("Content-Type: multipart/mixed; boundary=\""), col("bnd"), lit("\""), lit(crlf),
+      lit(crlf),
+      lit("--"), col("bnd"), lit(crlf),
+      lit("Content-Type: text/html; charset=utf-8"), lit(crlf),
+      lit(crlf),
+      lit("<html><body><p>Report for "), col("n_name"), lit("</p></body></html>"), lit(crlf),
+      lit("--"), col("bnd"), lit(crlf),
+      lit("Content-Type: text/csv; name=\"report.csv\""), lit(crlf),
+      lit("Content-Transfer-Encoding: base64"), lit(crlf),
+      lit(crlf),
+      base64(col("csv").cast("binary")), lit(crlf),
+      lit("--"), col("bnd"), lit("--"), lit(crlf)))
+    raw
+      .withColumn("p_subject", regexp_extract(col("raw"), "Subject: ([^\r\n]+)", 1))
+      // parts split on the boundary marker: [preamble+headers, html, csv, end]
+      .withColumn("p_html",
+        expr("split(raw, concat('--', bnd, '\\r\\n'))[1]"))
+      .withColumn("p_csvpart",
+        expr("split(raw, concat('--', bnd, '\\r\\n'))[2]"))
+      .withColumn("p_b64", regexp_extract(col("p_csvpart"),
+        "base64\r\n\r\n([A-Za-z0-9+/=]+)", 1))
+      .withColumn("p_csv", unbase64(col("p_b64")).cast("string"))
+      .withColumn("body_text", trim(regexp_replace(col("p_html"),
+        "<[^>]*>|Content-Type: [^\r\n]+", " ")))
+      .select(col("n_nationkey"), col("p_subject"),
+        (col("p_subject") === col("subject")).as("subject_ok"),
+        (col("p_csv") === col("csv")).as("csv_ok"),
+        size(split(col("p_csv"), "\r\n")).as("n_csv_lines"),
+        regexp_replace(col("body_text"), "\\s+", " ").as("body_text"))
+  }
+
+  private val mimeRoundtripSql =
+    """WITH n AS (
+      |  SELECT n_nationkey, n_name,
+      |    'nationkey,name' || chr(13) || chr(10) ||
+      |      CAST(n_nationkey AS VARCHAR) || ',' || n_name AS csv,
+      |    'Dealer Transactions Report ' || n_name AS subject,
+      |    'B' || CAST(n_nationkey AS VARCHAR) AS bnd
+      |  FROM nation),
+      |r AS (
+      |  SELECT *,
+      |    'From: pipeline@example.invalid' || chr(13) || chr(10) ||
+      |    'To: ops@example.invalid' || chr(13) || chr(10) ||
+      |    'Subject: ' || subject || chr(13) || chr(10) ||
+      |    'MIME-Version: 1.0' || chr(13) || chr(10) ||
+      |    'Content-Type: multipart/mixed; boundary="' || bnd || '"' || chr(13) || chr(10) ||
+      |    chr(13) || chr(10) ||
+      |    '--' || bnd || chr(13) || chr(10) ||
+      |    'Content-Type: text/html; charset=utf-8' || chr(13) || chr(10) ||
+      |    chr(13) || chr(10) ||
+      |    '<html><body><p>Report for ' || n_name || '</p></body></html>' || chr(13) || chr(10) ||
+      |    '--' || bnd || chr(13) || chr(10) ||
+      |    'Content-Type: text/csv; name="report.csv"' || chr(13) || chr(10) ||
+      |    'Content-Transfer-Encoding: base64' || chr(13) || chr(10) ||
+      |    chr(13) || chr(10) ||
+      |    to_base64(encode(csv)) || chr(13) || chr(10) ||
+      |    '--' || bnd || '--' || chr(13) || chr(10) AS raw
+      |  FROM n),
+      |p AS (
+      |  SELECT *,
+      |    regexp_extract(raw, 'Subject: ([^\r\n]+)', 1) AS p_subject,
+      |    string_split(raw, '--' || bnd || chr(13) || chr(10))[2] AS p_html,
+      |    string_split(raw, '--' || bnd || chr(13) || chr(10))[3] AS p_csvpart
+      |  FROM r),
+      |q AS (
+      |  SELECT *,
+      |    decode(from_base64(regexp_extract(p_csvpart,
+      |      'base64' || chr(13) || chr(10) || chr(13) || chr(10) || '([A-Za-z0-9+/=]+)', 1))) AS p_csv,
+      |    trim(regexp_replace(p_html, '<[^>]*>|Content-Type: [^\r\n]+', ' ', 'g')) AS body_text
+      |  FROM p)
+      |SELECT n_nationkey, p_subject,
+      |p_subject = subject AS subject_ok,
+      |p_csv = csv AS csv_ok,
+      |CAST(len(string_split(p_csv, chr(13) || chr(10))) AS INT) AS n_csv_lines,
+      |regexp_replace(body_text, '\s+', ' ', 'g') AS body_text
+      |FROM q""".stripMargin
+
   override val queries: Seq[GQuery] = Seq(
     GQuery("q101_merge_lake", "durable partition-scoped MERGE sink: upsert applied twice == once (S7)",
       mergeLake, Some(mergeLakeSql)),
@@ -209,5 +312,8 @@ object RoundTrip extends QueryModule {
       orcRoundtrip, Some(orcRoundtripSql)),
     GQuery("q92_schema_evolution", "mergeSchema read across old/new-generation lake files",
       schemaEvolution, Some(schemaEvolutionSql)),
+    GQuery("q139_mime_roundtrip",
+      "RFC-2822 MIME multipart wire format: build + parse back as column expressions",
+      mimeRoundtrip, Some(mimeRoundtripSql)),
   )
 }
