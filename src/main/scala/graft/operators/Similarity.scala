@@ -260,22 +260,29 @@ object Similarity extends QueryModule {
     graft.SessionCache.cached(s, s"sim:pairs:$dir")(buildEmbeddingNearDup(s, dir))
   }
 
-  private def buildEmbeddingNearDup(s: SparkSession, dir: String): DataFrame = {
-    val base = table(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
-    val bits = lshBits(base.count())
+  /** Byte-identity vector groups (exact-dup top-off substrate). The group
+    * SHUFFLE is keyed on a 96-bit hash pair of the vector (xxhash64 +
+    * murmur3), not the 256-byte float array itself — collision odds
+    * ~n^2/2^96 are immaterial, and the exchange sorts/compares 12-byte
+    * keys. One representative embedding per unique key still crosses the
+    * wire (the `first` partial agg) — intrinsic, the LSH needs it.
+    * `keepKeys` retains the hash pair for digest-set joins (q140's exact
+    * tier probes the corpus digest set on exactly these columns).
+    */
+  private[graft] def vecGroups(vecs: DataFrame, keepKeys: Boolean = false): DataFrame = {
+    val g = vecs.groupBy(xxhash64(col("embedding")).as("k1"), hash(col("embedding")).as("k2"))
+      .agg(min(col("vec_id")).as("gid"), collect_list(col("vec_id")).as("ids"),
+           first(col("embedding")).as("embedding"))
+    if (keepKeys) g else g.drop("k1", "k2")
+  }
+
+  /** Banded sign-LSH rows for a (vec_id, embedding, nrm) rep frame: one row
+    * per (rep, band) with the band's bucket id. Shared by the q78 pair
+    * build and the q140 index/batch sides — the bit width is ALWAYS the
+    * index side's (an index property, not a per-batch one).
+    */
+  private def signBands(reps: DataFrame, bits: Int): DataFrame = {
     val nH = LshBands * bits
-    // group SHUFFLE keyed on a 96-bit hash pair of the vector (xxhash64 +
-    // murmur3), not the 256-byte float array itself — collision odds
-    // ~n^2/2^96 are immaterial, and the exchange sorts/compares 12-byte
-    // keys. One representative embedding per unique key still crosses the
-    // wire (the `first` partial agg) — intrinsic, the LSH needs it.
-    val groups = graft.SessionCache.cached(s, s"sim:grp:$dir") {
-      base.groupBy(xxhash64(col("embedding")).as("k1"), hash(col("embedding")).as("k2"))
-        .agg(min(col("vec_id")).as("gid"), collect_list(col("vec_id")).as("ids"),
-             first(col("embedding")).as("embedding"))
-        .drop("k1", "k2")
-    }
-    val reps = withNorm(groups.select(col("gid").as("vec_id"), col("embedding")))
     val ws = hyperplaneWeights(nH)
     val dots = (0 until nH).map { j =>
       expr(s"aggregate(zip_with(embedding, array(${ws(j).mkString(",")}), " +
@@ -289,10 +296,18 @@ object Similarity extends QueryModule {
         .mkString(" + ")
       s"struct($k AS band, $bk AS bucket)"
     }
-    val bands = withDots.select(col("vec_id"), col("embedding"), col("nrm"),
+    withDots.select(col("vec_id"), col("embedding"), col("nrm"),
         explode(expr(s"array(${bucketStructs.mkString(", ")})")).as("bs"))
       .select(col("vec_id"), col("embedding"), col("nrm"),
         col("bs.band").as("band"), col("bs.bucket").as("bucket"))
+  }
+
+  private def buildEmbeddingNearDup(s: SparkSession, dir: String): DataFrame = {
+    val base = table(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+    val bits = lshBits(base.count())
+    val groups = graft.SessionCache.cached(s, s"sim:grp:$dir")(vecGroups(base))
+    val reps = withNorm(groups.select(col("gid").as("vec_id"), col("embedding")))
+    val bands = signBands(reps, bits)
     val a = bands.select(col("vec_id").as("ga"), col("embedding").as("qemb"),
       col("nrm").as("na"), col("band"), col("bucket"))
     val c = bands.select(col("vec_id").as("gb"), col("embedding").as("vemb"),
@@ -315,6 +330,135 @@ object Similarity extends QueryModule {
       .select(col("da"), col("db"), col("cosim"))
     cross.unionByName(self)
       .select(col("da"), col("db"), col("cosim"), (col("cosim") >= 0.8).as("is_dup"))
+  }
+
+  /** Incremental embedding screening — q131's pattern for the vector side:
+    * new vectors arriving at ingest are classified against a FROZEN
+    * sign-LSH index as exact duplicates (byte-identical to a corpus
+    * vector), near duplicates (band collision with a corpus rep verified
+    * at cosine >= 0.8, q78's production threshold), or accepted. The
+    * index — corpus byte-digest set, rep norms, band rows — is
+    * session-cached (in production: the persisted ANN index every
+    * vector-ingest service maintains); per-batch cost is the batch's own
+    * signatures plus two equi-joins, and the corpus is never re-bucketed.
+    *
+    * The synthetic batch exercises every tier DETERMINISTICALLY:
+    * byte-copies (+100000, exact), 2x-scaled copies (+200000 — scaling
+    * by a power of two is float-EXACT, preserves every sign-LSH bit and
+    * yields cosine exactly 1.0, so the near tier fires by construction),
+    * and negated vectors (+300000 — every hyperplane sign flips, so the
+    * copy never meets its own source; cosine to anything it does meet is
+    * the negated original, far below 0.8 on this fixture). The bit width
+    * comes from the CORPUS size (an index property), exactly as the
+    * oracle derives it.
+    */
+  def embeddingScreen(s: SparkSession, dir: String): DataFrame = {
+    tune(s)
+    val base = table(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+    val newb = base.filter(col("vec_id") % 5 === 0)
+        .select((col("vec_id") + 100000L).as("vec_id"), col("embedding"))
+      .unionByName(base.filter(col("vec_id") % 7 === 0)
+        .select((col("vec_id") + 200000L).as("vec_id"),
+          expr("transform(embedding, x -> CAST(x * CAST(2.0 AS FLOAT) AS FLOAT))")
+            .as("embedding")))
+      .unionByName(base.filter(col("vec_id") % 11 === 0)
+        .select((col("vec_id") + 300000L).as("vec_id"),
+          expr("transform(embedding, x -> CAST(-x AS FLOAT))").as("embedding")))
+    val bits = lshBits(base.count())
+    // frozen corpus index, session-cached
+    val cDigests = graft.SessionCache.cached(s, s"sim:idxdig:$dir")(
+      base.select(xxhash64(col("embedding")).as("k1"), hash(col("embedding")).as("k2"))
+        .distinct())
+    val cReps = graft.SessionCache.cached(s, s"sim:idxreps:$dir")(
+      withNorm(vecGroups(base).select(col("gid").as("vec_id"), col("embedding"))))
+    val cBands = graft.SessionCache.cached(s, s"sim:idxbands:$dir")(
+      signBands(cReps, bits).select(col("vec_id"), col("band"), col("bucket")))
+    // per-batch work only below here
+    val bGroups = vecGroups(newb, keepKeys = true)
+    val exactG = bGroups.select(col("gid"), col("k1"), col("k2"))
+      .join(cDigests, Seq("k1", "k2")).select(col("gid")).withColumn("ex", lit(1))
+    val bReps = withNorm(bGroups.select(col("gid").as("vec_id"), col("embedding")))
+    val cand = signBands(bReps, bits)
+      .select(col("vec_id").as("nid"), col("band"), col("bucket"))
+      .join(cBands.select(col("vec_id").as("cid"), col("band"), col("bucket")),
+        Seq("band", "bucket"))
+      .select(col("nid"), col("cid")).distinct()
+    val nearG = cand
+      .join(bReps.select(col("vec_id").as("nid"), col("embedding").as("qemb"),
+        col("nrm").as("na")), "nid")
+      .join(cReps.select(col("vec_id").as("cid"), col("embedding").as("vemb"),
+        col("nrm").as("nb")), "cid")
+      .filter(round(dotExpr / (col("na") * col("nb")), 9) >= 0.8)
+      .select(col("nid").as("gid")).distinct().withColumn("nr", lit(1))
+    bGroups.select(col("gid"), explode(col("ids")).as("vec_id"))
+      .join(exactG, Seq("gid"), "left")
+      .join(nearG, Seq("gid"), "left")
+      .select(col("vec_id"),
+        when(col("ex") === 1, "exact").when(col("nr") === 1, "near")
+          .otherwise("accept").as("decision"))
+      .groupBy(expr("vec_id div 100000").as("slice"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("decision") === "exact", 1).otherwise(0)).as("n_exact"),
+        sum(when(col("decision") === "near", 1).otherwise(0)).as("n_near"),
+        sum(when(col("decision") === "accept", 1).otherwise(0)).as("n_accept"))
+  }
+
+  private val embeddingScreenSql = {
+    def flatOf(side: String, src: String) =
+      s"""flat_$side AS (
+         |  SELECT vec_id, i AS pos, CAST(embedding[i] AS DOUBLE) AS xd
+         |  FROM (SELECT vec_id, embedding, unnest(range(1, len(embedding)+1)) AS i
+         |        FROM $src)),
+         |norms_$side AS (
+         |  SELECT vec_id, sqrt(CAST(SUM(CAST(xd*xd AS DECIMAL(38,20))) AS DOUBLE)) AS nrm
+         |  FROM flat_$side GROUP BY vec_id),
+         |dots_$side AS (SELECT f.vec_id, h.j,
+         |    CAST(SUM(CAST(f.xd * (CAST(h.w AS DOUBLE) / 1000.0) AS DECIMAL(38,20))) AS DOUBLE) AS d
+         |  FROM flat_$side f JOIN H h ON f.pos = h.pos
+         |  GROUP BY f.vec_id, h.j),
+         |buckets_$side AS (SELECT vec_id, j // (SELECT b FROM bits) AS band,
+         |    CAST(SUM(CASE WHEN d >= 0 THEN (1::BIGINT << (j % (SELECT b FROM bits))) ELSE 0 END) AS BIGINT) AS bucket
+         |  FROM dots_$side GROUP BY vec_id, j // (SELECT b FROM bits))""".stripMargin
+    s"""WITH base AS (SELECT vec_id, embedding FROM embeddings),
+       |newb AS (
+       |  SELECT vec_id + 100000 AS vec_id, embedding FROM base WHERE vec_id % 5 = 0
+       |  UNION ALL
+       |  SELECT vec_id + 200000, list_transform(embedding, x -> CAST(x * CAST(2.0 AS FLOAT) AS FLOAT))
+       |  FROM base WHERE vec_id % 7 = 0
+       |  UNION ALL
+       |  SELECT vec_id + 300000, list_transform(embedding, x -> CAST(-x AS FLOAT))
+       |  FROM base WHERE vec_id % 11 = 0),
+       |bits AS (SELECT CAST(least(24, greatest(8, ceil(log2(COUNT(*))))) AS INT) AS b
+       |         FROM base),
+       |H AS (SELECT j, pos,
+       |        (('0x' || substr(md5(CAST(j AS VARCHAR) || '_' || CAST(pos AS VARCHAR)), 1, 15))::BIGINT % 2001 - 1000) AS w
+       |      FROM range(96) t(j), range(1, 65) p(pos)
+       |      WHERE j < $LshBands * (SELECT b FROM bits)),
+       |${flatOf("c", "base")},
+       |${flatOf("n", "newb")},
+       |exact_g AS (SELECT DISTINCT n.vec_id AS nid
+       |            FROM newb n JOIN base c ON n.embedding = c.embedding),
+       |cand AS (SELECT DISTINCT n.vec_id AS nid, c.vec_id AS cid
+       |         FROM buckets_n n JOIN buckets_c c
+       |         ON n.band = c.band AND n.bucket = c.bucket),
+       |pd AS (SELECT p.nid, p.cid,
+       |         CAST(SUM(CAST(x.xd * y.xd AS DECIMAL(38,20))) AS DOUBLE) AS dot
+       |       FROM cand p
+       |       JOIN flat_n x ON x.vec_id = p.nid
+       |       JOIN flat_c y ON y.vec_id = p.cid AND y.pos = x.pos
+       |       GROUP BY p.nid, p.cid),
+       |near_g AS (SELECT DISTINCT pd.nid FROM pd
+       |           JOIN norms_n a ON a.vec_id = pd.nid
+       |           JOIN norms_c b ON b.vec_id = pd.cid
+       |           WHERE round(pd.dot / (a.nrm * b.nrm), 9) >= 0.8)
+       |SELECT n.vec_id // 100000 AS slice, COUNT(*) AS n,
+       |CAST(SUM(CASE WHEN e.nid IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_exact,
+       |CAST(SUM(CASE WHEN e.nid IS NULL AND nr.nid IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_near,
+       |CAST(SUM(CASE WHEN e.nid IS NULL AND nr.nid IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_accept
+       |FROM newb n
+       |LEFT JOIN exact_g e ON e.nid = n.vec_id
+       |LEFT JOIN near_g nr ON nr.nid = n.vec_id
+       |GROUP BY 1""".stripMargin
   }
 
   /** CTE block ending in `pcs(da, db, cosim)` — the rounded cosine pair
@@ -525,5 +669,8 @@ object Similarity extends QueryModule {
       embeddingClusters, Some(embeddingClustersSql)),
     GQuery("q104_quantize_int8", "symmetric int8 embedding quantization with exact reconstruction-error accounting",
       quantizeInt8, Some(quantizeInt8Sql)),
+    GQuery("q140_embedding_screen",
+      "incremental vector screening vs a frozen sign-LSH index: exact/near/accept per batch slice",
+      embeddingScreen, Some(embeddingScreenSql)),
   )
 }
