@@ -921,6 +921,14 @@ object Dedup extends QueryModule {
     * stays shuffle-partitioned on its join key). Per-batch cost is the
     * batch's own signatures plus those joins; corpus cost is zero.
     *
+    * Cap asymmetry (same convention as q61's [[capBuckets]]): the corpus
+    * band index is capped at [[BandCap]] ids per (band, bk) bucket, while
+    * the DuckDB oracle probes uncapped bands. Inert at fixture scale
+    * (no bucket approaches 1024), but at production scale a >1024-doc hot
+    * bucket would drop near-dup detections only on the Spark side — the
+    * deliberate approximation boundary that keeps a boilerplate flood
+    * from going quadratic, made explicit here rather than discovered.
+    *
     * Reference provenance: the reference's per-file idempotency probe
     * (/root/reference/data_pipeline.py:138-142) is the exact-match rim of
     * this operator; the near-dup tier is the LLM-pipeline extension.

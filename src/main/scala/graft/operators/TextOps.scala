@@ -511,20 +511,30 @@ object TextOps extends QueryModule {
     * q46's free-text PII redaction). Every customer key, in BOTH the
     * customer dim and the orders fact, is replaced by a salted keyed
     * digest: equal keys map to equal pseudonyms (joins still work across
-    * tables), distinct keys stay distinct (collision odds ~n²/2⁶⁴), and
-    * reversal requires the salt. Runs as pure column expressions over
-    * both scans — no lookup table to build, distribute, or leak.
+    * tables) and distinct keys stay distinct. The pseudonym is the FULL
+    * 128-bit md5 hex — birthday collisions become likely only around
+    * 2⁶⁴ keys, far beyond any real key cardinality (the earlier 60-bit
+    * prefix form would have started colliding near 2³⁰ ≈ 1e9 keys, i.e.
+    * at exactly the 100 TB scale this engine targets). Runs as pure
+    * column expressions over both scans — no lookup table to build,
+    * distribute, or leak.
+    *
+    * Salt caveat: `pseud#` here is a PUBLIC fixture constant so the
+    * DuckDB oracle can recompute the digests; with a known salt,
+    * small-integer keys are trivially reversible by dictionary. A
+    * production deployment must inject a secret salt (config-plane,
+    * never logged) — the column expression is unchanged.
     *
     * The contract is machine-checked in-frame, not asserted: pseudonym
     * cardinality equals key cardinality on each table (injectivity), and
     * the orders→customer join count is IDENTICAL before and after the
     * transform (referential integrity). The oracle recomputes everything
-    * exactly (the digest is the portable md5-prefix).
+    * exactly (md5 hex is identical in both engines).
     */
   def pseudonymize(s: SparkSession, dir: String): DataFrame = {
     tune(s)
     def pseud(c: org.apache.spark.sql.Column) =
-      md5Long(concat(lit("pseud#"), c.cast("string")))
+      md5(concat(lit("pseud#"), c.cast("string")))
     val cust = table(s, dir, "customer").select(col("c_custkey"))
     val ords = table(s, dir, "orders").select(col("o_custkey"))
     val card = cust.agg(
@@ -544,8 +554,8 @@ object TextOps extends QueryModule {
   }
 
   private val pseudonymizeSql = {
-    val pc = MD5L("'pseud#' || CAST(c_custkey AS VARCHAR)")
-    val po = MD5L("'pseud#' || CAST(o_custkey AS VARCHAR)")
+    val pc = "md5('pseud#' || CAST(c_custkey AS VARCHAR))"
+    val po = "md5('pseud#' || CAST(o_custkey AS VARCHAR))"
     s"""WITH card AS (
        |  SELECT CAST(COUNT(DISTINCT c_custkey) AS BIGINT) AS n_keys,
        |         CAST(COUNT(DISTINCT $pc) AS BIGINT) AS n_pseudonyms

@@ -208,6 +208,14 @@ object RoundTrip extends QueryModule {
     * hash match proves the format round-trips losslessly: subject
     * survives, the decoded attachment equals the original payload, and
     * the HTML body strips to the expected text.
+    *
+    * Scope: the parse side round-trips MESSAGES THIS ENGINE BUILDS —
+    * unfolded single-line headers, a known boundary, base64
+    * content-transfer-encoding. It is NOT a general MIME parser: folded
+    * (RFC 2822 §2.2.3) headers, quoted-printable bodies, and nested
+    * multiparts would all need a real mail library. That matches the
+    * reference, whose send path constructs exactly this shape and never
+    * parses arbitrary inbound MIME either.
     */
   def mimeRoundtrip(s: SparkSession, dir: String): DataFrame = {
     tune(s)

@@ -240,7 +240,9 @@ object StreamOps extends QueryModule {
         def stage(df: org.apache.spark.sql.DataFrame, name: String, mtime: Long): Unit = {
           val tmp = s"$sd/.stage_$name"
           df.coalesce(1).write.mode("overwrite").parquet(tmp)
-          val part = fs.globStatus(new org.apache.hadoop.fs.Path(s"$tmp/part-*.parquet"))(0).getPath
+          val parts = fs.globStatus(new org.apache.hadoop.fs.Path(s"$tmp/part-*.parquet"))
+          require(parts != null && parts.nonEmpty, s"no part file staged for $name")
+          val part = parts(0).getPath
           val dest = new org.apache.hadoop.fs.Path(s"$sd/$name.parquet")
           fs.rename(part, dest)
           fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
@@ -320,7 +322,9 @@ object StreamOps extends QueryModule {
         def stage(df: DataFrame, name: String, mtime: Long): Unit = {
           val tmp = s"$sd/.stage_$name"
           df.coalesce(1).write.mode("overwrite").parquet(tmp)
-          val part = fs.globStatus(new org.apache.hadoop.fs.Path(s"$tmp/part-*.parquet"))(0).getPath
+          val parts = fs.globStatus(new org.apache.hadoop.fs.Path(s"$tmp/part-*.parquet"))
+          require(parts != null && parts.nonEmpty, s"no part file staged for $name")
+          val part = parts(0).getPath
           val dest = new org.apache.hadoop.fs.Path(s"$sd/$name.parquet")
           fs.rename(part, dest)
           fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
@@ -441,7 +445,9 @@ object StreamOps extends QueryModule {
         def stage(df: DataFrame, name: String, mtime: Long): Unit = {
           val tmp = s"$sd/.stage_$name"
           df.coalesce(1).write.mode("overwrite").parquet(tmp)
-          val part = fs.globStatus(new org.apache.hadoop.fs.Path(s"$tmp/part-*.parquet"))(0).getPath
+          val parts = fs.globStatus(new org.apache.hadoop.fs.Path(s"$tmp/part-*.parquet"))
+          require(parts != null && parts.nonEmpty, s"no part file staged for $name")
+          val part = parts(0).getPath
           val dest = new org.apache.hadoop.fs.Path(s"$sd/$name.parquet")
           fs.rename(part, dest)
           fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
@@ -457,10 +463,15 @@ object StreamOps extends QueryModule {
         .option("maxFilesPerTrigger", "1")
         .parquet(srcDir)
       val qname = s"graft_stream_screen_${counter.incrementAndGet()}"
+      // batchId-scoped overwrite (not a blind append): a micro-batch that
+      // Structured Streaming retries after a sink failure re-runs foreachBatch
+      // with the SAME batchId, so overwriting batch=<id> replaces the partial
+      // write instead of duplicating decision rows — the admission log stays
+      // idempotent under replay, matching the guarded mergeUpsert sink (q116).
       val q = src.writeStream
-        .foreachBatch { (batch: DataFrame, _: Long) =>
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
           graft.operators.Dedup.screenBatch(batch.sparkSession, dir, batch)
-            .write.mode("append").parquet(out)
+            .write.mode("overwrite").parquet(s"$out/batch=$batchId")
           ()
         }
         .option("checkpointLocation", s"$ckBase/$qname")
