@@ -31,6 +31,15 @@ import org.apache.spark.sql.functions._
   * idempotency probe (/root/reference/data_pipeline.py:138-142); this module
   * is the LLM-pipeline extension surface (BASELINE.json north star).
   */
+/** A frozen near-dup screening index: the unique-text digest set
+  * (`tkey`), rep-level MinHash signatures (`doc_id`, `m0..m15`), and
+  * capped LSH band rows (`doc_id`, `band`, `bk`). Build with
+  * [[Dedup.buildIndex]], screen batches with [[Dedup.screenBatch]],
+  * persist/load/refresh via [[Dedup.persistIndex]] /
+  * [[Dedup.loadIndex]] / [[Dedup.refreshIndex]].
+  */
+final case class DedupIndex(digests: DataFrame, sigs: DataFrame, bands: DataFrame)
+
 object Dedup extends QueryModule {
 
   private val P = 2147483647L // 2^31 - 1 (Mersenne prime)
@@ -938,8 +947,11 @@ object Dedup extends QueryModule {
                                        corpusBands: DataFrame, newB: DataFrame): DataFrame = {
     val newGroups = dupGroups(newB)
     val newSigs = sigsFrom(shingles(repsOf(newGroups)))
+    // distinct: the base digest table is unique, but a refreshed index may
+    // carry duplicate digest rows (idempotence-tolerant append) — without
+    // it a doubled digest would double-count members downstream
     val exactRej = newGroups.select(col("gid"), md5(col("text")).as("tkey"))
-      .join(corpusDigests, "tkey").select(col("gid")).withColumn("ex", lit(1))
+      .join(corpusDigests, "tkey").select(col("gid")).distinct().withColumn("ex", lit(1))
     val cand = bandRows(newSigs).alias("n")
       .join(corpusBands.alias("c"),
         col("n.band") === col("c.band") && col("n.bk") === col("c.bk"))
@@ -963,22 +975,96 @@ object Dedup extends QueryModule {
           .otherwise("accept").as("decision"))
   }
 
-  /** The frozen corpus index — unique-text digests, rep-level signatures,
-    * capped band rows — session-cached, the in-process analog of the
-    * parquet signature tables a production pipeline persists between
-    * ingest batches. */
-  private def corpusIndex(s: SparkSession, dir: String): (DataFrame, DataFrame, DataFrame) = {
-    val corpus = augmentedDocs(s, dir).filter(col("doc_id") < 100000L)
-    val dig = sessionCached(s, s"incD:$dir")(
-      corpus.select(md5(col("text")).as("tkey")).distinct())
-    val csigs = sessionCached(s, s"incS:$dir")(
-      sigsFrom(shingles(repsOf(dupGroups(corpus)))))
-    val cbands = sessionCached(s, s"incB:$dir")(
-      capBuckets(bandRows(csigs), Seq("band", "bk"), BandCap))
-    (dig, csigs, cbands)
+  /** Build the frozen screening index from an ARBITRARY corpus frame
+    * (columns `doc_id`, `text`; anything else is ignored). Public API:
+    * any library user can index their own corpus and screen arbitrary
+    * batches through [[screenBatch(index:graft\.operators\.DedupIndex,batch:org\.apache\.spark\.sql\.DataFrame)*]];
+    * the registered q131/q134 rig is one fixture-specific instantiation
+    * of exactly this pair. One corpus pass: digests are a projection +
+    * distinct, signatures ride the same dupGroups/shingle pipeline as
+    * q61, bands are capped at [[BandCap]] per bucket.
+    */
+  def buildIndex(corpus: DataFrame): DedupIndex = {
+    val sigs = sigsFrom(shingles(repsOf(dupGroups(corpus))))
+    DedupIndex(
+      corpus.select(md5(col("text")).as("tkey")).distinct(),
+      sigs,
+      capBuckets(bandRows(sigs), Seq("band", "bk"), BandCap))
   }
 
-  /** Screen one arriving batch against the cached frozen index — the
+  /** Screen an arbitrary batch against a frozen index — the public,
+    * corpus-agnostic form of the screening family. */
+  def screenBatch(index: DedupIndex, batch: DataFrame): DataFrame =
+    incrementalScreen(index.digests, index.sigs, index.bands, batch)
+
+  /** Persist a frozen index as parquet tables (`digests`/`sigs`/`bands`)
+    * at `path` via [[graft.sources.IndexStore]]. `stamp` fingerprints the
+    * source corpus so [[loadIndex]] callers can validate freshness with
+    * filesystem metadata alone. */
+  def persistIndex(index: DedupIndex, path: String, stamp: String = "manual"): Unit =
+    graft.sources.IndexStore.write(index.digests.sparkSession, path, stamp,
+      Seq("digests" -> index.digests, "sigs" -> index.sigs, "bands" -> index.bands))
+
+  /** Load a persisted index. Reads ONLY the stored signature tables —
+    * the corpus itself is never touched (it can even have been deleted),
+    * which is the whole point: a process restart costs three parquet
+    * opens, not a corpus rescan. */
+  def loadIndex(s: SparkSession, path: String): DedupIndex =
+    DedupIndex(
+      graft.sources.IndexStore.read(s, path, "digests"),
+      graft.sources.IndexStore.read(s, path, "sigs"),
+      graft.sources.IndexStore.read(s, path, "bands"))
+
+  /** Refresh a persisted index with the docs an ingest loop just ACCEPTED:
+    * their digests, rep signatures, and band rows are APPENDED, so the
+    * next batch screens against corpus + accepted with nothing rebuilt —
+    * per-refresh cost is the accepted docs' own signatures. The appended
+    * band rows are capped within the increment; a bucket could therefore
+    * exceed [[BandCap]] across many refreshes — the cap is a flood bound,
+    * not a correctness invariant, and a periodic rebuild (re-persist from
+    * the full corpus) restores it exactly like lake compaction restores
+    * file sizing. The probe joins tolerate the duplicate digests/sig rows
+    * a careless double-refresh would add (decision sets are DISTINCT'd),
+    * so refresh is idempotence-tolerant, not idempotent.
+    */
+  def refreshIndex(s: SparkSession, path: String, accepted: DataFrame): Unit = {
+    val add = buildIndex(accepted)
+    graft.sources.IndexStore.append(s, path, "digests", add.digests)
+    graft.sources.IndexStore.append(s, path, "sigs", add.sigs)
+    graft.sources.IndexStore.append(s, path, "bands", add.bands)
+  }
+
+  /** On-disk location of the fixture corpus index for `dir` — under
+    * target/ so it survives JVM restarts (the durability the session
+    * cache alone cannot give). */
+  private[graft] def fixtureIndexPath(dir: String): String =
+    "target/graft_index/dedup_" + dir.replaceAll("[^A-Za-z0-9.]+", "_")
+
+  /** The frozen corpus index of the registered rig, PERSISTED: built once
+    * from the fixture corpus (docs < 100000) into [[fixtureIndexPath]],
+    * validated by a metadata-only source stamp, and LOADED from parquet
+    * thereafter — across queries via [[graft.SessionCache]] and across
+    * process restarts via the store itself. A restart therefore costs
+    * three parquet opens, not a corpus rescan; only a regenerated fixture
+    * (stamp mismatch) triggers a rebuild. Build-vs-load is serialized
+    * under the object lock so concurrent first callers cannot race the
+    * swap. */
+  private def corpusIndex(s: SparkSession, dir: String): DedupIndex = {
+    val path = fixtureIndexPath(dir)
+    synchronized {
+      val stamp = graft.sources.IndexStore.sourceStamp(s, Seq(s"$dir/documents.parquet"))
+      if (!graft.sources.IndexStore.isCurrent(s, path, stamp)) {
+        val corpus = augmentedDocs(s, dir).filter(col("doc_id") < 100000L)
+        persistIndex(buildIndex(corpus), path, stamp)
+      }
+    }
+    DedupIndex(
+      sessionCached(s, s"incD:$dir")(graft.sources.IndexStore.read(s, path, "digests")),
+      sessionCached(s, s"incS:$dir")(graft.sources.IndexStore.read(s, path, "sigs")),
+      sessionCached(s, s"incB:$dir")(graft.sources.IndexStore.read(s, path, "bands")))
+  }
+
+  /** Screen one arriving batch against the persisted frozen index — the
     * per-micro-batch entry point of the streaming ingest loop (q134);
     * q131 is its one-shot batch form. A doc's decision depends only on
     * its own text vs the index, so ANY partitioning of the ingest into
@@ -986,8 +1072,7 @@ object Dedup extends QueryModule {
     * grouping is purely a compute optimization). */
   def screenBatch(s: SparkSession, dir: String, batch: DataFrame): DataFrame = {
     tune(s)
-    val (dig, csigs, cbands) = corpusIndex(s, dir)
-    incrementalScreen(dig, csigs, cbands, batch)
+    screenBatch(corpusIndex(s, dir), batch)
   }
 
   /** Per-lang admission rollup of screening decisions (shared by q131 and

@@ -25,6 +25,19 @@ import org.apache.spark.sql.functions._
   * above the fold error, far below any real similarity gap. Ties broken by
   * vec_id.
   */
+/** A frozen vector screening index: the corpus byte-digest set
+  * (`k1`, `k2`), rep vectors with norms (`vec_id`, `embedding`, `nrm`),
+  * sign-LSH band rows (`vec_id`, `band`, `bucket`), and the LSH bit
+  * width — an INDEX property (derived from corpus size at build time)
+  * that every probe must reuse verbatim, which is why it is stored
+  * rather than re-derived. Build with [[Similarity.buildVecIndex]],
+  * screen with [[Similarity.screenVecBatch]], persist/load/refresh via
+  * [[Similarity.persistVecIndex]] / [[Similarity.loadVecIndex]] /
+  * [[Similarity.refreshVecIndex]].
+  */
+final case class VecIndex(digests: DataFrame, reps: DataFrame,
+                          bands: DataFrame, bits: Int)
+
 object Similarity extends QueryModule {
 
   /** Per-row L2 norm via the native graft_dot expression (tight codegen
@@ -337,10 +350,11 @@ object Similarity extends QueryModule {
     * sign-LSH index as exact duplicates (byte-identical to a corpus
     * vector), near duplicates (band collision with a corpus rep verified
     * at cosine >= 0.8, q78's production threshold), or accepted. The
-    * index — corpus byte-digest set, rep norms, band rows — is
-    * session-cached (in production: the persisted ANN index every
-    * vector-ingest service maintains); per-batch cost is the batch's own
-    * signatures plus two equi-joins, and the corpus is never re-bucketed.
+    * index — corpus byte-digest set, rep norms, band rows — is PERSISTED
+    * as parquet signature tables ([[graft.sources.IndexStore]]) and
+    * loaded thereafter, so "corpus never re-bucketed" holds across
+    * process restarts, not just across queries; per-batch cost is the
+    * batch's own signatures plus two equi-joins.
     *
     * The synthetic batch exercises every tier DETERMINISTICALLY:
     * byte-copies (+100000, exact), 2x-scaled copies (+200000 — scaling
@@ -352,6 +366,118 @@ object Similarity extends QueryModule {
     * comes from the CORPUS size (an index property), exactly as the
     * oracle derives it.
     */
+  /** Build the frozen vector index from an ARBITRARY corpus frame
+    * (columns `vec_id`, `embedding`). Public API, the vector twin of
+    * [[Dedup.buildIndex]]: one corpus pass — byte-digest set, exact-dup
+    * rep grouping, norms, sign-LSH bands — with the bit width derived
+    * from corpus size and RECORDED on the index (probes must reuse it).
+    */
+  def buildVecIndex(corpus: DataFrame): VecIndex = {
+    val bits = lshBits(corpus.count())
+    val reps = withNorm(vecGroups(corpus).select(col("gid").as("vec_id"), col("embedding")))
+    VecIndex(
+      corpus.select(xxhash64(col("embedding")).as("k1"), hash(col("embedding")).as("k2"))
+        .distinct(),
+      reps,
+      signBands(reps, bits).select(col("vec_id"), col("band"), col("bucket")),
+      bits)
+  }
+
+  /** Classify each batch vector against a frozen index: `exact`
+    * (byte-identical to a corpus vector), `near` (band collision with a
+    * corpus rep verified at cosine >= 0.8), or `accept`. Per-batch cost
+    * is the batch's own signatures plus two equi-joins; the corpus is
+    * never re-bucketed. Decision sets are DISTINCT'd so the duplicate
+    * rows a refreshed index may carry cannot double-count members. */
+  def screenVecBatch(index: VecIndex, batch: DataFrame): DataFrame = {
+    val bGroups = vecGroups(batch, keepKeys = true)
+    val exactG = bGroups.select(col("gid"), col("k1"), col("k2"))
+      .join(index.digests, Seq("k1", "k2"))
+      .select(col("gid")).distinct().withColumn("ex", lit(1))
+    val bReps = withNorm(bGroups.select(col("gid").as("vec_id"), col("embedding")))
+    val cand = signBands(bReps, index.bits)
+      .select(col("vec_id").as("nid"), col("band"), col("bucket"))
+      .join(index.bands.select(col("vec_id").as("cid"), col("band"), col("bucket")),
+        Seq("band", "bucket"))
+      .select(col("nid"), col("cid")).distinct()
+    val nearG = cand
+      .join(bReps.select(col("vec_id").as("nid"), col("embedding").as("qemb"),
+        col("nrm").as("na")), "nid")
+      .join(index.reps.select(col("vec_id").as("cid"), col("embedding").as("vemb"),
+        col("nrm").as("nb")), "cid")
+      .filter(round(dotExpr / (col("na") * col("nb")), 9) >= 0.8)
+      .select(col("nid").as("gid")).distinct().withColumn("nr", lit(1))
+    bGroups.select(col("gid"), explode(col("ids")).as("vec_id"))
+      .join(exactG, Seq("gid"), "left")
+      .join(nearG, Seq("gid"), "left")
+      .select(col("vec_id"),
+        when(col("ex") === 1, "exact").when(col("nr") === 1, "near")
+          .otherwise("accept").as("decision"))
+  }
+
+  /** Persist a vector index (tables `digests`/`reps`/`bands`, bit width
+    * in the store metadata) via [[graft.sources.IndexStore]]. */
+  def persistVecIndex(index: VecIndex, path: String, stamp: String = "manual"): Unit =
+    graft.sources.IndexStore.write(index.reps.sparkSession, path, stamp,
+      Seq("digests" -> index.digests, "reps" -> index.reps, "bands" -> index.bands),
+      Map("bits" -> index.bits.toString))
+
+  /** Load a persisted vector index — three parquet opens plus the stored
+    * bit width; the corpus itself is never touched. */
+  def loadVecIndex(s: SparkSession, path: String): VecIndex = {
+    val meta = graft.sources.IndexStore.readMeta(s, path)
+    VecIndex(
+      graft.sources.IndexStore.read(s, path, "digests"),
+      graft.sources.IndexStore.read(s, path, "reps"),
+      graft.sources.IndexStore.read(s, path, "bands"),
+      meta.getOrElse("bits",
+        throw new IllegalStateException(s"vec index at $path has no bits meta")).toInt)
+  }
+
+  /** Append accepted vectors' digests/reps/bands to a persisted index.
+    * The bit width is read from the STORE, never re-derived from the
+    * increment — it is an index property, and probing with a different
+    * width would silently miss every stored bucket. */
+  def refreshVecIndex(s: SparkSession, path: String, accepted: DataFrame): Unit = {
+    val bits = graft.sources.IndexStore.readMeta(s, path)
+      .getOrElse("bits",
+        throw new IllegalStateException(s"vec index at $path has no bits meta")).toInt
+    val reps = withNorm(vecGroups(accepted).select(col("gid").as("vec_id"), col("embedding")))
+    graft.sources.IndexStore.append(s, path, "digests",
+      accepted.select(xxhash64(col("embedding")).as("k1"), hash(col("embedding")).as("k2"))
+        .distinct())
+    graft.sources.IndexStore.append(s, path, "reps", reps)
+    graft.sources.IndexStore.append(s, path, "bands",
+      signBands(reps, bits).select(col("vec_id"), col("band"), col("bucket")))
+  }
+
+  /** The registered rig's frozen vector index, PERSISTED to
+    * target/graft_index (the twin of Dedup's corpusIndex): built once
+    * from the embeddings fixture, stamp-validated, loaded from parquet
+    * thereafter — across queries via the session cache, across process
+    * restarts via the store. Build-vs-load serialized under the object
+    * lock. */
+  private def corpusVecIndex(s: SparkSession, dir: String): VecIndex = {
+    val path = "target/graft_index/vec_" + dir.replaceAll("[^A-Za-z0-9.]+", "_")
+    synchronized {
+      val stamp = graft.sources.IndexStore.sourceStamp(s, Seq(s"$dir/embeddings.parquet"))
+      if (!graft.sources.IndexStore.isCurrent(s, path, stamp))
+        persistVecIndex(
+          buildVecIndex(table(s, dir, "embeddings").select(col("vec_id"), col("embedding"))),
+          path, stamp)
+    }
+    VecIndex(
+      graft.SessionCache.cached(s, s"sim:idxdig:$dir")(
+        graft.sources.IndexStore.read(s, path, "digests")),
+      graft.SessionCache.cached(s, s"sim:idxreps:$dir")(
+        graft.sources.IndexStore.read(s, path, "reps")),
+      graft.SessionCache.cached(s, s"sim:idxbands:$dir")(
+        graft.sources.IndexStore.read(s, path, "bands")),
+      graft.sources.IndexStore.readMeta(s, path)
+        .getOrElse("bits",
+          throw new IllegalStateException(s"vec index at $path has no bits meta")).toInt)
+  }
+
   def embeddingScreen(s: SparkSession, dir: String): DataFrame = {
     tune(s)
     val base = table(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
@@ -364,38 +490,7 @@ object Similarity extends QueryModule {
       .unionByName(base.filter(col("vec_id") % 11 === 0)
         .select((col("vec_id") + 300000L).as("vec_id"),
           expr("transform(embedding, x -> CAST(-x AS FLOAT))").as("embedding")))
-    val bits = lshBits(base.count())
-    // frozen corpus index, session-cached
-    val cDigests = graft.SessionCache.cached(s, s"sim:idxdig:$dir")(
-      base.select(xxhash64(col("embedding")).as("k1"), hash(col("embedding")).as("k2"))
-        .distinct())
-    val cReps = graft.SessionCache.cached(s, s"sim:idxreps:$dir")(
-      withNorm(vecGroups(base).select(col("gid").as("vec_id"), col("embedding"))))
-    val cBands = graft.SessionCache.cached(s, s"sim:idxbands:$dir")(
-      signBands(cReps, bits).select(col("vec_id"), col("band"), col("bucket")))
-    // per-batch work only below here
-    val bGroups = vecGroups(newb, keepKeys = true)
-    val exactG = bGroups.select(col("gid"), col("k1"), col("k2"))
-      .join(cDigests, Seq("k1", "k2")).select(col("gid")).withColumn("ex", lit(1))
-    val bReps = withNorm(bGroups.select(col("gid").as("vec_id"), col("embedding")))
-    val cand = signBands(bReps, bits)
-      .select(col("vec_id").as("nid"), col("band"), col("bucket"))
-      .join(cBands.select(col("vec_id").as("cid"), col("band"), col("bucket")),
-        Seq("band", "bucket"))
-      .select(col("nid"), col("cid")).distinct()
-    val nearG = cand
-      .join(bReps.select(col("vec_id").as("nid"), col("embedding").as("qemb"),
-        col("nrm").as("na")), "nid")
-      .join(cReps.select(col("vec_id").as("cid"), col("embedding").as("vemb"),
-        col("nrm").as("nb")), "cid")
-      .filter(round(dotExpr / (col("na") * col("nb")), 9) >= 0.8)
-      .select(col("nid").as("gid")).distinct().withColumn("nr", lit(1))
-    bGroups.select(col("gid"), explode(col("ids")).as("vec_id"))
-      .join(exactG, Seq("gid"), "left")
-      .join(nearG, Seq("gid"), "left")
-      .select(col("vec_id"),
-        when(col("ex") === 1, "exact").when(col("nr") === 1, "near")
-          .otherwise("accept").as("decision"))
+    screenVecBatch(corpusVecIndex(s, dir), newb)
       .groupBy(expr("vec_id div 100000").as("slice"))
       .agg(count(lit(1)).as("n"),
         sum(when(col("decision") === "exact", 1).otherwise(0)).as("n_exact"),

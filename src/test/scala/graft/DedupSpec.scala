@@ -271,4 +271,85 @@ class DedupSpec extends AnyFunSuite {
     assert(naiveGroups.count() == 30) // sanity: uniq-suffix trick worked
     groups.unpersist()
   }
+
+  // --- the public, corpus-agnostic screening API + persistence ---------
+
+  private val literalBase = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+    "lambda mu nu xi omicron pi rho sigma tau upsilon"
+
+  private def literalCorpus(sp: org.apache.spark.sql.SparkSession) = {
+    import sp.implicits._
+    ((0 until 8).map(i => (i.toLong, s"unrelated filler document number $i " * 5 + s"tail$i")) :+
+      (100L, literalBase)).toDF("doc_id", "text")
+  }
+
+  private def literalBatch(sp: org.apache.spark.sql.SparkSession) = {
+    import sp.implicits._
+    Seq(
+      (200L, literalBase),                             // exact copy -> exact
+      (201L, literalBase.stripSuffix(" upsilon")),     // 1-word truncation -> near
+      (202L, "a completely novel document about spark physical plans " * 4 + "x")
+    ).toDF("doc_id", "text")
+  }
+
+  test("public API: screen a literal batch against a literal corpus index") {
+    val got = Dedup.screenBatch(Dedup.buildIndex(literalCorpus(s)), literalBatch(s))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(200L -> "exact", 201L -> "near", 202L -> "accept"), got.toString)
+  }
+
+  test("persisted index screens after the corpus is DELETED (restart analog)") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_store").toString
+    val corpusPath = s"$tmp/corpus"
+    val idxPath = s"$tmp/idx"
+    literalCorpus(s).write.parquet(corpusPath)
+    Dedup.persistIndex(Dedup.buildIndex(s.read.parquet(corpusPath)), idxPath,
+      graft.sources.IndexStore.sourceStamp(s, Seq(corpusPath)))
+    // delete the corpus: anything that still needed it would now fail
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(corpusPath))
+    // fresh session state = the process-restart analog for SessionCache
+    // (new function registry, new catalog; tune() is what a restarted
+    // process runs at startup)
+    val s2 = s.newSession()
+    Engine.tune(s2)
+    val decisions = Dedup.screenBatch(Dedup.loadIndex(s2, idxPath), literalBatch(s2))
+    // plan-level proof: every file source in the screen reads the INDEX
+    val scanned = decisions.queryExecution.optimizedPlan.collect {
+      case r: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        r.relation match {
+          case h: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+            h.location.rootPaths.map(_.toString)
+          case _ => Seq.empty
+        }
+    }.flatten
+    assert(scanned.nonEmpty && scanned.forall(_.contains(idxPath)),
+      s"screen must scan only the persisted index, scanned: $scanned")
+    val got = decisions.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(200L -> "exact", 201L -> "near", 202L -> "accept"), got.toString)
+  }
+
+  test("refreshIndex: an accepted doc is rejected as exact on the next batch") {
+    import s.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_store").toString
+    val idxPath = s"$tmp/idx"
+    Dedup.persistIndex(Dedup.buildIndex(literalCorpus(s)), idxPath)
+    val novel = "a completely novel document about spark physical plans " * 4 + "x"
+    // first batch: the novel doc is accepted
+    val first = Dedup.screenBatch(Dedup.loadIndex(s, idxPath),
+        Seq((300L, novel)).toDF("doc_id", "text"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(first == Map(300L -> "accept"))
+    // ingest loop appends the accepted doc's signatures — twice, to prove
+    // the probe tolerates the duplicate rows a double-refresh leaves
+    Dedup.refreshIndex(s, idxPath, Seq((300L, novel)).toDF("doc_id", "text"))
+    Dedup.refreshIndex(s, idxPath, Seq((300L, novel)).toDF("doc_id", "text"))
+    val second = Dedup.screenBatch(Dedup.loadIndex(s, idxPath),
+        Seq((301L, novel), (302L, novel + " tail"),
+            (303L, "still entirely different content " * 6 + "y"))
+          .toDF("doc_id", "text"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(second(301L) == "exact", s"copy of accepted doc must now be exact: $second")
+    assert(second(302L) == "near", s"variant of accepted doc must now be near: $second")
+    assert(second(303L) == "accept", second.toString)
+  }
 }

@@ -117,4 +117,43 @@ class SimilaritySpec extends AnyFunSuite {
       s.conf.set("spark.sql.autoBroadcastJoinThreshold", prevB)
     }
   }
+
+  test("persisted vector index screens after the corpus is DELETED (restart analog)") {
+    // 64-dim like the fixture (the hyperplane family is 64-dim)
+    val rnd = new scala.util.Random(7)
+    val corpusVecs = (0L until 40L).map(i => (i, Array.fill(64)(rnd.nextFloat() * 2f - 1f)))
+    val novelVec = Array.fill(64)(0.5f)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_store").toString
+    val corpusPath = s"$tmp/corpus"
+    val idxPath = s"$tmp/vidx"
+    locally {
+      import s.implicits._
+      corpusVecs.toDF("vec_id", "embedding").write.parquet(corpusPath)
+    }
+    Similarity.persistVecIndex(
+      Similarity.buildVecIndex(s.read.parquet(corpusPath)), idxPath,
+      graft.sources.IndexStore.sourceStamp(s, Seq(corpusPath)))
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(corpusPath))
+    val s2 = s.newSession()
+    Engine.tune(s2)
+    val idx = Similarity.loadVecIndex(s2, idxPath)
+    assert(idx.bits == 8, "bit width must round-trip through the store meta")
+    import s2.implicits._
+    val batch = Seq(
+      (100L, corpusVecs(3)._2),             // byte copy -> exact
+      (101L, corpusVecs(5)._2.map(_ * 2f)), // 2x scale: float-exact, cosine 1 -> near
+      (102L, novelVec)                      // nothing like the corpus -> accept
+    ).toDF("vec_id", "embedding")
+    val got = Similarity.screenVecBatch(idx, batch)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got(100L) == "exact", got.toString)
+    assert(got(101L) == "near", got.toString)
+    assert(got(102L) == "accept", got.toString)
+    // refresh with the accepted vector; a byte copy must now screen exact
+    Similarity.refreshVecIndex(s2, idxPath, Seq((102L, novelVec)).toDF("vec_id", "embedding"))
+    val after = Similarity.screenVecBatch(Similarity.loadVecIndex(s2, idxPath),
+        Seq((200L, novelVec)).toDF("vec_id", "embedding"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(after(200L) == "exact", after.toString)
+  }
 }
