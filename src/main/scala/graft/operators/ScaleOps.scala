@@ -657,6 +657,69 @@ object ScaleOps extends QueryModule {
        |FROM pf GROUP BY layout""".stripMargin
   }
 
+  /** Z-order lake WRITER, scored on its actual output files — q138 proves
+    * the envelope win on paper; this query produces the layout for real.
+    * Orders rows (key, raw dims, 8-bit buckets) are routed through
+    * [[graft.sources.Lake.writeZOrdered]]: file id = Morton key div 256,
+    * hive-partitioned, one task (hence ONE parquet part) per z-bucket.
+    * The written lake is then read BACK and every physical file — grouped
+    * by `input_file_name()`, not by any logical column — is scored with
+    * q138's exact-integer envelope metric. The oracle computes what the
+    * layout SHOULD score from the same data; matching proves the writer
+    * realized it, and the in-frame boolean pins the one-file-per-bucket
+    * layout contract. Dual-dim coverage lands near q138's z-order number
+    * (~6.5% per dim) — versus 99.9% for the date-linear layout a naive
+    * writer produces — so a predicate on EITHER dim prunes ~15/16 of the
+    * files before opening a footer.
+    */
+  def zorderWrite(s: SparkSession, dir: String): DataFrame = {
+    tune(s)
+    val o = table(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey").cast("long").as("ck"),
+        datediff(col("o_orderdate").cast("date"), lit("1992-01-01").cast("date"))
+          .cast("long").as("day"))
+    val mm = o.agg(min("ck").as("cmin"), max("ck").as("cmax"),
+                   min("day").as("dmin"), max("day").as("dmax"))
+    val b = o.crossJoin(broadcast(mm))
+      .withColumn("cb", expr("(ck - cmin) * 256 div (cmax - cmin + 1)"))
+      .withColumn("db", expr("(day - dmin) * 256 div (dmax - dmin + 1)"))
+      .select(col("o_orderkey"), col("ck"), col("day"), col("cb"), col("db"))
+    val lakePath = "target/tmp/zlake_" + dir.replaceAll("[^A-Za-z0-9.]+", "_")
+    graft.sources.Lake.writeZOrdered(b, lakePath,
+      shiftright(graft.sources.Lake.mortonKey(col("cb"), col("db")), 8))
+    val perFile = o.sparkSession.read.parquet(lakePath)
+      .groupBy(input_file_name().as("fn"), col("zfile"))
+      .agg((max("cb") - min("cb") + 1).as("cw"), (max("db") - min("db") + 1).as("dw"))
+    perFile.agg(
+        count(lit(1)).as("n_files"),
+        expr("sum(cw) * 1000000 div (256 * count(1))").as("cust_cover_ppm"),
+        expr("sum(dw) * 1000000 div (256 * count(1))").as("date_cover_ppm"),
+        (countDistinct(col("fn")) === countDistinct(col("zfile")))
+          .as("one_file_per_bucket"))
+      .select(lit("zorder_files").as("layout"), col("n_files"),
+        col("cust_cover_ppm"), col("date_cover_ppm"), col("one_file_per_bucket"))
+  }
+
+  private val zorderWriteSql = {
+    val zExpr = (0 until 8)
+      .map(i => s"(((cb >> $i) & 1) << ${2 * i}) + (((db >> $i) & 1) << ${2 * i + 1})")
+      .mkString(" + ")
+    s"""WITH o AS (SELECT CAST(o_custkey AS BIGINT) AS ck,
+       |             CAST(CAST(o_orderdate AS DATE) - DATE '1992-01-01' AS BIGINT) AS day
+       |           FROM orders),
+       |mm AS (SELECT MIN(ck) AS cmin, MAX(ck) AS cmax,
+       |              MIN(day) AS dmin, MAX(day) AS dmax FROM o),
+       |b AS (SELECT (ck - cmin) * 256 // (cmax - cmin + 1) AS cb,
+       |             (day - dmin) * 256 // (dmax - dmin + 1) AS db FROM o, mm),
+       |pf AS (SELECT ($zExpr) // 256 AS file, MAX(cb) - MIN(cb) + 1 AS cw,
+       |              MAX(db) - MIN(db) + 1 AS dw FROM b GROUP BY 1)
+       |SELECT 'zorder_files' AS layout, COUNT(*) AS n_files,
+       |CAST(SUM(cw) * 1000000 // (256 * COUNT(*)) AS BIGINT) AS cust_cover_ppm,
+       |CAST(SUM(dw) * 1000000 // (256 * COUNT(*)) AS BIGINT) AS date_cover_ppm,
+       |TRUE AS one_file_per_bucket
+       |FROM pf""".stripMargin
+  }
+
   override val queries: Seq[GQuery] = Seq(
     GQuery("q105_heavy_hitters",
       "Count-Min sketch heavy hitters with machine-checked one-sided error contract",
@@ -700,5 +763,8 @@ object ScaleOps extends QueryModule {
     GQuery("q138_zorder_layout",
       "Z-order vs linear file layout: per-file min/max envelope audit (data-skipping score)",
       zorderLayout, Some(zorderLayoutSql)),
+    GQuery("q141_zorder_write",
+      "z-order lake WRITER: Morton-routed one-file-per-bucket output, envelopes scored on real files",
+      zorderWrite, Some(zorderWriteSql)),
   )
 }

@@ -137,7 +137,7 @@ object Lake {
 
   import org.apache.hadoop.fs.{FileSystem, Path}
   import org.apache.spark.sql.{DataFrame, SparkSession}
-  import org.apache.spark.sql.functions.col
+  import org.apache.spark.sql.functions.{col, lit, shiftleft, shiftright}
 
   /** Upsert `updates` into the lake at `dir` (layout `dir/part=value/`):
     * per affected partition, rows are resolved by `keyCol` (update wins,
@@ -214,6 +214,39 @@ object Lake {
     }
     parts.length
   }
+
+  /** Morton (z-order) interleave of two pre-bucketed integer columns
+    * (each in [0, 2^bits)): bit i of `a` lands at position 2i, bit i of
+    * `b` at 2i+1. Pure integer column arithmetic — deterministic in any
+    * engine, exactly the formula the q138 audit scores. */
+  def mortonKey(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column,
+                bits: Int = 8): org.apache.spark.sql.Column =
+    (0 until bits).map { i =>
+      shiftleft(shiftright(a, i).bitwiseAND(lit(1L)), 2 * i) +
+        shiftleft(shiftright(b, i).bitwiseAND(lit(1L)), 2 * i + 1)
+    }.reduce(_ + _)
+
+  /** WRITE the z-ordered layout the q138 audit scores — rows are routed to
+    * output files by an explicit integer z-bucket id and written
+    * hive-partitioned on it, so each physical file's (min, max) envelope
+    * on BOTH interleaved dims is tight and parquet row-group/file pruning
+    * skips most files for a predicate on EITHER dim. `zfile` must be a
+    * deterministic non-negative integer (typically the top bits of
+    * [[mortonKey]]).
+    *
+    * Layout contract: rows are repartitioned ON the file id before the
+    * write, so every `zfile=N` directory is produced by exactly one task
+    * and holds exactly one parquet part — file count and per-file content
+    * are a pure function of the data, never of parallelism. At 100 TB the
+    * same shape holds per lake partition: the z-bucket count bounds file
+    * size (pick `zfile` span so buckets ~ 128 MB), the shuffle is one
+    * exchange keyed on a small integer, and readers prune by directory
+    * before ever opening a footer. */
+  def writeZOrdered(df: DataFrame, dir: String,
+                    zfile: org.apache.spark.sql.Column): Unit =
+    df.withColumn("zfile", zfile)
+      .repartition(col("zfile"))
+      .write.mode("overwrite").partitionBy("zfile").parquet(dir)
 }
 
 /** Notification gating (C5/S11): the reference proceeds with the upload only
