@@ -84,13 +84,27 @@ object IndexStore {
       }
     }.toMap
 
+  /** Write the stamp (+meta) file into `path`. For stores that manage
+    * their own directory layout (e.g. [[SketchStore]]'s hive-partitioned
+    * blobs): write the data first, stamp LAST, so a crashed build never
+    * validates. The underscore name keeps parquet readers from treating
+    * it as data (same convention as _SUCCESS). */
+  def writeStamp(s: SparkSession, path: String, stamp: String,
+                 meta: Map[String, String] = Map.empty): Unit = {
+    require(!stamp.contains("\n"), "stamp must be a single line")
+    val txt = (stamp +: meta.toSeq.sorted.map { case (k, v) => s"$k=$v" })
+      .mkString("\n")
+    val fs = fsOf(s, new Path(path))
+    val out = fs.create(stampFile(path), true)
+    try out.write(txt.getBytes("UTF-8")) finally out.close()
+  }
+
   /** Build-or-replace the index: write every table + the stamp/meta file
     * into a temp dir, then swap it over `path`. See the object scaladoc
     * for the consistency model. */
   def write(s: SparkSession, path: String, stamp: String,
             tables: Seq[(String, DataFrame)],
             meta: Map[String, String] = Map.empty): Unit = {
-    require(!stamp.contains("\n"), "stamp must be a single line")
     val live = new Path(path)
     val fs = fsOf(s, live)
     val tmp = new Path(live.getParent, s".${live.getName}_building")
@@ -98,10 +112,7 @@ object IndexStore {
     tables.foreach { case (name, df) =>
       df.write.mode("overwrite").parquet(new Path(tmp, name).toString)
     }
-    val txt = (stamp +: meta.toSeq.sorted.map { case (k, v) => s"$k=$v" })
-      .mkString("\n")
-    val out = fs.create(new Path(tmp, "_STAMP"), true)
-    try out.write(txt.getBytes("UTF-8")) finally out.close()
+    writeStamp(s, tmp.toString, stamp, meta)
     if (fs.exists(live)) fs.delete(live, true)
     if (!fs.rename(tmp, live))
       throw new java.io.IOException(s"index swap: cannot rename $tmp -> $live")
@@ -118,4 +129,97 @@ object IndexStore {
     * the BASE corpus; refreshed rows are additions beyond it). */
   def append(s: SparkSession, path: String, table: String, df: DataFrame): Unit =
     df.write.mode("append").parquet(new Path(new Path(path), table).toString)
+}
+
+/** Persisted, re-aggregatable per-scope HLL sketch store — q133's pattern
+  * made DURABLE. One Datasketches HLL blob + exact distinct count per
+  * scope (e.g. per month), hive-partitioned on the scope:
+  *
+  *   dir/scope=1992-01/part-*.parquet   (sk BINARY, n_exact BIGINT)
+  *
+  * The incremental contract this buys at 100 TB:
+  *  - [[build]] scans the fact table ONCE; every later rollup —
+  *    [[rollup]], any ad-hoc window or region merge — reads kilobyte
+  *    blobs, never the fact table.
+  *  - [[refresh]] takes ONLY the changed scopes' rows (the caller reads
+  *    just those lake partitions) and atomically replaces those scopes'
+  *    blob directories via the same write-then-swap protocol as
+  *    [[Storage.compact]]; unchanged scopes' files are untouched —
+  *    byte-for-byte, mtime and all (proven in IngestSpec).
+  *
+  * This is what `approx_count_distinct` cannot do (its per-group state is
+  * not exposed), and what q133 proved mergeable but rebuilt per run.
+  */
+object SketchStore {
+
+  import org.apache.spark.sql.functions._
+
+  private def sketchRows(slice: DataFrame, scopeCol: String, keyCol: String): DataFrame =
+    slice.groupBy(col(scopeCol).as("scope"))
+      .agg(hll_sketch_agg(col(keyCol)).as("sk"),
+           countDistinct(col(keyCol)).as("n_exact"))
+
+  /** Full build: one fact scan, one blob row per scope, stamp written
+    * last (a crashed build never validates — [[IndexStore.isCurrent]]). */
+  def build(slice: DataFrame, dir: String, scopeCol: String, keyCol: String,
+            stamp: String = "manual"): Unit = {
+    val s = slice.sparkSession
+    val live = new Path(dir)
+    val fs = FileSystem.get(live.toUri, s.sparkContext.hadoopConfiguration)
+    if (fs.exists(live)) fs.delete(live, true)
+    sketchRows(slice, scopeCol, keyCol)
+      .write.partitionBy("scope").parquet(dir)
+    IndexStore.writeStamp(s, dir, stamp)
+  }
+
+  /** Rebuild ONLY the scopes present in `slice` (the caller passes just
+    * the changed lake partitions' rows). Each affected scope directory is
+    * replaced through a temp dir + guarded swap; every other scope's
+    * files are never opened, written, or touched. The scope list crosses
+    * the driver — bounded by #changed scopes, which is the unit of work
+    * by design (same shape as [[Lake.mergeUpsert]]). */
+  def refresh(slice: DataFrame, dir: String, scopeCol: String, keyCol: String): Unit = {
+    val s = slice.sparkSession
+    val rows = sketchRows(slice, scopeCol, keyCol).persist()
+    try {
+      val base = new Path(dir)
+      val fs = FileSystem.get(base.toUri, s.sparkContext.hadoopConfiguration)
+      val scopes = rows.select(col("scope")).distinct().collect()
+        .map(_.get(0).toString).sorted
+      require(scopes.forall(p => !p.exists("/\\:*?\"<>|%".contains(_))),
+        s"scope values must be path-safe, got: ${scopes.mkString(",")}")
+      scopes.foreach { v =>
+        val live = new Path(base, s"scope=$v")
+        val tmp = new Path(base, s".scope=$v.refreshing")
+        val bak = new Path(base, s".scope=$v.old")
+        Storage.recoverStaleSwap(fs, live, tmp, bak)
+        rows.filter(col("scope") === v).drop("scope")
+          .write.mode("overwrite").parquet(tmp.toString)
+        if (fs.exists(live)) Storage.guardedSwap(fs, live, tmp, bak)
+        else if (!fs.rename(tmp, live))
+          throw new java.io.IOException(s"sketch refresh: cannot create scope $live")
+      }
+    } finally { rows.unpersist(): Unit }
+  }
+
+  /** Answer the rollup from blobs ALONE (the fact table can be gone):
+    * per-scope rows carry the exact count twice (as both bounds) plus the
+    * 20% estimate contract; the global row brackets the true distinct
+    * with [max over scopes, sum over scopes] — exact integers any engine
+    * reproduces — and checks the MERGED estimate against that bracket
+    * with 20% slack (HLL lgK=12 rse ~1.6%, so the bound is a stable data
+    * property, not a flaky statistical test). */
+  def rollup(s: SparkSession, dir: String): DataFrame = {
+    val m = s.read.parquet(dir)
+    val months = m.select(col("scope"),
+      col("n_exact").as("n_lo"), col("n_exact").as("n_hi"),
+      (abs(hll_sketch_estimate(col("sk")) - col("n_exact")) <= col("n_exact") * 0.20)
+        .as("bound_ok"))
+    val g = m.agg(max(col("n_exact")).as("n_lo"), sum(col("n_exact")).as("n_hi"),
+        hll_sketch_estimate(hll_union_agg(col("sk"))).as("em"))
+      .select(lit("global").as("scope"), col("n_lo"), col("n_hi"),
+        (col("em") >= col("n_lo") * 0.8 && col("em") <= col("n_hi") * 1.2)
+          .as("bound_ok"))
+    months.unionByName(g)
+  }
 }

@@ -226,4 +226,44 @@ class IngestSpec extends AnyFunSuite {
     assert(rows.count() == 3)
     assert(rows.select("id").collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L, 3L))
   }
+
+  test("sketch store: refresh replaces only changed scopes; rollup reads blobs alone") {
+    import s.implicits._
+    import org.apache.spark.sql.functions.col
+    val base = Files.createTempDirectory("graft_hll").toString
+    val store = s"$base/store"
+    // three scopes, known distinct counts: A={1..5}, B={10..13}, C={20..21}
+    val fact = ((1 to 5).map(k => ("A", k.toLong)) ++
+      (10 to 13).map(k => ("B", k.toLong)) ++
+      (20 to 21).map(k => ("C", k.toLong))).toDF("scope", "k")
+    graft.sources.SketchStore.build(fact, store, "scope", "k")
+    def scopeState(v: String): Seq[(String, Long, Long)] = {
+      val d = new java.io.File(s"$store/scope=$v")
+      d.listFiles().toSeq.map(f => (f.getName, f.length, f.lastModified))
+        .sortBy(_._1)
+    }
+    val (a0, c0) = (scopeState("A"), scopeState("C"))
+    // refresh scope B ONLY: the caller hands in just the changed slice
+    // (in production: a read of exactly that lake partition)
+    graft.sources.SketchStore.refresh(
+      (10 to 16).map(k => ("B", k.toLong)).toDF("scope", "k"), store, "scope", "k")
+    // unchanged scopes: same files, same bytes, same mtimes — untouched
+    assert(scopeState("A") == a0, "scope A must not be rewritten")
+    assert(scopeState("C") == c0, "scope C must not be rewritten")
+    // rollup from blobs ALONE: the fact frame is literal (no files), and
+    // the refreshed month's exact count reflects the new slice
+    val roll = graft.sources.SketchStore.rollup(s, store)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getBoolean(3))).toMap
+    assert(roll("A") == ((5L, 5L, true)))
+    assert(roll("B") == ((7L, 7L, true)), s"refreshed scope must re-count: ${roll("B")}")
+    assert(roll("C") == ((2L, 2L, true)))
+    assert(roll("global") == ((7L, 14L, true)))
+    // refresh is idempotent per scope: rerunning the same slice yields
+    // identical content (crash-rerun safety, same contract as mergeUpsert)
+    graft.sources.SketchStore.refresh(
+      (10 to 16).map(k => ("B", k.toLong)).toDF("scope", "k"), store, "scope", "k")
+    val roll2 = graft.sources.SketchStore.rollup(s, store)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getBoolean(3))).toMap
+    assert(roll2 == roll)
+  }
 }
