@@ -619,31 +619,42 @@ object Dedup extends QueryModule {
     * reachable node id). Reusable across any near-dup pair source
     * (SimHash, MinHash, embedding LSH).
     *
-    * Two-tier strategy, size-gated on the edge count (the same shape
-    * GraphFrames' connectedComponents uses):
-    *  - SMALL graphs (<= spark.graft.cc.localMaxEdges, default 20M edges):
-    *    exact union-find over the whole edge list in ONE executor partition
-    *    via mapPartitions — a single job, data never touches the driver.
-    *    Near-dup pair graphs are collision survivors, typically orders of
-    *    magnitude smaller than the corpus, so this is the common case even
-    *    at 100 TB.
-    *  - LARGE graphs: iterative min-label propagation with pointer jumping,
-    *    the standard distributed CC shape (GraphX/Pregel run the same
-    *    supersteps); the driver only ever sees per-round convergence counts.
+    * THREE-tier strategy, gated on MEASURED sizes (edge count, then star
+    * count), config `spark.graft.cc.localMaxEdges` (default 20M):
+    *  - SMALL graphs (edges <= gate): exact union-find over the whole
+    *    edge list in ONE executor partition via mapPartitions — a single
+    *    job, data never touches the driver. Near-dup pair graphs are
+    *    collision survivors, typically orders of magnitude smaller than
+    *    the corpus, so this is the common case even at 100 TB.
+    *  - MID tier (round 8): per-partition union-find CONTRACTION
+    *    ([[contractStars]]) runs in parallel over the big edge list, then
+    *    IF the measured star count fits the gate, the single-partition
+    *    tier finishes over the stars. This is the dense-graph fast path —
+    *    average degree above the partition count (a boilerplate flood's
+    *    clique-ish families) collapses E edges to ~V x P stars.
+    *  - LARGE sparse graphs (stars don't fit either): iterative
+    *    min-label propagation with pointer jumping, the standard
+    *    distributed CC shape (GraphX/Pregel run the same supersteps),
+    *    fed whichever frame is smaller (stars or raw edges); the driver
+    *    only ever sees per-round convergence counts.
     *
-    * The 20M default is MEASURED, not guessed ([[graft.CcBench]], local[32],
-    * chain graphs, min-of-2): union-find / iterative seconds were
-    * 22/40 at 5M edges, 36/78 at 10M, 51/83 at 20M, 103/167 at 40M — the
-    * single-partition tier stays 1.6-2x faster through 40M on this host, so
-    * the gate is NOT a local wall-clock crossover. It bounds (a) the one
-    * task's heap — the open-addressed parent map is ~1 GB at 20M edges and
-    * doubles at 40M — and (b) straggler latency (51s single-task at 20M vs
-    * 103s at 40M). On a real cluster the iterative tier's throughput scales
-    * with total cores while union-find is always one core, so the true
-    * crossover only moves DOWN with cluster size; 20M keeps the local tier
-    * for exactly the graphs where its single-job latency wins.
-    * Both paths produce the identical labeling (component label = minimum
-    * member id), pinned by the AnalyticsSpec random-graph property test.
+    * All numbers MEASURED ([[graft.CcBench]], local[32], min-of-2 unless
+    * noted; round 8). Chains (E ~ V, the sparse adversary — contraction
+    * cannot shrink them): union-find / iterative / two-level seconds were
+    * 60/59/65 at 20M, 125/254/129 at 40M (1 run), 227/651/285 at 80M
+    * (1 run). Dense ring components (512 nodes x degree 128, E = 128V —
+    * the flood shape): 50/133/6.0 at 64M edges — the mid tier is 8x
+    * faster than the best alternative, which is why it is wired in,
+    * star-gated so sparse graphs never pay for it beyond the one
+    * parallel contraction pass. The 20M single-task gate itself still
+    * bounds (a) the one task's heap — the open-addressed parent map is
+    * ~1 GB at 20M entries — and (b) straggler latency; on a real cluster
+    * the iterative tier's throughput scales with total cores while any
+    * single-task finish is one core, so the sparse crossover only moves
+    * DOWN with cluster size.
+    * All paths produce the identical labeling (component label = minimum
+    * member id), pinned by the AnalyticsSpec random-graph property test
+    * across forced gates.
     */
   def connectedComponents(pairs: DataFrame): DataFrame = {
     val s = pairs.sparkSession
@@ -656,7 +667,23 @@ object Dedup extends QueryModule {
     val localMax = s.conf.getOption("spark.graft.cc.localMaxEdges")
       .map(_.toLong).getOrElse(20000000L)
     if (edgeRows <= localMax) ccSinglePartition(raw)
-    else ccIterative(raw, edgeRows)
+    else {
+      // mid tier (round 8, MEASURED — see scaladoc table): contract each
+      // partition's subgraph in parallel, then gate on the star count the
+      // contraction actually produced. Dense graphs (degree >> partition
+      // count — the boilerplate-flood shape) collapse to ~nodes x
+      // partitions rows and finish in the single-partition tier at a
+      // fraction of the full-edge scan; sparse graphs (stars ~ 2E) fall
+      // through to the iterative tier, which then runs on whichever
+      // frame is smaller. The contraction pass is one parallel
+      // mapPartitions over data already materialized — noise next to
+      // either big-graph path it precedes.
+      val stars = contractStars(raw).localCheckpoint()
+      val starRows = stars.count()
+      if (starRows <= localMax) ccSinglePartition(stars)
+      else if (starRows < edgeRows) ccIterative(stars, starRows)
+      else ccIterative(raw, edgeRows)
+    }
   }
 
   /** Exact union-find (path compression, union-by-min so each root IS its
@@ -685,6 +712,50 @@ object Dedup extends QueryModule {
       nodes.iterator.map(k => (k, find(k)))
     }.toDF("n", "lab")
   }
+
+  /** Per-partition union-find CONTRACTION — the mid tier's parallel pass.
+    * Each input partition resolves its own subgraph exactly and emits one
+    * (node -> local root) star edge per node it saw; the union of all
+    * partitions' stars preserves global connectivity (any path in the
+    * original graph is a concatenation of within-partition segments, each
+    * contracted to its local star), so any CC algorithm over the stars
+    * yields the identical min-label components.
+    *
+    * What it buys: the downstream edge volume drops from E to at most one
+    * row per (node, partition) — a real reduction exactly when average
+    * degree exceeds the partition count (dense near-dup families, the
+    * boilerplate-flood shape). On sparse graphs (chains: E ~ V) stars are
+    * ~2E, which is why the caller gates on the MEASURED star count rather
+    * than assuming a win. The final task's heap is keyed by distinct
+    * nodes either way; star count >= node count, so the star gate is at
+    * least as strict as the edge gate it extends.
+    */
+  private[graft] def contractStars(raw: DataFrame): DataFrame = {
+    val s = raw.sparkSession
+    import s.implicits._
+    raw.as[(Long, Long)].mapPartitions { it =>
+      val parent = scala.collection.mutable.LongMap.empty[Long]
+      def find(x0: Long): Long = {
+        var x = x0
+        while (parent.getOrElse(x, x) != x) x = parent(x)
+        var y = x0
+        while (parent.getOrElse(y, y) != y) { val p = parent(y); parent(y) = x; y = p }
+        x
+      }
+      it.foreach { case (n, m) =>
+        parent.getOrElseUpdate(n, n); parent.getOrElseUpdate(m, m)
+        val rn = find(n); val rm = find(m)
+        if (rn != rm) { if (rn < rm) parent(rm) = rn else parent(rn) = rm }
+      }
+      val nodes = parent.keys.toArray
+      nodes.iterator.map(k => (k, find(k)))
+    }.toDF("n", "m")
+  }
+
+  /** Contraction + single-partition finish as one unit — the shape
+    * [[graft.CcBench]] times against the other tiers. */
+  private[graft] def ccTwoLevel(raw: DataFrame): DataFrame =
+    ccSinglePartition(contractStars(raw))
 
   /** Distributed iterative path for graphs too large for one partition. */
   private def ccIterative(raw: DataFrame, edgeRows0: Long): DataFrame = {
@@ -1143,6 +1214,117 @@ object Dedup extends QueryModule {
        |GROUP BY n.lang""".stripMargin
   }
 
+  /** The full production ingest LOOP, oracled end-to-end: screen batch 1
+    * against a fresh persisted corpus index, REFRESH the index with the
+    * docs batch 1 accepted ([[refreshIndex]] appends their signatures),
+    * then screen batch 2 — byte-copies of batch 1 — against the
+    * refreshed index. The sequencing is observable in the output: a
+    * batch-2 copy of an ACCEPTED batch-1 doc now screens `exact`
+    * (the refresh put it in the digest set), while copies of REJECTED
+    * batch-1 docs re-classify exactly as their originals did (the
+    * refresh added nothing for them). q131 proves one screen; this
+    * proves the screen-accept-refresh cycle a production pipeline runs
+    * forever, with the index mutation itself validated by the DuckDB
+    * oracle (which recomputes both stages from scratch).
+    *
+    * The index is (re)built at a loop-private path each call — the loop
+    * MUTATES its index, so it cannot share q131's frozen fixture index.
+    * Cost posture per batch is q131's: the batch's own signatures plus
+    * equi-joins; the refresh appends the accepted reps' already-computed
+    * signature rows (identical texts yield identical signatures, so the
+    * oracle's recompute-from-scratch equals the engine's append).
+    */
+  def screenLoop(s: SparkSession, dir: String): DataFrame = {
+    tune(s)
+    val corpus = augmentedDocs(s, dir).filter(col("doc_id") < 100000L)
+    val b1 = augmentedDocs(s, dir)
+      .filter(col("doc_id") >= 100000L && col("doc_id") < 200000L)
+    val b2 = b1.select((col("doc_id") + 300000L).as("doc_id"), col("text"), col("lang"))
+    val path = "target/tmp/idx_loop_" + dir.replaceAll("[^A-Za-z0-9.]+", "_")
+    persistIndex(buildIndex(corpus), path)
+    // localCheckpoint, NOT persist: the decisions must be FROZEN before the
+    // refresh mutates the index — an appended index file would otherwise
+    // reach back into batch 1's plan (a cache over a file source is
+    // re-cached on writes to its path), re-classifying already-accepted
+    // docs as duplicates of themselves. The checkpoint materializes the
+    // admission decisions eagerly and cuts the file-source lineage —
+    // exactly what writing the admission log before refreshing does in
+    // the streaming form (q134).
+    val d1 = screenBatch(loadIndex(s, path), b1).localCheckpoint()
+    val accepted1 = b1.join(
+      d1.filter(col("decision") === "accept").select(col("doc_id")), "doc_id")
+    refreshIndex(s, path, accepted1)
+    val d2 = screenBatch(loadIndex(s, path), b2)
+    screenSummary(d1, b1).withColumn("batch", lit("b1"))
+      .unionByName(screenSummary(d2, b2).withColumn("batch", lit("b2")))
+      .select(col("batch"), col("lang"), col("n_new"),
+        col("n_rej_exact"), col("n_rej_near"), col("n_accept"))
+  }
+
+  private val screenLoopSql = {
+    val sim = (0 until 16).map(j => s"CASE WHEN a.m$j = b.m$j THEN 1 ELSE 0 END").mkString(" + ")
+    s"""WITH $augmentedDocsSql,
+       |corpus AS (SELECT * FROM docs WHERE doc_id < 100000),
+       |newb1 AS (SELECT * FROM docs WHERE doc_id >= 100000 AND doc_id < 200000),
+       |newb2 AS (SELECT doc_id + 300000 AS doc_id, text, lang FROM newb1),
+       |rep_cor AS (SELECT MIN(doc_id) AS doc_id, text FROM corpus GROUP BY text),
+       |rep_n1 AS (SELECT MIN(doc_id) AS doc_id, text FROM newb1 GROUP BY text),
+       |rep_n2 AS (SELECT MIN(doc_id) AS doc_id, text FROM newb2 GROUP BY text),
+       |${sideSigsSql("cor")},
+       |${sideSigsSql("n1")},
+       |${sideSigsSql("n2")},
+       |cand1 AS (
+       |  SELECT DISTINCT n.doc_id AS nid, c.doc_id AS cid
+       |  FROM bands_n1 n JOIN bands_cor c ON n.band = c.band AND n.bk = c.bk),
+       |near1 AS (
+       |  SELECT DISTINCT nid FROM cand1
+       |  JOIN sigs_n1 a ON a.doc_id = nid
+       |  JOIN sigs_cor b ON b.doc_id = cid
+       |  WHERE ($sim) / 16.0 >= 0.5),
+       |exact1 AS (SELECT doc_id AS nid FROM rep_n1 WHERE text IN (SELECT text FROM corpus)),
+       |acc1 AS (SELECT doc_id, text FROM rep_n1
+       |         WHERE doc_id NOT IN (SELECT nid FROM exact1)
+       |           AND doc_id NOT IN (SELECT nid FROM near1)),
+       |idx_sigs AS (SELECT * FROM sigs_cor
+       |             UNION ALL
+       |             SELECT s.* FROM sigs_n1 s JOIN acc1 ON acc1.doc_id = s.doc_id),
+       |idx_bands AS (SELECT * FROM bands_cor
+       |              UNION ALL
+       |              SELECT b.* FROM bands_n1 b JOIN acc1 ON acc1.doc_id = b.doc_id),
+       |cand2 AS (
+       |  SELECT DISTINCT n.doc_id AS nid, c.doc_id AS cid
+       |  FROM bands_n2 n JOIN idx_bands c ON n.band = c.band AND n.bk = c.bk),
+       |near2 AS (
+       |  SELECT DISTINCT nid FROM cand2
+       |  JOIN sigs_n2 a ON a.doc_id = nid
+       |  JOIN idx_sigs b ON b.doc_id = cid
+       |  WHERE ($sim) / 16.0 >= 0.5),
+       |exact2 AS (SELECT doc_id AS nid FROM rep_n2
+       |           WHERE text IN (SELECT text FROM corpus)
+       |              OR text IN (SELECT text FROM acc1)),
+       |s1 AS (
+       |  SELECT 'b1' AS batch, n.lang, COUNT(*) AS n_new,
+       |  CAST(SUM(CASE WHEN e.nid IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_rej_exact,
+       |  CAST(SUM(CASE WHEN e.nid IS NULL AND nr.nid IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_rej_near,
+       |  CAST(SUM(CASE WHEN e.nid IS NULL AND nr.nid IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_accept
+       |  FROM newb1 n
+       |  JOIN rep_n1 g ON g.text = n.text
+       |  LEFT JOIN exact1 e ON e.nid = g.doc_id
+       |  LEFT JOIN near1 nr ON nr.nid = g.doc_id
+       |  GROUP BY n.lang),
+       |s2 AS (
+       |  SELECT 'b2' AS batch, n.lang, COUNT(*) AS n_new,
+       |  CAST(SUM(CASE WHEN e.nid IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_rej_exact,
+       |  CAST(SUM(CASE WHEN e.nid IS NULL AND nr.nid IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_rej_near,
+       |  CAST(SUM(CASE WHEN e.nid IS NULL AND nr.nid IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_accept
+       |  FROM newb2 n
+       |  JOIN rep_n2 g ON g.text = n.text
+       |  LEFT JOIN exact2 e ON e.nid = g.doc_id
+       |  LEFT JOIN near2 nr ON nr.nid = g.doc_id
+       |  GROUP BY n.lang)
+       |SELECT * FROM s1 UNION ALL SELECT * FROM s2""".stripMargin
+  }
+
   /** Train/test split leakage: near-dup pairs that CROSS the q125 split
     * boundary — each such pair is an eval-contamination event (a test doc
     * whose near-copy was trained on), the thing dedup-before-split exists
@@ -1219,6 +1401,9 @@ object Dedup extends QueryModule {
     GQuery("q132_split_leakage",
       "near-dup pairs crossing the train/val/test split boundary (eval contamination audit)",
       splitLeakage, Some(splitLeakageSql)),
+    GQuery("q143_screen_loop",
+      "screen -> accept -> refreshIndex -> screen: the persisted-index ingest cycle, both stages oracled",
+      screenLoop, Some(screenLoopSql)),
     GQuery("q135_softdedup_weights",
       "soft dedup: 1/cluster-size document weights (integer ppm), per-lang effective corpus size",
       softDedupWeights, Some(softDedupWeightsSql)),

@@ -189,6 +189,45 @@ class AnalyticsSpec extends AnyFunSuite {
       val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
       assert(labels.keySet == nodes.toSet)
       nodes.foreach(nd => assert(labels(nd) == find(nd), s"node $nd"))
+      // the mid-tier (per-partition contraction + finish) must produce
+      // the identical labeling from any partitioning
+      val tl = Dedup.ccTwoLevel(
+          edges.toDF("n", "m").repartition(4)
+            .select(col("n").cast("long"), col("m").cast("long")))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(tl == labels, "two-level labeling must equal the gated tiers'")
+    }
+  }
+
+  test("CC three-tier gate: dense graph takes the star path, sparse falls through") {
+    import s.implicits._
+    // one 30-clique (435 edges) + a 12-node chain: dense enough that
+    // 4-partition contraction shrinks it well below the edge count
+    val clique = for (i <- 0 until 30; j <- i + 1 until 30) yield (i.toLong, j.toLong)
+    val chain = (100 until 111).map(i => (i.toLong, i.toLong + 1))
+    val edges = clique ++ chain
+    val ref = {
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        val p = parent.getOrElse(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      edges.foreach { case (x, y) =>
+        val (rx, ry) = (find(x), find(y))
+        if (rx != ry) parent(math.max(rx, ry)) = math.min(rx, ry)
+      }
+      edges.flatMap(e => Seq(e._1, e._2)).distinct.map(n => n -> find(n)).toMap
+    }
+    // gate between star count (<= ~42 nodes x 4 partitions ~ 168) and edge
+    // count (447): edges exceed it, stars fit -> mid tier must run AND be
+    // correct. Then a tiny gate (stars exceed too) -> iterative-on-stars.
+    for (gate <- Seq("300", "5")) {
+      s.conf.set("spark.graft.cc.localMaxEdges", gate)
+      val got = try {
+        Dedup.connectedComponents(edges.toDF("da", "db").repartition(4))
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      } finally s.conf.unset("spark.graft.cc.localMaxEdges")
+      assert(got == ref, s"gate=$gate labeling must match the reference")
     }
   }
 
