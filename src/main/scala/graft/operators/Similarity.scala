@@ -478,10 +478,13 @@ object Similarity extends QueryModule {
           throw new IllegalStateException(s"vec index at $path has no bits meta")).toInt)
   }
 
-  def embeddingScreen(s: SparkSession, dir: String): DataFrame = {
-    tune(s)
+  /** The deterministic synthetic arrival batch of the q140/q144 rigs:
+    * byte-copies (+100000, exact tier), 2x-scaled copies (+200000, near
+    * tier — power-of-two scaling is float-exact and sign-preserving),
+    * negated vectors (+300000, accept tier). */
+  private[graft] def syntheticVecBatch(s: SparkSession, dir: String): DataFrame = {
     val base = table(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
-    val newb = base.filter(col("vec_id") % 5 === 0)
+    base.filter(col("vec_id") % 5 === 0)
         .select((col("vec_id") + 100000L).as("vec_id"), col("embedding"))
       .unionByName(base.filter(col("vec_id") % 7 === 0)
         .select((col("vec_id") + 200000L).as("vec_id"),
@@ -490,15 +493,33 @@ object Similarity extends QueryModule {
       .unionByName(base.filter(col("vec_id") % 11 === 0)
         .select((col("vec_id") + 300000L).as("vec_id"),
           expr("transform(embedding, x -> CAST(-x AS FLOAT))").as("embedding")))
-    screenVecBatch(corpusVecIndex(s, dir), newb)
+  }
+
+  /** Screen one arriving vector batch against the persisted fixture index —
+    * the per-micro-batch entry point of the streaming form (q144); q140 is
+    * its one-shot batch form. A vector's decision depends only on itself
+    * vs the index, so any batching yields identical per-vector decisions. */
+  def screenVecBatch(s: SparkSession, dir: String, batch: DataFrame): DataFrame = {
+    tune(s)
+    screenVecBatch(corpusVecIndex(s, dir), batch)
+  }
+
+  /** Per-slice admission rollup shared by q140 and the streaming q144
+    * (which MUST agree with it row-for-row). */
+  private[graft] def vecScreenSummary(decisions: DataFrame): DataFrame =
+    decisions
       .groupBy(expr("vec_id div 100000").as("slice"))
       .agg(count(lit(1)).as("n"),
         sum(when(col("decision") === "exact", 1).otherwise(0)).as("n_exact"),
         sum(when(col("decision") === "near", 1).otherwise(0)).as("n_near"),
         sum(when(col("decision") === "accept", 1).otherwise(0)).as("n_accept"))
+
+  def embeddingScreen(s: SparkSession, dir: String): DataFrame = {
+    tune(s)
+    vecScreenSummary(screenVecBatch(s, dir, syntheticVecBatch(s, dir)))
   }
 
-  private val embeddingScreenSql = {
+  private[graft] val embeddingScreenSql = {
     def flatOf(side: String, src: String) =
       s"""flat_$side AS (
          |  SELECT vec_id, i AS pos, CAST(embedding[i] AS DOUBLE) AS xd

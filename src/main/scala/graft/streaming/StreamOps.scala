@@ -485,6 +485,64 @@ object StreamOps extends QueryModule {
     }
   }
 
+  /** Streaming incremental VECTOR screening — q134's pattern for the
+    * embedding side, completing the symmetry: new vectors arrive as
+    * files, each micro-batch is screened against the persisted frozen
+    * sign-LSH index ([[graft.operators.Similarity.screenVecBatch]]), and
+    * the per-vector decisions land in a batchId-scoped admission log
+    * (replay-idempotent, as q134). A vector's decision depends only on
+    * itself vs the index, so any micro-batch partitioning yields
+    * identical decisions — the rollup is verified against the SAME
+    * oracle as the one-shot batch q140: streaming == batch for the
+    * vector family too, machine-checked.
+    */
+  def streamVecScreen(s: SparkSession, dir: String): DataFrame = {
+    tune(s)
+    withStatePartitions(s, 8) {
+      val newB = graft.operators.Similarity.syntheticVecBatch(s, dir)
+      val schema = newB.schema
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        new java.net.URI("file:///"), s.sparkContext.hadoopConfiguration)
+      val srcDir = stagedOnce(s"vscreen:$dir") { sd =>
+        def stage(df: DataFrame, name: String, mtime: Long): Unit = {
+          val tmp = s"$sd/.stage_$name"
+          df.coalesce(1).write.mode("overwrite").parquet(tmp)
+          val parts = fs.globStatus(new org.apache.hadoop.fs.Path(s"$tmp/part-*.parquet"))
+          require(parts != null && parts.nonEmpty, s"no part file staged for $name")
+          val part = parts(0).getPath
+          val dest = new org.apache.hadoop.fs.Path(s"$sd/$name.parquet")
+          fs.rename(part, dest)
+          fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+          fs.setTimes(dest, mtime, -1)
+        }
+        val t0 = 1000000000000L
+        stage(newB.filter(col("vec_id") % 2 === 0), "b0_even", t0)
+        stage(newB.filter(col("vec_id") % 2 === 1), "b1_odd", t0 + 600000L)
+      }
+      val out = s"$ckBase/vscreen_out_${counter.incrementAndGet()}"
+      val src = s.readStream
+        .schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(srcDir)
+      val qname = s"graft_stream_vscreen_${counter.incrementAndGet()}"
+      val q = src.writeStream
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          graft.operators.Similarity.screenVecBatch(batch.sparkSession, dir, batch)
+            .write.mode("overwrite").parquet(s"$out/batch=$batchId")
+          ()
+        }
+        .option("checkpointLocation", s"$ckBase/$qname")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val batches = q.recentProgress.count(_.numInputRows > 0)
+      require(batches >= 2, s"vector screen harness needs >= 2 non-empty micro-batches, got $batches")
+      dropCheckpoint(s"$ckBase/$qname")
+      graft.operators.Similarity.vecScreenSummary(
+        s.read.parquet(out).select(col("vec_id"), col("decision")))
+    }
+  }
+
   override val queries: Seq[GQuery] = Seq(
     // Same oracle as the batch q71 — proves streaming == batch.
     GQuery("q84_stream_hourly",
@@ -509,5 +567,9 @@ object StreamOps extends QueryModule {
     GQuery("q134_stream_screen",
       "streaming incremental dedup: per-micro-batch screening against the frozen index; oracle == batch q131",
       streamScreen, Some(graft.operators.Dedup.incrementalNearDupSql)),
+    // Same oracle as the batch q140 — the vector family's streaming == batch.
+    GQuery("q144_stream_vec_screen",
+      "streaming incremental vector screening against the persisted sign-LSH index; oracle == batch q140",
+      streamVecScreen, Some(graft.operators.Similarity.embeddingScreenSql)),
   )
 }
