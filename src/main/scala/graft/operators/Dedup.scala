@@ -1227,21 +1227,21 @@ object Dedup extends QueryModule {
     * forever, with the index mutation itself validated by the DuckDB
     * oracle (which recomputes both stages from scratch).
     *
-    * The index is (re)built at a loop-private path each call — the loop
-    * MUTATES its index, so it cannot share q131's frozen fixture index.
-    * Cost posture per batch is q131's: the batch's own signatures plus
-    * equi-joins; the refresh appends the accepted reps' already-computed
-    * signature rows (identical texts yield identical signatures, so the
-    * oracle's recompute-from-scratch equals the engine's append).
+    * The loop MUTATES its index, so it cannot share q131's frozen
+    * fixture index: batch 1 screens against the (session-cached,
+    * content-identical) fixture index, which is then BRANCHED — a pure
+    * file copy via [[graft.sources.IndexStore.copy]], no recompute — to
+    * a loop-private path that the refresh appends to. Cost posture per
+    * batch is q131's: the batch's own signatures plus equi-joins; the
+    * refresh appends the accepted reps' already-computed signature rows
+    * (identical texts yield identical signatures, so the oracle's
+    * recompute-from-scratch equals the engine's append).
     */
   def screenLoop(s: SparkSession, dir: String): DataFrame = {
     tune(s)
-    val corpus = augmentedDocs(s, dir).filter(col("doc_id") < 100000L)
     val b1 = augmentedDocs(s, dir)
       .filter(col("doc_id") >= 100000L && col("doc_id") < 200000L)
     val b2 = b1.select((col("doc_id") + 300000L).as("doc_id"), col("text"), col("lang"))
-    val path = "target/tmp/idx_loop_" + dir.replaceAll("[^A-Za-z0-9.]+", "_")
-    persistIndex(buildIndex(corpus), path)
     // localCheckpoint, NOT persist: the decisions must be FROZEN before the
     // refresh mutates the index — an appended index file would otherwise
     // reach back into batch 1's plan (a cache over a file source is
@@ -1250,7 +1250,9 @@ object Dedup extends QueryModule {
     // admission decisions eagerly and cuts the file-source lineage —
     // exactly what writing the admission log before refreshing does in
     // the streaming form (q134).
-    val d1 = screenBatch(loadIndex(s, path), b1).localCheckpoint()
+    val d1 = screenBatch(s, dir, b1).localCheckpoint()
+    val path = "target/tmp/idx_loop_" + dir.replaceAll("[^A-Za-z0-9.]+", "_")
+    graft.sources.IndexStore.copy(s, fixtureIndexPath(dir), path)
     val accepted1 = b1.join(
       d1.filter(col("decision") === "accept").select(col("doc_id")), "doc_id")
     refreshIndex(s, path, accepted1)

@@ -107,15 +107,39 @@ object IndexStore {
             meta: Map[String, String] = Map.empty): Unit = {
     val live = new Path(path)
     val fs = fsOf(s, live)
-    val tmp = new Path(live.getParent, s".${live.getName}_building")
-    if (fs.exists(tmp)) fs.delete(tmp, true)
+    // tmp name unique per process+attempt: two JVMs building the same
+    // index concurrently (e.g. Verify and Bench racing on a shared
+    // target/) stage independently instead of corrupting a shared tmp
+    val tag = java.lang.management.ManagementFactory.getRuntimeMXBean.getName
+      .replaceAll("[^A-Za-z0-9]", "") + "_" + System.nanoTime()
+    val tmp = new Path(live.getParent, s".${live.getName}_building_$tag")
     tables.foreach { case (name, df) =>
       df.write.mode("overwrite").parquet(new Path(tmp, name).toString)
     }
     writeStamp(s, tmp.toString, stamp, meta)
     if (fs.exists(live)) fs.delete(live, true)
-    if (!fs.rename(tmp, live))
-      throw new java.io.IOException(s"index swap: cannot rename $tmp -> $live")
+    if (!fs.rename(tmp, live)) {
+      // a concurrent writer may have swapped its copy in between our
+      // delete and rename; if what's live validates against OUR stamp,
+      // the index is correct and the race is benign — drop our copy
+      fs.delete(tmp, true)
+      if (!isCurrent(s, path, stamp))
+        throw new java.io.IOException(s"index swap: cannot rename $tmp -> $live")
+    }
+  }
+
+  /** Copy a stored index wholesale — "branch" it before mutating with
+    * [[append]] (the ingest loop's refresh target), leaving the source
+    * frozen. Pure file copy: no recompute, no scan of anything the
+    * index was built from. */
+  def copy(s: SparkSession, from: String, to: String): Unit = {
+    val src = new Path(from)
+    val dst = new Path(to)
+    val fs = fsOf(s, src)
+    if (fs.exists(dst)) fs.delete(dst, true)
+    if (!org.apache.hadoop.fs.FileUtil.copy(fs, src, fs, dst, false,
+        s.sparkContext.hadoopConfiguration))
+      throw new java.io.IOException(s"index copy: $from -> $to failed")
   }
 
   /** Read one named table of a stored index. */
