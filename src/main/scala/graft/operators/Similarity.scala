@@ -457,8 +457,12 @@ object Similarity extends QueryModule {
     * thereafter — across queries via the session cache, across process
     * restarts via the store. Build-vs-load serialized under the object
     * lock. */
+  /** On-disk location of the fixture vector index for `dir`. */
+  private[graft] def fixtureVecIndexPath(dir: String): String =
+    "target/graft_index/vec_" + dir.replaceAll("[^A-Za-z0-9.]+", "_")
+
   private def corpusVecIndex(s: SparkSession, dir: String): VecIndex = {
-    val path = "target/graft_index/vec_" + dir.replaceAll("[^A-Za-z0-9.]+", "_")
+    val path = fixtureVecIndexPath(dir)
     synchronized {
       val stamp = graft.sources.IndexStore.sourceStamp(s, Seq(s"$dir/embeddings.parquet"))
       if (!graft.sources.IndexStore.isCurrent(s, path, stamp))
@@ -517,6 +521,136 @@ object Similarity extends QueryModule {
   def embeddingScreen(s: SparkSession, dir: String): DataFrame = {
     tune(s)
     vecScreenSummary(screenVecBatch(s, dir, syntheticVecBatch(s, dir)))
+  }
+
+  /** The vector family's full ingest LOOP, oracled end-to-end — q143's
+    * twin: screen batch 1 against the persisted fixture index, BRANCH
+    * the index (pure file copy), refresh the branch with the vectors
+    * batch 1 accepted ([[refreshVecIndex]] appends their digests, reps,
+    * and band rows), then screen batch 2 — byte-copies of batch 1,
+    * vec_id + 400000 — against the refreshed branch. The sequencing is
+    * observable: copies of ACCEPTED batch-1 vectors (the negated
+    * family) now screen `exact`, while copies of rejected ones
+    * re-classify exactly as their originals did. The DuckDB oracle
+    * recomputes both stages from scratch, index mutation included
+    * (its refreshed index carries per-doc entries where the engine
+    * appends one rep per unique vector — decision sets are identical,
+    * the same equivalence the q143 oracle uses).
+    */
+  def screenVecLoop(s: SparkSession, dir: String): DataFrame = {
+    tune(s)
+    val b1 = syntheticVecBatch(s, dir)
+    val b2 = b1.select((col("vec_id") + 400000L).as("vec_id"), col("embedding"))
+    // frozen before the branch mutates (and reused by the refresh and the
+    // final summary without recompute)
+    val d1 = screenVecBatch(s, dir, b1).localCheckpoint()
+    val path = "target/tmp/vidx_loop_" + dir.replaceAll("[^A-Za-z0-9.]+", "_")
+    graft.sources.IndexStore.copy(s, fixtureVecIndexPath(dir), path)
+    val accepted1 = b1.join(
+      d1.filter(col("decision") === "accept").select(col("vec_id")), "vec_id")
+    refreshVecIndex(s, path, accepted1)
+    val d2 = screenVecBatch(loadVecIndex(s, path), b2)
+    vecScreenSummary(d1).withColumn("batch", lit("b1"))
+      .unionByName(vecScreenSummary(d2).withColumn("batch", lit("b2")))
+      .select(col("batch"), col("slice"), col("n"),
+        col("n_exact"), col("n_near"), col("n_accept"))
+  }
+
+  private val screenVecLoopSql = {
+    def flatOf(side: String, src: String) =
+      s"""flat_$side AS (
+         |  SELECT vec_id, i AS pos, CAST(embedding[i] AS DOUBLE) AS xd
+         |  FROM (SELECT vec_id, embedding, unnest(range(1, len(embedding)+1)) AS i
+         |        FROM $src)),
+         |norms_$side AS (
+         |  SELECT vec_id, sqrt(CAST(SUM(CAST(xd*xd AS DECIMAL(38,20))) AS DOUBLE)) AS nrm
+         |  FROM flat_$side GROUP BY vec_id),
+         |dots_$side AS (SELECT f.vec_id, h.j,
+         |    CAST(SUM(CAST(f.xd * (CAST(h.w AS DOUBLE) / 1000.0) AS DECIMAL(38,20))) AS DOUBLE) AS d
+         |  FROM flat_$side f JOIN H h ON f.pos = h.pos
+         |  GROUP BY f.vec_id, h.j),
+         |buckets_$side AS (SELECT vec_id, j // (SELECT b FROM bits) AS band,
+         |    CAST(SUM(CASE WHEN d >= 0 THEN (1::BIGINT << (j % (SELECT b FROM bits))) ELSE 0 END) AS BIGINT) AS bucket
+         |  FROM dots_$side GROUP BY vec_id, j // (SELECT b FROM bits))""".stripMargin
+    def summaryOf(name: String, tag: String, newb: String, exact: String, near: String) =
+      s"""$name AS (
+         |  SELECT '$tag' AS batch, n.vec_id // 100000 AS slice, COUNT(*) AS n,
+         |  CAST(SUM(CASE WHEN e.nid IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_exact,
+         |  CAST(SUM(CASE WHEN e.nid IS NULL AND nr.nid IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_near,
+         |  CAST(SUM(CASE WHEN e.nid IS NULL AND nr.nid IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_accept
+         |  FROM $newb n
+         |  LEFT JOIN $exact e ON e.nid = n.vec_id
+         |  LEFT JOIN $near nr ON nr.nid = n.vec_id
+         |  GROUP BY 2)""".stripMargin
+    s"""WITH base AS (SELECT vec_id, embedding FROM embeddings),
+       |newb1 AS (
+       |  SELECT vec_id + 100000 AS vec_id, embedding FROM base WHERE vec_id % 5 = 0
+       |  UNION ALL
+       |  SELECT vec_id + 200000, list_transform(embedding, x -> CAST(x * CAST(2.0 AS FLOAT) AS FLOAT))
+       |  FROM base WHERE vec_id % 7 = 0
+       |  UNION ALL
+       |  SELECT vec_id + 300000, list_transform(embedding, x -> CAST(-x AS FLOAT))
+       |  FROM base WHERE vec_id % 11 = 0),
+       |newb2 AS (SELECT vec_id + 400000 AS vec_id, embedding FROM newb1),
+       |bits AS (SELECT CAST(least(24, greatest(8, ceil(log2(COUNT(*))))) AS INT) AS b
+       |         FROM base),
+       |H AS (SELECT j, pos,
+       |        (('0x' || substr(md5(CAST(j AS VARCHAR) || '_' || CAST(pos AS VARCHAR)), 1, 15))::BIGINT % 2001 - 1000) AS w
+       |      FROM range(96) t(j), range(1, 65) p(pos)
+       |      WHERE j < $LshBands * (SELECT b FROM bits)),
+       |${flatOf("c", "base")},
+       |${flatOf("n1", "newb1")},
+       |${flatOf("n2", "newb2")},
+       |exact1 AS (SELECT DISTINCT n.vec_id AS nid
+       |           FROM newb1 n JOIN base c ON n.embedding = c.embedding),
+       |cand1 AS (SELECT DISTINCT n.vec_id AS nid, c.vec_id AS cid
+       |          FROM buckets_n1 n JOIN buckets_c c
+       |          ON n.band = c.band AND n.bucket = c.bucket),
+       |pd1 AS (SELECT p.nid, p.cid,
+       |          CAST(SUM(CAST(x.xd * y.xd AS DECIMAL(38,20))) AS DOUBLE) AS dot
+       |        FROM cand1 p
+       |        JOIN flat_n1 x ON x.vec_id = p.nid
+       |        JOIN flat_c y ON y.vec_id = p.cid AND y.pos = x.pos
+       |        GROUP BY p.nid, p.cid),
+       |near1 AS (SELECT DISTINCT pd1.nid FROM pd1
+       |          JOIN norms_n1 a ON a.vec_id = pd1.nid
+       |          JOIN norms_c b ON b.vec_id = pd1.cid
+       |          WHERE round(pd1.dot / (a.nrm * b.nrm), 9) >= 0.8),
+       |acc1 AS (SELECT vec_id FROM newb1
+       |         WHERE vec_id NOT IN (SELECT nid FROM exact1)
+       |           AND vec_id NOT IN (SELECT nid FROM near1)),
+       |flat_idx AS (SELECT * FROM flat_c
+       |             UNION ALL
+       |             SELECT f.* FROM flat_n1 f JOIN acc1 a ON a.vec_id = f.vec_id),
+       |norms_idx AS (SELECT * FROM norms_c
+       |              UNION ALL
+       |              SELECT f.* FROM norms_n1 f JOIN acc1 a ON a.vec_id = f.vec_id),
+       |buckets_idx AS (SELECT * FROM buckets_c
+       |                UNION ALL
+       |                SELECT f.* FROM buckets_n1 f JOIN acc1 a ON a.vec_id = f.vec_id),
+       |exact2 AS (SELECT DISTINCT n.vec_id AS nid
+       |           FROM newb2 n JOIN base c ON n.embedding = c.embedding
+       |           UNION
+       |           SELECT DISTINCT n.vec_id
+       |           FROM newb2 n
+       |           JOIN newb1 m ON m.embedding = n.embedding
+       |           JOIN acc1 a ON a.vec_id = m.vec_id),
+       |cand2 AS (SELECT DISTINCT n.vec_id AS nid, c.vec_id AS cid
+       |          FROM buckets_n2 n JOIN buckets_idx c
+       |          ON n.band = c.band AND n.bucket = c.bucket),
+       |pd2 AS (SELECT p.nid, p.cid,
+       |          CAST(SUM(CAST(x.xd * y.xd AS DECIMAL(38,20))) AS DOUBLE) AS dot
+       |        FROM cand2 p
+       |        JOIN flat_n2 x ON x.vec_id = p.nid
+       |        JOIN flat_idx y ON y.vec_id = p.cid AND y.pos = x.pos
+       |        GROUP BY p.nid, p.cid),
+       |near2 AS (SELECT DISTINCT pd2.nid FROM pd2
+       |          JOIN norms_n2 a ON a.vec_id = pd2.nid
+       |          JOIN norms_idx b ON b.vec_id = pd2.cid
+       |          WHERE round(pd2.dot / (a.nrm * b.nrm), 9) >= 0.8),
+       |${summaryOf("s1", "b1", "newb1", "exact1", "near1")},
+       |${summaryOf("s2", "b2", "newb2", "exact2", "near2")}
+       |SELECT * FROM s1 UNION ALL SELECT * FROM s2""".stripMargin
   }
 
   private[graft] val embeddingScreenSql = {
@@ -788,5 +922,8 @@ object Similarity extends QueryModule {
     GQuery("q140_embedding_screen",
       "incremental vector screening vs a frozen sign-LSH index: exact/near/accept per batch slice",
       embeddingScreen, Some(embeddingScreenSql)),
+    GQuery("q145_vec_screen_loop",
+      "vector screen -> accept -> refreshVecIndex -> screen: the persisted-index ingest cycle, both stages oracled",
+      screenVecLoop, Some(screenVecLoopSql)),
   )
 }
