@@ -194,4 +194,23 @@ class ScaleOpsSpec extends AnyFunSuite {
     val counts = rows.map(_.getLong(2))
     assert(counts.zip(counts.tail).forall { case (a, b) => a >= b })
   }
+
+  test("q142 rollup plan reads ONLY the sketch store, never the fact table") {
+    // the operator's reason to exist: after the build, rollups must not
+    // rescan orders — prove it at the PLAN level, not by timing
+    val df = ScaleOps.sketchStore(s, TestSpark.sf) // ensures the store exists
+    val scanned = df.queryExecution.optimizedPlan.collect {
+      case r: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        r.relation match {
+          case h: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+            h.location.rootPaths.map(_.toString)
+          case _ => Seq.empty
+        }
+    }.flatten
+    assert(scanned.nonEmpty, "rollup must scan the blob store")
+    assert(scanned.forall(_.contains("graft_index/hll_")),
+      s"rollup must scan only sketch blobs, scanned: $scanned")
+    assert(!scanned.exists(_.contains("orders.parquet")),
+      "rollup must never touch the fact table")
+  }
 }
