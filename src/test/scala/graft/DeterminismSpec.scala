@@ -39,6 +39,15 @@ class DeterminismSpec extends AnyFunSuite {
     assert(a == b)
   }
 
+  test("persisted-index screening loop is identical under 2 vs 16 partitions") {
+    // the most stateful query in the registry: index build/load, branch
+    // copy, refresh append, two screens — the summary must not depend on
+    // how any of those stages were parallelized
+    val a = underPartitions(2)(collectSorted(Dedup.screenLoop(s, TestSpark.sf)))
+    val b = underPartitions(16)(collectSorted(Dedup.screenLoop(s, TestSpark.sf)))
+    assert(a == b)
+  }
+
   test("cdc apply and importance resample are identical under 1 vs 16 partitions") {
     val a1 = underPartitions(1)(collectSorted(ScaleOps.cdcApply(s, TestSpark.sf)))
     val b1 = underPartitions(16)(collectSorted(ScaleOps.cdcApply(s, TestSpark.sf)))
