@@ -1092,17 +1092,46 @@ object Dedup extends QueryModule {
     * per-refresh cost is the accepted docs' own signatures. The appended
     * band rows are capped within the increment; a bucket could therefore
     * exceed [[BandCap]] across many refreshes — the cap is a flood bound,
-    * not a correctness invariant, and a periodic rebuild (re-persist from
-    * the full corpus) restores it exactly like lake compaction restores
-    * file sizing. The probe joins tolerate the duplicate digests/sig rows
-    * a careless double-refresh would add (decision sets are DISTINCT'd),
-    * so refresh is idempotence-tolerant, not idempotent.
+    * not a correctness invariant, and a periodic [[compactIndex]]
+    * restores it FROM THE STORED TABLES ALONE (no corpus needed),
+    * exactly like lake compaction restores file sizing. The probe joins
+    * tolerate the duplicate digests/sig rows a careless double-refresh
+    * would add (decision sets are DISTINCT'd), so refresh is
+    * idempotence-tolerant, not idempotent.
     */
   def refreshIndex(s: SparkSession, path: String, accepted: DataFrame): Unit = {
     val add = buildIndex(accepted)
     graft.sources.IndexStore.append(s, path, "digests", add.digests)
     graft.sources.IndexStore.append(s, path, "sigs", add.sigs)
     graft.sources.IndexStore.append(s, path, "bands", add.bands)
+  }
+
+  /** Compact a persisted index in place — the maintenance op a
+    * refresh-forever ingest loop eventually needs, restoring EXACTLY the
+    * invariants of a fresh [[buildIndex]] without touching any corpus:
+    * duplicate digest/signature rows from idempotence-tolerant
+    * double-refreshes collapse, the band table is recomputed from the
+    * deduplicated signatures with the global [[BandCap]] re-applied
+    * (per-increment appends cap only within themselves), and each table
+    * lands in freshly-written files (many small refresh appends →
+    * O(data/target) files, same motivation as [[graft.sources.Storage.compact]]).
+    * Input is ONLY the stored tables; the stamp is preserved (the source
+    * corpus it fingerprints is unchanged by a layout rewrite). The swap
+    * is the same write-then-rename as any build — readers mid-compact
+    * see old or new, never a mix.
+    */
+  def compactIndex(s: SparkSession, path: String): Unit = {
+    val idx = loadIndex(s, path)
+    val sigs = idx.sigs.dropDuplicates("doc_id")
+    // localCheckpoint: the rewrite READS the very files it will replace —
+    // materialize first, exactly as screenLoop freezes decisions
+    val digests = idx.digests.distinct().localCheckpoint()
+    val sigsC = sigs.localCheckpoint()
+    val stamp = graft.sources.IndexStore.readStamp(s, path).getOrElse("manual")
+    graft.sources.IndexStore.write(s, path, stamp, Seq(
+      "digests" -> digests,
+      "sigs" -> sigsC,
+      "bands" -> capBuckets(bandRows(sigsC), Seq("band", "bk"), BandCap)))
   }
 
   /** On-disk location of the fixture corpus index for `dir` — under

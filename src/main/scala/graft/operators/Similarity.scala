@@ -457,6 +457,23 @@ object Similarity extends QueryModule {
     * thereafter — across queries via the session cache, across process
     * restarts via the store. Build-vs-load serialized under the object
     * lock. */
+  /** Compact a persisted vector index in place — [[Dedup.compactIndex]]'s
+    * twin: duplicate digest/rep rows collapse, the band table is
+    * recomputed from the deduplicated reps at the STORED bit width, each
+    * table lands in fresh files, stamp and bits preserved. Input is only
+    * the stored tables; no corpus is touched. */
+  def compactVecIndex(s: SparkSession, path: String): Unit = {
+    val idx = loadVecIndex(s, path)
+    val digests = idx.digests.distinct().localCheckpoint()
+    val reps = idx.reps.dropDuplicates("vec_id").localCheckpoint()
+    val stamp = graft.sources.IndexStore.readStamp(s, path).getOrElse("manual")
+    graft.sources.IndexStore.write(s, path, stamp, Seq(
+      "digests" -> digests,
+      "reps" -> reps,
+      "bands" -> signBands(reps, idx.bits).select(col("vec_id"), col("band"), col("bucket"))),
+      Map("bits" -> idx.bits.toString))
+  }
+
   /** On-disk location of the fixture vector index for `dir`. */
   private[graft] def fixtureVecIndexPath(dir: String): String =
     "target/graft_index/vec_" + dir.replaceAll("[^A-Za-z0-9.]+", "_")

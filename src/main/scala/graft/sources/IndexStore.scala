@@ -74,6 +74,12 @@ object IndexStore {
   def isCurrent(s: SparkSession, path: String, stamp: String): Boolean =
     readStampLines(s, path).headOption.contains(stamp)
 
+  /** The stored stamp, if any — compaction re-persists under the SAME
+    * stamp (the source corpus it fingerprints is unchanged by a layout
+    * rewrite). */
+  def readStamp(s: SparkSession, path: String): Option[String] =
+    readStampLines(s, path).headOption
+
   /** Key=value metadata recorded at [[write]] time (e.g. the LSH bit
     * width — an index property that probes must reuse verbatim). */
   def readMeta(s: SparkSession, path: String): Map[String, String] =

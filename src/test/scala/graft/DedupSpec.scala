@@ -351,5 +351,23 @@ class DedupSpec extends AnyFunSuite {
     assert(second(301L) == "exact", s"copy of accepted doc must now be exact: $second")
     assert(second(302L) == "near", s"variant of accepted doc must now be near: $second")
     assert(second(303L) == "accept", second.toString)
+    // compaction restores fresh-build invariants: the double-refresh left
+    // duplicate digest/sig rows; after compactIndex each table is unique
+    // again, bands are globally re-capped, and decisions are unchanged
+    val pre = Dedup.loadIndex(s, idxPath)
+    assert(pre.sigs.groupBy("doc_id").count().filter(col("count") > 1).count() > 0,
+      "double-refresh must have left duplicate signature rows (test premise)")
+    Dedup.compactIndex(s, idxPath)
+    val post = Dedup.loadIndex(s, idxPath)
+    assert(post.sigs.count() == post.sigs.select("doc_id").distinct().count(),
+      "compacted signatures must be unique per doc")
+    assert(post.digests.count() == post.digests.distinct().count(),
+      "compacted digests must be unique")
+    val third = Dedup.screenBatch(post,
+        Seq((301L, novel), (302L, novel + " tail"),
+            (303L, "still entirely different content " * 6 + "y"))
+          .toDF("doc_id", "text"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(third == second, "compaction must not change any decision")
   }
 }

@@ -155,5 +155,17 @@ class SimilaritySpec extends AnyFunSuite {
         Seq((200L, novelVec)).toDF("vec_id", "embedding"))
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(after(200L) == "exact", after.toString)
+    // compaction: double-refresh the same vector, then compact — reps
+    // unique again, bits preserved, decisions unchanged
+    Similarity.refreshVecIndex(s2, idxPath, Seq((102L, novelVec)).toDF("vec_id", "embedding"))
+    Similarity.compactVecIndex(s2, idxPath)
+    val cIdx = Similarity.loadVecIndex(s2, idxPath)
+    assert(cIdx.bits == 8, "compaction must preserve the stored bit width")
+    assert(cIdx.reps.count() == cIdx.reps.select("vec_id").distinct().count(),
+      "compacted reps must be unique per vec_id")
+    val afterC = Similarity.screenVecBatch(cIdx,
+        Seq((201L, novelVec)).toDF("vec_id", "embedding"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(afterC(201L) == "exact", afterC.toString)
   }
 }
