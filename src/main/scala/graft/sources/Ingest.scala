@@ -110,7 +110,25 @@ object Storage {
   }
 
   def compact(spark: org.apache.spark.sql.SparkSession, dir: String,
-              targetBytes: Long = 128L * 1024 * 1024): Int = {
+              targetBytes: Long = 128L * 1024 * 1024): Int =
+    compactSorted(spark, dir, targetBytes, Seq.empty)
+
+  /** Compaction that (re)establishes CLUSTERING while it resizes files:
+    * with `sortCols`, rows are range-partitioned on the key before the
+    * rewrite, so the output files carry pairwise NON-OVERLAPPING key
+    * ranges — plain `compact` would hash rows to files and destroy
+    * exactly the locality a z-order or time-ordered writer produced
+    * (every compacted file would span the whole key space again,
+    * un-pruning every future scan). Use the Morton key column from
+    * [[Lake.mortonKey]] as the sort key to compact a z-ordered lake
+    * without losing its dual-dim envelopes. File-boundary placement
+    * comes from range sampling, so boundaries are not bit-reproducible
+    * across runs — the non-overlap invariant is (IngestSpec-pinned),
+    * which is what pruning needs.
+    */
+  def compactSorted(spark: org.apache.spark.sql.SparkSession, dir: String,
+                    targetBytes: Long, sortCols: Seq[String]): Int = {
+    import org.apache.spark.sql.functions.col
     val path = new Path(dir)
     val fs = FileSystem.get(path.toUri, spark.sparkContext.hadoopConfiguration)
     val tmp = new Path(path.getParent, s".${path.getName}_compacting")
@@ -119,8 +137,12 @@ object Storage {
     val total = fs.listStatus(path).filter(_.isFile)
       .filterNot(_.getPath.getName.startsWith(".")).map(_.getLen).sum
     val n = math.max(1, math.ceil(total.toDouble / targetBytes).toInt)
-    spark.read.parquet(dir).repartition(n)
-      .write.mode("overwrite").parquet(tmp.toString)
+    val df = spark.read.parquet(dir)
+    val out =
+      if (sortCols.isEmpty) df.repartition(n)
+      else df.repartitionByRange(n, sortCols.map(col): _*)
+        .sortWithinPartitions(sortCols.map(col): _*)
+    out.write.mode("overwrite").parquet(tmp.toString)
     guardedSwap(fs, path, tmp, bak)
     n
   }

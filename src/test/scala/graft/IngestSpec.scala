@@ -227,6 +227,30 @@ class IngestSpec extends AnyFunSuite {
     assert(rows.select("id").collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L, 3L))
   }
 
+  test("sorted compaction yields non-overlapping per-file key ranges") {
+    import s.implicits._
+    import org.apache.spark.sql.functions.{col, input_file_name, max, min}
+    val base = Files.createTempDirectory("graft_csort").toString
+    val dir = s"$base/lake"
+    // many small files with interleaved keys — the post-ingest mess that
+    // plain compaction would merge into files spanning the whole key space
+    val rnd = new scala.util.Random(5)
+    rnd.shuffle((0L until 3000L).toList).grouped(300)
+      .foreach(g => g.toDF("k").write.mode("append").parquet(dir))
+    val n = graft.sources.Storage.compactSorted(s, dir, 8L * 1024, Seq("k"))
+    val rows = s.read.parquet(dir)
+    assert(rows.count() == 3000)
+    val ranges = rows.groupBy(input_file_name().as("f"))
+      .agg(min(col("k")).as("lo"), max(col("k")).as("hi")).collect()
+      .map(r => (r.getLong(1), r.getLong(2))).sortBy(_._1).toSeq
+    assert(ranges.length > 1, s"want multiple output files, got ${ranges.length} (n=$n)")
+    ranges.sliding(2).foreach {
+      case Seq((_, hi1), (lo2, _)) =>
+        assert(hi1 < lo2, s"file key ranges must not overlap: $ranges")
+      case _ =>
+    }
+  }
+
   test("sketch store: refresh replaces only changed scopes; rollup reads blobs alone") {
     import s.implicits._
     import org.apache.spark.sql.functions.col
