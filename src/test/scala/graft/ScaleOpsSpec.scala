@@ -213,4 +213,23 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(!scanned.exists(_.contains("orders.parquet")),
       "rollup must never touch the fact table")
   }
+
+  test("q146 pruned z-scan pushes a partition filter and reads a fraction of the files") {
+    val row = ScaleOps.zorderScan(s, TestSpark.sf).collect()(0) // builds the lake if absent
+    assert(row.getAs[Boolean]("pruned_equals_full"),
+      "pruned scan must return exactly the full scan's rectangle rows")
+    // the 32x32 rectangle at (96..127, 64..95) covers exactly z-buckets 52..55
+    val buckets = graft.sources.Lake.zBuckets(96, 127, 64, 95)
+    assert(buckets == Seq(52L, 53L, 54L, 55L), s"bucket cover: $buckets")
+    val lakePath = "target/tmp/zlake_" + TestSpark.sf.replaceAll("[^A-Za-z0-9.]+", "_")
+    val pruned = graft.sources.Lake.readZOrdered(s, lakePath, buckets)
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("zfile"),
+      s"bucket cover must land as a partition filter, plan:\n$plan")
+    val readFiles = pruned.select(input_file_name().as("fn")).distinct().count()
+    val allFiles = s.read.parquet(lakePath)
+      .select(input_file_name().as("fn")).distinct().count()
+    assert(readFiles <= buckets.length && readFiles < allFiles,
+      s"pruning must skip files: read $readFiles of $allFiles")
+  }
 }
