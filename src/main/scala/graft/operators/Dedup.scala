@@ -1015,13 +1015,26 @@ object Dedup extends QueryModule {
     */
   private[graft] val IncNearThreshold = 0.5
   private[graft] def incrementalScreen(corpusDigests: DataFrame, corpusSigs: DataFrame,
-                                       corpusBands: DataFrame, newB: DataFrame): DataFrame = {
+                                       corpusBands: DataFrame, newB: DataFrame,
+      bloom: Option[org.apache.spark.broadcast.Broadcast[
+        org.apache.spark.util.sketch.BloomFilter]] = None): DataFrame = {
     val newGroups = dupGroups(newB)
     val newSigs = sigsFrom(shingles(repsOf(newGroups)))
+    val keyed = newGroups.select(col("gid"), md5(col("text")).as("tkey"))
+    // bloom negative fast path: a digest the sidecar has never seen cannot
+    // be in the digest table (blooms have no false negatives), so it skips
+    // the exact-probe join entirely; false positives just ride the join
+    // and fall out, leaving decisions EXACTLY equal to the plain probe
+    val probed = bloom match {
+      case Some(bc) =>
+        val hit = udf((k: String) => k != null && bc.value.mightContainString(k))
+        keyed.filter(hit(col("tkey")))
+      case None => keyed
+    }
     // distinct: the base digest table is unique, but a refreshed index may
     // carry duplicate digest rows (idempotence-tolerant append) — without
     // it a doubled digest would double-count members downstream
-    val exactRej = newGroups.select(col("gid"), md5(col("text")).as("tkey"))
+    val exactRej = probed
       .join(corpusDigests, "tkey").select(col("gid")).distinct().withColumn("ex", lit(1))
     val cand = bandRows(newSigs).alias("n")
       .join(corpusBands.alias("c"),
@@ -1134,6 +1147,76 @@ object Dedup extends QueryModule {
       "bands" -> capBuckets(bandRows(sigsC), Seq("band", "bk"), BandCap)))
   }
 
+  /** One bloom blob row (serialized filter + the create-params that fix
+    * its geometry, so refresh blobs stay OR-mergeable). */
+  private def bloomRow(s: SparkSession, bf: org.apache.spark.util.sketch.BloomFilter,
+                       cap: Long, fpp: Double): DataFrame = {
+    import s.implicits._
+    val bos = new java.io.ByteArrayOutputStream()
+    bf.writeTo(bos)
+    Seq((bos.toByteArray, cap, fpp)).toDF("blob", "cap_items", "fpp")
+  }
+
+  /** Build the bloom-filter SIDECAR over a persisted index's digest
+    * table — the negative fast path of the exact-dup probe. At 100 TB the
+    * digest table is the index's largest table and the screen's exact
+    * tier joins every batch against it; a mostly-novel batch (the steady
+    * state of a healthy ingest) pays that shuffle for nothing. The
+    * sidecar collapses it: a digest the bloom has never seen CANNOT be in
+    * the table (no false negatives), so it never enters the join; false
+    * positives (~`fpp` of novel digests) ride the join and fall out —
+    * decisions are exactly the plain probe's, only the join input
+    * shrinks. Build is one distributed pass ([[org.apache.spark.sql.DataFrameStatFunctions.bloomFilter]],
+    * partial filters merged); the blob broadcast to the batch side costs
+    * ~1.2 MB per million digests at fpp=0.01 — size `fpp`/sharding
+    * accordingly past ~10^9 digests. `headroom` over-provisions capacity
+    * so [[refreshBloom]] appends keep the realized fpp near nominal;
+    * rebuild (or [[compactIndex]]-style maintenance) once a loop outgrows
+    * it. Replaced atomically; a [[graft.sources.IndexStore.write]] full
+    * rebuild of the index drops the sidecar with the dir, so a stale
+    * bloom cannot outlive the digests it summarizes. */
+  def persistBloom(s: SparkSession, path: String, fpp: Double = 0.01,
+                   headroom: Long = 4L): Long = {
+    val digests = graft.sources.IndexStore.read(s, path, "digests")
+    val cap = math.max(1024L, digests.count() * headroom)
+    val bf = digests.stat.bloomFilter("tkey", cap, fpp)
+    graft.sources.IndexStore.replaceTable(s, path, "bloom", bloomRow(s, bf, cap, fpp))
+    cap
+  }
+
+  /** Refresh the sidecar alongside [[refreshIndex]]: one blob covering
+    * the accepted docs' digests is APPENDED, created with the stored
+    * blob's exact (cap, fpp) so all blobs share geometry and OR-merge at
+    * load. Per-refresh cost is the accepted digests' own pass. */
+  def refreshBloom(s: SparkSession, path: String, accepted: DataFrame): Unit = {
+    val m = graft.sources.IndexStore.read(s, path, "bloom")
+      .select(col("cap_items"), col("fpp")).head()
+    val bf = accepted.select(md5(col("text")).as("tkey")).distinct()
+      .stat.bloomFilter("tkey", m.getLong(0), m.getDouble(1))
+    graft.sources.IndexStore.append(s, path, "bloom",
+      bloomRow(s, bf, m.getLong(0), m.getDouble(1)))
+  }
+
+  /** Load the sidecar: read every blob (base + refresh increments) and
+    * OR-merge — kilobytes to megabytes, never a data scan. */
+  def loadBloom(s: SparkSession, path: String): org.apache.spark.util.sketch.BloomFilter =
+    graft.sources.IndexStore.read(s, path, "bloom")
+      .select(col("blob")).collect()
+      .map(r => org.apache.spark.util.sketch.BloomFilter.readFrom(
+        new java.io.ByteArrayInputStream(r.getAs[Array[Byte]](0))))
+      .reduceLeft { (a, b) => a.mergeInPlace(b); a }
+
+  /** [[screenBatch(index:graft\.operators\.DedupIndex,batch:org\.apache\.spark\.sql\.DataFrame)*]]
+    * with the bloom sidecar's negative fast path on the exact tier.
+    * Decision-identical to the plain screen (q147 pins this under the
+    * oracle); the near-dup tier is untouched. */
+  def screenBatchBloom(index: DedupIndex,
+                       bloom: org.apache.spark.util.sketch.BloomFilter,
+                       batch: DataFrame): DataFrame = {
+    val bc = batch.sparkSession.sparkContext.broadcast(bloom)
+    incrementalScreen(index.digests, index.sigs, index.bands, batch, Some(bc))
+  }
+
   /** On-disk location of the fixture corpus index for `dir` — under
     * target/ so it survives JVM restarts (the durability the session
     * cache alone cannot give). */
@@ -1242,6 +1325,38 @@ object Dedup extends QueryModule {
        |LEFT JOIN near_g nr ON nr.nid = g.doc_id
        |GROUP BY n.lang""".stripMargin
   }
+
+  /** q147: q131's screen with the bloom sidecar's negative fast path on
+    * the exact tier, run AGAINST the plain screen in the same frame. The
+    * output is q131's per-lang admission summary (computed from the
+    * bloom-side decisions, so the oracle independently re-derives them)
+    * plus `bloom_equals_plain`, a per-doc equality audit of the two
+    * paths — the no-false-negatives contract made machine-checked. The
+    * sidecar is built over the persisted fixture index once and loaded
+    * thereafter (blob reads, no corpus or digest rescans). */
+  def bloomScreen(s: SparkSession, dir: String): DataFrame = {
+    tune(s)
+    val idx = corpusIndex(s, dir) // ensures the persisted index is current
+    val path = fixtureIndexPath(dir)
+    synchronized {
+      val fs = new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (!fs.exists(new org.apache.hadoop.fs.Path(path, "bloom")))
+        persistBloom(s, path)
+    }
+    val newB = augmentedDocs(s, dir).filter(col("doc_id") >= 100000L)
+    val fast = screenBatchBloom(idx, loadBloom(s, path), newB)
+    val plain = screenBatch(idx, newB)
+    val dis = fast.join(plain.withColumnRenamed("decision", "d2"), "doc_id")
+      .agg(coalesce(sum(when(col("decision") =!= col("d2"), 1).otherwise(0)), lit(0))
+        .as("n_disagree"))
+    screenSummary(fast, newB).crossJoin(dis)
+      .withColumn("bloom_equals_plain", col("n_disagree") === 0)
+      .drop("n_disagree")
+  }
+
+  private val bloomScreenSql =
+    s"SELECT t.*, TRUE AS bloom_equals_plain FROM ($incrementalNearDupSql) t"
 
   /** The full production ingest LOOP, oracled end-to-end: screen batch 1
     * against a fresh persisted corpus index, REFRESH the index with the
@@ -1435,6 +1550,9 @@ object Dedup extends QueryModule {
     GQuery("q143_screen_loop",
       "screen -> accept -> refreshIndex -> screen: the persisted-index ingest cycle, both stages oracled",
       screenLoop, Some(screenLoopSql)),
+    GQuery("q147_bloom_screen",
+      "screen with the persisted bloom sidecar fast path; per-doc equality vs the plain probe audited in-frame",
+      bloomScreen, Some(bloomScreenSql)),
     GQuery("q135_softdedup_weights",
       "soft dedup: 1/cluster-size document weights (integer ppm), per-lang effective corpus size",
       softDedupWeights, Some(softDedupWeightsSql)),

@@ -159,6 +159,26 @@ object IndexStore {
     * the BASE corpus; refreshed rows are additions beyond it). */
   def append(s: SparkSession, path: String, table: String, df: DataFrame): Unit =
     df.write.mode("append").parquet(new Path(new Path(path), table).toString)
+
+  /** Replace (or create) ONE named table of a stored index, leaving the
+    * other tables and the stamp untouched — the sidecar path (e.g. a
+    * bloom blob rebuilt over the digest table). Same write-then-rename
+    * swap as [[write]]: readers mid-replace see the old table or the new
+    * one, never a mix. */
+  def replaceTable(s: SparkSession, path: String, table: String, df: DataFrame): Unit = {
+    val live = new Path(new Path(path), table)
+    val fs = fsOf(s, live)
+    val tag = java.lang.management.ManagementFactory.getRuntimeMXBean.getName
+      .replaceAll("[^A-Za-z0-9]", "") + "_" + System.nanoTime()
+    val tmp = new Path(new Path(path), s".${table}_building_$tag")
+    df.write.mode("overwrite").parquet(tmp.toString)
+    if (fs.exists(live)) fs.delete(live, true)
+    if (!fs.rename(tmp, live)) {
+      fs.delete(tmp, true)
+      if (!fs.exists(live))
+        throw new java.io.IOException(s"table swap: cannot rename $tmp -> $live")
+    }
+  }
 }
 
 /** Persisted, re-aggregatable per-scope HLL sketch store — q133's pattern

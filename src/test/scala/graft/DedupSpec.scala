@@ -370,4 +370,36 @@ class DedupSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(third == second, "compaction must not change any decision")
   }
+
+  test("bloom sidecar: decisions equal the plain probe; novel digests skip the exact join") {
+    import s.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_store").toString
+    val idxPath = s"$tmp/idx"
+    Dedup.persistIndex(Dedup.buildIndex(literalCorpus(s)), idxPath)
+    Dedup.persistBloom(s, idxPath)
+    val idx = Dedup.loadIndex(s, idxPath)
+    val bf = Dedup.loadBloom(s, idxPath)
+    // no false negatives: every indexed digest hits the bloom
+    val misses = idx.digests.collect().map(_.getString(0))
+      .count(k => !bf.mightContainString(k))
+    assert(misses == 0, s"$misses indexed digests missed the bloom")
+    // decision-identical to the plain probe on the standard literal batch
+    val fast = Dedup.screenBatchBloom(idx, bf, literalBatch(s))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(fast == Map(200L -> "exact", 201L -> "near", 202L -> "accept"), fast.toString)
+    // the point of the sidecar: a flood of novel digests mostly fails the
+    // probe (fpp=0.01), so it never reaches the exact join
+    val novel = (0 until 500).map(i => (1000L + i, s"novel doc $i " * 8))
+      .toDF("doc_id", "text")
+    val novelKeys = novel.select(md5(col("text"))).collect().map(_.getString(0))
+    val passed = novelKeys.count(bf.mightContainString)
+    assert(passed < novelKeys.length / 10,
+      s"bloom should reject most novel digests, passed $passed of ${novelKeys.length}")
+    // refresh keeps the sidecar truthful: accepted digests hit the merged bloom
+    Dedup.refreshIndex(s, idxPath, novel)
+    Dedup.refreshBloom(s, idxPath, novel)
+    val bf2 = Dedup.loadBloom(s, idxPath)
+    assert(novelKeys.forall(bf2.mightContainString),
+      "refreshed digests must hit the merged bloom")
+  }
 }
