@@ -307,9 +307,56 @@ object RoundTrip extends QueryModule {
       |regexp_replace(body_text, '\s+', ' ', 'g') AS body_text
       |FROM q""".stripMargin
 
+  /** q148: the snapshot-manifest table format end-to-end. A fresh table
+    * gets v1 = overwrite-commit of pre-1995 orders, then v2 =
+    * append-commit of the rest (zero data rewrite — v2's manifest carries
+    * v1's files forward). Both versions are then read back THROUGH the
+    * manifests: v1 is read AFTER v2 committed, so the v1 row is time
+    * travel, and `snapshot_isolated` audits in-frame that the old
+    * snapshot admits none of the appended rows. The oracle recomputes
+    * both snapshots' aggregates from orders directly — matching proves
+    * the manifest plumbing (exclusive-create publish, carried file
+    * lists) loses and leaks nothing. The lake is re-created per run so
+    * versions are a pure function of the data. */
+  def snapshotLake(s: SparkSession, dir: String): DataFrame = {
+    tune(s)
+    val lake = "target/tmp/snaplake_" + dir.replaceAll("[^A-Za-z0-9.]+", "_")
+    val p = new org.apache.hadoop.fs.Path(lake)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) fs.delete(p, true)
+    val cutoff = lit("1995-01-01").cast("date")
+    val o = table(s, dir, "orders")
+      .select(col("o_orderkey").cast("long").as("okey"),
+        col("o_orderdate").cast("date").as("od"))
+    val v1 = Snapshots.commit(o.filter(col("od") < cutoff), lake, append = false)
+    val v2 = Snapshots.commit(o.filter(col("od") >= cutoff), lake, append = true)
+    def snapAgg(v: Long): DataFrame = Snapshots.read(s, lake, v)
+      .agg(count(lit(1)).as("n_rows"), sum("okey").as("sum_key"))
+      .select(lit(v).as("version"), col("n_rows"), col("sum_key"))
+    val leaked = Snapshots.read(s, lake, v1)
+      .agg(coalesce(sum(when(col("od") >= cutoff, 1).otherwise(0)), lit(0)).as("leaked"))
+    snapAgg(v1).union(snapAgg(v2)).crossJoin(leaked)
+      .withColumn("snapshot_isolated", col("leaked") === 0)
+      .drop("leaked")
+  }
+
+  private val snapshotLakeSql =
+    """WITH o AS (SELECT CAST(o_orderkey AS BIGINT) AS okey,
+      |                  CAST(o_orderdate AS DATE) AS od FROM orders)
+      |SELECT CAST(1 AS BIGINT) AS version, CAST(COUNT(*) AS BIGINT) AS n_rows,
+      |       CAST(SUM(okey) AS BIGINT) AS sum_key, TRUE AS snapshot_isolated
+      |FROM o WHERE od < DATE '1995-01-01'
+      |UNION ALL
+      |SELECT CAST(2 AS BIGINT), CAST(COUNT(*) AS BIGINT),
+      |       CAST(SUM(okey) AS BIGINT), TRUE
+      |FROM o""".stripMargin
+
   override val queries: Seq[GQuery] = Seq(
     GQuery("q101_merge_lake", "durable partition-scoped MERGE sink: upsert applied twice == once (S7)",
       mergeLake, Some(mergeLakeSql)),
+    GQuery("q148_snapshot_lake",
+      "snapshot-manifest table: overwrite + logical-append commits, time-travel read, isolation audited",
+      snapshotLake, Some(snapshotLakeSql)),
     GQuery("q82_csv_roundtrip", "CSV sink+scan roundtrip vs parquet oracle (S1/S9)",
       csvRoundtrip, Some(csvRoundtripSql)),
     GQuery("q83_json_roundtrip", "JSON sink+scan roundtrip vs parquet oracle (S2/S6)",

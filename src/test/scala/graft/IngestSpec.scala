@@ -251,6 +251,37 @@ class IngestSpec extends AnyFunSuite {
     }
   }
 
+  test("snapshot lake: commits linearize, time travel isolates, expire collects") {
+    import s.implicits._
+    import graft.sources.Snapshots
+    val lake = Files.createTempDirectory("graft_snap").toString + "/tbl"
+    val v1 = Snapshots.commit(Seq((1L, "a"), (2L, "b")).toDF("k", "v"), lake, append = false)
+    val v2 = Snapshots.commit(Seq((3L, "c")).toDF("k", "v"), lake, append = true)
+    assert((v1, v2) == (1L, 2L))
+    assert(Snapshots.read(s, lake).count() == 3)     // latest = logical append
+    assert(Snapshots.read(s, lake, v1).count() == 2) // time travel: pre-append
+    // a manifest published by a concurrent writer is built upon, not clobbered
+    val fs = new org.apache.hadoop.fs.Path(lake)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    val m2 = new org.apache.hadoop.fs.Path(lake, "manifests/v00002.txt")
+    val m3 = new org.apache.hadoop.fs.Path(lake, "manifests/v00003.txt")
+    org.apache.hadoop.fs.FileUtil.copy(fs, m2, fs, m3, false,
+      s.sparkContext.hadoopConfiguration)
+    val v4 = Snapshots.commit(Seq((4L, "d")).toDF("k", "v"), lake, append = true)
+    assert(v4 == 4L, "commit must land past the foreign manifest")
+    assert(Snapshots.read(s, lake, 4L).count() == 4)
+    // expire keeping only v4: all files still referenced -> only manifests die
+    val (mDropped, fDeleted) = Snapshots.expire(s, lake, 4L)
+    assert(mDropped == 3 && fDeleted == 0, s"($mDropped, $fDeleted)")
+    assert(Snapshots.read(s, lake).count() == 4)
+    intercept[Exception](Snapshots.read(s, lake, 1L).count())
+    // overwrite-commit then expire: the replaced snapshots' files are deleted
+    val v5 = Snapshots.commit(Seq((9L, "z")).toDF("k", "v"), lake, append = false)
+    val (m2d, f2d) = Snapshots.expire(s, lake, v5)
+    assert(m2d == 1 && f2d > 0, s"($m2d, $f2d)")
+    assert(Snapshots.read(s, lake).collect().map(_.getLong(0)).toSeq == Seq(9L))
+  }
+
   test("sketch store: refresh replaces only changed scopes; rollup reads blobs alone") {
     import s.implicits._
     import org.apache.spark.sql.functions.col
