@@ -1147,16 +1147,6 @@ object Dedup extends QueryModule {
       "bands" -> capBuckets(bandRows(sigsC), Seq("band", "bk"), BandCap)))
   }
 
-  /** One bloom blob row (serialized filter + the create-params that fix
-    * its geometry, so refresh blobs stay OR-mergeable). */
-  private def bloomRow(s: SparkSession, bf: org.apache.spark.util.sketch.BloomFilter,
-                       cap: Long, fpp: Double): DataFrame = {
-    import s.implicits._
-    val bos = new java.io.ByteArrayOutputStream()
-    bf.writeTo(bos)
-    Seq((bos.toByteArray, cap, fpp)).toDF("blob", "cap_items", "fpp")
-  }
-
   /** Build the bloom-filter SIDECAR over a persisted index's digest
     * table — the negative fast path of the exact-dup probe. At 100 TB the
     * digest table is the index's largest table and the screen's exact
@@ -1176,35 +1166,20 @@ object Dedup extends QueryModule {
     * rebuild of the index drops the sidecar with the dir, so a stale
     * bloom cannot outlive the digests it summarizes. */
   def persistBloom(s: SparkSession, path: String, fpp: Double = 0.01,
-                   headroom: Long = 4L): Long = {
-    val digests = graft.sources.IndexStore.read(s, path, "digests")
-    val cap = math.max(1024L, digests.count() * headroom)
-    val bf = digests.stat.bloomFilter("tkey", cap, fpp)
-    graft.sources.IndexStore.replaceTable(s, path, "bloom", bloomRow(s, bf, cap, fpp))
-    cap
-  }
+                   headroom: Long = 4L): Long =
+    graft.sources.IndexStore.writeBloom(s, path,
+      graft.sources.IndexStore.read(s, path, "digests").select("tkey"), fpp, headroom)
 
   /** Refresh the sidecar alongside [[refreshIndex]]: one blob covering
-    * the accepted docs' digests is APPENDED, created with the stored
-    * blob's exact (cap, fpp) so all blobs share geometry and OR-merge at
-    * load. Per-refresh cost is the accepted digests' own pass. */
-  def refreshBloom(s: SparkSession, path: String, accepted: DataFrame): Unit = {
-    val m = graft.sources.IndexStore.read(s, path, "bloom")
-      .select(col("cap_items"), col("fpp")).head()
-    val bf = accepted.select(md5(col("text")).as("tkey")).distinct()
-      .stat.bloomFilter("tkey", m.getLong(0), m.getDouble(1))
-    graft.sources.IndexStore.append(s, path, "bloom",
-      bloomRow(s, bf, m.getLong(0), m.getDouble(1)))
-  }
+    * the accepted docs' digests is APPENDED; per-refresh cost is the
+    * accepted digests' own pass. */
+  def refreshBloom(s: SparkSession, path: String, accepted: DataFrame): Unit =
+    graft.sources.IndexStore.appendBloom(s, path,
+      accepted.select(md5(col("text")).as("tkey")).distinct())
 
-  /** Load the sidecar: read every blob (base + refresh increments) and
-    * OR-merge — kilobytes to megabytes, never a data scan. */
+  /** Load the sidecar (all blobs OR-merged). */
   def loadBloom(s: SparkSession, path: String): org.apache.spark.util.sketch.BloomFilter =
-    graft.sources.IndexStore.read(s, path, "bloom")
-      .select(col("blob")).collect()
-      .map(r => org.apache.spark.util.sketch.BloomFilter.readFrom(
-        new java.io.ByteArrayInputStream(r.getAs[Array[Byte]](0))))
-      .reduceLeft { (a, b) => a.mergeInPlace(b); a }
+    graft.sources.IndexStore.loadBloom(s, path)
 
   /** [[screenBatch(index:graft\.operators\.DedupIndex,batch:org\.apache\.spark\.sql\.DataFrame)*]]
     * with the bloom sidecar's negative fast path on the exact tier.

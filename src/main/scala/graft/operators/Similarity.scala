@@ -389,9 +389,22 @@ object Similarity extends QueryModule {
     * is the batch's own signatures plus two equi-joins; the corpus is
     * never re-bucketed. Decision sets are DISTINCT'd so the duplicate
     * rows a refreshed index may carry cannot double-count members. */
-  def screenVecBatch(index: VecIndex, batch: DataFrame): DataFrame = {
+  def screenVecBatch(index: VecIndex, batch: DataFrame,
+      bloom: Option[org.apache.spark.broadcast.Broadcast[
+        org.apache.spark.util.sketch.BloomFilter]] = None): DataFrame = {
     val bGroups = vecGroups(batch, keepKeys = true)
-    val exactG = bGroups.select(col("gid"), col("k1"), col("k2"))
+    val keyed = bGroups.select(col("gid"), col("k1"), col("k2"))
+    // bloom negative fast path on the composite digest key — a (k1, k2)
+    // the sidecar never saw cannot be in the digest table, so it skips
+    // the exact-probe join; false positives ride the join and fall out,
+    // leaving decisions EXACTLY equal to the plain probe (q149 pins it)
+    val probed = bloom match {
+      case Some(bc) =>
+        val hit = udf((k1: Long, k2: Long) => bc.value.mightContainString(s"$k1#$k2"))
+        keyed.filter(hit(col("k1"), col("k2")))
+      case None => keyed
+    }
+    val exactG = probed
       .join(index.digests, Seq("k1", "k2"))
       .select(col("gid")).distinct().withColumn("ex", lit(1))
     val bReps = withNorm(bGroups.select(col("gid").as("vec_id"), col("embedding")))
@@ -413,6 +426,40 @@ object Similarity extends QueryModule {
       .select(col("vec_id"),
         when(col("ex") === 1, "exact").when(col("nr") === 1, "near")
           .otherwise("accept").as("decision"))
+  }
+
+  /** The sidecar's key form of the two-long vector digest: one string,
+    * identical on the build (column) and probe (Scala) sides. */
+  private def vecBloomKey = concat_ws("#", col("k1"), col("k2")).as("bk")
+
+  /** Bloom SIDECAR over a persisted vector index's digest table — the
+    * vector twin of [[Dedup.persistBloom]], same IndexStore blob layout
+    * and the same contract: no false negatives, so the exact tier's join
+    * input shrinks to bloom hits with decisions untouched. */
+  def persistVecBloom(s: SparkSession, path: String, fpp: Double = 0.01,
+                      headroom: Long = 4L): Long =
+    graft.sources.IndexStore.writeBloom(s, path,
+      graft.sources.IndexStore.read(s, path, "digests").select(vecBloomKey),
+      fpp, headroom)
+
+  /** Refresh the sidecar alongside [[refreshVecIndex]] with the accepted
+    * vectors' digests. */
+  def refreshVecBloom(s: SparkSession, path: String, accepted: DataFrame): Unit =
+    graft.sources.IndexStore.appendBloom(s, path,
+      accepted.select(xxhash64(col("embedding")).as("k1"), hash(col("embedding")).as("k2"))
+        .distinct().select(vecBloomKey))
+
+  /** Load the sidecar (all blobs OR-merged). */
+  def loadVecBloom(s: SparkSession, path: String): org.apache.spark.util.sketch.BloomFilter =
+    graft.sources.IndexStore.loadBloom(s, path)
+
+  /** [[screenVecBatch(index:graft\.operators\.VecIndex,batch:org\.apache\.spark\.sql\.DataFrame,bloom:Option[org\.apache\.spark\.broadcast\.Broadcast[org\.apache\.spark\.util\.sketch\.BloomFilter]])*]]
+    * with the sidecar's negative fast path on the exact tier. */
+  def screenVecBatchBloom(index: VecIndex,
+                          bloom: org.apache.spark.util.sketch.BloomFilter,
+                          batch: DataFrame): DataFrame = {
+    val bc = batch.sparkSession.sparkContext.broadcast(bloom)
+    screenVecBatch(index, batch, Some(bc))
   }
 
   /** Persist a vector index (tables `digests`/`reps`/`bands`, bit width
@@ -728,6 +775,35 @@ object Similarity extends QueryModule {
        |GROUP BY 1""".stripMargin
   }
 
+  /** q149: q140's screen with the bloom sidecar's negative fast path on
+    * the exact tier, audited per-vector against the plain probe in the
+    * same frame — [[graft.operators.Dedup.bloomScreen]]'s vector twin,
+    * so the sidecar contract (decisions identical, join input shrinks)
+    * holds symmetrically for both screening families. */
+  def vecBloomScreen(s: SparkSession, dir: String): DataFrame = {
+    tune(s)
+    val idx = corpusVecIndex(s, dir)
+    val path = fixtureVecIndexPath(dir)
+    synchronized {
+      val fs = new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (!fs.exists(new org.apache.hadoop.fs.Path(path, "bloom")))
+        persistVecBloom(s, path)
+    }
+    val batch = syntheticVecBatch(s, dir)
+    val fast = screenVecBatchBloom(idx, loadVecBloom(s, path), batch)
+    val plain = screenVecBatch(idx, batch)
+    val dis = fast.join(plain.withColumnRenamed("decision", "d2"), "vec_id")
+      .agg(coalesce(sum(when(col("decision") =!= col("d2"), 1).otherwise(0)), lit(0))
+        .as("n_disagree"))
+    vecScreenSummary(fast).crossJoin(dis)
+      .withColumn("bloom_equals_plain", col("n_disagree") === 0)
+      .drop("n_disagree")
+  }
+
+  private val vecBloomScreenSql =
+    s"SELECT t.*, TRUE AS bloom_equals_plain FROM ($embeddingScreenSql) t"
+
   /** CTE block ending in `pcs(da, db, cosim)` — the rounded cosine pair
     * frame shared by q78/q128/q129 oracles (mirror of the session-cached
     * Spark substrate).
@@ -942,5 +1018,8 @@ object Similarity extends QueryModule {
     GQuery("q145_vec_screen_loop",
       "vector screen -> accept -> refreshVecIndex -> screen: the persisted-index ingest cycle, both stages oracled",
       screenVecLoop, Some(screenVecLoopSql)),
+    GQuery("q149_vec_bloom_screen",
+      "vector screen with the persisted bloom sidecar fast path; per-vector equality vs the plain probe audited",
+      vecBloomScreen, Some(vecBloomScreenSql)),
   )
 }

@@ -160,6 +160,44 @@ object IndexStore {
   def append(s: SparkSession, path: String, table: String, df: DataFrame): Unit =
     df.write.mode("append").parquet(new Path(new Path(path), table).toString)
 
+  private def bloomRow(s: SparkSession, bf: org.apache.spark.util.sketch.BloomFilter,
+                       cap: Long, fpp: Double): DataFrame = {
+    import s.implicits._
+    val bos = new java.io.ByteArrayOutputStream()
+    bf.writeTo(bos)
+    Seq((bos.toByteArray, cap, fpp)).toDF("blob", "cap_items", "fpp")
+  }
+
+  /** Build-or-replace the `bloom` sidecar table from `keys` (its FIRST
+    * column is the key; one distributed pass, partial filters merged).
+    * The blob row records the create-params so refresh blobs share
+    * geometry and OR-merge at load. `headroom` over-provisions capacity
+    * for [[appendBloom]] increments. ~1.2 MB per million keys at
+    * fpp=0.01. Returns the provisioned capacity. */
+  def writeBloom(s: SparkSession, path: String, keys: DataFrame,
+                 fpp: Double = 0.01, headroom: Long = 4L): Long = {
+    val cap = math.max(1024L, keys.count() * headroom)
+    val bf = keys.stat.bloomFilter(keys.columns.head, cap, fpp)
+    replaceTable(s, path, "bloom", bloomRow(s, bf, cap, fpp))
+    cap
+  }
+
+  /** Append one blob covering `keys`, created with the stored blob's
+    * exact (cap, fpp) so all blobs stay mergeable. */
+  def appendBloom(s: SparkSession, path: String, keys: DataFrame): Unit = {
+    val m = read(s, path, "bloom").select("cap_items", "fpp").head()
+    val bf = keys.stat.bloomFilter(keys.columns.head, m.getLong(0), m.getDouble(1))
+    append(s, path, "bloom", bloomRow(s, bf, m.getLong(0), m.getDouble(1)))
+  }
+
+  /** Load the sidecar: every blob (base + refresh increments) OR-merged —
+    * kilobytes to megabytes, never a data scan. */
+  def loadBloom(s: SparkSession, path: String): org.apache.spark.util.sketch.BloomFilter =
+    read(s, path, "bloom").select("blob").collect()
+      .map(r => org.apache.spark.util.sketch.BloomFilter.readFrom(
+        new java.io.ByteArrayInputStream(r.getAs[Array[Byte]](0))))
+      .reduceLeft { (a, b) => a.mergeInPlace(b); a }
+
   /** Replace (or create) ONE named table of a stored index, leaving the
     * other tables and the stamp untouched — the sidecar path (e.g. a
     * bloom blob rebuilt over the digest table). Same write-then-rename

@@ -168,4 +168,39 @@ class SimilaritySpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(afterC(201L) == "exact", afterC.toString)
   }
+
+  test("vector bloom sidecar: decisions equal the plain probe; novel keys skip the join") {
+    import s.implicits._
+    val rnd = new scala.util.Random(11)
+    val corpusVecs = (0L until 40L).map(i => (i, Array.fill(64)(rnd.nextFloat() * 2f - 1f)))
+    val tmp = java.nio.file.Files.createTempDirectory("graft_store").toString
+    val idxPath = s"$tmp/vidx"
+    Similarity.persistVecIndex(
+      Similarity.buildVecIndex(corpusVecs.toDF("vec_id", "embedding")), idxPath)
+    Similarity.persistVecBloom(s, idxPath)
+    val idx = Similarity.loadVecIndex(s, idxPath)
+    val bf = Similarity.loadVecBloom(s, idxPath)
+    // no false negatives over the composite (k1, k2) digest key
+    val misses = idx.digests.collect()
+      .count(r => !bf.mightContainString(s"${r.getLong(0)}#${r.getInt(1)}"))
+    assert(misses == 0, s"$misses indexed vector digests missed the bloom")
+    // decision-identical to the plain probe
+    val batch = Seq(
+      (100L, corpusVecs(3)._2),             // byte copy -> exact
+      (101L, corpusVecs(5)._2.map(_ * 2f)), // 2x scale -> near
+      (102L, Array.fill(64)(0.5f))          // novel -> accept
+    ).toDF("vec_id", "embedding")
+    val fast = Similarity.screenVecBatchBloom(idx, bf, batch)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(fast == Map(100L -> "exact", 101L -> "near", 102L -> "accept"), fast.toString)
+    // a flood of novel vectors mostly fails the probe (fpp=0.01)
+    val novelKeys = (0 until 500)
+      .map(i => (1000L + i, Array.fill(64)(((i * 31 + 7) % 100) / 100f)))
+      .toDF("vec_id", "embedding")
+      .select(xxhash64(col("embedding")), hash(col("embedding")))
+      .collect().map(r => s"${r.getLong(0)}#${r.getInt(1)}")
+    val passed = novelKeys.count(bf.mightContainString)
+    assert(passed < novelKeys.length / 10,
+      s"bloom should reject most novel vector digests, passed $passed of ${novelKeys.length}")
+  }
 }
