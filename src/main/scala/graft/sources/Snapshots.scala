@@ -49,12 +49,28 @@ object Snapshots {
       .foldLeft(0L)(math.max)
   }
 
-  private def readManifest(s: SparkSession, dir: String, v: Long): Seq[String] = {
+  private def manifestLines(s: SparkSession, dir: String, v: Long): Seq[String] = {
     val fs = fsOf(s, manifestPath(dir, v))
     val in = fs.open(manifestPath(dir, v))
     try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList.filter(_.nonEmpty)
     finally in.close()
   }
+
+  private def readManifest(s: SparkSession, dir: String, v: Long): Seq[String] =
+    manifestLines(s, dir, v).filterNot(_.startsWith("#"))
+
+  /** The `#key=value` metadata a commit attached to snapshot `v`. */
+  def manifestMeta(s: SparkSession, dir: String, v: Long): Map[String, String] =
+    manifestLines(s, dir, v).filter(_.startsWith("#"))
+      .map(_.stripPrefix("#").split("=", 2)).collect { case Array(k, w) => k -> w }.toMap
+
+  /** Every value committed under meta `key` across live manifests —
+    * the replay ledger [[commitIfAbsent]] consults. O(versions)
+    * kilobyte reads, driver-side. */
+  def committedValues(s: SparkSession, dir: String, key: String): Set[String] =
+    (1L to latestVersion(s, dir))
+      .filter(v => fsOf(s, manifestPath(dir, v)).exists(manifestPath(dir, v)))
+      .flatMap(v => manifestMeta(s, dir, v).get(key)).toSet
 
   /** Commit `df` as the next snapshot. `append=true` carries the current
     * snapshot's files forward (logical append, zero data rewrite);
@@ -63,8 +79,12 @@ object Snapshots {
     * Returns the committed version. Concurrency-safe: the manifest is
     * published with create-if-absent; on collision the commit retries on
     * top of the winner, so both snapshots land, linearized. */
-  def commit(df: DataFrame, dir: String, append: Boolean): Long = {
+  def commit(df: DataFrame, dir: String, append: Boolean,
+             meta: Map[String, String] = Map.empty): Long = {
     val s = df.sparkSession
+    require(meta.forall { case (k, v) =>
+      !k.contains("=") && !k.contains("\n") && !v.contains("\n") },
+      "manifest meta: no '=' in keys, no newlines anywhere")
     val tag = java.lang.management.ManagementFactory.getRuntimeMXBean.getName
       .replaceAll("[^A-Za-z0-9]", "") + "_" + System.nanoTime()
     val seg = new Path(dir, s"data/seg_$tag")
@@ -82,7 +102,8 @@ object Snapshots {
       fs.mkdirs(mp.getParent)
       try {
         val out = fs.create(mp, false) // exclusive: the optimistic lock
-        try out.write((carried ++ files).mkString("\n").getBytes("UTF-8"))
+        val metaLines = meta.toSeq.sorted.map { case (k, w) => s"#$k=$w" }
+        try out.write((metaLines ++ carried ++ files).mkString("\n").getBytes("UTF-8"))
         finally out.close()
         return v
       } catch {
@@ -93,6 +114,18 @@ object Snapshots {
     }
     -1L // unreachable
   }
+
+  /** Exactly-once commit for replayable producers (a streaming
+    * foreachBatch, a retried job): the commit is tagged
+    * `#<key>=<value>` in its manifest, and a later call with the same
+    * tag is a NO-OP returning None — so a replayed micro-batch cannot
+    * append its rows twice. This is the snapshot-table form of the
+    * batchId-scoped admission log (q134): idempotence lives in the
+    * table's own commit ledger, not in the producer. */
+  def commitIfAbsent(df: DataFrame, dir: String, append: Boolean,
+                     key: String, value: String): Option[Long] =
+    if (committedValues(df.sparkSession, dir, key).contains(value)) None
+    else Some(commit(df, dir, append, Map(key -> value)))
 
   /** Read a snapshot — `version < 0` means latest. Time travel is just
     * naming an older version; the plan reads exactly that manifest's

@@ -543,6 +543,81 @@ object StreamOps extends QueryModule {
     }
   }
 
+  /** q150: exactly-once streaming commits into the snapshot table.
+    * Micro-batches land as logical-append snapshot commits tagged with
+    * their batchId ([[graft.sources.Snapshots.commitIfAbsent]]), and
+    * every batch is deliberately committed TWICE — the replay a
+    * recovering stream performs after a crash between sink write and
+    * checkpoint advance. The second call is a manifest-ledger no-op, so
+    * the table ends at exactly one snapshot per non-empty micro-batch
+    * (pinned in-frame: `n_versions`, `replay_was_noop`). The final
+    * table's aggregate is oracled against the source rows directly —
+    * the ledger admitted every row exactly once. Idempotence lives in
+    * the TABLE's commit ledger, not the producer: any replayable writer
+    * (retried job, second stream) gets the same guarantee. */
+  def streamSnapshot(s: SparkSession, dir: String): DataFrame = {
+    tune(s)
+    withStatePartitions(s, 8) {
+      val rows = table(s, dir, "orders")
+        .select(col("o_orderkey").cast("long").as("okey"))
+      val schema = rows.schema
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        new java.net.URI("file:///"), s.sparkContext.hadoopConfiguration)
+      val srcDir = stagedOnce(s"snap:$dir") { sd =>
+        def stage(df: DataFrame, name: String, mtime: Long): Unit = {
+          val tmp = s"$sd/.stage_$name"
+          df.coalesce(1).write.mode("overwrite").parquet(tmp)
+          val parts = fs.globStatus(new org.apache.hadoop.fs.Path(s"$tmp/part-*.parquet"))
+          require(parts != null && parts.nonEmpty, s"no part file staged for $name")
+          val part = parts(0).getPath
+          val dest = new org.apache.hadoop.fs.Path(s"$sd/$name.parquet")
+          fs.rename(part, dest)
+          fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+          fs.setTimes(dest, mtime, -1)
+        }
+        val t0 = 1000000000000L
+        stage(rows.filter(col("okey") % 2 === 0), "b0_even", t0)
+        stage(rows.filter(col("okey") % 2 === 1), "b1_odd", t0 + 600000L)
+      }
+      val lake = s"$ckBase/snaplake_${counter.incrementAndGet()}"
+      val src = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(srcDir)
+      val qname = s"graft_stream_snap_${counter.incrementAndGet()}"
+      val q = src.writeStream
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          if (!batch.isEmpty) {
+            val first = graft.sources.Snapshots.commitIfAbsent(
+              batch, lake, append = true, "batchId", batchId.toString)
+            val replay = graft.sources.Snapshots.commitIfAbsent(
+              batch, lake, append = true, "batchId", batchId.toString)
+            require(first.nonEmpty && replay.isEmpty,
+              s"commit ledger: first=$first replay=$replay for batch $batchId")
+          }
+          ()
+        }
+        .option("checkpointLocation", s"$ckBase/$qname")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val batches = q.recentProgress.count(_.numInputRows > 0)
+      require(batches >= 2, s"snapshot harness needs >= 2 non-empty micro-batches, got $batches")
+      dropCheckpoint(s"$ckBase/$qname")
+      val versions = graft.sources.Snapshots.latestVersion(s, lake)
+      graft.sources.Snapshots.read(s, lake)
+        .agg(count(lit(1)).as("n_rows"), sum("okey").as("sum_key"))
+        .select(col("n_rows"), col("sum_key"),
+          lit(versions).as("n_versions"),
+          lit(versions == batches.toLong).as("replay_was_noop"))
+    }
+  }
+
+  private val streamSnapshotSql =
+    """WITH o AS (SELECT CAST(o_orderkey AS BIGINT) AS okey FROM orders)
+      |SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+      |       CAST(SUM(okey) AS BIGINT) AS sum_key,
+      |       CAST(2 AS BIGINT) AS n_versions, TRUE AS replay_was_noop
+      |FROM o""".stripMargin
+
   override val queries: Seq[GQuery] = Seq(
     // Same oracle as the batch q71 — proves streaming == batch.
     GQuery("q84_stream_hourly",
@@ -571,5 +646,8 @@ object StreamOps extends QueryModule {
     GQuery("q144_stream_vec_screen",
       "streaming incremental vector screening against the persisted sign-LSH index; oracle == batch q140",
       streamVecScreen, Some(graft.operators.Similarity.embeddingScreenSql)),
+    GQuery("q150_stream_snapshot",
+      "exactly-once streaming commits into the snapshot table: batchId ledger makes replays no-ops",
+      streamSnapshot, Some(streamSnapshotSql)),
   )
 }

@@ -282,6 +282,22 @@ class IngestSpec extends AnyFunSuite {
     assert(Snapshots.read(s, lake).collect().map(_.getLong(0)).toSeq == Seq(9L))
   }
 
+  test("snapshot ledger: commitIfAbsent makes replayed commits no-ops") {
+    import s.implicits._
+    import graft.sources.Snapshots
+    val lake = Files.createTempDirectory("graft_snapl").toString + "/tbl"
+    val b0 = Seq((1L, "a")).toDF("k", "v")
+    val first = Snapshots.commitIfAbsent(b0, lake, append = true, "batchId", "0")
+    val replay = Snapshots.commitIfAbsent(b0, lake, append = true, "batchId", "0")
+    assert(first.contains(1L) && replay.isEmpty, s"($first, $replay)")
+    val next = Snapshots.commitIfAbsent(Seq((2L, "b")).toDF("k", "v"),
+      lake, append = true, "batchId", "1")
+    assert(next.contains(2L))
+    assert(Snapshots.read(s, lake).count() == 2)
+    assert(Snapshots.manifestMeta(s, lake, 1L) == Map("batchId" -> "0"))
+    assert(Snapshots.committedValues(s, lake, "batchId") == Set("0", "1"))
+  }
+
   test("sketch store: refresh replaces only changed scopes; rollup reads blobs alone") {
     import s.implicits._
     import org.apache.spark.sql.functions.col
