@@ -136,6 +136,27 @@ object Snapshots {
     s.read.parquet(readManifest(s, dir, v): _*)
   }
 
+  /** Rewrite the CURRENT snapshot into ~`targetBytes`-sized files and
+    * commit the result as a new snapshot (logical overwrite) tagged
+    * `#compaction=true` — the "rewrite data files" maintenance op an
+    * append-forever table eventually needs. Older versions are
+    * untouched: their manifests still name the old files, which
+    * [[expire]] collects once they leave the retention window. Rows are
+    * identical by construction (one repartition, no predicate), so
+    * readers switching to the compacted snapshot see the same table in
+    * fewer, right-sized files. */
+  def compact(s: SparkSession, dir: String,
+              targetBytes: Long = 128L * 1024 * 1024): Long = {
+    val latest = latestVersion(s, dir)
+    require(latest > 0, s"no snapshot to compact at $dir")
+    val files = readManifest(s, dir, latest)
+    val fs = fsOf(s, new Path(dir))
+    val total = files.map(f => fs.getFileStatus(new Path(f)).getLen).sum
+    val n = math.max(1, math.ceil(total.toDouble / targetBytes).toInt)
+    commit(read(s, dir, latest).repartition(n), dir, append = false,
+      Map("compaction" -> "true"))
+  }
+
   /** Drop manifests older than `keepFrom` (the latest snapshot is always
     * kept) and delete every data file no kept manifest references —
     * including orphaned segments from crashed commits. Returns

@@ -282,6 +282,34 @@ class IngestSpec extends AnyFunSuite {
     assert(Snapshots.read(s, lake).collect().map(_.getLong(0)).toSeq == Seq(9L))
   }
 
+  test("snapshot compaction: fewer files, same rows, old versions intact until expiry") {
+    import s.implicits._
+    import org.apache.spark.sql.functions.input_file_name
+    import graft.sources.Snapshots
+    val lake = Files.createTempDirectory("graft_snapc").toString + "/tbl"
+    // five appends of deliberately small multi-file segments
+    (0 until 5).foreach { i =>
+      Snapshots.commit((i * 100 until (i + 1) * 100).map(_.toLong).toDF("k")
+        .repartition(4), lake, append = i > 0)
+    }
+    val pre = Snapshots.read(s, lake)
+    val preFiles = pre.select(input_file_name()).distinct().count()
+    val preKeys = pre.collect().map(_.getLong(0)).sorted.toSeq
+    val cv = Snapshots.compact(s, lake) // 500 tiny rows -> one file
+    assert(cv == 6L)
+    val post = Snapshots.read(s, lake)
+    assert(post.select(input_file_name()).distinct().count() < preFiles,
+      "compaction must reduce the file count")
+    assert(post.collect().map(_.getLong(0)).sorted.toSeq == preKeys,
+      "compaction must not change the row set")
+    assert(Snapshots.manifestMeta(s, lake, cv) == Map("compaction" -> "true"))
+    // pre-compaction snapshots stay readable until expired
+    assert(Snapshots.read(s, lake, 5L).count() == 500)
+    val (mDropped, fDeleted) = Snapshots.expire(s, lake, cv)
+    assert(mDropped == 5 && fDeleted > 0, s"($mDropped, $fDeleted)")
+    assert(Snapshots.read(s, lake).count() == 500)
+  }
+
   test("snapshot ledger: commitIfAbsent makes replayed commits no-ops") {
     import s.implicits._
     import graft.sources.Snapshots
