@@ -351,12 +351,148 @@ object RoundTrip extends QueryModule {
       |       CAST(SUM(okey) AS BIGINT), TRUE
       |FROM o""".stripMargin
 
+  /** A per-run snapshot table dir under target/tmp, wiped so version
+    * numbers are a pure function of the input data. */
+  private def freshLake(s: SparkSession, name: String, dir: String): String = {
+    val lake = s"target/tmp/${name}_" + dir.replaceAll("[^A-Za-z0-9.]+", "_")
+    val p = new org.apache.hadoop.fs.Path(lake)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) fs.delete(p, true)
+    lake
+  }
+
+  /** The `(okey, od)` projection of orders the snapshot queries commit. */
+  private def ordersKeyed(s: SparkSession, dir: String): DataFrame =
+    table(s, dir, "orders")
+      .select(col("o_orderkey").cast("long").as("okey"),
+        col("o_orderdate").cast("date").as("od"))
+
+  /** q151: equality-deletes applied merge-on-read. v1 = overwrite-commit
+    * of pre-1995 orders; v2 = [[Snapshots.commitDelete]] of every okey
+    * divisible by 10 (the keys land as a kilobyte parquet file listed
+    * `D <path>` in the manifest — zero data rewrite); v3 = append-commit
+    * of the remaining orders. The latest read must mask deleted keys in
+    * BOTH the v1 files and the v3-appended files (global equality-delete
+    * semantics, Iceberg-v2-style without sequence scoping), while time
+    * travel to v1 — whose manifest carries no `D` line — still sees every
+    * pre-1995 row. `deletes_applied` audits in-frame that no masked key
+    * survives at v3. At 100 TB the delete costs one broadcast hash
+    * anti-join at read time, never a rewrite of the data side. */
+  def snapshotDelete(s: SparkSession, dir: String): DataFrame = {
+    tune(s)
+    val lake = freshLake(s, "snapdel", dir)
+    val cutoff = lit("1995-01-01").cast("date")
+    val o = ordersKeyed(s, dir)
+    val v1 = Snapshots.commit(o.filter(col("od") < cutoff), lake, append = false)
+    Snapshots.commitDelete(o.filter(col("okey") % 10 === 0).select("okey"), lake)
+    val v3 = Snapshots.commit(o.filter(col("od") >= cutoff), lake, append = true)
+    def snapAgg(v: Long): DataFrame = Snapshots.read(s, lake, v)
+      .agg(count(lit(1)).as("n_rows"), sum("okey").as("sum_key"))
+      .select(lit(v).as("version"), col("n_rows"), col("sum_key"))
+    val masked = Snapshots.read(s, lake, v3)
+      .agg(coalesce(sum(when(col("okey") % 10 === 0, 1).otherwise(0)), lit(0)).as("m"))
+    snapAgg(v1).union(snapAgg(v3)).crossJoin(masked)
+      .withColumn("deletes_applied", col("m") === 0)
+      .drop("m")
+  }
+
+  private val snapshotDeleteSql =
+    """WITH o AS (SELECT CAST(o_orderkey AS BIGINT) AS okey,
+      |                  CAST(o_orderdate AS DATE) AS od FROM orders)
+      |SELECT CAST(1 AS BIGINT) AS version, CAST(COUNT(*) AS BIGINT) AS n_rows,
+      |       CAST(SUM(okey) AS BIGINT) AS sum_key, TRUE AS deletes_applied
+      |FROM o WHERE od < DATE '1995-01-01'
+      |UNION ALL
+      |SELECT CAST(3 AS BIGINT), CAST(COUNT(*) AS BIGINT),
+      |       CAST(SUM(okey) AS BIGINT), TRUE
+      |FROM o WHERE okey % 10 <> 0""".stripMargin
+
+  /** q152: per-file min/max statistics driving data skipping. The commit
+    * range-clusters orders by order date into 8 files and records each
+    * file's `od` min/max beside the segment (`statsCols`);
+    * [[Snapshots.readPruned]] then plans a one-year scan from the stats
+    * alone — the parquet relation lists ONLY files whose [min,max] can
+    * intersect 1994, and the residual typed filter handles the boundary
+    * files' spill. `files_pruned` audits that whole files were actually
+    * skipped (8 range-clustered files over ~7 years vs a 1-year
+    * predicate). At 100 TB: planning is O(manifest) driver-side metadata,
+    * the scan touches O(matching files) — the payoff of clustering plus
+    * stats, same mechanism as q141's z-order at the file level. */
+  def snapshotPrune(s: SparkSession, dir: String): DataFrame = {
+    tune(s)
+    val lake = freshLake(s, "snapprune", dir)
+    val (lo, hi) = ("1994-01-01", "1994-12-31")
+    Snapshots.commit(ordersKeyed(s, dir).repartitionByRange(8, col("od")),
+      lake, append = false, statsCols = Seq("od"))
+    val (kept, total) = Snapshots.pruneFiles(s, lake, "od", lo, hi)
+    Snapshots.readPruned(s, lake, "od", lo, hi)
+      .agg(count(lit(1)).as("n_rows"), sum("okey").as("sum_key"),
+           min("od").as("min_od"), max("od").as("max_od"))
+      .withColumn("files_pruned", lit(kept.size < total))
+  }
+
+  private val snapshotPruneSql =
+    """SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+      |       CAST(SUM(CAST(o_orderkey AS BIGINT)) AS BIGINT) AS sum_key,
+      |       MIN(CAST(o_orderdate AS DATE)) AS min_od,
+      |       MAX(CAST(o_orderdate AS DATE)) AS max_od,
+      |       TRUE AS files_pruned
+      |FROM orders
+      |WHERE CAST(o_orderdate AS DATE)
+      |      BETWEEN DATE '1994-01-01' AND DATE '1994-12-31'""".stripMargin
+
+  /** q153: the row-level change feed between two snapshots. History: v1 =
+    * overwrite (pre-1994), v2 = append (1994), v3 = equality-delete of
+    * every okey divisible by 7, v4 = append (1995+). [[Snapshots.changes]]
+    * (v1→v4) reads EXACTLY the files added in the window — cost O(changed
+    * data), never O(table) — so inserts are the 1994+ rows minus keys
+    * deleted inside the same window (a row inserted then deleted in-window
+    * was never visible at v4 and must not surface), and deletes are the
+    * key rows with non-key columns null. A consumer applying inserts then
+    * deletes to its copy of v1 lands exactly on v4 — the contract the
+    * oracle recomputes from orders directly. */
+  def snapshotChanges(s: SparkSession, dir: String): DataFrame = {
+    tune(s)
+    val lake = freshLake(s, "snapchg", dir)
+    val lo = lit("1994-01-01").cast("date")
+    val hi = lit("1995-01-01").cast("date")
+    val o = ordersKeyed(s, dir)
+    val v1 = Snapshots.commit(o.filter(col("od") < lo), lake, append = false)
+    Snapshots.commit(o.filter(col("od") >= lo && col("od") < hi), lake, append = true)
+    Snapshots.commitDelete(o.filter(col("okey") % 7 === 0).select("okey"), lake)
+    val v4 = Snapshots.commit(o.filter(col("od") >= hi), lake, append = true)
+    Snapshots.changes(s, lake, v1, v4)
+      .groupBy(col("_change_type").as("change_type"))
+      .agg(count(lit(1)).as("n_rows"), sum("okey").as("sum_key"),
+           count(col("od")).as("n_dated"))
+  }
+
+  private val snapshotChangesSql =
+    """WITH o AS (SELECT CAST(o_orderkey AS BIGINT) AS okey,
+      |                  CAST(o_orderdate AS DATE) AS od FROM orders)
+      |SELECT 'delete' AS change_type, CAST(COUNT(*) AS BIGINT) AS n_rows,
+      |       CAST(SUM(okey) AS BIGINT) AS sum_key, CAST(0 AS BIGINT) AS n_dated
+      |FROM (SELECT DISTINCT okey FROM o WHERE okey % 7 = 0)
+      |UNION ALL
+      |SELECT 'insert', CAST(COUNT(*) AS BIGINT), CAST(SUM(okey) AS BIGINT),
+      |       CAST(COUNT(od) AS BIGINT)
+      |FROM o WHERE od >= DATE '1994-01-01' AND okey % 7 <> 0""".stripMargin
+
   override val queries: Seq[GQuery] = Seq(
     GQuery("q101_merge_lake", "durable partition-scoped MERGE sink: upsert applied twice == once (S7)",
       mergeLake, Some(mergeLakeSql)),
     GQuery("q148_snapshot_lake",
       "snapshot-manifest table: overwrite + logical-append commits, time-travel read, isolation audited",
       snapshotLake, Some(snapshotLakeSql)),
+    GQuery("q151_snapshot_delete",
+      "equality-delete commit: merge-on-read masking across past AND later appends, time travel intact",
+      snapshotDelete, Some(snapshotDeleteSql)),
+    GQuery("q152_snapshot_prune",
+      "per-file min/max stats: driver-side file pruning + residual filter over a range-clustered table",
+      snapshotPrune, Some(snapshotPruneSql)),
+    GQuery("q153_snapshot_changes",
+      "row-level change feed between snapshots: inserts from added files only, deletes as key rows",
+      snapshotChanges, Some(snapshotChangesSql)),
     GQuery("q82_csv_roundtrip", "CSV sink+scan roundtrip vs parquet oracle (S1/S9)",
       csvRoundtrip, Some(csvRoundtripSql)),
     GQuery("q83_json_roundtrip", "JSON sink+scan roundtrip vs parquet oracle (S2/S6)",

@@ -1,13 +1,17 @@
 package graft.sources
 
 import org.apache.hadoop.fs.{FileSystem, Path}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, input_file_name, lit, max, min}
+import org.apache.spark.sql.types._
 
 /** Snapshot-manifest table layout over plain parquet — the minimal table
   * format an ingest pipeline needs once concurrent readers exist:
   *
   *   dir/data/seg_<tag>/part-*.parquet    immutable data segments
-  *   dir/manifests/v00001.txt             one line per data file
+  *   dir/data/seg_<tag>/stats.tsv         per-file column min/max (optional)
+  *   dir/manifests/v00001.txt             one line per data file;
+  *                                        `D <path>` = equality-delete file
   *
   * A snapshot IS its manifest: readers resolve a version to a file list
   * and read exactly those files, so they see a committed snapshot in
@@ -56,7 +60,17 @@ object Snapshots {
     finally in.close()
   }
 
+  /** Data-file paths of snapshot `v` (excludes meta and delete lines). */
   private def readManifest(s: SparkSession, dir: String, v: Long): Seq[String] =
+    manifestLines(s, dir, v).filterNot(l => l.startsWith("#") || l.startsWith("D "))
+
+  /** Equality-delete file paths of snapshot `v` (the `D <path>` lines). */
+  private def readDeleteFiles(s: SparkSession, dir: String, v: Long): Seq[String] =
+    manifestLines(s, dir, v).collect { case l if l.startsWith("D ") => l.stripPrefix("D ") }
+
+  /** All carried-forward lines for an append commit: data AND delete files,
+    * in manifest order, so a logical append preserves pending deletes. */
+  private def carriedLines(s: SparkSession, dir: String, v: Long): Seq[String] =
     manifestLines(s, dir, v).filterNot(_.startsWith("#"))
 
   /** The `#key=value` metadata a commit attached to snapshot `v`. */
@@ -78,9 +92,17 @@ object Snapshots {
     * overwrite — old files stay on disk for time travel until expired).
     * Returns the committed version. Concurrency-safe: the manifest is
     * published with create-if-absent; on collision the commit retries on
-    * top of the winner, so both snapshots land, linearized. */
+    * top of the winner, so both snapshots land, linearized.
+    *
+    * `statsCols` names columns to collect per-file min/max for — written
+    * once, next to the segment (`stats.tsv`), read driver-side by
+    * [[pruneFiles]]/[[readPruned]] for data skipping. Cost is one re-read
+    * of the NEW segment only (O(commit), never O(table)); stats files are
+    * immutable like the data files they describe, so appends never touch
+    * old stats. */
   def commit(df: DataFrame, dir: String, append: Boolean,
-             meta: Map[String, String] = Map.empty): Long = {
+             meta: Map[String, String] = Map.empty,
+             statsCols: Seq[String] = Seq.empty): Long = {
     val s = df.sparkSession
     require(meta.forall { case (k, v) =>
       !k.contains("=") && !k.contains("\n") && !v.contains("\n") },
@@ -93,17 +115,29 @@ object Snapshots {
     val files = fs.listStatus(seg)
       .filter(f => f.isFile && f.getPath.getName.startsWith("part-"))
       .map(_.getPath.toString).sorted
+    if (statsCols.nonEmpty) writeSegmentStats(s, seg, statsCols)
+    commitFileList(s, dir, files, appendBase = append, meta = meta)
+  }
+
+  /** Publish a manifest naming `files` (+ optional `deleteLines`), carrying
+    * the current snapshot forward when `appendBase`. The one place the
+    * exclusive-create optimistic lock lives. */
+  private def commitFileList(s: SparkSession, dir: String, files: Seq[String],
+                             appendBase: Boolean, meta: Map[String, String],
+                             deleteLines: Seq[String] = Seq.empty): Long = {
+    val fs = fsOf(s, new Path(dir))
     var attempt = 0
     while (true) {
       val base = latestVersion(s, dir)
-      val carried = if (append && base > 0) readManifest(s, dir, base) else Seq.empty
+      val carried = if (appendBase && base > 0) carriedLines(s, dir, base) else Seq.empty
       val v = base + 1
       val mp = manifestPath(dir, v)
       fs.mkdirs(mp.getParent)
       try {
         val out = fs.create(mp, false) // exclusive: the optimistic lock
         val metaLines = meta.toSeq.sorted.map { case (k, w) => s"#$k=$w" }
-        try out.write((metaLines ++ carried ++ files).mkString("\n").getBytes("UTF-8"))
+        try out.write((metaLines ++ carried ++ files ++ deleteLines)
+          .mkString("\n").getBytes("UTF-8"))
         finally out.close()
         return v
       } catch {
@@ -129,11 +163,208 @@ object Snapshots {
 
   /** Read a snapshot — `version < 0` means latest. Time travel is just
     * naming an older version; the plan reads exactly that manifest's
-    * files, so concurrent later commits are invisible. */
+    * files, so concurrent later commits are invisible. Pending
+    * equality-deletes (if any) are applied as an anti-join on the delete
+    * key columns — the merge-on-read path. */
   def read(s: SparkSession, dir: String, version: Long = -1L): DataFrame = {
     val v = if (version < 0) latestVersion(s, dir) else version
     require(v > 0, s"no snapshot at $dir")
-    s.read.parquet(readManifest(s, dir, v): _*)
+    applyDeletes(s, dir, v, s.read.parquet(readManifest(s, dir, v): _*))
+  }
+
+  /** Anti-join `data` against snapshot `v`'s pending delete-key files (a
+    * no-op when there are none). Delete-key files are kilobytes — AQE
+    * broadcasts them, so merge-on-read costs one broadcast hash anti-join,
+    * never a shuffle of the data side. */
+  private def applyDeletes(s: SparkSession, dir: String, v: Long, data: DataFrame): DataFrame = {
+    val dels = readDeleteFiles(s, dir, v)
+    if (dels.isEmpty) data
+    else {
+      val keys = s.read.parquet(dels: _*).dropDuplicates()
+      data.join(keys, keys.columns.toSeq, "left_anti")
+    }
+  }
+
+  /** Commit an equality-delete: rows whose values on ALL of `keys`'
+    * columns match any key row disappear from reads at the returned
+    * version. Zero data rewrite — the keys land as a small parquet file
+    * listed `D <path>` in the manifest, applied merge-on-read by [[read]].
+    *
+    * Semantics are GLOBAL equality deletes (the Iceberg v2
+    * equality-delete model without per-file sequence scoping): the delete
+    * masks matching rows in every data file of this snapshot AND in files
+    * appended later, until [[compact]] materializes it. Re-inserting a
+    * previously-deleted key therefore requires a compaction in between —
+    * documented, audited in q152. Time travel is unaffected: versions
+    * before this commit carry no `D` line and still see the rows. */
+  def commitDelete(keys: DataFrame, dir: String,
+                   meta: Map[String, String] = Map.empty): Long = {
+    val s = keys.sparkSession
+    val tag = java.lang.management.ManagementFactory.getRuntimeMXBean.getName
+      .replaceAll("[^A-Za-z0-9]", "") + "_" + System.nanoTime()
+    val seg = new Path(dir, s"data/del_$tag")
+    val fs = fsOf(s, seg)
+    keys.dropDuplicates().write.parquet(seg.toString)
+    val files = fs.listStatus(seg)
+      .filter(f => f.isFile && f.getPath.getName.startsWith("part-"))
+      .map(_.getPath.toString).sorted
+    commitFileList(s, dir, Seq.empty, appendBase = true,
+      meta = meta + ("delete" -> "true"), deleteLines = files.map("D " + _))
+  }
+
+  // ------------------------------------------------------------ statistics
+
+  /** Normalize a file URI to the `Path.toString` form manifests use
+    * (`input_file_name()` yields `file:///x`, `listStatus` `file:/x`). */
+  private def normPath(u: String): String = new Path(new java.net.URI(u)).toString
+
+  /** Collect per-file min/max for `cols` over the staged segment and write
+    * them as `stats.tsv` beside its part files: one
+    * `<file> TAB <col> TAB <type> TAB <b64 min> TAB <b64 max>` line per
+    * (file, col). Values are stringified then base64'd (string stats may
+    * contain tabs/newlines); `-` marks an all-null file/column. The type
+    * tag picks the prune-time comparator: numerics compare numerically,
+    * dates/strings/timestamps lexicographically (ISO renderings order
+    * correctly). Stats are immutable, like the files they describe. */
+  private def writeSegmentStats(s: SparkSession, seg: Path, cols: Seq[String]): Unit = {
+    val back = s.read.parquet(seg.toString)
+    val schema = back.schema
+    def tag(c: String): String = schema(c).dataType match {
+      case LongType | IntegerType | ShortType | ByteType => "long"
+      case DoubleType | FloatType                        => "double"
+      case _: DecimalType                                => "decimal"
+      case DateType | StringType | TimestampType         => "lex"
+      case dt => throw new IllegalArgumentException(s"file stats unsupported for $c: $dt")
+    }
+    cols.foreach(tag) // validate before any work
+    val aggs = cols.flatMap(c =>
+      Seq(min(col(c)).cast("string").as(s"mn_$c"), max(col(c)).cast("string").as(s"mx_$c")))
+    val rows = back.groupBy(input_file_name().as("f"))
+      .agg(aggs.head, aggs.tail: _*).collect() // O(files in THIS segment) rows
+    val b64 = java.util.Base64.getEncoder
+    def enc(v: Any): String =
+      if (v == null) "-" else b64.encodeToString(v.toString.getBytes("UTF-8"))
+    val lines = rows.flatMap { r =>
+      val f = normPath(r.getString(0))
+      cols.zipWithIndex.map { case (c, i) =>
+        s"$f\t$c\t${tag(c)}\t${enc(r.get(1 + 2 * i))}\t${enc(r.get(2 + 2 * i))}"
+      }
+    }
+    val out = fsOf(s, seg).create(new Path(seg, "stats.tsv"), false)
+    try out.write(lines.sorted.mkString("\n").getBytes("UTF-8")) finally out.close()
+  }
+
+  /** file -> col -> (type, min, max); files whose segment has no stats are
+    * absent. Driver-side kilobyte reads, one per distinct segment. */
+  private def loadStats(s: SparkSession, files: Seq[String])
+      : Map[String, Map[String, (String, Option[String], Option[String])]] = {
+    val b64 = java.util.Base64.getDecoder
+    def dec(v: String): Option[String] =
+      if (v == "-") None else Some(new String(b64.decode(v), "UTF-8"))
+    files.map(f => new Path(f).getParent).distinct.flatMap { segDir =>
+      val sp = new Path(segDir, "stats.tsv")
+      val fs = fsOf(s, sp)
+      if (!fs.exists(sp)) Seq.empty[(String, String, (String, Option[String], Option[String]))]
+      else {
+        val in = fs.open(sp)
+        val lines = try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
+                    finally in.close()
+        lines.filter(_.nonEmpty).map { l =>
+          val Array(f, c, t, mn, mx) = l.split("\t", 5)
+          (f, c, (t, dec(mn), dec(mx)))
+        }
+      }
+    }.groupBy(_._1).map { case (f, es) => f -> es.map(e => e._2 -> e._3).toMap }
+  }
+
+  /** Data-skipping core: the snapshot's data files whose [min,max] on
+    * `colName` can intersect [lo,hi], plus the total file count. Pure
+    * driver-side metadata — no data file is opened, so planning cost is
+    * O(manifest), independent of table size. Files with no recorded stats
+    * are conservatively kept (pruning is an optimization, never a filter);
+    * files recorded all-null on `colName` are dropped (no row can match a
+    * range predicate). `lo`/`hi` are strings in the column's natural
+    * rendering and are compared with the comparator the stats were typed
+    * with at write time. */
+  def pruneFiles(s: SparkSession, dir: String, colName: String,
+                 lo: String, hi: String, version: Long = -1L): (Seq[String], Int) = {
+    val v = if (version < 0) latestVersion(s, dir) else version
+    require(v > 0, s"no snapshot at $dir")
+    val files = readManifest(s, dir, v)
+    val stats = loadStats(s, files)
+    def le(t: String, a: String, b: String): Boolean = t match {
+      case "long"    => a.toLong <= b.toLong
+      case "double"  => a.toDouble <= b.toDouble
+      case "decimal" => BigDecimal(a) <= BigDecimal(b)
+      case _         => a <= b
+    }
+    val kept = files.filter { f =>
+      stats.get(f).flatMap(_.get(colName)) match {
+        case Some((t, Some(mn), Some(mx))) => le(t, lo, mx) && le(t, mn, hi)
+        case Some((_, None, None))         => false // all-null: no row in [lo,hi]
+        case _                             => true  // no stats: cannot prune
+      }
+    }
+    (kept, files.size)
+  }
+
+  /** Read `colName BETWEEN lo AND hi` of a snapshot through [[pruneFiles]]:
+    * the plan's parquet scan lists ONLY the surviving files, then the
+    * residual typed filter runs over them (file stats prune whole files;
+    * parquet row-group stats prune within the survivors; the filter
+    * catches the rest). Pending deletes still apply. This is the read-side
+    * payoff of `commit(statsCols=...)`: a narrow predicate on a
+    * well-clustered table touches O(matching files), not O(table). */
+  def readPruned(s: SparkSession, dir: String, colName: String,
+                 lo: String, hi: String, version: Long = -1L): DataFrame = {
+    val v = if (version < 0) latestVersion(s, dir) else version
+    val (kept, _) = pruneFiles(s, dir, colName, lo, hi, v)
+    val base =
+      if (kept.nonEmpty) s.read.parquet(kept: _*)
+      else s.read.parquet(readManifest(s, dir, v): _*).filter(lit(false))
+    val dt = base.schema(colName).dataType
+    val filtered = base.filter(col(colName) >= lit(lo).cast(dt) &&
+                               col(colName) <= lit(hi).cast(dt))
+    applyDeletes(s, dir, v, filtered)
+  }
+
+  // ------------------------------------------------------------ change feed
+
+  /** Row-level change feed: everything an incremental consumer applies to
+    * move its copy of the table from `fromV` to `toV`. Appends in the
+    * window surface as `_change_type='insert'` rows read from EXACTLY the
+    * data files added between the versions — cost O(changed data), never
+    * O(table) — already masked by `toV`'s deletes (a row inserted and
+    * deleted inside the window was never visible at `toV`). Deletes added
+    * in the window surface as `_change_type='delete'` rows carrying the
+    * delete-key columns (other columns null); the consumer applies inserts
+    * first, then deletes, and lands exactly on snapshot `toV`. Requires
+    * every commit in the window to be an append or a delete: an
+    * overwrite/compaction rewrites files without row identity, so no
+    * row-level diff exists and the call fails loudly instead of guessing. */
+  def changes(s: SparkSession, dir: String, fromV: Long, toV: Long): DataFrame = {
+    require(fromV >= 1 && toV > fromV, s"changes: need 1 <= fromV < toV, got $fromV..$toV")
+    val oldData = readManifest(s, dir, fromV).toSet
+    val newData = readManifest(s, dir, toV)
+    require(oldData.subsetOf(newData.toSet),
+      s"changes($fromV,$toV): window contains an overwrite/compaction; no row-level diff exists")
+    val added = newData.filterNot(oldData)
+    val ins = applyDeletes(s, dir, toV,
+      if (added.nonEmpty) s.read.parquet(added: _*)
+      else s.read.parquet(newData: _*).filter(lit(false)))
+    val dataSchema = ins.schema
+    val insOut = ins.withColumn("_change_type", lit("insert"))
+    val oldDel = readDeleteFiles(s, dir, fromV).toSet
+    val newDel = readDeleteFiles(s, dir, toV).filterNot(oldDel)
+    if (newDel.isEmpty) insOut
+    else {
+      val keys = s.read.parquet(newDel: _*).dropDuplicates()
+      val aligned = keys.select(dataSchema.fields.map { f =>
+        (if (keys.columns.contains(f.name)) col(f.name).cast(f.dataType)
+         else lit(null).cast(f.dataType)).as(f.name)
+      }.toSeq: _*)
+      insOut.unionByName(aligned.withColumn("_change_type", lit("delete")))
+    }
   }
 
   /** Rewrite the CURRENT snapshot into ~`targetBytes`-sized files and

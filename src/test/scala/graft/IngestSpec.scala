@@ -310,6 +310,84 @@ class IngestSpec extends AnyFunSuite {
     assert(Snapshots.read(s, lake).count() == 500)
   }
 
+  test("snapshot equality-delete: masks past and later files; compaction materializes") {
+    import s.implicits._
+    import graft.sources.Snapshots
+    val lake = Files.createTempDirectory("graft_snapd").toString + "/tbl"
+    def keys(df: org.apache.spark.sql.DataFrame): Seq[Long] =
+      df.collect().map(_.getLong(0)).sorted.toSeq
+    val v1 = Snapshots.commit(Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v"),
+      lake, append = false)
+    Snapshots.commitDelete(Seq(2L).toDF("k"), lake)
+    assert(keys(Snapshots.read(s, lake)) == Seq(1L, 3L), "delete masks at latest")
+    assert(keys(Snapshots.read(s, lake, v1)) == Seq(1L, 2L, 3L),
+      "time travel to a pre-delete version still sees the row")
+    // global semantics: the delete also masks a LATER append of the same key
+    Snapshots.commit(Seq((2L, "x"), (4L, "d")).toDF("k", "v"), lake, append = true)
+    assert(keys(Snapshots.read(s, lake)) == Seq(1L, 3L, 4L),
+      "pending delete masks re-appended keys until a compaction")
+    // compaction materializes: rows identical, no D line carried, so a
+    // fresh append of the key becomes visible again
+    Snapshots.compact(s, lake)
+    assert(keys(Snapshots.read(s, lake)) == Seq(1L, 3L, 4L))
+    Snapshots.commit(Seq((2L, "y")).toDF("k", "v"), lake, append = true)
+    assert(keys(Snapshots.read(s, lake)) == Seq(1L, 2L, 3L, 4L),
+      "post-compaction re-insert must be visible")
+  }
+
+  test("snapshot file stats: prune skips files, keeps stat-less files, drops all-null") {
+    import s.implicits._
+    import graft.sources.Snapshots
+    val lake = Files.createTempDirectory("graft_snaps").toString + "/tbl"
+    // two range-clustered files with recorded k-stats: ~[1..50], ~[51..100]
+    Snapshots.commit((1L to 100L).toDF("k").repartitionByRange(2, col("k")),
+      lake, append = false, statsCols = Seq("k"))
+    val (kept1, total1) = Snapshots.pruneFiles(s, lake, "k", "1", "10")
+    assert(total1 == 2 && kept1.size == 1, s"want 1/2 files kept, got ${kept1.size}/$total1")
+    assert(Snapshots.readPruned(s, lake, "k", "1", "10").count() == 10)
+    // numeric comparator: lexicographically "9" > "10" but the long tag
+    // must compare numerically, so [9,10] still hits the low file
+    assert(Snapshots.readPruned(s, lake, "k", "9", "10").count() == 2)
+    // a segment committed WITHOUT stats is conservatively kept...
+    Snapshots.commit(Seq(1000L).toDF("k"), lake, append = true)
+    val (kept2, total2) = Snapshots.pruneFiles(s, lake, "k", "1", "10")
+    assert(total2 == 3 && kept2.size == 2, "stat-less file must be kept")
+    assert(Snapshots.readPruned(s, lake, "k", "1", "10").count() == 10,
+      "residual filter must drop the stat-less file's out-of-range rows")
+    // ...while an all-null file is provably empty for any range and drops
+    Snapshots.commit(Seq(Option.empty[Long], Option.empty[Long]).toDF("k")
+      .repartition(1), lake, append = true, statsCols = Seq("k"))
+    val (kept3, total3) = Snapshots.pruneFiles(s, lake, "k", "1", "10")
+    assert(total3 == 4 && kept3.size == 2, "all-null file must be pruned")
+    assert(Snapshots.readPruned(s, lake, "k", "1", "10").count() == 10)
+  }
+
+  test("snapshot change feed: inserts from added files, deletes as key rows") {
+    import s.implicits._
+    import graft.sources.Snapshots
+    val lake = Files.createTempDirectory("graft_snapf").toString + "/tbl"
+    val v1 = Snapshots.commit(Seq((1L, "a"), (2L, "b")).toDF("k", "v"), lake, append = false)
+    Snapshots.commit(Seq((3L, "c"), (7L, "g")).toDF("k", "v"), lake, append = true)
+    Snapshots.commitDelete(Seq(2L, 7L).toDF("k"), lake)
+    val v4 = Snapshots.commit(Seq((4L, "d")).toDF("k", "v"), lake, append = true)
+    val ch = Snapshots.changes(s, lake, v1, v4).collect()
+    val ins = ch.filter(_.getString(2) == "insert").map(_.getLong(0)).sorted.toSeq
+    val del = ch.filter(_.getString(2) == "delete").map(_.getLong(0)).sorted.toSeq
+    assert(ins == Seq(3L, 4L), "k=7 was inserted AND deleted in-window: never visible")
+    assert(del == Seq(2L, 7L))
+    assert(ch.filter(_.getString(2) == "delete").forall(_.isNullAt(1)),
+      "delete rows carry only the key columns")
+    // consumer contract: v1 + inserts - delete keys == read(v4)
+    val insDf = Seq((3L, "c"), (4L, "d")).toDF("k", "v")
+    val applied = Snapshots.read(s, lake, v1).unionByName(insDf)
+      .join(Seq(2L, 7L).toDF("k"), Seq("k"), "left_anti")
+    assert(applied.collect().map(_.getLong(0)).sorted.toSeq ==
+      Snapshots.read(s, lake, v4).collect().map(_.getLong(0)).sorted.toSeq)
+    // an overwrite (compaction) in the window destroys row identity: refuse
+    val cv = Snapshots.compact(s, lake)
+    intercept[IllegalArgumentException](Snapshots.changes(s, lake, v1, cv))
+  }
+
   test("snapshot ledger: commitIfAbsent makes replayed commits no-ops") {
     import s.implicits._
     import graft.sources.Snapshots
