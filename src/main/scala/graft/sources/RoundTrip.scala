@@ -478,6 +478,49 @@ object RoundTrip extends QueryModule {
       |       CAST(COUNT(od) AS BIGINT)
       |FROM o WHERE od >= DATE '1994-01-01' AND okey % 7 <> 0""".stripMargin
 
+  /** q154: incremental view maintenance off the change feed. A monthly
+    * (count, sum) materialization is built ONCE over snapshot v1, then the
+    * table advances (append 1994, equality-delete okey%7, append 1995+)
+    * and the materialization is moved to v4 WITHOUT recomputing the base:
+    * insert deltas aggregate the feed's insert rows (O(changed data));
+    * delete deltas resolve the feed's key rows against the consumer's v1
+    * copy (broadcast keys — one lookup join, prunable when the copy is
+    * clustered by key) and subtract. Old aggregate + deltas is the
+    * answer; the oracle recomputes the v4 aggregate from orders directly,
+    * so a hash match proves the maintenance is EXACT, not approximate.
+    * At 100 TB this is the difference between touching the delta and
+    * rescanning the table every refresh. */
+  def incrementalAgg(s: SparkSession, dir: String): DataFrame = {
+    tune(s)
+    val lake = freshLake(s, "snapivm", dir)
+    val lo = lit("1994-01-01").cast("date")
+    val hi = lit("1995-01-01").cast("date")
+    val o = ordersKeyed(s, dir)
+    val v1 = Snapshots.commit(o.filter(col("od") < lo), lake, append = false)
+    Snapshots.commit(o.filter(col("od") >= lo && col("od") < hi), lake, append = true)
+    Snapshots.commitDelete(o.filter(col("okey") % 7 === 0).select("okey"), lake)
+    val v4 = Snapshots.commit(o.filter(col("od") >= hi), lake, append = true)
+    def monthAgg(df: DataFrame): DataFrame =
+      df.groupBy(date_format(col("od"), "yyyy-MM").as("ym"))
+        .agg(count(lit(1)).as("n_rows"), sum("okey").as("sum_key"))
+    val m1 = monthAgg(Snapshots.read(s, lake, v1)) // the stored materialization
+    val ch = Snapshots.changes(s, lake, v1, v4)
+    val insDelta = monthAgg(ch.filter(col("_change_type") === "insert"))
+    val delKeys = ch.filter(col("_change_type") === "delete").select("okey")
+    val delDelta = monthAgg(Snapshots.read(s, lake, v1)
+        .join(broadcast(delKeys), Seq("okey")))
+      .select(col("ym"), (-col("n_rows")).as("n_rows"), (-col("sum_key")).as("sum_key"))
+    Snapshots.mergeAggDeltas(m1, Seq(insDelta, delDelta), Seq("ym"), "n_rows")
+  }
+
+  private val incrementalAggSql =
+    """WITH o AS (SELECT CAST(o_orderkey AS BIGINT) AS okey,
+      |                  CAST(o_orderdate AS DATE) AS od FROM orders)
+      |SELECT strftime(od, '%Y-%m') AS ym, CAST(COUNT(*) AS BIGINT) AS n_rows,
+      |       CAST(SUM(okey) AS BIGINT) AS sum_key
+      |FROM o WHERE okey % 7 <> 0
+      |GROUP BY 1""".stripMargin
+
   override val queries: Seq[GQuery] = Seq(
     GQuery("q101_merge_lake", "durable partition-scoped MERGE sink: upsert applied twice == once (S7)",
       mergeLake, Some(mergeLakeSql)),
@@ -493,6 +536,9 @@ object RoundTrip extends QueryModule {
     GQuery("q153_snapshot_changes",
       "row-level change feed between snapshots: inserts from added files only, deletes as key rows",
       snapshotChanges, Some(snapshotChangesSql)),
+    GQuery("q154_incremental_agg",
+      "incremental view maintenance: materialized aggregate moved across snapshots by feed deltas alone",
+      incrementalAgg, Some(incrementalAggSql)),
     GQuery("q82_csv_roundtrip", "CSV sink+scan roundtrip vs parquet oracle (S1/S9)",
       csvRoundtrip, Some(csvRoundtripSql)),
     GQuery("q83_json_roundtrip", "JSON sink+scan roundtrip vs parquet oracle (S2/S6)",

@@ -2,7 +2,7 @@ package graft.sources
 
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{col, input_file_name, lit, max, min}
+import org.apache.spark.sql.functions.{col, input_file_name, lit, max, min, sum}
 import org.apache.spark.sql.types._
 
 /** Snapshot-manifest table layout over plain parquet — the minimal table
@@ -365,6 +365,25 @@ object Snapshots {
       }.toSeq: _*)
       insOut.unionByName(aligned.withColumn("_change_type", lit("delete")))
     }
+  }
+
+  /** Merge a stored additive-aggregate materialization with signed delta
+    * frames (same schema: `groupCols` plus numeric aggregate columns).
+    * Insert deltas carry positive contributions, delete deltas negative;
+    * a group whose `countCol` reaches zero has no surviving rows and
+    * drops from the result. This is the apply step of incremental view
+    * maintenance over [[changes]]: cost O(|state| + |deltas|), never a
+    * rescan of the base table. Only works for additive aggregates
+    * (count/sum and anything derivable from them). */
+  def mergeAggDeltas(state: DataFrame, deltas: Seq[DataFrame],
+                     groupCols: Seq[String], countCol: String): DataFrame = {
+    val aggCols = state.columns.filterNot(groupCols.contains).toSeq
+    require(aggCols.contains(countCol), s"countCol $countCol not in ${state.columns.toSeq}")
+    val merged = deltas.foldLeft(state)(_ unionByName _)
+      .groupBy(groupCols.map(col): _*)
+      .agg(sum(aggCols.head).as(aggCols.head),
+           aggCols.tail.map(c => sum(col(c)).as(c)): _*)
+    merged.filter(col(countCol) > 0)
   }
 
   /** Rewrite the CURRENT snapshot into ~`targetBytes`-sized files and

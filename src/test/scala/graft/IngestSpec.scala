@@ -388,6 +388,19 @@ class IngestSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](Snapshots.changes(s, lake, v1, cv))
   }
 
+  test("incremental maintenance: deltas merge exactly; a zeroed group drops") {
+    import s.implicits._
+    import graft.sources.Snapshots
+    val state = Seq(("A", 2L, 30L), ("B", 1L, 5L)).toDF("g", "n", "s")
+    val ins   = Seq(("B", 1L, 7L), ("C", 2L, 9L)).toDF("g", "n", "s")
+    val del   = Seq(("A", -2L, -30L)).toDF("g", "n", "s") // deletes ALL of A
+    val out = Snapshots.mergeAggDeltas(state, Seq(ins, del), Seq("g"), "n")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1).toSeq
+    assert(out == Seq(("B", 2L, 12L), ("C", 2L, 9L)),
+      "B merges, C appears, fully-deleted A must drop (not linger at n=0)")
+  }
+
   test("snapshot ledger: commitIfAbsent makes replayed commits no-ops") {
     import s.implicits._
     import graft.sources.Snapshots
