@@ -367,17 +367,20 @@ object RoundTrip extends QueryModule {
       .select(col("o_orderkey").cast("long").as("okey"),
         col("o_orderdate").cast("date").as("od"))
 
-  /** q151: equality-deletes applied merge-on-read. v1 = overwrite-commit
-    * of pre-1995 orders; v2 = [[Snapshots.commitDelete]] of every okey
-    * divisible by 10 (the keys land as a kilobyte parquet file listed
-    * `D <path>` in the manifest — zero data rewrite); v3 = append-commit
-    * of the remaining orders. The latest read must mask deleted keys in
-    * BOTH the v1 files and the v3-appended files (global equality-delete
-    * semantics, Iceberg-v2-style without sequence scoping), while time
-    * travel to v1 — whose manifest carries no `D` line — still sees every
-    * pre-1995 row. `deletes_applied` audits in-frame that no masked key
-    * survives at v3. At 100 TB the delete costs one broadcast hash
-    * anti-join at read time, never a rewrite of the data side. */
+  /** q151: sequence-scoped equality-deletes applied merge-on-read. v1 =
+    * overwrite-commit of pre-1995 orders; v2 = [[Snapshots.commitDelete]]
+    * of every okey divisible by 10 (the keys land as a kilobyte parquet
+    * file listed `D <seq> <path>` in the manifest — zero data rewrite);
+    * v3 = append-commit of the 1995+ orders. The Iceberg-v2 scoping rule:
+    * the delete masks matching rows only in files committed BEFORE it, so
+    * the latest read drops %10 keys from the v1 files but the v3-appended
+    * %10 rows are immediately visible (a re-inserted key needs no
+    * compaction), while time travel to v1 — whose manifest carries no `D`
+    * line — still sees every pre-1995 row. `deletes_applied` audits
+    * in-frame that no masked key survives among pre-1995 rows AND that
+    * the later-appended %10 rows did surface. At 100 TB the delete costs
+    * one broadcast hash anti-join at read time over only the older files,
+    * never a rewrite of the data side. */
   def snapshotDelete(s: SparkSession, dir: String): DataFrame = {
     tune(s)
     val lake = freshLake(s, "snapdel", dir)
@@ -389,11 +392,14 @@ object RoundTrip extends QueryModule {
     def snapAgg(v: Long): DataFrame = Snapshots.read(s, lake, v)
       .agg(count(lit(1)).as("n_rows"), sum("okey").as("sum_key"))
       .select(lit(v).as("version"), col("n_rows"), col("sum_key"))
-    val masked = Snapshots.read(s, lake, v3)
-      .agg(coalesce(sum(when(col("okey") % 10 === 0, 1).otherwise(0)), lit(0)).as("m"))
-    snapAgg(v1).union(snapAgg(v3)).crossJoin(masked)
-      .withColumn("deletes_applied", col("m") === 0)
-      .drop("m")
+    val audit = Snapshots.read(s, lake, v3)
+      .agg(coalesce(sum(when(col("okey") % 10 === 0 && col("od") < cutoff, 1)
+             .otherwise(0)), lit(0)).as("m"),
+           coalesce(sum(when(col("okey") % 10 === 0 && col("od") >= cutoff, 1)
+             .otherwise(0)), lit(0)).as("re"))
+    snapAgg(v1).union(snapAgg(v3)).crossJoin(audit)
+      .withColumn("deletes_applied", col("m") === 0 && col("re") > 0)
+      .drop("m", "re")
   }
 
   private val snapshotDeleteSql =
@@ -405,7 +411,7 @@ object RoundTrip extends QueryModule {
       |UNION ALL
       |SELECT CAST(3 AS BIGINT), CAST(COUNT(*) AS BIGINT),
       |       CAST(SUM(okey) AS BIGINT), TRUE
-      |FROM o WHERE okey % 10 <> 0""".stripMargin
+      |FROM o WHERE okey % 10 <> 0 OR od >= DATE '1995-01-01'""".stripMargin
 
   /** q152: per-file min/max statistics driving data skipping. The commit
     * range-clusters orders by order date into 8 files and records each
@@ -445,12 +451,13 @@ object RoundTrip extends QueryModule {
     * overwrite (pre-1994), v2 = append (1994), v3 = equality-delete of
     * every okey divisible by 7, v4 = append (1995+). [[Snapshots.changes]]
     * (v1→v4) reads EXACTLY the files added in the window — cost O(changed
-    * data), never O(table) — so inserts are the 1994+ rows minus keys
-    * deleted inside the same window (a row inserted then deleted in-window
-    * was never visible at v4 and must not surface), and deletes are the
-    * key rows with non-key columns null. A consumer applying inserts then
-    * deletes to its copy of v1 lands exactly on v4 — the contract the
-    * oracle recomputes from orders directly. */
+    * data), never O(table). Sequence scoping decides what surfaces: the
+    * 1994 rows (seq 2) are masked by the v3 delete, so %7 keys among them
+    * never appear as inserts, while the 1995+ rows (seq 4) postdate the
+    * delete and surface in full — including re-appended %7 keys. Deletes
+    * are the key rows with non-key columns null. A consumer applying the
+    * DELETES to its v1 copy first, then adding the inserts, lands exactly
+    * on v4 — the contract the oracle recomputes from orders directly. */
   def snapshotChanges(s: SparkSession, dir: String): DataFrame = {
     tune(s)
     val lake = freshLake(s, "snapchg", dir)
@@ -476,16 +483,20 @@ object RoundTrip extends QueryModule {
       |UNION ALL
       |SELECT 'insert', CAST(COUNT(*) AS BIGINT), CAST(SUM(okey) AS BIGINT),
       |       CAST(COUNT(od) AS BIGINT)
-      |FROM o WHERE od >= DATE '1994-01-01' AND okey % 7 <> 0""".stripMargin
+      |FROM o WHERE od >= DATE '1994-01-01'
+      |      AND (okey % 7 <> 0 OR od >= DATE '1995-01-01')""".stripMargin
 
   /** q154: incremental view maintenance off the change feed. A monthly
     * (count, sum) materialization is built ONCE over snapshot v1, then the
     * table advances (append 1994, equality-delete okey%7, append 1995+)
     * and the materialization is moved to v4 WITHOUT recomputing the base:
-    * insert deltas aggregate the feed's insert rows (O(changed data));
-    * delete deltas resolve the feed's key rows against the consumer's v1
-    * copy (broadcast keys — one lookup join, prunable when the copy is
-    * clustered by key) and subtract. Old aggregate + deltas is the
+    * insert deltas aggregate the feed's insert rows (O(changed data),
+    * already sequence-scoped: 1994 rows arrive minus the deleted keys,
+    * 1995+ rows in full); delete deltas resolve the feed's key rows
+    * against the consumer's v1 copy (broadcast keys — one lookup join,
+    * prunable when the copy is clustered by key) and subtract — matching
+    * the scoped contract, since every row the consumer holds predates
+    * the window's deletes. Old aggregate + deltas is the
     * answer; the oracle recomputes the v4 aggregate from orders directly,
     * so a hash match proves the maintenance is EXACT, not approximate.
     * At 100 TB this is the difference between touching the delta and
@@ -518,8 +529,60 @@ object RoundTrip extends QueryModule {
       |                  CAST(o_orderdate AS DATE) AS od FROM orders)
       |SELECT strftime(od, '%Y-%m') AS ym, CAST(COUNT(*) AS BIGINT) AS n_rows,
       |       CAST(SUM(okey) AS BIGINT) AS sum_key
-      |FROM o WHERE okey % 7 <> 0
+      |FROM o WHERE okey % 7 <> 0 OR od >= DATE '1995-01-01'
       |GROUP BY 1""".stripMargin
+
+  /** q155: atomic MERGE (upsert) as ONE snapshot commit. v1 = the whole
+    * orders table with a derived value column; one [[Snapshots.upsert]]
+    * then replaces every okey%3 row's value AND inserts brand-new keys
+    * (okey+10M) in a single manifest publish — an equality-delete on the
+    * batch's keys plus the batch's data files at the same sequence, so
+    * the delete masks the old copies but never the rows it ships with.
+    * Readers see pre-merge or post-merge, never between; the data plane
+    * cost is O(batch) with no rewrite of matched files (merge-on-read).
+    * The result classifies the post-merge table (updated / untouched /
+    * inserted) and reads v1 back through time travel — the oracle
+    * recomputes both states from orders, so a hash match proves the
+    * merge replaced exactly the matched keys and the old snapshot is
+    * untouched. */
+  def snapshotUpsert(s: SparkSession, dir: String): DataFrame = {
+    tune(s)
+    val lake = freshLake(s, "snapup", dir)
+    val o = ordersKeyed(s, dir)
+    val v1 = Snapshots.commit(o.withColumn("val", col("okey") % 97), lake, append = false)
+    val batch = o.filter(col("okey") % 3 === 0)
+      .select(col("okey"), col("od"), (col("okey") % 89 + 1000).as("val"))
+      .unionByName(o.filter(col("okey") % 1000 === 0)
+        .select((col("okey") + 10000000L).as("okey"), col("od"), lit(42L).as("val")))
+    Snapshots.upsert(batch, lake, Seq("okey"))
+    val cls = when(col("okey") >= 10000000L, "inserted")
+      .when(col("okey") % 3 === 0, "updated").otherwise("untouched")
+    Snapshots.read(s, lake)
+      .groupBy(cls.as("cls"))
+      .agg(count(lit(1)).as("n_rows"), sum("val").as("sum_val"))
+      .unionByName(Snapshots.read(s, lake, v1)
+        .agg(count(lit(1)).as("n_rows"), sum("val").as("sum_val"))
+        .select(lit("v1_total").as("cls"), col("n_rows"), col("sum_val")))
+  }
+
+  private val snapshotUpsertSql =
+    """WITH o AS (SELECT CAST(o_orderkey AS BIGINT) AS okey,
+      |                  CAST(o_orderdate AS DATE) AS od FROM orders),
+      |final AS (
+      |  SELECT okey, CASE WHEN okey % 3 = 0 THEN okey % 89 + 1000
+      |                    ELSE okey % 97 END AS val FROM o
+      |  UNION ALL
+      |  SELECT okey + 10000000, 42 FROM o WHERE okey % 1000 = 0)
+      |SELECT CASE WHEN okey >= 10000000 THEN 'inserted'
+      |            WHEN okey % 3 = 0 THEN 'updated'
+      |            ELSE 'untouched' END AS cls,
+      |       CAST(COUNT(*) AS BIGINT) AS n_rows,
+      |       CAST(SUM(val) AS BIGINT) AS sum_val
+      |FROM final GROUP BY 1
+      |UNION ALL
+      |SELECT 'v1_total', CAST(COUNT(*) AS BIGINT),
+      |       CAST(SUM(okey % 97) AS BIGINT)
+      |FROM o""".stripMargin
 
   override val queries: Seq[GQuery] = Seq(
     GQuery("q101_merge_lake", "durable partition-scoped MERGE sink: upsert applied twice == once (S7)",
@@ -539,6 +602,9 @@ object RoundTrip extends QueryModule {
     GQuery("q154_incremental_agg",
       "incremental view maintenance: materialized aggregate moved across snapshots by feed deltas alone",
       incrementalAgg, Some(incrementalAggSql)),
+    GQuery("q155_snapshot_upsert",
+      "atomic MERGE commit: delete-on-keys + append in one manifest, old snapshot intact",
+      snapshotUpsert, Some(snapshotUpsertSql)),
     GQuery("q82_csv_roundtrip", "CSV sink+scan roundtrip vs parquet oracle (S1/S9)",
       csvRoundtrip, Some(csvRoundtripSql)),
     GQuery("q83_json_roundtrip", "JSON sink+scan roundtrip vs parquet oracle (S2/S6)",

@@ -10,8 +10,9 @@ import org.apache.spark.sql.types._
   *
   *   dir/data/seg_<tag>/part-*.parquet    immutable data segments
   *   dir/data/seg_<tag>/stats.tsv         per-file column min/max (optional)
-  *   dir/manifests/v00001.txt             one line per data file;
-  *                                        `D <path>` = equality-delete file
+  *   dir/manifests/v00001.txt             `F <seq> <path>` = data file,
+  *                                        `D <seq> <path>` = equality-delete
+  *                                        file; seq = version that added it
   *
   * A snapshot IS its manifest: readers resolve a version to a file list
   * and read exactly those files, so they see a committed snapshot in
@@ -23,6 +24,16 @@ import org.apache.spark.sql.types._
   * but a filesystem with create-if-absent). A crash between segment
   * write and manifest publish leaves an orphaned segment no reader can
   * see; [[expire]] collects it.
+  *
+  * Every manifest line carries the SEQUENCE NUMBER (the version) of the
+  * commit that added it, and an equality-delete applies only to data
+  * files with a strictly smaller sequence — the Iceberg-v2 scoping rule.
+  * That makes delete semantics order-consistent: a re-inserted key is
+  * visible the moment its append commits (no compaction needed first),
+  * and compaction never changes what a reader sees, only the file
+  * layout. It is also what makes [[upsert]] atomic: the delete and the
+  * append land in ONE manifest at the SAME sequence, so the delete
+  * masks every older copy of the keys but never the rows it ships with.
   *
   * Scale posture: a manifest lists files, not rows — O(files) bytes,
   * read once per query plan. Appends carry the prior file list forward
@@ -60,13 +71,25 @@ object Snapshots {
     finally in.close()
   }
 
+  /** Parse a manifest line into (kind, seq, path). */
+  private def parseLine(l: String): (String, Long, String) = l.split(" ", 3) match {
+    case Array(k @ ("F" | "D"), seq, path) => (k, seq.toLong, path)
+    case _ => throw new IllegalStateException(s"malformed manifest line: $l")
+  }
+
+  /** (seq, path) of snapshot `v`'s data files, in manifest order. */
+  private def dataEntries(s: SparkSession, dir: String, v: Long): Seq[(Long, String)] =
+    manifestLines(s, dir, v).filterNot(_.startsWith("#"))
+      .map(parseLine).collect { case ("F", seq, p) => (seq, p) }
+
+  /** (seq, path) of snapshot `v`'s equality-delete files. */
+  private def deleteEntries(s: SparkSession, dir: String, v: Long): Seq[(Long, String)] =
+    manifestLines(s, dir, v).filterNot(_.startsWith("#"))
+      .map(parseLine).collect { case ("D", seq, p) => (seq, p) }
+
   /** Data-file paths of snapshot `v` (excludes meta and delete lines). */
   private def readManifest(s: SparkSession, dir: String, v: Long): Seq[String] =
-    manifestLines(s, dir, v).filterNot(l => l.startsWith("#") || l.startsWith("D "))
-
-  /** Equality-delete file paths of snapshot `v` (the `D <path>` lines). */
-  private def readDeleteFiles(s: SparkSession, dir: String, v: Long): Seq[String] =
-    manifestLines(s, dir, v).collect { case l if l.startsWith("D ") => l.stripPrefix("D ") }
+    dataEntries(s, dir, v).map(_._2)
 
   /** All carried-forward lines for an append commit: data AND delete files,
     * in manifest order, so a logical append preserves pending deletes. */
@@ -119,25 +142,22 @@ object Snapshots {
     commitFileList(s, dir, files, appendBase = append, meta = meta)
   }
 
-  /** Publish a manifest naming `files` (+ optional `deleteLines`), carrying
-    * the current snapshot forward when `appendBase`. The one place the
-    * exclusive-create optimistic lock lives. */
-  private def commitFileList(s: SparkSession, dir: String, files: Seq[String],
-                             appendBase: Boolean, meta: Map[String, String],
-                             deleteLines: Seq[String] = Seq.empty): Long = {
+  /** Publish the next manifest with the exclusive-create optimistic lock.
+    * `buildLines(v)` is re-evaluated per attempt with the version being
+    * tried, so a loser of the race rebuilds on top of the winner. */
+  private def publish(s: SparkSession, dir: String, meta: Map[String, String],
+                      buildLines: Long => Seq[String]): Long = {
     val fs = fsOf(s, new Path(dir))
     var attempt = 0
     while (true) {
-      val base = latestVersion(s, dir)
-      val carried = if (appendBase && base > 0) carriedLines(s, dir, base) else Seq.empty
-      val v = base + 1
+      val v = latestVersion(s, dir) + 1
       val mp = manifestPath(dir, v)
       fs.mkdirs(mp.getParent)
+      val metaLines = meta.toSeq.sorted.map { case (k, w) => s"#$k=$w" }
+      val body = metaLines ++ buildLines(v)
       try {
         val out = fs.create(mp, false) // exclusive: the optimistic lock
-        val metaLines = meta.toSeq.sorted.map { case (k, w) => s"#$k=$w" }
-        try out.write((metaLines ++ carried ++ files ++ deleteLines)
-          .mkString("\n").getBytes("UTF-8"))
+        try out.write(body.mkString("\n").getBytes("UTF-8"))
         finally out.close()
         return v
       } catch {
@@ -148,6 +168,23 @@ object Snapshots {
     }
     -1L // unreachable
   }
+
+  /** Publish a manifest adding `files` (+ optional `deleteFiles`) at the new
+    * version's sequence, carrying the current snapshot forward when
+    * `appendBase`. `carriedFilter` lets a caller drop specific carried
+    * lines (partition overwrite); it is re-applied per retry so it always
+    * filters the actual winner's manifest. */
+  private def commitFileList(s: SparkSession, dir: String, files: Seq[String],
+                             appendBase: Boolean, meta: Map[String, String],
+                             deleteFiles: Seq[String] = Seq.empty,
+                             carriedFilter: String => Boolean = _ => true): Long =
+    publish(s, dir, meta, v => {
+      val base = v - 1
+      val carried =
+        if (appendBase && base > 0) carriedLines(s, dir, base).filter(carriedFilter)
+        else Seq.empty
+      carried ++ files.map(f => s"F $v $f") ++ deleteFiles.map(f => s"D $v $f")
+    })
 
   /** Exactly-once commit for replayable producers (a streaming
     * foreachBatch, a retried job): the commit is tagged
@@ -164,52 +201,106 @@ object Snapshots {
   /** Read a snapshot — `version < 0` means latest. Time travel is just
     * naming an older version; the plan reads exactly that manifest's
     * files, so concurrent later commits are invisible. Pending
-    * equality-deletes (if any) are applied as an anti-join on the delete
-    * key columns — the merge-on-read path. */
+    * equality-deletes (if any) are applied sequence-scoped as broadcast
+    * hash anti-joins — the merge-on-read path. */
   def read(s: SparkSession, dir: String, version: Long = -1L): DataFrame = {
     val v = if (version < 0) latestVersion(s, dir) else version
     require(v > 0, s"no snapshot at $dir")
-    applyDeletes(s, dir, v, s.read.parquet(readManifest(s, dir, v): _*))
+    scopedRead(s, dataEntries(s, dir, v), deleteEntries(s, dir, v))
   }
 
-  /** Anti-join `data` against snapshot `v`'s pending delete-key files (a
-    * no-op when there are none). Delete-key files are kilobytes — AQE
-    * broadcasts them, so merge-on-read costs one broadcast hash anti-join,
-    * never a shuffle of the data side. */
-  private def applyDeletes(s: SparkSession, dir: String, v: Long, data: DataFrame): DataFrame = {
-    val dels = readDeleteFiles(s, dir, v)
-    if (dels.isEmpty) data
-    else {
-      val keys = s.read.parquet(dels: _*).dropDuplicates()
-      data.join(keys, keys.columns.toSeq, "left_anti")
-    }
+  /** Merge-on-read with sequence scoping: a delete file at seq `sd` masks
+    * rows only in data files with seq < `sd`. Data files are bucketed by
+    * HOW MANY delete seqs exceed theirs — files in the same bucket share
+    * the exact same applicable delete set, so the plan is one scan +
+    * anti-join per bucket (≤ distinct-delete-seqs + 1 branches), unioned.
+    * Delete-key files are kilobytes, so each anti-join is a broadcast
+    * hash join — the data side never shuffles. Pending deletes are few by
+    * construction ([[compact]] materializes them), so the branch count
+    * stays small at any table size. */
+  private def scopedRead(s: SparkSession, data: Seq[(Long, String)],
+                         dels: Seq[(Long, String)]): DataFrame = {
+    if (dels.isEmpty) return s.read.parquet(data.map(_._2): _*)
+    val delSeqs = dels.map(_._1).distinct.sorted
+    data.groupBy { case (sf, _) => delSeqs.count(_ > sf) }.toSeq.sortBy(_._1)
+      .map { case (k, entries) =>
+        val df = s.read.parquet(entries.map(_._2): _*)
+        if (k == 0) df
+        else {
+          val applicable = delSeqs.takeRight(k).toSet
+          val keys = s.read.parquet(dels.filter(d => applicable(d._1)).map(_._2): _*)
+            .dropDuplicates()
+          df.join(keys, keys.columns.toSeq, "left_anti")
+        }
+      }.reduce(_ unionByName _)
+  }
+
+  /** Stage a frame as an immutable segment under `data/<prefix>_<tag>` and
+    * return its part-file paths. Invisible until a manifest names them. */
+  private def stageSegment(df: DataFrame, dir: String, prefix: String): Seq[String] = {
+    val s = df.sparkSession
+    val tag = java.lang.management.ManagementFactory.getRuntimeMXBean.getName
+      .replaceAll("[^A-Za-z0-9]", "") + "_" + System.nanoTime()
+    val seg = new Path(dir, s"data/${prefix}_$tag")
+    df.write.parquet(seg.toString)
+    fsOf(s, seg).listStatus(seg)
+      .filter(f => f.isFile && f.getPath.getName.startsWith("part-"))
+      .map(_.getPath.toString).sorted.toSeq
   }
 
   /** Commit an equality-delete: rows whose values on ALL of `keys`'
     * columns match any key row disappear from reads at the returned
     * version. Zero data rewrite — the keys land as a small parquet file
-    * listed `D <path>` in the manifest, applied merge-on-read by [[read]].
+    * listed `D <seq> <path>` in the manifest, applied merge-on-read by
+    * [[read]].
     *
-    * Semantics are GLOBAL equality deletes (the Iceberg v2
-    * equality-delete model without per-file sequence scoping): the delete
-    * masks matching rows in every data file of this snapshot AND in files
-    * appended later, until [[compact]] materializes it. Re-inserting a
-    * previously-deleted key therefore requires a compaction in between —
-    * documented, audited in q152. Time travel is unaffected: versions
-    * before this commit carry no `D` line and still see the rows. */
+    * Sequence-scoped (the Iceberg v2 rule): the delete masks matching
+    * rows only in data files committed BEFORE it. A later append of the
+    * same key is immediately visible — no compaction needed — and
+    * [[compact]] changes layout, never visibility. Time travel is
+    * unaffected: versions before this commit carry no `D` line and still
+    * see the rows. */
   def commitDelete(keys: DataFrame, dir: String,
                    meta: Map[String, String] = Map.empty): Long = {
-    val s = keys.sparkSession
-    val tag = java.lang.management.ManagementFactory.getRuntimeMXBean.getName
-      .replaceAll("[^A-Za-z0-9]", "") + "_" + System.nanoTime()
-    val seg = new Path(dir, s"data/del_$tag")
-    val fs = fsOf(s, seg)
-    keys.dropDuplicates().write.parquet(seg.toString)
-    val files = fs.listStatus(seg)
-      .filter(f => f.isFile && f.getPath.getName.startsWith("part-"))
-      .map(_.getPath.toString).sorted
-    commitFileList(s, dir, Seq.empty, appendBase = true,
-      meta = meta + ("delete" -> "true"), deleteLines = files.map("D " + _))
+    val files = stageSegment(keys.dropDuplicates(), dir, "del")
+    commitFileList(keys.sparkSession, dir, Seq.empty, appendBase = true,
+      meta = meta + ("delete" -> "true"), deleteFiles = files)
+  }
+
+  /** Atomic MERGE (upsert): rows in `df` REPLACE any current rows sharing
+    * their `keys` values, and rows with new keys are inserted — in ONE
+    * commit. The manifest gains an equality-delete on `df`'s key values
+    * and `df`'s data files at the same sequence; by the scoping rule the
+    * delete masks every older copy of the keys but not the rows it ships
+    * with. Readers see either the pre-merge or the post-merge snapshot,
+    * never a half-applied one, and the data plane cost is O(|df|) — no
+    * rewrite of matched files (merge-on-read, materialized by the next
+    * [[compact]]). */
+  def upsert(df: DataFrame, dir: String, keys: Seq[String],
+             meta: Map[String, String] = Map.empty): Long = {
+    require(keys.nonEmpty && keys.forall(df.columns.contains),
+      s"upsert keys $keys must be columns of ${df.columns.toSeq}")
+    val s = df.sparkSession
+    val dataFiles = stageSegment(df, dir, "seg")
+    // key values re-read from the staged segment, not df: df may be
+    // nondeterministic, and the delete MUST match the rows that landed
+    val delFiles = stageSegment(
+      s.read.parquet(dataFiles: _*).select(keys.map(col): _*).dropDuplicates()
+        .coalesce(1), dir, "del")
+    commitFileList(s, dir, dataFiles, appendBase = true,
+      meta = meta + ("upsert" -> "true"), deleteFiles = delFiles)
+  }
+
+  /** Restore the table to the state of snapshot `toV` as a NEW commit:
+    * the rollback manifest re-lists `toV`'s exact file and delete lines
+    * (original sequences preserved), so reads at the new version equal
+    * reads at `toV` while the rolled-back versions stay readable for
+    * audit until [[expire]]d. Metadata-only — no data file is touched. */
+  def rollback(s: SparkSession, dir: String, toV: Long): Long = {
+    require(fsOf(s, manifestPath(dir, toV)).exists(manifestPath(dir, toV)),
+      s"rollback: no manifest v$toV at $dir")
+    val lines = carriedLines(s, dir, toV)
+    publish(s, dir, Map("rollback" -> toV.toString), _ => lines)
   }
 
   // ------------------------------------------------------------ statistics
@@ -319,13 +410,15 @@ object Snapshots {
                  lo: String, hi: String, version: Long = -1L): DataFrame = {
     val v = if (version < 0) latestVersion(s, dir) else version
     val (kept, _) = pruneFiles(s, dir, colName, lo, hi, v)
+    val keptSet = kept.toSet
     val base =
-      if (kept.nonEmpty) s.read.parquet(kept: _*)
+      if (kept.nonEmpty)
+        scopedRead(s, dataEntries(s, dir, v).filter(e => keptSet(e._2)),
+          deleteEntries(s, dir, v))
       else s.read.parquet(readManifest(s, dir, v): _*).filter(lit(false))
     val dt = base.schema(colName).dataType
-    val filtered = base.filter(col(colName) >= lit(lo).cast(dt) &&
-                               col(colName) <= lit(hi).cast(dt))
-    applyDeletes(s, dir, v, filtered)
+    base.filter(col(colName) >= lit(lo).cast(dt) &&
+                col(colName) <= lit(hi).cast(dt))
   }
 
   // ------------------------------------------------------------ change feed
@@ -334,28 +427,32 @@ object Snapshots {
     * move its copy of the table from `fromV` to `toV`. Appends in the
     * window surface as `_change_type='insert'` rows read from EXACTLY the
     * data files added between the versions — cost O(changed data), never
-    * O(table) — already masked by `toV`'s deletes (a row inserted and
-    * deleted inside the window was never visible at `toV`). Deletes added
-    * in the window surface as `_change_type='delete'` rows carrying the
-    * delete-key columns (other columns null); the consumer applies inserts
-    * first, then deletes, and lands exactly on snapshot `toV`. Requires
-    * every commit in the window to be an append or a delete: an
-    * overwrite/compaction rewrites files without row identity, so no
-    * row-level diff exists and the call fails loudly instead of guessing. */
+    * O(table) — already masked by any window delete with a HIGHER
+    * sequence than their file (a row inserted then deleted in-window was
+    * never visible at `toV`; a key deleted then re-appended IS, and
+    * surfaces as an insert). Deletes added in the window surface as
+    * `_change_type='delete'` rows carrying the delete-key columns (other
+    * columns null). The consumer applies the DELETES to its `fromV` copy
+    * first — every row it holds predates the window, so all window
+    * deletes apply to it — then adds the inserts, and lands exactly on
+    * snapshot `toV`. Requires every commit in the window to be an append,
+    * delete, or upsert: an overwrite/compaction rewrites files without
+    * row identity, so no row-level diff exists and the call fails loudly
+    * instead of guessing. */
   def changes(s: SparkSession, dir: String, fromV: Long, toV: Long): DataFrame = {
     require(fromV >= 1 && toV > fromV, s"changes: need 1 <= fromV < toV, got $fromV..$toV")
     val oldData = readManifest(s, dir, fromV).toSet
-    val newData = readManifest(s, dir, toV)
-    require(oldData.subsetOf(newData.toSet),
+    val newEntries = dataEntries(s, dir, toV)
+    require(oldData.subsetOf(newEntries.map(_._2).toSet),
       s"changes($fromV,$toV): window contains an overwrite/compaction; no row-level diff exists")
-    val added = newData.filterNot(oldData)
-    val ins = applyDeletes(s, dir, toV,
-      if (added.nonEmpty) s.read.parquet(added: _*)
-      else s.read.parquet(newData: _*).filter(lit(false)))
+    val added = newEntries.filterNot(e => oldData(e._2))
+    val ins =
+      if (added.nonEmpty) scopedRead(s, added, deleteEntries(s, dir, toV))
+      else s.read.parquet(newEntries.map(_._2): _*).filter(lit(false))
     val dataSchema = ins.schema
     val insOut = ins.withColumn("_change_type", lit("insert"))
-    val oldDel = readDeleteFiles(s, dir, fromV).toSet
-    val newDel = readDeleteFiles(s, dir, toV).filterNot(oldDel)
+    val oldDel = deleteEntries(s, dir, fromV).map(_._2).toSet
+    val newDel = deleteEntries(s, dir, toV).map(_._2).filterNot(oldDel)
     if (newDel.isEmpty) insOut
     else {
       val keys = s.read.parquet(newDel: _*).dropDuplicates()
@@ -417,9 +514,12 @@ object Snapshots {
     val latest = latestVersion(s, dir)
     val keepStart = math.max(1L, math.min(keepFrom, latest))
     val dropped = (1L until keepStart).filter(v => fs.exists(manifestPath(dir, v)))
+    // keep every file a retained manifest references — data AND delete
+    // files (a dropped delete file would break merge-on-read for versions
+    // still inside the retention window)
     val keptFiles = (keepStart to latest)
       .filter(v => fs.exists(manifestPath(dir, v)))
-      .flatMap(v => readManifest(s, dir, v)).toSet
+      .flatMap(v => readManifest(s, dir, v) ++ deleteEntries(s, dir, v).map(_._2)).toSet
     dropped.foreach(v => fs.delete(manifestPath(dir, v), false))
     val dataDir = new Path(dir, "data")
     var deleted = 0

@@ -310,29 +310,58 @@ class IngestSpec extends AnyFunSuite {
     assert(Snapshots.read(s, lake).count() == 500)
   }
 
-  test("snapshot equality-delete: masks past and later files; compaction materializes") {
+  test("snapshot equality-delete: sequence-scoped — masks only older files") {
     import s.implicits._
     import graft.sources.Snapshots
     val lake = Files.createTempDirectory("graft_snapd").toString + "/tbl"
-    def keys(df: org.apache.spark.sql.DataFrame): Seq[Long] =
-      df.collect().map(_.getLong(0)).sorted.toSeq
+    def rows(df: org.apache.spark.sql.DataFrame): Seq[(Long, String)] =
+      df.collect().map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
     val v1 = Snapshots.commit(Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v"),
       lake, append = false)
     Snapshots.commitDelete(Seq(2L).toDF("k"), lake)
-    assert(keys(Snapshots.read(s, lake)) == Seq(1L, 3L), "delete masks at latest")
-    assert(keys(Snapshots.read(s, lake, v1)) == Seq(1L, 2L, 3L),
+    assert(rows(Snapshots.read(s, lake)).map(_._1) == Seq(1L, 3L), "delete masks at latest")
+    assert(rows(Snapshots.read(s, lake, v1)).map(_._1) == Seq(1L, 2L, 3L),
       "time travel to a pre-delete version still sees the row")
-    // global semantics: the delete also masks a LATER append of the same key
+    // scoped semantics: a LATER append of the key postdates the delete and
+    // is immediately visible — with the NEW value, the old one stays masked
     Snapshots.commit(Seq((2L, "x"), (4L, "d")).toDF("k", "v"), lake, append = true)
-    assert(keys(Snapshots.read(s, lake)) == Seq(1L, 3L, 4L),
-      "pending delete masks re-appended keys until a compaction")
-    // compaction materializes: rows identical, no D line carried, so a
-    // fresh append of the key becomes visible again
+    assert(rows(Snapshots.read(s, lake)) ==
+      Seq((1L, "a"), (2L, "x"), (3L, "c"), (4L, "d")),
+      "re-appended key must be visible without a compaction, old copy masked")
+    // compaction changes layout, never visibility; D lines materialize away
     Snapshots.compact(s, lake)
-    assert(keys(Snapshots.read(s, lake)) == Seq(1L, 3L, 4L))
-    Snapshots.commit(Seq((2L, "y")).toDF("k", "v"), lake, append = true)
-    assert(keys(Snapshots.read(s, lake)) == Seq(1L, 2L, 3L, 4L),
-      "post-compaction re-insert must be visible")
+    assert(rows(Snapshots.read(s, lake)) ==
+      Seq((1L, "a"), (2L, "x"), (3L, "c"), (4L, "d")),
+      "compaction must not change what readers see")
+  }
+
+  test("snapshot upsert: atomic replace-or-insert; rollback restores a version") {
+    import s.implicits._
+    import graft.sources.Snapshots
+    val lake = Files.createTempDirectory("graft_snapu").toString + "/tbl"
+    def rows(df: org.apache.spark.sql.DataFrame): Seq[(Long, String)] =
+      df.collect().map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+    val v1 = Snapshots.commit(Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v"),
+      lake, append = false)
+    val v2 = Snapshots.upsert(Seq((2L, "B"), (4L, "D")).toDF("k", "v"), lake, Seq("k"))
+    assert(rows(Snapshots.read(s, lake)) ==
+      Seq((1L, "a"), (2L, "B"), (3L, "c"), (4L, "D")),
+      "matched key replaced, new key inserted, others untouched")
+    assert(rows(Snapshots.read(s, lake, v1)) ==
+      Seq((1L, "a"), (2L, "b"), (3L, "c")), "pre-upsert snapshot intact")
+    assert(Snapshots.manifestMeta(s, lake, v2).get("upsert").contains("true"))
+    // a second upsert of the same key wins (last-writer, by sequence)
+    Snapshots.upsert(Seq((2L, "Z")).toDF("k", "v"), lake, Seq("k"))
+    assert(rows(Snapshots.read(s, lake)).filter(_._1 == 2L) == Seq((2L, "Z")))
+    // rollback to v2: metadata-only commit, reads == v2, history preserved
+    val rv = Snapshots.rollback(s, lake, v2)
+    assert(rv == 4L)
+    assert(rows(Snapshots.read(s, lake)) == rows(Snapshots.read(s, lake, v2)),
+      "rollback must restore the v2 row set")
+    assert(rows(Snapshots.read(s, lake, 3L)).filter(_._1 == 2L) == Seq((2L, "Z")),
+      "rolled-back version stays readable for audit")
+    assert(Snapshots.manifestMeta(s, lake, rv) == Map("rollback" -> v2.toString))
+    intercept[IllegalArgumentException](Snapshots.rollback(s, lake, 99L))
   }
 
   test("snapshot file stats: prune skips files, keeps stat-less files, drops all-null") {
@@ -369,20 +398,26 @@ class IngestSpec extends AnyFunSuite {
     val v1 = Snapshots.commit(Seq((1L, "a"), (2L, "b")).toDF("k", "v"), lake, append = false)
     Snapshots.commit(Seq((3L, "c"), (7L, "g")).toDF("k", "v"), lake, append = true)
     Snapshots.commitDelete(Seq(2L, 7L).toDF("k"), lake)
-    val v4 = Snapshots.commit(Seq((4L, "d")).toDF("k", "v"), lake, append = true)
+    // k=7 re-appended AFTER its delete: postdates it, must surface as insert
+    val v4 = Snapshots.commit(Seq((4L, "d"), (7L, "h")).toDF("k", "v"), lake, append = true)
     val ch = Snapshots.changes(s, lake, v1, v4).collect()
-    val ins = ch.filter(_.getString(2) == "insert").map(_.getLong(0)).sorted.toSeq
+    val ins = ch.filter(_.getString(2) == "insert")
+      .map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
     val del = ch.filter(_.getString(2) == "delete").map(_.getLong(0)).sorted.toSeq
-    assert(ins == Seq(3L, 4L), "k=7 was inserted AND deleted in-window: never visible")
+    assert(ins == Seq((3L, "c"), (4L, "d"), (7L, "h")),
+      "k=7's pre-delete copy never surfaces; its post-delete re-insert does")
     assert(del == Seq(2L, 7L))
     assert(ch.filter(_.getString(2) == "delete").forall(_.isNullAt(1)),
       "delete rows carry only the key columns")
-    // consumer contract: v1 + inserts - delete keys == read(v4)
-    val insDf = Seq((3L, "c"), (4L, "d")).toDF("k", "v")
-    val applied = Snapshots.read(s, lake, v1).unionByName(insDf)
+    // consumer contract: (v1 - delete keys) + inserts == read(v4) —
+    // deletes FIRST (they all predate the window's inserts), then inserts
+    val insDf = Seq((3L, "c"), (4L, "d"), (7L, "h")).toDF("k", "v")
+    val applied = Snapshots.read(s, lake, v1)
       .join(Seq(2L, 7L).toDF("k"), Seq("k"), "left_anti")
-    assert(applied.collect().map(_.getLong(0)).sorted.toSeq ==
-      Snapshots.read(s, lake, v4).collect().map(_.getLong(0)).sorted.toSeq)
+      .unionByName(insDf)
+    assert(applied.collect().map(r => (r.getLong(0), r.getString(1))).sorted.toSeq ==
+      Snapshots.read(s, lake, v4).collect()
+        .map(r => (r.getLong(0), r.getString(1))).sorted.toSeq)
     // an overwrite (compaction) in the window destroys row identity: refuse
     val cv = Snapshots.compact(s, lake)
     intercept[IllegalArgumentException](Snapshots.changes(s, lake, v1, cv))
