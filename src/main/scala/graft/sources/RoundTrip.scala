@@ -324,7 +324,7 @@ object RoundTrip extends QueryModule {
     val p = new org.apache.hadoop.fs.Path(lake)
     val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
     if (fs.exists(p)) fs.delete(p, true)
-    val cutoff = lit("1995-01-01").cast("date")
+    val cutoff = lit("1998-01-01").cast("date")
     val o = table(s, dir, "orders")
       .select(col("o_orderkey").cast("long").as("okey"),
         col("o_orderdate").cast("date").as("od"))
@@ -345,7 +345,7 @@ object RoundTrip extends QueryModule {
       |                  CAST(o_orderdate AS DATE) AS od FROM orders)
       |SELECT CAST(1 AS BIGINT) AS version, CAST(COUNT(*) AS BIGINT) AS n_rows,
       |       CAST(SUM(okey) AS BIGINT) AS sum_key, TRUE AS snapshot_isolated
-      |FROM o WHERE od < DATE '1995-01-01'
+      |FROM o WHERE od < DATE '1998-01-01'
       |UNION ALL
       |SELECT CAST(2 AS BIGINT), CAST(COUNT(*) AS BIGINT),
       |       CAST(SUM(okey) AS BIGINT), TRUE
@@ -368,23 +368,23 @@ object RoundTrip extends QueryModule {
         col("o_orderdate").cast("date").as("od"))
 
   /** q151: sequence-scoped equality-deletes applied merge-on-read. v1 =
-    * overwrite-commit of pre-1995 orders; v2 = [[Snapshots.commitDelete]]
+    * overwrite-commit of pre-1998 orders; v2 = [[Snapshots.commitDelete]]
     * of every okey divisible by 10 (the keys land as a kilobyte parquet
     * file listed `D <seq> <path>` in the manifest — zero data rewrite);
-    * v3 = append-commit of the 1995+ orders. The Iceberg-v2 scoping rule:
+    * v3 = append-commit of the 1998+ orders. The Iceberg-v2 scoping rule:
     * the delete masks matching rows only in files committed BEFORE it, so
     * the latest read drops %10 keys from the v1 files but the v3-appended
     * %10 rows are immediately visible (a re-inserted key needs no
     * compaction), while time travel to v1 — whose manifest carries no `D`
     * line — still sees every pre-1995 row. `deletes_applied` audits
-    * in-frame that no masked key survives among pre-1995 rows AND that
+    * in-frame that no masked key survives among pre-1998 rows AND that
     * the later-appended %10 rows did surface. At 100 TB the delete costs
     * one broadcast hash anti-join at read time over only the older files,
     * never a rewrite of the data side. */
   def snapshotDelete(s: SparkSession, dir: String): DataFrame = {
     tune(s)
     val lake = freshLake(s, "snapdel", dir)
-    val cutoff = lit("1995-01-01").cast("date")
+    val cutoff = lit("1998-01-01").cast("date")
     val o = ordersKeyed(s, dir)
     val v1 = Snapshots.commit(o.filter(col("od") < cutoff), lake, append = false)
     Snapshots.commitDelete(o.filter(col("okey") % 10 === 0).select("okey"), lake)
@@ -407,18 +407,18 @@ object RoundTrip extends QueryModule {
       |                  CAST(o_orderdate AS DATE) AS od FROM orders)
       |SELECT CAST(1 AS BIGINT) AS version, CAST(COUNT(*) AS BIGINT) AS n_rows,
       |       CAST(SUM(okey) AS BIGINT) AS sum_key, TRUE AS deletes_applied
-      |FROM o WHERE od < DATE '1995-01-01'
+      |FROM o WHERE od < DATE '1998-01-01'
       |UNION ALL
       |SELECT CAST(3 AS BIGINT), CAST(COUNT(*) AS BIGINT),
       |       CAST(SUM(okey) AS BIGINT), TRUE
-      |FROM o WHERE okey % 10 <> 0 OR od >= DATE '1995-01-01'""".stripMargin
+      |FROM o WHERE okey % 10 <> 0 OR od >= DATE '1998-01-01'""".stripMargin
 
   /** q152: per-file min/max statistics driving data skipping. The commit
     * range-clusters orders by order date into 8 files and records each
     * file's `od` min/max beside the segment (`statsCols`);
     * [[Snapshots.readPruned]] then plans a one-year scan from the stats
     * alone — the parquet relation lists ONLY files whose [min,max] can
-    * intersect 1994, and the residual typed filter handles the boundary
+    * intersect 1996, and the residual typed filter handles the boundary
     * files' spill. `files_pruned` audits that whole files were actually
     * skipped (8 range-clustered files over ~7 years vs a 1-year
     * predicate). At 100 TB: planning is O(manifest) driver-side metadata,
@@ -427,7 +427,7 @@ object RoundTrip extends QueryModule {
   def snapshotPrune(s: SparkSession, dir: String): DataFrame = {
     tune(s)
     val lake = freshLake(s, "snapprune", dir)
-    val (lo, hi) = ("1994-01-01", "1994-12-31")
+    val (lo, hi) = ("1996-01-01", "1996-12-31")
     Snapshots.commit(ordersKeyed(s, dir).repartitionByRange(8, col("od")),
       lake, append = false, statsCols = Seq("od"))
     val (kept, total) = Snapshots.pruneFiles(s, lake, "od", lo, hi)
@@ -445,15 +445,15 @@ object RoundTrip extends QueryModule {
       |       TRUE AS files_pruned
       |FROM orders
       |WHERE CAST(o_orderdate AS DATE)
-      |      BETWEEN DATE '1994-01-01' AND DATE '1994-12-31'""".stripMargin
+      |      BETWEEN DATE '1996-01-01' AND DATE '1996-12-31'""".stripMargin
 
   /** q153: the row-level change feed between two snapshots. History: v1 =
-    * overwrite (pre-1994), v2 = append (1994), v3 = equality-delete of
-    * every okey divisible by 7, v4 = append (1995+). [[Snapshots.changes]]
+    * overwrite (pre-1997), v2 = append (1997), v3 = equality-delete of
+    * every okey divisible by 7, v4 = append (1998+). [[Snapshots.changes]]
     * (v1→v4) reads EXACTLY the files added in the window — cost O(changed
     * data), never O(table). Sequence scoping decides what surfaces: the
-    * 1994 rows (seq 2) are masked by the v3 delete, so %7 keys among them
-    * never appear as inserts, while the 1995+ rows (seq 4) postdate the
+    * 1997 rows (seq 2) are masked by the v3 delete, so %7 keys among them
+    * never appear as inserts, while the 1998+ rows (seq 4) postdate the
     * delete and surface in full — including re-appended %7 keys. Deletes
     * are the key rows with non-key columns null. A consumer applying the
     * DELETES to its v1 copy first, then adding the inserts, lands exactly
@@ -461,8 +461,8 @@ object RoundTrip extends QueryModule {
   def snapshotChanges(s: SparkSession, dir: String): DataFrame = {
     tune(s)
     val lake = freshLake(s, "snapchg", dir)
-    val lo = lit("1994-01-01").cast("date")
-    val hi = lit("1995-01-01").cast("date")
+    val lo = lit("1997-01-01").cast("date")
+    val hi = lit("1998-01-01").cast("date")
     val o = ordersKeyed(s, dir)
     val v1 = Snapshots.commit(o.filter(col("od") < lo), lake, append = false)
     Snapshots.commit(o.filter(col("od") >= lo && col("od") < hi), lake, append = true)
@@ -483,16 +483,16 @@ object RoundTrip extends QueryModule {
       |UNION ALL
       |SELECT 'insert', CAST(COUNT(*) AS BIGINT), CAST(SUM(okey) AS BIGINT),
       |       CAST(COUNT(od) AS BIGINT)
-      |FROM o WHERE od >= DATE '1994-01-01'
-      |      AND (okey % 7 <> 0 OR od >= DATE '1995-01-01')""".stripMargin
+      |FROM o WHERE od >= DATE '1997-01-01'
+      |      AND (okey % 7 <> 0 OR od >= DATE '1998-01-01')""".stripMargin
 
   /** q154: incremental view maintenance off the change feed. A monthly
     * (count, sum) materialization is built ONCE over snapshot v1, then the
-    * table advances (append 1994, equality-delete okey%7, append 1995+)
+    * table advances (append 1997, equality-delete okey%7, append 1998+)
     * and the materialization is moved to v4 WITHOUT recomputing the base:
     * insert deltas aggregate the feed's insert rows (O(changed data),
-    * already sequence-scoped: 1994 rows arrive minus the deleted keys,
-    * 1995+ rows in full); delete deltas resolve the feed's key rows
+    * already sequence-scoped: 1997 rows arrive minus the deleted keys,
+    * 1998+ rows in full); delete deltas resolve the feed's key rows
     * against the consumer's v1 copy (broadcast keys — one lookup join,
     * prunable when the copy is clustered by key) and subtract — matching
     * the scoped contract, since every row the consumer holds predates
@@ -504,8 +504,8 @@ object RoundTrip extends QueryModule {
   def incrementalAgg(s: SparkSession, dir: String): DataFrame = {
     tune(s)
     val lake = freshLake(s, "snapivm", dir)
-    val lo = lit("1994-01-01").cast("date")
-    val hi = lit("1995-01-01").cast("date")
+    val lo = lit("1997-01-01").cast("date")
+    val hi = lit("1998-01-01").cast("date")
     val o = ordersKeyed(s, dir)
     val v1 = Snapshots.commit(o.filter(col("od") < lo), lake, append = false)
     Snapshots.commit(o.filter(col("od") >= lo && col("od") < hi), lake, append = true)
@@ -529,7 +529,7 @@ object RoundTrip extends QueryModule {
       |                  CAST(o_orderdate AS DATE) AS od FROM orders)
       |SELECT strftime(od, '%Y-%m') AS ym, CAST(COUNT(*) AS BIGINT) AS n_rows,
       |       CAST(SUM(okey) AS BIGINT) AS sum_key
-      |FROM o WHERE okey % 7 <> 0 OR od >= DATE '1995-01-01'
+      |FROM o WHERE okey % 7 <> 0 OR od >= DATE '1998-01-01'
       |GROUP BY 1""".stripMargin
 
   /** q155: atomic MERGE (upsert) as ONE snapshot commit. v1 = the whole
@@ -584,6 +584,57 @@ object RoundTrip extends QueryModule {
       |       CAST(SUM(okey % 97) AS BIGINT)
       |FROM o""".stripMargin
 
+  /** q156: dynamic partition overwrite on the snapshot table. v1 commits
+    * the whole orders table partition-ALIGNED on order year
+    * (`routeBy="oy"`: every data file holds exactly one year, recorded as
+    * min==max in its stats). [[Snapshots.overwritePartitions]] then
+    * restates 1996 — only the even keys survive the restatement — by
+    * dropping exactly the carried files whose stats pin them to 1996 and
+    * appending the new files, a pure driver-side metadata decision with
+    * data-plane cost O(restated partition). Every other year's files are
+    * carried untouched (same bytes, same paths), v1 still reads complete
+    * through time travel, and `physically_replaced` audits that no v1
+    * 1996-file survives in the latest snapshot's scan. A straddling or
+    * stat-less file would refuse loudly — the alignment contract, not a
+    * silent row drop. */
+  def snapshotReplace(s: SparkSession, dir: String): DataFrame = {
+    tune(s)
+    val lake = freshLake(s, "snaprep", dir)
+    val o = ordersKeyed(s, dir).withColumn("oy", year(col("od")))
+    val v1 = Snapshots.commit(o, lake, append = false,
+      statsCols = Seq("oy"), routeBy = Some("oy"))
+    Snapshots.overwritePartitions(
+      o.filter(col("oy") === 1996 && col("okey") % 2 === 0), lake, "oy")
+    val latest = Snapshots.read(s, lake)
+    def cagg(df: DataFrame, cl: String) =
+      df.agg(count(lit(1)).as("n_rows"), sum("okey").as("sum_key"))
+        .select(lit(cl).as("cls"), col("n_rows"), col("sum_key"))
+    val survivors = latest.filter(col("oy") === 1996)
+      .select(input_file_name().as("f")).distinct()
+      .join(Snapshots.read(s, lake, v1).filter(col("oy") === 1996)
+        .select(input_file_name().as("f")).distinct(), Seq("f"), "left_semi")
+    cagg(latest.filter(col("oy") === 1996), "latest_1996")
+      .union(cagg(latest.filter(col("oy") =!= 1996), "latest_other"))
+      .union(cagg(Snapshots.read(s, lake, v1).filter(col("oy") === 1996), "v1_1996"))
+      .crossJoin(survivors.agg(count(lit(1)).as("sv")))
+      .withColumn("physically_replaced", col("sv") === 0).drop("sv")
+  }
+
+  private val snapshotReplaceSql =
+    """WITH o AS (SELECT CAST(o_orderkey AS BIGINT) AS okey,
+      |                  CAST(o_orderdate AS DATE) AS od FROM orders)
+      |SELECT 'latest_1996' AS cls, CAST(COUNT(*) AS BIGINT) AS n_rows,
+      |       CAST(SUM(okey) AS BIGINT) AS sum_key, TRUE AS physically_replaced
+      |FROM o WHERE year(od) = 1996 AND okey % 2 = 0
+      |UNION ALL
+      |SELECT 'latest_other', CAST(COUNT(*) AS BIGINT),
+      |       CAST(SUM(okey) AS BIGINT), TRUE
+      |FROM o WHERE year(od) <> 1996
+      |UNION ALL
+      |SELECT 'v1_1996', CAST(COUNT(*) AS BIGINT),
+      |       CAST(SUM(okey) AS BIGINT), TRUE
+      |FROM o WHERE year(od) = 1996""".stripMargin
+
   override val queries: Seq[GQuery] = Seq(
     GQuery("q101_merge_lake", "durable partition-scoped MERGE sink: upsert applied twice == once (S7)",
       mergeLake, Some(mergeLakeSql)),
@@ -605,6 +656,9 @@ object RoundTrip extends QueryModule {
     GQuery("q155_snapshot_upsert",
       "atomic MERGE commit: delete-on-keys + append in one manifest, old snapshot intact",
       snapshotUpsert, Some(snapshotUpsertSql)),
+    GQuery("q156_snapshot_replace",
+      "dynamic partition overwrite: restate one partition's files, carry every other untouched",
+      snapshotReplace, Some(snapshotReplaceSql)),
     GQuery("q82_csv_roundtrip", "CSV sink+scan roundtrip vs parquet oracle (S1/S9)",
       csvRoundtrip, Some(csvRoundtripSql)),
     GQuery("q83_json_roundtrip", "JSON sink+scan roundtrip vs parquet oracle (S2/S6)",

@@ -122,25 +122,63 @@ object Snapshots {
     * [[pruneFiles]]/[[readPruned]] for data skipping. Cost is one re-read
     * of the NEW segment only (O(commit), never O(table)); stats files are
     * immutable like the data files they describe, so appends never touch
-    * old stats. */
+    * old stats.
+    *
+    * `routeBy` names a column to ALIGN files to: the segment is written
+    * hive-partitioned on a duplicate of that column, so every data file
+    * holds exactly one value of it (min == max in the stats — the
+    * alignment [[overwritePartitions]] requires). The routing column
+    * stays a normal data column; the duplicate `_route=` directories are
+    * never surfaced because readers list leaf files explicitly. */
   def commit(df: DataFrame, dir: String, append: Boolean,
              meta: Map[String, String] = Map.empty,
-             statsCols: Seq[String] = Seq.empty): Long = {
+             statsCols: Seq[String] = Seq.empty,
+             routeBy: Option[String] = None): Long = {
     val s = df.sparkSession
     require(meta.forall { case (k, v) =>
       !k.contains("=") && !k.contains("\n") && !v.contains("\n") },
       "manifest meta: no '=' in keys, no newlines anywhere")
+    val files = stageData(df, dir, statsCols, routeBy)
+    commitFileList(s, dir, files, appendBase = append, meta = meta)
+  }
+
+  /** Stage `df` as a data segment (optionally value-routed and with file
+    * stats) and return the part-file paths. */
+  private def stageData(df: DataFrame, dir: String, statsCols: Seq[String],
+                        routeBy: Option[String]): Seq[String] = {
+    val s = df.sparkSession
     val tag = java.lang.management.ManagementFactory.getRuntimeMXBean.getName
       .replaceAll("[^A-Za-z0-9]", "") + "_" + System.nanoTime()
     val seg = new Path(dir, s"data/seg_$tag")
     val fs = fsOf(s, seg)
-    df.write.parquet(seg.toString) // fresh dir: staged, invisible until referenced
-    val files = fs.listStatus(seg)
-      .filter(f => f.isFile && f.getPath.getName.startsWith("part-"))
-      .map(_.getPath.toString).sorted
+    routeBy match {
+      case Some(c) =>
+        df.withColumn("_route", col(c)).write.partitionBy("_route")
+          .parquet(seg.toString)
+      case None => df.write.parquet(seg.toString)
+    }
+    var files = listPartFiles(fs, seg).sorted
+    if (files.isEmpty) {
+      // a partitionBy write of an empty frame emits NO files (flat writes
+      // emit one schema-bearing empty part) — stage one so the snapshot
+      // stays readable with its schema
+      df.limit(0).coalesce(1).write.mode("append").parquet(seg.toString)
+      files = listPartFiles(fs, seg).sorted
+    }
     if (statsCols.nonEmpty) writeSegmentStats(s, seg, statsCols)
-    commitFileList(s, dir, files, appendBase = append, meta = meta)
+    files
   }
+
+  /** All `part-*` files under `root`, one directory level deep at most
+    * (flat segments and `_route=` hive dirs). */
+  private def listPartFiles(fs: FileSystem, root: Path): Seq[String] =
+    fs.listStatus(root).toSeq.flatMap { st =>
+      if (st.isFile) {
+        if (st.getPath.getName.startsWith("part-")) Seq(st.getPath.toString) else Seq.empty
+      } else fs.listStatus(st.getPath).toSeq
+        .filter(f => f.isFile && f.getPath.getName.startsWith("part-"))
+        .map(_.getPath.toString)
+    }
 
   /** Publish the next manifest with the exclusive-create optimistic lock.
     * `buildLines(v)` is re-evaluated per attempt with the version being
@@ -303,6 +341,51 @@ object Snapshots {
     publish(s, dir, Map("rollback" -> toV.toString), _ => lines)
   }
 
+  /** Dynamic partition overwrite: replace EXACTLY the `partCol` partitions
+    * present in `df` and leave every other partition's files untouched.
+    * Requires the table's carried files to be partition-aligned on
+    * `partCol` (committed with `routeBy` + `statsCols`, so each file's
+    * min == max); a straddling or stat-less carried file fails loudly
+    * rather than silently dropping rows it shouldn't. The decision is
+    * pure driver-side metadata — stats lookups, no data read — and the
+    * data plane cost is O(df): the restated partitions' new files plus
+    * nothing else. Partitions in `df` with no carried counterpart are
+    * plain inserts. The replaced files stay on disk for time travel
+    * until [[expire]]d. */
+  def overwritePartitions(df: DataFrame, dir: String, partCol: String,
+                          meta: Map[String, String] = Map.empty): Long = {
+    val s = df.sparkSession
+    val vals = df.select(col(partCol).cast("string")).distinct().collect()
+      .map(_.getString(0)).toSeq // partition list: bounded, driver-side
+    require(!vals.contains(null), s"overwritePartitions: null $partCol unsupported")
+    val newVals = vals.toSet
+    val files = stageData(df, dir, Seq(partCol), Some(partCol))
+    val statsCache = scala.collection.mutable.Map
+      .empty[String, Map[String, Map[String, (String, Option[String], Option[String])]]]
+    def statsFor(p: String) = {
+      val parent = new Path(p).getParent
+      val segDir = (if (parent.getName.startsWith("_route=")) parent.getParent
+                    else parent).toString
+      statsCache.getOrElseUpdate(segDir, loadStats(s, Seq(p)))
+        .getOrElse(p, Map.empty).get(partCol)
+    }
+    commitFileList(s, dir, files, appendBase = true,
+      meta = meta + ("overwrite_partitions" -> partCol),
+      carriedFilter = line => parseLine(line) match {
+        case ("F", _, p) => statsFor(p) match {
+          case Some((_, Some(mn), Some(mx))) =>
+            require(mn == mx,
+              s"overwritePartitions: carried file $p spans $partCol [$mn,$mx]; " +
+                "table is not partition-aligned")
+            !newVals.contains(mn)
+          case _ => throw new IllegalArgumentException(
+            s"overwritePartitions: carried file $p lacks $partCol stats " +
+              s"(commit with routeBy=Some($partCol), statsCols=Seq($partCol))")
+        }
+        case _ => true // delete lines keep masking the surviving older files
+      })
+  }
+
   // ------------------------------------------------------------ statistics
 
   /** Normalize a file URI to the `Path.toString` form manifests use
@@ -352,7 +435,11 @@ object Snapshots {
     val b64 = java.util.Base64.getDecoder
     def dec(v: String): Option[String] =
       if (v == "-") None else Some(new String(b64.decode(v), "UTF-8"))
-    files.map(f => new Path(f).getParent).distinct.flatMap { segDir =>
+    files.map { f =>
+      val parent = new Path(f).getParent
+      // routed files live one `_route=` level below their segment root
+      if (parent.getName.startsWith("_route=")) parent.getParent else parent
+    }.distinct.flatMap { segDir =>
       val sp = new Path(segDir, "stats.tsv")
       val fs = fsOf(s, sp)
       if (!fs.exists(sp)) Seq.empty[(String, String, (String, Option[String], Option[String]))]

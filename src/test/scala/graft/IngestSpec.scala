@@ -423,6 +423,37 @@ class IngestSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](Snapshots.changes(s, lake, v1, cv))
   }
 
+  test("partition overwrite: replaces aligned files, inserts new partitions, refuses misaligned") {
+    import s.implicits._
+    import graft.sources.Snapshots
+    val lake = Files.createTempDirectory("graft_snapp").toString + "/tbl"
+    def byPart(df: org.apache.spark.sql.DataFrame): Map[Long, Seq[String]] =
+      df.collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+        .groupBy(_._1).map { case (p, vs) => p -> vs.map(_._2).sorted }
+    val v1 = Snapshots.commit(
+      Seq((1L, "a"), (1L, "b"), (2L, "c"), (3L, "d")).toDF("p", "v"),
+      lake, append = false, statsCols = Seq("p"), routeBy = Some("p"))
+    // restate p=1 (one row instead of two) and insert brand-new p=9
+    Snapshots.overwritePartitions(Seq((1L, "A"), (9L, "Z")).toDF("p", "v"), lake, "p")
+    assert(byPart(Snapshots.read(s, lake)) ==
+      Map(1L -> Seq("A"), 2L -> Seq("c"), 3L -> Seq("d"), 9L -> Seq("Z")),
+      "p=1 replaced, p=2/3 untouched, p=9 inserted")
+    assert(byPart(Snapshots.read(s, lake, v1)) ==
+      Map(1L -> Seq("a", "b"), 2L -> Seq("c"), 3L -> Seq("d")),
+      "pre-overwrite snapshot intact")
+    // a non-aligned table (no routeBy: one file spans several p values)
+    val lake2 = Files.createTempDirectory("graft_snapp2").toString + "/tbl"
+    Snapshots.commit(Seq((1L, "a"), (2L, "b")).toDF("p", "v").coalesce(1),
+      lake2, append = false, statsCols = Seq("p"))
+    intercept[IllegalArgumentException](
+      Snapshots.overwritePartitions(Seq((1L, "A")).toDF("p", "v"), lake2, "p"))
+    // a stat-less table cannot prove alignment either
+    val lake3 = Files.createTempDirectory("graft_snapp3").toString + "/tbl"
+    Snapshots.commit(Seq((1L, "a")).toDF("p", "v"), lake3, append = false)
+    intercept[IllegalArgumentException](
+      Snapshots.overwritePartitions(Seq((1L, "A")).toDF("p", "v"), lake3, "p"))
+  }
+
   test("incremental maintenance: deltas merge exactly; a zeroed group drops") {
     import s.implicits._
     import graft.sources.Snapshots
