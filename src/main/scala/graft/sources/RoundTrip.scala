@@ -635,6 +635,45 @@ object RoundTrip extends QueryModule {
       |       CAST(SUM(okey) AS BIGINT), TRUE
       |FROM o WHERE year(od) = 1996""".stripMargin
 
+  /** q157: per-file Bloom sidecars driving point-lookup data skipping —
+    * the equality dual of q152's min/max range pruning. The commit
+    * clusters orders by DATE into 16 files and records a bloom on `okey`
+    * per file (`bloomCols`): order keys are scattered across the date
+    * clustering, so min/max stats cannot prune an okey probe, but each
+    * probe key physically lives in ~one file and its bloom says which.
+    * [[Snapshots.readPoint]] plans the probe of three known keys from the
+    * sidecars alone — the parquet relation lists only might-contain
+    * files, the residual typed filter drops bloom false positives, and
+    * `files_pruned` audits that whole files were skipped. At 100 TB this
+    * is the difference between a point lookup costing O(key's files) and
+    * rescanning a table the clustering wasn't built for. Blooms are
+    * built one grouped pass over the NEW segment only and written
+    * distributed beside it (`_blooms`), never gathered on the driver. */
+  def snapshotPoint(s: SparkSession, dir: String): DataFrame = {
+    tune(s)
+    val lake = freshLake(s, "snappt", dir)
+    val o = ordersKeyed(s, dir)
+    Snapshots.commit(o.repartitionByRange(16, col("od")), lake, append = false,
+      bloomCols = Seq("okey"))
+    val probes = o.filter(col("okey") % 1000 === 7).orderBy(col("okey")).limit(3)
+      .collect().map(_.getLong(0).toString).toSeq // point-lookup keys: driver-side by nature
+    val (kept, total) = Snapshots.pruneFilesPoint(s, lake, "okey", probes)
+    Snapshots.readPoint(s, lake, "okey", probes)
+      .agg(count(lit(1)).as("n_rows"),
+           coalesce(sum("okey"), lit(0L)).as("sum_key"),
+           min("od").as("min_od"))
+      .withColumn("files_pruned", lit(kept.size < total))
+  }
+
+  private val snapshotPointSql =
+    """WITH o AS (SELECT CAST(o_orderkey AS BIGINT) AS okey,
+      |                  CAST(o_orderdate AS DATE) AS od FROM orders),
+      |p AS (SELECT okey FROM o WHERE okey % 1000 = 7 ORDER BY okey LIMIT 3)
+      |SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+      |       CAST(COALESCE(SUM(okey), 0) AS BIGINT) AS sum_key,
+      |       MIN(od) AS min_od, TRUE AS files_pruned
+      |FROM o WHERE okey IN (SELECT okey FROM p)""".stripMargin
+
   override val queries: Seq[GQuery] = Seq(
     GQuery("q101_merge_lake", "durable partition-scoped MERGE sink: upsert applied twice == once (S7)",
       mergeLake, Some(mergeLakeSql)),
@@ -659,6 +698,9 @@ object RoundTrip extends QueryModule {
     GQuery("q156_snapshot_replace",
       "dynamic partition overwrite: restate one partition's files, carry every other untouched",
       snapshotReplace, Some(snapshotReplaceSql)),
+    GQuery("q157_snapshot_point",
+      "per-file bloom sidecars: point lookup on an unclustered key scans only might-contain files",
+      snapshotPoint, Some(snapshotPointSql)),
     GQuery("q82_csv_roundtrip", "CSV sink+scan roundtrip vs parquet oracle (S1/S9)",
       csvRoundtrip, Some(csvRoundtripSql)),
     GQuery("q83_json_roundtrip", "JSON sink+scan roundtrip vs parquet oracle (S2/S6)",

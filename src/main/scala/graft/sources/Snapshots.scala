@@ -133,19 +133,23 @@ object Snapshots {
   def commit(df: DataFrame, dir: String, append: Boolean,
              meta: Map[String, String] = Map.empty,
              statsCols: Seq[String] = Seq.empty,
-             routeBy: Option[String] = None): Long = {
+             routeBy: Option[String] = None,
+             bloomCols: Seq[String] = Seq.empty,
+             bloomFpp: Double = 0.01): Long = {
     val s = df.sparkSession
     require(meta.forall { case (k, v) =>
       !k.contains("=") && !k.contains("\n") && !v.contains("\n") },
       "manifest meta: no '=' in keys, no newlines anywhere")
-    val files = stageData(df, dir, statsCols, routeBy)
+    val files = stageData(df, dir, statsCols, routeBy, bloomCols, bloomFpp)
     commitFileList(s, dir, files, appendBase = append, meta = meta)
   }
 
-  /** Stage `df` as a data segment (optionally value-routed and with file
-    * stats) and return the part-file paths. */
+  /** Stage `df` as a data segment (optionally value-routed, with file
+    * stats and/or bloom sidecars) and return the part-file paths. */
   private def stageData(df: DataFrame, dir: String, statsCols: Seq[String],
-                        routeBy: Option[String]): Seq[String] = {
+                        routeBy: Option[String],
+                        bloomCols: Seq[String] = Seq.empty,
+                        bloomFpp: Double = 0.01): Seq[String] = {
     val s = df.sparkSession
     val tag = java.lang.management.ManagementFactory.getRuntimeMXBean.getName
       .replaceAll("[^A-Za-z0-9]", "") + "_" + System.nanoTime()
@@ -165,19 +169,25 @@ object Snapshots {
       df.limit(0).coalesce(1).write.mode("append").parquet(seg.toString)
       files = listPartFiles(fs, seg).sorted
     }
+    // blooms first: their segment-root read must see only part files,
+    // while the later stats read skips `_blooms` (underscore = hidden)
+    if (bloomCols.nonEmpty) writeSegmentBlooms(s, seg, bloomCols, bloomFpp)
     if (statsCols.nonEmpty) writeSegmentStats(s, seg, statsCols)
     files
   }
 
-  /** All `part-*` files under `root`, one directory level deep at most
-    * (flat segments and `_route=` hive dirs). */
+  /** All DATA `part-*` files under `root`: flat segment files plus those
+    * one level down in `_route=` hive dirs. Sidecar dirs (`_blooms`) are
+    * not descended into — their parquet blobs are metadata, not data. */
   private def listPartFiles(fs: FileSystem, root: Path): Seq[String] =
     fs.listStatus(root).toSeq.flatMap { st =>
       if (st.isFile) {
         if (st.getPath.getName.startsWith("part-")) Seq(st.getPath.toString) else Seq.empty
-      } else fs.listStatus(st.getPath).toSeq
-        .filter(f => f.isFile && f.getPath.getName.startsWith("part-"))
-        .map(_.getPath.toString)
+      } else if (st.getPath.getName.startsWith("_route=")) {
+        fs.listStatus(st.getPath).toSeq
+          .filter(f => f.isFile && f.getPath.getName.startsWith("part-"))
+          .map(_.getPath.toString)
+      } else Seq.empty
     }
 
   /** Publish the next manifest with the exclusive-create optimistic lock.
@@ -455,6 +465,105 @@ object Snapshots {
     }.groupBy(_._1).map { case (f, es) => f -> es.map(e => e._2 -> e._3).toMap }
   }
 
+  // ------------------------------------------------------------ blooms
+
+  /** Build a per-file Bloom filter on each of `cols` over the staged
+    * segment and write the blobs as a parquet table at `<seg>/_blooms`
+    * (underscore prefix: invisible to data scans of the segment). One
+    * sized-by-count pass then one grouped pass over the NEW segment only
+    * (O(commit), never O(table)); the blob table is written distributed —
+    * blooms never gather on the driver at build time. */
+  private def writeSegmentBlooms(s: SparkSession, seg: Path, cols: Seq[String],
+                                 fpp: Double): Unit = {
+    import org.apache.spark.util.sketch.BloomFilter
+    val back = s.read.parquet(seg.toString)
+    val counts = back.groupBy(input_file_name().as("f")).count().collect()
+      .map(r => normPath(r.getString(0)) -> r.getLong(1)).toMap
+    val bc = s.sparkContext.broadcast(counts)
+    import s.implicits._
+    cols.zipWithIndex.foreach { case (c, i) =>
+      val blobs = back
+        .select(input_file_name().as("f"), col(c).cast("string").as("v"))
+        .as[(String, String)]
+        .groupByKey(_._1)
+        .mapGroups { (f, it) =>
+          val nf = normPath(f)
+          val bf = BloomFilter.create(math.max(64L, bc.value.getOrElse(nf, 64L)), fpp)
+          it.foreach { case (_, v) => if (v != null) bf.putString(v) }
+          val bos = new java.io.ByteArrayOutputStream()
+          bf.writeTo(bos)
+          (nf, c, bos.toByteArray)
+        }.toDF("f", "c", "bloom")
+      blobs.write.mode(if (i == 0) "overwrite" else "append")
+        .parquet(new Path(seg, "_blooms").toString)
+    }
+  }
+
+  /** file -> deserialized bloom on `colName`; files whose segment has no
+    * bloom sidecar (or no blob for this column) are absent. Blob reads are
+    * O(files named), per-segment — prune-time metadata, not data. */
+  private def loadBlooms(s: SparkSession, files: Seq[String], colName: String)
+      : Map[String, org.apache.spark.util.sketch.BloomFilter] = {
+    import org.apache.spark.util.sketch.BloomFilter
+    val want = files.toSet
+    files.map { f =>
+      val parent = new Path(f).getParent
+      if (parent.getName.startsWith("_route=")) parent.getParent else parent
+    }.distinct.flatMap { segDir =>
+      val bp = new Path(segDir, "_blooms")
+      if (!fsOf(s, bp).exists(bp)) Seq.empty
+      else s.read.parquet(bp.toString)
+        .filter(col("c") === colName && col("f").isin(want.toSeq: _*))
+        .collect()
+        .map(r => r.getString(0) ->
+          BloomFilter.readFrom(new java.io.ByteArrayInputStream(r.getAs[Array[Byte]](2))))
+    }.toMap
+  }
+
+  /** Point-lookup data skipping: the snapshot's data files whose bloom on
+    * `colName` might contain ANY of `values`, plus the total file count.
+    * The range-stats dual of [[pruneFiles]] for equality probes on a
+    * column the table is NOT clustered by: min/max can't prune a
+    * scattered key, a per-file bloom can. Files without a bloom are
+    * conservatively kept; a bloom false positive keeps an extra file —
+    * never drops a matching one. */
+  def pruneFilesPoint(s: SparkSession, dir: String, colName: String,
+                      values: Seq[String], version: Long = -1L): (Seq[String], Int) = {
+    val v = if (version < 0) latestVersion(s, dir) else version
+    require(v > 0, s"no snapshot at $dir")
+    val files = readManifest(s, dir, v)
+    val blooms = loadBlooms(s, files, colName)
+    val kept = files.filter { f =>
+      blooms.get(f) match {
+        case Some(bf) => values.exists(bf.mightContainString)
+        case None     => true // no bloom: cannot prune
+      }
+    }
+    (kept, files.size)
+  }
+
+  /** Read `colName IN (values)` of a snapshot through [[pruneFilesPoint]]:
+    * the parquet relation lists only files whose bloom might hold one of
+    * the probe values, the residual typed filter drops bloom false
+    * positives, and pending deletes still apply sequence-scoped. With
+    * per-file blooms a point lookup on an unclustered key touches
+    * O(files actually holding the key), not O(table) — the payoff of
+    * `commit(bloomCols=...)`. */
+  def readPoint(s: SparkSession, dir: String, colName: String,
+                values: Seq[String], version: Long = -1L): DataFrame = {
+    val v = if (version < 0) latestVersion(s, dir) else version
+    val (kept, _) = pruneFilesPoint(s, dir, colName, values, v)
+    val keptSet = kept.toSet
+    val base =
+      if (kept.nonEmpty && values.nonEmpty)
+        scopedRead(s, dataEntries(s, dir, v).filter(e => keptSet(e._2)),
+          deleteEntries(s, dir, v))
+      else s.read.parquet(readManifest(s, dir, v): _*).filter(lit(false))
+    val dt = base.schema(colName).dataType
+    if (values.isEmpty) base
+    else base.filter(values.map(x => col(colName) === lit(x).cast(dt)).reduce(_ || _))
+  }
+
   /** Data-skipping core: the snapshot's data files whose [min,max] on
     * `colName` can intersect [lo,hi], plus the total file count. Pure
     * driver-side metadata — no data file is opened, so planning cost is
@@ -611,10 +720,9 @@ object Snapshots {
     val dataDir = new Path(dir, "data")
     var deleted = 0
     if (fs.exists(dataDir)) fs.listStatus(dataDir).foreach { segSt =>
-      val parts = fs.listStatus(segSt.getPath)
-        .filter(f => f.isFile && f.getPath.getName.startsWith("part-"))
-      val (kept, dead) = parts.partition(p => keptFiles.contains(p.getPath.toString))
-      dead.foreach { p => if (fs.delete(p.getPath, false)) deleted += 1 }
+      val parts = listPartFiles(fs, segSt.getPath) // flat AND `_route=` routed
+      val (kept, dead) = parts.partition(keptFiles.contains)
+      dead.foreach { p => if (fs.delete(new Path(p), false)) deleted += 1 }
       if (kept.isEmpty) fs.delete(segSt.getPath, true) // now-empty or orphaned segment
     }
     (dropped.size, deleted)

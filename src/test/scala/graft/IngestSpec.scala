@@ -454,6 +454,34 @@ class IngestSpec extends AnyFunSuite {
       Snapshots.overwritePartitions(Seq((1L, "A")).toDF("p", "v"), lake3, "p"))
   }
 
+  test("snapshot bloom sidecar: point probes skip files; bloom-less kept; residual exact") {
+    import s.implicits._
+    import graft.sources.Snapshots
+    val lake = Files.createTempDirectory("graft_snapb").toString + "/tbl"
+    // two k-clustered files, per-file bloom on k (fpp tiny: deterministic test)
+    Snapshots.commit((1L to 100L).toDF("k").repartitionByRange(2, col("k")),
+      lake, append = false, bloomCols = Seq("k"), bloomFpp = 1e-6)
+    val (kept1, total1) = Snapshots.pruneFilesPoint(s, lake, "k", Seq("5"))
+    assert(total1 == 2 && kept1.size == 1, s"want 1/2 files, got ${kept1.size}/$total1")
+    assert(Snapshots.readPoint(s, lake, "k", Seq("5", "55")).collect()
+      .map(_.getLong(0)).sorted.toSeq == Seq(5L, 55L),
+      "probe spanning both files reads both keys exactly")
+    // an absent value prunes EVERY file; the read is provably empty
+    val (kept2, _) = Snapshots.pruneFilesPoint(s, lake, "k", Seq("1000"))
+    assert(kept2.isEmpty)
+    assert(Snapshots.readPoint(s, lake, "k", Seq("1000")).count() == 0)
+    // a bloom-less append cannot prune and is conservatively kept
+    Snapshots.commit(Seq(500L).toDF("k"), lake, append = true)
+    val (kept3, total3) = Snapshots.pruneFilesPoint(s, lake, "k", Seq("5"))
+    assert(total3 == 3 && kept3.size == 2, "bloom-less file must be kept")
+    assert(Snapshots.readPoint(s, lake, "k", Seq("5")).count() == 1,
+      "residual filter drops the bloom-less file's non-matching rows")
+    // sequence-scoped deletes still apply through the point-read path
+    Snapshots.commitDelete(Seq(5L).toDF("k"), lake)
+    assert(Snapshots.readPoint(s, lake, "k", Seq("5", "55")).collect()
+      .map(_.getLong(0)).toSeq == Seq(55L))
+  }
+
   test("incremental maintenance: deltas merge exactly; a zeroed group drops") {
     import s.implicits._
     import graft.sources.Snapshots
