@@ -674,6 +674,70 @@ object RoundTrip extends QueryModule {
       |       MIN(od) AS min_od, TRUE AS files_pruned
       |FROM o WHERE okey IN (SELECT okey FROM p)""".stripMargin
 
+  /** q158: the incremental-view-maintenance LOOP — the production shape
+    * of q154. A monthly (count, sum) materialization is built once, then
+    * the table advances through every commit type the format supports —
+    * append (1997), equality-delete (okey%5), atomic upsert (okey%3
+    * restated with new values, including re-inserting keys the delete
+    * just removed), append (1998+) — and after EACH commit the
+    * materialization is refreshed from [[Snapshots.changes]] of that
+    * window alone: insert deltas off the feed, delete deltas resolved
+    * against the previous version's copy (broadcast keys). The upsert
+    * window exercises the subtle case: its delete and insert rows arrive
+    * in one feed and compose as subtract-old + add-new. The final STATE
+    * (never a direct read) is the query result; the oracle recomputes
+    * the ground-truth aggregate of the final table, so a hash match
+    * proves four successive O(delta) refreshes land bit-exactly where a
+    * full rescan would. State is localCheckpointed per round so the plan
+    * doesn't nest across refreshes. */
+  def ivmLoop(s: SparkSession, dir: String): DataFrame = {
+    tune(s)
+    val lake = freshLake(s, "snapivl", dir)
+    val lo = lit("1997-01-01").cast("date")
+    val hi = lit("1998-01-01").cast("date")
+    val o = ordersKeyed(s, dir)
+    val withVal = o.withColumn("val", col("okey") % 97)
+    def monthAgg(df: DataFrame): DataFrame =
+      df.groupBy(date_format(col("od"), "yyyy-MM").as("ym"))
+        .agg(count(lit(1)).as("n_rows"), sum("val").as("sum_val"))
+    var prevV = Snapshots.commit(withVal.filter(col("od") < lo), lake, append = false)
+    var state = monthAgg(Snapshots.read(s, lake, prevV)).localCheckpoint(true)
+    def advance(commit: => Long): Unit = {
+      val v = commit
+      val ch = Snapshots.changes(s, lake, prevV, v)
+      val ins = monthAgg(ch.filter(col("_change_type") === "insert"))
+      val delKeys = ch.filter(col("_change_type") === "delete").select("okey")
+      val del = monthAgg(Snapshots.read(s, lake, prevV)
+          .join(broadcast(delKeys), Seq("okey")))
+        .select(col("ym"), (-col("n_rows")).as("n_rows"),
+          (-col("sum_val")).as("sum_val"))
+      state = Snapshots.mergeAggDeltas(state, Seq(ins, del), Seq("ym"), "n_rows")
+        .localCheckpoint(true)
+      prevV = v
+    }
+    advance(Snapshots.commit(withVal.filter(col("od") >= lo && col("od") < hi),
+      lake, append = true))
+    advance(Snapshots.commitDelete(o.filter(col("okey") % 5 === 0).select("okey"), lake))
+    advance(Snapshots.upsert(withVal.filter(col("od") < hi && col("okey") % 3 === 0)
+      .withColumn("val", col("okey") % 89 + 1000), lake, Seq("okey")))
+    advance(Snapshots.commit(withVal.filter(col("od") >= hi), lake, append = true))
+    state
+  }
+
+  private val ivmLoopSql =
+    """WITH o AS (SELECT CAST(o_orderkey AS BIGINT) AS okey,
+      |                  CAST(o_orderdate AS DATE) AS od FROM orders),
+      |pre AS (SELECT okey, od FROM o WHERE od < DATE '1998-01-01'),
+      |fin AS (
+      |  SELECT okey, od, okey % 89 + 1000 AS val FROM pre WHERE okey % 3 = 0
+      |  UNION ALL
+      |  SELECT okey, od, okey % 97 FROM pre WHERE okey % 3 <> 0 AND okey % 5 <> 0
+      |  UNION ALL
+      |  SELECT okey, od, okey % 97 FROM o WHERE od >= DATE '1998-01-01')
+      |SELECT strftime(od, '%Y-%m') AS ym, CAST(COUNT(*) AS BIGINT) AS n_rows,
+      |       CAST(SUM(val) AS BIGINT) AS sum_val
+      |FROM fin GROUP BY 1""".stripMargin
+
   override val queries: Seq[GQuery] = Seq(
     GQuery("q101_merge_lake", "durable partition-scoped MERGE sink: upsert applied twice == once (S7)",
       mergeLake, Some(mergeLakeSql)),
@@ -701,6 +765,9 @@ object RoundTrip extends QueryModule {
     GQuery("q157_snapshot_point",
       "per-file bloom sidecars: point lookup on an unclustered key scans only might-contain files",
       snapshotPoint, Some(snapshotPointSql)),
+    GQuery("q158_ivm_loop",
+      "IVM loop: materialization refreshed per commit across append/delete/upsert, never rescanning",
+      ivmLoop, Some(ivmLoopSql)),
     GQuery("q82_csv_roundtrip", "CSV sink+scan roundtrip vs parquet oracle (S1/S9)",
       csvRoundtrip, Some(csvRoundtripSql)),
     GQuery("q83_json_roundtrip", "JSON sink+scan roundtrip vs parquet oracle (S2/S6)",

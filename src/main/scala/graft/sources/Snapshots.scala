@@ -251,10 +251,11 @@ object Snapshots {
     * files, so concurrent later commits are invisible. Pending
     * equality-deletes (if any) are applied sequence-scoped as broadcast
     * hash anti-joins — the merge-on-read path. */
-  def read(s: SparkSession, dir: String, version: Long = -1L): DataFrame = {
+  def read(s: SparkSession, dir: String, version: Long = -1L,
+           mergeSchema: Boolean = false): DataFrame = {
     val v = if (version < 0) latestVersion(s, dir) else version
     require(v > 0, s"no snapshot at $dir")
-    scopedRead(s, dataEntries(s, dir, v), deleteEntries(s, dir, v))
+    scopedRead(s, dataEntries(s, dir, v), deleteEntries(s, dir, v), mergeSchema)
   }
 
   /** Merge-on-read with sequence scoping: a delete file at seq `sd` masks
@@ -265,14 +266,21 @@ object Snapshots {
     * Delete-key files are kilobytes, so each anti-join is a broadcast
     * hash join — the data side never shuffles. Pending deletes are few by
     * construction ([[compact]] materializes them), so the branch count
-    * stays small at any table size. */
+    * stays small at any table size.
+    *
+    * `mergeSchema` unions the file footers' schemas (schema evolution:
+    * columns added by later commits surface as null on older files) at
+    * the cost of a footer read per file at plan time; off by default. */
   private def scopedRead(s: SparkSession, data: Seq[(Long, String)],
-                         dels: Seq[(Long, String)]): DataFrame = {
-    if (dels.isEmpty) return s.read.parquet(data.map(_._2): _*)
+                         dels: Seq[(Long, String)],
+                         mergeSchema: Boolean = false): DataFrame = {
+    def rd(paths: Seq[String]): DataFrame =
+      s.read.option("mergeSchema", mergeSchema).parquet(paths: _*)
+    if (dels.isEmpty) return rd(data.map(_._2))
     val delSeqs = dels.map(_._1).distinct.sorted
     data.groupBy { case (sf, _) => delSeqs.count(_ > sf) }.toSeq.sortBy(_._1)
       .map { case (k, entries) =>
-        val df = s.read.parquet(entries.map(_._2): _*)
+        val df = rd(entries.map(_._2))
         if (k == 0) df
         else {
           val applicable = delSeqs.takeRight(k).toSet
@@ -280,7 +288,7 @@ object Snapshots {
             .dropDuplicates()
           df.join(keys, keys.columns.toSeq, "left_anti")
         }
-      }.reduce(_ unionByName _)
+      }.reduce(_.unionByName(_, allowMissingColumns = mergeSchema))
   }
 
   /** Stage a frame as an immutable segment under `data/<prefix>_<tag>` and

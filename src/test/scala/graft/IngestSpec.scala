@@ -454,6 +454,23 @@ class IngestSpec extends AnyFunSuite {
       Snapshots.overwritePartitions(Seq((1L, "A")).toDF("p", "v"), lake3, "p"))
   }
 
+  test("snapshot schema evolution: mergeSchema surfaces later-added columns as null") {
+    import s.implicits._
+    import graft.sources.Snapshots
+    val lake = Files.createTempDirectory("graft_snapse").toString + "/tbl"
+    Snapshots.commit(Seq((1L, "a")).toDF("k", "v"), lake, append = false)
+    Snapshots.commit(Seq((2L, "b", 7L)).toDF("k", "v", "w"), lake, append = true)
+    val merged = Snapshots.read(s, lake, mergeSchema = true)
+    assert(merged.columns.sorted.toSeq == Seq("k", "v", "w"))
+    assert(merged.collect().map(r => (r.getLong(0), if (r.isNullAt(2)) -1L else r.getLong(2)))
+      .sorted.toSeq == Seq((1L, -1L), (2L, 7L)),
+      "old files surface null for the added column")
+    // evolution composes with scoped deletes (anti-join on the key column)
+    Snapshots.commitDelete(Seq(1L).toDF("k"), lake)
+    assert(Snapshots.read(s, lake, mergeSchema = true).collect()
+      .map(_.getLong(0)).toSeq == Seq(2L))
+  }
+
   test("snapshot bloom sidecar: point probes skip files; bloom-less kept; residual exact") {
     import s.implicits._
     import graft.sources.Snapshots
