@@ -618,6 +618,109 @@ object StreamOps extends QueryModule {
       |       CAST(2 AS BIGINT) AS n_versions, TRUE AS replay_was_noop
       |FROM o""".stripMargin
 
+  /** q159: STREAMING incremental view maintenance — the q158 loop driven
+    * by a real Structured Streaming job. Three staged micro-batches
+    * (okey%3 slices, pinned order) land as exactly-once snapshot commits
+    * (batchId ledger, each deliberately replayed — the replay is a
+    * no-op); a takedown equality-delete (okey%50) interleaves after the
+    * second batch, exactly the mid-stream mutation a production table
+    * sees. After EVERY commit the foreachBatch consumer refreshes its
+    * monthly materialization from [[graft.sources.Snapshots.changes]] of
+    * the window since its last-seen version — the delete window rides
+    * along with batch 2's refresh, sequence-scoped so batch 3's keys are
+    * untouched by it. The query result is the maintained STATE (plus the
+    * version count), never a direct read; the oracle recomputes ground
+    * truth from orders, so the hash match proves a streaming consumer
+    * can track a mutating table at O(delta) per trigger. */
+  def streamIvm(s: SparkSession, dir: String): DataFrame = {
+    tune(s)
+    withStatePartitions(s, 8) {
+      val rows = table(s, dir, "orders")
+        .select(col("o_orderkey").cast("long").as("okey"),
+          col("o_orderdate").cast("date").as("od"))
+        .withColumn("val", col("okey") % 97)
+      val schema = rows.schema
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        new java.net.URI("file:///"), s.sparkContext.hadoopConfiguration)
+      val srcDir = stagedOnce(s"ivm:$dir") { sd =>
+        def stage(df: DataFrame, name: String, mtime: Long): Unit = {
+          val tmp = s"$sd/.stage_$name"
+          df.coalesce(1).write.mode("overwrite").parquet(tmp)
+          val parts = fs.globStatus(new org.apache.hadoop.fs.Path(s"$tmp/part-*.parquet"))
+          require(parts != null && parts.nonEmpty, s"no part file staged for $name")
+          val part = parts(0).getPath
+          val dest = new org.apache.hadoop.fs.Path(s"$sd/$name.parquet")
+          fs.rename(part, dest)
+          fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+          fs.setTimes(dest, mtime, -1)
+        }
+        val t0 = 1000000000000L
+        stage(rows.filter(col("okey") % 3 === 0), "b0", t0)
+        stage(rows.filter(col("okey") % 3 === 1), "b1", t0 + 600000L)
+        stage(rows.filter(col("okey") % 3 === 2), "b2", t0 + 1200000L)
+      }
+      val lake = s"$ckBase/ivmlake_${counter.incrementAndGet()}"
+      def monthAgg(df: DataFrame): DataFrame =
+        df.groupBy(date_format(col("od"), "yyyy-MM").as("ym"))
+          .agg(count(lit(1)).as("n_rows"), sum("val").as("sum_val"))
+      var prevV = 0L
+      var state: DataFrame = null
+      val src = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(srcDir)
+      val qname = s"graft_stream_ivm_${counter.incrementAndGet()}"
+      val q = src.writeStream
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          if (!batch.isEmpty) {
+            import graft.sources.Snapshots
+            val first = Snapshots.commitIfAbsent(
+              batch, lake, append = true, "batchId", batchId.toString)
+            val replay = Snapshots.commitIfAbsent(
+              batch, lake, append = true, "batchId", batchId.toString)
+            require(first.nonEmpty && replay.isEmpty,
+              s"commit ledger: first=$first replay=$replay for batch $batchId")
+            if (batchId == 1L) // mid-stream takedown: lands inside this refresh window
+              Snapshots.commitDelete(rows.filter(col("okey") % 50 === 0)
+                .select("okey"), lake)
+            val v = Snapshots.latestVersion(s, lake)
+            state =
+              if (prevV == 0L) monthAgg(Snapshots.read(s, lake, v)).localCheckpoint(true)
+              else {
+                val ch = Snapshots.changes(s, lake, prevV, v)
+                val ins = monthAgg(ch.filter(col("_change_type") === "insert"))
+                val delKeys = ch.filter(col("_change_type") === "delete").select("okey")
+                val del = monthAgg(Snapshots.read(s, lake, prevV)
+                    .join(broadcast(delKeys), Seq("okey")))
+                  .select(col("ym"), (-col("n_rows")).as("n_rows"),
+                    (-col("sum_val")).as("sum_val"))
+                Snapshots.mergeAggDeltas(state, Seq(ins, del), Seq("ym"), "n_rows")
+                  .localCheckpoint(true)
+              }
+            prevV = v
+          }
+          ()
+        }
+        .option("checkpointLocation", s"$ckBase/$qname")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      dropCheckpoint(s"$ckBase/$qname")
+      require(state != null, "streaming IVM harness saw no non-empty batch")
+      state.withColumn("n_versions",
+        lit(graft.sources.Snapshots.latestVersion(s, lake)))
+    }
+  }
+
+  private val streamIvmSql =
+    """WITH o AS (SELECT CAST(o_orderkey AS BIGINT) AS okey,
+      |                  CAST(o_orderdate AS DATE) AS od FROM orders),
+      |fin AS (
+      |  SELECT okey, od, okey % 97 AS val FROM o
+      |  WHERE NOT (okey % 50 = 0 AND okey % 3 IN (0, 1)))
+      |SELECT strftime(od, '%Y-%m') AS ym, CAST(COUNT(*) AS BIGINT) AS n_rows,
+      |       CAST(SUM(val) AS BIGINT) AS sum_val,
+      |       CAST(4 AS BIGINT) AS n_versions
+      |FROM fin GROUP BY 1""".stripMargin
+
   override val queries: Seq[GQuery] = Seq(
     // Same oracle as the batch q71 — proves streaming == batch.
     GQuery("q84_stream_hourly",
@@ -649,5 +752,8 @@ object StreamOps extends QueryModule {
     GQuery("q150_stream_snapshot",
       "exactly-once streaming commits into the snapshot table: batchId ledger makes replays no-ops",
       streamSnapshot, Some(streamSnapshotSql)),
+    GQuery("q159_stream_ivm",
+      "streaming IVM: per-trigger O(delta) refresh tracks a mutating table incl. a mid-stream delete",
+      streamIvm, Some(streamIvmSql)),
   )
 }
