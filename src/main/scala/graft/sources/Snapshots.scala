@@ -64,11 +64,34 @@ object Snapshots {
       .foldLeft(0L)(math.max)
   }
 
+  /** Commit terminator: a manifest is PUBLISHED only once its last line
+    * is `#eof`. The exclusive create claims the version atomically, but a
+    * concurrent reader could otherwise observe the file between create
+    * and write — existing yet empty — and silently carry nothing forward
+    * (a lost-update race the IngestSpec thread race caught). `#` makes it
+    * invisible to every line consumer (data/delete parsers and meta both
+    * skip or ignore it). */
+  private val Eof = "#eof"
+
   private def manifestLines(s: SparkSession, dir: String, v: Long): Seq[String] = {
     val fs = fsOf(s, manifestPath(dir, v))
-    val in = fs.open(manifestPath(dir, v))
-    try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList.filter(_.nonEmpty)
-    finally in.close()
+    def readOnce(): Seq[String] = {
+      val in = fs.open(manifestPath(dir, v))
+      try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList.filter(_.nonEmpty)
+      finally in.close()
+    }
+    var lines = readOnce()
+    var spins = 0
+    while (lines.lastOption.toSeq != Seq(Eof)) {
+      // mid-publish: the winner created the file but hasn't finished
+      // writing. The window is milliseconds — spin briefly, fail loudly
+      // if it never completes (crashed publisher needs manual expiry).
+      spins += 1
+      require(spins <= 200, s"manifest v$v at $dir never completed (crashed publisher?)")
+      Thread.sleep(10)
+      lines = readOnce()
+    }
+    lines
   }
 
   /** Parse a manifest line into (kind, seq, path). */
@@ -202,7 +225,7 @@ object Snapshots {
       val mp = manifestPath(dir, v)
       fs.mkdirs(mp.getParent)
       val metaLines = meta.toSeq.sorted.map { case (k, w) => s"#$k=$w" }
-      val body = metaLines ++ buildLines(v)
+      val body = metaLines ++ buildLines(v) :+ Eof // terminator = commit record
       try {
         val out = fs.create(mp, false) // exclusive: the optimistic lock
         try out.write(body.mkString("\n").getBytes("UTF-8"))
@@ -357,6 +380,81 @@ object Snapshots {
       s"rollback: no manifest v$toV at $dir")
     val lines = carriedLines(s, dir, toV)
     publish(s, dir, Map("rollback" -> toV.toString), _ => lines)
+  }
+
+  /** Name snapshot `v` with an immutable tag (`manifests/tag_<name>.txt`).
+    * Tags pin versions against [[expire]]-by-mistake semantics at the
+    * naming layer: a reader asking for a tag always gets the same rows.
+    * Published with exclusive create — re-tagging an existing name
+    * refuses (tags are immutable; use a new name). */
+  def tag(s: SparkSession, dir: String, name: String, version: Long = -1L): Long = {
+    require(name.matches("[A-Za-z0-9._-]+"), s"tag name: [A-Za-z0-9._-]+, got $name")
+    val v = if (version < 0) latestVersion(s, dir) else version
+    require(fsOf(s, manifestPath(dir, v)).exists(manifestPath(dir, v)),
+      s"tag: no manifest v$v at $dir")
+    val tp = new Path(new Path(dir, "manifests"), s"tag_$name.txt")
+    val fs = fsOf(s, tp)
+    val out = try fs.create(tp, false) catch {
+      case _: java.io.IOException =>
+        throw new IllegalArgumentException(s"tag $name already exists at $dir")
+    }
+    try out.write(v.toString.getBytes("UTF-8")) finally out.close()
+    v
+  }
+
+  /** Resolve a tag to its version (fails loudly on an unknown tag). */
+  def tagVersion(s: SparkSession, dir: String, name: String): Long = {
+    val tp = new Path(new Path(dir, "manifests"), s"tag_$name.txt")
+    val fs = fsOf(s, tp)
+    require(fs.exists(tp), s"no tag $name at $dir")
+    val in = fs.open(tp)
+    try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toLong
+    finally in.close()
+  }
+
+  /** Read the snapshot a tag names. */
+  def readTag(s: SparkSession, dir: String, name: String,
+              mergeSchema: Boolean = false): DataFrame =
+    read(s, dir, tagVersion(s, dir, name), mergeSchema)
+
+  /** Metadata table: one row per (version, kind, seq, path, bytes) of the
+    * named snapshot's manifest — the observability surface for "which
+    * files does this snapshot actually hold". Driver-built from the
+    * manifest + file statuses (O(files) metadata, no data read). */
+  def files(s: SparkSession, dir: String, version: Long = -1L): DataFrame = {
+    val v = if (version < 0) latestVersion(s, dir) else version
+    require(v > 0, s"no snapshot at $dir")
+    val fs = fsOf(s, new Path(dir))
+    import scala.jdk.CollectionConverters._
+    val rows = (dataEntries(s, dir, v).map(e => ("data", e._1, e._2)) ++
+      deleteEntries(s, dir, v).map(e => ("delete", e._1, e._2)))
+      .map { case (kind, seq, p) =>
+        org.apache.spark.sql.Row(v, kind, seq, p, fs.getFileStatus(new Path(p)).getLen)
+      }
+    s.createDataFrame(rows.asJava, StructType(Seq(
+      StructField("version", LongType, false), StructField("kind", StringType, false),
+      StructField("seq", LongType, false), StructField("path", StringType, false),
+      StructField("bytes", LongType, false))))
+  }
+
+  /** Metadata table: the commit history — one row per live version with
+    * its meta key=values flattened to a map column. O(versions) kilobyte
+    * manifest reads, driver-side. */
+  def history(s: SparkSession, dir: String): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    val fs = fsOf(s, new Path(dir))
+    val rows = (1L to latestVersion(s, dir))
+      .filter(v => fs.exists(manifestPath(dir, v)))
+      .map { v =>
+        val m = manifestMeta(s, dir, v)
+        org.apache.spark.sql.Row(v, dataEntries(s, dir, v).size.toLong,
+          deleteEntries(s, dir, v).size.toLong, m)
+      }
+    s.createDataFrame(rows.asJava, StructType(Seq(
+      StructField("version", LongType, false),
+      StructField("n_data_files", LongType, false),
+      StructField("n_delete_files", LongType, false),
+      StructField("meta", MapType(StringType, StringType), false))))
   }
 
   /** Dynamic partition overwrite: replace EXACTLY the `partCol` partitions

@@ -454,6 +454,40 @@ class IngestSpec extends AnyFunSuite {
       Snapshots.overwritePartitions(Seq((1L, "A")).toDF("p", "v"), lake3, "p"))
   }
 
+  test("snapshot tags + metadata tables; racing commits all land linearized") {
+    import s.implicits._
+    import graft.sources.Snapshots
+    val lake = Files.createTempDirectory("graft_snapt").toString + "/tbl"
+    val v1 = Snapshots.commit(Seq((1L, "a")).toDF("k", "v"), lake, append = false)
+    Snapshots.tag(s, lake, "audited", v1)
+    Snapshots.commit(Seq((2L, "b")).toDF("k", "v"), lake, append = true)
+    assert(Snapshots.readTag(s, lake, "audited").count() == 1,
+      "a tag keeps naming the same snapshot as the table advances")
+    assert(Snapshots.tagVersion(s, lake, "audited") == v1)
+    intercept[IllegalArgumentException](Snapshots.tag(s, lake, "audited", 2L))
+    intercept[IllegalArgumentException](Snapshots.tagVersion(s, lake, "nope"))
+    // metadata tables: files() and history() describe the manifest exactly
+    Snapshots.commitDelete(Seq(1L).toDF("k"), lake)
+    val f = Snapshots.files(s, lake).collect()
+    assert(f.count(_.getString(1) == "data") == 2 &&
+           f.count(_.getString(1) == "delete") == 1)
+    assert(f.forall(_.getLong(4) > 0), "every listed file has real bytes")
+    val h = Snapshots.history(s, lake).collect()
+    assert(h.map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L))
+    assert(h.last.getAs[Map[String, String]](3) == Map("delete" -> "true"))
+    // four RACING commits (real threads, same base): all land, linearized
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val base = Snapshots.latestVersion(s, lake)
+    val landed = Await.result(Future.sequence((1 to 4).map(i => Future {
+      Snapshots.commit(Seq((100L + i, s"r$i")).toDF("k", "v"), lake, append = true)
+    })), 120.seconds)
+    assert(landed.sorted == (base + 1 to base + 4).toSeq,
+      s"racing commits must take consecutive versions, got $landed")
+    assert(Snapshots.read(s, lake).count() == 5, "1 survivor + 4 raced rows")
+  }
+
   test("snapshot schema evolution: mergeSchema surfaces later-added columns as null") {
     import s.implicits._
     import graft.sources.Snapshots
