@@ -791,19 +791,42 @@ object Snapshots {
     * append-forever table eventually needs. Older versions are
     * untouched: their manifests still name the old files, which
     * [[expire]] collects once they leave the retention window. Rows are
-    * identical by construction (one repartition, no predicate), so
-    * readers switching to the compacted snapshot see the same table in
-    * fewer, right-sized files. */
+    * identical by construction (one reshape, no predicate), so readers
+    * switching to the compacted snapshot see the same table in fewer,
+    * right-sized files — and pending deletes MATERIALIZE (the rewrite
+    * reads merge-on-read output and the new manifest carries no `D`
+    * lines).
+    *
+    * Layout is preserved, not destroyed: `routeBy` keeps the table
+    * partition-aligned (so [[overwritePartitions]] keeps working after
+    * maintenance), `sortBy` range-clusters the rewrite (so q152-style
+    * stats keep pruning), and `statsCols`/`bloomCols` regenerate the
+    * sidecars for the new files — a compaction that silently dropped
+    * them would un-prune every future scan. */
   def compact(s: SparkSession, dir: String,
-              targetBytes: Long = 128L * 1024 * 1024): Long = {
+              targetBytes: Long = 128L * 1024 * 1024,
+              routeBy: Option[String] = None,
+              sortBy: Seq[String] = Seq.empty,
+              statsCols: Seq[String] = Seq.empty,
+              bloomCols: Seq[String] = Seq.empty): Long = {
     val latest = latestVersion(s, dir)
     require(latest > 0, s"no snapshot to compact at $dir")
     val files = readManifest(s, dir, latest)
     val fs = fsOf(s, new Path(dir))
     val total = files.map(f => fs.getFileStatus(new Path(f)).getLen).sum
     val n = math.max(1, math.ceil(total.toDouble / targetBytes).toInt)
-    commit(read(s, dir, latest).repartition(n), dir, append = false,
-      Map("compaction" -> "true"))
+    val base = read(s, dir, latest)
+    val shaped = routeBy match {
+      case Some(c) =>
+        val r = base.repartition(col(c)) // partitionBy re-splits exactly per value
+        if (sortBy.nonEmpty) r.sortWithinPartitions(sortBy.map(col): _*) else r
+      case None if sortBy.nonEmpty =>
+        base.repartitionByRange(n, sortBy.map(col): _*)
+          .sortWithinPartitions(sortBy.map(col): _*)
+      case None => base.repartition(n)
+    }
+    commit(shaped, dir, append = false, Map("compaction" -> "true"),
+      statsCols = statsCols, routeBy = routeBy, bloomCols = bloomCols)
   }
 
   /** Drop manifests older than `keepFrom` (the latest snapshot is always

@@ -488,6 +488,36 @@ class IngestSpec extends AnyFunSuite {
     assert(Snapshots.read(s, lake).count() == 5, "1 survivor + 4 raced rows")
   }
 
+  test("layout-preserving compaction: alignment, clustering, and sidecars survive") {
+    import s.implicits._
+    import graft.sources.Snapshots
+    val lake = Files.createTempDirectory("graft_snaplc").toString + "/tbl"
+    val rows = (1L to 100L).map(k => (k, k % 5)).toDF("k", "p")
+    Snapshots.commit(rows, lake, append = false,
+      statsCols = Seq("p"), routeBy = Some("p"))
+    Snapshots.commitDelete(Seq(1L).toDF("k"), lake)
+    // routed compaction: deletes materialize, alignment + stats regenerate
+    Snapshots.compact(s, lake, routeBy = Some("p"), statsCols = Seq("p"))
+    assert(Snapshots.read(s, lake).count() == 99, "delete materialized")
+    Snapshots.overwritePartitions(Seq((1000L, 2L)).toDF("k", "p"), lake, "p")
+    val byP = Snapshots.read(s, lake).groupBy("p").count().collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(byP(2L) == 1 && byP(3L) == 20,
+      "post-compaction table is still partition-overwritable")
+    // sorted compaction on a second table: range stats prune after rewrite
+    val lake2 = Files.createTempDirectory("graft_snaplc2").toString + "/tbl"
+    (0 until 4).foreach { i => // four interleaved appends: no clustering
+      Snapshots.commit((1L to 100L).filter(_ % 4 == i).map(k => k).toDF("k"),
+        lake2, append = i > 0)
+    }
+    Snapshots.compact(s, lake2, targetBytes = 2048,
+      sortBy = Seq("k"), statsCols = Seq("k"))
+    val (kept, total) = Snapshots.pruneFiles(s, lake2, "k", "1", "10")
+    assert(total > 1 && kept.size < total,
+      s"sorted compaction must restore prunability, got ${kept.size}/$total")
+    assert(Snapshots.readPruned(s, lake2, "k", "1", "10").count() == 10)
+  }
+
   test("snapshot schema evolution: mergeSchema surfaces later-added columns as null") {
     import s.implicits._
     import graft.sources.Snapshots
