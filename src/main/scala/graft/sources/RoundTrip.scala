@@ -701,7 +701,7 @@ object RoundTrip extends QueryModule {
       df.groupBy(date_format(col("od"), "yyyy-MM").as("ym"))
         .agg(count(lit(1)).as("n_rows"), sum("val").as("sum_val"))
     var prevV = Snapshots.commit(withVal.filter(col("od") < lo), lake, append = false)
-    var state = monthAgg(Snapshots.read(s, lake, prevV)).localCheckpoint(true)
+    var state = monthAgg(Snapshots.read(s, lake, prevV)).coalesce(1).localCheckpoint(true)
     def advance(commit: => Long): Unit = {
       val v = commit
       val ch = Snapshots.changes(s, lake, prevV, v)
@@ -712,7 +712,7 @@ object RoundTrip extends QueryModule {
         .select(col("ym"), (-col("n_rows")).as("n_rows"),
           (-col("sum_val")).as("sum_val"))
       state = Snapshots.mergeAggDeltas(state, Seq(ins, del), Seq("ym"), "n_rows")
-        .localCheckpoint(true)
+        .coalesce(1).localCheckpoint(true)
       prevV = v
     }
     advance(Snapshots.commit(withVal.filter(col("od") >= lo && col("od") < hi),

@@ -683,7 +683,7 @@ object StreamOps extends QueryModule {
                 .select("okey"), lake)
             val v = Snapshots.latestVersion(s, lake)
             state =
-              if (prevV == 0L) monthAgg(Snapshots.read(s, lake, v)).localCheckpoint(true)
+              if (prevV == 0L) monthAgg(Snapshots.read(s, lake, v)).coalesce(1).localCheckpoint(true)
               else {
                 val ch = Snapshots.changes(s, lake, prevV, v)
                 val ins = monthAgg(ch.filter(col("_change_type") === "insert"))
@@ -693,7 +693,7 @@ object StreamOps extends QueryModule {
                   .select(col("ym"), (-col("n_rows")).as("n_rows"),
                     (-col("sum_val")).as("sum_val"))
                 Snapshots.mergeAggDeltas(state, Seq(ins, del), Seq("ym"), "n_rows")
-                  .localCheckpoint(true)
+                  .coalesce(1).localCheckpoint(true)
               }
             prevV = v
           }
