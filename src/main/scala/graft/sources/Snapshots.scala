@@ -836,14 +836,36 @@ object Snapshots {
     * file listings, never file contents. */
   def expire(s: SparkSession, dir: String, keepFrom: Long): (Int, Int) = {
     val fs = fsOf(s, new Path(dir))
-    val latest = latestVersion(s, dir)
+    // crash cleanup first: a manifest whose publisher died between create
+    // and write never gains its #eof terminator — unreadable by anyone
+    // (readers spin then fail loudly). Deleting it frees the version for
+    // the next commit; nothing can have built on it, because carrying its
+    // lines forward would have required reading it. The mtime grace keeps
+    // this from racing a LIVE publisher inside its create-to-write window.
+    val graceMs = 60000L
+    def complete(v: Long): Boolean = {
+      val in = fs.open(manifestPath(dir, v))
+      val lines = try scala.io.Source.fromInputStream(in, "UTF-8")
+        .getLines().toList.filter(_.nonEmpty) finally in.close()
+      lines.lastOption.toSeq == Seq(Eof)
+    }
+    var latest = latestVersion(s, dir)
+    (1L to latest).foreach { v =>
+      val mp = manifestPath(dir, v)
+      if (fs.exists(mp) && !complete(v) &&
+          System.currentTimeMillis() - fs.getFileStatus(mp).getModificationTime > graceMs)
+        fs.delete(mp, false): Unit
+    }
+    latest = latestVersion(s, dir)
     val keepStart = math.max(1L, math.min(keepFrom, latest))
     val dropped = (1L until keepStart).filter(v => fs.exists(manifestPath(dir, v)))
     // keep every file a retained manifest references — data AND delete
     // files (a dropped delete file would break merge-on-read for versions
     // still inside the retention window)
+    // an incomplete manifest inside the grace window contributes nothing:
+    // nobody can read it, so its staged segment is orphan debris anyway
     val keptFiles = (keepStart to latest)
-      .filter(v => fs.exists(manifestPath(dir, v)))
+      .filter(v => fs.exists(manifestPath(dir, v)) && complete(v))
       .flatMap(v => readManifest(s, dir, v) ++ deleteEntries(s, dir, v).map(_._2)).toSet
     dropped.foreach(v => fs.delete(manifestPath(dir, v), false))
     val dataDir = new Path(dir, "data")

@@ -454,6 +454,29 @@ class IngestSpec extends AnyFunSuite {
       Snapshots.overwritePartitions(Seq((1L, "A")).toDF("p", "v"), lake3, "p"))
   }
 
+  test("crashed publisher: incomplete manifest blocks readers, expire collects it") {
+    import s.implicits._
+    import graft.sources.Snapshots
+    val lake = Files.createTempDirectory("graft_snapx").toString + "/tbl"
+    Snapshots.commit(Seq((1L, "a")).toDF("k", "v"), lake, append = false)
+    // simulate a publisher that died between create and write: v2 exists, empty
+    val fs = new org.apache.hadoop.fs.Path(lake)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    val dead = new org.apache.hadoop.fs.Path(lake, "manifests/v00002.txt")
+    fs.create(dead, false).close()
+    intercept[IllegalArgumentException](Snapshots.read(s, lake).count())
+    // within the grace window expire must NOT touch it (live-publisher safety)
+    Snapshots.expire(s, lake, 1L)
+    assert(fs.exists(dead), "fresh incomplete manifest is inside the grace window")
+    // past the grace it is crash debris: collected, version number freed
+    fs.setTimes(dead, System.currentTimeMillis() - 120000L, -1)
+    Snapshots.expire(s, lake, 1L)
+    assert(!fs.exists(dead), "stale incomplete manifest must be collected")
+    val v = Snapshots.commit(Seq((2L, "b")).toDF("k", "v"), lake, append = true)
+    assert(v == 2L && Snapshots.read(s, lake).count() == 2,
+      "the freed version is reusable and carries the chain")
+  }
+
   test("snapshot tags + metadata tables; racing commits all land linearized") {
     import s.implicits._
     import graft.sources.Snapshots
