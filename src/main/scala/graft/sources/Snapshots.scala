@@ -362,7 +362,10 @@ object Snapshots {
     val s = df.sparkSession
     val dataFiles = stageSegment(df, dir, "seg")
     // key values re-read from the staged segment, not df: df may be
-    // nondeterministic, and the delete MUST match the rows that landed
+    // nondeterministic, and the delete MUST match the rows that landed.
+    // coalesce(1) packs the key set into one kilobyte-scale file — right
+    // for merge-batch-sized upserts; a billion-row restatement would
+    // shard the delete file by key range instead (several D lines).
     val delFiles = stageSegment(
       s.read.parquet(dataFiles: _*).select(keys.map(col): _*).dropDuplicates()
         .coalesce(1), dir, "del")

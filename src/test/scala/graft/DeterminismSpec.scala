@@ -48,6 +48,17 @@ class DeterminismSpec extends AnyFunSuite {
     assert(a == b)
   }
 
+  test("IVM loop is identical under 2 vs 16 partitions") {
+    // five commits, four change-feed refreshes, broadcast delete resolves,
+    // per-round checkpoints — the maintained state must not depend on how
+    // any commit's segment or any refresh's join was parallelized
+    val a = underPartitions(2)(collectSorted(
+      graft.sources.RoundTrip.ivmLoop(s, TestSpark.sf)))
+    val b = underPartitions(16)(collectSorted(
+      graft.sources.RoundTrip.ivmLoop(s, TestSpark.sf)))
+    assert(a == b)
+  }
+
   test("cdc apply and importance resample are identical under 1 vs 16 partitions") {
     val a1 = underPartitions(1)(collectSorted(ScaleOps.cdcApply(s, TestSpark.sf)))
     val b1 = underPartitions(16)(collectSorted(ScaleOps.cdcApply(s, TestSpark.sf)))
