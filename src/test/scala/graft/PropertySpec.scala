@@ -53,4 +53,37 @@ class PropertySpec extends AnyFunSuite {
     val b = df7.agg(Engine.dsum(col("v"))).collect()(0).getDouble(0)
     assert(a == expected && b == expected)
   }
+
+  test("IVM merge == direct recompute for random insert/delete histories") {
+    import graft.sources.Snapshots
+    // random base table + random inserted rows + random deleted keys: the
+    // maintained aggregate must equal aggregating the final rows directly,
+    // including groups that vanish entirely
+    val rowGen = for {
+      k <- Gen.chooseNum(0L, 60L)                 // key
+      g <- Gen.chooseNum(0L, 5L).map(g => s"g$g") // group
+      v <- Gen.chooseNum(-50L, 50L)               // value
+    } yield (k, g, v)
+    (0 until 5).foreach { round =>
+      val base = samples(rowGen, 60).zipWithIndex
+        .map { case ((k, g, v), i) => (k * 100 + i + round, g, v) } // unique keys
+      val ins = samples(rowGen, 25).zipWithIndex
+        .map { case ((k, g, v), i) => (1000000L + k * 100 + i + round, g, v) }
+      val delKeys = samples(Gen.oneOf(base.map(_._1)), 30).distinct
+      val baseDf = base.toDF("k", "g", "v")
+      def agg(df: org.apache.spark.sql.DataFrame) =
+        df.groupBy("g").agg(count(lit(1)).as("n"), sum("v").as("sv"))
+      val state = agg(baseDf)
+      val insDelta = agg(ins.toDF("k", "g", "v"))
+      val delDelta = agg(baseDf.join(delKeys.toDF("k"), Seq("k")))
+        .select(col("g"), (-col("n")).as("n"), (-col("sv")).as("sv"))
+      val maintained = Snapshots.mergeAggDeltas(state, Seq(insDelta, delDelta),
+        Seq("g"), "n").collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+        .sorted.toSeq
+      val finalRows = base.filterNot(r => delKeys.contains(r._1)) ++ ins
+      val direct = agg(finalRows.toDF("k", "g", "v")).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+      assert(maintained == direct, s"round $round: $maintained vs $direct")
+    }
+  }
 }
