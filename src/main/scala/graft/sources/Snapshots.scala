@@ -341,9 +341,29 @@ object Snapshots {
     * see the rows. */
   def commitDelete(keys: DataFrame, dir: String,
                    meta: Map[String, String] = Map.empty): Long = {
+    requireKeySchemaMatch(keys.sparkSession, dir, keys.columns.toSeq)
     val files = stageSegment(keys.dropDuplicates(), dir, "del")
     commitFileList(keys.sparkSession, dir, Seq.empty, appendBase = true,
       meta = meta + ("delete" -> "true"), deleteFiles = files)
+  }
+
+  /** All pending delete files of a snapshot are read TOGETHER by the
+    * merge-on-read anti-joins, so they must agree on key columns — a
+    * second delete with different keys would silently mis-join. Refuse it
+    * up front; a compaction materializes the pending deletes and frees
+    * the table to switch key sets. */
+  private def requireKeySchemaMatch(s: SparkSession, dir: String,
+                                    keyCols: Seq[String]): Unit = {
+    val latest = latestVersion(s, dir)
+    if (latest > 0) {
+      val dels = deleteEntries(s, dir, latest)
+      if (dels.nonEmpty) {
+        val existing = s.read.parquet(dels.head._2).columns.sorted.toSeq
+        require(existing == keyCols.sorted,
+          s"equality-delete keys ${keyCols.sorted} differ from the table's pending " +
+            s"delete schema $existing; compact to materialize pending deletes first")
+      }
+    }
   }
 
   /** Atomic MERGE (upsert): rows in `df` REPLACE any current rows sharing
@@ -360,6 +380,7 @@ object Snapshots {
     require(keys.nonEmpty && keys.forall(df.columns.contains),
       s"upsert keys $keys must be columns of ${df.columns.toSeq}")
     val s = df.sparkSession
+    requireKeySchemaMatch(s, dir, keys)
     val dataFiles = stageSegment(df, dir, "seg")
     // key values re-read from the staged segment, not df: df may be
     // nondeterministic, and the delete MUST match the rows that landed.

@@ -454,6 +454,26 @@ class IngestSpec extends AnyFunSuite {
       Snapshots.overwritePartitions(Seq((1L, "A")).toDF("p", "v"), lake3, "p"))
   }
 
+  test("delete key schemas must agree until a compaction materializes them") {
+    import s.implicits._
+    import graft.sources.Snapshots
+    val lake = Files.createTempDirectory("graft_snapk").toString + "/tbl"
+    Snapshots.commit(Seq((1L, "a"), (2L, "b")).toDF("k", "v"), lake, append = false)
+    Snapshots.commitDelete(Seq(1L).toDF("k"), lake)
+    // a second delete (or upsert) with DIFFERENT key columns would
+    // silently mis-join in merge-on-read: refuse up front
+    intercept[IllegalArgumentException](
+      Snapshots.commitDelete(Seq(("b")).toDF("v"), lake))
+    intercept[IllegalArgumentException](
+      Snapshots.upsert(Seq((2L, "B")).toDF("k", "v"), lake, Seq("k", "v")))
+    // same keys: fine
+    Snapshots.commitDelete(Seq(99L).toDF("k"), lake)
+    // compaction materializes pending deletes; a new key set is then legal
+    Snapshots.compact(s, lake)
+    Snapshots.commitDelete(Seq(("b")).toDF("v"), lake)
+    assert(Snapshots.read(s, lake).count() == 0, "k=1 then v=b deleted everything")
+  }
+
   test("crashed publisher: incomplete manifest blocks readers, expire collects it") {
     import s.implicits._
     import graft.sources.Snapshots
