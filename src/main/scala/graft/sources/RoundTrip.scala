@@ -738,6 +738,55 @@ object RoundTrip extends QueryModule {
       |       CAST(SUM(val) AS BIGINT) AS sum_val
       |FROM fin GROUP BY 1""".stripMargin
 
+  /** q160: write-audit-publish — the quality gate the table format's
+    * pieces compose into. Every candidate batch COMMITS first (appends
+    * are cheap and atomic), is audited as a committed snapshot (here: no
+    * duplicate order keys — the audit reads exactly what a consumer
+    * would), and on failure the table ROLLS BACK to the pre-candidate
+    * version: a metadata-only commit, the bad data never visible to a
+    * reader that tracks published versions, no data rewrite in either
+    * direction. The good 1998 batch passes and stays; the 1999+ batch is
+    * poisoned with duplicated keys, fails the audit, and is rolled back.
+    * The oracle recomputes the expected surviving table (base + good
+    * batch only); `bad_rejected`/`rolled_back` pin the gate and the
+    * rollback meta in-frame. At 100 TB the audit costs one scan of the
+    * CANDIDATE snapshot and rejection costs one kilobyte manifest. */
+  def snapshotWap(s: SparkSession, dir: String): DataFrame = {
+    tune(s)
+    val lake = freshLake(s, "snapwap", dir)
+    val y98 = lit("1998-01-01").cast("date")
+    val y99 = lit("1999-01-01").cast("date")
+    val o = ordersKeyed(s, dir)
+    Snapshots.commit(o.filter(col("od") < y98), lake, append = false)
+    def audit(v: Long): Boolean = {
+      val r = Snapshots.read(s, lake, v)
+        .agg(count(lit(1)).as("n"), countDistinct(col("okey")).as("d")).collect()(0)
+      r.getLong(0) == r.getLong(1) // publishable iff keys stay unique
+    }
+    def publish(candidate: DataFrame): Boolean = {
+      val v = Snapshots.commit(candidate, lake, append = true)
+      audit(v) || { Snapshots.rollback(s, lake, v - 1); false }
+    }
+    val good = publish(o.filter(col("od") >= y98 && col("od") < y99))
+    val bad = o.filter(col("od") >= y99)
+    val rejected = !publish(bad.unionByName(bad.filter(col("okey") % 10 === 0)))
+    val latest = Snapshots.latestVersion(s, lake)
+    Snapshots.read(s, lake, latest)
+      .agg(count(lit(1)).as("n_rows"), sum("okey").as("sum_key"))
+      .withColumn("good_published", lit(good))
+      .withColumn("bad_rejected", lit(rejected))
+      .withColumn("rolled_back",
+        lit(Snapshots.manifestMeta(s, lake, latest).contains("rollback")))
+  }
+
+  private val snapshotWapSql =
+    """WITH o AS (SELECT CAST(o_orderkey AS BIGINT) AS okey,
+      |                  CAST(o_orderdate AS DATE) AS od FROM orders)
+      |SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+      |       CAST(SUM(okey) AS BIGINT) AS sum_key,
+      |       TRUE AS good_published, TRUE AS bad_rejected, TRUE AS rolled_back
+      |FROM o WHERE od < DATE '1999-01-01'""".stripMargin
+
   override val queries: Seq[GQuery] = Seq(
     GQuery("q101_merge_lake", "durable partition-scoped MERGE sink: upsert applied twice == once (S7)",
       mergeLake, Some(mergeLakeSql)),
@@ -768,6 +817,9 @@ object RoundTrip extends QueryModule {
     GQuery("q158_ivm_loop",
       "IVM loop: materialization refreshed per commit across append/delete/upsert, never rescanning",
       ivmLoop, Some(ivmLoopSql)),
+    GQuery("q160_snapshot_wap",
+      "write-audit-publish: commit candidate, audit the snapshot, roll back on failure",
+      snapshotWap, Some(snapshotWapSql)),
     GQuery("q82_csv_roundtrip", "CSV sink+scan roundtrip vs parquet oracle (S1/S9)",
       csvRoundtrip, Some(csvRoundtripSql)),
     GQuery("q83_json_roundtrip", "JSON sink+scan roundtrip vs parquet oracle (S2/S6)",
