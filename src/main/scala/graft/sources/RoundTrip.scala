@@ -787,6 +787,64 @@ object RoundTrip extends QueryModule {
       |       TRUE AS good_published, TRUE AS bad_rejected, TRUE AS rolled_back
       |FROM o WHERE od < DATE '1999-01-01'""".stripMargin
 
+  /** q161: the corpus datacard maintained incrementally across snapshot
+    * commits — the q137/q142 themes composed over the table format. The
+    * documents corpus lands in three append commits; after each, the
+    * per-lang card state advances from THAT window's change feed alone:
+    * additive columns (doc count, char sum) merge as signed deltas, and
+    * the distinct-content metric rides a mergeable HLL sketch column
+    * (`hll_sketch_agg` per batch, `hll_union_agg` into the state) — the
+    * thing a plain `approx_count_distinct` result can never do. Cost per
+    * refresh is O(batch); the corpus is never rescanned. Append-only by
+    * design: sketches can't subtract, so a delete-bearing corpus would
+    * recompute distinct metrics (documented, the q133 trade). The final
+    * STATE emits exact counts/sums (oracled hash-exact) plus a 20%
+    * error-bound contract on the sketch estimate vs the exact distinct,
+    * the q24/q133 pattern for oracling approximation. */
+  def incrementalDatacard(s: SparkSession, dir: String): DataFrame = {
+    tune(s)
+    val lake = freshLake(s, "snapdc", dir)
+    val docs = table(s, dir, "documents")
+      .select(col("doc_id").cast("long").as("doc_id"), col("lang"),
+        col("n_chars").cast("long").as("n_chars"),
+        md5(col("text").cast("binary")).as("digest"))
+    def card(df: DataFrame): DataFrame =
+      df.groupBy("lang").agg(count(lit(1)).as("n_docs"),
+        sum("n_chars").as("sum_chars"),
+        expr("hll_sketch_agg(digest)").as("sk"))
+    var prevV = 0L
+    var state: DataFrame = null
+    (0 until 3).foreach { i =>
+      val v = Snapshots.commit(docs.filter(col("doc_id") % 3 === i),
+        lake, append = prevV > 0)
+      state =
+        if (prevV == 0L) card(Snapshots.read(s, lake, v))
+        else {
+          val delta = card(Snapshots.changes(s, lake, prevV, v)
+            .filter(col("_change_type") === "insert"))
+          state.unionByName(delta).groupBy("lang")
+            .agg(sum("n_docs").as("n_docs"), sum("sum_chars").as("sum_chars"),
+              expr("hll_union_agg(sk)").as("sk"))
+        }
+      state = state.coalesce(1).localCheckpoint(true)
+      prevV = v
+    }
+    val exact = docs.groupBy("lang")
+      .agg(countDistinct(col("digest")).as("exact_distinct"))
+    state
+      .select(col("lang"), col("n_docs"), col("sum_chars"),
+        expr("hll_sketch_estimate(sk)").as("est"))
+      .join(exact, Seq("lang"))
+      .select(col("lang"), col("n_docs"), col("sum_chars"),
+        (abs(col("est") - col("exact_distinct")) <=
+          col("exact_distinct") * 0.2).as("distinct_ok"))
+  }
+
+  private val incrementalDatacardSql =
+    """SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |       CAST(SUM(n_chars) AS BIGINT) AS sum_chars, TRUE AS distinct_ok
+      |FROM documents GROUP BY lang""".stripMargin
+
   override val queries: Seq[GQuery] = Seq(
     GQuery("q101_merge_lake", "durable partition-scoped MERGE sink: upsert applied twice == once (S7)",
       mergeLake, Some(mergeLakeSql)),
@@ -820,6 +878,9 @@ object RoundTrip extends QueryModule {
     GQuery("q160_snapshot_wap",
       "write-audit-publish: commit candidate, audit the snapshot, roll back on failure",
       snapshotWap, Some(snapshotWapSql)),
+    GQuery("q161_incremental_datacard",
+      "datacard maintained across snapshot commits: additive deltas + mergeable HLL sketches",
+      incrementalDatacard, Some(incrementalDatacardSql)),
     GQuery("q82_csv_roundtrip", "CSV sink+scan roundtrip vs parquet oracle (S1/S9)",
       csvRoundtrip, Some(csvRoundtripSql)),
     GQuery("q83_json_roundtrip", "JSON sink+scan roundtrip vs parquet oracle (S2/S6)",
