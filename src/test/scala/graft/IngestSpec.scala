@@ -561,6 +561,24 @@ class IngestSpec extends AnyFunSuite {
     assert(Snapshots.readPruned(s, lake2, "k", "1", "10").count() == 10)
   }
 
+  test("partition overwrite composes with pending deletes") {
+    import s.implicits._
+    import graft.sources.Snapshots
+    val lake = Files.createTempDirectory("graft_snapod").toString + "/tbl"
+    Snapshots.commit(Seq((1L, 10L), (2L, 10L), (3L, 20L)).toDF("k", "p"),
+      lake, append = false, statsCols = Seq("p"), routeBy = Some("p"))
+    Snapshots.commitDelete(Seq(1L).toDF("k"), lake)
+    // restating p=20 must not disturb the delete pending against p=10
+    Snapshots.overwritePartitions(Seq((9L, 20L)).toDF("k", "p"), lake, "p")
+    assert(Snapshots.read(s, lake).collect().map(_.getLong(0)).sorted.toSeq ==
+      Seq(2L, 9L), "k=1 stays masked, p=20 replaced, k=2 untouched")
+    // restating the partition the deleted key lived in REMOVES its file:
+    // the delete becomes inert against the new (higher-seq) rows
+    Snapshots.overwritePartitions(Seq((1L, 10L)).toDF("k", "p"), lake, "p")
+    assert(Snapshots.read(s, lake).collect().map(_.getLong(0)).sorted.toSeq ==
+      Seq(1L, 9L), "restated k=1 postdates the delete and is visible")
+  }
+
   test("snapshot schema evolution: mergeSchema surfaces later-added columns as null") {
     import s.implicits._
     import graft.sources.Snapshots
