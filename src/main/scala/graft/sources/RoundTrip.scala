@@ -845,6 +845,50 @@ object RoundTrip extends QueryModule {
       |       CAST(SUM(n_chars) AS BIGINT) AS sum_chars, TRUE AS distinct_ok
       |FROM documents GROUP BY lang""".stripMargin
 
+  /** q162: the pruned delete-resolve — making q154's "prunes when the
+    * copy is clustered" claim REAL instead of a doc note. The consumer's
+    * copy is a key-clustered, bloom-sidecar'd snapshot table; a takedown
+    * equality-delete of five specific keys lands; and the maintainer
+    * resolves the deleted rows' values for its aggregate subtraction
+    * through [[Snapshots.readPoint]] AT THE PRE-DELETE VERSION (the
+    * post-delete read would mask exactly the rows it needs) — so the
+    * resolve scans only the ≤5 of 16 files whose blooms might hold the
+    * keys, audited in-frame, instead of the whole copy. The maintained
+    * state is the result; the oracle recomputes the post-takedown
+    * aggregate directly. At 100 TB this is the difference between a
+    * takedown refresh costing O(keys' files) and a full copy scan. */
+  def prunedResolve(s: SparkSession, dir: String): DataFrame = {
+    tune(s)
+    val lake = freshLake(s, "snappr", dir)
+    val o = ordersKeyed(s, dir).withColumn("val", col("okey") % 97)
+    val v1 = Snapshots.commit(o.repartitionByRange(16, col("okey")), lake,
+      append = false, bloomCols = Seq("okey"))
+    def monthAgg(df: DataFrame): DataFrame =
+      df.groupBy(date_format(col("od"), "yyyy-MM").as("ym"))
+        .agg(count(lit(1)).as("n_rows"), sum("val").as("sum_val"))
+    val state0 = monthAgg(Snapshots.read(s, lake, v1))
+    val delKeys = o.filter(col("okey") % 100 === 7).orderBy(col("okey")).limit(5)
+      .collect().map(_.getLong(0)).toSeq // takedown list: small by nature
+    import s.implicits._
+    Snapshots.commitDelete(delKeys.toDF("okey"), lake)
+    val probe = delKeys.map(_.toString)
+    val (kept, total) = Snapshots.pruneFilesPoint(s, lake, "okey", probe, v1)
+    val resolved = monthAgg(Snapshots.readPoint(s, lake, "okey", probe, v1))
+      .select(col("ym"), (-col("n_rows")).as("n_rows"),
+        (-col("sum_val")).as("sum_val"))
+    Snapshots.mergeAggDeltas(state0, Seq(resolved), Seq("ym"), "n_rows")
+      .withColumn("files_pruned", lit(kept.size < total))
+  }
+
+  private val prunedResolveSql =
+    """WITH o AS (SELECT CAST(o_orderkey AS BIGINT) AS okey,
+      |                  CAST(o_orderdate AS DATE) AS od FROM orders),
+      |dk AS (SELECT okey FROM o WHERE okey % 100 = 7 ORDER BY okey LIMIT 5)
+      |SELECT strftime(od, '%Y-%m') AS ym, CAST(COUNT(*) AS BIGINT) AS n_rows,
+      |       CAST(SUM(okey % 97) AS BIGINT) AS sum_val, TRUE AS files_pruned
+      |FROM o WHERE okey NOT IN (SELECT okey FROM dk)
+      |GROUP BY 1""".stripMargin
+
   override val queries: Seq[GQuery] = Seq(
     GQuery("q101_merge_lake", "durable partition-scoped MERGE sink: upsert applied twice == once (S7)",
       mergeLake, Some(mergeLakeSql)),
@@ -881,6 +925,9 @@ object RoundTrip extends QueryModule {
     GQuery("q161_incremental_datacard",
       "datacard maintained across snapshot commits: additive deltas + mergeable HLL sketches",
       incrementalDatacard, Some(incrementalDatacardSql)),
+    GQuery("q162_pruned_resolve",
+      "takedown resolve through the bloom-pruned point read: O(keys' files), not a copy scan",
+      prunedResolve, Some(prunedResolveSql)),
     GQuery("q82_csv_roundtrip", "CSV sink+scan roundtrip vs parquet oracle (S1/S9)",
       csvRoundtrip, Some(csvRoundtripSql)),
     GQuery("q83_json_roundtrip", "JSON sink+scan roundtrip vs parquet oracle (S2/S6)",
