@@ -172,7 +172,7 @@ object Dedup extends QueryModule {
     // the map output of this tiny exchange and cannot see the g^2 join
     // expansion behind it — a keys-only repartition gets coalesced back to
     // one or two tasks, recreating the single-task blowup.
-    val maxG = groups.agg(max(size(col("ids")))).head.get(0) match {
+    val maxG = groups.agg(max(size(col("ids")))).head().get(0) match {
       case null   => 0L
       case i: Int => i.toLong
     }
