@@ -561,6 +561,29 @@ class IngestSpec extends AnyFunSuite {
     assert(Snapshots.readPruned(s, lake2, "k", "1", "10").count() == 10)
   }
 
+  test("many delete generations stay correct; compaction collapses them") {
+    import s.implicits._
+    import graft.sources.Snapshots
+    import org.apache.spark.sql.functions.input_file_name
+    val lake = Files.createTempDirectory("graft_snapgen").toString + "/tbl"
+    // 8 interleaved append/delete generations: append {10i..10i+9}, then
+    // delete key 10i (each delete scopes over everything appended so far)
+    (0 until 8).foreach { i =>
+      Snapshots.commit((i * 10 until i * 10 + 10).map(_.toLong).toDF("k"),
+        lake, append = i > 0)
+      Snapshots.commitDelete(Seq(i * 10L).toDF("k"), lake)
+    }
+    val expected = (0L until 80L).filterNot(_ % 10 == 0).sorted
+    assert(Snapshots.read(s, lake).collect().map(_.getLong(0)).sorted.toSeq
+      == expected, "8 delete generations must mask exactly their keys")
+    // compaction materializes all 8 pending deletes into one clean scan
+    Snapshots.compact(s, lake)
+    val post = Snapshots.read(s, lake)
+    assert(post.collect().map(_.getLong(0)).sorted.toSeq == expected)
+    assert(post.select(input_file_name()).distinct().count() == 1,
+      "compacted read is a single-file scan, no anti-join branches")
+  }
+
   test("partition overwrite composes with pending deletes") {
     import s.implicits._
     import graft.sources.Snapshots
