@@ -18,6 +18,7 @@ object SparkEntry {
     graft.operators.Dedup,
     graft.operators.Similarity,
     graft.operators.TextOps,
+    graft.operators.Search,
     graft.operators.Events,
     graft.operators.ScaleOps,
     graft.sources.RoundTrip,

@@ -136,6 +136,55 @@ case class Md5Long60(child: Expression) extends org.apache.spark.sql.catalyst.ex
     copy(child = newChild)
 }
 
+/** Unicode NFC normalization of a string column — canonical composition
+  * (decomposed base + combining marks -> precomposed codepoints), the
+  * canonicalization pass a multilingual training corpus needs before
+  * hashing/dedup (byte-different encodings of the SAME text otherwise
+  * defeat exact dedup and fragment token statistics).
+  *
+  * Spark has no built-in normalizer, so this is the "custom Expression
+  * beats a UDF" path (X3): null-safe codegen calling the JDK's
+  * java.text.Normalizer — stays inside whole-stage codegen, no boxing,
+  * no Row encoding. NFC output is defined by the Unicode standard, so
+  * any conforming engine (DuckDB `nfc_normalize`, ICU) produces the
+  * identical bytes — cross-engine verifiable, unlike locale-dependent
+  * transforms.
+  */
+case class NfcNormalize(child: Expression) extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case _: org.apache.spark.sql.types.StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a STRING argument, got ${other.simpleString}")
+  }
+
+  override def dataType: DataType = child.dataType
+
+  override def prettyName: String = "graft_nfc"
+
+  override protected def nullSafeEval(input: Any): Any =
+    GraftText.nfc(input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.GraftText.nfc($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): NfcNormalize =
+    copy(child = newChild)
+}
+
+/** Runtime helper for [[NfcNormalize]]'s generated code. */
+object GraftText {
+  def nfc(s: org.apache.spark.unsafe.types.UTF8String): org.apache.spark.unsafe.types.UTF8String = {
+    val str = s.toString
+    // fast path: Normalizer.isNormalized is a cheap scan; ASCII and
+    // already-composed text (the overwhelming majority of a real corpus)
+    // skips the allocation in normalize()
+    if (java.text.Normalizer.isNormalized(str, java.text.Normalizer.Form.NFC)) s
+    else org.apache.spark.unsafe.types.UTF8String.fromString(
+      java.text.Normalizer.normalize(str, java.text.Normalizer.Form.NFC))
+  }
+}
+
 object VectorFunctions {
 
   /** Register the native functions into an existing session's registry so
@@ -147,6 +196,9 @@ object VectorFunctions {
       "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_md5_60", (exprs: Seq[Expression]) => Md5Long60(exprs.head),
+      "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_nfc", (exprs: Seq[Expression]) => NfcNormalize(exprs.head),
       "built-in")
   }
 }
@@ -166,5 +218,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("graft_md5_60"),
       new ExpressionInfo(classOf[Md5Long60].getName, "graft_md5_60"),
       (exprs: Seq[Expression]) => Md5Long60(exprs.head)))
+    e.injectFunction((
+      new FunctionIdentifier("graft_nfc"),
+      new ExpressionInfo(classOf[NfcNormalize].getName, "graft_nfc"),
+      (exprs: Seq[Expression]) => NfcNormalize(exprs.head)))
   }
 }

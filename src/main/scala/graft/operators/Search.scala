@@ -1,0 +1,472 @@
+package graft.operators
+
+import graft.Engine._
+import graft.{GQuery, QueryModule}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Lexical retrieval over `documents`: a persisted inverted index (postings
+  * + dictionary + document lengths), BM25 top-k ranking, retrieval-eval /
+  * hard-negative mining, segment-based incremental refresh, and an exact
+  * set-similarity join (prefix filtering) — the full-text side of a
+  * training-data engine, complementing the embedding/ANN family
+  * ([[Similarity]]) and the approximate LSH dedup family ([[Dedup]]).
+  *
+  * Why an inverted index at 100 TB: BM25 over a query set is a join of the
+  * query terms against term-keyed postings — cost proportional to the
+  * postings of the QUERY terms only, never |queries| x |corpus|. The index
+  * tables are laid out for exactly that probe: postings are hash-distributed
+  * and sorted by `tok`, so a term probe prunes by parquet min/max stats and
+  * the scan never touches postings of other terms; the dictionary (one row
+  * per term) broadcasts.
+  *
+  * Index persistence rides [[graft.sources.IndexStore]] (stamp-validated
+  * guarded swap, same consistency model as the dedup/vector screening
+  * indexes): build once from the corpus, every retrieval query thereafter is
+  * index-only — a restart costs three parquet opens, not a corpus rescan.
+  * Refresh is Lucene-style segments ([[segmentRefresh]]): a new batch
+  * APPENDS postings/doclen/dict rows tagged with a fresh segment id —
+  * per-term stats (df, cf) are additive across disjoint doc sets, so
+  * readers merge the per-segment dictionary rows with a SUM-groupBy and
+  * never rewrite existing segment files.
+  *
+  * Reference provenance: the reference has no text retrieval (its only
+  * lookup is a per-file idempotency probe, /root/reference/data_pipeline.py:138);
+  * this module is part of the LLM-pipeline extension surface (search-driven
+  * curation, retrieval-training data: eval + hard negatives).
+  *
+  * Determinism contract (DuckDB-verifiable): tokenization is the shared
+  * `[a-z0-9]+` regex of q68/q70; BM25 per-term weights are IEEE doubles but
+  * the per-doc SUM goes through the exact DECIMAL accumulator ([[dsum]]) so
+  * accumulation order cannot change results; final scores are ROUNDED to 6
+  * digits with doc_id tiebreaks before any ranking, the q70 convention that
+  * makes the one permissible ulp between `ln` implementations unable to
+  * reorder a top-k.
+  */
+object Search extends QueryModule {
+
+  private val K1 = 1.2
+  private val B = 0.75
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    table(s, dir, "documents").select(col("doc_id"), col("text"), col("lang"))
+
+  /** One row per (doc, token occurrence) — the shared `[a-z0-9]+` tokenizer. */
+  private def toks(d: DataFrame): DataFrame =
+    d.select(col("doc_id"),
+      explode(regexp_extract_all(col("text"), lit("[a-z0-9]+"), lit(0))).as("tok"))
+
+  private val toksSql =
+    """toks AS (
+      |  SELECT doc_id, unnest(regexp_extract_all(text, '[a-z0-9]+')) AS tok
+      |  FROM documents)""".stripMargin
+
+  /** The three index tables from a corpus slice, tagged with a segment id.
+    * postings: (tok, doc_id, tf); doclen: (doc_id, dl); dict: per-term
+    * (df, cf, max_tf) — df/cf are additive across segments (disjoint doc
+    * sets), max_tf merges with MAX. */
+  private def segmentTables(d: DataFrame, segment: Int)
+      : (DataFrame, DataFrame, DataFrame) = {
+    val post = toks(spread(d))
+      .groupBy(col("tok"), col("doc_id"))
+      .agg(count(lit(1)).as("tf"))
+      .withColumn("segment", lit(segment))
+    val dl = post.groupBy(col("doc_id"))
+      .agg(sum(col("tf")).as("dl"))
+      .withColumn("segment", lit(segment))
+    val dict = post.groupBy(col("tok"))
+      .agg(count(lit(1)).as("df"), sum(col("tf")).as("cf"),
+        max(col("tf")).as("max_tf"))
+      .withColumn("segment", lit(segment))
+    (post, dl, dict)
+  }
+
+  /** Persist one segment's tables as a fresh index at `path`. Postings are
+    * repartitioned by term and sorted within partitions by (tok, doc_id):
+    * at scale each output file covers a narrow token range, so a term
+    * probe prunes to a handful of files by parquet min/max stats — the
+    * parquet-native analog of a posting-list seek. */
+  private def persistIndex(s: SparkSession, path: String, stamp: String,
+                           d: DataFrame): Unit = {
+    val (post, dl, dict) = segmentTables(d, segment = 0)
+    graft.sources.IndexStore.write(s, path, stamp, Seq(
+      "postings" -> post.repartition(col("tok")).sortWithinPartitions(col("tok"), col("doc_id")),
+      "doclen" -> dl,
+      "dict" -> dict),
+      meta = Map("k1" -> K1.toString, "b" -> B.toString, "tokenizer" -> "[a-z0-9]+"))
+  }
+
+  private[graft] def fixtureIndexPath(dir: String): String =
+    "target/tmp/search_idx_" + dir.replaceAll("[^A-Za-z0-9.]+", "_")
+
+  /** Build-if-stale, then serve the stored tables (session-cached reads —
+    * the store is the source of truth, the cache only saves re-opens). */
+  private def searchIndex(s: SparkSession, dir: String): SearchIndex = {
+    val path = fixtureIndexPath(dir)
+    synchronized {
+      val stamp = graft.sources.IndexStore.sourceStamp(s, Seq(s"$dir/documents.parquet"))
+      if (!graft.sources.IndexStore.isCurrent(s, path, stamp))
+        persistIndex(s, path, stamp, docs(s, dir))
+    }
+    loadIndex(s, path, cacheKey = Some(s"search:$dir"))
+  }
+
+  /** Load a stored index's three frames (optionally session-cached). */
+  private def loadIndex(s: SparkSession, path: String,
+                        cacheKey: Option[String] = None): SearchIndex = {
+    def rd(t: String) = {
+      def b = graft.sources.IndexStore.read(s, path, t)
+      cacheKey.fold(b)(k => graft.SessionCache.cached(s, s"$k:$t")(b))
+    }
+    SearchIndex(rd("postings"), rd("doclen"), rd("dict"))
+  }
+
+  /** q163: build (or validate) the persisted inverted index, then answer a
+    * dictionary audit FROM THE STORED TABLES ALONE — top-15 terms by
+    * collection frequency. The oracle recomputes the same stats from the
+    * raw corpus, so what is actually verified is the index CONTENT: a
+    * postings row lost (or duplicated) by the build/swap would change df/cf
+    * and hash-mismatch. */
+  def invindexBuild(s: SparkSession, dir: String): DataFrame = {
+    tune(s)
+    val idx = searchIndex(s, dir)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("cf").desc, col("tok"))
+    idx.dict
+      .groupBy(col("tok"))
+      .agg(sum(col("df")).as("df"), sum(col("cf")).as("cf"),
+        max(col("max_tf")).as("max_tf"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 15)
+      .select(col("tok"), col("df"), col("cf"), col("max_tf"), col("rn"))
+  }
+
+  private val dictSql =
+    """tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM toks GROUP BY doc_id, tok),
+      |dict AS (
+      |  SELECT tok, CAST(COUNT(*) AS BIGINT) AS df, CAST(SUM(tf) AS BIGINT) AS cf,
+      |         CAST(MAX(tf) AS BIGINT) AS max_tf
+      |  FROM tf GROUP BY tok)""".stripMargin
+
+  private val invindexBuildSql =
+    s"""WITH $toksSql,
+       |$dictSql
+       |SELECT tok, df, cf, max_tf, rn FROM (
+       |  SELECT *, CAST(ROW_NUMBER() OVER (ORDER BY cf DESC, tok) AS INT) AS rn
+       |  FROM dict)
+       |WHERE rn <= 15""".stripMargin
+
+  /** Deterministic fixture query set: every doc with doc_id % 50 = 7 poses
+    * its first 3 distinct tokens as a query (qid = the posing doc_id). */
+  private def querySet(d: DataFrame): DataFrame =
+    d.filter(col("doc_id") % 50 === 7)
+      .select(col("doc_id").as("qid"),
+        explode(array_distinct(slice(
+          regexp_extract_all(col("text"), lit("[a-z0-9]+"), lit(0)), 1, 3))).as("tok"))
+
+  private val querySetSql =
+    """queries AS (
+      |  SELECT DISTINCT doc_id AS qid,
+      |         unnest((regexp_extract_all(text, '[a-z0-9]+'))[1:3]) AS tok
+      |  FROM documents WHERE doc_id % 50 = 7)""".stripMargin
+
+  /** All (qid, doc_id) BM25 scores for the fixture query set against a
+    * loaded index. The probe side (query terms) is tiny and broadcasts;
+    * the postings join therefore scans only matching terms' postings —
+    * the inverted-index win. Scores: per-term IEEE doubles, per-doc sum
+    * through the DECIMAL accumulator, rounded to 6 with doc_id tiebreaks
+    * downstream. */
+  private def bm25Scores(s: SparkSession, dir: String, idx: SearchIndex): DataFrame = {
+    val dict = idx.dict.groupBy(col("tok"))
+      .agg(sum(col("df")).as("df"))
+    val dl = idx.doclen.select(col("doc_id"), col("dl"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+    val q = querySet(docs(s, dir))
+    q.join(broadcast(dict.join(broadcast(q.select("tok").distinct()), "tok")), "tok")
+      .join(idx.postings.select(col("tok"), col("doc_id"), col("tf")), "tok")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(stats))
+      .withColumn("avgdl", col("sum_dl").cast("double") / col("n_docs"))
+      .withColumn("idf",
+        log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))))
+      .withColumn("w",
+        col("idf") * (col("tf") * lit(K1 + 1.0)) /
+          (col("tf") + lit(K1) * (lit(1.0 - B) + lit(B) * col("dl") / col("avgdl"))))
+      .groupBy(col("qid"), col("doc_id"))
+      .agg(round(dsum(col("w"), 12), 6).as("score"))
+  }
+
+  private val bm25ScoresSql =
+    s"""$toksSql,
+       |$dictSql,
+       |tfp AS (SELECT tok, doc_id, COUNT(*) AS tf FROM toks GROUP BY tok, doc_id),
+       |dl AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl FROM toks GROUP BY doc_id),
+       |stats AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs, CAST(SUM(dl) AS BIGINT) AS sum_dl FROM dl),
+       |$querySetSql,
+       |scored AS (
+       |  SELECT q.qid, p.doc_id,
+       |         round(CAST(SUM(CAST(
+       |           ln(1.0 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
+       |             * (p.tf * ${K1 + 1.0}) /
+       |             (p.tf + $K1 * (${1.0 - B} + $B * dl.dl / (CAST(s.sum_dl AS DOUBLE) / s.n_docs)))
+       |         AS DECIMAL(38,12))) AS DOUBLE), 6) AS score
+       |  FROM queries q
+       |  JOIN dict d ON d.tok = q.tok
+       |  JOIN tfp p ON p.tok = q.tok
+       |  JOIN dl ON dl.doc_id = p.doc_id
+       |  CROSS JOIN stats s
+       |  GROUP BY q.qid, p.doc_id)""".stripMargin
+
+  /** q164: BM25 top-5 per query from the persisted index (WindowGroupLimit
+    * keeps the per-query rank a bounded top-k below the sort at scale). */
+  def bm25TopK(s: SparkSession, dir: String): DataFrame = {
+    tune(s)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid")).orderBy(col("score").desc, col("doc_id"))
+    bm25Scores(s, dir, searchIndex(s, dir))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 5)
+      .select(col("qid"), col("doc_id"), col("score"), col("rn"))
+  }
+
+  private val bm25TopKSql =
+    s"""WITH $bm25ScoresSql
+       |SELECT qid, doc_id, score, rn FROM (
+       |  SELECT qid, doc_id, score,
+       |         CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY score DESC, doc_id) AS INT) AS rn
+       |  FROM scored)
+       |WHERE rn <= 5""".stripMargin
+
+  /** q165: retrieval eval + hard-negative mining in one pass. Each query's
+    * posing doc is its known-relevant positive; `pos_rank` is where BM25
+    * ranks it (the MRR/recall input), and neg1..neg3 are the top-scoring
+    * OTHER docs — exactly the "hard negatives" a contrastive retrieval
+    * trainer mines (high-scoring non-positives). One ranking window over
+    * the scored candidates serves both outputs. */
+  def bm25Negatives(s: SparkSession, dir: String): DataFrame = {
+    tune(s)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid")).orderBy(col("score").desc, col("doc_id"))
+    val ranked = bm25Scores(s, dir, searchIndex(s, dir))
+      .withColumn("rn", row_number().over(w))
+    val pos = ranked.groupBy(col("qid"))
+      .agg(min(when(col("doc_id") === col("qid"), col("rn"))).as("pos_rank"),
+        count(lit(1)).as("n_cands"))
+    val w2 = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid")).orderBy(col("rn"))
+    val negs = ranked.filter(col("doc_id") =!= col("qid"))
+      .withColumn("nr", row_number().over(w2))
+      .filter(col("nr") <= 3)
+      .groupBy(col("qid"))
+      .agg(max(when(col("nr") === 1, col("doc_id"))).as("neg1"),
+        max(when(col("nr") === 2, col("doc_id"))).as("neg2"),
+        max(when(col("nr") === 3, col("doc_id"))).as("neg3"))
+    pos.join(negs, "qid")
+      .select(col("qid"), col("pos_rank"), col("n_cands"),
+        col("neg1"), col("neg2"), col("neg3"))
+  }
+
+  private val bm25NegativesSql =
+    s"""WITH $bm25ScoresSql,
+       |ranked AS (
+       |  SELECT qid, doc_id, score,
+       |         CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY score DESC, doc_id) AS INT) AS rn
+       |  FROM scored),
+       |pos AS (
+       |  SELECT qid, CAST(MIN(CASE WHEN doc_id = qid THEN rn END) AS INT) AS pos_rank,
+       |         CAST(COUNT(*) AS BIGINT) AS n_cands
+       |  FROM ranked GROUP BY qid),
+       |negs AS (
+       |  SELECT qid,
+       |         MAX(CASE WHEN nr = 1 THEN doc_id END) AS neg1,
+       |         MAX(CASE WHEN nr = 2 THEN doc_id END) AS neg2,
+       |         MAX(CASE WHEN nr = 3 THEN doc_id END) AS neg3
+       |  FROM (SELECT qid, doc_id,
+       |               ROW_NUMBER() OVER (PARTITION BY qid ORDER BY rn) AS nr
+       |        FROM ranked WHERE doc_id <> qid)
+       |  WHERE nr <= 3 GROUP BY qid)
+       |SELECT p.qid, p.pos_rank, p.n_cands, n.neg1, n.neg2, n.neg3
+       |FROM pos p JOIN negs n ON n.qid = p.qid""".stripMargin
+
+  /** q166: segment-based incremental refresh, audited end-to-end. Builds a
+    * base index over 3/4 of the corpus (segment 0), APPENDS the remaining
+    * quarter as segment 1 ([[graft.sources.IndexStore.append]] — existing
+    * segment files untouched), then answers the q163 dictionary audit from
+    * the merged per-segment rows. The oracle recomputes the stats from the
+    * FULL corpus: what is verified is that segment-merge reads (SUM over
+    * per-segment df/cf, MAX over max_tf) equal a fresh whole-corpus build
+    * — the additive-stats contract that makes append-only refresh sound.
+    * n_segments is observable in the output, so a collapsed (rebuilt
+    * rather than appended) index would fail the oracle too. */
+  def segmentRefresh(s: SparkSession, dir: String): DataFrame = {
+    tune(s)
+    val all = docs(s, dir)
+    val base = all.filter(col("doc_id") % 4 =!= 3)
+    val batch = all.filter(col("doc_id") % 4 === 3)
+    val path = "target/tmp/search_loop_" + dir.replaceAll("[^A-Za-z0-9.]+", "_")
+    synchronized {
+      persistIndex(s, path, stamp = "loop-base", base)
+      val (post, dl, dict) = segmentTables(batch, segment = 1)
+      graft.sources.IndexStore.append(s, path, "postings",
+        post.repartition(col("tok")).sortWithinPartitions(col("tok"), col("doc_id")))
+      graft.sources.IndexStore.append(s, path, "doclen", dl)
+      graft.sources.IndexStore.append(s, path, "dict", dict)
+    }
+    val idx = loadIndex(s, path)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("cf").desc, col("tok"))
+    idx.dict
+      .groupBy(col("tok"))
+      .agg(sum(col("df")).as("df"), sum(col("cf")).as("cf"),
+        max(col("max_tf")).as("max_tf"),
+        countDistinct(col("segment")).as("n_segments"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 15)
+      .select(col("tok"), col("df"), col("cf"), col("max_tf"),
+        col("n_segments"), col("rn"))
+  }
+
+  private val segmentRefreshSql =
+    s"""WITH $toksSql,
+       |$dictSql,
+       |seg AS (
+       |  SELECT d.tok, d.df, d.cf, d.max_tf,
+       |         CAST(COUNT(DISTINCT CASE WHEN t.doc_id % 4 = 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_segments
+       |  FROM dict d
+       |  JOIN (SELECT DISTINCT tok, doc_id FROM toks) t ON t.tok = d.tok
+       |  GROUP BY d.tok, d.df, d.cf, d.max_tf)
+       |SELECT tok, df, cf, max_tf, n_segments, rn FROM (
+       |  SELECT *, CAST(ROW_NUMBER() OVER (ORDER BY cf DESC, tok) AS INT) AS rn
+       |  FROM seg)
+       |WHERE rn <= 15""".stripMargin
+
+  /** Shared fixture augmentation for the set-join: shifted copies (near
+    * pairs) + exact copies guarantee qualifying pairs at every SF. Same
+    * shape as the dedup family's rig, independent so this module stays
+    * self-contained. */
+  private def pjDocs(d: DataFrame): DataFrame =
+    d.select(col("doc_id"), col("text"))
+      .unionByName(d.filter(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + 100000L).as("doc_id"), expr("substr(text, 11)").as("text")))
+      .unionByName(d.filter(col("doc_id") % 7 === 0)
+        .select((col("doc_id") + 200000L).as("doc_id"), col("text")))
+
+  private val pjDocsSql =
+    """pj AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 100000, substr(text, 11) FROM documents WHERE doc_id % 10 = 0
+      |  UNION ALL
+      |  SELECT doc_id + 200000, text FROM documents WHERE doc_id % 7 = 0)""".stripMargin
+
+  /** q167: EXACT all-pairs Jaccard >= 0.8 over word-2-gram shingle sets via
+    * prefix filtering (the AllPairs/PPJoin scheme) — the exact-threshold
+    * complement to the probabilistic MinHash-LSH family (q61): no false
+    * negatives by construction, no signatures to tune.
+    *
+    * How it scales: order every set by GLOBAL shingle rarity (ascending
+    * document frequency, shingle tiebreak). A pair with Jaccard >= t must
+    * share a token within the first |x| - ceil(t|x|) + 1 tokens of each
+    * side's ordering — so only those PREFIX tokens enter the candidate
+    * equi-join, and because prefixes hold each set's RAREST tokens, bucket
+    * sizes are the small document frequencies of rare terms, not the skewed
+    * ones (contrast a naive token join, where one stopword bucket goes
+    * quadratic). Candidates then verify with an exact intersection count.
+    * Every step is an equi-join/groupBy: token-keyed shuffles, no cartesian.
+    *
+    * Exact-arithmetic thresholding: with t = 4/5, prefix length is
+    * n - ceil(4n/5) + 1 computed as `n - ((4n + 4) div 5) + 1` (integer
+    * ceiling), the length filter is `5 * least(na, nb) >= 4 * greatest`,
+    * and the Jaccard gate c/(na+nb-c) >= 4/5 is `9c >= 4(na+nb)` — all
+    * integers, so engine float behavior cannot move the boundary; the
+    * reported `jac` is display-only (rounded, after the integer gate).
+    * The oracle brute-forces all pairs (length-filtered token self-join)
+    * — equality with the prefix-filtered result IS the no-false-negative
+    * guarantee, machine-checked. */
+  def prefixSetJoin(s: SparkSession, dir: String): DataFrame = {
+    tune(s)
+    val sets = graft.SessionCache.cached(s, s"search:pjsets:$dir") {
+      spread(pjDocs(docs(s, dir)))
+        .withColumn("ws", split(col("text"), " "))
+        .filter(size(col("ws")) >= 2)
+        .select(col("doc_id"), explode(expr(
+          "transform(sequence(1, size(ws)-1), i -> concat_ws(' ', element_at(ws, i), element_at(ws, i+1)))")).as("sh"))
+        .distinct()
+    }
+    val sizes = sets.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val gdf = sets.groupBy(col("sh")).agg(count(lit(1)).as("gdf"))
+    val wOrd = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("gdf"), col("sh"))
+    val prefixes = sets.join(gdf, "sh").join(sizes, "doc_id")
+      .withColumn("r", row_number().over(wOrd))
+      .filter(col("r") <= col("n") - ((lit(4) * col("n") + 4) / 5).cast("long") + 1)
+      .select(col("doc_id"), col("sh"), col("n"))
+    val cand = prefixes.as("a").join(prefixes.as("b"),
+        col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id") &&
+          lit(5) * least(col("a.n"), col("b.n")) >= lit(4) * greatest(col("a.n"), col("b.n")))
+      .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"),
+        col("a.n").as("n_a"), col("b.n").as("n_b"))
+      .distinct()
+    val c = cand
+      .join(sets.select(col("doc_id").as("da"), col("sh")), "da")
+      .join(sets.select(col("doc_id").as("db"), col("sh")), Seq("db", "sh"))
+      .groupBy(col("da"), col("db"), col("n_a"), col("n_b"))
+      .agg(count(lit(1)).as("n_inter"))
+      .filter(lit(9) * col("n_inter") >= lit(4) * (col("n_a") + col("n_b")))
+      .withColumn("jac",
+        round(col("n_inter").cast("double") / (col("n_a") + col("n_b") - col("n_inter")), 6))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("jac").desc, col("da"), col("db"))
+    c.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 20)
+      .select(col("da"), col("db"), col("n_a"), col("n_b"),
+        col("n_inter"), col("jac"), col("rn"))
+  }
+
+  private val prefixSetJoinSql =
+    s"""WITH $pjDocsSql,
+       |sh AS (
+       |  SELECT DISTINCT doc_id, s[i] || ' ' || s[i+1] AS sh
+       |  FROM (SELECT doc_id, s, unnest(range(1, len(s))) AS i
+       |        FROM (SELECT doc_id, string_split(text, ' ') AS s FROM pj)
+       |        WHERE len(s) >= 2)),
+       |sz AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM sh GROUP BY doc_id),
+       |inter AS (
+       |  SELECT a.doc_id AS da, b.doc_id AS db, CAST(COUNT(*) AS BIGINT) AS c
+       |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+       |  GROUP BY a.doc_id, b.doc_id),
+       |pairs AS (
+       |  SELECT i.da, i.db, na.n AS n_a, nb.n AS n_b, i.c
+       |  FROM inter i
+       |  JOIN sz na ON na.doc_id = i.da
+       |  JOIN sz nb ON nb.doc_id = i.db
+       |  WHERE 9 * i.c >= 4 * (na.n + nb.n))
+       |SELECT da, db, n_a, n_b, n_inter, jac, rn FROM (
+       |  SELECT da, db, n_a, n_b, c AS n_inter,
+       |         round(CAST(c AS DOUBLE) / (n_a + n_b - c), 6) AS jac,
+       |         CAST(ROW_NUMBER() OVER (
+       |           ORDER BY round(CAST(c AS DOUBLE) / (n_a + n_b - c), 6) DESC, da, db) AS INT) AS rn
+       |  FROM pairs)
+       |WHERE rn <= 20""".stripMargin
+
+  override val queries: Seq[GQuery] = Seq(
+    GQuery("q163_invindex_build",
+      "persisted inverted index: build/validate via IndexStore, dictionary audit from stored tables",
+      invindexBuild, Some(invindexBuildSql)),
+    GQuery("q164_bm25_topk",
+      "BM25 top-5 per query from the persisted index (broadcast query terms, decimal-exact sums)",
+      bm25TopK, Some(bm25TopKSql)),
+    GQuery("q165_bm25_negatives",
+      "retrieval eval + hard-negative mining: positive rank + top-3 non-positive docs per query",
+      bm25Negatives, Some(bm25NegativesSql)),
+    GQuery("q166_segment_refresh",
+      "Lucene-style segment refresh: append a batch segment, merged dict == fresh build",
+      segmentRefresh, Some(segmentRefreshSql)),
+    GQuery("q167_prefix_setjoin",
+      "exact Jaccard>=0.8 set-similarity join via prefix filtering (PPJoin), integer-exact gates",
+      prefixSetJoin, Some(prefixSetJoinSql)),
+  )
+}
+
+/** The three stored frames of a search index. */
+final case class SearchIndex(postings: DataFrame, doclen: DataFrame, dict: DataFrame)

@@ -638,6 +638,49 @@ object TextOps extends QueryModule {
       |UNION ALL SELECT 'n_short_docs', n_short_docs FROM agg
       |UNION ALL SELECT 'mean_tokens_ppm', n_tokens * 1000000 // n_docs FROM agg""".stripMargin
 
+  /** Unicode NFC canonicalization (the [[graft.functions.NfcNormalize]]
+    * native expression): compose decomposed base+combining-mark sequences
+    * into canonical precomposed form, the pass that makes byte-level exact
+    * dedup and token stats see "café" and "café" as the same text.
+    *
+    * The fixture corpus is ASCII, so denormalized spans are INJECTED
+    * deterministically: every doc_id % 3 == 0 doc gets a decomposed
+    * suffix (e + U+0301 combining acute), % 3 == 1 the precomposed form
+    * of the same text (é), % 3 == 2 nothing. After NFC the first two
+    * groups are byte-identical — proven cross-engine by a digest SUM over
+    * the normalized text (md5 of the UTF-8 bytes, mod a prime so the
+    * per-lang SUM stays in BIGINT range), not just by counts. n_changed
+    * counts exactly the decomposed third; chars_delta is the codepoints
+    * removed by composition (1 per changed doc).
+    */
+  def nfcNormalize(s: SparkSession, dir: String): DataFrame = {
+    tune(s)
+    table(s, dir, "documents")
+      .withColumn("raw", concat(col("text"),
+        when(col("doc_id") % 3 === 0, lit(" cafe\u0301")) // decomposed e + combining acute
+          .when(col("doc_id") % 3 === 1, lit(" caf\u00e9")) // precomposed U+00E9
+          .otherwise(lit(""))))
+      .withColumn("norm", call_function("graft_nfc", col("raw")))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("norm") =!= col("raw"), 1L).otherwise(0L)).as("n_changed"),
+        sum(length(col("raw")) - length(col("norm"))).as("chars_delta"),
+        sum(md5Long(col("norm")) % lit(1000000007L)).as("digest"))
+  }
+
+  private val nfcNormalizeSql =
+    s"""SELECT lang, COUNT(*) AS n_docs,
+       |CAST(SUM(CASE WHEN norm <> raw THEN 1 ELSE 0 END) AS BIGINT) AS n_changed,
+       |CAST(SUM(length(raw) - length(norm)) AS BIGINT) AS chars_delta,
+       |CAST(SUM(${MD5L("norm")} % 1000000007) AS BIGINT) AS digest
+       |FROM (
+       |  SELECT lang, raw, nfc_normalize(raw) AS norm
+       |  FROM (SELECT lang,
+       |               text || CASE WHEN doc_id % 3 = 0 THEN ' caf' || 'e' || chr(769)
+       |                            WHEN doc_id % 3 = 1 THEN ' caf' || chr(233)
+       |                            ELSE '' END AS raw
+       |        FROM documents)) GROUP BY lang""".stripMargin
+
   override val queries: Seq[GQuery] = Seq(
     GQuery("q56_xml_extract", "XPath XML field extraction (F15/S3)", xmlExtract, Some(xmlExtractSql)),
     GQuery("q66_lang_id", "keyword-profile language ID + confusion matrix", langId, Some(langIdSql)),
@@ -666,5 +709,8 @@ object TextOps extends QueryModule {
     GQuery("q137_datacard",
       "corpus datacard: exact-integer (metric, value) summary in one scan + one digest-distinct",
       datacard, Some(datacardSql)),
+    GQuery("q168_nfc_normalize",
+      "Unicode NFC canonicalization via the native graft_nfc expression, digest-audited per lang",
+      nfcNormalize, Some(nfcNormalizeSql)),
   )
 }

@@ -721,6 +721,69 @@ object StreamOps extends QueryModule {
       |       CAST(4 AS BIGINT) AS n_versions
       |FROM fin GROUP BY 1""".stripMargin
 
+  /** q169: stream-stream interval join — the one Structured Streaming join
+    * shape the rest of the module doesn't exercise. Clicks and purchases
+    * arrive as two independent event streams; a purchase attributes to a
+    * click by the same user within the following 6 hours (the classic
+    * streaming attribution join). Both sides carry watermarks and the join
+    * condition carries BOTH time bounds, which is exactly what lets Spark
+    * expire buffered state: a click older than watermark - 6h can never
+    * match a future purchase and is evicted, so state is bounded by the
+    * interval x arrival rate, not by stream history — the property that
+    * makes this run forever at cluster scale.
+    *
+    * Harness: AvailableNow over the fixture file (both sides read the same
+    * events.parquet), join rows land in a memory sink (append — inner
+    * interval joins emit on match), then a batch rollup per click-hour.
+    * All join-key and interval arithmetic is integer micros derived from
+    * the nano longs, so the DuckDB oracle (a plain batch self-join) hashes
+    * identically.
+    */
+  def streamIntervalJoin(s: SparkSession, dir: String): DataFrame = {
+    tune(s)
+    withStatePartitions(s, 8) {
+      val schema = s.read.parquet(s"$dir/events.parquet").schema
+      def side(tpe: String, alias: String) =
+        s.readStream.schema(schema)
+          .option("pathGlobFilter", "events.parquet").parquet(dir)
+          .filter(col("event_type") === tpe)
+          .select(col("user_id").as(s"${alias}_user"),
+            expr("timestamp_micros(ts div 1000)").as(s"${alias}_et"),
+            expr("ts div 1000").as(s"${alias}_us"))
+          .withWatermark(s"${alias}_et", "1 hour")
+      val joined = side("click", "c").join(side("purchase", "p"),
+        col("p_user") === col("c_user") &&
+          col("p_et") >= col("c_et") &&
+          col("p_et") <= col("c_et") + expr("INTERVAL 6 HOURS"))
+      val qname = s"graft_stream_ij_${counter.incrementAndGet()}"
+      val q = joined.writeStream
+        .format("memory").queryName(qname)
+        .option("checkpointLocation", s"$ckBase/$qname")
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      dropCheckpoint(s"$ckBase/$qname")
+      s.table(qname)
+        .groupBy(expr("c_us div 1000000 div 3600 * 3600").as("hour_epoch"))
+        .agg(count(lit(1)).as("n_pairs"),
+          countDistinct(col("c_user")).as("n_users"),
+          sum(col("p_us") - col("c_us")).as("sum_delta_us"))
+    }
+  }
+
+  private val streamIntervalJoinSql =
+    """SELECT (epoch_us(c.ts) // 1000000 // 3600) * 3600 AS hour_epoch,
+      |       COUNT(*) AS n_pairs,
+      |       CAST(COUNT(DISTINCT c.user_id) AS BIGINT) AS n_users,
+      |       CAST(SUM(epoch_us(p.ts) - epoch_us(c.ts)) AS BIGINT) AS sum_delta_us
+      |FROM events c
+      |JOIN events p ON p.user_id = c.user_id
+      | AND c.event_type = 'click' AND p.event_type = 'purchase'
+      | AND epoch_us(p.ts) >= epoch_us(c.ts)
+      | AND epoch_us(p.ts) <= epoch_us(c.ts) + 21600000000
+      |GROUP BY 1""".stripMargin
+
   override val queries: Seq[GQuery] = Seq(
     // Same oracle as the batch q71 — proves streaming == batch.
     GQuery("q84_stream_hourly",
@@ -755,5 +818,8 @@ object StreamOps extends QueryModule {
     GQuery("q159_stream_ivm",
       "streaming IVM: per-trigger O(delta) refresh tracks a mutating table incl. a mid-stream delete",
       streamIvm, Some(streamIvmSql)),
+    GQuery("q169_stream_interval_join",
+      "stream-stream interval join (click->purchase attribution), watermark-bounded state",
+      streamIntervalJoin, Some(streamIntervalJoinSql)),
   )
 }

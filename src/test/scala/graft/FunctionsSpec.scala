@@ -97,4 +97,37 @@ class FunctionsSpec extends AnyFunSuite {
     val out = FloatVectorDot(a, b).eval(null)
     assert(out == 2.0)
   }
+
+  test("graft_nfc: composes decomposed sequences, identity on normalized text") {
+    Engine.tune(s)
+    import s.implicits._
+    val df = Seq(
+      ("cafe\u0301", "caf\u00e9"), // decomposed -> precomposed
+      ("caf\u00e9", "caf\u00e9"), // already NFC: unchanged
+      ("ascii only", "ascii only")
+    ).toDF("raw", "want")
+    import org.apache.spark.sql.functions.col
+    val bad = df.selectExpr("graft_nfc(raw) AS got", "want")
+      .filter(col("got") =!= col("want"))
+    assert(bad.count() == 0)
+    // null flows through (UnaryExpression null-intolerance)
+    val n = Seq(Option.empty[String]).toDF("raw")
+      .selectExpr("graft_nfc(raw)").collect()(0)
+    assert(n.isNullAt(0))
+  }
+
+  test("graft_nfc stays inside whole-stage codegen") {
+    Engine.tune(s)
+    val d = s.read.parquet(s"${TestSpark.sf}/documents.parquet")
+      .selectExpr("graft_nfc(text) AS t")
+    val codegenSpans = d.queryExecution.executedPlan.collect {
+      case w: org.apache.spark.sql.execution.WholeStageCodegenExec => w
+    }
+    assert(codegenSpans.nonEmpty,
+      "the normalize projection must be codegen'd, not interpreted")
+    // interpreted eval agrees with codegen on the same input
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    val out = graft.functions.NfcNormalize(Literal("cafe\u0301")).eval(null).toString
+    assert(out == "caf\u00e9")
+  }
 }

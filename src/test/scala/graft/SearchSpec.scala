@@ -1,0 +1,71 @@
+package graft
+
+import graft.operators.Search
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Retrieval stack behavior: the persisted inverted index round-trips, BM25
+  * ranking is sane and scale-shaped (broadcast query terms, no cartesian),
+  * segment refresh merges to fresh-build stats, and the prefix-filtered
+  * set join finds the injected duplicate pairs through equi-joins only.
+  */
+class SearchSpec extends AnyFunSuite {
+  private lazy val s = TestSpark.spark
+
+  test("inverted index persists and validates via IndexStore stamp") {
+    Search.invindexBuild(s, TestSpark.sf).collect() // builds if stale
+    val path = Search.fixtureIndexPath(TestSpark.sf)
+    val stamp = graft.sources.IndexStore.sourceStamp(
+      s, Seq(s"${TestSpark.sf}/documents.parquet"))
+    assert(graft.sources.IndexStore.isCurrent(s, path, stamp),
+      "index must validate against the corpus stamp after a build")
+    // content check: stored postings tf-sum == direct token count
+    val stored = graft.sources.IndexStore.read(s, path, "postings")
+      .agg(sum("tf")).collect()(0).getLong(0)
+    val direct = Engine.table(s, TestSpark.sf, "documents")
+      .select(explode(regexp_extract_all(col("text"), lit("[a-z0-9]+"), lit(0))))
+      .count()
+    assert(stored == direct, "stored postings must cover every token occurrence")
+  }
+
+  test("BM25 plan broadcasts the query-term side and stays cartesian-free") {
+    val plan = Search.bm25TopK(s, TestSpark.sf).queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), "postings probe must be an equi-join")
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoopJoin"),
+      "the tiny query/stats side must broadcast")
+  }
+
+  test("BM25 top-k is rank-consistent and the positive is always a candidate") {
+    val top = Search.bm25TopK(s, TestSpark.sf).cache()
+    // per qid: rn dense from 1, scores non-increasing in rn
+    val bad = top.as("a").join(top.as("b"),
+        col("a.qid") === col("b.qid") && col("a.rn") < col("b.rn") &&
+          col("a.score") < col("b.score"))
+    assert(bad.count() == 0, "scores must be non-increasing in rank")
+    val negs = Search.bm25Negatives(s, TestSpark.sf).cache()
+    assert(negs.filter(col("pos_rank").isNull).count() == 0,
+      "the posing doc always matches its own query terms")
+    assert(negs.filter(col("neg1") === col("qid")).count() == 0,
+      "negatives must exclude the positive")
+    top.unpersist(); negs.unpersist()
+  }
+
+  test("segment refresh: two segments merge to fresh whole-corpus stats") {
+    val merged = Search.segmentRefresh(s, TestSpark.sf)
+      .select("tok", "df", "cf", "max_tf", "rn").collect().toSeq
+    val fresh = Search.invindexBuild(s, TestSpark.sf).collect().toSeq
+    assert(merged.map(_.toString).sorted == fresh.map(_.toString).sorted,
+      "segment-merged dictionary must equal a fresh whole-corpus build")
+  }
+
+  test("prefix set join finds injected exact-copy pairs, equi-join only") {
+    val df = Search.prefixSetJoin(s, TestSpark.sf).cache()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"),
+      "prefix filtering must keep the candidate step an equi-join")
+    // exact copies (doc_id + 200000) have identical shingle sets -> jac 1.0
+    val exact = df.filter(col("db") === col("da") + 200000L && col("jac") === 1.0)
+    assert(exact.count() > 0, "injected exact-copy pairs must surface")
+    df.unpersist()
+  }
+}

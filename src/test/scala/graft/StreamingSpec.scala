@@ -41,4 +41,23 @@ class StreamingSpec extends AnyFunSuite {
     assert(stream.count() > 0)
     assert(stream.except(batch).isEmpty && batch.except(stream).isEmpty)
   }
+
+  test("stream-stream interval join == batch interval join") {
+    import org.apache.spark.sql.functions._
+    val stream = StreamOps.streamIntervalJoin(s, TestSpark.sf).cache()
+    assert(stream.count() > 0, "fixture must produce click->purchase pairs")
+    val ev = s.read.parquet(s"${TestSpark.sf}/events.parquet")
+      .select(col("user_id"), col("event_type"), expr("ts div 1000").as("us"))
+    val batch = ev.filter(col("event_type") === "click").select(col("user_id"), col("us").as("c_us"))
+      .join(ev.filter(col("event_type") === "purchase").select(col("user_id"), col("us").as("p_us")),
+        "user_id")
+      .filter(col("p_us") >= col("c_us") && col("p_us") <= col("c_us") + 21600000000L)
+      .groupBy(expr("c_us div 1000000 div 3600 * 3600").as("hour_epoch"))
+      .agg(count(lit(1)).as("n_pairs"),
+        countDistinct(col("user_id")).as("n_users"),
+        sum(col("p_us") - col("c_us")).as("sum_delta_us"))
+    assert(stream.except(batch).isEmpty && batch.except(stream).isEmpty,
+      "streaming interval join must equal its batch form")
+    stream.unpersist()
+  }
 }
