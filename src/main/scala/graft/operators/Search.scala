@@ -359,7 +359,7 @@ object Search extends QueryModule {
       |  UNION ALL
       |  SELECT doc_id + 200000, text FROM documents WHERE doc_id % 7 = 0)""".stripMargin
 
-  /** q167: EXACT all-pairs Jaccard >= 0.8 over word-2-gram shingle sets via
+  /** q167: EXACT all-pairs Jaccard >= 0.8 over word-3-gram shingle sets via
     * prefix filtering (the AllPairs/PPJoin scheme) — the exact-threshold
     * complement to the probabilistic MinHash-LSH family (q61): no false
     * negatives by construction, no signatures to tune.
@@ -385,12 +385,15 @@ object Search extends QueryModule {
     * guarantee, machine-checked. */
   def prefixSetJoin(s: SparkSession, dir: String): DataFrame = {
     tune(s)
+    // word 3-gram shingles: discriminative enough that a set's rarest
+    // tokens (the prefix) have genuinely small document frequencies —
+    // the property prefix filtering's candidate bound lives on
     val sets = graft.SessionCache.cached(s, s"search:pjsets:$dir") {
       spread(pjDocs(docs(s, dir)))
         .withColumn("ws", split(col("text"), " "))
-        .filter(size(col("ws")) >= 2)
+        .filter(size(col("ws")) >= 3)
         .select(col("doc_id"), explode(expr(
-          "transform(sequence(1, size(ws)-1), i -> concat_ws(' ', element_at(ws, i), element_at(ws, i+1)))")).as("sh"))
+          "transform(sequence(1, size(ws)-2), i -> concat_ws(' ', element_at(ws, i), element_at(ws, i+1), element_at(ws, i+2)))")).as("sh"))
         .distinct()
     }
     val sizes = sets.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
@@ -426,10 +429,10 @@ object Search extends QueryModule {
   private val prefixSetJoinSql =
     s"""WITH $pjDocsSql,
        |sh AS (
-       |  SELECT DISTINCT doc_id, s[i] || ' ' || s[i+1] AS sh
-       |  FROM (SELECT doc_id, s, unnest(range(1, len(s))) AS i
+       |  SELECT DISTINCT doc_id, s[i] || ' ' || s[i+1] || ' ' || s[i+2] AS sh
+       |  FROM (SELECT doc_id, s, unnest(range(1, len(s) - 1)) AS i
        |        FROM (SELECT doc_id, string_split(text, ' ') AS s FROM pj)
-       |        WHERE len(s) >= 2)),
+       |        WHERE len(s) >= 3)),
        |sz AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM sh GROUP BY doc_id),
        |inter AS (
        |  SELECT a.doc_id AS da, b.doc_id AS db, CAST(COUNT(*) AS BIGINT) AS c
