@@ -48,6 +48,12 @@ object Search extends QueryModule {
   private val K1 = 1.2
   private val B = 0.75
 
+  /** Index layout version, folded into the stamp: the stamp fingerprints
+    * the CORPUS, so a layout change (e.g. the positions table added for
+    * phrase search) must bump this or an older on-disk index would still
+    * validate and miss tables the readers expect. */
+  private val FORMAT = "v2"
+
   private def docs(s: SparkSession, dir: String): DataFrame =
     table(s, dir, "documents").select(col("doc_id"), col("text"), col("lang"))
 
@@ -55,6 +61,13 @@ object Search extends QueryModule {
   private def toks(d: DataFrame): DataFrame =
     d.select(col("doc_id"),
       explode(regexp_extract_all(col("text"), lit("[a-z0-9]+"), lit(0))).as("tok"))
+
+  /** One row per (doc, token occurrence, 1-based position) — the positional
+    * side of the index ([[phraseSearch]]'s substrate). */
+  private def posToks(d: DataFrame): DataFrame =
+    d.select(col("doc_id"),
+      posexplode(regexp_extract_all(col("text"), lit("[a-z0-9]+"), lit(0))).as(Seq("p0", "tok")))
+      .select(col("doc_id"), col("tok"), (col("p0") + 1).as("pos"))
 
   private val toksSql =
     """toks AS (
@@ -91,6 +104,8 @@ object Search extends QueryModule {
     val (post, dl, dict) = segmentTables(d, segment = 0)
     graft.sources.IndexStore.write(s, path, stamp, Seq(
       "postings" -> post.repartition(col("tok")).sortWithinPartitions(col("tok"), col("doc_id")),
+      "positions" -> posToks(spread(d))
+        .repartition(col("tok")).sortWithinPartitions(col("tok"), col("doc_id"), col("pos")),
       "doclen" -> dl,
       "dict" -> dict),
       meta = Map("k1" -> K1.toString, "b" -> B.toString, "tokenizer" -> "[a-z0-9]+"))
@@ -99,26 +114,33 @@ object Search extends QueryModule {
   private[graft] def fixtureIndexPath(dir: String): String =
     "target/tmp/search_idx_" + dir.replaceAll("[^A-Za-z0-9.]+", "_")
 
+  /** The stamp a current fixture index must carry: layout version +
+    * corpus fingerprint. */
+  private[graft] def fixtureStamp(s: SparkSession, dir: String): String =
+    FORMAT + "|" +
+      graft.sources.IndexStore.sourceStamp(s, Seq(s"$dir/documents.parquet"))
+
   /** Build-if-stale, then serve the stored tables (session-cached reads —
     * the store is the source of truth, the cache only saves re-opens). */
   private def searchIndex(s: SparkSession, dir: String): SearchIndex = {
     val path = fixtureIndexPath(dir)
     synchronized {
-      val stamp = graft.sources.IndexStore.sourceStamp(s, Seq(s"$dir/documents.parquet"))
+      val stamp = fixtureStamp(s, dir)
       if (!graft.sources.IndexStore.isCurrent(s, path, stamp))
         persistIndex(s, path, stamp, docs(s, dir))
     }
     loadIndex(s, path, cacheKey = Some(s"search:$dir"))
   }
 
-  /** Load a stored index's three frames (optionally session-cached). */
+  /** Load a stored index's frames (optionally session-cached). The
+    * positions table is lazy — only phrase probes open it. */
   private def loadIndex(s: SparkSession, path: String,
                         cacheKey: Option[String] = None): SearchIndex = {
     def rd(t: String) = {
       def b = graft.sources.IndexStore.read(s, path, t)
       cacheKey.fold(b)(k => graft.SessionCache.cached(s, s"$k:$t")(b))
     }
-    SearchIndex(rd("postings"), rd("doclen"), rd("dict"))
+    SearchIndex(rd("postings"), rd("doclen"), rd("dict"), () => rd("positions"))
   }
 
   /** q163: build (or validate) the persisted inverted index, then answer a
@@ -303,7 +325,13 @@ object Search extends QueryModule {
     val all = docs(s, dir)
     val base = all.filter(col("doc_id") % 4 =!= 3)
     val batch = all.filter(col("doc_id") % 4 === 3)
-    val path = "target/tmp/search_loop_" + dir.replaceAll("[^A-Za-z0-9.]+", "_")
+    // loop path is PROCESS-unique: the loop mutates its index (build then
+    // append), so two JVMs sharing a working dir (Verify and Bench racing
+    // on target/) must not interleave appends into one directory. The
+    // in-process synchronized covers concurrent queries in one session.
+    val pid = java.lang.management.ManagementFactory.getRuntimeMXBean.getName
+      .replaceAll("[^A-Za-z0-9]", "")
+    val path = s"target/tmp/search_loop_${pid}_" + dir.replaceAll("[^A-Za-z0-9.]+", "_")
     synchronized {
       persistIndex(s, path, stamp = "loop-base", base)
       val (post, dl, dict) = segmentTables(batch, segment = 1)
@@ -339,6 +367,59 @@ object Search extends QueryModule {
        |  SELECT *, CAST(ROW_NUMBER() OVER (ORDER BY cf DESC, tok) AS INT) AS rn
        |  FROM seg)
        |WHERE rn <= 15""".stripMargin
+
+  /** q170: exact phrase search over the POSITIONAL side of the persisted
+    * index — the query LSH/BM25 cannot answer ("these words, adjacent, in
+    * order"). Each probe phrase (3 consecutive tokens lifted from a
+    * deterministic slice of the corpus, so every phrase has at least its
+    * source doc as a match) resolves as a positional self-join: the first
+    * term's postings anchor the probe, and each subsequent term must
+    * appear in the same doc at pos+1 / pos+2 — equi-joins on (doc, pos)
+    * after a term-keyed probe, the standard positional-intersection plan.
+    * Overlapping occurrences count (position semantics, not substring
+    * consumption). At scale each join leg scans only its term's
+    * position rows (term-sorted files, min/max pruned); cost is the
+    * postings of the PHRASE terms, like q164.
+    */
+  def phraseSearch(s: SparkSession, dir: String): DataFrame = {
+    tune(s)
+    val idx = searchIndex(s, dir)
+    val pos = idx.positions
+    val ph = docs(s, dir).filter(col("doc_id") % 97 === 11)
+      .select(col("doc_id").as("qid"),
+        slice(regexp_extract_all(col("text"), lit("[a-z0-9]+"), lit(0)), 2, 3).as("ph"))
+      .filter(size(col("ph")) === 3)
+      .select(col("qid"), element_at(col("ph"), 1).as("t0"),
+        element_at(col("ph"), 2).as("t1"), element_at(col("ph"), 3).as("t2"))
+    val m = ph
+      .join(pos.select(col("tok").as("t0"), col("doc_id"), col("pos")), "t0")
+      .join(pos.select(col("tok").as("t1"), col("doc_id"), (col("pos") - 1).as("pos")),
+        Seq("doc_id", "pos", "t1"))
+      .join(pos.select(col("tok").as("t2"), col("doc_id"), (col("pos") - 2).as("pos")),
+        Seq("doc_id", "pos", "t2"))
+    m.groupBy(col("qid"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_occ"),
+        min(col("doc_id")).as("first_doc"))
+  }
+
+  private val phraseSearchSql =
+    """WITH ptoks AS (
+      |  SELECT doc_id, l[i] AS tok, i AS pos
+      |  FROM (SELECT doc_id, regexp_extract_all(text, '[a-z0-9]+') AS l FROM documents),
+      |       LATERAL unnest(range(1, len(l) + 1)) AS u(i)),
+      |ph AS (
+      |  SELECT doc_id AS qid, l[2] AS t0, l[3] AS t1, l[4] AS t2
+      |  FROM (SELECT doc_id, regexp_extract_all(text, '[a-z0-9]+') AS l
+      |        FROM documents WHERE doc_id % 97 = 11)
+      |  WHERE len(l) >= 4)
+      |SELECT qid, CAST(COUNT(DISTINCT p0.doc_id) AS BIGINT) AS n_docs,
+      |       COUNT(*) AS n_occ, MIN(p0.doc_id) AS first_doc
+      |FROM ph
+      |JOIN ptoks p0 ON p0.tok = ph.t0
+      |JOIN ptoks p1 ON p1.doc_id = p0.doc_id AND p1.pos = p0.pos + 1 AND p1.tok = ph.t1
+      |JOIN ptoks p2 ON p2.doc_id = p0.doc_id AND p2.pos = p0.pos + 2 AND p2.tok = ph.t2
+      |GROUP BY qid""".stripMargin
 
   /** Shared fixture augmentation for the set-join: shifted copies (near
     * pairs) + exact copies guarantee qualifying pairs at every SF. Same
@@ -468,8 +549,15 @@ object Search extends QueryModule {
     GQuery("q167_prefix_setjoin",
       "exact Jaccard>=0.8 set-similarity join via prefix filtering (PPJoin), integer-exact gates",
       prefixSetJoin, Some(prefixSetJoinSql)),
+    GQuery("q170_phrase_search",
+      "exact phrase search via positional-intersection joins over the stored positions table",
+      phraseSearch, Some(phraseSearchSql)),
   )
 }
 
-/** The three stored frames of a search index. */
-final case class SearchIndex(postings: DataFrame, doclen: DataFrame, dict: DataFrame)
+/** The stored frames of a search index; `positionsF` defers the positional
+  * table's read to phrase probes. */
+final case class SearchIndex(postings: DataFrame, doclen: DataFrame,
+                             dict: DataFrame, positionsF: () => DataFrame) {
+  def positions: DataFrame = positionsF()
+}

@@ -681,6 +681,96 @@ object TextOps extends QueryModule {
        |                            ELSE '' END AS raw
        |        FROM documents)) GROUP BY lang""".stripMargin
 
+  /** Word-level BPE merge-rule learning (q171): the tokenizer-training
+    * loop every LLM data pipeline runs, as a distributed iteration. Each
+    * round counts ALL adjacent token pairs (one explode + one groupBy —
+    * map-side partial counts collapse before the shuffle, so the exchange
+    * carries |vocab|² rows max, not corpus size), picks the most frequent
+    * pair deterministically (count desc, pair asc), and applies the merge
+    * corpus-wide. The learned rules ARE the output; the oracle re-derives
+    * all five rounds from scratch in unrolled SQL, so rule selection AND
+    * merge application are both verified.
+    *
+    * Merge application is exact BPE semantics via literal `replace` on a
+    * DOUBLE-SPACE token encoding, applied twice: a left-to-right replace
+    * consumes the separator shared by back-to-back occurrences, so one
+    * pass merges every other occurrence of a run and a second pass
+    * catches the stranded ones (two passes suffice — after pass one,
+    * every unmerged occurrence is again fully delimited). Greedy
+    * left-to-right is exactly how BPE resolves overlaps like "x x x".
+    *
+    * The per-round best pair is a 1-row driver-side scalar (the loop's
+    * control decision, like the streaming watermark cutoff) — the corpus
+    * itself never leaves the cluster; each round's merged corpus is
+    * localCheckpointed so five rounds of lineage don't nest.
+    */
+  def bpeTrain(s: SparkSession, dir: String): DataFrame = {
+    tune(s)
+    import s.implicits._
+    val rounds = 5
+    var pt = spread(table(s, dir, "documents"))
+      .select(col("doc_id"),
+        concat(lit("  "), regexp_replace(col("text"), " ", "  "), lit("  ")).as("pt"))
+      .localCheckpoint()
+    val rules = scala.collection.mutable.ArrayBuffer[(Int, String, String, Long)]()
+    (1 to rounds).foreach { it =>
+      val pairs = pt
+        .withColumn("l", expr("filter(split(trim(pt), ' +'), x -> x != '')"))
+        .filter(size(col("l")) >= 2)
+        .select(explode(expr(
+          "transform(sequence(1, size(l)-1), i -> struct(element_at(l, i) AS a, element_at(l, i+1) AS b))")).as("p"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(count(lit(1)).as("c"))
+      val best = pairs.orderBy(col("c").desc, col("a"), col("b")).limit(1).collect()(0)
+      val (a, b, c) = (best.getString(0), best.getString(1), best.getLong(2))
+      rules += ((it, a, b, c))
+      // literal (non-regex) replace, twice — see scaladoc; tokens are
+      // [a-z0-9_]+ so inlining them into the expression is quote-safe
+      val pat = s"  $a  $b  "
+      val rep = s"  ${a}_$b  "
+      pt = pt.select(col("doc_id"),
+        expr(s"replace(replace(pt, '$pat', '$rep'), '$pat', '$rep')").as("pt"))
+        .localCheckpoint()
+    }
+    val after = pt.select(expr("size(filter(split(trim(pt), ' +'), x -> x != ''))").as("n"))
+      .agg(sum(col("n"))).collect()(0).getLong(0)
+    (rules.toSeq :+ ((0, "TOTAL_TOKENS_AFTER", "", after)))
+      .toDF("iter", "a", "b", "cnt")
+  }
+
+  private val bpeTrainSql = {
+    def pairsOf(it: String) =
+      s"""(SELECT l[i] AS a, l[i+1] AS b, COUNT(*) AS c
+         | FROM (SELECT list_filter(string_split_regex(trim(pt), ' +'), x -> x <> '') AS l
+         |       FROM $it),
+         |      LATERAL unnest(range(1, len(l))) AS u(i)
+         | WHERE len(l) >= 2
+         | GROUP BY a, b)""".stripMargin
+    def step(prev: String, bi: String, next: String) =
+      s"""$bi AS (SELECT a, b, c FROM ${pairsOf(prev)} ORDER BY c DESC, a, b LIMIT 1),
+         |$next AS (
+         |  SELECT doc_id,
+         |         replace(replace(pt, '  '||a||'  '||b||'  ', '  '||a||'_'||b||'  '),
+         |                 '  '||a||'  '||b||'  ', '  '||a||'_'||b||'  ') AS pt
+         |  FROM $prev CROSS JOIN $bi)""".stripMargin
+    s"""WITH it0 AS (
+       |  SELECT doc_id, '  ' || replace(text, ' ', '  ') || '  ' AS pt FROM documents),
+       |${step("it0", "b1", "it1")},
+       |${step("it1", "b2", "it2")},
+       |${step("it2", "b3", "it3")},
+       |${step("it3", "b4", "it4")},
+       |${step("it4", "b5", "it5")},
+       |fin AS (
+       |  SELECT CAST(SUM(len(list_filter(string_split_regex(trim(pt), ' +'), x -> x <> ''))) AS BIGINT) AS n
+       |  FROM it5)
+       |SELECT 1 AS iter, a, b, CAST(c AS BIGINT) AS cnt FROM b1
+       |UNION ALL SELECT 2, a, b, CAST(c AS BIGINT) FROM b2
+       |UNION ALL SELECT 3, a, b, CAST(c AS BIGINT) FROM b3
+       |UNION ALL SELECT 4, a, b, CAST(c AS BIGINT) FROM b4
+       |UNION ALL SELECT 5, a, b, CAST(c AS BIGINT) FROM b5
+       |UNION ALL SELECT 0, 'TOTAL_TOKENS_AFTER', '', n FROM fin""".stripMargin
+  }
+
   override val queries: Seq[GQuery] = Seq(
     GQuery("q56_xml_extract", "XPath XML field extraction (F15/S3)", xmlExtract, Some(xmlExtractSql)),
     GQuery("q66_lang_id", "keyword-profile language ID + confusion matrix", langId, Some(langIdSql)),
@@ -712,5 +802,8 @@ object TextOps extends QueryModule {
     GQuery("q168_nfc_normalize",
       "Unicode NFC canonicalization via the native graft_nfc expression, digest-audited per lang",
       nfcNormalize, Some(nfcNormalizeSql)),
+    GQuery("q171_bpe_train",
+      "BPE merge-rule learning: 5 distributed pair-count/merge rounds, rules + merged-corpus size oracled",
+      bpeTrain, Some(bpeTrainSql)),
   )
 }

@@ -185,7 +185,10 @@ object IndexStore {
   /** Append one blob covering `keys`, created with the stored blob's
     * exact (cap, fpp) so all blobs stay mergeable. */
   def appendBloom(s: SparkSession, path: String, keys: DataFrame): Unit = {
-    val m = read(s, path, "bloom").select("cap_items", "fpp").head()
+    val rows = read(s, path, "bloom").select("cap_items", "fpp").limit(1).collect()
+    require(rows.nonEmpty,
+      s"appendBloom: no base bloom blob at $path to take (cap, fpp) geometry from")
+    val m = rows(0)
     val bf = keys.stat.bloomFilter(keys.columns.head, m.getLong(0), m.getDouble(1))
     append(s, path, "bloom", bloomRow(s, bf, m.getLong(0), m.getDouble(1)))
   }

@@ -15,10 +15,9 @@ class SearchSpec extends AnyFunSuite {
   test("inverted index persists and validates via IndexStore stamp") {
     Search.invindexBuild(s, TestSpark.sf).collect() // builds if stale
     val path = Search.fixtureIndexPath(TestSpark.sf)
-    val stamp = graft.sources.IndexStore.sourceStamp(
-      s, Seq(s"${TestSpark.sf}/documents.parquet"))
+    val stamp = Search.fixtureStamp(s, TestSpark.sf)
     assert(graft.sources.IndexStore.isCurrent(s, path, stamp),
-      "index must validate against the corpus stamp after a build")
+      "index must validate against the layout-versioned corpus stamp after a build")
     // content check: stored postings tf-sum == direct token count
     val stored = graft.sources.IndexStore.read(s, path, "postings")
       .agg(sum("tf")).collect()(0).getLong(0)
@@ -56,6 +55,19 @@ class SearchSpec extends AnyFunSuite {
     val fresh = Search.invindexBuild(s, TestSpark.sf).collect().toSeq
     assert(merged.map(_.toString).sorted == fresh.map(_.toString).sorted,
       "segment-merged dictionary must equal a fresh whole-corpus build")
+  }
+
+  test("phrase search: every phrase matches its source doc, equi-joins only") {
+    val df = Search.phraseSearch(s, TestSpark.sf).cache()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"))
+    // the phrase is lifted from tokens 2-4 of its qid doc, so the source
+    // doc itself always matches: first_doc <= qid, n_docs >= 1
+    assert(df.filter(col("n_docs") < 1 || col("first_doc") > col("qid")).count() == 0,
+      "a phrase must at least match the doc it was lifted from")
+    assert(df.filter(col("n_occ") < col("n_docs")).count() == 0,
+      "occurrences can never undercount matching docs")
+    df.unpersist()
   }
 
   test("prefix set join finds injected exact-copy pairs, equi-join only") {
