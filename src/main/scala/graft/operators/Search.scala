@@ -198,7 +198,12 @@ object Search extends QueryModule {
     * the inverted-index win. Scores: per-term IEEE doubles, per-doc sum
     * through the DECIMAL accumulator, rounded to 6 with doc_id tiebreaks
     * downstream. */
-  private def bm25Scores(s: SparkSession, dir: String, idx: SearchIndex): DataFrame = {
+  private def bm25Scores(s: SparkSession, dir: String, idx: SearchIndex): DataFrame =
+    // session-cached: q164 (top-k) and q165 (eval/negatives) are two views
+    // over the same scored (qid, doc) frame — score once per corpus
+    graft.SessionCache.cached(s, s"search:bm25:$dir")(bm25ScoresBuild(s, dir, idx))
+
+  private def bm25ScoresBuild(s: SparkSession, dir: String, idx: SearchIndex): DataFrame = {
     val dict = idx.dict.groupBy(col("tok"))
       .agg(sum(col("df")).as("df"))
     val dl = idx.doclen.select(col("doc_id"), col("dl"))
@@ -325,15 +330,23 @@ object Search extends QueryModule {
     val all = docs(s, dir)
     val base = all.filter(col("doc_id") % 4 =!= 3)
     val batch = all.filter(col("doc_id") % 4 === 3)
-    // loop path is PROCESS-unique: the loop mutates its index (build then
+    // loop path is PROCESS-unique: the loop mutates its index (branch then
     // append), so two JVMs sharing a working dir (Verify and Bench racing
     // on target/) must not interleave appends into one directory. The
     // in-process synchronized covers concurrent queries in one session.
+    // The immutable BASE index builds once per corpus stamp at a shared
+    // path and each invocation BRANCHES it by pure file copy (the q143
+    // pattern) — repeat runs pay file IO, not a recompute.
     val pid = java.lang.management.ManagementFactory.getRuntimeMXBean.getName
       .replaceAll("[^A-Za-z0-9]", "")
-    val path = s"target/tmp/search_loop_${pid}_" + dir.replaceAll("[^A-Za-z0-9.]+", "_")
+    val sane = dir.replaceAll("[^A-Za-z0-9.]+", "_")
+    val basePath = s"target/tmp/search_loop_base_$sane"
+    val path = s"target/tmp/search_loop_${pid}_$sane"
     synchronized {
-      persistIndex(s, path, stamp = "loop-base", base)
+      val stamp = fixtureStamp(s, dir) + "|base75"
+      if (!graft.sources.IndexStore.isCurrent(s, basePath, stamp))
+        persistIndex(s, basePath, stamp, base)
+      graft.sources.IndexStore.copy(s, basePath, path)
       val (post, dl, dict) = segmentTables(batch, segment = 1)
       graft.sources.IndexStore.append(s, path, "postings",
         post.repartition(col("tok")).sortWithinPartitions(col("tok"), col("doc_id")))

@@ -681,6 +681,85 @@ object TextOps extends QueryModule {
        |                            ELSE '' END AS raw
        |        FROM documents)) GROUP BY lang""".stripMargin
 
+  /** Bigram language-model scoring (q172): the KenLM-style perplexity
+    * quality filter every pretraining corpus runs, reduced to its
+    * relational core — an add-one-smoothed bigram model TRAINED ON the
+    * corpus scores each document by mean log P(w_i | w_{i-1}); documents
+    * far below the language's typical log-probability are boilerplate /
+    * noise candidates (the filter this query's n_low gate applies).
+    *
+    * Shape at scale: bigrams form row-locally (transform over adjacent
+    * positions — no shuffle), model counts are two vocabulary-bounded
+    * aggregations broadcast back into the scoring join, and the per-doc
+    * reduce is one groupBy. Nothing shuffles the corpus twice.
+    *
+    * Float discipline (the q121 integer-micro-unit lesson): each bigram's
+    * SURPRISAL -ln P is floored to non-negative integer micro-nats before
+    * any accumulation — `floor` is bit-identical across engines on equal
+    * inputs (no round-mode question), negatives never meet integer
+    * division (Spark `div` truncates, DuckDB `//` floors — they agree
+    * only on non-negative numerators), and every downstream step (sum,
+    * div, threshold, average) is exact integer/decimal arithmetic. The
+    * only float exposure left is one `ln` ulp landing within an ulp of
+    * an integer micro-nat boundary.
+    */
+  def lmPerplexity(s: SparkSession, dir: String): DataFrame = {
+    tune(s)
+    // the bigram stream feeds four consumers (pair counts, marginals,
+    // vocab, scoring) — materialize it once per corpus
+    val bg = graft.SessionCache.cached(s, s"text:bg:$dir") {
+      val d = spread(table(s, dir, "documents"))
+        .withColumn("t", split(col("text"), " "))
+        .withColumn("n", size(col("t")))
+        .filter(col("n") >= 2)
+      d.select(col("doc_id"), col("lang"), explode(expr(
+        "transform(sequence(1, n - 1), i -> named_struct('x', t[i-1], 'y', t[i]))")).as("b"))
+        .select(col("doc_id"), col("lang"), col("b.x").as("x"), col("b.y").as("y"))
+    }
+    val cxy = bg.groupBy(col("x"), col("y")).agg(count(lit(1)).as("c_xy"))
+    val cx = bg.groupBy(col("x")).agg(count(lit(1)).as("c_x"))
+    val vocab = bg.select(col("y").as("w"))
+      .unionByName(bg.select(col("x").as("w")))
+      .agg(countDistinct(col("w")).as("v"))
+    val scored = bg
+      .join(broadcast(cxy), Seq("x", "y"))
+      .join(broadcast(cx), "x")
+      .crossJoin(broadcast(vocab))
+      .withColumn("spi", // surprisal, integer micro-nats (>= 0: P <= 1)
+        floor(-log((col("c_xy") + 1).cast("double") / (col("c_x") + col("v"))) * 1e6).cast("long"))
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(expr("sum(spi) div count(1)").as("doc_sp"))
+    scored.groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        davg(col("doc_sp"), 6).as("avg_sp_micro"),
+        sum(when(col("doc_sp") > 3000000L, 1L).otherwise(0L)).as("n_low"))
+  }
+
+  private val lmPerplexitySql =
+    s"""WITH d AS (
+       |  SELECT doc_id, lang, string_split(text, ' ') AS t,
+       |         CAST(len(string_split(text, ' ')) AS INT) AS n
+       |  FROM documents),
+       |bg AS (
+       |  SELECT doc_id, lang, t[i] AS x, t[i+1] AS y
+       |  FROM (SELECT doc_id, lang, t, unnest(range(1, n)) AS i FROM d WHERE n >= 2)),
+       |cxy AS (SELECT x, y, COUNT(*) AS c_xy FROM bg GROUP BY x, y),
+       |cx AS (SELECT x, COUNT(*) AS c_x FROM bg GROUP BY x),
+       |vocab AS (SELECT CAST(COUNT(DISTINCT w) AS BIGINT) AS v FROM
+       |          (SELECT y AS w FROM bg UNION ALL SELECT x FROM bg)),
+       |scored AS (
+       |  SELECT bg.doc_id, bg.lang,
+       |         CAST(SUM(CAST(floor(-ln(CAST(c.c_xy + 1 AS DOUBLE) / (a.c_x + vocab.v)) * 1e6)
+       |                       AS BIGINT)) AS BIGINT) // COUNT(*) AS doc_sp
+       |  FROM bg
+       |  JOIN cxy c ON c.x = bg.x AND c.y = bg.y
+       |  JOIN cx a ON a.x = bg.x
+       |  CROSS JOIN vocab
+       |  GROUP BY bg.doc_id, bg.lang)
+       |SELECT lang, COUNT(*) AS n_docs, ${DAVG("doc_sp", 6)} AS avg_sp_micro,
+       |CAST(SUM(CASE WHEN doc_sp > 3000000 THEN 1 ELSE 0 END) AS BIGINT) AS n_low
+       |FROM scored GROUP BY lang""".stripMargin
+
   /** Word-level BPE merge-rule learning (q171): the tokenizer-training
     * loop every LLM data pipeline runs, as a distributed iteration. Each
     * round counts ALL adjacent token pairs (one explode + one groupBy —
@@ -802,6 +881,9 @@ object TextOps extends QueryModule {
     GQuery("q168_nfc_normalize",
       "Unicode NFC canonicalization via the native graft_nfc expression, digest-audited per lang",
       nfcNormalize, Some(nfcNormalizeSql)),
+    GQuery("q172_lm_perplexity",
+      "bigram-LM log-probability quality scoring (add-one smoothing), per-lang rollup + low-quality gate",
+      lmPerplexity, Some(lmPerplexitySql)),
     GQuery("q171_bpe_train",
       "BPE merge-rule learning: 5 distributed pair-count/merge rounds, rules + merged-corpus size oracled",
       bpeTrain, Some(bpeTrainSql)),

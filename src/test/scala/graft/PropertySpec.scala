@@ -86,4 +86,35 @@ class PropertySpec extends AnyFunSuite {
       assert(maintained == direct, s"round $round: $maintained vs $direct")
     }
   }
+
+  test("BPE training: every rule fires and the merged corpus shrinks accordingly") {
+    import org.apache.spark.sql.functions._
+    val out = graft.operators.TextOps.bpeTrain(s, TestSpark.sf).cache()
+    val rules = out.filter(col("iter") > 0).collect()
+    assert(rules.length == 5 && rules.forall(_.getLong(3) > 0),
+      "each round must select a pair that actually occurs")
+    val after = out.filter(col("iter") === 0).collect()(0).getLong(3)
+    val before = s.read.parquet(s"${TestSpark.sf}/documents.parquet")
+      .select(size(split(col("text"), " ")).cast("long").as("n"))
+      .agg(sum("n")).collect()(0).getLong(0)
+    // each applied merge removes exactly one token; overlapping pair
+    // counts can exceed applied merges, never the reverse
+    val cntSum = rules.map(_.getLong(3)).sum
+    assert(after < before, "merges must shrink the corpus")
+    assert(before - after <= cntSum, "applied merges cannot exceed counted pairs")
+    out.unpersist()
+  }
+
+  test("bigram surprisal scoring: sane ranges and complete per-lang coverage") {
+    import org.apache.spark.sql.functions._
+    val out = graft.operators.TextOps.lmPerplexity(s, TestSpark.sf).cache()
+    val total = out.agg(sum("n_docs")).collect()(0).getLong(0)
+    val docs = s.read.parquet(s"${TestSpark.sf}/documents.parquet")
+      .filter(size(split(col("text"), " ")) >= 2).count()
+    assert(total == docs, "every >=2-token doc must be scored exactly once")
+    assert(out.filter(col("avg_sp_micro") <= 0).count() == 0,
+      "surprisal is positive (P < 1 for every smoothed bigram)")
+    assert(out.filter(col("n_low") > col("n_docs")).count() == 0)
+    out.unpersist()
+  }
 }
