@@ -94,13 +94,15 @@ object Search extends QueryModule {
     (post, dl, dict)
   }
 
-  /** Persist one segment's tables as a fresh index at `path`. Postings are
-    * repartitioned by term and sorted within partitions by (tok, doc_id):
-    * at scale each output file covers a narrow token range, so a term
-    * probe prunes to a handful of files by parquet min/max stats — the
-    * parquet-native analog of a posting-list seek. */
-  private def persistIndex(s: SparkSession, path: String, stamp: String,
-                           d: DataFrame): Unit = {
+  /** Public API: build and persist an inverted index for an ARBITRARY
+    * corpus frame (doc_id, text, ...) — the fixture rigs are one caller,
+    * not the API surface. Postings are repartitioned by term and sorted
+    * within partitions by (tok, doc_id): at scale each output file covers
+    * a narrow token range, so a term probe prunes to a handful of files
+    * by parquet min/max stats — the parquet-native analog of a
+    * posting-list seek. */
+  def persistIndex(s: SparkSession, path: String, stamp: String,
+                   d: DataFrame): Unit = {
     val (post, dl, dict) = segmentTables(d, segment = 0)
     graft.sources.IndexStore.write(s, path, stamp, Seq(
       "postings" -> post.repartition(col("tok")).sortWithinPartitions(col("tok"), col("doc_id")),
@@ -132,10 +134,10 @@ object Search extends QueryModule {
     loadIndex(s, path, cacheKey = Some(s"search:$dir"))
   }
 
-  /** Load a stored index's frames (optionally session-cached). The
-    * positions table is lazy — only phrase probes open it. */
-  private def loadIndex(s: SparkSession, path: String,
-                        cacheKey: Option[String] = None): SearchIndex = {
+  /** Public API: load a stored index's frames (optionally session-cached).
+    * The positions table is lazy — only phrase probes open it. */
+  def loadIndex(s: SparkSession, path: String,
+                cacheKey: Option[String] = None): SearchIndex = {
     def rd(t: String) = {
       def b = graft.sources.IndexStore.read(s, path, t)
       cacheKey.fold(b)(k => graft.SessionCache.cached(s, s"$k:$t")(b))
@@ -201,14 +203,17 @@ object Search extends QueryModule {
   private def bm25Scores(s: SparkSession, dir: String, idx: SearchIndex): DataFrame =
     // session-cached: q164 (top-k) and q165 (eval/negatives) are two views
     // over the same scored (qid, doc) frame — score once per corpus
-    graft.SessionCache.cached(s, s"search:bm25:$dir")(bm25ScoresBuild(s, dir, idx))
+    graft.SessionCache.cached(s, s"search:bm25:$dir")(bm25(idx, querySet(docs(s, dir))))
 
-  private def bm25ScoresBuild(s: SparkSession, dir: String, idx: SearchIndex): DataFrame = {
+  /** Public API: all (qid, doc_id) BM25 scores for an ARBITRARY query-term
+    * frame (qid, tok) against a loaded index — corpus-free: every input is
+    * the index's own tables plus the probe terms, so a restarted process
+    * scores without touching (or even having) the original corpus. */
+  def bm25(idx: SearchIndex, q: DataFrame): DataFrame = {
     val dict = idx.dict.groupBy(col("tok"))
       .agg(sum(col("df")).as("df"))
     val dl = idx.doclen.select(col("doc_id"), col("dl"))
     val stats = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
-    val q = querySet(docs(s, dir))
     q.join(broadcast(dict.join(broadcast(q.select("tok").distinct()), "tok")), "tok")
       .join(idx.postings.select(col("tok"), col("doc_id"), col("tf")), "tok")
       .join(dl, "doc_id")

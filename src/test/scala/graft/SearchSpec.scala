@@ -70,6 +70,41 @@ class SearchSpec extends AnyFunSuite {
     df.unpersist()
   }
 
+  test("public API: persisted index serves BM25 in a fresh session, index-only scans") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_search").toString
+    val idxPath = s"$tmp/idx"
+    val corpus = { import s.implicits._
+      Seq(
+        (1L, "spark shuffles data across the cluster"),
+        (2L, "spark broadcasts small tables"),
+        (3L, "the cat sat on the mat")
+      ).toDF("doc_id", "text") }
+    Search.persistIndex(s, idxPath, "literal-corpus", corpus)
+    // fresh session state = restart analog; the corpus frame is gone
+    val s2 = s.newSession()
+    Engine.tune(s2)
+    val q = { import s2.implicits._
+      Seq((10L, "spark"), (10L, "cluster"), (11L, "cat")).toDF("qid", "tok") }
+    val scored = Search.bm25(Search.loadIndex(s2, idxPath), q)
+    // plan-level proof: every file source is the persisted index
+    val scanned = scored.queryExecution.optimizedPlan.collect {
+      case r: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        r.relation match {
+          case h: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+            h.location.rootPaths.map(_.toString)
+          case _ => Seq.empty
+        }
+    }.flatten
+    assert(scanned.nonEmpty && scanned.forall(_.contains(idxPath)),
+      s"scoring must scan only the persisted index, scanned: $scanned")
+    val byQ = scored.collect().groupBy(_.getLong(0))
+    // qid 10 ("spark cluster"): doc 1 matches both terms, outranks doc 2
+    val top10 = byQ(10L).maxBy(_.getDouble(2))
+    assert(top10.getLong(1) == 1L, s"doc 1 must top the 'spark cluster' query: ${byQ(10L).toSeq}")
+    // qid 11 ("cat"): only doc 3 scores
+    assert(byQ(11L).map(_.getLong(1)).toSet == Set(3L))
+  }
+
   test("prefix set join finds injected exact-copy pairs, equi-join only") {
     val df = Search.prefixSetJoin(s, TestSpark.sf).cache()
     val plan = df.queryExecution.executedPlan.toString
