@@ -412,7 +412,64 @@ object Events extends QueryModule {
       |               RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW))
       |GROUP BY event_type""".stripMargin
 
+  /** Robust outlier detection (q173): median/MAD flagging per event type —
+    * the robust-statistics pass a telemetry or data-quality pipeline runs
+    * where mean/stddev (q26) would let the outliers poison their own
+    * baseline. A point is anomalous when |x - median| > 3 * 1.4826 * MAD
+    * (1.4826 scales MAD to sigma under normality).
+    *
+    * Exactness discipline: values quantize to integer micro-units, and
+    * medians are carried DOUBLED (2*median of integers is itself an
+    * integer — even-n interpolation lands on exact .5 halves), so the
+    * deviation, the MAD, and the threshold comparison
+    * `10000 * |2x - med2| > 44478 * mad2` are pure integer arithmetic:
+    * no rounding mode, no float boundary, bit-equal across engines.
+    * Two grouped exact percentiles (no global sort) + one final rollup.
+    */
+  def madOutliers(s: SparkSession, dir: String): DataFrame = {
+    tune(s)
+    val vi = table(s, dir, "events")
+      .select(col("event_type"), floor(col("value") * 1e6).cast("long").as("vi"))
+    val med = vi.groupBy(col("event_type"))
+      .agg((expr("percentile(vi, 0.5)") * 2).cast("long").as("med2"))
+    val dev = vi.join(broadcast(med), "event_type")
+      .withColumn("d2", abs(lit(2) * col("vi") - col("med2")))
+    val mad = dev.groupBy(col("event_type"))
+      .agg((expr("percentile(d2, 0.5)") * 2).cast("long").as("mad4"))
+    dev.join(broadcast(mad), "event_type")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        first(col("med2")).as("med_x2_micro"),
+        first(col("mad4")).as("mad_x4_micro"),
+        sum(when(lit(20000) * col("d2") > lit(44478) * col("mad4"), 1L)
+          .otherwise(0L)).as("n_outliers"),
+        max(col("d2")).as("max_dev_x2"))
+  }
+
+  private val madOutliersSql =
+    """WITH vi AS (
+      |  SELECT event_type, CAST(floor(value * 1e6) AS BIGINT) AS vi FROM events),
+      |med AS (
+      |  SELECT event_type, CAST(quantile_cont(vi, 0.5) * 2 AS BIGINT) AS med2
+      |  FROM vi GROUP BY event_type),
+      |dev AS (
+      |  SELECT vi.event_type, abs(2 * vi.vi - med.med2) AS d2, med.med2
+      |  FROM vi JOIN med ON med.event_type = vi.event_type),
+      |mad AS (
+      |  SELECT event_type, CAST(quantile_cont(d2, 0.5) * 2 AS BIGINT) AS mad4
+      |  FROM dev GROUP BY event_type)
+      |SELECT dev.event_type, COUNT(*) AS n,
+      |       CAST(MIN(dev.med2) AS BIGINT) AS med_x2_micro,
+      |       CAST(MIN(mad.mad4) AS BIGINT) AS mad_x4_micro,
+      |       CAST(SUM(CASE WHEN 20000 * dev.d2 > 44478 * mad.mad4 THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+      |       CAST(MAX(dev.d2) AS BIGINT) AS max_dev_x2
+      |FROM dev JOIN mad ON mad.event_type = dev.event_type
+      |GROUP BY dev.event_type""".stripMargin
+
   override val queries: Seq[GQuery] = Seq(
+    GQuery("q173_mad_outliers",
+      "median/MAD robust outlier flags per event type, all-integer micro-unit arithmetic",
+      madOutliers, Some(madOutliersSql)),
     GQuery("q118_range_window", "value-based RANGE window: trailing-1h per-user burst stats (W1)",
       rangeWindow, Some(rangeWindowSql)),
     GQuery("q121_interpolate", "linear interpolation of gap hours (resample primitive next to q37 ffill)",
