@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DecimalType, LongType}
+import org.apache.spark.sql.types.{DecimalType, LongType, TimestampNTZType, TimestampType}
 
 /** Session tuning, fixture table loading, and engine-parity column helpers.
   *
@@ -27,9 +27,11 @@ object Engine {
     *  - ANSI off: the reference's semantics are "parse failure -> null"
     *    (`/root/reference/data_pipeline.py:663` coerces bad dates to NaT);
     *    Spark 4 defaults to ANSI which would throw instead.
-    *  - nanosAsLong: the `events` fixture stores TIMESTAMP(NANOS) which the
-    *    vectorized parquet reader rejects; reading as epoch-nano longs is
-    *    also exactly what DuckDB's `epoch_ns`/`epoch_us` sees.
+    *  - nanosAsLong: kept for backward compatibility with fixtures that
+    *    store `events.ts` as TIMESTAMP(NANOS) — the vectorized parquet
+    *    reader rejects nanos, so they surface as epoch-nano longs. Current
+    *    fixtures store TIMESTAMP(MICROS) (read natively as TIMESTAMP_NTZ);
+    *    [[tsMicros]] dispatches on whichever encoding arrives.
     */
   def tune(spark: SparkSession): Unit = {
     spark.conf.set("spark.sql.ansi.enabled", "false")
@@ -44,9 +46,39 @@ object Engine {
       spark.experimental.extraOptimizations ++= Seq(graft.functions.DotProductRewrite)
   }
 
-  /** Load a fixture table. `events.ts` arrives as LongType epoch-nanos. */
+  /** Load a fixture table. `events.ts` arrives as either LongType
+    * epoch-nanos (legacy TIMESTAMP(NANOS) fixtures under nanosAsLong) or
+    * TIMESTAMP_NTZ (TIMESTAMP(MICROS) fixtures) — derive micros with
+    * [[tsMicros]], never with hardcoded arithmetic.
+    */
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
     spark.read.parquet(s"$sfDir/$name.parquet")
+
+  /** Epoch-micros from an event-time column, dispatching on the type the
+    * parquet reader produced — the engine's ONE place that knows the
+    * fixture's physical `ts` encoding:
+    *  - LongType: epoch-nano longs (TIMESTAMP(NANOS) under nanosAsLong) —
+    *    truncating division to micros.
+    *  - TIMESTAMP / TIMESTAMP_NTZ: native micros — `unix_micros` (the NTZ
+    *    cast is identity on the epoch value because the session runs UTC).
+    * Matches DuckDB's `epoch_us(ts)` for every encoding, so oracle SQL
+    * never changes when the driver regenerates fixtures.
+    */
+  def tsMicros(df: DataFrame, c: String = "ts"): Column =
+    df.schema(c).dataType match {
+      case LongType         => expr(s"$c div 1000")
+      case TimestampType    => unix_micros(col(c))
+      case TimestampNTZType => unix_micros(col(c).cast(TimestampType))
+      case t => throw new IllegalArgumentException(
+        s"event-time column '$c' has unsupported type $t " +
+          "(expected LONG epoch-nanos or TIMESTAMP/TIMESTAMP_NTZ)")
+    }
+
+  /** [[tsMicros]] as a proper TimestampType column — the form watermarks
+    * and window()/session_window() require.
+    */
+  def tsEventTime(df: DataFrame, c: String = "ts"): Column =
+    timestamp_micros(tsMicros(df, c))
 
   /** Spread a small input across the cluster before a CPU-expansion stage.
     *

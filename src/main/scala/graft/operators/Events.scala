@@ -10,10 +10,10 @@ import org.apache.spark.sql.functions._
   * tumbling windows, gap-based sessionization, inter-event deltas, and a
   * conversion funnel.
   *
-  * Timestamp parity: the fixture stores TIMESTAMP(NANOS); Spark (with
-  * nanosAsLong) sees the full epoch-nano long while DuckDB 1.0 truncates to
-  * micros on read — so every query first aligns on micros via `ts div 1000`
-  * (Spark) == `epoch_us(ts)` (DuckDB). Exact integer arithmetic after that.
+  * Timestamp parity: every query first aligns on epoch-micros via
+  * [[graft.Engine.tsMicros]] (schema-dispatched: nano-long fixtures divide,
+  * TIMESTAMP(MICROS) fixtures use unix_micros) == `epoch_us(ts)` (DuckDB).
+  * Exact integer arithmetic after that.
   *
   * Reference provenance: the reference's system loop is cron + incremental
   * query + dedup (SURVEY §2.9) — these are its Spark-native analytic
@@ -21,9 +21,10 @@ import org.apache.spark.sql.functions._
   */
 object Events extends QueryModule {
 
-  private def ev(s: SparkSession, dir: String): DataFrame =
-    table(s, dir, "events")
-      .withColumn("us", expr("ts div 1000"))
+  private def ev(s: SparkSession, dir: String): DataFrame = {
+    val t = table(s, dir, "events")
+    t.withColumn("us", tsMicros(t))
+  }
 
   /** JSON extraction + serialization (F13/F14): pull `k` out of the props
     * JSON, aggregate by it, and re-serialize a compact JSON sample.
@@ -189,8 +190,8 @@ object Events extends QueryModule {
     */
   def retention(s: SparkSession, dir: String): DataFrame = {
     tune(s)
-    val uh = table(s, dir, "events")
-      .select(col("user_id"), expr("(ts div 1000) div 3600000000").as("hr"))
+    val uh = ev(s, dir)
+      .select(col("user_id"), expr("us div 3600000000").as("hr"))
       .distinct()
     val nxt = uh.select(col("user_id"), (col("hr") - 1).as("hr"))
     uh.join(nxt.withColumn("retained", lit(1L)).distinct(),
@@ -219,8 +220,8 @@ object Events extends QueryModule {
     */
   def gapFill(s: SparkSession, dir: String): DataFrame = {
     tune(s)
-    val hourly = table(s, dir, "events")
-      .select(col("event_type"), expr("(ts div 1000) div 3600000000").as("hr"), col("value"))
+    val hourly = ev(s, dir)
+      .select(col("event_type"), expr("us div 3600000000").as("hr"), col("value"))
       .groupBy(col("event_type"), col("hr"))
       .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
     val bounds = hourly.agg(min(col("hr")).as("mn"), max(col("hr")).as("mx"))
@@ -277,8 +278,8 @@ object Events extends QueryModule {
     */
   def interpolate(s: SparkSession, dir: String): DataFrame = {
     tune(s)
-    val known = table(s, dir, "events")
-      .select(col("event_type"), expr("(ts div 1000) div 3600000000").as("hr"))
+    val known = ev(s, dir)
+      .select(col("event_type"), expr("us div 3600000000").as("hr"))
       .groupBy(col("event_type"), col("hr"))
       .agg(count(lit(1)).as("v"))
       .filter(col("hr") % 5 === 0 || col("hr") % 5 === 3)
@@ -386,9 +387,9 @@ object Events extends QueryModule {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("user_id")).orderBy(col("ts_s"))
       .rangeBetween(-3600L, 0L)
-    table(s, dir, "events")
+    ev(s, dir)
       .select(col("user_id"), col("event_type"), col("value"),
-        expr("ts div 1000000000").as("ts_s"))
+        expr("us div 1000000").as("ts_s"))
       .withColumn("cnt_1h", count(lit(1)).over(w))
       .withColumn("sum_1h",
         sum(col("value").cast(org.apache.spark.sql.types.DecimalType(38, 6))).over(w)

@@ -50,7 +50,8 @@ object Temporal extends QueryModule {
     */
   def asOfAttribution(s: SparkSession, dir: String): DataFrame = {
     tune(s)
-    val ev = table(s, dir, "events").withColumn("us", expr("ts div 1000"))
+    val raw = table(s, dir, "events")
+    val ev = raw.withColumn("us", tsMicros(raw))
     val purchases = ev.filter(col("event_type") === "purchase")
       .select(col("user_id"), col("us").as("purchase_us"))
     val views = ev.filter(col("event_type") === "view")

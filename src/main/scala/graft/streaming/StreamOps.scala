@@ -79,7 +79,7 @@ object StreamOps extends QueryModule {
       .option("pathGlobFilter", "events.parquet")
       .parquet(dir)
     val agg = src
-      .withColumn("et", expr("timestamp_micros(ts div 1000)"))
+      .withColumn("et", tsEventTime(src))
       .withWatermark("et", "1 hour")
       .groupBy(window(col("et"), "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
@@ -230,9 +230,12 @@ object StreamOps extends QueryModule {
   def streamLate(s: SparkSession, dir: String): DataFrame = {
     tune(s)
     withStatePartitions(s, 8) {
-      val ev = s.read.parquet(s"$dir/events.parquet")
-      val schema = ev.schema
-      val hmax = ev.agg(max(expr("ts div 1000 div 3600000000"))).collect()(0).getLong(0)
+      val raw = s.read.parquet(s"$dir/events.parquet")
+      val schema = raw.schema
+      // staged files must keep the source schema, so the derived hour
+      // column is dropped again before each write
+      val ev = raw.withColumn("__hr", tsMicros(raw)).withColumn("__hr", expr("__hr div 3600000000"))
+      val hmax = ev.agg(max(col("__hr"))).collect()(0).getLong(0)
       val cut = hmax - 6
       val fs = org.apache.hadoop.fs.FileSystem.get(
         new java.net.URI("file:///"), s.sparkContext.hadoopConfiguration)
@@ -252,17 +255,17 @@ object StreamOps extends QueryModule {
         // whichever the source sorts by. The tip goes first so the
         // late-event watermark has advanced by the time the late batch runs.
         val t0 = 1000000000000L
-        stage(ev.filter(expr(s"ts div 1000 div 3600000000 = $hmax")), "b0_tip", t0)
-        stage(ev.filter(expr(s"ts div 1000 div 3600000000 > $cut and ts div 1000 div 3600000000 < $hmax")),
+        stage(ev.filter(col("__hr") === hmax).drop("__hr"), "b0_tip", t0)
+        stage(ev.filter(col("__hr") > cut && col("__hr") < hmax).drop("__hr"),
           "b1_rest", t0 + 600000L)
-        stage(ev.filter(expr(s"ts div 1000 div 3600000000 <= $cut")), "b2_late", t0 + 1200000L)
+        stage(ev.filter(col("__hr") <= cut).drop("__hr"), "b2_late", t0 + 1200000L)
       }
       val src = s.readStream
         .schema(schema)
         .option("maxFilesPerTrigger", "1")
         .parquet(srcDir)
       val agg = src
-        .withColumn("et", expr("timestamp_micros(ts div 1000)"))
+        .withColumn("et", tsEventTime(src))
         .withWatermark("et", "1 hour")
         .groupBy(window(col("et"), "1 hour"), col("event_type"))
         .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
@@ -394,7 +397,7 @@ object StreamOps extends QueryModule {
       .option("pathGlobFilter", "events.parquet")
       .parquet(dir)
     val deduped = src
-      .withColumn("et", expr("timestamp_micros(ts div 1000)"))
+      .withColumn("et", tsEventTime(src))
       .withWatermark("et", "1 hour")
       .dropDuplicates("event_id")
       .groupBy(col("event_type"))
@@ -735,22 +738,23 @@ object StreamOps extends QueryModule {
     * Harness: AvailableNow over the fixture file (both sides read the same
     * events.parquet), join rows land in a memory sink (append — inner
     * interval joins emit on match), then a batch rollup per click-hour.
-    * All join-key and interval arithmetic is integer micros derived from
-    * the nano longs, so the DuckDB oracle (a plain batch self-join) hashes
-    * identically.
+    * All join-key and interval arithmetic is integer micros (via
+    * [[graft.Engine.tsMicros]]), so the DuckDB oracle (a plain batch
+    * self-join) hashes identically.
     */
   def streamIntervalJoin(s: SparkSession, dir: String): DataFrame = {
     tune(s)
     withStatePartitions(s, 8) {
       val schema = s.read.parquet(s"$dir/events.parquet").schema
-      def side(tpe: String, alias: String) =
-        s.readStream.schema(schema)
+      def side(tpe: String, alias: String) = {
+        val st = s.readStream.schema(schema)
           .option("pathGlobFilter", "events.parquet").parquet(dir)
           .filter(col("event_type") === tpe)
-          .select(col("user_id").as(s"${alias}_user"),
-            expr("timestamp_micros(ts div 1000)").as(s"${alias}_et"),
-            expr("ts div 1000").as(s"${alias}_us"))
+        st.select(col("user_id").as(s"${alias}_user"),
+            tsEventTime(st).as(s"${alias}_et"),
+            tsMicros(st).as(s"${alias}_us"))
           .withWatermark(s"${alias}_et", "1 hour")
+      }
       val joined = side("click", "c").join(side("purchase", "p"),
         col("p_user") === col("c_user") &&
           col("p_et") >= col("c_et") &&

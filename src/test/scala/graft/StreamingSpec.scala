@@ -21,7 +21,7 @@ class StreamingSpec extends AnyFunSuite {
   test("watermark drops the late batch: no late window ever emitted, open windows withheld") {
     import org.apache.spark.sql.functions._
     val ev = s.read.parquet(s"${TestSpark.sf}/events.parquet")
-    val hmax = ev.agg(max(expr("ts div 1000 div 3600000000"))).collect()(0).getLong(0)
+    val hmax = ev.agg(max(Engine.tsMicros(ev))).collect()(0).getLong(0) / 3600000000L
     val out = graft.streaming.StreamOps.streamLate(s, TestSpark.sf).cache()
     assert(out.count() > 0)
     // every late event (hours <= hmax-6) was dropped: its window never appears
@@ -46,8 +46,8 @@ class StreamingSpec extends AnyFunSuite {
     import org.apache.spark.sql.functions._
     val stream = StreamOps.streamIntervalJoin(s, TestSpark.sf).cache()
     assert(stream.count() > 0, "fixture must produce click->purchase pairs")
-    val ev = s.read.parquet(s"${TestSpark.sf}/events.parquet")
-      .select(col("user_id"), col("event_type"), expr("ts div 1000").as("us"))
+    val raw = s.read.parquet(s"${TestSpark.sf}/events.parquet")
+    val ev = raw.select(col("user_id"), col("event_type"), Engine.tsMicros(raw).as("us"))
     val batch = ev.filter(col("event_type") === "click").select(col("user_id"), col("us").as("c_us"))
       .join(ev.filter(col("event_type") === "purchase").select(col("user_id"), col("us").as("p_us")),
         "user_id")
