@@ -1113,10 +1113,16 @@ object Dedup extends QueryModule {
     * idempotence-tolerant, not idempotent.
     */
   def refreshIndex(s: SparkSession, path: String, accepted: DataFrame): Unit = {
-    val add = buildIndex(accepted)
+    // checkpoint the increment once: the three appends would otherwise each
+    // re-execute the accepted batch's shingle/minhash pipeline (bands derive
+    // from sigs, so it ran up to 3x per refresh). The increment is
+    // batch-scale by contract, so the materialization is small.
+    val add = buildIndex(accepted.localCheckpoint())
+    val sigs = add.sigs.localCheckpoint()
     graft.sources.IndexStore.append(s, path, "digests", add.digests)
-    graft.sources.IndexStore.append(s, path, "sigs", add.sigs)
-    graft.sources.IndexStore.append(s, path, "bands", add.bands)
+    graft.sources.IndexStore.append(s, path, "sigs", sigs)
+    graft.sources.IndexStore.append(s, path, "bands",
+      capBuckets(bandRows(sigs), Seq("band", "bk"), BandCap))
   }
 
   /** Compact a persisted index in place — the maintenance op a

@@ -517,10 +517,14 @@ object Search extends QueryModule {
       .filter(lit(9) * col("n_inter") >= lit(4) * (col("n_a") + col("n_b")))
       .withColumn("jac",
         round(col("n_inter").cast("double") / (col("n_a") + col("n_b") - col("n_inter")), 6))
-    val w = org.apache.spark.sql.expressions.Window
+    // global top-20 via orderBy+limit so the plan is TakeOrderedAndProject
+    // (per-partition heaps + driver merge of 20), never a single-partition
+    // sort of every verified pair; the rank column is then assigned over
+    // the 20 surviving rows only — constant cost at any scale.
+    val top = c.orderBy(col("jac").desc, col("da"), col("db")).limit(20)
+    val wRank = org.apache.spark.sql.expressions.Window
       .orderBy(col("jac").desc, col("da"), col("db"))
-    c.withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= 20)
+    top.withColumn("rn", row_number().over(wRank))
       .select(col("da"), col("db"), col("n_a"), col("n_b"),
         col("n_inter"), col("jac"), col("rn"))
   }

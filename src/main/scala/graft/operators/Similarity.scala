@@ -489,9 +489,14 @@ object Similarity extends QueryModule {
     val bits = graft.sources.IndexStore.readMeta(s, path)
       .getOrElse("bits",
         throw new IllegalStateException(s"vec index at $path has no bits meta")).toInt
-    val reps = withNorm(vecGroups(accepted).select(col("gid").as("vec_id"), col("embedding")))
+    // checkpoint the increment once: the three appends would otherwise
+    // each re-execute the accepted batch's upstream plan (and bands derive
+    // from reps, so the grouping/norm pass ran twice). Batch-scale data.
+    val acc = accepted.localCheckpoint()
+    val reps = withNorm(vecGroups(acc).select(col("gid").as("vec_id"), col("embedding")))
+      .localCheckpoint()
     graft.sources.IndexStore.append(s, path, "digests",
-      accepted.select(xxhash64(col("embedding")).as("k1"), hash(col("embedding")).as("k2"))
+      acc.select(xxhash64(col("embedding")).as("k1"), hash(col("embedding")).as("k2"))
         .distinct())
     graft.sources.IndexStore.append(s, path, "reps", reps)
     graft.sources.IndexStore.append(s, path, "bands",

@@ -110,6 +110,8 @@ class SearchSpec extends AnyFunSuite {
     val plan = df.queryExecution.executedPlan.toString
     assert(!plan.contains("CartesianProduct"),
       "prefix filtering must keep the candidate step an equi-join")
+    assert(plan.contains("TakeOrderedAndProject"),
+      "global top-20 must plan TakeOrderedAndProject, not a full-set window sort")
     // exact copies (doc_id + 200000) have identical shingle sets -> jac 1.0
     val exact = df.filter(col("db") === col("da") + 200000L && col("jac") === 1.0)
     assert(exact.count() > 0, "injected exact-copy pairs must surface")
