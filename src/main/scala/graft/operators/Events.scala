@@ -467,7 +467,116 @@ object Events extends QueryModule {
       |FROM dev JOIN mad ON mad.event_type = dev.event_type
       |GROUP BY dev.event_type""".stripMargin
 
+  /** Windowed multi-step funnel (q174): view -> click -> purchase where
+    * each step must land within 6 hours of the PREVIOUS step's completion
+    * — the ordered, time-bounded form of q74's unordered min/max funnel
+    * (which cannot tell "clicked within the window" from "clicked last
+    * week"). Stage k is one grouped min over the events that fall inside
+    * stage k-1's window; every join keys on user_id, so the three stages
+    * are co-partitioned shuffles with no per-user state beyond one row.
+    * All arithmetic is integer epoch-micros — exact in both engines.
+    */
+  def funnelSteps(s: SparkSession, dir: String): DataFrame = {
+    tune(s)
+    val win = 21600000000L // 6 hours in micros
+    val e = ev(s, dir).select(col("user_id"), col("event_type"), col("us"))
+    val v = e.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("us")).as("v_us"))
+    val c = e.filter(col("event_type") === "click")
+      .join(v, "user_id")
+      .filter(col("us") >= col("v_us") && col("us") <= col("v_us") + win)
+      .groupBy(col("user_id"))
+      .agg(min(col("v_us")).as("v_us"), min(col("us")).as("c_us"))
+    val p = e.filter(col("event_type") === "purchase")
+      .join(c.select(col("user_id"), col("c_us")), "user_id")
+      .filter(col("us") >= col("c_us") && col("us") <= col("c_us") + win)
+      .groupBy(col("user_id"))
+      .agg(min(col("c_us")).as("c_us"), min(col("us")).as("p_us"))
+    v.agg(count(lit(1)).as("n_view")).crossJoin(
+      c.agg(count(lit(1)).as("n_click"),
+        coalesce(sum(col("c_us") - col("v_us")), lit(0L)).as("sum_click_lag_us"))).crossJoin(
+      p.agg(count(lit(1)).as("n_purchase"),
+        coalesce(sum(col("p_us") - col("c_us")), lit(0L)).as("sum_purchase_lag_us")))
+  }
+
+  private val funnelStepsSql =
+    """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+      |v AS (SELECT user_id, MIN(us) AS v_us FROM e WHERE event_type = 'view' GROUP BY user_id),
+      |c AS (SELECT e.user_id, MIN(v.v_us) AS v_us, MIN(e.us) AS c_us
+      |      FROM e JOIN v ON v.user_id = e.user_id
+      |      WHERE e.event_type = 'click' AND e.us >= v.v_us AND e.us <= v.v_us + 21600000000
+      |      GROUP BY e.user_id),
+      |p AS (SELECT e.user_id, MIN(c.c_us) AS c_us, MIN(e.us) AS p_us
+      |      FROM e JOIN c ON c.user_id = e.user_id
+      |      WHERE e.event_type = 'purchase' AND e.us >= c.c_us AND e.us <= c.c_us + 21600000000
+      |      GROUP BY e.user_id)
+      |SELECT (SELECT COUNT(*) FROM v) AS n_view,
+      |       (SELECT COUNT(*) FROM c) AS n_click,
+      |       (SELECT CAST(COALESCE(SUM(c_us - v_us), 0) AS BIGINT) FROM c) AS sum_click_lag_us,
+      |       (SELECT COUNT(*) FROM p) AS n_purchase,
+      |       (SELECT CAST(COALESCE(SUM(p_us - c_us), 0) AS BIGINT) FROM p) AS sum_purchase_lag_us""".stripMargin
+
+  /** Hourly rate anomalies (q175): q173's median/MAD robust-statistics
+    * discipline applied to event RATES instead of values — flag the hours
+    * whose per-type event count deviates from that type's median hourly
+    * count by more than 3 * 1.4826 * MAD. This is the telemetry spike/
+    * outage detector; the mean/stddev version would let a traffic spike
+    * inflate its own baseline. Counts are already integers, so the
+    * doubled-median trick makes the whole gate integer-exact:
+    * `20000 * |2x - med2| > 44478 * mad4`. Two grouped percentiles over
+    * the (type, hour) aggregate — |types| x |hours| rows, never raw events
+    * — then one broadcast-joined rollup.
+    */
+  def rateAnomalies(s: SparkSession, dir: String): DataFrame = {
+    tune(s)
+    val hc = ev(s, dir)
+      .select(col("event_type"), expr("us div 3600000000").as("hr"))
+      .groupBy(col("event_type"), col("hr"))
+      .agg(count(lit(1)).as("x"))
+    val med = hc.groupBy(col("event_type"))
+      .agg((expr("percentile(x, 0.5)") * 2).cast("long").as("med2"))
+    val dev = hc.join(broadcast(med), "event_type")
+      .withColumn("d2", abs(lit(2) * col("x") - col("med2")))
+    val mad = dev.groupBy(col("event_type"))
+      .agg((expr("percentile(d2, 0.5)") * 2).cast("long").as("mad4"))
+    dev.join(broadcast(mad), "event_type")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_hours"),
+        first(col("med2")).as("med_x2"),
+        first(col("mad4")).as("mad_x4"),
+        sum(when(lit(20000) * col("d2") > lit(44478) * col("mad4"), 1L)
+          .otherwise(0L)).as("n_anomalous"),
+        max(col("d2")).as("max_dev_x2"))
+  }
+
+  private val rateAnomaliesSql =
+    """WITH hc AS (
+      |  SELECT event_type, epoch_us(ts) // 3600000000 AS hr, COUNT(*) AS x
+      |  FROM events GROUP BY event_type, hr),
+      |med AS (
+      |  SELECT event_type, CAST(quantile_cont(x, 0.5) * 2 AS BIGINT) AS med2
+      |  FROM hc GROUP BY event_type),
+      |dev AS (
+      |  SELECT hc.event_type, abs(2 * hc.x - med.med2) AS d2, med.med2
+      |  FROM hc JOIN med ON med.event_type = hc.event_type),
+      |mad AS (
+      |  SELECT event_type, CAST(quantile_cont(d2, 0.5) * 2 AS BIGINT) AS mad4
+      |  FROM dev GROUP BY event_type)
+      |SELECT dev.event_type, COUNT(*) AS n_hours,
+      |       CAST(MIN(dev.med2) AS BIGINT) AS med_x2,
+      |       CAST(MIN(mad.mad4) AS BIGINT) AS mad_x4,
+      |       CAST(SUM(CASE WHEN 20000 * dev.d2 > 44478 * mad.mad4 THEN 1 ELSE 0 END) AS BIGINT) AS n_anomalous,
+      |       CAST(MAX(dev.d2) AS BIGINT) AS max_dev_x2
+      |FROM dev JOIN mad ON mad.event_type = dev.event_type
+      |GROUP BY dev.event_type""".stripMargin
+
   override val queries: Seq[GQuery] = Seq(
+    GQuery("q174_funnel_steps",
+      "ordered 6h-windowed view->click->purchase funnel: per-stage grouped mins, co-partitioned on user_id",
+      funnelSteps, Some(funnelStepsSql)),
+    GQuery("q175_rate_anomalies",
+      "median/MAD anomaly flags on per-type hourly event rates (integer-exact, q173's discipline on counts)",
+      rateAnomalies, Some(rateAnomaliesSql)),
     GQuery("q173_mad_outliers",
       "median/MAD robust outlier flags per event type, all-integer micro-unit arithmetic",
       madOutliers, Some(madOutliersSql)),

@@ -39,4 +39,36 @@ class EventsSpec extends AnyFunSuite {
       .agg((lit(1) + sum(when(col("gap") > 1800, 1L).otherwise(0L))).as("n_sessions"))
     assert(viaWindow.except(viaIslands).isEmpty && viaIslands.except(viaWindow).isEmpty)
   }
+
+  test("q174 funnel stages are monotone and lags respect the 6h window") {
+    val r = operators.Events.funnelSteps(s, TestSpark.sf).collect()(0)
+    val (nv, nc, clag, np, plag) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+    assert(nv >= nc && nc >= np && np >= 0, s"funnel must narrow: $nv >= $nc >= $np")
+    assert(nc > 0, "fixture must produce view->click conversions")
+    // each counted lag is in [0, 6h] by construction, so the sums are too
+    assert(clag >= 0 && clag <= nc * 21600000000L, s"click lag sum out of window: $clag")
+    assert(plag >= 0 && plag <= np * 21600000000L, s"purchase lag sum out of window: $plag")
+  }
+
+  test("q175 anomaly flags match a direct recomputation for one event type") {
+    val raw = Engine.table(s, TestSpark.sf, "events")
+    val hours = raw
+      .filter(col("event_type") === "click")
+      .select(Engine.tsMicros(raw).as("us"))
+      .select(expr("us div 3600000000").as("hr"))
+      .groupBy("hr").count().collect().map(_.getLong(1)).sorted
+    def med2(xs: Array[Long]): Long =
+      if (xs.length % 2 == 1) 2 * xs(xs.length / 2)
+      else xs(xs.length / 2 - 1) + xs(xs.length / 2)
+    val m2 = med2(hours)
+    val d2s = hours.map(x => math.abs(2 * x - m2)).sorted
+    val m4 = med2(d2s)
+    val expect = d2s.count(d => 20000L * d > 44478L * m4)
+    val got = operators.Events.rateAnomalies(s, TestSpark.sf)
+      .filter(col("event_type") === "click").collect()(0)
+    assert(got.getLong(4) == expect.toLong,
+      s"n_anomalous mismatch: engine ${got.getLong(4)} vs direct $expect")
+    assert(got.getLong(2) == m2 && got.getLong(3) == m4, "median/MAD mismatch")
+  }
 }

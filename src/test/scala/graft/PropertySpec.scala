@@ -105,6 +105,28 @@ class PropertySpec extends AnyFunSuite {
     out.unpersist()
   }
 
+  test("BPE encode agrees with the training run's totals, merge accounting exact") {
+    import org.apache.spark.sql.functions._
+    val enc = graft.operators.TextOps.bpeEncode(s, TestSpark.sf).cache()
+    val trainAfter = graft.operators.TextOps.bpeTrain(s, TestSpark.sf)
+      .filter(col("iter") === 0).collect()(0).getLong(3)
+    val (tb, ta, nm) = {
+      val r = enc.agg(sum("tok_before"), sum("tok_after"), sum("n_merged_tok")).collect()(0)
+      (r.getLong(0), r.getLong(1), r.getLong(2))
+    }
+    // cross-query consistency: encode consumes the SAME run q171 reports
+    assert(ta == trainAfter, s"encode total $ta != train total $trainAfter")
+    // every merge removes one token and leaves >=1 underscore in the
+    // merged token; a doubly-merged token carries 2 underscores, so the
+    // token deficit bounds the merged-token count from above
+    assert(tb > ta, "merges must shrink the corpus")
+    assert(nm > 0 && nm <= tb - ta, s"merged-token accounting broken: $nm vs ${tb - ta}")
+    // per-lang rows cover every language exactly once
+    val langs = enc.select("lang").collect().map(_.getString(0)).sorted
+    assert(langs.sameElements(langs.distinct) && langs.length == 5)
+    enc.unpersist()
+  }
+
   test("bigram surprisal scoring: sane ranges and complete per-lang coverage") {
     import org.apache.spark.sql.functions._
     val out = graft.operators.TextOps.lmPerplexity(s, TestSpark.sf).cache()
