@@ -124,7 +124,7 @@ object Search extends QueryModule {
 
   /** Build-if-stale, then serve the stored tables (session-cached reads —
     * the store is the source of truth, the cache only saves re-opens). */
-  private def searchIndex(s: SparkSession, dir: String): SearchIndex = {
+  private[graft] def searchIndex(s: SparkSession, dir: String): SearchIndex = {
     val path = fixtureIndexPath(dir)
     synchronized {
       val stamp = fixtureStamp(s, dir)
@@ -182,7 +182,7 @@ object Search extends QueryModule {
 
   /** Deterministic fixture query set: every doc with doc_id % 50 = 7 poses
     * its first 3 distinct tokens as a query (qid = the posing doc_id). */
-  private def querySet(d: DataFrame): DataFrame =
+  private[graft] def querySet(d: DataFrame): DataFrame =
     d.filter(col("doc_id") % 50 === 7)
       .select(col("doc_id").as("qid"),
         explode(array_distinct(slice(
@@ -261,7 +261,7 @@ object Search extends QueryModule {
       .select(col("qid"), col("doc_id"), col("score"), col("rn"))
   }
 
-  private val bm25TopKSql =
+  private[graft] val bm25TopKSql =
     s"""WITH $bm25ScoresSql
        |SELECT qid, doc_id, score, rn FROM (
        |  SELECT qid, doc_id, score,

@@ -46,6 +46,24 @@ object StreamOps extends QueryModule {
       build(d)
       d
     })
+  /** Stage one micro-batch slice as a single parquet file with pinned name
+    * AND mtime — file-source batch order must be deterministic whichever
+    * the source sorts by (shared by every multi-batch harness below). */
+  private def stageFile(s: SparkSession, sd: String, df: DataFrame,
+                        name: String, mtime: Long): Unit = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI("file:///"), s.sparkContext.hadoopConfiguration)
+    val tmp = s"$sd/.stage_$name"
+    df.coalesce(1).write.mode("overwrite").parquet(tmp)
+    val parts = fs.globStatus(new org.apache.hadoop.fs.Path(s"$tmp/part-*.parquet"))
+    require(parts != null && parts.nonEmpty, s"no part file staged for $name")
+    val part = parts(0).getPath
+    val dest = new org.apache.hadoop.fs.Path(s"$sd/$name.parquet")
+    fs.rename(part, dest)
+    fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+    fs.setTimes(dest, mtime, -1)
+  }
+
   private def dropCheckpoint(dir: String): Unit = {
     def rm(f: java.io.File): Unit = {
       Option(f.listFiles).foreach(_.foreach(rm))
@@ -237,28 +255,14 @@ object StreamOps extends QueryModule {
       val ev = raw.withColumn("__hr", tsMicros(raw)).withColumn("__hr", expr("__hr div 3600000000"))
       val hmax = ev.agg(max(col("__hr"))).collect()(0).getLong(0)
       val cut = hmax - 6
-      val fs = org.apache.hadoop.fs.FileSystem.get(
-        new java.net.URI("file:///"), s.sparkContext.hadoopConfiguration)
       val srcDir = stagedOnce(s"late:$dir") { sd =>
-        def stage(df: org.apache.spark.sql.DataFrame, name: String, mtime: Long): Unit = {
-          val tmp = s"$sd/.stage_$name"
-          df.coalesce(1).write.mode("overwrite").parquet(tmp)
-          val parts = fs.globStatus(new org.apache.hadoop.fs.Path(s"$tmp/part-*.parquet"))
-          require(parts != null && parts.nonEmpty, s"no part file staged for $name")
-          val part = parts(0).getPath
-          val dest = new org.apache.hadoop.fs.Path(s"$sd/$name.parquet")
-          fs.rename(part, dest)
-          fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
-          fs.setTimes(dest, mtime, -1)
-        }
-        // file order must be deterministic: name AND mod-time agree,
-        // whichever the source sorts by. The tip goes first so the
-        // late-event watermark has advanced by the time the late batch runs.
+        // The tip goes first so the late-event watermark has advanced by
+        // the time the late batch runs.
         val t0 = 1000000000000L
-        stage(ev.filter(col("__hr") === hmax).drop("__hr"), "b0_tip", t0)
-        stage(ev.filter(col("__hr") > cut && col("__hr") < hmax).drop("__hr"),
+        stageFile(s, sd, ev.filter(col("__hr") === hmax).drop("__hr"), "b0_tip", t0)
+        stageFile(s, sd, ev.filter(col("__hr") > cut && col("__hr") < hmax).drop("__hr"),
           "b1_rest", t0 + 600000L)
-        stage(ev.filter(col("__hr") <= cut).drop("__hr"), "b2_late", t0 + 1200000L)
+        stageFile(s, sd, ev.filter(col("__hr") <= cut).drop("__hr"), "b2_late", t0 + 1200000L)
       }
       val src = s.readStream
         .schema(schema)
@@ -319,23 +323,10 @@ object StreamOps extends QueryModule {
         .select(col("event_id"), col("ts"), col("user_id"), col("value"))
       val schema = ev.schema
       val lake = s"$ckBase/merge_lake_${counter.incrementAndGet()}"
-      val fs = org.apache.hadoop.fs.FileSystem.get(
-        new java.net.URI("file:///"), s.sparkContext.hadoopConfiguration)
       val srcDir = stagedOnce(s"merge:$dir") { sd =>
-        def stage(df: DataFrame, name: String, mtime: Long): Unit = {
-          val tmp = s"$sd/.stage_$name"
-          df.coalesce(1).write.mode("overwrite").parquet(tmp)
-          val parts = fs.globStatus(new org.apache.hadoop.fs.Path(s"$tmp/part-*.parquet"))
-          require(parts != null && parts.nonEmpty, s"no part file staged for $name")
-          val part = parts(0).getPath
-          val dest = new org.apache.hadoop.fs.Path(s"$sd/$name.parquet")
-          fs.rename(part, dest)
-          fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
-          fs.setTimes(dest, mtime, -1)
-        }
         val t0 = 1000000000000L
-        stage(ev.filter(col("event_id") % 2 === 0), "b0_even", t0)
-        stage(ev.filter(col("event_id") % 2 === 1), "b1_odd", t0 + 600000L)
+        stageFile(s, sd, ev.filter(col("event_id") % 2 === 0), "b0_even", t0)
+        stageFile(s, sd, ev.filter(col("event_id") % 2 === 1), "b1_odd", t0 + 600000L)
       }
       val src = s.readStream
         .schema(schema)
@@ -442,23 +433,10 @@ object StreamOps extends QueryModule {
       val newB = graft.operators.Dedup.augmentedDocs(s, dir)
         .filter(col("doc_id") >= 100000L)
       val schema = newB.schema
-      val fs = org.apache.hadoop.fs.FileSystem.get(
-        new java.net.URI("file:///"), s.sparkContext.hadoopConfiguration)
       val srcDir = stagedOnce(s"screen:$dir") { sd =>
-        def stage(df: DataFrame, name: String, mtime: Long): Unit = {
-          val tmp = s"$sd/.stage_$name"
-          df.coalesce(1).write.mode("overwrite").parquet(tmp)
-          val parts = fs.globStatus(new org.apache.hadoop.fs.Path(s"$tmp/part-*.parquet"))
-          require(parts != null && parts.nonEmpty, s"no part file staged for $name")
-          val part = parts(0).getPath
-          val dest = new org.apache.hadoop.fs.Path(s"$sd/$name.parquet")
-          fs.rename(part, dest)
-          fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
-          fs.setTimes(dest, mtime, -1)
-        }
         val t0 = 1000000000000L
-        stage(newB.filter(col("doc_id") % 2 === 0), "b0_even", t0)
-        stage(newB.filter(col("doc_id") % 2 === 1), "b1_odd", t0 + 600000L)
+        stageFile(s, sd, newB.filter(col("doc_id") % 2 === 0), "b0_even", t0)
+        stageFile(s, sd, newB.filter(col("doc_id") % 2 === 1), "b1_odd", t0 + 600000L)
       }
       val out = s"$ckBase/screen_out_${counter.incrementAndGet()}"
       val src = s.readStream
@@ -504,23 +482,10 @@ object StreamOps extends QueryModule {
     withStatePartitions(s, 8) {
       val newB = graft.operators.Similarity.syntheticVecBatch(s, dir)
       val schema = newB.schema
-      val fs = org.apache.hadoop.fs.FileSystem.get(
-        new java.net.URI("file:///"), s.sparkContext.hadoopConfiguration)
       val srcDir = stagedOnce(s"vscreen:$dir") { sd =>
-        def stage(df: DataFrame, name: String, mtime: Long): Unit = {
-          val tmp = s"$sd/.stage_$name"
-          df.coalesce(1).write.mode("overwrite").parquet(tmp)
-          val parts = fs.globStatus(new org.apache.hadoop.fs.Path(s"$tmp/part-*.parquet"))
-          require(parts != null && parts.nonEmpty, s"no part file staged for $name")
-          val part = parts(0).getPath
-          val dest = new org.apache.hadoop.fs.Path(s"$sd/$name.parquet")
-          fs.rename(part, dest)
-          fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
-          fs.setTimes(dest, mtime, -1)
-        }
         val t0 = 1000000000000L
-        stage(newB.filter(col("vec_id") % 2 === 0), "b0_even", t0)
-        stage(newB.filter(col("vec_id") % 2 === 1), "b1_odd", t0 + 600000L)
+        stageFile(s, sd, newB.filter(col("vec_id") % 2 === 0), "b0_even", t0)
+        stageFile(s, sd, newB.filter(col("vec_id") % 2 === 1), "b1_odd", t0 + 600000L)
       }
       val out = s"$ckBase/vscreen_out_${counter.incrementAndGet()}"
       val src = s.readStream
@@ -546,6 +511,65 @@ object StreamOps extends QueryModule {
     }
   }
 
+  /** Streaming retrieval serving (q177): queries arrive as files; each
+    * micro-batch's query docs are tokenized ([[graft.operators.Search.querySet]],
+    * the q164 convention) and scored BM25 against the FROZEN persisted
+    * inverted index via the corpus-free [[graft.operators.Search.bm25]] —
+    * the search family's q134/q144 pattern, completing streaming == batch
+    * for all three index families (lexical, MinHash, vector). A query's
+    * ranking depends only on its own terms vs the index, so any micro-batch
+    * partitioning yields identical rankings; per-batch top-5 lands in a
+    * batchId-scoped result log (replay-idempotent), and the accumulated log
+    * is verified against the SAME oracle as the one-shot batch q164.
+    * At scale this is the serving loop of a retrieval system: index frozen
+    * and distributed, per-trigger cost ∝ the arriving queries' term
+    * postings, state-free (no watermark needed — each query is complete
+    * within its batch).
+    */
+  def streamSearch(s: SparkSession, dir: String): DataFrame = {
+    tune(s)
+    withStatePartitions(s, 8) {
+      val posers = table(s, dir, "documents")
+        .filter(col("doc_id") % 50 === 7)
+        .select(col("doc_id"), col("text"))
+      val schema = posers.schema
+      val srcDir = stagedOnce(s"search:$dir") { sd =>
+        val t0 = 1000000000000L
+        stageFile(s, sd, posers.filter(col("doc_id") % 100 === 7), "b0_lo", t0)
+        stageFile(s, sd, posers.filter(col("doc_id") % 100 === 57), "b1_hi", t0 + 600000L)
+      }
+      // build-or-validate the index BEFORE the stream starts: triggers only
+      // probe a frozen snapshot, exactly like the dedup/vector screens
+      graft.operators.Search.searchIndex(s, dir)
+      val out = s"$ckBase/search_out_${counter.incrementAndGet()}"
+      val src = s.readStream
+        .schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(srcDir)
+      val qname = s"graft_stream_search_${counter.incrementAndGet()}"
+      val q = src.writeStream
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          val bs = batch.sparkSession
+          val idx = graft.operators.Search.searchIndex(bs, dir)
+          val w = org.apache.spark.sql.expressions.Window
+            .partitionBy(col("qid")).orderBy(col("score").desc, col("doc_id"))
+          graft.operators.Search.bm25(idx, graft.operators.Search.querySet(batch))
+            .withColumn("rn", row_number().over(w))
+            .filter(col("rn") <= 5)
+            .write.mode("overwrite").parquet(s"$out/batch=$batchId")
+          ()
+        }
+        .option("checkpointLocation", s"$ckBase/$qname")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val batches = q.recentProgress.count(_.numInputRows > 0)
+      require(batches >= 2, s"search harness needs >= 2 non-empty micro-batches, got $batches")
+      dropCheckpoint(s"$ckBase/$qname")
+      s.read.parquet(out).select(col("qid"), col("doc_id"), col("score"), col("rn"))
+    }
+  }
+
   /** q150: exactly-once streaming commits into the snapshot table.
     * Micro-batches land as logical-append snapshot commits tagged with
     * their batchId ([[graft.sources.Snapshots.commitIfAbsent]]), and
@@ -564,23 +588,10 @@ object StreamOps extends QueryModule {
       val rows = table(s, dir, "orders")
         .select(col("o_orderkey").cast("long").as("okey"))
       val schema = rows.schema
-      val fs = org.apache.hadoop.fs.FileSystem.get(
-        new java.net.URI("file:///"), s.sparkContext.hadoopConfiguration)
       val srcDir = stagedOnce(s"snap:$dir") { sd =>
-        def stage(df: DataFrame, name: String, mtime: Long): Unit = {
-          val tmp = s"$sd/.stage_$name"
-          df.coalesce(1).write.mode("overwrite").parquet(tmp)
-          val parts = fs.globStatus(new org.apache.hadoop.fs.Path(s"$tmp/part-*.parquet"))
-          require(parts != null && parts.nonEmpty, s"no part file staged for $name")
-          val part = parts(0).getPath
-          val dest = new org.apache.hadoop.fs.Path(s"$sd/$name.parquet")
-          fs.rename(part, dest)
-          fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
-          fs.setTimes(dest, mtime, -1)
-        }
         val t0 = 1000000000000L
-        stage(rows.filter(col("okey") % 2 === 0), "b0_even", t0)
-        stage(rows.filter(col("okey") % 2 === 1), "b1_odd", t0 + 600000L)
+        stageFile(s, sd, rows.filter(col("okey") % 2 === 0), "b0_even", t0)
+        stageFile(s, sd, rows.filter(col("okey") % 2 === 1), "b1_odd", t0 + 600000L)
       }
       val lake = s"$ckBase/snaplake_${counter.incrementAndGet()}"
       val src = s.readStream.schema(schema)
@@ -643,24 +654,11 @@ object StreamOps extends QueryModule {
           col("o_orderdate").cast("date").as("od"))
         .withColumn("val", col("okey") % 97)
       val schema = rows.schema
-      val fs = org.apache.hadoop.fs.FileSystem.get(
-        new java.net.URI("file:///"), s.sparkContext.hadoopConfiguration)
       val srcDir = stagedOnce(s"ivm:$dir") { sd =>
-        def stage(df: DataFrame, name: String, mtime: Long): Unit = {
-          val tmp = s"$sd/.stage_$name"
-          df.coalesce(1).write.mode("overwrite").parquet(tmp)
-          val parts = fs.globStatus(new org.apache.hadoop.fs.Path(s"$tmp/part-*.parquet"))
-          require(parts != null && parts.nonEmpty, s"no part file staged for $name")
-          val part = parts(0).getPath
-          val dest = new org.apache.hadoop.fs.Path(s"$sd/$name.parquet")
-          fs.rename(part, dest)
-          fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
-          fs.setTimes(dest, mtime, -1)
-        }
         val t0 = 1000000000000L
-        stage(rows.filter(col("okey") % 3 === 0), "b0", t0)
-        stage(rows.filter(col("okey") % 3 === 1), "b1", t0 + 600000L)
-        stage(rows.filter(col("okey") % 3 === 2), "b2", t0 + 1200000L)
+        stageFile(s, sd, rows.filter(col("okey") % 3 === 0), "b0", t0)
+        stageFile(s, sd, rows.filter(col("okey") % 3 === 1), "b1", t0 + 600000L)
+        stageFile(s, sd, rows.filter(col("okey") % 3 === 2), "b2", t0 + 1200000L)
       }
       val lake = s"$ckBase/ivmlake_${counter.incrementAndGet()}"
       def monthAgg(df: DataFrame): DataFrame =
@@ -825,5 +823,9 @@ object StreamOps extends QueryModule {
     GQuery("q169_stream_interval_join",
       "stream-stream interval join (click->purchase attribution), watermark-bounded state",
       streamIntervalJoin, Some(streamIntervalJoinSql)),
+    // Same oracle as the batch q164 — retrieval's streaming == batch.
+    GQuery("q177_stream_search",
+      "streaming BM25 serving: per-micro-batch query scoring against the frozen inverted index; oracle == batch q164",
+      streamSearch, Some(graft.operators.Search.bm25TopKSql)),
   )
 }

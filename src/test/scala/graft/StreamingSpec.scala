@@ -42,6 +42,14 @@ class StreamingSpec extends AnyFunSuite {
     assert(stream.except(batch).isEmpty && batch.except(stream).isEmpty)
   }
 
+  test("streaming BM25 serving == batch top-k from the same frozen index") {
+    val stream = StreamOps.streamSearch(s, TestSpark.sf)
+    val batch = graft.operators.Search.bm25TopK(s, TestSpark.sf)
+    assert(stream.count() > 0, "fixture query set must produce rankings")
+    assert(stream.except(batch).isEmpty && batch.except(stream).isEmpty,
+      "per-micro-batch scoring must equal the one-shot batch ranking")
+  }
+
   test("stream-stream interval join == batch interval join") {
     import org.apache.spark.sql.functions._
     val stream = StreamOps.streamIntervalJoin(s, TestSpark.sf).cache()
