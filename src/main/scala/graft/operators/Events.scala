@@ -471,32 +471,37 @@ object Events extends QueryModule {
     * each step must land within 6 hours of the PREVIOUS step's completion
     * — the ordered, time-bounded form of q74's unordered min/max funnel
     * (which cannot tell "clicked within the window" from "clicked last
-    * week"). Stage k is one grouped min over the events that fall inside
-    * stage k-1's window; every join keys on user_id, so the three stages
-    * are co-partitioned shuffles with no per-user state beyond one row.
+    * week"). ONE pass: the three funnel slices shuffle once on user_id,
+    * then three stacked whole-partition window mins resolve the stages
+    * (stage k's conditional min may reference stage k-1's window result —
+    * same partitioning, so Spark plans one Exchange + one Sort feeding
+    * three Window nodes, not per-stage join/agg chains). Per-user rows
+    * then collapse and a single global rollup emits the funnel counts.
     * All arithmetic is integer epoch-micros — exact in both engines.
     */
   def funnelSteps(s: SparkSession, dir: String): DataFrame = {
     tune(s)
     val win = 21600000000L // 6 hours in micros
-    val e = ev(s, dir).select(col("user_id"), col("event_type"), col("us"))
-    val v = e.filter(col("event_type") === "view")
-      .groupBy(col("user_id")).agg(min(col("us")).as("v_us"))
-    val c = e.filter(col("event_type") === "click")
-      .join(v, "user_id")
-      .filter(col("us") >= col("v_us") && col("us") <= col("v_us") + win)
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("user_id"))
+    ev(s, dir)
+      .filter(col("event_type").isin("view", "click", "purchase"))
+      .select(col("user_id"), col("event_type"), col("us"))
+      .withColumn("v_us",
+        min(when(col("event_type") === "view", col("us"))).over(w))
+      .withColumn("c_us",
+        min(when(col("event_type") === "click" &&
+          col("us") >= col("v_us") && col("us") <= col("v_us") + win, col("us"))).over(w))
+      .withColumn("p_us",
+        min(when(col("event_type") === "purchase" &&
+          col("us") >= col("c_us") && col("us") <= col("c_us") + win, col("us"))).over(w))
       .groupBy(col("user_id"))
-      .agg(min(col("v_us")).as("v_us"), min(col("us")).as("c_us"))
-    val p = e.filter(col("event_type") === "purchase")
-      .join(c.select(col("user_id"), col("c_us")), "user_id")
-      .filter(col("us") >= col("c_us") && col("us") <= col("c_us") + win)
-      .groupBy(col("user_id"))
-      .agg(min(col("c_us")).as("c_us"), min(col("us")).as("p_us"))
-    v.agg(count(lit(1)).as("n_view")).crossJoin(
-      c.agg(count(lit(1)).as("n_click"),
-        coalesce(sum(col("c_us") - col("v_us")), lit(0L)).as("sum_click_lag_us"))).crossJoin(
-      p.agg(count(lit(1)).as("n_purchase"),
-        coalesce(sum(col("p_us") - col("c_us")), lit(0L)).as("sum_purchase_lag_us")))
+      .agg(min(col("v_us")).as("v_us"), min(col("c_us")).as("c_us"),
+        min(col("p_us")).as("p_us"))
+      .agg(count(col("v_us")).as("n_view"),
+        count(col("c_us")).as("n_click"),
+        coalesce(sum(col("c_us") - col("v_us")), lit(0L)).as("sum_click_lag_us"),
+        count(col("p_us")).as("n_purchase"),
+        coalesce(sum(col("p_us") - col("c_us")), lit(0L)).as("sum_purchase_lag_us"))
   }
 
   private val funnelStepsSql =
