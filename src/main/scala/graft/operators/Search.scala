@@ -330,23 +330,26 @@ object Search extends QueryModule {
     * — the additive-stats contract that makes append-only refresh sound.
     * n_segments is observable in the output, so a collapsed (rebuilt
     * rather than appended) index would fail the oracle too. */
-  def segmentRefresh(s: SparkSession, dir: String): DataFrame = {
-    tune(s)
+  /** Branch the shared 3/4-corpus base index (built once per corpus stamp)
+    * to a caller-private path and append the remaining quarter as segment 1
+    * — the two-segment starting state of the refresh (q166) and compaction
+    * (q178) rigs. Branch paths are PROCESS-unique: the rigs mutate their
+    * index, so two JVMs sharing a working dir (Verify and Bench racing on
+    * target/) must not interleave appends into one directory; the
+    * in-process synchronized covers concurrent queries in one session.
+    * The immutable BASE index builds once and each invocation BRANCHES it
+    * by pure file copy (the q143 pattern) — repeat runs pay file IO, not
+    * a recompute.
+    */
+  private def refreshedBranch(s: SparkSession, dir: String, tag: String): String = {
     val all = docs(s, dir)
     val base = all.filter(col("doc_id") % 4 =!= 3)
     val batch = all.filter(col("doc_id") % 4 === 3)
-    // loop path is PROCESS-unique: the loop mutates its index (branch then
-    // append), so two JVMs sharing a working dir (Verify and Bench racing
-    // on target/) must not interleave appends into one directory. The
-    // in-process synchronized covers concurrent queries in one session.
-    // The immutable BASE index builds once per corpus stamp at a shared
-    // path and each invocation BRANCHES it by pure file copy (the q143
-    // pattern) — repeat runs pay file IO, not a recompute.
     val pid = java.lang.management.ManagementFactory.getRuntimeMXBean.getName
       .replaceAll("[^A-Za-z0-9]", "")
     val sane = dir.replaceAll("[^A-Za-z0-9.]+", "_")
     val basePath = s"target/tmp/search_loop_base_$sane"
-    val path = s"target/tmp/search_loop_${pid}_$sane"
+    val path = s"target/tmp/search_${tag}_${pid}_$sane"
     synchronized {
       val stamp = fixtureStamp(s, dir) + "|base75"
       if (!graft.sources.IndexStore.isCurrent(s, basePath, stamp))
@@ -358,6 +361,12 @@ object Search extends QueryModule {
       graft.sources.IndexStore.append(s, path, "doclen", dl)
       graft.sources.IndexStore.append(s, path, "dict", dict)
     }
+    path
+  }
+
+  def segmentRefresh(s: SparkSession, dir: String): DataFrame = {
+    tune(s)
+    val path = refreshedBranch(s, dir, "loop")
     val idx = loadIndex(s, path)
     val w = org.apache.spark.sql.expressions.Window
       .orderBy(col("cf").desc, col("tok"))
@@ -384,6 +393,73 @@ object Search extends QueryModule {
        |SELECT tok, df, cf, max_tf, n_segments, rn FROM (
        |  SELECT *, CAST(ROW_NUMBER() OVER (ORDER BY cf DESC, tok) AS INT) AS rn
        |  FROM seg)
+       |WHERE rn <= 15""".stripMargin
+
+  /** Public API: compact a persisted search index in place —
+    * [[Dedup.compactIndex]] / [[Similarity.compactVecIndex]]'s lexical
+    * twin, the maintenance op an append-forever segment refresh (q166)
+    * eventually needs. All segments collapse into segment 0; the
+    * dictionary is recomputed from the merged postings (per-term stats
+    * are additive across segments' disjoint doc sets, so the rebuild
+    * equals the SUM/MAX merge readers were computing); postings land in
+    * freshly term-sorted files, restoring the min/max-prunable layout
+    * that many small segment appends erode. Input is ONLY the stored
+    * tables (localCheckpointed first — the rewrite reads the very files
+    * it replaces); stamp and meta are preserved; readers mid-compact see
+    * old or new, never a mix (the store's write-then-rename swap).
+    * The positions table is carried verbatim: refresh does not extend it
+    * (phrase probes serve from full builds), so compaction must not
+    * pretend to rebuild what only a corpus scan could.
+    */
+  def compactSearchIndex(s: SparkSession, path: String): Unit = {
+    val stamp = graft.sources.IndexStore.readStamp(s, path).getOrElse("manual")
+    val meta = graft.sources.IndexStore.readMeta(s, path)
+    val post = graft.sources.IndexStore.read(s, path, "postings")
+      .withColumn("segment", lit(0)).localCheckpoint()
+    val posn = graft.sources.IndexStore.read(s, path, "positions").localCheckpoint()
+    val dl = graft.sources.IndexStore.read(s, path, "doclen")
+      .withColumn("segment", lit(0)).localCheckpoint()
+    val dict = post.groupBy(col("tok"))
+      .agg(count(lit(1)).as("df"), sum(col("tf")).as("cf"), max(col("tf")).as("max_tf"))
+      .withColumn("segment", lit(0))
+    graft.sources.IndexStore.write(s, path, stamp, Seq(
+      "postings" -> post.repartition(col("tok")).sortWithinPartitions(col("tok"), col("doc_id")),
+      "positions" -> posn,
+      "doclen" -> dl,
+      "dict" -> dict), meta)
+  }
+
+  /** q178: segment compaction, audited end-to-end — the q166 rig taken one
+    * step further: branch, refresh to two segments, COMPACT back to one,
+    * and answer the same dictionary audit from the compacted store. The
+    * oracle recomputes from the full corpus with n_segments pinned to 1:
+    * a compaction that lost or duplicated a postings row changes df/cf and
+    * hash-mismatches; one that failed to collapse segments fails on
+    * n_segments. */
+  def segmentCompact(s: SparkSession, dir: String): DataFrame = {
+    tune(s)
+    val path = refreshedBranch(s, dir, "cpt")
+    synchronized { compactSearchIndex(s, path) }
+    val idx = loadIndex(s, path)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("cf").desc, col("tok"))
+    idx.dict
+      .groupBy(col("tok"))
+      .agg(sum(col("df")).as("df"), sum(col("cf")).as("cf"),
+        max(col("max_tf")).as("max_tf"),
+        countDistinct(col("segment")).as("n_segments"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 15)
+      .select(col("tok"), col("df"), col("cf"), col("max_tf"),
+        col("n_segments"), col("rn"))
+  }
+
+  private val segmentCompactSql =
+    s"""WITH $toksSql,
+       |$dictSql
+       |SELECT tok, df, cf, max_tf, CAST(1 AS BIGINT) AS n_segments, rn FROM (
+       |  SELECT *, CAST(ROW_NUMBER() OVER (ORDER BY cf DESC, tok) AS INT) AS rn
+       |  FROM dict)
        |WHERE rn <= 15""".stripMargin
 
   /** q170: exact phrase search over the POSITIONAL side of the persisted
@@ -568,6 +644,9 @@ object Search extends QueryModule {
     GQuery("q166_segment_refresh",
       "Lucene-style segment refresh: append a batch segment, merged dict == fresh build",
       segmentRefresh, Some(segmentRefreshSql)),
+    GQuery("q178_segment_compact",
+      "segment compaction: refresh to two segments, compact in place, audited dict == fresh build at n_segments=1",
+      segmentCompact, Some(segmentCompactSql)),
     GQuery("q167_prefix_setjoin",
       "exact Jaccard>=0.8 set-similarity join via prefix filtering (PPJoin), integer-exact gates",
       prefixSetJoin, Some(prefixSetJoinSql)),

@@ -57,6 +57,17 @@ class SearchSpec extends AnyFunSuite {
       "segment-merged dictionary must equal a fresh whole-corpus build")
   }
 
+  test("segment compaction: one segment, identical dictionary, identical BM25") {
+    val compacted = Search.segmentCompact(s, TestSpark.sf).cache()
+    assert(compacted.filter(col("n_segments") =!= 1).count() == 0,
+      "every surviving dict row must sit in segment 0 after compaction")
+    val fresh = Search.invindexBuild(s, TestSpark.sf).collect().toSeq
+    val got = compacted.select("tok", "df", "cf", "max_tf", "rn").collect().toSeq
+    assert(got.map(_.toString).sorted == fresh.map(_.toString).sorted,
+      "compacted dictionary must equal a fresh whole-corpus build")
+    compacted.unpersist()
+  }
+
   test("phrase search: every phrase matches its source doc, equi-joins only") {
     val df = Search.phraseSearch(s, TestSpark.sf).cache()
     val plan = df.queryExecution.executedPlan.toString
