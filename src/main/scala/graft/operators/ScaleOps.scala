@@ -843,7 +843,78 @@ object ScaleOps extends QueryModule {
        |FROM hit""".stripMargin
   }
 
+  /** Token-budget water-filling (q179): allocate a global token budget
+    * across sources so no source exceeds the common water level — the
+    * budget-constrained fair-mixing step an LLM data pipeline runs when
+    * the corpus is larger than the training budget (small sources keep
+    * everything, large sources are capped at the level that exactly
+    * exhausts the budget). The closed form needs no iteration: sort
+    * sources ascending by count, prefix-sum, and the cut row k0 is the
+    * first k where the candidate level `(B - prefix_{k-1}) div (n-k+1)`
+    * falls below c_k while clearing c_{k-1} — pure integer arithmetic
+    * (non-negative numerators guarded, so truncating div == flooring //).
+    * Everything after the per-source aggregate is |sources|-scale
+    * metadata; the single-partition window is 20 rows here and bounded
+    * by source cardinality at any corpus size.
+    */
+  def budgetWaterfill(s: SparkSession, dir: String): DataFrame = {
+    tune(s)
+    import org.apache.spark.sql.expressions.Window
+    val cnts = table(s, dir, "documents")
+      .select(col("source"),
+        expr("size(filter(split(text, ' '), x -> x != ''))").cast("long").as("tk"))
+      .groupBy(col("source")).agg(sum(col("tk")).as("c"))
+    val tot = cnts.agg(sum(col("c")).as("total"), count(lit(1)).as("n"))
+      .withColumn("budget", expr("(total * 19) div 20"))
+      .select(col("n"), col("budget"))
+    val w = Window.orderBy(col("c"), col("source"))
+    val ranked = cnts
+      .withColumn("k", row_number().over(w).cast("long"))
+      .withColumn("prefix",
+        sum(col("c")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("cprev", lag(col("c"), 1, 0L).over(w))
+      .crossJoin(broadcast(tot))
+    val cut = ranked
+      .withColumn("lvl", expr("(budget - (prefix - c)) div (n - k + 1)"))
+      .filter(col("budget") - (col("prefix") - col("c")) >= 0 &&
+        col("lvl") < col("c") && col("lvl") >= col("cprev"))
+      .orderBy(col("k")).limit(1)
+      .select(col("k").as("k0"), col("lvl"), lit(1).as("one"))
+    ranked.withColumn("one", lit(1))
+      .join(broadcast(cut), Seq("one"), "left")
+      .withColumn("alloc",
+        when(col("k0").isNull || col("k") < col("k0"), col("c")).otherwise(col("lvl")))
+      .select(col("source"), col("c").as("tokens"), col("alloc"),
+        (col("alloc") < col("c")).as("capped"))
+  }
+
+  private val budgetWaterfillSql =
+    """WITH c AS (
+      |  SELECT source,
+      |         CAST(SUM(len(list_filter(string_split(text, ' '), x -> x <> ''))) AS BIGINT) AS c
+      |  FROM documents GROUP BY source),
+      |tot AS (SELECT CAST(SUM(c) AS BIGINT) AS total, CAST(COUNT(*) AS BIGINT) AS n FROM c),
+      |b AS (SELECT (total * 19) // 20 AS budget, n FROM tot),
+      |r AS (SELECT source, c,
+      |             CAST(ROW_NUMBER() OVER (ORDER BY c, source) AS BIGINT) AS k,
+      |             CAST(SUM(c) OVER (ORDER BY c, source ROWS UNBOUNDED PRECEDING) AS BIGINT) AS prefix,
+      |             LAG(c, 1, CAST(0 AS BIGINT)) OVER (ORDER BY c, source) AS cprev
+      |      FROM c),
+      |cand AS (SELECT k AS k0, (budget - (prefix - c)) // (n - k + 1) AS lvl
+      |         FROM r CROSS JOIN b
+      |         WHERE budget - (prefix - c) >= 0
+      |           AND (budget - (prefix - c)) // (n - k + 1) < c
+      |           AND (budget - (prefix - c)) // (n - k + 1) >= cprev
+      |         ORDER BY k LIMIT 1)
+      |SELECT r.source, r.c AS tokens,
+      |       CAST(CASE WHEN cand.k0 IS NULL OR r.k < cand.k0 THEN r.c ELSE cand.lvl END AS BIGINT) AS alloc,
+      |       (CASE WHEN cand.k0 IS NULL OR r.k < cand.k0 THEN r.c ELSE cand.lvl END) < r.c AS capped
+      |FROM r LEFT JOIN cand ON TRUE""".stripMargin
+
   override val queries: Seq[GQuery] = Seq(
+    GQuery("q179_budget_waterfill",
+      "token-budget water-filling across sources: closed-form integer level, metadata-scale window",
+      budgetWaterfill, Some(budgetWaterfillSql)),
     GQuery("q105_heavy_hitters",
       "Count-Min sketch heavy hitters with machine-checked one-sided error contract",
       heavyHitters, Some(heavyHittersSql)),

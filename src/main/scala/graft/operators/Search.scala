@@ -341,7 +341,7 @@ object Search extends QueryModule {
     * by pure file copy (the q143 pattern) — repeat runs pay file IO, not
     * a recompute.
     */
-  private def refreshedBranch(s: SparkSession, dir: String, tag: String): String = {
+  private[graft] def refreshedBranch(s: SparkSession, dir: String, tag: String): String = {
     val all = docs(s, dir)
     val base = all.filter(col("doc_id") % 4 =!= 3)
     val batch = all.filter(col("doc_id") % 4 === 3)
@@ -360,6 +360,12 @@ object Search extends QueryModule {
         post.repartition(col("tok")).sortWithinPartitions(col("tok"), col("doc_id")))
       graft.sources.IndexStore.append(s, path, "doclen", dl)
       graft.sources.IndexStore.append(s, path, "dict", dict)
+      // the positional table refreshes the same way (disjoint doc sets
+      // append cleanly), so phrase probes on a refreshed branch stay
+      // complete — not just the BM25 tables
+      graft.sources.IndexStore.append(s, path, "positions",
+        posToks(spread(batch))
+          .repartition(col("tok")).sortWithinPartitions(col("tok"), col("doc_id"), col("pos")))
     }
     path
   }
@@ -407,9 +413,9 @@ object Search extends QueryModule {
     * tables (localCheckpointed first — the rewrite reads the very files
     * it replaces); stamp and meta are preserved; readers mid-compact see
     * old or new, never a mix (the store's write-then-rename swap).
-    * The positions table is carried verbatim: refresh does not extend it
-    * (phrase probes serve from full builds), so compaction must not
-    * pretend to rebuild what only a corpus scan could.
+    * The positions table (no segment column; refresh appends it like the
+    * others) is re-sorted by term so its file pruning is restored too —
+    * its CONTENT is already complete and needs no recompute.
     */
   def compactSearchIndex(s: SparkSession, path: String): Unit = {
     val stamp = graft.sources.IndexStore.readStamp(s, path).getOrElse("manual")
@@ -424,7 +430,8 @@ object Search extends QueryModule {
       .withColumn("segment", lit(0))
     graft.sources.IndexStore.write(s, path, stamp, Seq(
       "postings" -> post.repartition(col("tok")).sortWithinPartitions(col("tok"), col("doc_id")),
-      "positions" -> posn,
+      "positions" -> posn
+        .repartition(col("tok")).sortWithinPartitions(col("tok"), col("doc_id"), col("pos")),
       "doclen" -> dl,
       "dict" -> dict), meta)
   }

@@ -68,6 +68,18 @@ class SearchSpec extends AnyFunSuite {
     compacted.unpersist()
   }
 
+  test("refresh and compaction keep the positional table complete") {
+    val p = Search.refreshedBranch(s, TestSpark.sf, "spec")
+    val direct = Engine.table(s, TestSpark.sf, "documents")
+      .select(explode(regexp_extract_all(col("text"), lit("[a-z0-9]+"), lit(0))))
+      .count()
+    assert(graft.sources.IndexStore.read(s, p, "positions").count() == direct,
+      "refreshed branch must carry position rows for base AND batch docs")
+    Search.compactSearchIndex(s, p)
+    assert(graft.sources.IndexStore.read(s, p, "positions").count() == direct,
+      "compaction must preserve the positional table verbatim")
+  }
+
   test("phrase search: every phrase matches its source doc, equi-joins only") {
     val df = Search.phraseSearch(s, TestSpark.sf).cache()
     val plan = df.queryExecution.executedPlan.toString
