@@ -160,8 +160,11 @@ object Multimodal extends QueryModule {
   def imageCodec(s: SparkSession, dir: String): DataFrame = {
     tune(s)
     import s.implicits._
-    val docs = table(s, dir, "documents")
-      .select(col("doc_id"), col("source")).as[(Long, String)]
+    // spread: the fixture is one row group, and the codec work is pure CPU
+    // expansion — without the repartition every PNG round-trip runs in ONE
+    // task (Engine.spread's exact contract)
+    val docs = spread(table(s, dir, "documents")
+      .select(col("doc_id"), col("source"))).as[(Long, String)]
     val encoded = docs.mapPartitions { it =>
       it.map { case (id, src) =>
         val img = new java.awt.image.BufferedImage(
@@ -244,8 +247,8 @@ object Multimodal extends QueryModule {
   def audioCodec(s: SparkSession, dir: String): DataFrame = {
     tune(s)
     import s.implicits._
-    val docs = table(s, dir, "documents")
-      .select(col("doc_id"), col("source")).as[(Long, String)]
+    val docs = spread(table(s, dir, "documents")
+      .select(col("doc_id"), col("source"))).as[(Long, String)]
     val n = 256
     val encoded = docs.mapPartitions { it =>
       it.map { case (id, src) =>
@@ -328,8 +331,8 @@ object Multimodal extends QueryModule {
   def framesCodec(s: SparkSession, dir: String): DataFrame = {
     tune(s)
     import s.implicits._
-    val docs = table(s, dir, "documents")
-      .select(col("doc_id"), col("source")).as[(Long, String)]
+    val docs = spread(table(s, dir, "documents")
+      .select(col("doc_id"), col("source"))).as[(Long, String)]
     val encoded = docs.mapPartitions { it =>
       // one writer instance per partition: the "init the codec once per
       // batch" contract from q85, with a real codec
