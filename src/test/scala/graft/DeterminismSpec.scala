@@ -59,6 +59,21 @@ class DeterminismSpec extends AnyFunSuite {
     assert(a == b)
   }
 
+  test("funnel, water-fill, and segment compaction are identical under 1 vs 16 partitions") {
+    // round-9 additions: stacked windows over user partitions (q174), the
+    // closed-form metadata window + limit-1 cut row (q179), and the
+    // branch/refresh/compact store cycle (q178)
+    val a1 = underPartitions(1)(collectSorted(graft.operators.Events.funnelSteps(s, TestSpark.sf)))
+    val b1 = underPartitions(16)(collectSorted(graft.operators.Events.funnelSteps(s, TestSpark.sf)))
+    assert(a1 == b1)
+    val a2 = underPartitions(1)(collectSorted(ScaleOps.budgetWaterfill(s, TestSpark.sf)))
+    val b2 = underPartitions(16)(collectSorted(ScaleOps.budgetWaterfill(s, TestSpark.sf)))
+    assert(a2 == b2)
+    val a3 = underPartitions(2)(collectSorted(graft.operators.Search.segmentCompact(s, TestSpark.sf)))
+    val b3 = underPartitions(16)(collectSorted(graft.operators.Search.segmentCompact(s, TestSpark.sf)))
+    assert(a3 == b3)
+  }
+
   test("cdc apply and importance resample are identical under 1 vs 16 partitions") {
     val a1 = underPartitions(1)(collectSorted(ScaleOps.cdcApply(s, TestSpark.sf)))
     val b1 = underPartitions(16)(collectSorted(ScaleOps.cdcApply(s, TestSpark.sf)))
