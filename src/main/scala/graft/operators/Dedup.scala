@@ -1465,12 +1465,15 @@ object Dedup extends QueryModule {
     * Split labels are least/greatest-normalized so (train,test) and
     * (test,train) aggregate together.
     */
+  /** q125's deterministic hash-bucket split label, checkable per row —
+    * shared by the leakage audit (q132) and its repair (q180). */
+  private def splitOf(c: org.apache.spark.sql.Column) = {
+    val b = pmod(md5Long(concat(lit("split#"), c.cast("string"))), lit(10))
+    when(b < 8, "train").when(b === 8, "val").otherwise("test")
+  }
+
   def splitLeakage(s: SparkSession, dir: String): DataFrame = {
     tune(s)
-    def splitOf(c: org.apache.spark.sql.Column) = {
-      val b = pmod(md5Long(concat(lit("split#"), c.cast("string"))), lit(10))
-      when(b < 8, "train").when(b === 8, "val").otherwise("test")
-    }
     minhashCandidates(s, dir)
       .filter(col("sig_sim") >= IncNearThreshold)
       .withColumn("sa", splitOf(col("da")))
@@ -1503,7 +1506,83 @@ object Dedup extends QueryModule {
        |FROM lab GROUP BY 1, 2""".stripMargin
   }
 
+  /** Split-leakage REPAIR (q180): the production half q132's audit
+    * motivates — reassign every leaking near-dup CLUSTER to one split so
+    * no pair crosses the boundary. The cluster's canonical member (its
+    * min doc_id, which IS the CC label) dictates the split: every member
+    * takes `splitOf(lab)`, un-clustered docs keep their own. Because both
+    * endpoints of every near-dup pair share a cluster, the repaired
+    * assignment is leak-free BY CONSTRUCTION — and the query proves it
+    * in-frame: `n_residual_leaks` recomputes crossing pairs on the
+    * repaired labels (a constant-0 column the oracle hash-checks rather
+    * than a claim in a doc comment). Output is the from->to movement
+    * matrix. Rides the q61 pair substrate + the shared CC labeling; the
+    * only new work is two label joins and a groupBy.
+    */
+  def leakageRepair(s: SparkSession, dir: String): DataFrame = {
+    tune(s)
+    val pairs = minhashCandidates(s, dir)
+      .filter(col("sig_sim") >= IncNearThreshold)
+      .select(col("da"), col("db"))
+    val labels = connectedComponents(pairs)
+      .select(col("n").as("doc_id"), col("lab"))
+    val rep = augmentedDocs(s, dir).select(col("doc_id"))
+      .join(labels, Seq("doc_id"), "left")
+      .withColumn("from_split", splitOf(col("doc_id")))
+      .withColumn("to_split",
+        when(col("lab").isNull, splitOf(col("doc_id"))).otherwise(splitOf(col("lab"))))
+    val resid = pairs
+      .join(rep.select(col("doc_id").as("da"), col("to_split").as("ta")), "da")
+      .join(rep.select(col("doc_id").as("db"), col("to_split").as("tb")), "db")
+      .agg(coalesce(sum(when(col("ta") =!= col("tb"), 1L).otherwise(0L)), lit(0L))
+        .as("n_residual_leaks"))
+    rep.groupBy(col("from_split"), col("to_split"))
+      .agg(count(lit(1)).as("n_docs"))
+      .crossJoin(broadcast(resid))
+  }
+
+  private val leakageRepairSql = {
+    val sim = (0 until 16).map(j => s"CASE WHEN a.m$j = b.m$j THEN 1 ELSE 0 END").mkString(" + ")
+    def splitOf(c: String) =
+      s"""CASE WHEN ${MD5L(s"'split#' || CAST($c AS VARCHAR)")} % 10 < 8 THEN 'train'
+         |     WHEN ${MD5L(s"'split#' || CAST($c AS VARCHAR)")} % 10 = 8 THEN 'val'
+         |     ELSE 'test' END""".stripMargin
+    s"""WITH RECURSIVE $augmentedDocsSql,
+       |$shinglesSql,
+       |$minhashSigsSql,
+       |$bandRowsSql,
+       |$candSql,
+       |prs AS (
+       |  SELECT da, db
+       |  FROM cand JOIN sigs a ON a.doc_id = da JOIN sigs b ON b.doc_id = db
+       |  WHERE ($sim) / 16.0 >= 0.5),
+       |edges AS (SELECT da AS n, db AS m FROM prs UNION SELECT db, da FROM prs),
+       |reach(n, lab) AS (
+       |  SELECT n, n FROM (SELECT DISTINCT n FROM edges)
+       |  UNION
+       |  SELECT e.n, r.lab FROM edges e JOIN reach r ON r.n = e.m),
+       |labels AS (SELECT n AS doc_id, MIN(lab) AS lab FROM reach GROUP BY n),
+       |rep AS (
+       |  SELECT d.doc_id,
+       |         ${splitOf("d.doc_id")} AS from_split,
+       |         CASE WHEN l.lab IS NULL THEN ${splitOf("d.doc_id")}
+       |              ELSE ${splitOf("l.lab")} END AS to_split
+       |  FROM docs d LEFT JOIN labels l ON l.doc_id = d.doc_id),
+       |resid AS (
+       |  SELECT CAST(COALESCE(SUM(CASE WHEN ra.to_split <> rb.to_split THEN 1 ELSE 0 END), 0) AS BIGINT)
+       |           AS n_residual_leaks
+       |  FROM prs
+       |  JOIN rep ra ON ra.doc_id = prs.da
+       |  JOIN rep rb ON rb.doc_id = prs.db)
+       |SELECT from_split, to_split, COUNT(*) AS n_docs, resid.n_residual_leaks
+       |FROM rep CROSS JOIN resid
+       |GROUP BY from_split, to_split, resid.n_residual_leaks""".stripMargin
+  }
+
   override val queries: Seq[GQuery] = Seq(
+    GQuery("q180_leakage_repair",
+      "cluster-level split repair: leaking near-dup clusters reassigned to their canonical split; residual leaks proven 0 in-frame",
+      leakageRepair, Some(leakageRepairSql)),
     GQuery("q60_dedup_exact", "exact dedup via hash-groupBy keep-first, per-lang summary",
       dedupExact, Some(dedupExactSql)),
     GQuery("q61_minhash_lsh", "MinHash signatures + LSH band-bucket candidate pairs (no crossJoin)",

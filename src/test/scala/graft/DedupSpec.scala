@@ -402,4 +402,20 @@ class DedupSpec extends AnyFunSuite {
     assert(novelKeys.forall(bf2.mightContainString),
       "refreshed digests must hit the merged bloom")
   }
+
+  test("leakage repair conserves every doc and leaves zero crossing pairs") {
+    import org.apache.spark.sql.functions._
+    val rep = Dedup.leakageRepair(s, TestSpark.sf).cache()
+    assert(rep.filter(col("n_residual_leaks") =!= 0L).count() == 0,
+      "cluster-level reassignment must eliminate every crossing pair")
+    val moved = rep.agg(sum("n_docs")).collect()(0).getLong(0)
+    val total = Dedup.augmentedDocs(s, TestSpark.sf).count()
+    assert(moved == total, s"movement matrix must conserve docs: $moved vs $total")
+    // the audit must still see leaks PRE-repair, or the rig proves nothing
+    val pre = Dedup.splitLeakage(s, TestSpark.sf)
+      .filter(col("split_a") =!= col("split_b"))
+      .agg(coalesce(sum("n_pairs"), lit(0L))).collect()(0).getLong(0)
+    assert(pre > 0, "fixture must contain cross-split near-dup pairs to repair")
+    rep.unpersist()
+  }
 }
