@@ -65,8 +65,9 @@ object TextOps extends QueryModule {
     * into a bounded [0,1] score and bucketed into deciles. The double
     * arithmetic is written in the same order in both engines.
     */
-  def qualityScore(s: SparkSession, dir: String): DataFrame = {
-    tune(s)
+  /** Per-doc quality score + decile bucket — the shared frame behind the
+    * bucket profile (q67) and the curriculum interleave (q181). */
+  private def qualityPerDoc(s: SparkSession, dir: String): DataFrame =
     spread(table(s, dir, "documents"))
       .withColumn("pt", concat(lit(" "), col("text"), lit(" ")))
       .withColumn("n_tok", size(regexp_extract_all(col("text"), lit("[a-z0-9]+"), lit(0))))
@@ -79,24 +80,85 @@ object TextOps extends QueryModule {
         lit(0.3) * least(col("n_tok") / lit(300.0), lit(1.0)) +
         lit(0.3) * (lit(1.0) - least(col("stop_ratio") * lit(5.0), lit(1.0))))
       .withColumn("bucket", floor(col("quality") * 10).cast("long"))
+      .select(col("doc_id"), col("quality"), col("bucket"))
+
+  /** The same per-doc frame as a DuckDB CTE named `qdoc`. */
+  private val qualityPerDocSql =
+    s"""qdoc AS (
+       |  SELECT doc_id, quality, CAST(floor(quality * 10) AS BIGINT) AS bucket FROM (
+       |    SELECT doc_id, 0.4 * least(avg_wlen / 8.0, 1.0)
+       |         + 0.3 * least(n_tok / 300.0, 1.0)
+       |         + 0.3 * (1.0 - least(stop_ratio * 5.0, 1.0)) AS quality
+       |    FROM (
+       |      SELECT doc_id, n_tok, alpha_len / n_tok AS avg_wlen, stop_cnt / n_tok AS stop_ratio
+       |      FROM (
+       |        SELECT doc_id, CAST(len(regexp_extract_all(text, '[a-z0-9]+')) AS INT) AS n_tok,
+       |               length(regexp_replace(text, '[^a-z0-9]', '', 'g')) AS alpha_len,
+       |               ${wcountSql("a")} + ${wcountSql("the")} AS stop_cnt
+       |        FROM (SELECT doc_id, text, ' ' || text || ' ' AS pt FROM documents)))))""".stripMargin
+
+  def qualityScore(s: SparkSession, dir: String): DataFrame = {
+    tune(s)
+    qualityPerDoc(s, dir)
       .groupBy(col("bucket"))
       .agg(count(lit(1)).as("n"), davg(col("quality"), 9).as("avg_quality"))
   }
 
   private val qualityScoreSql =
-    s"""SELECT bucket, COUNT(*) AS n, ${DAVG("quality", 9)} AS avg_quality FROM (
-       |  SELECT CAST(floor(quality * 10) AS BIGINT) AS bucket, quality FROM (
-       |    SELECT 0.4 * least(avg_wlen / 8.0, 1.0)
-       |         + 0.3 * least(n_tok / 300.0, 1.0)
-       |         + 0.3 * (1.0 - least(stop_ratio * 5.0, 1.0)) AS quality
-       |    FROM (
-       |      SELECT n_tok, alpha_len / n_tok AS avg_wlen, stop_cnt / n_tok AS stop_ratio
-       |      FROM (
-       |        SELECT CAST(len(regexp_extract_all(text, '[a-z0-9]+')) AS INT) AS n_tok,
-       |               length(regexp_replace(text, '[^a-z0-9]', '', 'g')) AS alpha_len,
-       |               ${wcountSql("a")} + ${wcountSql("the")} AS stop_cnt
-       |        FROM (SELECT text, ' ' || text || ' ' AS pt FROM documents)))))
-       |GROUP BY bucket""".stripMargin
+    s"""WITH $qualityPerDocSql
+       |SELECT bucket, COUNT(*) AS n, ${DAVG("quality", 9)} AS avg_quality
+       |FROM qdoc GROUP BY bucket""".stripMargin
+
+  /** Curriculum interleave (q181): a deterministic training order over the
+    * corpus in which consecutive positions cycle through the quality
+    * deciles — the data-ordering step between scoring (q67) and packing
+    * (q102), so a training run sees a stable mix of qualities instead of
+    * accidental clumps. Rank derivation is SHARDED (q102's discipline):
+    * docs hash into 32 shards, ranks are per-(bucket, shard) window
+    * partitions — genuinely parallel at any corpus size, never a
+    * one-reducer-per-decile sort — and the position formula
+    * `(r-1)*320 + shard*10 + bucket` keeps the decile cycle
+    * (pos mod 10 == bucket). The per-bucket rollup carries a modular
+    * position-assignment digest, so the ORDER itself is hash-verified
+    * cross-engine, not just the counts.
+    */
+  def curriculum(s: SparkSession, dir: String): DataFrame = {
+    tune(s)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("bucket"), col("shard"))
+      .orderBy(col("hk"), col("doc_id"))
+    qualityPerDoc(s, dir)
+      .withColumn("hk", md5Long(concat(lit("cur#"), col("doc_id").cast("string"))))
+      .withColumn("shard", pmod(col("hk"), lit(32)))
+      .withColumn("r", row_number().over(w).cast("long"))
+      .withColumn("pos", (col("r") - 1) * 320 + col("shard") * 10 + col("bucket"))
+      .withColumn("dg",
+        pmod(md5Long(concat(col("pos").cast("string"), lit("#"), col("doc_id").cast("string"))),
+          lit(1000000)))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("pos")).as("min_pos"),
+        max(col("pos")).as("max_pos"),
+        sum(col("dg")).as("order_digest"))
+  }
+
+  private val curriculumSql =
+    s"""WITH $qualityPerDocSql,
+       |rk AS (
+       |  SELECT doc_id, bucket, hk, hk % 32 AS shard,
+       |         CAST(ROW_NUMBER() OVER (
+       |           PARTITION BY bucket, hk % 32 ORDER BY hk, doc_id) AS BIGINT) AS r
+       |  FROM (SELECT doc_id, bucket,
+       |               ${MD5L("'cur#' || CAST(doc_id AS VARCHAR)")} AS hk
+       |        FROM qdoc)),
+       |ps AS (
+       |  SELECT bucket, (r - 1) * 320 + shard * 10 + bucket AS pos, doc_id FROM rk)
+       |SELECT bucket, COUNT(*) AS n_docs,
+       |       CAST(MIN(pos) AS BIGINT) AS min_pos,
+       |       CAST(MAX(pos) AS BIGINT) AS max_pos,
+       |       CAST(SUM(${MD5L("CAST(pos AS VARCHAR) || '#' || CAST(doc_id AS VARCHAR)")} % 1000000) AS BIGINT)
+       |         AS order_digest
+       |FROM ps GROUP BY bucket""".stripMargin
 
   /** Token statistics per language: doc counts, total/mean tokens, distinct
     * vocabulary size. Two aggregations joined on lang (the explode for
@@ -952,5 +1014,8 @@ object TextOps extends QueryModule {
     GQuery("q176_bpe_encode",
       "tokenizer apply: encode the corpus with q171's learned merges, per-lang compression oracled end-to-end",
       bpeEncode, Some(bpeEncodeSql)),
+    GQuery("q181_curriculum",
+      "quality-decile curriculum interleave: sharded ranks, position digest hash-verifies the order cross-engine",
+      curriculum, Some(curriculumSql)),
   )
 }

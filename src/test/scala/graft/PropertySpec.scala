@@ -127,6 +127,19 @@ class PropertySpec extends AnyFunSuite {
     enc.unpersist()
   }
 
+  test("curriculum interleave: every position carries its decile, corpus covered once") {
+    import org.apache.spark.sql.functions._
+    val cur = graft.operators.TextOps.curriculum(s, TestSpark.sf).cache()
+    // the decile cycle is positional: pos mod 10 == bucket for every doc,
+    // so it must hold at both group extremes
+    assert(cur.filter(pmod(col("min_pos"), lit(10)) =!= col("bucket")).count() == 0)
+    assert(cur.filter(pmod(col("max_pos"), lit(10)) =!= col("bucket")).count() == 0)
+    val total = cur.agg(sum("n_docs")).collect()(0).getLong(0)
+    val docs = s.read.parquet(s"${TestSpark.sf}/documents.parquet").count()
+    assert(total == docs, "every doc gets exactly one curriculum position")
+    cur.unpersist()
+  }
+
   test("bigram surprisal scoring: sane ranges and complete per-lang coverage") {
     import org.apache.spark.sql.functions._
     val out = graft.operators.TextOps.lmPerplexity(s, TestSpark.sf).cache()
