@@ -127,7 +127,7 @@ object Events extends QueryModule {
            sum(col("n_events")).cast("long").as("n_events"))
   }
 
-  private val sessionsSql =
+  private[graft] val sessionsSql =
     """SELECT user_id,
       |CAST(1 + SUM(CASE WHEN gap > 1800000000 THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions,
       |COUNT(*) AS n_events

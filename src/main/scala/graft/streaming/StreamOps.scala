@@ -117,6 +117,47 @@ object StreamOps extends QueryModule {
     }
   }
 
+  /** Streaming gap-based sessionization (q182): session_window with a
+    * watermark over the events file stream — the merging-window shape
+    * (sessions EXTEND as events arrive, unlike fixed tumbling buckets)
+    * that exercises Spark's session-merge state store path. AvailableNow
+    * single batch == batch sessionization, so the per-user rollup is
+    * verified against the SAME oracle as the batch q72: streaming == batch
+    * for the sessionization family too. At scale, state is bounded by the
+    * watermark: a session older than (max event time - 1h) can never merge
+    * with future input and is evicted on window close.
+    */
+  def streamSessions(s: SparkSession, dir: String): DataFrame = {
+    tune(s)
+    withStatePartitions(s, 8) {
+      val schema = s.read.parquet(s"$dir/events.parquet").schema
+      val src = s.readStream
+        .schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(dir)
+      val perSession = src
+        .withColumn("et", tsEventTime(src))
+        .withWatermark("et", "1 hour")
+        .groupBy(col("user_id"), session_window(col("et"), "30 minutes"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(col("user_id"), col("n_events"))
+      val qname = s"graft_stream_sessions_${counter.incrementAndGet()}"
+      val q = perSession.writeStream
+        .format("memory")
+        .queryName(qname)
+        .option("checkpointLocation", s"$ckBase/$qname")
+        .outputMode("complete")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      dropCheckpoint(s"$ckBase/$qname")
+      s.table(qname)
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_sessions"),
+          sum(col("n_events")).cast("long").as("n_events"))
+    }
+  }
+
   final case class UserCount(user_id: Long, n_events: Long)
 
   /** Custom streaming state (ST1/X3 surface): per-user running event counts
@@ -823,6 +864,10 @@ object StreamOps extends QueryModule {
     GQuery("q169_stream_interval_join",
       "stream-stream interval join (click->purchase attribution), watermark-bounded state",
       streamIntervalJoin, Some(streamIntervalJoinSql)),
+    // Same oracle as the batch q72 — sessionization's streaming == batch.
+    GQuery("q182_stream_sessions",
+      "streaming session_window sessionization (merging-window state), AvailableNow; oracle == batch q72",
+      streamSessions, Some(graft.operators.Events.sessionsSql)),
     // Same oracle as the batch q164 — retrieval's streaming == batch.
     GQuery("q177_stream_search",
       "streaming BM25 serving: per-micro-batch query scoring against the frozen inverted index; oracle == batch q164",

@@ -42,6 +42,14 @@ class StreamingSpec extends AnyFunSuite {
     assert(stream.except(batch).isEmpty && batch.except(stream).isEmpty)
   }
 
+  test("streaming session_window sessionization == batch sessionization") {
+    val stream = StreamOps.streamSessions(s, TestSpark.sf)
+    val batch = Events.sessions(s, TestSpark.sf)
+    assert(stream.count() > 0)
+    assert(stream.except(batch).isEmpty && batch.except(stream).isEmpty,
+      "merging-window streaming sessions must equal the batch rollup")
+  }
+
   test("streaming BM25 serving == batch top-k from the same frozen index") {
     val stream = StreamOps.streamSearch(s, TestSpark.sf)
     val batch = graft.operators.Search.bm25TopK(s, TestSpark.sf)
