@@ -51,6 +51,20 @@ class EventsSpec extends AnyFunSuite {
     assert(plag >= 0 && plag <= np * 21600000000L, s"purchase lag sum out of window: $plag")
   }
 
+  test("q174 plans one data shuffle feeding three stacked windows") {
+    val plan = operators.Events.funnelSteps(s, TestSpark.sf)
+      .queryExecution.executedPlan.toString
+    // the funnel's scale shape: filters at the scan, ONE user_id exchange,
+    // three Window nodes sharing its sort — never per-stage join/agg chains
+    val windows = "(?m)^\\s*(?:[:+]-)?\\s*\\+?- Window".r.findAllIn(plan).length
+    assert(plan.split("Exchange").length - 1 <= 3,
+      s"funnel must not re-shuffle per stage:\n$plan")
+    assert(windows == 3 || plan.split("\\bWindow\\b").length - 1 >= 3,
+      s"expected three stacked Window nodes:\n$plan")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("BroadcastHashJoin"),
+      "the window form must not plan stage joins")
+  }
+
   test("q175 anomaly flags match a direct recomputation for one event type") {
     val raw = Engine.table(s, TestSpark.sf, "events")
     val hours = raw
