@@ -430,6 +430,73 @@ object TextOps extends QueryModule {
            max(col("n_overlap")).as("max_overlap"))
   }
 
+  /** Decontamination REPAIR (q183): the production half of q48's audit —
+    * drop every corpus doc whose 8-gram overlap with the held-out
+    * benchmark slice crosses the 10% contamination rule, and emit the
+    * cleaned per-language corpus stats (the q132 -> q180 audit->repair
+    * symmetry, applied to benchmark contamination). Rides the SAME cached
+    * row-local gram substrate and overlap probe as q48 — the only new
+    * work is the documents join for token counts and one rollup. Docs the
+    * gram substrate skips (length < 8: too short to overlap by even one
+    * 8-gram) are kept by definition.
+    */
+  def decontaminate(s: SparkSession, dir: String): DataFrame = {
+    tune(s)
+    val docGrams = graft.SessionCache.cached(s, s"textops:grams8:$dir") {
+      spread(table(s, dir, "documents"))
+        .filter(length(col("text")) >= 8)
+        .select(col("doc_id"), col("lang"),
+          expr("array_distinct(transform(sequence(1, length(text)-7), " +
+            "i -> graft_md5_60(substr(text, i, 8))))").as("hs"))
+    }
+    val bench = docGrams.filter(col("doc_id") % 100 === 0)
+      .select(explode(col("hs")).as("h")).distinct()
+    val overlap = docGrams.filter(col("doc_id") % 100 =!= 0)
+      .select(col("doc_id"), explode(col("hs")).as("h"))
+      .join(broadcast(bench), Seq("h"), "left_semi")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_overlap"))
+    val flagged = docGrams.filter(col("doc_id") % 100 =!= 0)
+      .select(col("doc_id"), size(col("hs")).as("n_grams"))
+      .join(overlap, Seq("doc_id"), "left")
+      .filter(coalesce(col("n_overlap"), lit(0L)) * 10 >= col("n_grams"))
+      .select(col("doc_id"), lit(1).as("bad"))
+    table(s, dir, "documents")
+      .filter(col("doc_id") % 100 =!= 0)
+      .select(col("doc_id"), col("lang"),
+        expr("size(filter(split(text, ' '), x -> x != ''))").cast("long").as("tk"))
+      .join(flagged, Seq("doc_id"), "left")
+      .groupBy(col("lang"))
+      .agg(sum(when(col("bad").isNull, 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("bad").isNotNull, 1L).otherwise(0L)).as("n_dropped"),
+        coalesce(sum(when(col("bad").isNull, col("tk"))), lit(0L)).as("tok_kept"))
+  }
+
+  private val decontaminateSql =
+    """WITH grams AS (
+      |  SELECT doc_id, lang, (('0x' || substr(md5(substr(text, i, 8)), 1, 15))::BIGINT) AS h
+      |  FROM (SELECT doc_id, lang, text, unnest(range(1, length(text)-6)) AS i
+      |        FROM documents WHERE length(text) >= 8)),
+      |bench AS (SELECT DISTINCT h FROM grams WHERE doc_id % 100 = 0),
+      |corpus AS (SELECT * FROM grams WHERE doc_id % 100 <> 0),
+      |ov AS (SELECT doc_id, COUNT(DISTINCT h) AS n_overlap
+      |       FROM corpus WHERE h IN (SELECT h FROM bench)
+      |       GROUP BY doc_id),
+      |per_doc AS (
+      |  SELECT c.doc_id, COUNT(DISTINCT c.h) AS n_grams,
+      |         COALESCE(ANY_VALUE(ov.n_overlap), 0) AS n_overlap
+      |  FROM corpus c LEFT JOIN ov ON ov.doc_id = c.doc_id
+      |  GROUP BY c.doc_id),
+      |bad AS (SELECT doc_id FROM per_doc WHERE n_overlap * 10 >= n_grams)
+      |SELECT d.lang,
+      |CAST(SUM(CASE WHEN b.doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+      |CAST(SUM(CASE WHEN b.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+      |CAST(COALESCE(SUM(CASE WHEN b.doc_id IS NULL
+      |  THEN len(list_filter(string_split(d.text, ' '), x -> x <> '')) END), 0) AS BIGINT) AS tok_kept
+      |FROM documents d LEFT JOIN bad b ON b.doc_id = d.doc_id
+      |WHERE d.doc_id % 100 <> 0
+      |GROUP BY d.lang""".stripMargin
+
   private val contaminationSql =
     """WITH grams AS (
       |  SELECT doc_id, lang, (('0x' || substr(md5(substr(text, i, 8)), 1, 15))::BIGINT) AS h
@@ -1017,5 +1084,8 @@ object TextOps extends QueryModule {
     GQuery("q181_curriculum",
       "quality-decile curriculum interleave: sharded ranks, position digest hash-verifies the order cross-engine",
       curriculum, Some(curriculumSql)),
+    GQuery("q183_decontaminate",
+      "decontamination repair: drop docs crossing q48's 10% benchmark-overlap rule, cleaned per-lang corpus stats",
+      decontaminate, Some(decontaminateSql)),
   )
 }

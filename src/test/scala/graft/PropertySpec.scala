@@ -140,6 +140,22 @@ class PropertySpec extends AnyFunSuite {
     cur.unpersist()
   }
 
+  test("decontamination repair drops exactly the docs the audit flags") {
+    import org.apache.spark.sql.functions._
+    val audit = graft.operators.TextOps.contamination(s, TestSpark.sf)
+      .select(col("lang"), col("n_contaminated"))
+    val repair = graft.operators.TextOps.decontaminate(s, TestSpark.sf).cache()
+    val joined = repair.join(audit, "lang")
+    assert(joined.filter(col("n_dropped") =!= col("n_contaminated")).count() == 0,
+      "q183 must drop per lang exactly what q48 counts as contaminated")
+    // conservation: kept + dropped covers the whole non-benchmark corpus
+    val total = repair.agg(sum(col("n_kept") + col("n_dropped"))).collect()(0).getLong(0)
+    val corpus = s.read.parquet(s"${TestSpark.sf}/documents.parquet")
+      .filter(col("doc_id") % 100 =!= 0).count()
+    assert(total == corpus, s"repair must cover the corpus: $total vs $corpus")
+    repair.unpersist()
+  }
+
   test("bigram surprisal scoring: sane ranges and complete per-lang coverage") {
     import org.apache.spark.sql.functions._
     val out = graft.operators.TextOps.lmPerplexity(s, TestSpark.sf).cache()
