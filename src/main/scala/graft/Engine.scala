@@ -38,6 +38,14 @@ object Engine {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.adaptive.enabled", "true")
+    // RocksDB state store engine-wide: merging-session / dedup / watermark
+    // state must spill to disk at scale, not live in the HDFS-backed
+    // in-memory map (the default provider keeps N versions of every store
+    // on-heap — the wrong posture for 100x session state). Queries that
+    // REQUIRE RocksDB (transformWithState) keep their explicit set as a
+    // belt-and-suspenders guard.
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
     // native vector functions usable from SQL in any session (see also
     // graft.functions.GraftExtensions for the spark.sql.extensions path)
     graft.functions.VectorFunctions.register(spark)

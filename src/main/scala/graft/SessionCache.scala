@@ -28,14 +28,16 @@ object SessionCache {
 
   private val maxSessions = 4
 
-  private type Frames = scala.collection.mutable.Map[String, DataFrame]
+  private final case class Entry(value: Any, cleanup: () => Unit)
+
+  private type Frames = scala.collection.mutable.Map[String, Entry]
 
   private val perSession =
     new java.util.LinkedHashMap[SparkSession, Frames](16, 0.75f, /*accessOrder=*/ true) {
       override def removeEldestEntry(e: java.util.Map.Entry[SparkSession, Frames]): Boolean =
         if (size > maxSessions) {
           // best-effort: the evicted session may already be stopped
-          e.getValue.values.foreach(df => scala.util.Try(df.unpersist()))
+          e.getValue.values.foreach(en => scala.util.Try(en.cleanup()))
           true
         } else false
     }
@@ -45,10 +47,24 @@ object SessionCache {
     * itself call [[cached]] for its upstream substrate frames.
     */
   def cached(s: SparkSession, key: String)(build: => DataFrame): DataFrame =
+    cachedValue[DataFrame](s, key)(build.cache())(df => { df.unpersist(); () })
+
+  /** Get-or-build an arbitrary memoized value for (session, key) in the
+    * SAME bounded LRU as [[cached]] — evicting a session runs each entry's
+    * `cleanup` (e.g. unpersisting a checkpointed frame the value holds).
+    * For composite run artifacts (the BPE training run) that aren't a bare
+    * DataFrame but still pin cluster memory via one.
+    */
+  def cachedValue[T](s: SparkSession, key: String)(build: => T)(cleanup: T => Unit): T =
     synchronized {
       perSession
         .computeIfAbsent(s, _ => scala.collection.mutable.Map.empty)
-        .getOrElseUpdate(key, build.cache())
+        .getOrElseUpdate(key, {
+          val v = build
+          Entry(v, () => cleanup(v))
+        })
+        .value
+        .asInstanceOf[T]
     }
 
   /** Number of sessions currently holding cached frames (test hook). */

@@ -65,6 +65,56 @@ class EventsSpec extends AnyFunSuite {
       "the window form must not plan stage joins")
   }
 
+  test("q174/q72 stay single-shuffle and correct under a hot key (one user = 30x the rest)") {
+    // Window.partitionBy(user_id) exchanges do NOT get AQE skew-splitting
+    // (that applies to join/rebalance exchanges only) — a hot user costs one
+    // task's ordered pass, bounded by per-user volume. This fixture pins
+    // that bound: one user with 10^4 events vs 30 users with 10, and the
+    // funnel/session results plus plan shape must hold. A change that makes
+    // per-user cost superlinear (e.g. a self-join inside the window) or
+    // re-introduces per-stage shuffles fails here.
+    val dir = java.nio.file.Files.createTempDirectory("graft-hotkey").toString
+    val types = Seq("view", "click", "purchase")
+    val hot = (0 until 10000).map { i =>
+      (i.toLong, i.toLong * 1000000L, 1L, types(i % 3), 1.0, "{}")
+    }
+    val cold = for (u <- 2 to 31; j <- 0 until 10) yield {
+      val tpe = if (j == 0) "view" else if (j == 1 && u % 2 == 0) "click" else "other"
+      (100000L + u * 100 + j, u.toLong * 100000000000L + j * 300000000L, u.toLong, tpe, 1.0, "{}")
+    }
+    (hot ++ cold).toDF("event_id", "us", "user_id", "event_type", "value", "props")
+      .withColumn("ts", expr("timestamp_micros(us)"))
+      .select("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+
+    val t0 = System.nanoTime()
+    val funnel = operators.Events.funnelSteps(s, dir)
+    val r = funnel.collect()(0)
+    // hot user converts view(0s)->click(1s)->purchase(2s); 15 even cold
+    // users click 300s after their view; nobody else converts
+    assert(r.getLong(0) == 31L, s"n_view: ${r.getLong(0)}")
+    assert(r.getLong(1) == 16L, s"n_click: ${r.getLong(1)}")
+    assert(r.getLong(2) == 1000000L + 15L * 300000000L, s"click lag sum: ${r.getLong(2)}")
+    assert(r.getLong(3) == 1L && r.getLong(4) == 1000000L, "purchase step")
+
+    // shape on a fresh frame: the executed AdaptiveSparkPlan's toString
+    // prints Final AND Initial plan sections, double-counting exchanges
+    val plan = operators.Events.funnelSteps(s, dir).queryExecution.executedPlan.toString
+    assert(plan.split("Exchange").length - 1 <= 3,
+      s"hot key must not add shuffles:\n$plan")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("BroadcastHashJoin"),
+      "the window form must not plan stage joins under skew")
+
+    val sess = operators.Events.sessions(s, dir)
+      .filter(col("user_id") === 1L).collect()(0)
+    assert(sess.getLong(1) == 1L && sess.getLong(2) == 10000L,
+      s"hot user sessionizes to one 10k-event session: $sess")
+    // trip wire for a superlinear per-user pass (linear takes < 1s here)
+    val sec = (System.nanoTime() - t0) / 1e9
+    assert(sec < 60.0, f"hot-key funnel+sessions took $sec%.1f s — superlinear per-user cost?")
+  }
+
   test("q175 anomaly flags match a direct recomputation for one event type") {
     val raw = Engine.table(s, TestSpark.sf, "events")
     val hours = raw

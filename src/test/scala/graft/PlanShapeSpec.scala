@@ -17,14 +17,34 @@ class PlanShapeSpec extends AnyFunSuite {
   private def planOf(df: org.apache.spark.sql.DataFrame): String =
     df.queryExecution.executedPlan.toString
 
+  private def fileScans(
+      df: org.apache.spark.sql.DataFrame): Seq[org.apache.spark.sql.execution.FileSourceScanExec] = {
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    def go(p: SparkPlan): Seq[FileSourceScanExec] = p match {
+      case a: AdaptiveSparkPlanExec => go(a.executedPlan)
+      case f: FileSourceScanExec => Seq(f)
+      case other => other.children.flatMap(go)
+    }
+    go(df.queryExecution.executedPlan)
+  }
+
   test("q01: the date filter is pushed into the parquet scan, columns pruned") {
-    val plan = planOf(operators.Cleaning.pipelineAgg(s, TestSpark.sf))
-    assert(plan.contains("PushedFilters") && plan.contains("l_shipdate"),
-      s"the shipdate predicate must reach the scan:\n$plan")
+    // assert on the scan node's actual requiredSchema / metadata, not the
+    // plan string — toString truncates ReadSchema/PushedFilters past
+    // spark.sql.maxMetadataStringLength, so a substring check can pass
+    // vacuously on a wide unpruned schema
+    val df = operators.Cleaning.pipelineAgg(s, TestSpark.sf)
+    val li = fileScans(df).filter(_.requiredSchema.fieldNames.exists(_.startsWith("l_")))
+    assert(li.nonEmpty, s"expected a lineitem parquet scan:\n${planOf(df)}")
+    assert(li.exists(_.metadata.get("PushedFilters").exists(_.contains("l_shipdate"))),
+      s"the shipdate predicate must reach the scan: " +
+        li.map(_.metadata.getOrElse("PushedFilters", "")).mkString("; "))
     // column pruning: the scan's schema must not read the full 16-column
     // lineitem row for a 7-column aggregation
-    assert(!plan.contains("l_comment") && !plan.contains("l_receiptdate"),
-      "unused lineitem columns must be pruned from the scan")
+    val fields = li.flatMap(_.requiredSchema.fieldNames).toSet
+    assert(!fields.contains("l_comment") && !fields.contains("l_receiptdate"),
+      s"unused lineitem columns must be pruned from the scan, got: $fields")
   }
 
   test("q10: every dimension broadcasts; the only hash exchange is the final agg's") {
