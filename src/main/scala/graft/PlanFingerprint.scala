@@ -1,0 +1,179 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+import org.apache.spark.sql.catalyst.plans.physical.{HashPartitioning, RangePartitioning, SinglePartition}
+
+/** Physical-plan fingerprints: a small structural summary of a query's
+  * executed plan — exchange counts by kind, join strategy counts,
+  * cartesian/top-k presence, scan + pushed-filter counts — that is stable
+  * run-to-run at a fixed scale factor, but changes whenever the plan
+  * SHAPE drifts (a lost broadcast, an extra shuffle, a filter that stops
+  * reaching the scan).
+  *
+  * The correctness gate (hash vs the DuckDB oracle) cannot see plan
+  * drift: a query that silently gains an exchange or loses a pushdown
+  * still returns the right rows, just 10-100x slower at scale. The
+  * fingerprints of the most expensive bench queries are therefore locked
+  * in `src/test/resources/plan_fingerprints.lock` and asserted by
+  * PlanFingerprintSpec on every test run, at the test fixture SF
+  * (sf0.001), in the TestSpark session configuration.
+  *
+  * Regenerate (after an INTENTIONAL plan change — read the spec's diff
+  * first, then): `sbt "runMain graft.PlanFingerprint"` and commit the
+  * lockfile with a message saying WHY the shape moved.
+  */
+object PlanFingerprint {
+
+  /** The queries whose plans are locked: the most expensive tail of the
+    * sf0.1 bench (where a silent shape regression costs the most), plus
+    * the classic shapes PlanShapeSpec pins in richer detail. Streaming
+    * rigs (q177/q182/...) are excluded: their returned frame is a
+    * harness artifact (the interesting invariants — state store kind,
+    * stream==batch equality — live in StreamingSpec), and their fn runs
+    * a full multi-batch stream per call, which would dominate suite
+    * time for a fingerprint of a result-collection frame.
+    */
+  val locked: Seq[String] = Seq(
+    // the expensive batch tail, by BENCH_FULL.json descending
+    "q145_vec_screen_loop",
+    "q167_prefix_setjoin",
+    "q178_segment_compact",
+    "q143_screen_loop",
+    "q131_incremental_neardup",
+    "q147_bloom_screen",
+    "q149_vec_bloom_screen",
+    "q140_embedding_screen",
+    "q183_decontaminate",
+    "q48_contamination",
+    "q47_repetition",
+    "q61_minhash_lsh",
+    "q63_jaccard_verify",
+    "q90_dedup_clusters",
+    "q94_multi_signal_clusters",
+    "q129_embedding_clusters",
+    "q64_cosine_knn",
+    "q65_ivf_ann",
+    "q78_embedding_neardup",
+    "q164_bm25_topk",
+    "q165_bm25_negatives",
+    "q166_segment_refresh",
+    "q170_phrase_search",
+    "q35_unpivot",
+    "q54_json_props",
+    "q85_media_features",
+    "q171_bpe_train",
+    "q174_funnel_steps",
+    "q181_curriculum",
+    "q158_ivm_loop",
+    "q141_zorder_write",
+    "q101_merge_lake",
+    "q162_pruned_resolve",
+    "q172_lm_perplexity",
+    "q180_leakage_repair",
+    "q122_image_codec",
+    "q01_pipeline_agg",
+    "q10_join_revenue",
+    "q40_topk",
+  )
+
+  /** Structural counts from the (initial, pre-execution) physical plan.
+    * InMemoryTableScan is treated as a leaf — the substrate behind a
+    * session-cached frame is fingerprinted by the query that builds it,
+    * not double-counted by every rider.
+    */
+  def fingerprint(df: DataFrame): Map[String, Int] = {
+    val c = scala.collection.mutable.Map.empty[String, Int].withDefaultValue(0)
+    def bump(k: String): Unit = c(k) = c(k) + 1
+    def go(p: SparkPlan): Unit = p match {
+      case a: AdaptiveSparkPlanExec => go(a.executedPlan)
+      case _: InMemoryTableScanExec => bump("cached_scan")
+      case s: ShuffleExchangeExec =>
+        s.outputPartitioning match {
+          case _: HashPartitioning  => bump("exchange_hash")
+          case _: RangePartitioning => bump("exchange_range")
+          case SinglePartition      => bump("exchange_single")
+          case _                    => bump("exchange_other")
+        }
+        s.children.foreach(go)
+      case other =>
+        val n = other.getClass.getSimpleName.stripSuffix("Exec")
+        n match {
+          case "BroadcastHashJoin"       => bump("bhj")
+          case "SortMergeJoin"           => bump("smj")
+          case "ShuffledHashJoin"        => bump("shj")
+          case "BroadcastNestedLoopJoin" => bump("bnlj")
+          case "CartesianProduct"        => bump("cartesian")
+          case "TakeOrderedAndProject"   => bump("topk")
+          case "Window"                  => bump("window")
+          case "WindowGroupLimit"        => bump("window_limit")
+          case "FileSourceScan" =>
+            bump("scan")
+            if (other.asInstanceOf[org.apache.spark.sql.execution.FileSourceScanExec]
+                  .metadata.get("PushedFilters").exists(f => f.nonEmpty && f != "[]"))
+              bump("scan_pushed")
+          case _ => ()
+        }
+        other.children.foreach(go)
+    }
+    go(df.queryExecution.executedPlan)
+    c.toMap
+  }
+
+  def render(fp: Map[String, Int]): String =
+    fp.toSeq.sortBy(_._1).map { case (k, v) => s"$k=$v" }.mkString(" ")
+
+  def parse(line: String): (String, Map[String, Int]) = {
+    val parts = line.trim.split("\\s+")
+    val fp = parts.drop(1).map { kv =>
+      val Array(k, v) = kv.split("=", 2); k -> v.toInt
+    }.toMap
+    (parts.head, fp)
+  }
+
+  val lockPath: java.nio.file.Path =
+    java.nio.file.Paths.get("src", "test", "resources", "plan_fingerprints.lock")
+
+  def readLock(): Map[String, Map[String, Int]] = {
+    import scala.jdk.CollectionConverters._
+    java.nio.file.Files.readAllLines(lockPath).asScala.toSeq
+      .map(_.trim).filter(l => l.nonEmpty && !l.startsWith("#"))
+      .map(parse).toMap
+  }
+
+  def main(args: Array[String]): Unit = {
+    // MUST mirror TestSpark exactly: fingerprints depend on parallelism
+    // (spread() partition counts are invisible to the counts, but
+    // auto-broadcast decisions depend on size estimates at the fixture SF)
+    val spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    Engine.tune(spark)
+    spark.sparkContext.setLogLevel("ERROR")
+    val sf = if (args.nonEmpty) args(0) else "/root/testdata/sf0.001"
+    val lines = locked.map { name =>
+      val df = SparkEntry.queries(name)(spark, sf)
+      val line = s"$name ${render(fingerprint(df))}"
+      println(line)
+      line
+    }
+    val header =
+      """# Plan-shape lockfile — generated by `sbt "runMain graft.PlanFingerprint"`
+        |# at sf0.001 in the TestSpark session config (local[4], 4 shuffle
+        |# partitions). PlanFingerprintSpec recomputes these per test run and
+        |# fails with a diff when a query's physical plan shape drifts.
+        |# Regenerate ONLY for an intentional plan change, and say why in the
+        |# commit message.
+        |""".stripMargin
+    java.nio.file.Files.createDirectories(lockPath.getParent)
+    java.nio.file.Files.writeString(lockPath, header + lines.mkString("", "\n", "\n"))
+    println(s"wrote ${lockPath}")
+    spark.stop()
+  }
+}

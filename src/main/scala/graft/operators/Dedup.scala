@@ -1112,17 +1112,27 @@ object Dedup extends QueryModule {
     * would add (decision sets are DISTINCT'd), so refresh is
     * idempotence-tolerant, not idempotent.
     */
-  def refreshIndex(s: SparkSession, path: String, accepted: DataFrame): Unit = {
+  def refreshIndex(s: SparkSession, path: String, accepted: DataFrame): DedupIndex = {
     // checkpoint the increment once: the three appends would otherwise each
     // re-execute the accepted batch's shingle/minhash pipeline (bands derive
     // from sigs, so it ran up to 3x per refresh). The increment is
     // batch-scale by contract, so the materialization is small.
     val add = buildIndex(accepted.localCheckpoint())
     val sigs = add.sigs.localCheckpoint()
-    graft.sources.IndexStore.append(s, path, "digests", add.digests)
-    graft.sources.IndexStore.append(s, path, "sigs", sigs)
-    graft.sources.IndexStore.append(s, path, "bands",
-      capBuckets(bandRows(sigs), Seq("band", "bk"), BandCap))
+    // digests/bands stay lazy plans: cheap projections over the
+    // checkpointed batch/sigs, so materializing them would only add jobs
+    val digests = add.digests
+    val bands = capBuckets(bandRows(sigs), Seq("band", "bk"), BandCap)
+    // the three appends are independent checkpointed frames — overlap
+    // their fixed job costs
+    graft.sources.IndexStore.inParallel(Seq(
+      () => graft.sources.IndexStore.append(s, path, "digests", digests),
+      () => graft.sources.IndexStore.append(s, path, "sigs", sigs),
+      () => graft.sources.IndexStore.append(s, path, "bands", bands)))
+    // the increment, checkpointed: a loop that just refreshed can compose
+    // (already-cached base) ∪ (this increment) instead of re-opening the
+    // store — identical content to a post-refresh load
+    DedupIndex(digests, sigs, bands)
   }
 
   /** Compact a persisted index in place — the maintenance op a
@@ -1380,8 +1390,18 @@ object Dedup extends QueryModule {
     graft.sources.IndexStore.copy(s, fixtureIndexPath(dir), path)
     val accepted1 = b1.join(
       d1.filter(col("decision") === "accept").select(col("doc_id")), "doc_id")
-    refreshIndex(s, path, accepted1)
-    val d2 = screenBatch(loadIndex(s, path), b2)
+    val inc = refreshIndex(s, path, accepted1)
+    // screen b2 against (cached base) ∪ (checkpointed increment) — the
+    // exact content refreshIndex just appended to the branch, without
+    // re-opening the store (the durable branch is still written; the
+    // load-after-refresh path stays covered by DedupSpec's cross-session
+    // refresh tests). Probe joins DISTINCT their decision sets, so the
+    // composed union is decision-identical to a fresh load.
+    val base = corpusIndex(s, dir)
+    val d2 = screenBatch(DedupIndex(
+      base.digests.unionByName(inc.digests),
+      base.sigs.unionByName(inc.sigs),
+      base.bands.unionByName(inc.bands)), b2)
     screenSummary(d1, b1).withColumn("batch", lit("b1"))
       .unionByName(screenSummary(d2, b2).withColumn("batch", lit("b2")))
       .select(col("batch"), col("lang"), col("n_new"),

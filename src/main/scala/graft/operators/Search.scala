@@ -355,17 +355,27 @@ object Search extends QueryModule {
       if (!graft.sources.IndexStore.isCurrent(s, basePath, stamp))
         persistIndex(s, basePath, stamp, base)
       graft.sources.IndexStore.copy(s, basePath, path)
-      val (post, dl, dict) = segmentTables(batch, segment = 1)
-      graft.sources.IndexStore.append(s, path, "postings",
-        post.repartition(col("tok")).sortWithinPartitions(col("tok"), col("doc_id")))
-      graft.sources.IndexStore.append(s, path, "doclen", dl)
-      graft.sources.IndexStore.append(s, path, "dict", dict)
-      // the positional table refreshes the same way (disjoint doc sets
-      // append cleanly), so phrase probes on a refreshed branch stay
-      // complete — not just the BM25 tables
-      graft.sources.IndexStore.append(s, path, "positions",
-        posToks(spread(batch))
-          .repartition(col("tok")).sortWithinPartitions(col("tok"), col("doc_id"), col("pos")))
+      val (post0, _, _) = segmentTables(batch, segment = 1)
+      // checkpoint the increment's postings once: dl/dict derive from it,
+      // so the tokenize+group pipeline runs once, not three times — then
+      // the four appends (independent tables) overlap their job costs
+      val post = post0.localCheckpoint()
+      val dl = post.groupBy(col("doc_id"))
+        .agg(sum(col("tf")).as("dl")).withColumn("segment", lit(1))
+      val dict = post.groupBy(col("tok"))
+        .agg(count(lit(1)).as("df"), sum(col("tf")).as("cf"),
+          max(col("tf")).as("max_tf")).withColumn("segment", lit(1))
+      graft.sources.IndexStore.inParallel(Seq(
+        () => graft.sources.IndexStore.append(s, path, "postings",
+          post.repartition(col("tok")).sortWithinPartitions(col("tok"), col("doc_id"))),
+        () => graft.sources.IndexStore.append(s, path, "doclen", dl),
+        () => graft.sources.IndexStore.append(s, path, "dict", dict),
+        // the positional table refreshes the same way (disjoint doc sets
+        // append cleanly), so phrase probes on a refreshed branch stay
+        // complete — not just the BM25 tables
+        () => graft.sources.IndexStore.append(s, path, "positions",
+          posToks(spread(batch))
+            .repartition(col("tok")).sortWithinPartitions(col("tok"), col("doc_id"), col("pos")))))
     }
     path
   }
@@ -420,11 +430,15 @@ object Search extends QueryModule {
   def compactSearchIndex(s: SparkSession, path: String): Unit = {
     val stamp = graft.sources.IndexStore.readStamp(s, path).getOrElse("manual")
     val meta = graft.sources.IndexStore.readMeta(s, path)
-    val post = graft.sources.IndexStore.read(s, path, "postings")
-      .withColumn("segment", lit(0)).localCheckpoint()
-    val posn = graft.sources.IndexStore.read(s, path, "positions").localCheckpoint()
-    val dl = graft.sources.IndexStore.read(s, path, "doclen")
-      .withColumn("segment", lit(0)).localCheckpoint()
+    // the three materializations are independent reads of distinct stored
+    // tables — overlap their job costs (each is a small fixed-overhead job)
+    var post, posn, dl: DataFrame = null
+    graft.sources.IndexStore.inParallel(Seq(
+      () => post = graft.sources.IndexStore.read(s, path, "postings")
+        .withColumn("segment", lit(0)).localCheckpoint(),
+      () => posn = graft.sources.IndexStore.read(s, path, "positions").localCheckpoint(),
+      () => dl = graft.sources.IndexStore.read(s, path, "doclen")
+        .withColumn("segment", lit(0)).localCheckpoint()))
     val dict = post.groupBy(col("tok"))
       .agg(count(lit(1)).as("df"), sum(col("tf")).as("cf"), max(col("tf")).as("max_tf"))
       .withColumn("segment", lit(0))
@@ -570,6 +584,12 @@ object Search extends QueryModule {
     // word 3-gram shingles: discriminative enough that a set's rarest
     // tokens (the prefix) have genuinely small document frequencies —
     // the property prefix filtering's candidate bound lives on
+    // every downstream shuffle keys on a 96-bit (xxhash64, murmur3) pair
+    // of the shingle, computed ONCE here, never the ~25-byte string —
+    // the same compact-exchange-key pattern (and the same immaterial
+    // n^2/2^96 collision odds) as Similarity.vecGroups / Dedup.dupGroups;
+    // the string stays in the frame only for the deterministic prefix
+    // tiebreak ordering
     val sets = graft.SessionCache.cached(s, s"search:pjsets:$dir") {
       spread(pjDocs(docs(s, dir)))
         .withColumn("ws", split(col("text"), " "))
@@ -577,24 +597,27 @@ object Search extends QueryModule {
         .select(col("doc_id"), explode(expr(
           "transform(sequence(1, size(ws)-2), i -> concat_ws(' ', element_at(ws, i), element_at(ws, i+1), element_at(ws, i+2)))")).as("sh"))
         .distinct()
+        .select(col("doc_id"), col("sh"),
+          xxhash64(col("sh")).as("k1"), hash(col("sh")).as("k2"))
     }
     val sizes = sets.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    val gdf = sets.groupBy(col("sh")).agg(count(lit(1)).as("gdf"))
+    val gdf = sets.groupBy(col("k1"), col("k2")).agg(count(lit(1)).as("gdf"))
     val wOrd = org.apache.spark.sql.expressions.Window
       .partitionBy(col("doc_id")).orderBy(col("gdf"), col("sh"))
-    val prefixes = sets.join(gdf, "sh").join(sizes, "doc_id")
+    val prefixes = sets.join(gdf, Seq("k1", "k2")).join(sizes, "doc_id")
       .withColumn("r", row_number().over(wOrd))
       .filter(col("r") <= col("n") - ((lit(4) * col("n") + 4) / 5).cast("long") + 1)
-      .select(col("doc_id"), col("sh"), col("n"))
+      .select(col("doc_id"), col("k1"), col("k2"), col("n"))
     val cand = prefixes.as("a").join(prefixes.as("b"),
-        col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id") &&
+        col("a.k1") === col("b.k1") && col("a.k2") === col("b.k2") &&
+          col("a.doc_id") < col("b.doc_id") &&
           lit(5) * least(col("a.n"), col("b.n")) >= lit(4) * greatest(col("a.n"), col("b.n")))
       .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"),
         col("a.n").as("n_a"), col("b.n").as("n_b"))
       .distinct()
     val c = cand
-      .join(sets.select(col("doc_id").as("da"), col("sh")), "da")
-      .join(sets.select(col("doc_id").as("db"), col("sh")), Seq("db", "sh"))
+      .join(sets.select(col("doc_id").as("da"), col("k1"), col("k2")), "da")
+      .join(sets.select(col("doc_id").as("db"), col("k1"), col("k2")), Seq("db", "k1", "k2"))
       .groupBy(col("da"), col("db"), col("n_a"), col("n_b"))
       .agg(count(lit(1)).as("n_inter"))
       .filter(lit(9) * col("n_inter") >= lit(4) * (col("n_a") + col("n_b")))

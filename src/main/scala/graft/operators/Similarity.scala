@@ -485,7 +485,7 @@ object Similarity extends QueryModule {
     * The bit width is read from the STORE, never re-derived from the
     * increment — it is an index property, and probing with a different
     * width would silently miss every stored bucket. */
-  def refreshVecIndex(s: SparkSession, path: String, accepted: DataFrame): Unit = {
+  def refreshVecIndex(s: SparkSession, path: String, accepted: DataFrame): VecIndex = {
     val bits = graft.sources.IndexStore.readMeta(s, path)
       .getOrElse("bits",
         throw new IllegalStateException(s"vec index at $path has no bits meta")).toInt
@@ -495,12 +495,23 @@ object Similarity extends QueryModule {
     val acc = accepted.localCheckpoint()
     val reps = withNorm(vecGroups(acc).select(col("gid").as("vec_id"), col("embedding")))
       .localCheckpoint()
-    graft.sources.IndexStore.append(s, path, "digests",
-      acc.select(xxhash64(col("embedding")).as("k1"), hash(col("embedding")).as("k2"))
-        .distinct())
-    graft.sources.IndexStore.append(s, path, "reps", reps)
-    graft.sources.IndexStore.append(s, path, "bands",
-      signBands(reps, bits).select(col("vec_id"), col("band"), col("bucket")))
+    // digests/bands stay lazy plans: both are cheap projections over the
+    // checkpointed acc/reps, so materializing them would only add jobs
+    val digests = acc
+      .select(xxhash64(col("embedding")).as("k1"), hash(col("embedding")).as("k2"))
+      .distinct()
+    val bands = signBands(reps, bits)
+      .select(col("vec_id"), col("band"), col("bucket"))
+    // independent appends (all off checkpointed frames) — overlap their
+    // fixed job costs
+    graft.sources.IndexStore.inParallel(Seq(
+      () => graft.sources.IndexStore.append(s, path, "digests", digests),
+      () => graft.sources.IndexStore.append(s, path, "reps", reps),
+      () => graft.sources.IndexStore.append(s, path, "bands", bands)))
+    // the increment, checkpointed: a loop that just refreshed can compose
+    // (already-cached base) ∪ (this increment) instead of re-opening the
+    // store — identical content to a post-refresh load
+    VecIndex(digests, reps, bands, bits)
   }
 
   /** The registered rig's frozen vector index, PERSISTED to
@@ -617,8 +628,20 @@ object Similarity extends QueryModule {
     graft.sources.IndexStore.copy(s, fixtureVecIndexPath(dir), path)
     val accepted1 = b1.join(
       d1.filter(col("decision") === "accept").select(col("vec_id")), "vec_id")
-    refreshVecIndex(s, path, accepted1)
-    val d2 = screenVecBatch(loadVecIndex(s, path), b2)
+    val inc = refreshVecIndex(s, path, accepted1)
+    // screen b2 against (cached base) ∪ (checkpointed increment) — the
+    // exact content refreshVecIndex just appended to the branch, without
+    // re-opening the store's three tables (the durable branch is still
+    // written above; the load-after-refresh path stays covered by
+    // SimilaritySpec's cross-session refresh test). The probe joins
+    // DISTINCT their decision sets, so the composed union is
+    // decision-identical to a fresh load.
+    val base = corpusVecIndex(s, dir)
+    val d2 = screenVecBatch(VecIndex(
+      base.digests.unionByName(inc.digests),
+      base.reps.unionByName(inc.reps),
+      base.bands.unionByName(inc.bands),
+      base.bits), b2)
     vecScreenSummary(d1).withColumn("batch", lit("b1"))
       .unionByName(vecScreenSummary(d2).withColumn("batch", lit("b2")))
       .select(col("batch"), col("slice"), col("n"),

@@ -105,6 +105,30 @@ object IndexStore {
     try out.write(txt.getBytes("UTF-8")) finally out.close()
   }
 
+  /** Run independent Spark write jobs concurrently. The multi-table index
+    * rigs (build, branch-refresh, compact) are dominated by MANY SMALL
+    * JOBS, each paying fixed scheduling + file-commit overhead — writing
+    * the tables from one thread serializes that overhead for no reason
+    * (the tables are independent by construction: localCheckpointed
+    * increments or disjoint outputs). Submitting them from a small pool
+    * overlaps the fixed costs; Spark's scheduler interleaves the jobs.
+    * Rethrows the first failure after all tasks settle. */
+  private lazy val ioPool = java.util.concurrent.Executors.newFixedThreadPool(4,
+    (r: Runnable) => {
+      val t = new Thread(r, "graft-index-io")
+      t.setDaemon(true)
+      t
+    })
+  def inParallel(tasks: Seq[() => Unit]): Unit =
+    if (tasks.sizeIs <= 1) tasks.foreach(_.apply())
+    else {
+      val futs = tasks.map { t =>
+        ioPool.submit(new java.util.concurrent.Callable[Unit] { def call(): Unit = t() })
+      }
+      val errs = futs.flatMap(f => scala.util.Try(f.get()).failed.toOption)
+      errs.foreach(e => throw e)
+    }
+
   /** Build-or-replace the index: write every table + the stamp/meta file
     * into a temp dir, then swap it over `path`. See the object scaladoc
     * for the consistency model. */
@@ -119,9 +143,9 @@ object IndexStore {
     val tag = java.lang.management.ManagementFactory.getRuntimeMXBean.getName
       .replaceAll("[^A-Za-z0-9]", "") + "_" + System.nanoTime()
     val tmp = new Path(live.getParent, s".${live.getName}_building_$tag")
-    tables.foreach { case (name, df) =>
-      df.write.mode("overwrite").parquet(new Path(tmp, name).toString)
-    }
+    inParallel(tables.map { case (name, df) =>
+      () => df.write.mode("overwrite").parquet(new Path(tmp, name).toString)
+    })
     writeStamp(s, tmp.toString, stamp, meta)
     if (fs.exists(live)) fs.delete(live, true)
     if (!fs.rename(tmp, live)) {

@@ -1,0 +1,101 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Crash-recovery proof for the exactly-once claims.
+  *
+  * q150/q159/q177 prove REPLAY idempotence by deliberately double-calling
+  * the committed sink; none of them kills a writer mid-batch. This spec
+  * does: the stream's foreachBatch lands its side effect (a ledgered
+  * snapshot commit) for batch N+1 and then dies BEFORE Structured
+  * Streaming records that batch in the checkpoint's commit log — exactly
+  * the window where an executor OOM or a node loss strands a half-done
+  * trigger in production. The restart (same checkpoint) must re-run batch
+  * N+1 with the same batchId, hit the ledger, add NO second version, and
+  * finish the remaining batches — landing the identical result an
+  * uninterrupted run produces.
+  *
+  * This is the recovery contract Spark documents (a failed batch is
+  * retried with the same batchId from the write-ahead offset log) plus
+  * the part Spark does NOT give for free and the Snapshots ledger does:
+  * the retried batch's side effect must be idempotent.
+  */
+class CrashRecoverySpec extends AnyFunSuite {
+  private lazy val s = TestSpark.spark
+  private val base = s"target/tmp/crashrec_${java.util.UUID.randomUUID().toString.take(8)}"
+
+  /** Stage one slice as a single pinned-name parquet file (mtime ordered). */
+  private def stage(sd: String, df: DataFrame, name: String, mtime: Long): Unit = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI("file:///"), s.sparkContext.hadoopConfiguration)
+    val tmp = s"$sd/.stage_$name"
+    df.coalesce(1).write.mode("overwrite").parquet(tmp)
+    val part = fs.globStatus(new org.apache.hadoop.fs.Path(s"$tmp/part-*.parquet"))(0).getPath
+    val dest = new org.apache.hadoop.fs.Path(s"$sd/$name.parquet")
+    fs.rename(part, dest)
+    fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+    fs.setTimes(dest, mtime, -1)
+  }
+
+  test("a writer killed after its commit lands but before the checkpoint records it recovers exactly-once") {
+    Engine.tune(s)
+    val rows = Engine.table(s, TestSpark.sf, "orders")
+      .select(col("o_orderkey").cast("long").as("okey"))
+    val expected = rows.agg(count(lit(1)), sum("okey")).head()
+
+    val srcDir = s"$base/src"
+    val t0 = 1000000000000L
+    stage(srcDir, rows.filter(col("okey") % 3 === 0), "b0", t0)
+    stage(srcDir, rows.filter(col("okey") % 3 === 1), "b1", t0 + 600000L)
+    stage(srcDir, rows.filter(col("okey") % 3 === 2), "b2", t0 + 1200000L)
+
+    val lake = s"$base/lake"
+    val ck = s"$base/ck"
+    val schema = rows.schema
+    // crash exactly once, on the FIRST attempt of batch 1, AFTER the
+    // side effect committed — the stream dies with batch 1 absent from
+    // the checkpoint commit log but present in the lake's ledger
+    val crashed = new java.util.concurrent.atomic.AtomicBoolean(false)
+    def run(): Unit = {
+      val q = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(srcDir)
+        .writeStream
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          if (!batch.isEmpty) {
+            graft.sources.Snapshots.commitIfAbsent(
+              batch, lake, append = true, "batchId", batchId.toString)
+            if (batchId == 1L && crashed.compareAndSet(false, true))
+              throw new RuntimeException("injected crash after commit, before checkpoint")
+          }
+          ()
+        }
+        .option("checkpointLocation", ck)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+
+    val firstAttempt = intercept[org.apache.spark.sql.streaming.StreamingQueryException](run())
+    assert(firstAttempt.getMessage.contains("injected crash"),
+      s"the injected mid-batch kill must be what stopped the stream: $firstAttempt")
+    assert(crashed.get(), "the crash hook never fired")
+    // the stranded state this spec exists to create: batch 1's side
+    // effect is durable, but the checkpoint does not know batch 1 ran
+    val strandedVersions = graft.sources.Snapshots.latestVersion(s, lake)
+    assert(strandedVersions == 2L,
+      s"expected batches 0+1 committed to the lake at crash time, got $strandedVersions versions")
+
+    run() // restart from the SAME checkpoint: batch 1 replays, then batch 2
+
+    val versions = graft.sources.Snapshots.latestVersion(s, lake)
+    assert(versions == 3L,
+      s"the replayed batch must be a ledger no-op (3 versions for 3 batches), got $versions")
+    val got = graft.sources.Snapshots.read(s, lake)
+      .agg(count(lit(1)), sum("okey")).head()
+    assert(got == expected,
+      s"recovered lake must equal the uninterrupted source: got $got expected $expected")
+  }
+}
