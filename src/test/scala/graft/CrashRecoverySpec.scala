@@ -98,4 +98,62 @@ class CrashRecoverySpec extends AnyFunSuite {
     assert(got == expected,
       s"recovered lake must equal the uninterrupted source: got $got expected $expected")
   }
+
+  test("a stateful windowed aggregation resumes from checkpointed state across a restart") {
+    Engine.tune(s)
+    val prev = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "4")
+    try {
+      val ev = Engine.table(s, TestSpark.sf, "events")
+      val schema = ev.schema
+      val srcDir = s"$base/state_src"
+      val ck = s"$base/state_ck"
+      val t0 = 1000000000000L
+      // slice by USER, not by time: every hourly window mixes users from
+      // all three files, so the restarted run's windows are correct ONLY
+      // if the first run's partial per-window state was recovered from
+      // the (RocksDB) checkpoint rather than recounted from scratch
+      stage(srcDir, ev.filter(col("user_id") % 3 === 0), "b0", t0)
+
+      def run(tag: String): String = {
+        val qname = s"crashrec_state_$tag"
+        val src = s.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1").parquet(srcDir)
+        val q = src
+          .withColumn("et", Engine.tsEventTime(ev))
+          .withWatermark("et", "1 hour")
+          .groupBy(window(col("et"), "1 hour"), col("event_type"))
+          .agg(count(lit(1)).as("n"))
+          .select(col("window.start").cast("long").as("hour_epoch"),
+            col("event_type"), col("n"))
+          .writeStream.format("memory").queryName(qname)
+          .option("checkpointLocation", ck)
+          .outputMode("complete")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        qname
+      }
+
+      run("a") // processes only the first slice, stops cleanly
+      stage(srcDir, ev.filter(col("user_id") % 3 === 1), "b1", t0 + 600000L)
+      stage(srcDir, ev.filter(col("user_id") % 3 === 2), "b2", t0 + 1200000L)
+      val qname = run("b") // resumes from the checkpoint, consumes the rest
+
+      val got = s.table(qname)
+        .orderBy("hour_epoch", "event_type")
+        .collect().map(_.toSeq).toSeq
+      val want = ev
+        .withColumn("et", Engine.tsEventTime(ev))
+        .groupBy(window(col("et"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("window.start").cast("long").as("hour_epoch"),
+          col("event_type"), col("n"))
+        .orderBy("hour_epoch", "event_type")
+        .collect().map(_.toSeq).toSeq
+      assert(got == want,
+        s"windows spanning the restart must equal the batch aggregation " +
+          s"(state recovered, not recounted): got ${got.size} rows, want ${want.size}")
+    } finally s.conf.set("spark.sql.shuffle.partitions", prev)
+  }
 }

@@ -27,8 +27,12 @@ class PlanFingerprintSpec extends AnyFunSuite {
   // identically)
   PlanFingerprint.locked.foreach { name =>
     test(s"$name: plan shape matches the lockfile") {
-      val df = SparkEntry.queries(name)(s, TestSpark.sf)
-      val actual = PlanFingerprint.fingerprint(df)
+      // warm-then-fingerprint-fresh: the same steady-state contract the
+      // generator uses (see PlanFingerprint.steadyStateFingerprint) — an
+      // unexecuted first call would see different cache/stats context
+      // depending on which suites ran before this one
+      val actual =
+        PlanFingerprint.steadyStateFingerprint(SparkEntry.queries(name)(s, TestSpark.sf))
       val expected = lock(name)
       if (actual != expected) {
         val keys = (actual.keySet ++ expected.keySet).toSeq.sorted
@@ -42,7 +46,8 @@ class PlanFingerprintSpec extends AnyFunSuite {
              |If this change is INTENTIONAL, regenerate the lockfile
              |(sbt "runMain graft.PlanFingerprint") and justify it in the
              |commit message. Current plan:
-             |${df.queryExecution.executedPlan}""".stripMargin)
+             |${PlanFingerprint.freshPlanOf(SparkEntry.queries(name)(s, TestSpark.sf))
+                 .queryExecution.executedPlan}""".stripMargin)
       }
     }
   }

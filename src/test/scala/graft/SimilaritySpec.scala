@@ -9,11 +9,18 @@ class SimilaritySpec extends AnyFunSuite {
 
   test("brute-force KNN returns exactly k=5 ranked neighbors per probe") {
     val knn = Similarity.cosineKnn(s, TestSpark.sf).cache()
-    val perQ = knn.groupBy("qid").count().agg(min("count"), max("count")).collect()(0)
-    assert(perQ.getLong(0) == 5 && perQ.getLong(1) == 5)
-    // cosine is bounded and ranks are 1..5
-    assert(knn.filter(col("cosim") > 1.000000001 || col("cosim") < -1.000000001).count() == 0)
-    assert(knn.agg(max("rn")).collect()(0).getInt(0) == 5)
+    try {
+      val perQ = knn.groupBy("qid").count().agg(min("count"), max("count")).collect()(0)
+      assert(perQ.getLong(0) == 5 && perQ.getLong(1) == 5)
+      // cosine is bounded and ranks are 1..5
+      assert(knn.filter(col("cosim") > 1.000000001 || col("cosim") < -1.000000001).count() == 0)
+      assert(knn.agg(max("rn")).collect()(0).getInt(0) == 5)
+    } finally
+      // unpersist: the shared session outlives this suite, and a lingering
+      // cache entry over the WHOLE q64 output would make every later plan
+      // of the query collapse into one InMemoryTableScan (seen as a
+      // PlanFingerprintSpec false drift)
+      knn.unpersist(): Unit
   }
 
   test("IVF probe results are a subset of the brute-force candidates' scores") {
