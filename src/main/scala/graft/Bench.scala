@@ -73,8 +73,11 @@ object Bench {
     // (committed each round) so the judge can diff every query r(N) vs
     // r(N-1) mechanically, plus the target/ copy for dev runs
     try {
-      for (p <- Seq(java.nio.file.Paths.get("BENCH_FULL.json"),
-                    java.nio.file.Paths.get("target", "bench_per_query.json"))) {
+      // the tracked artifact records FULL runs only — a dev subset run
+      // must not clobber the committed 181-query map
+      val outs = java.nio.file.Paths.get("target", "bench_per_query.json") ::
+        (if (args.isEmpty) List(java.nio.file.Paths.get("BENCH_FULL.json")) else Nil)
+      for (p <- outs) {
         if (p.getParent != null) java.nio.file.Files.createDirectories(p.getParent)
         java.nio.file.Files.writeString(p, full + "\n")
       }

@@ -78,6 +78,7 @@ object PlanFingerprint {
     "q01_pipeline_agg",
     "q10_join_revenue",
     "q40_topk",
+    "q184_ivf_index",
   )
 
   /** Structural counts of the STEADY-STATE initial plan.

@@ -222,6 +222,90 @@ object Similarity extends QueryModule {
        |  FROM pcos)
        |WHERE rn <= 3""".stripMargin
 
+  /** Persisted IVF index — the durable form of [[ivfAnn]]'s two tables,
+    * completing the durable-index symmetry across the screening families
+    * (dedup q131, vector-LSH q140, search q164 all persist; IVF
+    * re-derived its assignment from the corpus on every call):
+    *  - `centroids` (cid, embedding, nc): K ~ sqrt(N) rows — kilobytes
+    *    relative to the corpus, broadcast at probe time.
+    *  - `assign` (cid, vec_id, embedding, nrm): the full corpus, RANGE-
+    *    partitioned on cid and sorted within partitions, so every parquet
+    *    file/row-group covers a narrow cid range and a probe's IN(cids)
+    *    predicate prunes to the probed clusters' bytes — the same layout
+    *    contract as the term-sorted postings (q164).
+    * `m` (the centroid modulus) is stored in the index meta: like the LSH
+    * bit width it is an INDEX property a probe must reuse, never
+    * re-derived from whatever corpus happens to be around at probe time.
+    */
+  def buildIvfIndex(corpus: DataFrame): (DataFrame, DataFrame, Long) = {
+    val e = withNorm(corpus.select(col("vec_id"), col("embedding")))
+    val m = math.ceil(math.sqrt(corpus.count().toDouble)).toLong.max(1L)
+    val cents = e.filter(col("vec_id") % m === 0)
+      .select(col("vec_id").as("cid"), col("embedding").as("qemb"), col("nrm").as("nc"))
+    val acos = e.withColumnRenamed("embedding", "vemb")
+      .join(broadcast(cents))
+      .withColumn("cosim0", dotExpr / (col("nc") * col("nrm")))
+    val wa = Window.partitionBy(col("vec_id")).orderBy(col("cosim0").desc, col("cid"))
+    val assign = acos.withColumn("rn", row_number().over(wa))
+      .filter(col("rn") === 1)
+      .select(col("cid"), col("vec_id"), col("vemb").as("embedding"), col("nrm"))
+    (cents.select(col("cid"), col("qemb").as("embedding"), col("nc")), assign, m)
+  }
+
+  private[graft] def fixtureIvfIndexPath(dir: String): String =
+    "target/graft_index/ivf_" + dir.replaceAll("[^A-Za-z0-9.]+", "_")
+
+  /** Build-or-load the fixture IVF index (stamped, session-cached) —
+    * the [[corpusVecIndex]] pattern. */
+  private def corpusIvfIndex(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val path = fixtureIvfIndexPath(dir)
+    synchronized {
+      val stamp = graft.sources.IndexStore.sourceStamp(s, Seq(s"$dir/embeddings.parquet"))
+      if (!graft.sources.IndexStore.isCurrent(s, path, stamp)) {
+        val (cents, assign, m) = buildIvfIndex(table(s, dir, "embeddings"))
+        graft.sources.IndexStore.write(s, path, stamp, Seq(
+          "centroids" -> cents,
+          "assign" -> assign.repartitionByRange(col("cid"), col("vec_id"))
+            .sortWithinPartitions(col("cid"), col("vec_id"))),
+          Map("m" -> m.toString))
+      }
+    }
+    (graft.SessionCache.cached(s, s"sim:ivfc:$dir")(
+        graft.sources.IndexStore.read(s, path, "centroids")),
+      graft.sources.IndexStore.read(s, path, "assign"))
+  }
+
+  /** q184: [[ivfAnn]] served FROM the persisted index — the corpus is
+    * never touched at probe time, and the probe reads only the probed
+    * clusters' bytes: the ≤16 probe vectors' cluster ids collapse
+    * driver-side (metadata-scale collect, K ~ sqrt(N) is small by
+    * construction) into an IN(cids) predicate that parquet min/max
+    * pruning applies to the cid-sorted assign files. Same math, same
+    * output, same DuckDB oracle as q65 — what changes is WHAT IS READ.
+    */
+  def ivfAnnIndexed(s: SparkSession, dir: String): DataFrame = {
+    tune(s)
+    val (_, assign) = corpusIvfIndex(s, dir)
+    val qa = assign.filter(col("vec_id") < 16)
+      .select(col("vec_id").as("qid"), col("cid"),
+        col("embedding").as("qemb"), col("nrm").as("nq"))
+    // driver-side cluster cover: <= 16 longs (one per probe), the z-order
+    // bucket-cover pattern — the predicate this produces is what lets the
+    // scan skip every unprobed cluster's files
+    val probeCids = qa.select(col("cid")).distinct().collect().map(_.getLong(0)).sorted
+    val pcos = assign
+      .filter(col("cid").isInCollection(probeCids.toSeq))
+      .select(col("vec_id").as("vid"), col("cid"), col("embedding").as("vemb"),
+        col("nrm").as("nv"))
+      .join(broadcast(qa), Seq("cid"))
+      .filter(col("qid") =!= col("vid"))
+      .withColumn("cosim0", dotExpr / (col("nq") * col("nv")))
+    val wp = Window.partitionBy(col("qid")).orderBy(col("cosim0").desc, col("vid"))
+    pcos.withColumn("rn", row_number().over(wp))
+      .filter(col("rn") <= 3)
+      .select(col("qid"), col("vid"), round(col("cosim0"), 9).as("cosim"), col("rn"))
+  }
+
   /** Deterministic random-hyperplane weights, derived from md5 so DuckDB
     * reproduces them bit-for-bit: w(j,pos) = md5_60("j_pos") % 2001 - 1000,
     * used as w/1000.0.
@@ -1032,6 +1116,9 @@ object Similarity extends QueryModule {
     GQuery("q126_hard_negatives", "contrastive hard-negative mining: top-4 most-similar wrong-label vectors",
       hardNegatives, Some(hardNegativesSql)),
     GQuery("q65_ivf_ann", "IVF-partitioned ANN: centroid assignment + in-cluster top-3", ivfAnn, Some(ivfAnnSql)),
+    GQuery("q184_ivf_index",
+      "IVF ANN served from the persisted index: probe reads only the probed clusters' cid-pruned bytes; same oracle as q65",
+      ivfAnnIndexed, Some(ivfAnnSql)),
     GQuery("q78_embedding_neardup", "embedding-cosine near-dup via sign-LSH bucket join (no all-pairs)",
       embeddingNearDup, Some(embeddingNearDupSql)),
     GQuery("q128_embedding_degree", "embedding near-dup degree histogram at the diagnostic threshold 0.25, rides q78's pair frame",

@@ -23,6 +23,32 @@ class SimilaritySpec extends AnyFunSuite {
       knn.unpersist(): Unit
   }
 
+  test("q184: persisted-IVF probe equals q65 and scans ONLY the index, cid cover pushed down") {
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    val df = Similarity.ivfAnnIndexed(s, TestSpark.sf)
+    // decision parity with the corpus-recomputing form (same math, same oracle)
+    val got = df.collect().map(_.toString).sorted.toSeq
+    val want = Similarity.ivfAnn(s, TestSpark.sf).collect().map(_.toString).sorted.toSeq
+    assert(got == want, "indexed probe must reproduce q65 exactly")
+    // plan-level proof: every parquet scan roots in the persisted index
+    // (corpus never touched at probe time), and the assign-side scan
+    // carries the driver-computed cluster cover as a pushed filter
+    def scans(p: SparkPlan): Seq[FileSourceScanExec] = p match {
+      case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+      case f: FileSourceScanExec => Seq(f)
+      case other => other.children.flatMap(scans)
+    }
+    val fresh = Similarity.ivfAnnIndexed(s, TestSpark.sf)
+    val ss = scans(fresh.queryExecution.executedPlan)
+    assert(ss.nonEmpty, "expected parquet scans of the persisted index")
+    assert(ss.forall(_.relation.location.rootPaths.forall(_.toString.contains("graft_index/ivf_"))),
+      s"probe must scan only the index: ${ss.map(_.relation.location.rootPaths.mkString)}")
+    assert(ss.exists(_.metadata.get("PushedFilters").exists(_.contains("cid"))),
+      s"the cluster cover must reach the assign scan: " +
+        ss.map(_.metadata.getOrElse("PushedFilters", "")).mkString("; "))
+  }
+
   test("IVF probe results are a subset of the brute-force candidates' scores") {
     val bf = Similarity.cosineKnn(s, TestSpark.sf)
       .select(col("qid"), col("vid"), col("cosim"))
