@@ -188,23 +188,31 @@ object Similarity extends QueryModule {
       .select(col("qid"), col("vid"), round(col("cosim0"), 9).as("cosim"), col("rn"))
   }
 
+  /** The IVF seed-assignment CTE block (cent → adots → acos → assign),
+    * shared by the q65/q184 probe oracle and the q185/q186 oracles that
+    * build on the same deterministic seeding. Expects `flat`/`norms` to
+    * be in scope.
+    */
+  private val ivfAssignSql =
+    """cent AS (SELECT vec_id AS cid, pos, xd AS cx FROM flat
+      |         WHERE vec_id % (SELECT CAST(ceil(sqrt(COUNT(*))) AS BIGINT) FROM embeddings) = 0),
+      |adots AS (
+      |  SELECT f.vec_id, c.cid, CAST(SUM(CAST(f.xd*c.cx AS DECIMAL(38,20))) AS DOUBLE) AS dot
+      |  FROM flat f JOIN cent c ON f.pos = c.pos
+      |  GROUP BY f.vec_id, c.cid),
+      |acos AS (
+      |  SELECT a.vec_id, a.cid, a.dot / (n2.nrm * n1.nrm) AS cosim
+      |  FROM adots a JOIN norms n1 ON n1.vec_id = a.vec_id JOIN norms n2 ON n2.vec_id = a.cid),
+      |assign AS (
+      |  SELECT vec_id, cid FROM (
+      |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cosim DESC, cid) AS rn
+      |    FROM acos)
+      |  WHERE rn = 1)""".stripMargin
+
   private val ivfAnnSql =
     s"""WITH $flatSql,
        |$normsSql,
-       |cent AS (SELECT vec_id AS cid, pos, xd AS cx FROM flat
-       |         WHERE vec_id % (SELECT CAST(ceil(sqrt(COUNT(*))) AS BIGINT) FROM embeddings) = 0),
-       |adots AS (
-       |  SELECT f.vec_id, c.cid, CAST(SUM(CAST(f.xd*c.cx AS DECIMAL(38,20))) AS DOUBLE) AS dot
-       |  FROM flat f JOIN cent c ON f.pos = c.pos
-       |  GROUP BY f.vec_id, c.cid),
-       |acos AS (
-       |  SELECT a.vec_id, a.cid, a.dot / (n2.nrm * n1.nrm) AS cosim
-       |  FROM adots a JOIN norms n1 ON n1.vec_id = a.vec_id JOIN norms n2 ON n2.vec_id = a.cid),
-       |assign AS (
-       |  SELECT vec_id, cid FROM (
-       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cosim DESC, cid) AS rn
-       |    FROM acos)
-       |  WHERE rn = 1),
+       |$ivfAssignSql,
        |pairs AS (
        |  SELECT q.vec_id AS qid, v.vec_id AS vid
        |  FROM assign q JOIN assign v ON q.cid = v.cid AND q.vec_id < 16 AND q.vec_id <> v.vec_id),
@@ -305,6 +313,225 @@ object Similarity extends QueryModule {
       .filter(col("rn") <= 3)
       .select(col("qid"), col("vid"), round(col("cosim0"), 9).as("cosim"), col("rn"))
   }
+
+  /** q185: one distributed Lloyd (k-means) refinement step over the IVF
+    * seeding — the building block of embedding-space clustering for
+    * curation (SemDeDup-style pruning, diversity sampling, cluster-local
+    * ANN all start from exactly this iteration):
+    *  1. seed centroids = the deterministic IVF modulus pick (q65);
+    *  2. assign every vector to its argmax-cosine seed (broadcast K ~
+    *     sqrt(N) centroids, one linear scan, NO shuffle on the dots);
+    *  3. recompute each cluster's mean — posexplode to (cid, pos, x) and
+    *     aggregate per component. Partial (map-side) aggregation collapses
+    *     the 64x row blow-up to K*64 rows per task BEFORE the shuffle, so
+    *     shuffle bytes are O(tasks * K * 64), independent of corpus size.
+    *     Component means go through the exact DECIMAL accumulator
+    *     ([[graft.Engine.dsum]]) so the refined centroids are bit-identical
+    *     to the oracle's regardless of partitioning;
+    *  4. re-assign against the refined means (broadcast again).
+    * Output is the discrete before/after assignment per vector (cid_seed,
+    * cid_refined, moved) — robust to the ~1e-16 fold-order noise in the
+    * cosines themselves. Every seed centroid is its own nearest member
+    * (self-cosine 1), so no cluster empties and K is stable across the
+    * iteration. At 100 TB each additional Lloyd step costs one corpus
+    * scan + one K*64-row shuffle; the loop would checkpoint centroids
+    * per step exactly like the screening loops checkpoint increments.
+    */
+  def kmeansRefine(s: SparkSession, dir: String): DataFrame = {
+    tune(s)
+    val e = withNorm(table(s, dir, "embeddings").select(col("vec_id"), col("embedding")))
+    val m = math.ceil(math.sqrt(
+      table(s, dir, "embeddings").count().toDouble)).toLong.max(1L)
+    val cents0 = e.filter(col("vec_id") % m === 0)
+      .select(col("vec_id").as("cid"), col("embedding").as("qemb"), col("nrm").as("nc"))
+    val acos0 = e.withColumnRenamed("embedding", "vemb")
+      .join(broadcast(cents0))
+      .withColumn("cosim0", dotExpr / (col("nc") * col("nrm")))
+    val wa = Window.partitionBy(col("vec_id")).orderBy(col("cosim0").desc, col("cid"))
+    val assign0 = acos0.withColumn("rn", row_number().over(wa))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("cid").as("cid_seed"), col("vemb"), col("nrm"))
+    // Lloyd mean step: exact decimal component means, then reassemble the
+    // centroid vector in pos order (array_sort on the (pos, cx) struct is
+    // deterministic) and take its norm through the same decimal path.
+    val comp = assign0
+      .select(col("cid_seed").as("cid"), posexplode(col("vemb")).as(Seq("pos", "x")))
+      .groupBy(col("cid"), col("pos"))
+      .agg((dsum(col("x").cast("double"), 20) / count(col("x"))).as("cx"))
+    val cents1 = comp.groupBy(col("cid"))
+      .agg(
+        transform(array_sort(collect_list(struct(col("pos"), col("cx")))),
+          t => t.getField("cx")).as("qemb"),
+        sqrt(dsum(col("cx") * col("cx"), 20)).as("nc"))
+    val acos1 = assign0.join(broadcast(cents1))
+      .withColumn("cosim1", dotExpr / (col("nc") * col("nrm")))
+    val w1 = Window.partitionBy(col("vec_id")).orderBy(col("cosim1").desc, col("cid"))
+    acos1.withColumn("rn", row_number().over(w1))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("cid_seed"), col("cid").as("cid_refined"),
+        (col("cid") =!= col("cid_seed")).as("moved"))
+  }
+
+  private val kmeansRefineSql =
+    s"""WITH $flatSql,
+       |$normsSql,
+       |$ivfAssignSql,
+       |newc AS (
+       |  SELECT a.cid, f.pos,
+       |         CAST(SUM(CAST(f.xd AS DECIMAL(38,20))) AS DOUBLE) / COUNT(f.xd) AS cx
+       |  FROM assign a JOIN flat f ON f.vec_id = a.vec_id
+       |  GROUP BY a.cid, f.pos),
+       |newnorm AS (
+       |  SELECT cid, sqrt(CAST(SUM(CAST(cx*cx AS DECIMAL(38,20))) AS DOUBLE)) AS nc
+       |  FROM newc GROUP BY cid),
+       |adots2 AS (
+       |  SELECT f.vec_id, c.cid, CAST(SUM(CAST(f.xd*c.cx AS DECIMAL(38,20))) AS DOUBLE) AS dot
+       |  FROM flat f JOIN newc c ON f.pos = c.pos
+       |  GROUP BY f.vec_id, c.cid),
+       |acos2 AS (
+       |  SELECT d.vec_id, d.cid, d.dot / (nn.nc * n1.nrm) AS cosim
+       |  FROM adots2 d JOIN norms n1 ON n1.vec_id = d.vec_id JOIN newnorm nn ON nn.cid = d.cid),
+       |assign2 AS (
+       |  SELECT vec_id, cid AS cid_refined FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cosim DESC, cid) AS rn
+       |    FROM acos2)
+       |  WHERE rn = 1)
+       |SELECT a0.vec_id, a0.cid AS cid_seed, a1.cid_refined,
+       |       a1.cid_refined <> a0.cid AS moved
+       |FROM assign a0 JOIN assign2 a1 ON a0.vec_id = a1.vec_id""".stripMargin
+
+  /** SemDeDup pruning threshold: in-cluster pairs above this cosine are
+    * semantic duplicates and all but the lowest-id member drop. 0.25 is
+    * the corpus's diagnostic near-dup level (q128/q129 use the same), low
+    * enough to exercise real drops at fixture scale; production would
+    * tune it per-corpus exactly like q78's 0.8.
+    */
+  private val SemDedupEps = 0.25
+
+  /** q186: SemDeDup-style semantic pruning (Abbas et al. 2023, "SemDeDup:
+    * Data-efficient learning at web-scale through semantic deduplication")
+    * — compare vectors ONLY within their IVF cluster and drop any vector
+    * whose cosine to a lower-id cluster-mate exceeds [[SemDedupEps]].
+    * The cluster is the candidate bound: pairwise work is sum over
+    * clusters of size^2, never corpus^2, and the cluster id (from the
+    * PERSISTED q184 index — the corpus is not re-clustered per run) is the
+    * one shuffle key. This deterministic "keep the earliest member of any
+    * hot pair" policy is a non-iterative variant of the paper's
+    * keep-one-per-duplicate-group (which walks pairs greedily); it is
+    * SQL-expressible, order-stable under any partitioning, and
+    * over-drops only when near-dup chains span the threshold — the same
+    * trade the LSH text family documents. Output is the per-cluster
+    * members/kept/dropped ledger — the datacard-style artifact a curation
+    * run records.
+    */
+  def semDedup(s: SparkSession, dir: String): DataFrame = {
+    tune(s)
+    val (_, assign) = corpusIvfIndex(s, dir)
+    val a = assign.select(col("cid"), col("vec_id"), col("embedding"), col("nrm"))
+    val lo = a.select(col("cid"), col("vec_id").as("uid"),
+      col("embedding").as("qemb"), col("nrm").as("nq"))
+    val hi = a.select(col("cid"), col("vec_id").as("vid"),
+      col("embedding").as("vemb"), col("nrm").as("nv"))
+    val dropped = hi.join(lo, Seq("cid"))
+      .filter(col("uid") < col("vid"))
+      .withColumn("cosim0", dotExpr / (col("nq") * col("nv")))
+      .filter(col("cosim0") > lit(SemDedupEps))
+      .select(col("cid"), col("vid")).distinct()
+    a.select(col("cid"), col("vec_id"))
+      .join(dropped.withColumnRenamed("vid", "vec_id").withColumn("isdrop", lit(1)),
+        Seq("cid", "vec_id"), "left")
+      .groupBy(col("cid"))
+      .agg(count(lit(1)).as("members"),
+        sum(coalesce(col("isdrop"), lit(0))).cast("long").as("dropped"))
+      .withColumn("kept", col("members") - col("dropped"))
+      .select(col("cid"), col("members"), col("kept"), col("dropped"))
+  }
+
+  private val semDedupSql =
+    s"""WITH $flatSql,
+       |$normsSql,
+       |$ivfAssignSql,
+       |cpairs AS (
+       |  SELECT u.cid, u.vec_id AS uid, v.vec_id AS vid
+       |  FROM assign u JOIN assign v ON u.cid = v.cid AND u.vec_id < v.vec_id),
+       |cdots AS (
+       |  SELECT p.cid, p.uid, p.vid,
+       |         CAST(SUM(CAST(a.xd*b.xd AS DECIMAL(38,20))) AS DOUBLE) AS dot
+       |  FROM cpairs p
+       |  JOIN flat a ON a.vec_id = p.uid
+       |  JOIN flat b ON b.vec_id = p.vid AND b.pos = a.pos
+       |  GROUP BY p.cid, p.uid, p.vid),
+       |drops AS (
+       |  SELECT DISTINCT d.cid, d.vid
+       |  FROM cdots d JOIN norms n1 ON n1.vec_id = d.uid JOIN norms n2 ON n2.vec_id = d.vid
+       |  WHERE d.dot / (n1.nrm * n2.nrm) > $SemDedupEps)
+       |SELECT a.cid, CAST(COUNT(*) AS BIGINT) AS members,
+       |       CAST(COUNT(*) - COUNT(dr.vid) AS BIGINT) AS kept,
+       |       CAST(COUNT(dr.vid) AS BIGINT) AS dropped
+       |FROM assign a LEFT JOIN drops dr ON dr.cid = a.cid AND dr.vid = a.vec_id
+       |GROUP BY a.cid""".stripMargin
+
+  /** q188: ANN index-quality gate — recall@3 of the persisted-IVF probe
+    * (q184) against the exact brute-force top-3 (q64), per probe. This is
+    * the check a pipeline runs before trusting an approximate index for
+    * retrieval/dedup decisions: both sides are the already-shipped
+    * operators (the exact side scans once with broadcast probes; the
+    * approximate side reads only the probed clusters' bytes), joined on
+    * (qid, vid) and counted — so the gate costs one baseline scan, and at
+    * 100 TB would run on a sampled probe set exactly as here (16 probes).
+    * recall < 1 is expected and meaningful: it measures neighbors lost to
+    * cluster boundaries, the quantity that drives nprobe/K tuning.
+    */
+  def annRecall(s: SparkSession, dir: String): DataFrame = {
+    tune(s)
+    val exact = cosineKnn(s, dir).filter(col("rn") <= 3).select(col("qid"), col("vid"))
+    val approx = ivfAnnIndexed(s, dir)
+      .select(col("qid").as("aqid"), col("vid").as("avid"))
+    exact.join(approx,
+        col("qid") === col("aqid") && col("vid") === col("avid"), "left")
+      .groupBy(col("qid"))
+      .agg(count(col("avid")).as("hits"))
+      .withColumn("recall", col("hits").cast("double") / 3.0)
+  }
+
+  private val annRecallSql =
+    s"""WITH $flatSql,
+       |$normsSql,
+       |$ivfAssignSql,
+       |pairs AS (
+       |  SELECT q.vec_id AS qid, v.vec_id AS vid
+       |  FROM assign q JOIN assign v ON q.cid = v.cid AND q.vec_id < 16 AND q.vec_id <> v.vec_id),
+       |pdots AS (
+       |  SELECT p.qid, p.vid, CAST(SUM(CAST(a.xd*b.xd AS DECIMAL(38,20))) AS DOUBLE) AS dot
+       |  FROM pairs p
+       |  JOIN flat a ON a.vec_id = p.qid
+       |  JOIN flat b ON b.vec_id = p.vid AND b.pos = a.pos
+       |  GROUP BY p.qid, p.vid),
+       |pcos AS (
+       |  SELECT d.qid, d.vid, d.dot / (n1.nrm * n2.nrm) AS cosim
+       |  FROM pdots d JOIN norms n1 ON n1.vec_id = d.qid JOIN norms n2 ON n2.vec_id = d.vid),
+       |ivf3 AS (
+       |  SELECT qid, vid FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosim DESC, vid) AS rn
+       |    FROM pcos)
+       |  WHERE rn <= 3),
+       |edots AS (
+       |  SELECT q.vec_id AS qid, v.vec_id AS vid,
+       |         CAST(SUM(CAST(q.xd*v.xd AS DECIMAL(38,20))) AS DOUBLE) AS dot
+       |  FROM flat q JOIN flat v ON q.pos = v.pos AND q.vec_id <> v.vec_id
+       |  WHERE q.vec_id < 16
+       |  GROUP BY q.vec_id, v.vec_id),
+       |ecos AS (
+       |  SELECT qid, vid, dot / (a.nrm * b.nrm) AS cosim
+       |  FROM edots JOIN norms a ON a.vec_id = qid JOIN norms b ON b.vec_id = vid),
+       |exact3 AS (
+       |  SELECT qid, vid FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosim DESC, vid) AS rn
+       |    FROM ecos)
+       |  WHERE rn <= 3)
+       |SELECT e.qid, CAST(COUNT(i.vid) AS BIGINT) AS hits, COUNT(i.vid) / 3.0 AS recall
+       |FROM exact3 e LEFT JOIN ivf3 i ON i.qid = e.qid AND i.vid = e.vid
+       |GROUP BY e.qid""".stripMargin
 
   /** Deterministic random-hyperplane weights, derived from md5 so DuckDB
     * reproduces them bit-for-bit: w(j,pos) = md5_60("j_pos") % 2001 - 1000,
@@ -1119,6 +1346,15 @@ object Similarity extends QueryModule {
     GQuery("q184_ivf_index",
       "IVF ANN served from the persisted index: probe reads only the probed clusters' cid-pruned bytes; same oracle as q65",
       ivfAnnIndexed, Some(ivfAnnSql)),
+    GQuery("q185_kmeans_refine",
+      "one distributed Lloyd step over the IVF seeding: broadcast assign, decimal-exact component means, re-assign",
+      kmeansRefine, Some(kmeansRefineSql)),
+    GQuery("q186_semdedup",
+      "SemDeDup semantic pruning: in-cluster cosine > eps drops all but the lowest-id member; per-cluster ledger",
+      semDedup, Some(semDedupSql)),
+    GQuery("q188_ann_recall",
+      "ANN quality gate: recall@3 of the persisted-IVF probe vs the exact brute-force top-3, per probe",
+      annRecall, Some(annRecallSql)),
     GQuery("q78_embedding_neardup", "embedding-cosine near-dup via sign-LSH bucket join (no all-pairs)",
       embeddingNearDup, Some(embeddingNearDupSql)),
     GQuery("q128_embedding_degree", "embedding near-dup degree histogram at the diagnostic threshold 0.25, rides q78's pair frame",
