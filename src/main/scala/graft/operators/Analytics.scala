@@ -574,7 +574,101 @@ object Analytics extends QueryModule {
     s"""SELECT rule, n_violations, n_checked, n_violations = 0 AS passed
        |FROM ($dqAuditSql)""".stripMargin
 
+  /** q187: PageRank over the customer↔supplier trade graph — the
+    * link-authority scoring a curation pipeline uses to weight sources
+    * (domain-rank quality priors; the original motivation for the
+    * algorithm, Page et al. 1999). Graph construction and iteration are
+    * both engine-native:
+    *  - nodes: customers (2k) and suppliers (2k+1) in one id space;
+    *    edges: DISTINCT trade pairs from orders ⨝ lineitem, materialized
+    *    in BOTH directions so every node has outdegree ≥ 1 — no dangling
+    *    mass to redistribute, and the per-iteration groupBy(dst) covers
+    *    the whole node set.
+    *  - 3 power iterations, damping 0.85, entirely in 64-bit INTEGER
+    *    femto-units (rank mass 10^15): contribution = r div deg,
+    *    update = (0.15·10^15 div N) + (85·Σcontrib) div 100. Truncating
+    *    integer division is identical in Spark (`div`) and DuckDB (`//`)
+    *    for the non-negative values here, so ranks are bit-identical
+    *    cross-engine — no float summation-order hazard at any
+    *    parallelism (the q121 integer-micro-unit lesson applied to an
+    *    iterative algorithm).
+    *  - per iteration: ONE shuffle (groupBy dst) plus the rank-frame
+    *    join; edges and degrees are computed once and localCheckpointed
+    *    (the iterative-loop contract — cache alone nests the analyzed
+    *    plan). At 100 TB edges would be bucketed by src so the
+    *    rank-join co-locates; the iteration count, not data volume,
+    *    bounds plan depth.
+    * Output: top-20 nodes by rank (ties broken by node id), rank in
+    * femtos — discrete, so the compare is exact.
+    */
+  /** The full post-iteration rank frame (node, r) — q187's substrate,
+    * exposed for the mass-conservation property test. */
+  private[graft] def pageRankRanks(s: SparkSession, dir: String): DataFrame = {
+    tune(s)
+    val o = table(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
+    val li = table(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
+    val pairs = li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .select((col("o_custkey") * 2).cast("long").as("cnode"),
+        (col("l_suppkey") * 2 + 1).cast("long").as("snode"))
+      .distinct()
+    val edges = pairs.select(col("cnode").as("src"), col("snode").as("dst"))
+      .unionAll(pairs.select(col("snode").as("src"), col("cnode").as("dst")))
+      .localCheckpoint()
+    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg")).localCheckpoint()
+    val n = deg.count() // metadata-scale: one count job, a long to the driver
+    val base = 150000000000000L / n // (1-d) * 10^15 / N, exact integer div
+    var ranks = deg.select(col("src").as("node"), lit(1000000000000000L / n).as("r"))
+    for (_ <- 1 to 3) {
+      ranks = edges.join(deg, Seq("src"))
+        .join(ranks, col("node") === col("src"))
+        .select(col("dst"), expr("r div deg").as("c"))
+        .groupBy(col("dst"))
+        .agg(sum(col("c")).as("csum"))
+        .select(col("dst").as("node"),
+          (lit(base) + expr("(85 * csum) div 100")).as("r"))
+    }
+    ranks
+  }
+
+  def pageRank(s: SparkSession, dir: String): DataFrame = {
+    val top = pageRankRanks(s, dir).orderBy(col("r").desc, col("node")).limit(20)
+    // rn assigned over exactly 20 rows (post-limit, the q167 pattern)
+    top.withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy(col("r").desc, col("node"))))
+      .select(col("node"), col("r").as("rank_femto"), col("rn"))
+  }
+
+  private def prIterSql(prev: String, cur: String): String =
+    s"""$cur AS (
+       |  SELECT e.dst AS node,
+       |         150000000000000 // (SELECT n FROM nn)
+       |           + (85 * CAST(SUM(r.r // d.deg) AS BIGINT)) // 100 AS r
+       |  FROM edges e JOIN $prev r ON r.node = e.src JOIN deg d ON d.src = e.src
+       |  GROUP BY e.dst)""".stripMargin
+
+  private val pageRankSql =
+    s"""WITH pairs AS (
+       |  SELECT DISTINCT o_custkey*2 AS cnode, l_suppkey*2+1 AS snode
+       |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+       |edges AS (
+       |  SELECT cnode AS src, snode AS dst FROM pairs
+       |  UNION ALL
+       |  SELECT snode AS src, cnode AS dst FROM pairs),
+       |deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS deg FROM edges GROUP BY src),
+       |nn AS (SELECT COUNT(*) AS n FROM deg),
+       |r0 AS (SELECT src AS node, 1000000000000000 // (SELECT n FROM nn) AS r FROM deg),
+       |${prIterSql("r0", "r1")},
+       |${prIterSql("r1", "r2")},
+       |${prIterSql("r2", "r3")}
+       |SELECT node, r AS rank_femto, rn FROM (
+       |  SELECT *, CAST(ROW_NUMBER() OVER (ORDER BY r DESC, node) AS INT) AS rn
+       |  FROM r3)
+       |WHERE rn <= 20""".stripMargin
+
   override val queries: Seq[GQuery] = Seq(
+    GQuery("q187_pagerank",
+      "PageRank link-authority over the trade graph: 3 integer-femto power iterations, one shuffle each",
+      pageRank, Some(pageRankSql)),
     GQuery("q117_histogram", "equi-width histogram binning: integer buckets, one partial+final agg",
       histogram, Some(histogramSql)),
     GQuery("q119_dq_audit", "data-quality rule battery: FK orphans, domains, nulls, key uniqueness",

@@ -243,4 +243,23 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(clusters.count() > 0)
     pairs.unpersist(); clusters.unpersist()
   }
+
+  test("pagerank: integer iteration conserves rank mass up to truncation") {
+    val top = Analytics.pageRank(s, TestSpark.sf).collect()
+    assert(top.length == 20 && top.map(_.getInt(2)).toSeq == (1 to 20))
+    // ranks strictly ordered (ties broken by node, so non-increasing)
+    val ranks = top.map(_.getLong(1))
+    assert(ranks.zip(ranks.tail).forall { case (a, b) => a >= b })
+    // mass conservation: each node truncates r/deg by < 1 femto per edge
+    // and the damped sum by < 1; with bidirectional edges nothing dangles,
+    // so total mass can only shrink, and only by O(edges) femtos per
+    // iteration out of 10^15 — if an iteration dropped or double-counted
+    // a node this blows up by ~1/N instead
+    val full = Analytics.pageRankRanks(s, TestSpark.sf)
+    val mass = full.agg(sum(col("r"))).collect()(0).getLong(0)
+    val edges = full.count() // nodes; edge count bounds loss too but nodes suffice as a floor check
+    assert(mass <= 1000000000000000L, s"mass grew: $mass")
+    assert(mass > 1000000000000000L - 50000L * math.max(1L, edges),
+      s"mass lost beyond truncation bound: $mass")
+  }
 }

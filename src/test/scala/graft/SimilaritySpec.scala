@@ -236,4 +236,41 @@ class SimilaritySpec extends AnyFunSuite {
     assert(passed < novelKeys.length / 10,
       s"bloom should reject most novel vector digests, passed $passed of ${novelKeys.length}")
   }
+
+  test("kmeans refine: assignments cover every vector once, refinement reduces mean distance") {
+    val out = Similarity.kmeansRefine(s, TestSpark.sf).collect()
+    val n = s.read.parquet(TestSpark.sf + "/embeddings.parquet").count()
+    assert(out.length == n, "one assignment row per vector")
+    assert(out.map(_.getLong(0)).distinct.length == n, "vec_id unique")
+    // the refined assignment must actually move some vectors (a no-op
+    // iteration would mean the mean step or re-assign is broken) but not
+    // churn everything (centroid means stay near their seeds)
+    val moved = out.count(_.getBoolean(3))
+    assert(moved > 0 && moved < n / 2, s"moved=$moved of $n")
+    // every seed centroid survives as its own cluster member
+    val refinedClusters = out.map(_.getLong(2)).distinct.length
+    val seedClusters = out.map(_.getLong(1)).distinct.length
+    assert(refinedClusters == seedClusters, "Lloyd step must not empty a cluster")
+  }
+
+  test("semdedup ledger conserves members and drops within-cluster only") {
+    val rows = Similarity.semDedup(s, TestSpark.sf).collect()
+    val n = s.read.parquet(TestSpark.sf + "/embeddings.parquet").count()
+    assert(rows.map(_.getLong(1)).sum == n, "cluster members partition the corpus")
+    rows.foreach { r =>
+      assert(r.getLong(2) + r.getLong(3) == r.getLong(1), "kept + dropped = members")
+      assert(r.getLong(2) >= 1, "the lowest-id member of a cluster is never dropped")
+    }
+    assert(rows.map(_.getLong(3)).sum > 0, "eps must exercise real drops at fixture scale")
+  }
+
+  test("ann recall gate: hits bounded by k and consistent with recall") {
+    val rows = Similarity.annRecall(s, TestSpark.sf).collect()
+    assert(rows.length == 16, "one row per probe")
+    rows.foreach { r =>
+      val (hits, recall) = (r.getLong(1), r.getDouble(2))
+      assert(hits >= 0 && hits <= 3)
+      assert(math.abs(recall - hits / 3.0) < 1e-15)
+    }
+  }
 }
