@@ -613,14 +613,19 @@ object Analytics extends QueryModule {
       .distinct()
     val edges = pairs.select(col("cnode").as("src"), col("snode").as("dst"))
       .unionAll(pairs.select(col("snode").as("src"), col("cnode").as("dst")))
-      .localCheckpoint()
-    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg")).localCheckpoint()
+      .localCheckpoint(false)
+    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg")).localCheckpoint(false)
+    // the (src, dst, deg) frame is loop-invariant — attach deg ONCE so each
+    // iteration is a single join + groupBy, not a re-join of edges ⋈ deg.
+    // Checkpoints are LAZY: the count() below materializes edges+deg inside
+    // one job, edgeDeg rides the first iteration's job — plan truncation
+    // without paying three eager materialization jobs up front.
+    val edgeDeg = edges.join(deg, Seq("src")).localCheckpoint(false)
     val n = deg.count() // metadata-scale: one count job, a long to the driver
     val base = 150000000000000L / n // (1-d) * 10^15 / N, exact integer div
     var ranks = deg.select(col("src").as("node"), lit(1000000000000000L / n).as("r"))
     for (_ <- 1 to 3) {
-      ranks = edges.join(deg, Seq("src"))
-        .join(ranks, col("node") === col("src"))
+      ranks = edgeDeg.join(ranks, col("node") === col("src"))
         .select(col("dst"), expr("r div deg").as("c"))
         .groupBy(col("dst"))
         .agg(sum(col("c")).as("csum"))

@@ -82,4 +82,20 @@ class DeterminismSpec extends AnyFunSuite {
     val b2 = underPartitions(16)(collectSorted(ScaleOps.importanceResample(s, TestSpark.sf)))
     assert(a2 == b2)
   }
+
+  test("kmeans refine and pagerank iterations are identical under 1 vs 16 partitions") {
+    // both are iterative: kmeans' decimal component means and pagerank's
+    // integer femto-ranks are the two mechanisms that make iteration
+    // results independent of how each step was shuffled
+    val a = underPartitions(1)(collectSorted(
+      graft.operators.Similarity.kmeansRefine(s, TestSpark.sf)))
+    val b = underPartitions(16)(collectSorted(
+      graft.operators.Similarity.kmeansRefine(s, TestSpark.sf)))
+    assert(a == b)
+    val a2 = underPartitions(1)(collectSorted(
+      graft.operators.Analytics.pageRank(s, TestSpark.sf)))
+    val b2 = underPartitions(16)(collectSorted(
+      graft.operators.Analytics.pageRank(s, TestSpark.sf)))
+    assert(a2 == b2)
+  }
 }
