@@ -49,18 +49,26 @@ object ScaleRung {
     "q164_bm25_topk",
     "q178_segment_compact",
     "q158_ivm_loop",
+    "q187_pagerank",
   )
 
   def ensureRung(s: SparkSession): Unit = {
-    val ready = java.nio.file.Paths.get(rungDir, "_READY")
+    // versioned marker: v2 added the scaled lineitem (q187 graph family);
+    // a v1 rung on disk regenerates in place
+    val ready = java.nio.file.Paths.get(rungDir, "_READY_v2")
     if (java.nio.file.Files.exists(ready)) return
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(rungDir))
     val all = Seq("region", "nation", "customer", "supplier", "part",
       "orders", "lineitem", "events", "documents", "embeddings")
-    val scaled = Set("documents", "embeddings", "orders")
-    for (t <- all if !scaled(t)) {
+    val scaled = Set("documents", "embeddings", "orders", "lineitem")
+    for (t <- all) {
       val link = java.nio.file.Paths.get(rungDir, s"$t.parquet")
-      if (!java.nio.file.Files.exists(link))
+      // a scaled table whose path is a v1 SYMLINK must drop the link
+      // itself before Spark overwrites — deleting through the link would
+      // recurse into the read-only fixture directory
+      if (scaled(t) && java.nio.file.Files.isSymbolicLink(link))
+        java.nio.file.Files.delete(link)
+      if (!scaled(t) && !java.nio.file.Files.exists(link))
         java.nio.file.Files.createSymbolicLink(
           link, java.nio.file.Paths.get(srcDir, s"$t.parquet"))
     }
@@ -103,6 +111,18 @@ object ScaleRung {
       if (k == 0) o
       else o.withColumn("o_orderkey", col("o_orderkey") + lit(k * 100000000L))
     }).repartition(8).write.mode("overwrite").parquet(s"$rungDir/orders.parquet")
+
+    // lineitem: copy k aligns with orders' key shift so the copies JOIN,
+    // and shifts l_suppkey so the trade-graph edge set genuinely grows 10x
+    // (same-supplier copies would collapse in the DISTINCT pair step) —
+    // customers keep their identity, so hub structure deepens: the
+    // realistic "denser graph" experiment rather than 10 disjoint clones.
+    val li = s.read.parquet(s"$srcDir/lineitem.parquet")
+    tenX(li, { (l, k) =>
+      if (k == 0) l
+      else l.withColumn("l_orderkey", col("l_orderkey") + lit(k * 100000000L))
+        .withColumn("l_suppkey", col("l_suppkey") + lit(k * 1000000L))
+    }).repartition(16).write.mode("overwrite").parquet(s"$rungDir/lineitem.parquet")
 
     java.nio.file.Files.writeString(ready, "ok\n")
     copies.length: Unit
