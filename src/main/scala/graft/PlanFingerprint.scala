@@ -79,6 +79,11 @@ object PlanFingerprint {
     "q10_join_revenue",
     "q40_topk",
     "q184_ivf_index",
+    // round-10 additions in the expensive tail
+    "q187_pagerank",
+    "q185_kmeans_refine",
+    "q186_semdedup",
+    "q188_ann_recall",
   )
 
   /** Structural counts of the STEADY-STATE initial plan.
