@@ -601,26 +601,37 @@ object Analytics extends QueryModule {
     * Output: top-20 nodes by rank (ties broken by node id), rank in
     * femtos — discrete, so the compare is exact.
     */
+  /** The trade graph substrate shared by q187 (PageRank) and q189
+    * (TrustRank): the loop-invariant (src, dst, deg) frame plus the degree
+    * frame, built once per (session, dir). Checkpoints are LAZY: the
+    * caller's first action materializes edges+deg inside one job and
+    * edgeDeg rides the first iteration's job — plan truncation without
+    * paying three eager materialization jobs up front.
+    */
+  private def tradeGraph(s: SparkSession, dir: String): (DataFrame, DataFrame) =
+    graft.SessionCache.cachedValue[(DataFrame, DataFrame)](s, s"ana:tradegraph:$dir")({
+      val o = table(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
+      val li = table(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
+      val pairs = li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .select((col("o_custkey") * 2).cast("long").as("cnode"),
+          (col("l_suppkey") * 2 + 1).cast("long").as("snode"))
+        .distinct()
+      val edges = pairs.select(col("cnode").as("src"), col("snode").as("dst"))
+        .unionAll(pairs.select(col("snode").as("src"), col("cnode").as("dst")))
+        .localCheckpoint(false)
+      val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg")).localCheckpoint(false)
+      // the (src, dst, deg) frame is loop-invariant — attach deg ONCE so
+      // each iteration is a single join + groupBy, not a re-join of
+      // edges ⋈ deg
+      val edgeDeg = edges.join(deg, Seq("src")).localCheckpoint(false)
+      (edgeDeg, deg)
+    })({ case (a, b) => a.unpersist(); b.unpersist(); () })
+
   /** The full post-iteration rank frame (node, r) — q187's substrate,
     * exposed for the mass-conservation property test. */
   private[graft] def pageRankRanks(s: SparkSession, dir: String): DataFrame = {
     tune(s)
-    val o = table(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
-    val li = table(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
-    val pairs = li.join(o, col("l_orderkey") === col("o_orderkey"))
-      .select((col("o_custkey") * 2).cast("long").as("cnode"),
-        (col("l_suppkey") * 2 + 1).cast("long").as("snode"))
-      .distinct()
-    val edges = pairs.select(col("cnode").as("src"), col("snode").as("dst"))
-      .unionAll(pairs.select(col("snode").as("src"), col("cnode").as("dst")))
-      .localCheckpoint(false)
-    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg")).localCheckpoint(false)
-    // the (src, dst, deg) frame is loop-invariant — attach deg ONCE so each
-    // iteration is a single join + groupBy, not a re-join of edges ⋈ deg.
-    // Checkpoints are LAZY: the count() below materializes edges+deg inside
-    // one job, edgeDeg rides the first iteration's job — plan truncation
-    // without paying three eager materialization jobs up front.
-    val edgeDeg = edges.join(deg, Seq("src")).localCheckpoint(false)
+    val (edgeDeg, deg) = tradeGraph(s, dir)
     val n = deg.count() // metadata-scale: one count job, a long to the driver
     val base = 150000000000000L / n // (1-d) * 10^15 / N, exact integer div
     var ranks = deg.select(col("src").as("node"), lit(1000000000000000L / n).as("r"))
@@ -642,6 +653,90 @@ object Analytics extends QueryModule {
         org.apache.spark.sql.expressions.Window.orderBy(col("r").desc, col("node"))))
       .select(col("node"), col("r").as("rank_femto"), col("rn"))
   }
+
+  /** q189: TrustRank (Gyöngyi et al. 2004) over the same trade graph —
+    * trust seeded on a vetted set and propagated with decay, the
+    * seed-domain quality-prior technique a corpus pipeline uses to
+    * downweight spam sources that mere in-degree (PageRank) rewards.
+    * Differences from q187, all load-bearing:
+    *  - teleport mass goes ONLY to seeds (every tenth supplier that
+    *    actually trades), so unreachable spam farms get exactly zero;
+    *  - the rank frame stays SPARSE — it holds only nodes trust has
+    *    reached, growing frontier-by-frontier from the seeds, which at
+    *    100 TB is the difference between O(reached) and O(all nodes)
+    *    state per iteration;
+    *  - each iteration is the shared edgeDeg join + groupBy(dst), then a
+    *    full-outer join with the (tiny, broadcastable) seed-base frame so
+    *    seeds keep their teleport mass even before trust cycles back.
+    * Same integer femto-unit arithmetic as q187: bit-identical
+    * cross-engine, no float order sensitivity. Graph substrate is
+    * session-cached and shared with q187 — building it twice would be
+    * the real per-query cost at fixture scale.
+    */
+  def trustRank(s: SparkSession, dir: String): DataFrame = {
+    tune(s)
+    val (edgeDeg, deg) = tradeGraph(s, dir)
+    val seeds = table(s, dir, "supplier")
+      .filter(col("s_suppkey") % 10 === 0)
+      .select((col("s_suppkey") * 2 + 1).cast("long").as("node"))
+      .join(deg.select(col("src").as("node")), Seq("node"), "semi")
+      .localCheckpoint(false)
+    val ns = seeds.count()
+    val base = seeds.withColumn("b", lit(150000000000000L / ns))
+    var ranks = seeds.select(col("node"), lit(1000000000000000L / ns).as("r"))
+    for (_ <- 1 to 3) {
+      val contrib = edgeDeg.join(ranks, col("node") === col("src"))
+        .select(col("dst"), expr("r div deg").as("c"))
+        .groupBy(col("dst"))
+        .agg(sum(col("c")).as("csum"))
+        .select(col("dst").as("node"), expr("(85 * csum) div 100").as("dr"))
+      ranks = contrib.join(base, Seq("node"), "outer")
+        .select(col("node"),
+          (coalesce(col("b"), lit(0L)) + coalesce(col("dr"), lit(0L))).as("r"))
+    }
+    val top = ranks.orderBy(col("r").desc, col("node")).limit(20)
+    top.join(base.select(col("node"), lit(true).as("is_seed")), Seq("node"), "left")
+      .withColumn("is_seed", coalesce(col("is_seed"), lit(false)))
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy(col("r").desc, col("node"))))
+      .select(col("node"), col("r").as("trust_femto"), col("is_seed"), col("rn"))
+  }
+
+  private def trIterSql(prev: String, t: String, cur: String): String =
+    s"""$t AS (
+       |  SELECT e.dst AS node, (85 * CAST(SUM(r.r // d.deg) AS BIGINT)) // 100 AS dr
+       |  FROM edges e JOIN $prev r ON r.node = e.src JOIN deg d ON d.src = e.src
+       |  GROUP BY e.dst),
+       |$cur AS (
+       |  SELECT COALESCE(t.node, b.node) AS node,
+       |         COALESCE(b.b, 0) + COALESCE(t.dr, 0) AS r
+       |  FROM $t t FULL JOIN base b ON b.node = t.node)""".stripMargin
+
+  private val trustRankSql =
+    s"""WITH pairs AS (
+       |  SELECT DISTINCT o_custkey*2 AS cnode, l_suppkey*2+1 AS snode
+       |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+       |edges AS (
+       |  SELECT cnode AS src, snode AS dst FROM pairs
+       |  UNION ALL
+       |  SELECT snode AS src, cnode AS dst FROM pairs),
+       |deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS deg FROM edges GROUP BY src),
+       |seeds AS (
+       |  SELECT d.src AS node FROM deg d
+       |  JOIN (SELECT s_suppkey*2+1 AS node FROM supplier WHERE s_suppkey % 10 = 0) s
+       |    ON s.node = d.src),
+       |ns AS (SELECT COUNT(*) AS c FROM seeds),
+       |base AS (SELECT node, 150000000000000 // (SELECT c FROM ns) AS b FROM seeds),
+       |r0 AS (SELECT node, 1000000000000000 // (SELECT c FROM ns) AS r FROM seeds),
+       |${trIterSql("r0", "t1", "r1")},
+       |${trIterSql("r1", "t2", "r2")},
+       |${trIterSql("r2", "t3", "r3")}
+       |SELECT node, r AS trust_femto, is_seed, rn FROM (
+       |  SELECT r3.node, r3.r,
+       |         b.node IS NOT NULL AS is_seed,
+       |         CAST(ROW_NUMBER() OVER (ORDER BY r3.r DESC, r3.node) AS INT) AS rn
+       |  FROM r3 LEFT JOIN base b ON b.node = r3.node)
+       |WHERE rn <= 20""".stripMargin
 
   private def prIterSql(prev: String, cur: String): String =
     s"""$cur AS (
@@ -674,6 +769,9 @@ object Analytics extends QueryModule {
     GQuery("q187_pagerank",
       "PageRank link-authority over the trade graph: 3 integer-femto power iterations, one shuffle each",
       pageRank, Some(pageRankSql)),
+    GQuery("q189_trustrank",
+      "TrustRank seed-trust propagation: teleport only to vetted seeds, sparse frontier ranks, shared graph substrate",
+      trustRank, Some(trustRankSql)),
     GQuery("q117_histogram", "equi-width histogram binning: integer buckets, one partial+final agg",
       histogram, Some(histogramSql)),
     GQuery("q119_dq_audit", "data-quality rule battery: FK orphans, domains, nulls, key uniqueness",

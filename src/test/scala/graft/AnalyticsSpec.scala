@@ -262,4 +262,17 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(mass > 1000000000000000L - 50000L * math.max(1L, edges),
       s"mass lost beyond truncation bound: $mass")
   }
+
+  test("trustrank: top-20 well-formed, trust bounded by total mass, seeds present") {
+    val rows = Analytics.trustRank(s, TestSpark.sf).collect()
+    assert(rows.length == 20 && rows.map(_.getInt(3)).toSeq == (1 to 20))
+    val trust = rows.map(_.getLong(1))
+    assert(trust.zip(trust.tail).forall { case (a, b) => a >= b })
+    // trust decays except at seeds; no node can ever exceed the total
+    // teleport+propagated mass
+    assert(trust.forall(t => t > 0 && t < 1000000000000000L))
+    // with trust seeded on trading suppliers, at least one seed must rank
+    // in the top-20 (teleport mass alone guarantees a floor)
+    assert(rows.exists(_.getBoolean(2)), "no seed in top-20: teleport mass lost")
+  }
 }
