@@ -661,7 +661,61 @@ object Search extends QueryModule {
        |  FROM pairs)
        |WHERE rn <= 20""".stripMargin
 
+  /** q190: hashed-linear quality-classifier inference SERVED FROM THE
+    * PERSISTED INDEX — the fastText-style "model-based quality filter"
+    * step of a curation pipeline (score every document with a linear
+    * bag-of-words model, keep above threshold), with two scale properties
+    * the naive form lacks:
+    *  - inference reads the postings table, not the corpus: the tf
+    *    aggregation already happened at index-build time, so scoring is
+    *    one weighted sum per (tok, doc) posting with map-side combine —
+    *    re-tokenizing 100 TB to apply a filter would dwarf the model math;
+    *  - the model is the HASHING TRICK taken to its limit: the token's
+    *    portable 60-bit digest indexes the weight table implicitly
+    *    (w = md5_60('qw'||tok) % 2001 - 1000, integer micro-units), so
+    *    there is no weight vector to ship — stand-in weights for a
+    *    trained model delivered the same way (a broadcast dictionary or
+    *    a second hash salt), with the plumbing identical.
+    * Integer logits end-to-end: keep/drop decisions and per-lang sums are
+    * bit-exact cross-engine — no sigmoid needed for a threshold gate
+    * (monotone transform, same decision boundary). Docs with no tokens
+    * score 0 via the left join and fail the strict > 0 keep gate.
+    */
+  def qualityClassifier(s: SparkSession, dir: String): DataFrame = {
+    tune(s)
+    val idx = searchIndex(s, dir)
+    val scored = idx.postings
+      .withColumn("w", md5Long(concat(lit("qw"), col("tok"))) % 2001 - 1000)
+      .groupBy(col("doc_id"))
+      .agg(sum(col("tf") * col("w")).as("logit_micro"))
+    docs(s, dir).select(col("doc_id"), col("lang"))
+      .join(scored, Seq("doc_id"), "left")
+      .withColumn("logit_micro", coalesce(col("logit_micro"), lit(0L)))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("logit_micro") > 0, 1L).otherwise(0L)).as("n_keep"),
+        sum(col("logit_micro")).as("sum_logit"))
+  }
+
+  private val qualityClassifierSql =
+    s"""WITH $toksSql,
+       |tfs AS (
+       |  SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS tf
+       |  FROM toks GROUP BY doc_id, tok),
+       |scored AS (
+       |  SELECT doc_id,
+       |         CAST(SUM(tf * (((('0x' || substr(md5('qw' || tok), 1, 15))::BIGINT) % 2001) - 1000)) AS BIGINT) AS logit_micro
+       |  FROM tfs GROUP BY doc_id)
+       |SELECT d.lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |       CAST(SUM(CASE WHEN COALESCE(s.logit_micro, 0) > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_keep,
+       |       CAST(SUM(COALESCE(s.logit_micro, 0)) AS BIGINT) AS sum_logit
+       |FROM documents d LEFT JOIN scored s ON s.doc_id = d.doc_id
+       |GROUP BY d.lang""".stripMargin
+
   override val queries: Seq[GQuery] = Seq(
+    GQuery("q190_quality_classifier",
+      "hashed-linear quality filter inference from the persisted index: integer logits, per-lang keep ledger",
+      qualityClassifier, Some(qualityClassifierSql)),
     GQuery("q163_invindex_build",
       "persisted inverted index: build/validate via IndexStore, dictionary audit from stored tables",
       invindexBuild, Some(invindexBuildSql)),
