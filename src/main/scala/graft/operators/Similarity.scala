@@ -533,6 +533,119 @@ object Similarity extends QueryModule {
        |FROM exact3 e LEFT JOIN ivf3 i ON i.qid = e.qid AND i.vid = e.vid
        |GROUP BY e.qid""".stripMargin
 
+  private[graft] def refreshedIvfPath(dir: String): String =
+    "target/graft_index/ivfr_" + dir.replaceAll("[^A-Za-z0-9.]+", "_")
+
+  /** q191: incremental IVF refresh — the missing symmetry in the IVF
+    * family (dedup q131, vector-LSH q145, search q166 all ingest
+    * incrementally; IVF only built). An arriving batch (the q140 rigs'
+    * deterministic synthetic arrivals: byte copies, float-exact 2x
+    * scales, negations) is assigned against the STORED centroids — the
+    * index-property contract: a refresh must reuse the index's centroid
+    * set verbatim, never re-derive centroids from whatever corpus is
+    * around, or cluster ids silently renumber and every persisted
+    * assignment dangles. Cost is O(batch): K ~ sqrt(N) centroids
+    * broadcast to the batch only; the corpus assignment is reused from
+    * the store untouched. The merged assignment lands in a BRANCH store
+    * (cid-range-partitioned like the primary), leaving the corpus-stamped
+    * q184 index intact. The probe then serves top-3 from the refreshed
+    * branch for the batch's byte-copy probes — each probe's source vector
+    * and its float-exact variants surface at cosine exactly ±1, proving
+    * new and old members co-reside in the right clusters. Ranking orders
+    * by the ROUNDED cosine (then vid): the exact-tier ties (source vs 2x
+    * copy, both cosine 1) are broken identically in both engines instead
+    * of by sub-ulp fold noise.
+    */
+  def ivfRefresh(s: SparkSession, dir: String): DataFrame = {
+    tune(s)
+    val path = refreshedIvfPath(dir)
+    synchronized {
+      val stamp = "r1|" +
+        graft.sources.IndexStore.sourceStamp(s, Seq(s"$dir/embeddings.parquet"))
+      if (!graft.sources.IndexStore.isCurrent(s, path, stamp)) {
+        val (cents, assign) = corpusIvfIndex(s, dir)
+        val batch = withNorm(syntheticVecBatch(s, dir))
+        val acos = batch.withColumnRenamed("embedding", "vemb")
+          .join(broadcast(cents.select(col("cid"), col("embedding").as("qemb"), col("nc"))))
+          .withColumn("cosim0", dotExpr / (col("nc") * col("nrm")))
+        val wa = Window.partitionBy(col("vec_id")).orderBy(col("cosim0").desc, col("cid"))
+        val bAssign = acos.withColumn("rn", row_number().over(wa))
+          .filter(col("rn") === 1)
+          .select(col("cid"), col("vec_id"), col("vemb").as("embedding"), col("nrm"))
+        val merged = assign.select(col("cid"), col("vec_id"), col("embedding"), col("nrm"))
+          .unionByName(bAssign)
+        graft.sources.IndexStore.write(s, path, stamp, Seq(
+          "assign" -> merged.repartitionByRange(col("cid"), col("vec_id"))
+            .sortWithinPartitions(col("cid"), col("vec_id"))))
+      }
+    }
+    val assign2 = graft.sources.IndexStore.read(s, path, "assign")
+    val qa = assign2.filter(col("vec_id") >= 100000L && col("vec_id") < 100016L)
+      .select(col("vec_id").as("qid"), col("cid"),
+        col("embedding").as("qemb"), col("nrm").as("nq"))
+    // driver-side cluster cover (metadata-scale), the q184 pruning pattern
+    val probeCids = qa.select(col("cid")).distinct().collect().map(_.getLong(0)).sorted
+    val pcos = assign2.filter(col("cid").isInCollection(probeCids.toSeq))
+      .select(col("vec_id").as("vid"), col("cid"),
+        col("embedding").as("vemb"), col("nrm").as("nv"))
+      .join(broadcast(qa), Seq("cid"))
+      .filter(col("qid") =!= col("vid"))
+      .withColumn("cosim0", dotExpr / (col("nq") * col("nv")))
+    val wp = Window.partitionBy(col("qid"))
+      .orderBy(round(col("cosim0"), 9).desc, col("vid"))
+    pcos.withColumn("rn", row_number().over(wp))
+      .filter(col("rn") <= 3)
+      .select(col("qid"), col("vid"), round(col("cosim0"), 9).as("cosim"), col("rn"))
+  }
+
+  private val ivfRefreshSql =
+    """WITH flat0 AS (
+      |  SELECT vec_id, i AS pos, CAST(embedding[i] AS DOUBLE) AS xd
+      |  FROM (SELECT vec_id, embedding, unnest(range(1, len(embedding)+1)) AS i
+      |        FROM embeddings)),
+      |bflat AS (
+      |  SELECT vec_id + 100000 AS vec_id, pos, xd FROM flat0 WHERE vec_id % 5 = 0
+      |  UNION ALL
+      |  SELECT vec_id + 200000, pos, xd * 2 FROM flat0 WHERE vec_id % 7 = 0
+      |  UNION ALL
+      |  SELECT vec_id + 300000, pos, -xd FROM flat0 WHERE vec_id % 11 = 0),
+      |flat AS (SELECT * FROM flat0 UNION ALL SELECT * FROM bflat),
+      |norms AS (
+      |  SELECT vec_id, sqrt(CAST(SUM(CAST(xd*xd AS DECIMAL(38,20))) AS DOUBLE)) AS nrm
+      |  FROM flat GROUP BY vec_id),
+      |cent AS (SELECT vec_id AS cid, pos, xd AS cx FROM flat0
+      |         WHERE vec_id % (SELECT CAST(ceil(sqrt(COUNT(*))) AS BIGINT) FROM embeddings) = 0),
+      |adots AS (
+      |  SELECT f.vec_id, c.cid, CAST(SUM(CAST(f.xd*c.cx AS DECIMAL(38,20))) AS DOUBLE) AS dot
+      |  FROM flat f JOIN cent c ON f.pos = c.pos
+      |  GROUP BY f.vec_id, c.cid),
+      |acos AS (
+      |  SELECT a.vec_id, a.cid, a.dot / (n2.nrm * n1.nrm) AS cosim
+      |  FROM adots a JOIN norms n1 ON n1.vec_id = a.vec_id JOIN norms n2 ON n2.vec_id = a.cid),
+      |assign AS (
+      |  SELECT vec_id, cid FROM (
+      |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cosim DESC, cid) AS rn
+      |    FROM acos)
+      |  WHERE rn = 1),
+      |qa AS (SELECT vec_id AS qid, cid FROM assign
+      |       WHERE vec_id >= 100000 AND vec_id < 100016),
+      |pairs AS (
+      |  SELECT q.qid, v.vec_id AS vid
+      |  FROM qa q JOIN assign v ON v.cid = q.cid AND v.vec_id <> q.qid),
+      |pdots AS (
+      |  SELECT p.qid, p.vid, CAST(SUM(CAST(a.xd*b.xd AS DECIMAL(38,20))) AS DOUBLE) AS dot
+      |  FROM pairs p
+      |  JOIN flat a ON a.vec_id = p.qid
+      |  JOIN flat b ON b.vec_id = p.vid AND b.pos = a.pos
+      |  GROUP BY p.qid, p.vid),
+      |pcos AS (
+      |  SELECT d.qid, d.vid, d.dot / (n1.nrm * n2.nrm) AS cosim
+      |  FROM pdots d JOIN norms n1 ON n1.vec_id = d.qid JOIN norms n2 ON n2.vec_id = d.vid)
+      |SELECT qid, vid, round(cosim, 9) AS cosim, rn FROM (
+      |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY round(cosim, 9) DESC, vid) AS INT) AS rn
+      |  FROM pcos)
+      |WHERE rn <= 3""".stripMargin
+
   /** Deterministic random-hyperplane weights, derived from md5 so DuckDB
     * reproduces them bit-for-bit: w(j,pos) = md5_60("j_pos") % 2001 - 1000,
     * used as w/1000.0.
@@ -1355,6 +1468,9 @@ object Similarity extends QueryModule {
     GQuery("q188_ann_recall",
       "ANN quality gate: recall@3 of the persisted-IVF probe vs the exact brute-force top-3, per probe",
       annRecall, Some(annRecallSql)),
+    GQuery("q191_ivf_refresh",
+      "incremental IVF refresh: O(batch) assignment against STORED centroids into a branch store, probe proves co-residence",
+      ivfRefresh, Some(ivfRefreshSql)),
     GQuery("q78_embedding_neardup", "embedding-cosine near-dup via sign-LSH bucket join (no all-pairs)",
       embeddingNearDup, Some(embeddingNearDupSql)),
     GQuery("q128_embedding_degree", "embedding near-dup degree histogram at the diagnostic threshold 0.25, rides q78's pair frame",
