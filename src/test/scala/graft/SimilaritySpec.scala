@@ -264,6 +264,25 @@ class SimilaritySpec extends AnyFunSuite {
     assert(rows.map(_.getLong(3)).sum > 0, "eps must exercise real drops at fixture scale")
   }
 
+  test("ivf refresh: branch holds corpus+batch, primary index untouched, probes find their source") {
+    val before = Similarity.ivfAnnIndexed(s, TestSpark.sf).collect().map(_.toString).sorted.toSeq
+    val out = Similarity.ivfRefresh(s, TestSpark.sf).collect()
+    // every byte-copy probe's nearest refreshed-index neighbor is its source
+    // vector at cosine exactly 1 (rounded) — new and old members co-reside
+    out.filter(_.getInt(3) == 1).foreach { r =>
+      assert(r.getLong(1) == r.getLong(0) - 100000L, s"rank-1 not the source: $r")
+      assert(r.getDouble(2) == 1.0)
+    }
+    // the branch store carries corpus + batch; the corpus-stamped primary
+    // still serves bit-identical results (no clobber)
+    val n = s.read.parquet(TestSpark.sf + "/embeddings.parquet").count()
+    val batchN = graft.sources.IndexStore
+      .read(s, Similarity.refreshedIvfPath(TestSpark.sf), "assign").count()
+    assert(batchN > n, s"branch assign ($batchN) must exceed corpus ($n)")
+    val after = Similarity.ivfAnnIndexed(s, TestSpark.sf).collect().map(_.toString).sorted.toSeq
+    assert(before == after, "refresh must not mutate the primary IVF index")
+  }
+
   test("ann recall gate: hits bounded by k and consistent with recall") {
     val rows = Similarity.annRecall(s, TestSpark.sf).collect()
     assert(rows.length == 16, "one row per probe")
