@@ -533,6 +533,57 @@ object Similarity extends QueryModule {
        |FROM exact3 e LEFT JOIN ivf3 i ON i.qid = e.qid AND i.vid = e.vid
        |GROUP BY e.qid""".stripMargin
 
+  /** Target size of the q192 diversity subset. */
+  private val DiversityBudget = 100L
+
+  /** q192: cluster-balanced diversity sampling — select a fixed budget
+    * spread across the persisted IVF clusters (quota proportional to
+    * cluster size with a floor of 1), the subset-selection step that
+    * follows SemDeDup pruning in an embedding-curation pipeline: random
+    * sampling over-represents dense modes; per-cluster quotas guarantee
+    * every semantic region survives into the subset. Within a cluster
+    * the picks are ordered by the portable md5 digest of the vector id —
+    * a deterministic shuffle, so the "random" sample is reproducible
+    * cross-engine and cross-run (the q44 hash-sampling principle applied
+    * per-cluster). One shuffle on cid for the rank window (the persisted
+    * index is already cid-partitioned); quotas are a K-row broadcast.
+    */
+  def diversitySample(s: SparkSession, dir: String): DataFrame = {
+    tune(s)
+    val (_, assign) = corpusIvfIndex(s, dir)
+    val n = table(s, dir, "embeddings").count()
+    val quotas = assign.groupBy(col("cid")).agg(count(lit(1)).as("csize"))
+      .withColumn("quota",
+        greatest(lit(1L), expr(s"(csize * $DiversityBudget) div $n")))
+      .select(col("cid"), col("quota"))
+    val w = Window.partitionBy(col("cid"))
+      .orderBy(md5Long(concat(lit("ds"), col("vec_id").cast("string"))), col("vec_id"))
+    assign.select(col("cid"), col("vec_id"))
+      .withColumn("pick", row_number().over(w))
+      .join(broadcast(quotas), Seq("cid"))
+      .filter(col("pick") <= col("quota"))
+      .select(col("cid"), col("vec_id"), col("pick"), col("quota"))
+  }
+
+  private val diversitySampleSql =
+    s"""WITH $flatSql,
+       |$normsSql,
+       |$ivfAssignSql,
+       |quotas AS (
+       |  SELECT cid, GREATEST(1, (CAST(COUNT(*) AS BIGINT) * $DiversityBudget)
+       |                          // (SELECT COUNT(*) FROM embeddings)) AS quota
+       |  FROM assign GROUP BY cid),
+       |picks AS (
+       |  SELECT a.cid, a.vec_id,
+       |         CAST(ROW_NUMBER() OVER (
+       |           PARTITION BY a.cid
+       |           ORDER BY (('0x' || substr(md5('ds' || CAST(a.vec_id AS VARCHAR)), 1, 15))::BIGINT),
+       |                    a.vec_id) AS INT) AS pick
+       |  FROM assign a)
+       |SELECT p.cid, p.vec_id, p.pick, q.quota
+       |FROM picks p JOIN quotas q ON q.cid = p.cid
+       |WHERE p.pick <= q.quota""".stripMargin
+
   private[graft] def refreshedIvfPath(dir: String): String =
     "target/graft_index/ivfr_" + dir.replaceAll("[^A-Za-z0-9.]+", "_")
 
@@ -1471,6 +1522,9 @@ object Similarity extends QueryModule {
     GQuery("q191_ivf_refresh",
       "incremental IVF refresh: O(batch) assignment against STORED centroids into a branch store, probe proves co-residence",
       ivfRefresh, Some(ivfRefreshSql)),
+    GQuery("q192_diversity_sample",
+      "cluster-balanced diversity subset: per-cluster quotas with md5-shuffled deterministic picks",
+      diversitySample, Some(diversitySampleSql)),
     GQuery("q78_embedding_neardup", "embedding-cosine near-dup via sign-LSH bucket join (no all-pairs)",
       embeddingNearDup, Some(embeddingNearDupSql)),
     GQuery("q128_embedding_degree", "embedding near-dup degree histogram at the diagnostic threshold 0.25, rides q78's pair frame",
