@@ -84,6 +84,10 @@ object PlanFingerprint {
     "q185_kmeans_refine",
     "q186_semdedup",
     "q188_ann_recall",
+    "q189_trustrank",
+    "q190_quality_classifier",
+    "q191_ivf_refresh",
+    "q192_diversity_sample",
   )
 
   /** Structural counts of the STEADY-STATE initial plan.
