@@ -712,7 +712,99 @@ object Search extends QueryModule {
        |FROM documents d LEFT JOIN scored s ON s.doc_id = d.doc_id
        |GROUP BY d.lang""".stripMargin
 
+  /** q193: hybrid retrieval — the BM25 lexical ranker (from the persisted
+    * inverted index) and the exact cosine vector ranker fused by
+    * Reciprocal Rank Fusion (Cormack et al. 2009), the standard trick for
+    * combining rankers whose scores live on incomparable scales: each
+    * ranker contributes 1/(60 + rank) for its top-10, summed per (query,
+    * doc). Queries are the docs that have BOTH a text query (the q164
+    * query set, doc_id % 50 = 7) and an embedding, so the two rankers
+    * genuinely cover the same corpus slice. Scale shape: the lexical leg
+    * rides the session-cached BM25 frame (only query-term postings are
+    * read); the vector leg is the q64 broadcast-probe linear scan (the
+    * exact baseline — rank stability matters more than speed in a fusion
+    * gate; the IVF leg would substitute at 100 TB); fusion itself joins
+    * two top-10-per-query frames — negligible. RRF contributions are
+    * integer micro-units (10^9 div (60 + rank)) so fused scores and
+    * tie-breaks are bit-exact cross-engine: no float at all past the
+    * per-ranker ordering already pinned by q164/q64.
+    */
+  def hybridRrf(s: SparkSession, dir: String): DataFrame = {
+    tune(s)
+    val w = org.apache.spark.sql.expressions.Window
+    val embCount = table(s, dir, "embeddings").count()
+    val wl = w.partitionBy(col("qid")).orderBy(col("score").desc, col("doc_id"))
+    val lex = bm25Scores(s, dir, searchIndex(s, dir))
+      .filter(col("qid") < embCount)
+      .withColumn("r", row_number().over(wl)).filter(col("r") <= 10)
+      .select(col("qid"), col("doc_id"), col("r").as("rlex"))
+    val en = table(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+      .withColumn("nrm", expr("sqrt(graft_dot(embedding, embedding))"))
+    val probes = en.filter(col("vec_id") % 50 === 7)
+      .select(col("vec_id").as("qid"), col("embedding").as("qemb"), col("nrm").as("nq"))
+    val dotE = expr(
+      "aggregate(zip_with(qemb, vemb, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), " +
+        "CAST(0.0 AS DOUBLE), (acc, p) -> acc + p)")
+    val cosv = en.select(col("vec_id").as("vid"), col("embedding").as("vemb"),
+        col("nrm").as("nv"))
+      .join(broadcast(probes), col("qid") =!= col("vid"))
+      .withColumn("cosim0", dotE / (col("nq") * col("nv")))
+    val wv = w.partitionBy(col("qid")).orderBy(col("cosim0").desc, col("vid"))
+    val vec = cosv.withColumn("r", row_number().over(wv)).filter(col("r") <= 10)
+      .select(col("qid"), col("vid").as("doc_id"), col("r").as("rvec"))
+    val fused = lex.join(vec, Seq("qid", "doc_id"), "outer")
+      .withColumn("rrf_micro",
+        (coalesce(expr("1000000000 div (60 + rlex)"), lit(0)) +
+          coalesce(expr("1000000000 div (60 + rvec)"), lit(0))).cast("long"))
+    val wf = w.partitionBy(col("qid")).orderBy(col("rrf_micro").desc, col("doc_id"))
+    fused.withColumn("rn", row_number().over(wf)).filter(col("rn") <= 5)
+      .select(col("qid"), col("doc_id"), col("rrf_micro"), col("rn"))
+  }
+
+  private val hybridRrfSql =
+    s"""WITH $bm25ScoresSql,
+       |lex AS (
+       |  SELECT qid, doc_id, r FROM (
+       |    SELECT qid, doc_id,
+       |           CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY score DESC, doc_id) AS INT) AS r
+       |    FROM scored WHERE qid < (SELECT COUNT(*) FROM embeddings))
+       |  WHERE r <= 10),
+       |eflat AS (
+       |  SELECT vec_id, i AS pos, CAST(embedding[i] AS DOUBLE) AS xd
+       |  FROM (SELECT vec_id, embedding, unnest(range(1, len(embedding)+1)) AS i
+       |        FROM embeddings)),
+       |enorms AS (
+       |  SELECT vec_id, sqrt(CAST(SUM(CAST(xd*xd AS DECIMAL(38,20))) AS DOUBLE)) AS nrm
+       |  FROM eflat GROUP BY vec_id),
+       |vdots AS (
+       |  SELECT q.vec_id AS qid, v.vec_id AS vid,
+       |         CAST(SUM(CAST(q.xd*v.xd AS DECIMAL(38,20))) AS DOUBLE) AS dot
+       |  FROM eflat q JOIN eflat v ON q.pos = v.pos AND q.vec_id <> v.vec_id
+       |  WHERE q.vec_id % 50 = 7
+       |  GROUP BY q.vec_id, v.vec_id),
+       |vcos AS (
+       |  SELECT qid, vid, dot / (a.nrm * b.nrm) AS cosim
+       |  FROM vdots JOIN enorms a ON a.vec_id = qid JOIN enorms b ON b.vec_id = vid),
+       |vec AS (
+       |  SELECT qid, vid AS doc_id, r FROM (
+       |    SELECT qid, vid,
+       |           CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosim DESC, vid) AS INT) AS r
+       |    FROM vcos)
+       |  WHERE r <= 10),
+       |fused AS (
+       |  SELECT COALESCE(l.qid, v.qid) AS qid, COALESCE(l.doc_id, v.doc_id) AS doc_id,
+       |         CAST(COALESCE(1000000000 // (60 + l.r), 0)
+       |            + COALESCE(1000000000 // (60 + v.r), 0) AS BIGINT) AS rrf_micro
+       |  FROM lex l FULL JOIN vec v ON v.qid = l.qid AND v.doc_id = l.doc_id)
+       |SELECT qid, doc_id, rrf_micro, rn FROM (
+       |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY rrf_micro DESC, doc_id) AS INT) AS rn
+       |  FROM fused)
+       |WHERE rn <= 5""".stripMargin
+
   override val queries: Seq[GQuery] = Seq(
+    GQuery("q193_hybrid_rrf",
+      "hybrid retrieval: BM25 lexical + exact cosine rankers fused by integer reciprocal-rank fusion",
+      hybridRrf, Some(hybridRrfSql)),
     GQuery("q190_quality_classifier",
       "hashed-linear quality filter inference from the persisted index: integer logits, per-lang keep ledger",
       qualityClassifier, Some(qualityClassifierSql)),
