@@ -25,6 +25,18 @@ import org.apache.spark.sql.functions._
   */
 object Multimodal extends QueryModule {
 
+  /** Per-JVM ImageIO tuning, referenced from inside every codec
+    * mapPartitions closure so each EXECUTOR JVM applies it (not just the
+    * driver). `setUseCache(false)` matters: the default is a DISK-backed
+    * stream cache — every encode/decode creates and deletes a temp file,
+    * which under 32 concurrent codec tasks turns a CPU-bound stage into a
+    * filesystem-contention stage (q122 drifted 1.5 -> 5 s at sf0.1 on a
+    * busy /tmp before this). These payloads are kilobytes; heap buffers
+    * are strictly better at any scale.
+    */
+  private lazy val imageIoTuned: Unit =
+    javax.imageio.ImageIO.setUseCache(false)
+
   /** Input row: payload + typed metadata, the multimodal table contract. */
   final case class MediaRow(doc_id: Long, source: String, payload: Array[Byte],
                             width: Int, height: Int, n_frames: Long)
@@ -166,6 +178,7 @@ object Multimodal extends QueryModule {
     val docs = spread(table(s, dir, "documents")
       .select(col("doc_id"), col("source"))).as[(Long, String)]
     val encoded = docs.mapPartitions { it =>
+      imageIoTuned
       it.map { case (id, src) =>
         val img = new java.awt.image.BufferedImage(
           8, 8, java.awt.image.BufferedImage.TYPE_INT_RGB)
@@ -187,6 +200,7 @@ object Multimodal extends QueryModule {
       }
     }
     val feats = encoded.mapPartitions { it =>
+      imageIoTuned
       it.map { row =>
         val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(row.png))
         var sr = 0L; var sg = 0L; var sb = 0L
@@ -334,6 +348,7 @@ object Multimodal extends QueryModule {
     val docs = spread(table(s, dir, "documents")
       .select(col("doc_id"), col("source"))).as[(Long, String)]
     val encoded = docs.mapPartitions { it =>
+      imageIoTuned
       // one writer instance per partition: the "init the codec once per
       // batch" contract from q85, with a real codec
       val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
@@ -370,6 +385,7 @@ object Multimodal extends QueryModule {
       }
     }
     val feats = encoded.mapPartitions { it =>
+      imageIoTuned
       val reader = javax.imageio.ImageIO.getImageReadersByFormatName("gif").next()
       it.map { row =>
         val iis = javax.imageio.ImageIO.createImageInputStream(
