@@ -88,6 +88,7 @@ object PlanFingerprint {
     "q190_quality_classifier",
     "q191_ivf_refresh",
     "q192_diversity_sample",
+    "q193_hybrid_rrf",
   )
 
   /** Structural counts of the STEADY-STATE initial plan.
