@@ -98,4 +98,20 @@ class DeterminismSpec extends AnyFunSuite {
       graft.operators.Analytics.pageRank(s, TestSpark.sf)))
     assert(a2 == b2)
   }
+
+  test("classifier logits and RRF fusion are identical under 1 vs 16 partitions") {
+    // integer micro-logits (q190) and integer RRF contributions (q193) are
+    // the mechanisms that keep model filtering and rank fusion partition-
+    // independent — float scores would drift in the low bits here
+    val a = underPartitions(1)(collectSorted(
+      graft.operators.Search.qualityClassifier(s, TestSpark.sf)))
+    val b = underPartitions(16)(collectSorted(
+      graft.operators.Search.qualityClassifier(s, TestSpark.sf)))
+    assert(a == b)
+    val a2 = underPartitions(1)(collectSorted(
+      graft.operators.Search.hybridRrf(s, TestSpark.sf)))
+    val b2 = underPartitions(16)(collectSorted(
+      graft.operators.Search.hybridRrf(s, TestSpark.sf)))
+    assert(a2 == b2)
+  }
 }
