@@ -50,6 +50,9 @@ object ScaleRung {
     "q178_segment_compact",
     "q158_ivm_loop",
     "q187_pagerank",
+    "q185_kmeans_refine",
+    "q186_semdedup",
+    "q193_hybrid_rrf",
   )
 
   def ensureRung(s: SparkSession): Unit = {
