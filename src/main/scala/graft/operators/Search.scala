@@ -712,6 +712,27 @@ object Search extends QueryModule {
        |FROM documents d LEFT JOIN scored s ON s.doc_id = d.doc_id
        |GROUP BY d.lang""".stripMargin
 
+  /** Text-side classifier scoring for ARRIVING documents (the streaming
+    * admission path, q194): tokenizes the batch directly — an arrival is
+    * not in the index yet, so unlike [[qualityClassifier]]'s corpus
+    * scoring (which reads the persisted postings) this pays O(batch)
+    * tokenization, the right cost for an admission gate. Same implicit
+    * hashed weights, same integer micro-logits: a document's logit is a
+    * pure function of its own text, so any micro-batching yields
+    * identical decisions — streaming == batch by construction.
+    */
+  private[graft] def classifyDocs(d: DataFrame): DataFrame = {
+    val scored = toks(d)
+      .groupBy(col("doc_id"), col("tok"))
+      .agg(count(lit(1)).as("tf"))
+      .withColumn("w", md5Long(concat(lit("qw"), col("tok"))) % 2001 - 1000)
+      .groupBy(col("doc_id"))
+      .agg(sum(col("tf") * col("w")).as("logit_micro"))
+    d.select(col("doc_id"), col("lang"))
+      .join(scored, Seq("doc_id"), "left")
+      .withColumn("logit_micro", coalesce(col("logit_micro"), lit(0L)))
+  }
+
   /** q193: hybrid retrieval — the BM25 lexical ranker (from the persisted
     * inverted index) and the exact cosine vector ranker fused by
     * Reciprocal Rank Fusion (Cormack et al. 2009), the standard trick for

@@ -611,6 +611,76 @@ object StreamOps extends QueryModule {
     }
   }
 
+  /** Streaming model-based admission (q194): arriving documents are
+    * scored per micro-batch with the hashed-linear quality classifier
+    * ([[graft.operators.Search.classifyDocs]] — the text-side scorer;
+    * arrivals aren't in any index yet, so the gate pays O(batch)
+    * tokenization, never a corpus pass) and the per-document integer
+    * logits land in a batchId-scoped decision log (replay-idempotent,
+    * the q134/q144/q177 convention). A document's logit is a pure
+    * function of its own text, so any micro-batch partitioning yields
+    * identical decisions; the accumulated log's per-lang rollup is
+    * verified against a batch oracle over the same arriving slice —
+    * streaming == batch for the model-filter family, machine-checked.
+    * At scale this is the admission gate in front of the corpus: score
+    * on arrival, keep/drop before anything downstream pays for the doc.
+    */
+  def streamClassifier(s: SparkSession, dir: String): DataFrame = {
+    tune(s)
+    withStatePartitions(s, 8) {
+      val arrivals = table(s, dir, "documents")
+        .filter(col("doc_id") % 20 === 3)
+        .select(col("doc_id"), col("text"), col("lang"))
+      val schema = arrivals.schema
+      val srcDir = stagedOnce(s"clsf:$dir") { sd =>
+        val t0 = 1000000000000L
+        stageFile(s, sd, arrivals.filter(col("doc_id") % 40 === 3), "b0_lo", t0)
+        stageFile(s, sd, arrivals.filter(col("doc_id") % 40 === 23), "b1_hi", t0 + 600000L)
+      }
+      val out = s"$ckBase/clsf_out_${counter.incrementAndGet()}"
+      val src = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(srcDir)
+      val qname = s"graft_stream_clsf_${counter.incrementAndGet()}"
+      val q = src.writeStream
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          graft.operators.Search.classifyDocs(batch)
+            .write.mode("overwrite").parquet(s"$out/batch=$batchId")
+          ()
+        }
+        .option("checkpointLocation", s"$ckBase/$qname")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val batches = q.recentProgress.count(_.numInputRows > 0)
+      require(batches >= 2,
+        s"classifier harness needs >= 2 non-empty micro-batches, got $batches")
+      dropCheckpoint(s"$ckBase/$qname")
+      s.read.parquet(out)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("logit_micro") > 0, 1L).otherwise(0L)).as("n_keep"),
+          sum(col("logit_micro")).as("sum_logit"))
+    }
+  }
+
+  private val streamClassifierSql =
+    """WITH atoks AS (
+      |  SELECT doc_id, unnest(regexp_extract_all(text, '[a-z0-9]+')) AS tok
+      |  FROM documents WHERE doc_id % 20 = 3),
+      |tfs AS (
+      |  SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS tf
+      |  FROM atoks GROUP BY doc_id, tok),
+      |scored AS (
+      |  SELECT doc_id,
+      |         CAST(SUM(tf * (((('0x' || substr(md5('qw' || tok), 1, 15))::BIGINT) % 2001) - 1000)) AS BIGINT) AS logit
+      |  FROM tfs GROUP BY doc_id)
+      |SELECT d.lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |       CAST(SUM(CASE WHEN COALESCE(s.logit, 0) > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_keep,
+      |       CAST(SUM(COALESCE(s.logit, 0)) AS BIGINT) AS sum_logit
+      |FROM documents d LEFT JOIN scored s ON s.doc_id = d.doc_id
+      |WHERE d.doc_id % 20 = 3
+      |GROUP BY d.lang""".stripMargin
+
   /** q150: exactly-once streaming commits into the snapshot table.
     * Micro-batches land as logical-append snapshot commits tagged with
     * their batchId ([[graft.sources.Snapshots.commitIfAbsent]]), and
@@ -872,5 +942,8 @@ object StreamOps extends QueryModule {
     GQuery("q177_stream_search",
       "streaming BM25 serving: per-micro-batch query scoring against the frozen inverted index; oracle == batch q164",
       streamSearch, Some(graft.operators.Search.bm25TopKSql)),
+    GQuery("q194_stream_classifier",
+      "streaming model-based admission: per-micro-batch integer-logit scoring of arriving docs; streaming == batch",
+      streamClassifier, Some(streamClassifierSql)),
   )
 }
