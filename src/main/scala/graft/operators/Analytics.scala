@@ -629,13 +629,14 @@ object Analytics extends QueryModule {
 
   /** The full post-iteration rank frame (node, r) — q187's substrate,
     * exposed for the mass-conservation property test. */
-  private[graft] def pageRankRanks(s: SparkSession, dir: String): DataFrame = {
-    tune(s)
-    val (edgeDeg, deg) = tradeGraph(s, dir)
-    val n = deg.count() // metadata-scale: one count job, a long to the driver
+  /** The integer power iteration over a prepared (src, dst, deg) frame —
+    * shared by the fixture query and [[pageRankOn]] (the arbitrary-graph
+    * entry the differential property test drives). */
+  private def prIterate(edgeDeg: DataFrame, deg: DataFrame, n: Long,
+                        iters: Int): DataFrame = {
     val base = 150000000000000L / n // (1-d) * 10^15 / N, exact integer div
     var ranks = deg.select(col("src").as("node"), lit(1000000000000000L / n).as("r"))
-    for (_ <- 1 to 3) {
+    for (_ <- 1 to iters) {
       ranks = edgeDeg.join(ranks, col("node") === col("src"))
         .select(col("dst"), expr("r div deg").as("c"))
         .groupBy(col("dst"))
@@ -644,6 +645,25 @@ object Analytics extends QueryModule {
           (lit(base) + expr("(85 * csum) div 100")).as("r"))
     }
     ranks
+  }
+
+  /** PageRank over an ARBITRARY (src, dst) edge frame — the public core
+    * the fixture query specializes. Multi-edges contribute per occurrence;
+    * nodes with no out-edge receive rank but contribute none (their mass
+    * decays — the caller decides whether to bidirect edges, as q187 does,
+    * to avoid dangling). */
+  private[graft] def pageRankOn(edges: DataFrame, iters: Int = 3): DataFrame = {
+    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+      .localCheckpoint(false)
+    val edgeDeg = edges.join(deg, Seq("src")).localCheckpoint(false)
+    prIterate(edgeDeg, deg, deg.count(), iters)
+  }
+
+  private[graft] def pageRankRanks(s: SparkSession, dir: String): DataFrame = {
+    tune(s)
+    val (edgeDeg, deg) = tradeGraph(s, dir)
+    // metadata-scale count: one job, a long to the driver
+    prIterate(edgeDeg, deg, deg.count(), iters = 3)
   }
 
   def pageRank(s: SparkSession, dir: String): DataFrame = {

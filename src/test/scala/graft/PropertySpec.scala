@@ -168,4 +168,38 @@ class PropertySpec extends AnyFunSuite {
     assert(out.filter(col("n_low") > col("n_docs")).count() == 0)
     out.unpersist()
   }
+
+  test("pagerank differential: distributed integer iteration == exact local reference on random graphs") {
+    // The DuckDB oracle only covers the fixture graph; this drives the
+    // SAME integer formula through a sequential in-memory reference on
+    // generated graphs (multi-edges, dangling sinks, hubs, disconnected
+    // nodes) and demands EXACT equality — any divergence in the div/sum
+    // order contract between the distributed plan and the definition
+    // shows up as a femto-level mismatch, not an epsilon.
+    val edgeGen = Gen.nonEmptyListOf(
+      Gen.zip(Gen.chooseNum(0L, 11L), Gen.chooseNum(0L, 11L))).map(_.take(40))
+    samples(edgeGen, 25).foreach { edges =>
+      val df = edges.toDF("src", "dst").repartition(3)
+      val got = graft.operators.Analytics.pageRankOn(df, iters = 3)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+      // exact local reference, same formula: r/deg and (85*sum)/100 are
+      // Long divisions, base = 0.15e15/n with n = nodes that have out-edges
+      val deg = edges.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+      val n = deg.size.toLong
+      val base = 150000000000000L / n
+      var ranks: Map[Long, Long] = deg.map { case (s0, _) => s0 -> 1000000000000000L / n }
+      for (_ <- 1 to 3) {
+        val sums = scala.collection.mutable.Map.empty[Long, Long]
+        edges.foreach { case (s0, d0) =>
+          ranks.get(s0).foreach { r =>
+            sums(d0) = sums.getOrElse(d0, 0L) + r / deg(s0)
+          }
+        }
+        ranks = sums.map { case (d0, c) => d0 -> (base + (85L * c) / 100L) }.toMap
+      }
+      assert(got == ranks,
+        s"distributed != reference for edges=$edges\n got=$got\n want=$ranks")
+    }
+  }
 }
