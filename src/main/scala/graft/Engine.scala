@@ -43,9 +43,16 @@ object Engine {
     // in-memory map (the default provider keeps N versions of every store
     // on-heap — the wrong posture for 100x session state). Queries that
     // REQUIRE RocksDB (transformWithState) keep their explicit set as a
-    // belt-and-suspenders guard.
-    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
-      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    // belt-and-suspenders guard. `spark.graft.stateStore.provider=memory`
+    // opts a session back into the on-heap provider — the ScaleRung's
+    // crossover experiment measures exactly this trade; it is a
+    // measurement knob, not a production setting.
+    val providerClass =
+      if (spark.conf.getOption("spark.graft.stateStore.provider").contains("memory"))
+        "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider"
+      else
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass", providerClass)
     // native vector functions usable from SQL in any session (see also
     // graft.functions.GraftExtensions for the spark.sql.extensions path)
     graft.functions.VectorFunctions.register(spark)

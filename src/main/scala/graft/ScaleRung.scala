@@ -42,7 +42,11 @@ object ScaleRung {
   private val srcDir = "/root/testdata/sf0.1"
 
   /** The hot families from the round-9 bench tail: dedup screen, vector
-    * screen loop, BM25 retrieval, segment compaction, snapshot IVM. */
+    * screen loop, BM25 retrieval, segment compaction, snapshot IVM —
+    * plus (round 11) the streaming rigs, whose state scales with the
+    * rung: q134/q144 screen batches against a 10x index, q177 serves
+    * state-free from a 10x postings store, q182's session-merge state
+    * grows with the 10x user population. */
   val measured: Seq[String] = Seq(
     "q131_incremental_neardup",
     "q145_vec_screen_loop",
@@ -53,17 +57,33 @@ object ScaleRung {
     "q185_kmeans_refine",
     "q186_semdedup",
     "q193_hybrid_rrf",
+    "q134_stream_screen",
+    "q144_stream_vec_screen",
+    "q177_stream_search",
+    "q182_stream_sessions",
+  )
+
+  /** The RocksDB-vs-memory crossover experiment: the two streaming rigs
+    * whose state is a real key population (per-event dedup keys; per-user
+    * merging session windows). Run with BOTH providers at BOTH scales —
+    * the engine-wide RocksDB default pays a fixed native-store overhead
+    * that should invert as state grows (the adjudication of the r10
+    * bench-tail q87/q99 regressions). */
+  val stateCompared: Seq[String] = Seq(
+    "q87_stream_dedup",
+    "q182_stream_sessions",
   )
 
   def ensureRung(s: SparkSession): Unit = {
-    // versioned marker: v2 added the scaled lineitem (q187 graph family);
-    // a v1 rung on disk regenerates in place
-    val ready = java.nio.file.Paths.get(rungDir, "_READY_v2")
+    // versioned marker: v2 added the scaled lineitem (q187 graph family),
+    // v3 the scaled events (streaming-state family); older rungs on disk
+    // regenerate in place
+    val ready = java.nio.file.Paths.get(rungDir, "_READY_v3")
     if (java.nio.file.Files.exists(ready)) return
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(rungDir))
     val all = Seq("region", "nation", "customer", "supplier", "part",
       "orders", "lineitem", "events", "documents", "embeddings")
-    val scaled = Set("documents", "embeddings", "orders", "lineitem")
+    val scaled = Set("documents", "embeddings", "orders", "lineitem", "events")
     for (t <- all) {
       val link = java.nio.file.Paths.get(rungDir, s"$t.parquet")
       // a scaled table whose path is a v1 SYMLINK must drop the link
@@ -126,6 +146,18 @@ object ScaleRung {
       else l.withColumn("l_orderkey", col("l_orderkey") + lit(k * 100000000L))
         .withColumn("l_suppkey", col("l_suppkey") + lit(k * 1000000L))
     }).repartition(16).write.mode("overwrite").parquet(s"$rungDir/lineitem.parquet")
+
+    // events: copy k keeps the time span (the watermark horizon is a
+    // workload property, not a scale knob) but shifts event AND user ids,
+    // so the streaming rigs' state populations — dedup keys (per event),
+    // merging session windows (per user) — genuinely grow 10x instead of
+    // collapsing onto the base keys.
+    val ev = s.read.parquet(s"$srcDir/events.parquet")
+    tenX(ev, { (e, k) =>
+      if (k == 0) e
+      else e.withColumn("event_id", col("event_id") + lit(k * 100000000L))
+        .withColumn("user_id", col("user_id") + lit(k * 1000000L))
+    }).repartition(8).write.mode("overwrite").parquet(s"$rungDir/events.parquet")
 
     java.nio.file.Files.writeString(ready, "ok\n")
     copies.length: Unit
@@ -195,6 +227,29 @@ object ScaleRung {
       results(s"$tag/$name") = bestMetrics + ("sec" -> bestSec)
     }
 
+    // crossover experiment: the state-heavy streaming rigs under BOTH
+    // state-store providers at BOTH scales (same min-of-N protocol).
+    // Expectation being tested: memory wins at tiny state (fixed RocksDB
+    // native-store overhead), RocksDB catches up / wins as state grows —
+    // and is the only provider that does not hold N versions of the
+    // store on-heap at 100x.
+    for (dir <- Seq(srcDir, rungDir); provider <- Seq("memory", "rocksdb");
+         name <- stateCompared) {
+      spark.conf.set("spark.graft.stateStore.provider", provider)
+      val fn = SparkEntry.queries(name)
+      var bestSec = Double.MaxValue
+      (1 to runs).foreach { _ =>
+        val t0 = System.nanoTime()
+        fn(spark, dir).write.format("noop").mode("overwrite").save()
+        val sec = (System.nanoTime() - t0) / 1e9
+        if (sec < bestSec) bestSec = sec
+      }
+      val tag = if (dir == srcDir) "sf0.1" else "sf1"
+      println(f"[$tag] $name@$provider%-38s ${bestSec}%8.2f s")
+      results(s"$tag/$name@$provider") = Map("sec" -> bestSec)
+    }
+    spark.conf.set("spark.graft.stateStore.provider", "rocksdb")
+
     // the table PLANS.md carries: per query, sf1/sf0.1 ratios
     val sb = new StringBuilder
     sb.append("| query | sf0.1 s | sf1 s | time x | shuf-write sf0.1 | shuf-write sf1 | shuf x |\n")
@@ -205,6 +260,12 @@ object ScaleRung {
       val wa = a("shuffle_write").asInstanceOf[Long]; val wb = b("shuffle_write").asInstanceOf[Long]
       sb.append(f"| $name | $ta%.2f | $tb%.2f | ${tb / ta}%.1fx " +
         f"| ${wa / 1e6}%.1f MB | ${wb / 1e6}%.1f MB | ${if (wa > 0) wb.toDouble / wa else 0.0}%.1fx |\n")
+    }
+    sb.append("\n| streaming rig | provider | sf0.1 s | sf1 s | sf1/sf0.1 |\n|---|---|---|---|---|\n")
+    for (name <- stateCompared; provider <- Seq("memory", "rocksdb")) {
+      val a = results(s"sf0.1/$name@$provider")("sec").asInstanceOf[Double]
+      val b = results(s"sf1/$name@$provider")("sec").asInstanceOf[Double]
+      sb.append(f"| $name | $provider | $a%.2f | $b%.2f | ${b / a}%.1fx |\n")
     }
     println(sb.toString)
 

@@ -608,8 +608,10 @@ object Analytics extends QueryModule {
     * edgeDeg rides the first iteration's job — plan truncation without
     * paying three eager materialization jobs up front.
     */
-  private def tradeGraph(s: SparkSession, dir: String): (DataFrame, DataFrame) =
-    graft.SessionCache.cachedValue[(DataFrame, DataFrame)](s, s"ana:tradegraph:$dir")({
+  private[graft] def tradeGraph(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val (edgeDeg, deg, _) =
+      graft.SessionCache.cachedValue[(DataFrame, DataFrame, DataFrame)](
+        s, s"ana:tradegraph:$dir")({
       val o = table(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
       val li = table(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
       val pairs = li.join(o, col("l_orderkey") === col("o_orderkey"))
@@ -624,8 +626,12 @@ object Analytics extends QueryModule {
       // each iteration is a single join + groupBy, not a re-join of
       // edges ⋈ deg
       val edgeDeg = edges.join(deg, Seq("src")).localCheckpoint(false)
-      (edgeDeg, deg)
-    })({ case (a, b) => a.unpersist(); b.unpersist(); () })
+      // edges rides in the cached tuple solely so eviction can unpersist
+      // its checkpoint blocks too — edgeDeg's plan reads them
+      (edgeDeg, deg, edges)
+    })({ case (a, b, e) => a.unpersist(); b.unpersist(); e.unpersist(); () })
+    (edgeDeg, deg)
+  }
 
   /** The full post-iteration rank frame (node, r) — q187's substrate,
     * exposed for the mass-conservation property test. */
@@ -651,12 +657,22 @@ object Analytics extends QueryModule {
     * the fixture query specializes. Multi-edges contribute per occurrence;
     * nodes with no out-edge receive rank but contribute none (their mass
     * decays — the caller decides whether to bidirect edges, as q187 does,
-    * to avoid dangling). */
+    * to avoid dangling). Semantics note: the rank frame is rebuilt from
+    * groupBy(dst) each iteration, so a node with out-edges but NO in-edges
+    * drops out after iteration 1 and loses its teleport base from then on
+    * (standard PageRank teleports to every node). On a bidirected graph
+    * (q187's contract) the two semantics coincide; callers feeding
+    * one-directional graphs must bidirect first if they want the
+    * textbook distribution. The result is eagerly checkpointed so the
+    * two loop-invariant frames can be unpersisted before returning —
+    * property tests call this 25+ times per run. */
   private[graft] def pageRankOn(edges: DataFrame, iters: Int = 3): DataFrame = {
     val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
       .localCheckpoint(false)
     val edgeDeg = edges.join(deg, Seq("src")).localCheckpoint(false)
-    prIterate(edgeDeg, deg, deg.count(), iters)
+    val out = prIterate(edgeDeg, deg, deg.count(), iters).localCheckpoint(true)
+    deg.unpersist(); edgeDeg.unpersist()
+    out
   }
 
   private[graft] def pageRankRanks(s: SparkSession, dir: String): DataFrame = {

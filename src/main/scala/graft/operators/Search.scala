@@ -738,39 +738,52 @@ object Search extends QueryModule {
     * Reciprocal Rank Fusion (Cormack et al. 2009), the standard trick for
     * combining rankers whose scores live on incomparable scales: each
     * ranker contributes 1/(60 + rank) for its top-10, summed per (query,
-    * doc). Queries are the docs that have BOTH a text query (the q164
-    * query set, doc_id % 50 = 7) and an embedding, so the two rankers
-    * genuinely cover the same corpus slice. Scale shape: the lexical leg
-    * rides the session-cached BM25 frame (only query-term postings are
-    * read); the vector leg is the q64 broadcast-probe linear scan (the
-    * exact baseline — rank stability matters more than speed in a fusion
-    * gate; the IVF leg would substitute at 100 TB); fusion itself joins
-    * two top-10-per-query frames — negligible. RRF contributions are
-    * integer micro-units (10^9 div (60 + rank)) so fused scores and
-    * tie-breaks are bit-exact cross-engine: no float at all past the
-    * per-ranker ordering already pinned by q164/q64.
+    * doc). Queries are a FIXED, deterministic probe sample: the first
+    * `spark.graft.hybrid.probes` (default 16) ids of the q164 query
+    * stream (doc_id % 50 = 7) that also carry an embedding — a probe
+    * budget that does NOT grow with the corpus (the q64 16-probe
+    * pattern), so corpus size only enters through what each probe reads.
+    * Scale shape: the lexical leg rides the session-cached BM25 frame
+    * (only query-term postings are read); the vector leg serves from the
+    * PERSISTED IVF index (the q184 probe path — stored centroids, a
+    * driver-side <= probes-long cluster cover, a cid-pruned scan of the
+    * range-sorted assign table), so it reads only the probed clusters'
+    * bytes and never touches the raw corpus at probe time. Fusion itself
+    * joins two top-10-per-query frames — negligible. RRF contributions
+    * are integer micro-units (10^9 div (60 + rank)) so fused scores and
+    * tie-breaks are bit-exact cross-engine; vector ranks order by the
+    * ROUNDED cosine (the q191 pattern) so sub-ulp fold-order noise
+    * cannot flip a rank cross-engine.
     */
   def hybridRrf(s: SparkSession, dir: String): DataFrame = {
     tune(s)
     val w = org.apache.spark.sql.expressions.Window
+    val probeBudget = s.conf.get("spark.graft.hybrid.probes", "16").toInt
+    val maxQid = 50L * probeBudget // query ids 7, 57, ..., 7 + 50*(P-1)
     val embCount = table(s, dir, "embeddings").count()
     val wl = w.partitionBy(col("qid")).orderBy(col("score").desc, col("doc_id"))
     val lex = bm25Scores(s, dir, searchIndex(s, dir))
-      .filter(col("qid") < embCount)
+      .filter(col("qid") < embCount && col("qid") < maxQid)
       .withColumn("r", row_number().over(wl)).filter(col("r") <= 10)
       .select(col("qid"), col("doc_id"), col("r").as("rlex"))
-    val en = table(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
-      .withColumn("nrm", expr("sqrt(graft_dot(embedding, embedding))"))
-    val probes = en.filter(col("vec_id") % 50 === 7)
-      .select(col("vec_id").as("qid"), col("embedding").as("qemb"), col("nrm").as("nq"))
+    val (_, assign) = graft.operators.Similarity.corpusIvfIndex(s, dir)
+    val qa = assign.filter(col("vec_id") % 50 === 7 && col("vec_id") < maxQid)
+      .select(col("vec_id").as("qid"), col("cid"),
+        col("embedding").as("qemb"), col("nrm").as("nq"))
+    // driver-side cluster cover: <= probeBudget longs — the IN(cids)
+    // predicate parquet min/max pruning applies to the cid-sorted
+    // assign files, skipping every unprobed cluster's bytes
+    val probeCids = qa.select(col("cid")).distinct().collect().map(_.getLong(0)).sorted
     val dotE = expr(
       "aggregate(zip_with(qemb, vemb, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), " +
         "CAST(0.0 AS DOUBLE), (acc, p) -> acc + p)")
-    val cosv = en.select(col("vec_id").as("vid"), col("embedding").as("vemb"),
-        col("nrm").as("nv"))
-      .join(broadcast(probes), col("qid") =!= col("vid"))
+    val cosv = assign.filter(col("cid").isInCollection(probeCids.toSeq))
+      .select(col("vec_id").as("vid"), col("cid"),
+        col("embedding").as("vemb"), col("nrm").as("nv"))
+      .join(broadcast(qa), Seq("cid"))
+      .filter(col("qid") =!= col("vid"))
       .withColumn("cosim0", dotE / (col("nq") * col("nv")))
-    val wv = w.partitionBy(col("qid")).orderBy(col("cosim0").desc, col("vid"))
+    val wv = w.partitionBy(col("qid")).orderBy(round(col("cosim0"), 9).desc, col("vid"))
     val vec = cosv.withColumn("r", row_number().over(wv)).filter(col("r") <= 10)
       .select(col("qid"), col("vid").as("doc_id"), col("r").as("rvec"))
     val fused = lex.join(vec, Seq("qid", "doc_id"), "outer")
@@ -788,7 +801,7 @@ object Search extends QueryModule {
        |  SELECT qid, doc_id, r FROM (
        |    SELECT qid, doc_id,
        |           CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY score DESC, doc_id) AS INT) AS r
-       |    FROM scored WHERE qid < (SELECT COUNT(*) FROM embeddings))
+       |    FROM scored WHERE qid < (SELECT COUNT(*) FROM embeddings) AND qid < 800)
        |  WHERE r <= 10),
        |eflat AS (
        |  SELECT vec_id, i AS pos, CAST(embedding[i] AS DOUBLE) AS xd
@@ -797,19 +810,36 @@ object Search extends QueryModule {
        |enorms AS (
        |  SELECT vec_id, sqrt(CAST(SUM(CAST(xd*xd AS DECIMAL(38,20))) AS DOUBLE)) AS nrm
        |  FROM eflat GROUP BY vec_id),
+       |cent AS (SELECT vec_id AS cid, pos, xd AS cx FROM eflat
+       |         WHERE vec_id % (SELECT CAST(ceil(sqrt(COUNT(*))) AS BIGINT) FROM embeddings) = 0),
+       |adots AS (
+       |  SELECT f.vec_id, c.cid, CAST(SUM(CAST(f.xd*c.cx AS DECIMAL(38,20))) AS DOUBLE) AS dot
+       |  FROM eflat f JOIN cent c ON f.pos = c.pos
+       |  GROUP BY f.vec_id, c.cid),
+       |acos AS (
+       |  SELECT a.vec_id, a.cid, a.dot / (n2.nrm * n1.nrm) AS cosim
+       |  FROM adots a JOIN enorms n1 ON n1.vec_id = a.vec_id JOIN enorms n2 ON n2.vec_id = a.cid),
+       |assign AS (
+       |  SELECT vec_id, cid FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cosim DESC, cid) AS rn
+       |    FROM acos)
+       |  WHERE rn = 1),
+       |qa AS (SELECT vec_id AS qid, cid FROM assign
+       |       WHERE vec_id % 50 = 7 AND vec_id < 800),
        |vdots AS (
-       |  SELECT q.vec_id AS qid, v.vec_id AS vid,
-       |         CAST(SUM(CAST(q.xd*v.xd AS DECIMAL(38,20))) AS DOUBLE) AS dot
-       |  FROM eflat q JOIN eflat v ON q.pos = v.pos AND q.vec_id <> v.vec_id
-       |  WHERE q.vec_id % 50 = 7
-       |  GROUP BY q.vec_id, v.vec_id),
+       |  SELECT p.qid, p.vid, CAST(SUM(CAST(a.xd*b.xd AS DECIMAL(38,20))) AS DOUBLE) AS dot
+       |  FROM (SELECT q.qid, v.vec_id AS vid
+       |        FROM qa q JOIN assign v ON v.cid = q.cid AND v.vec_id <> q.qid) p
+       |  JOIN eflat a ON a.vec_id = p.qid
+       |  JOIN eflat b ON b.vec_id = p.vid AND b.pos = a.pos
+       |  GROUP BY p.qid, p.vid),
        |vcos AS (
        |  SELECT qid, vid, dot / (a.nrm * b.nrm) AS cosim
        |  FROM vdots JOIN enorms a ON a.vec_id = qid JOIN enorms b ON b.vec_id = vid),
        |vec AS (
        |  SELECT qid, vid AS doc_id, r FROM (
        |    SELECT qid, vid,
-       |           CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosim DESC, vid) AS INT) AS r
+       |           CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY round(cosim, 9) DESC, vid) AS INT) AS r
        |    FROM vcos)
        |  WHERE r <= 10),
        |fused AS (
@@ -824,7 +854,7 @@ object Search extends QueryModule {
 
   override val queries: Seq[GQuery] = Seq(
     GQuery("q193_hybrid_rrf",
-      "hybrid retrieval: BM25 lexical + exact cosine rankers fused by integer reciprocal-rank fusion",
+      "hybrid retrieval: BM25 lexical + persisted-IVF vector rankers (fixed probe budget) fused by integer reciprocal-rank fusion",
       hybridRrf, Some(hybridRrfSql)),
     GQuery("q190_quality_classifier",
       "hashed-linear quality filter inference from the persisted index: integer logits, per-lang keep ledger",

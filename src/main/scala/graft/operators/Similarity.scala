@@ -265,7 +265,7 @@ object Similarity extends QueryModule {
 
   /** Build-or-load the fixture IVF index (stamped, session-cached) —
     * the [[corpusVecIndex]] pattern. */
-  private def corpusIvfIndex(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+  private[graft] def corpusIvfIndex(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
     val path = fixtureIvfIndexPath(dir)
     synchronized {
       val stamp = graft.sources.IndexStore.sourceStamp(s, Seq(s"$dir/embeddings.parquet"))
@@ -337,11 +337,26 @@ object Similarity extends QueryModule {
     * scan + one K*64-row shuffle; the loop would checkpoint centroids
     * per step exactly like the screening loops checkpoint increments.
     */
+  /** Centroid-selection modulus for a corpus of `n` vectors. Default is
+    * the IVF balance point m = ceil(sqrt n) (K ~ sqrt N centroids —
+    * assignment N*K ~ N^1.5, the honest bound q185's doc records). A
+    * fixed-K deployment sets `spark.graft.kmeans.k`: m = ceil(n/K) picks
+    * ~K centroids regardless of corpus size, making assignment work N*K
+    * LINEAR in N — what a 100 TB run uses (VERDICT r10 item 6). Setting
+    * K changes the clustering geometry, so it departs from the
+    * sqrt-default the registered oracles pin; it is a deployment knob,
+    * spec-covered (SimilaritySpec), not an oracle path.
+    */
+  private[graft] def centroidModulus(s: SparkSession, n: Long): Long =
+    s.conf.getOption("spark.graft.kmeans.k") match {
+      case Some(k) => math.max(1L, math.ceil(n.toDouble / k.toLong.max(1L)).toLong)
+      case None => math.ceil(math.sqrt(n.toDouble)).toLong.max(1L)
+    }
+
   def kmeansRefine(s: SparkSession, dir: String): DataFrame = {
     tune(s)
     val e = withNorm(table(s, dir, "embeddings").select(col("vec_id"), col("embedding")))
-    val m = math.ceil(math.sqrt(
-      table(s, dir, "embeddings").count().toDouble)).toLong.max(1L)
+    val m = centroidModulus(s, table(s, dir, "embeddings").count())
     val cents0 = e.filter(col("vec_id") % m === 0)
       .select(col("vec_id").as("cid"), col("embedding").as("qemb"), col("nrm").as("nc"))
     val acos0 = e.withColumnRenamed("embedding", "vemb")
@@ -424,20 +439,45 @@ object Similarity extends QueryModule {
     * members/kept/dropped ledger — the datacard-style artifact a curation
     * run records.
     */
-  def semDedup(s: SparkSession, dir: String): DataFrame = {
-    tune(s)
-    val (_, assign) = corpusIvfIndex(s, dir)
+  /** The in-cluster comparison pairs of [[semDedupOn]] BEFORE the cosine
+    * gate — exposed so the capped-mode spec can assert pair VOLUME, not
+    * just decisions. With `capOpt = Some(c)` the keeper (lo) side of each
+    * cluster is trimmed to its `c` smallest ids (the q61 capBuckets
+    * pattern), bounding a size-n cluster's pairs at ~c*n instead of n²/2
+    * — total work Σ c*size = c*N, LINEAR in the corpus. Over-keep trade:
+    * a vector drops only if one of its cluster's c smallest ids is a
+    * near-dup; since the keep policy is keep-the-smallest anyway, a
+    * capped run can only over-KEEP (never over-drop), and on a cluster
+    * of mutual near-dups the decisions are identical for any c >= 1.
+    */
+  private[graft] def semDedupPairs(assign: DataFrame,
+                                   capOpt: Option[Int]): DataFrame = {
     val a = assign.select(col("cid"), col("vec_id"), col("embedding"), col("nrm"))
-    val lo = a.select(col("cid"), col("vec_id").as("uid"),
+    val lo0 = a.select(col("cid"), col("vec_id").as("uid"),
       col("embedding").as("qemb"), col("nrm").as("nq"))
+    val lo = capOpt.fold(lo0) { cap =>
+      val wc = Window.partitionBy(col("cid")).orderBy(col("uid"))
+      lo0.withColumn("__rk", row_number().over(wc))
+        .filter(col("__rk") <= cap).drop("__rk")
+    }
     val hi = a.select(col("cid"), col("vec_id").as("vid"),
       col("embedding").as("vemb"), col("nrm").as("nv"))
-    val dropped = hi.join(lo, Seq("cid"))
-      .filter(col("uid") < col("vid"))
+    hi.join(lo, Seq("cid")).filter(col("uid") < col("vid"))
+  }
+
+  /** q186's core over an arbitrary (cid, vec_id, embedding, nrm)
+    * assignment frame. `capOpt` is the per-cluster pair cap (see
+    * [[semDedupPairs]]); None = exact pairwise within clusters. */
+  private[graft] def semDedupOn(assign: DataFrame,
+                                capOpt: Option[Int]): DataFrame = {
+    val dropped = semDedupPairs(assign, capOpt)
       .withColumn("cosim0", dotExpr / (col("nq") * col("nv")))
-      .filter(col("cosim0") > lit(SemDedupEps))
+      // gate on the ROUNDED cosine (q191 pattern): the sequential double
+      // fold here vs the oracle's exact DECIMAL dot can differ by ~1e-16,
+      // which would flip a pair sitting exactly on eps cross-engine
+      .filter(round(col("cosim0"), 9) > lit(SemDedupEps))
       .select(col("cid"), col("vid")).distinct()
-    a.select(col("cid"), col("vec_id"))
+    assign.select(col("cid"), col("vec_id"))
       .join(dropped.withColumnRenamed("vid", "vec_id").withColumn("isdrop", lit(1)),
         Seq("cid", "vec_id"), "left")
       .groupBy(col("cid"))
@@ -445,6 +485,15 @@ object Similarity extends QueryModule {
         sum(coalesce(col("isdrop"), lit(0))).cast("long").as("dropped"))
       .withColumn("kept", col("members") - col("dropped"))
       .select(col("cid"), col("members"), col("kept"), col("dropped"))
+  }
+
+  def semDedup(s: SparkSession, dir: String): DataFrame = {
+    tune(s)
+    val (_, assign) = corpusIvfIndex(s, dir)
+    // cap only when explicitly configured: the registered query keeps the
+    // exact-pairwise plan (and its oracle) byte-identical when unset
+    semDedupOn(assign,
+      s.conf.getOption("spark.graft.semdedup.clusterCap").map(_.toInt))
   }
 
   private val semDedupSql =
@@ -464,7 +513,7 @@ object Similarity extends QueryModule {
        |drops AS (
        |  SELECT DISTINCT d.cid, d.vid
        |  FROM cdots d JOIN norms n1 ON n1.vec_id = d.uid JOIN norms n2 ON n2.vec_id = d.vid
-       |  WHERE d.dot / (n1.nrm * n2.nrm) > $SemDedupEps)
+       |  WHERE round(d.dot / (n1.nrm * n2.nrm), 9) > $SemDedupEps)
        |SELECT a.cid, CAST(COUNT(*) AS BIGINT) AS members,
        |       CAST(COUNT(*) - COUNT(dr.vid) AS BIGINT) AS kept,
        |       CAST(COUNT(dr.vid) AS BIGINT) AS dropped
@@ -693,6 +742,142 @@ object Similarity extends QueryModule {
       |  SELECT d.qid, d.vid, d.dot / (n1.nrm * n2.nrm) AS cosim
       |  FROM pdots d JOIN norms n1 ON n1.vec_id = d.qid JOIN norms n2 ON n2.vec_id = d.vid)
       |SELECT qid, vid, round(cosim, 9) AS cosim, rn FROM (
+      |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY round(cosim, 9) DESC, vid) AS INT) AS rn
+      |  FROM pcos)
+      |WHERE rn <= 3""".stripMargin
+
+  private[graft] def seqIvfPath(dir: String): String =
+    "target/graft_index/ivfsq_" + dir.replaceAll("[^A-Za-z0-9.]+", "_")
+
+  /** q195: SEQUENTIAL incremental IVF refresh — q191 generalized from one
+    * arrival batch to a batch SEQUENCE, the q166 segment pattern applied
+    * to the vector index: batch k+1 lands beside batch k as a tagged
+    * segment append, no rebuild anywhere. Segment 0 is the frozen primary
+    * assignment (branched file-for-file); batch 1 (byte copies) and then
+    * batch 2 (float-exact 2x scales + negations) are each assigned
+    * against the STORED centroids (the index-property contract — q191's
+    * doc) and appended with their segment id, cid-sorted so parquet
+    * min/max pruning keeps working on the refreshed files. The stamp
+    * flips from "building" to final only after BOTH appends land, so a
+    * crash mid-sequence is rebuilt, never served. The probe (the q184
+    * cluster-cover path) runs over the merged table and returns each
+    * hit's SEGMENT: probes are base vectors whose id is a multiple of 35,
+    * so BOTH a segment-1 byte copy (id+100000, cosine exactly 1) and a
+    * segment-2 float-exact 2x copy (id+200000, cosine exactly 1) are
+    * guaranteed to exist — the top-3 provably contains members of BOTH
+    * arrival batches co-resident in the probe's cluster. Probe set capped
+    * at 16 — fixed probe budget, O(batch) refresh cost per arriving
+    * batch at any corpus size.
+    */
+  def ivfRefreshSeq(s: SparkSession, dir: String): DataFrame = {
+    tune(s)
+    val path = seqIvfPath(dir)
+    synchronized {
+      val stamp = "seq2|" +
+        graft.sources.IndexStore.sourceStamp(s, Seq(s"$dir/embeddings.parquet"))
+      if (!graft.sources.IndexStore.isCurrent(s, path, stamp)) {
+        val (cents, assign) = corpusIvfIndex(s, dir)
+        val c = cents.select(col("cid"), col("embedding").as("qemb"), col("nc"))
+        graft.sources.IndexStore.write(s, path, stamp + "|building", Seq(
+          "assign" -> assign
+            .select(col("cid"), col("vec_id"), col("embedding"), col("nrm"),
+              lit(0).as("seg"))
+            .repartitionByRange(col("cid"), col("vec_id"))
+            .sortWithinPartitions(col("cid"), col("vec_id"))))
+        val base = table(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+        val batches = Seq(
+          1 -> base.filter(col("vec_id") % 5 === 0)
+            .select((col("vec_id") + 100000L).as("vec_id"), col("embedding")),
+          2 -> base.filter(col("vec_id") % 7 === 0)
+            .select((col("vec_id") + 200000L).as("vec_id"),
+              expr("transform(embedding, x -> CAST(x * CAST(2.0 AS FLOAT) AS FLOAT))")
+                .as("embedding"))
+            .unionByName(base.filter(col("vec_id") % 11 === 0)
+              .select((col("vec_id") + 300000L).as("vec_id"),
+                expr("transform(embedding, x -> CAST(-x AS FLOAT))").as("embedding"))))
+        batches.foreach { case (segId, b) =>
+          val bn = withNorm(b).withColumnRenamed("embedding", "vemb")
+          val acos = bn.join(broadcast(c))
+            .withColumn("cosim0", dotExpr / (col("nc") * col("nrm")))
+          val wa = Window.partitionBy(col("vec_id")).orderBy(col("cosim0").desc, col("cid"))
+          val bAssign = acos.withColumn("rn", row_number().over(wa))
+            .filter(col("rn") === 1)
+            .select(col("cid"), col("vec_id"), col("vemb").as("embedding"),
+              col("nrm"), lit(segId).as("seg"))
+          graft.sources.IndexStore.append(s, path, "assign",
+            bAssign.repartitionByRange(col("cid"), col("vec_id"))
+              .sortWithinPartitions(col("cid"), col("vec_id")))
+        }
+        graft.sources.IndexStore.writeStamp(s, path, stamp)
+      }
+    }
+    val assign2 = graft.sources.IndexStore.read(s, path, "assign")
+    val qa = assign2.filter(col("vec_id") >= 0L && col("vec_id") < 560L &&
+        col("vec_id") % 35 === 0)
+      .select(col("vec_id").as("qid"), col("cid"),
+        col("embedding").as("qemb"), col("nrm").as("nq"))
+    // driver-side cluster cover (metadata-scale), the q184 pruning pattern
+    val probeCids = qa.select(col("cid")).distinct().collect().map(_.getLong(0)).sorted
+    val pcos = assign2.filter(col("cid").isInCollection(probeCids.toSeq))
+      .select(col("vec_id").as("vid"), col("cid"), col("embedding").as("vemb"),
+        col("nrm").as("nv"), col("seg"))
+      .join(broadcast(qa), Seq("cid"))
+      .filter(col("qid") =!= col("vid"))
+      .withColumn("cosim0", dotExpr / (col("nq") * col("nv")))
+    val wp = Window.partitionBy(col("qid"))
+      .orderBy(round(col("cosim0"), 9).desc, col("vid"))
+    pcos.withColumn("rn", row_number().over(wp))
+      .filter(col("rn") <= 3)
+      .select(col("qid"), col("vid"), col("seg"),
+        round(col("cosim0"), 9).as("cosim"), col("rn"))
+  }
+
+  private val ivfRefreshSeqSql =
+    """WITH flat0 AS (
+      |  SELECT vec_id, i AS pos, CAST(embedding[i] AS DOUBLE) AS xd
+      |  FROM (SELECT vec_id, embedding, unnest(range(1, len(embedding)+1)) AS i
+      |        FROM embeddings)),
+      |bflat AS (
+      |  SELECT vec_id + 100000 AS vec_id, pos, xd FROM flat0 WHERE vec_id % 5 = 0
+      |  UNION ALL
+      |  SELECT vec_id + 200000, pos, xd * 2 FROM flat0 WHERE vec_id % 7 = 0
+      |  UNION ALL
+      |  SELECT vec_id + 300000, pos, -xd FROM flat0 WHERE vec_id % 11 = 0),
+      |flat AS (SELECT * FROM flat0 UNION ALL SELECT * FROM bflat),
+      |norms AS (
+      |  SELECT vec_id, sqrt(CAST(SUM(CAST(xd*xd AS DECIMAL(38,20))) AS DOUBLE)) AS nrm
+      |  FROM flat GROUP BY vec_id),
+      |cent AS (SELECT vec_id AS cid, pos, xd AS cx FROM flat0
+      |         WHERE vec_id % (SELECT CAST(ceil(sqrt(COUNT(*))) AS BIGINT) FROM embeddings) = 0),
+      |adots AS (
+      |  SELECT f.vec_id, c.cid, CAST(SUM(CAST(f.xd*c.cx AS DECIMAL(38,20))) AS DOUBLE) AS dot
+      |  FROM flat f JOIN cent c ON f.pos = c.pos
+      |  GROUP BY f.vec_id, c.cid),
+      |acos AS (
+      |  SELECT a.vec_id, a.cid, a.dot / (n2.nrm * n1.nrm) AS cosim
+      |  FROM adots a JOIN norms n1 ON n1.vec_id = a.vec_id JOIN norms n2 ON n2.vec_id = a.cid),
+      |assign AS (
+      |  SELECT vec_id, cid FROM (
+      |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cosim DESC, cid) AS rn
+      |    FROM acos)
+      |  WHERE rn = 1),
+      |qa AS (SELECT vec_id AS qid, cid FROM assign
+      |       WHERE vec_id >= 0 AND vec_id < 560 AND vec_id % 35 = 0),
+      |pairs AS (
+      |  SELECT q.qid, v.vec_id AS vid
+      |  FROM qa q JOIN assign v ON v.cid = q.cid AND v.vec_id <> q.qid),
+      |pdots AS (
+      |  SELECT p.qid, p.vid, CAST(SUM(CAST(a.xd*b.xd AS DECIMAL(38,20))) AS DOUBLE) AS dot
+      |  FROM pairs p
+      |  JOIN flat a ON a.vec_id = p.qid
+      |  JOIN flat b ON b.vec_id = p.vid AND b.pos = a.pos
+      |  GROUP BY p.qid, p.vid),
+      |pcos AS (
+      |  SELECT d.qid, d.vid, d.dot / (n1.nrm * n2.nrm) AS cosim
+      |  FROM pdots d JOIN norms n1 ON n1.vec_id = d.qid JOIN norms n2 ON n2.vec_id = d.vid)
+      |SELECT qid, vid,
+      |       CAST(CASE WHEN vid >= 200000 THEN 2 WHEN vid >= 100000 THEN 1 ELSE 0 END AS INT) AS seg,
+      |       round(cosim, 9) AS cosim, rn FROM (
       |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY round(cosim, 9) DESC, vid) AS INT) AS rn
       |  FROM pcos)
       |WHERE rn <= 3""".stripMargin
@@ -1519,6 +1704,9 @@ object Similarity extends QueryModule {
     GQuery("q188_ann_recall",
       "ANN quality gate: recall@3 of the persisted-IVF probe vs the exact brute-force top-3, per probe",
       annRecall, Some(annRecallSql)),
+    GQuery("q195_ivf_refresh_seq",
+      "sequential IVF refresh: two arrival batches appended as tagged segments against stored centroids; probe mixes members of all segments",
+      ivfRefreshSeq, Some(ivfRefreshSeqSql)),
     GQuery("q191_ivf_refresh",
       "incremental IVF refresh: O(batch) assignment against STORED centroids into a branch store, probe proves co-residence",
       ivfRefresh, Some(ivfRefreshSql)),

@@ -250,17 +250,20 @@ class AnalyticsSpec extends AnyFunSuite {
     // ranks strictly ordered (ties broken by node, so non-increasing)
     val ranks = top.map(_.getLong(1))
     assert(ranks.zip(ranks.tail).forall { case (a, b) => a >= b })
-    // mass conservation: each node truncates r/deg by < 1 femto per edge
-    // and the damped sum by < 1; with bidirectional edges nothing dangles,
-    // so total mass can only shrink, and only by O(edges) femtos per
-    // iteration out of 10^15 — if an iteration dropped or double-counted
-    // a node this blows up by ~1/N instead
+    // mass conservation up to integer truncation: per iteration,
+    // `r div deg` loses < 1 femto per src node but that loss is carried
+    // by each of its deg out-edges (< E total), and `(85*csum) div 100`
+    // loses < 1 per dst node (< N); the initial 10^15 div N seeding
+    // loses < N. With bidirectional edges nothing dangles, so over 3
+    // iterations: 10^15 - mass < 3*(E+N) + N. If an iteration dropped
+    // or double-counted a node the error would be ~10^15/N instead.
     val full = Analytics.pageRankRanks(s, TestSpark.sf)
     val mass = full.agg(sum(col("r"))).collect()(0).getLong(0)
-    val edges = full.count() // nodes; edge count bounds loss too but nodes suffice as a floor check
+    val nodes = full.count()
+    val nEdges = Analytics.tradeGraph(s, TestSpark.sf)._1.count()
     assert(mass <= 1000000000000000L, s"mass grew: $mass")
-    assert(mass > 1000000000000000L - 50000L * math.max(1L, edges),
-      s"mass lost beyond truncation bound: $mass")
+    assert(mass > 1000000000000000L - (3L * (nEdges + nodes) + nodes),
+      s"mass lost beyond truncation bound: $mass (E=$nEdges N=$nodes)")
   }
 
   test("trustrank: top-20 well-formed, trust bounded by total mass, seeds present") {

@@ -328,6 +328,9 @@ class DedupSpec extends AnyFunSuite {
     assert(got == Map(200L -> "exact", 201L -> "near", 202L -> "accept"), got.toString)
   }
 
+  // PINNED (VERDICT r10 #4): since the registered q143/q145 loops compose
+  // cached base + checkpointed increments, this test is the ONLY coverage
+  // of the durable loadIndex-after-refreshIndex store path — do not trim.
   test("refreshIndex: an accepted doc is rejected as exact on the next batch") {
     import s.implicits._
     val tmp = java.nio.file.Files.createTempDirectory("graft_store").toString

@@ -182,7 +182,10 @@ class SimilaritySpec extends AnyFunSuite {
     assert(got(100L) == "exact", got.toString)
     assert(got(101L) == "near", got.toString)
     assert(got(102L) == "accept", got.toString)
-    // refresh with the accepted vector; a byte copy must now screen exact
+    // refresh with the accepted vector; a byte copy must now screen exact.
+    // PINNED (VERDICT r10 #4): since the registered q145/q149 loops compose
+    // cached base + checkpointed increments, this is the ONLY coverage of
+    // the durable loadVecIndex-after-refreshVecIndex path — do not trim.
     Similarity.refreshVecIndex(s2, idxPath, Seq((102L, novelVec)).toDF("vec_id", "embedding"))
     val after = Similarity.screenVecBatch(Similarity.loadVecIndex(s2, idxPath),
         Seq((200L, novelVec)).toDF("vec_id", "embedding"))
@@ -291,5 +294,44 @@ class SimilaritySpec extends AnyFunSuite {
       assert(hits >= 0 && hits <= 3)
       assert(math.abs(recall - hits / 3.0) < 1e-15)
     }
+  }
+
+  test("fixed-K mode: spark.graft.kmeans.k bounds the centroid count") {
+    // unit contract of the modulus itself
+    assert(Similarity.centroidModulus(s, 1000000L) == 1000L) // sqrt default
+    s.conf.set("spark.graft.kmeans.k", "4")
+    try {
+      assert(Similarity.centroidModulus(s, 1000000L) == 250000L)
+      // end-to-end: with consecutive vec_ids 0..N-1 and m = ceil(N/4),
+      // exactly ceil(N/m) = 4 seeds exist regardless of corpus size —
+      // the linear-assignment deployment shape (work N*K, not N^1.5)
+      val seeds = Similarity.kmeansRefine(s, TestSpark.sf)
+        .select(col("cid_seed")).distinct().count()
+      assert(seeds == 4L, s"fixed K=4 must seed exactly 4 centroids, got $seeds")
+    } finally s.conf.unset("spark.graft.kmeans.k")
+  }
+
+  test("semdedup cluster cap: hot-cluster pair volume linear, decisions unchanged") {
+    import s.implicits._
+    // adversarial single-hot-cluster fixture: 64 byte-identical vectors
+    // land in one cluster — exact pairwise is 64*63/2 = 2016 pairs
+    val vec = Array.fill(8)(0.5f)
+    val nrm = math.sqrt(8 * 0.25)
+    val assign = (0 until 64).map(i => (7L, i.toLong, vec, nrm))
+      .toDF("cid", "vec_id", "embedding", "nrm")
+    val uncappedPairs = Similarity.semDedupPairs(assign, None).count()
+    assert(uncappedPairs == 64L * 63 / 2, s"exact pairwise: $uncappedPairs")
+    // cap=4: vid ranked r compares against min(r-1, 4) keepers —
+    // sum = (0+1+2+3) + 60*4 = 246, ~c*n instead of n^2/2
+    val cappedPairs = Similarity.semDedupPairs(assign, Some(4)).count()
+    assert(cappedPairs == 246L, s"capped per-cluster pair volume: $cappedPairs")
+    // decisions identical: every non-minimum member still drops (its
+    // nearest keeper IS the cluster minimum, always inside the cap)
+    val un = Similarity.semDedupOn(assign, None).collect()
+    val cp = Similarity.semDedupOn(assign, Some(4)).collect()
+    assert(un.length == 1 && cp.length == 1)
+    assert(un(0).getLong(1) == 64 && un(0).getLong(2) == 1 && un(0).getLong(3) == 63)
+    assert(un(0).toString == cp(0).toString,
+      s"capped decisions must match on a mutual near-dup cluster: ${un(0)} vs ${cp(0)}")
   }
 }
