@@ -193,9 +193,11 @@ object Similarity extends QueryModule {
     * build on the same deterministic seeding. Expects `flat`/`norms` to
     * be in scope.
     */
-  private val ivfAssignSql =
-    """cent AS (SELECT vec_id AS cid, pos, xd AS cx FROM flat
-      |         WHERE vec_id % (SELECT CAST(ceil(sqrt(COUNT(*))) AS BIGINT) FROM embeddings) = 0),
+  /** Same CTE block with the centroid modulus expression parameterized —
+    * the fixed-K oracle (q197) swaps ceil(sqrt N) for ceil(N/K). */
+  private def ivfAssignSqlWith(modExpr: String): String =
+    s"""cent AS (SELECT vec_id AS cid, pos, xd AS cx FROM flat
+      |         WHERE vec_id % (SELECT CAST($modExpr AS BIGINT) FROM embeddings) = 0),
       |adots AS (
       |  SELECT f.vec_id, c.cid, CAST(SUM(CAST(f.xd*c.cx AS DECIMAL(38,20))) AS DOUBLE) AS dot
       |  FROM flat f JOIN cent c ON f.pos = c.pos
@@ -208,6 +210,8 @@ object Similarity extends QueryModule {
       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cosim DESC, cid) AS rn
       |    FROM acos)
       |  WHERE rn = 1)""".stripMargin
+
+  private val ivfAssignSql = ivfAssignSqlWith("ceil(sqrt(COUNT(*)))")
 
   private val ivfAnnSql =
     s"""WITH $flatSql,
@@ -355,8 +359,27 @@ object Similarity extends QueryModule {
 
   def kmeansRefine(s: SparkSession, dir: String): DataFrame = {
     tune(s)
+    kmeansRefineWith(s, dir,
+      centroidModulus(s, table(s, dir, "embeddings").count()))
+  }
+
+  /** q197: the SAME Lloyd step with the FIXED-K seeding a 100 TB
+    * deployment runs (K = 8 here): m = ceil(N/K) picks ~K centroids at
+    * any corpus size, so assignment work is N*K — linear in the corpus,
+    * not the sqrt-default's N^1.5 (the q185 watch-item, VERDICT r10
+    * item 6, now oracled rather than only spec-asserted). Same math,
+    * same output shape, same DECIMAL-exact means as q185; only the seed
+    * modulus differs, and the oracle derives the identical ceil(N/8)
+    * in DuckDB (exact: N/8.0 is a power-of-two division).
+    */
+  def kmeansFixedK(s: SparkSession, dir: String): DataFrame = {
+    tune(s)
+    val n = table(s, dir, "embeddings").count()
+    kmeansRefineWith(s, dir, math.max(1L, math.ceil(n / 8.0).toLong))
+  }
+
+  private def kmeansRefineWith(s: SparkSession, dir: String, m: Long): DataFrame = {
     val e = withNorm(table(s, dir, "embeddings").select(col("vec_id"), col("embedding")))
-    val m = centroidModulus(s, table(s, dir, "embeddings").count())
     val cents0 = e.filter(col("vec_id") % m === 0)
       .select(col("vec_id").as("cid"), col("embedding").as("qemb"), col("nrm").as("nc"))
     val acos0 = e.withColumnRenamed("embedding", "vemb")
@@ -387,10 +410,10 @@ object Similarity extends QueryModule {
         (col("cid") =!= col("cid_seed")).as("moved"))
   }
 
-  private val kmeansRefineSql =
+  private def kmeansRefineSqlWith(assignSql: String): String =
     s"""WITH $flatSql,
        |$normsSql,
-       |$ivfAssignSql,
+       |$assignSql,
        |newc AS (
        |  SELECT a.cid, f.pos,
        |         CAST(SUM(CAST(f.xd AS DECIMAL(38,20))) AS DOUBLE) / COUNT(f.xd) AS cx
@@ -414,6 +437,10 @@ object Similarity extends QueryModule {
        |SELECT a0.vec_id, a0.cid AS cid_seed, a1.cid_refined,
        |       a1.cid_refined <> a0.cid AS moved
        |FROM assign a0 JOIN assign2 a1 ON a0.vec_id = a1.vec_id""".stripMargin
+
+  private val kmeansRefineSql = kmeansRefineSqlWith(ivfAssignSql)
+  private val kmeansFixedKSql =
+    kmeansRefineSqlWith(ivfAssignSqlWith("ceil(COUNT(*) / 8.0)"))
 
   /** SemDeDup pruning threshold: in-cluster pairs above this cosine are
     * semantic duplicates and all but the lowest-id member drop. 0.25 is
@@ -496,13 +523,26 @@ object Similarity extends QueryModule {
       s.conf.getOption("spark.graft.semdedup.clusterCap").map(_.toInt))
   }
 
-  private val semDedupSql =
+  /** q196: [[semDedup]] in CAPPED mode, cap = 2 keepers per cluster —
+    * deliberately small enough to BITE at fixture scale, so the DuckDB
+    * oracle verifies the capped-mode DECISIONS end-to-end (the
+    * SimilaritySpec hot-cluster test pins the pair-volume bound; this
+    * pins the semantics). A vector drops only if one of its cluster's 2
+    * smallest ids is a near-dup — the documented over-KEEP trade; with
+    * cap*N total pairs this is the LINEAR deployment shape of q186
+    * (VERDICT r10 item 6).
+    */
+  def semDedupCapped(s: SparkSession, dir: String): DataFrame = {
+    tune(s)
+    val (_, assign) = corpusIvfIndex(s, dir)
+    semDedupOn(assign, Some(2))
+  }
+
+  private def semDedupSqlWith(cpairsSql: String): String =
     s"""WITH $flatSql,
        |$normsSql,
        |$ivfAssignSql,
-       |cpairs AS (
-       |  SELECT u.cid, u.vec_id AS uid, v.vec_id AS vid
-       |  FROM assign u JOIN assign v ON u.cid = v.cid AND u.vec_id < v.vec_id),
+       |$cpairsSql,
        |cdots AS (
        |  SELECT p.cid, p.uid, p.vid,
        |         CAST(SUM(CAST(a.xd*b.xd AS DECIMAL(38,20))) AS DOUBLE) AS dot
@@ -519,6 +559,21 @@ object Similarity extends QueryModule {
        |       CAST(COUNT(dr.vid) AS BIGINT) AS dropped
        |FROM assign a LEFT JOIN drops dr ON dr.cid = a.cid AND dr.vid = a.vec_id
        |GROUP BY a.cid""".stripMargin
+
+  private val semDedupSql = semDedupSqlWith(
+    """cpairs AS (
+      |  SELECT u.cid, u.vec_id AS uid, v.vec_id AS vid
+      |  FROM assign u JOIN assign v ON u.cid = v.cid AND u.vec_id < v.vec_id)""".stripMargin)
+
+  private val semDedupCappedSql = semDedupSqlWith(
+    """keepers AS (
+      |  SELECT cid, vec_id AS uid FROM (
+      |    SELECT *, ROW_NUMBER() OVER (PARTITION BY cid ORDER BY vec_id) AS rk
+      |    FROM assign)
+      |  WHERE rk <= 2),
+      |cpairs AS (
+      |  SELECT v.cid, k.uid, v.vec_id AS vid
+      |  FROM assign v JOIN keepers k ON k.cid = v.cid AND k.uid < v.vec_id)""".stripMargin)
 
   /** q188: ANN index-quality gate — recall@3 of the persisted-IVF probe
     * (q184) against the exact brute-force top-3 (q64), per probe. This is
@@ -1701,6 +1756,12 @@ object Similarity extends QueryModule {
     GQuery("q186_semdedup",
       "SemDeDup semantic pruning: in-cluster cosine > eps drops all but the lowest-id member; per-cluster ledger",
       semDedup, Some(semDedupSql)),
+    GQuery("q196_semdedup_capped",
+      "SemDeDup in capped mode (2 keepers per cluster): the linear 100TB shape, over-keep trade oracled end-to-end",
+      semDedupCapped, Some(semDedupCappedSql)),
+    GQuery("q197_kmeans_fixed_k",
+      "Lloyd step with fixed-K seeding (K=8, m=ceil(N/8)): linear N*K assignment, the deployment alternative to sqrt-K",
+      kmeansFixedK, Some(kmeansFixedKSql)),
     GQuery("q188_ann_recall",
       "ANN quality gate: recall@3 of the persisted-IVF probe vs the exact brute-force top-3, per probe",
       annRecall, Some(annRecallSql)),
