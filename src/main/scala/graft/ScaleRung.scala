@@ -57,6 +57,12 @@ object ScaleRung {
     "q185_kmeans_refine",
     "q186_semdedup",
     "q193_hybrid_rrf",
+    // the round-11 linear deployment shapes, measured beside their
+    // sqrt-K / exact-pairwise defaults (q185/q186) so the table SHOWS
+    // the asymptotic difference instead of arguing it
+    "q195_ivf_refresh_seq",
+    "q196_semdedup_capped",
+    "q197_kmeans_fixed_k",
     "q134_stream_screen",
     "q144_stream_vec_screen",
     "q177_stream_search",
@@ -311,7 +317,10 @@ object ScaleRung {
         case (f, v) => "\"" + f + "\":" + v
       }.mkString(",") + "}"
     }.mkString("{", ",", "}")
-    val out = java.nio.file.Paths.get("target", "scale", "SCALE_RUNG.json")
+    // subset runs land in a side file so a dev iteration can never
+    // clobber the committed full-sweep artifact
+    val out = java.nio.file.Paths.get("target", "scale",
+      if (args.isEmpty) "SCALE_RUNG.json" else "SCALE_RUNG_subset.json")
     java.nio.file.Files.createDirectories(out.getParent)
     java.nio.file.Files.writeString(out, json + "\n")
     println(s"wrote $out")

@@ -128,6 +128,21 @@ class SearchSpec extends AnyFunSuite {
     assert(byQ(11L).map(_.getLong(1)).toSet == Set(3L))
   }
 
+  test("hybrid RRF: probe budget bounds the query set; both legs stay inside it") {
+    // default budget = 16 -> qids are the q164 stream (id % 50 = 7) below 800
+    val dflt = Search.hybridRrf(s, TestSpark.sf)
+      .select(col("qid")).distinct().collect().map(_.getLong(0))
+    assert(dflt.nonEmpty && dflt.length <= 16, s"default budget 16: ${dflt.length}")
+    assert(dflt.forall(q => q % 50 == 7 && q < 800), dflt.mkString(","))
+    // a smaller configured budget shrinks the set — the knob is live
+    s.conf.set("spark.graft.hybrid.probes", "2")
+    try {
+      val small = Search.hybridRrf(s, TestSpark.sf)
+        .select(col("qid")).distinct().collect().map(_.getLong(0))
+      assert(small.toSet == Set(7L, 57L), s"budget 2 -> qids {7, 57}: ${small.toSeq}")
+    } finally s.conf.unset("spark.graft.hybrid.probes")
+  }
+
   test("prefix set join finds injected exact-copy pairs, equi-join only") {
     val df = Search.prefixSetJoin(s, TestSpark.sf).cache()
     val plan = df.queryExecution.executedPlan.toString

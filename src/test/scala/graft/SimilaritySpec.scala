@@ -296,6 +296,29 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("q195 sequential refresh: probe mixes all three segments; a 'building' stamp rebuilds") {
+    val out = Similarity.ivfRefreshSeq(s, TestSpark.sf).collect()
+    // every probe's top-3 spans the store's history: base (seg 0), batch 1
+    // (seg 1, the byte copy at cosine 1), batch 2 (the probe's own 2x copy
+    // at cosine 1) — per-segment hit counts must all be positive
+    val bySeg = out.groupBy(_.getInt(2)).view.mapValues(_.length).toMap
+    assert(Set(0, 1, 2).subsetOf(bySeg.keySet),
+      s"top-3 hits must include members of base AND both batches: $bySeg")
+    // crash-recovery contract: the final stamp is only written after both
+    // appends land; a store left with the in-progress marker (killed
+    // mid-sequence) must be rebuilt, not served
+    val path = Similarity.seqIvfPath(TestSpark.sf)
+    val goodStamp = graft.sources.IndexStore.readStamp(s, path)
+      .getOrElse(fail("no stamp after build"))
+    assert(!goodStamp.endsWith("|building"), goodStamp)
+    graft.sources.IndexStore.writeStamp(s, path, goodStamp + "|building")
+    val out2 = Similarity.ivfRefreshSeq(s, TestSpark.sf).collect()
+    assert(graft.sources.IndexStore.readStamp(s, path).contains(goodStamp),
+      "a building-stamped store must be rebuilt to the final stamp")
+    assert(out2.map(_.toString).sorted.toSeq == out.map(_.toString).sorted.toSeq,
+      "rebuild must reproduce the same probe results")
+  }
+
   test("fixed-K mode: spark.graft.kmeans.k bounds the centroid count") {
     // unit contract of the modulus itself
     assert(Similarity.centroidModulus(s, 1000000L) == 1000L) // sqrt default
