@@ -85,6 +85,79 @@ case class FloatVectorDot(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Native squared Euclidean distance between two float vectors — the
+  * product-quantization kernel ([[FloatVectorDot]]'s sibling): PQ codebook
+  * training/encoding evaluates N*M*k* subvector distances (one corpus scan
+  * per index build), and the tight primitive loop keeps that scan inside
+  * whole-stage codegen. Accumulates (x-y)^2 left-to-right in double —
+  * the difference of two floats is EXACT in double, so each term matches
+  * the oracle's DECIMAL accumulation of the same rounded products and the
+  * total agrees to the usual ~1e-16 fold error. Null/length semantics are
+  * identical to graft_dot (null on mismatch or null element).
+  */
+case class FloatVectorSqDist(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val ok = Seq(left, right).forall(_.dataType match {
+      case ArrayType(FloatType, _) => true
+      case _ => false
+    })
+    if (ok) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires two ARRAY<FLOAT> arguments, " +
+        s"got (${left.dataType.simpleString}, ${right.dataType.simpleString})")
+  }
+
+  override def dataType: DataType = DoubleType
+
+  override def nullable: Boolean = true
+
+  override def prettyName: String = "graft_sqdist"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    if (n != y.numElements()) return null
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
+      val d = x.getFloat(i).toDouble - y.getFloat(i).toDouble
+      acc += d * d
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val acc = ctx.freshName("acc")
+      val d = ctx.freshName("d")
+      s"""
+         |int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $acc = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |    double $d = ((double) $a.getFloat($i)) - ((double) $b.getFloat($i));
+         |    $acc += $d * $d;
+         |  }
+         |  ${ev.value} = $acc;
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): FloatVectorSqDist =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Runtime helpers called from generated code (one static call keeps the
   * generated Java trivial).
   */
@@ -195,6 +268,9 @@ object VectorFunctions {
       "graft_dot", (exprs: Seq[Expression]) => FloatVectorDot(exprs.head, exprs(1)),
       "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_sqdist", (exprs: Seq[Expression]) => FloatVectorSqDist(exprs.head, exprs(1)),
+      "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_md5_60", (exprs: Seq[Expression]) => Md5Long60(exprs.head),
       "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
@@ -214,6 +290,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("graft_dot"),
       new ExpressionInfo(classOf[FloatVectorDot].getName, "graft_dot"),
       (exprs: Seq[Expression]) => FloatVectorDot(exprs.head, exprs(1))))
+    e.injectFunction((
+      new FunctionIdentifier("graft_sqdist"),
+      new ExpressionInfo(classOf[FloatVectorSqDist].getName, "graft_sqdist"),
+      (exprs: Seq[Expression]) => FloatVectorSqDist(exprs.head, exprs(1))))
     e.injectFunction((
       new FunctionIdentifier("graft_md5_60"),
       new ExpressionInfo(classOf[Md5Long60].getName, "graft_md5_60"),

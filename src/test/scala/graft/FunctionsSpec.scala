@@ -19,6 +19,30 @@ class FunctionsSpec extends AnyFunSuite {
     assert(out == 32.0)
   }
 
+  test("graft_sqdist: native squared distance matches the exact fold; null on mismatch") {
+    Engine.tune(s)
+    import s.implicits._
+    val df = Seq((Array(1.0f, 2.0f, 3.0f), Array(4.0f, 0.0f, 6.0f)))
+      .toDF("a", "b")
+    // (1-4)^2 + (2-0)^2 + (3-6)^2 = 9 + 4 + 9 = 22 — exact in double
+    val out = df.selectExpr("graft_sqdist(a, b) AS d").collect()(0).getDouble(0)
+    assert(out == 22.0)
+    val bad = Seq((Some(Array(1.0f, 1.0f)), Some(Array(2.0f, 3.0f, 9.0f))),
+      (None, Some(Array(1.0f)))).toDF("a", "b")
+      .selectExpr("graft_sqdist(a, b) AS d").collect()
+    assert(bad(0).isNullAt(0) && bad(1).isNullAt(0))
+    // identity: sqdist(x, x) = 0, and the dot-form expansion agrees on
+    // fixture vectors (|x|^2 + |y|^2 - 2x.y within fold error)
+    val e = s.read.parquet(s"${TestSpark.sf}/embeddings.parquet").limit(32)
+    val both = e.selectExpr(
+      "graft_sqdist(embedding, embedding) AS self",
+      "graft_sqdist(embedding, reverse(embedding)) AS direct",
+      "graft_dot(embedding, embedding) * 2 - 2 * graft_dot(embedding, reverse(embedding)) AS expanded")
+      .collect()
+    assert(both.forall(_.getDouble(0) == 0.0))
+    assert(both.forall(r => math.abs(r.getDouble(1) - r.getDouble(2)) < 1e-12))
+  }
+
   test("graft_dot: null array or mismatched lengths yield null (fold-equivalent)") {
     Engine.tune(s)
     import s.implicits._

@@ -49,6 +49,92 @@ class SimilaritySpec extends AnyFunSuite {
         ss.map(_.metadata.getOrElse("PushedFilters", "")).mkString("; "))
   }
 
+  test("PQ encoding: one code per (vector, subspace); Lloyd-refined codebook never increases SSE") {
+    val e = s.read.parquet(s"${TestSpark.sf}/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val n = e.count()
+    val mq = math.max(1L, math.ceil(n.toDouble / 64).toLong)
+    val codes = Similarity.pqEncode(s, TestSpark.sf).collect()
+    // complete: every vector encoded in every subspace, exactly once
+    assert(codes.length == n * 8, s"expected ${n * 8} code rows, got ${codes.length}")
+    assert(codes.map(_.getInt(1)).distinct.sorted.toSeq == (0 until 8))
+    // codeword ids are the deterministic seed vec_ids (refinement moves a
+    // codeword's VECTOR to its cluster mean, never renumbers it)
+    assert(codes.forall(_.getLong(2) % mq == 0), "every code must be a seed vec_id")
+    // the Lloyd contract: encoding against the refined codebook has total
+    // squared error <= the seed codebook's (means minimize within-cluster
+    // SSE; re-assignment only decreases it) — epsilon for the float cast
+    val (cb0, cb1, _) = Similarity.pqCodebooks(e)
+    def sse(cb: org.apache.spark.sql.DataFrame): Double =
+      Similarity.pqEncodeAgainst(e, cb).agg(sum(col("d2"))).collect()(0).getDouble(0)
+    val (sse0, sse1) = (sse(cb0), sse(cb1))
+    assert(sse1 <= sse0 + 1e-6, s"refined SSE $sse1 must not exceed seed SSE $sse0")
+    // and the q201 gate sees full codebook geometry: 8 subspaces, each
+    // using at least one codeword, with non-negative mean error
+    val gate = Similarity.pqQuantError(s, TestSpark.sf).collect()
+    assert(gate.length == 8)
+    assert(gate.forall(r => r.getLong(2) >= 1 && r.getLong(2) <= 64))
+    assert(gate.forall(_.getDouble(3) >= 0.0))
+  }
+
+  test("q200 IVFADC: probe scans only the persisted indexes, cid cover pushed to the code files") {
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    val df = Similarity.ivfPqProbe(s, TestSpark.sf)
+    val rows = df.collect()
+    assert(rows.nonEmpty && rows.forall(_.getInt(3) <= 3))
+    def scans(p: SparkPlan): Seq[FileSourceScanExec] = p match {
+      case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+      case f: FileSourceScanExec => Seq(f)
+      case other => other.children.flatMap(scans)
+    }
+    val fresh = Similarity.ivfPqProbe(s, TestSpark.sf)
+    val ss = scans(fresh.queryExecution.executedPlan)
+    assert(ss.nonEmpty, "expected parquet scans of the persisted indexes")
+    // raw corpus bytes appear ONLY via the 16 probe vectors (vec_id < 16
+    // pushed down); candidates come from the cid-pruned code table
+    val idx = ss.filter(_.relation.location.rootPaths
+      .forall(_.toString.contains("graft_index/")))
+    val corpus = ss.filterNot(idx.contains(_))
+    assert(corpus.forall(_.metadata.get("PushedFilters").exists(_.contains("vec_id"))),
+      s"any corpus scan must be probe-pruned: ${corpus.map(_.metadata.getOrElse("PushedFilters", ""))}")
+    assert(idx.exists(_.metadata.get("PushedFilters").exists(_.contains("cid"))),
+      s"the cluster cover must reach the code scan: " +
+        ss.map(_.metadata.getOrElse("PushedFilters", "")).mkString("; "))
+    // the distance table is the broadcast side — candidates never shuffle
+    // to meet it
+    assert(fresh.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"),
+      "dtable must broadcast-join the code table")
+  }
+
+  test("ADC ranking recalls most exact-L2 neighbors on the fixture (quantization sanity)") {
+    // exact L2 top-3 per probe, computed inline with the same kernel
+    // (cosineKnn ranks by cosine — the wrong comparator for ADC's
+    // squared-distance ranking on unnormalized vectors)
+    val e = s.read.parquet(s"${TestSpark.sf}/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val q = e.filter(col("vec_id") < 16)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid")).orderBy(col("d2").asc, col("vid"))
+    val exact = e.select(col("vec_id").as("vid"), col("embedding").as("ve"))
+      .join(broadcast(q), col("qid") =!= col("vid"))
+      .select(col("qid"), col("vid"), expr("graft_sqdist(qe, ve)").as("d2"))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") <= 3)
+      .select(col("qid"), col("vid")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // deterministic fixture => a fixed recall; gate it loosely so the
+    // assertion is about gross breakage (e.g. codes joined to the wrong
+    // subspace => near-random rankings), not about tuning
+    val adc = Similarity.pqAdcTopk(s, TestSpark.sf)
+      .select(col("qid"), col("vid")).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = exact.intersect(adc).size.toDouble / exact.size
+    // measured 0.229 on this fixture (near-random 64-dim data is PQ's
+    // hardest case — distances concentrate); the gate is far above the
+    // ~0.006 random floor and far below a plausible pass-by-luck
+    assert(recall >= 0.15, s"ADC recall@3 collapsed to $recall — encoding or dtable join broken")
+  }
+
   test("IVF probe results are a subset of the brute-force candidates' scores") {
     val bf = Similarity.cosineKnn(s, TestSpark.sf)
       .select(col("qid"), col("vid"), col("cosim"))
