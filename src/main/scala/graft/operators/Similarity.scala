@@ -886,10 +886,23 @@ object Similarity extends QueryModule {
   def ivfPqProbe(s: SparkSession, dir: String): DataFrame = {
     tune(s)
     val (cb, codes) = corpusPqIndex(s, dir)
-    val (_, assign) = corpusIvfIndex(s, dir)
-    val qa = assign.filter(col("vec_id") < 16)
-      .select(col("vec_id").as("qid"), col("cid"), col("embedding").as("qemb"))
-    // driver-side cluster cover: <= 16 longs, the q184 pattern
+    val (cents, assign) = corpusIvfIndex(s, dir)
+    // nprobe — THE IVF recall/latency dial: search the top-P clusters per
+    // probe instead of only its own. Default 1 reproduces the stored
+    // assignment bit-for-bit (same cosine argmax, same tie-break), which
+    // is what the registered oracle pins; deployments raise it
+    // (spec-covered, the q196/q197 knob pattern) to buy back the
+    // coarse-cluster recall loss q203 measures at P * the probe cost.
+    val np = s.conf.getOption("spark.graft.ivfpq.nprobe").map(_.toInt).getOrElse(1)
+    val qa0 = assign.filter(col("vec_id") < 16)
+      .select(col("vec_id").as("qid"), col("embedding").as("vemb"), col("nrm").as("nv"))
+    val qcos = qa0
+      .join(broadcast(cents.select(col("cid"), col("embedding").as("qemb"), col("nc"))))
+      .withColumn("cosim0", dotExpr / (col("nc") * col("nv")))
+    val wq = Window.partitionBy(col("qid")).orderBy(col("cosim0").desc, col("cid"))
+    val qa = qcos.withColumn("rnp", row_number().over(wq)).filter(col("rnp") <= np)
+      .select(col("qid"), col("cid"), col("vemb").as("qemb"))
+    // driver-side cluster cover: <= 16 * nprobe longs, the q184 pattern
     val probeCids = qa.select(col("cid")).distinct().collect().map(_.getLong(0)).toSeq
     val probes = qa.select(col("qid"), col("cid").as("qcid"),
       posexplode(subVecsCol(col("qemb"))).as(Seq("j", "qsub")))
@@ -908,6 +921,19 @@ object Similarity extends QueryModule {
       .select(col("qid"), col("vid"), round(col("adc0"), 9).as("adc"), col("rn"))
   }
 
+  // cluster-pruned ADC pairs (expects assign + pdist + pcodes in scope) —
+  // shared by the q200 probe and the q203 recall gate
+  private val pqPadcCidSql =
+    """padc AS (
+      |  SELECT qa.vec_id AS qid, va.vec_id AS vid,
+      |         CAST(SUM(CAST(q.d2 AS DECIMAL(38,20))) AS DOUBLE) AS adc0
+      |  FROM assign qa
+      |  JOIN assign va ON va.cid = qa.cid AND va.vec_id <> qa.vec_id
+      |  JOIN pdist q ON q.vec_id = qa.vec_id
+      |  JOIN pcodes c ON c.vec_id = va.vec_id AND c.j = q.j AND c.code = q.code
+      |  WHERE qa.vec_id < 16
+      |  GROUP BY qa.vec_id, va.vec_id)""".stripMargin
+
   private val ivfPqSql =
     s"""WITH $flatSql,
        |$normsSql,
@@ -916,19 +942,229 @@ object Similarity extends QueryModule {
        |$pqCwSql,
        |$pqDistSql,
        |$pqCodesSql,
-       |padc AS (
-       |  SELECT qa.vec_id AS qid, va.vec_id AS vid,
-       |         CAST(SUM(CAST(q.d2 AS DECIMAL(38,20))) AS DOUBLE) AS adc0
-       |  FROM assign qa
-       |  JOIN assign va ON va.cid = qa.cid AND va.vec_id <> qa.vec_id
-       |  JOIN pdist q ON q.vec_id = qa.vec_id
-       |  JOIN pcodes c ON c.vec_id = va.vec_id AND c.j = q.j AND c.code = q.code
-       |  WHERE qa.vec_id < 16
-       |  GROUP BY qa.vec_id, va.vec_id)
+       |$pqPadcCidSql
        |SELECT qid, vid, round(adc0, 9) AS adc, rn FROM (
        |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY round(adc0, 9), vid) AS INT) AS rn
        |  FROM padc)
        |WHERE rn <= 3""".stripMargin
+
+  /** ADC admission threshold: an arrival whose nearest in-cluster ADC
+    * distance is below this is a semantic near-duplicate. Sits between
+    * the fixture's typical self-quantization error (a byte copy scores
+    * its original's quantization error, mean ~0.37 after Lloyd
+    * refinement) and the nearest genuine neighbor (~1.0) — production
+    * would tune it from the q201 MSE gate exactly like q78's 0.8 cosine.
+    */
+  private val PqScreenEps = 0.8
+
+  /** Screen one arriving vector batch against the persisted PQ index by
+    * ADC — the PQ family's per-micro-batch ingest entry (the
+    * [[screenVecBatch]] role, L2/code-space instead of sign-LSH):
+    *  1. coarse-assign each arrival to its stored IVF centroid (cosine
+    *     argmax against the broadcast centroid table — the metric the
+    *     index was built with, and the stored-centroid contract: nothing
+    *     is re-derived from the corpus);
+    *  2. expand each arrival to its M*k* ADC distance table (batch-sized
+    *     broadcast — bounded by the micro-batch, never the corpus);
+    *  3. score ONLY the probed clusters' code bytes (driver-side cover →
+    *     cid pruning, the q184/q200 path) and take the per-arrival min.
+    * Decision: ADC below [[PqScreenEps]] → "near" (semantic dup), else
+    * "accept". A decision depends only on the arrival vs the frozen
+    * index, so any micro-batch partitioning yields identical decisions —
+    * streaming == batch by construction (q205 oracles against the same
+    * SQL as the one-shot q204).
+    */
+  private[graft] def pqScreenBatch(s: SparkSession, dir: String, batch: DataFrame): DataFrame = {
+    val (cb, codes) = corpusPqIndex(s, dir)
+    val (cents, _) = corpusIvfIndex(s, dir)
+    val b = withNorm(batch.select(col("vec_id"), col("embedding")))
+    val bc = b.select(col("vec_id"), col("embedding").as("vemb"), col("nrm"))
+      .join(broadcast(cents.select(col("cid"), col("embedding").as("qemb"), col("nc"))))
+      .withColumn("cosim0", dotExpr / (col("nc") * col("nrm")))
+    val wa = Window.partitionBy(col("vec_id")).orderBy(col("cosim0").desc, col("cid"))
+    val acid = bc.withColumn("rn", row_number().over(wa)).filter(col("rn") === 1)
+      .select(col("vec_id"), col("cid"), col("vemb"))
+    val dtable = acid.select(col("vec_id").as("aid"), col("cid"),
+        posexplode(subVecsCol(col("vemb"))).as(Seq("j", "qsub")))
+      .join(broadcast(cb), Seq("j"))
+      .select(col("aid"), col("cid"), col("j"), col("code"),
+        expr("graft_sqdist(qsub, csub)").as("qd2"))
+    // driver-side cluster cover of the BATCH (metadata-scale, q184 style)
+    val cover = acid.select(col("cid")).distinct().collect().map(_.getLong(0)).toSeq
+    val adc = codes.filter(col("cid").isInCollection(cover))
+      .select(col("cid"), col("vec_id").as("vid"), col("j"), col("code"))
+      .join(broadcast(dtable), Seq("cid", "j", "code"))
+      .groupBy(col("aid"), col("vid"))
+      .agg(sum(col("qd2")).as("adc0"))
+    adc.groupBy(col("aid"))
+      .agg(min(round(col("adc0"), 9)).as("min_adc"))
+      .select(col("aid").as("vec_id"), col("min_adc"),
+        when(col("min_adc") < PqScreenEps, lit("near"))
+          .otherwise(lit("accept")).as("decision"))
+  }
+
+  /** Per-slice rollup shared by the one-shot q204 and streaming q205
+    * (which MUST agree with it row-for-row). */
+  private[graft] def pqScreenSummary(decisions: DataFrame): DataFrame =
+    decisions
+      .groupBy(expr("vec_id div 100000").as("slice"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("decision") === "near", 1).otherwise(0)).as("n_near"),
+        sum(when(col("decision") === "accept", 1).otherwise(0)).as("n_accept"))
+
+  /** q204: the one-shot batch form — screen the q140 synthetic arrival
+    * set by ADC against the persisted PQ index. Byte copies land "near"
+    * (they score their original's quantization error); 2x-scaled and
+    * negated variants land "accept" — DIFFERENT from the cosine-metric
+    * screens (q140 calls a 2x scale cosine-identical), which is the
+    * point: the admission metric is a policy choice, and the engine
+    * ships both. */
+  def pqScreen(s: SparkSession, dir: String): DataFrame = {
+    tune(s)
+    pqScreenSummary(pqScreenBatch(s, dir, syntheticVecBatch(s, dir)))
+  }
+
+  private[graft] val pqScreenSql =
+    s"""WITH $flatSql,
+       |$normsSql,
+       |$ivfAssignSql,
+       |$pqSubSql,
+       |$pqCwSql,
+       |$pqDistSql,
+       |$pqCodesSql,
+       |newb AS (
+       |  SELECT vec_id + 100000 AS vec_id, embedding FROM embeddings WHERE vec_id % 5 = 0
+       |  UNION ALL
+       |  SELECT vec_id + 200000, list_transform(embedding, x -> CAST(x * CAST(2.0 AS FLOAT) AS FLOAT))
+       |  FROM embeddings WHERE vec_id % 7 = 0
+       |  UNION ALL
+       |  SELECT vec_id + 300000, list_transform(embedding, x -> CAST(-x AS FLOAT))
+       |  FROM embeddings WHERE vec_id % 11 = 0),
+       |nflat AS (
+       |  SELECT vec_id, i AS pos, CAST(embedding[i] AS DOUBLE) AS xd
+       |  FROM (SELECT vec_id, embedding, unnest(range(1, len(embedding)+1)) AS i FROM newb)),
+       |nnorm AS (
+       |  SELECT vec_id, sqrt(CAST(SUM(CAST(xd*xd AS DECIMAL(38,20))) AS DOUBLE)) AS nrm
+       |  FROM nflat GROUP BY vec_id),
+       |nadots AS (
+       |  SELECT f.vec_id, c.cid, CAST(SUM(CAST(f.xd*c.cx AS DECIMAL(38,20))) AS DOUBLE) AS dot
+       |  FROM nflat f JOIN cent c ON f.pos = c.pos
+       |  GROUP BY f.vec_id, c.cid),
+       |nacos AS (
+       |  SELECT d.vec_id, d.cid, d.dot / (cn.nrm * an.nrm) AS cosim
+       |  FROM nadots d JOIN norms cn ON cn.vec_id = d.cid
+       |                JOIN nnorm an ON an.vec_id = d.vec_id),
+       |nassign AS (
+       |  SELECT vec_id, cid FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cosim DESC, cid) AS rn
+       |    FROM nacos)
+       |  WHERE rn = 1),
+       |nsub AS (
+       |  SELECT vec_id, CAST((pos-1) // 8 AS INT) AS j, (pos-1) % 8 AS spos, xd
+       |  FROM nflat),
+       |ndist AS (
+       |  SELECT s.vec_id, s.j, c.code,
+       |         CAST(SUM(CAST((s.xd - c.cxd)*(s.xd - c.cxd) AS DECIMAL(38,20))) AS DOUBLE) AS d2
+       |  FROM nsub s JOIN pcw c ON c.j = s.j AND c.spos = s.spos
+       |  GROUP BY s.vec_id, s.j, c.code),
+       |nadc AS (
+       |  SELECT na.vec_id AS aid, a.vec_id AS vid,
+       |         CAST(SUM(CAST(q.d2 AS DECIMAL(38,20))) AS DOUBLE) AS adc0
+       |  FROM nassign na
+       |  JOIN assign a ON a.cid = na.cid
+       |  JOIN ndist q ON q.vec_id = na.vec_id
+       |  JOIN pcodes c ON c.vec_id = a.vec_id AND c.j = q.j AND c.code = q.code
+       |  GROUP BY na.vec_id, a.vec_id),
+       |ndec AS (
+       |  SELECT aid, MIN(round(adc0, 9)) AS min_adc FROM nadc GROUP BY aid)
+       |SELECT aid // 100000 AS slice, CAST(COUNT(*) AS BIGINT) AS n,
+       |       CAST(SUM(CASE WHEN min_adc < $PqScreenEps THEN 1 ELSE 0 END) AS BIGINT) AS n_near,
+       |       CAST(SUM(CASE WHEN min_adc >= $PqScreenEps THEN 1 ELSE 0 END) AS BIGINT) AS n_accept
+       |FROM ndec
+       |GROUP BY 1""".stripMargin
+
+  /** q202: brute-force exact L2 top-5 — the Euclidean twin of q64's
+    * cosine baseline and the comparator the PQ family is graded against
+    * (ADC approximates SQUARED DISTANCE, so gating it on cosine ranks
+    * would measure the metric mismatch, not the quantization). Same
+    * linear shape: 16 probes broadcast, one corpus scan, the native
+    * graft_sqdist kernel per pair, WindowGroupLimit top-k — no shuffle on
+    * the distance computation. */
+  def l2Knn(s: SparkSession, dir: String): DataFrame = {
+    tune(s)
+    val e = table(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+    val v = e.select(col("vec_id").as("vid"), col("embedding").as("vemb"))
+    val q = e.filter(col("vec_id") < 16)
+      .select(col("vec_id").as("qid"), col("embedding").as("qemb"))
+    val d = v.join(broadcast(q), col("qid") =!= col("vid"))
+      .withColumn("d20", expr("graft_sqdist(qemb, vemb)"))
+    val w = Window.partitionBy(col("qid")).orderBy(round(col("d20"), 9).asc, col("vid"))
+    d.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 5)
+      .select(col("qid"), col("vid"), round(col("d20"), 9).as("d2"), col("rn"))
+  }
+
+  // exact L2 pair distances for the 16 probes (expects flat in scope)
+  private val l2dSql =
+    """l2d AS (
+      |  SELECT q.vec_id AS qid, v.vec_id AS vid,
+      |         CAST(SUM(CAST((q.xd - v.xd)*(q.xd - v.xd) AS DECIMAL(38,20))) AS DOUBLE) AS d20
+      |  FROM flat q JOIN flat v ON q.pos = v.pos AND q.vec_id <> v.vec_id
+      |  WHERE q.vec_id < 16
+      |  GROUP BY q.vec_id, v.vec_id)""".stripMargin
+
+  private val l2KnnSql =
+    s"""WITH $flatSql,
+       |$l2dSql
+       |SELECT qid, vid, round(d20, 9) AS d2, rn FROM (
+       |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY round(d20, 9), vid) AS INT) AS rn
+       |  FROM l2d)
+       |WHERE rn <= 5""".stripMargin
+
+  /** q203: the IVF-PQ quality gate — recall@3 of the cluster-pruned ADC
+    * probe (q200) against the exact L2 top-3 (q202), per probe: the q188
+    * pattern for the compressed index. This single number folds BOTH
+    * approximation losses — neighbors outside the probed coarse cluster
+    * AND ADC rank flips from quantization noise — so it is the
+    * acceptance test a pipeline runs before switching retrieval from raw
+    * vectors to codes, and the signal that drives nprobe / k* / M
+    * tuning. Costs one exact baseline scan, exactly like q188; at 100 TB
+    * it runs on this same fixed probe sample. */
+  def ivfPqRecall(s: SparkSession, dir: String): DataFrame = {
+    tune(s)
+    val exact = l2Knn(s, dir).filter(col("rn") <= 3).select(col("qid"), col("vid"))
+    val approx = ivfPqProbe(s, dir)
+      .select(col("qid").as("aqid"), col("vid").as("avid"))
+    exact.join(approx,
+        col("qid") === col("aqid") && col("vid") === col("avid"), "left")
+      .groupBy(col("qid"))
+      .agg(count(col("avid")).as("hits"))
+      .withColumn("recall", col("hits").cast("double") / 3.0)
+  }
+
+  private val ivfPqRecallSql =
+    s"""WITH $flatSql,
+       |$normsSql,
+       |$ivfAssignSql,
+       |$pqSubSql,
+       |$pqCwSql,
+       |$pqDistSql,
+       |$pqCodesSql,
+       |$pqPadcCidSql,
+       |ipq3 AS (
+       |  SELECT qid, vid FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY round(adc0, 9), vid) AS rn
+       |    FROM padc)
+       |  WHERE rn <= 3),
+       |$l2dSql,
+       |exact3 AS (
+       |  SELECT qid, vid FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY round(d20, 9), vid) AS rn
+       |    FROM l2d)
+       |  WHERE rn <= 3)
+       |SELECT e.qid, CAST(COUNT(i.vid) AS BIGINT) AS hits, COUNT(i.vid) / 3.0 AS recall
+       |FROM exact3 e LEFT JOIN ipq3 i ON i.qid = e.qid AND i.vid = e.vid
+       |GROUP BY e.qid""".stripMargin
 
   /** q201: the PQ quality gate — per-subspace quantization error and
     * codebook utilization from the stored codes (d2 rode along at encode
@@ -2103,6 +2339,15 @@ object Similarity extends QueryModule {
     GQuery("q201_pq_error",
       "PQ quality gate: per-subspace quantization MSE + codebook utilization from the stored codes",
       pqQuantError, Some(pqQuantErrorSql)),
+    GQuery("q202_l2_knn",
+      "brute-force exact L2 top-5 via the native graft_sqdist kernel — the Euclidean baseline the PQ family is gated against",
+      l2Knn, Some(l2KnnSql)),
+    GQuery("q203_ivfpq_recall",
+      "IVF-PQ acceptance gate: recall@3 of the cluster-pruned ADC probe vs the exact L2 top-3, per probe",
+      ivfPqRecall, Some(ivfPqRecallSql)),
+    GQuery("q204_pq_screen",
+      "ADC admission screen: arrivals coarse-assigned to stored centroids, scored vs the probed clusters' codes, near/accept per slice",
+      pqScreen, Some(pqScreenSql)),
     GQuery("q195_ivf_refresh_seq",
       "sequential IVF refresh: two arrival batches appended as tagged segments against stored centroids; probe mixes members of all segments",
       ivfRefreshSeq, Some(ivfRefreshSeqSql)),

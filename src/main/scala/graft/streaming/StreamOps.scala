@@ -552,6 +552,49 @@ object StreamOps extends QueryModule {
     }
   }
 
+  /** Streaming ADC admission (q205): the PQ family's streaming == batch
+    * leg. Arriving vectors are screened per micro-batch against the
+    * PERSISTED PQ index ([[graft.operators.Similarity.pqScreenBatch]]:
+    * coarse-assign to stored centroids, ADC against the probed clusters'
+    * code bytes only), decisions land in a batchId-scoped admission log.
+    * A decision depends only on the arrival vs the frozen index, so any
+    * micro-batch partitioning yields identical decisions — the rollup is
+    * verified against the SAME oracle as the one-shot batch q204.
+    */
+  def streamPqScreen(s: SparkSession, dir: String): DataFrame = {
+    tune(s)
+    withStatePartitions(s, 8) {
+      val newB = graft.operators.Similarity.syntheticVecBatch(s, dir)
+      val schema = newB.schema
+      val srcDir = stagedOnce(s"pqscreen:$dir") { sd =>
+        val t0 = 1000000000000L
+        stageFile(s, sd, newB.filter(col("vec_id") % 2 === 0), "b0_even", t0)
+        stageFile(s, sd, newB.filter(col("vec_id") % 2 === 1), "b1_odd", t0 + 600000L)
+      }
+      val out = s"$ckBase/pqscreen_out_${counter.incrementAndGet()}"
+      val src = s.readStream
+        .schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(srcDir)
+      val qname = s"graft_stream_pqscreen_${counter.incrementAndGet()}"
+      val q = src.writeStream
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          graft.operators.Similarity.pqScreenBatch(batch.sparkSession, dir, batch)
+            .write.mode("overwrite").parquet(s"$out/batch=$batchId")
+          ()
+        }
+        .option("checkpointLocation", s"$ckBase/$qname")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val batches = q.recentProgress.count(_.numInputRows > 0)
+      require(batches >= 2, s"PQ screen harness needs >= 2 non-empty micro-batches, got $batches")
+      dropCheckpoint(s"$ckBase/$qname")
+      graft.operators.Similarity.pqScreenSummary(
+        s.read.parquet(out).select(col("vec_id"), col("decision")))
+    }
+  }
+
   /** Streaming retrieval serving (q177): queries arrive as files; each
     * micro-batch's query docs are tokenized ([[graft.operators.Search.querySet]],
     * the q164 convention) and scored BM25 against the FROZEN persisted
@@ -945,5 +988,9 @@ object StreamOps extends QueryModule {
     GQuery("q194_stream_classifier",
       "streaming model-based admission: per-micro-batch integer-logit scoring of arriving docs; streaming == batch",
       streamClassifier, Some(streamClassifierSql)),
+    // Same oracle as the batch q204 — the PQ family's streaming == batch.
+    GQuery("q205_stream_pq_screen",
+      "streaming ADC admission: per-micro-batch screening against the persisted PQ index; oracle == batch q204",
+      streamPqScreen, Some(graft.operators.Similarity.pqScreenSql)),
   )
 }

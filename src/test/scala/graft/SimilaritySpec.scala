@@ -107,6 +107,29 @@ class SimilaritySpec extends AnyFunSuite {
       "dtable must broadcast-join the code table")
   }
 
+  test("IVFADC nprobe knob: wider probes never worsen the best ADC distance; default is nprobe=1") {
+    def top1(df: org.apache.spark.sql.DataFrame): Map[Long, Double] =
+      df.filter(col("rn") === 1).collect()
+        .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    val base = Similarity.ivfPqProbe(s, TestSpark.sf)
+    val b1 = top1(base)
+    s.conf.set("spark.graft.ivfpq.nprobe", "2")
+    try {
+      val wide = top1(Similarity.ivfPqProbe(s, TestSpark.sf))
+      // candidates at nprobe=2 are a superset per probe, so the best ADC
+      // distance can only improve or stay equal — the knob's contract
+      assert(wide.keySet == b1.keySet)
+      b1.foreach { case (q, d) =>
+        assert(wide(q) <= d + 1e-12, s"probe $q: nprobe=2 top ADC ${wide(q)} worse than nprobe=1 $d")
+      }
+      assert(wide.exists { case (q, d) => d < b1(q) - 1e-9 },
+        "on this fixture at least one probe must find a closer candidate in its second cluster")
+    } finally s.conf.unset("spark.graft.ivfpq.nprobe")
+    // knob off again: results identical to the registered (oracled) form
+    val again = top1(Similarity.ivfPqProbe(s, TestSpark.sf))
+    assert(again == b1)
+  }
+
   test("ADC ranking recalls most exact-L2 neighbors on the fixture (quantization sanity)") {
     // exact L2 top-3 per probe, computed inline with the same kernel
     // (cosineKnn ranks by cosine — the wrong comparator for ADC's
