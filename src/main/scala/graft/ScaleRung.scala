@@ -63,6 +63,13 @@ object ScaleRung {
     "q195_ivf_refresh_seq",
     "q196_semdedup_capped",
     "q197_kmeans_fixed_k",
+    // the PQ/IVFADC family (round 11): encode is one corpus scan with a
+    // map-side-collapsed argmin; ADC reads only code bytes; the IVFADC
+    // probe and ADC screen read only the probed clusters' codes
+    "q198_pq_codes",
+    "q199_pq_adc",
+    "q200_ivfpq_probe",
+    "q204_pq_screen",
     "q134_stream_screen",
     "q144_stream_vec_screen",
     "q177_stream_search",

@@ -839,7 +839,9 @@ object Similarity extends QueryModule {
   def pqAdcTopk(s: SparkSession, dir: String): DataFrame = {
     tune(s)
     val (cb, codes) = corpusPqIndex(s, dir)
-    val probes = table(s, dir, "embeddings").filter(col("vec_id") < 16)
+    // probes are the 16 BASE vectors: bounded below too, so a corpus with
+    // negative ids (the sf1 rung's copies) keeps the probe set fixed
+    val probes = table(s, dir, "embeddings").filter(col("vec_id").between(0, 15))
       .select(col("vec_id").as("qid"),
         posexplode(subVecsCol(col("embedding"))).as(Seq("j", "qsub")))
     val dtable = probes.join(cb, Seq("j"))
@@ -866,7 +868,7 @@ object Similarity extends QueryModule {
        |  SELECT q.vec_id AS qid, c.vec_id AS vid,
        |         CAST(SUM(CAST(q.d2 AS DECIMAL(38,20))) AS DOUBLE) AS adc0
        |  FROM pdist q JOIN pcodes c ON c.j = q.j AND c.code = q.code AND c.vec_id <> q.vec_id
-       |  WHERE q.vec_id < 16
+       |  WHERE q.vec_id BETWEEN 0 AND 15
        |  GROUP BY q.vec_id, c.vec_id)
        |SELECT qid, vid, round(adc0, 9) AS adc, rn FROM (
        |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY round(adc0, 9), vid) AS INT) AS rn
@@ -894,7 +896,7 @@ object Similarity extends QueryModule {
     // (spec-covered, the q196/q197 knob pattern) to buy back the
     // coarse-cluster recall loss q203 measures at P * the probe cost.
     val np = s.conf.getOption("spark.graft.ivfpq.nprobe").map(_.toInt).getOrElse(1)
-    val qa0 = assign.filter(col("vec_id") < 16)
+    val qa0 = assign.filter(col("vec_id").between(0, 15))
       .select(col("vec_id").as("qid"), col("embedding").as("vemb"), col("nrm").as("nv"))
     val qcos = qa0
       .join(broadcast(cents.select(col("cid"), col("embedding").as("qemb"), col("nc"))))
@@ -931,7 +933,7 @@ object Similarity extends QueryModule {
       |  JOIN assign va ON va.cid = qa.cid AND va.vec_id <> qa.vec_id
       |  JOIN pdist q ON q.vec_id = qa.vec_id
       |  JOIN pcodes c ON c.vec_id = va.vec_id AND c.j = q.j AND c.code = q.code
-      |  WHERE qa.vec_id < 16
+      |  WHERE qa.vec_id BETWEEN 0 AND 15
       |  GROUP BY qa.vec_id, va.vec_id)""".stripMargin
 
   private val ivfPqSql =
@@ -989,11 +991,19 @@ object Similarity extends QueryModule {
       .join(broadcast(cb), Seq("j"))
       .select(col("aid"), col("cid"), col("j"), col("code"),
         expr("graft_sqdist(qsub, csub)").as("qd2"))
-    // driver-side cluster cover of the BATCH (metadata-scale, q184 style)
-    val cover = acid.select(col("cid")).distinct().collect().map(_.getLong(0)).toSeq
+    // driver-side cluster cover of the BATCH (metadata-scale, q184 style);
+    // the same pass counts arrivals to size-gate the dtable broadcast
+    val coverRows = acid.groupBy(col("cid")).agg(count(lit(1)).as("cnt")).collect()
+    val cover = coverRows.map(_.getLong(0)).toSeq
+    val nArrivals = coverRows.map(_.getLong(1)).sum
+    // the dtable is batch * M * k* rows: broadcast for normal micro-batches
+    // (the serving shape); an oversized batch (e.g. the 10x rung replay)
+    // falls back to a shuffle join rather than shipping a so-called
+    // "broadcast" of hundreds of MB to every task
+    val dt = if (nArrivals <= 2048) broadcast(dtable) else dtable
     val adc = codes.filter(col("cid").isInCollection(cover))
       .select(col("cid"), col("vec_id").as("vid"), col("j"), col("code"))
-      .join(broadcast(dtable), Seq("cid", "j", "code"))
+      .join(dt, Seq("cid", "j", "code"))
       .groupBy(col("aid"), col("vid"))
       .agg(sum(col("qd2")).as("adc0"))
     adc.groupBy(col("aid"))
@@ -1094,7 +1104,7 @@ object Similarity extends QueryModule {
     tune(s)
     val e = table(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
     val v = e.select(col("vec_id").as("vid"), col("embedding").as("vemb"))
-    val q = e.filter(col("vec_id") < 16)
+    val q = e.filter(col("vec_id").between(0, 15))
       .select(col("vec_id").as("qid"), col("embedding").as("qemb"))
     val d = v.join(broadcast(q), col("qid") =!= col("vid"))
       .withColumn("d20", expr("graft_sqdist(qemb, vemb)"))
@@ -1110,7 +1120,7 @@ object Similarity extends QueryModule {
       |  SELECT q.vec_id AS qid, v.vec_id AS vid,
       |         CAST(SUM(CAST((q.xd - v.xd)*(q.xd - v.xd) AS DECIMAL(38,20))) AS DOUBLE) AS d20
       |  FROM flat q JOIN flat v ON q.pos = v.pos AND q.vec_id <> v.vec_id
-      |  WHERE q.vec_id < 16
+      |  WHERE q.vec_id BETWEEN 0 AND 15
       |  GROUP BY q.vec_id, v.vec_id)""".stripMargin
 
   private val l2KnnSql =
