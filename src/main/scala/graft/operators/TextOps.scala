@@ -663,6 +663,71 @@ object TextOps extends QueryModule {
     * transform (referential integrity). The oracle recomputes everything
     * exactly (md5 hex is identical in both engines).
     */
+  /** k-anonymity threshold for q206: a release cohort must contain at
+    * least this many individuals. */
+  private val AnonK = 5
+
+  /** q206: k-anonymous cohort assignment over a GENERALIZATION LADDER —
+    * the release gate that complements redaction (q46) and
+    * pseudonymization (q136): those hide direct identifiers; this bounds
+    * re-identification via quasi-identifier COMBINATIONS (nation x
+    * segment x balance band), the linkage-attack surface k-anonymity is
+    * defined against (Sweeney 2002). Each record is assigned the FINEST
+    * generalization level at which its cohort reaches k:
+    *   level 0 (nation, segment, floor(acctbal/1000)) -> 1 (nation,
+    *   segment) -> 2 (nation) -> 3 (*, the whole table).
+    * Output is (record, level, cohort size) — the per-record privacy
+    * datacard; a release pipeline would then emit the QI columns
+    * generalized to that level. Shapes for scale: one shuffle per ladder
+    * rung on its own QI key (each a partial-agged count), the level-0
+    * counts join back on the same key (exchange-reusable), the coarser
+    * rungs broadcast (bounded by the QI domain, not the table). The
+    * fixture exercises every level: sf0.001 has 7 nations under k and
+    * rides the global cohort; sf0.1 keeps 98% of rows at level 0.
+    */
+  def kAnonymity(s: SparkSession, dir: String): DataFrame = {
+    tune(s)
+    val c = table(s, dir, "customer").select(col("c_custkey"),
+      col("c_nationkey"), col("c_mktsegment"),
+      floor(col("c_acctbal") / 1000).cast("long").as("bal_band"))
+    val total = c.count()
+    val l0 = c.groupBy(col("c_nationkey"), col("c_mktsegment"), col("bal_band"))
+      .agg(count(lit(1)).as("n0"))
+    val l1 = c.groupBy(col("c_nationkey"), col("c_mktsegment"))
+      .agg(count(lit(1)).as("n1"))
+    val l2 = c.groupBy(col("c_nationkey")).agg(count(lit(1)).as("n2"))
+    c.join(l0, Seq("c_nationkey", "c_mktsegment", "bal_band"))
+      .join(broadcast(l1), Seq("c_nationkey", "c_mktsegment"))
+      .join(broadcast(l2), Seq("c_nationkey"))
+      .withColumn("level",
+        when(col("n0") >= AnonK, 0).when(col("n1") >= AnonK, 1)
+          .when(col("n2") >= AnonK, 2).otherwise(3).cast("int"))
+      .withColumn("cohort",
+        when(col("n0") >= AnonK, col("n0")).when(col("n1") >= AnonK, col("n1"))
+          .when(col("n2") >= AnonK, col("n2")).otherwise(lit(total)))
+      .select(col("c_custkey"), col("level"), col("cohort"))
+  }
+
+  private val kAnonymitySql =
+    s"""WITH c AS (
+       |  SELECT c_custkey, c_nationkey, c_mktsegment,
+       |         CAST(floor(c_acctbal/1000) AS BIGINT) AS bal_band
+       |  FROM customer),
+       |l0 AS (SELECT c_nationkey, c_mktsegment, bal_band, count(*) AS n0
+       |       FROM c GROUP BY 1, 2, 3),
+       |l1 AS (SELECT c_nationkey, c_mktsegment, count(*) AS n1 FROM c GROUP BY 1, 2),
+       |l2 AS (SELECT c_nationkey, count(*) AS n2 FROM c GROUP BY 1)
+       |SELECT c.c_custkey,
+       |  CAST(CASE WHEN n0 >= $AnonK THEN 0 WHEN n1 >= $AnonK THEN 1
+       |            WHEN n2 >= $AnonK THEN 2 ELSE 3 END AS INT) AS level,
+       |  CAST(CASE WHEN n0 >= $AnonK THEN n0 WHEN n1 >= $AnonK THEN n1
+       |            WHEN n2 >= $AnonK THEN n2
+       |            ELSE (SELECT count(*) FROM c) END AS BIGINT) AS cohort
+       |FROM c
+       |JOIN l0 USING (c_nationkey, c_mktsegment, bal_band)
+       |JOIN l1 USING (c_nationkey, c_mktsegment)
+       |JOIN l2 USING (c_nationkey)""".stripMargin
+
   def pseudonymize(s: SparkSession, dir: String): DataFrame = {
     tune(s)
     def pseud(c: org.apache.spark.sql.Column) =
@@ -1070,6 +1135,9 @@ object TextOps extends QueryModule {
     GQuery("q136_pseudonymize",
       "referential-integrity-preserving keyed pseudonymization with in-frame contract checks",
       pseudonymize, Some(pseudonymizeSql)),
+    GQuery("q206_k_anonymity",
+      "k-anonymous cohort assignment over a generalization ladder (nation x segment x balance band -> *), finest level reaching k=5",
+      kAnonymity, Some(kAnonymitySql)),
     GQuery("q137_datacard",
       "corpus datacard: exact-integer (metric, value) summary in one scan + one digest-distinct",
       datacard, Some(datacardSql)),

@@ -70,6 +70,21 @@ class AnalyticsSpec extends AnyFunSuite {
     }
   }
 
+  test("k-anonymity: every record covered once; cohorts meet k at their assigned level") {
+    val out = TextOps.kAnonymity(s, TestSpark.sf).collect()
+    val n = s.read.parquet(s"${TestSpark.sf}/customer.parquet").count()
+    // total coverage, one assignment per record
+    assert(out.length == n && out.map(_.getLong(0)).distinct.length == n)
+    // the privacy contract: an assigned cohort always has >= k members
+    // (level 3 is the whole table, which also satisfies k here)
+    assert(out.forall(_.getLong(2) >= 5), "a released cohort under k breaks k-anonymity")
+    // sf0.001 is sparse enough to exercise the coarse rungs INCLUDING the
+    // global cohort (7 nations have < 5 customers), and dense enough that
+    // no level-0 cohort reaches k — the ladder is genuinely climbed
+    assert(out.map(_.getInt(1)).distinct.sorted.toSeq == Seq(1, 2, 3),
+      s"expected levels {1,2,3} at sf0.001, got ${out.map(_.getInt(1)).distinct.sorted.toSeq}")
+  }
+
   test("pii redaction: every injected span caught, zero leaks") {
     val r = TextOps.piiRedact(s, TestSpark.sf).collect()(0)
     val nDocs = r.getLong(0)
