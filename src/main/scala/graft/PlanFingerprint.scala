@@ -89,6 +89,16 @@ object PlanFingerprint {
     "q191_ivf_refresh",
     "q192_diversity_sample",
     "q193_hybrid_rrf",
+    // round-11 additions: the PQ/IVFADC family's serving paths (the
+    // probe/screen plan shapes are the scale contract — cid-pruned scans,
+    // broadcast dtables) and the linear-mode variants
+    "q195_ivf_refresh_seq",
+    "q197_kmeans_fixed_k",
+    "q198_pq_codes",
+    "q199_pq_adc",
+    "q200_ivfpq_probe",
+    "q202_l2_knn",
+    "q204_pq_screen",
   )
 
   /** Structural counts of the STEADY-STATE initial plan.
