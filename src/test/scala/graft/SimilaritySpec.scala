@@ -107,6 +107,40 @@ class SimilaritySpec extends AnyFunSuite {
       "dtable must broadcast-join the code table")
   }
 
+  test("PQ codebooks and codes are partition-independent (decimal means, map-side argmin)") {
+    val e = s.read.parquet(s"${TestSpark.sf}/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val (_, cb1, _) = Similarity.pqCodebooks(e)
+    val (_, cb1r, _) = Similarity.pqCodebooks(e.repartition(7))
+    def cbRows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getInt(1),
+        r.getSeq[Float](2).toList)).sortBy(t => (t._1, t._2)).toSeq
+    assert(cbRows(cb1) == cbRows(cb1r),
+      "refined codewords must be bit-identical under any partitioning")
+    def codes(corpus: org.apache.spark.sql.DataFrame) =
+      Similarity.pqEncodeAgainst(corpus, cb1)
+        .select(col("vec_id"), col("j"), col("code"))
+        .collect().map(_.toString).sorted.toSeq
+    assert(codes(e) == codes(e.repartition(5)),
+      "encoding must be partition-independent")
+  }
+
+  test("q207 curation manifest: conserves counts, every cluster survives, budget respected") {
+    val out = Similarity.embeddingCuration(s, TestSpark.sf).collect()
+    val n = s.read.parquet(s"${TestSpark.sf}/embeddings.parquet").count()
+    assert(out.map(_.getLong(1)).sum == n, "members must partition the corpus")
+    out.foreach { r =>
+      assert(r.getLong(2) >= 1, s"cluster ${r.getLong(0)}: the smallest id never drops")
+      assert(r.getLong(2) <= r.getLong(1), "kept <= members")
+      assert(r.getLong(3) >= 1 && r.getLong(3) <= r.getLong(2), "1 <= sampled <= kept")
+    }
+    // the manifest's kept counts must agree with the q186 ledger row-for-row
+    val ledger = Similarity.semDedup(s, TestSpark.sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    out.foreach(r => assert(ledger(r.getLong(0)) == r.getLong(2),
+      s"cluster ${r.getLong(0)}: manifest kept ${r.getLong(2)} != ledger ${ledger(r.getLong(0))}"))
+  }
+
   test("IVFADC nprobe knob: wider probes never worsen the best ADC distance; default is nprobe=1") {
     def top1(df: org.apache.spark.sql.DataFrame): Map[Long, Double] =
       df.filter(col("rn") === 1).collect()
