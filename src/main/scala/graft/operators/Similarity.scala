@@ -1051,16 +1051,24 @@ object Similarity extends QueryModule {
     * streaming == batch by construction (q205 oracles against the same
     * SQL as the one-shot q204).
     */
-  private[graft] def pqScreenBatch(s: SparkSession, dir: String, batch: DataFrame): DataFrame = {
-    val (cb, codes) = corpusPqIndex(s, dir)
-    val (cents, _) = corpusIvfIndex(s, dir)
+  /** Coarse-assign a (vec_id, embedding) batch to its nearest STORED IVF
+    * centroid by cosine argmax (the metric the index was built with) —
+    * the shared first step of ADC screening (q204/q205) and the
+    * sequential PQ refresh (q208). Returns (vec_id, cid, vemb). */
+  private[graft] def coarseAssign(cents: DataFrame, batch: DataFrame): DataFrame = {
     val b = withNorm(batch.select(col("vec_id"), col("embedding")))
     val bc = b.select(col("vec_id"), col("embedding").as("vemb"), col("nrm"))
       .join(broadcast(cents.select(col("cid"), col("embedding").as("qemb"), col("nc"))))
       .withColumn("cosim0", dotExpr / (col("nc") * col("nrm")))
     val wa = Window.partitionBy(col("vec_id")).orderBy(col("cosim0").desc, col("cid"))
-    val acid = bc.withColumn("rn", row_number().over(wa)).filter(col("rn") === 1)
+    bc.withColumn("rn", row_number().over(wa)).filter(col("rn") === 1)
       .select(col("vec_id"), col("cid"), col("vemb"))
+  }
+
+  private[graft] def pqScreenBatch(s: SparkSession, dir: String, batch: DataFrame): DataFrame = {
+    val (cb, codes) = corpusPqIndex(s, dir)
+    val (cents, _) = corpusIvfIndex(s, dir)
+    val acid = coarseAssign(cents, batch)
     val dtable = acid.select(col("vec_id").as("aid"), col("cid"),
         posexplode(subVecsCol(col("vemb"))).as(Seq("j", "qsub")))
       .join(broadcast(cb), Seq("j"))
@@ -1167,6 +1175,154 @@ object Similarity extends QueryModule {
        |       CAST(SUM(CASE WHEN min_adc >= $PqScreenEps THEN 1 ELSE 0 END) AS BIGINT) AS n_accept
        |FROM ndec
        |GROUP BY 1""".stripMargin
+
+  private[graft] def seqPqPath(dir: String): String =
+    "target/graft_index/pqseq_" + dir.replaceAll("[^A-Za-z0-9.]+", "_")
+
+  /** q208: SEQUENTIAL PQ refresh — the q195 segment pattern applied to
+    * the CODE store, completing ingest symmetry for the PQ family (the
+    * r10 verdict's demand, already met for MinHash/sign-LSH/lexical/IVF):
+    * segment 0 branches the frozen primary codes file-for-file; batch 1
+    * (byte copies) and batch 2 (float-exact 2x scales + negations) are
+    * each coarse-assigned against the STORED centroids and encoded
+    * against the STORED codebooks — the index-property contract twice
+    * over: re-training codebooks on refresh would move codewords and
+    * silently invalidate every previously stored code — then appended
+    * cid-sorted with their segment id. The stamp flips from "building"
+    * only after both appends land (crash mid-sequence rebuilds, never
+    * serves). The probe (base multiples of 35, so a byte copy — 35%5=0 —
+    * provably co-resides) ADC-scores the MERGED table via the usual
+    * cluster cover and returns each hit's segment: rank 1 is the seg-1
+    * byte copy at exactly its original's quantization error (identical
+    * codes), while the seg-2 scale/negation variants land far by L2 —
+    * the metric contrast with q195's cosine probe, on purpose.
+    */
+  def pqRefreshSeq(s: SparkSession, dir: String): DataFrame = {
+    tune(s)
+    val path = seqPqPath(dir)
+    synchronized {
+      val stamp = "pqseq1|" +
+        graft.sources.IndexStore.sourceStamp(s, Seq(s"$dir/embeddings.parquet"))
+      if (!graft.sources.IndexStore.isCurrent(s, path, stamp)) {
+        val (cb, codes) = corpusPqIndex(s, dir)
+        val (cents, _) = corpusIvfIndex(s, dir)
+        graft.sources.IndexStore.write(s, path, stamp + "|building", Seq(
+          "codes" -> codes
+            .select(col("cid"), col("vec_id"), col("j"), col("code"), col("d2"),
+              lit(0).as("seg"))
+            .repartitionByRange(col("cid"), col("vec_id"))
+            .sortWithinPartitions(col("cid"), col("vec_id"), col("j"))))
+        val base = table(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+        val batches = Seq(
+          1 -> base.filter(col("vec_id") % 5 === 0)
+            .select((col("vec_id") + 100000L).as("vec_id"), col("embedding")),
+          2 -> base.filter(col("vec_id") % 7 === 0)
+            .select((col("vec_id") + 200000L).as("vec_id"),
+              expr("transform(embedding, x -> CAST(x * CAST(2.0 AS FLOAT) AS FLOAT))")
+                .as("embedding"))
+            .unionByName(base.filter(col("vec_id") % 11 === 0)
+              .select((col("vec_id") + 300000L).as("vec_id"),
+                expr("transform(embedding, x -> CAST(-x AS FLOAT))").as("embedding"))))
+        batches.foreach { case (segId, b) =>
+          val acid = coarseAssign(cents, b).select(col("vec_id"), col("cid"))
+          val bcodes = pqEncodeAgainst(b, cb).join(acid, Seq("vec_id"))
+          graft.sources.IndexStore.append(s, path, "codes",
+            bcodes.select(col("cid"), col("vec_id"), col("j"), col("code"),
+                col("d2"), lit(segId).as("seg"))
+              .repartitionByRange(col("cid"), col("vec_id"))
+              .sortWithinPartitions(col("cid"), col("vec_id"), col("j")))
+        }
+        graft.sources.IndexStore.writeStamp(s, path, stamp)
+      }
+    }
+    val codes2 = graft.sources.IndexStore.read(s, path, "codes")
+    val (cents, _) = corpusIvfIndex(s, dir)
+    val (cb, _) = corpusPqIndex(s, dir)
+    val probes0 = table(s, dir, "embeddings")
+      .filter(col("vec_id") >= 0L && col("vec_id") < 560L && col("vec_id") % 35 === 0)
+      .select(col("vec_id"), col("embedding"))
+    val pAcid = coarseAssign(cents, probes0)
+    val dtable = pAcid.select(col("vec_id").as("qid"), col("cid"),
+        posexplode(subVecsCol(col("vemb"))).as(Seq("j", "qsub")))
+      .join(broadcast(cb), Seq("j"))
+      .select(col("qid"), col("cid"), col("j"), col("code"),
+        expr("graft_sqdist(qsub, csub)").as("qd2"))
+    val probeCids = pAcid.select(col("cid")).distinct().collect().map(_.getLong(0)).toSeq
+    val adc = codes2.filter(col("cid").isInCollection(probeCids))
+      .select(col("cid"), col("vec_id").as("vid"), col("j"), col("code"), col("seg"))
+      .join(broadcast(dtable), Seq("cid", "j", "code"))
+      .filter(col("qid") =!= col("vid"))
+      .groupBy(col("qid"), col("vid"), col("seg"))
+      .agg(sum(col("qd2")).as("adc0"))
+    val w = Window.partitionBy(col("qid")).orderBy(round(col("adc0"), 9).asc, col("vid"))
+    adc.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select(col("qid"), col("vid"), col("seg"),
+        round(col("adc0"), 9).as("adc"), col("rn"))
+  }
+
+  private val pqRefreshSeqSql =
+    s"""WITH flat0 AS (
+       |  SELECT vec_id, i AS pos, CAST(embedding[i] AS DOUBLE) AS xd
+       |  FROM (SELECT vec_id, embedding, unnest(range(1, len(embedding)+1)) AS i
+       |        FROM embeddings)),
+       |bflat AS (
+       |  SELECT vec_id + 100000 AS vec_id, pos, xd FROM flat0 WHERE vec_id % 5 = 0
+       |  UNION ALL
+       |  SELECT vec_id + 200000, pos, xd * 2 FROM flat0 WHERE vec_id % 7 = 0
+       |  UNION ALL
+       |  SELECT vec_id + 300000, pos, -xd FROM flat0 WHERE vec_id % 11 = 0),
+       |flatall AS (SELECT * FROM flat0 UNION ALL SELECT * FROM bflat),
+       |norms AS (
+       |  SELECT vec_id, sqrt(CAST(SUM(CAST(xd*xd AS DECIMAL(38,20))) AS DOUBLE)) AS nrm
+       |  FROM flatall GROUP BY vec_id),
+       |cent AS (SELECT vec_id AS cid, pos, xd AS cx FROM flat0
+       |         WHERE vec_id % (SELECT CAST(ceil(sqrt(COUNT(*))) AS BIGINT) FROM embeddings) = 0),
+       |adots AS (
+       |  SELECT f.vec_id, c.cid, CAST(SUM(CAST(f.xd*c.cx AS DECIMAL(38,20))) AS DOUBLE) AS dot
+       |  FROM flatall f JOIN cent c ON f.pos = c.pos
+       |  GROUP BY f.vec_id, c.cid),
+       |acos AS (
+       |  SELECT a.vec_id, a.cid, a.dot / (n2.nrm * n1.nrm) AS cosim
+       |  FROM adots a JOIN norms n1 ON n1.vec_id = a.vec_id JOIN norms n2 ON n2.vec_id = a.cid),
+       |assign AS (
+       |  SELECT vec_id, cid FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cosim DESC, cid) AS rn
+       |    FROM acos)
+       |  WHERE rn = 1),
+       |psub AS (
+       |  SELECT vec_id, CAST((pos-1) // 8 AS INT) AS j, (pos-1) % 8 AS spos, xd
+       |  FROM flat0),
+       |$pqCwSql,
+       |asub AS (
+       |  SELECT vec_id, CAST((pos-1) // 8 AS INT) AS j, (pos-1) % 8 AS spos, xd
+       |  FROM flatall),
+       |adist AS (
+       |  SELECT s.vec_id, s.j, c.code,
+       |         CAST(SUM(CAST((s.xd - c.cxd)*(s.xd - c.cxd) AS DECIMAL(38,20))) AS DOUBLE) AS d2
+       |  FROM asub s JOIN pcw c ON c.j = s.j AND c.spos = s.spos
+       |  GROUP BY s.vec_id, s.j, c.code),
+       |acodes AS (
+       |  SELECT vec_id, j, code FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, j ORDER BY round(d2, 9), code) AS rn
+       |    FROM adist)
+       |  WHERE rn = 1),
+       |qa AS (SELECT vec_id AS qid, cid FROM assign
+       |       WHERE vec_id >= 0 AND vec_id < 560 AND vec_id % 35 = 0),
+       |padc AS (
+       |  SELECT qa.qid, va.vec_id AS vid,
+       |         CAST(CASE WHEN va.vec_id >= 200000 THEN 2
+       |                   WHEN va.vec_id >= 100000 THEN 1 ELSE 0 END AS INT) AS seg,
+       |         CAST(SUM(CAST(q.d2 AS DECIMAL(38,20))) AS DOUBLE) AS adc0
+       |  FROM qa
+       |  JOIN assign va ON va.cid = qa.cid AND va.vec_id <> qa.qid
+       |  JOIN adist q ON q.vec_id = qa.qid
+       |  JOIN acodes c ON c.vec_id = va.vec_id AND c.j = q.j AND c.code = q.code
+       |  GROUP BY qa.qid, va.vec_id)
+       |SELECT qid, vid, seg, round(adc0, 9) AS adc, rn FROM (
+       |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY round(adc0, 9), vid) AS INT) AS rn
+       |  FROM padc)
+       |WHERE rn <= 3""".stripMargin
 
   /** q202: brute-force exact L2 top-5 — the Euclidean twin of q64's
     * cosine baseline and the comparator the PQ family is graded against
@@ -2436,6 +2592,9 @@ object Similarity extends QueryModule {
     GQuery("q207_embedding_curation",
       "composed curation pipeline: persisted IVF clusters -> SemDeDup pruning -> diversity quotas over survivors, per-cluster manifest",
       embeddingCuration, Some(embeddingCurationSql)),
+    GQuery("q208_pq_refresh_seq",
+      "sequential PQ refresh: two arrival batches encoded against STORED codebooks, appended as tagged segments; ADC probe over the merged codes",
+      pqRefreshSeq, Some(pqRefreshSeqSql)),
     GQuery("q195_ivf_refresh_seq",
       "sequential IVF refresh: two arrival batches appended as tagged segments against stored centroids; probe mixes members of all segments",
       ivfRefreshSeq, Some(ivfRefreshSeqSql)),

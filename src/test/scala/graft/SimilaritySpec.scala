@@ -462,6 +462,33 @@ class SimilaritySpec extends AnyFunSuite {
       "rebuild must reproduce the same probe results")
   }
 
+  test("q208 PQ refresh: byte copies rank first at identical codes; store carries all segments") {
+    val out = Similarity.pqRefreshSeq(s, TestSpark.sf).collect()
+    // a probe's byte copy (seg 1, qid+100000) shares the probe's exact
+    // codes, so its ADC distance equals the probe's own quantization
+    // error — the global minimum in the cluster; it must be rank 1
+    val byQ = out.groupBy(_.getLong(0))
+    byQ.foreach { case (q, rows) =>
+      val r1 = rows.find(_.getInt(4) == 1).get
+      assert(r1.getLong(1) == q + 100000L && r1.getInt(2) == 1,
+        s"probe $q rank-1 must be its seg-1 byte copy, got vid=${r1.getLong(1)} seg=${r1.getInt(2)}")
+    }
+    // the merged store carries all three segments (batch-2 members exist
+    // even though L2 ranks the 2x/negated variants far from any probe)
+    val segs = graft.sources.IndexStore
+      .read(s, Similarity.seqPqPath(TestSpark.sf), "codes")
+      .select(col("seg")).distinct().collect().map(_.getInt(0)).toSet
+    assert(segs == Set(0, 1, 2), s"store segments: $segs")
+    // crash contract: a store left with the in-progress marker rebuilds
+    val path = Similarity.seqPqPath(TestSpark.sf)
+    val goodStamp = graft.sources.IndexStore.readStamp(s, path)
+      .getOrElse(fail("no stamp after build"))
+    graft.sources.IndexStore.writeStamp(s, path, goodStamp + "|building")
+    val out2 = Similarity.pqRefreshSeq(s, TestSpark.sf).collect()
+    assert(graft.sources.IndexStore.readStamp(s, path).contains(goodStamp))
+    assert(out2.map(_.toString).sorted.toSeq == out.map(_.toString).sorted.toSeq)
+  }
+
   test("fixed-K mode: spark.graft.kmeans.k bounds the centroid count") {
     // unit contract of the modulus itself
     assert(Similarity.centroidModulus(s, 1000000L) == 1000L) // sqrt default
