@@ -852,7 +852,142 @@ object Search extends QueryModule {
        |  FROM fused)
        |WHERE rn <= 5""".stripMargin
 
+  /** q209: MMR (maximal marginal relevance, Carbonell & Goldstein 1998)
+    * diversity rerank — the context-assembly step between retrieval and
+    * a prompt: the BM25 top-6 per query is greedily re-picked so each
+    * selection balances relevance against redundancy with what is
+    * already selected (three near-identical top hits waste two context
+    * slots; MMR spends them on coverage). Three greedy picks, fully
+    * unrolled (the selection depth is a constant, so the "loop" is
+    * three dataflow steps — no driver iteration):
+    *   pick 1 = argmax rel; pick t = argmax 7*rel_u - 3*max_cos_u over
+    *   the already-picked set; ties by doc_id.
+    * Relevance is RANK-based in integer micro-units (10^6 div (1+rank))
+    * and redundancy is the candidates' pairwise embedding cosine in
+    * micro-units, so the scores are integers and the argmaxes are exact
+    * cross-engine. Candidate cosines are computed on the ≤6x6 pair
+    * frame per query (broadcast candidate list into the embedding
+    * fetch) — the corpus-side cost stays the q164 postings read
+    * regardless of corpus size. Queries restricted to ids covered by
+    * both rankers (the q193 convention).
+    */
+  def mmrRerank(s: SparkSession, dir: String): DataFrame = {
+    tune(s)
+    val w = org.apache.spark.sql.expressions.Window
+    val embCount = table(s, dir, "embeddings").count()
+    val wl = w.partitionBy(col("qid")).orderBy(col("score").desc, col("doc_id"))
+    val cands = bm25Scores(s, dir, searchIndex(s, dir))
+      .filter(col("qid") < embCount && col("qid") < 800 && col("doc_id") < embCount)
+      .withColumn("r", row_number().over(wl)).filter(col("r") <= 6)
+      .withColumn("rel_u", expr("1000000 div (1 + r)"))
+      .select(col("qid"), col("doc_id"), col("rel_u"))
+    val dotE = expr(
+      "aggregate(zip_with(qemb, vemb, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), " +
+        "CAST(0.0 AS DOUBLE), (acc, p) -> acc + p)")
+    val emb = table(s, dir, "embeddings")
+      .select(col("vec_id"), col("embedding"),
+        expr("sqrt(graft_dot(embedding, embedding))").as("nrm"))
+    val ea = emb.join(broadcast(cands.select(col("qid"), col("doc_id").as("a"))),
+        col("vec_id") === col("a"))
+      .select(col("qid"), col("a"), col("embedding").as("qemb"), col("nrm").as("na"))
+    val eb = emb.join(broadcast(cands.select(col("qid").as("q2"), col("doc_id").as("b"))),
+        col("vec_id") === col("b"))
+      .select(col("q2"), col("b"), col("embedding").as("vemb"), col("nrm").as("nb"))
+    val pc = ea.join(eb, col("qid") === col("q2") && col("a") =!= col("b"))
+      .withColumn("cos_u",
+        round(dotE / (col("na") * col("nb")) * 1000000).cast("long"))
+      .select(col("qid"), col("a"), col("b"), col("cos_u"))
+    val s1 = cands
+      .withColumn("rk", row_number().over(
+        w.partitionBy(col("qid")).orderBy(col("rel_u").desc, col("doc_id"))))
+      .filter(col("rk") === 1)
+      .select(col("qid"), col("doc_id").as("s1"), (col("rel_u") * 7).as("m1"))
+    val c2 = cands.join(broadcast(s1), Seq("qid")).filter(col("doc_id") =!= col("s1"))
+      .join(pc.select(col("qid"), col("a").as("doc_id"), col("b").as("s1"),
+        col("cos_u")), Seq("qid", "doc_id", "s1"))
+      .withColumn("mmr_u", col("rel_u") * 7 - col("cos_u") * 3)
+    val s2 = c2
+      .withColumn("rk", row_number().over(
+        w.partitionBy(col("qid")).orderBy(col("mmr_u").desc, col("doc_id"))))
+      .filter(col("rk") === 1)
+      .select(col("qid"), col("doc_id").as("s2"), col("mmr_u").as("m2"))
+    val c3 = cands.join(broadcast(s1.select(col("qid"), col("s1"))), Seq("qid"))
+      .join(broadcast(s2.select(col("qid"), col("s2"))), Seq("qid"))
+      .filter(col("doc_id") =!= col("s1") && col("doc_id") =!= col("s2"))
+      .join(pc.select(col("qid"), col("a").as("doc_id"), col("b").as("s1"),
+        col("cos_u").as("cu1")), Seq("qid", "doc_id", "s1"))
+      .join(pc.select(col("qid"), col("a").as("doc_id"), col("b").as("s2"),
+        col("cos_u").as("cu2")), Seq("qid", "doc_id", "s2"))
+      .withColumn("mmr_u", col("rel_u") * 7 - greatest(col("cu1"), col("cu2")) * 3)
+    val s3 = c3
+      .withColumn("rk", row_number().over(
+        w.partitionBy(col("qid")).orderBy(col("mmr_u").desc, col("doc_id"))))
+      .filter(col("rk") === 1)
+      .select(col("qid"), col("doc_id").as("s3"), col("mmr_u").as("m3"))
+    s1.select(col("qid"), col("s1").as("doc_id"), lit(1).as("pick"), col("m1").as("mmr_u"))
+      .unionByName(s2.select(col("qid"), col("s2").as("doc_id"), lit(2).as("pick"),
+        col("m2").as("mmr_u")))
+      .unionByName(s3.select(col("qid"), col("s3").as("doc_id"), lit(3).as("pick"),
+        col("m3").as("mmr_u")))
+  }
+
+  private val mmrRerankSql =
+    s"""WITH $bm25ScoresSql,
+       |cands AS (
+       |  SELECT qid, doc_id, CAST(1000000 // (1 + r) AS BIGINT) AS rel_u FROM (
+       |    SELECT qid, doc_id,
+       |           CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY score DESC, doc_id) AS INT) AS r
+       |    FROM scored
+       |    WHERE qid < (SELECT COUNT(*) FROM embeddings) AND qid < 800
+       |      AND doc_id < (SELECT COUNT(*) FROM embeddings))
+       |  WHERE r <= 6),
+       |eflat AS (
+       |  SELECT vec_id, i AS pos, CAST(embedding[i] AS DOUBLE) AS xd
+       |  FROM (SELECT vec_id, embedding, unnest(range(1, len(embedding)+1)) AS i
+       |        FROM embeddings)),
+       |enorms AS (
+       |  SELECT vec_id, sqrt(CAST(SUM(CAST(xd*xd AS DECIMAL(38,20))) AS DOUBLE)) AS nrm
+       |  FROM eflat GROUP BY vec_id),
+       |pc AS (
+       |  SELECT p.qid, p.a, p.b,
+       |         CAST(round((CAST(SUM(CAST(x.xd*y.xd AS DECIMAL(38,20))) AS DOUBLE)
+       |                     / (na.nrm * nb.nrm)) * 1000000) AS BIGINT) AS cos_u
+       |  FROM (SELECT c1.qid, c1.doc_id AS a, c2.doc_id AS b
+       |        FROM cands c1 JOIN cands c2 ON c1.qid = c2.qid AND c1.doc_id <> c2.doc_id) p
+       |  JOIN eflat x ON x.vec_id = p.a
+       |  JOIN eflat y ON y.vec_id = p.b AND y.pos = x.pos
+       |  JOIN enorms na ON na.vec_id = p.a
+       |  JOIN enorms nb ON nb.vec_id = p.b
+       |  GROUP BY p.qid, p.a, p.b, na.nrm, nb.nrm),
+       |s1 AS (SELECT qid, doc_id AS s1, 7 * rel_u AS m1 FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY rel_u DESC, doc_id) AS rk
+       |    FROM cands) WHERE rk = 1),
+       |c2 AS (SELECT c.qid, c.doc_id, 7 * c.rel_u - 3 * p.cos_u AS mmr_u
+       |       FROM cands c
+       |       JOIN s1 ON s1.qid = c.qid AND c.doc_id <> s1.s1
+       |       JOIN pc p ON p.qid = c.qid AND p.a = c.doc_id AND p.b = s1.s1),
+       |s2 AS (SELECT qid, doc_id AS s2, mmr_u AS m2 FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY mmr_u DESC, doc_id) AS rk
+       |    FROM c2) WHERE rk = 1),
+       |c3 AS (SELECT c.qid, c.doc_id,
+       |              7 * c.rel_u - 3 * GREATEST(p1.cos_u, p2.cos_u) AS mmr_u
+       |       FROM cands c
+       |       JOIN s1 ON s1.qid = c.qid
+       |       JOIN s2 ON s2.qid = c.qid
+       |       JOIN pc p1 ON p1.qid = c.qid AND p1.a = c.doc_id AND p1.b = s1.s1
+       |       JOIN pc p2 ON p2.qid = c.qid AND p2.a = c.doc_id AND p2.b = s2.s2
+       |       WHERE c.doc_id <> s1.s1 AND c.doc_id <> s2.s2),
+       |s3 AS (SELECT qid, doc_id AS s3, mmr_u AS m3 FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY mmr_u DESC, doc_id) AS rk
+       |    FROM c3) WHERE rk = 1)
+       |SELECT qid, s1 AS doc_id, CAST(1 AS INT) AS pick, m1 AS mmr_u FROM s1
+       |UNION ALL SELECT qid, s2, CAST(2 AS INT), m2 FROM s2
+       |UNION ALL SELECT qid, s3, CAST(3 AS INT), m3 FROM s3""".stripMargin
+
   override val queries: Seq[GQuery] = Seq(
+    GQuery("q209_mmr_rerank",
+      "MMR diversity rerank: greedy relevance-vs-redundancy picks over the BM25 top-6 with integer micro scores, 3 unrolled steps",
+      mmrRerank, Some(mmrRerankSql)),
     GQuery("q193_hybrid_rrf",
       "hybrid retrieval: BM25 lexical + persisted-IVF vector rankers (fixed probe budget) fused by integer reciprocal-rank fusion",
       hybridRrf, Some(hybridRrfSql)),

@@ -143,6 +143,29 @@ class SearchSpec extends AnyFunSuite {
     } finally s.conf.unset("spark.graft.hybrid.probes")
   }
 
+  test("MMR rerank: greedy invariants — distinct picks, non-increasing scores") {
+    val out = Search.mmrRerank(s, TestSpark.sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3)))
+    assert(out.nonEmpty)
+    out.groupBy(_._1).foreach { case (q, rows) =>
+      val byPick = rows.sortBy(_._3)
+      // one row per pick, no doc picked twice
+      assert(byPick.map(_._3).toSeq == (1 to byPick.length), s"qid $q picks: $byPick")
+      assert(byPick.map(_._2).distinct.length == byPick.length, s"qid $q repeated a doc")
+      // greedy monotonicity: each later pick's MMR score cannot exceed an
+      // earlier one's (the candidate pool only shrinks and the redundancy
+      // penalty only grows)
+      byPick.sliding(2).foreach { case Array(a, b) =>
+        assert(b._4 <= a._4, s"qid $q: pick ${b._3} score ${b._4} > pick ${a._3} score ${a._4}")
+      case _ => ()
+      }
+      // pick 1 carries the pure-relevance score of the rank-1 candidate
+      assert(byPick.head._4 == 3500000L, s"qid $q pick-1 score ${byPick.head._4}")
+    }
+    assert(out.groupBy(_._1).values.exists(_.length == 3),
+      "at least one query must fill all three context slots")
+  }
+
   test("prefix set join finds injected exact-copy pairs, equi-join only") {
     val df = Search.prefixSetJoin(s, TestSpark.sf).cache()
     val plan = df.queryExecution.executedPlan.toString
