@@ -99,6 +99,10 @@ object PlanFingerprint {
     "q200_ivfpq_probe",
     "q202_l2_knn",
     "q204_pq_screen",
+    "q206_k_anonymity",
+    "q207_embedding_curation",
+    "q208_pq_refresh_seq",
+    "q209_mmr_rerank",
   )
 
   /** Structural counts of the STEADY-STATE initial plan.

@@ -70,6 +70,8 @@ object ScaleRung {
     "q199_pq_adc",
     "q200_ivfpq_probe",
     "q204_pq_screen",
+    "q207_embedding_curation",
+    "q208_pq_refresh_seq",
     "q134_stream_screen",
     "q144_stream_vec_screen",
     "q177_stream_search",
