@@ -183,13 +183,19 @@ object ScaleRung {
     val evDest = java.nio.file.Paths.get(rungDir, "events.parquet")
     def rmTree(p: java.nio.file.Path): Unit =
       if (java.nio.file.Files.exists(p, java.nio.file.LinkOption.NOFOLLOW_LINKS)) {
-        if (java.nio.file.Files.isDirectory(p, java.nio.file.LinkOption.NOFOLLOW_LINKS))
-          java.nio.file.Files.list(p).forEach(c => rmTree(c))
+        if (java.nio.file.Files.isDirectory(p, java.nio.file.LinkOption.NOFOLLOW_LINKS)) {
+          // Files.list streams hold an open directory fd until closed
+          val st = java.nio.file.Files.list(p)
+          try st.forEach(c => rmTree(c)) finally st.close()
+        }
         java.nio.file.Files.delete(p)
       }
     rmTree(evDest)
-    val part = java.nio.file.Files.list(evTmp).filter(_.toString.endsWith(".parquet"))
-      .findFirst().orElseThrow(() => new IllegalStateException("no events part file"))
+    val partSt = java.nio.file.Files.list(evTmp)
+    val part =
+      try partSt.filter(_.toString.endsWith(".parquet")).findFirst()
+        .orElseThrow(() => new IllegalStateException("no events part file"))
+      finally partSt.close()
     java.nio.file.Files.move(part, evDest)
     rmTree(evTmp)
 
@@ -238,9 +244,11 @@ object ScaleRung {
     // a single row without paying the full sweep); crossover runs only
     // on full sweeps
     val names = if (args.nonEmpty) measured.filter(args.toSet) else measured
-    val streamingNames = Set("q134_stream_screen", "q144_stream_vec_screen",
-      "q177_stream_search", "q182_stream_sessions")
-    val (streamNames, batchNames) = names.partition(streamingNames)
+    // derived from the naming convention, not a second hand-kept list: a
+    // future streaming rig added to `measured` is auto-partitioned into
+    // the streaming block (whose teardown bleed the batch rows must not
+    // absorb) instead of silently contaminating the batch sweep
+    val (streamNames, batchNames) = names.partition(_.contains("_stream_"))
 
     val results = scala.collection.mutable.LinkedHashMap[String, Map[String, Any]]()
     def runBlock(dir: String, block: Seq[String]): Unit = block.foreach { name =>
@@ -289,6 +297,12 @@ object ScaleRung {
       val fn = SparkEntry.queries(name)
       var bestSec = Double.MaxValue
       (1 to runs).foreach { _ =>
+        // same settle protocol as runBlock: every run here FOLLOWS a
+        // streaming teardown (the previous crossover run's), whose ~0.4 s
+        // bleed would otherwise swamp the sub-0.1 s provider deltas at
+        // sf0.1 — the contamination the batch/stream split shields the
+        // main sweep from must not leak into the crossover rows either
+        Thread.sleep(3000)
         val t0 = System.nanoTime()
         fn(spark, dir).write.format("noop").mode("overwrite").save()
         val sec = (System.nanoTime() - t0) / 1e9

@@ -876,27 +876,41 @@ object Search extends QueryModule {
     val w = org.apache.spark.sql.expressions.Window
     val embCount = table(s, dir, "embeddings").count()
     val wl = w.partitionBy(col("qid")).orderBy(col("score").desc, col("doc_id"))
-    val cands = bm25Scores(s, dir, searchIndex(s, dir))
-      .filter(col("qid") < embCount && col("qid") < 800 && col("doc_id") < embCount)
-      .withColumn("r", row_number().over(wl)).filter(col("r") <= 6)
-      .withColumn("rel_u", expr("1000000 div (1 + r)"))
-      .select(col("qid"), col("doc_id"), col("rel_u"))
-    val dotE = expr(
-      "aggregate(zip_with(qemb, vemb, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), " +
-        "CAST(0.0 AS DOUBLE), (acc, p) -> acc + p)")
-    val emb = table(s, dir, "embeddings")
-      .select(col("vec_id"), col("embedding"),
-        expr("sqrt(graft_dot(embedding, embedding))").as("nrm"))
-    val ea = emb.join(broadcast(cands.select(col("qid"), col("doc_id").as("a"))),
-        col("vec_id") === col("a"))
-      .select(col("qid"), col("a"), col("embedding").as("qemb"), col("nrm").as("na"))
-    val eb = emb.join(broadcast(cands.select(col("qid").as("q2"), col("doc_id").as("b"))),
-        col("vec_id") === col("b"))
-      .select(col("q2"), col("b"), col("embedding").as("vemb"), col("nrm").as("nb"))
-    val pc = ea.join(eb, col("qid") === col("q2") && col("a") =!= col("b"))
-      .withColumn("cos_u",
-        round(dotE / (col("na") * col("nb")) * 1000000).cast("long"))
-      .select(col("qid"), col("a"), col("b"), col("cos_u"))
+    // the candidate frame (<= 16 queries x 6 docs) and its pairwise
+    // cosine frame (<= 6x6 per query) are referenced by SEVEN greedy-step
+    // branches below — without truncation every branch re-runs the full
+    // BM25 scoring + ranking and the embedding fetch. Session-cache the
+    // two checkpointed substrates (the bm25Scores pattern; eviction
+    // unpersists the blocks) so the expensive derivations run once per
+    // (session, corpus) and the registered plan stays the real selection
+    // dataflow over cached scans.
+    val (cands, pc) = graft.SessionCache.cachedValue[(DataFrame, DataFrame)](
+      s, s"search:mmr:$dir")({
+      val cands = bm25Scores(s, dir, searchIndex(s, dir))
+        .filter(col("qid") < embCount && col("qid") < 800 && col("doc_id") < embCount)
+        .withColumn("r", row_number().over(wl)).filter(col("r") <= 6)
+        .withColumn("rel_u", expr("1000000 div (1 + r)"))
+        .select(col("qid"), col("doc_id"), col("rel_u"))
+        .localCheckpoint(true)
+      val dotE = expr(
+        "aggregate(zip_with(qemb, vemb, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), " +
+          "CAST(0.0 AS DOUBLE), (acc, p) -> acc + p)")
+      val emb = table(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding"),
+          expr("sqrt(graft_dot(embedding, embedding))").as("nrm"))
+      val ea = emb.join(broadcast(cands.select(col("qid"), col("doc_id").as("a"))),
+          col("vec_id") === col("a"))
+        .select(col("qid"), col("a"), col("embedding").as("qemb"), col("nrm").as("na"))
+      val eb = emb.join(broadcast(cands.select(col("qid").as("q2"), col("doc_id").as("b"))),
+          col("vec_id") === col("b"))
+        .select(col("q2"), col("b"), col("embedding").as("vemb"), col("nrm").as("nb"))
+      val pc = ea.join(eb, col("qid") === col("q2") && col("a") =!= col("b"))
+        .withColumn("cos_u",
+          round(dotE / (col("na") * col("nb")) * 1000000).cast("long"))
+        .select(col("qid"), col("a"), col("b"), col("cos_u"))
+        .localCheckpoint(true)
+      (cands, pc)
+    })({ case (a, b) => a.unpersist(); b.unpersist(); () })
     val s1 = cands
       .withColumn("rk", row_number().over(
         w.partitionBy(col("qid")).orderBy(col("rel_u").desc, col("doc_id"))))

@@ -1054,7 +1054,9 @@ object Similarity extends QueryModule {
   /** Coarse-assign a (vec_id, embedding) batch to its nearest STORED IVF
     * centroid by cosine argmax (the metric the index was built with) —
     * the shared first step of ADC screening (q204/q205) and the
-    * sequential PQ refresh (q208). Returns (vec_id, cid, vemb). */
+    * sequential PQ refresh (q208) — and of the q195 IVF segment
+    * appends, so the index-property-critical metric and tie-break live
+    * in exactly one place. Returns (vec_id, cid, vemb, nrm). */
   private[graft] def coarseAssign(cents: DataFrame, batch: DataFrame): DataFrame = {
     val b = withNorm(batch.select(col("vec_id"), col("embedding")))
     val bc = b.select(col("vec_id"), col("embedding").as("vemb"), col("nrm"))
@@ -1062,7 +1064,7 @@ object Similarity extends QueryModule {
       .withColumn("cosim0", dotExpr / (col("nc") * col("nrm")))
     val wa = Window.partitionBy(col("vec_id")).orderBy(col("cosim0").desc, col("cid"))
     bc.withColumn("rn", row_number().over(wa)).filter(col("rn") === 1)
-      .select(col("vec_id"), col("cid"), col("vemb"))
+      .select(col("vec_id"), col("cid"), col("vemb"), col("nrm"))
   }
 
   private[graft] def pqScreenBatch(s: SparkSession, dir: String, batch: DataFrame): DataFrame = {
@@ -1635,7 +1637,6 @@ object Similarity extends QueryModule {
         graft.sources.IndexStore.sourceStamp(s, Seq(s"$dir/embeddings.parquet"))
       if (!graft.sources.IndexStore.isCurrent(s, path, stamp)) {
         val (cents, assign) = corpusIvfIndex(s, dir)
-        val c = cents.select(col("cid"), col("embedding").as("qemb"), col("nc"))
         graft.sources.IndexStore.write(s, path, stamp + "|building", Seq(
           "assign" -> assign
             .select(col("cid"), col("vec_id"), col("embedding"), col("nrm"),
@@ -1654,12 +1655,7 @@ object Similarity extends QueryModule {
               .select((col("vec_id") + 300000L).as("vec_id"),
                 expr("transform(embedding, x -> CAST(-x AS FLOAT))").as("embedding"))))
         batches.foreach { case (segId, b) =>
-          val bn = withNorm(b).withColumnRenamed("embedding", "vemb")
-          val acos = bn.join(broadcast(c))
-            .withColumn("cosim0", dotExpr / (col("nc") * col("nrm")))
-          val wa = Window.partitionBy(col("vec_id")).orderBy(col("cosim0").desc, col("cid"))
-          val bAssign = acos.withColumn("rn", row_number().over(wa))
-            .filter(col("rn") === 1)
+          val bAssign = coarseAssign(cents, b)
             .select(col("cid"), col("vec_id"), col("vemb").as("embedding"),
               col("nrm"), lit(segId).as("seg"))
           graft.sources.IndexStore.append(s, path, "assign",
@@ -2569,7 +2565,7 @@ object Similarity extends QueryModule {
       "ANN quality gate: recall@3 of the persisted-IVF probe vs the exact brute-force top-3, per probe",
       annRecall, Some(annRecallSql)),
     GQuery("q198_pq_codes",
-      "product-quantization encoding (8x8-dim subspaces, 16 codewords each) served from the persisted PQ index",
+      "product-quantization encoding (8x8-dim subspaces, ~64 Lloyd-refined codewords each) served from the persisted PQ index",
       pqEncode, Some(pqEncodeSql)),
     GQuery("q199_pq_adc",
       "ADC top-3: probes score the corpus from its PQ codes only (32x fewer bytes than the raw-vector baseline)",

@@ -267,17 +267,19 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(ranks.zip(ranks.tail).forall { case (a, b) => a >= b })
     // mass conservation up to integer truncation: per iteration,
     // `r div deg` loses < 1 femto per src node but that loss is carried
-    // by each of its deg out-edges (< E total), and `(85*csum) div 100`
-    // loses < 1 per dst node (< N); the initial 10^15 div N seeding
-    // loses < N. With bidirectional edges nothing dangles, so over 3
-    // iterations: 10^15 - mass < 3*(E+N) + N. If an iteration dropped
-    // or double-counted a node the error would be ~10^15/N instead.
+    // by each of its deg out-edges (< E total), `(85*csum) div 100`
+    // loses < 1 per dst node (< N), and the teleport base
+    // `(1-d)*10^15 div N` re-added to every node under-pays its exact
+    // share by < 1 femto per node (< N more); the initial 10^15 div N
+    // seeding loses < N. With bidirectional edges nothing dangles, so
+    // over 3 iterations: 10^15 - mass < 3*(E+2N) + N. If an iteration
+    // dropped or double-counted a node the error would be ~10^15/N.
     val full = Analytics.pageRankRanks(s, TestSpark.sf)
     val mass = full.agg(sum(col("r"))).collect()(0).getLong(0)
     val nodes = full.count()
     val nEdges = Analytics.tradeGraph(s, TestSpark.sf)._1.count()
     assert(mass <= 1000000000000000L, s"mass grew: $mass")
-    assert(mass > 1000000000000000L - (3L * (nEdges + nodes) + nodes),
+    assert(mass > 1000000000000000L - (3L * (nEdges + 2 * nodes) + nodes),
       s"mass lost beyond truncation bound: $mass (E=$nEdges N=$nodes)")
   }
 
