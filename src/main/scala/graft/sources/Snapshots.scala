@@ -227,12 +227,30 @@ object Snapshots {
       val metaLines = meta.toSeq.sorted.map { case (k, w) => s"#$k=$w" }
       val body = metaLines ++ buildLines(v) :+ Eof // terminator = commit record
       try {
-        val out = fs.create(mp, false) // exclusive: the optimistic lock
-        try out.write(body.mkString("\n").getBytes("UTF-8"))
-        finally out.close()
+        val uri = mp.toUri
+        if (uri.getScheme == null || uri.getScheme == "file") {
+          // LOCAL fs: Hadoop's create(path, overwrite=false) is a
+          // non-atomic exists-check-then-create — two racing committers
+          // can both pass the check and both "win" the same version (the
+          // second truncating the first). Claim the version with POSIX
+          // O_CREAT|O_EXCL instead (atomic create-new), then write the
+          // body into the claimed file; latestVersion counts manifests by
+          // NAME, so a claimed-but-unwritten file already advances racers
+          // to v+1, and the #eof terminator keeps readers off it until
+          // the write lands (the crashed-publisher semantics, unchanged).
+          val np = java.nio.file.Paths.get(uri.getPath)
+          java.nio.file.Files.createFile(np) // atomic optimistic lock
+          java.nio.file.Files.write(np, body.mkString("\n").getBytes("UTF-8"))
+        } else {
+          val out = fs.create(mp, false) // HDFS: exclusive create IS atomic
+          try out.write(body.mkString("\n").getBytes("UTF-8"))
+          finally out.close()
+        }
         return v
       } catch {
-        case _: java.io.IOException => // lost the race: retry on the winner
+        // FileAlreadyExistsException is an IOException: lost the race —
+        // retry on top of the winner
+        case _: java.io.IOException =>
           attempt += 1
           require(attempt < 100, s"snapshot commit: $attempt failed attempts at $dir")
       }
