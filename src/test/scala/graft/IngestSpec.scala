@@ -518,17 +518,24 @@ class IngestSpec extends AnyFunSuite {
     val h = Snapshots.history(s, lake).collect()
     assert(h.map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L))
     assert(h.last.getAs[Map[String, String]](3) == Map("delete" -> "true"))
-    // four RACING commits (real threads, same base): all land, linearized
+    // RACING commits (real threads, same base): all land, linearized.
+    // Three rounds of four — a single round once slipped through the
+    // pre-fix non-atomic local-fs create (two commits both landed v4),
+    // so the stress is repeated to keep the atomic-claim contract
+    // regression-visible
     import scala.concurrent.{Await, Future}
     import scala.concurrent.duration._
     import scala.concurrent.ExecutionContext.Implicits.global
-    val base = Snapshots.latestVersion(s, lake)
-    val landed = Await.result(Future.sequence((1 to 4).map(i => Future {
-      Snapshots.commit(Seq((100L + i, s"r$i")).toDF("k", "v"), lake, append = true)
-    })), 120.seconds)
-    assert(landed.sorted == (base + 1 to base + 4).toSeq,
-      s"racing commits must take consecutive versions, got $landed")
-    assert(Snapshots.read(s, lake).count() == 5, "1 survivor + 4 raced rows")
+    for (round <- 1 to 3) {
+      val base = Snapshots.latestVersion(s, lake)
+      val landed = Await.result(Future.sequence((1 to 4).map(i => Future {
+        Snapshots.commit(Seq((round * 100L + i, s"r$round$i")).toDF("k", "v"),
+          lake, append = true)
+      })), 120.seconds)
+      assert(landed.sorted == (base + 1 to base + 4).toSeq,
+        s"round $round: racing commits must take consecutive versions, got $landed")
+    }
+    assert(Snapshots.read(s, lake).count() == 13, "1 survivor + 3x4 raced rows")
   }
 
   test("layout-preserving compaction: alignment, clustering, and sidecars survive") {
