@@ -1631,6 +1631,30 @@ object Similarity extends QueryModule {
     */
   def ivfRefreshSeq(s: SparkSession, dir: String): DataFrame = {
     tune(s)
+    seqIvfProbe(s, ensureSeqIvf(s, dir), maxSeg = 2)
+  }
+
+  /** q210: the SAME probe AS OF an earlier segment horizon — time travel
+    * for the vector index (the snapshot table's capability applied to
+    * the index store): candidates are restricted to segments <= 1, i.e.
+    * the store as it stood BEFORE batch 2 landed. This is the audit
+    * replay a production retrieval system needs — "reproduce exactly
+    * what yesterday's index returned" — and the tagged segment ids make
+    * it a FILTER, not a restore: the horizon probe runs against the live
+    * store with zero extra state. Visibly different from q195's output
+    * by construction: every probe's cluster contains a segment-2
+    * float-exact 2x copy at cosine 1 that the horizon excludes, so
+    * rank 2/3 shift to older members. Oracled with the same SQL chain,
+    * candidates bounded by the horizon's id range.
+    */
+  def ivfProbeAsOf(s: SparkSession, dir: String): DataFrame = {
+    tune(s)
+    seqIvfProbe(s, ensureSeqIvf(s, dir), maxSeg = 1)
+  }
+
+  /** Build-if-absent the q195/q210 sequential IVF store; returns its
+    * path. */
+  private def ensureSeqIvf(s: SparkSession, dir: String): String = {
     val path = seqIvfPath(dir)
     synchronized {
       val stamp = "seq2|" +
@@ -1665,6 +1689,14 @@ object Similarity extends QueryModule {
         graft.sources.IndexStore.writeStamp(s, path, stamp)
       }
     }
+    path
+  }
+
+  /** The q184-style cluster-cover probe over the sequential store,
+    * candidates bounded by `maxSeg` (2 = the full store, q195; 1 = the
+    * pre-batch-2 horizon, q210). The horizon filter is applied only when
+    * it bites, so the full probe's plan is unchanged. */
+  private def seqIvfProbe(s: SparkSession, path: String, maxSeg: Int): DataFrame = {
     val assign2 = graft.sources.IndexStore.read(s, path, "assign")
     val qa = assign2.filter(col("vec_id") >= 0L && col("vec_id") < 560L &&
         col("vec_id") % 35 === 0)
@@ -1672,7 +1704,9 @@ object Similarity extends QueryModule {
         col("embedding").as("qemb"), col("nrm").as("nq"))
     // driver-side cluster cover (metadata-scale), the q184 pruning pattern
     val probeCids = qa.select(col("cid")).distinct().collect().map(_.getLong(0)).sorted
-    val pcos = assign2.filter(col("cid").isInCollection(probeCids.toSeq))
+    val cand0 = assign2.filter(col("cid").isInCollection(probeCids.toSeq))
+    val cand = if (maxSeg >= 2) cand0 else cand0.filter(col("seg") <= maxSeg)
+    val pcos = cand
       .select(col("vec_id").as("vid"), col("cid"), col("embedding").as("vemb"),
         col("nrm").as("nv"), col("seg"))
       .join(broadcast(qa), Seq("cid"))
@@ -1735,6 +1769,11 @@ object Similarity extends QueryModule {
       |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY round(cosim, 9) DESC, vid) AS INT) AS rn
       |  FROM pcos)
       |WHERE rn <= 3""".stripMargin
+
+  /** q210's oracle: q195's identical chain with candidates bounded by
+    * the pre-batch-2 id range (segments 0 and 1 — the horizon). */
+  private val ivfProbeAsOfSql = ivfRefreshSeqSql
+    .replace("AND v.vec_id <> q.qid)", "AND v.vec_id <> q.qid AND v.vec_id < 200000)")
 
   /** Deterministic random-hyperplane weights, derived from md5 so DuckDB
     * reproduces them bit-for-bit: w(j,pos) = md5_60("j_pos") % 2001 - 1000,
@@ -2594,6 +2633,9 @@ object Similarity extends QueryModule {
     GQuery("q195_ivf_refresh_seq",
       "sequential IVF refresh: two arrival batches appended as tagged segments against stored centroids; probe mixes members of all segments",
       ivfRefreshSeq, Some(ivfRefreshSeqSql)),
+    GQuery("q210_ivf_asof",
+      "as-of probe over the sequential IVF store: candidates bounded by the pre-batch-2 segment horizon — index time travel as a filter, zero extra state",
+      ivfProbeAsOf, Some(ivfProbeAsOfSql)),
     GQuery("q191_ivf_refresh",
       "incremental IVF refresh: O(batch) assignment against STORED centroids into a branch store, probe proves co-residence",
       ivfRefresh, Some(ivfRefreshSql)),

@@ -489,6 +489,26 @@ class SimilaritySpec extends AnyFunSuite {
     assert(out2.map(_.toString).sorted.toSeq == out.map(_.toString).sorted.toSeq)
   }
 
+  test("q210 as-of probe: horizon excludes segment 2, agrees with q195 on shared pairs") {
+    val full = Similarity.ivfRefreshSeq(s, TestSpark.sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getInt(2), r.getDouble(3))).toMap
+    val asof = Similarity.ivfProbeAsOf(s, TestSpark.sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getInt(2), r.getDouble(3))).toMap
+    // the horizon NEVER returns a batch-2 member
+    assert(asof.values.forall(_._1 <= 1), "as-of probe leaked a post-horizon segment")
+    // it genuinely differs: every probe's cluster holds a seg-2 2x copy
+    // at cosine 1 that the full probe ranks and the horizon must drop
+    assert(full.values.exists(_._1 == 2), "q195 must surface seg-2 members")
+    assert(asof.keySet != full.keySet, "horizon must change at least one top-3")
+    // where both probes return the same (qid, vid), the scored cosine is
+    // identical — time travel is a candidate filter, not a recomputation
+    asof.foreach { case (k, (seg, cos)) =>
+      full.get(k).foreach { case (fseg, fcos) =>
+        assert(seg == fseg && cos == fcos, s"pair $k drifted across horizons")
+      }
+    }
+  }
+
   test("fixed-K mode: spark.graft.kmeans.k bounds the centroid count") {
     // unit contract of the modulus itself
     assert(Similarity.centroidModulus(s, 1000000L) == 1000L) // sqrt default
