@@ -72,6 +72,7 @@ object ScaleRung {
     "q204_pq_screen",
     "q207_embedding_curation",
     "q208_pq_refresh_seq",
+    "q210_ivf_asof",
     "q134_stream_screen",
     "q144_stream_vec_screen",
     "q177_stream_search",
