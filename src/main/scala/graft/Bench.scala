@@ -33,6 +33,7 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     Engine.tune(spark)
+    Engine.assertOracleKnobsUnset(spark)
     spark.sparkContext.setLogLevel("WARN")
 
     // untimed warmup: JVM/codegen/session startup should not be billed to
@@ -74,7 +75,7 @@ object Bench {
     // r(N-1) mechanically, plus the target/ copy for dev runs
     try {
       // the tracked artifact records FULL runs only — a dev subset run
-      // must not clobber the committed 181-query map
+      // must not clobber the committed full registered-query map
       val outs = java.nio.file.Paths.get("target", "bench_per_query.json") ::
         (if (args.isEmpty) List(java.nio.file.Paths.get("BENCH_FULL.json")) else Nil)
       for (p <- outs) {

@@ -6,23 +6,43 @@ package graft
   * adjudication threshold PLANS.md uses, sized above this host's
   * documented ±20% contention band so a hit names a real mechanism, not
   * noise. No Spark, no dependencies: `sbt "runMain graft.BenchDiff"`
-  * diffs the frozen previous-round baseline (BENCH_FULL_r10.json)
+  * diffs the frozen previous-round baseline (BENCH_FULL_r11.json)
   * against the current BENCH_FULL.json; pass explicit paths to diff any
   * two rounds. Exit code 2 when regressions trip, so the gate composes
   * into scripts; improvements and added/removed queries are reported for
   * context but never gate.
   */
 object BenchDiff {
+  /** Extracts the `"queries"` map from a BENCH_FULL-format file. The
+    * values in that map are flat numbers by construction (Bench.scala
+    * writes `f"$v%.3f"`), but this parser tolerates whitespace anywhere
+    * and tracks brace depth rather than slicing to the first `}`, so a
+    * future pretty-printed or re-serialized baseline still parses
+    * (ADVICE r11: the indexOf("}") slice silently truncated on any
+    * nested or multi-line value).
+    */
   private[graft] def perQuery(path: String): Map[String, Double] = {
     val txt = new String(
       java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path)), "UTF-8")
-    val marker = "\"queries\":{"
-    val at = txt.indexOf(marker)
+    val at = txt.indexOf("\"queries\"")
     require(at >= 0, s"$path: no \"queries\" map — not a BENCH_FULL-format file")
-    val start = at + marker.length
-    val end = txt.indexOf("}", start)
-    require(end > start, s"$path: unterminated queries map")
-    txt.substring(start, end).split(",").iterator
+    val open = txt.indexOf("{", at)
+    require(open > at, s"$path: \"queries\" key without an object value")
+    var i = open; var depth = 0
+    var end = -1
+    var inStr = false
+    while (end < 0 && i < txt.length) {
+      val c = txt.charAt(i)
+      if (inStr) { if (c == '\\') i += 1 else if (c == '"') inStr = false }
+      else if (c == '"') inStr = true
+      else if (c == '{') depth += 1
+      else if (c == '}') { depth -= 1; if (depth == 0) end = i }
+      i += 1
+    }
+    require(end > open, s"$path: unterminated queries map")
+    val body = txt.substring(open + 1, end).trim
+    if (body.isEmpty) Map.empty
+    else body.split(",").iterator
       .map(_.split(":", 2))
       .collect { case Array(k, v) =>
         k.trim.stripPrefix("\"").stripSuffix("\"") -> v.trim.toDouble }
@@ -30,7 +50,7 @@ object BenchDiff {
   }
 
   def main(args: Array[String]): Unit = {
-    val basePath = args.lift(0).getOrElse("BENCH_FULL_r10.json")
+    val basePath = args.lift(0).getOrElse("BENCH_FULL_r11.json")
     val curPath = args.lift(1).getOrElse("BENCH_FULL.json")
     val base = perQuery(basePath)
     val cur = perQuery(curPath)

@@ -61,6 +61,32 @@ object Engine {
       spark.experimental.extraOptimizations ++= Seq(graft.functions.DotProductRewrite)
   }
 
+  /** Output-affecting deployment knobs. Registered queries' DuckDB
+    * oracles hardcode the defaults, so a knob left set on a shared
+    * session (e.g. a spec failing before its finally-unset) would make
+    * the oracle harness report false mismatches far from the cause
+    * (ADVICE r11). The oracle/bench harness asserts these are unset
+    * before running registered queries; specs that exercise a knob do
+    * so through try/finally-unset blocks or the dedicated
+    * non-registered entry points (kmeansFixedK, semDedupCapped).
+    */
+  private val OutputKnobs = Seq(
+    "spark.graft.kmeans.k",
+    "spark.graft.semdedup.clusterCap",
+    "spark.graft.ivfpq.nprobe",
+    "spark.graft.hybrid.probes",
+    "spark.graft.stateStore.provider")
+
+  /** Fails fast if any output-affecting knob is set on this session —
+    * called by Verify/Bench before the registered-query loop.
+    */
+  def assertOracleKnobsUnset(spark: SparkSession): Unit = {
+    val set = OutputKnobs.filter(k => spark.conf.getOption(k).isDefined)
+    require(set.isEmpty,
+      s"oracle-pinned run with deployment knobs set: ${set.mkString(", ")} — " +
+        "unset them; registered oracles hardcode the defaults")
+  }
+
   /** Load a fixture table. `events.ts` arrives as either LongType
     * epoch-nanos (legacy TIMESTAMP(NANOS) fixtures under nanosAsLong) or
     * TIMESTAMP_NTZ (TIMESTAMP(MICROS) fixtures) — derive micros with

@@ -1771,9 +1771,17 @@ object Similarity extends QueryModule {
       |WHERE rn <= 3""".stripMargin
 
   /** q210's oracle: q195's identical chain with candidates bounded by
-    * the pre-batch-2 id range (segments 0 and 1 — the horizon). */
-  private val ivfProbeAsOfSql = ivfRefreshSeqSql
-    .replace("AND v.vec_id <> q.qid)", "AND v.vec_id <> q.qid AND v.vec_id < 200000)")
+    * the pre-batch-2 id range (segments 0 and 1 — the horizon). The
+    * anchor must exist in the base SQL — if it drifts, the replace would
+    * silently no-op and q210's oracle would become q195's full probe
+    * (ADVICE r11), so the derivation is asserted. */
+  private val ivfProbeAsOfSql = {
+    val asOf = ivfRefreshSeqSql.replace(
+      "AND v.vec_id <> q.qid)", "AND v.vec_id <> q.qid AND v.vec_id < 200000)")
+    require(asOf != ivfRefreshSeqSql,
+      "ivfProbeAsOfSql anchor drifted: horizon bound not applied")
+    asOf
+  }
 
   /** Deterministic random-hyperplane weights, derived from md5 so DuckDB
     * reproduces them bit-for-bit: w(j,pos) = md5_60("j_pos") % 2001 - 1000,

@@ -691,6 +691,11 @@ object TextOps extends QueryModule {
       col("c_nationkey"), col("c_mktsegment"),
       floor(col("c_acctbal") / 1000).cast("long").as("bal_band"))
     val total = c.count()
+    // the level-3 fallback releases at the whole-table cohort; if even
+    // that cannot reach k the contract is unsatisfiable and we must
+    // abstain rather than silently release under-k cohorts (ADVICE r11)
+    require(total >= AnonK,
+      s"k-anonymity unsatisfiable: table has $total rows < k=$AnonK — abstain")
     val l0 = c.groupBy(col("c_nationkey"), col("c_mktsegment"), col("bal_band"))
       .agg(count(lit(1)).as("n0"))
     val l1 = c.groupBy(col("c_nationkey"), col("c_mktsegment"))
