@@ -1201,6 +1201,28 @@ object Similarity extends QueryModule {
     */
   def pqRefreshSeq(s: SparkSession, dir: String): DataFrame = {
     tune(s)
+    seqPqProbe(s, ensureSeqPq(s, dir), dir)
+  }
+
+  /** q212: PQ code-store segment compaction — q211's twin for the q208
+    * store (the two landed together: every segment family now has a
+    * collapse path). Branch, compact to one cid-sorted segment, answer
+    * q208's exact ADC probe from the branch; oracle = q208's chain with
+    * seg pinned 0 / n_segments pinned 1, n_segments audited from the
+    * store.
+    */
+  def pqSeqCompact(s: SparkSession, dir: String): DataFrame = {
+    tune(s)
+    val path = compactedSeqBranch(s, ensureSeqPq(s, dir), "codes",
+      Seq("cid", "vec_id", "j"))
+    val nseg = graft.sources.IndexStore.read(s, path, "codes")
+      .agg(countDistinct(col("seg")).as("n_segments"))
+    seqPqProbe(s, path, dir).crossJoin(broadcast(nseg))
+  }
+
+  /** Build-if-absent the q208/q212 sequential PQ code store; returns its
+    * path. */
+  private def ensureSeqPq(s: SparkSession, dir: String): String = {
     val path = seqPqPath(dir)
     synchronized {
       val stamp = "pqseq1|" +
@@ -1237,6 +1259,13 @@ object Similarity extends QueryModule {
         graft.sources.IndexStore.writeStamp(s, path, stamp)
       }
     }
+    path
+  }
+
+  /** The ADC cluster-cover probe over a sequential PQ code store (q208
+    * full store, q212 compacted branch): base multiples of 35 scored
+    * against the probed clusters' code bytes, top-3 with segment. */
+  private def seqPqProbe(s: SparkSession, path: String, dir: String): DataFrame = {
     val codes2 = graft.sources.IndexStore.read(s, path, "codes")
     val (cents, _) = corpusIvfIndex(s, dir)
     val (cb, _) = corpusPqIndex(s, dir)
@@ -1325,6 +1354,12 @@ object Similarity extends QueryModule {
        |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY round(adc0, 9), vid) AS INT) AS rn
        |  FROM padc)
        |WHERE rn <= 3""".stripMargin
+
+  /** q212's oracle: q208's identical chain with seg pinned to 0 and
+    * n_segments pinned to 1 — what a lossless compaction must serve. */
+  private val pqSeqCompactSql = sqlReplaced(pqRefreshSeqSql,
+    "SELECT qid, vid, seg, round(adc0, 9) AS adc, rn FROM (",
+    "SELECT qid, vid, CAST(0 AS INT) AS seg, CAST(1 AS BIGINT) AS n_segments, round(adc0, 9) AS adc, rn FROM (")
 
   /** q202: brute-force exact L2 top-5 — the Euclidean twin of q64's
     * cosine baseline and the comparator the PQ family is graded against
@@ -1720,6 +1755,81 @@ object Similarity extends QueryModule {
         round(col("cosim0"), 9).as("cosim"), col("rn"))
   }
 
+  /** Derive an oracle by string surgery with a drift guard: the anchor
+    * MUST occur in the base SQL or the derivation silently degrades to
+    * the base query (ADVICE r11's failure mode). */
+  private def sqlReplaced(base: String, anchor: String, repl: String): String = {
+    require(base.contains(anchor), s"oracle derivation anchor drifted: $anchor")
+    base.replace(anchor, repl)
+  }
+
+  /** Public API: compact a sequential tagged-segment store table in
+    * place — [[compactVecIndex]] / [[graft.operators.Search.compactSearchIndex]]'s
+    * twin for the q195/q210 IVF store and the q208 PQ code store, the
+    * maintenance op an append-forever segment refresh eventually needs
+    * (VERDICT r11 item 2). All segments collapse into segment 0 and the
+    * rows land in FRESH cid-range-sorted files, restoring the parquet
+    * min/max pruning that many small appends erode (each append writes
+    * its own files, so a probe's cid range matches a file per segment
+    * instead of one). Content is untouched — segment ids are provenance,
+    * not data — so any probe over the compacted store returns exactly
+    * the pre-compact rows (q211/q212 pin this against the SAME oracle
+    * chain as q195/q208 with seg pinned to 0). Stamp and meta preserved;
+    * readers mid-compact see old or new, never a mix (write's
+    * stage-then-swap). NOTE: compaction deliberately forfeits as-of
+    * horizon reads (q210) below the compaction point — the same trade a
+    * snapshot table's expire/vacuum makes; compact once horizons older
+    * than the retention window are no longer served.
+    */
+  def compactSeqSegments(s: SparkSession, path: String, tbl: String,
+      sortCols: Seq[String]): Unit = {
+    val stamp = graft.sources.IndexStore.readStamp(s, path).getOrElse("manual")
+    val meta = graft.sources.IndexStore.readMeta(s, path)
+    // localCheckpoint first: the rewrite reads the very files it replaces
+    val rows = graft.sources.IndexStore.read(s, path, tbl)
+      .withColumn("seg", lit(0)).localCheckpoint()
+    graft.sources.IndexStore.write(s, path, stamp, Seq(
+      tbl -> rows.repartitionByRange(col("cid"), col("vec_id"))
+        .sortWithinPartitions(sortCols.map(col): _*)), meta)
+  }
+
+  /** Branch-if-stale the sequential store at `src` to `src_cpt` and
+    * compact the branch (every call — compaction cost is what the
+    * registered query measures, the q178 discipline). The primary store
+    * stays intact, segments and all, so q195/q210 keep their horizons. */
+  private def compactedSeqBranch(s: SparkSession, src: String, tbl: String,
+      sortCols: Seq[String]): String = {
+    val path = src + "_cpt"
+    synchronized {
+      val stamp = graft.sources.IndexStore.readStamp(s, src).getOrElse(
+        throw new IllegalStateException(s"sequential store at $src has no stamp"))
+      if (!graft.sources.IndexStore.isCurrent(s, path, stamp))
+        graft.sources.IndexStore.copy(s, src, path)
+      compactSeqSegments(s, path, tbl, sortCols)
+    }
+    path
+  }
+
+  /** q211: sequential-IVF segment compaction, audited end-to-end — the
+    * q178 rig applied to the vector store: build the 3-segment q195
+    * store, BRANCH it, compact the branch to one cid-sorted segment, and
+    * answer q195's exact probe from the compacted branch. The oracle is
+    * q195's identical SQL chain with seg pinned to 0 and n_segments
+    * pinned to 1: a compaction that lost or duplicated an assignment row
+    * changes some probe's top-3 (cosim/rn hash-mismatch); one that
+    * failed to collapse segments fails on seg/n_segments. n_segments is
+    * audited from the STORE (countDistinct over the compacted table),
+    * not assumed.
+    */
+  def ivfSeqCompact(s: SparkSession, dir: String): DataFrame = {
+    tune(s)
+    val path = compactedSeqBranch(s, ensureSeqIvf(s, dir), "assign",
+      Seq("cid", "vec_id"))
+    val nseg = graft.sources.IndexStore.read(s, path, "assign")
+      .agg(countDistinct(col("seg")).as("n_segments"))
+    seqIvfProbe(s, path, maxSeg = 2).crossJoin(broadcast(nseg))
+  }
+
   private val ivfRefreshSeqSql =
     """WITH flat0 AS (
       |  SELECT vec_id, i AS pos, CAST(embedding[i] AS DOUBLE) AS xd
@@ -1769,6 +1879,12 @@ object Similarity extends QueryModule {
       |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY round(cosim, 9) DESC, vid) AS INT) AS rn
       |  FROM pcos)
       |WHERE rn <= 3""".stripMargin
+
+  /** q211's oracle: q195's identical chain with seg pinned to 0 and
+    * n_segments pinned to 1 — what a lossless compaction must serve. */
+  private val ivfSeqCompactSql = sqlReplaced(ivfRefreshSeqSql,
+    "CAST(CASE WHEN vid >= 200000 THEN 2 WHEN vid >= 100000 THEN 1 ELSE 0 END AS INT) AS seg",
+    "CAST(0 AS INT) AS seg, CAST(1 AS BIGINT) AS n_segments")
 
   /** q210's oracle: q195's identical chain with candidates bounded by
     * the pre-batch-2 id range (segments 0 and 1 — the horizon). The
@@ -2644,6 +2760,12 @@ object Similarity extends QueryModule {
     GQuery("q210_ivf_asof",
       "as-of probe over the sequential IVF store: candidates bounded by the pre-batch-2 segment horizon — index time travel as a filter, zero extra state",
       ivfProbeAsOf, Some(ivfProbeAsOfSql)),
+    GQuery("q211_ivf_seq_compact",
+      "sequential-IVF segment compaction: branch, collapse to one cid-sorted segment, q195's exact probe from the compacted branch",
+      ivfSeqCompact, Some(ivfSeqCompactSql)),
+    GQuery("q212_pq_seq_compact",
+      "PQ code-store segment compaction: branch, collapse to one cid-sorted segment, q208's exact ADC probe from the compacted branch",
+      pqSeqCompact, Some(pqSeqCompactSql)),
     GQuery("q191_ivf_refresh",
       "incremental IVF refresh: O(batch) assignment against STORED centroids into a branch store, probe proves co-residence",
       ivfRefresh, Some(ivfRefreshSql)),

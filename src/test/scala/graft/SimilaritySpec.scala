@@ -509,6 +509,38 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("q211/q212 compaction: one segment, one file set, probe-identical results") {
+    import org.apache.spark.sql.functions.{col, countDistinct, input_file_name}
+    // IVF side: probe rows (qid, vid, cosim, rn) equal q195's exactly
+    val full = Similarity.ivfRefreshSeq(s, TestSpark.sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(3), r.getInt(4))).sorted.toSeq
+    val cpt = Similarity.ivfSeqCompact(s, TestSpark.sf).collect()
+    assert(cpt.forall(_.getInt(2) == 0), "compacted store must serve seg 0 only")
+    assert(cpt.forall(_.getLong(5) == 1L), "n_segments must audit to 1")
+    val cptKeys = cpt
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(3), r.getInt(4))).sorted.toSeq
+    assert(cptKeys == full, "compaction changed a probe result")
+    // the compacted branch holds STRICTLY FEWER files than the appended
+    // primary — the min/max-pruning erosion the compaction exists to fix
+    def nFiles(path: String, tbl: String): Long =
+      graft.sources.IndexStore.read(s, path, tbl)
+        .select(input_file_name().as("f")).agg(countDistinct(col("f"))).head.getLong(0)
+    val src = Similarity.seqIvfPath(TestSpark.sf)
+    assert(nFiles(src + "_cpt", "assign") < nFiles(src, "assign"),
+      "compaction must collapse the per-append file sets")
+    // PQ side: same contract vs q208
+    val pfull = Similarity.pqRefreshSeq(s, TestSpark.sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(3), r.getInt(4))).sorted.toSeq
+    val pcpt = Similarity.pqSeqCompact(s, TestSpark.sf).collect()
+    assert(pcpt.forall(_.getInt(2) == 0) && pcpt.forall(_.getLong(5) == 1L))
+    assert(pcpt.map(r => (r.getLong(0), r.getLong(1), r.getDouble(3), r.getInt(4)))
+      .sorted.toSeq == pfull, "PQ compaction changed a probe result")
+    // the primary stores keep their segments — compaction ran on a branch
+    val segs = graft.sources.IndexStore.read(s, src, "assign")
+      .select(col("seg")).distinct().collect().map(_.getInt(0)).toSet
+    assert(segs == Set(0, 1, 2), "compaction must not touch the primary store")
+  }
+
   test("fixed-K mode: spark.graft.kmeans.k bounds the centroid count") {
     // unit contract of the modulus itself
     assert(Similarity.centroidModulus(s, 1000000L) == 1000L) // sqrt default
