@@ -1472,6 +1472,146 @@ object Dedup extends QueryModule {
        |SELECT * FROM s1 UNION ALL SELECT * FROM s2""".stripMargin
   }
 
+  private[graft] def seqDedupPath(dir: String): String =
+    "target/graft_index/dedupsq_" + dir.replaceAll("[^A-Za-z0-9.]+", "_")
+
+  /** q213: as-of screening over a SEGMENT-TAGGED dedup store — the q210
+    * audit story ("reproduce yesterday's decision") for the MinHash
+    * family (VERDICT r11 item 3). The store is the q143 loop state made
+    * time-travelable: segment 0 is the frozen corpus index
+    * (content-identical to q131's), segment 1 is the signatures of what
+    * batch 1 ACCEPTED (the refresh). Batch 2 — byte copies of batch 1 —
+    * is then screened TWICE: at horizon `full` (segments 0+1, exactly
+    * q143's post-refresh decision: copies of accepted docs now reject
+    * `exact`) and at horizon `asof0` (segment 0 only — the index as it
+    * stood BEFORE the refresh, so every copy re-classifies exactly as
+    * its batch-1 original did: yesterday's decision, reproduced). The
+    * horizon is a pushed-down FILTER on the stored `seg` column — at
+    * scale parquet min/max stats prune whole appended segment files, and
+    * no restore or rebuild of any kind happens. Crash model and probe
+    * math are the standard screen's; both horizons are re-derived from
+    * scratch by the oracle.
+    */
+  def dedupScreenAsOf(s: SparkSession, dir: String): DataFrame = {
+    tune(s)
+    val path = seqDedupPath(dir)
+    val b1 = augmentedDocs(s, dir)
+      .filter(col("doc_id") >= 100000L && col("doc_id") < 200000L)
+    synchronized {
+      val stamp = "dsq1|" +
+        graft.sources.IndexStore.sourceStamp(s, Seq(s"$dir/documents.parquet"))
+      if (!graft.sources.IndexStore.isCurrent(s, path, stamp)) {
+        val idx = corpusIndex(s, dir)
+        // batch 1's decisions, frozen before anything derives from them
+        val d1 = screenBatch(idx, b1).localCheckpoint()
+        val accepted1 = b1.join(
+          d1.filter(col("decision") === "accept").select(col("doc_id")), "doc_id")
+        val add = buildIndex(accepted1.localCheckpoint())
+        val sigs1 = add.sigs.localCheckpoint()
+        graft.sources.IndexStore.write(s, path, stamp + "|building", Seq(
+          "digests" -> idx.digests.withColumn("seg", lit(0)),
+          "sigs" -> idx.sigs.withColumn("seg", lit(0)),
+          "bands" -> idx.bands.withColumn("seg", lit(0))))
+        graft.sources.IndexStore.inParallel(Seq(
+          () => graft.sources.IndexStore.append(s, path, "digests",
+            add.digests.withColumn("seg", lit(1))),
+          () => graft.sources.IndexStore.append(s, path, "sigs",
+            sigs1.withColumn("seg", lit(1))),
+          () => graft.sources.IndexStore.append(s, path, "bands",
+            capBuckets(bandRows(sigs1), Seq("band", "bk"), BandCap)
+              .withColumn("seg", lit(1)))))
+        graft.sources.IndexStore.writeStamp(s, path, stamp)
+      }
+    }
+    val b2 = b1.select((col("doc_id") + 300000L).as("doc_id"), col("text"), col("lang"))
+    def at(h: Int): DedupIndex = {
+      def rd(t: String) = graft.sources.IndexStore.read(s, path, t)
+        .filter(col("seg") <= h).drop("seg")
+      DedupIndex(rd("digests"), rd("sigs"), rd("bands"))
+    }
+    screenSummary(screenBatch(at(1), b2), b2).withColumn("horizon", lit("full"))
+      .unionByName(
+        screenSummary(screenBatch(at(0), b2), b2).withColumn("horizon", lit("asof0")))
+      .select(col("horizon"), col("lang"), col("n_new"),
+        col("n_rej_exact"), col("n_rej_near"), col("n_accept"))
+  }
+
+  /** q213's oracle: the full horizon is screenLoopSql's stage-2 screen
+    * verbatim; the as-of horizon screens the same batch against the
+    * corpus-only index (what stage 1 screened against). */
+  private val dedupScreenAsOfSql = {
+    val sim = (0 until 16).map(j => s"CASE WHEN a.m$j = b.m$j THEN 1 ELSE 0 END").mkString(" + ")
+    s"""WITH $augmentedDocsSql,
+       |corpus AS (SELECT * FROM docs WHERE doc_id < 100000),
+       |newb1 AS (SELECT * FROM docs WHERE doc_id >= 100000 AND doc_id < 200000),
+       |newb2 AS (SELECT doc_id + 300000 AS doc_id, text, lang FROM newb1),
+       |rep_cor AS (SELECT MIN(doc_id) AS doc_id, text FROM corpus GROUP BY text),
+       |rep_n1 AS (SELECT MIN(doc_id) AS doc_id, text FROM newb1 GROUP BY text),
+       |rep_n2 AS (SELECT MIN(doc_id) AS doc_id, text FROM newb2 GROUP BY text),
+       |${sideSigsSql("cor")},
+       |${sideSigsSql("n1")},
+       |${sideSigsSql("n2")},
+       |cand1 AS (
+       |  SELECT DISTINCT n.doc_id AS nid, c.doc_id AS cid
+       |  FROM bands_n1 n JOIN bands_cor c ON n.band = c.band AND n.bk = c.bk),
+       |near1 AS (
+       |  SELECT DISTINCT nid FROM cand1
+       |  JOIN sigs_n1 a ON a.doc_id = nid
+       |  JOIN sigs_cor b ON b.doc_id = cid
+       |  WHERE ($sim) / 16.0 >= 0.5),
+       |exact1 AS (SELECT doc_id AS nid FROM rep_n1 WHERE text IN (SELECT text FROM corpus)),
+       |acc1 AS (SELECT doc_id, text FROM rep_n1
+       |         WHERE doc_id NOT IN (SELECT nid FROM exact1)
+       |           AND doc_id NOT IN (SELECT nid FROM near1)),
+       |idx_sigs AS (SELECT * FROM sigs_cor
+       |             UNION ALL
+       |             SELECT s.* FROM sigs_n1 s JOIN acc1 ON acc1.doc_id = s.doc_id),
+       |idx_bands AS (SELECT * FROM bands_cor
+       |              UNION ALL
+       |              SELECT b.* FROM bands_n1 b JOIN acc1 ON acc1.doc_id = b.doc_id),
+       |cand2 AS (
+       |  SELECT DISTINCT n.doc_id AS nid, c.doc_id AS cid
+       |  FROM bands_n2 n JOIN idx_bands c ON n.band = c.band AND n.bk = c.bk),
+       |near2 AS (
+       |  SELECT DISTINCT nid FROM cand2
+       |  JOIN sigs_n2 a ON a.doc_id = nid
+       |  JOIN idx_sigs b ON b.doc_id = cid
+       |  WHERE ($sim) / 16.0 >= 0.5),
+       |exact2 AS (SELECT doc_id AS nid FROM rep_n2
+       |           WHERE text IN (SELECT text FROM corpus)
+       |              OR text IN (SELECT text FROM acc1)),
+       |cand2a AS (
+       |  SELECT DISTINCT n.doc_id AS nid, c.doc_id AS cid
+       |  FROM bands_n2 n JOIN bands_cor c ON n.band = c.band AND n.bk = c.bk),
+       |near2a AS (
+       |  SELECT DISTINCT nid FROM cand2a
+       |  JOIN sigs_n2 a ON a.doc_id = nid
+       |  JOIN sigs_cor b ON b.doc_id = cid
+       |  WHERE ($sim) / 16.0 >= 0.5),
+       |exact2a AS (SELECT doc_id AS nid FROM rep_n2 WHERE text IN (SELECT text FROM corpus)),
+       |sf AS (
+       |  SELECT 'full' AS horizon, n.lang, COUNT(*) AS n_new,
+       |  CAST(SUM(CASE WHEN e.nid IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_rej_exact,
+       |  CAST(SUM(CASE WHEN e.nid IS NULL AND nr.nid IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_rej_near,
+       |  CAST(SUM(CASE WHEN e.nid IS NULL AND nr.nid IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_accept
+       |  FROM newb2 n
+       |  JOIN rep_n2 g ON g.text = n.text
+       |  LEFT JOIN exact2 e ON e.nid = g.doc_id
+       |  LEFT JOIN near2 nr ON nr.nid = g.doc_id
+       |  GROUP BY n.lang),
+       |sa AS (
+       |  SELECT 'asof0' AS horizon, n.lang, COUNT(*) AS n_new,
+       |  CAST(SUM(CASE WHEN e.nid IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_rej_exact,
+       |  CAST(SUM(CASE WHEN e.nid IS NULL AND nr.nid IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_rej_near,
+       |  CAST(SUM(CASE WHEN e.nid IS NULL AND nr.nid IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_accept
+       |  FROM newb2 n
+       |  JOIN rep_n2 g ON g.text = n.text
+       |  LEFT JOIN exact2a e ON e.nid = g.doc_id
+       |  LEFT JOIN near2a nr ON nr.nid = g.doc_id
+       |  GROUP BY n.lang)
+       |SELECT * FROM sf UNION ALL SELECT * FROM sa""".stripMargin
+  }
+
   /** Train/test split leakage: near-dup pairs that CROSS the q125 split
     * boundary — each such pair is an eval-contamination event (a test doc
     * whose near-copy was trained on), the thing dedup-before-split exists
@@ -1630,6 +1770,9 @@ object Dedup extends QueryModule {
     GQuery("q143_screen_loop",
       "screen -> accept -> refreshIndex -> screen: the persisted-index ingest cycle, both stages oracled",
       screenLoop, Some(screenLoopSql)),
+    GQuery("q213_dedup_asof",
+      "as-of screening over the segment-tagged dedup store: horizon 0 reproduces yesterday's pre-refresh decisions as a pushed-down segment filter",
+      dedupScreenAsOf, Some(dedupScreenAsOfSql)),
     GQuery("q147_bloom_screen",
       "screen with the persisted bloom sidecar fast path; per-doc equality vs the plain probe audited in-frame",
       bloomScreen, Some(bloomScreenSql)),

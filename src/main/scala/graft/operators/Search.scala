@@ -380,6 +380,93 @@ object Search extends QueryModule {
     path
   }
 
+  /** Public API: a horizon view of a segment store — the index AS OF
+    * `maxSeg`, i.e. before any later segment landed. A pure pushed-down
+    * FILTER on the stored `segment` column of all three BM25 inputs
+    * (postings candidates, dictionary df, doclen's n_docs/avgdl), so
+    * horizon scores are bit-identical to what the index served at that
+    * segment — not merely candidate-restricted. At scale parquet min/max
+    * stats on `segment` prune whole appended files. Positions pass
+    * through unfiltered: the positional table carries no segment column
+    * (its appends are doc-disjoint), so phrase probes are horizon-free
+    * by design — documented, not hidden. */
+  def asOfIndex(idx: SearchIndex, maxSeg: Int): SearchIndex =
+    SearchIndex(
+      idx.postings.filter(col("segment") <= maxSeg),
+      idx.doclen.filter(col("segment") <= maxSeg),
+      idx.dict.filter(col("segment") <= maxSeg),
+      idx.positionsF)
+
+  /** q214: as-of BM25 over the segment store — q210/q213's audit story
+    * for the lexical family ("reproduce yesterday's ranking"). The
+    * two-segment refreshed branch (base 3/4 corpus = segment 0, the
+    * refreshed quarter = segment 1) answers the SAME query set twice:
+    * horizon `full` (both segments — equal to a whole-corpus build by
+    * the additive-stats contract q166 proves) and horizon `asof0`
+    * (segment 0 only — the ranking the index served BEFORE the refresh,
+    * including its smaller n_docs/avgdl/df collection statistics). The
+    * oracle recomputes both horizons from the raw corpus: `full` from
+    * all documents, `asof0` from the pre-refresh 3/4 subset, so a
+    * horizon filter that leaked a segment-1 posting OR a stale
+    * collection statistic hash-mismatches.
+    */
+  def bm25AsOf(s: SparkSession, dir: String): DataFrame = {
+    tune(s)
+    val path = refreshedBranch(s, dir, "asof")
+    val idx = loadIndex(s, path)
+    val q = querySet(docs(s, dir)).localCheckpoint()
+    def topk(i: SearchIndex, name: String): DataFrame = {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("qid")).orderBy(col("score").desc, col("doc_id"))
+      bm25(i, q).withColumn("rn", row_number().over(w)).filter(col("rn") <= 5)
+        .select(lit(name).as("horizon"), col("qid"), col("doc_id"),
+          col("score"), col("rn"))
+    }
+    topk(idx, "full").unionByName(topk(asOfIndex(idx, 0), "asof0"))
+  }
+
+  /** One suffixed BM25 scoring chain over an optionally filtered corpus —
+    * q214's oracle needs the chain twice (full corpus and the pre-refresh
+    * 3/4 subset) with disjoint CTE names; the score expression is kept
+    * verbatim from [[bm25ScoresSql]] so float parity carries over. */
+  private def bm25ChainSql(sfx: String, docWhere: String): String =
+    s"""toks$sfx AS (
+       |  SELECT doc_id, unnest(regexp_extract_all(text, '[a-z0-9]+')) AS tok
+       |  FROM documents$docWhere),
+       |tfp$sfx AS (SELECT tok, doc_id, COUNT(*) AS tf FROM toks$sfx GROUP BY tok, doc_id),
+       |dict$sfx AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS df FROM tfp$sfx GROUP BY tok),
+       |dl$sfx AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl FROM toks$sfx GROUP BY doc_id),
+       |stats$sfx AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs, CAST(SUM(dl) AS BIGINT) AS sum_dl FROM dl$sfx),
+       |scored$sfx AS (
+       |  SELECT q.qid, p.doc_id,
+       |         round(CAST(SUM(CAST(
+       |           ln(1.0 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
+       |             * (p.tf * ${K1 + 1.0}) /
+       |             (p.tf + $K1 * (${1.0 - B} + $B * dl$sfx.dl / (CAST(s.sum_dl AS DOUBLE) / s.n_docs)))
+       |         AS DECIMAL(38,12))) AS DOUBLE), 6) AS score
+       |  FROM queries q
+       |  JOIN dict$sfx d ON d.tok = q.tok
+       |  JOIN tfp$sfx p ON p.tok = q.tok
+       |  JOIN dl$sfx ON dl$sfx.doc_id = p.doc_id
+       |  CROSS JOIN stats$sfx s
+       |  GROUP BY q.qid, p.doc_id)""".stripMargin
+
+  private val bm25AsOfSql =
+    s"""WITH $querySetSql,
+       |${bm25ChainSql("_f", "")},
+       |${bm25ChainSql("_a", " WHERE doc_id % 4 <> 3")}
+       |SELECT 'full' AS horizon, qid, doc_id, score, rn FROM (
+       |  SELECT qid, doc_id, score,
+       |         CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY score DESC, doc_id) AS INT) AS rn
+       |  FROM scored_f)
+       |WHERE rn <= 5
+       |UNION ALL
+       |SELECT 'asof0' AS horizon, qid, doc_id, score, rn FROM (
+       |  SELECT qid, doc_id, score,
+       |         CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY score DESC, doc_id) AS INT) AS rn
+       |  FROM scored_a)
+       |WHERE rn <= 5""".stripMargin
+
   def segmentRefresh(s: SparkSession, dir: String): DataFrame = {
     tune(s)
     val path = refreshedBranch(s, dir, "loop")
@@ -1020,6 +1107,9 @@ object Search extends QueryModule {
     GQuery("q166_segment_refresh",
       "Lucene-style segment refresh: append a batch segment, merged dict == fresh build",
       segmentRefresh, Some(segmentRefreshSql)),
+    GQuery("q214_search_asof",
+      "as-of BM25 over the segment store: horizon 0 reproduces the pre-refresh ranking (candidates AND collection stats) as a pushed-down segment filter",
+      bm25AsOf, Some(bm25AsOfSql)),
     GQuery("q178_segment_compact",
       "segment compaction: refresh to two segments, compact in place, audited dict == fresh build at n_segments=1",
       segmentCompact, Some(segmentCompactSql)),

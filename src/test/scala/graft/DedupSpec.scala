@@ -406,6 +406,35 @@ class DedupSpec extends AnyFunSuite {
       "refreshed digests must hit the merged bloom")
   }
 
+  test("q213 as-of screen: horizon 0 reproduces batch 1's pre-refresh decisions") {
+    import org.apache.spark.sql.functions._
+    val asof = Dedup.dedupScreenAsOf(s, TestSpark.sf).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    // batch 2 is a byte copy of batch 1, so the horizon-0 screen must give
+    // EXACTLY the per-lang summary batch 1 got from the pre-refresh index
+    // (q143's b1 stage) — "yesterday's decision, reproduced"
+    val b1 = Dedup.screenLoop(s, TestSpark.sf).collect()
+      .filter(_.getString(0) == "b1")
+      .map(r => r.getString(1) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    b1.foreach { case (lang, counts) =>
+      assert(asof(("asof0", lang)) == counts,
+        s"horizon-0 screen drifted from batch 1's decision for lang=$lang")
+    }
+    // the full horizon genuinely differs: copies of ACCEPTED batch-1 docs
+    // now reject exact (the refresh put them in the digest set)
+    val langs = b1.keySet
+    assert(langs.exists(l => asof(("full", l)) != asof(("asof0", l))),
+      "full horizon must reflect the refresh somewhere")
+    langs.foreach { l =>
+      val (_, fullEx, _, fullAcc) = asof(("full", l))
+      val (_, asofEx, _, asofAcc) = asof(("asof0", l))
+      assert(fullEx >= asofEx && fullAcc <= asofAcc,
+        s"refresh can only move decisions toward exact-rejection (lang=$l)")
+    }
+  }
+
   test("leakage repair conserves every doc and leaves zero crossing pairs") {
     import org.apache.spark.sql.functions._
     val rep = Dedup.leakageRepair(s, TestSpark.sf).cache()

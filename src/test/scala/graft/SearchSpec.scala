@@ -166,6 +166,26 @@ class SearchSpec extends AnyFunSuite {
       "at least one query must fill all three context slots")
   }
 
+  test("q214 as-of BM25: horizon excludes segment-1 docs AND their stats") {
+    import org.apache.spark.sql.functions._
+    val rows = Search.bm25AsOf(s, TestSpark.sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)) -> r.getDouble(3))
+    val full = rows.collect { case (("full", q, d), sc) => (q, d) -> sc }.toMap
+    val asof = rows.collect { case (("asof0", q, d), sc) => (q, d) -> sc }.toMap
+    // the horizon NEVER returns a refreshed-quarter doc; the full probe does
+    assert(asof.keys.forall { case (_, d) => d % 4 != 3 },
+      "as-of probe leaked a post-horizon segment doc")
+    assert(full.keys.exists { case (_, d) => d % 4 == 3 },
+      "full probe must surface refreshed-segment docs")
+    // a pair ranked under both horizons scores DIFFERENTLY: the horizon
+    // filters the collection statistics (n_docs/avgdl/df), not only the
+    // candidate postings — time travel of the whole index state
+    val shared = asof.keySet & full.keySet
+    assert(shared.nonEmpty, "horizons must overlap on some (qid, doc)")
+    assert(shared.exists(k => asof(k) != full(k)),
+      "as-of scores must reflect the pre-refresh collection stats")
+  }
+
   test("prefix set join finds injected exact-copy pairs, equi-join only") {
     val df = Search.prefixSetJoin(s, TestSpark.sf).cache()
     val plan = df.queryExecution.executedPlan.toString
