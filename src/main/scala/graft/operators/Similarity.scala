@@ -715,9 +715,10 @@ object Similarity extends QueryModule {
   // 8-dim subspace, k* ~ 64 codewords each), a 32x reduction, and queries
   // rank candidates by ADC (asymmetric distance: raw query vs codes)
   // reading ONLY the code table. Codebooks: the deterministic seed pick
-  // (the IVF modulus pattern, q65) refined by ONE per-subspace Lloyd
-  // step (see [[pqCodebooks]]) — the k-means training production PQ
-  // uses, decimal-exact and oracled. Encoding is flat (raw vectors, not IVF
+  // (the IVF modulus pattern, q65) refined by [[PqLloydSteps]]
+  // per-subspace Lloyd steps to the measured MSE plateau (PqTrainRig;
+  // see [[pqCodebooks]]) — the k-means training production PQ uses,
+  // decimal-exact and oracled. Encoding is flat (raw vectors, not IVF
   // residuals — FAISS's by_residual=false flavor), which keeps the code
   // of a vector independent of its coarse cluster; q200 combines the
   // codes with the persisted IVF clusters into the IVFADC probe.
@@ -736,11 +737,24 @@ object Similarity extends QueryModule {
   private val PqSub = 8
   private val PqK = 64L
 
+  /** Lloyd refinement depth for PQ codebook training. FIXED, not
+    * adaptive: the DuckDB oracle unrolls the same number of
+    * assign/mean rounds ([[pqCwSqlSteps]]), so the step count is part of
+    * the cross-engine contract (an adaptive stop would need a loop the
+    * oracle cannot express). The value is the measured MSE plateau of
+    * the fixture corpus — see PqTrainRig and the PLANS.md
+    * steps-vs-MSE/recall table; past it, further steps move codewords by
+    * sub-float-ulp amounts and recall is flat. */
+  private[graft] val PqLloydSteps = 4
+
   /** The M subvector slices of an embedding as one array column —
     * posexplode yields (j, subvec) with j 0-based, matching the oracle's
     * `(pos-1) // 8`. */
   private def subVecsCol(emb: Column): Column =
     array((0 until PqM).map(j => slice(emb, j * PqSub + 1, PqSub)): _*)
+
+  /** [[subVecsCol]] for package-level diagnostics (PqTrainRig). */
+  private[graft] def subVecsColPub(emb: Column): Column = subVecsCol(emb)
 
   /** Encode a corpus against a codebook frame (code, j, csub): ONE corpus
     * scan — posexplode to (vec_id, j, subvec), broadcast-join the
@@ -765,20 +779,25 @@ object Similarity extends QueryModule {
 
   /** Per-subspace codebook training: the deterministic seed pick (the
     * IVF modulus pattern — codeword ids ARE seed vec_ids) followed by
-    * ONE Lloyd refinement per subspace, the k-means step production PQ
-    * trains codebooks with (here on the full corpus; a 100 TB build
-    * would train on a sample — the refinement is one corpus scan plus a
-    * map-side-collapsed M*k**`PqSub`-row mean shuffle either way, the
-    * q185 shape per subspace). Refinement matters measurably: on the
-    * fixture it halves the quantization MSE and triples ADC recall@3 vs
-    * the raw seed codebook. Refined components go through the exact
+    * [[PqLloydSteps]] Lloyd refinements per subspace, the k-means loop
+    * production PQ trains codebooks with (here on the full corpus; a
+    * 100 TB build would train on a sample — each refinement is one
+    * corpus scan plus a map-side-collapsed M*k**`PqSub`-row mean shuffle
+    * either way, the q185 shape per subspace). Depth is the measured MSE
+    * plateau (PqTrainRig; PLANS.md table): step 1 halves the seed MSE
+    * and triples recall, steps 2-4 keep improving, past the plateau the
+    * codewords stop moving. Refined components go through the exact
     * DECIMAL mean and are then cast to FLOAT — codebooks store float32
     * exactly like the corpus, and the cast is the same IEEE rounding in
-    * both engines. Returns (seed codebook, refined codebook, modulus);
-    * a codeword left with no members after seeding simply has no refined
-    * row (it can never be chosen — identical in the oracle).
+    * both engines, so every step's codebook is bit-identical
+    * cross-engine by induction (assignments are integer argmins over
+    * ROUNDED distances). Returns (seed codebook, refined codebook,
+    * modulus); a codeword left with no members at any step simply has no
+    * row in the next codebook (it can never be chosen — identical in the
+    * oracle).
     */
-  private[graft] def pqCodebooks(corpus: DataFrame): (DataFrame, DataFrame, Long) = {
+  private[graft] def pqCodebooks(corpus: DataFrame,
+      steps: Int = PqLloydSteps): (DataFrame, DataFrame, Long) = {
     val n = corpus.count()
     val mq = math.max(1L, math.ceil(n.toDouble / PqK).toLong)
     val cb0 = corpus.filter(col("vec_id") % mq === 0)
@@ -786,19 +805,28 @@ object Similarity extends QueryModule {
         posexplode(subVecsCol(col("embedding"))).as(Seq("j", "csub")))
     val sub = corpus.select(col("vec_id"),
       posexplode(subVecsCol(col("embedding"))).as(Seq("j", "qsub")))
-    val assign0 = pqEncodeAgainst(corpus, cb0).select(col("vec_id"), col("j"), col("code"))
-    val comp = assign0.join(sub, Seq("vec_id", "j"))
-      .select(col("j"), col("code"), posexplode(col("qsub")).as(Seq("spos", "x")))
-      .groupBy(col("j"), col("code"), col("spos"))
-      // scale 6, NOT 20: at scale 20 the decimal sum exceeds 2^53 and
-      // DuckDB's hugeint->double cast double-rounds where Spark's
-      // BigDecimal rounds once — a last-ulp double diff that the float
-      // cast occasionally amplifies to a full float ulp in the codeword
-      .agg((dsum(col("x").cast("double"), 6) / count(col("x"))).cast("float").as("cx"))
-    val cb1 = comp.groupBy(col("code"), col("j"))
-      .agg(transform(array_sort(collect_list(struct(col("spos"), col("cx")))),
-        t => t.getField("cx")).as("csub"))
-    (cb0, cb1, mq)
+    // one Lloyd step: assign against the current codebook, recompute each
+    // codeword as the exact DECIMAL mean of its members, cast to float
+    def refine(cb: DataFrame): DataFrame = {
+      val assign = pqEncodeAgainst(corpus, cb).select(col("vec_id"), col("j"), col("code"))
+      val comp = assign.join(sub, Seq("vec_id", "j"))
+        .select(col("j"), col("code"), posexplode(col("qsub")).as(Seq("spos", "x")))
+        .groupBy(col("j"), col("code"), col("spos"))
+        // scale 6, NOT 20: at scale 20 the decimal sum exceeds 2^53 and
+        // DuckDB's hugeint->double cast double-rounds where Spark's
+        // BigDecimal rounds once — a last-ulp double diff that the float
+        // cast occasionally amplifies to a full float ulp in the codeword
+        .agg((dsum(col("x").cast("double"), 6) / count(col("x"))).cast("float").as("cx"))
+      comp.groupBy(col("code"), col("j"))
+        .agg(transform(array_sort(collect_list(struct(col("spos"), col("cx")))),
+          t => t.getField("cx")).as("csub"))
+    }
+    // checkpoint per step: the codebook is M*k* rows (tiny) and each step
+    // would otherwise nest the whole training history into one plan
+    var cb = cb0.localCheckpoint()
+    var i = 0
+    while (i < steps) { cb = refine(cb).localCheckpoint(); i += 1 }
+    (cb0, cb, mq)
   }
 
   private[graft] def fixturePqIndexPath(dir: String): String =
@@ -818,7 +846,10 @@ object Similarity extends QueryModule {
   private[graft] def corpusPqIndex(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
     val path = fixturePqIndexPath(dir)
     synchronized {
-      val stamp = graft.sources.IndexStore.sourceStamp(s, Seq(s"$dir/embeddings.parquet"))
+      // training depth is part of the stored content — fold it into the
+      // stamp so a depth change invalidates codebooks AND codes
+      val stamp = s"lloyd$PqLloydSteps|" +
+        graft.sources.IndexStore.sourceStamp(s, Seq(s"$dir/embeddings.parquet"))
       if (!graft.sources.IndexStore.isCurrent(s, path, stamp)) {
         val (_, assign) = corpusIvfIndex(s, dir)
         val corpus = table(s, dir, "embeddings")
@@ -857,28 +888,38 @@ object Similarity extends QueryModule {
     """psub AS (
       |  SELECT vec_id, CAST((pos-1) // 8 AS INT) AS j, (pos-1) % 8 AS spos, xd
       |  FROM flat)""".stripMargin
-  // codebook training: seed pick -> seed-codebook argmin assignment ->
-  // per-(codeword, component) exact DECIMAL mean, cast through REAL (the
-  // float32 the index stores) back to DOUBLE for the distance arithmetic
-  private val pqCwSql =
-    """pcw0 AS (
-      |  SELECT vec_id AS code, j, spos, xd AS cxd FROM psub
-      |  WHERE vec_id % (SELECT CAST(ceil(COUNT(*) / 64.0) AS BIGINT) FROM embeddings) = 0),
-      |pdist0 AS (
-      |  SELECT s.vec_id, s.j, c.code,
-      |         CAST(SUM(CAST((s.xd - c.cxd)*(s.xd - c.cxd) AS DECIMAL(38,20))) AS DOUBLE) AS d2
-      |  FROM psub s JOIN pcw0 c ON c.j = s.j AND c.spos = s.spos
-      |  GROUP BY s.vec_id, s.j, c.code),
-      |passign AS (
-      |  SELECT vec_id, j, code FROM (
-      |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, j ORDER BY round(d2, 9), code) AS rn
-      |    FROM pdist0)
-      |  WHERE rn = 1),
-      |pcw AS (
-      |  SELECT a.code, a.j, s.spos,
-      |         CAST(CAST(CAST(SUM(CAST(s.xd AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*) AS REAL) AS DOUBLE) AS cxd
-      |  FROM passign a JOIN psub s ON s.vec_id = a.vec_id AND s.j = a.j
-      |  GROUP BY a.code, a.j, s.spos)""".stripMargin
+  // codebook training: seed pick -> PqLloydSteps unrolled rounds of
+  // (argmin assignment -> per-(codeword, component) exact DECIMAL mean,
+  // cast through REAL — the float32 the index stores — back to DOUBLE
+  // for the distance arithmetic). The step count is the engine's
+  // PqLloydSteps by construction: both sides of the contract come from
+  // the same constant.
+  private def pqCwSqlSteps(steps: Int): String = {
+    val seed =
+      """pcw0 AS (
+        |  SELECT vec_id AS code, j, spos, xd AS cxd FROM psub
+        |  WHERE vec_id % (SELECT CAST(ceil(COUNT(*) / 64.0) AS BIGINT) FROM embeddings) = 0)""".stripMargin
+    val rounds = (1 to steps).map { t =>
+      s"""pqd$t AS (
+         |  SELECT s.vec_id, s.j, c.code,
+         |         CAST(SUM(CAST((s.xd - c.cxd)*(s.xd - c.cxd) AS DECIMAL(38,20))) AS DOUBLE) AS d2
+         |  FROM psub s JOIN pcw${t - 1} c ON c.j = s.j AND c.spos = s.spos
+         |  GROUP BY s.vec_id, s.j, c.code),
+         |pqa$t AS (
+         |  SELECT vec_id, j, code FROM (
+         |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, j ORDER BY round(d2, 9), code) AS rn
+         |    FROM pqd$t)
+         |  WHERE rn = 1),
+         |pcw$t AS (
+         |  SELECT a.code, a.j, s.spos,
+         |         CAST(CAST(CAST(SUM(CAST(s.xd AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*) AS REAL) AS DOUBLE) AS cxd
+         |  FROM pqa$t a JOIN psub s ON s.vec_id = a.vec_id AND s.j = a.j
+         |  GROUP BY a.code, a.j, s.spos)""".stripMargin
+    }
+    val fin = s"pcw AS (SELECT code, j, spos, cxd FROM pcw$steps)"
+    (seed +: rounds :+ fin).mkString(",\n")
+  }
+  private val pqCwSql = pqCwSqlSteps(PqLloydSteps)
   private val pqDistSql =
     """pdist AS (
       |  SELECT s.vec_id, s.j, c.code,
@@ -1225,7 +1266,7 @@ object Similarity extends QueryModule {
   private def ensureSeqPq(s: SparkSession, dir: String): String = {
     val path = seqPqPath(dir)
     synchronized {
-      val stamp = "pqseq1|" +
+      val stamp = s"pqseq1|lloyd$PqLloydSteps|" +
         graft.sources.IndexStore.sourceStamp(s, Seq(s"$dir/embeddings.parquet"))
       if (!graft.sources.IndexStore.isCurrent(s, path, stamp)) {
         val (cb, codes) = corpusPqIndex(s, dir)
