@@ -15,11 +15,13 @@ package graft
 object BenchDiff {
   /** Extracts the `"queries"` map from a BENCH_FULL-format file. The
     * values in that map are flat numbers by construction (Bench.scala
-    * writes `f"$v%.3f"`), but this parser tolerates whitespace anywhere
-    * and tracks brace depth rather than slicing to the first `}`, so a
-    * future pretty-printed or re-serialized baseline still parses
-    * (ADVICE r11: the indexOf("}") slice silently truncated on any
-    * nested or multi-line value).
+    * writes `f"$v%.3f"`); this parser tolerates whitespace anywhere and
+    * tracks brace depth rather than slicing to the first `}` (ADVICE
+    * r11: the indexOf("}") slice silently truncated on any multi-line
+    * value). Scope (ADVICE r12): the entry split is comma/colon-based,
+    * so it parses FLAT NUMERIC values only — a baseline whose queries
+    * map gained nested objects or string values would need a real
+    * tokenizer, and Bench.scala never writes those.
     */
   private[graft] def perQuery(path: String): Map[String, Double] = {
     val txt = new String(

@@ -1817,21 +1817,32 @@ object Similarity extends QueryModule {
     * the pre-compact rows (q211/q212 pin this against the SAME oracle
     * chain as q195/q208 with seg pinned to 0). Stamp and meta preserved;
     * readers mid-compact see old or new, never a mix (write's
-    * stage-then-swap). NOTE: compaction deliberately forfeits as-of
+    * stage-then-swap). Every OTHER table of the store is carried through
+    * unchanged (the whole-directory rewrite enumerates them — a
+    * multi-table store loses nothing), and the range-partition key is
+    * the caller's `rangeCols`, not an assumed layout. NOTE: compaction deliberately forfeits as-of
     * horizon reads (q210) below the compaction point — the same trade a
     * snapshot table's expire/vacuum makes; compact once horizons older
     * than the retention window are no longer served.
     */
   def compactSeqSegments(s: SparkSession, path: String, tbl: String,
-      sortCols: Seq[String]): Unit = {
+      sortCols: Seq[String], rangeCols: Seq[String] = Seq("cid", "vec_id")): Unit = {
     val stamp = graft.sources.IndexStore.readStamp(s, path).getOrElse("manual")
     val meta = graft.sources.IndexStore.readMeta(s, path)
     // localCheckpoint first: the rewrite reads the very files it replaces
     val rows = graft.sources.IndexStore.read(s, path, tbl)
       .withColumn("seg", lit(0)).localCheckpoint()
-    graft.sources.IndexStore.write(s, path, stamp, Seq(
-      tbl -> rows.repartitionByRange(col("cid"), col("vec_id"))
-        .sortWithinPartitions(sortCols.map(col): _*)), meta)
+    // IndexStore.write replaces the WHOLE store directory, so every OTHER
+    // table must ride along byte-equivalent or compaction would silently
+    // drop it (ADVICE r12) — enumerate the stored tables and pass the
+    // untouched ones through (localCheckpointed: the rewrite deletes the
+    // very files they'd otherwise lazily read)
+    val others = graft.sources.IndexStore.tableNames(s, path)
+      .filterNot(_ == tbl)
+      .map(t => t -> graft.sources.IndexStore.read(s, path, t).localCheckpoint())
+    graft.sources.IndexStore.write(s, path, stamp, (
+      tbl -> rows.repartitionByRange(rangeCols.map(col): _*)
+        .sortWithinPartitions(sortCols.map(col): _*)) +: others, meta)
   }
 
   /** Branch-if-stale the sequential store at `src` to `src_cpt` and
@@ -1840,7 +1851,12 @@ object Similarity extends QueryModule {
     * stays intact, segments and all, so q195/q210 keep their horizons. */
   private def compactedSeqBranch(s: SparkSession, src: String, tbl: String,
       sortCols: Seq[String]): String = {
-    val path = src + "_cpt"
+    // process-unique branch path (the refreshedBranch rule): two JVMs
+    // sharing a working dir (Verify and Bench racing on target/) must not
+    // copy/swap one live _cpt directory while the other probes it
+    val pid = java.lang.management.ManagementFactory.getRuntimeMXBean.getName
+      .replaceAll("[^A-Za-z0-9]", "")
+    val path = src + "_cpt_" + pid
     synchronized {
       val stamp = graft.sources.IndexStore.readStamp(s, src).getOrElse(
         throw new IllegalStateException(s"sequential store at $src has no stamp"))

@@ -176,6 +176,20 @@ object IndexStore {
   def read(s: SparkSession, path: String, table: String): DataFrame =
     s.read.parquet(new Path(new Path(path), table).toString)
 
+  /** The stored table names: every non-hidden subdirectory (underscore/dot
+    * entries are the stamp and staging dirs). Lets a whole-store rewrite
+    * (e.g. segment compaction) enumerate what it must carry through
+    * instead of assuming a single-table layout. */
+  def tableNames(s: SparkSession, path: String): Seq[String] = {
+    val p = new Path(path)
+    val fs = fsOf(s, p)
+    if (!fs.exists(p)) Seq.empty
+    else fs.listStatus(p).toSeq
+      .filter(st => st.isDirectory && !st.getPath.getName.startsWith("_")
+        && !st.getPath.getName.startsWith("."))
+      .map(_.getPath.getName).sorted
+  }
+
   /** Append rows to one named table of a stored index — the refresh path:
     * an ingest loop appends the signatures of the docs it just ACCEPTED,
     * so the next batch screens against corpus + accepted without anything

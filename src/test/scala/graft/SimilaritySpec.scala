@@ -190,9 +190,11 @@ class SimilaritySpec extends AnyFunSuite {
     // (PqTrainRig; was 0.229 at 1 step). Near-random 64-dim data is PQ's
     // hardest case: exact neighbor gaps (~0.03-0.16) sit an order of
     // magnitude below the quantization noise floor (~0.33), so ~1/3 IS
-    // the fixture's ceiling — the gate is set to the measured value, far
-    // above the ~0.006 random floor
-    assert(recall >= 0.30, s"ADC recall@3 collapsed to $recall — encoding or dtable join broken")
+    // the fixture's ceiling. Gate at 0.25 — ~25% headroom below the
+    // measured value (ADVICE r12: 0.30 left a one-to-two-hit margin on
+    // 48 pairs; a fixture regeneration or ulp-level training change must
+    // not land this on a knife edge), still 40x the ~0.006 random floor
+    assert(recall >= 0.25, s"ADC recall@3 collapsed to $recall — encoding or dtable join broken")
   }
 
   test("IVF probe results are a subset of the brute-force candidates' scores") {
