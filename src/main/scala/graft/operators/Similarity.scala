@@ -1277,18 +1277,7 @@ object Similarity extends QueryModule {
               lit(0).as("seg"))
             .repartitionByRange(col("cid"), col("vec_id"))
             .sortWithinPartitions(col("cid"), col("vec_id"), col("j"))))
-        val base = table(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
-        val batches = Seq(
-          1 -> base.filter(col("vec_id") % 5 === 0)
-            .select((col("vec_id") + 100000L).as("vec_id"), col("embedding")),
-          2 -> base.filter(col("vec_id") % 7 === 0)
-            .select((col("vec_id") + 200000L).as("vec_id"),
-              expr("transform(embedding, x -> CAST(x * CAST(2.0 AS FLOAT) AS FLOAT))")
-                .as("embedding"))
-            .unionByName(base.filter(col("vec_id") % 11 === 0)
-              .select((col("vec_id") + 300000L).as("vec_id"),
-                expr("transform(embedding, x -> CAST(-x AS FLOAT))").as("embedding"))))
-        batches.foreach { case (segId, b) =>
+        seqArrivalBatches(s, dir).foreach { case (segId, b) =>
           val acid = coarseAssign(cents, b).select(col("vec_id"), col("cid"))
           val bcodes = pqEncodeAgainst(b, cb).join(acid, Seq("vec_id"))
           graft.sources.IndexStore.append(s, path, "codes",
@@ -1728,6 +1717,27 @@ object Similarity extends QueryModule {
     seqIvfProbe(s, ensureSeqIvf(s, dir), maxSeg = 1)
   }
 
+  /** The deterministic arrival-batch SEQUENCE shared by every sequential
+    * refresh rig — the q195 IVF and q208 PQ batch builds and the q215
+    * streaming twin: batch 1 = byte copies of the %5 slice (+100000),
+    * batch 2 = float-exact 2x scales of the %7 slice (+200000) plus
+    * negations of the %11 slice (+300000). ONE definition so the Spark
+    * builds and the DuckDB oracle chain (bflat in [[ivfRefreshSeqSql]])
+    * cannot drift apart. */
+  private[graft] def seqArrivalBatches(s: SparkSession, dir: String): Seq[(Int, DataFrame)] = {
+    val base = table(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+    Seq(
+      1 -> base.filter(col("vec_id") % 5 === 0)
+        .select((col("vec_id") + 100000L).as("vec_id"), col("embedding")),
+      2 -> base.filter(col("vec_id") % 7 === 0)
+        .select((col("vec_id") + 200000L).as("vec_id"),
+          expr("transform(embedding, x -> CAST(x * CAST(2.0 AS FLOAT) AS FLOAT))")
+            .as("embedding"))
+        .unionByName(base.filter(col("vec_id") % 11 === 0)
+          .select((col("vec_id") + 300000L).as("vec_id"),
+            expr("transform(embedding, x -> CAST(-x AS FLOAT))").as("embedding"))))
+  }
+
   /** Build-if-absent the q195/q210 sequential IVF store; returns its
     * path. */
   private def ensureSeqIvf(s: SparkSession, dir: String): String = {
@@ -1743,18 +1753,7 @@ object Similarity extends QueryModule {
               lit(0).as("seg"))
             .repartitionByRange(col("cid"), col("vec_id"))
             .sortWithinPartitions(col("cid"), col("vec_id"))))
-        val base = table(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
-        val batches = Seq(
-          1 -> base.filter(col("vec_id") % 5 === 0)
-            .select((col("vec_id") + 100000L).as("vec_id"), col("embedding")),
-          2 -> base.filter(col("vec_id") % 7 === 0)
-            .select((col("vec_id") + 200000L).as("vec_id"),
-              expr("transform(embedding, x -> CAST(x * CAST(2.0 AS FLOAT) AS FLOAT))")
-                .as("embedding"))
-            .unionByName(base.filter(col("vec_id") % 11 === 0)
-              .select((col("vec_id") + 300000L).as("vec_id"),
-                expr("transform(embedding, x -> CAST(-x AS FLOAT))").as("embedding"))))
-        batches.foreach { case (segId, b) =>
+        seqArrivalBatches(s, dir).foreach { case (segId, b) =>
           val bAssign = coarseAssign(cents, b)
             .select(col("cid"), col("vec_id"), col("vemb").as("embedding"),
               col("nrm"), lit(segId).as("seg"))
@@ -1772,7 +1771,7 @@ object Similarity extends QueryModule {
     * candidates bounded by `maxSeg` (2 = the full store, q195; 1 = the
     * pre-batch-2 horizon, q210). The horizon filter is applied only when
     * it bites, so the full probe's plan is unchanged. */
-  private def seqIvfProbe(s: SparkSession, path: String, maxSeg: Int): DataFrame = {
+  private[graft] def seqIvfProbe(s: SparkSession, path: String, maxSeg: Int): DataFrame = {
     val assign2 = graft.sources.IndexStore.read(s, path, "assign")
     val qa = assign2.filter(col("vec_id") >= 0L && col("vec_id") < 560L &&
         col("vec_id") % 35 === 0)
@@ -1887,7 +1886,7 @@ object Similarity extends QueryModule {
     seqIvfProbe(s, path, maxSeg = 2).crossJoin(broadcast(nseg))
   }
 
-  private val ivfRefreshSeqSql =
+  private[graft] val ivfRefreshSeqSql =
     """WITH flat0 AS (
       |  SELECT vec_id, i AS pos, CAST(embedding[i] AS DOUBLE) AS xd
       |  FROM (SELECT vec_id, embedding, unnest(range(1, len(embedding)+1)) AS i
@@ -1936,6 +1935,15 @@ object Similarity extends QueryModule {
       |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY round(cosim, 9) DESC, vid) AS INT) AS rn
       |  FROM pcos)
       |WHERE rn <= 3""".stripMargin
+
+  /** q215's oracle: q195's IDENTICAL chain (segment provenance included)
+    * plus the streaming rig's pinned audit columns — n_segments 3 (the
+    * seed partition + one committed segment per micro-batch) and the
+    * replay flag TRUE (every deliberate re-commit was a ledger no-op).
+    * Streaming == batch for the refresh loop, machine-checked. */
+  private[graft] val ivfRefreshSeqStreamSql = sqlReplaced(ivfRefreshSeqSql,
+    "AS seg,",
+    "AS seg, CAST(3 AS BIGINT) AS n_segments, TRUE AS replay_was_noop,")
 
   /** q211's oracle: q195's identical chain with seg pinned to 0 and
     * n_segments pinned to 1 — what a lossless compaction must serve. */

@@ -198,6 +198,38 @@ object IndexStore {
   def append(s: SparkSession, path: String, table: String, df: DataFrame): Unit =
     df.write.mode("append").parquet(new Path(new Path(path), table).toString)
 
+  /** EXACTLY-ONCE tagged-segment append — the streaming refresh's commit
+    * unit (q215). The segment lands as its own hive partition directory
+    * (`table/partCol=partVal`), so the directory IS the commit-ledger
+    * entry: committed iff its `_COMMITTED` marker exists. Semantics per
+    * call:
+    *  - marker present  -> pure metadata check, NOTHING read or written,
+    *    returns false (the replay a recovering stream performs after a
+    *    crash between sink write and checkpoint advance is a no-op);
+    *  - marker absent   -> (re)write the whole segment dir with mode
+    *    overwrite — a crash mid-write left no marker, so the retry
+    *    replaces the partial files instead of duplicating beside them —
+    *    then create the marker; returns true.
+    * Readers get the partition value back as a column (Spark partition
+    * discovery), and a horizon probe's `partCol <= h` predicate becomes
+    * PARTITION PRUNING — whole segment directories skipped, stronger
+    * than the row-group min/max pruning the single-dir layout gets.
+    * Like [[append]], the stamp is untouched. Single-writer-per-segment
+    * by construction (a micro-batch owns its batchId); two STREAMS would
+    * need distinct partVal spaces, same as two writers of any log. */
+  def appendSegmentIfAbsent(s: SparkSession, path: String, table: String,
+      partCol: String, partVal: Long, df: DataFrame): Boolean = {
+    val seg = new Path(new Path(new Path(path), table), s"$partCol=$partVal")
+    val fs = fsOf(s, seg)
+    val marker = new Path(seg, "_COMMITTED")
+    if (fs.exists(marker)) false
+    else {
+      df.write.mode("overwrite").parquet(seg.toString)
+      fs.create(marker, true).close()
+      true
+    }
+  }
+
   private def bloomRow(s: SparkSession, bf: org.apache.spark.util.sketch.BloomFilter,
                        cap: Long, fpp: Double): DataFrame = {
     import s.implicits._
