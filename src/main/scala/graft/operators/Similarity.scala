@@ -1767,12 +1767,94 @@ object Similarity extends QueryModule {
     path
   }
 
+  /** The q215 streaming store's path — process-unique (the rig rebuilds
+    * it fresh per call, so two JVMs sharing target/ must not interleave
+    * on one directory) and reaped at JVM exit. */
+  private[graft] def seqIvfStreamPath(dir: String): String =
+    seqIvfPath(dir) + "_stream_" + processTag
+
+  /** Fresh-seed the q215 streaming store, PARTITION-DIR-FIRST: the seed
+    * corpus assignment lands as committed segment directory `seg=0` via
+    * [[graft.sources.IndexStore.appendSegmentIfAbsent]] — the SAME commit
+    * path every later micro-batch uses — so the store is hive-partitioned
+    * from its first byte and can never mix flat files with partition dirs
+    * under one table root (the layout hazard ADVICE r13 flagged). Stamp
+    * written last (a crashed seed never validates). Rebuilt from scratch
+    * per call: the registered query measures the full seed+stream cost,
+    * the q178 discipline. */
+  private[graft] def seedSeqIvfStream(s: SparkSession, dir: String): String = {
+    val path = seqIvfStreamPath(dir)
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      p.toUri, s.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) fs.delete(p, true)
+    val (_, assign) = corpusIvfIndex(s, dir)
+    val committed = graft.sources.IndexStore.appendSegmentIfAbsent(s, path,
+      "assign", "seg", 0L,
+      assign.select(col("cid"), col("vec_id"), col("embedding"), col("nrm"))
+        .repartitionByRange(col("cid"), col("vec_id"))
+        .sortWithinPartitions(col("cid"), col("vec_id")))
+    require(committed, s"fresh streaming store at $path already had seg=0")
+    graft.sources.IndexStore.writeStamp(s, path, "seqstream1|" +
+      graft.sources.IndexStore.sourceStamp(s, Seq(s"$dir/embeddings.parquet")))
+    cleanupAtExit(path)
+    path
+  }
+
+  /** Commit one arriving micro-batch into the q215 streaming store as
+    * tagged segment `segId`: coarse-assign against the STORED centroids
+    * (O(batch) — the corpus is never rescanned), land the rows through
+    * the exactly-once ledger, then DELIBERATELY re-commit to exercise
+    * the replay a recovering stream performs after a crash between sink
+    * write and checkpoint advance. Returns (firstCommit, replayCommit) —
+    * a correct ledger yields (true, false): the first call wrote and
+    * markered the segment, the replay saw the marker and touched
+    * nothing. */
+  private[graft] def seqIvfStreamCommit(s: SparkSession, dir: String, path: String,
+      segId: Long, batch: DataFrame): (Boolean, Boolean) = {
+    val (cents, _) = corpusIvfIndex(s, dir)
+    val rows = coarseAssign(cents, batch)
+      .select(col("cid"), col("vec_id"), col("vemb").as("embedding"), col("nrm"))
+      .repartitionByRange(col("cid"), col("vec_id"))
+      .sortWithinPartitions(col("cid"), col("vec_id"))
+    val first = graft.sources.IndexStore.appendSegmentIfAbsent(
+      s, path, "assign", "seg", segId, rows)
+    val replay = graft.sources.IndexStore.appendSegmentIfAbsent(
+      s, path, "assign", "seg", segId, rows)
+    (first, replay)
+  }
+
+  /** q215's answer frame, read back MARKER-GATED
+    * ([[graft.sources.IndexStore.readCommitted]] — uncommitted partial
+    * segments are invisible, their files never opened): q195's exact
+    * probe over the streamed store, plus the two audit columns the
+    * oracle pins — n_segments counted FROM the store (3 = seed + one
+    * per micro-batch) and the replay flag the rig observed. */
+  private[graft] def seqIvfStreamResult(s: SparkSession, path: String,
+      replayNoop: Boolean): DataFrame = {
+    val assign = graft.sources.IndexStore.readCommitted(s, path, "assign", "seg")
+    val nseg = assign.agg(countDistinct(col("seg")).as("n_segments"))
+    seqIvfProbeOn(assign, maxSeg = 2)
+      .crossJoin(broadcast(nseg))
+      .withColumn("replay_was_noop", lit(replayNoop))
+  }
+
   /** The q184-style cluster-cover probe over the sequential store,
     * candidates bounded by `maxSeg` (2 = the full store, q195; 1 = the
     * pre-batch-2 horizon, q210). The horizon filter is applied only when
     * it bites, so the full probe's plan is unchanged. */
-  private[graft] def seqIvfProbe(s: SparkSession, path: String, maxSeg: Int): DataFrame = {
-    val assign2 = graft.sources.IndexStore.read(s, path, "assign")
+  private[graft] def seqIvfProbe(s: SparkSession, path: String, maxSeg: Int): DataFrame =
+    seqIvfProbeOn(graft.sources.IndexStore.read(s, path, "assign"), maxSeg)
+
+  /** The same probe over an ALREADY-OPENED assign frame — the q215
+    * streaming store reads through [[graft.sources.IndexStore.readCommitted]]
+    * (marker-gated partition dirs), the flat stores through a plain read;
+    * the probe math is one definition either way. Requires columns
+    * (cid, vec_id, embedding, nrm, seg); `seg` is normalized to INT (a
+    * partition-discovered column arrives as whatever type inference
+    * picked). */
+  private[graft] def seqIvfProbeOn(assignIn: DataFrame, maxSeg: Int): DataFrame = {
+    val assign2 = assignIn.withColumn("seg", col("seg").cast("int"))
     val qa = assign2.filter(col("vec_id") >= 0L && col("vec_id") < 560L &&
         col("vec_id") % 35 === 0)
       .select(col("vec_id").as("qid"), col("cid"),
@@ -1823,9 +1905,25 @@ object Similarity extends QueryModule {
     * horizon reads (q210) below the compaction point — the same trade a
     * snapshot table's expire/vacuum makes; compact once horizons older
     * than the retention window are no longer served.
+    *
+    * SCOPE: flat-layout stores only. A PARTITION-DIR store (the q215
+    * streaming layout, [[graft.sources.IndexStore.appendSegmentIfAbsent]])
+    * is refused outright — a read-and-rewrite would flatten its
+    * partition directories and drop the `_COMMITTED` markers, silently
+    * breaking the exactly-once replay contract a recovering stream
+    * depends on (ADVICE r13). Compacting a streaming store needs a
+    * commit-ledger-aware rewrite (carry the committed-segment set in
+    * store meta so replays of pre-compaction segments stay no-ops);
+    * until that exists, refusing loudly beats corrupting quietly.
     */
   def compactSeqSegments(s: SparkSession, path: String, tbl: String,
       sortCols: Seq[String], rangeCols: Seq[String] = Seq("cid", "vec_id")): Unit = {
+    graft.sources.IndexStore.tableNames(s, path).foreach { t =>
+      require(!graft.sources.IndexStore.isPartitionedTable(s, path, t),
+        s"compactSeqSegments: table '$t' at $path is partition-dir layout " +
+          "(streaming tagged-segment store); flat rewrite would drop its " +
+          "partition dirs and _COMMITTED markers")
+    }
     val stamp = graft.sources.IndexStore.readStamp(s, path).getOrElse("manual")
     val meta = graft.sources.IndexStore.readMeta(s, path)
     // localCheckpoint first: the rewrite reads the very files it replaces
@@ -1844,24 +1942,60 @@ object Similarity extends QueryModule {
         .sortWithinPartitions(sortCols.map(col): _*)) +: others, meta)
   }
 
-  /** Branch-if-stale the sequential store at `src` to `src_cpt` and
+  /** This JVM's sanitized process tag, shared by every process-unique
+    * working path below (branch dirs, the q215 streaming store). */
+  private[graft] lazy val processTag: String =
+    java.lang.management.ManagementFactory.getRuntimeMXBean.getName
+      .replaceAll("[^A-Za-z0-9]", "")
+
+  /** The process-unique compaction-branch path for the sequential store
+    * at `src` — one definition so the rigs that WRITE the branch and the
+    * specs that audit its file layout can never drift apart (ADVICE r13:
+    * the spec hardcoded the pre-pid-tag `src + "_cpt"` path and read
+    * stale or missing data on a clean checkout). */
+  private[graft] def seqCptBranchPath(src: String): String =
+    src + "_cpt_" + processTag
+
+  /** Register a process-unique working directory for end-of-JVM removal —
+    * without it every Verify/Bench run leaves a full store copy per
+    * compacted store under target/ (ADVICE r13 low). Shutdown-hook, not
+    * eager delete: the branch must outlive the query that built it (the
+    * probe reads it lazily), and a FOREIGN pid's live dir must never be
+    * touched (two JVMs legitimately share target/). */
+  private val cleanupDirs =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  private lazy val cleanupHook: Unit = {
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(rm))
+        f.delete(): Unit
+      }
+      cleanupDirs.forEach(d => scala.util.Try(rm(new java.io.File(d))): Unit)
+    }, "graft-workdir-cleanup"))
+  }
+  private[graft] def cleanupAtExit(path: String): Unit = {
+    cleanupHook
+    cleanupDirs.add(path): Unit
+  }
+
+  /** Branch-if-stale the sequential store at `src` to `src_cpt_<pid>` and
     * compact the branch (every call — compaction cost is what the
     * registered query measures, the q178 discipline). The primary store
-    * stays intact, segments and all, so q195/q210 keep their horizons. */
+    * stays intact, segments and all, so q195/q210 keep their horizons.
+    * The branch path is process-unique (the refreshedBranch rule): two
+    * JVMs sharing a working dir (Verify and Bench racing on target/)
+    * must not copy/swap one live _cpt directory while the other probes
+    * it. The branch is reaped at JVM exit. */
   private def compactedSeqBranch(s: SparkSession, src: String, tbl: String,
       sortCols: Seq[String]): String = {
-    // process-unique branch path (the refreshedBranch rule): two JVMs
-    // sharing a working dir (Verify and Bench racing on target/) must not
-    // copy/swap one live _cpt directory while the other probes it
-    val pid = java.lang.management.ManagementFactory.getRuntimeMXBean.getName
-      .replaceAll("[^A-Za-z0-9]", "")
-    val path = src + "_cpt_" + pid
+    val path = seqCptBranchPath(src)
     synchronized {
       val stamp = graft.sources.IndexStore.readStamp(s, src).getOrElse(
         throw new IllegalStateException(s"sequential store at $src has no stamp"))
       if (!graft.sources.IndexStore.isCurrent(s, path, stamp))
         graft.sources.IndexStore.copy(s, src, path)
       compactSeqSegments(s, path, tbl, sortCols)
+      cleanupAtExit(path)
     }
     path
   }

@@ -230,6 +230,50 @@ object IndexStore {
     }
   }
 
+  /** The COMMITTED partition values of a tagged-segment table: every
+    * `partCol=N` directory whose `_COMMITTED` marker exists. Metadata
+    * only (one directory listing + one marker stat per segment). A
+    * directory without the marker is a crash leftover awaiting its
+    * replay — readers must not see it. */
+  def committedSegments(s: SparkSession, path: String, table: String,
+      partCol: String): Seq[Long] = {
+    val tbl = new Path(new Path(path), table)
+    val fs = fsOf(s, tbl)
+    if (!fs.exists(tbl)) Seq.empty
+    else fs.listStatus(tbl).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith(s"$partCol="))
+      .filter(st => fs.exists(new Path(st.getPath, "_COMMITTED")))
+      .map(_.getPath.getName.stripPrefix(s"$partCol=").toLong).sorted
+  }
+
+  /** Read a tagged-segment table RESTRICTED to committed segments — the
+    * only correct reader for a table fed by [[appendSegmentIfAbsent]]
+    * (ADVICE r13). Loads the committed partition directories by explicit
+    * path (basePath keeps `partCol` as a column), so an uncommitted
+    * partial segment's files are never opened — not even for schema
+    * inference, which matters because a crash mid-write can leave a
+    * torn parquet footer that would fail ANY open. */
+  def readCommitted(s: SparkSession, path: String, table: String,
+      partCol: String): DataFrame = {
+    val tbl = new Path(new Path(path), table).toString
+    val segs = committedSegments(s, path, table, partCol)
+    require(segs.nonEmpty, s"no committed $partCol segments under $tbl")
+    s.read.option("basePath", tbl)
+      .parquet(segs.map(v => s"$tbl/$partCol=$v"): _*)
+  }
+
+  /** True iff the stored table is laid out as hive partition directories
+    * (the [[appendSegmentIfAbsent]] layout) rather than a flat file set.
+    * The two layouts must never mix under one table root — Spark
+    * partition discovery rejects the mixture — so layout-assuming
+    * rewrites (segment compaction) gate on this. */
+  def isPartitionedTable(s: SparkSession, path: String, table: String): Boolean = {
+    val tbl = new Path(new Path(path), table)
+    val fs = fsOf(s, tbl)
+    fs.exists(tbl) && fs.listStatus(tbl).exists(st =>
+      st.isDirectory && st.getPath.getName.contains("="))
+  }
+
   private def bloomRow(s: SparkSession, bf: org.apache.spark.util.sketch.BloomFilter,
                        cap: Long, fpp: Double): DataFrame = {
     import s.implicits._

@@ -928,6 +928,69 @@ object StreamOps extends QueryModule {
     }
   }
 
+  /** Streaming sequential index refresh (q215): the q195 batch refresh
+    * loop run as a REAL stream — arrival batches land as files, each
+    * micro-batch coarse-assigns its vectors against the STORED centroids
+    * (O(batch); the corpus is never rescanned) and commits them into the
+    * partition-dir store as an exactly-once tagged segment
+    * ([[graft.sources.IndexStore.appendSegmentIfAbsent]]). Each commit is
+    * DELIBERATELY replayed — the retry a recovering stream performs after
+    * a crash between sink write and checkpoint advance — and a correct
+    * ledger makes every replay a metadata no-op. The answer is q195's
+    * exact probe over the streamed store (read marker-gated), plus the
+    * audited segment count and the observed replay flag; the oracle is
+    * q195's identical SQL chain with both audits pinned — streaming ==
+    * batch for the index REFRESH loop itself, completing the family
+    * (screening q144/q205 proved admission; this proves the index WRITE
+    * path).
+    *
+    * At scale this is the live-index serving story: a 1000-executor
+    * stream appends segment directories to a shared store while probes
+    * read marker-committed segments only; a horizon probe's `seg <= h`
+    * becomes PARTITION PRUNING — whole directories skipped before any
+    * file is opened.
+    */
+  def streamIvfRefresh(s: SparkSession, dir: String): DataFrame = {
+    tune(s)
+    withStatePartitions(s, 8) {
+      val batches = graft.operators.Similarity.seqArrivalBatches(s, dir)
+      val schema = batches.head._2.schema
+      val srcDir = stagedOnce(s"ivfrefresh:$dir") { sd =>
+        val t0 = 1000000000000L
+        batches.foreach { case (segId, b) =>
+          stageFile(s, sd, b, f"b${segId}%02d_arrivals", t0 + segId * 600000L)
+        }
+      }
+      val path = graft.operators.Similarity.seedSeqIvfStream(s, dir)
+      val flags = new java.util.concurrent.ConcurrentHashMap[Long, (Boolean, Boolean)]()
+      val src = s.readStream
+        .schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(srcDir)
+      val qname = s"graft_stream_ivfrefresh_${counter.incrementAndGet()}"
+      val q = src.writeStream
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          // file order is mtime-pinned, so micro-batch N carries arrival
+          // batch N+1 and commits as segment N+1 (seed = segment 0)
+          flags.put(batchId + 1, graft.operators.Similarity.seqIvfStreamCommit(
+            batch.sparkSession, dir, path, batchId + 1, batch))
+          ()
+        }
+        .option("checkpointLocation", s"$ckBase/$qname")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val nb = q.recentProgress.count(_.numInputRows > 0)
+      require(nb == 2, s"IVF refresh harness needs exactly 2 non-empty micro-batches, got $nb")
+      dropCheckpoint(s"$ckBase/$qname")
+      import scala.jdk.CollectionConverters._
+      val fl = flags.asScala.values.toSeq
+      val replayNoop = fl.sizeIs == 2 &&
+        fl.forall { case (first, replay) => first && !replay }
+      graft.operators.Similarity.seqIvfStreamResult(s, path, replayNoop)
+    }
+  }
+
   private val streamIntervalJoinSql =
     """SELECT (epoch_us(c.ts) // 1000000 // 3600) * 3600 AS hour_epoch,
       |       COUNT(*) AS n_pairs,
@@ -992,5 +1055,10 @@ object StreamOps extends QueryModule {
     GQuery("q205_stream_pq_screen",
       "streaming ADC admission: per-micro-batch screening against the persisted PQ index; oracle == batch q204",
       streamPqScreen, Some(graft.operators.Similarity.pqScreenSql)),
+    // Same probe chain as the batch q195 — the index WRITE path's
+    // streaming == batch, with the exactly-once segment ledger audited.
+    GQuery("q215_stream_ivf_refresh",
+      "streaming sequential IVF refresh: exactly-once tagged-segment commits per micro-batch, replay audited as no-op; probe oracle == batch q195",
+      streamIvfRefresh, Some(graft.operators.Similarity.ivfRefreshSeqStreamSql)),
   )
 }

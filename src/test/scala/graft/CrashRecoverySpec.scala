@@ -156,4 +156,53 @@ class CrashRecoverySpec extends AnyFunSuite {
           s"(state recovered, not recounted): got ${got.size} rows, want ${want.size}")
     } finally s.conf.set("spark.sql.shuffle.partitions", prev)
   }
+
+  test("tagged-segment ledger: commit-once, replay no-op, crash-partial invisible then healed") {
+    import graft.sources.IndexStore
+    Engine.tune(s)
+    val store = s"$base/segledger"
+    import s.implicits._
+    def seg(n: Int) = (1 to 3).map(i => (n * 10L + i, s"v$n")).toDF("id", "tag")
+
+    // fresh commit: writes + markers, returns true
+    assert(IndexStore.appendSegmentIfAbsent(s, store, "t", "seg", 0L, seg(0)))
+    assert(IndexStore.appendSegmentIfAbsent(s, store, "t", "seg", 1L, seg(1)))
+    assert(IndexStore.committedSegments(s, store, "t", "seg") == Seq(0L, 1L))
+
+    // replay: marker present -> false, and NOTHING rewritten (the data
+    // files' mtimes are untouched — a pure metadata check)
+    val segDir = new java.io.File(s"$store/t/seg=1")
+    val before = segDir.listFiles().map(f => f.getName -> f.lastModified()).toMap
+    assert(!IndexStore.appendSegmentIfAbsent(s, store, "t", "seg", 1L, seg(1)))
+    val after = segDir.listFiles().map(f => f.getName -> f.lastModified()).toMap
+    assert(before == after, "a replayed commit must not touch the segment's files")
+
+    // crash mid-write: a partial segment (files, no marker) — including a
+    // TORN parquet footer — is invisible to marker-gated readers, whose
+    // explicit-path load never opens the partial's files
+    seg(2).write.mode("overwrite").parquet(s"$store/t/seg=2")
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$store/t/seg=2/torn-footer.parquet"),
+      "PAR1garbage".getBytes)
+    assert(IndexStore.committedSegments(s, store, "t", "seg") == Seq(0L, 1L),
+      "an unmarkered segment is not committed")
+    val visible = IndexStore.readCommitted(s, store, "t", "seg")
+    assert(visible.count() == 6L, "reader must see exactly the committed segments")
+    assert(visible.select("seg").distinct().collect().map(_.getInt(0)).toSet == Set(0, 1))
+
+    // the recovery retry: marker absent -> overwrite replaces the partial
+    // (torn file gone, not duplicated beside), marker lands, returns true
+    assert(IndexStore.appendSegmentIfAbsent(s, store, "t", "seg", 2L, seg(2)))
+    assert(!new java.io.File(s"$store/t/seg=2/torn-footer.parquet").exists(),
+      "the healed segment must replace the crash partial wholesale")
+    assert(IndexStore.readCommitted(s, store, "t", "seg").count() == 9L)
+
+    // layout guard: flat segment compaction refuses a partition-dir store
+    // rather than flattening it and dropping the markers
+    IndexStore.writeStamp(s, store, "test")
+    val e = intercept[IllegalArgumentException] {
+      graft.operators.Similarity.compactSeqSegments(s, store, "t", Seq("id"), Seq("id"))
+    }
+    assert(e.getMessage.contains("partition-dir layout"))
+  }
 }

@@ -531,7 +531,7 @@ class SimilaritySpec extends AnyFunSuite {
       graft.sources.IndexStore.read(s, path, tbl)
         .select(input_file_name().as("f")).agg(countDistinct(col("f"))).head.getLong(0)
     val src = Similarity.seqIvfPath(TestSpark.sf)
-    assert(nFiles(src + "_cpt", "assign") < nFiles(src, "assign"),
+    assert(nFiles(Similarity.seqCptBranchPath(src), "assign") < nFiles(src, "assign"),
       "compaction must collapse the per-append file sets")
     // PQ side: same contract vs q208
     val pfull = Similarity.pqRefreshSeq(s, TestSpark.sf).collect()

@@ -76,4 +76,37 @@ class StreamingSpec extends AnyFunSuite {
       "streaming interval join must equal its batch form")
     stream.unpersist()
   }
+
+  test("streaming IVF refresh == batch sequential refresh; segment ledger audited") {
+    import org.apache.spark.sql.functions._
+    val stream = StreamOps.streamIvfRefresh(s, TestSpark.sf).cache()
+    assert(stream.count() > 0, "streamed store must answer the probe set")
+    // the audit columns the rig pins: 3 committed segments (seed + one
+    // per micro-batch), every deliberate replay a ledger no-op
+    assert(stream.select(col("n_segments")).distinct().collect()
+      .map(_.getLong(0)).toSeq == Seq(3L), "n_segments must audit to 3")
+    assert(stream.collect().forall(_.getAs[Boolean]("replay_was_noop")),
+      "every deliberate re-commit must be a metadata no-op")
+    // probe rows equal the BATCH sequential refresh's exactly
+    val probe = stream.select(col("qid"), col("vid"), col("seg"),
+      col("cosim"), col("rn"))
+    val batch = graft.operators.Similarity.ivfRefreshSeq(s, TestSpark.sf)
+    assert(probe.except(batch).isEmpty && batch.except(probe).isEmpty,
+      "streamed store's probe must equal the batch q195 refresh")
+    stream.unpersist()
+    // layout contract (ADVICE r13): partition-dir-first from the seed —
+    // exactly seg=0,1,2 directories, each carrying its _COMMITTED marker,
+    // and NO loose data file at the table root (no flat/partitioned mix)
+    val tbl = new java.io.File(
+      graft.operators.Similarity.seqIvfStreamPath(TestSpark.sf), "assign")
+    val entries = tbl.listFiles().map(_.getName).toSet
+    assert(Set("seg=0", "seg=1", "seg=2").subsetOf(entries),
+      s"expected seed + 2 streamed segment dirs, got $entries")
+    assert(!entries.exists(_.endsWith(".parquet")),
+      "table root must hold partition dirs only, never loose data files")
+    Seq(0, 1, 2).foreach { k =>
+      assert(new java.io.File(tbl, s"seg=$k/_COMMITTED").isFile,
+        s"segment $k must carry its commit marker")
+    }
+  }
 }
