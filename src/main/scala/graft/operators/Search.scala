@@ -50,9 +50,10 @@ object Search extends QueryModule {
 
   /** Index layout version, folded into the stamp: the stamp fingerprints
     * the CORPUS, so a layout change (e.g. the positions table added for
-    * phrase search) must bump this or an older on-disk index would still
-    * validate and miss tables the readers expect. */
-  private val FORMAT = "v2"
+    * phrase search, or v3's segment column ON that table) must bump this
+    * or an older on-disk index would still validate and miss tables or
+    * columns the readers expect. */
+  private val FORMAT = "v3"
 
   private def docs(s: SparkSession, dir: String): DataFrame =
     table(s, dir, "documents").select(col("doc_id"), col("text"), col("lang"))
@@ -106,7 +107,7 @@ object Search extends QueryModule {
     val (post, dl, dict) = segmentTables(d, segment = 0)
     graft.sources.IndexStore.write(s, path, stamp, Seq(
       "postings" -> post.repartition(col("tok")).sortWithinPartitions(col("tok"), col("doc_id")),
-      "positions" -> posToks(spread(d))
+      "positions" -> posToks(spread(d)).withColumn("segment", lit(0))
         .repartition(col("tok")).sortWithinPartitions(col("tok"), col("doc_id"), col("pos")),
       "doclen" -> dl,
       "dict" -> dict),
@@ -371,10 +372,10 @@ object Search extends QueryModule {
         () => graft.sources.IndexStore.append(s, path, "doclen", dl),
         () => graft.sources.IndexStore.append(s, path, "dict", dict),
         // the positional table refreshes the same way (disjoint doc sets
-        // append cleanly), so phrase probes on a refreshed branch stay
-        // complete — not just the BM25 tables
+        // append cleanly), segment-tagged like the BM25 tables, so phrase
+        // probes on a refreshed branch stay complete AND horizon-capable
         () => graft.sources.IndexStore.append(s, path, "positions",
-          posToks(spread(batch))
+          posToks(spread(batch)).withColumn("segment", lit(1))
             .repartition(col("tok")).sortWithinPartitions(col("tok"), col("doc_id"), col("pos")))))
     }
     path
@@ -382,20 +383,21 @@ object Search extends QueryModule {
 
   /** Public API: a horizon view of a segment store — the index AS OF
     * `maxSeg`, i.e. before any later segment landed. A pure pushed-down
-    * FILTER on the stored `segment` column of all three BM25 inputs
-    * (postings candidates, dictionary df, doclen's n_docs/avgdl), so
-    * horizon scores are bit-identical to what the index served at that
-    * segment — not merely candidate-restricted. At scale parquet min/max
-    * stats on `segment` prune whole appended files. Positions pass
-    * through unfiltered: the positional table carries no segment column
-    * (its appends are doc-disjoint), so phrase probes are horizon-free
-    * by design — documented, not hidden. */
+    * FILTER on the stored `segment` column of ALL FOUR index tables
+    * (postings candidates, dictionary df, doclen's n_docs/avgdl, and —
+    * since the v3 layout — the positional table), so horizon scores are
+    * bit-identical to what the index served at that segment and phrase
+    * probes see exactly the positions that existed then (closing the
+    * horizon-free-phrase gap VERDICT r12 named). At scale parquet
+    * min/max stats on `segment` prune whole appended files. The
+    * positions filter stays inside the lazy thunk — BM25-only callers
+    * still never open the positional table. */
   def asOfIndex(idx: SearchIndex, maxSeg: Int): SearchIndex =
     SearchIndex(
       idx.postings.filter(col("segment") <= maxSeg),
       idx.doclen.filter(col("segment") <= maxSeg),
       idx.dict.filter(col("segment") <= maxSeg),
-      idx.positionsF)
+      () => idx.positionsF().filter(col("segment") <= maxSeg))
 
   /** q214: as-of BM25 over the segment store — q210/q213's audit story
     * for the lexical family ("reproduce yesterday's ranking"). The
@@ -510,9 +512,9 @@ object Search extends QueryModule {
     * tables (localCheckpointed first — the rewrite reads the very files
     * it replaces); stamp and meta are preserved; readers mid-compact see
     * old or new, never a mix (the store's write-then-rename swap).
-    * The positions table (no segment column; refresh appends it like the
-    * others) is re-sorted by term so its file pruning is restored too —
-    * its CONTENT is already complete and needs no recompute.
+    * The positions table is re-sorted by term so its file pruning is
+    * restored too, with its segment tags collapsed to 0 like every other
+    * table — its CONTENT is already complete and needs no recompute.
     */
   def compactSearchIndex(s: SparkSession, path: String): Unit = {
     val stamp = graft.sources.IndexStore.readStamp(s, path).getOrElse("manual")
@@ -523,7 +525,8 @@ object Search extends QueryModule {
     graft.sources.IndexStore.inParallel(Seq(
       () => post = graft.sources.IndexStore.read(s, path, "postings")
         .withColumn("segment", lit(0)).localCheckpoint(),
-      () => posn = graft.sources.IndexStore.read(s, path, "positions").localCheckpoint(),
+      () => posn = graft.sources.IndexStore.read(s, path, "positions")
+        .withColumn("segment", lit(0)).localCheckpoint(),
       () => dl = graft.sources.IndexStore.read(s, path, "doclen")
         .withColumn("segment", lit(0)).localCheckpoint()))
     val dict = post.groupBy(col("tok"))

@@ -742,9 +742,9 @@ object Similarity extends QueryModule {
     * assign/mean rounds ([[pqCwSqlSteps]]), so the step count is part of
     * the cross-engine contract (an adaptive stop would need a loop the
     * oracle cannot express). The value is the measured MSE plateau of
-    * the fixture corpus — see PqTrainRig and the PLANS.md
-    * steps-vs-MSE/recall table; past it, further steps move codewords by
-    * sub-float-ulp amounts and recall is flat. */
+    * the fixture corpus — see PqTrainRig and the PLANS.md round-14
+    * steps-vs-MSE/recall table; past it, per-step MSE gain is under
+    * 1e-3 and recall is flat. */
   private[graft] val PqLloydSteps = 4
 
   /** The M subvector slices of an embedding as one array column —
@@ -784,9 +784,10 @@ object Similarity extends QueryModule {
     * 100 TB build would train on a sample — each refinement is one
     * corpus scan plus a map-side-collapsed M*k**`PqSub`-row mean shuffle
     * either way, the q185 shape per subspace). Depth is the measured MSE
-    * plateau (PqTrainRig; PLANS.md table): step 1 halves the seed MSE
-    * and triples recall, steps 2-4 keep improving, past the plateau the
-    * codewords stop moving. Refined components go through the exact
+    * plateau (PqTrainRig; PLANS.md round-14 table): step 1 takes the
+    * bulk of the seed MSE drop, steps 2-4 keep improving, and past step
+    * 4 the per-step gain falls under 1e-3 with recall flat — the
+    * codewords have effectively stopped moving. Refined components go through the exact
     * DECIMAL mean and are then cast to FLOAT — codebooks store float32
     * exactly like the corpus, and the cast is the same IEEE rounding in
     * both engines, so every step's codebook is bit-identical

@@ -80,6 +80,31 @@ class SearchSpec extends AnyFunSuite {
       "compaction must preserve the positional table verbatim")
   }
 
+  test("as-of horizon filters the positional table, not just the BM25 tables") {
+    // fresh branch (the "spec" branch above was compacted to one segment)
+    val p = Search.refreshedBranch(s, TestSpark.sf, "specasof")
+    val idx = Search.loadIndex(s, p)
+    val horizon = Search.asOfIndex(idx, maxSeg = 0)
+    // the refreshed quarter (doc_id % 4 == 3) landed as segment 1: its
+    // positions exist in the full view and are INVISIBLE at horizon 0 —
+    // phrase probes reproduce what the index could answer pre-refresh
+    val batchDocs = col("doc_id") % 4 === 3
+    assert(idx.positions.filter(batchDocs).count() > 0,
+      "refreshed docs must have position rows in the full view")
+    assert(horizon.positions.filter(batchDocs).count() == 0,
+      "horizon 0 must hide the refreshed segment's positions")
+    // base docs' positions are untouched by the horizon (bit-identical set)
+    val base = idx.positions.filter(!batchDocs)
+    val hbase = horizon.positions.filter(!batchDocs)
+    assert(hbase.count() == base.count(),
+      "horizon must not drop any base-segment position row")
+    // and the segment predicate is PUSHED to the scan (file-prunable at
+    // scale), not applied post-shuffle
+    val pushed = horizon.positions.queryExecution.executedPlan.toString
+    assert(pushed.contains("PushedFilters") && pushed.contains("segment"),
+      s"horizon filter must reach the parquet scan:\n$pushed")
+  }
+
   test("phrase search: every phrase matches its source doc, equi-joins only") {
     val df = Search.phraseSearch(s, TestSpark.sf).cache()
     val plan = df.queryExecution.executedPlan.toString
