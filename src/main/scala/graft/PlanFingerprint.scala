@@ -103,6 +103,19 @@ object PlanFingerprint {
     "q207_embedding_curation",
     "q208_pq_refresh_seq",
     "q209_mmr_rerank",
+    // round-14 additions (VERDICT r12 item 3): the capped/linear variants
+    // whose cap IS the plan contract, the PQ quality gates, and the
+    // round-12 as-of + compaction family — q214 is a top-5 bench cost and
+    // q211/q212's value is precisely their post-compaction plan shape.
+    // q215 is excluded by the streaming-rig rule above.
+    "q196_semdedup_capped",
+    "q201_pq_error",
+    "q203_ivfpq_recall",
+    "q210_ivf_asof",
+    "q211_ivf_seq_compact",
+    "q212_pq_seq_compact",
+    "q213_dedup_asof",
+    "q214_search_asof",
   )
 
   /** Structural counts of the STEADY-STATE initial plan.

@@ -73,10 +73,23 @@ object ScaleRung {
     "q207_embedding_curation",
     "q208_pq_refresh_seq",
     "q210_ivf_asof",
+    // the round-12 compaction + as-of family (VERDICT r12 item 4): the
+    // compaction rigs pay a store copy + whole-store rewrite per call
+    // (the maintenance cost itself is what scales), the as-of probes
+    // must stay flat like q210 (a pushed filter, not a restore)
+    "q211_ivf_seq_compact",
+    "q212_pq_seq_compact",
+    "q213_dedup_asof",
+    "q214_search_asof",
     "q134_stream_screen",
     "q144_stream_vec_screen",
     "q177_stream_search",
     "q182_stream_sessions",
+    // the index WRITE path's streaming rig (q215): per-call cost = seed
+    // write of the full corpus assignment + two O(batch) segment commits,
+    // so the 10x ratio is dominated by the seed scan — linear, not the
+    // probe (which is fixed-budget like q195)
+    "q215_stream_ivf_refresh",
   )
 
   /** The RocksDB-vs-memory crossover experiment: the two streaming rigs
@@ -89,6 +102,49 @@ object ScaleRung {
     "q87_stream_dedup",
     "q182_stream_sessions",
   )
+
+  /** The 100x state-key rung for the crossover experiment (VERDICT r11
+    * item 5): events only — the two state-heavy rigs read nothing else —
+    * with per-copy id shifts so the state populations genuinely reach
+    * ~10M dedup keys / ~1.4M session users instead of collapsing onto
+    * the base keys. This is the scale the memory-vs-RocksDB question is
+    * actually about: a store of this size held on-heap (with the memory
+    * provider's retained versions) is the thing the RocksDB default
+    * exists to avoid. */
+  val state100Dir = "target/scale/sf10state"
+
+  def ensureStateRung(s: SparkSession): Unit = {
+    val ready = java.nio.file.Paths.get(state100Dir, "_READY_v1")
+    if (java.nio.file.Files.exists(ready)) return
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(state100Dir))
+    val ev = s.read.parquet(s"$srcDir/events.parquet")
+    val tmp = java.nio.file.Paths.get(state100Dir, ".events_build")
+    (0 until 100).map { k =>
+      if (k == 0) ev
+      else ev.withColumn("event_id", col("event_id") + lit(k * 100000000L))
+        .withColumn("user_id", col("user_id") + lit(k * 1000000L))
+    }.reduce(_.unionByName(_))
+      // one FILE named events.parquet (the pathGlobFilter contract the v4
+      // rung pinned); a 10M-row single file still splits into many row
+      // groups, and the streaming source processes it in one trigger —
+      // which is the point: every state key live in one batch's stores
+      .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+    val st = java.nio.file.Files.list(tmp)
+    val part =
+      try st.filter(_.toString.endsWith(".parquet")).findFirst()
+        .orElseThrow(() => new IllegalStateException("no state-rung part file"))
+      finally st.close()
+    java.nio.file.Files.move(part, java.nio.file.Paths.get(state100Dir, "events.parquet"),
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    def rm(p: java.nio.file.Path): Unit =
+      if (java.nio.file.Files.exists(p)) {
+        val c = java.nio.file.Files.list(p)
+        try c.forEach(x => java.nio.file.Files.delete(x)) finally c.close()
+        java.nio.file.Files.delete(p)
+      }
+    rm(tmp)
+    java.nio.file.Files.writeString(ready, "ok\n"): Unit
+  }
 
   def ensureRung(s: SparkSession): Unit = {
     // versioned marker: v2 added the scaled lineitem (q187 graph family),
@@ -287,12 +343,15 @@ object ScaleRung {
     for (dir <- Seq(srcDir, rungDir)) runBlock(dir, streamNames)
 
     // crossover experiment: the state-heavy streaming rigs under BOTH
-    // state-store providers at BOTH scales (same min-of-N protocol).
-    // Expectation being tested: memory wins at tiny state (fixed RocksDB
-    // native-store overhead), RocksDB catches up / wins as state grows —
-    // and is the only provider that does not hold N versions of the
-    // store on-heap at 100x.
-    for (dir <- Seq(srcDir, rungDir); provider <- Seq("memory", "rocksdb");
+    // state-store providers at THREE state scales — sf0.1 (1e5 keys),
+    // the sf1 rung (1e6), and the dedicated 100x state rung (1e7, the
+    // r11-item-5 rig). Expectation being tested: memory wins at tiny
+    // state (fixed RocksDB native-store overhead), RocksDB catches up /
+    // wins as state grows — and is the only provider that does not hold
+    // N retained versions of a 10M-key store on-heap.
+    if (args.isEmpty) ensureStateRung(spark)
+    val stateTags = Seq(srcDir -> "sf0.1", rungDir -> "sf1", state100Dir -> "sf10state")
+    for ((dir, tag) <- stateTags; provider <- Seq("memory", "rocksdb");
          name <- if (args.isEmpty) stateCompared else Nil) {
       spark.conf.set("spark.graft.stateStore.provider", provider)
       val fn = SparkEntry.queries(name)
@@ -305,11 +364,16 @@ object ScaleRung {
         // main sweep from must not leak into the crossover rows either
         Thread.sleep(3000)
         val t0 = System.nanoTime()
-        fn(spark, dir).write.format("noop").mode("overwrite").save()
+        // a provider that cannot carry the state population is ITSELF a
+        // crossover result — record the failure as a row, don't abort
+        // the sweep
+        try fn(spark, dir).write.format("noop").mode("overwrite").save()
+        catch { case e: Throwable =>
+          println(s"[$tag] $name@$provider FAILED: ${e.getClass.getSimpleName}")
+        }
         val sec = (System.nanoTime() - t0) / 1e9
         if (sec < bestSec) bestSec = sec
       }
-      val tag = if (dir == srcDir) "sf0.1" else "sf1"
       println(f"[$tag] $name@$provider%-38s ${bestSec}%8.2f s")
       results(s"$tag/$name@$provider") = Map("sec" -> bestSec)
     }
@@ -326,12 +390,13 @@ object ScaleRung {
       sb.append(f"| $name | $ta%.2f | $tb%.2f | ${tb / ta}%.1fx " +
         f"| ${wa / 1e6}%.1f MB | ${wb / 1e6}%.1f MB | ${if (wa > 0) wb.toDouble / wa else 0.0}%.1fx |\n")
     }
-    sb.append("\n| streaming rig | provider | sf0.1 s | sf1 s | sf1/sf0.1 |\n|---|---|---|---|---|\n")
+    sb.append("\n| streaming rig | provider | sf0.1 s | sf1 s | sf10state s | sf1/sf0.1 | sf10state/sf1 |\n|---|---|---|---|---|---|---|\n")
     for (name <- if (args.isEmpty) stateCompared else Nil;
          provider <- Seq("memory", "rocksdb")) {
       val a = results(s"sf0.1/$name@$provider")("sec").asInstanceOf[Double]
       val b = results(s"sf1/$name@$provider")("sec").asInstanceOf[Double]
-      sb.append(f"| $name | $provider | $a%.2f | $b%.2f | ${b / a}%.1fx |\n")
+      val c100 = results(s"sf10state/$name@$provider")("sec").asInstanceOf[Double]
+      sb.append(f"| $name | $provider | $a%.2f | $b%.2f | $c100%.2f | ${b / a}%.1fx | ${c100 / b}%.1fx |\n")
     }
     println(sb.toString)
 
