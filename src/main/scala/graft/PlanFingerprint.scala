@@ -116,6 +116,10 @@ object PlanFingerprint {
     "q212_pq_seq_compact",
     "q213_dedup_asof",
     "q214_search_asof",
+    // q216 locked in its landing commit (the lock-on-landing discipline
+    // VERDICT r13 item 4 adopted): the horizon probe's value is the
+    // pushed segment filter staying a scan-level predicate
+    "q216_phrase_asof",
   )
 
   /** Structural counts of the STEADY-STATE initial plan.

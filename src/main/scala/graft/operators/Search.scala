@@ -589,24 +589,32 @@ object Search extends QueryModule {
   def phraseSearch(s: SparkSession, dir: String): DataFrame = {
     tune(s)
     val idx = searchIndex(s, dir)
-    val pos = idx.positions
-    val ph = docs(s, dir).filter(col("doc_id") % 97 === 11)
+    phraseProbe(phraseSet(docs(s, dir)), idx.positions)
+  }
+
+  /** The deterministic 3-token probe-phrase set (one per doc_id % 97 == 11
+    * doc: tokens 2..4), shared by q170 and the q216 horizon probe. */
+  private def phraseSet(d: DataFrame): DataFrame =
+    d.filter(col("doc_id") % 97 === 11)
       .select(col("doc_id").as("qid"),
         slice(regexp_extract_all(col("text"), lit("[a-z0-9]+"), lit(0)), 2, 3).as("ph"))
       .filter(size(col("ph")) === 3)
       .select(col("qid"), element_at(col("ph"), 1).as("t0"),
         element_at(col("ph"), 2).as("t1"), element_at(col("ph"), 3).as("t2"))
-    val m = ph
-      .join(pos.select(col("tok").as("t0"), col("doc_id"), col("pos")), "t0")
+
+  /** The positional-intersection plan, one definition for every phrase
+    * query: term-keyed probe on t0, then equi-joins on (doc, pos-1) /
+    * (doc, pos-2) — each leg scans only its term's position rows. */
+  private def phraseProbe(ph: DataFrame, pos: DataFrame): DataFrame =
+    ph.join(pos.select(col("tok").as("t0"), col("doc_id"), col("pos")), "t0")
       .join(pos.select(col("tok").as("t1"), col("doc_id"), (col("pos") - 1).as("pos")),
         Seq("doc_id", "pos", "t1"))
       .join(pos.select(col("tok").as("t2"), col("doc_id"), (col("pos") - 2).as("pos")),
         Seq("doc_id", "pos", "t2"))
-    m.groupBy(col("qid"))
+      .groupBy(col("qid"))
       .agg(countDistinct(col("doc_id")).as("n_docs"),
         count(lit(1)).as("n_occ"),
         min(col("doc_id")).as("first_doc"))
-  }
 
   private val phraseSearchSql =
     """WITH ptoks AS (
@@ -625,6 +633,63 @@ object Search extends QueryModule {
       |JOIN ptoks p1 ON p1.doc_id = p0.doc_id AND p1.pos = p0.pos + 1 AND p1.tok = ph.t1
       |JOIN ptoks p2 ON p2.doc_id = p0.doc_id AND p2.pos = p0.pos + 2 AND p2.tok = ph.t2
       |GROUP BY qid""".stripMargin
+
+  /** q216: phrase search AT A HORIZON — q214's audit story carried to the
+    * POSITIONAL side of the segment store (the capability round 14's
+    * segment-tagged positions layout exists for). The two-segment
+    * refreshed branch answers the SAME probe-phrase set twice: horizon
+    * `full` (both segments — equals a whole-corpus q170 by the disjoint-
+    * doc-append contract) and horizon `asof0` (segment 0 only — exactly
+    * the occurrences the index could prove BEFORE the refresh). The
+    * horizon is [[asOfIndex]]'s pushed `segment <= 0` parquet filter on
+    * the positions table, not a restore; at scale file-level min/max
+    * stats on `segment` skip every appended file. Probe phrases come
+    * from the WHOLE corpus, so phrases sourced from refreshed-quarter
+    * docs (doc_id 11 exists at every SF: 11 % 97 == 11, 11 % 4 == 3)
+    * lose at least their own occurrence at asof0 — the horizons differ
+    * by construction. Oracle recomputes both horizons from raw text; a
+    * leaked segment-1 position hash-mismatches the asof0 leg.
+    */
+  def phraseAsOf(s: SparkSession, dir: String): DataFrame = {
+    tune(s)
+    val idx = loadIndex(s, refreshedBranch(s, dir, "phasof"))
+    val ph = phraseSet(docs(s, dir)).localCheckpoint()
+    def leg(i: SearchIndex, name: String): DataFrame =
+      phraseProbe(ph, i.positions)
+        .select(lit(name).as("horizon"), col("qid"), col("n_docs"),
+          col("n_occ"), col("first_doc"))
+    leg(idx, "full").unionByName(leg(asOfIndex(idx, 0), "asof0"))
+  }
+
+  /** One suffixed positional chain over an optionally filtered corpus —
+    * q216's oracle needs q170's chain twice (whole corpus and the
+    * pre-refresh 3/4 subset) with disjoint CTE names. */
+  private def phraseChainSql(sfx: String, docWhere: String): String =
+    s"""ptoks$sfx AS (
+       |  SELECT doc_id, l[i] AS tok, i AS pos
+       |  FROM (SELECT doc_id, regexp_extract_all(text, '[a-z0-9]+') AS l FROM documents$docWhere),
+       |       LATERAL unnest(range(1, len(l) + 1)) AS u(i))""".stripMargin
+
+  private def phraseLegSql(h: String, sfx: String): String =
+    s"""SELECT '$h' AS horizon, qid, CAST(COUNT(DISTINCT p0.doc_id) AS BIGINT) AS n_docs,
+       |       COUNT(*) AS n_occ, MIN(p0.doc_id) AS first_doc
+       |FROM ph
+       |JOIN ptoks$sfx p0 ON p0.tok = ph.t0
+       |JOIN ptoks$sfx p1 ON p1.doc_id = p0.doc_id AND p1.pos = p0.pos + 1 AND p1.tok = ph.t1
+       |JOIN ptoks$sfx p2 ON p2.doc_id = p0.doc_id AND p2.pos = p0.pos + 2 AND p2.tok = ph.t2
+       |GROUP BY qid""".stripMargin
+
+  private val phraseAsOfSql =
+    s"""WITH ${phraseChainSql("_f", "")},
+       |${phraseChainSql("_a", " WHERE doc_id % 4 <> 3")},
+       |ph AS (
+       |  SELECT doc_id AS qid, l[2] AS t0, l[3] AS t1, l[4] AS t2
+       |  FROM (SELECT doc_id, regexp_extract_all(text, '[a-z0-9]+') AS l
+       |        FROM documents WHERE doc_id % 97 = 11)
+       |  WHERE len(l) >= 4)
+       |${phraseLegSql("full", "_f")}
+       |UNION ALL
+       |${phraseLegSql("asof0", "_a")}""".stripMargin
 
   /** Shared fixture augmentation for the set-join: shifted copies (near
     * pairs) + exact copies guarantee qualifying pairs at every SF. Same
@@ -1122,6 +1187,9 @@ object Search extends QueryModule {
     GQuery("q170_phrase_search",
       "exact phrase search via positional-intersection joins over the stored positions table",
       phraseSearch, Some(phraseSearchSql)),
+    GQuery("q216_phrase_asof",
+      "phrase search at a horizon: positional intersection over the segment store at full vs pre-refresh views via a pushed segment filter",
+      phraseAsOf, Some(phraseAsOfSql)),
   )
 }
 

@@ -105,6 +105,33 @@ class SearchSpec extends AnyFunSuite {
       s"horizon filter must reach the parquet scan:\n$pushed")
   }
 
+  test("phrase as-of: horizon leg loses refreshed-quarter occurrences, full leg equals q170") {
+    val df = Search.phraseAsOf(s, TestSpark.sf).cache()
+    val full = df.filter(col("horizon") === "full").drop("horizon")
+    val asof = df.filter(col("horizon") === "asof0").drop("horizon")
+    // the full horizon over the two-segment branch is a whole-corpus
+    // phrase search: identical rows to q170 (disjoint-doc-append contract)
+    val q170 = Search.phraseSearch(s, TestSpark.sf).collect().map(_.toString).sorted
+    assert(full.collect().map(_.toString).sorted.sameElements(q170),
+      "full horizon must equal the whole-corpus q170 answer")
+    // doc 11 (11 % 97 == 11, 11 % 4 == 3) is a refreshed-quarter probe:
+    // its phrase's own occurrence is invisible at horizon 0, so its asof0
+    // row either vanishes or counts strictly fewer occurrences
+    val f11 = full.filter(col("qid") === 11).collect()
+    assert(f11.length == 1, "doc 11 must yield a probe phrase at every SF")
+    val a11 = asof.filter(col("qid") === 11).collect()
+    assert(a11.isEmpty ||
+        a11.head.getAs[Long]("n_occ") < f11.head.getAs[Long]("n_occ"),
+      "horizon 0 must not see doc 11's own phrase occurrence")
+    // no asof0 count may exceed its full-horizon counterpart (a leaked
+    // segment-1 position would do exactly that)
+    val joined = asof.select(col("qid"), col("n_occ").as("a_occ"))
+      .join(full.select(col("qid"), col("n_occ").as("f_occ")), "qid")
+    assert(joined.filter(col("a_occ") > col("f_occ")).count() == 0,
+      "asof0 occurrence counts must be <= full-horizon counts")
+    df.unpersist()
+  }
+
   test("phrase search: every phrase matches its source doc, equi-joins only") {
     val df = Search.phraseSearch(s, TestSpark.sf).cache()
     val plan = df.queryExecution.executedPlan.toString
