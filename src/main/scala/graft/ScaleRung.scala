@@ -81,6 +81,7 @@ object ScaleRung {
     "q212_pq_seq_compact",
     "q213_dedup_asof",
     "q214_search_asof",
+    "q216_phrase_asof",
     "q134_stream_screen",
     "q144_stream_vec_screen",
     "q177_stream_search",
@@ -90,6 +91,10 @@ object ScaleRung {
     // so the 10x ratio is dominated by the seed scan — linear, not the
     // probe (which is fixed-budget like q195)
     "q215_stream_ivf_refresh",
+    // q217 pays q215's full seed+stream cost PLUS the ledger-aware
+    // rewrite (O(store)) and the post-compaction replay probes — the
+    // rewrite is the linear term, as for q211/q212
+    "q217_stream_ivf_compact",
   )
 
   /** The RocksDB-vs-memory crossover experiment: the two streaming rigs

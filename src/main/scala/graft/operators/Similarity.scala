@@ -1840,6 +1840,20 @@ object Similarity extends QueryModule {
       .withColumn("replay_was_noop", lit(replayNoop))
   }
 
+  /** q217's answer frame: the marker-gated probe over the COMPACTED
+    * streaming store (identical read path to q215 — tombstoned segments
+    * contribute markers to the ledger and zero rows to the scan), with
+    * n_segments audited from the store (1 after a lossless collapse) and
+    * the post-compaction replay flag the rig observed. */
+  private[graft] def seqIvfStreamCompactResult(s: SparkSession, path: String,
+      replayNoop: Boolean): DataFrame = {
+    val assign = graft.sources.IndexStore.readCommitted(s, path, "assign", "seg")
+    val nseg = assign.agg(countDistinct(col("seg")).as("n_segments"))
+    seqIvfProbeOn(assign, maxSeg = 2)
+      .crossJoin(broadcast(nseg))
+      .withColumn("replay_after_compact", lit(replayNoop))
+  }
+
   /** The q184-style cluster-cover probe over the sequential store,
     * candidates bounded by `maxSeg` (2 = the full store, q195; 1 = the
     * pre-batch-2 horizon, q210). The horizon filter is applied only when
@@ -2085,6 +2099,16 @@ object Similarity extends QueryModule {
   private val ivfSeqCompactSql = sqlReplaced(ivfRefreshSeqSql,
     "CAST(CASE WHEN vid >= 200000 THEN 2 WHEN vid >= 100000 THEN 1 ELSE 0 END AS INT) AS seg",
     "CAST(0 AS INT) AS seg, CAST(1 AS BIGINT) AS n_segments")
+
+  /** q217's oracle: q211's compaction pins (seg=0, n_segments=1 — a
+    * lossless collapse serving the identical probe) PLUS the tombstone-
+    * ledger audit: replay_after_compact TRUE means re-driving both
+    * micro-batch commits against the compacted store was a metadata
+    * no-op (a ledger the rewrite dropped would re-write the segments,
+    * duplicate every streamed row, and shift the probe's cosim/rn). */
+  private[graft] val ivfStreamCompactSql = sqlReplaced(ivfRefreshSeqSql,
+    "CAST(CASE WHEN vid >= 200000 THEN 2 WHEN vid >= 100000 THEN 1 ELSE 0 END AS INT) AS seg",
+    "CAST(0 AS INT) AS seg, CAST(1 AS BIGINT) AS n_segments, TRUE AS replay_after_compact")
 
   /** q210's oracle: q195's identical chain with candidates bounded by
     * the pre-batch-2 id range (segments 0 and 1 — the horizon). The

@@ -262,6 +262,60 @@ object IndexStore {
       .parquet(segs.map(v => s"$tbl/$partCol=$v"): _*)
   }
 
+  /** Commit-ledger-aware compaction for a tagged-segment (partition-dir)
+    * table — the rewrite [[graft.operators.Similarity.compactSeqSegments]]'s
+    * refusal names as missing: collapse every COMMITTED segment's rows
+    * into fresh range-sorted files under `partCol=0` while PRESERVING the
+    * ledger, so the exactly-once replay contract a recovering stream
+    * depends on survives the rewrite. Concretely, the staged replacement
+    * table carries:
+    *  - `partCol=0`: all committed rows (their original `partCol` value
+    *    is provenance, collapsed like the flat compaction collapses seg),
+    *    range-partitioned on `rangeCols` and sorted on `sortCols` — the
+    *    many-small-files erosion appends cause is undone in one pass;
+    *  - a TOMBSTONE `partCol=v` directory (marker, no data) for every
+    *    other previously-committed segment: the `_COMMITTED` marker IS
+    *    the ledger entry [[appendSegmentIfAbsent]] checks, so a stream
+    *    replaying a pre-compaction batch after a crash still sees
+    *    "committed" and touches nothing. Uncommitted partial dirs are
+    *    dropped by the swap — their replay legitimately rewrites.
+    * The swap is [[Storage.guardedSwap]] under FIXED tmp/bak names, with
+    * [[Storage.recoverStaleSwap]] at entry healing a previous crash
+    * (mid-stage: tmp dropped, live untouched; mid-swap: bak restored).
+    * Only the one table directory moves — stamp, meta, and every other
+    * table of the store are untouched by construction. New segments
+    * commit normally after compaction (the ledger keeps growing); as-of
+    * horizons below the compaction point are forfeited, the same trade
+    * as the flat [[graft.operators.Similarity.compactSeqSegments]]. */
+  def compactSegmentLedger(s: SparkSession, path: String, table: String,
+      partCol: String, sortCols: Seq[String], rangeCols: Seq[String]): Unit = {
+    import org.apache.spark.sql.functions.col
+    require(isPartitionedTable(s, path, table),
+      s"compactSegmentLedger: table '$table' at $path is not partition-dir " +
+        "layout; use the flat compaction for seg-as-data-column stores")
+    val tbl = new Path(new Path(path), table)
+    val fs = fsOf(s, tbl)
+    val tmp = new Path(new Path(path), s".$table.compacting")
+    val bak = new Path(new Path(path), s".$table.precompact")
+    Storage.recoverStaleSwap(fs, tbl, tmp, bak)
+    val segs = committedSegments(s, path, table, partCol)
+    require(segs.nonEmpty, s"compactSegmentLedger: no committed segments at $tbl")
+    // the rewrite reads the very files the swap replaces — pin the rows
+    val rows = readCommitted(s, path, table, partCol)
+      .drop(partCol).localCheckpoint()
+    rows.repartitionByRange(rangeCols.map(col): _*)
+      .sortWithinPartitions(sortCols.map(col): _*)
+      .write.mode("overwrite").parquet(new Path(tmp, s"$partCol=0").toString)
+    fs.create(new Path(new Path(tmp, s"$partCol=0"), "_COMMITTED"), true).close()
+    segs.filter(_ != 0L).foreach { v =>
+      val d = new Path(tmp, s"$partCol=$v")
+      if (!fs.mkdirs(d))
+        throw new java.io.IOException(s"compactSegmentLedger: cannot create tombstone $d")
+      fs.create(new Path(d, "_COMMITTED"), true).close()
+    }
+    Storage.guardedSwap(fs, tbl, tmp, bak)
+  }
+
   /** True iff the stored table is laid out as hive partition directories
     * (the [[appendSegmentIfAbsent]] layout) rather than a flat file set.
     * The two layouts must never mix under one table root — Spark

@@ -953,41 +953,85 @@ object StreamOps extends QueryModule {
   def streamIvfRefresh(s: SparkSession, dir: String): DataFrame = {
     tune(s)
     withStatePartitions(s, 8) {
-      val batches = graft.operators.Similarity.seqArrivalBatches(s, dir)
-      val schema = batches.head._2.schema
-      val srcDir = stagedOnce(s"ivfrefresh:$dir") { sd =>
-        val t0 = 1000000000000L
-        batches.foreach { case (segId, b) =>
-          stageFile(s, sd, b, f"b${segId}%02d_arrivals", t0 + segId * 600000L)
-        }
-      }
-      val path = graft.operators.Similarity.seedSeqIvfStream(s, dir)
-      val flags = new java.util.concurrent.ConcurrentHashMap[Long, (Boolean, Boolean)]()
-      val src = s.readStream
-        .schema(schema)
-        .option("maxFilesPerTrigger", "1")
-        .parquet(srcDir)
-      val qname = s"graft_stream_ivfrefresh_${counter.incrementAndGet()}"
-      val q = src.writeStream
-        .foreachBatch { (batch: DataFrame, batchId: Long) =>
-          // file order is mtime-pinned, so micro-batch N carries arrival
-          // batch N+1 and commits as segment N+1 (seed = segment 0)
-          flags.put(batchId + 1, graft.operators.Similarity.seqIvfStreamCommit(
-            batch.sparkSession, dir, path, batchId + 1, batch))
-          ()
-        }
-        .option("checkpointLocation", s"$ckBase/$qname")
-        .trigger(Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
-      val nb = q.recentProgress.count(_.numInputRows > 0)
-      require(nb == 2, s"IVF refresh harness needs exactly 2 non-empty micro-batches, got $nb")
-      dropCheckpoint(s"$ckBase/$qname")
-      import scala.jdk.CollectionConverters._
-      val fl = flags.asScala.values.toSeq
-      val replayNoop = fl.sizeIs == 2 &&
-        fl.forall { case (first, replay) => first && !replay }
+      val (path, replayNoop) = runIvfRefreshStream(s, dir)
       graft.operators.Similarity.seqIvfStreamResult(s, path, replayNoop)
+    }
+  }
+
+  /** The q215 streaming rig's core, shared with the q217 compaction rig:
+    * seed the partition-dir store, stream the two arrival batches through
+    * exactly-once segment commits (each deliberately replayed), and
+    * return (store path, every-replay-was-a-no-op). */
+  private def runIvfRefreshStream(s: SparkSession, dir: String): (String, Boolean) = {
+    val batches = graft.operators.Similarity.seqArrivalBatches(s, dir)
+    val schema = batches.head._2.schema
+    val srcDir = stagedOnce(s"ivfrefresh:$dir") { sd =>
+      val t0 = 1000000000000L
+      batches.foreach { case (segId, b) =>
+        stageFile(s, sd, b, f"b${segId}%02d_arrivals", t0 + segId * 600000L)
+      }
+    }
+    val path = graft.operators.Similarity.seedSeqIvfStream(s, dir)
+    val flags = new java.util.concurrent.ConcurrentHashMap[Long, (Boolean, Boolean)]()
+    val src = s.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(srcDir)
+    val qname = s"graft_stream_ivfrefresh_${counter.incrementAndGet()}"
+    val q = src.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        // file order is mtime-pinned, so micro-batch N carries arrival
+        // batch N+1 and commits as segment N+1 (seed = segment 0)
+        flags.put(batchId + 1, graft.operators.Similarity.seqIvfStreamCommit(
+          batch.sparkSession, dir, path, batchId + 1, batch))
+        ()
+      }
+      .option("checkpointLocation", s"$ckBase/$qname")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val nb = q.recentProgress.count(_.numInputRows > 0)
+    require(nb == 2, s"IVF refresh harness needs exactly 2 non-empty micro-batches, got $nb")
+    dropCheckpoint(s"$ckBase/$qname")
+    import scala.jdk.CollectionConverters._
+    val fl = flags.asScala.values.toSeq
+    val replayNoop = fl.sizeIs == 2 &&
+      fl.forall { case (first, replay) => first && !replay }
+    (path, replayNoop)
+  }
+
+  /** q217: ledger-aware compaction of the STREAMING segment store — the
+    * maintenance op [[graft.operators.Similarity.compactSeqSegments]]'s
+    * partition-dir refusal names as missing, landed end-to-end. Run the
+    * full q215 stream (seed + two exactly-once segment commits), then
+    * compact the store through
+    * [[graft.sources.IndexStore.compactSegmentLedger]]: all committed
+    * rows collapse into fresh cid-range-sorted files under `seg=0` while
+    * every pre-compaction segment keeps a TOMBSTONE commit marker — the
+    * ledger survives the rewrite. The proof is in the answer frame: the
+    * probe serves q195's exact rows from the compacted store (content
+    * untouched, seg collapsed to 0, n_segments audited from the store at
+    * 1), and `replay_after_compact` re-drives BOTH micro-batch commits
+    * against the compacted store — a correct tombstone ledger makes each
+    * a metadata no-op (returns false, writes nothing), which the oracle
+    * pins TRUE alongside the unchanged probe hash (a replay that
+    * re-wrote a segment would duplicate rows and shift every cosim/rn).
+    */
+  def streamIvfCompact(s: SparkSession, dir: String): DataFrame = {
+    tune(s)
+    withStatePartitions(s, 8) {
+      val (path, replayNoop) = runIvfRefreshStream(s, dir)
+      require(replayNoop, "pre-compaction stream must commit exactly once")
+      graft.sources.IndexStore.compactSegmentLedger(s, path, "assign", "seg",
+        sortCols = Seq("cid", "vec_id"), rangeCols = Seq("cid", "vec_id"))
+      // the recovery retry, AFTER compaction: re-commit both arrival
+      // batches; the tombstoned ledger must answer "already committed"
+      val replays = graft.operators.Similarity.seqArrivalBatches(s, dir).map {
+        case (segId, b) => graft.operators.Similarity.seqIvfStreamCommit(
+          s, dir, path, segId.toLong, b)
+      }
+      val stillNoop = replays.forall { case (first, second) => !first && !second }
+      graft.operators.Similarity.seqIvfStreamCompactResult(s, path, stillNoop)
     }
   }
 
@@ -1060,5 +1104,8 @@ object StreamOps extends QueryModule {
     GQuery("q215_stream_ivf_refresh",
       "streaming sequential IVF refresh: exactly-once tagged-segment commits per micro-batch, replay audited as no-op; probe oracle == batch q195",
       streamIvfRefresh, Some(graft.operators.Similarity.ivfRefreshSeqStreamSql)),
+    GQuery("q217_stream_ivf_compact",
+      "ledger-aware compaction of the streaming segment store: committed rows collapse to seg=0, tombstone markers keep post-compaction replays exactly-once",
+      streamIvfCompact, Some(graft.operators.Similarity.ivfStreamCompactSql)),
   )
 }

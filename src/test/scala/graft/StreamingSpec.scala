@@ -109,4 +109,44 @@ class StreamingSpec extends AnyFunSuite {
         s"segment $k must carry its commit marker")
     }
   }
+
+  test("ledger-aware compaction: content preserved, tombstones keep replays no-op, ledger keeps growing") {
+    import org.apache.spark.sql.functions._
+    val df = StreamOps.streamIvfCompact(s, TestSpark.sf).cache()
+    assert(df.count() > 0, "compacted store must answer the probe set")
+    assert(df.select(col("n_segments")).distinct().collect()
+      .map(_.getLong(0)).toSeq == Seq(1L),
+      "a lossless collapse must leave exactly one data-bearing segment")
+    assert(df.collect().forall(_.getAs[Boolean]("replay_after_compact")),
+      "re-driving both micro-batch commits after compaction must be a no-op")
+    // content untouched by the rewrite: probe rows equal the batch q195
+    // refresh exactly (seg collapsed to 0 is the only difference)
+    val probe = df.select(col("qid"), col("vid"), col("cosim"), col("rn"))
+    val batch = graft.operators.Similarity.ivfRefreshSeq(s, TestSpark.sf)
+      .select(col("qid"), col("vid"), col("cosim"), col("rn"))
+    assert(probe.except(batch).isEmpty && batch.except(probe).isEmpty,
+      "compacted probe must serve the pre-compaction rows")
+    df.unpersist()
+    // ledger layout: seg=0 carries data + marker; the pre-compaction
+    // segments survive as tombstones — marker present, zero data files
+    val path = graft.operators.Similarity.seqIvfStreamPath(TestSpark.sf)
+    val tbl = new java.io.File(path, "assign")
+    Seq(0, 1, 2).foreach { k =>
+      assert(new java.io.File(tbl, s"seg=$k/_COMMITTED").isFile,
+        s"segment $k's ledger entry must survive compaction")
+    }
+    Seq(1, 2).foreach { k =>
+      val data = new java.io.File(tbl, s"seg=$k").listFiles()
+        .map(_.getName).filter(_.endsWith(".parquet"))
+      assert(data.isEmpty, s"tombstone seg=$k must carry no data files, got ${data.toSeq}")
+    }
+    // and the ledger keeps growing: a genuinely NEW segment still
+    // commits exactly-once against the compacted store
+    val b1 = graft.operators.Similarity.seqArrivalBatches(s, TestSpark.sf).head._2
+    val (first, replay) =
+      graft.operators.Similarity.seqIvfStreamCommit(s, TestSpark.sf, path, 3L, b1)
+    assert(first && !replay, "a new segment must commit exactly-once post-compaction")
+    assert(graft.sources.IndexStore.committedSegments(s, path, "assign", "seg")
+      == Seq(0L, 1L, 2L, 3L))
+  }
 }
