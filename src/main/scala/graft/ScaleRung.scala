@@ -95,6 +95,10 @@ object ScaleRung {
     // rewrite (O(store)) and the post-compaction replay probes — the
     // rewrite is the linear term, as for q211/q212
     "q217_stream_ivf_compact",
+    // q218 pays q215's seed+stream cost plus two probes; the as-of leg
+    // must cost LESS than the full leg (its file index is smaller), so
+    // the q218-minus-q215 delta stays flat like q210
+    "q218_stream_ivf_asof",
   )
 
   /** The RocksDB-vs-memory crossover experiment: the two streaming rigs

@@ -1854,6 +1854,27 @@ object Similarity extends QueryModule {
       .withColumn("replay_after_compact", lit(replayNoop))
   }
 
+  /** q218's answer frame: the SAME probe at two horizons of the STREAMED
+    * store, the as-of leg read through
+    * [[graft.sources.IndexStore.readCommittedAsOf]] — the horizon bounds
+    * the explicit partition-dir path list, so segment 2's directory is
+    * never listed into the as-of scan's file index (planning-time
+    * directory skipping, the 100 TB shape of `seg <= h`), while the full
+    * leg reads every committed segment. Both legs share one probe
+    * definition; the q210 fixture property (a segment-2 float-exact 2x
+    * copy at cosine 1 in every probe cluster) guarantees the horizons
+    * differ by construction. */
+  private[graft] def seqIvfStreamAsOfResult(s: SparkSession, path: String): DataFrame = {
+    def leg(df: DataFrame, name: String): DataFrame =
+      seqIvfProbeOn(df, maxSeg = 2)
+        .select(lit(name).as("horizon"), col("qid"), col("vid"),
+          col("seg"), col("cosim"), col("rn"))
+    leg(graft.sources.IndexStore.readCommitted(s, path, "assign", "seg"), "full")
+      .unionByName(leg(
+        graft.sources.IndexStore.readCommittedAsOf(s, path, "assign", "seg", 1L),
+        "asof1"))
+  }
+
   /** The q184-style cluster-cover probe over the sequential store,
     * candidates bounded by `maxSeg` (2 = the full store, q195; 1 = the
     * pre-batch-2 horizon, q210). The horizon filter is applied only when
@@ -2109,6 +2130,34 @@ object Similarity extends QueryModule {
   private[graft] val ivfStreamCompactSql = sqlReplaced(ivfRefreshSeqSql,
     "CAST(CASE WHEN vid >= 200000 THEN 2 WHEN vid >= 100000 THEN 1 ELSE 0 END AS INT) AS seg",
     "CAST(0 AS INT) AS seg, CAST(1 AS BIGINT) AS n_segments, TRUE AS replay_after_compact")
+
+  /** q218's oracle: ONE probe chain (every CTE shared), answered at two
+    * horizons in the final select — the full leg is q195's exact
+    * ranking, the asof1 leg re-ranks with candidates bounded to the
+    * pre-batch-2 id range (vid < 200000 == segments 0/1, the segment-id
+    * contract [[seqArrivalBatches]] pins). A horizon read that leaked a
+    * segment-2 row would surface the cosine-1 2x copy at rank 1 of some
+    * asof1 probe and hash-mismatch. */
+  private[graft] val ivfStreamAsOfSql = sqlReplaced(ivfRefreshSeqSql,
+    """SELECT qid, vid,
+      |       CAST(CASE WHEN vid >= 200000 THEN 2 WHEN vid >= 100000 THEN 1 ELSE 0 END AS INT) AS seg,
+      |       round(cosim, 9) AS cosim, rn FROM (
+      |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY round(cosim, 9) DESC, vid) AS INT) AS rn
+      |  FROM pcos)
+      |WHERE rn <= 3""".stripMargin,
+    """SELECT 'full' AS horizon, qid, vid,
+      |       CAST(CASE WHEN vid >= 200000 THEN 2 WHEN vid >= 100000 THEN 1 ELSE 0 END AS INT) AS seg,
+      |       round(cosim, 9) AS cosim, rn FROM (
+      |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY round(cosim, 9) DESC, vid) AS INT) AS rn
+      |  FROM pcos)
+      |WHERE rn <= 3
+      |UNION ALL
+      |SELECT 'asof1' AS horizon, qid, vid,
+      |       CAST(CASE WHEN vid >= 100000 THEN 1 ELSE 0 END AS INT) AS seg,
+      |       round(cosim, 9) AS cosim, rn FROM (
+      |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY round(cosim, 9) DESC, vid) AS INT) AS rn
+      |  FROM pcos WHERE vid < 200000)
+      |WHERE rn <= 3""".stripMargin)
 
   /** q210's oracle: q195's identical chain with candidates bounded by
     * the pre-batch-2 id range (segments 0 and 1 — the horizon). The

@@ -254,10 +254,22 @@ object IndexStore {
     * inference, which matters because a crash mid-write can leave a
     * torn parquet footer that would fail ANY open. */
   def readCommitted(s: SparkSession, path: String, table: String,
-      partCol: String): DataFrame = {
+      partCol: String): DataFrame =
+    readCommittedAsOf(s, path, table, partCol, Long.MaxValue)
+
+  /** [[readCommitted]] bounded by a segment HORIZON — the as-of read for
+    * the partition-dir store. The horizon is applied to the explicit
+    * path list itself, so a pruned segment's directory is never listed
+    * into the scan's file index: stronger than a pushed `partCol <= h`
+    * predicate (which still enumerates every file and prunes per
+    * row-group) and the form directory-level partition pruning takes at
+    * 100 TB — whole segment directories absent from planning. */
+  def readCommittedAsOf(s: SparkSession, path: String, table: String,
+      partCol: String, horizon: Long): DataFrame = {
     val tbl = new Path(new Path(path), table).toString
-    val segs = committedSegments(s, path, table, partCol)
-    require(segs.nonEmpty, s"no committed $partCol segments under $tbl")
+    val segs = committedSegments(s, path, table, partCol).filter(_ <= horizon)
+    require(segs.nonEmpty,
+      s"no committed $partCol segments at or below $horizon under $tbl")
     s.read.option("basePath", tbl)
       .parquet(segs.map(v => s"$tbl/$partCol=$v"): _*)
   }

@@ -1035,6 +1035,29 @@ object StreamOps extends QueryModule {
     }
   }
 
+  /** q218: the as-of read over the STREAMED partition-dir store — q210's
+    * audit replay ("reproduce what yesterday's index returned") carried
+    * to the store the stream writes. After the full q215 run (seed + two
+    * exactly-once segment commits), the same probe set is answered at
+    * horizon full and horizon 1; the as-of leg reads through
+    * [[graft.sources.IndexStore.readCommittedAsOf]], whose horizon bounds
+    * the explicit partition-dir path list — segment 2's directory is
+    * never listed into the scan's file index. That is the partition-dir
+    * layout's payoff over the flat store's row-group min/max pruning
+    * (q210): at 100 TB the horizon skips whole directories at planning
+    * time, zero data-plane cost. Oracled from one shared probe chain
+    * with the asof1 leg's candidates bounded to the pre-batch-2 id
+    * range; a leaked segment-2 row would rank first somewhere (the
+    * cosine-1 2x copy) and hash-mismatch. */
+  def streamIvfAsOf(s: SparkSession, dir: String): DataFrame = {
+    tune(s)
+    withStatePartitions(s, 8) {
+      val (path, replayNoop) = runIvfRefreshStream(s, dir)
+      require(replayNoop, "stream must commit exactly once before the as-of probe")
+      graft.operators.Similarity.seqIvfStreamAsOfResult(s, path)
+    }
+  }
+
   private val streamIntervalJoinSql =
     """SELECT (epoch_us(c.ts) // 1000000 // 3600) * 3600 AS hour_epoch,
       |       COUNT(*) AS n_pairs,
@@ -1107,5 +1130,8 @@ object StreamOps extends QueryModule {
     GQuery("q217_stream_ivf_compact",
       "ledger-aware compaction of the streaming segment store: committed rows collapse to seg=0, tombstone markers keep post-compaction replays exactly-once",
       streamIvfCompact, Some(graft.operators.Similarity.ivfStreamCompactSql)),
+    GQuery("q218_stream_ivf_asof",
+      "as-of probe over the streamed partition-dir store: the horizon bounds the explicit segment-dir path list, so pruned directories never enter planning",
+      streamIvfAsOf, Some(graft.operators.Similarity.ivfStreamAsOfSql)),
   )
 }

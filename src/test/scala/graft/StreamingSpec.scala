@@ -149,4 +149,37 @@ class StreamingSpec extends AnyFunSuite {
     assert(graft.sources.IndexStore.committedSegments(s, path, "assign", "seg")
       == Seq(0L, 1L, 2L, 3L))
   }
+
+  test("streamed-store as-of: horizon prunes the segment DIRECTORY from planning; legs differ") {
+    import org.apache.spark.sql.functions._
+    val df = StreamOps.streamIvfAsOf(s, TestSpark.sf).cache()
+    val full = df.filter(col("horizon") === "full")
+    val asof = df.filter(col("horizon") === "asof1")
+    assert(full.count() > 0 && asof.count() > 0, "both horizons must answer")
+    // the full leg is exactly the batch q195 refresh's ranking
+    val probeCols = Seq(col("qid"), col("vid"), col("seg"), col("cosim"), col("rn"))
+    val batch = graft.operators.Similarity.ivfRefreshSeq(s, TestSpark.sf)
+    assert(full.select(probeCols: _*).except(batch).isEmpty &&
+      batch.except(full.select(probeCols: _*)).isEmpty,
+      "full horizon must equal the batch sequential refresh")
+    // the horizon leg serves only pre-batch-2 rows, and the horizons
+    // genuinely differ (the segment-2 cosine-1 copies outrank someone)
+    assert(asof.filter(col("seg") >= 2 || col("vid") >= 200000L).isEmpty,
+      "as-of leg must never surface a segment-2 row")
+    assert(asof.select(probeCols: _*).except(full.select(probeCols: _*)).count() > 0,
+      "horizons must differ by construction on this fixture")
+    df.unpersist()
+    // the load-bearing claim: the as-of READ's file index never lists
+    // the pruned segment's directory — planning-time pruning, not a
+    // data-plane filter over every file
+    val path = graft.operators.Similarity.seqIvfStreamPath(TestSpark.sf)
+    val asofFiles = graft.sources.IndexStore
+      .readCommittedAsOf(s, path, "assign", "seg", 1L).inputFiles
+    assert(asofFiles.nonEmpty && asofFiles.forall(!_.contains("seg=2")),
+      "horizon read must not list seg=2 files")
+    val fullFiles = graft.sources.IndexStore
+      .readCommitted(s, path, "assign", "seg").inputFiles
+    assert(fullFiles.exists(_.contains("seg=2")),
+      "full read must still see the streamed segment")
+  }
 }
