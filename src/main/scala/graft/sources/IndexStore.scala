@@ -302,14 +302,17 @@ object IndexStore {
   def compactSegmentLedger(s: SparkSession, path: String, table: String,
       partCol: String, sortCols: Seq[String], rangeCols: Seq[String]): Unit = {
     import org.apache.spark.sql.functions.col
-    require(isPartitionedTable(s, path, table),
-      s"compactSegmentLedger: table '$table' at $path is not partition-dir " +
-        "layout; use the flat compaction for seg-as-data-column stores")
     val tbl = new Path(new Path(path), table)
     val fs = fsOf(s, tbl)
     val tmp = new Path(new Path(path), s".$table.compacting")
     val bak = new Path(new Path(path), s".$table.precompact")
+    // recovery BEFORE the layout check: a compactor that died between its
+    // swap's two renames left no live table at all (bak holds the only
+    // copy) — probing layout first would reject the store it must heal
     Storage.recoverStaleSwap(fs, tbl, tmp, bak)
+    require(isPartitionedTable(s, path, table),
+      s"compactSegmentLedger: table '$table' at $path is not partition-dir " +
+        "layout; use the flat compaction for seg-as-data-column stores")
     val segs = committedSegments(s, path, table, partCol)
     require(segs.nonEmpty, s"compactSegmentLedger: no committed segments at $tbl")
     // the rewrite reads the very files the swap replaces — pin the rows

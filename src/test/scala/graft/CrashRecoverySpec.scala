@@ -205,4 +205,51 @@ class CrashRecoverySpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("partition-dir layout"))
   }
+
+  test("ledger compaction heals crash leftovers at every swap stage and keeps the ledger") {
+    import graft.sources.IndexStore
+    Engine.tune(s)
+    val store = s"$base/segledgercpt"
+    import s.implicits._
+    def seg(n: Int) = (1 to 3).map(i => (n * 10L + i, s"v$n")).toDF("id", "tag")
+    (0 to 2).foreach(n =>
+      assert(IndexStore.appendSegmentIfAbsent(s, store, "t", "seg", n.toLong, seg(n))))
+
+    // crash MID-STAGE: a half-written tmp from a dead compactor must be
+    // swept at entry, never merged into the fresh rewrite
+    val tmp = new java.io.File(s"$store/.t.compacting")
+    assert(tmp.mkdirs())
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(tmp.getPath, "junk"), "x".getBytes)
+    IndexStore.compactSegmentLedger(s, store, "t", "seg", Seq("id"), Seq("id"))
+    assert(!tmp.exists(), "stale tmp must be gone after a successful compaction")
+    val cpt = IndexStore.readCommitted(s, store, "t", "seg")
+    assert(cpt.count() == 9L, "compaction must keep every committed row")
+    assert(cpt.select("seg").distinct().collect().map(_.getInt(0)).toSeq == Seq(0),
+      "all rows collapse to seg=0")
+    assert(IndexStore.committedSegments(s, store, "t", "seg") == Seq(0L, 1L, 2L),
+      "tombstone markers must preserve the full ledger")
+    assert(!IndexStore.appendSegmentIfAbsent(s, store, "t", "seg", 1L, seg(1)),
+      "a pre-compaction batch's replay must stay a no-op")
+
+    // crash MID-SWAP: live renamed to bak, then death — bak is the ONLY
+    // copy; the next compactor's entry recovery must restore it before
+    // doing anything else
+    val live = new java.io.File(s"$store/t")
+    val bak = new java.io.File(s"$store/.t.precompact")
+    assert(live.renameTo(bak), "simulated mid-swap crash")
+    IndexStore.compactSegmentLedger(s, store, "t", "seg", Seq("id"), Seq("id"))
+    assert(IndexStore.readCommitted(s, store, "t", "seg").count() == 9L,
+      "recovery must restore the backed-up table, then compact it")
+    assert(IndexStore.committedSegments(s, store, "t", "seg") == Seq(0L, 1L, 2L))
+
+    // crash POST-SWAP: a stale bak beside a live table is garbage from a
+    // run that died after its swap completed — dropped, live untouched
+    assert(bak.mkdirs())
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(bak.getPath, "junk"), "x".getBytes)
+    IndexStore.compactSegmentLedger(s, store, "t", "seg", Seq("id"), Seq("id"))
+    assert(!bak.exists(), "stale bak must be dropped")
+    assert(IndexStore.readCommitted(s, store, "t", "seg").count() == 9L)
+  }
 }
