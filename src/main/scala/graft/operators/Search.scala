@@ -573,6 +573,129 @@ object Search extends QueryModule {
        |  FROM dict)
        |WHERE rn <= 15""".stripMargin
 
+  // ---- q219: streaming index refresh through the exactly-once ledger ----
+
+  /** The four tables every search-index store carries — one definition
+    * shared by the streaming commit path and its readers, so a table
+    * added later cannot silently escape the cross-table visibility
+    * rule. */
+  private[graft] val indexTableNames =
+    Seq("postings", "doclen", "dict", "positions")
+
+  /** The deterministic arrival-doc slices for the streaming refresh rig:
+    * the refreshed quarter (doc_id % 4 == 3, the [[refreshedBranch]]
+    * contract) split into two disjoint micro-batches, so base + both
+    * batches == the whole corpus and the streamed index's BM25 equals
+    * the whole-corpus build by additive-stats composition (q166). */
+  private[graft] def arrivalDocBatches(s: SparkSession, dir: String): Seq[(Int, DataFrame)] = {
+    val d = docs(s, dir)
+    Seq(1 -> d.filter(col("doc_id") % 8 === 3),
+      2 -> d.filter(col("doc_id") % 8 === 7))
+  }
+
+  /** One doc slice rendered as the four index tables WITHOUT a segment
+    * data column — the partition directory carries the segment id in the
+    * streaming layout. Postings/positions keep the term-sorted file
+    * discipline [[persistIndex]] pins (min/max-prunable term probes);
+    * dl/dict derive from the checkpointed postings so the tokenize
+    * pipeline runs once per slice. */
+  private def streamTables(d: DataFrame): Seq[(String, DataFrame)] = {
+    val sd = spread(d)
+    val post = toks(sd).groupBy(col("tok"), col("doc_id"))
+      .agg(count(lit(1)).as("tf")).localCheckpoint()
+    Seq(
+      "postings" -> post.repartition(col("tok"))
+        .sortWithinPartitions(col("tok"), col("doc_id")),
+      "doclen" -> post.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl")),
+      "dict" -> post.groupBy(col("tok"))
+        .agg(count(lit(1)).as("df"), sum(col("tf")).as("cf"),
+          max(col("tf")).as("max_tf")),
+      "positions" -> posToks(sd).repartition(col("tok"))
+        .sortWithinPartitions(col("tok"), col("doc_id"), col("pos")))
+  }
+
+  /** The q219 streaming store's path — process-unique and reaped at JVM
+    * exit, like the vector family's streaming store. */
+  private[graft] def streamIndexPath(dir: String): String =
+    "target/tmp/search_stream_" + graft.operators.Similarity.processTag +
+      "_" + dir.replaceAll("[^A-Za-z0-9.]+", "_")
+
+  /** Fresh-seed the streaming search index, partition-dir-first: the base
+    * corpus (3/4 of docs) lands as committed `segment=0` of all four
+    * tables through the SAME exactly-once commit path every later
+    * micro-batch uses. Stamp written last (a crashed seed never
+    * validates). */
+  private[graft] def seedStreamIndex(s: SparkSession, dir: String): String = {
+    val path = streamIndexPath(dir)
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) fs.delete(p, true)
+    val base = docs(s, dir).filter(col("doc_id") % 4 =!= 3)
+    val seeded = streamTables(base).map { case (t, df) =>
+      graft.sources.IndexStore.appendSegmentIfAbsent(s, path, t, "segment", 0L, df)
+    }
+    require(seeded.forall(identity), s"fresh streaming index at $path had segments")
+    graft.sources.IndexStore.writeStamp(s, path,
+      "searchstream1|" + fixtureStamp(s, dir))
+    graft.operators.Similarity.cleanupAtExit(path)
+    path
+  }
+
+  /** Commit one arriving doc micro-batch as tagged segment `segId` of
+    * ALL FOUR tables, then DELIBERATELY re-commit every table (the
+    * crash-recovery replay). Returns (firstAllCommitted, replayWroteAny)
+    * — a correct ledger yields (true, false). A real crash between two
+    * tables' first commits leaves the segment invisible (the cross-table
+    * visibility rule intersects the per-table ledgers) until the replay
+    * completes the stragglers — at which point it appears atomically. */
+  private[graft] def streamIndexCommit(s: SparkSession, path: String,
+      segId: Long, batch: DataFrame): (Boolean, Boolean) = {
+    val frames = streamTables(batch)
+    def commitAll(): Seq[Boolean] = frames.map { case (t, df) =>
+      graft.sources.IndexStore.appendSegmentIfAbsent(s, path, t, "segment", segId, df)
+    }
+    val first = commitAll()
+    val replay = commitAll()
+    (first.forall(identity), replay.exists(identity))
+  }
+
+  /** The streamed store served through the cross-table visibility rule:
+    * a segment is readable iff committed in EVERY table (no torn
+    * multi-table view survives a crash between two tables' commits).
+    * Returns the q164 top-k over that view plus the audit columns the
+    * oracle pins — n_segments counted from the store and the rig's
+    * replay flag. */
+  private[graft] def streamSearchResult(s: SparkSession, dir: String,
+      path: String, replayNoop: Boolean): DataFrame = {
+    val vis = graft.sources.IndexStore.commonCommittedSegments(
+      s, path, indexTableNames, "segment")
+    def rd(t: String) =
+      graft.sources.IndexStore.readSegments(s, path, t, "segment", vis)
+    val idx = SearchIndex(rd("postings"), rd("doclen"), rd("dict"),
+      () => rd("positions"))
+    val nseg = rd("postings")
+      .agg(countDistinct(col("segment")).as("n_segments"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid")).orderBy(col("score").desc, col("doc_id"))
+    bm25(idx, querySet(docs(s, dir)))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") <= 5)
+      .select(col("qid"), col("doc_id"), col("score"), col("rn"))
+      .crossJoin(broadcast(nseg))
+      .withColumn("replay_was_noop", lit(replayNoop))
+  }
+
+  /** q219's oracle: the whole-corpus q164 chain (streamed segments
+    * compose additively to whole-corpus statistics — the q166 property)
+    * with the audit constants pinned: 3 segments (seed + one per
+    * micro-batch), every deliberate replay a no-op. */
+  private[graft] val bm25StreamRefreshSql = {
+    val anchor = "SELECT qid, doc_id, score, rn FROM ("
+    require(bm25TopKSql.contains(anchor), "q219 oracle anchor drifted")
+    bm25TopKSql.replace(anchor,
+      "SELECT qid, doc_id, score, rn, CAST(3 AS BIGINT) AS n_segments, " +
+        "TRUE AS replay_was_noop FROM (")
+  }
+
   /** q170: exact phrase search over the POSITIONAL side of the persisted
     * index — the query LSH/BM25 cannot answer ("these words, adjacent, in
     * order"). Each probe phrase (3 consecutive tokens lifted from a

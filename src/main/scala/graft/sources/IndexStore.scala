@@ -266,12 +266,41 @@ object IndexStore {
     * 100 TB — whole segment directories absent from planning. */
   def readCommittedAsOf(s: SparkSession, path: String, table: String,
       partCol: String, horizon: Long): DataFrame = {
-    val tbl = new Path(new Path(path), table).toString
     val segs = committedSegments(s, path, table, partCol).filter(_ <= horizon)
     require(segs.nonEmpty,
-      s"no committed $partCol segments at or below $horizon under $tbl")
+      s"no committed $partCol segments at or below $horizon under $path/$table")
+    readSegments(s, path, table, partCol, segs)
+  }
+
+  /** Read an EXPLICIT committed-segment set of a tagged-segment table —
+    * the primitive under [[readCommitted]]/[[readCommittedAsOf]], public
+    * for multi-table stores whose visibility rule is not a plain prefix
+    * (e.g. "a segment is visible iff committed in EVERY table of the
+    * store" — the cross-table atomicity a multi-table streaming index
+    * needs when a crash can land between two tables' commits). Every
+    * requested segment must carry its marker. */
+  def readSegments(s: SparkSession, path: String, table: String,
+      partCol: String, segs: Seq[Long]): DataFrame = {
+    val tbl = new Path(new Path(path), table).toString
+    require(segs.nonEmpty, s"readSegments: empty segment set for $tbl")
+    val committed = committedSegments(s, path, table, partCol).toSet
+    val bad = segs.filterNot(committed)
+    require(bad.isEmpty, s"readSegments: uncommitted segments $bad under $tbl")
     s.read.option("basePath", tbl)
       .parquet(segs.map(v => s"$tbl/$partCol=$v"): _*)
+  }
+
+  /** The CROSS-TABLE visible segment set of a multi-table tagged-segment
+    * store: segments committed in every one of `tables`. A crash between
+    * two tables' commits of the same segment leaves it invisible
+    * everywhere (no torn multi-table view); the recovering stream's
+    * replay completes the missing tables and the segment appears
+    * atomically. */
+  def commonCommittedSegments(s: SparkSession, path: String,
+      tables: Seq[String], partCol: String): Seq[Long] = {
+    require(tables.nonEmpty, "commonCommittedSegments: no tables")
+    tables.map(t => committedSegments(s, path, t, partCol).toSet)
+      .reduce(_ intersect _).toSeq.sorted
   }
 
   /** Commit-ledger-aware compaction for a tagged-segment (partition-dir)

@@ -1058,6 +1058,62 @@ object StreamOps extends QueryModule {
     }
   }
 
+  /** q219: streaming refresh for the SEARCH index — near-real-time
+    * lexical indexing, the q215 write path carried to a MULTI-TABLE
+    * store. Each arriving doc micro-batch is tokenized once and
+    * committed as tagged segment N of all four index tables (postings /
+    * doclen / dict / positions) through the exactly-once ledger, every
+    * commit deliberately replayed. The crash window q215 doesn't have —
+    * death BETWEEN two tables' commits of one segment — is closed by the
+    * reader's cross-table visibility rule: a segment serves only once
+    * committed in EVERY table, so no torn index view (postings without
+    * their dictionary deltas) is ever scored; the recovering replay
+    * completes the stragglers and the segment appears atomically.
+    * Serving needs no merge step: BM25 statistics compose additively
+    * across segments (the q166 property), so the oracle is the
+    * whole-corpus q164 chain with the segment count and replay flag
+    * pinned. */
+  def streamSearchRefresh(s: SparkSession, dir: String): DataFrame = {
+    tune(s)
+    withStatePartitions(s, 8) {
+      val batches = graft.operators.Search.arrivalDocBatches(s, dir)
+      val schema = batches.head._2.schema
+      val srcDir = stagedOnce(s"searchrefresh:$dir") { sd =>
+        val t0 = 1000000000000L
+        batches.foreach { case (segId, b) =>
+          stageFile(s, sd, b, f"b${segId}%02d_docs", t0 + segId * 600000L)
+        }
+      }
+      val path = graft.operators.Search.seedStreamIndex(s, dir)
+      val flags = new java.util.concurrent.ConcurrentHashMap[Long, (Boolean, Boolean)]()
+      val src = s.readStream
+        .schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(srcDir)
+      val qname = s"graft_stream_searchrefresh_${counter.incrementAndGet()}"
+      val q = src.writeStream
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          // file order is mtime-pinned: micro-batch N carries arrival
+          // slice N+1 and commits as segment N+1 (seed = segment 0)
+          flags.put(batchId + 1, graft.operators.Search.streamIndexCommit(
+            batch.sparkSession, path, batchId + 1, batch))
+          ()
+        }
+        .option("checkpointLocation", s"$ckBase/$qname")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val nb = q.recentProgress.count(_.numInputRows > 0)
+      require(nb == 2, s"search refresh harness needs exactly 2 non-empty micro-batches, got $nb")
+      dropCheckpoint(s"$ckBase/$qname")
+      import scala.jdk.CollectionConverters._
+      val fl = flags.asScala.values.toSeq
+      val replayNoop = fl.sizeIs == 2 &&
+        fl.forall { case (first, replay) => first && !replay }
+      graft.operators.Search.streamSearchResult(s, dir, path, replayNoop)
+    }
+  }
+
   private val streamIntervalJoinSql =
     """SELECT (epoch_us(c.ts) // 1000000 // 3600) * 3600 AS hour_epoch,
       |       COUNT(*) AS n_pairs,
@@ -1133,5 +1189,8 @@ object StreamOps extends QueryModule {
     GQuery("q218_stream_ivf_asof",
       "as-of probe over the streamed partition-dir store: the horizon bounds the explicit segment-dir path list, so pruned directories never enter planning",
       streamIvfAsOf, Some(graft.operators.Similarity.ivfStreamAsOfSql)),
+    GQuery("q219_stream_search_refresh",
+      "streaming search-index refresh: each micro-batch commits all four index tables as one tagged segment, readers intersect the per-table ledgers so no torn view is ever scored",
+      streamSearchRefresh, Some(graft.operators.Search.bm25StreamRefreshSql)),
   )
 }

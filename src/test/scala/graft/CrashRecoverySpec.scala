@@ -206,6 +206,50 @@ class CrashRecoverySpec extends AnyFunSuite {
     assert(e.getMessage.contains("partition-dir layout"))
   }
 
+  test("cross-table ledger: a segment torn between two tables is invisible everywhere until replay heals it") {
+    import graft.sources.IndexStore
+    Engine.tune(s)
+    val store = s"$base/xtable"
+    import s.implicits._
+    def seg(n: Int) = (1 to 3).map(i => (n * 10L + i, s"v$n")).toDF("id", "tag")
+    val tables = Seq("a", "b")
+
+    // seed: segment 0 committed in BOTH tables -> visible
+    tables.foreach(t =>
+      assert(IndexStore.appendSegmentIfAbsent(s, store, t, "seg", 0L, seg(0))))
+    assert(IndexStore.commonCommittedSegments(s, store, tables, "seg") == Seq(0L))
+
+    // crash BETWEEN the two tables' commits of segment 1: "a" committed,
+    // "b" never reached — the q219 window. The segment must be invisible
+    // in the cross-table view even though table "a" alone would serve it.
+    assert(IndexStore.appendSegmentIfAbsent(s, store, "a", "seg", 1L, seg(1)))
+    assert(IndexStore.committedSegments(s, store, "a", "seg") == Seq(0L, 1L),
+      "per-table ledger sees its own commit")
+    assert(IndexStore.commonCommittedSegments(s, store, tables, "seg") == Seq(0L),
+      "a segment torn across tables must not be visible anywhere")
+    val vis = IndexStore.commonCommittedSegments(s, store, tables, "seg")
+    tables.foreach(t =>
+      assert(IndexStore.readSegments(s, store, t, "seg", vis).count() == 3L,
+        "the cross-table view serves only fully-committed segments"))
+
+    // the recovering stream's replay: table "a" no-ops, table "b"
+    // completes — the segment appears ATOMICALLY in the joint view
+    assert(!IndexStore.appendSegmentIfAbsent(s, store, "a", "seg", 1L, seg(1)),
+      "the completed table's replay must be a no-op")
+    assert(IndexStore.appendSegmentIfAbsent(s, store, "b", "seg", 1L, seg(1)),
+      "the straggler table's replay must complete the commit")
+    assert(IndexStore.commonCommittedSegments(s, store, tables, "seg") == Seq(0L, 1L))
+    tables.foreach(t =>
+      assert(IndexStore.readSegments(s, store, t, "seg", Seq(0L, 1L)).count() == 6L))
+
+    // readSegments refuses a segment the ledger has not committed — an
+    // explicit-set reader cannot be talked into serving a crash partial
+    val e = intercept[IllegalArgumentException] {
+      IndexStore.readSegments(s, store, "b", "seg", Seq(0L, 2L))
+    }
+    assert(e.getMessage.contains("uncommitted"))
+  }
+
   test("ledger compaction heals crash leftovers at every swap stage and keeps the ledger") {
     import graft.sources.IndexStore
     Engine.tune(s)
