@@ -99,6 +99,12 @@ object ScaleRung {
     // must cost LESS than the full leg (its file index is smaller), so
     // the q218-minus-q215 delta stays flat like q210
     "q218_stream_ivf_asof",
+    // q219 is q215's shape for the SEARCH index: seed tokenize of 3/4 of
+    // the corpus dominates (linear), each micro-batch commits O(batch)
+    // rows across four tables, and the BM25 probe is fixed-budget — so
+    // the 10x ratio should track the q164/q166 tokenize+build rows, not
+    // the probe
+    "q219_stream_search_refresh",
   )
 
   /** The RocksDB-vs-memory crossover experiment: the two streaming rigs
