@@ -643,43 +643,63 @@ object Search extends QueryModule {
 
   /** Commit one arriving doc micro-batch as tagged segment `segId` of
     * ALL FOUR tables, then DELIBERATELY re-commit every table (the
-    * crash-recovery replay). Returns (firstAllCommitted, replayWroteAny)
-    * — a correct ledger yields (true, false). A real crash between two
-    * tables' first commits leaves the segment invisible (the cross-table
-    * visibility rule intersects the per-table ledgers) until the replay
-    * completes the stragglers — at which point it appears atomically. */
+    * crash-recovery replay). Returns the WRITTEN-TABLE COUNTS of the two
+    * passes: a correct ledger yields (4, 0) for a fresh segment and
+    * (0, 0) when the segment is already fully committed (the
+    * post-compaction replay q220 pins — tombstone markers must still
+    * answer "committed"). A real crash between two tables' first commits
+    * leaves the segment invisible (the cross-table visibility rule
+    * intersects the per-table ledgers) until the replay completes the
+    * stragglers — at which point it appears atomically. */
   private[graft] def streamIndexCommit(s: SparkSession, path: String,
-      segId: Long, batch: DataFrame): (Boolean, Boolean) = {
+      segId: Long, batch: DataFrame): (Int, Int) = {
     val frames = streamTables(batch)
-    def commitAll(): Seq[Boolean] = frames.map { case (t, df) =>
+    def commitAll(): Int = frames.count { case (t, df) =>
       graft.sources.IndexStore.appendSegmentIfAbsent(s, path, t, "segment", segId, df)
     }
     val first = commitAll()
     val replay = commitAll()
-    (first.forall(identity), replay.exists(identity))
+    (first, replay)
   }
 
-  /** The streamed store served through the cross-table visibility rule:
-    * a segment is readable iff committed in EVERY table (no torn
-    * multi-table view survives a crash between two tables' commits).
-    * Returns the q164 top-k over that view plus the audit columns the
-    * oracle pins — n_segments counted from the store and the rig's
-    * replay flag. */
-  private[graft] def streamSearchResult(s: SparkSession, dir: String,
-      path: String, replayNoop: Boolean): DataFrame = {
-    val vis = graft.sources.IndexStore.commonCommittedSegments(
+  /** The CROSS-TABLE visible segment set of the streamed search store: a
+    * segment is readable iff committed in EVERY table (no torn
+    * multi-table view survives a crash between two tables' commits). */
+  private[graft] def streamVisibleSegments(s: SparkSession, path: String): Seq[Long] =
+    graft.sources.IndexStore.commonCommittedSegments(
       s, path, indexTableNames, "segment")
+
+  /** The streamed store's four tables loaded over an EXPLICIT visible
+    * segment set — every reader of the multi-table store goes through
+    * this, so the cross-table visibility rule cannot be bypassed. */
+  private def streamIndexAt(s: SparkSession, path: String,
+      vis: Seq[Long]): SearchIndex = {
     def rd(t: String) =
       graft.sources.IndexStore.readSegments(s, path, t, "segment", vis)
-    val idx = SearchIndex(rd("postings"), rd("doclen"), rd("dict"),
-      () => rd("positions"))
-    val nseg = rd("postings")
-      .agg(countDistinct(col("segment")).as("n_segments"))
+    SearchIndex(rd("postings"), rd("doclen"), rd("dict"), () => rd("positions"))
+  }
+
+  /** The q164 top-5 over a visible-segment view of the streamed store. */
+  private def streamTopK(s: SparkSession, dir: String, path: String,
+      vis: Seq[Long]): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("qid")).orderBy(col("score").desc, col("doc_id"))
-    bm25(idx, querySet(docs(s, dir)))
+    bm25(streamIndexAt(s, path, vis), querySet(docs(s, dir)))
       .withColumn("rn", row_number().over(w)).filter(col("rn") <= 5)
       .select(col("qid"), col("doc_id"), col("score"), col("rn"))
+  }
+
+  /** The streamed store served through the cross-table visibility rule,
+    * plus the audit columns the oracle pins — n_segments counted from
+    * the store's DATA (not the ledger, which keeps tombstones after
+    * compaction) and the rig's replay flag. */
+  private[graft] def streamSearchResult(s: SparkSession, dir: String,
+      path: String, replayNoop: Boolean): DataFrame = {
+    val vis = streamVisibleSegments(s, path)
+    val nseg = graft.sources.IndexStore
+      .readSegments(s, path, "postings", "segment", vis)
+      .agg(countDistinct(col("segment")).as("n_segments"))
+    streamTopK(s, dir, path, vis)
       .crossJoin(broadcast(nseg))
       .withColumn("replay_was_noop", lit(replayNoop))
   }
@@ -695,6 +715,75 @@ object Search extends QueryModule {
       "SELECT qid, doc_id, score, rn, CAST(3 AS BIGINT) AS n_segments, " +
         "TRUE AS replay_was_noop FROM (")
   }
+
+  /** Per-table (sort, range) file discipline for the streamed store's
+    * compaction: the same term-sorted layout [[persistIndex]] writes, so
+    * a compacted store's probes stay min/max-prunable seeks. */
+  private[graft] val streamCompactCols: Map[String, Seq[String]] = Map(
+    "postings" -> Seq("tok", "doc_id"),
+    "doclen" -> Seq("doc_id"),
+    "dict" -> Seq("tok"),
+    "positions" -> Seq("tok", "doc_id", "pos"))
+
+  /** q220's result: the q164 top-5 from the COMPACTED streamed store,
+    * with n_segments audited from the data (must be 1 — every committed
+    * row collapsed under segment 0) and the post-compaction replay flag
+    * (both arrival batches re-committed against the tombstoned ledger
+    * must write NOTHING in any table). */
+  private[graft] def streamSearchCompactResult(s: SparkSession, dir: String,
+      path: String, replayNoop: Boolean): DataFrame =
+    streamSearchResult(s, dir, path, replayNoop)
+      .withColumnRenamed("replay_was_noop", "replay_after_compact")
+
+  /** q220's oracle: compaction must not change a single score — the
+    * whole-corpus q164 chain again, with the post-compaction constants
+    * pinned: ONE data segment, every replayed commit a metadata no-op. */
+  private[graft] val bm25StreamCompactSql = {
+    val anchor = "SELECT qid, doc_id, score, rn FROM ("
+    require(bm25TopKSql.contains(anchor), "q220 oracle anchor drifted")
+    bm25TopKSql.replace(anchor,
+      "SELECT qid, doc_id, score, rn, CAST(1 AS BIGINT) AS n_segments, " +
+        "TRUE AS replay_after_compact FROM (")
+  }
+
+  /** q221's result: the SAME query set answered at horizon full (all
+    * three segments) and horizon 1 (seed + first micro-batch — the index
+    * as it stood before batch 2 landed). The horizon bounds the visible
+    * segment set itself (intersected per-table ledgers filtered to
+    * `<= h`), so the pruned segment's directories never enter any
+    * table's file index, and the asof leg's collection statistics
+    * (n_docs/avgdl/df) are exactly the smaller ones the index served
+    * then. */
+  private[graft] def streamSearchAsOfResult(s: SparkSession, dir: String,
+      path: String): DataFrame = {
+    val vis = streamVisibleSegments(s, path)
+    def leg(h: Long, name: String): DataFrame =
+      streamTopK(s, dir, path, vis.filter(_ <= h))
+        .select(lit(name).as("horizon"), col("qid"), col("doc_id"),
+          col("score"), col("rn"))
+    leg(Long.MaxValue, "full").unionByName(leg(1L, "asof1"))
+  }
+
+  /** q221's oracle: both horizons recomputed from the raw corpus — full
+    * from all documents, asof1 from seed + batch 1 (doc_id % 8 <> 7:
+    * the seed is doc_id % 4 <> 3 and batch 1 is doc_id % 8 = 3, see
+    * [[arrivalDocBatches]]), so a leaked batch-2 posting OR a stale
+    * collection statistic hash-mismatches. */
+  private[graft] val bm25StreamAsOfSql =
+    s"""WITH $querySetSql,
+       |${bm25ChainSql("_f", "")},
+       |${bm25ChainSql("_a", " WHERE doc_id % 8 <> 7")}
+       |SELECT 'full' AS horizon, qid, doc_id, score, rn FROM (
+       |  SELECT qid, doc_id, score,
+       |         CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY score DESC, doc_id) AS INT) AS rn
+       |  FROM scored_f)
+       |WHERE rn <= 5
+       |UNION ALL
+       |SELECT 'asof1' AS horizon, qid, doc_id, score, rn FROM (
+       |  SELECT qid, doc_id, score,
+       |         CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY score DESC, doc_id) AS INT) AS rn
+       |  FROM scored_a)
+       |WHERE rn <= 5""".stripMargin
 
   /** q170: exact phrase search over the POSITIONAL side of the persisted
     * index — the query LSH/BM25 cannot answer ("these words, adjacent, in

@@ -1076,41 +1076,106 @@ object StreamOps extends QueryModule {
   def streamSearchRefresh(s: SparkSession, dir: String): DataFrame = {
     tune(s)
     withStatePartitions(s, 8) {
-      val batches = graft.operators.Search.arrivalDocBatches(s, dir)
-      val schema = batches.head._2.schema
-      val srcDir = stagedOnce(s"searchrefresh:$dir") { sd =>
-        val t0 = 1000000000000L
-        batches.foreach { case (segId, b) =>
-          stageFile(s, sd, b, f"b${segId}%02d_docs", t0 + segId * 600000L)
-        }
-      }
-      val path = graft.operators.Search.seedStreamIndex(s, dir)
-      val flags = new java.util.concurrent.ConcurrentHashMap[Long, (Boolean, Boolean)]()
-      val src = s.readStream
-        .schema(schema)
-        .option("maxFilesPerTrigger", "1")
-        .parquet(srcDir)
-      val qname = s"graft_stream_searchrefresh_${counter.incrementAndGet()}"
-      val q = src.writeStream
-        .foreachBatch { (batch: DataFrame, batchId: Long) =>
-          // file order is mtime-pinned: micro-batch N carries arrival
-          // slice N+1 and commits as segment N+1 (seed = segment 0)
-          flags.put(batchId + 1, graft.operators.Search.streamIndexCommit(
-            batch.sparkSession, path, batchId + 1, batch))
-          ()
-        }
-        .option("checkpointLocation", s"$ckBase/$qname")
-        .trigger(Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
-      val nb = q.recentProgress.count(_.numInputRows > 0)
-      require(nb == 2, s"search refresh harness needs exactly 2 non-empty micro-batches, got $nb")
-      dropCheckpoint(s"$ckBase/$qname")
-      import scala.jdk.CollectionConverters._
-      val fl = flags.asScala.values.toSeq
-      val replayNoop = fl.sizeIs == 2 &&
-        fl.forall { case (first, replay) => first && !replay }
+      val (path, replayNoop) = runSearchRefreshStream(s, dir)
       graft.operators.Search.streamSearchResult(s, dir, path, replayNoop)
+    }
+  }
+
+  /** The shared q219/q220/q221 rig body: seed the streamed search store,
+    * drive both arrival micro-batches through the four-table exactly-once
+    * commit, and return (store path, every-first-commit-wrote-all-four &&
+    * every-replay-wrote-nothing). */
+  private def runSearchRefreshStream(s: SparkSession, dir: String): (String, Boolean) = {
+    val batches = graft.operators.Search.arrivalDocBatches(s, dir)
+    val schema = batches.head._2.schema
+    val srcDir = stagedOnce(s"searchrefresh:$dir") { sd =>
+      val t0 = 1000000000000L
+      batches.foreach { case (segId, b) =>
+        stageFile(s, sd, b, f"b${segId}%02d_docs", t0 + segId * 600000L)
+      }
+    }
+    val path = graft.operators.Search.seedStreamIndex(s, dir)
+    val nTables = graft.operators.Search.indexTableNames.size
+    val flags = new java.util.concurrent.ConcurrentHashMap[Long, (Int, Int)]()
+    val src = s.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(srcDir)
+    val qname = s"graft_stream_searchrefresh_${counter.incrementAndGet()}"
+    val q = src.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        // file order is mtime-pinned: micro-batch N carries arrival
+        // slice N+1 and commits as segment N+1 (seed = segment 0)
+        flags.put(batchId + 1, graft.operators.Search.streamIndexCommit(
+          batch.sparkSession, path, batchId + 1, batch))
+        ()
+      }
+      .option("checkpointLocation", s"$ckBase/$qname")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val nb = q.recentProgress.count(_.numInputRows > 0)
+    require(nb == 2, s"search refresh harness needs exactly 2 non-empty micro-batches, got $nb")
+    dropCheckpoint(s"$ckBase/$qname")
+    import scala.jdk.CollectionConverters._
+    val fl = flags.asScala.values.toSeq
+    val replayNoop = fl.sizeIs == 2 &&
+      fl.forall { case (first, replay) => first == nTables && replay == 0 }
+    (path, replayNoop)
+  }
+
+  /** q220: ledger-aware compaction of the MULTI-TABLE streamed search
+    * store — q217's maintenance op carried to the store whose commit
+    * unit spans four tables. After the full q219 stream, every table
+    * compacts independently through
+    * [[graft.sources.IndexStore.compactSegmentLedger]] (committed rows
+    * collapse into fresh term-sorted files under `segment=0`, every
+    * pre-compaction segment keeps a TOMBSTONE commit marker); the four
+    * rewrites are independent single-table swaps run in parallel, and a
+    * crash BETWEEN two tables' compactions is harmless by construction —
+    * the joint visible set is unchanged (tombstones still answer
+    * "committed") and each table serves its full row set whether or not
+    * its rewrite landed, which the spec pins. The rig then re-drives
+    * both micro-batch commits: the tombstoned ledgers must make every
+    * table's replay a metadata no-op (zero writes across 4 tables x 2
+    * batches), pinned by the oracle as replay_after_compact=TRUE next to
+    * the byte-identical probe and n_segments=1 audited from the data. */
+  def streamSearchCompact(s: SparkSession, dir: String): DataFrame = {
+    tune(s)
+    withStatePartitions(s, 8) {
+      val (path, replayNoop) = runSearchRefreshStream(s, dir)
+      require(replayNoop, "pre-compaction stream must commit exactly once")
+      graft.sources.IndexStore.inParallel(
+        graft.operators.Search.indexTableNames.map { t => () =>
+          val cols = graft.operators.Search.streamCompactCols(t)
+          graft.sources.IndexStore.compactSegmentLedger(
+            s, path, t, "segment", sortCols = cols, rangeCols = cols)
+        })
+      val replays = graft.operators.Search.arrivalDocBatches(s, dir).map {
+        case (segId, b) => graft.operators.Search.streamIndexCommit(
+          s, path, segId.toLong, b)
+      }
+      val stillNoop = replays.forall { case (first, second) => first == 0 && second == 0 }
+      graft.operators.Search.streamSearchCompactResult(s, dir, path, stillNoop)
+    }
+  }
+
+  /** q221: the as-of read over the streamed search store — q218's audit
+    * replay for the lexical family. After the full q219 run, the SAME
+    * query set is answered at horizon full and horizon 1 (the index as
+    * it stood before micro-batch 2 landed). The horizon bounds the
+    * CROSS-TABLE visible segment set itself — intersected per-table
+    * ledgers filtered to `<= h` — so the pruned segment's directories
+    * never enter any of the four tables' file indexes, and the asof leg
+    * reproduces the smaller collection statistics (n_docs/avgdl/df) the
+    * index actually served then. Both horizons oracled from raw text;
+    * a leaked batch-2 posting or a stale statistic hash-mismatches. */
+  def streamSearchAsOf(s: SparkSession, dir: String): DataFrame = {
+    tune(s)
+    withStatePartitions(s, 8) {
+      val (path, replayNoop) = runSearchRefreshStream(s, dir)
+      require(replayNoop, "stream must commit exactly once before the as-of probe")
+      graft.operators.Search.streamSearchAsOfResult(s, dir, path)
     }
   }
 
@@ -1192,5 +1257,11 @@ object StreamOps extends QueryModule {
     GQuery("q219_stream_search_refresh",
       "streaming search-index refresh: each micro-batch commits all four index tables as one tagged segment, readers intersect the per-table ledgers so no torn view is ever scored",
       streamSearchRefresh, Some(graft.operators.Search.bm25StreamRefreshSql)),
+    GQuery("q220_stream_search_compact",
+      "ledger-aware compaction of the four-table streamed search store: per-table tombstoned rewrites, crash between tables harmless, post-compaction replays are metadata no-ops",
+      streamSearchCompact, Some(graft.operators.Search.bm25StreamCompactSql)),
+    GQuery("q221_stream_search_asof",
+      "as-of BM25 over the streamed search store: the horizon bounds the intersected per-table visible set, so pruned segment dirs never enter any table's file index",
+      streamSearchAsOf, Some(graft.operators.Search.bm25StreamAsOfSql)),
   )
 }

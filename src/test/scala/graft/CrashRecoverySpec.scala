@@ -250,6 +250,49 @@ class CrashRecoverySpec extends AnyFunSuite {
     assert(e.getMessage.contains("uncommitted"))
   }
 
+  test("cross-table compaction: a crash between two tables' rewrites leaves the joint view intact") {
+    import graft.sources.IndexStore
+    Engine.tune(s)
+    val store = s"$base/xcompact"
+    import s.implicits._
+    def seg(n: Int) = (1 to 3).map(i => (n * 10L + i, s"v$n")).toDF("id", "tag")
+    val tables = Seq("a", "b")
+    for (t <- tables; n <- 0 to 2)
+      assert(IndexStore.appendSegmentIfAbsent(s, store, t, "seg", n.toLong, seg(n)))
+    val vis0 = IndexStore.commonCommittedSegments(s, store, tables, "seg")
+    assert(vis0 == Seq(0L, 1L, 2L))
+
+    // the q220 crash window: compact ONLY table "a" — the process dies
+    // before reaching "b". Per-table rewrites are independent swaps, so
+    // the joint view must be unchanged: tombstones keep the ledger.
+    IndexStore.compactSegmentLedger(s, store, "a", "seg", Seq("id"), Seq("id"))
+    assert(IndexStore.commonCommittedSegments(s, store, tables, "seg") == Seq(0L, 1L, 2L),
+      "tombstoned segments must stay committed in the joint ledger")
+    val aRows = IndexStore.readSegments(s, store, "a", "seg", vis0)
+    assert(aRows.count() == 9L, "the compacted table serves its full row set")
+    assert(aRows.select(col("seg").cast("long")).distinct().collect()
+      .map(_.getLong(0)).toSeq == Seq(0L),
+      "compaction collapses every committed row under seg=0")
+    assert(IndexStore.readSegments(s, store, "b", "seg", vis0).count() == 9L,
+      "the not-yet-compacted table serves its full row set too")
+
+    // a recovering stream's replay of a pre-compaction batch: metadata
+    // no-op in BOTH the compacted and the uncompacted table
+    tables.foreach(t =>
+      assert(!IndexStore.appendSegmentIfAbsent(s, store, t, "seg", 2L, seg(2)),
+        s"replay against table $t must hit the ledger"))
+
+    // recovery completes the straggler's compaction; then a NEW segment
+    // commits normally in both tables and joins the joint view
+    IndexStore.compactSegmentLedger(s, store, "b", "seg", Seq("id"), Seq("id"))
+    assert(IndexStore.readSegments(s, store, "b", "seg", vis0).count() == 9L)
+    tables.foreach(t =>
+      assert(IndexStore.appendSegmentIfAbsent(s, store, t, "seg", 3L, seg(3))))
+    assert(IndexStore.commonCommittedSegments(s, store, tables, "seg") ==
+      Seq(0L, 1L, 2L, 3L))
+    assert(IndexStore.readSegments(s, store, "a", "seg", Seq(0L, 3L)).count() == 12L)
+  }
+
   test("ledger compaction heals crash leftovers at every swap stage and keeps the ledger") {
     import graft.sources.IndexStore
     Engine.tune(s)
