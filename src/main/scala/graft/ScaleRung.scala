@@ -105,6 +105,12 @@ object ScaleRung {
     // the 10x ratio should track the q164/q166 tokenize+build rows, not
     // the probe
     "q219_stream_search_refresh",
+    // q220 adds the four-table tombstoned rewrite (O(store), the linear
+    // term) plus 8 replay probes (metadata no-ops) on top of q219's
+    // seed+stream; q221 adds two fixed-budget probe legs — its delta
+    // over q219 must stay flat like q218's over q215
+    "q220_stream_search_compact",
+    "q221_stream_search_asof",
   )
 
   /** The RocksDB-vs-memory crossover experiment: the two streaming rigs
