@@ -120,6 +120,13 @@ object PlanFingerprint {
     // VERDICT r13 item 4 adopted): the horizon probe's value is the
     // pushed segment filter staying a scan-level predicate
     "q216_phrase_asof",
+    // the takedown family (round 14, lock-on-landing): each op's value
+    // is its O(index) shape — broadcast anti-joins / one aggregation,
+    // never a corpus re-read — which is exactly what a plan drift would
+    // silently lose
+    "q222_search_takedown",
+    "q223_dedup_takedown",
+    "q224_vector_takedown",
   )
 
   /** Structural counts of the STEADY-STATE initial plan.

@@ -1222,14 +1222,28 @@ object Dedup extends QueryModule {
     * three parquet opens, not a corpus rescan; only a regenerated fixture
     * (stamp mismatch) triggers a rebuild. Build-vs-load is serialized
     * under the object lock so concurrent first callers cannot race the
-    * swap. */
+    * swap.
+    *
+    * Layout v2 adds the `keys` sidecar — the (tkey, doc_id) content-key
+    * -> group-rep mapping [[dedupTakedown]]'s erasure anti-joins. The
+    * sigs/bands tables are keyed by the REP's doc_id while a takedown
+    * request arrives as content (text digests), so without this mapping
+    * a content erasure would have to re-derive reps from the corpus —
+    * O(corpus) instead of O(index). All four tables land in ONE staged
+    * store swap; pre-v2 stores fail the stamp and rebuild. */
   private def corpusIndex(s: SparkSession, dir: String): DedupIndex = {
     val path = fixtureIndexPath(dir)
     synchronized {
-      val stamp = graft.sources.IndexStore.sourceStamp(s, Seq(s"$dir/documents.parquet"))
+      val stamp = "v2|" +
+        graft.sources.IndexStore.sourceStamp(s, Seq(s"$dir/documents.parquet"))
       if (!graft.sources.IndexStore.isCurrent(s, path, stamp)) {
         val corpus = augmentedDocs(s, dir).filter(col("doc_id") < 100000L)
-        persistIndex(buildIndex(corpus), path, stamp)
+        val idx = buildIndex(corpus)
+        val keys = dupGroups(corpus)
+          .select(md5(col("text")).as("tkey"), col("gid").as("doc_id"))
+        graft.sources.IndexStore.write(s, path, stamp, Seq(
+          "digests" -> idx.digests, "sigs" -> idx.sigs,
+          "bands" -> idx.bands, "keys" -> keys))
       }
     }
     DedupIndex(
@@ -1315,6 +1329,121 @@ object Dedup extends QueryModule {
        |LEFT JOIN exact_g e ON e.nid = g.doc_id
        |LEFT JOIN near_g nr ON nr.nid = g.doc_id
        |GROUP BY n.lang""".stripMargin
+  }
+
+  // ---- q223: takedown (right-to-be-forgotten) over the screening index ----
+
+  /** Build-if-stale the post-takedown BRANCH of the persisted screening
+    * index. The takedown request arrives as CONTENT (the md5 text keys of
+    * the works to forget — a copyright takedown identifies the work, not
+    * a doc id), and the erasure is O(index + |request|): one broadcast
+    * anti-join per table, the corpus never re-read.
+    *  - digests: drop the request's tkeys (every holder of the work goes
+    *    with them — digests are per unique text);
+    *  - sigs/bands: keyed by the group REP's doc_id, so the v2 `keys`
+    *    sidecar maps request tkeys -> rep ids first; dropping those reps
+    *    erases exactly the works' near-dup presence (groups are exact-
+    *    text groups, so no retained text loses its rep);
+    *  - keys: drops the mapping rows themselves;
+    *  - bloom sidecar: REBUILT over the retained digests. Correctness is
+    *    indifferent (a stale bloom's extra "maybe" rows ride the exact
+    *    probe and fall out — blooms only promise no false NEGATIVES),
+    *    but the erased works would otherwise keep paying the probe join
+    *    forever; deletion-incapable sketches rebuild, they don't filter.
+    * The result provably equals the index built from the filtered
+    * corpus, which is what q223's oracle recomputes from raw text. */
+  private[graft] def takedownDedupBranch(s: SparkSession, dir: String): String = {
+    corpusIndex(s, dir)
+    val src = fixtureIndexPath(dir)
+    val path = src + "_takedown_" + graft.operators.Similarity.processTag
+    val stamp = "takedown1|v2|" +
+      graft.sources.IndexStore.sourceStamp(s, Seq(s"$dir/documents.parquet"))
+    synchronized {
+      if (!graft.sources.IndexStore.isCurrent(s, path, stamp)) {
+        def rd(t: String) = graft.sources.IndexStore.read(s, src, t)
+        val wk = augmentedDocs(s, dir)
+          .filter(col("doc_id") < 100000L && col("doc_id") % 97 === 13)
+          .select(md5(col("text")).as("tkey")).distinct().localCheckpoint()
+        val erased = rd("keys").join(broadcast(wk), "tkey")
+          .select(col("doc_id")).distinct().localCheckpoint()
+        graft.sources.IndexStore.write(s, path, stamp, Seq(
+          "digests" -> rd("digests").join(broadcast(wk), Seq("tkey"), "left_anti"),
+          "sigs" -> rd("sigs").join(broadcast(erased), Seq("doc_id"), "left_anti"),
+          "bands" -> rd("bands").join(broadcast(erased), Seq("doc_id"), "left_anti"),
+          "keys" -> rd("keys").join(broadcast(wk), Seq("tkey"), "left_anti")))
+        persistBloom(s, path): Unit
+        graft.operators.Similarity.cleanupAtExit(path)
+      }
+    }
+    path
+  }
+
+  /** q223: the dedup memory FORGETS — after the works with
+    * doc_id % 97 = 13 are erased from the screening index, a probe batch
+    * made of (a) those works RE-SUBMITTED under fresh ids and (b) the
+    * standard q131 arrival batch is screened against the erased index
+    * (bloom fast path, freshly rebuilt). The re-submissions must be
+    * admitted again unless they are near-dups of RETAINED corpus — the
+    * oracle recomputes every decision from the corpus with the works'
+    * texts filtered out, so an index row that survived erasure (or a rep
+    * lost that shouldn't have been) flips a decision and hash-mismatches.
+    * Per-(cohort, lang) admission rollup. */
+  def dedupTakedown(s: SparkSession, dir: String): DataFrame = {
+    tune(s)
+    val path = takedownDedupBranch(s, dir)
+    def rd(t: String) =
+      sessionCached(s, s"tkd$t:$dir")(graft.sources.IndexStore.read(s, path, t))
+    val idx = DedupIndex(rd("digests"), rd("sigs"), rd("bands"))
+    val all = augmentedDocs(s, dir)
+    val resub = all.filter(col("doc_id") < 100000L && col("doc_id") % 97 === 13)
+      .select((col("doc_id") + 300000L).as("doc_id"), col("text"), col("lang"))
+    val batch = resub.unionByName(all.filter(col("doc_id") >= 100000L))
+    screenBatchBloom(idx, loadBloom(s, path), batch)
+      .join(batch.select(col("doc_id"), col("lang")), "doc_id")
+      .withColumn("cohort",
+        when(col("doc_id") >= 300000L, "resub").otherwise("arrival"))
+      .groupBy(col("cohort"), col("lang"))
+      .agg(count(lit(1)).as("n_new"),
+        sum(when(col("decision") === "exact", 1).otherwise(0)).as("n_rej_exact"),
+        sum(when(col("decision") === "near", 1).otherwise(0)).as("n_rej_near"),
+        sum(when(col("decision") === "accept", 1).otherwise(0)).as("n_accept"))
+  }
+
+  /** q223's oracle: the q131 decision chain recomputed over the FILTERED
+    * corpus (every doc whose text matches an erased work removed), with
+    * the probe batch = re-submissions + the standard arrival batch. */
+  private[graft] val dedupTakedownSql = {
+    val sim = (0 until 16).map(j => s"CASE WHEN a.m$j = b.m$j THEN 1 ELSE 0 END").mkString(" + ")
+    s"""WITH $augmentedDocsSql,
+       |wtexts AS (SELECT DISTINCT text FROM docs WHERE doc_id < 100000 AND doc_id % 97 = 13),
+       |corpus AS (SELECT * FROM docs WHERE doc_id < 100000
+       |           AND text NOT IN (SELECT text FROM wtexts)),
+       |newb AS (SELECT doc_id + 300000 AS doc_id, text, lang FROM docs
+       |         WHERE doc_id < 100000 AND doc_id % 97 = 13
+       |         UNION ALL SELECT * FROM docs WHERE doc_id >= 100000),
+       |rep_cor AS (SELECT MIN(doc_id) AS doc_id, text FROM corpus GROUP BY text),
+       |rep_new AS (SELECT MIN(doc_id) AS doc_id, text FROM newb GROUP BY text),
+       |${sideSigsSql("cor")},
+       |${sideSigsSql("new")},
+       |cand_i AS (
+       |  SELECT DISTINCT n.doc_id AS nid, c.doc_id AS cid
+       |  FROM bands_new n JOIN bands_cor c ON n.band = c.band AND n.bk = c.bk),
+       |near_g AS (
+       |  SELECT DISTINCT nid FROM cand_i
+       |  JOIN sigs_new a ON a.doc_id = nid
+       |  JOIN sigs_cor b ON b.doc_id = cid
+       |  WHERE ($sim) / 16.0 >= 0.5),
+       |exact_g AS (SELECT doc_id AS nid FROM rep_new WHERE text IN (SELECT text FROM corpus))
+       |SELECT CASE WHEN n.doc_id >= 300000 THEN 'resub' ELSE 'arrival' END AS cohort,
+       |n.lang, COUNT(*) AS n_new,
+       |CAST(SUM(CASE WHEN e.nid IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_rej_exact,
+       |CAST(SUM(CASE WHEN e.nid IS NULL AND nr.nid IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_rej_near,
+       |CAST(SUM(CASE WHEN e.nid IS NULL AND nr.nid IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_accept
+       |FROM newb n
+       |JOIN rep_new g ON g.text = n.text
+       |LEFT JOIN exact_g e ON e.nid = g.doc_id
+       |LEFT JOIN near_g nr ON nr.nid = g.doc_id
+       |GROUP BY 1, 2""".stripMargin
   }
 
   /** q147: q131's screen with the bloom sidecar's negative fast path on
@@ -1773,6 +1902,9 @@ object Dedup extends QueryModule {
     GQuery("q213_dedup_asof",
       "as-of screening over the segment-tagged dedup store: horizon 0 reproduces yesterday's pre-refresh decisions as a pushed-down segment filter",
       dedupScreenAsOf, Some(dedupScreenAsOfSql)),
+    GQuery("q223_dedup_takedown",
+      "takedown erasure over the screening index: content-keyed O(index) anti-joins via the v2 keys sidecar, bloom rebuilt; re-submitted works admitted again, oracled from the filtered corpus",
+      dedupTakedown, Some(dedupTakedownSql)),
     GQuery("q147_bloom_screen",
       "screen with the persisted bloom sidecar fast path; per-doc equality vs the plain probe audited in-frame",
       bloomScreen, Some(bloomScreenSql)),

@@ -785,6 +785,94 @@ object Search extends QueryModule {
        |  FROM scored_a)
        |WHERE rn <= 5""".stripMargin
 
+  // ---- q222: takedown (right-to-be-forgotten) over the persisted index ----
+
+  /** The docs q222 erases: a deterministic ~4% slice, disjoint by
+    * construction from the query-posing docs (doc_id % 50 = 7 implies
+    * doc_id % 25 = 7, never 3) so the query set itself is unaffected —
+    * what changes is who may still be RETRIEVED. */
+  private val takedownKeep = col("doc_id") % 25 =!= 3
+
+  /** Build-if-stale the post-takedown BRANCH of the fixture index: ONE
+    * pass over the stored index tables — the corpus is never re-read and
+    * nothing is re-tokenized. That is the erasure path a takedown
+    * (right-to-be-forgotten / copyright removal) needs at 100 TB: a
+    * rebuild is O(corpus) tokenize + shuffle, this is O(index) filter +
+    * one aggregation. postings / doclen / positions drop the erased
+    * docs' rows by a pushed predicate (for an arbitrary takedown list: a
+    * broadcast anti-join); dict is an aggregate OVER docs, so it cannot
+    * be filtered — it REBUILDS from the retained postings, shrinking
+    * df/cf/max_tf exactly where the erased docs contributed (a stale
+    * dict row would shift every idf and hash-mismatch the oracle).
+    * Process-unique branch path, reaped at JVM exit. */
+  private[graft] def takedownBranch(s: SparkSession, dir: String): String = {
+    val idx = searchIndex(s, dir)
+    val path = fixtureIndexPath(dir) + "_takedown_" +
+      graft.operators.Similarity.processTag
+    val stamp = "takedown1|" + fixtureStamp(s, dir)
+    synchronized {
+      if (!graft.sources.IndexStore.isCurrent(s, path, stamp)) {
+        val post = idx.postings.filter(takedownKeep).localCheckpoint()
+        val dict = post.groupBy(col("tok"), col("segment"))
+          .agg(count(lit(1)).as("df"), sum(col("tf")).as("cf"),
+            max(col("tf")).as("max_tf"))
+          .select(col("tok"), col("df"), col("cf"), col("max_tf"), col("segment"))
+        graft.sources.IndexStore.write(s, path, stamp, Seq(
+          "postings" -> post.repartition(col("tok"))
+            .sortWithinPartitions(col("tok"), col("doc_id")),
+          "doclen" -> idx.doclen.filter(takedownKeep),
+          "dict" -> dict,
+          "positions" -> idx.positions.filter(takedownKeep)
+            .repartition(col("tok"))
+            .sortWithinPartitions(col("tok"), col("doc_id"), col("pos"))),
+          meta = Map("takedown" -> "doc_id % 25 = 3"))
+        graft.operators.Similarity.cleanupAtExit(path)
+      }
+    }
+    path
+  }
+
+  /** q222: the q164 probe answered from the post-takedown branch, plus
+    * the two audit columns that make the erasure itself oracled:
+    * `n_docs` (the shrunken collection size — BM25 idf/avgdl must
+    * reflect it) and `removed_traces` (rows for erased docs remaining
+    * anywhere in the branch: postings + doclen + positions — pinned 0,
+    * so a single surviving row of an erased doc fails the gate even if
+    * it never reaches a top-5). */
+  def searchTakedown(s: SparkSession, dir: String): DataFrame = {
+    tune(s)
+    val path = takedownBranch(s, dir)
+    val tIdx = loadIndex(s, path, cacheKey = Some(s"search:takedown:$dir"))
+    val erased = col("doc_id") % 25 === 3
+    val traces = Seq(tIdx.postings, tIdx.doclen, tIdx.positions)
+      .map(_.filter(erased).agg(count(lit(1)).as("n")))
+      .reduce(_ unionByName _).agg(sum(col("n")).as("removed_traces"))
+    val audit = tIdx.doclen.agg(count(lit(1)).as("n_docs"))
+      .crossJoin(traces)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid")).orderBy(col("score").desc, col("doc_id"))
+    bm25(tIdx, querySet(docs(s, dir)))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") <= 5)
+      .select(col("qid"), col("doc_id"), col("score"), col("rn"))
+      .crossJoin(broadcast(audit))
+  }
+
+  /** q222's oracle: the whole BM25 chain recomputed from the FILTERED
+    * corpus — equality proves the O(index) erasure equals a full
+    * rebuild (scores, idf, and the smaller n_docs/avgdl all shift where
+    * the erased docs contributed) — with zero surviving traces pinned. */
+  private[graft] val searchTakedownSql =
+    s"""WITH $querySetSql,
+       |${bm25ChainSql("_t", " WHERE doc_id % 25 <> 3")}
+       |SELECT qid, doc_id, score, rn,
+       |       (SELECT n_docs FROM stats_t) AS n_docs,
+       |       CAST(0 AS BIGINT) AS removed_traces
+       |FROM (
+       |  SELECT qid, doc_id, score,
+       |         CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY score DESC, doc_id) AS INT) AS rn
+       |  FROM scored_t)
+       |WHERE rn <= 5""".stripMargin
+
   /** q170: exact phrase search over the POSITIONAL side of the persisted
     * index — the query LSH/BM25 cannot answer ("these words, adjacent, in
     * order"). Each probe phrase (3 consecutive tokens lifted from a
@@ -1402,6 +1490,9 @@ object Search extends QueryModule {
     GQuery("q216_phrase_asof",
       "phrase search at a horizon: positional intersection over the segment store at full vs pre-refresh views via a pushed segment filter",
       phraseAsOf, Some(phraseAsOfSql)),
+    GQuery("q222_search_takedown",
+      "takedown erasure over the persisted index: O(index) one-pass rewrite (dict rebuilt from retained postings, never the corpus), oracled as equal to a rebuild from the filtered corpus with zero surviving traces",
+      searchTakedown, Some(searchTakedownSql)),
   )
 }
 

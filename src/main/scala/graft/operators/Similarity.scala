@@ -318,6 +318,118 @@ object Similarity extends QueryModule {
       .select(col("qid"), col("vid"), round(col("cosim0"), 9).as("cosim"), col("rn"))
   }
 
+  // ---- q224: takedown (right-to-be-forgotten) over the persisted IVF index ----
+
+  /** Build-if-stale the post-takedown BRANCH of the persisted IVF index:
+    * the requested vectors vanish from the SERVING structure without a
+    * retrain — one broadcast anti-join over the assign table (O(index)),
+    * centroids untouched (the quantization geometry is an aggregate the
+    * probes still need; what must change is WHO can be returned). The
+    * boundary is made loud instead of silent: the fixture centroids are
+    * seeded from raw corpus vectors (vec_id % m = 0), so a request
+    * hitting a centroid seed would leave the erased RAW VECTOR in the
+    * centroids table — the builder REFUSES such requests (a centroid-
+    * seed takedown needs a cell re-seed, i.e. a maintenance rebuild,
+    * the same trade q211 names for horizons). The registered request
+    * slice (vec_id % 89 = 17, minus centroid seeds) excludes them by
+    * construction; the refusal guards arbitrary callers. */
+  private[graft] def takedownIvfBranch(s: SparkSession, dir: String): String = {
+    corpusIvfIndex(s, dir)
+    val src = fixtureIvfIndexPath(dir)
+    val path = src + "_takedown_" + processTag
+    val stamp = "takedown1|" +
+      graft.sources.IndexStore.sourceStamp(s, Seq(s"$dir/embeddings.parquet"))
+    synchronized {
+      if (!graft.sources.IndexStore.isCurrent(s, path, stamp)) {
+        val m = graft.sources.IndexStore.readMeta(s, src)("m").toLong
+        val req = table(s, dir, "embeddings")
+          .filter(col("vec_id") % 89 === 17 && col("vec_id") % m =!= 0)
+          .select(col("vec_id")).localCheckpoint()
+        val cents = graft.sources.IndexStore.read(s, src, "centroids")
+        require(cents.join(req, cents("cid") === req("vec_id")).isEmpty,
+          "IVF takedown request hits a centroid seed: erasing it requires " +
+            "a cell re-seed (index rebuild), not an assign-row erasure")
+        val assign2 = graft.sources.IndexStore.read(s, src, "assign")
+          .join(broadcast(req), Seq("vec_id"), "left_anti")
+        graft.sources.IndexStore.write(s, path, stamp, Seq(
+          "centroids" -> cents,
+          "assign" -> assign2.repartitionByRange(col("cid"), col("vec_id"))
+            .sortWithinPartitions(col("cid"), col("vec_id"))),
+          Map("m" -> m.toString))
+        cleanupAtExit(path)
+      }
+    }
+    path
+  }
+
+  /** q224: the q184 probe answered from the post-takedown IVF branch,
+    * plus the audit columns: `n_vecs` (the shrunken index population)
+    * and `removed_traces` (assign rows for erased ids still present —
+    * pinned 0, so one surviving row fails the gate even if it never
+    * ranks). Assignment of retained vectors is unchanged by construction
+    * (centroids are identical), so the oracle reuses the full-corpus
+    * assignment chain and filters only candidate MEMBERSHIP. */
+  def vectorTakedown(s: SparkSession, dir: String): DataFrame = {
+    tune(s)
+    val path = takedownIvfBranch(s, dir)
+    val m = graft.sources.IndexStore.readMeta(s, path)("m").toLong
+    val assign = graft.SessionCache.cached(s, s"sim:tkda:$dir")(
+      graft.sources.IndexStore.read(s, path, "assign"))
+    val erased = col("vec_id") % 89 === 17 && col("vec_id") % m =!= 0
+    val audit = assign.agg(count(lit(1)).as("n_vecs"))
+      .crossJoin(assign.filter(erased).agg(count(lit(1)).as("removed_traces")))
+    val qa = assign.filter(col("vec_id") < 16)
+      .select(col("vec_id").as("qid"), col("cid"),
+        col("embedding").as("qemb"), col("nrm").as("nq"))
+    val probeCids = qa.select(col("cid")).distinct().collect().map(_.getLong(0)).sorted
+    val pcos = assign
+      .filter(col("cid").isInCollection(probeCids.toSeq))
+      .select(col("vec_id").as("vid"), col("cid"), col("embedding").as("vemb"),
+        col("nrm").as("nv"))
+      .join(broadcast(qa), Seq("cid"))
+      .filter(col("qid") =!= col("vid"))
+      .withColumn("cosim0", dotExpr / (col("nq") * col("nv")))
+    val wp = Window.partitionBy(col("qid")).orderBy(col("cosim0").desc, col("vid"))
+    pcos.withColumn("rn", row_number().over(wp))
+      .filter(col("rn") <= 3)
+      .select(col("qid"), col("vid"), round(col("cosim0"), 9).as("cosim"), col("rn"))
+      .crossJoin(broadcast(audit))
+  }
+
+  /** q224's oracle: the q65/q184 chain with the erased set removed from
+    * candidate membership only (assignment recomputed over the FULL
+    * corpus — centroids did not move), audits pinned. */
+  private[graft] val vectorTakedownSql =
+    s"""WITH $flatSql,
+       |$normsSql,
+       |$ivfAssignSql,
+       |erased AS (
+       |  SELECT vec_id FROM embeddings
+       |  WHERE vec_id % 89 = 17
+       |    AND vec_id % (SELECT CAST(ceil(sqrt(COUNT(*))) AS BIGINT) FROM embeddings) <> 0),
+       |pairs AS (
+       |  SELECT q.vec_id AS qid, v.vec_id AS vid
+       |  FROM assign q JOIN assign v ON q.cid = v.cid AND q.vec_id < 16 AND q.vec_id <> v.vec_id
+       |  WHERE v.vec_id NOT IN (SELECT vec_id FROM erased)),
+       |pdots AS (
+       |  SELECT p.qid, p.vid, CAST(SUM(CAST(a.xd*b.xd AS DECIMAL(38,20))) AS DOUBLE) AS dot
+       |  FROM pairs p
+       |  JOIN flat a ON a.vec_id = p.qid
+       |  JOIN flat b ON b.vec_id = p.vid AND b.pos = a.pos
+       |  GROUP BY p.qid, p.vid),
+       |pcos AS (
+       |  SELECT d.qid, d.vid, d.dot / (n1.nrm * n2.nrm) AS cosim
+       |  FROM pdots d JOIN norms n1 ON n1.vec_id = d.qid JOIN norms n2 ON n2.vec_id = d.vid)
+       |SELECT qid, vid, cosim, rn,
+       |       (SELECT CAST(COUNT(*) AS BIGINT) FROM embeddings)
+       |         - (SELECT CAST(COUNT(*) AS BIGINT) FROM erased) AS n_vecs,
+       |       CAST(0 AS BIGINT) AS removed_traces
+       |FROM (
+       |  SELECT qid, vid, round(cosim, 9) AS cosim,
+       |         CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosim DESC, vid) AS INT) AS rn
+       |  FROM pcos)
+       |WHERE rn <= 3""".stripMargin
+
   /** q185: one distributed Lloyd (k-means) refinement step over the IVF
     * seeding — the building block of embedding-space clustering for
     * curation (SemDeDup-style pruning, diversity sampling, cluster-local
@@ -2985,6 +3097,9 @@ object Similarity extends QueryModule {
     GQuery("q184_ivf_index",
       "IVF ANN served from the persisted index: probe reads only the probed clusters' cid-pruned bytes; same oracle as q65",
       ivfAnnIndexed, Some(ivfAnnSql)),
+    GQuery("q224_vector_takedown",
+      "takedown erasure over the persisted IVF index: one anti-join over assign, centroids kept (probes just stop returning the erased ids), centroid-seed requests refused loudly",
+      vectorTakedown, Some(vectorTakedownSql)),
     GQuery("q185_kmeans_refine",
       "one distributed Lloyd step over the IVF seeding: broadcast assign, decimal-exact component means, re-assign",
       kmeansRefine, Some(kmeansRefineSql)),

@@ -450,4 +450,40 @@ class DedupSpec extends AnyFunSuite {
     assert(pre > 0, "fixture must contain cross-split near-dup pairs to repair")
     rep.unpersist()
   }
+
+  test("takedown branch forgets exactly the requested works, everywhere") {
+    import org.apache.spark.sql.functions._
+    import graft.sources.IndexStore
+    val dir = TestSpark.sf
+    val path = Dedup.takedownDedupBranch(s, dir)
+    val src = Dedup.fixtureIndexPath(dir)
+    def rd(p: String, t: String) = IndexStore.read(s, p, t)
+    // the request, recomputed: the erased works' content keys and the
+    // rep ids that carried their sigs/bands in the SOURCE index
+    val wk = Dedup.augmentedDocs(s, dir)
+      .filter(col("doc_id") < 100000L && col("doc_id") % 97 === 13)
+      .select(md5(col("text")).as("tkey")).distinct().cache()
+    val nW = wk.count()
+    assert(nW > 0, "fixture must contain works to take down")
+    val erased = rd(src, "keys").join(wk, "tkey").select(col("doc_id")).cache()
+    assert(erased.count() == nW, "every work must map to exactly one rep")
+    // structural invariant: one digest, one key, one sig per unique text
+    val nd = rd(path, "digests").count()
+    assert(nd == rd(path, "keys").count() && nd == rd(path, "sigs").count(),
+      "digests/keys/sigs must stay per-unique-text aligned after erasure")
+    assert(nd == rd(src, "digests").count() - nW,
+      "erasure must remove exactly the requested works' digests")
+    // zero traces in any table
+    assert(rd(path, "digests").join(wk, "tkey").isEmpty, "digest trace survived")
+    assert(rd(path, "keys").join(wk, "tkey").isEmpty, "key trace survived")
+    assert(rd(path, "sigs").join(erased, "doc_id").isEmpty, "sig trace survived")
+    assert(rd(path, "bands").join(erased, "doc_id").isEmpty, "band trace survived")
+    // the rebuilt bloom keeps its no-false-negatives contract for every
+    // RETAINED digest (a rebuild that missed one would break screening)
+    val bloom = Dedup.loadBloom(s, path)
+    val misses = rd(path, "digests").collect()
+      .count(r => !bloom.mightContainString(r.getString(0)))
+    assert(misses == 0, s"rebuilt bloom missed $misses retained digests")
+    wk.unpersist(); erased.unpersist()
+  }
 }
