@@ -111,6 +111,13 @@ object ScaleRung {
     // over q219 must stay flat like q218's over q215
     "q220_stream_search_compact",
     "q221_stream_search_asof",
+    // the takedown family: each pays its branch REWRITE on first call
+    // (O(index), the linear term — min-of-2 reports the warm probe, so
+    // the interesting row is the probe staying flat while the audit
+    // scans grow linearly) — erasure itself must never touch the corpus
+    "q222_search_takedown",
+    "q223_dedup_takedown",
+    "q224_vector_takedown",
   )
 
   /** The RocksDB-vs-memory crossover experiment: the two streaming rigs
