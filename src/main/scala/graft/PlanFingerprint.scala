@@ -127,6 +127,7 @@ object PlanFingerprint {
     "q222_search_takedown",
     "q223_dedup_takedown",
     "q224_vector_takedown",
+    "q225_lake_takedown",
   )
 
   /** Structural counts of the STEADY-STATE initial plan.

@@ -413,6 +413,71 @@ object RoundTrip extends QueryModule {
       |       CAST(SUM(okey) AS BIGINT), TRUE
       |FROM o WHERE okey % 10 <> 0 OR od >= DATE '1998-01-01'""".stripMargin
 
+  /** q225: the LAKE leg of the takedown cascade (q222-q224 erase the
+    * derived indexes; the source of truth must erase too — and in a
+    * snapshot table "deleted" is not "gone"):
+    *  - v1 commits the documents corpus;
+    *  - v2 = [[Snapshots.commitDelete]] of the works (doc_id % 97 = 13) —
+    *    LOGICAL erasure: merge-on-read masks the rows, but their bytes
+    *    still sit in v1's files, time travel still serves them, and the
+    *    delete-key file itself NAMES the works;
+    *  - the v1->v2 change feed is drained first (the propagation hook: a
+    *    q158-style IVM consumer and the q222-q224 index takedowns key off
+    *    exactly these D rows) — drained BEFORE expiry because the feed
+    *    reads the very files expiry reclaims;
+    *  - v3 = [[Snapshots.compact]] — the PHYSICAL rewrite: live rows land
+    *    in fresh files, masked rows in none;
+    *  - [[Snapshots.expire]](keepFrom = v3) drops the v1/v2 manifests and
+    *    physically deletes every file only they referenced — the erased
+    *    bytes and the key file both.
+    * The audits are the point: per-lang counts of the surviving lake
+    * (oracled against the filtered corpus), the change-feed delete count,
+    * `erased_bytes_remaining` counted by scanning EVERY parquet file
+    * physically left under the lake dir — the MANIFEST-BLIND view, which
+    * is the difference between "unreadable" and "gone" — pinned 0, and
+    * `history_expired`: time travel to v1 must now refuse. */
+  def lakeTakedown(s: SparkSession, dir: String): DataFrame = {
+    tune(s)
+    val lake = freshLake(s, "taked", dir)
+    val d = table(s, dir, "documents").select(col("doc_id"), col("text"), col("lang"))
+    val v1 = Snapshots.commit(d, lake, append = false)
+    val v2 = Snapshots.commitDelete(
+      d.filter(col("doc_id") % 97 === 13).select("doc_id"), lake)
+    val nChangeDeletes = Snapshots.changes(s, lake, v1, v2)
+      .filter(col("_change_type") === "delete").count()
+    val v3 = Snapshots.compact(s, lake)
+    val (mDropped, fDeleted) = Snapshots.expire(s, lake, v3)
+    require(fDeleted > 0, "expiry must physically reclaim pre-takedown files")
+    val historyExpired =
+      try { Snapshots.read(s, lake, v1).head(1); false }
+      catch { case _: Exception => true }
+    // the manifest-blind physical scan: every part file still on disk
+    // under the lake's data root, read directly (sidecar _blooms/_stats
+    // dirs are underscore-hidden and skipped by the recursive listing)
+    val residual = s.read
+      .option("recursiveFileLookup", "true")
+      .option("pathGlobFilter", "part-*.parquet")
+      .parquet(s"$lake/data")
+      .agg(coalesce(sum(when(col("doc_id") % 97 === 13, 1L).otherwise(0L)), lit(0L))
+        .as("erased_bytes_remaining"))
+    Snapshots.read(s, lake)
+      .groupBy(col("lang")).agg(count(lit(1)).as("n_docs"))
+      .crossJoin(broadcast(residual))
+      .withColumn("n_change_deletes", lit(nChangeDeletes))
+      .withColumn("manifests_dropped", lit(mDropped.toLong))
+      .withColumn("history_expired", lit(historyExpired))
+  }
+
+  private val lakeTakedownSql =
+    """SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |       CAST(0 AS BIGINT) AS erased_bytes_remaining,
+      |       (SELECT CAST(COUNT(*) AS BIGINT) FROM documents WHERE doc_id % 97 = 13)
+      |         AS n_change_deletes,
+      |       CAST(2 AS BIGINT) AS manifests_dropped,
+      |       TRUE AS history_expired
+      |FROM documents WHERE doc_id % 97 <> 13
+      |GROUP BY lang""".stripMargin
+
   /** q152: per-file min/max statistics driving data skipping. The commit
     * range-clusters orders by order date into 8 files and records each
     * file's `od` min/max beside the segment (`statsCols`);
@@ -898,6 +963,9 @@ object RoundTrip extends QueryModule {
     GQuery("q151_snapshot_delete",
       "equality-delete commit: merge-on-read masking across past AND later appends, time travel intact",
       snapshotDelete, Some(snapshotDeleteSql)),
+    GQuery("q225_lake_takedown",
+      "lake takedown: logical delete -> change feed drained -> physical compact -> history expiry; a manifest-blind disk scan proves zero erased bytes remain and time travel to pre-delete versions refuses",
+      lakeTakedown, Some(lakeTakedownSql)),
     GQuery("q152_snapshot_prune",
       "per-file min/max stats: driver-side file pruning + residual filter over a range-clustered table",
       snapshotPrune, Some(snapshotPruneSql)),
