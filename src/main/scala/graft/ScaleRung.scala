@@ -118,6 +118,11 @@ object ScaleRung {
     "q222_search_takedown",
     "q223_dedup_takedown",
     "q224_vector_takedown",
+    // q225 pays its FULL pipeline per call (fresh lake: commit + delete
+    // + feed + compact + expire + manifest-blind scan) — the linear term
+    // is the two corpus writes (commit + compact rewrite); expiry and
+    // planning stay metadata-only
+    "q225_lake_takedown",
   )
 
   /** The RocksDB-vs-memory crossover experiment: the two streaming rigs
