@@ -128,6 +128,7 @@ object PlanFingerprint {
     "q223_dedup_takedown",
     "q224_vector_takedown",
     "q225_lake_takedown",
+    "q226_pq_takedown",
   )
 
   /** Structural counts of the STEADY-STATE initial plan.

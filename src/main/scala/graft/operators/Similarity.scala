@@ -1104,6 +1104,113 @@ object Similarity extends QueryModule {
        |  FROM padc)
        |WHERE rn <= 3""".stripMargin
 
+  // ---- q226: takedown over the persisted PQ code store ----
+
+  /** Build-if-stale the post-takedown BRANCH of the PQ code store — the
+    * SAME request slice as q224 (vec_id % 89 = 17 minus IVF centroid
+    * seeds), so one erasure request provably leaves BOTH vector serving
+    * structures: one broadcast anti-join over the codes table, O(index).
+    * Codebooks are kept: after [[PqLloydSteps]] Lloyd rounds every
+    * codeword is a cluster MEAN over subvectors — a trained aggregate
+    * with no vec_id linkage — the same "the quantizer keeps its trained
+    * geometry" trade as q224's centroids (the residual caveat, stated
+    * rather than hidden: a codeword whose training cluster had exactly
+    * one member IS that member's subvector; retraining is the rebuild
+    * op). The `mq` meta and cid provenance carry through unchanged. */
+  private[graft] def takedownPqBranch(s: SparkSession, dir: String): String = {
+    corpusPqIndex(s, dir)
+    corpusIvfIndex(s, dir)
+    val src = fixturePqIndexPath(dir)
+    val path = src + "_takedown_" + processTag
+    val stamp = s"takedown1|lloyd$PqLloydSteps|" +
+      graft.sources.IndexStore.sourceStamp(s, Seq(s"$dir/embeddings.parquet"))
+    synchronized {
+      if (!graft.sources.IndexStore.isCurrent(s, path, stamp)) {
+        val m = graft.sources.IndexStore
+          .readMeta(s, fixtureIvfIndexPath(dir))("m").toLong
+        val req = table(s, dir, "embeddings")
+          .filter(col("vec_id") % 89 === 17 && col("vec_id") % m =!= 0)
+          .select(col("vec_id")).localCheckpoint()
+        val codes2 = graft.sources.IndexStore.read(s, src, "codes")
+          .join(broadcast(req), Seq("vec_id"), "left_anti")
+        graft.sources.IndexStore.write(s, path, stamp, Seq(
+          "codebooks" -> graft.sources.IndexStore.read(s, src, "codebooks"),
+          "codes" -> codes2.repartitionByRange(col("cid"), col("vec_id"))
+            .sortWithinPartitions(col("cid"), col("vec_id"), col("j"))),
+          Map("mq" -> graft.sources.IndexStore.readMeta(s, src)("mq")))
+        cleanupAtExit(path)
+      }
+    }
+    path
+  }
+
+  /** q226: the q199 ADC top-3 answered from the post-takedown code
+    * store, plus the audits: `n_vecs` (distinct encoded vectors left)
+    * and `removed_traces` (code rows for erased ids — pinned 0). The
+    * erased vectors cannot be scored because their CODES are gone; the
+    * distance tables, built from probes + codebooks alone, are
+    * unchanged — which is why the retained rankings are bit-identical
+    * to a filtered re-encode, and the oracle proves it from raw text. */
+  def pqTakedown(s: SparkSession, dir: String): DataFrame = {
+    tune(s)
+    val path = takedownPqBranch(s, dir)
+    val cb = graft.SessionCache.cached(s, s"sim:tkpqcb:$dir")(
+      graft.sources.IndexStore.read(s, path, "codebooks"))
+    val codes = graft.SessionCache.cached(s, s"sim:tkpqc:$dir")(
+      graft.sources.IndexStore.read(s, path, "codes"))
+    val m = graft.sources.IndexStore
+      .readMeta(s, fixtureIvfIndexPath(dir))("m").toLong
+    val erased = col("vec_id") % 89 === 17 && col("vec_id") % m =!= 0
+    val audit = codes.agg(countDistinct(col("vec_id")).as("n_vecs"))
+      .crossJoin(codes.filter(erased).agg(count(lit(1)).as("removed_traces")))
+    val probes = table(s, dir, "embeddings").filter(col("vec_id").between(0, 15))
+      .select(col("vec_id").as("qid"),
+        posexplode(subVecsCol(col("embedding"))).as(Seq("j", "qsub")))
+    val dtable = probes.join(cb, Seq("j"))
+      .select(col("qid"), col("j"), col("code"),
+        expr("graft_sqdist(qsub, csub)").as("qd2"))
+    val adc = codes.select(col("vec_id").as("vid"), col("j"), col("code"))
+      .join(broadcast(dtable), Seq("j", "code"))
+      .filter(col("qid") =!= col("vid"))
+      .groupBy(col("qid"), col("vid"))
+      .agg(sum(col("qd2")).as("adc0"))
+    val w = Window.partitionBy(col("qid")).orderBy(round(col("adc0"), 9).asc, col("vid"))
+    adc.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select(col("qid"), col("vid"), round(col("adc0"), 9).as("adc"), col("rn"))
+      .crossJoin(broadcast(audit))
+  }
+
+  /** q226's oracle: the q199 chain with erased ids removed from the CODE
+    * side only (codebooks trained over the full corpus — the quantizer
+    * kept its geometry), audits pinned. */
+  private[graft] val pqTakedownSql =
+    s"""WITH $flatSql,
+       |$pqSubSql,
+       |$pqCwSql,
+       |$pqDistSql,
+       |$pqCodesSql,
+       |erased AS (
+       |  SELECT vec_id FROM embeddings
+       |  WHERE vec_id % 89 = 17
+       |    AND vec_id % (SELECT CAST(ceil(sqrt(COUNT(*))) AS BIGINT) FROM embeddings) <> 0),
+       |padc AS (
+       |  SELECT q.vec_id AS qid, c.vec_id AS vid,
+       |         CAST(SUM(CAST(q.d2 AS DECIMAL(38,20))) AS DOUBLE) AS adc0
+       |  FROM pdist q JOIN pcodes c ON c.j = q.j AND c.code = q.code AND c.vec_id <> q.vec_id
+       |  WHERE q.vec_id BETWEEN 0 AND 15
+       |    AND c.vec_id NOT IN (SELECT vec_id FROM erased)
+       |  GROUP BY q.vec_id, c.vec_id)
+       |SELECT qid, vid, adc, rn,
+       |       (SELECT CAST(COUNT(*) AS BIGINT) FROM embeddings)
+       |         - (SELECT CAST(COUNT(*) AS BIGINT) FROM erased) AS n_vecs,
+       |       CAST(0 AS BIGINT) AS removed_traces
+       |FROM (
+       |  SELECT qid, vid, round(adc0, 9) AS adc,
+       |         CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY round(adc0, 9), vid) AS INT) AS rn
+       |  FROM padc)
+       |WHERE rn <= 3""".stripMargin
+
   /** q200: IVFADC — the full IVF-PQ probe (the architecture FAISS ships
     * for web-scale ANN): the coarse quantizer (persisted IVF index)
     * prunes candidates to the probe's cluster, and the fine quantizer
@@ -3121,6 +3228,9 @@ object Similarity extends QueryModule {
     GQuery("q199_pq_adc",
       "ADC top-3: probes score the corpus from its PQ codes only (32x fewer bytes than the raw-vector baseline)",
       pqAdcTopk, Some(pqAdcSql)),
+    GQuery("q226_pq_takedown",
+      "takedown over the PQ code store: the q224 request slice anti-joined from codes, codebooks kept (trained means, no id linkage), erased vectors unscorable because their codes are gone",
+      pqTakedown, Some(pqTakedownSql)),
     GQuery("q200_ivfpq_probe",
       "IVFADC: coarse IVF cluster pruning + fine PQ ADC scoring — the probe reads only the probed clusters' code bytes",
       ivfPqProbe, Some(ivfPqSql)),
