@@ -123,6 +123,10 @@ object ScaleRung {
     // is the two corpus writes (commit + compact rewrite); expiry and
     // planning stay metadata-only
     "q225_lake_takedown",
+    // q226's warm probe is the q199 ADC scan over the erased code store
+    // — linear in code bytes like q199, with the branch rewrite amortized
+    // like the rest of the takedown family
+    "q226_pq_takedown",
   )
 
   /** The RocksDB-vs-memory crossover experiment: the two streaming rigs
