@@ -393,6 +393,7 @@ object ScaleRung {
       spark.conf.set("spark.graft.stateStore.provider", provider)
       val fn = SparkEntry.queries(name)
       var bestSec = Double.MaxValue
+      var failures = 0
       (1 to runs).foreach { _ =>
         // same settle protocol as runBlock: every run here FOLLOWS a
         // streaming teardown (the previous crossover run's), whose ~0.4 s
@@ -402,17 +403,28 @@ object ScaleRung {
         Thread.sleep(3000)
         val t0 = System.nanoTime()
         // a provider that cannot carry the state population is ITSELF a
-        // crossover result — record the failure as a row, don't abort
-        // the sweep
-        try fn(spark, dir).write.format("noop").mode("overwrite").save()
-        catch { case e: Throwable =>
+        // crossover result — record the failure as a FAILURE row, never
+        // as a timing: time-to-crash is not a min-of-N candidate (a 2 s
+        // OOM must not "beat" a 60 s success)
+        try {
+          fn(spark, dir).write.format("noop").mode("overwrite").save()
+          val sec = (System.nanoTime() - t0) / 1e9
+          if (sec < bestSec) bestSec = sec
+        } catch { case e: Throwable =>
+          failures += 1
           println(s"[$tag] $name@$provider FAILED: ${e.getClass.getSimpleName}")
         }
-        val sec = (System.nanoTime() - t0) / 1e9
-        if (sec < bestSec) bestSec = sec
       }
-      println(f"[$tag] $name@$provider%-38s ${bestSec}%8.2f s")
-      results(s"$tag/$name@$provider") = Map("sec" -> bestSec)
+      if (bestSec == Double.MaxValue) {
+        println(f"[$tag] $name@$provider%-38s ALL RUNS FAILED")
+        results(s"$tag/$name@$provider") = Map("failed_runs" -> failures.toLong)
+      } else {
+        println(f"[$tag] $name@$provider%-38s ${bestSec}%8.2f s" +
+          (if (failures > 0) s"  ($failures/$runs runs failed)" else ""))
+        results(s"$tag/$name@$provider") =
+          if (failures > 0) Map("sec" -> bestSec, "failed_runs" -> failures.toLong)
+          else Map("sec" -> bestSec)
+      }
     }
     spark.conf.set("spark.graft.stateStore.provider", "rocksdb")
 
@@ -430,10 +442,14 @@ object ScaleRung {
     sb.append("\n| streaming rig | provider | sf0.1 s | sf1 s | sf10state s | sf1/sf0.1 | sf10state/sf1 |\n|---|---|---|---|---|---|---|\n")
     for (name <- if (args.isEmpty) stateCompared else Nil;
          provider <- Seq("memory", "rocksdb")) {
-      val a = results(s"sf0.1/$name@$provider")("sec").asInstanceOf[Double]
-      val b = results(s"sf1/$name@$provider")("sec").asInstanceOf[Double]
-      val c100 = results(s"sf10state/$name@$provider")("sec").asInstanceOf[Double]
-      sb.append(f"| $name | $provider | $a%.2f | $b%.2f | $c100%.2f | ${b / a}%.1fx | ${c100 / b}%.1fx |\n")
+      def cell(tag: String): Option[Double] =
+        results(s"$tag/$name@$provider").get("sec").map(_.asInstanceOf[Double])
+      def fmt(v: Option[Double]): String = v.fold("FAILED")(x => f"$x%.2f")
+      def ratio(n: Option[Double], d: Option[Double]): String =
+        (n, d) match { case (Some(x), Some(y)) => f"${x / y}%.1fx"; case _ => "n/a" }
+      val (a, b, c100) = (cell("sf0.1"), cell("sf1"), cell("sf10state"))
+      sb.append(s"| $name | $provider | ${fmt(a)} | ${fmt(b)} | ${fmt(c100)} " +
+        s"| ${ratio(b, a)} | ${ratio(c100, b)} |\n")
     }
     println(sb.toString)
 

@@ -1391,6 +1391,16 @@ object Dedup extends QueryModule {
   def dedupTakedown(s: SparkSession, dir: String): DataFrame = {
     tune(s)
     val path = takedownDedupBranch(s, dir)
+    synchronized {
+      // the bloom lands AFTER the stamped store swap, so a crash between
+      // the two leaves a stamp-current branch with no sidecar — heal at
+      // load like bloomScreen does, instead of failing until the corpus
+      // stamp changes
+      val fs = new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (!fs.exists(new org.apache.hadoop.fs.Path(path, "bloom")))
+        persistBloom(s, path): Unit
+    }
     def rd(t: String) =
       sessionCached(s, s"tkd$t:$dir")(graft.sources.IndexStore.read(s, path, t))
     val idx = DedupIndex(rd("digests"), rd("sigs"), rd("bands"))

@@ -653,10 +653,17 @@ object Search extends QueryModule {
     * stragglers — at which point it appears atomically. */
   private[graft] def streamIndexCommit(s: SparkSession, path: String,
       segId: Long, batch: DataFrame): (Int, Int) = {
-    val frames = streamTables(batch)
-    def commitAll(): Int = frames.count { case (t, df) =>
-      graft.sources.IndexStore.appendSegmentIfAbsent(s, path, t, "segment", segId, df)
-    }
+    // frames are built (one tokenize, checkpointed) only if some table
+    // still needs this segment — a fully-committed replay is the marker
+    // stats alone, never a Spark job (the metadata-no-op the exactly-once
+    // contract promises recovering streams)
+    lazy val frames = streamTables(batch)
+    def commitAll(): Int =
+      if (indexTableNames.forall(t => graft.sources.IndexStore
+            .segmentCommitted(s, path, t, "segment", segId))) 0
+      else frames.count { case (t, df) =>
+        graft.sources.IndexStore.appendSegmentIfAbsent(s, path, t, "segment", segId, df)
+      }
     val first = commitAll()
     val replay = commitAll()
     (first, replay)

@@ -2065,13 +2065,9 @@ object Similarity extends QueryModule {
     * n_segments audited from the store (1 after a lossless collapse) and
     * the post-compaction replay flag the rig observed. */
   private[graft] def seqIvfStreamCompactResult(s: SparkSession, path: String,
-      replayNoop: Boolean): DataFrame = {
-    val assign = graft.sources.IndexStore.readCommitted(s, path, "assign", "seg")
-    val nseg = assign.agg(countDistinct(col("seg")).as("n_segments"))
-    seqIvfProbeOn(assign, maxSeg = 2)
-      .crossJoin(broadcast(nseg))
-      .withColumn("replay_after_compact", lit(replayNoop))
-  }
+      replayNoop: Boolean): DataFrame =
+    seqIvfStreamResult(s, path, replayNoop)
+      .withColumnRenamed("replay_was_noop", "replay_after_compact")
 
   /** q218's answer frame: the SAME probe at two horizons of the STREAMED
     * store, the as-of leg read through

@@ -230,6 +230,15 @@ object IndexStore {
     }
   }
 
+  /** One segment's ledger entry: metadata-only (a single marker stat).
+    * Lets a replaying writer skip building the segment's frames entirely
+    * when every table already answers "committed". */
+  def segmentCommitted(s: SparkSession, path: String, table: String,
+      partCol: String, partVal: Long): Boolean = {
+    val seg = new Path(new Path(new Path(path), table), s"$partCol=$partVal")
+    fsOf(s, seg).exists(new Path(seg, "_COMMITTED"))
+  }
+
   /** The COMMITTED partition values of a tagged-segment table: every
     * `partCol=N` directory whose `_COMMITTED` marker exists. Metadata
     * only (one directory listing + one marker stat per segment). A
@@ -269,8 +278,14 @@ object IndexStore {
     val segs = committedSegments(s, path, table, partCol).filter(_ <= horizon)
     require(segs.nonEmpty,
       s"no committed $partCol segments at or below $horizon under $path/$table")
-    readSegments(s, path, table, partCol, segs)
+    // the set came from the ledger one line up — don't re-list it
+    readSegmentsUnchecked(s, new Path(new Path(path), table).toString, partCol, segs)
   }
+
+  private def readSegmentsUnchecked(s: SparkSession, tbl: String,
+      partCol: String, segs: Seq[Long]): DataFrame =
+    s.read.option("basePath", tbl)
+      .parquet(segs.map(v => s"$tbl/$partCol=$v"): _*)
 
   /** Read an EXPLICIT committed-segment set of a tagged-segment table —
     * the primitive under [[readCommitted]]/[[readCommittedAsOf]], public
@@ -286,8 +301,7 @@ object IndexStore {
     val committed = committedSegments(s, path, table, partCol).toSet
     val bad = segs.filterNot(committed)
     require(bad.isEmpty, s"readSegments: uncommitted segments $bad under $tbl")
-    s.read.option("basePath", tbl)
-      .parquet(segs.map(v => s"$tbl/$partCol=$v"): _*)
+    readSegmentsUnchecked(s, tbl, partCol, segs)
   }
 
   /** The CROSS-TABLE visible segment set of a multi-table tagged-segment
@@ -305,21 +319,36 @@ object IndexStore {
 
   /** Commit-ledger-aware compaction for a tagged-segment (partition-dir)
     * table — the rewrite [[graft.operators.Similarity.compactSeqSegments]]'s
-    * refusal names as missing: collapse every COMMITTED segment's rows
-    * into fresh range-sorted files under `partCol=0` while PRESERVING the
+    * refusal names as missing: collapse the COMPACTED segments' rows
+    * into fresh range-sorted files under the set's SMALLEST segment id
+    * (a genuinely committed id — writing them under a fixed `0` would
+    * FORGE a ledger entry for an id never committed, silently no-op'ing
+    * a later writer's first commit of that id) while PRESERVING the
     * ledger, so the exactly-once replay contract a recovering stream
     * depends on survives the rewrite. Concretely, the staged replacement
     * table carries:
-    *  - `partCol=0`: all committed rows (their original `partCol` value
-    *    is provenance, collapsed like the flat compaction collapses seg),
-    *    range-partitioned on `rangeCols` and sorted on `sortCols` — the
-    *    many-small-files erosion appends cause is undone in one pass;
+    *  - `partCol=min(compacted)`: the compacted rows (their original
+    *    `partCol` value is provenance, collapsed like the flat compaction
+    *    collapses seg), range-partitioned on `rangeCols` and sorted on
+    *    `sortCols` — the many-small-files erosion appends cause is
+    *    undone in one pass;
     *  - a TOMBSTONE `partCol=v` directory (marker, no data) for every
-    *    other previously-committed segment: the `_COMMITTED` marker IS
-    *    the ledger entry [[appendSegmentIfAbsent]] checks, so a stream
-    *    replaying a pre-compaction batch after a crash still sees
-    *    "committed" and touches nothing. Uncommitted partial dirs are
-    *    dropped by the swap — their replay legitimately rewrites.
+    *    other compacted segment: the `_COMMITTED` marker IS the ledger
+    *    entry [[appendSegmentIfAbsent]] checks, so a stream replaying a
+    *    pre-compaction batch after a crash still sees "committed" and
+    *    touches nothing;
+    *  - every committed segment OUTSIDE the compacted set carried
+    *    through unchanged (rows re-staged under their own `partCol=v` +
+    *    marker). Uncommitted partial dirs are dropped by the swap —
+    *    their replay legitimately rewrites.
+    * `onlySegs` scopes the compacted set. For a MULTI-TABLE store pass
+    * the JOINT visible set ([[commonCommittedSegments]]): a segment
+    * committed in this table but torn in another must NOT be folded into
+    * a visible segment — that would smuggle a torn segment's rows into
+    * the cross-table view (postings without their dictionary deltas);
+    * carried through as its own segment it stays invisible until the
+    * recovering replay heals the other tables. Default (None) compacts
+    * this table's whole committed set — correct for single-table stores.
     * The swap is [[Storage.guardedSwap]] under FIXED tmp/bak names, with
     * [[Storage.recoverStaleSwap]] at entry healing a previous crash
     * (mid-stage: tmp dropped, live untouched; mid-swap: bak restored).
@@ -329,7 +358,8 @@ object IndexStore {
     * horizons below the compaction point are forfeited, the same trade
     * as the flat [[graft.operators.Similarity.compactSeqSegments]]. */
   def compactSegmentLedger(s: SparkSession, path: String, table: String,
-      partCol: String, sortCols: Seq[String], rangeCols: Seq[String]): Unit = {
+      partCol: String, sortCols: Seq[String], rangeCols: Seq[String],
+      onlySegs: Option[Seq[Long]] = None): Unit = {
     import org.apache.spark.sql.functions.col
     val tbl = new Path(new Path(path), table)
     val fs = fsOf(s, tbl)
@@ -342,22 +372,39 @@ object IndexStore {
     require(isPartitionedTable(s, path, table),
       s"compactSegmentLedger: table '$table' at $path is not partition-dir " +
         "layout; use the flat compaction for seg-as-data-column stores")
-    val segs = committedSegments(s, path, table, partCol)
-    require(segs.nonEmpty, s"compactSegmentLedger: no committed segments at $tbl")
+    val committed = committedSegments(s, path, table, partCol)
+    require(committed.nonEmpty, s"compactSegmentLedger: no committed segments at $tbl")
+    val segs = onlySegs.fold(committed) { want =>
+      val missing = want.filterNot(committed.contains)
+      require(missing.isEmpty,
+        s"compactSegmentLedger: segments $missing not committed at $tbl")
+      want.sorted
+    }
+    require(segs.nonEmpty, s"compactSegmentLedger: empty compaction set for $tbl")
+    val into = segs.min
+    def stage(rows: org.apache.spark.sql.DataFrame, v: Long): Unit = {
+      rows.repartitionByRange(rangeCols.map(col): _*)
+        .sortWithinPartitions(sortCols.map(col): _*)
+        .write.mode("overwrite").parquet(new Path(tmp, s"$partCol=$v").toString)
+      fs.create(new Path(new Path(tmp, s"$partCol=$v"), "_COMMITTED"), true).close()
+    }
     // the rewrite reads the very files the swap replaces — pin the rows
-    val rows = readCommitted(s, path, table, partCol)
-      .drop(partCol).localCheckpoint()
-    rows.repartitionByRange(rangeCols.map(col): _*)
-      .sortWithinPartitions(sortCols.map(col): _*)
-      .write.mode("overwrite").parquet(new Path(tmp, s"$partCol=0").toString)
-    fs.create(new Path(new Path(tmp, s"$partCol=0"), "_COMMITTED"), true).close()
-    segs.filter(_ != 0L).foreach { v =>
+    stage(readSegments(s, path, table, partCol, segs)
+      .drop(partCol).localCheckpoint(), into)
+    segs.filter(_ != into).foreach { v =>
       val d = new Path(tmp, s"$partCol=$v")
       if (!fs.mkdirs(d))
         throw new java.io.IOException(s"compactSegmentLedger: cannot create tombstone $d")
       fs.create(new Path(d, "_COMMITTED"), true).close()
     }
-    Storage.guardedSwap(fs, tbl, tmp, bak)
+    // committed segments OUTSIDE the compacted set: carried through as
+    // their own segments (rows + marker), so a cross-table-torn segment
+    // stays ITS OWN invisible segment instead of leaking into the view
+    committed.filterNot(segs.contains).foreach { v =>
+      stage(readSegments(s, path, table, partCol, Seq(v))
+        .drop(partCol).localCheckpoint(), v)
+    }
+    Storage.guardedSwap(fsOf(s, tbl), tbl, tmp, bak)
   }
 
   /** True iff the stored table is laid out as hive partition directories

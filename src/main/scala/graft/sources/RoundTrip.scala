@@ -450,7 +450,10 @@ object RoundTrip extends QueryModule {
     require(fDeleted > 0, "expiry must physically reclaim pre-takedown files")
     val historyExpired =
       try { Snapshots.read(s, lake, v1).head(1); false }
-      catch { case _: Exception => true }
+      // ONLY the missing-manifest refusal counts as "expired" — a broader
+      // catch would let any unrelated read failure pass the pinned-TRUE
+      // audit (the one failure mode this audit exists to distinguish)
+      catch { case _: java.io.FileNotFoundException => true }
     // the manifest-blind physical scan: every part file still on disk
     // under the lake's data root, read directly (sidecar _blooms/_stats
     // dirs are underscore-hidden and skipped by the recursive listing)

@@ -1145,11 +1145,16 @@ object StreamOps extends QueryModule {
     withStatePartitions(s, 8) {
       val (path, replayNoop) = runSearchRefreshStream(s, dir)
       require(replayNoop, "pre-compaction stream must commit exactly once")
+      // compact the JOINT visible set, not each table's own ledger: a
+      // segment committed here but torn in a sibling table must stay its
+      // own (invisible) segment, not fold into the visible rows
+      val vis = graft.operators.Search.streamVisibleSegments(s, path)
       graft.sources.IndexStore.inParallel(
         graft.operators.Search.indexTableNames.map { t => () =>
           val cols = graft.operators.Search.streamCompactCols(t)
           graft.sources.IndexStore.compactSegmentLedger(
-            s, path, t, "segment", sortCols = cols, rangeCols = cols)
+            s, path, t, "segment", sortCols = cols, rangeCols = cols,
+            onlySegs = Some(vis))
         })
       val replays = graft.operators.Search.arrivalDocBatches(s, dir).map {
         case (segId, b) => graft.operators.Search.streamIndexCommit(

@@ -293,6 +293,49 @@ class CrashRecoverySpec extends AnyFunSuite {
     assert(IndexStore.readSegments(s, store, "a", "seg", Seq(0L, 3L)).count() == 12L)
   }
 
+  test("scoped compaction keeps a cross-table-torn segment out of the visible rows") {
+    import graft.sources.IndexStore
+    Engine.tune(s)
+    val store = s"$base/xtorncompact"
+    import s.implicits._
+    def seg(n: Int) = (1 to 3).map(i => (n * 10L + i, s"v$n")).toDF("id", "tag")
+    val tables = Seq("a", "b")
+    // segment 0 committed in both tables; segment 1 torn: committed in
+    // "a" only (the crash window). Compaction runs on recovery BEFORE
+    // the replay heals "b" — scoped to the joint visible set, it must
+    // NOT fold the torn segment's rows into the visible segment.
+    tables.foreach(t =>
+      assert(IndexStore.appendSegmentIfAbsent(s, store, t, "seg", 0L, seg(0))))
+    assert(IndexStore.appendSegmentIfAbsent(s, store, "a", "seg", 1L, seg(1)))
+    val vis = IndexStore.commonCommittedSegments(s, store, tables, "seg")
+    assert(vis == Seq(0L))
+    IndexStore.compactSegmentLedger(s, store, "a", "seg", Seq("id"), Seq("id"),
+      onlySegs = Some(vis))
+    assert(IndexStore.commonCommittedSegments(s, store, tables, "seg") == Seq(0L),
+      "the torn segment must stay invisible through compaction")
+    assert(IndexStore.readSegments(s, store, "a", "seg", Seq(0L)).count() == 3L,
+      "the visible segment must hold ONLY its own rows — no torn-row fold-in")
+    assert(IndexStore.committedSegments(s, store, "a", "seg") == Seq(0L, 1L),
+      "the torn segment must survive compaction as its own ledger entry")
+    assert(IndexStore.readSegments(s, store, "a", "seg", Seq(1L)).count() == 3L,
+      "the torn segment's rows must be carried through, not dropped")
+    // the recovering replay completes "b" and the segment appears whole
+    assert(!IndexStore.appendSegmentIfAbsent(s, store, "a", "seg", 1L, seg(1)))
+    assert(IndexStore.appendSegmentIfAbsent(s, store, "b", "seg", 1L, seg(1)))
+    assert(IndexStore.commonCommittedSegments(s, store, tables, "seg") == Seq(0L, 1L))
+    tables.foreach(t =>
+      assert(IndexStore.readSegments(s, store, t, "seg", Seq(0L, 1L)).count() == 6L))
+    // and the forged-marker hazard: a store committed at {5} compacts
+    // into partCol=5 (its own smallest id), never a fabricated 0
+    val st2 = s"$base/xmin"
+    assert(IndexStore.appendSegmentIfAbsent(s, st2, "t", "seg", 5L, seg(5)))
+    IndexStore.compactSegmentLedger(s, st2, "t", "seg", Seq("id"), Seq("id"))
+    assert(IndexStore.committedSegments(s, st2, "t", "seg") == Seq(5L),
+      "compaction must not forge a ledger entry for an uncommitted id")
+    assert(IndexStore.appendSegmentIfAbsent(s, st2, "t", "seg", 0L, seg(0)),
+      "a first commit of id 0 after compaction must still write")
+  }
+
   test("ledger compaction heals crash leftovers at every swap stage and keeps the ledger") {
     import graft.sources.IndexStore
     Engine.tune(s)
