@@ -631,10 +631,17 @@ object Search extends QueryModule {
     val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
     if (fs.exists(p)) fs.delete(p, true)
     val base = docs(s, dir).filter(col("doc_id") % 4 =!= 3)
-    val seeded = streamTables(base).map { case (t, df) =>
-      graft.sources.IndexStore.appendSegmentIfAbsent(s, path, t, "segment", 0L, df)
-    }
-    require(seeded.forall(identity), s"fresh streaming index at $path had segments")
+    // the four tables derive from one checkpointed tokenize — their
+    // writes are independent jobs, so overlap them (the q214 refresh
+    // pattern); on a fresh dir all four must report "wrote"
+    val wrote = new java.util.concurrent.atomic.AtomicInteger(0)
+    graft.sources.IndexStore.inParallel(streamTables(base).map {
+      case (t, df) => () =>
+        if (graft.sources.IndexStore.appendSegmentIfAbsent(s, path, t, "segment", 0L, df))
+          wrote.incrementAndGet(): Unit
+    })
+    require(wrote.get == indexTableNames.size,
+      s"fresh streaming index at $path had segments")
     graft.sources.IndexStore.writeStamp(s, path,
       "searchstream1|" + fixtureStamp(s, dir))
     graft.operators.Similarity.cleanupAtExit(path)
@@ -661,8 +668,15 @@ object Search extends QueryModule {
     def commitAll(): Int =
       if (indexTableNames.forall(t => graft.sources.IndexStore
             .segmentCommitted(s, path, t, "segment", segId))) 0
-      else frames.count { case (t, df) =>
-        graft.sources.IndexStore.appendSegmentIfAbsent(s, path, t, "segment", segId, df)
+      else {
+        // independent per-table writes over the shared checkpointed
+        // tokenize — overlap them like the seed does
+        val wrote = new java.util.concurrent.atomic.AtomicInteger(0)
+        graft.sources.IndexStore.inParallel(frames.map { case (t, df) => () =>
+          if (graft.sources.IndexStore.appendSegmentIfAbsent(s, path, t, "segment", segId, df))
+            wrote.incrementAndGet(): Unit
+        })
+        wrote.get
       }
     val first = commitAll()
     val replay = commitAll()
