@@ -129,6 +129,7 @@ object PlanFingerprint {
     "q224_vector_takedown",
     "q225_lake_takedown",
     "q226_pq_takedown",
+    "q227_feed_synced_search",
   )
 
   /** Structural counts of the STEADY-STATE initial plan.

@@ -430,11 +430,13 @@ object Search extends QueryModule {
   /** One suffixed BM25 scoring chain over an optionally filtered corpus —
     * q214's oracle needs the chain twice (full corpus and the pre-refresh
     * 3/4 subset) with disjoint CTE names; the score expression is kept
-    * verbatim from [[bm25ScoresSql]] so float parity carries over. */
-  private def bm25ChainSql(sfx: String, docWhere: String): String =
+    * verbatim from [[bm25ScoresSql]] so float parity carries over.
+    * `from` swaps the corpus source (q227 scores a derived CTE). */
+  private def bm25ChainSql(sfx: String, docWhere: String,
+      from: String = "documents"): String =
     s"""toks$sfx AS (
        |  SELECT doc_id, unnest(regexp_extract_all(text, '[a-z0-9]+')) AS tok
-       |  FROM documents$docWhere),
+       |  FROM $from$docWhere),
        |tfp$sfx AS (SELECT tok, doc_id, COUNT(*) AS tf FROM toks$sfx GROUP BY tok, doc_id),
        |dict$sfx AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS df FROM tfp$sfx GROUP BY tok),
        |dl$sfx AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl FROM toks$sfx GROUP BY doc_id),
@@ -892,6 +894,137 @@ object Search extends QueryModule {
        |  SELECT qid, doc_id, score,
        |         CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY score DESC, doc_id) AS INT) AS rn
        |  FROM scored_t)
+       |WHERE rn <= 5""".stripMargin
+
+  // ---- q227: feed-driven index sync (the lake leads, the index follows) ----
+
+  /** Apply one drained change-feed window to a stored flat search index,
+    * O(delta + index): the DELETE leg is q222's erasure generalized to an
+    * arbitrary broadcast id list (postings/doclen/positions anti-joined,
+    * dict rebuilt per segment from the retained postings), the INSERT leg
+    * is the q166 refresh (the batch tokenized once, appended as the next
+    * segment of all four tables, writes overlapped). Deletes first, so
+    * the rewrite never touches the rows the append is about to add. The
+    * corpus is never re-read: both legs consume only the feed rows and
+    * the stored tables. */
+  private def applyFeedToIndex(s: SparkSession, path: String, seg: Int,
+      inserts: DataFrame, deleteIds: DataFrame): Unit = {
+    def rd(t: String) = graft.sources.IndexStore.read(s, path, t)
+    if (!deleteIds.isEmpty) {
+      val ids = broadcast(deleteIds.select(col("doc_id")).localCheckpoint())
+      val post = rd("postings").join(ids, Seq("doc_id"), "left_anti").localCheckpoint()
+      val dict = post.groupBy(col("tok"), col("segment"))
+        .agg(count(lit(1)).as("df"), sum(col("tf")).as("cf"),
+          max(col("tf")).as("max_tf"))
+        .select(col("tok"), col("df"), col("cf"), col("max_tf"), col("segment"))
+        .localCheckpoint()
+      val dl = rd("doclen").join(ids, Seq("doc_id"), "left_anti").localCheckpoint()
+      val pos = rd("positions").join(ids, Seq("doc_id"), "left_anti").localCheckpoint()
+      graft.sources.IndexStore.inParallel(Seq(
+        () => graft.sources.IndexStore.replaceTable(s, path, "postings",
+          post.repartition(col("tok")).sortWithinPartitions(col("tok"), col("doc_id"))),
+        () => graft.sources.IndexStore.replaceTable(s, path, "dict", dict),
+        () => graft.sources.IndexStore.replaceTable(s, path, "doclen", dl),
+        () => graft.sources.IndexStore.replaceTable(s, path, "positions",
+          pos.repartition(col("tok"))
+            .sortWithinPartitions(col("tok"), col("doc_id"), col("pos")))))
+    }
+    if (!inserts.isEmpty) {
+      val (post0, dl, dict) = segmentTables(inserts, seg)
+      val post = post0.localCheckpoint()
+      graft.sources.IndexStore.inParallel(Seq(
+        () => graft.sources.IndexStore.append(s, path, "postings",
+          post.repartition(col("tok")).sortWithinPartitions(col("tok"), col("doc_id"))),
+        () => graft.sources.IndexStore.append(s, path, "doclen",
+          dl.withColumn("segment", lit(seg))),
+        () => graft.sources.IndexStore.append(s, path, "dict", dict),
+        () => graft.sources.IndexStore.append(s, path, "positions",
+          posToks(spread(inserts)).withColumn("segment", lit(seg))
+            .repartition(col("tok")).sortWithinPartitions(col("tok"), col("doc_id"), col("pos")))))
+    }
+  }
+
+  /** q227: the capstone composition — the LAKE is the source of truth and
+    * the search index FOLLOWS it through the change feed, O(delta):
+    *  1. v1 commits the corpus; the index is built FROM THE LAKE;
+    *  2. v2 deletes the q225 works (doc_id % 97 = 13), v3 appends new
+    *     arrivals (the % 31 = 2 slice under fresh ids — including
+    *     re-ingestions of just-deleted texts, which the feed handles
+    *     naturally: the old doc is erased, the new doc ranks);
+    *  3. the v1->v3 feed is drained ONCE and applied to the index —
+    *     its D rows drive the q222 erasure, its insert rows land as the
+    *     next segment (the q166 refresh); the corpus is never rescanned.
+    * The oracle rebuilds BM25 from the lake's CURRENT logical state
+    * (filtered + appended documents), so the synced index must be
+    * bit-equal to a from-scratch rebuild — feed-driven maintenance with
+    * zero drift. Audits: the feed's insert/delete counts and zero
+    * surviving traces of the deleted docs. */
+  def feedSyncedSearch(s: SparkSession, dir: String): DataFrame = {
+    tune(s)
+    val tag = dir.replaceAll("[^A-Za-z0-9.]+", "_")
+    val lake = s"target/tmp/feedsync_$tag"
+    val idxPath = "target/tmp/search_sync_" +
+      graft.operators.Similarity.processTag + "_" + tag
+    val fs = new org.apache.hadoop.fs.Path(lake)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    Seq(lake, idxPath).foreach { p =>
+      val hp = new org.apache.hadoop.fs.Path(p)
+      if (fs.exists(hp)) fs.delete(hp, true)
+    }
+    graft.operators.Similarity.cleanupAtExit(idxPath)
+    val d = table(s, dir, "documents").select(col("doc_id"), col("text"), col("lang"))
+    val v1 = graft.sources.Snapshots.commit(d, lake, append = false)
+    persistIndex(s, idxPath, "feedsync|" + fixtureStamp(s, dir),
+      graft.sources.Snapshots.read(s, lake, v1))
+    graft.sources.Snapshots.commitDelete(
+      d.filter(col("doc_id") % 97 === 13).select("doc_id"), lake)
+    val v3 = graft.sources.Snapshots.commit(
+      d.filter(col("doc_id") % 31 === 2)
+        .select((col("doc_id") + 500000L).as("doc_id"), col("text"), col("lang")),
+      lake, append = true)
+    val feed = graft.sources.Snapshots.changes(s, lake, v1, v3).localCheckpoint()
+    val inserts = feed.filter(col("_change_type") === "insert")
+      .select(col("doc_id"), col("text"))
+    val deleteIds = feed.filter(col("_change_type") === "delete").select(col("doc_id"))
+    applyFeedToIndex(s, idxPath, seg = 1, inserts, deleteIds)
+    val idx = loadIndex(s, idxPath)
+    val erased = col("doc_id") % 97 === 13 && col("doc_id") < 500000L
+    val traces = Seq(idx.postings, idx.doclen, idx.positions)
+      .map(_.filter(erased).agg(count(lit(1)).as("n")))
+      .reduce(_ unionByName _).agg(sum(col("n")).as("removed_traces"))
+    val audit = idx.doclen.agg(count(lit(1)).as("n_docs"))
+      .crossJoin(traces)
+      .withColumn("n_feed_inserts", lit(inserts.count()))
+      .withColumn("n_feed_deletes", lit(deleteIds.count()))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid")).orderBy(col("score").desc, col("doc_id"))
+    bm25(idx, querySet(docs(s, dir)))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") <= 5)
+      .select(col("qid"), col("doc_id"), col("score"), col("rn"))
+      .crossJoin(broadcast(audit))
+  }
+
+  /** q227's oracle: BM25 rebuilt from the lake's current logical state —
+    * originals minus the deleted works, plus the appended arrivals under
+    * their fresh ids — with the feed counts and zero traces pinned. */
+  private[graft] val feedSyncedSearchSql =
+    s"""WITH synced AS (
+       |  SELECT doc_id, text FROM documents WHERE doc_id % 97 <> 13
+       |  UNION ALL
+       |  SELECT doc_id + 500000 AS doc_id, text FROM documents WHERE doc_id % 31 = 2),
+       |$querySetSql,
+       |${bm25ChainSql("_s", "", from = "synced")}
+       |SELECT qid, doc_id, score, rn,
+       |       (SELECT n_docs FROM stats_s) AS n_docs,
+       |       CAST(0 AS BIGINT) AS removed_traces,
+       |       (SELECT CAST(COUNT(*) AS BIGINT) FROM documents WHERE doc_id % 31 = 2)
+       |         AS n_feed_inserts,
+       |       (SELECT CAST(COUNT(*) AS BIGINT) FROM documents WHERE doc_id % 97 = 13)
+       |         AS n_feed_deletes
+       |FROM (
+       |  SELECT qid, doc_id, score,
+       |         CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY score DESC, doc_id) AS INT) AS rn
+       |  FROM scored_s)
        |WHERE rn <= 5""".stripMargin
 
   /** q170: exact phrase search over the POSITIONAL side of the persisted
@@ -1514,6 +1647,9 @@ object Search extends QueryModule {
     GQuery("q222_search_takedown",
       "takedown erasure over the persisted index: O(index) one-pass rewrite (dict rebuilt from retained postings, never the corpus), oracled as equal to a rebuild from the filtered corpus with zero surviving traces",
       searchTakedown, Some(searchTakedownSql)),
+    GQuery("q227_feed_synced_search",
+      "feed-driven index sync: the lake's change feed applied O(delta) to the search index (D rows drive erasure, inserts land as the next segment), oracled as bit-equal to a rebuild from the lake's current state",
+      feedSyncedSearch, Some(feedSyncedSearchSql)),
   )
 }
 
