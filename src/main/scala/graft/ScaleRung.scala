@@ -127,6 +127,11 @@ object ScaleRung {
     // — linear in code bytes like q199, with the branch rewrite amortized
     // like the rest of the takedown family
     "q226_pq_takedown",
+    // q227 pays the full loop per call (fresh lake + from-lake index
+    // build + feed drain + O(delta) apply + probe) — the linear terms
+    // are the lake commit and the index build; the feed apply is
+    // delta-sized and the probe fixed-budget
+    "q227_feed_synced_search",
   )
 
   /** The RocksDB-vs-memory crossover experiment: the two streaming rigs
