@@ -130,6 +130,7 @@ object PlanFingerprint {
     "q225_lake_takedown",
     "q226_pq_takedown",
     "q227_feed_synced_search",
+    "q228_feed_synced_screen",
   )
 
   /** Structural counts of the STEADY-STATE initial plan.

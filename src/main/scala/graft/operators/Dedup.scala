@@ -1224,23 +1224,24 @@ object Dedup extends QueryModule {
     * under the object lock so concurrent first callers cannot race the
     * swap.
     *
-    * Layout v2 adds the `keys` sidecar — the (tkey, doc_id) content-key
-    * -> group-rep mapping [[dedupTakedown]]'s erasure anti-joins. The
-    * sigs/bands tables are keyed by the REP's doc_id while a takedown
-    * request arrives as content (text digests), so without this mapping
-    * a content erasure would have to re-derive reps from the corpus —
-    * O(corpus) instead of O(index). All four tables land in ONE staged
-    * store swap; pre-v2 stores fail the stamp and rebuild. */
+    * Layout v3 adds the `keys` sidecar — the (tkey, doc_id) content-key
+    * -> HOLDER mapping, one row per corpus doc. The sigs/bands tables
+    * are keyed by the group REP's doc_id (derivable as the min holder)
+    * while erasure requests arrive as content digests (takedown, q223)
+    * or holder ids (the change feed, q228) — and id-level deletes need
+    * the full holder set to decide GROUP SURVIVAL: a text is forgotten
+    * only when its last holder goes, which without this mapping would
+    * take an O(corpus) rescan to determine. One staged store swap;
+    * pre-v3 stores fail the stamp and rebuild. */
   private def corpusIndex(s: SparkSession, dir: String): DedupIndex = {
     val path = fixtureIndexPath(dir)
     synchronized {
-      val stamp = "v2|" +
+      val stamp = "v3|" +
         graft.sources.IndexStore.sourceStamp(s, Seq(s"$dir/documents.parquet"))
       if (!graft.sources.IndexStore.isCurrent(s, path, stamp)) {
         val corpus = augmentedDocs(s, dir).filter(col("doc_id") < 100000L)
         val idx = buildIndex(corpus)
-        val keys = dupGroups(corpus)
-          .select(md5(col("text")).as("tkey"), col("gid").as("doc_id"))
+        val keys = corpus.select(md5(col("text")).as("tkey"), col("doc_id"))
         graft.sources.IndexStore.write(s, path, stamp, Seq(
           "digests" -> idx.digests, "sigs" -> idx.sigs,
           "bands" -> idx.bands, "keys" -> keys))
@@ -1340,10 +1341,11 @@ object Dedup extends QueryModule {
     * anti-join per table, the corpus never re-read.
     *  - digests: drop the request's tkeys (every holder of the work goes
     *    with them — digests are per unique text);
-    *  - sigs/bands: keyed by the group REP's doc_id, so the v2 `keys`
-    *    sidecar maps request tkeys -> rep ids first; dropping those reps
-    *    erases exactly the works' near-dup presence (groups are exact-
-    *    text groups, so no retained text loses its rep);
+    *  - sigs/bands: keyed by the group REP's doc_id, so the `keys`
+    *    sidecar maps request tkeys -> holder ids first (reps are among
+    *    them); dropping those ids erases exactly the works' near-dup
+    *    presence (groups are exact-text groups, so no retained text
+    *    loses its rep);
     *  - keys: drops the mapping rows themselves;
     *  - bloom sidecar: REBUILT over the retained digests. Correctness is
     *    indifferent (a stale bloom's extra "maybe" rows ride the exact
@@ -1356,7 +1358,7 @@ object Dedup extends QueryModule {
     corpusIndex(s, dir)
     val src = fixtureIndexPath(dir)
     val path = src + "_takedown_" + graft.operators.Similarity.processTag
-    val stamp = "takedown1|v2|" +
+    val stamp = "takedown1|v3|" +
       graft.sources.IndexStore.sourceStamp(s, Seq(s"$dir/documents.parquet"))
     synchronized {
       if (!graft.sources.IndexStore.isCurrent(s, path, stamp)) {
@@ -1454,6 +1456,144 @@ object Dedup extends QueryModule {
        |LEFT JOIN exact_g e ON e.nid = g.doc_id
        |LEFT JOIN near_g nr ON nr.nid = g.doc_id
        |GROUP BY 1, 2""".stripMargin
+  }
+
+  // ---- q228: feed-driven sync of the screening index ----
+
+  /** q228: the q227 composition for the DEDUP family, which has the
+    * semantics the search index doesn't — the index is keyed by TEXT
+    * (one digest/signature per unique text) while the lake's change feed
+    * deletes by DOC ID, so the apply must decide GROUP SURVIVAL: a text
+    * is forgotten only when its LAST holder is deleted; a text with
+    * surviving holders keeps its digest and signature even though some
+    * of its holders (possibly its rep) are gone. The v3 member-level
+    * `keys` sidecar makes that decision O(delta + keys): affected texts
+    * = keys ⋈ deleted ids, fully-gone texts = affected minus any
+    * surviving holder — no corpus rescan. The loop:
+    *  1. v1 commits the corpus; the index builds FROM THE LAKE;
+    *  2. v2 deletes the takedown works (doc_id % 97 = 13), v3 appends
+    *     new arrivals (the % 31 = 2 texts under fresh ids — exact
+    *     re-ingestions, which the text-keyed index tolerates by design:
+    *     duplicate digest rows are the documented append tolerance);
+    *  3. the v1->v3 feed is drained once and applied: fully-gone texts'
+    *     digests/sigs/bands erased (sigs/bands via the original rep ids),
+    *     surviving groups untouched, inserts appended via the q143
+    *     refresh shape, holder rows updated.
+    * The probe is the q131 arrival batch screened against the SYNCED
+    * index; the oracle recomputes every decision from the lake's current
+    * logical state, plus `n_unique_texts` — the synced index's distinct
+    * digest count must equal the synced corpus's distinct text count, a
+    * structural equality that catches an over-erased (partial-group) or
+    * under-erased (fully-gone text survived) apply even when no decision
+    * happens to flip. */
+  def feedSyncedScreen(s: SparkSession, dir: String): DataFrame = {
+    tune(s)
+    val tag = dir.replaceAll("[^A-Za-z0-9.]+", "_")
+    val lake = s"target/tmp/dedupsync_$tag"
+    val idxPath = "target/tmp/dedup_sync_" +
+      graft.operators.Similarity.processTag + "_" + tag
+    val hfs = new org.apache.hadoop.fs.Path(lake)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    Seq(lake, idxPath).foreach { p =>
+      val hp = new org.apache.hadoop.fs.Path(p)
+      if (hfs.exists(hp)) hfs.delete(hp, true)
+    }
+    graft.operators.Similarity.cleanupAtExit(idxPath)
+    val corpus = augmentedDocs(s, dir).filter(col("doc_id") < 100000L)
+    val v1 = graft.sources.Snapshots.commit(corpus, lake, append = false)
+    val base = graft.sources.Snapshots.read(s, lake, v1)
+    val idx0 = buildIndex(base)
+    graft.sources.IndexStore.write(s, idxPath, "dedupsync", Seq(
+      "digests" -> idx0.digests, "sigs" -> idx0.sigs, "bands" -> idx0.bands,
+      "keys" -> base.select(md5(col("text")).as("tkey"), col("doc_id"))))
+    graft.sources.Snapshots.commitDelete(
+      corpus.filter(col("doc_id") % 97 === 13).select("doc_id"), lake)
+    val v3 = graft.sources.Snapshots.commit(
+      corpus.filter(col("doc_id") % 31 === 2)
+        .select((col("doc_id") + 500000L).as("doc_id"), col("text"), col("lang")),
+      lake, append = true)
+    val feed = graft.sources.Snapshots.changes(s, lake, v1, v3).localCheckpoint()
+    val inserts = feed.filter(col("_change_type") === "insert")
+      .select(col("doc_id"), col("text"))
+    val del = broadcast(feed.filter(col("_change_type") === "delete")
+      .select(col("doc_id")).localCheckpoint())
+    def rd(t: String) = graft.sources.IndexStore.read(s, idxPath, t)
+    // DELETE leg: group survival from the member-level keys
+    val keys = rd("keys")
+    val affected = keys.join(del, "doc_id").select(col("tkey")).distinct()
+    val surviving = keys.join(del, Seq("doc_id"), "left_anti")
+      .select(col("tkey")).distinct()
+    val gone = broadcast(
+      affected.join(surviving, Seq("tkey"), "left_anti").localCheckpoint())
+    val erasedReps = broadcast(keys.groupBy(col("tkey"))
+      .agg(min(col("doc_id")).as("doc_id"))
+      .join(gone, "tkey").select(col("doc_id")).localCheckpoint())
+    val dig2 = rd("digests").join(gone, Seq("tkey"), "left_anti").localCheckpoint()
+    val sig2 = rd("sigs").join(erasedReps, Seq("doc_id"), "left_anti").localCheckpoint()
+    val band2 = rd("bands").join(erasedReps, Seq("doc_id"), "left_anti").localCheckpoint()
+    val keys2 = keys.join(del, Seq("doc_id"), "left_anti").localCheckpoint()
+    graft.sources.IndexStore.inParallel(Seq(
+      () => graft.sources.IndexStore.replaceTable(s, idxPath, "digests", dig2),
+      () => graft.sources.IndexStore.replaceTable(s, idxPath, "sigs", sig2),
+      () => graft.sources.IndexStore.replaceTable(s, idxPath, "bands", band2),
+      () => graft.sources.IndexStore.replaceTable(s, idxPath, "keys", keys2)))
+    // INSERT leg: the refresh shape — the arrivals' own signatures append
+    val add = buildIndex(inserts)
+    graft.sources.IndexStore.inParallel(Seq(
+      () => graft.sources.IndexStore.append(s, idxPath, "digests", add.digests),
+      () => graft.sources.IndexStore.append(s, idxPath, "sigs", add.sigs),
+      () => graft.sources.IndexStore.append(s, idxPath, "bands", add.bands),
+      () => graft.sources.IndexStore.append(s, idxPath, "keys",
+        inserts.select(md5(col("text")).as("tkey"), col("doc_id")))))
+    // PROBE: the q131 arrival batch against the synced index
+    val synced = DedupIndex(rd("digests"), rd("sigs"), rd("bands"))
+    val newB = augmentedDocs(s, dir).filter(col("doc_id") >= 100000L)
+    val audit = rd("digests")
+      .agg(countDistinct(col("tkey")).as("n_unique_texts"))
+      .withColumn("n_feed_inserts", lit(inserts.count()))
+      .withColumn("n_feed_deletes", lit(del.count()))
+    screenSummary(screenBatch(synced, newB), newB).crossJoin(broadcast(audit))
+  }
+
+  /** q228's oracle: the q131 decision chain recomputed over the lake's
+    * CURRENT logical state (corpus minus deleted ids, plus the appended
+    * arrivals), with the structural text-count audit and feed counts
+    * pinned. */
+  private[graft] val feedSyncedScreenSql = {
+    val sim = (0 until 16).map(j => s"CASE WHEN a.m$j = b.m$j THEN 1 ELSE 0 END").mkString(" + ")
+    s"""WITH $augmentedDocsSql,
+       |corpus AS (
+       |  SELECT doc_id, text, lang FROM docs WHERE doc_id < 100000 AND doc_id % 97 <> 13
+       |  UNION ALL
+       |  SELECT doc_id + 500000, text, lang FROM docs WHERE doc_id < 100000 AND doc_id % 31 = 2),
+       |newb AS (SELECT * FROM docs WHERE doc_id >= 100000),
+       |rep_cor AS (SELECT MIN(doc_id) AS doc_id, text FROM corpus GROUP BY text),
+       |rep_new AS (SELECT MIN(doc_id) AS doc_id, text FROM newb GROUP BY text),
+       |${sideSigsSql("cor")},
+       |${sideSigsSql("new")},
+       |cand_i AS (
+       |  SELECT DISTINCT n.doc_id AS nid, c.doc_id AS cid
+       |  FROM bands_new n JOIN bands_cor c ON n.band = c.band AND n.bk = c.bk),
+       |near_g AS (
+       |  SELECT DISTINCT nid FROM cand_i
+       |  JOIN sigs_new a ON a.doc_id = nid
+       |  JOIN sigs_cor b ON b.doc_id = cid
+       |  WHERE ($sim) / 16.0 >= 0.5),
+       |exact_g AS (SELECT doc_id AS nid FROM rep_new WHERE text IN (SELECT text FROM corpus))
+       |SELECT n.lang, COUNT(*) AS n_new,
+       |CAST(SUM(CASE WHEN e.nid IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_rej_exact,
+       |CAST(SUM(CASE WHEN e.nid IS NULL AND nr.nid IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_rej_near,
+       |CAST(SUM(CASE WHEN e.nid IS NULL AND nr.nid IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_accept,
+       |(SELECT CAST(COUNT(DISTINCT text) AS BIGINT) FROM corpus) AS n_unique_texts,
+       |(SELECT CAST(COUNT(*) AS BIGINT) FROM docs WHERE doc_id < 100000 AND doc_id % 31 = 2)
+       |  AS n_feed_inserts,
+       |(SELECT CAST(COUNT(*) AS BIGINT) FROM docs WHERE doc_id < 100000 AND doc_id % 97 = 13)
+       |  AS n_feed_deletes
+       |FROM newb n
+       |JOIN rep_new g ON g.text = n.text
+       |LEFT JOIN exact_g e ON e.nid = g.doc_id
+       |LEFT JOIN near_g nr ON nr.nid = g.doc_id
+       |GROUP BY n.lang""".stripMargin
   }
 
   /** q147: q131's screen with the bloom sidecar's negative fast path on
@@ -1913,8 +2053,11 @@ object Dedup extends QueryModule {
       "as-of screening over the segment-tagged dedup store: horizon 0 reproduces yesterday's pre-refresh decisions as a pushed-down segment filter",
       dedupScreenAsOf, Some(dedupScreenAsOfSql)),
     GQuery("q223_dedup_takedown",
-      "takedown erasure over the screening index: content-keyed O(index) anti-joins via the v2 keys sidecar, bloom rebuilt; re-submitted works admitted again, oracled from the filtered corpus",
+      "takedown erasure over the screening index: content-keyed O(index) anti-joins via the keys sidecar, bloom rebuilt; re-submitted works admitted again, oracled from the filtered corpus",
       dedupTakedown, Some(dedupTakedownSql)),
+    GQuery("q228_feed_synced_screen",
+      "feed-driven dedup-index sync with group-survival semantics: a text is forgotten only when its LAST holder is deleted (member-level keys decide it O(delta)), inserts append, decisions + distinct-text audit oracled from the lake's current state",
+      feedSyncedScreen, Some(feedSyncedScreenSql)),
     GQuery("q147_bloom_screen",
       "screen with the persisted bloom sidecar fast path; per-doc equality vs the plain probe audited in-frame",
       bloomScreen, Some(bloomScreenSql)),

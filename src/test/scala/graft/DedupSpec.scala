@@ -466,10 +466,11 @@ class DedupSpec extends AnyFunSuite {
     val nW = wk.count()
     assert(nW > 0, "fixture must contain works to take down")
     val erased = rd(src, "keys").join(wk, "tkey").select(col("doc_id")).cache()
-    assert(erased.count() == nW, "every work must map to exactly one rep")
-    // structural invariant: one digest, one key, one sig per unique text
+    assert(erased.count() >= nW, "every work must map to at least one holder")
+    // structural invariant: one digest, one sig, one key GROUP per text
     val nd = rd(path, "digests").count()
-    assert(nd == rd(path, "keys").count() && nd == rd(path, "sigs").count(),
+    assert(nd == rd(path, "keys").select("tkey").distinct().count() &&
+      nd == rd(path, "sigs").count(),
       "digests/keys/sigs must stay per-unique-text aligned after erasure")
     assert(nd == rd(src, "digests").count() - nW,
       "erasure must remove exactly the requested works' digests")
