@@ -132,6 +132,10 @@ object ScaleRung {
     // are the lake commit and the index build; the feed apply is
     // delta-sized and the probe fixed-budget
     "q227_feed_synced_search",
+    // q228's linear terms are the lake commit and the from-lake index
+    // build (one corpus signature pass); the survival decision and both
+    // apply legs are delta-sized, the probe is the q131 screen
+    "q228_feed_synced_screen",
   )
 
   /** The RocksDB-vs-memory crossover experiment: the two streaming rigs
