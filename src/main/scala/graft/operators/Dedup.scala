@@ -1488,16 +1488,13 @@ object Dedup extends QueryModule {
     * happens to flip. */
   def feedSyncedScreen(s: SparkSession, dir: String): DataFrame = {
     tune(s)
-    val tag = dir.replaceAll("[^A-Za-z0-9.]+", "_")
-    val lake = s"target/tmp/dedupsync_$tag"
+    val lake = graft.sources.RoundTrip.freshLake(s, "dedupsync", dir)
     val idxPath = "target/tmp/dedup_sync_" +
-      graft.operators.Similarity.processTag + "_" + tag
-    val hfs = new org.apache.hadoop.fs.Path(lake)
-      .getFileSystem(s.sparkContext.hadoopConfiguration)
-    Seq(lake, idxPath).foreach { p =>
-      val hp = new org.apache.hadoop.fs.Path(p)
-      if (hfs.exists(hp)) hfs.delete(hp, true)
-    }
+      graft.operators.Similarity.processTag + "_" +
+      dir.replaceAll("[^A-Za-z0-9.]+", "_")
+    val ip = new org.apache.hadoop.fs.Path(idxPath)
+    val hfs = ip.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (hfs.exists(ip)) hfs.delete(ip, true)
     graft.operators.Similarity.cleanupAtExit(idxPath)
     val corpus = augmentedDocs(s, dir).filter(col("doc_id") < 100000L)
     val v1 = graft.sources.Snapshots.commit(corpus, lake, append = false)
@@ -1518,25 +1515,26 @@ object Dedup extends QueryModule {
     val del = broadcast(feed.filter(col("_change_type") === "delete")
       .select(col("doc_id")).localCheckpoint())
     def rd(t: String) = graft.sources.IndexStore.read(s, idxPath, t)
-    // DELETE leg: group survival from the member-level keys
+    // DELETE leg: group survival from the member-level keys. The
+    // surviving-holder set is computed ONCE (review catch: it is both
+    // the survival evidence and the replacement keys table)
     val keys = rd("keys")
     val affected = keys.join(del, "doc_id").select(col("tkey")).distinct()
-    val surviving = keys.join(del, Seq("doc_id"), "left_anti")
-      .select(col("tkey")).distinct()
+    val kept = keys.join(del, Seq("doc_id"), "left_anti").localCheckpoint()
     val gone = broadcast(
-      affected.join(surviving, Seq("tkey"), "left_anti").localCheckpoint())
+      affected.join(kept.select(col("tkey")).distinct(), Seq("tkey"), "left_anti")
+        .localCheckpoint())
     val erasedReps = broadcast(keys.groupBy(col("tkey"))
       .agg(min(col("doc_id")).as("doc_id"))
       .join(gone, "tkey").select(col("doc_id")).localCheckpoint())
     val dig2 = rd("digests").join(gone, Seq("tkey"), "left_anti").localCheckpoint()
     val sig2 = rd("sigs").join(erasedReps, Seq("doc_id"), "left_anti").localCheckpoint()
     val band2 = rd("bands").join(erasedReps, Seq("doc_id"), "left_anti").localCheckpoint()
-    val keys2 = keys.join(del, Seq("doc_id"), "left_anti").localCheckpoint()
     graft.sources.IndexStore.inParallel(Seq(
       () => graft.sources.IndexStore.replaceTable(s, idxPath, "digests", dig2),
       () => graft.sources.IndexStore.replaceTable(s, idxPath, "sigs", sig2),
       () => graft.sources.IndexStore.replaceTable(s, idxPath, "bands", band2),
-      () => graft.sources.IndexStore.replaceTable(s, idxPath, "keys", keys2)))
+      () => graft.sources.IndexStore.replaceTable(s, idxPath, "keys", kept)))
     // INSERT leg: the refresh shape — the arrivals' own signatures append
     val add = buildIndex(inserts)
     graft.sources.IndexStore.inParallel(Seq(

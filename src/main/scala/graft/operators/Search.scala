@@ -935,8 +935,7 @@ object Search extends QueryModule {
       graft.sources.IndexStore.inParallel(Seq(
         () => graft.sources.IndexStore.append(s, path, "postings",
           post.repartition(col("tok")).sortWithinPartitions(col("tok"), col("doc_id"))),
-        () => graft.sources.IndexStore.append(s, path, "doclen",
-          dl.withColumn("segment", lit(seg))),
+        () => graft.sources.IndexStore.append(s, path, "doclen", dl),
         () => graft.sources.IndexStore.append(s, path, "dict", dict),
         () => graft.sources.IndexStore.append(s, path, "positions",
           posToks(spread(inserts)).withColumn("segment", lit(seg))
@@ -961,16 +960,13 @@ object Search extends QueryModule {
     * surviving traces of the deleted docs. */
   def feedSyncedSearch(s: SparkSession, dir: String): DataFrame = {
     tune(s)
-    val tag = dir.replaceAll("[^A-Za-z0-9.]+", "_")
-    val lake = s"target/tmp/feedsync_$tag"
+    val lake = graft.sources.RoundTrip.freshLake(s, "feedsync", dir)
     val idxPath = "target/tmp/search_sync_" +
-      graft.operators.Similarity.processTag + "_" + tag
-    val fs = new org.apache.hadoop.fs.Path(lake)
-      .getFileSystem(s.sparkContext.hadoopConfiguration)
-    Seq(lake, idxPath).foreach { p =>
-      val hp = new org.apache.hadoop.fs.Path(p)
-      if (fs.exists(hp)) fs.delete(hp, true)
-    }
+      graft.operators.Similarity.processTag + "_" +
+      dir.replaceAll("[^A-Za-z0-9.]+", "_")
+    val ip = new org.apache.hadoop.fs.Path(idxPath)
+    val fs = ip.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (fs.exists(ip)) fs.delete(ip, true)
     graft.operators.Similarity.cleanupAtExit(idxPath)
     val d = table(s, dir, "documents").select(col("doc_id"), col("text"), col("lang"))
     val v1 = graft.sources.Snapshots.commit(d, lake, append = false)

@@ -352,12 +352,20 @@ object RoundTrip extends QueryModule {
       |FROM o""".stripMargin
 
   /** A per-run snapshot table dir under target/tmp, wiped so version
-    * numbers are a pure function of the input data. */
-  private def freshLake(s: SparkSession, name: String, dir: String): String = {
-    val lake = s"target/tmp/${name}_" + dir.replaceAll("[^A-Za-z0-9.]+", "_")
+    * numbers are a pure function of the input data. PROCESS-UNIQUE
+    * (review catch): two JVMs sharing target/ (Verify beside Bench) must
+    * not clobber each other's lake between a commit and its read-back —
+    * the same race the IndexStore staging tags close. Reaped at JVM
+    * exit so per-process dirs don't accumulate across runs. Shared by
+    * the feed-sync rigs in Dedup/Search. */
+  private[graft] def freshLake(s: SparkSession, name: String, dir: String): String = {
+    val lake = s"target/tmp/${name}_" +
+      graft.operators.Similarity.processTag + "_" +
+      dir.replaceAll("[^A-Za-z0-9.]+", "_")
     val p = new org.apache.hadoop.fs.Path(lake)
     val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
     if (fs.exists(p)) fs.delete(p, true)
+    graft.operators.Similarity.cleanupAtExit(lake)
     lake
   }
 

@@ -467,6 +467,9 @@ class DedupSpec extends AnyFunSuite {
     assert(nW > 0, "fixture must contain works to take down")
     val erased = rd(src, "keys").join(wk, "tkey").select(col("doc_id")).cache()
     assert(erased.count() >= nW, "every work must map to at least one holder")
+    assert(wk.join(rd(src, "keys"), Seq("tkey"), "left_anti").isEmpty,
+      "EVERY work must be present in the keys sidecar — a missing work " +
+        "would make the zero-trace checks below vacuous for it")
     // structural invariant: one digest, one sig, one key GROUP per text
     val nd = rd(path, "digests").count()
     assert(nd == rd(path, "keys").select("tkey").distinct().count() &&
