@@ -131,6 +131,7 @@ object PlanFingerprint {
     "q226_pq_takedown",
     "q227_feed_synced_search",
     "q228_feed_synced_screen",
+    "q229_feed_synced_ann",
   )
 
   /** Structural counts of the STEADY-STATE initial plan.

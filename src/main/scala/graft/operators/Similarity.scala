@@ -430,6 +430,159 @@ object Similarity extends QueryModule {
        |  FROM pcos)
        |WHERE rn <= 3""".stripMargin
 
+  // ---- q229: feed-driven sync of the IVF index ----
+
+  /** q229: the feed-sync composition for the VECTOR family, completing
+    * the loop for all three index kinds (search q227, dedup q228). The
+    * lake holds the embeddings; the IVF index builds FROM the lake and
+    * then follows its change feed O(delta): D rows anti-join the assign
+    * table (the q224 erasure — the registered delete slice excludes
+    * centroid seeds, so the stored quantizer geometry survives by
+    * construction), insert rows coarse-assign against the STORED
+    * centroids (the q215 refresh path — one broadcast argmax over the
+    * batch, the corpus never rescanned) and append. The appended
+    * arrivals are the % 31 = 2 vectors under fresh ids with NEGATED
+    * embeddings — a deterministic transform both engines compute exactly
+    * (sign flips are lossless in IEEE), preserving norms while
+    * decorrelating from the originals. The probe is the q184
+    * cluster-cover top-3 over the synced membership; the oracle
+    * recomputes it from the lake's current logical state with the
+    * centroids held at their v1 values — so a stale assignment, a leaked
+    * deleted vector, or a mis-assigned arrival all hash-mismatch. */
+  def feedSyncedAnn(s: SparkSession, dir: String): DataFrame = {
+    tune(s)
+    val lake = graft.sources.RoundTrip.freshLake(s, "vecsync", dir)
+    val idxPath = "target/tmp/ivf_sync_" + processTag + "_" +
+      dir.replaceAll("[^A-Za-z0-9.]+", "_")
+    val ip = new org.apache.hadoop.fs.Path(idxPath)
+    val hfs = ip.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (hfs.exists(ip)) hfs.delete(ip, true)
+    cleanupAtExit(idxPath)
+    val e = table(s, dir, "embeddings")
+    val v1 = graft.sources.Snapshots.commit(e, lake, append = false)
+    val base = graft.sources.Snapshots.read(s, lake, v1)
+    val (cents0, assign0, m) = buildIvfIndex(base)
+    graft.sources.IndexStore.write(s, idxPath, "vecsync", Seq(
+      "centroids" -> cents0,
+      "assign" -> assign0.repartitionByRange(col("cid"), col("vec_id"))
+        .sortWithinPartitions(col("cid"), col("vec_id"))),
+      Map("m" -> m.toString))
+    graft.sources.Snapshots.commitDelete(
+      e.filter(col("vec_id") % 89 === 17 && col("vec_id") % m =!= 0)
+        .select("vec_id"), lake)
+    val v3 = graft.sources.Snapshots.commit(
+      e.filter(col("vec_id") % 31 === 2)
+        .select((col("vec_id") + 500000L).as("vec_id"),
+          expr("transform(embedding, x -> -x)").as("embedding"), col("label")),
+      lake, append = true)
+    val feed = graft.sources.Snapshots.changes(s, lake, v1, v3).localCheckpoint()
+    val inserts = feed.filter(col("_change_type") === "insert")
+      .select(col("vec_id"), col("embedding"))
+    val del = broadcast(feed.filter(col("_change_type") === "delete")
+      .select(col("vec_id")).localCheckpoint())
+    // DELETE leg: one anti-join over assign (q224), sort discipline kept
+    val kept = graft.sources.IndexStore.read(s, idxPath, "assign")
+      .join(del, Seq("vec_id"), "left_anti").localCheckpoint()
+    graft.sources.IndexStore.replaceTable(s, idxPath, "assign",
+      kept.repartitionByRange(col("cid"), col("vec_id"))
+        .sortWithinPartitions(col("cid"), col("vec_id")))
+    // INSERT leg: coarse-assign the arrivals against the STORED centroids
+    val cb = graft.sources.IndexStore.read(s, idxPath, "centroids")
+      .select(col("cid"), col("embedding").as("qemb"), col("nc"))
+    val acos = withNorm(inserts).withColumnRenamed("embedding", "vemb")
+      .join(broadcast(cb))
+      .withColumn("cosim0", dotExpr / (col("nc") * col("nrm")))
+    val wa = Window.partitionBy(col("vec_id")).orderBy(col("cosim0").desc, col("cid"))
+    graft.sources.IndexStore.append(s, idxPath, "assign",
+      acos.withColumn("rn", row_number().over(wa)).filter(col("rn") === 1)
+        .select(col("cid"), col("vec_id"), col("vemb").as("embedding"), col("nrm")))
+    // PROBE: the q184 cluster-cover top-3 over the synced membership
+    val assign = graft.sources.IndexStore.read(s, idxPath, "assign")
+    val erased = col("vec_id") % 89 === 17 &&
+      col("vec_id") % m =!= 0 && col("vec_id") < 500000L
+    val audit = assign.agg(count(lit(1)).as("n_vecs"))
+      .crossJoin(assign.filter(erased).agg(count(lit(1)).as("removed_traces")))
+      .withColumn("n_feed_inserts", lit(inserts.count()))
+      .withColumn("n_feed_deletes", lit(del.count()))
+    val qa = assign.filter(col("vec_id").between(0, 15))
+      .select(col("vec_id").as("qid"), col("cid"),
+        col("embedding").as("qemb"), col("nrm").as("nq"))
+    val probeCids = qa.select(col("cid")).distinct().collect().map(_.getLong(0)).sorted
+    val pcos = assign
+      .filter(col("cid").isInCollection(probeCids.toSeq))
+      .select(col("vec_id").as("vid"), col("cid"), col("embedding").as("vemb"),
+        col("nrm").as("nv"))
+      .join(broadcast(qa), Seq("cid"))
+      .filter(col("qid") =!= col("vid"))
+      .withColumn("cosim0", dotExpr / (col("nq") * col("nv")))
+    val wp = Window.partitionBy(col("qid")).orderBy(col("cosim0").desc, col("vid"))
+    pcos.withColumn("rn", row_number().over(wp))
+      .filter(col("rn") <= 3)
+      .select(col("qid"), col("vid"), round(col("cosim0"), 9).as("cosim"), col("rn"))
+      .crossJoin(broadcast(audit))
+  }
+
+  /** q229's oracle: membership recomputed from the lake's current
+    * logical state with centroids held at their v1 values — retained
+    * vectors keep their original assignment (centroids did not move),
+    * arrivals assign fresh against the same centroid set (negated
+    * embeddings reuse the original norms: sign flips preserve them
+    * exactly). */
+  private[graft] val feedSyncedAnnSql =
+    s"""WITH $flatSql,
+       |$normsSql,
+       |$ivfAssignSql,
+       |erased AS (
+       |  SELECT vec_id FROM embeddings
+       |  WHERE vec_id % 89 = 17
+       |    AND vec_id % (SELECT CAST(ceil(sqrt(COUNT(*))) AS BIGINT) FROM embeddings) <> 0),
+       |flat_n AS (SELECT vec_id + 500000 AS vec_id, pos, -xd AS xd FROM flat WHERE vec_id % 31 = 2),
+       |norms_n AS (SELECT vec_id + 500000 AS vec_id, nrm FROM norms WHERE vec_id % 31 = 2),
+       |adots_n AS (
+       |  SELECT f.vec_id, c.cid, CAST(SUM(CAST(f.xd*c.cx AS DECIMAL(38,20))) AS DOUBLE) AS dot
+       |  FROM flat_n f JOIN cent c ON f.pos = c.pos
+       |  GROUP BY f.vec_id, c.cid),
+       |acos_n AS (
+       |  SELECT a.vec_id, a.cid, a.dot / (n2.nrm * n1.nrm) AS cosim
+       |  FROM adots_n a JOIN norms_n n1 ON n1.vec_id = a.vec_id JOIN norms n2 ON n2.vec_id = a.cid),
+       |assign_n AS (
+       |  SELECT vec_id, cid FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cosim DESC, cid) AS rn
+       |    FROM acos_n)
+       |  WHERE rn = 1),
+       |members AS (
+       |  SELECT vec_id, cid FROM assign WHERE vec_id NOT IN (SELECT vec_id FROM erased)
+       |  UNION ALL SELECT vec_id, cid FROM assign_n),
+       |flat_all AS (
+       |  SELECT vec_id, pos, xd FROM flat WHERE vec_id NOT IN (SELECT vec_id FROM erased)
+       |  UNION ALL SELECT vec_id, pos, xd FROM flat_n),
+       |norms_all AS (
+       |  SELECT vec_id, nrm FROM norms WHERE vec_id NOT IN (SELECT vec_id FROM erased)
+       |  UNION ALL SELECT vec_id, nrm FROM norms_n),
+       |pairs AS (
+       |  SELECT q.vec_id AS qid, v.vec_id AS vid
+       |  FROM assign q JOIN members v ON q.cid = v.cid AND q.vec_id < 16 AND q.vec_id <> v.vec_id),
+       |pdots AS (
+       |  SELECT p.qid, p.vid, CAST(SUM(CAST(a.xd*b.xd AS DECIMAL(38,20))) AS DOUBLE) AS dot
+       |  FROM pairs p
+       |  JOIN flat a ON a.vec_id = p.qid
+       |  JOIN flat_all b ON b.vec_id = p.vid AND b.pos = a.pos
+       |  GROUP BY p.qid, p.vid),
+       |pcos AS (
+       |  SELECT d.qid, d.vid, d.dot / (n1.nrm * n2.nrm) AS cosim
+       |  FROM pdots d JOIN norms n1 ON n1.vec_id = d.qid JOIN norms_all n2 ON n2.vec_id = d.vid)
+       |SELECT qid, vid, cosim, rn,
+       |       (SELECT CAST(COUNT(*) AS BIGINT) FROM members) AS n_vecs,
+       |       CAST(0 AS BIGINT) AS removed_traces,
+       |       (SELECT CAST(COUNT(*) AS BIGINT) FROM embeddings WHERE vec_id % 31 = 2)
+       |         AS n_feed_inserts,
+       |       (SELECT CAST(COUNT(*) AS BIGINT) FROM erased) AS n_feed_deletes
+       |FROM (
+       |  SELECT qid, vid, round(cosim, 9) AS cosim,
+       |         CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosim DESC, vid) AS INT) AS rn
+       |  FROM pcos)
+       |WHERE rn <= 3""".stripMargin
+
   /** q185: one distributed Lloyd (k-means) refinement step over the IVF
     * seeding — the building block of embedding-space clustering for
     * curation (SemDeDup-style pruning, diversity sampling, cluster-local
@@ -3203,6 +3356,9 @@ object Similarity extends QueryModule {
     GQuery("q224_vector_takedown",
       "takedown erasure over the persisted IVF index: one anti-join over assign, centroids kept (probes just stop returning the erased ids), centroid-seed requests refused loudly",
       vectorTakedown, Some(vectorTakedownSql)),
+    GQuery("q229_feed_synced_ann",
+      "feed-driven IVF sync: the lake's change feed applied O(delta) — deletes anti-join assign, arrivals coarse-assign against the STORED centroids and append; probe oracled from the lake's current state at v1 centroids",
+      feedSyncedAnn, Some(feedSyncedAnnSql)),
     GQuery("q185_kmeans_refine",
       "one distributed Lloyd step over the IVF seeding: broadcast assign, decimal-exact component means, re-assign",
       kmeansRefine, Some(kmeansRefineSql)),
