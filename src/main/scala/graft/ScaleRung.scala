@@ -136,6 +136,10 @@ object ScaleRung {
     // build (one corpus signature pass); the survival decision and both
     // apply legs are delta-sized, the probe is the q131 screen
     "q228_feed_synced_screen",
+    // q229's linear terms are the lake commit and the from-lake IVF
+    // build (one N*K assignment); the feed apply is one anti-join plus
+    // an O(batch) coarse assign, the probe cid-pruned
+    "q229_feed_synced_ann",
   )
 
   /** The RocksDB-vs-memory crossover experiment: the two streaming rigs
