@@ -72,7 +72,7 @@ object Similarity extends QueryModule {
     tune(s)
     val e = withNorm(table(s, dir, "embeddings").select(col("vec_id"), col("embedding")))
     val v = e.select(col("vec_id").as("vid"), col("embedding").as("vemb"), col("nrm").as("nv"))
-    val q = e.filter(col("vec_id") < 16)
+    val q = e.filter(col("vec_id").between(0, 15))
       .select(col("vec_id").as("qid"), col("embedding").as("qemb"), col("nrm").as("nq"))
     val cos = v.join(broadcast(q), col("qid") =!= col("vid"))
       .withColumn("cosim0", dotExpr / (col("nq") * col("nv")))
@@ -114,7 +114,7 @@ object Similarity extends QueryModule {
       .select(col("vec_id"), col("embedding"), col("label")))
     val v = e.select(col("vec_id").as("vid"), col("embedding").as("vemb"),
       col("nrm").as("nv"), col("label").as("vlab"))
-    val q = e.filter(col("vec_id") < 16)
+    val q = e.filter(col("vec_id").between(0, 15))
       .select(col("vec_id").as("qid"), col("embedding").as("qemb"),
         col("nrm").as("nq"), col("label").as("qlab"))
     val cos = v.join(broadcast(q), col("qid") =!= col("vid") && col("qlab") =!= col("vlab"))
@@ -175,7 +175,7 @@ object Similarity extends QueryModule {
       .filter(col("rn") === 1)
       .select(col("vec_id"), col("cid"), col("vemb"), col("nrm"))
     // probe: same-cluster candidates only, broadcast probe side
-    val qa = assign.filter(col("vec_id") < 16)
+    val qa = assign.filter(col("vec_id").between(0, 15))
       .select(col("vec_id").as("qid"), col("cid"), col("vemb").as("qemb"), col("nrm").as("nq"))
     val pcos = assign
       .select(col("vec_id").as("vid"), col("cid"), col("vemb"), col("nrm").as("nv"))
@@ -298,12 +298,23 @@ object Similarity extends QueryModule {
   def ivfAnnIndexed(s: SparkSession, dir: String): DataFrame = {
     tune(s)
     val (_, assign) = corpusIvfIndex(s, dir)
-    val qa = assign.filter(col("vec_id") < 16)
+    clusterCoverProbe(assign)
+  }
+
+  /** The cluster-cover top-3 probe over a STORED assign table — one
+    * definition shared by every stored-IVF prober (q184/q224/q229, which
+    * had begun to diverge as hand-kept copies). Probes are the 16 BASE
+    * vectors, bounded below too, so a corpus with negative ids (the sf1
+    * rung's copies) keeps the probe set fixed — a `< 16` filter at the
+    * rung would sweep every copy id into the probe side and measure a
+    * probe storm instead of the serving shape. The <= 16 probes' cluster
+    * ids collapse driver-side (the z-order bucket-cover pattern) into an
+    * IN(cids) predicate that parquet min/max pruning applies to the
+    * cid-sorted files — the scan skips every unprobed cluster's bytes. */
+  private def clusterCoverProbe(assign: DataFrame): DataFrame = {
+    val qa = assign.filter(col("vec_id").between(0, 15))
       .select(col("vec_id").as("qid"), col("cid"),
         col("embedding").as("qemb"), col("nrm").as("nq"))
-    // driver-side cluster cover: <= 16 longs (one per probe), the z-order
-    // bucket-cover pattern — the predicate this produces is what lets the
-    // scan skip every unprobed cluster's files
     val probeCids = qa.select(col("cid")).distinct().collect().map(_.getLong(0)).sorted
     val pcos = assign
       .filter(col("cid").isInCollection(probeCids.toSeq))
@@ -376,24 +387,9 @@ object Similarity extends QueryModule {
     val assign = graft.SessionCache.cached(s, s"sim:tkda:$dir")(
       graft.sources.IndexStore.read(s, path, "assign"))
     val erased = col("vec_id") % 89 === 17 && col("vec_id") % m =!= 0
-    val audit = assign.agg(count(lit(1)).as("n_vecs"))
-      .crossJoin(assign.filter(erased).agg(count(lit(1)).as("removed_traces")))
-    val qa = assign.filter(col("vec_id") < 16)
-      .select(col("vec_id").as("qid"), col("cid"),
-        col("embedding").as("qemb"), col("nrm").as("nq"))
-    val probeCids = qa.select(col("cid")).distinct().collect().map(_.getLong(0)).sorted
-    val pcos = assign
-      .filter(col("cid").isInCollection(probeCids.toSeq))
-      .select(col("vec_id").as("vid"), col("cid"), col("embedding").as("vemb"),
-        col("nrm").as("nv"))
-      .join(broadcast(qa), Seq("cid"))
-      .filter(col("qid") =!= col("vid"))
-      .withColumn("cosim0", dotExpr / (col("nq") * col("nv")))
-    val wp = Window.partitionBy(col("qid")).orderBy(col("cosim0").desc, col("vid"))
-    pcos.withColumn("rn", row_number().over(wp))
-      .filter(col("rn") <= 3)
-      .select(col("qid"), col("vid"), round(col("cosim0"), 9).as("cosim"), col("rn"))
-      .crossJoin(broadcast(audit))
+    val audit = assign.agg(count(lit(1)).as("n_vecs"),
+      sum(when(erased, 1L).otherwise(0L)).as("removed_traces"))
+    clusterCoverProbe(assign).crossJoin(broadcast(audit))
   }
 
   /** q224's oracle: the q65/q184 chain with the erased set removed from
@@ -478,8 +474,9 @@ object Similarity extends QueryModule {
     val feed = graft.sources.Snapshots.changes(s, lake, v1, v3).localCheckpoint()
     val inserts = feed.filter(col("_change_type") === "insert")
       .select(col("vec_id"), col("embedding"))
+    // feed is already checkpointed — the delete keys derive from it
     val del = broadcast(feed.filter(col("_change_type") === "delete")
-      .select(col("vec_id")).localCheckpoint())
+      .select(col("vec_id")))
     // DELETE leg: one anti-join over assign (q224), sort discipline kept
     val kept = graft.sources.IndexStore.read(s, idxPath, "assign")
       .join(del, Seq("vec_id"), "left_anti").localCheckpoint()
@@ -500,26 +497,11 @@ object Similarity extends QueryModule {
     val assign = graft.sources.IndexStore.read(s, idxPath, "assign")
     val erased = col("vec_id") % 89 === 17 &&
       col("vec_id") % m =!= 0 && col("vec_id") < 500000L
-    val audit = assign.agg(count(lit(1)).as("n_vecs"))
-      .crossJoin(assign.filter(erased).agg(count(lit(1)).as("removed_traces")))
+    val audit = assign.agg(count(lit(1)).as("n_vecs"),
+        sum(when(erased, 1L).otherwise(0L)).as("removed_traces"))
       .withColumn("n_feed_inserts", lit(inserts.count()))
       .withColumn("n_feed_deletes", lit(del.count()))
-    val qa = assign.filter(col("vec_id").between(0, 15))
-      .select(col("vec_id").as("qid"), col("cid"),
-        col("embedding").as("qemb"), col("nrm").as("nq"))
-    val probeCids = qa.select(col("cid")).distinct().collect().map(_.getLong(0)).sorted
-    val pcos = assign
-      .filter(col("cid").isInCollection(probeCids.toSeq))
-      .select(col("vec_id").as("vid"), col("cid"), col("embedding").as("vemb"),
-        col("nrm").as("nv"))
-      .join(broadcast(qa), Seq("cid"))
-      .filter(col("qid") =!= col("vid"))
-      .withColumn("cosim0", dotExpr / (col("nq") * col("nv")))
-    val wp = Window.partitionBy(col("qid")).orderBy(col("cosim0").desc, col("vid"))
-    pcos.withColumn("rn", row_number().over(wp))
-      .filter(col("rn") <= 3)
-      .select(col("qid"), col("vid"), round(col("cosim0"), 9).as("cosim"), col("rn"))
-      .crossJoin(broadcast(audit))
+    clusterCoverProbe(assign).crossJoin(broadcast(audit))
   }
 
   /** q229's oracle: membership recomputed from the lake's current
@@ -1314,8 +1296,8 @@ object Similarity extends QueryModule {
     val m = graft.sources.IndexStore
       .readMeta(s, fixtureIvfIndexPath(dir))("m").toLong
     val erased = col("vec_id") % 89 === 17 && col("vec_id") % m =!= 0
-    val audit = codes.agg(countDistinct(col("vec_id")).as("n_vecs"))
-      .crossJoin(codes.filter(erased).agg(count(lit(1)).as("removed_traces")))
+    val audit = codes.agg(countDistinct(col("vec_id")).as("n_vecs"),
+      sum(when(erased, 1L).otherwise(0L)).as("removed_traces"))
     val probes = table(s, dir, "embeddings").filter(col("vec_id").between(0, 15))
       .select(col("vec_id").as("qid"),
         posexplode(subVecsCol(col("embedding"))).as(Seq("j", "qsub")))
