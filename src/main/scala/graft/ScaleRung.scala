@@ -168,7 +168,12 @@ object ScaleRung {
     if (java.nio.file.Files.exists(ready)) return
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(state100Dir))
     val ev = s.read.parquet(s"$srcDir/events.parquet")
-    val tmp = java.nio.file.Paths.get(state100Dir, ".events_build")
+    // pid-tagged build tmp + rename-if-absent (ADVICE r14): two JVMs
+    // sharing target/ (Verify beside Bench) may both pass the marker
+    // check — each stages privately and the file-level move below is
+    // atomic, so neither can clobber the other's half-written build
+    val tmp = java.nio.file.Paths.get(state100Dir,
+      ".events_build_" + ProcessHandle.current().pid())
     (0 until 100).map { k =>
       if (k == 0) ev
       else ev.withColumn("event_id", col("event_id") + lit(k * 100000000L))
@@ -184,8 +189,14 @@ object ScaleRung {
       try st.filter(_.toString.endsWith(".parquet")).findFirst()
         .orElseThrow(() => new IllegalStateException("no state-rung part file"))
       finally st.close()
-    java.nio.file.Files.move(part, java.nio.file.Paths.get(state100Dir, "events.parquet"),
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    // rename-if-absent: the first JVM to finish publishes; a concurrent
+    // builder's identical file loses benignly. A markerless leftover
+    // (previous crash) is swept first so the publish slot is free.
+    val live = java.nio.file.Paths.get(state100Dir, "events.parquet")
+    if (!java.nio.file.Files.exists(ready))
+      java.nio.file.Files.deleteIfExists(live)
+    try java.nio.file.Files.move(part, live)
+    catch { case _: java.nio.file.FileAlreadyExistsException => () }
     def rm(p: java.nio.file.Path): Unit =
       if (java.nio.file.Files.exists(p)) {
         val c = java.nio.file.Files.list(p)
@@ -401,6 +412,12 @@ object ScaleRung {
     // N retained versions of a 10M-key store on-heap.
     if (args.isEmpty) ensureStateRung(spark)
     val stateTags = Seq(srcDir -> "sf0.1", rungDir -> "sf1", state100Dir -> "sf10state")
+    // a FATAL error (OOM / VM error) degrades the JVM: every timing taken
+    // after it in this process is untrustworthy, so later rows carry a
+    // `post_fatal` marker instead of passing as normal rows (ADVICE r14);
+    // the bounded-heap experiment that EXPECTS the memory-provider OOM
+    // runs isolated in a child JVM (graft.StateHeapRig), never here
+    var sawFatal = false
     for ((dir, tag) <- stateTags; provider <- Seq("memory", "rocksdb");
          name <- if (args.isEmpty) stateCompared else Nil) {
       spark.conf.set("spark.graft.stateStore.provider", provider)
@@ -423,20 +440,28 @@ object ScaleRung {
           fn(spark, dir).write.format("noop").mode("overwrite").save()
           val sec = (System.nanoTime() - t0) / 1e9
           if (sec < bestSec) bestSec = sec
-        } catch { case e: Throwable =>
-          failures += 1
-          println(s"[$tag] $name@$provider FAILED: ${e.getClass.getSimpleName}")
+        } catch {
+          case scala.util.control.NonFatal(e) =>
+            failures += 1
+            println(s"[$tag] $name@$provider FAILED: ${e.getClass.getSimpleName}")
+          case e: Throwable =>
+            failures += 1
+            sawFatal = true
+            println(s"[$tag] $name@$provider FATAL: ${e.getClass.getSimpleName} " +
+              "— subsequent crossover rows marked post_fatal (suspect)")
         }
       }
+      val suspect: Map[String, Any] =
+        if (sawFatal) Map("post_fatal" -> 1L) else Map.empty
       if (bestSec == Double.MaxValue) {
         println(f"[$tag] $name@$provider%-38s ALL RUNS FAILED")
-        results(s"$tag/$name@$provider") = Map("failed_runs" -> failures.toLong)
+        results(s"$tag/$name@$provider") = suspect + ("failed_runs" -> failures.toLong)
       } else {
         println(f"[$tag] $name@$provider%-38s ${bestSec}%8.2f s" +
           (if (failures > 0) s"  ($failures/$runs runs failed)" else ""))
-        results(s"$tag/$name@$provider") =
-          if (failures > 0) Map("sec" -> bestSec, "failed_runs" -> failures.toLong)
-          else Map("sec" -> bestSec)
+        results(s"$tag/$name@$provider") = suspect ++
+          (if (failures > 0) Map[String, Any]("sec" -> bestSec, "failed_runs" -> failures.toLong)
+           else Map[String, Any]("sec" -> bestSec))
       }
     }
     spark.conf.set("spark.graft.stateStore.provider", "rocksdb")

@@ -89,7 +89,7 @@ object Similarity extends QueryModule {
        |  SELECT q.vec_id AS qid, v.vec_id AS vid,
        |         CAST(SUM(CAST(q.xd*v.xd AS DECIMAL(38,20))) AS DOUBLE) AS dot
        |  FROM flat q JOIN flat v ON q.pos = v.pos AND q.vec_id <> v.vec_id
-       |  WHERE q.vec_id < 16
+       |  WHERE q.vec_id BETWEEN 0 AND 15
        |  GROUP BY q.vec_id, v.vec_id),
        |cos AS (
        |  SELECT qid, vid, dot / (a.nrm * b.nrm) AS cosim
@@ -134,7 +134,7 @@ object Similarity extends QueryModule {
        |  SELECT q.vec_id AS qid, v.vec_id AS vid,
        |         CAST(SUM(CAST(q.xd*v.xd AS DECIMAL(38,20))) AS DOUBLE) AS dot
        |  FROM flat q JOIN flat v ON q.pos = v.pos AND q.vec_id <> v.vec_id
-       |  WHERE q.vec_id < 16
+       |  WHERE q.vec_id BETWEEN 0 AND 15
        |  GROUP BY q.vec_id, v.vec_id),
        |cos AS (
        |  SELECT qid, la.label AS qlab, vid, lb.label AS vlab,
@@ -219,7 +219,7 @@ object Similarity extends QueryModule {
        |$ivfAssignSql,
        |pairs AS (
        |  SELECT q.vec_id AS qid, v.vec_id AS vid
-       |  FROM assign q JOIN assign v ON q.cid = v.cid AND q.vec_id < 16 AND q.vec_id <> v.vec_id),
+       |  FROM assign q JOIN assign v ON q.cid = v.cid AND q.vec_id BETWEEN 0 AND 15 AND q.vec_id <> v.vec_id),
        |pdots AS (
        |  SELECT p.qid, p.vid, CAST(SUM(CAST(a.xd*b.xd AS DECIMAL(38,20))) AS DOUBLE) AS dot
        |  FROM pairs p
@@ -405,7 +405,7 @@ object Similarity extends QueryModule {
        |    AND vec_id % (SELECT CAST(ceil(sqrt(COUNT(*))) AS BIGINT) FROM embeddings) <> 0),
        |pairs AS (
        |  SELECT q.vec_id AS qid, v.vec_id AS vid
-       |  FROM assign q JOIN assign v ON q.cid = v.cid AND q.vec_id < 16 AND q.vec_id <> v.vec_id
+       |  FROM assign q JOIN assign v ON q.cid = v.cid AND q.vec_id BETWEEN 0 AND 15 AND q.vec_id <> v.vec_id
        |  WHERE v.vec_id NOT IN (SELECT vec_id FROM erased)),
        |pdots AS (
        |  SELECT p.qid, p.vid, CAST(SUM(CAST(a.xd*b.xd AS DECIMAL(38,20))) AS DOUBLE) AS dot
@@ -543,7 +543,7 @@ object Similarity extends QueryModule {
        |  UNION ALL SELECT vec_id, nrm FROM norms_n),
        |pairs AS (
        |  SELECT q.vec_id AS qid, v.vec_id AS vid
-       |  FROM assign q JOIN members v ON q.cid = v.cid AND q.vec_id < 16 AND q.vec_id <> v.vec_id),
+       |  FROM assign q JOIN members v ON q.cid = v.cid AND q.vec_id BETWEEN 0 AND 15 AND q.vec_id <> v.vec_id),
        |pdots AS (
        |  SELECT p.qid, p.vid, CAST(SUM(CAST(a.xd*b.xd AS DECIMAL(38,20))) AS DOUBLE) AS dot
        |  FROM pairs p
@@ -921,7 +921,7 @@ object Similarity extends QueryModule {
        |$ivfAssignSql,
        |pairs AS (
        |  SELECT q.vec_id AS qid, v.vec_id AS vid
-       |  FROM assign q JOIN assign v ON q.cid = v.cid AND q.vec_id < 16 AND q.vec_id <> v.vec_id),
+       |  FROM assign q JOIN assign v ON q.cid = v.cid AND q.vec_id BETWEEN 0 AND 15 AND q.vec_id <> v.vec_id),
        |pdots AS (
        |  SELECT p.qid, p.vid, CAST(SUM(CAST(a.xd*b.xd AS DECIMAL(38,20))) AS DOUBLE) AS dot
        |  FROM pairs p
@@ -940,7 +940,7 @@ object Similarity extends QueryModule {
        |  SELECT q.vec_id AS qid, v.vec_id AS vid,
        |         CAST(SUM(CAST(q.xd*v.xd AS DECIMAL(38,20))) AS DOUBLE) AS dot
        |  FROM flat q JOIN flat v ON q.pos = v.pos AND q.vec_id <> v.vec_id
-       |  WHERE q.vec_id < 16
+       |  WHERE q.vec_id BETWEEN 0 AND 15
        |  GROUP BY q.vec_id, v.vec_id),
        |ecos AS (
        |  SELECT qid, vid, dot / (a.nrm * b.nrm) AS cosim
