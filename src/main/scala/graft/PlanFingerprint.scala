@@ -132,6 +132,10 @@ object PlanFingerprint {
     "q227_feed_synced_search",
     "q228_feed_synced_screen",
     "q229_feed_synced_ann",
+    // round-15 (lock-on-landing): the PQ feed-sync probe's value is the
+    // broadcast ADC distance table + codes-only scan staying exactly the
+    // q199 shape over the synced store
+    "q230_feed_synced_adc",
   )
 
   /** Structural counts of the STEADY-STATE initial plan.

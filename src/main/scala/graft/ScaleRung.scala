@@ -140,6 +140,11 @@ object ScaleRung {
     // build (one N*K assignment); the feed apply is one anti-join plus
     // an O(batch) coarse assign, the probe cid-pruned
     "q229_feed_synced_ann",
+    // q230's linear terms are the lake commit and the from-lake PQ train
+    // + encode (one-time, stamp-guarded); the apply is delta-sized
+    // (broadcast anti-join + O(batch) encode vs STORED codebooks), the
+    // probe a codes-only scan against a broadcast distance table
+    "q230_feed_synced_adc",
   )
 
   /** The RocksDB-vs-memory crossover experiment: the two streaming rigs
