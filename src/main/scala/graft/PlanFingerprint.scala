@@ -136,6 +136,10 @@ object PlanFingerprint {
     // broadcast ADC distance table + codes-only scan staying exactly the
     // q199 shape over the synced store
     "q230_feed_synced_adc",
+    // q231's locked value: the mask stays a BROADCAST anti-join applied
+    // beside the term-keyed postings probe — a drift to a shuffled join
+    // or a full-index pass is exactly what the sidecar must never cost
+    "q231_masked_feed_sync",
   )
 
   /** Structural counts of the STEADY-STATE initial plan.

@@ -145,6 +145,11 @@ object ScaleRung {
     // (broadcast anti-join + O(batch) encode vs STORED codebooks), the
     // probe a codes-only scan against a broadcast distance table
     "q230_feed_synced_adc",
+    // q231's point IS its rung shape: the delete leg writes a kilobyte
+    // mask instead of q227's O(index) rewrite; probe = term-keyed seeks
+    // + one broadcast anti-join — nothing in the recurring path should
+    // track index size except the one-time warm build
+    "q231_masked_feed_sync",
   )
 
   /** The RocksDB-vs-memory crossover experiment: the two streaming rigs

@@ -907,7 +907,7 @@ object Search extends QueryModule {
     * the rewrite never touches the rows the append is about to add. The
     * corpus is never re-read: both legs consume only the feed rows and
     * the stored tables. */
-  private def applyFeedToIndex(s: SparkSession, path: String, seg: Int,
+  private[graft] def applyFeedToIndex(s: SparkSession, path: String, seg: Int,
       inserts: DataFrame, deleteIds: DataFrame): Unit = {
     def rd(t: String) = graft.sources.IndexStore.read(s, path, t)
     if (!deleteIds.isEmpty) {
@@ -960,44 +960,64 @@ object Search extends QueryModule {
     * surviving traces of the deleted docs. */
   def feedSyncedSearch(s: SparkSession, dir: String): DataFrame = {
     tune(s)
-    val lake = graft.sources.RoundTrip.freshLake(s, "feedsync", dir)
-    val idxPath = "target/tmp/search_sync_" +
-      graft.operators.Similarity.processTag + "_" +
-      dir.replaceAll("[^A-Za-z0-9.]+", "_")
-    val ip = new org.apache.hadoop.fs.Path(idxPath)
-    val fs = ip.getFileSystem(s.sparkContext.hadoopConfiguration)
-    if (fs.exists(ip)) fs.delete(ip, true)
-    graft.operators.Similarity.cleanupAtExit(idxPath)
-    val d = table(s, dir, "documents").select(col("doc_id"), col("text"), col("lang"))
-    val v1 = graft.sources.Snapshots.commit(d, lake, append = false)
-    persistIndex(s, idxPath, "feedsync|" + fixtureStamp(s, dir),
-      graft.sources.Snapshots.read(s, lake, v1))
-    graft.sources.Snapshots.commitDelete(
-      d.filter(col("doc_id") % 97 === 13).select("doc_id"), lake)
-    val v3 = graft.sources.Snapshots.commit(
-      d.filter(col("doc_id") % 31 === 2)
-        .select((col("doc_id") + 500000L).as("doc_id"), col("text"), col("lang")),
-      lake, append = true)
-    val feed = graft.sources.Snapshots.changes(s, lake, v1, v3).localCheckpoint()
-    val inserts = feed.filter(col("_change_type") === "insert")
-      .select(col("doc_id"), col("text"))
-    val deleteIds = feed.filter(col("_change_type") === "delete").select(col("doc_id"))
-    applyFeedToIndex(s, idxPath, seg = 1, inserts, deleteIds)
-    val idx = loadIndex(s, idxPath)
+    val path = feedSyncStore(s, dir)
+    val meta = graft.sources.IndexStore.readMeta(s, path)
+    val idx = loadIndex(s, path)
     val erased = col("doc_id") % 97 === 13 && col("doc_id") < 500000L
     val traces = Seq(idx.postings, idx.doclen, idx.positions)
       .map(_.filter(erased).agg(count(lit(1)).as("n")))
       .reduce(_ unionByName _).agg(sum(col("n")).as("removed_traces"))
     val audit = idx.doclen.agg(count(lit(1)).as("n_docs"))
       .crossJoin(traces)
-      .withColumn("n_feed_inserts", lit(inserts.count()))
-      .withColumn("n_feed_deletes", lit(deleteIds.count()))
+      .withColumn("n_feed_inserts", lit(meta("n_feed_inserts").toLong))
+      .withColumn("n_feed_deletes", lit(meta("n_feed_deletes").toLong))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("qid")).orderBy(col("score").desc, col("doc_id"))
     bm25(idx, querySet(docs(s, dir)))
       .withColumn("rn", row_number().over(w)).filter(col("rn") <= 5)
       .select(col("qid"), col("doc_id"), col("score"), col("rn"))
       .crossJoin(broadcast(audit))
+  }
+
+  /** Build-if-stale the feed-synced store q227 probes — the q222
+    * warm-substrate convention (VERDICT r14 item 3): the one-time lake
+    * commit + from-lake index build + feed drain + apply land ONCE per
+    * (process, corpus) behind a stamp check, so the benched recurring
+    * cost is the WARM probe; the one-time build cost is the rung's
+    * documented linear term. The final stamp is written only AFTER the
+    * feed apply (a crash mid-sync fails the stamp and rebuilds); the
+    * feed's counts land in the store meta so the probe audits them
+    * without re-draining the feed. */
+  private[graft] def feedSyncStore(s: SparkSession, dir: String): String = {
+    val idxPath = "target/tmp/search_sync_" +
+      graft.operators.Similarity.processTag + "_" +
+      dir.replaceAll("[^A-Za-z0-9.]+", "_")
+    val stamp = "feedsync2|" + fixtureStamp(s, dir)
+    synchronized {
+      if (!graft.sources.IndexStore.isCurrent(s, idxPath, stamp)) {
+        val lake = graft.sources.RoundTrip.freshLake(s, "feedsync", dir)
+        val d = docs(s, dir)
+        val v1 = graft.sources.Snapshots.commit(d, lake, append = false)
+        persistIndex(s, idxPath, "feedsync-building",
+          graft.sources.Snapshots.read(s, lake, v1))
+        graft.operators.Similarity.cleanupAtExit(idxPath)
+        graft.sources.Snapshots.commitDelete(
+          d.filter(col("doc_id") % 97 === 13).select("doc_id"), lake)
+        val v3 = graft.sources.Snapshots.commit(
+          d.filter(col("doc_id") % 31 === 2)
+            .select((col("doc_id") + 500000L).as("doc_id"), col("text"), col("lang")),
+          lake, append = true)
+        val feed = graft.sources.Snapshots.changes(s, lake, v1, v3).localCheckpoint()
+        val inserts = feed.filter(col("_change_type") === "insert")
+          .select(col("doc_id"), col("text"))
+        val deleteIds = feed.filter(col("_change_type") === "delete").select(col("doc_id"))
+        applyFeedToIndex(s, idxPath, seg = 1, inserts, deleteIds)
+        graft.sources.IndexStore.writeStamp(s, idxPath, stamp, Map(
+          "n_feed_inserts" -> inserts.count().toString,
+          "n_feed_deletes" -> deleteIds.count().toString))
+      }
+    }
+    idxPath
   }
 
   /** q227's oracle: BM25 rebuilt from the lake's current logical state —
@@ -1021,6 +1041,162 @@ object Search extends QueryModule {
        |  SELECT qid, doc_id, score,
        |         CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY score DESC, doc_id) AS INT) AS rn
        |  FROM scored_s)
+       |WHERE rn <= 5""".stripMargin
+
+  // ---- q231: feed sync with O(delta) MASKED deletes (the delete-mask
+  // sidecar — VERDICT r14 item 2) ----
+
+  /** Build-if-stale the mask-synced search store: the same lake and the
+    * same v1→v3 change feed as q227, but the delete leg lands as the
+    * [[graft.sources.IndexStore.DeleteMaskTable]] sidecar — a kilobyte
+    * `(doc_id, seq)` row-set — instead of q227's four-table physical
+    * rewrite. That makes the RECURRING feed apply O(delta) end-to-end:
+    * the insert leg was always delta-sized (one new segment, the q166
+    * refresh); now the delete leg writes delta-sized bytes too. The mask
+    * is sequence-scoped (`seq` = the segment horizon when the delete
+    * window drained, here 0): it hides only rows of segments ≤ seq, so
+    * a later re-insertion of a masked doc_id lands in a NEWER segment
+    * and is immediately visible — the lake's own Iceberg-v2 scoping rule
+    * (q151) applied to the index. Deletes are masked BEFORE the insert
+    * segment commits, same ordering as q227. The final stamp is written
+    * only after both legs, so a crash mid-sync rebuilds. Takedown
+    * (q222) deliberately does NOT use this path: erasure must remove
+    * bytes, a mask only hides them. */
+  private[graft] def maskSyncStore(s: SparkSession, dir: String): String = {
+    val idxPath = "target/tmp/search_msync_" +
+      graft.operators.Similarity.processTag + "_" +
+      dir.replaceAll("[^A-Za-z0-9.]+", "_")
+    val stamp = "masksync1|" + fixtureStamp(s, dir)
+    synchronized {
+      if (!graft.sources.IndexStore.isCurrent(s, idxPath, stamp)) {
+        val lake = graft.sources.RoundTrip.freshLake(s, "masksync", dir)
+        val d = docs(s, dir)
+        val v1 = graft.sources.Snapshots.commit(d, lake, append = false)
+        persistIndex(s, idxPath, "masksync-building",
+          graft.sources.Snapshots.read(s, lake, v1))
+        graft.operators.Similarity.cleanupAtExit(idxPath)
+        graft.sources.Snapshots.commitDelete(
+          d.filter(col("doc_id") % 97 === 13).select("doc_id"), lake)
+        val v3 = graft.sources.Snapshots.commit(
+          d.filter(col("doc_id") % 31 === 2)
+            .select((col("doc_id") + 500000L).as("doc_id"), col("text"), col("lang")),
+          lake, append = true)
+        val feed = graft.sources.Snapshots.changes(s, lake, v1, v3).localCheckpoint()
+        val deleteIds = feed.filter(col("_change_type") === "delete").select(col("doc_id"))
+        val inserts = feed.filter(col("_change_type") === "insert")
+          .select(col("doc_id"), col("text"))
+        // MASKED delete leg: O(delta) bytes — the rewrite q227 pays is gone
+        graft.sources.IndexStore.appendDeleteMask(s, idxPath,
+          deleteIds.withColumn("seq", lit(0L)))
+        // insert leg: identical to q227's (deletes first, then the new segment)
+        applyFeedToIndex(s, idxPath, seg = 1, inserts, deleteIds.limit(0))
+        graft.sources.IndexStore.writeStamp(s, idxPath, stamp, Map(
+          "n_feed_inserts" -> inserts.count().toString,
+          "n_feed_deletes" -> deleteIds.count().toString))
+      }
+    }
+    idxPath
+  }
+
+  /** Apply a loaded delete mask to one segment-tagged index table:
+    * broadcast anti-join on the key, scoped to segments at or below the
+    * mask row's seq. */
+  private def applyMask(df: DataFrame, mask: DataFrame): DataFrame =
+    df.join(broadcast(mask),
+      df("doc_id") === mask("doc_id") && df("segment") <= mask("seq"), "left_anti")
+
+  /** Fold the delete mask into the physical layout and DROP it — the
+    * compaction step that ends a mask's life (the lake folds its delete
+    * files the same way, q153's compact). One anti-join rewrite per
+    * table + the per-segment dict rebuild from retained postings (the
+    * q222/q227 erasure shape), then the sidecar is removed. After the
+    * fold the store is bit-identical to one whose deletes were applied
+    * physically at feed time — MaskFoldSpec pins that equality against
+    * the q227 store. */
+  private[graft] def foldDeleteMask(s: SparkSession, path: String): Unit =
+    graft.sources.IndexStore.readDeleteMask(s, path).foreach { mask0 =>
+      val mask = mask0.localCheckpoint()
+      def rd(t: String) = graft.sources.IndexStore.read(s, path, t)
+      val post = applyMask(rd("postings"), mask).localCheckpoint()
+      val dict = post.groupBy(col("tok"), col("segment"))
+        .agg(count(lit(1)).as("df"), sum(col("tf")).as("cf"),
+          max(col("tf")).as("max_tf"))
+        .select(col("tok"), col("df"), col("cf"), col("max_tf"), col("segment"))
+        .localCheckpoint()
+      val dl = applyMask(rd("doclen"), mask).localCheckpoint()
+      val pos = applyMask(rd("positions"), mask).localCheckpoint()
+      graft.sources.IndexStore.inParallel(Seq(
+        () => graft.sources.IndexStore.replaceTable(s, path, "postings",
+          post.repartition(col("tok")).sortWithinPartitions(col("tok"), col("doc_id"))),
+        () => graft.sources.IndexStore.replaceTable(s, path, "dict", dict),
+        () => graft.sources.IndexStore.replaceTable(s, path, "doclen", dl),
+        () => graft.sources.IndexStore.replaceTable(s, path, "positions",
+          pos.repartition(col("tok"))
+            .sortWithinPartitions(col("tok"), col("doc_id"), col("pos")))))
+      graft.sources.IndexStore.dropTable(s, path,
+        graft.sources.IndexStore.DeleteMaskTable)
+    }
+
+  /** q231: the q164 probe over the mask-synced store. Masked docs are
+    * filtered from CANDIDATES by a broadcast anti-join applied after the
+    * term-keyed postings probe (so the scan still reads only the query
+    * terms' postings — the mask never forces a full-index pass), while
+    * corpus-level statistics (df, n_docs, avgdl) remain those of the
+    * PHYSICAL store until compaction folds the mask in — Lucene's
+    * documented deleted-docs semantics, the price of the O(delta) delete
+    * leg, stated rather than hidden (the oracle computes stats from the
+    * same physical population, so the trade is itself hash-pinned; the
+    * fold→physical equality is MaskFoldSpec's job). Audits: the physical
+    * and live doc counts, the mask size, and the feed counts. */
+  def maskedFeedSync(s: SparkSession, dir: String): DataFrame = {
+    tune(s)
+    val path = maskSyncStore(s, dir)
+    val meta = graft.sources.IndexStore.readMeta(s, path)
+    val idx = loadIndex(s, path)
+    val mask = graft.sources.IndexStore.readDeleteMask(s, path)
+      .getOrElse(sys.error(s"mask-synced store at $path has no delete mask"))
+      .localCheckpoint()
+    val live = applyMask(idx.doclen, mask)
+    val audit = idx.doclen.agg(count(lit(1)).as("n_docs_physical"))
+      .crossJoin(live.agg(count(lit(1)).as("n_live")))
+      .crossJoin(mask.agg(count(lit(1)).as("n_mask_rows")))
+      .withColumn("n_feed_inserts", lit(meta("n_feed_inserts").toLong))
+      .withColumn("n_feed_deletes", lit(meta("n_feed_deletes").toLong))
+    val mIdx = SearchIndex(applyMask(idx.postings, mask), idx.doclen,
+      idx.dict, () => applyMask(idx.positions, mask))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid")).orderBy(col("score").desc, col("doc_id"))
+    bm25(mIdx, querySet(docs(s, dir)))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") <= 5)
+      .select(col("qid"), col("doc_id"), col("score"), col("rn"))
+      .crossJoin(broadcast(audit))
+  }
+
+  /** q231's oracle: BM25 over the PHYSICAL population (v1 corpus plus
+    * the appended arrivals — deleted docs still counted in df/n_docs/
+    * avgdl, the documented pre-fold semantics) with masked doc_ids
+    * removed from candidates only. */
+  private[graft] val maskedFeedSyncSql =
+    s"""WITH physical AS (
+       |  SELECT doc_id, text FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + 500000 AS doc_id, text FROM documents WHERE doc_id % 31 = 2),
+       |$querySetSql,
+       |${bm25ChainSql("_m", "", from = "physical")},
+       |mask AS (SELECT doc_id FROM documents WHERE doc_id % 97 = 13)
+       |SELECT qid, doc_id, score, rn,
+       |       (SELECT n_docs FROM stats_m) AS n_docs_physical,
+       |       (SELECT CAST(COUNT(*) AS BIGINT) FROM dl_m
+       |        WHERE doc_id NOT IN (SELECT doc_id FROM mask)) AS n_live,
+       |       (SELECT CAST(COUNT(*) AS BIGINT) FROM mask) AS n_mask_rows,
+       |       (SELECT CAST(COUNT(*) AS BIGINT) FROM documents WHERE doc_id % 31 = 2)
+       |         AS n_feed_inserts,
+       |       (SELECT CAST(COUNT(*) AS BIGINT) FROM mask) AS n_feed_deletes
+       |FROM (
+       |  SELECT qid, doc_id, score,
+       |         CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY score DESC, doc_id) AS INT) AS rn
+       |  FROM scored_m
+       |  WHERE doc_id NOT IN (SELECT doc_id FROM mask))
        |WHERE rn <= 5""".stripMargin
 
   /** q170: exact phrase search over the POSITIONAL side of the persisted
@@ -1646,6 +1822,9 @@ object Search extends QueryModule {
     GQuery("q227_feed_synced_search",
       "feed-driven index sync: the lake's change feed applied O(delta) to the search index (D rows drive erasure, inserts land as the next segment), oracled as bit-equal to a rebuild from the lake's current state",
       feedSyncedSearch, Some(feedSyncedSearchSql)),
+    GQuery("q231_masked_feed_sync",
+      "feed sync with O(delta) masked deletes: the sequence-scoped delete-mask sidecar replaces q227's per-window index rewrite; probes anti-join the broadcast mask after the term-keyed postings seek, stats stay physical until compaction folds the mask in (Lucene semantics, hash-pinned)",
+      maskedFeedSync, Some(maskedFeedSyncSql)),
   )
 }
 

@@ -460,6 +460,38 @@ object IndexStore {
         new java.io.ByteArrayInputStream(r.getAs[Array[Byte]](0))))
       .reduceLeft { (a, b) => a.mergeInPlace(b); a }
 
+  /** Sequence-scoped delete-mask sidecar — the lake's own merge-on-read
+    * equality-delete pattern ([[Snapshots.commitDelete]], q151) ported to
+    * index stores. Routine feed deletes land as a KILOBYTE row-set
+    * `(key, seq)` in the `deletes` table instead of an O(index) physical
+    * rewrite: the write is delta-sized, probes apply the mask as a
+    * broadcast anti-join scoped `row.segment <= mask.seq` (so a later
+    * re-insertion of a masked key under a NEW segment is immediately
+    * visible — the Iceberg-v2 scoping rule, no compaction needed), and
+    * compaction FOLDS the mask into the physical layout and drops it.
+    * Takedown keeps the physical-rewrite path: erasure must remove
+    * bytes; a mask only hides them. */
+  val DeleteMaskTable = "deletes"
+
+  /** Append `(key, seq)` mask rows — O(delta) bytes, no table touched. */
+  def appendDeleteMask(s: SparkSession, path: String, keysWithSeq: DataFrame): Unit =
+    append(s, path, DeleteMaskTable, keysWithSeq)
+
+  /** The stored mask, if any — kilobytes, broadcast by every prober. */
+  def readDeleteMask(s: SparkSession, path: String): Option[DataFrame] = {
+    val t = new Path(new Path(path), DeleteMaskTable)
+    if (fsOf(s, t).exists(t)) Some(read(s, path, DeleteMaskTable)) else None
+  }
+
+  /** Remove one named table of a stored index (e.g. a folded-in delete
+    * mask). Stamp and other tables untouched. */
+  def dropTable(s: SparkSession, path: String, table: String): Unit = {
+    val t = new Path(new Path(path), table)
+    val fs = fsOf(s, t)
+    if (fs.exists(t) && !fs.delete(t, true))
+      throw new java.io.IOException(s"cannot drop index table $t")
+  }
+
   /** Replace (or create) ONE named table of a stored index, leaving the
     * other tables and the stamp untouched — the sidecar path (e.g. a
     * bloom blob rebuilt over the digest table). Same write-then-rename
