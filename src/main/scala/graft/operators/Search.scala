@@ -909,6 +909,15 @@ object Search extends QueryModule {
     * the stored tables. */
   private[graft] def applyFeedToIndex(s: SparkSession, path: String, seg: Int,
       inserts: DataFrame, deleteIds: DataFrame): Unit = {
+    // refuse loudly on schema evolution through the feed (VERDICT r14
+    // item 7): the lake accepts mergeSchema'd commits, so a feed window
+    // can legally carry columns this v1 index layout has no home for —
+    // silently dropping them would desync index from lake; the caller
+    // must project (or version the index layout) EXPLICITLY
+    require(inserts.columns.sorted.sameElements(Array("doc_id", "text")),
+      s"applyFeedToIndex: insert batch schema (${inserts.columns.mkString(", ")}) " +
+        "is not the v1 index shape (doc_id, text); a schema-evolved feed must be " +
+        "projected explicitly or the index layout versioned")
     def rd(t: String) = graft.sources.IndexStore.read(s, path, t)
     if (!deleteIds.isEmpty) {
       val ids = broadcast(deleteIds.select(col("doc_id")).localCheckpoint())

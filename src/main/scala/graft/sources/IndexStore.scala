@@ -215,18 +215,34 @@ object IndexStore {
     * PARTITION PRUNING — whole segment directories skipped, stronger
     * than the row-group min/max pruning the single-dir layout gets.
     * Like [[append]], the stamp is untouched. Single-writer-per-segment
-    * by construction (a micro-batch owns its batchId); two STREAMS would
-    * need distinct partVal spaces, same as two writers of any log. */
+    * by construction (a micro-batch owns its batchId); two SAME-PROCESS
+    * writers racing one segment linearize on a per-segment JVM lock
+    * (first writes, second sees the marker — CrashRecoverySpec pins it);
+    * two writers in DIFFERENT processes remain excluded by convention
+    * and would need distinct partVal spaces, same as two writers of any
+    * log. */
+  // per-(store, table, segment) JVM locks: two same-process writers
+  // racing the same segment (the two-streams-one-store case the r14
+  // scaladoc documented but did not enforce) LINEARIZE — the first
+  // writes and commits, the second observes the marker and no-ops.
+  // Cross-process writers remain excluded by convention (a micro-batch
+  // owns its batchId), as documented below.
+  private val segLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+
   def appendSegmentIfAbsent(s: SparkSession, path: String, table: String,
       partCol: String, partVal: Long, df: DataFrame): Boolean = {
     val seg = new Path(new Path(new Path(path), table), s"$partCol=$partVal")
-    val fs = fsOf(s, seg)
-    val marker = new Path(seg, "_COMMITTED")
-    if (fs.exists(marker)) false
-    else {
-      df.write.mode("overwrite").parquet(seg.toString)
-      fs.create(marker, true).close()
-      true
+    val lock = segLocks.computeIfAbsent(seg.toString, _ => new Object)
+    lock.synchronized {
+      val fs = fsOf(s, seg)
+      val marker = new Path(seg, "_COMMITTED")
+      if (fs.exists(marker)) false
+      else {
+        df.write.mode("overwrite").parquet(seg.toString)
+        fs.create(marker, true).close()
+        true
+      }
     }
   }
 

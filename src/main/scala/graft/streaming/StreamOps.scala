@@ -953,10 +953,31 @@ object StreamOps extends QueryModule {
   def streamIvfRefresh(s: SparkSession, dir: String): DataFrame = {
     tune(s)
     withStatePartitions(s, 8) {
-      val (path, replayNoop) = runIvfRefreshStream(s, dir)
+      val (path, replayNoop) = warmIvfStream(s, dir)
       graft.operators.Similarity.seqIvfStreamResult(s, path, replayNoop)
     }
   }
+
+  /** The q215/q218 substrate under the warm convention (the
+    * [[warmSearchStream]] shape for the vector family): seed + stream +
+    * exactly-once flag collection once per (process, corpus); the
+    * completion stamp lands only after the stream finished, the
+    * replay-noop verdict in store meta. q217 compacts a stamped COPY
+    * ([[warmCompactedIvfStream]]) so this store stays uncompacted. */
+  private def warmIvfStream(s: SparkSession, dir: String): (String, Boolean) =
+    synchronized {
+      val path = graft.operators.Similarity.seqIvfStreamPath(dir)
+      val stamp = "ivfstream-done|" + graft.sources.IndexStore.sourceStamp(
+        s, Seq(s"$dir/embeddings.parquet"))
+      if (graft.sources.IndexStore.isCurrent(s, path, stamp))
+        (path, graft.sources.IndexStore.readMeta(s, path)("replay_noop").toBoolean)
+      else {
+        val (p, noop) = runIvfRefreshStream(s, dir)
+        graft.sources.IndexStore.writeStamp(s, p, stamp,
+          Map("replay_noop" -> noop.toString))
+        (p, noop)
+      }
+    }
 
   /** The q215 streaming rig's core, shared with the q217 compaction rig:
     * seed the partition-dir store, stream the two arrival batches through
@@ -1020,20 +1041,40 @@ object StreamOps extends QueryModule {
   def streamIvfCompact(s: SparkSession, dir: String): DataFrame = {
     tune(s)
     withStatePartitions(s, 8) {
-      val (path, replayNoop) = runIvfRefreshStream(s, dir)
-      require(replayNoop, "pre-compaction stream must commit exactly once")
-      graft.sources.IndexStore.compactSegmentLedger(s, path, "assign", "seg",
-        sortCols = Seq("cid", "vec_id"), rangeCols = Seq("cid", "vec_id"))
-      // the recovery retry, AFTER compaction: re-commit both arrival
-      // batches; the tombstoned ledger must answer "already committed"
-      val replays = graft.operators.Similarity.seqArrivalBatches(s, dir).map {
-        case (segId, b) => graft.operators.Similarity.seqIvfStreamCommit(
-          s, dir, path, segId.toLong, b)
-      }
-      val stillNoop = replays.forall { case (first, second) => !first && !second }
-      graft.operators.Similarity.seqIvfStreamCompactResult(s, path, stillNoop)
+      val cpath = warmCompactedIvfStream(s, dir)
+      val stillNoop = graft.sources.IndexStore.readMeta(s, cpath)("replay_after_compact").toBoolean
+      graft.operators.Similarity.seqIvfStreamCompactResult(s, cpath, stillNoop)
     }
   }
+
+  /** q217's substrate: a stamped COPY of the warm streamed IVF store,
+    * compacted once per process, replay-after-compact verdict in meta —
+    * the [[warmCompactedSearchStream]] shape for the single-table
+    * store. */
+  private def warmCompactedIvfStream(s: SparkSession, dir: String): String =
+    synchronized {
+      val (path, replayNoop) = warmIvfStream(s, dir)
+      val cpath = path + "_compacted"
+      val stamp = "ivfstream-compacted|" + graft.sources.IndexStore.sourceStamp(
+        s, Seq(s"$dir/embeddings.parquet"))
+      if (!graft.sources.IndexStore.isCurrent(s, cpath, stamp)) {
+        require(replayNoop, "pre-compaction stream must commit exactly once")
+        graft.sources.IndexStore.copy(s, path, cpath)
+        graft.operators.Similarity.cleanupAtExit(cpath)
+        graft.sources.IndexStore.compactSegmentLedger(s, cpath, "assign", "seg",
+          sortCols = Seq("cid", "vec_id"), rangeCols = Seq("cid", "vec_id"))
+        // the recovery retry, AFTER compaction: re-commit both arrival
+        // batches; the tombstoned ledger must answer "already committed"
+        val replays = graft.operators.Similarity.seqArrivalBatches(s, dir).map {
+          case (segId, b) => graft.operators.Similarity.seqIvfStreamCommit(
+            s, dir, cpath, segId.toLong, b)
+        }
+        val stillNoop = replays.forall { case (first, second) => !first && !second }
+        graft.sources.IndexStore.writeStamp(s, cpath, stamp,
+          Map("replay_after_compact" -> stillNoop.toString))
+      }
+      cpath
+    }
 
   /** q218: the as-of read over the STREAMED partition-dir store — q210's
     * audit replay ("reproduce what yesterday's index returned") carried
@@ -1052,7 +1093,7 @@ object StreamOps extends QueryModule {
   def streamIvfAsOf(s: SparkSession, dir: String): DataFrame = {
     tune(s)
     withStatePartitions(s, 8) {
-      val (path, replayNoop) = runIvfRefreshStream(s, dir)
+      val (path, replayNoop) = warmIvfStream(s, dir)
       require(replayNoop, "stream must commit exactly once before the as-of probe")
       graft.operators.Similarity.seqIvfStreamAsOfResult(s, path)
     }
@@ -1076,10 +1117,32 @@ object StreamOps extends QueryModule {
   def streamSearchRefresh(s: SparkSession, dir: String): DataFrame = {
     tune(s)
     withStatePartitions(s, 8) {
-      val (path, replayNoop) = runSearchRefreshStream(s, dir)
+      val (path, replayNoop) = warmSearchStream(s, dir)
       graft.operators.Search.streamSearchResult(s, dir, path, replayNoop)
     }
   }
+
+  /** The q219/q221 substrate under the warm convention (VERDICT r14
+    * item 3): seed + stream + exactly-once flag collection run ONCE per
+    * (process, corpus); a completion stamp — written only after the
+    * stream finished and the flags were judged — guards replays, and the
+    * replay-noop verdict lands in the store meta so later probes never
+    * re-drive the stream. q220 never mutates this store: it compacts a
+    * stamped COPY ([[warmCompactedSearchStream]]), so the uncompacted
+    * segment view q219/q221 pin stays intact for the whole process. */
+  private def warmSearchStream(s: SparkSession, dir: String): (String, Boolean) =
+    synchronized {
+      val path = graft.operators.Search.streamIndexPath(dir)
+      val stamp = "searchstream-done|" + graft.operators.Search.fixtureStamp(s, dir)
+      if (graft.sources.IndexStore.isCurrent(s, path, stamp))
+        (path, graft.sources.IndexStore.readMeta(s, path)("replay_noop").toBoolean)
+      else {
+        val (p, noop) = runSearchRefreshStream(s, dir)
+        graft.sources.IndexStore.writeStamp(s, p, stamp,
+          Map("replay_noop" -> noop.toString))
+        (p, noop)
+      }
+    }
 
   /** The shared q219/q220/q221 rig body: seed the streamed search store,
     * drive both arrival micro-batches through the four-table exactly-once
@@ -1143,27 +1206,48 @@ object StreamOps extends QueryModule {
   def streamSearchCompact(s: SparkSession, dir: String): DataFrame = {
     tune(s)
     withStatePartitions(s, 8) {
-      val (path, replayNoop) = runSearchRefreshStream(s, dir)
-      require(replayNoop, "pre-compaction stream must commit exactly once")
-      // compact the JOINT visible set, not each table's own ledger: a
-      // segment committed here but torn in a sibling table must stay its
-      // own (invisible) segment, not fold into the visible rows
-      val vis = graft.operators.Search.streamVisibleSegments(s, path)
-      graft.sources.IndexStore.inParallel(
-        graft.operators.Search.indexTableNames.map { t => () =>
-          val cols = graft.operators.Search.streamCompactCols(t)
-          graft.sources.IndexStore.compactSegmentLedger(
-            s, path, t, "segment", sortCols = cols, rangeCols = cols,
-            onlySegs = Some(vis))
-        })
-      val replays = graft.operators.Search.arrivalDocBatches(s, dir).map {
-        case (segId, b) => graft.operators.Search.streamIndexCommit(
-          s, path, segId.toLong, b)
-      }
-      val stillNoop = replays.forall { case (first, second) => first == 0 && second == 0 }
-      graft.operators.Search.streamSearchCompactResult(s, dir, path, stillNoop)
+      val cpath = warmCompactedSearchStream(s, dir)
+      val stillNoop = graft.sources.IndexStore.readMeta(s, cpath)("replay_after_compact").toBoolean
+      graft.operators.Search.streamSearchCompactResult(s, dir, cpath, stillNoop)
     }
   }
+
+  /** q220's substrate: a stamped COPY of the warm streamed store,
+    * compacted once per process, with the replay-after-compact verdict
+    * in its meta. Compacting a copy (pure file copy, no recompute)
+    * keeps the shared q219/q221 store uncompacted; a crash mid-compact
+    * leaves the copy carrying the source's stamp, which fails this
+    * stamp check and re-copies. */
+  private def warmCompactedSearchStream(s: SparkSession, dir: String): String =
+    synchronized {
+      val (path, replayNoop) = warmSearchStream(s, dir)
+      val cpath = path + "_compacted"
+      val stamp = "searchstream-compacted|" + graft.operators.Search.fixtureStamp(s, dir)
+      if (!graft.sources.IndexStore.isCurrent(s, cpath, stamp)) {
+        require(replayNoop, "pre-compaction stream must commit exactly once")
+        graft.sources.IndexStore.copy(s, path, cpath)
+        graft.operators.Similarity.cleanupAtExit(cpath)
+        // compact the JOINT visible set, not each table's own ledger: a
+        // segment committed here but torn in a sibling table must stay its
+        // own (invisible) segment, not fold into the visible rows
+        val vis = graft.operators.Search.streamVisibleSegments(s, cpath)
+        graft.sources.IndexStore.inParallel(
+          graft.operators.Search.indexTableNames.map { t => () =>
+            val cols = graft.operators.Search.streamCompactCols(t)
+            graft.sources.IndexStore.compactSegmentLedger(
+              s, cpath, t, "segment", sortCols = cols, rangeCols = cols,
+              onlySegs = Some(vis))
+          })
+        val replays = graft.operators.Search.arrivalDocBatches(s, dir).map {
+          case (segId, b) => graft.operators.Search.streamIndexCommit(
+            s, cpath, segId.toLong, b)
+        }
+        val stillNoop = replays.forall { case (first, second) => first == 0 && second == 0 }
+        graft.sources.IndexStore.writeStamp(s, cpath, stamp,
+          Map("replay_after_compact" -> stillNoop.toString))
+      }
+      cpath
+    }
 
   /** q221: the as-of read over the streamed search store — q218's audit
     * replay for the lexical family. After the full q219 run, the SAME
@@ -1178,7 +1262,7 @@ object StreamOps extends QueryModule {
   def streamSearchAsOf(s: SparkSession, dir: String): DataFrame = {
     tune(s)
     withStatePartitions(s, 8) {
-      val (path, replayNoop) = runSearchRefreshStream(s, dir)
+      val (path, replayNoop) = warmSearchStream(s, dir)
       require(replayNoop, "stream must commit exactly once before the as-of probe")
       graft.operators.Search.streamSearchAsOfResult(s, dir, path)
     }

@@ -382,4 +382,84 @@ class CrashRecoverySpec extends AnyFunSuite {
     assert(!bak.exists(), "stale bak must be dropped")
     assert(IndexStore.readCommitted(s, store, "t", "seg").count() == 9L)
   }
+
+  test("writer contention: racing same-segment commits linearize — one writer, no torn mix") {
+    import graft.sources.IndexStore
+    Engine.tune(s)
+    import s.implicits._
+    val store = s"$base/segrace"
+    // the documented-but-previously-untested two-streams case (VERDICT
+    // r14 item 6): N same-process writers race ONE fresh segment with
+    // DISTINGUISHABLE payloads. The per-segment JVM lock linearizes
+    // them: exactly one writes + commits, the rest observe the marker
+    // and no-op — and the stored rows are exactly ONE writer's frame,
+    // never an interleaving of two writers' files.
+    val n = 8
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(n)
+    val gate = new java.util.concurrent.CountDownLatch(1)
+    val wins = new java.util.concurrent.atomic.AtomicInteger(0)
+    val futs = (0 until n).map { w =>
+      pool.submit(new java.util.concurrent.Callable[Unit] {
+        def call(): Unit = {
+          val payload = (1 to 5).map(i => (i.toLong, s"writer$w")).toDF("id", "who")
+          gate.await()
+          if (IndexStore.appendSegmentIfAbsent(s, store, "t", "seg", 7L, payload))
+            wins.incrementAndGet(): Unit
+        }
+      })
+    }
+    gate.countDown()
+    futs.foreach(_.get(120, java.util.concurrent.TimeUnit.SECONDS))
+    pool.shutdown()
+    assert(wins.get == 1, s"exactly one racing writer must win, got ${wins.get}")
+    val rows = IndexStore.readCommitted(s, store, "t", "seg").collect()
+    assert(rows.length == 5, "the committed segment must be exactly one payload")
+    assert(rows.map(_.getString(1)).distinct.length == 1,
+      "the stored rows must come from a single writer — no torn mix of files")
+    // the loser's later replay is still the metadata no-op
+    assert(!IndexStore.appendSegmentIfAbsent(s, store, "t", "seg", 7L,
+      Seq((9L, "late")).toDF("id", "who")))
+  }
+
+  test("reader concurrent with compaction tombstoning sees only complete committed views") {
+    import graft.sources.IndexStore
+    Engine.tune(s)
+    import s.implicits._
+    val store = s"$base/segreadrace"
+    def seg(v: Int) = (1 to 40).map(i => (v * 100L + i, s"s$v")).toDF("id", "tag")
+    (0 to 2).foreach(v => assert(
+      IndexStore.appendSegmentIfAbsent(s, store, "t", "seg", v.toLong, seg(v))))
+    IndexStore.writeStamp(s, store, "test")
+    val want = IndexStore.readCommitted(s, store, "t", "seg")
+      .select("id").collect().map(_.getLong(0)).sorted.toSeq
+    // a reader loops through the compaction window: every read that
+    // SUCCEEDS must return the full committed row-set (compaction
+    // preserves content, so old view == new view == want); a read that
+    // catches the swap mid-rename may fail transiently — allowed — but a
+    // partial/torn row-set is not.
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val torn = new java.util.concurrent.atomic.AtomicReference[String](null)
+    val reads = new java.util.concurrent.atomic.AtomicInteger(0)
+    val reader = new Thread(() => {
+      while (!stop.get()) {
+        try {
+          val got = IndexStore.readCommitted(s, store, "t", "seg")
+            .select("id").collect().map(_.getLong(0)).sorted.toSeq
+          reads.incrementAndGet()
+          if (got != want)
+            torn.compareAndSet(null, s"read ${got.size} rows, want ${want.size}"): Unit
+        } catch { case _: Throwable => () } // transient swap-window failure: allowed
+      }
+    })
+    reader.start()
+    try IndexStore.compactSegmentLedger(s, store, "t", "seg", Seq("id"), Seq("id"))
+    finally { Thread.sleep(100); stop.set(true); reader.join(30000) }
+    assert(torn.get == null, s"concurrent reader saw a torn view: ${torn.get}")
+    assert(reads.get > 0, "the concurrent reader must have completed at least one read")
+    // post-compaction: ledger intact (tombstones answer committed), rows preserved
+    assert(IndexStore.committedSegments(s, store, "t", "seg") == Seq(0L, 1L, 2L))
+    val after = IndexStore.readCommitted(s, store, "t", "seg")
+      .select("id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(after == want, "compaction must preserve the committed row-set")
+  }
 }

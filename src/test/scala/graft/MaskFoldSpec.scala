@@ -98,6 +98,30 @@ class MaskFoldSpec extends AnyFunSuite {
     assert(!folded.filter(col("tok") === "green").isEmpty)
   }
 
+  test("a schema-evolved feed batch is refused loudly, never silently projected") {
+    import s.implicits._
+    // the lake accepts mergeSchema'd commits, so a feed window can carry
+    // a column the v1 index layout has no home for; the apply must
+    // refuse (VERDICT r14 item 7) — silently dropping it would desync
+    // index from lake without anyone noticing
+    val path = s"target/tmp/feedschema_${java.util.UUID.randomUUID().toString.take(8)}"
+    graft.operators.Similarity.cleanupAtExit(path)
+    Search.persistIndex(s, path, "schemaspec",
+      Seq((1L, "red fox")).toDF("doc_id", "text"))
+    val evolved = Seq((2L, "blue fox", "en")).toDF("doc_id", "text", "lang")
+    val e = intercept[IllegalArgumentException] {
+      Search.applyFeedToIndex(s, path, seg = 1,
+        inserts = evolved, deleteIds = Seq.empty[Long].toDF("doc_id"))
+    }
+    assert(e.getMessage.contains("schema-evolved feed"),
+      s"refusal must name the schema problem, got: ${e.getMessage}")
+    // the projected form of the same batch applies cleanly
+    Search.applyFeedToIndex(s, path, seg = 1,
+      inserts = evolved.select("doc_id", "text"),
+      deleteIds = Seq.empty[Long].toDF("doc_id"))
+    assert(graft.sources.IndexStore.read(s, path, "doclen").count() == 2L)
+  }
+
   test("the delete leg writes delta-sized bytes, not index-sized rewrites") {
     SparkEntry.queries("q231_masked_feed_sync")(s, sf).collect()
     val path = Search.maskSyncStore(s, sf)
