@@ -140,6 +140,10 @@ object PlanFingerprint {
     // beside the term-keyed postings probe — a drift to a shuffled join
     // or a full-index pass is exactly what the sidecar must never cost
     "q231_masked_feed_sync",
+    // the vector/PQ masked probes: the mask must stay a broadcast
+    // anti-join riding the cid-pruned / codes-only scan
+    "q232_masked_feed_sync_ann",
+    "q233_masked_feed_sync_adc",
   )
 
   /** Structural counts of the STEADY-STATE initial plan.

@@ -150,6 +150,11 @@ object ScaleRung {
     // + one broadcast anti-join — nothing in the recurring path should
     // track index size except the one-time warm build
     "q231_masked_feed_sync",
+    // the sidecar carried to the vector/PQ families: masked probes must
+    // keep the cid-pruned / codes-scan shapes with one broadcast
+    // anti-join added — same wall, same shuffle as the physical stores
+    "q232_masked_feed_sync_ann",
+    "q233_masked_feed_sync_adc",
   )
 
   /** The RocksDB-vs-memory crossover experiment: the two streaming rigs

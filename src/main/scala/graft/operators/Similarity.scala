@@ -584,6 +584,127 @@ object Similarity extends QueryModule {
        |  FROM pcos)
        |WHERE rn <= 3""".stripMargin
 
+  // ---- q232: feed sync with O(delta) MASKED deletes for the IVF index ----
+
+  /** Build-if-stale the mask-synced IVF store: the same lake and the
+    * same v1→v3 feed as q229, but the delete leg lands as the
+    * sequence-scoped delete-mask sidecar (q231's pattern carried to the
+    * VECTOR family) — a kilobyte `(vec_id, seq)` row-set — instead of
+    * q229's assign-table rewrite. The assign rows carry a `seg` column
+    * (0 = base build, 1 = the feed's arrivals) so the mask's scoping
+    * rule holds here too: it hides only rows of segments ≤ its seq, and
+    * a re-inserted vec_id arriving later stays visible. Arrivals still
+    * coarse-assign against the STORED centroids (O(batch)); the final
+    * stamp lands only after both legs. */
+  private[graft] def ivfMaskSyncStore(s: SparkSession, dir: String): String = {
+    val idxPath = "target/tmp/ivf_msync_" + processTag + "_" +
+      dir.replaceAll("[^A-Za-z0-9.]+", "_")
+    val stamp = "vecmasksync1|" +
+      graft.sources.IndexStore.sourceStamp(s, Seq(s"$dir/embeddings.parquet"))
+    synchronized {
+      if (!graft.sources.IndexStore.isCurrent(s, idxPath, stamp)) {
+        val lake = graft.sources.RoundTrip.freshLake(s, "vecmasksync", dir)
+        val e = table(s, dir, "embeddings")
+        val v1 = graft.sources.Snapshots.commit(e, lake, append = false)
+        val base = graft.sources.Snapshots.read(s, lake, v1)
+        val (cents0, assign0, m) = buildIvfIndex(base)
+        graft.sources.IndexStore.write(s, idxPath, "vecmasksync-building", Seq(
+          "centroids" -> cents0,
+          "assign" -> assign0.withColumn("seg", lit(0L))
+            .repartitionByRange(col("cid"), col("vec_id"))
+            .sortWithinPartitions(col("cid"), col("vec_id"))))
+        cleanupAtExit(idxPath)
+        graft.sources.Snapshots.commitDelete(
+          e.filter(col("vec_id") % 89 === 17 && col("vec_id") % m =!= 0)
+            .select("vec_id"), lake)
+        val v3 = graft.sources.Snapshots.commit(
+          e.filter(col("vec_id") % 31 === 2)
+            .select((col("vec_id") + 500000L).as("vec_id"),
+              expr("transform(embedding, x -> -x)").as("embedding"), col("label")),
+          lake, append = true)
+        val feed = graft.sources.Snapshots.changes(s, lake, v1, v3).localCheckpoint()
+        val inserts = feed.filter(col("_change_type") === "insert")
+          .select(col("vec_id"), col("embedding"))
+        val del = feed.filter(col("_change_type") === "delete").select(col("vec_id"))
+        // MASKED delete leg: O(delta) bytes — q229's rewrite is gone
+        graft.sources.IndexStore.appendDeleteMask(s, idxPath,
+          del.withColumn("seq", lit(0L)))
+        // INSERT leg: coarse-assign against the STORED centroids, seg 1
+        val cb = graft.sources.IndexStore.read(s, idxPath, "centroids")
+          .select(col("cid"), col("embedding").as("qemb"), col("nc"))
+        val acos = withNorm(inserts).withColumnRenamed("embedding", "vemb")
+          .join(broadcast(cb))
+          .withColumn("cosim0", dotExpr / (col("nc") * col("nrm")))
+        val wa = Window.partitionBy(col("vec_id")).orderBy(col("cosim0").desc, col("cid"))
+        graft.sources.IndexStore.append(s, idxPath, "assign",
+          acos.withColumn("rn", row_number().over(wa)).filter(col("rn") === 1)
+            .select(col("cid"), col("vec_id"), col("vemb").as("embedding"),
+              col("nrm"), lit(1L).as("seg")))
+        graft.sources.IndexStore.writeStamp(s, idxPath, stamp, Map(
+          "m" -> m.toString,
+          "n_feed_inserts" -> inserts.count().toString,
+          "n_feed_deletes" -> del.count().toString))
+      }
+    }
+    idxPath
+  }
+
+  /** Apply a `(vec_id, seq)` delete mask to a seg-tagged assign/codes
+    * frame — broadcast anti-join, scoped to rows at or below the mask's
+    * seq (shared by the q232/q233 probes and their folds). */
+  private[graft] def applyVecMask(df: DataFrame, mask: DataFrame): DataFrame =
+    df.join(broadcast(mask),
+      df("vec_id") === mask("vec_id") && df("seg") <= mask("seq"), "left_anti")
+
+  /** Fold the q232 store's mask into the physical layout and drop it —
+    * MaskFoldSpec pins the result bit-equal to q229's physically-
+    * rewritten store. */
+  private[graft] def foldVecMask(s: SparkSession, path: String,
+      tbl: String, sortCols: Seq[String]): Unit =
+    graft.sources.IndexStore.readDeleteMask(s, path).foreach { mask0 =>
+      val mask = mask0.localCheckpoint()
+      val live = applyVecMask(
+        graft.sources.IndexStore.read(s, path, tbl), mask).localCheckpoint()
+      graft.sources.IndexStore.replaceTable(s, path, tbl,
+        live.repartitionByRange(sortCols.map(col): _*)
+          .sortWithinPartitions(sortCols.map(col): _*))
+      graft.sources.IndexStore.dropTable(s, path,
+        graft.sources.IndexStore.DeleteMaskTable)
+    }
+
+  /** q232: the q184 cluster-cover probe over the mask-synced IVF store.
+    * Masked vectors are filtered from CANDIDATES by the broadcast
+    * anti-join (applied to the cid-pruned assign scan — the mask never
+    * widens what is read); probe rows are exactly q229's, because for
+    * the vector family there are no corpus-level statistics to go stale
+    * — membership IS the whole serving state, so the mask path is
+    * drift-free even before the fold. Audits: the live count, the mask
+    * size, and the feed counts. */
+  def maskedFeedSyncedAnn(s: SparkSession, dir: String): DataFrame = {
+    tune(s)
+    val path = ivfMaskSyncStore(s, dir)
+    val meta = graft.sources.IndexStore.readMeta(s, path)
+    val assign = graft.sources.IndexStore.read(s, path, "assign")
+    val mask = graft.sources.IndexStore.readDeleteMask(s, path)
+      .getOrElse(sys.error(s"mask-synced IVF store at $path has no delete mask"))
+      .localCheckpoint()
+    val live = applyVecMask(assign, mask)
+    val audit = live.agg(count(lit(1)).as("n_vecs"))
+      .crossJoin(broadcast(mask.agg(count(lit(1)).as("n_mask_rows"))))
+      .withColumn("n_feed_inserts", lit(meta("n_feed_inserts").toLong))
+      .withColumn("n_feed_deletes", lit(meta("n_feed_deletes").toLong))
+    clusterCoverProbe(live.drop("seg")).crossJoin(broadcast(audit))
+  }
+
+  /** q232's oracle: q229's chain verbatim (same logical state, same
+    * probe rows) with the trace audit swapped for the mask size. */
+  private[graft] val maskedFeedSyncedAnnSql = {
+    val anchor = "CAST(0 AS BIGINT) AS removed_traces"
+    require(feedSyncedAnnSql.contains(anchor), "q232 oracle anchor drifted")
+    feedSyncedAnnSql.replace(anchor,
+      "(SELECT CAST(COUNT(*) AS BIGINT) FROM erased) AS n_mask_rows")
+  }
+
   /** q185: one distributed Lloyd (k-means) refinement step over the IVF
     * seeding — the building block of embedding-space clustering for
     * curation (SemDeDup-style pruning, diversity sampling, cluster-local
@@ -1537,6 +1658,113 @@ object Similarity extends QueryModule {
        |         CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY round(adc0, 9), vid) AS INT) AS rn
        |  FROM padc)
        |WHERE rn <= 3""".stripMargin
+
+  // ---- q233: feed sync with O(delta) MASKED deletes for the PQ codes ----
+
+  /** Build-if-stale the mask-synced PQ code store: [[pqSyncStore]] with
+    * the delete leg landed as the delete-mask sidecar instead of the
+    * codes rewrite — the q231/q232 pattern completing the sidecar for
+    * the THIRD index family. Codes carry a `seg` column (0 = base
+    * encode, 1 = arrivals encoded against the STORED codebooks) for the
+    * mask's sequence scoping. */
+  private[graft] def pqMaskSyncStore(s: SparkSession, dir: String): String = {
+    val idxPath = "target/tmp/pq_msync_" + processTag + "_" +
+      dir.replaceAll("[^A-Za-z0-9.]+", "_")
+    val stamp = s"pqmasksync1|lloyd$PqLloydSteps|" +
+      graft.sources.IndexStore.sourceStamp(s, Seq(s"$dir/embeddings.parquet"))
+    synchronized {
+      if (!graft.sources.IndexStore.isCurrent(s, idxPath, stamp)) {
+        val lake = graft.sources.RoundTrip.freshLake(s, "pqmasksync", dir)
+        val e = table(s, dir, "embeddings")
+        val v1 = graft.sources.Snapshots.commit(e, lake, append = false)
+        val base = graft.sources.Snapshots.read(s, lake, v1)
+        val (_, cb1, mq) = pqCodebooks(base)
+        val cbm = cb1.localCheckpoint(true)
+        graft.sources.IndexStore.write(s, idxPath, "pqmasksync-building", Seq(
+          "codebooks" -> cbm,
+          "codes" -> pqEncodeAgainst(base, cbm).withColumn("seg", lit(0L))
+            .repartitionByRange(col("vec_id"))
+            .sortWithinPartitions(col("vec_id"), col("j"))))
+        cleanupAtExit(idxPath)
+        val m = math.ceil(math.sqrt(base.count().toDouble)).toLong.max(1L)
+        graft.sources.Snapshots.commitDelete(
+          e.filter(col("vec_id") % 89 === 17 && col("vec_id") % m =!= 0)
+            .select("vec_id"), lake)
+        val v3 = graft.sources.Snapshots.commit(
+          e.filter(col("vec_id") % 31 === 2)
+            .select((col("vec_id") + 500000L).as("vec_id"),
+              expr("transform(embedding, x -> -x)").as("embedding"), col("label")),
+          lake, append = true)
+        val feed = graft.sources.Snapshots.changes(s, lake, v1, v3).localCheckpoint()
+        val del = feed.filter(col("_change_type") === "delete").select(col("vec_id"))
+        // MASKED delete leg: O(delta) bytes — q230's codes rewrite is gone
+        graft.sources.IndexStore.appendDeleteMask(s, idxPath,
+          del.withColumn("seq", lit(0L)))
+        // INSERT leg: encode against the STORED codebooks, seg 1
+        val inserts = feed.filter(col("_change_type") === "insert")
+          .select(col("vec_id"), col("embedding"))
+        graft.sources.IndexStore.append(s, idxPath, "codes",
+          pqEncodeAgainst(inserts,
+            graft.sources.IndexStore.read(s, idxPath, "codebooks"))
+            .withColumn("seg", lit(1L)))
+        graft.sources.IndexStore.writeStamp(s, idxPath, stamp, Map(
+          "mq" -> mq.toString, "m" -> m.toString,
+          "n_feed_inserts" -> inserts.count().toString,
+          "n_feed_deletes" -> del.count().toString))
+        cbm.unpersist(): Unit
+      }
+    }
+    idxPath
+  }
+
+  /** q233: the q199 full-scan ADC top-3 over the mask-synced code store.
+    * Masked vectors drop from CANDIDATES via the broadcast anti-join on
+    * the codes scan; the ADC distance tables are built from probes +
+    * codebooks alone, so — like the vector family and unlike BM25 —
+    * there are no corpus-level statistics to go stale: the masked probe
+    * is bit-equal to q230's physically-rewritten one even before the
+    * fold (MaskFoldSpec pins the fold anyway). */
+  def maskedFeedSyncedAdc(s: SparkSession, dir: String): DataFrame = {
+    tune(s)
+    val path = pqMaskSyncStore(s, dir)
+    val meta = graft.sources.IndexStore.readMeta(s, path)
+    val cb = graft.SessionCache.cached(s, s"sim:pqmsynccb:$dir")(
+      graft.sources.IndexStore.read(s, path, "codebooks"))
+    val mask = graft.sources.IndexStore.readDeleteMask(s, path)
+      .getOrElse(sys.error(s"mask-synced PQ store at $path has no delete mask"))
+      .localCheckpoint()
+    val codes = applyVecMask(
+      graft.sources.IndexStore.read(s, path, "codes"), mask)
+    val audit = codes.agg(countDistinct(col("vec_id")).as("n_vecs"))
+      .crossJoin(broadcast(mask.agg(count(lit(1)).as("n_mask_rows"))))
+      .withColumn("n_feed_inserts", lit(meta("n_feed_inserts").toLong))
+      .withColumn("n_feed_deletes", lit(meta("n_feed_deletes").toLong))
+    val probes = table(s, dir, "embeddings").filter(col("vec_id").between(0, 15))
+      .select(col("vec_id").as("qid"),
+        posexplode(subVecsCol(col("embedding"))).as(Seq("j", "qsub")))
+    val dtable = probes.join(cb, Seq("j"))
+      .select(col("qid"), col("j"), col("code"),
+        expr("graft_sqdist(qsub, csub)").as("qd2"))
+    val adc = codes.select(col("vec_id").as("vid"), col("j"), col("code"))
+      .join(broadcast(dtable), Seq("j", "code"))
+      .filter(col("qid") =!= col("vid"))
+      .groupBy(col("qid"), col("vid"))
+      .agg(sum(col("qd2")).as("adc0"))
+    val w = Window.partitionBy(col("qid")).orderBy(round(col("adc0"), 9).asc, col("vid"))
+    adc.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select(col("qid"), col("vid"), round(col("adc0"), 9).as("adc"), col("rn"))
+      .crossJoin(broadcast(audit))
+  }
+
+  /** q233's oracle: q230's chain verbatim with the trace audit swapped
+    * for the mask size. */
+  private[graft] val maskedFeedSyncedAdcSql = {
+    val anchor = "CAST(0 AS BIGINT) AS removed_traces"
+    require(feedSyncedAdcSql.contains(anchor), "q233 oracle anchor drifted")
+    feedSyncedAdcSql.replace(anchor,
+      "(SELECT CAST(COUNT(*) AS BIGINT) FROM erased) AS n_mask_rows")
+  }
 
   /** q200: IVFADC — the full IVF-PQ probe (the architecture FAISS ships
     * for web-scale ANN): the coarse quantizer (persisted IVF index)
@@ -3533,6 +3761,12 @@ object Similarity extends QueryModule {
     GQuery("q229_feed_synced_ann",
       "feed-driven IVF sync: the lake's change feed applied O(delta) — deletes anti-join assign, arrivals coarse-assign against the STORED centroids and append; probe oracled from the lake's current state at v1 centroids",
       feedSyncedAnn, Some(feedSyncedAnnSql)),
+    GQuery("q232_masked_feed_sync_ann",
+      "feed sync with O(delta) masked deletes for the IVF index: the sequence-scoped delete-mask sidecar replaces q229's assign rewrite; the broadcast anti-join rides the cid-pruned probe scan, and membership being the whole serving state, the masked probe is drift-free even before the fold",
+      maskedFeedSyncedAnn, Some(maskedFeedSyncedAnnSql)),
+    GQuery("q233_masked_feed_sync_adc",
+      "feed sync with O(delta) masked deletes for the PQ code store: the delete-mask sidecar replaces q230's codes rewrite; ADC distance tables derive from probes + codebooks alone, so the masked probe is bit-equal to the physical rewrite's even before the fold",
+      maskedFeedSyncedAdc, Some(maskedFeedSyncedAdcSql)),
     GQuery("q230_feed_synced_adc",
       "feed-driven PQ code-store sync completing the four-family lake loop: deletes anti-join codes, arrivals encode against the STORED codebooks; full-scan ADC top-3 oracled from the lake's current state at v1 codebooks",
       feedSyncedAdc, Some(feedSyncedAdcSql)),

@@ -98,6 +98,42 @@ class MaskFoldSpec extends AnyFunSuite {
     assert(!folded.filter(col("tok") === "green").isEmpty)
   }
 
+  test("vector family: folding the mask reproduces q229's physically-rewritten assign") {
+    import graft.operators.Similarity
+    SparkEntry.queries("q232_masked_feed_sync_ann")(s, sf).collect()
+    SparkEntry.queries("q229_feed_synced_ann")(s, sf).collect()
+    val maskPath = Similarity.ivfMaskSyncStore(s, sf)
+    val physPath = Similarity.ivfSyncStore(s, sf)
+    val fold = maskPath + "_foldspec"
+    IndexStore.copy(s, maskPath, fold)
+    Similarity.foldVecMask(s, fold, "assign", Seq("cid", "vec_id"))
+    Similarity.cleanupAtExit(fold)
+    assert(IndexStore.readDeleteMask(s, fold).isEmpty)
+    val cols = Seq("cid", "vec_id", "embedding", "nrm").map(col)
+    val a = IndexStore.read(s, fold, "assign").select(cols.toIndexedSeq: _*)
+    val b = IndexStore.read(s, physPath, "assign").select(cols.toIndexedSeq: _*)
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty,
+      "folded assign must equal the physically-rewritten store's")
+  }
+
+  test("pq family: folding the mask reproduces q230's physically-rewritten codes") {
+    import graft.operators.Similarity
+    SparkEntry.queries("q233_masked_feed_sync_adc")(s, sf).collect()
+    SparkEntry.queries("q230_feed_synced_adc")(s, sf).collect()
+    val maskPath = Similarity.pqMaskSyncStore(s, sf)
+    val physPath = Similarity.pqSyncStore(s, sf)
+    val fold = maskPath + "_foldspec"
+    IndexStore.copy(s, maskPath, fold)
+    Similarity.foldVecMask(s, fold, "codes", Seq("vec_id", "j"))
+    Similarity.cleanupAtExit(fold)
+    assert(IndexStore.readDeleteMask(s, fold).isEmpty)
+    val cols = Seq("vec_id", "j", "code", "d2").map(col)
+    val a = IndexStore.read(s, fold, "codes").select(cols.toIndexedSeq: _*)
+    val b = IndexStore.read(s, physPath, "codes").select(cols.toIndexedSeq: _*)
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty,
+      "folded codes must equal the physically-rewritten store's")
+  }
+
   test("a schema-evolved feed batch is refused loudly, never silently projected") {
     import s.implicits._
     // the lake accepts mergeSchema'd commits, so a feed window can carry
