@@ -144,6 +144,7 @@ object PlanFingerprint {
     // anti-join riding the cid-pruned / codes-only scan
     "q232_masked_feed_sync_ann",
     "q233_masked_feed_sync_adc",
+    "q234_masked_feed_sync_screen",
   )
 
   /** Structural counts of the STEADY-STATE initial plan.

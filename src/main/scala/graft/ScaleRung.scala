@@ -155,6 +155,9 @@ object ScaleRung {
     // anti-join added — same wall, same shuffle as the physical stores
     "q232_masked_feed_sync_ann",
     "q233_masked_feed_sync_adc",
+    // the dedup family's masks: the probe keeps q228's batch-signature
+    // + equi-join shape, the three masks ride as broadcast anti-joins
+    "q234_masked_feed_sync_screen",
   )
 
   /** The RocksDB-vs-memory crossover experiment: the two streaming rigs

@@ -1613,6 +1613,161 @@ object Dedup extends QueryModule {
        |GROUP BY n.lang""".stripMargin
   }
 
+  // ---- q234: feed sync with O(delta) MASKED deletes for the dedup index ----
+
+  /** Build-if-stale the mask-synced dedup store: [[dedupSyncStore]]'s
+    * lake and feed, but the delete leg lands as sidecar MASKS instead of
+    * the four-table rewrite — completing the delete-mask sidecar
+    * (q231/q232/q233) for the family with the hard semantics. The group-
+    * survival DECISION is computed once at apply time exactly as q228
+    * computes it (O(delta + keys): affected texts = keys ⋈ deleted ids,
+    * fully-gone = affected minus any surviving holder) — but its result
+    * is STORED as two derived kilobyte masks instead of being applied as
+    * a rewrite:
+    *  - `deletes`   (doc_id, seq): the feed's raw delete ids — masks the
+    *    member-level keys view;
+    *  - `mask_gone` (tkey, seq): fully-gone texts — masks digests;
+    *  - `mask_reps` (doc_id, seq): erased groups' rep ids — masks
+    *    sigs/bands.
+    * Every index table carries a `seg` column (0 = base, 1 = the feed's
+    * arrivals) so the masks scope to seg ≤ seq: a fully-gone text
+    * re-ingested by an arrival lands as a seg-1 digest row and is
+    * immediately visible through the mask — the same Iceberg-v2 rule as
+    * q231 (and the fixture genuinely exercises it: ids satisfying both
+    * %97=13 and %31=2 exist, so a deleted text can return under a fresh
+    * id in the same window). */
+  private[graft] def dedupMaskSyncStore(s: SparkSession, dir: String): String = {
+    val idxPath = "target/tmp/dedup_msync_" +
+      graft.operators.Similarity.processTag + "_" +
+      dir.replaceAll("[^A-Za-z0-9.]+", "_")
+    val stamp = "dedupmasksync1|" +
+      graft.sources.IndexStore.sourceStamp(s, Seq(s"$dir/documents.parquet"))
+    synchronized {
+      if (!graft.sources.IndexStore.isCurrent(s, idxPath, stamp)) {
+        val lake = graft.sources.RoundTrip.freshLake(s, "dedupmasksync", dir)
+        val corpus = augmentedDocs(s, dir).filter(col("doc_id") < 100000L)
+        val v1 = graft.sources.Snapshots.commit(corpus, lake, append = false)
+        val base = graft.sources.Snapshots.read(s, lake, v1)
+        val idx0 = buildIndex(base)
+        def seg0(df: DataFrame) = df.withColumn("seg", lit(0L))
+        graft.sources.IndexStore.write(s, idxPath, "dedupmasksync-building", Seq(
+          "digests" -> seg0(idx0.digests), "sigs" -> seg0(idx0.sigs),
+          "bands" -> seg0(idx0.bands),
+          "keys" -> seg0(base.select(md5(col("text")).as("tkey"), col("doc_id")))))
+        graft.operators.Similarity.cleanupAtExit(idxPath)
+        graft.sources.Snapshots.commitDelete(
+          corpus.filter(col("doc_id") % 97 === 13).select("doc_id"), lake)
+        val v3 = graft.sources.Snapshots.commit(
+          corpus.filter(col("doc_id") % 31 === 2)
+            .select((col("doc_id") + 500000L).as("doc_id"), col("text"), col("lang")),
+          lake, append = true)
+        val feed = graft.sources.Snapshots.changes(s, lake, v1, v3).localCheckpoint()
+        val inserts = feed.filter(col("_change_type") === "insert")
+          .select(col("doc_id"), col("text"))
+        val del = broadcast(feed.filter(col("_change_type") === "delete")
+          .select(col("doc_id")).localCheckpoint())
+        // group survival, computed ONCE (the q228 decision) — result
+        // stored as masks, nothing rewritten
+        val keys = graft.sources.IndexStore.read(s, idxPath, "keys")
+        val affected = keys.join(del, "doc_id").select(col("tkey")).distinct()
+        val survivors = keys.join(del, Seq("doc_id"), "left_anti")
+          .select(col("tkey")).distinct()
+        val gone = affected.join(survivors, Seq("tkey"), "left_anti").localCheckpoint()
+        val erasedReps = keys.groupBy(col("tkey"))
+          .agg(min(col("doc_id")).as("doc_id"))
+          .join(broadcast(gone), "tkey").select(col("doc_id")).localCheckpoint()
+        graft.sources.IndexStore.appendDeleteMask(s, idxPath,
+          del.withColumn("seq", lit(0L)))
+        graft.sources.IndexStore.append(s, idxPath, "mask_gone",
+          gone.withColumn("seq", lit(0L)))
+        graft.sources.IndexStore.append(s, idxPath, "mask_reps",
+          erasedReps.withColumn("seq", lit(0L)))
+        // INSERT leg: the refresh shape, tagged seg 1
+        val add = buildIndex(inserts)
+        def seg1(df: DataFrame) = df.withColumn("seg", lit(1L))
+        graft.sources.IndexStore.inParallel(Seq(
+          () => graft.sources.IndexStore.append(s, idxPath, "digests", seg1(add.digests)),
+          () => graft.sources.IndexStore.append(s, idxPath, "sigs", seg1(add.sigs)),
+          () => graft.sources.IndexStore.append(s, idxPath, "bands", seg1(add.bands)),
+          () => graft.sources.IndexStore.append(s, idxPath, "keys",
+            seg1(inserts.select(md5(col("text")).as("tkey"), col("doc_id"))))))
+        graft.sources.IndexStore.writeStamp(s, idxPath, stamp, Map(
+          "n_feed_inserts" -> inserts.count().toString,
+          "n_feed_deletes" -> del.count().toString))
+      }
+    }
+    idxPath
+  }
+
+  /** Seq-scoped broadcast anti-join of one mask table on `keyCol`. */
+  private def maskOn(df: DataFrame, mask: DataFrame, keyCol: String): DataFrame =
+    df.join(broadcast(mask), df(keyCol) === mask(keyCol) && df("seg") <= mask("seq"),
+      "left_anti")
+
+  /** The masked LIVE view of the q234 store's four tables (seg dropped —
+    * probes are seg-agnostic). */
+  private[graft] def maskedDedupView(s: SparkSession, path: String)
+      : (DedupIndex, DataFrame) = {
+    def rd(t: String) = graft.sources.IndexStore.read(s, path, t)
+    val gone = rd("mask_gone").localCheckpoint()
+    val reps = rd("mask_reps").localCheckpoint()
+    val del = graft.sources.IndexStore.readDeleteMask(s, path)
+      .getOrElse(sys.error(s"mask-synced dedup store at $path has no delete mask"))
+      .localCheckpoint()
+    (DedupIndex(
+      maskOn(rd("digests"), gone, "tkey").drop("seg"),
+      maskOn(rd("sigs"), reps, "doc_id").drop("seg"),
+      maskOn(rd("bands"), reps, "doc_id").drop("seg")),
+      maskOn(rd("keys"), del, "doc_id").drop("seg"))
+  }
+
+  /** Fold the q234 masks into the physical layout and drop them —
+    * MaskFoldSpec pins the result table-equal to q228's physically-
+    * rewritten store. */
+  private[graft] def foldDedupMask(s: SparkSession, path: String): Unit = {
+    val (live, keys) = maskedDedupView(s, path)
+    val frames = Seq("digests" -> live.digests, "sigs" -> live.sigs,
+      "bands" -> live.bands, "keys" -> keys).map {
+      case (t, df) => t -> df.localCheckpoint()
+    }
+    graft.sources.IndexStore.inParallel(frames.map { case (t, df) =>
+      () => graft.sources.IndexStore.replaceTable(s, path, t, df)
+    })
+    Seq(graft.sources.IndexStore.DeleteMaskTable, "mask_gone", "mask_reps")
+      .foreach(graft.sources.IndexStore.dropTable(s, path, _))
+  }
+
+  /** q234: the q131 arrival screen over the mask-synced dedup store —
+    * q228's probe with the erasure served through masks. Decisions flow
+    * through signature VALUES over the masked views, so they equal
+    * q228's bit-for-bit (the oracle recomputes them from the lake's
+    * current logical state); the structural distinct-text audit runs
+    * over the MASKED digests, catching an over- or under-scoped mask
+    * exactly like it catches an over- or under-erased rewrite. */
+  def maskedFeedSyncedScreen(s: SparkSession, dir: String): DataFrame = {
+    tune(s)
+    val path = dedupMaskSyncStore(s, dir)
+    val meta = graft.sources.IndexStore.readMeta(s, path)
+    val (synced, _) = maskedDedupView(s, path)
+    val newB = augmentedDocs(s, dir).filter(col("doc_id") >= 100000L)
+    val audit = synced.digests
+      .agg(countDistinct(col("tkey")).as("n_unique_texts"))
+      .crossJoin(broadcast(graft.sources.IndexStore.readDeleteMask(s, path).get
+        .agg(count(lit(1)).as("n_mask_rows"))))
+      .withColumn("n_feed_inserts", lit(meta("n_feed_inserts").toLong))
+      .withColumn("n_feed_deletes", lit(meta("n_feed_deletes").toLong))
+    screenSummary(screenBatch(synced, newB), newB).crossJoin(broadcast(audit))
+  }
+
+  /** q234's oracle: q228's chain verbatim plus the mask-size audit. */
+  private[graft] val maskedFeedSyncedScreenSql = {
+    val anchor = "  AS n_feed_deletes\nFROM newb n"
+    require(feedSyncedScreenSql.contains(anchor), "q234 oracle anchor drifted")
+    feedSyncedScreenSql.replace(anchor,
+      "  AS n_feed_deletes,\n(SELECT CAST(COUNT(*) AS BIGINT) FROM docs " +
+        "WHERE doc_id < 100000 AND doc_id % 97 = 13) AS n_mask_rows\nFROM newb n")
+  }
+
   /** q147: q131's screen with the bloom sidecar's negative fast path on
     * the exact tier, run AGAINST the plain screen in the same frame. The
     * output is q131's per-lang admission summary (computed from the
@@ -2075,6 +2230,9 @@ object Dedup extends QueryModule {
     GQuery("q228_feed_synced_screen",
       "feed-driven dedup-index sync with group-survival semantics: a text is forgotten only when its LAST holder is deleted (member-level keys decide it O(delta)), inserts append, decisions + distinct-text audit oracled from the lake's current state",
       feedSyncedScreen, Some(feedSyncedScreenSql)),
+    GQuery("q234_masked_feed_sync_screen",
+      "feed sync with O(delta) masked deletes for the dedup family: the group-survival decision is computed once (keys-join, O(delta + keys)) and STORED as kilobyte masks (gone texts / erased reps / deleted ids) instead of rewriting four tables; seq-scoped so a re-ingested text is immediately visible; decisions + structural audit oracled identically to q228",
+      maskedFeedSyncedScreen, Some(maskedFeedSyncedScreenSql)),
     GQuery("q147_bloom_screen",
       "screen with the persisted bloom sidecar fast path; per-doc equality vs the plain probe audited in-frame",
       bloomScreen, Some(bloomScreenSql)),

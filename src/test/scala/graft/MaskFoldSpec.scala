@@ -134,6 +134,28 @@ class MaskFoldSpec extends AnyFunSuite {
       "folded codes must equal the physically-rewritten store's")
   }
 
+  test("dedup family: folding the group-survival masks reproduces q228's rewritten store") {
+    import graft.operators.Dedup
+    SparkEntry.queries("q234_masked_feed_sync_screen")(s, sf).collect()
+    SparkEntry.queries("q228_feed_synced_screen")(s, sf).collect()
+    val maskPath = Dedup.dedupMaskSyncStore(s, sf)
+    val physPath = Dedup.dedupSyncStore(s, sf)
+    val fold = maskPath + "_foldspec"
+    IndexStore.copy(s, maskPath, fold)
+    Dedup.foldDedupMask(s, fold)
+    graft.operators.Similarity.cleanupAtExit(fold)
+    assert(IndexStore.readDeleteMask(s, fold).isEmpty)
+    for (t <- Seq("digests", "sigs", "bands", "keys")) {
+      val cols = IndexStore.read(s, physPath, t).columns.sorted.map(col)
+      val a = IndexStore.read(s, fold, t).select(cols.toIndexedSeq: _*)
+      val b = IndexStore.read(s, physPath, t).select(cols.toIndexedSeq: _*)
+      val onlyA = a.exceptAll(b).limit(5).collect().toSeq
+      val onlyB = b.exceptAll(a).limit(5).collect().toSeq
+      assert(onlyA.isEmpty && onlyB.isEmpty,
+        s"dedup table '$t' differs after fold; fold-only: $onlyA; physical-only: $onlyB")
+    }
+  }
+
   test("a schema-evolved feed batch is refused loudly, never silently projected") {
     import s.implicits._
     // the lake accepts mergeSchema'd commits, so a feed window can carry
