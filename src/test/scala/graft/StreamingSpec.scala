@@ -128,8 +128,12 @@ class StreamingSpec extends AnyFunSuite {
       "compacted probe must serve the pre-compaction rows")
     df.unpersist()
     // ledger layout: seg=0 carries data + marker; the pre-compaction
-    // segments survive as tombstones — marker present, zero data files
-    val path = graft.operators.Similarity.seqIvfStreamPath(TestSpark.sf)
+    // segments survive as tombstones — marker present, zero data files.
+    // Under the warm convention q217 compacts a stamped COPY of the
+    // shared streamed store (suffix _compacted), leaving the original
+    // uncompacted for q215/q218 — the layout assertions read the copy.
+    val path =
+      graft.operators.Similarity.seqIvfStreamPath(TestSpark.sf) + "_compacted"
     val tbl = new java.io.File(path, "assign")
     Seq(0, 1, 2).foreach { k =>
       assert(new java.io.File(tbl, s"seg=$k/_COMMITTED").isFile,
@@ -141,12 +145,17 @@ class StreamingSpec extends AnyFunSuite {
       assert(data.isEmpty, s"tombstone seg=$k must carry no data files, got ${data.toSeq}")
     }
     // and the ledger keeps growing: a genuinely NEW segment still
-    // commits exactly-once against the compacted store
+    // commits exactly-once against the compacted store — on a scratch
+    // COPY, so the warm q217 substrate stays a 3-entry ledger for later
+    // probes in this process
+    val scratch = path + "_growspec"
+    graft.sources.IndexStore.copy(s, path, scratch)
+    graft.operators.Similarity.cleanupAtExit(scratch)
     val b1 = graft.operators.Similarity.seqArrivalBatches(s, TestSpark.sf).head._2
     val (first, replay) =
-      graft.operators.Similarity.seqIvfStreamCommit(s, TestSpark.sf, path, 3L, b1)
+      graft.operators.Similarity.seqIvfStreamCommit(s, TestSpark.sf, scratch, 3L, b1)
     assert(first && !replay, "a new segment must commit exactly-once post-compaction")
-    assert(graft.sources.IndexStore.committedSegments(s, path, "assign", "seg")
+    assert(graft.sources.IndexStore.committedSegments(s, scratch, "assign", "seg")
       == Seq(0L, 1L, 2L, 3L))
   }
 
