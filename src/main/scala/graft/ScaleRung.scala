@@ -185,44 +185,49 @@ object ScaleRung {
     val ready = java.nio.file.Paths.get(state100Dir, "_READY_v1")
     if (java.nio.file.Files.exists(ready)) return
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(state100Dir))
-    val ev = s.read.parquet(s"$srcDir/events.parquet")
-    // pid-tagged build tmp + rename-if-absent (ADVICE r14): two JVMs
-    // sharing target/ (Verify beside Bench) may both pass the marker
-    // check — each stages privately and the file-level move below is
-    // atomic, so neither can clobber the other's half-written build
-    val tmp = java.nio.file.Paths.get(state100Dir,
-      ".events_build_" + ProcessHandle.current().pid())
-    (0 until 100).map { k =>
-      if (k == 0) ev
-      else ev.withColumn("event_id", col("event_id") + lit(k * 100000000L))
-        .withColumn("user_id", col("user_id") + lit(k * 1000000L))
-    }.reduce(_.unionByName(_))
-      // one FILE named events.parquet (the pathGlobFilter contract the v4
-      // rung pinned); a 10M-row single file still splits into many row
-      // groups, and the streaming source processes it in one trigger —
-      // which is the point: every state key live in one batch's stores
-      .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-    val st = java.nio.file.Files.list(tmp)
-    val part =
-      try st.filter(_.toString.endsWith(".parquet")).findFirst()
-        .orElseThrow(() => new IllegalStateException("no state-rung part file"))
-      finally st.close()
-    // rename-if-absent: the first JVM to finish publishes; a concurrent
-    // builder's identical file loses benignly. A markerless leftover
-    // (previous crash) is swept first so the publish slot is free.
-    val live = java.nio.file.Paths.get(state100Dir, "events.parquet")
-    if (!java.nio.file.Files.exists(ready))
+    // cross-JVM FILE LOCK around check + build + publish (review catch:
+    // a pid-tagged tmp alone still left a check-then-delete window in
+    // which a slow second builder could delete a just-published file).
+    // The lock serializes builders; the marker re-check under the lock
+    // makes the whole sequence atomic, and once the marker exists no
+    // code path ever deletes the live file again.
+    val lockPath = java.nio.file.Paths.get(state100Dir, ".build_lock")
+    val ch = java.nio.channels.FileChannel.open(lockPath,
+      java.nio.file.StandardOpenOption.CREATE, java.nio.file.StandardOpenOption.WRITE)
+    val lk = ch.lock()
+    try {
+      if (java.nio.file.Files.exists(ready)) return
+      val ev = s.read.parquet(s"$srcDir/events.parquet")
+      val tmp = java.nio.file.Paths.get(state100Dir,
+        ".events_build_" + ProcessHandle.current().pid())
+      (0 until 100).map { k =>
+        if (k == 0) ev
+        else ev.withColumn("event_id", col("event_id") + lit(k * 100000000L))
+          .withColumn("user_id", col("user_id") + lit(k * 1000000L))
+      }.reduce(_.unionByName(_))
+        // one FILE named events.parquet (the pathGlobFilter contract the v4
+        // rung pinned); a 10M-row single file still splits into many row
+        // groups, and the streaming source processes it in one trigger —
+        // which is the point: every state key live in one batch's stores
+        .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val st = java.nio.file.Files.list(tmp)
+      val part =
+        try st.filter(_.toString.endsWith(".parquet")).findFirst()
+          .orElseThrow(() => new IllegalStateException("no state-rung part file"))
+        finally st.close()
+      // under the lock: sweep a markerless crash leftover, publish, mark
+      val live = java.nio.file.Paths.get(state100Dir, "events.parquet")
       java.nio.file.Files.deleteIfExists(live)
-    try java.nio.file.Files.move(part, live)
-    catch { case _: java.nio.file.FileAlreadyExistsException => () }
-    def rm(p: java.nio.file.Path): Unit =
-      if (java.nio.file.Files.exists(p)) {
-        val c = java.nio.file.Files.list(p)
-        try c.forEach(x => java.nio.file.Files.delete(x)) finally c.close()
-        java.nio.file.Files.delete(p)
-      }
-    rm(tmp)
-    java.nio.file.Files.writeString(ready, "ok\n"): Unit
+      java.nio.file.Files.move(part, live)
+      def rm(p: java.nio.file.Path): Unit =
+        if (java.nio.file.Files.exists(p)) {
+          val c = java.nio.file.Files.list(p)
+          try c.forEach(x => java.nio.file.Files.delete(x)) finally c.close()
+          java.nio.file.Files.delete(p)
+        }
+      rm(tmp)
+      java.nio.file.Files.writeString(ready, "ok\n"): Unit
+    } finally { lk.release(); ch.close() }
   }
 
   def ensureRung(s: SparkSession): Unit = {

@@ -1507,6 +1507,36 @@ object Dedup extends QueryModule {
     * apply land ONCE per (process, corpus) behind a stamp check, so the
     * recurring benched cost is the warm screen probe. Final stamp only
     * AFTER the apply (crash mid-sync rebuilds); feed counts in meta. */
+  /** One drained feed cycle over the dedup corpus lake, shared by the
+    * q228 physical and q234 masked sync-store builders (MaskFoldSpec's
+    * fold-equality contract assumes both stores saw the SAME feed):
+    * v1 commits the corpus (the < 100000 augmented slice); v2 deletes
+    * the takedown works (doc_id % 97 = 13); v3 appends the % 31 = 2
+    * texts under fresh ids (exact re-ingestions the text-keyed index
+    * tolerates by design); feed drained once. */
+  private case class CorpusFeed(base: DataFrame, inserts: DataFrame,
+      del: DataFrame)
+
+  private def corpusFeedFixture(s: SparkSession, dir: String,
+      name: String): CorpusFeed = {
+    val lake = graft.sources.RoundTrip.freshLake(s, name, dir)
+    val corpus = augmentedDocs(s, dir).filter(col("doc_id") < 100000L)
+    val v1 = graft.sources.Snapshots.commit(corpus, lake, append = false)
+    val base = graft.sources.Snapshots.read(s, lake, v1)
+    graft.sources.Snapshots.commitDelete(
+      corpus.filter(col("doc_id") % 97 === 13).select("doc_id"), lake)
+    val v3 = graft.sources.Snapshots.commit(
+      corpus.filter(col("doc_id") % 31 === 2)
+        .select((col("doc_id") + 500000L).as("doc_id"), col("text"), col("lang")),
+      lake, append = true)
+    val feed = graft.sources.Snapshots.changes(s, lake, v1, v3).localCheckpoint()
+    CorpusFeed(base,
+      feed.filter(col("_change_type") === "insert")
+        .select(col("doc_id"), col("text")),
+      broadcast(feed.filter(col("_change_type") === "delete")
+        .select(col("doc_id")).localCheckpoint()))
+  }
+
   private[graft] def dedupSyncStore(s: SparkSession, dir: String): String = {
     val idxPath = "target/tmp/dedup_sync_" +
       graft.operators.Similarity.processTag + "_" +
@@ -1515,26 +1545,14 @@ object Dedup extends QueryModule {
       graft.sources.IndexStore.sourceStamp(s, Seq(s"$dir/documents.parquet"))
     synchronized {
       if (!graft.sources.IndexStore.isCurrent(s, idxPath, stamp)) {
-        val lake = graft.sources.RoundTrip.freshLake(s, "dedupsync", dir)
-        val corpus = augmentedDocs(s, dir).filter(col("doc_id") < 100000L)
-        val v1 = graft.sources.Snapshots.commit(corpus, lake, append = false)
-        val base = graft.sources.Snapshots.read(s, lake, v1)
-        val idx0 = buildIndex(base)
+        val f = corpusFeedFixture(s, dir, "dedupsync")
+        val idx0 = buildIndex(f.base)
         graft.sources.IndexStore.write(s, idxPath, "dedupsync-building", Seq(
           "digests" -> idx0.digests, "sigs" -> idx0.sigs, "bands" -> idx0.bands,
-          "keys" -> base.select(md5(col("text")).as("tkey"), col("doc_id"))))
+          "keys" -> f.base.select(md5(col("text")).as("tkey"), col("doc_id"))))
         graft.operators.Similarity.cleanupAtExit(idxPath)
-        graft.sources.Snapshots.commitDelete(
-          corpus.filter(col("doc_id") % 97 === 13).select("doc_id"), lake)
-        val v3 = graft.sources.Snapshots.commit(
-          corpus.filter(col("doc_id") % 31 === 2)
-            .select((col("doc_id") + 500000L).as("doc_id"), col("text"), col("lang")),
-          lake, append = true)
-        val feed = graft.sources.Snapshots.changes(s, lake, v1, v3).localCheckpoint()
-        val inserts = feed.filter(col("_change_type") === "insert")
-          .select(col("doc_id"), col("text"))
-        val del = broadcast(feed.filter(col("_change_type") === "delete")
-          .select(col("doc_id")).localCheckpoint())
+        val inserts = f.inserts
+        val del = f.del
         def rd(t: String) = graft.sources.IndexStore.read(s, idxPath, t)
         // DELETE leg: group survival from the member-level keys. The
         // surviving-holder set is computed ONCE (review catch: it is both
@@ -1644,28 +1662,16 @@ object Dedup extends QueryModule {
       graft.sources.IndexStore.sourceStamp(s, Seq(s"$dir/documents.parquet"))
     synchronized {
       if (!graft.sources.IndexStore.isCurrent(s, idxPath, stamp)) {
-        val lake = graft.sources.RoundTrip.freshLake(s, "dedupmasksync", dir)
-        val corpus = augmentedDocs(s, dir).filter(col("doc_id") < 100000L)
-        val v1 = graft.sources.Snapshots.commit(corpus, lake, append = false)
-        val base = graft.sources.Snapshots.read(s, lake, v1)
-        val idx0 = buildIndex(base)
+        val f = corpusFeedFixture(s, dir, "dedupmasksync")
+        val idx0 = buildIndex(f.base)
         def seg0(df: DataFrame) = df.withColumn("seg", lit(0L))
         graft.sources.IndexStore.write(s, idxPath, "dedupmasksync-building", Seq(
           "digests" -> seg0(idx0.digests), "sigs" -> seg0(idx0.sigs),
           "bands" -> seg0(idx0.bands),
-          "keys" -> seg0(base.select(md5(col("text")).as("tkey"), col("doc_id")))))
+          "keys" -> seg0(f.base.select(md5(col("text")).as("tkey"), col("doc_id")))))
         graft.operators.Similarity.cleanupAtExit(idxPath)
-        graft.sources.Snapshots.commitDelete(
-          corpus.filter(col("doc_id") % 97 === 13).select("doc_id"), lake)
-        val v3 = graft.sources.Snapshots.commit(
-          corpus.filter(col("doc_id") % 31 === 2)
-            .select((col("doc_id") + 500000L).as("doc_id"), col("text"), col("lang")),
-          lake, append = true)
-        val feed = graft.sources.Snapshots.changes(s, lake, v1, v3).localCheckpoint()
-        val inserts = feed.filter(col("_change_type") === "insert")
-          .select(col("doc_id"), col("text"))
-        val del = broadcast(feed.filter(col("_change_type") === "delete")
-          .select(col("doc_id")).localCheckpoint())
+        val inserts = f.inserts
+        val del = f.del
         // group survival, computed ONCE (the q228 decision) — result
         // stored as masks, nothing rewritten
         val keys = graft.sources.IndexStore.read(s, idxPath, "keys")
@@ -1705,9 +1711,11 @@ object Dedup extends QueryModule {
       "left_anti")
 
   /** The masked LIVE view of the q234 store's four tables (seg dropped —
-    * probes are seg-agnostic). */
+    * probes are seg-agnostic), plus the raw delete mask so callers audit
+    * it without a second parquet open (the keys view and the mask frames
+    * are lazy plans — nothing runs until a caller acts on them). */
   private[graft] def maskedDedupView(s: SparkSession, path: String)
-      : (DedupIndex, DataFrame) = {
+      : (DedupIndex, DataFrame, DataFrame) = {
     def rd(t: String) = graft.sources.IndexStore.read(s, path, t)
     val gone = rd("mask_gone").localCheckpoint()
     val reps = rd("mask_reps").localCheckpoint()
@@ -1718,14 +1726,15 @@ object Dedup extends QueryModule {
       maskOn(rd("digests"), gone, "tkey").drop("seg"),
       maskOn(rd("sigs"), reps, "doc_id").drop("seg"),
       maskOn(rd("bands"), reps, "doc_id").drop("seg")),
-      maskOn(rd("keys"), del, "doc_id").drop("seg"))
+      maskOn(rd("keys"), del, "doc_id").drop("seg"),
+      del)
   }
 
   /** Fold the q234 masks into the physical layout and drop them —
     * MaskFoldSpec pins the result table-equal to q228's physically-
     * rewritten store. */
   private[graft] def foldDedupMask(s: SparkSession, path: String): Unit = {
-    val (live, keys) = maskedDedupView(s, path)
+    val (live, keys, _) = maskedDedupView(s, path)
     val frames = Seq("digests" -> live.digests, "sigs" -> live.sigs,
       "bands" -> live.bands, "keys" -> keys).map {
       case (t, df) => t -> df.localCheckpoint()
@@ -1748,12 +1757,11 @@ object Dedup extends QueryModule {
     tune(s)
     val path = dedupMaskSyncStore(s, dir)
     val meta = graft.sources.IndexStore.readMeta(s, path)
-    val (synced, _) = maskedDedupView(s, path)
+    val (synced, _, del) = maskedDedupView(s, path)
     val newB = augmentedDocs(s, dir).filter(col("doc_id") >= 100000L)
     val audit = synced.digests
       .agg(countDistinct(col("tkey")).as("n_unique_texts"))
-      .crossJoin(broadcast(graft.sources.IndexStore.readDeleteMask(s, path).get
-        .agg(count(lit(1)).as("n_mask_rows"))))
+      .crossJoin(broadcast(del.agg(count(lit(1)).as("n_mask_rows"))))
       .withColumn("n_feed_inserts", lit(meta("n_feed_inserts").toLong))
       .withColumn("n_feed_deletes", lit(meta("n_feed_deletes").toLong))
     screenSummary(screenBatch(synced, newB), newB).crossJoin(broadcast(audit))

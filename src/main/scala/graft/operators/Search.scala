@@ -1004,29 +1004,43 @@ object Search extends QueryModule {
     val stamp = "feedsync2|" + fixtureStamp(s, dir)
     synchronized {
       if (!graft.sources.IndexStore.isCurrent(s, idxPath, stamp)) {
-        val lake = graft.sources.RoundTrip.freshLake(s, "feedsync", dir)
-        val d = docs(s, dir)
-        val v1 = graft.sources.Snapshots.commit(d, lake, append = false)
-        persistIndex(s, idxPath, "feedsync-building",
-          graft.sources.Snapshots.read(s, lake, v1))
+        val f = docFeedFixture(s, dir, "feedsync")
+        persistIndex(s, idxPath, "feedsync-building", f.base)
         graft.operators.Similarity.cleanupAtExit(idxPath)
-        graft.sources.Snapshots.commitDelete(
-          d.filter(col("doc_id") % 97 === 13).select("doc_id"), lake)
-        val v3 = graft.sources.Snapshots.commit(
-          d.filter(col("doc_id") % 31 === 2)
-            .select((col("doc_id") + 500000L).as("doc_id"), col("text"), col("lang")),
-          lake, append = true)
-        val feed = graft.sources.Snapshots.changes(s, lake, v1, v3).localCheckpoint()
-        val inserts = feed.filter(col("_change_type") === "insert")
-          .select(col("doc_id"), col("text"))
-        val deleteIds = feed.filter(col("_change_type") === "delete").select(col("doc_id"))
-        applyFeedToIndex(s, idxPath, seg = 1, inserts, deleteIds)
+        applyFeedToIndex(s, idxPath, seg = 1, f.inserts, f.deleteIds)
         graft.sources.IndexStore.writeStamp(s, idxPath, stamp, Map(
-          "n_feed_inserts" -> inserts.count().toString,
-          "n_feed_deletes" -> deleteIds.count().toString))
+          "n_feed_inserts" -> f.inserts.count().toString,
+          "n_feed_deletes" -> f.deleteIds.count().toString))
       }
     }
     idxPath
+  }
+
+  /** One drained feed cycle over a documents lake, shared by the q227
+    * physical and q231 masked sync-store builders (MaskFoldSpec's
+    * fold-equality contract assumes both stores saw the SAME feed):
+    * v1 commits the corpus; v2 deletes the q225 works (doc_id % 97 =
+    * 13); v3 appends the % 31 = 2 arrivals under fresh ids; the v1→v3
+    * feed drained once. `base` is the v1 snapshot read — stable under
+    * the later commits. */
+  private case class DocFeed(base: DataFrame, inserts: DataFrame,
+      deleteIds: DataFrame)
+
+  private def docFeedFixture(s: SparkSession, dir: String, name: String): DocFeed = {
+    val lake = graft.sources.RoundTrip.freshLake(s, name, dir)
+    val d = docs(s, dir)
+    val v1 = graft.sources.Snapshots.commit(d, lake, append = false)
+    val base = graft.sources.Snapshots.read(s, lake, v1)
+    graft.sources.Snapshots.commitDelete(
+      d.filter(col("doc_id") % 97 === 13).select("doc_id"), lake)
+    val v3 = graft.sources.Snapshots.commit(
+      d.filter(col("doc_id") % 31 === 2)
+        .select((col("doc_id") + 500000L).as("doc_id"), col("text"), col("lang")),
+      lake, append = true)
+    val feed = graft.sources.Snapshots.changes(s, lake, v1, v3).localCheckpoint()
+    DocFeed(base,
+      feed.filter(col("_change_type") === "insert").select(col("doc_id"), col("text")),
+      feed.filter(col("_change_type") === "delete").select(col("doc_id")))
   }
 
   /** q227's oracle: BM25 rebuilt from the lake's current logical state —
@@ -1078,30 +1092,17 @@ object Search extends QueryModule {
     val stamp = "masksync1|" + fixtureStamp(s, dir)
     synchronized {
       if (!graft.sources.IndexStore.isCurrent(s, idxPath, stamp)) {
-        val lake = graft.sources.RoundTrip.freshLake(s, "masksync", dir)
-        val d = docs(s, dir)
-        val v1 = graft.sources.Snapshots.commit(d, lake, append = false)
-        persistIndex(s, idxPath, "masksync-building",
-          graft.sources.Snapshots.read(s, lake, v1))
+        val f = docFeedFixture(s, dir, "masksync")
+        persistIndex(s, idxPath, "masksync-building", f.base)
         graft.operators.Similarity.cleanupAtExit(idxPath)
-        graft.sources.Snapshots.commitDelete(
-          d.filter(col("doc_id") % 97 === 13).select("doc_id"), lake)
-        val v3 = graft.sources.Snapshots.commit(
-          d.filter(col("doc_id") % 31 === 2)
-            .select((col("doc_id") + 500000L).as("doc_id"), col("text"), col("lang")),
-          lake, append = true)
-        val feed = graft.sources.Snapshots.changes(s, lake, v1, v3).localCheckpoint()
-        val deleteIds = feed.filter(col("_change_type") === "delete").select(col("doc_id"))
-        val inserts = feed.filter(col("_change_type") === "insert")
-          .select(col("doc_id"), col("text"))
         // MASKED delete leg: O(delta) bytes — the rewrite q227 pays is gone
         graft.sources.IndexStore.appendDeleteMask(s, idxPath,
-          deleteIds.withColumn("seq", lit(0L)))
+          f.deleteIds.withColumn("seq", lit(0L)))
         // insert leg: identical to q227's (deletes first, then the new segment)
-        applyFeedToIndex(s, idxPath, seg = 1, inserts, deleteIds.limit(0))
+        applyFeedToIndex(s, idxPath, seg = 1, f.inserts, f.deleteIds.limit(0))
         graft.sources.IndexStore.writeStamp(s, idxPath, stamp, Map(
-          "n_feed_inserts" -> inserts.count().toString,
-          "n_feed_deletes" -> deleteIds.count().toString))
+          "n_feed_inserts" -> f.inserts.count().toString,
+          "n_feed_deletes" -> f.deleteIds.count().toString))
       }
     }
     idxPath

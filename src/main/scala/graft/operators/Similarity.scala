@@ -426,6 +426,62 @@ object Similarity extends QueryModule {
        |  FROM pcos)
        |WHERE rn <= 3""".stripMargin
 
+  // ---- the shared lake-feed fixture of the vector/PQ sync stores ----
+
+  /** One drained feed cycle over an embeddings lake, shared by all four
+    * vector/PQ sync-store builders (q229/q230/q232/q233 — hand-kept
+    * copies would let the registered slices silently drift apart, and
+    * MaskFoldSpec's fold-equality contracts assume the masked and
+    * physical stores saw the SAME feed): fresh lake; v1 commits the
+    * whole embeddings table; v2 deletes the takedown slice (% 89 = 17
+    * minus centroid seeds — the quantizer geometry survives by
+    * construction); v3 appends the % 31 = 2 arrivals under fresh ids
+    * with NEGATED embeddings (sign flips are IEEE-lossless: norms
+    * preserved, cosines decorrelated); the v1→v3 feed drained ONCE.
+    * `base` is the v1 snapshot read — stable under the later commits
+    * (snapshot isolation), so builders may train/build from it after
+    * the feed exists. */
+  private case class EmbFeed(base: DataFrame, inserts: DataFrame,
+      del: DataFrame, m: Long)
+
+  private def embeddingFeedFixture(s: SparkSession, dir: String,
+      name: String): EmbFeed = {
+    val lake = graft.sources.RoundTrip.freshLake(s, name, dir)
+    val e = table(s, dir, "embeddings")
+    val v1 = graft.sources.Snapshots.commit(e, lake, append = false)
+    val base = graft.sources.Snapshots.read(s, lake, v1)
+    val m = math.ceil(math.sqrt(base.count().toDouble)).toLong.max(1L)
+    graft.sources.Snapshots.commitDelete(
+      e.filter(col("vec_id") % 89 === 17 && col("vec_id") % m =!= 0)
+        .select("vec_id"), lake)
+    val v3 = graft.sources.Snapshots.commit(
+      e.filter(col("vec_id") % 31 === 2)
+        .select((col("vec_id") + 500000L).as("vec_id"),
+          expr("transform(embedding, x -> -x)").as("embedding"), col("label")),
+      lake, append = true)
+    val feed = graft.sources.Snapshots.changes(s, lake, v1, v3).localCheckpoint()
+    EmbFeed(base,
+      feed.filter(col("_change_type") === "insert")
+        .select(col("vec_id"), col("embedding")),
+      feed.filter(col("_change_type") === "delete").select(col("vec_id")),
+      m)
+  }
+
+  /** Coarse-assign an arrival batch against a STORED centroid table —
+    * the O(batch) insert leg shared by the q229/q232 sync stores (and
+    * the same shape as the q215 streaming refresh). */
+  private def coarseAssignArrivals(s: SparkSession, idxPath: String,
+      inserts: DataFrame): DataFrame = {
+    val cb = graft.sources.IndexStore.read(s, idxPath, "centroids")
+      .select(col("cid"), col("embedding").as("qemb"), col("nc"))
+    val acos = withNorm(inserts).withColumnRenamed("embedding", "vemb")
+      .join(broadcast(cb))
+      .withColumn("cosim0", dotExpr / (col("nc") * col("nrm")))
+    val wa = Window.partitionBy(col("vec_id")).orderBy(col("cosim0").desc, col("cid"))
+    acos.withColumn("rn", row_number().over(wa)).filter(col("rn") === 1)
+      .select(col("cid"), col("vec_id"), col("vemb").as("embedding"), col("nrm"))
+  }
+
   // ---- q229: feed-driven sync of the IVF index ----
 
   /** q229: the feed-sync composition for the VECTOR family, completing
@@ -474,50 +530,26 @@ object Similarity extends QueryModule {
       graft.sources.IndexStore.sourceStamp(s, Seq(s"$dir/embeddings.parquet"))
     synchronized {
       if (!graft.sources.IndexStore.isCurrent(s, idxPath, stamp)) {
-        val lake = graft.sources.RoundTrip.freshLake(s, "vecsync", dir)
-        val e = table(s, dir, "embeddings")
-        val v1 = graft.sources.Snapshots.commit(e, lake, append = false)
-        val base = graft.sources.Snapshots.read(s, lake, v1)
-        val (cents0, assign0, m) = buildIvfIndex(base)
+        val f = embeddingFeedFixture(s, dir, "vecsync")
+        val (cents0, assign0, m) = buildIvfIndex(f.base)
         graft.sources.IndexStore.write(s, idxPath, "vecsync-building", Seq(
           "centroids" -> cents0,
           "assign" -> assign0.repartitionByRange(col("cid"), col("vec_id"))
             .sortWithinPartitions(col("cid"), col("vec_id"))))
         cleanupAtExit(idxPath)
-        graft.sources.Snapshots.commitDelete(
-          e.filter(col("vec_id") % 89 === 17 && col("vec_id") % m =!= 0)
-            .select("vec_id"), lake)
-        val v3 = graft.sources.Snapshots.commit(
-          e.filter(col("vec_id") % 31 === 2)
-            .select((col("vec_id") + 500000L).as("vec_id"),
-              expr("transform(embedding, x -> -x)").as("embedding"), col("label")),
-          lake, append = true)
-        val feed = graft.sources.Snapshots.changes(s, lake, v1, v3).localCheckpoint()
-        val inserts = feed.filter(col("_change_type") === "insert")
-          .select(col("vec_id"), col("embedding"))
-        // feed is already checkpointed — the delete keys derive from it
-        val del = broadcast(feed.filter(col("_change_type") === "delete")
-          .select(col("vec_id")))
         // DELETE leg: one anti-join over assign (q224), sort discipline kept
         val kept = graft.sources.IndexStore.read(s, idxPath, "assign")
-          .join(del, Seq("vec_id"), "left_anti").localCheckpoint()
+          .join(broadcast(f.del), Seq("vec_id"), "left_anti").localCheckpoint()
         graft.sources.IndexStore.replaceTable(s, idxPath, "assign",
           kept.repartitionByRange(col("cid"), col("vec_id"))
             .sortWithinPartitions(col("cid"), col("vec_id")))
         // INSERT leg: coarse-assign the arrivals against the STORED centroids
-        val cb = graft.sources.IndexStore.read(s, idxPath, "centroids")
-          .select(col("cid"), col("embedding").as("qemb"), col("nc"))
-        val acos = withNorm(inserts).withColumnRenamed("embedding", "vemb")
-          .join(broadcast(cb))
-          .withColumn("cosim0", dotExpr / (col("nc") * col("nrm")))
-        val wa = Window.partitionBy(col("vec_id")).orderBy(col("cosim0").desc, col("cid"))
         graft.sources.IndexStore.append(s, idxPath, "assign",
-          acos.withColumn("rn", row_number().over(wa)).filter(col("rn") === 1)
-            .select(col("cid"), col("vec_id"), col("vemb").as("embedding"), col("nrm")))
+          coarseAssignArrivals(s, idxPath, f.inserts))
         graft.sources.IndexStore.writeStamp(s, idxPath, stamp, Map(
           "m" -> m.toString,
-          "n_feed_inserts" -> inserts.count().toString,
-          "n_feed_deletes" -> del.count().toString))
+          "n_feed_inserts" -> f.inserts.count().toString,
+          "n_feed_deletes" -> f.del.count().toString))
       }
     }
     idxPath
@@ -603,47 +635,24 @@ object Similarity extends QueryModule {
       graft.sources.IndexStore.sourceStamp(s, Seq(s"$dir/embeddings.parquet"))
     synchronized {
       if (!graft.sources.IndexStore.isCurrent(s, idxPath, stamp)) {
-        val lake = graft.sources.RoundTrip.freshLake(s, "vecmasksync", dir)
-        val e = table(s, dir, "embeddings")
-        val v1 = graft.sources.Snapshots.commit(e, lake, append = false)
-        val base = graft.sources.Snapshots.read(s, lake, v1)
-        val (cents0, assign0, m) = buildIvfIndex(base)
+        val f = embeddingFeedFixture(s, dir, "vecmasksync")
+        val (cents0, assign0, m) = buildIvfIndex(f.base)
         graft.sources.IndexStore.write(s, idxPath, "vecmasksync-building", Seq(
           "centroids" -> cents0,
           "assign" -> assign0.withColumn("seg", lit(0L))
             .repartitionByRange(col("cid"), col("vec_id"))
             .sortWithinPartitions(col("cid"), col("vec_id"))))
         cleanupAtExit(idxPath)
-        graft.sources.Snapshots.commitDelete(
-          e.filter(col("vec_id") % 89 === 17 && col("vec_id") % m =!= 0)
-            .select("vec_id"), lake)
-        val v3 = graft.sources.Snapshots.commit(
-          e.filter(col("vec_id") % 31 === 2)
-            .select((col("vec_id") + 500000L).as("vec_id"),
-              expr("transform(embedding, x -> -x)").as("embedding"), col("label")),
-          lake, append = true)
-        val feed = graft.sources.Snapshots.changes(s, lake, v1, v3).localCheckpoint()
-        val inserts = feed.filter(col("_change_type") === "insert")
-          .select(col("vec_id"), col("embedding"))
-        val del = feed.filter(col("_change_type") === "delete").select(col("vec_id"))
         // MASKED delete leg: O(delta) bytes — q229's rewrite is gone
         graft.sources.IndexStore.appendDeleteMask(s, idxPath,
-          del.withColumn("seq", lit(0L)))
+          f.del.withColumn("seq", lit(0L)))
         // INSERT leg: coarse-assign against the STORED centroids, seg 1
-        val cb = graft.sources.IndexStore.read(s, idxPath, "centroids")
-          .select(col("cid"), col("embedding").as("qemb"), col("nc"))
-        val acos = withNorm(inserts).withColumnRenamed("embedding", "vemb")
-          .join(broadcast(cb))
-          .withColumn("cosim0", dotExpr / (col("nc") * col("nrm")))
-        val wa = Window.partitionBy(col("vec_id")).orderBy(col("cosim0").desc, col("cid"))
         graft.sources.IndexStore.append(s, idxPath, "assign",
-          acos.withColumn("rn", row_number().over(wa)).filter(col("rn") === 1)
-            .select(col("cid"), col("vec_id"), col("vemb").as("embedding"),
-              col("nrm"), lit(1L).as("seg")))
+          coarseAssignArrivals(s, idxPath, f.inserts).withColumn("seg", lit(1L)))
         graft.sources.IndexStore.writeStamp(s, idxPath, stamp, Map(
           "m" -> m.toString,
-          "n_feed_inserts" -> inserts.count().toString,
-          "n_feed_deletes" -> del.count().toString))
+          "n_feed_inserts" -> f.inserts.count().toString,
+          "n_feed_deletes" -> f.del.count().toString))
       }
     }
     idxPath
@@ -1343,8 +1352,19 @@ object Similarity extends QueryModule {
   def pqAdcTopk(s: SparkSession, dir: String): DataFrame = {
     tune(s)
     val (cb, codes) = corpusPqIndex(s, dir)
-    // probes are the 16 BASE vectors: bounded below too, so a corpus with
-    // negative ids (the sf1 rung's copies) keeps the probe set fixed
+    adcTop3(s, dir, cb, codes)
+  }
+
+  /** The full-scan ADC top-3 over an arbitrary (codebooks, codes) pair —
+    * one definition shared by every prober of a PQ code store
+    * (q199/q226/q230/q233), which had begun to accumulate hand-kept
+    * copies exactly the way the IVF cluster-cover probe once did (and
+    * q233's oracle PINS bit-equality between the masked and physical
+    * probes, so the two code paths must be the same code). Probes are
+    * the 16 BASE vectors — bounded below too, so a corpus with negative
+    * ids (the sf1 rung's copies) keeps the probe set fixed. */
+  private def adcTop3(s: SparkSession, dir: String,
+      cb: DataFrame, codes: DataFrame): DataFrame = {
     val probes = table(s, dir, "embeddings").filter(col("vec_id").between(0, 15))
       .select(col("vec_id").as("qid"),
         posexplode(subVecsCol(col("embedding"))).as(Seq("j", "qsub")))
@@ -1438,22 +1458,7 @@ object Similarity extends QueryModule {
     val erased = col("vec_id") % 89 === 17 && col("vec_id") % m =!= 0
     val audit = codes.agg(countDistinct(col("vec_id")).as("n_vecs"),
       sum(when(erased, 1L).otherwise(0L)).as("removed_traces"))
-    val probes = table(s, dir, "embeddings").filter(col("vec_id").between(0, 15))
-      .select(col("vec_id").as("qid"),
-        posexplode(subVecsCol(col("embedding"))).as(Seq("j", "qsub")))
-    val dtable = probes.join(cb, Seq("j"))
-      .select(col("qid"), col("j"), col("code"),
-        expr("graft_sqdist(qsub, csub)").as("qd2"))
-    val adc = codes.select(col("vec_id").as("vid"), col("j"), col("code"))
-      .join(broadcast(dtable), Seq("j", "code"))
-      .filter(col("qid") =!= col("vid"))
-      .groupBy(col("qid"), col("vid"))
-      .agg(sum(col("qd2")).as("adc0"))
-    val w = Window.partitionBy(col("qid")).orderBy(round(col("adc0"), 9).asc, col("vid"))
-    adc.withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= 3)
-      .select(col("qid"), col("vid"), round(col("adc0"), 9).as("adc"), col("rn"))
-      .crossJoin(broadcast(audit))
+    adcTop3(s, dir, cb, codes).crossJoin(broadcast(audit))
   }
 
   /** q226's oracle: the q199 chain with erased ids removed from the CODE
@@ -1516,50 +1521,34 @@ object Similarity extends QueryModule {
       graft.sources.IndexStore.sourceStamp(s, Seq(s"$dir/embeddings.parquet"))
     synchronized {
       if (!graft.sources.IndexStore.isCurrent(s, idxPath, stamp)) {
-        val lake = graft.sources.RoundTrip.freshLake(s, "pqsync", dir)
-        val e = table(s, dir, "embeddings")
-        val v1 = graft.sources.Snapshots.commit(e, lake, append = false)
-        val base = graft.sources.Snapshots.read(s, lake, v1)
-        val (_, cb1, mq) = pqCodebooks(base)
+        // the same erasure slice as q224/q226/q229 (the shared fixture):
+        // one takedown request provably leaves every serving structure,
+        // and the IVF-centroid seed exclusion keeps the slice identical
+        // across the families
+        val f = embeddingFeedFixture(s, dir, "pqsync")
+        val (_, cb1, mq) = pqCodebooks(f.base)
         val cbm = cb1.localCheckpoint(true)
         // staging stamp: validates as CURRENT only after the feed apply
         graft.sources.IndexStore.write(s, idxPath, "pqsync-building", Seq(
           "codebooks" -> cbm,
-          "codes" -> pqEncodeAgainst(base, cbm)
+          "codes" -> pqEncodeAgainst(f.base, cbm)
             .repartitionByRange(col("vec_id"))
             .sortWithinPartitions(col("vec_id"), col("j"))))
         cleanupAtExit(idxPath)
-        // the same erasure slice as q224/q226/q229: one takedown request
-        // provably leaves every serving structure, and the IVF-centroid
-        // seed exclusion keeps the slice identical across the families
-        val m = math.ceil(math.sqrt(base.count().toDouble)).toLong.max(1L)
-        graft.sources.Snapshots.commitDelete(
-          e.filter(col("vec_id") % 89 === 17 && col("vec_id") % m =!= 0)
-            .select("vec_id"), lake)
-        val v3 = graft.sources.Snapshots.commit(
-          e.filter(col("vec_id") % 31 === 2)
-            .select((col("vec_id") + 500000L).as("vec_id"),
-              expr("transform(embedding, x -> -x)").as("embedding"), col("label")),
-          lake, append = true)
-        val feed = graft.sources.Snapshots.changes(s, lake, v1, v3).localCheckpoint()
-        val del = broadcast(feed.filter(col("_change_type") === "delete")
-          .select(col("vec_id")))
         // DELETE leg: one broadcast anti-join over the codes (q226)
         val kept = graft.sources.IndexStore.read(s, idxPath, "codes")
-          .join(del, Seq("vec_id"), "left_anti").localCheckpoint()
+          .join(broadcast(f.del), Seq("vec_id"), "left_anti").localCheckpoint()
         graft.sources.IndexStore.replaceTable(s, idxPath, "codes",
           kept.repartitionByRange(col("vec_id"))
             .sortWithinPartitions(col("vec_id"), col("j")))
         // INSERT leg: encode the arrivals against the STORED codebooks
-        val inserts = feed.filter(col("_change_type") === "insert")
-          .select(col("vec_id"), col("embedding"))
         graft.sources.IndexStore.append(s, idxPath, "codes",
-          pqEncodeAgainst(inserts,
+          pqEncodeAgainst(f.inserts,
             graft.sources.IndexStore.read(s, idxPath, "codebooks")))
         graft.sources.IndexStore.writeStamp(s, idxPath, stamp, Map(
-          "mq" -> mq.toString, "m" -> m.toString,
-          "n_feed_inserts" -> inserts.count().toString,
-          "n_feed_deletes" -> del.count().toString))
+          "mq" -> mq.toString, "m" -> f.m.toString,
+          "n_feed_inserts" -> f.inserts.count().toString,
+          "n_feed_deletes" -> f.del.count().toString))
         cbm.unpersist(): Unit
       }
     }
@@ -1590,22 +1579,7 @@ object Similarity extends QueryModule {
         sum(when(erased, 1L).otherwise(0L)).as("removed_traces"))
       .withColumn("n_feed_inserts", lit(meta("n_feed_inserts").toLong))
       .withColumn("n_feed_deletes", lit(meta("n_feed_deletes").toLong))
-    val probes = table(s, dir, "embeddings").filter(col("vec_id").between(0, 15))
-      .select(col("vec_id").as("qid"),
-        posexplode(subVecsCol(col("embedding"))).as(Seq("j", "qsub")))
-    val dtable = probes.join(cb, Seq("j"))
-      .select(col("qid"), col("j"), col("code"),
-        expr("graft_sqdist(qsub, csub)").as("qd2"))
-    val adc = codes.select(col("vec_id").as("vid"), col("j"), col("code"))
-      .join(broadcast(dtable), Seq("j", "code"))
-      .filter(col("qid") =!= col("vid"))
-      .groupBy(col("qid"), col("vid"))
-      .agg(sum(col("qd2")).as("adc0"))
-    val w = Window.partitionBy(col("qid")).orderBy(round(col("adc0"), 9).asc, col("vid"))
-    adc.withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= 3)
-      .select(col("qid"), col("vid"), round(col("adc0"), 9).as("adc"), col("rn"))
-      .crossJoin(broadcast(audit))
+    adcTop3(s, dir, cb, codes).crossJoin(broadcast(audit))
   }
 
   /** q230's oracle: codes recomputed from the lake's current logical
@@ -1674,43 +1648,27 @@ object Similarity extends QueryModule {
       graft.sources.IndexStore.sourceStamp(s, Seq(s"$dir/embeddings.parquet"))
     synchronized {
       if (!graft.sources.IndexStore.isCurrent(s, idxPath, stamp)) {
-        val lake = graft.sources.RoundTrip.freshLake(s, "pqmasksync", dir)
-        val e = table(s, dir, "embeddings")
-        val v1 = graft.sources.Snapshots.commit(e, lake, append = false)
-        val base = graft.sources.Snapshots.read(s, lake, v1)
-        val (_, cb1, mq) = pqCodebooks(base)
+        val f = embeddingFeedFixture(s, dir, "pqmasksync")
+        val (_, cb1, mq) = pqCodebooks(f.base)
         val cbm = cb1.localCheckpoint(true)
         graft.sources.IndexStore.write(s, idxPath, "pqmasksync-building", Seq(
           "codebooks" -> cbm,
-          "codes" -> pqEncodeAgainst(base, cbm).withColumn("seg", lit(0L))
+          "codes" -> pqEncodeAgainst(f.base, cbm).withColumn("seg", lit(0L))
             .repartitionByRange(col("vec_id"))
             .sortWithinPartitions(col("vec_id"), col("j"))))
         cleanupAtExit(idxPath)
-        val m = math.ceil(math.sqrt(base.count().toDouble)).toLong.max(1L)
-        graft.sources.Snapshots.commitDelete(
-          e.filter(col("vec_id") % 89 === 17 && col("vec_id") % m =!= 0)
-            .select("vec_id"), lake)
-        val v3 = graft.sources.Snapshots.commit(
-          e.filter(col("vec_id") % 31 === 2)
-            .select((col("vec_id") + 500000L).as("vec_id"),
-              expr("transform(embedding, x -> -x)").as("embedding"), col("label")),
-          lake, append = true)
-        val feed = graft.sources.Snapshots.changes(s, lake, v1, v3).localCheckpoint()
-        val del = feed.filter(col("_change_type") === "delete").select(col("vec_id"))
         // MASKED delete leg: O(delta) bytes — q230's codes rewrite is gone
         graft.sources.IndexStore.appendDeleteMask(s, idxPath,
-          del.withColumn("seq", lit(0L)))
+          f.del.withColumn("seq", lit(0L)))
         // INSERT leg: encode against the STORED codebooks, seg 1
-        val inserts = feed.filter(col("_change_type") === "insert")
-          .select(col("vec_id"), col("embedding"))
         graft.sources.IndexStore.append(s, idxPath, "codes",
-          pqEncodeAgainst(inserts,
+          pqEncodeAgainst(f.inserts,
             graft.sources.IndexStore.read(s, idxPath, "codebooks"))
             .withColumn("seg", lit(1L)))
         graft.sources.IndexStore.writeStamp(s, idxPath, stamp, Map(
-          "mq" -> mq.toString, "m" -> m.toString,
-          "n_feed_inserts" -> inserts.count().toString,
-          "n_feed_deletes" -> del.count().toString))
+          "mq" -> mq.toString, "m" -> f.m.toString,
+          "n_feed_inserts" -> f.inserts.count().toString,
+          "n_feed_deletes" -> f.del.count().toString))
         cbm.unpersist(): Unit
       }
     }
@@ -1739,22 +1697,7 @@ object Similarity extends QueryModule {
       .crossJoin(broadcast(mask.agg(count(lit(1)).as("n_mask_rows"))))
       .withColumn("n_feed_inserts", lit(meta("n_feed_inserts").toLong))
       .withColumn("n_feed_deletes", lit(meta("n_feed_deletes").toLong))
-    val probes = table(s, dir, "embeddings").filter(col("vec_id").between(0, 15))
-      .select(col("vec_id").as("qid"),
-        posexplode(subVecsCol(col("embedding"))).as(Seq("j", "qsub")))
-    val dtable = probes.join(cb, Seq("j"))
-      .select(col("qid"), col("j"), col("code"),
-        expr("graft_sqdist(qsub, csub)").as("qd2"))
-    val adc = codes.select(col("vec_id").as("vid"), col("j"), col("code"))
-      .join(broadcast(dtable), Seq("j", "code"))
-      .filter(col("qid") =!= col("vid"))
-      .groupBy(col("qid"), col("vid"))
-      .agg(sum(col("qd2")).as("adc0"))
-    val w = Window.partitionBy(col("qid")).orderBy(round(col("adc0"), 9).asc, col("vid"))
-    adc.withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= 3)
-      .select(col("qid"), col("vid"), round(col("adc0"), 9).as("adc"), col("rn"))
-      .crossJoin(broadcast(audit))
+    adcTop3(s, dir, cb, codes.drop("seg")).crossJoin(broadcast(audit))
   }
 
   /** q233's oracle: q230's chain verbatim with the trace audit swapped

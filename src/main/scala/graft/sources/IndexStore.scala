@@ -225,15 +225,17 @@ object IndexStore {
   // racing the same segment (the two-streams-one-store case the r14
   // scaladoc documented but did not enforce) LINEARIZE — the first
   // writes and commits, the second observes the marker and no-ops.
+  // STRIPED (64 fixed monitors, keyed by path hash) so the lock table is
+  // bounded for a long-lived process however many segments it commits;
+  // a hash collision merely over-serializes two unrelated commits.
   // Cross-process writers remain excluded by convention (a micro-batch
   // owns its batchId), as documented below.
-  private val segLocks =
-    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+  private val segLockStripes = Array.fill(64)(new Object)
 
   def appendSegmentIfAbsent(s: SparkSession, path: String, table: String,
       partCol: String, partVal: Long, df: DataFrame): Boolean = {
     val seg = new Path(new Path(new Path(path), table), s"$partCol=$partVal")
-    val lock = segLocks.computeIfAbsent(seg.toString, _ => new Object)
+    val lock = segLockStripes(math.floorMod(seg.toString.hashCode, 64))
     lock.synchronized {
       val fs = fsOf(s, seg)
       val marker = new Path(seg, "_COMMITTED")

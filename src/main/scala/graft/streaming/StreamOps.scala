@@ -973,8 +973,12 @@ object StreamOps extends QueryModule {
         (path, graft.sources.IndexStore.readMeta(s, path)("replay_noop").toBoolean)
       else {
         val (p, noop) = runIvfRefreshStream(s, dir)
-        graft.sources.IndexStore.writeStamp(s, p, stamp,
-          Map("replay_noop" -> noop.toString))
+        // stamp only a CLEAN run (review catch): freezing a transient
+        // false verdict would leave every later call dead in this
+        // process; unstamped, the next call re-drives the stream and a
+        // transient hiccup self-heals exactly as the per-call era did
+        if (noop) graft.sources.IndexStore.writeStamp(s, p, stamp,
+          Map("replay_noop" -> "true"))
         (p, noop)
       }
     }
@@ -1041,8 +1045,7 @@ object StreamOps extends QueryModule {
   def streamIvfCompact(s: SparkSession, dir: String): DataFrame = {
     tune(s)
     withStatePartitions(s, 8) {
-      val cpath = warmCompactedIvfStream(s, dir)
-      val stillNoop = graft.sources.IndexStore.readMeta(s, cpath)("replay_after_compact").toBoolean
+      val (cpath, stillNoop) = warmCompactedIvfStream(s, dir)
       graft.operators.Similarity.seqIvfStreamCompactResult(s, cpath, stillNoop)
     }
   }
@@ -1051,13 +1054,15 @@ object StreamOps extends QueryModule {
     * compacted once per process, replay-after-compact verdict in meta —
     * the [[warmCompactedSearchStream]] shape for the single-table
     * store. */
-  private def warmCompactedIvfStream(s: SparkSession, dir: String): String =
+  private def warmCompactedIvfStream(s: SparkSession, dir: String): (String, Boolean) =
     synchronized {
       val (path, replayNoop) = warmIvfStream(s, dir)
       val cpath = path + "_compacted"
       val stamp = "ivfstream-compacted|" + graft.sources.IndexStore.sourceStamp(
         s, Seq(s"$dir/embeddings.parquet"))
-      if (!graft.sources.IndexStore.isCurrent(s, cpath, stamp)) {
+      if (graft.sources.IndexStore.isCurrent(s, cpath, stamp))
+        (cpath, graft.sources.IndexStore.readMeta(s, cpath)("replay_after_compact").toBoolean)
+      else {
         require(replayNoop, "pre-compaction stream must commit exactly once")
         graft.sources.IndexStore.copy(s, path, cpath)
         graft.operators.Similarity.cleanupAtExit(cpath)
@@ -1070,10 +1075,11 @@ object StreamOps extends QueryModule {
             s, dir, cpath, segId.toLong, b)
         }
         val stillNoop = replays.forall { case (first, second) => !first && !second }
-        graft.sources.IndexStore.writeStamp(s, cpath, stamp,
-          Map("replay_after_compact" -> stillNoop.toString))
+        // stamp only a CLEAN run — see warmIvfStream
+        if (stillNoop) graft.sources.IndexStore.writeStamp(s, cpath, stamp,
+          Map("replay_after_compact" -> "true"))
+        (cpath, stillNoop)
       }
-      cpath
     }
 
   /** q218: the as-of read over the STREAMED partition-dir store — q210's
@@ -1138,8 +1144,9 @@ object StreamOps extends QueryModule {
         (path, graft.sources.IndexStore.readMeta(s, path)("replay_noop").toBoolean)
       else {
         val (p, noop) = runSearchRefreshStream(s, dir)
-        graft.sources.IndexStore.writeStamp(s, p, stamp,
-          Map("replay_noop" -> noop.toString))
+        // stamp only a CLEAN run — see warmIvfStream
+        if (noop) graft.sources.IndexStore.writeStamp(s, p, stamp,
+          Map("replay_noop" -> "true"))
         (p, noop)
       }
     }
@@ -1206,8 +1213,7 @@ object StreamOps extends QueryModule {
   def streamSearchCompact(s: SparkSession, dir: String): DataFrame = {
     tune(s)
     withStatePartitions(s, 8) {
-      val cpath = warmCompactedSearchStream(s, dir)
-      val stillNoop = graft.sources.IndexStore.readMeta(s, cpath)("replay_after_compact").toBoolean
+      val (cpath, stillNoop) = warmCompactedSearchStream(s, dir)
       graft.operators.Search.streamSearchCompactResult(s, dir, cpath, stillNoop)
     }
   }
@@ -1218,12 +1224,14 @@ object StreamOps extends QueryModule {
     * keeps the shared q219/q221 store uncompacted; a crash mid-compact
     * leaves the copy carrying the source's stamp, which fails this
     * stamp check and re-copies. */
-  private def warmCompactedSearchStream(s: SparkSession, dir: String): String =
+  private def warmCompactedSearchStream(s: SparkSession, dir: String): (String, Boolean) =
     synchronized {
       val (path, replayNoop) = warmSearchStream(s, dir)
       val cpath = path + "_compacted"
       val stamp = "searchstream-compacted|" + graft.operators.Search.fixtureStamp(s, dir)
-      if (!graft.sources.IndexStore.isCurrent(s, cpath, stamp)) {
+      if (graft.sources.IndexStore.isCurrent(s, cpath, stamp))
+        (cpath, graft.sources.IndexStore.readMeta(s, cpath)("replay_after_compact").toBoolean)
+      else {
         require(replayNoop, "pre-compaction stream must commit exactly once")
         graft.sources.IndexStore.copy(s, path, cpath)
         graft.operators.Similarity.cleanupAtExit(cpath)
@@ -1243,10 +1251,11 @@ object StreamOps extends QueryModule {
             s, cpath, segId.toLong, b)
         }
         val stillNoop = replays.forall { case (first, second) => first == 0 && second == 0 }
-        graft.sources.IndexStore.writeStamp(s, cpath, stamp,
-          Map("replay_after_compact" -> stillNoop.toString))
+        // stamp only a CLEAN run — see warmIvfStream
+        if (stillNoop) graft.sources.IndexStore.writeStamp(s, cpath, stamp,
+          Map("replay_after_compact" -> "true"))
+        (cpath, stillNoop)
       }
-      cpath
     }
 
   /** q221: the as-of read over the streamed search store — q218's audit

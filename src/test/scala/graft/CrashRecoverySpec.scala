@@ -435,8 +435,13 @@ class CrashRecoverySpec extends AnyFunSuite {
     // a reader loops through the compaction window: every read that
     // SUCCEEDS must return the full committed row-set (compaction
     // preserves content, so old view == new view == want); a read that
-    // catches the swap mid-rename may fail transiently — allowed — but a
-    // partial/torn row-set is not.
+    // catches the swap mid-rename may fail transiently — allowed, and
+    // the LIMIT of the store's documented guarantee (IndexStore's
+    // scaladoc: the swap window can strand concurrent readers; callers
+    // retry or serialize) — but a partial/torn row-set is never allowed.
+    // This test therefore pins "succeed-means-complete", not
+    // "always-succeed": a regression that made every in-window read
+    // fail would pass here and is accepted by the documented contract.
     val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
     val torn = new java.util.concurrent.atomic.AtomicReference[String](null)
     val reads = new java.util.concurrent.atomic.AtomicInteger(0)
