@@ -145,6 +145,8 @@ object PlanFingerprint {
     "q232_masked_feed_sync_ann",
     "q233_masked_feed_sync_adc",
     "q234_masked_feed_sync_screen",
+    // q235's locked value: four count-only scans, zero data-row shuffles
+    "q235_index_manifest",
   )
 
   /** Structural counts of the STEADY-STATE initial plan.

@@ -158,6 +158,9 @@ object ScaleRung {
     // the dedup family's masks: the probe keeps q228's batch-signature
     // + equi-join shape, the three masks ride as broadcast anti-joins
     "q234_masked_feed_sync_screen",
+    // the manifest is one metadata listing + a map-side-collapsed count
+    // per table — wall should stay flat while input tracks store size
+    "q235_index_manifest",
   )
 
   /** The RocksDB-vs-memory crossover experiment: the two streaming rigs

@@ -1209,6 +1209,44 @@ object Search extends QueryModule {
        |  WHERE doc_id NOT IN (SELECT doc_id FROM mask))
        |WHERE rn <= 5""".stripMargin
 
+  // ---- q235: index-store manifest (the ops DESCRIBE surface) ----
+
+  /** q235: the introspection read every production index deployment runs
+    * before trusting a store — one row per stored table with its row
+    * count, enumerated from [[graft.sources.IndexStore.tableNames]] (the
+    * store's own directory listing, so a table the build forgot or a
+    * stray extra table changes the ROW SET, not just a count). What
+    * makes this a correctness gate rather than a debug print: every
+    * count is oracled from the RAW CORPUS — postings rows are the
+    * distinct (token, doc) pairs, doclen the tokened docs, dict the
+    * distinct tokens, positions the total token occurrences — so a
+    * build that dropped or duplicated rows in ANY table hash-mismatches
+    * even if every registered probe happens to still rank correctly.
+    * Cost at scale: one metadata listing + one count per table
+    * (count(*) collapses map-side; no shuffle of data rows). */
+  def indexManifest(s: SparkSession, dir: String): DataFrame = {
+    tune(s)
+    searchIndex(s, dir) // build-if-stale; the manifest reads the STORE
+    val path = fixtureIndexPath(dir)
+    graft.sources.IndexStore.tableNames(s, path)
+      .map(t => graft.sources.IndexStore.read(s, path, t)
+        .agg(count(lit(1)).as("n_rows"))
+        .select(lit(t).as("tbl"), col("n_rows")))
+      .reduce(_ unionByName _)
+  }
+
+  /** q235's oracle: each table's cardinality recomputed from raw text. */
+  private[graft] val indexManifestSql =
+    s"""WITH $toksSql
+       |SELECT 'dict' AS tbl, CAST(COUNT(DISTINCT tok) AS BIGINT) AS n_rows FROM toks
+       |UNION ALL
+       |SELECT 'doclen', CAST(COUNT(DISTINCT doc_id) AS BIGINT) FROM toks
+       |UNION ALL
+       |SELECT 'positions', CAST(COUNT(*) AS BIGINT) FROM toks
+       |UNION ALL
+       |SELECT 'postings', (SELECT CAST(COUNT(*) AS BIGINT)
+       |                    FROM (SELECT DISTINCT tok, doc_id FROM toks))""".stripMargin
+
   /** q170: exact phrase search over the POSITIONAL side of the persisted
     * index — the query LSH/BM25 cannot answer ("these words, adjacent, in
     * order"). Each probe phrase (3 consecutive tokens lifted from a
@@ -1832,6 +1870,9 @@ object Search extends QueryModule {
     GQuery("q227_feed_synced_search",
       "feed-driven index sync: the lake's change feed applied O(delta) to the search index (D rows drive erasure, inserts land as the next segment), oracled as bit-equal to a rebuild from the lake's current state",
       feedSyncedSearch, Some(feedSyncedSearchSql)),
+    GQuery("q235_index_manifest",
+      "index-store manifest: one row per stored table with its cardinality, enumerated from the store's own table listing and oracled from raw text — a build that dropped or duplicated rows in any table hash-mismatches even when every probe still ranks",
+      indexManifest, Some(indexManifestSql)),
     GQuery("q231_masked_feed_sync",
       "feed sync with O(delta) masked deletes: the sequence-scoped delete-mask sidecar replaces q227's per-window index rewrite; probes anti-join the broadcast mask after the term-keyed postings seek, stats stay physical until compaction folds the mask in (Lucene semantics, hash-pinned)",
       maskedFeedSync, Some(maskedFeedSyncSql)),
