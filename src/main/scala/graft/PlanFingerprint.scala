@@ -147,6 +147,16 @@ object PlanFingerprint {
     "q234_masked_feed_sync_screen",
     // q235's locked value: four count-only scans, zero data-row shuffles
     "q235_index_manifest",
+    // round-16 (lock-on-landing): the cross-family manifest is count-only
+    // scans like q235's; the auto-folded probe must serve the PHYSICAL
+    // post-fold store (no mask join at all — the fold's point); the
+    // evolved-feed probe reads the kilobyte docmeta side table, never a
+    // corpus scan; the kNN graph's value is the cell-keyed self-join
+    // (one shuffle on cid, no cartesian) + the per-source top-k window
+    "q236_store_manifests",
+    "q237_autofold_feed_sync",
+    "q238_evolved_feed_sync",
+    "q239_knn_graph",
   )
 
   /** Structural counts of the STEADY-STATE initial plan.

@@ -49,6 +49,9 @@ object ScaleRung {
     * grows with the 10x user population. */
   val measured: Seq[String] = Seq(
     "q131_incremental_neardup",
+    // warm since r16: the branch copy+refresh are stamp-guarded, so the
+    // row is the two delta-sized screens (b1 vs fixture, b2 vs the
+    // durable refreshed branch) — the recurring per-batch loop cost
     "q145_vec_screen_loop",
     "q164_bm25_topk",
     "q178_segment_compact",
@@ -161,6 +164,25 @@ object ScaleRung {
     // the manifest is one metadata listing + a map-side-collapsed count
     // per table — wall should stay flat while input tracks store size
     "q235_index_manifest",
+    // q236 extends the manifest to three stores: count-only scans, so
+    // wall tracks store-build cost only through the one-time fixture
+    // builds; the counts themselves stay near-flat
+    "q236_store_manifests",
+    // q237's linear terms are q227's (lake commit + from-lake build +
+    // the FIRED fold's one-time O(index) rewrite, all stamp-guarded);
+    // the recurring probe serves the folded physical store — q227's
+    // fixed-budget shape, no mask work at all
+    "q237_autofold_feed_sync",
+    // q238's linear terms are the lake commit + from-lake build; the
+    // carry leg appends a kilobyte docmeta table and the probe reads
+    // ONLY it (plus two metadata-scale counts) — the recurring cost
+    // must stay delta-shaped at 10x
+    "q238_evolved_feed_sync",
+    // q239 is the one genuinely quadratic-in-cell-size addition: pair
+    // volume is sum(cell^2) with cells ~sqrt(N) at the fixture seeding,
+    // so 10x input => ~10x pairs (N^1.5/sqrt-cells math, the q186
+    // shape) — the rung evidences cell-scoped volume, not corpus^2
+    "q239_knn_graph",
   )
 
   /** The RocksDB-vs-memory crossover experiment: the two streaming rigs
@@ -184,7 +206,14 @@ object ScaleRung {
     * exists to avoid. */
   val state100Dir = "target/scale/sf10state"
 
-  def ensureStateRung(s: SparkSession): Unit = {
+  // JVM monitor AROUND the OS file lock: FileLock is process-scoped, so
+  // two threads of the SAME JVM racing the build would get an
+  // OverlappingFileLockException from the second lock() instead of
+  // waiting (ADVICE r15). Same-process callers serialize here first;
+  // cross-process builders serialize on the file lock as before.
+  private val stateRungMonitor = new Object
+
+  def ensureStateRung(s: SparkSession): Unit = stateRungMonitor.synchronized {
     val ready = java.nio.file.Paths.get(state100Dir, "_READY_v1")
     if (java.nio.file.Files.exists(ready)) return
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(state100Dir))

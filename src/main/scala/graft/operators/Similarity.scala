@@ -649,10 +649,16 @@ object Similarity extends QueryModule {
         // INSERT leg: coarse-assign against the STORED centroids, seg 1
         graft.sources.IndexStore.append(s, idxPath, "assign",
           coarseAssignArrivals(s, idxPath, f.inserts).withColumn("seg", lit(1L)))
+        // auto-fold policy (VERDICT r15 item 2): ~1% deleted sits below
+        // the 0.1 default, so the mask stays — q232's point
+        val folded = graft.sources.IndexStore.autoFoldIfNeeded(
+          s, idxPath, "assign", "vec_id")(
+          foldVecMask(s, idxPath, "assign", Seq("cid", "vec_id")))
         graft.sources.IndexStore.writeStamp(s, idxPath, stamp, Map(
           "m" -> m.toString,
           "n_feed_inserts" -> f.inserts.count().toString,
-          "n_feed_deletes" -> f.del.count().toString))
+          "n_feed_deletes" -> f.del.count().toString,
+          "auto_folded" -> folded.toString))
       }
     }
     idxPath
@@ -664,6 +670,13 @@ object Similarity extends QueryModule {
   private[graft] def applyVecMask(df: DataFrame, mask: DataFrame): DataFrame =
     df.join(broadcast(mask),
       df("vec_id") === mask("vec_id") && df("seg") <= mask("seq"), "left_anti")
+
+  /** As-of × mask composition for the vector family (VERDICT r15 item
+    * 4): the horizon bounds BOTH the rows (`seg <= h`) and the masks
+    * applied (`seq <= h`) — a delete drained after the horizon is not
+    * visible at it. Mirrors [[graft.operators.Search.maskedAsOf]]. */
+  private[graft] def applyVecMaskAsOf(df: DataFrame, mask: DataFrame, h: Long): DataFrame =
+    applyVecMask(df.filter(col("seg") <= h), mask.filter(col("seq") <= h))
 
   /** Fold the q232 store's mask into the physical layout and drop it —
     * MaskFoldSpec pins the result bit-equal to q229's physically-
@@ -694,8 +707,9 @@ object Similarity extends QueryModule {
     val path = ivfMaskSyncStore(s, dir)
     val meta = graft.sources.IndexStore.readMeta(s, path)
     val assign = graft.sources.IndexStore.read(s, path, "assign")
-    val mask = graft.sources.IndexStore.readDeleteMask(s, path)
-      .getOrElse(sys.error(s"mask-synced IVF store at $path has no delete mask"))
+    // missing mask on a stamped store = the legal post-fold state
+    // (ADVICE r15): the empty mask makes the anti-join a no-op
+    val mask = graft.sources.IndexStore.readDeleteMaskOrEmpty(s, path, "vec_id")
       .localCheckpoint()
     val live = applyVecMask(assign, mask)
     val audit = live.agg(count(lit(1)).as("n_vecs"))
@@ -1665,10 +1679,16 @@ object Similarity extends QueryModule {
           pqEncodeAgainst(f.inserts,
             graft.sources.IndexStore.read(s, idxPath, "codebooks"))
             .withColumn("seg", lit(1L)))
+        // auto-fold policy (VERDICT r15 item 2); distinct-key fraction,
+        // so the M-rows-per-vector codes table reads the same ~1%
+        val folded = graft.sources.IndexStore.autoFoldIfNeeded(
+          s, idxPath, "codes", "vec_id")(
+          foldVecMask(s, idxPath, "codes", Seq("vec_id", "j")))
         graft.sources.IndexStore.writeStamp(s, idxPath, stamp, Map(
           "mq" -> mq.toString, "m" -> f.m.toString,
           "n_feed_inserts" -> f.inserts.count().toString,
-          "n_feed_deletes" -> f.del.count().toString))
+          "n_feed_deletes" -> f.del.count().toString,
+          "auto_folded" -> folded.toString))
         cbm.unpersist(): Unit
       }
     }
@@ -1688,8 +1708,8 @@ object Similarity extends QueryModule {
     val meta = graft.sources.IndexStore.readMeta(s, path)
     val cb = graft.SessionCache.cached(s, s"sim:pqmsynccb:$dir")(
       graft.sources.IndexStore.read(s, path, "codebooks"))
-    val mask = graft.sources.IndexStore.readDeleteMask(s, path)
-      .getOrElse(sys.error(s"mask-synced PQ store at $path has no delete mask"))
+    // missing mask on a stamped store = the legal post-fold state
+    val mask = graft.sources.IndexStore.readDeleteMaskOrEmpty(s, path, "vec_id")
       .localCheckpoint()
     val codes = applyVecMask(
       graft.sources.IndexStore.read(s, path, "codes"), mask)
@@ -3284,31 +3304,46 @@ object Similarity extends QueryModule {
     tune(s)
     val b1 = syntheticVecBatch(s, dir)
     val b2 = b1.select((col("vec_id") + 400000L).as("vec_id"), col("embedding"))
-    // frozen before the branch mutates (and reused by the refresh and the
-    // final summary without recompute)
+    // warm-substrate convention (VERDICT r15 item 6, q143's twin): the
+    // branch copy + refresh land once per (process, corpus) behind a
+    // stamp; the recurring benched cost is the two delta-sized screens,
+    // with batch 2 served from the DURABLE refreshed branch.
+    val path = screenVecLoopBranch(s, dir)
     val d1 = screenVecBatch(s, dir, b1).localCheckpoint()
-    val path = "target/tmp/vidx_loop_" + dir.replaceAll("[^A-Za-z0-9.]+", "_")
-    graft.sources.IndexStore.copy(s, fixtureVecIndexPath(dir), path)
-    val accepted1 = b1.join(
-      d1.filter(col("decision") === "accept").select(col("vec_id")), "vec_id")
-    val inc = refreshVecIndex(s, path, accepted1)
-    // screen b2 against (cached base) ∪ (checkpointed increment) — the
-    // exact content refreshVecIndex just appended to the branch, without
-    // re-opening the store's three tables (the durable branch is still
-    // written above; the load-after-refresh path stays covered by
-    // SimilaritySpec's cross-session refresh test). The probe joins
-    // DISTINCT their decision sets, so the composed union is
-    // decision-identical to a fresh load.
-    val base = corpusVecIndex(s, dir)
-    val d2 = screenVecBatch(VecIndex(
-      base.digests.unionByName(inc.digests),
-      base.reps.unionByName(inc.reps),
-      base.bands.unionByName(inc.bands),
-      base.bits), b2)
+    val d2 = screenVecBatch(graft.SessionCache.cachedValue(s, s"sim:loopidx:$dir")(
+      loadVecIndex(s, path))(_ => ()), b2)
     vecScreenSummary(d1).withColumn("batch", lit("b1"))
       .unionByName(vecScreenSummary(d2).withColumn("batch", lit("b2")))
       .select(col("batch"), col("slice"), col("n"),
         col("n_exact"), col("n_near"), col("n_accept"))
+  }
+
+  /** Build-if-stale the q145 loop's refreshed branch — batch 1 screened,
+    * the fixture vec index branched (pure file copy), the accepted
+    * vectors' digests/reps/bands appended. Stamp written LAST; decisions
+    * frozen before the branch mutates. */
+  private[graft] def screenVecLoopBranch(s: SparkSession, dir: String): String = {
+    corpusVecIndex(s, dir)
+    val path = "target/tmp/vidx_loop_" + processTag + "_" +
+      dir.replaceAll("[^A-Za-z0-9.]+", "_")
+    val stamp = "vecloop1|" +
+      graft.sources.IndexStore.sourceStamp(s, Seq(s"$dir/embeddings.parquet"))
+    synchronized {
+      if (!graft.sources.IndexStore.isCurrent(s, path, stamp)) {
+        val b1 = syntheticVecBatch(s, dir)
+        val d1 = screenVecBatch(s, dir, b1).localCheckpoint()
+        graft.sources.IndexStore.copy(s, fixtureVecIndexPath(dir), path)
+        cleanupAtExit(path)
+        // the copied stamp carries the `bits` meta — an index property
+        // probes must reuse; carry it through the loop's own stamp
+        val meta = graft.sources.IndexStore.readMeta(s, path)
+        val accepted1 = b1.join(
+          d1.filter(col("decision") === "accept").select(col("vec_id")), "vec_id")
+        refreshVecIndex(s, path, accepted1)
+        graft.sources.IndexStore.writeStamp(s, path, stamp, meta)
+      }
+    }
+    path
   }
 
   private val screenVecLoopSql = {
@@ -3687,6 +3722,129 @@ object Similarity extends QueryModule {
       |CAST(embedding[1] AS DOUBLE) * 2 AS first_doubled
       |FROM embeddings WHERE vec_id % 10 = 0""".stripMargin
 
+  // ---- q236: manifest symmetry — the ops DESCRIBE surface for the
+  // dedup/IVF/PQ stores (VERDICT r15 item 3; q235 covers search) ----
+
+  /** q236: one row per (family, table, cardinality) across the OTHER
+    * three serving stores — the structural audit a deployment runs over
+    * ALL its indexes, not just search (q235). Tables are enumerated from
+    * each store's own directory listing, minus the documented OPTIONAL
+    * sidecars (bloom blobs and delete masks exist only when their
+    * workload ran — their audits live with their own queries q147/
+    * q231–q234); a core table the build forgot, or a stray extra one,
+    * changes the ROW SET. Every count is oracled from the raw corpus /
+    * embeddings: digests are the fixture corpus's distinct texts, sigs
+    * the shingled reps, bands the per-bucket-capped LSH rows, keys the
+    * member rows; assign is one row per vector, centroids the sqrt-N
+    * seed pick; codes is M rows per vector, codebooks the codewords the
+    * Lloyd rounds left populated. Cost at scale: metadata listings plus
+    * one map-side-collapsed count per table. */
+  def storeManifests(s: SparkSession, dir: String): DataFrame = {
+    tune(s)
+    val dedupPath = graft.operators.Dedup.ensureCorpusIndex(s, dir)
+    corpusIvfIndex(s, dir)
+    corpusPqIndex(s, dir)
+    val optional = Set("bloom", graft.sources.IndexStore.DeleteMaskTable,
+      "mask_gone", "mask_reps")
+    def rows(family: String, path: String): Seq[DataFrame] =
+      graft.sources.IndexStore.tableNames(s, path).filterNot(optional)
+        .map(t => graft.sources.IndexStore.read(s, path, t)
+          .agg(count(lit(1)).as("n_rows"))
+          .select(lit(family).as("family"), lit(t).as("tbl"), col("n_rows")))
+    (rows("dedup", dedupPath) ++
+      rows("ivf", fixtureIvfIndexPath(dir)) ++
+      rows("pq", fixturePqIndexPath(dir)))
+      .reduce(_ unionByName _)
+  }
+
+  /** q236's oracle: every table's cardinality re-derived from raw data —
+    * the dedup counts ride the corpus-side signature chain the q131
+    * oracle uses; the PQ codebook count re-runs the Lloyd rounds and
+    * counts the surviving (code, j) cells. */
+  private val storeManifestsSql = {
+    import graft.operators.Dedup.{augmentedDocsSql, sideSigsSql, BandCap}
+    s"""WITH $augmentedDocsSql,
+       |corpus AS (SELECT * FROM docs WHERE doc_id < 100000),
+       |rep_cor AS (SELECT MIN(doc_id) AS doc_id, text FROM corpus GROUP BY text),
+       |${sideSigsSql("cor")},
+       |$flatSql,
+       |$pqSubSql,
+       |$pqCwSql
+       |SELECT 'dedup' AS family, 'bands' AS tbl,
+       |       (SELECT CAST(SUM(LEAST(c, $BandCap)) AS BIGINT)
+       |        FROM (SELECT band, bk, COUNT(*) AS c FROM bands_cor GROUP BY band, bk)) AS n_rows
+       |UNION ALL SELECT 'dedup', 'digests',
+       |       (SELECT CAST(COUNT(DISTINCT text) AS BIGINT) FROM corpus)
+       |UNION ALL SELECT 'dedup', 'keys',
+       |       (SELECT CAST(COUNT(*) AS BIGINT) FROM corpus)
+       |UNION ALL SELECT 'dedup', 'sigs',
+       |       (SELECT CAST(COUNT(*) AS BIGINT) FROM sigs_cor)
+       |UNION ALL SELECT 'ivf', 'assign',
+       |       (SELECT CAST(COUNT(*) AS BIGINT) FROM embeddings)
+       |UNION ALL SELECT 'ivf', 'centroids',
+       |       (SELECT CAST(COUNT(*) AS BIGINT) FROM embeddings
+       |        WHERE vec_id % (SELECT CAST(ceil(sqrt(COUNT(*))) AS BIGINT) FROM embeddings) = 0)
+       |UNION ALL SELECT 'pq', 'codebooks',
+       |       (SELECT CAST(COUNT(*) AS BIGINT) FROM (SELECT DISTINCT code, j FROM pcw))
+       |UNION ALL SELECT 'pq', 'codes',
+       |       (SELECT CAST($PqM * COUNT(*) AS BIGINT) FROM embeddings)""".stripMargin
+  }
+
+  // ---- q239: kNN-graph construction (VERDICT r15 item 7) ----
+
+  /** q239: the corpus's k-nearest-neighbor GRAPH — every vector's top-3
+    * cosine neighbors, not a fixed probe set's (q64/q184 serve probes;
+    * this is the curation structure SemDeDup clustering quality,
+    * diversity analysis, and graph-based filtering consume). Candidates
+    * are IVF-CELL-SCOPED from the persisted q184 assignment — pair
+    * volume is Σ cell², the q186 shape, never corpus² — and the cell id
+    * is the one shuffle key. Singleton cells contribute no rows (their
+    * vector has no in-cell neighbor), which the oracle reproduces; a
+    * recall-complete deployment would probe adjacent cells exactly like
+    * q184's multi-probe serving path, the same trade SemDeDup documents.
+    * Cosines gate on the rounded value (q186 pattern) so the fold-order
+    * ulp can't flip a rank cross-engine. */
+  def knnGraph(s: SparkSession, dir: String): DataFrame = {
+    tune(s)
+    val (_, assign) = corpusIvfIndex(s, dir)
+    val a = assign.select(col("cid"), col("vec_id"), col("embedding"), col("nrm"))
+    val u = a.select(col("cid"), col("vec_id").as("src"),
+      col("embedding").as("qemb"), col("nrm").as("nq"))
+    val v = a.select(col("cid"), col("vec_id").as("nbr"),
+      col("embedding").as("vemb"), col("nrm").as("nv"))
+    val w = Window.partitionBy(col("src"))
+      .orderBy(round(col("cosim0"), 9).desc, col("nbr"))
+    u.join(v, Seq("cid")).filter(col("src") =!= col("nbr"))
+      .withColumn("cosim0", dotExpr / (col("nq") * col("nv")))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") <= 3)
+      .select(col("src").as("vec_id"), col("nbr"),
+        round(col("cosim0"), 9).as("cosim"), col("rn"))
+  }
+
+  private val knnGraphSql =
+    s"""WITH $flatSql,
+       |$normsSql,
+       |$ivfAssignSql,
+       |gpairs AS (
+       |  SELECT u.vec_id AS src, v.vec_id AS nbr
+       |  FROM assign u JOIN assign v ON u.cid = v.cid AND u.vec_id <> v.vec_id),
+       |gdots AS (
+       |  SELECT p.src, p.nbr,
+       |         CAST(SUM(CAST(a.xd*b.xd AS DECIMAL(38,20))) AS DOUBLE) AS dot
+       |  FROM gpairs p
+       |  JOIN flat a ON a.vec_id = p.src
+       |  JOIN flat b ON b.vec_id = p.nbr AND b.pos = a.pos
+       |  GROUP BY p.src, p.nbr),
+       |gcos AS (
+       |  SELECT d.src, d.nbr, round(d.dot / (n1.nrm * n2.nrm), 9) AS cosim
+       |  FROM gdots d
+       |  JOIN norms n1 ON n1.vec_id = d.src
+       |  JOIN norms n2 ON n2.vec_id = d.nbr)
+       |SELECT src AS vec_id, nbr, cosim, rn FROM (
+       |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY src ORDER BY cosim DESC, nbr) AS INT) AS rn
+       |  FROM gcos)
+       |WHERE rn <= 3""".stripMargin
+
   override val queries: Seq[GQuery] = Seq(
     GQuery("q55_array_ops", "array column structural access (F16)", arrayOps, Some(arrayOpsSql)),
     GQuery("q59_hof_ops", "filter/exists/forall/transform higher-order array breadth (F16)",
@@ -3698,6 +3856,12 @@ object Similarity extends QueryModule {
     GQuery("q184_ivf_index",
       "IVF ANN served from the persisted index: probe reads only the probed clusters' cid-pruned bytes; same oracle as q65",
       ivfAnnIndexed, Some(ivfAnnSql)),
+    GQuery("q236_store_manifests",
+      "manifest symmetry: the q235 DESCRIBE surface extended to the dedup/IVF/PQ stores — one row per (family, table, cardinality) enumerated from each store's own listing, every count re-derived from raw corpus/embeddings (the PQ codebook count re-runs the Lloyd rounds)",
+      storeManifests, Some(storeManifestsSql)),
+    GQuery("q239_knn_graph",
+      "kNN-graph construction: every corpus vector's top-3 cosine neighbors, IVF-cell-scoped from the persisted assignment (pair volume tracks cluster sizes, never corpus squared), exact-oracled per cell",
+      knnGraph, Some(knnGraphSql)),
     GQuery("q224_vector_takedown",
       "takedown erasure over the persisted IVF index: one anti-join over assign, centroids kept (probes just stop returning the erased ids), centroid-seed requests refused loudly",
       vectorTakedown, Some(vectorTakedownSql)),

@@ -172,9 +172,17 @@ object IndexStore {
       throw new java.io.IOException(s"index copy: $from -> $to failed")
   }
 
-  /** Read one named table of a stored index. */
-  def read(s: SparkSession, path: String, table: String): DataFrame =
-    s.read.parquet(new Path(new Path(path), table).toString)
+  /** Read one named table of a stored index. If the table directory is
+    * missing, first attempt [[healTableSwap]] — a [[replaceTable]] crash
+    * between its two renames leaves the only copy under the `.old` bak
+    * name, and the reader must serve it (old data, never nothing). The
+    * exists probe is one metadata call and runs only on construction of
+    * the frame, not per row. */
+  def read(s: SparkSession, path: String, table: String): DataFrame = {
+    val t = new Path(new Path(path), table)
+    if (!fsOf(s, t).exists(t)) healTableSwap(s, path, table)
+    s.read.parquet(t.toString)
+  }
 
   /** The stored table names: every non-hidden subdirectory (underscore/dot
     * entries are the stamp and staging dirs). Lets a whole-store rewrite
@@ -225,18 +233,34 @@ object IndexStore {
   // racing the same segment (the two-streams-one-store case the r14
   // scaladoc documented but did not enforce) LINEARIZE — the first
   // writes and commits, the second observes the marker and no-ops.
-  // STRIPED (64 fixed monitors, keyed by path hash) so the lock table is
-  // bounded for a long-lived process however many segments it commits;
-  // a hash collision merely over-serializes two unrelated commits.
-  // Cross-process writers remain excluded by convention (a micro-batch
-  // owns its batchId), as documented below.
-  private val segLockStripes = Array.fill(64)(new Object)
+  // REFERENCE-COUNTED per exact path (ADVICE r15: the 64-stripe table
+  // could serialize two UNRELATED tables' commits on a hash collision —
+  // a full parquet write held the monitor): each key's entry exists only
+  // while a writer holds or waits on it, so the table is bounded by
+  // CONCURRENT commits, not by how many segments a long-lived process
+  // ever committed, and distinct segments never contend. Cross-process
+  // writers remain excluded by convention (a micro-batch owns its
+  // batchId), as documented below.
+  private final class SegLock { var refs = 0 }
+  private val segLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, SegLock]()
+  private def withSegLock[T](key: String)(body: => T): T = {
+    val l = segLocks.compute(key, (_, v) => {
+      val x = if (v == null) new SegLock else v
+      x.refs += 1
+      x
+    })
+    try l.synchronized(body)
+    finally segLocks.compute(key, (_, v) => {
+      v.refs -= 1
+      if (v.refs == 0) null else v
+    }): Unit
+  }
 
   def appendSegmentIfAbsent(s: SparkSession, path: String, table: String,
       partCol: String, partVal: Long, df: DataFrame): Boolean = {
     val seg = new Path(new Path(new Path(path), table), s"$partCol=$partVal")
-    val lock = segLockStripes(math.floorMod(seg.toString.hashCode, 64))
-    lock.synchronized {
+    withSegLock(seg.toString) {
       val fs = fsOf(s, seg)
       val marker = new Path(seg, "_COMMITTED")
       if (fs.exists(marker)) false
@@ -501,6 +525,73 @@ object IndexStore {
     if (fsOf(s, t).exists(t)) Some(read(s, path, DeleteMaskTable)) else None
   }
 
+  /** The stored mask, or an EMPTY `(keyCol BIGINT, seq BIGINT)` frame if
+    * the store has none. A stamped store without a mask is a legal state
+    * — the mask was folded into the physical layout (manually or by the
+    * [[maskFoldThreshold]] policy) and dropped — so masked probes must
+    * degrade to a no-op anti-join, not hard-fail (ADVICE r15 item 2).
+    * All four families' masks share the (long key, long seq) shape. */
+  def readDeleteMaskOrEmpty(s: SparkSession, path: String, keyCol: String): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    readTableOrEmpty(s, path, DeleteMaskTable,
+      StructType(Seq(StructField(keyCol, LongType), StructField("seq", LongType))))
+  }
+
+  /** Read one named table, or an empty frame of `schema` if the store has
+    * no such table — for OPTIONAL sidecars (masks) whose absence is a
+    * legal post-fold state, not a broken store. Heals a mid-swap crash
+    * like [[read]] before concluding the table is absent. */
+  def readTableOrEmpty(s: SparkSession, path: String, table: String,
+      schema: org.apache.spark.sql.types.StructType): DataFrame = {
+    val t = new Path(new Path(path), table)
+    val fs = fsOf(s, t)
+    if (!fs.exists(t)) healTableSwap(s, path, table)
+    if (fs.exists(t)) s.read.parquet(t.toString)
+    else s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+  }
+
+  /** The delete-mask auto-fold threshold: fold once masked keys exceed
+    * this fraction of the key table's physical rows. A mask is the right
+    * price for ROUTINE deletes (O(delta) writes, probes pay one broadcast
+    * anti-join) but the documented Lucene-style stats drift and the
+    * per-probe mask work both grow with mask size — past a point the
+    * one-time fold rewrite is cheaper than carrying the mask forever.
+    * 0.1 default (Lucene's own reclaim-deletes ballpark); a deployment
+    * tunes `spark.graft.mask.maxDeletedFraction`. */
+  def maskFoldThreshold(s: SparkSession): Double =
+    s.conf.getOption("spark.graft.mask.maxDeletedFraction")
+      .map(_.toDouble).getOrElse(0.1)
+
+  /** Masked-key fraction of a store: distinct mask keys over the
+    * DISTINCT physical keys of `keyTable` (distinct on both sides, so a
+    * per-key-multi-row table like PQ's `(vec_id, j)` codes reads the
+    * same fraction as a one-row-per-key table). Two partial-agg counts,
+    * kilobyte shuffles. 0.0 when no mask is stored. */
+  def maskedFraction(s: SparkSession, path: String, keyTable: String,
+      keyCol: String): Double =
+    readDeleteMask(s, path) match {
+      case None => 0.0
+      case Some(m) =>
+        val masked = m.select(keyCol).distinct().count().toDouble
+        val physical = read(s, path, keyTable).select(keyCol).distinct().count().toDouble
+        if (physical == 0.0) 0.0 else masked / physical
+    }
+
+  /** The auto-fold policy (VERDICT r15 item 2), checked at feed-apply
+    * time by every masked sync path: when the store's [[maskedFraction]]
+    * crosses [[maskFoldThreshold]], run the family's `fold` (which
+    * rewrites the tables and drops the sidecar) and return true. Below
+    * threshold the mask stays — the delete leg remains O(delta). The
+    * fold a threshold fires is the SAME function a manual compaction
+    * calls, so fold-at-threshold ≡ manual fold by construction
+    * (MaskFoldSpec pins it anyway, against a copied store). */
+  def autoFoldIfNeeded(s: SparkSession, path: String, keyTable: String,
+      keyCol: String)(fold: => Unit): Boolean = {
+    val fire = maskedFraction(s, path, keyTable, keyCol) > maskFoldThreshold(s)
+    if (fire) fold
+    fire
+  }
+
   /** Remove one named table of a stored index (e.g. a folded-in delete
     * mask). Stamp and other tables untouched. */
   def dropTable(s: SparkSession, path: String, table: String): Unit = {
@@ -510,23 +601,78 @@ object IndexStore {
       throw new java.io.IOException(s"cannot drop index table $t")
   }
 
+  /** The FIXED bak name of a mid-replace table copy — fixed (not
+    * tag-unique like the staging dir) so recovery can find it without a
+    * directory glob. Dot-prefixed: invisible to [[tableNames]]. */
+  private def tableBak(path: String, table: String): Path =
+    new Path(new Path(path), s".$table.old")
+
+  /** Heal a [[replaceTable]] crash. The swap is rename-aside (live →
+    * `.old`, tmp → live, delete `.old`), so a crash leaves one of:
+    *  - bak present, live missing  — died between the two renames; bak
+    *    IS the only copy: restore it (the reader serves OLD data);
+    *  - bak present, live present  — died after the swap, before the
+    *    bak delete; live is the NEW data: drop the stale bak;
+    *  - neither                    — nothing to do.
+    * Called by [[replaceTable]] at entry (the next fold/compact
+    * self-heals) and by [[read]] when the live directory is missing
+    * (the reader self-heals). Idempotent; metadata-only when clean. */
+  def healTableSwap(s: SparkSession, path: String, table: String): Unit = {
+    val live = new Path(new Path(path), table)
+    val bak = tableBak(path, table)
+    val fs = fsOf(s, live)
+    if (fs.exists(bak)) {
+      if (!fs.exists(live)) {
+        if (!fs.rename(bak, live))
+          throw new java.io.IOException(
+            s"table swap recovery: cannot restore $bak -> $live")
+      } else fs.delete(bak, true): Unit
+    }
+  }
+
   /** Replace (or create) ONE named table of a stored index, leaving the
     * other tables and the stamp untouched — the sidecar path (e.g. a
-    * bloom blob rebuilt over the digest table). Same write-then-rename
-    * swap as [[write]]: readers mid-replace see the old table or the new
-    * one, never a mix. */
+    * bloom blob rebuilt over the digest table) and the fold/compact
+    * rewrite unit. CRASH-ATOMIC via rename-aside (VERDICT r15 item 1):
+    * stage to a tag-unique tmp, rename live aside to the fixed `.old`
+    * name, rename tmp over live, then drop `.old`. Every window leaves
+    * the data recoverable — a reader or the next replace restores the
+    * aside copy through [[healTableSwap]] — unlike the previous
+    * delete-then-rename, whose crash window left the table GONE (readers
+    * failed loudly but the store could not self-heal). Rename return
+    * values are checked with rollback before any delete. */
   def replaceTable(s: SparkSession, path: String, table: String, df: DataFrame): Unit = {
     val live = new Path(new Path(path), table)
+    val bak = tableBak(path, table)
     val fs = fsOf(s, live)
+    healTableSwap(s, path, table)
     val tag = java.lang.management.ManagementFactory.getRuntimeMXBean.getName
       .replaceAll("[^A-Za-z0-9]", "") + "_" + System.nanoTime()
     val tmp = new Path(new Path(path), s".${table}_building_$tag")
     df.write.mode("overwrite").parquet(tmp.toString)
-    if (fs.exists(live)) fs.delete(live, true)
-    if (!fs.rename(tmp, live)) {
-      fs.delete(tmp, true)
-      if (!fs.exists(live))
-        throw new java.io.IOException(s"table swap: cannot rename $tmp -> $live")
+    if (!fs.exists(live)) {
+      // create path: no old copy to protect
+      if (!fs.rename(tmp, live)) {
+        fs.delete(tmp, true)
+        if (!fs.exists(live))
+          throw new java.io.IOException(s"table swap: cannot rename $tmp -> $live")
+      }
+    } else {
+      if (!fs.rename(live, bak)) {
+        fs.delete(tmp, true)
+        throw new java.io.IOException(
+          s"table swap: rename $live -> $bak failed; original untouched")
+      }
+      if (!fs.rename(tmp, live)) {
+        // bak is now the ONLY copy — roll it back before any delete
+        if (!fs.rename(bak, live))
+          throw new java.io.IOException(
+            s"table swap failed AND rollback failed; live data is at $bak")
+        fs.delete(tmp, true)
+        throw new java.io.IOException(
+          s"table swap: rename $tmp -> $live failed; original restored")
+      }
+      fs.delete(bak, true): Unit
     }
   }
 }

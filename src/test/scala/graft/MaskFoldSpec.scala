@@ -156,28 +156,155 @@ class MaskFoldSpec extends AnyFunSuite {
     }
   }
 
-  test("a schema-evolved feed batch is refused loudly, never silently projected") {
+  test("an ADDITIVE schema-evolved feed batch is carried into docmeta, v1 tables untouched") {
     import s.implicits._
-    // the lake accepts mergeSchema'd commits, so a feed window can carry
-    // a column the v1 index layout has no home for; the apply must
-    // refuse (VERDICT r14 item 7) — silently dropping it would desync
-    // index from lake without anyone noticing
+    // VERDICT r15 item 5: the lake itself carries additive columns
+    // (mergeSchema=true), so the feed apply must too — the extra column
+    // lands in the docmeta side table; every v1 table keeps its schema
+    val path = s"target/tmp/feedcarry_${java.util.UUID.randomUUID().toString.take(8)}"
+    graft.operators.Similarity.cleanupAtExit(path)
+    Search.persistIndex(s, path, "carryspec",
+      Seq((1L, "red fox")).toDF("doc_id", "text"))
+    val evolved = Seq((2L, "blue fox", "en")).toDF("doc_id", "text", "lang")
+    Search.applyFeedToIndex(s, path, seg = 1,
+      inserts = evolved, deleteIds = Seq.empty[Long].toDF("doc_id"))
+    val dl = graft.sources.IndexStore.read(s, path, "doclen")
+    assert(dl.count() == 2L, "the evolved doc must be indexed")
+    assert(dl.columns.sorted.sameElements(Array("dl", "doc_id", "segment")),
+      "doclen's v1 schema must be untouched by the carry")
+    val dm = Search.readDocMeta(s, path).collect()
+    assert(dm.length == 1 && dm(0).getAs[Long]("doc_id") == 2L
+      && dm(0).getAs[String]("lang") == "en",
+      s"docmeta must carry exactly the evolved row, got: ${dm.toSeq}")
+    // a SECOND window evolving DIFFERENTLY: mergeSchema union, absent null
+    Search.applyFeedToIndex(s, path, seg = 2,
+      inserts = Seq((3L, "green fox", 7L)).toDF("doc_id", "text", "score"),
+      deleteIds = Seq.empty[Long].toDF("doc_id"))
+    val dm2 = Search.readDocMeta(s, path)
+    assert(dm2.columns.toSet == Set("doc_id", "lang", "score", "segment"))
+    assert(dm2.filter(col("doc_id") === 3L && col("lang").isNull
+      && col("score") === 7L).count() == 1L)
+    // ...and the erasure leg maintains docmeta like any doc-keyed table
+    Search.applyFeedToIndex(s, path, seg = 3,
+      inserts = Seq.empty[(Long, String)].toDF("doc_id", "text"),
+      deleteIds = Seq(2L).toDF("doc_id"))
+    assert(Search.readDocMeta(s, path).filter(col("doc_id") === 2L).isEmpty,
+      "a deleted doc's carried row must be erased with it")
+  }
+
+  test("a KEY/TYPE-changed feed batch is still refused loudly, never silently cast") {
+    import s.implicits._
     val path = s"target/tmp/feedschema_${java.util.UUID.randomUUID().toString.take(8)}"
     graft.operators.Similarity.cleanupAtExit(path)
     Search.persistIndex(s, path, "schemaspec",
       Seq((1L, "red fox")).toDF("doc_id", "text"))
-    val evolved = Seq((2L, "blue fox", "en")).toDF("doc_id", "text", "lang")
+    // doc_id retyped to string: not evolution, a different feed
+    val retyped = Seq(("2", "blue fox")).toDF("doc_id", "text")
     val e = intercept[IllegalArgumentException] {
       Search.applyFeedToIndex(s, path, seg = 1,
-        inserts = evolved, deleteIds = Seq.empty[Long].toDF("doc_id"))
+        inserts = retyped, deleteIds = Seq.empty[Long].toDF("doc_id"))
     }
     assert(e.getMessage.contains("schema-evolved feed"),
       s"refusal must name the schema problem, got: ${e.getMessage}")
-    // the projected form of the same batch applies cleanly
+    // missing text refuses the same way
+    val e2 = intercept[IllegalArgumentException] {
+      Search.applyFeedToIndex(s, path, seg = 1,
+        inserts = Seq((2L, "en")).toDF("doc_id", "lang"),
+        deleteIds = Seq.empty[Long].toDF("doc_id"))
+    }
+    assert(e2.getMessage.contains("schema-evolved feed"))
+    assert(graft.sources.IndexStore.read(s, path, "doclen").count() == 1L,
+      "a refused batch must leave the store untouched")
+  }
+
+  test("auto-fold policy: fold-at-threshold equals manual fold, and below threshold the mask stays") {
+    import s.implicits._
+    val base = s"target/tmp/autofold_${java.util.UUID.randomUUID().toString.take(8)}"
+    def mkStore(sfx: String): String = {
+      val p = s"${base}_$sfx"
+      graft.operators.Similarity.cleanupAtExit(p)
+      Search.persistIndex(s, p, "afspec",
+        (1L to 10L).map(i => (i, s"fox number $i")).toDF("doc_id", "text"))
+      IndexStore.appendDeleteMask(s, p,
+        Seq(3L, 7L).toDF("doc_id").withColumn("seq", lit(0L)))
+      p
+    }
+    // BELOW threshold: with the knob at 0.5 the store's 20% masked
+    // fraction does NOT fire the fold; the mask stays
+    val cold = mkStore("cold")
+    val knob = "spark.graft.mask.maxDeletedFraction"
+    val prev = s.conf.getOption(knob)
+    try {
+      s.conf.set(knob, "0.5")
+      assert(!IndexStore.autoFoldIfNeeded(s, cold, "doclen", "doc_id")(
+        Search.foldDeleteMask(s, cold)), "20% < 50%: must not fire")
+      assert(IndexStore.readDeleteMask(s, cold).nonEmpty,
+        "below threshold the mask must stay (the delete leg stays O(delta))")
+      // ABOVE threshold: fires, and the result equals a MANUAL fold
+      s.conf.set(knob, "0.1")
+      val auto = mkStore("auto")
+      val manual = mkStore("manual")
+      Search.foldDeleteMask(s, manual)
+      assert(IndexStore.autoFoldIfNeeded(s, auto, "doclen", "doc_id")(
+        Search.foldDeleteMask(s, auto)), "20% > 10%: must fire")
+      assert(IndexStore.readDeleteMask(s, auto).isEmpty,
+        "the fired fold must drop the sidecar")
+      for (t <- Seq("postings", "doclen", "dict", "positions")) {
+        val cols = IndexStore.read(s, auto, t).columns.sorted.map(col)
+        val a = IndexStore.read(s, auto, t).select(cols.toIndexedSeq: _*)
+        val b = IndexStore.read(s, manual, t).select(cols.toIndexedSeq: _*)
+        assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty,
+          s"fold-at-threshold must equal manual fold for table '$t'")
+      }
+      // the post-fold probe path degrades gracefully: missing mask = empty
+      val m = IndexStore.readDeleteMaskOrEmpty(s, auto, "doc_id")
+      assert(m.isEmpty && m.columns.sameElements(Array("doc_id", "seq")),
+        "a folded store's mask must read as EMPTY, not hard-fail (ADVICE r15)")
+    } finally prev.fold(s.conf.unset(knob))(v => s.conf.set(knob, v))
+  }
+
+  test("as-of x mask: a horizon read applies only masks visible at that horizon (search)") {
+    import s.implicits._
+    val path = s"target/tmp/maskasof_${java.util.UUID.randomUUID().toString.take(8)}"
+    graft.operators.Similarity.cleanupAtExit(path)
+    // seg 0: docs 1, 2; mask(1, seq=0) lands with the seg-0 view;
+    // seg 1: doc 3 arrives; mask(2, seq=1) drains AFTER segment 1
+    Search.persistIndex(s, path, "asofspec",
+      Seq((1L, "red fox"), (2L, "blue fox")).toDF("doc_id", "text"))
     Search.applyFeedToIndex(s, path, seg = 1,
-      inserts = evolved.select("doc_id", "text"),
+      inserts = Seq((3L, "green fox")).toDF("doc_id", "text"),
       deleteIds = Seq.empty[Long].toDF("doc_id"))
-    assert(graft.sources.IndexStore.read(s, path, "doclen").count() == 2L)
+    IndexStore.appendDeleteMask(s, path,
+      Seq((1L, 0L), (2L, 1L)).toDF("doc_id", "seq"))
+    val dl = IndexStore.read(s, path, "doclen")
+    val mask = IndexStore.readDeleteMask(s, path).get
+    def visible(h: Long): Set[Long] =
+      Search.maskedAsOf(dl, mask, h).select("doc_id").collect().map(_.getLong(0)).toSet
+    // horizon 0: the seq-1 mask is FROM THE FUTURE — doc 2 must be visible
+    assert(visible(0L) == Set(2L),
+      "at h=0 only the seq<=0 mask applies: doc 1 hidden, doc 2 served, doc 3 not yet committed")
+    // horizon 1: both masks visible — only the arrival survives
+    assert(visible(1L) == Set(3L),
+      "at h=1 both masks apply: docs 1 and 2 hidden, arrival 3 served")
+    // the unbounded read equals the full-horizon read
+    assert(visible(Long.MaxValue) == Set(3L))
+  }
+
+  test("as-of x mask: horizon-before-mask vs horizon-after-mask (IVF family)") {
+    import s.implicits._
+    import graft.operators.Similarity
+    // same timeline on a seg-tagged assign frame: vecs 1,2 at seg 0,
+    // arrival 3 at seg 1; mask(1, seq=0) then mask(2, seq=1)
+    val assign = Seq((0L, 1L, 0L), (0L, 2L, 0L), (0L, 3L, 1L))
+      .toDF("cid", "vec_id", "seg")
+    val mask = Seq((1L, 0L), (2L, 1L)).toDF("vec_id", "seq")
+    def visible(h: Long): Set[Long] =
+      Similarity.applyVecMaskAsOf(assign, mask, h)
+        .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(visible(0L) == Set(2L),
+      "at h=0 the seq-1 mask must not reach back: vec 2 visible")
+    assert(visible(1L) == Set(3L))
+    assert(visible(Long.MaxValue) == Set(3L))
   }
 
   test("the delete leg writes delta-sized bytes, not index-sized rewrites") {
