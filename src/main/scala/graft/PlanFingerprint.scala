@@ -157,6 +157,10 @@ object PlanFingerprint {
     "q237_autofold_feed_sync",
     "q238_evolved_feed_sync",
     "q239_knn_graph",
+    // q240's value: the reciprocity self-join rides the CHECKPOINTED
+    // graph (scan of the checkpoint, one hash join) — a drift that
+    // recomputed the cell pair volume twice is what the lock catches
+    "q240_mutual_knn",
   )
 
   /** Structural counts of the STEADY-STATE initial plan.

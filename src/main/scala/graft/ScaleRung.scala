@@ -183,6 +183,10 @@ object ScaleRung {
     // so 10x input => ~10x pairs (N^1.5/sqrt-cells math, the q186
     // shape) — the rung evidences cell-scoped volume, not corpus^2
     "q239_knn_graph",
+    // q240 pays the q239 graph build (checkpointed once per call) plus
+    // a reciprocity self-join over the TOP-K EDGES — 3N rows however
+    // big the cells get; its delta over q239 must stay edge-sized
+    "q240_mutual_knn",
   )
 
   /** The RocksDB-vs-memory crossover experiment: the two streaming rigs

@@ -3806,6 +3806,13 @@ object Similarity extends QueryModule {
     * ulp can't flip a rank cross-engine. */
   def knnGraph(s: SparkSession, dir: String): DataFrame = {
     tune(s)
+    knnGraphFrame(s, dir)
+      .select(col("src").as("vec_id"), col("nbr"), col("cosim"), col("rn"))
+  }
+
+  /** The cell-scoped top-3 neighbor frame (src, nbr, cosim, rn) shared
+    * by q239 and the q240 mutual-kNN symmetrization. */
+  private def knnGraphFrame(s: SparkSession, dir: String): DataFrame = {
     val (_, assign) = corpusIvfIndex(s, dir)
     val a = assign.select(col("cid"), col("vec_id"), col("embedding"), col("nrm"))
     val u = a.select(col("cid"), col("vec_id").as("src"),
@@ -3817,9 +3824,57 @@ object Similarity extends QueryModule {
     u.join(v, Seq("cid")).filter(col("src") =!= col("nbr"))
       .withColumn("cosim0", dotExpr / (col("nq") * col("nv")))
       .withColumn("rn", row_number().over(w)).filter(col("rn") <= 3)
-      .select(col("src").as("vec_id"), col("nbr"),
-        round(col("cosim0"), 9).as("cosim"), col("rn"))
+      .select(col("src"), col("nbr"), round(col("cosim0"), 9).as("cosim"), col("rn"))
   }
+
+  /** q240: MUTUAL-kNN pairs — the graph symmetrization curation actually
+    * consumes: (a, b) is a candidate only when each is in the OTHER's
+    * top-3 (reciprocity is the standard high-precision filter over a
+    * directed kNN graph — a hub vector that merely appears in many
+    * top-k lists without reciprocating is excluded, which is exactly
+    * the failure mode direction-blind near-dup candidates have). One
+    * checkpointed q239 graph, self-joined on the reversed edge — the
+    * join keys are the (src, nbr) pairs, kilobyte-scale against the
+    * corpus. Output carries both ranks; cosine is symmetric by
+    * construction (same rounded value on both directions). */
+  def mutualKnn(s: SparkSession, dir: String): DataFrame = {
+    tune(s)
+    val g = knnGraphFrame(s, dir).localCheckpoint()
+    val fwd = g.select(col("src").as("va"), col("nbr").as("vb"),
+      col("cosim"), col("rn").as("rank_ab"))
+    val rev = g.select(col("nbr").as("va"), col("src").as("vb"),
+      col("rn").as("rank_ba"))
+    fwd.join(rev, Seq("va", "vb")).filter(col("va") < col("vb"))
+      .select(col("va"), col("vb"), col("cosim"), col("rank_ab"), col("rank_ba"))
+  }
+
+  private val mutualKnnSql =
+    s"""WITH $flatSql,
+       |$normsSql,
+       |$ivfAssignSql,
+       |gpairs AS (
+       |  SELECT u.vec_id AS src, v.vec_id AS nbr
+       |  FROM assign u JOIN assign v ON u.cid = v.cid AND u.vec_id <> v.vec_id),
+       |gdots AS (
+       |  SELECT p.src, p.nbr,
+       |         CAST(SUM(CAST(a.xd*b.xd AS DECIMAL(38,20))) AS DOUBLE) AS dot
+       |  FROM gpairs p
+       |  JOIN flat a ON a.vec_id = p.src
+       |  JOIN flat b ON b.vec_id = p.nbr AND b.pos = a.pos
+       |  GROUP BY p.src, p.nbr),
+       |gcos AS (
+       |  SELECT d.src, d.nbr, round(d.dot / (n1.nrm * n2.nrm), 9) AS cosim
+       |  FROM gdots d
+       |  JOIN norms n1 ON n1.vec_id = d.src
+       |  JOIN norms n2 ON n2.vec_id = d.nbr),
+       |g AS (
+       |  SELECT src, nbr, cosim, rn FROM (
+       |    SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY src ORDER BY cosim DESC, nbr) AS INT) AS rn
+       |    FROM gcos)
+       |  WHERE rn <= 3)
+       |SELECT a.src AS va, a.nbr AS vb, a.cosim, a.rn AS rank_ab, b.rn AS rank_ba
+       |FROM g a JOIN g b ON b.src = a.nbr AND b.nbr = a.src
+       |WHERE a.src < a.nbr""".stripMargin
 
   private val knnGraphSql =
     s"""WITH $flatSql,
@@ -3862,6 +3917,9 @@ object Similarity extends QueryModule {
     GQuery("q239_knn_graph",
       "kNN-graph construction: every corpus vector's top-3 cosine neighbors, IVF-cell-scoped from the persisted assignment (pair volume tracks cluster sizes, never corpus squared), exact-oracled per cell",
       knnGraph, Some(knnGraphSql)),
+    GQuery("q240_mutual_knn",
+      "mutual-kNN symmetrization: pairs where each vector is in the other's top-3 (reciprocity, the high-precision near-dup candidate filter over the directed graph) — one checkpointed q239 graph self-joined on the reversed edge, both ranks carried",
+      mutualKnn, Some(mutualKnnSql)),
     GQuery("q224_vector_takedown",
       "takedown erasure over the persisted IVF index: one anti-join over assign, centroids kept (probes just stop returning the erased ids), centroid-seed requests refused loudly",
       vectorTakedown, Some(vectorTakedownSql)),

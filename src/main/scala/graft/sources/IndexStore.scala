@@ -161,15 +161,38 @@ object IndexStore {
   /** Copy a stored index wholesale — "branch" it before mutating with
     * [[append]] (the ingest loop's refresh target), leaving the source
     * frozen. Pure file copy: no recompute, no scan of anything the
-    * index was built from. */
+    * index was built from.
+    *
+    * STAGED (r16): the copy lands in a tag-unique temp dir and swaps
+    * into place, so the destination is always either absent, the old
+    * complete copy, or the new complete copy — never a torn one.
+    * Copying directly into `to` was a real crash-correctness hole for
+    * callers that branch under the SOURCE's stamp (the q211/q212
+    * compacted branches): directory listings put `_STAMP` (underscore)
+    * before the lowercase table names, so a crash mid-copy left a
+    * destination whose stamp VALIDATED over incomplete tables — a
+    * store that would silently serve wrong rows after restart instead
+    * of failing the stamp check and re-branching. */
   def copy(s: SparkSession, from: String, to: String): Unit = {
     val src = new Path(from)
     val dst = new Path(to)
     val fs = fsOf(s, src)
-    if (fs.exists(dst)) fs.delete(dst, true)
-    if (!org.apache.hadoop.fs.FileUtil.copy(fs, src, fs, dst, false,
-        s.sparkContext.hadoopConfiguration))
+    val tag = java.lang.management.ManagementFactory.getRuntimeMXBean.getName
+      .replaceAll("[^A-Za-z0-9]", "") + "_" + System.nanoTime()
+    val tmp = new Path(dst.getParent, s".${dst.getName}_copying_$tag")
+    if (!org.apache.hadoop.fs.FileUtil.copy(fs, src, fs, tmp, false,
+        s.sparkContext.hadoopConfiguration)) {
+      fs.delete(tmp, true)
       throw new java.io.IOException(s"index copy: $from -> $to failed")
+    }
+    if (fs.exists(dst)) fs.delete(dst, true)
+    if (!fs.rename(tmp, dst)) {
+      fs.delete(tmp, true)
+      // benign race: a concurrent brancher may have swapped its complete
+      // copy in; if SOMETHING complete is live, the branch exists
+      if (!fs.exists(dst))
+        throw new java.io.IOException(s"index copy: cannot rename $tmp -> $dst")
+    }
   }
 
   /** Read one named table of a stored index. If the table directory is

@@ -499,6 +499,40 @@ class CrashRecoverySpec extends AnyFunSuite {
     assert(graft.sources.IndexStore.readStamp(s, store).contains("tswapspec"))
   }
 
+  test("a branch copy is staged: the destination is never a torn, stamp-validating store") {
+    // the q211/q212 compacted branches validate under the SOURCE's stamp,
+    // and directory listings copy _STAMP before the table dirs — so an
+    // unstaged copy crash left a torn destination that VALIDATED. The
+    // staged copy's invariant: dst is absent, the old complete copy, or
+    // the new complete copy; every kill window leaves a failing check.
+    import s.implicits._
+    val src = s"$base/cpsrc"
+    val dst = s"$base/cpdst"
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI("file:///"), s.sparkContext.hadoopConfiguration)
+    graft.sources.IndexStore.write(s, src, "copyspec",
+      Seq("t" -> (1L to 4L).toDF("id"), "u" -> (1L to 9L).toDF("id")))
+    // kill window A: crash mid-stage — only a tag-unique tmp exists;
+    // the destination path validates NOTHING
+    val deadTmp = new org.apache.hadoop.fs.Path(s"$base/.cpdst_copying_dead")
+    fs.mkdirs(deadTmp)
+    assert(!graft.sources.IndexStore.isCurrent(s, dst, "copyspec"),
+      "mid-stage crash: no destination, stamp check must fail (re-branch)")
+    // the completed copy is whole and validates under the source stamp
+    graft.sources.IndexStore.copy(s, src, dst)
+    assert(graft.sources.IndexStore.isCurrent(s, dst, "copyspec"))
+    assert(graft.sources.IndexStore.read(s, dst, "t").count() == 4L)
+    assert(graft.sources.IndexStore.read(s, dst, "u").count() == 9L)
+    assert(graft.sources.IndexStore.tableNames(s, dst) == Seq("t", "u"),
+      "the copy carries exactly the source's tables")
+    // kill window B: crash between the delete and the rename of a
+    // RE-copy — destination absent again, stamp check fails, re-branch
+    fs.delete(new org.apache.hadoop.fs.Path(dst), true)
+    assert(!graft.sources.IndexStore.isCurrent(s, dst, "copyspec"))
+    graft.sources.IndexStore.copy(s, src, dst)
+    assert(graft.sources.IndexStore.isCurrent(s, dst, "copyspec"))
+  }
+
   test("replaceTable killed after the swap, before the bak delete: stale bak is dropped, new data serves") {
     import s.implicits._
     val store = s"$base/tswap2"
