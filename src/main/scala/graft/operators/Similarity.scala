@@ -3811,20 +3811,58 @@ object Similarity extends QueryModule {
   }
 
   /** The cell-scoped top-3 neighbor frame (src, nbr, cosim, rn) shared
-    * by q239 and the q240 mutual-kNN symmetrization. */
+    * by q239 and the q240 mutual-kNN symmetrization.
+    *
+    * `spark.graft.knn.nprobe` (default 1) is the recall dial for the
+    * graph: at P>1 each SOURCE gathers candidates from its top-P coarse
+    * cells (re-derived against the broadcast STORED centroids — the
+    * q200 nprobe pattern), which closes the singleton-cell recall hole
+    * (a vector alone in its cell gets neighbors from its next-nearest
+    * cells) at P× the pair volume. Default 1 keeps the oracled,
+    * plan-locked stored-assignment path byte-identical; the widened
+    * mode is spec-covered (never worsens any vector's best neighbor,
+    * never loses a default-mode edge — SimilaritySpec). */
   private def knnGraphFrame(s: SparkSession, dir: String): DataFrame = {
-    val (_, assign) = corpusIvfIndex(s, dir)
+    val (cents, assign) = corpusIvfIndex(s, dir)
+    val np = s.conf.getOption("spark.graft.knn.nprobe").map(_.toInt).getOrElse(1)
     val a = assign.select(col("cid"), col("vec_id"), col("embedding"), col("nrm"))
-    val u = a.select(col("cid"), col("vec_id").as("src"),
-      col("embedding").as("qemb"), col("nrm").as("nq"))
-    val v = a.select(col("cid"), col("vec_id").as("nbr"),
-      col("embedding").as("vemb"), col("nrm").as("nv"))
     val w = Window.partitionBy(col("src"))
       .orderBy(round(col("cosim0"), 9).desc, col("nbr"))
-    u.join(v, Seq("cid")).filter(col("src") =!= col("nbr"))
-      .withColumn("cosim0", dotExpr / (col("nq") * col("nv")))
-      .withColumn("rn", row_number().over(w)).filter(col("rn") <= 3)
-      .select(col("src"), col("nbr"), round(col("cosim0"), 9).as("cosim"), col("rn"))
+    if (np <= 1) {
+      val u = a.select(col("cid"), col("vec_id").as("src"),
+        col("embedding").as("qemb"), col("nrm").as("nq"))
+      val v = a.select(col("cid"), col("vec_id").as("nbr"),
+        col("embedding").as("vemb"), col("nrm").as("nv"))
+      u.join(v, Seq("cid")).filter(col("src") =!= col("nbr"))
+        .withColumn("cosim0", dotExpr / (col("nq") * col("nv")))
+        .withColumn("rn", row_number().over(w)).filter(col("rn") <= 3)
+        .select(col("src"), col("nbr"), round(col("cosim0"), 9).as("cosim"), col("rn"))
+    } else {
+      // top-P cells per source against the broadcast stored centroids
+      // (same metric + tie-break as the stored assignment, so P=2's cell
+      // set is a superset of the stored cell); candidate (src, nbr)
+      // pairs dedup'd before scoring so a neighbor shared by two probed
+      // cells is ranked once
+      val q = a.select(col("vec_id").as("src"),
+        col("embedding").as("qemb"), col("nrm").as("nq"))
+      val wq = Window.partitionBy(col("src")).orderBy(col("ccos").desc, col("cid"))
+      val srcCells = q
+        .join(broadcast(cents.select(col("cid"),
+          col("embedding").as("vemb"), col("nc"))))
+        .withColumn("ccos", dotExpr / (col("nq") * col("nc")))
+        .withColumn("rp", row_number().over(wq)).filter(col("rp") <= np)
+        .select(col("src"), col("cid"))
+      val cand = srcCells
+        .join(a.select(col("cid"), col("vec_id").as("nbr")), Seq("cid"))
+        .filter(col("src") =!= col("nbr"))
+        .select(col("src"), col("nbr")).distinct()
+      cand.join(q, Seq("src"))
+        .join(a.select(col("vec_id").as("nbr"),
+          col("embedding").as("vemb"), col("nrm").as("nv")), Seq("nbr"))
+        .withColumn("cosim0", dotExpr / (col("nq") * col("nv")))
+        .withColumn("rn", row_number().over(w)).filter(col("rn") <= 3)
+        .select(col("src"), col("nbr"), round(col("cosim0"), 9).as("cosim"), col("rn"))
+    }
   }
 
   /** q240: MUTUAL-kNN pairs — the graph symmetrization curation actually

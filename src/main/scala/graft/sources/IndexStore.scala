@@ -14,17 +14,24 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * process lifetimes: a new job validates the stamp (filesystem metadata
   * only — no data read) and probes the stored tables directly.
   *
-  * Consistency model — deliberately simpler than [[Storage.guardedSwap]]:
-  * an index is DERIVED data, always rebuildable from its source, so the
-  * recovery story is "rebuild on miss", not "never lose it". [[write]]
-  * stages everything (stamp included) into a temp dir and swaps it in
-  * with delete+rename; any crash leaves either the old valid index, no
-  * index, or a stampless partial — the first validates, the other two
-  * fail [[isCurrent]] and trigger a rebuild. The one non-atomic window
-  * (between delete and rename) can strand concurrent READERS of the old
-  * index, which is why the fixture rigs serialize build-vs-load under a
-  * JVM lock; a multi-writer production deployment would version the
-  * directory name instead (write `path.v{n+1}`, flip a pointer file).
+  * Consistency model: an index is DERIVED data, always rebuildable from
+  * its source, so the floor is "rebuild on miss" — but since r16 every
+  * swap in the store ([[write]], [[replaceTable]], [[copy]]) is
+  * RENAME-ASIDE rather than delete-then-rename, so no crash window
+  * loses the old copy either. [[write]] stages everything (stamp
+  * included) into a tag-unique temp dir, renames the live store aside
+  * to a fixed `.old` name, renames the staged dir in, then drops the
+  * aside copy; [[isCurrent]]/[[readStamp]] heal a mid-swap crash at
+  * entry (aside copy restored when live is missing, stale aside dropped
+  * otherwise), so the store self-heals on its universal entry points.
+  * Any crash therefore leaves the old valid index (possibly under the
+  * aside name, healed on next touch), a complete new index, or a
+  * stampless partial that fails [[isCurrent]] and rebuilds. The brief
+  * window between the two renames can still strand a concurrent READER
+  * of the old index (two metadata ops wide), which is why the fixture
+  * rigs serialize build-vs-load under a JVM lock; a multi-writer
+  * production deployment would version the directory name instead
+  * (write `path.v{n+1}`, flip a pointer file).
   *
   * Reference provenance: the reference persists nothing between runs —
   * its idempotency state IS a database table it re-queries per file
@@ -68,17 +75,48 @@ object IndexStore {
     }
   }
 
+  /** The fixed aside name of a mid-[[write]] store copy (dot-prefixed:
+    * a sibling of the store, invisible to listings). */
+  private def storeBak(path: String): Path = {
+    val p = new Path(path)
+    new Path(p.getParent, s".${p.getName}_old")
+  }
+
+  /** Heal a [[write]] crash between its two renames: the aside copy is
+    * the only (old, valid) store — restore it; an aside copy beside a
+    * live store is post-swap garbage — drop it. Called by the store's
+    * universal entry points ([[isCurrent]]/[[readStamp]]) and by
+    * [[write]] at entry. Idempotent; metadata-only when clean. */
+  def healStoreSwap(s: SparkSession, path: String): Unit = {
+    val live = new Path(path)
+    val bak = storeBak(path)
+    val fs = fsOf(s, live)
+    if (fs.exists(bak)) {
+      if (!fs.exists(live)) {
+        if (!fs.rename(bak, live))
+          throw new java.io.IOException(
+            s"store swap recovery: cannot restore $bak -> $live")
+      } else fs.delete(bak, true): Unit
+    }
+  }
+
   /** True iff the index at `path` exists and was built from sources
     * matching `stamp`. The stamp is written as part of the atomic swap,
-    * so a half-built index never validates. */
-  def isCurrent(s: SparkSession, path: String, stamp: String): Boolean =
+    * so a half-built index never validates; a crash between [[write]]'s
+    * two renames is healed here (the build-if-stale gate every consumer
+    * goes through), restoring the aside copy before the check. */
+  def isCurrent(s: SparkSession, path: String, stamp: String): Boolean = {
+    healStoreSwap(s, path)
     readStampLines(s, path).headOption.contains(stamp)
+  }
 
   /** The stored stamp, if any — compaction re-persists under the SAME
     * stamp (the source corpus it fingerprints is unchanged by a layout
-    * rewrite). */
-  def readStamp(s: SparkSession, path: String): Option[String] =
+    * rewrite). Heals a mid-swap crash like [[isCurrent]]. */
+  def readStamp(s: SparkSession, path: String): Option[String] = {
+    healStoreSwap(s, path)
     readStampLines(s, path).headOption
+  }
 
   /** Key=value metadata recorded at [[write]] time (e.g. the LSH bit
     * width — an index property that probes must reuse verbatim). */
@@ -130,13 +168,17 @@ object IndexStore {
     }
 
   /** Build-or-replace the index: write every table + the stamp/meta file
-    * into a temp dir, then swap it over `path`. See the object scaladoc
-    * for the consistency model. */
+    * into a temp dir, then swap it over `path` rename-aside (live →
+    * fixed `.old`, tmp → live, drop `.old`) — crash-recoverable at every
+    * step via [[healStoreSwap]]. See the object scaladoc for the
+    * consistency model. */
   def write(s: SparkSession, path: String, stamp: String,
             tables: Seq[(String, DataFrame)],
             meta: Map[String, String] = Map.empty): Unit = {
     val live = new Path(path)
+    val bak = storeBak(path)
     val fs = fsOf(s, live)
+    healStoreSwap(s, path)
     // tmp name unique per process+attempt: two JVMs building the same
     // index concurrently (e.g. Verify and Bench racing on a shared
     // target/) stage independently instead of corrupting a shared tmp
@@ -147,15 +189,23 @@ object IndexStore {
       () => df.write.mode("overwrite").parquet(new Path(tmp, name).toString)
     })
     writeStamp(s, tmp.toString, stamp, meta)
-    if (fs.exists(live)) fs.delete(live, true)
+    if (fs.exists(live) && !fs.rename(live, bak)) {
+      // a concurrent writer may have taken the live dir aside first; if
+      // what lands validates against OUR stamp the race is benign —
+      // otherwise refuse without touching anything further
+      fs.delete(tmp, true)
+      if (!isCurrent(s, path, stamp))
+        throw new java.io.IOException(s"index swap: cannot move $live aside")
+      return
+    }
     if (!fs.rename(tmp, live)) {
-      // a concurrent writer may have swapped its copy in between our
-      // delete and rename; if what's live validates against OUR stamp,
-      // the index is correct and the race is benign — drop our copy
+      // concurrent writer swapped its copy in between our two renames;
+      // benign iff it validates against our stamp (same sources)
       fs.delete(tmp, true)
       if (!isCurrent(s, path, stamp))
         throw new java.io.IOException(s"index swap: cannot rename $tmp -> $live")
     }
+    if (fs.exists(bak)) fs.delete(bak, true): Unit
   }
 
   /** Copy a stored index wholesale — "branch" it before mutating with

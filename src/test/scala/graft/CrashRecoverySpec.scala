@@ -499,6 +499,39 @@ class CrashRecoverySpec extends AnyFunSuite {
     assert(graft.sources.IndexStore.readStamp(s, store).contains("tswapspec"))
   }
 
+  test("a whole-store write killed between its renames: the aside copy heals at the stamp gate") {
+    // r16: IndexStore.write is rename-aside too (live -> .old, tmp ->
+    // live, drop .old). The kill window between the renames leaves the
+    // only copy under the fixed aside name; isCurrent/readStamp — the
+    // build-if-stale gate every consumer passes through — restore it.
+    import s.implicits._
+    val store = s"$base/swrite"
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI("file:///"), s.sparkContext.hadoopConfiguration)
+    graft.sources.IndexStore.write(s, store, "v1", Seq("t" -> (1L to 3L).toDF("id")))
+    // simulate the kill: live taken aside, a staged tmp left behind
+    val live = new org.apache.hadoop.fs.Path(store)
+    val bak = new org.apache.hadoop.fs.Path(s"$base/.swrite_old")
+    assert(fs.rename(live, bak), "test setup: open the kill window")
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$base/.swrite_building_dead"))
+    // the stamp gate heals: the OLD store is back and validates
+    assert(graft.sources.IndexStore.isCurrent(s, store, "v1"),
+      "mid-swap crash: the gate must restore the aside copy")
+    assert(graft.sources.IndexStore.read(s, store, "t").count() == 3L)
+    assert(!fs.exists(bak))
+    // a post-swap crash (stale aside beside a complete new store): the
+    // gate drops the garbage and the NEW store serves
+    graft.sources.IndexStore.write(s, store, "v2", Seq("t" -> (1L to 5L).toDF("id")))
+    fs.mkdirs(bak)
+    assert(graft.sources.IndexStore.isCurrent(s, store, "v2"))
+    assert(!fs.exists(bak), "stale aside must be dropped at the gate")
+    assert(graft.sources.IndexStore.read(s, store, "t").count() == 5L)
+    // a fresh write over the healed store completes and leaves no aside
+    graft.sources.IndexStore.write(s, store, "v3", Seq("t" -> (1L to 7L).toDF("id")))
+    assert(graft.sources.IndexStore.isCurrent(s, store, "v3")
+      && graft.sources.IndexStore.read(s, store, "t").count() == 7L && !fs.exists(bak))
+  }
+
   test("a branch copy is staged: the destination is never a torn, stamp-validating store") {
     // the q211/q212 compacted branches validate under the SOURCE's stamp,
     // and directory listings copy _STAMP before the table dirs — so an
