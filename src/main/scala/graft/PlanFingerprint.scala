@@ -161,6 +161,7 @@ object PlanFingerprint {
     // graph (scan of the checkpoint, one hash join) — a drift that
     // recomputed the cell pair volume twice is what the lock catches
     "q240_mutual_knn",
+    "q241_knn_clusters",
   )
 
   /** Structural counts of the STEADY-STATE initial plan.

@@ -187,6 +187,10 @@ object ScaleRung {
     // a reciprocity self-join over the TOP-K EDGES — 3N rows however
     // big the cells get; its delta over q239 must stay edge-sized
     "q240_mutual_knn",
+    // q241 adds the CC closure over the ≤3N mutual edges — the
+    // single-partition union-find tier at any rung scale here; its
+    // delta over q240 must stay edge-sized too
+    "q241_knn_clusters",
   )
 
   /** The RocksDB-vs-memory crossover experiment: the two streaming rigs

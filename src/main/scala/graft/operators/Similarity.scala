@@ -3886,8 +3886,11 @@ object Similarity extends QueryModule {
       .select(col("va"), col("vb"), col("cosim"), col("rank_ab"), col("rank_ba"))
   }
 
-  private val mutualKnnSql =
-    s"""WITH $flatSql,
+  /** The shared kNN-graph CTE chain (flat → norms → assign → in-cell
+    * pairs → exact dots → rounded cosines → top-3 `g`) under q239, q240,
+    * and the q241 clusters. */
+  private val knnGraphCtes =
+    s"""$flatSql,
        |$normsSql,
        |$ivfAssignSql,
        |gpairs AS (
@@ -3909,10 +3912,55 @@ object Similarity extends QueryModule {
        |  SELECT src, nbr, cosim, rn FROM (
        |    SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY src ORDER BY cosim DESC, nbr) AS INT) AS rn
        |    FROM gcos)
-       |  WHERE rn <= 3)
+       |  WHERE rn <= 3)""".stripMargin
+
+  private val mutualKnnSql =
+    s"""WITH $knnGraphCtes
        |SELECT a.src AS va, a.nbr AS vb, a.cosim, a.rn AS rank_ab, b.rn AS rank_ba
        |FROM g a JOIN g b ON b.src = a.nbr AND b.nbr = a.src
        |WHERE a.src < a.nbr""".stripMargin
+
+  /** q241: semantic near-dup CLUSTERS over the mutual-kNN graph — the
+    * reciprocity-filtered edges (q240) closed under connectivity by the
+    * measured three-tier [[graft.operators.Dedup.connectedComponents]],
+    * labels = minimum member id (the canonical-pick convention every
+    * cluster family here uses). This is the kNN-graph alternative to
+    * SemDeDup's drop-against-lower-id policy: reciprocity keeps the
+    * candidate set high-precision, connectivity turns it into the
+    * cluster ledger (sizes + id range per cluster) that soft-dedup
+    * weighting and diversity sampling consume. Edge volume is the
+    * top-k graph's (≤ 3N), so the CC input is corpus-linear however
+    * large the cells were. */
+  def knnClusters(s: SparkSession, dir: String): DataFrame = {
+    tune(s)
+    val g = knnGraphFrame(s, dir).localCheckpoint()
+    // g holds one row per directed (src, nbr) edge, so the reversed-edge
+    // join is 1:1 — the semi-join keeps exactly the reciprocated pairs
+    val fwd = g.select(col("src").as("va"), col("nbr").as("vb"))
+    val rev = g.select(col("nbr").as("va"), col("src").as("vb"))
+    val pairs = fwd.join(rev, Seq("va", "vb"), "left_semi")
+      .filter(col("va") < col("vb"))
+    graft.operators.Dedup.connectedComponents(pairs)
+      .groupBy(col("lab").as("cluster_id"))
+      .agg(count(lit(1)).as("n_members"),
+        min(col("n")).as("min_vec"), max(col("n")).as("max_vec"))
+  }
+
+  private val knnClustersSql =
+    s"""WITH RECURSIVE $knnGraphCtes,
+       |mpairs AS (
+       |  SELECT a.src AS va, a.nbr AS vb
+       |  FROM g a JOIN g b ON b.src = a.nbr AND b.nbr = a.src
+       |  WHERE a.src < a.nbr),
+       |edges AS (SELECT va AS n, vb AS m FROM mpairs UNION SELECT vb, va FROM mpairs),
+       |reach(n, lab) AS (
+       |  SELECT n, n FROM (SELECT DISTINCT n FROM edges)
+       |  UNION
+       |  SELECT e.n, r.lab FROM edges e JOIN reach r ON r.n = e.m),
+       |labels AS (SELECT n, MIN(lab) AS lab FROM reach GROUP BY n)
+       |SELECT lab AS cluster_id, COUNT(*) AS n_members,
+       |MIN(n) AS min_vec, MAX(n) AS max_vec
+       |FROM labels GROUP BY lab""".stripMargin
 
   private val knnGraphSql =
     s"""WITH $flatSql,
@@ -3958,6 +4006,9 @@ object Similarity extends QueryModule {
     GQuery("q240_mutual_knn",
       "mutual-kNN symmetrization: pairs where each vector is in the other's top-3 (reciprocity, the high-precision near-dup candidate filter over the directed graph) — one checkpointed q239 graph self-joined on the reversed edge, both ranks carried",
       mutualKnn, Some(mutualKnnSql)),
+    GQuery("q241_knn_clusters",
+      "semantic near-dup clusters over the mutual-kNN graph: reciprocity-filtered edges closed under connectivity (the measured three-tier CC, labels = min member id) into the per-cluster ledger soft-dedup weighting and diversity sampling consume; CC input is the top-k graph's <=3N edges, corpus-linear however large the cells",
+      knnClusters, Some(knnClustersSql)),
     GQuery("q224_vector_takedown",
       "takedown erasure over the persisted IVF index: one anti-join over assign, centroids kept (probes just stop returning the erased ids), centroid-seed requests refused loudly",
       vectorTakedown, Some(vectorTakedownSql)),
