@@ -162,6 +162,7 @@ object PlanFingerprint {
     // recomputed the cell pair volume twice is what the lock catches
     "q240_mutual_knn",
     "q241_knn_clusters",
+    "q242_label_noise",
   )
 
   /** Structural counts of the STEADY-STATE initial plan.

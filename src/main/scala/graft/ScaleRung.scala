@@ -191,6 +191,9 @@ object ScaleRung {
     // single-partition union-find tier at any rung scale here; its
     // delta over q240 must stay edge-sized too
     "q241_knn_clusters",
+    // q242 adds two label joins over the ≤3N edges — label rows are
+    // (id, int) pairs, so the delta over q239 must be near-zero
+    "q242_label_noise",
   )
 
   /** The RocksDB-vs-memory crossover experiment: the two streaming rigs

@@ -3946,6 +3946,54 @@ object Similarity extends QueryModule {
         min(col("n")).as("min_vec"), max(col("n")).as("max_vec"))
   }
 
+  /** q242: label-noise audit via kNN neighborhood agreement — the
+    * confident-learning-style screen a labeled training set runs before
+    * fitting anything: a vector whose graph neighbors MOSTLY carry a
+    * different label is a suspected mislabel (or an off-distribution
+    * sample). Per-vector agreement counts ride the q239 graph (one
+    * checkpointed build, two broadcast-scale label joins); `suspect` is
+    * the strict-minority integer gate `2*n_agree < n_nbrs` (no float
+    * thresholds to drift cross-engine). Rolled up per label: corpus
+    * size, how many were scorable (had an in-cell neighbor — the
+    * isolated remainder is the q239 recall trade, countable here), and
+    * the suspect count. At 100 TB the audit costs the graph build plus
+    * two kilobyte-wide label joins — nothing label-side ever shuffles
+    * the embedding bytes. */
+  def labelNoise(s: SparkSession, dir: String): DataFrame = {
+    tune(s)
+    val g = knnGraphFrame(s, dir).localCheckpoint()
+    val lab = table(s, dir, "embeddings").select(col("vec_id"), col("label"))
+    val scored = g
+      .join(lab.select(col("vec_id").as("src"), col("label").as("src_label")), Seq("src"))
+      .join(lab.select(col("vec_id").as("nbr"), col("label").as("nbr_label")), Seq("nbr"))
+      .groupBy(col("src"), col("src_label"))
+      .agg(count(lit(1)).as("n_nbrs"),
+        sum(when(col("src_label") === col("nbr_label"), 1L).otherwise(0L)).as("n_agree"))
+      .withColumn("suspect", lit(2L) * col("n_agree") < col("n_nbrs"))
+    lab.join(scored.select(col("src").as("vec_id"), col("n_nbrs"), col("suspect")),
+        Seq("vec_id"), "left")
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n_vecs"),
+        sum(when(col("n_nbrs").isNotNull, 1L).otherwise(0L)).as("n_scored"),
+        sum(when(col("suspect") === true, 1L).otherwise(0L)).as("n_suspect"))
+  }
+
+  private val labelNoiseSql =
+    s"""WITH $knnGraphCtes,
+       |scored AS (
+       |  SELECT g.src, ls.label AS src_label,
+       |         CAST(COUNT(*) AS BIGINT) AS n_nbrs,
+       |         CAST(SUM(CASE WHEN ls.label = ln.label THEN 1 ELSE 0 END) AS BIGINT) AS n_agree
+       |  FROM g
+       |  JOIN embeddings ls ON ls.vec_id = g.src
+       |  JOIN embeddings ln ON ln.vec_id = g.nbr
+       |  GROUP BY g.src, ls.label)
+       |SELECT e.label, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+       |       CAST(SUM(CASE WHEN sc.src IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_scored,
+       |       CAST(SUM(CASE WHEN 2*sc.n_agree < sc.n_nbrs THEN 1 ELSE 0 END) AS BIGINT) AS n_suspect
+       |FROM embeddings e LEFT JOIN scored sc ON sc.src = e.vec_id
+       |GROUP BY e.label""".stripMargin
+
   private val knnClustersSql =
     s"""WITH RECURSIVE $knnGraphCtes,
        |mpairs AS (
@@ -4009,6 +4057,9 @@ object Similarity extends QueryModule {
     GQuery("q241_knn_clusters",
       "semantic near-dup clusters over the mutual-kNN graph: reciprocity-filtered edges closed under connectivity (the measured three-tier CC, labels = min member id) into the per-cluster ledger soft-dedup weighting and diversity sampling consume; CC input is the top-k graph's <=3N edges, corpus-linear however large the cells",
       knnClusters, Some(knnClustersSql)),
+    GQuery("q242_label_noise",
+      "label-noise audit via kNN neighborhood agreement: per-vector strict-minority gate (2*n_agree < n_nbrs, integer — no float thresholds) over the q239 graph, rolled up per label with the scorable/isolated split made visible; the confident-learning-style screen a labeled set runs before training",
+      labelNoise, Some(labelNoiseSql)),
     GQuery("q224_vector_takedown",
       "takedown erasure over the persisted IVF index: one anti-join over assign, centroids kept (probes just stop returning the erased ids), centroid-seed requests refused loudly",
       vectorTakedown, Some(vectorTakedownSql)),
