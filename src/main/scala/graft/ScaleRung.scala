@@ -192,7 +192,8 @@ object ScaleRung {
     // delta over q240 must stay edge-sized too
     "q241_knn_clusters",
     // q242 adds two label joins over the ≤3N edges — label rows are
-    // (id, int) pairs, so the delta over q239 must be near-zero
+    // (id, int) pairs, so its delta over the checkpointed-graph rows
+    // (q240/q241) must stay label-join-sized, never embedding-sized
     "q242_label_noise",
   )
 

@@ -114,4 +114,22 @@ class DeterminismSpec extends AnyFunSuite {
       graft.operators.Search.hybridRrf(s, TestSpark.sf)))
     assert(a2 == b2)
   }
+
+  test("kNN graph and its cluster closure are identical under 2 vs 16 partitions") {
+    // the classic hazard this family carries: per-pair double folds
+    // (rounded to 9 before any ranking), window ties broken on neighbor
+    // id, a checkpointed reciprocity join, and a CC closure whose label
+    // is the component minimum — none of it may depend on how the cell
+    // self-join or the union-find input was parallelized
+    val a = underPartitions(2)(collectSorted(
+      graft.operators.Similarity.knnGraph(s, TestSpark.sf)))
+    val b = underPartitions(16)(collectSorted(
+      graft.operators.Similarity.knnGraph(s, TestSpark.sf)))
+    assert(a == b)
+    val a2 = underPartitions(2)(collectSorted(
+      graft.operators.Similarity.knnClusters(s, TestSpark.sf)))
+    val b2 = underPartitions(16)(collectSorted(
+      graft.operators.Similarity.knnClusters(s, TestSpark.sf)))
+    assert(a2 == b2)
+  }
 }
