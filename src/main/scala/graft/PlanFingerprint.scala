@@ -163,6 +163,10 @@ object PlanFingerprint {
     "q240_mutual_knn",
     "q241_knn_clusters",
     "q242_label_noise",
+    // q243's value: the probe reads the repaired STORE (edges scan +
+    // broadcast trace audits) — a drift that recomputed the graph or
+    // the repair at probe time is what the lock catches
+    "q243_knn_takedown",
   )
 
   /** Structural counts of the STEADY-STATE initial plan.

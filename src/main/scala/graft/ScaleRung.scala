@@ -195,6 +195,10 @@ object ScaleRung {
     // (id, int) pairs, so its delta over the checkpointed-graph rows
     // (q240/q241) must stay label-join-sized, never embedding-sized
     "q242_label_noise",
+    // q243's warm probe is an edges-table scan + broadcast trace audits
+    // (the store build + O(affected) repair are one-time, stamped);
+    // wall must track edge bytes, the takedown-family serving shape
+    "q243_knn_takedown",
   )
 
   /** The RocksDB-vs-memory crossover experiment: the two streaming rigs

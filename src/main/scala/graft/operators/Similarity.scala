@@ -3994,6 +3994,148 @@ object Similarity extends QueryModule {
        |FROM embeddings e LEFT JOIN scored sc ON sc.src = e.vec_id
        |GROUP BY e.label""".stripMargin
 
+  // ---- q243: takedown over the persisted kNN graph (O(affected) repair) ----
+
+  private[graft] def knnGraphStorePath(dir: String): String =
+    "target/graft_index/knng_" + dir.replaceAll("[^A-Za-z0-9.]+", "_")
+
+  /** Build-if-stale the persisted kNN-graph store — the q239 graph as a
+    * serving artifact (one `edges` table, the layout every graph
+    * consumer here probes) so maintenance ops have something durable to
+    * maintain. Stamped on the embeddings fingerprint like every vector
+    * store. */
+  private[graft] def knnGraphStore(s: SparkSession, dir: String): String = {
+    val path = knnGraphStorePath(dir)
+    // the nprobe dial changes the graph CONTENT — bake it into the stamp
+    // so a store built under a widened session never serves (or is
+    // served by) the default path
+    val np = s.conf.getOption("spark.graft.knn.nprobe").getOrElse("1")
+    val stamp = s"knng1|np$np|" +
+      graft.sources.IndexStore.sourceStamp(s, Seq(s"$dir/embeddings.parquet"))
+    synchronized {
+      if (!graft.sources.IndexStore.isCurrent(s, path, stamp))
+        graft.sources.IndexStore.write(s, path, stamp,
+          Seq("edges" -> knnGraphFrame(s, dir)))
+    }
+    path
+  }
+
+  /** Build-if-stale the post-takedown BRANCH of the graph store. The
+    * erasure request is the q224 slice (vec_id % 89 = 17). What makes a
+    * GRAPH takedown more than an anti-join: deleting a vector also
+    * invalidates the top-3 lists it appeared IN — those sources must be
+    * re-ranked. The repair is provably O(affected), not O(graph):
+    * removal only SHRINKS candidate sets, so a list that never
+    * contained a deleted id is still exactly the top-3 of the shrunken
+    * set and carries through untouched (rows and ranks); only sources
+    * whose list intersects the delete set recompute, each against its
+    * own IVF cell minus the deleted ids. The branch is therefore
+    * bit-equal to a from-scratch rebuild over the filtered corpus —
+    * which is exactly what the oracle pins. */
+  private[graft] def knnTakedownBranch(s: SparkSession, dir: String): String = {
+    val src = knnGraphStore(s, dir)
+    val path = src + "_takedown_" + processTag
+    val np = s.conf.getOption("spark.graft.knn.nprobe").getOrElse("1")
+    // the O(affected) repair recomputes against a source's own cell —
+    // the default graph's candidate rule. A widened (nprobe>1) graph
+    // needs the widened candidate set; refuse rather than under-repair
+    require(np == "1", "knnTakedownBranch: the cell-scoped repair serves the " +
+      "default graph; a widened (spark.graft.knn.nprobe>1) graph must be " +
+      "rebuilt from the filtered corpus instead")
+    val stamp = s"knngtd1|np$np|" +
+      graft.sources.IndexStore.sourceStamp(s, Seq(s"$dir/embeddings.parquet"))
+    synchronized {
+      if (!graft.sources.IndexStore.isCurrent(s, path, stamp)) {
+        graft.sources.IndexStore.copy(s, src, path)
+        cleanupAtExit(path)
+        val del = table(s, dir, "embeddings")
+          .filter(col("vec_id") % 89 === 17).select(col("vec_id")).localCheckpoint()
+        val edges = graft.sources.IndexStore.read(s, path, "edges")
+        val delSrc = del.select(col("vec_id").as("src"))
+        val delNbr = del.select(col("vec_id").as("nbr"))
+        // rows whose SOURCE survives; of those, the sources that lost a
+        // neighbor are the repair set
+        val keepSrc = edges.join(broadcast(delSrc), Seq("src"), "left_anti")
+        val affected = keepSrc.join(broadcast(delNbr), Seq("nbr"), "left_semi")
+          .select(col("src")).distinct().localCheckpoint()
+        val keep = keepSrc.join(broadcast(affected), Seq("src"), "left_anti")
+        // recompute ONLY the affected sources, each against its cell
+        // minus the deleted ids (the stored assignment keeps its
+        // geometry — the q224 centroid trade)
+        val (_, assign) = corpusIvfIndex(s, dir)
+        val live = assign.select(col("cid"), col("vec_id"), col("embedding"), col("nrm"))
+          .join(broadcast(del), Seq("vec_id"), "left_anti")
+        val srcs = live.join(broadcast(affected.select(col("src").as("vec_id"))),
+            Seq("vec_id"), "left_semi")
+          .select(col("cid"), col("vec_id").as("src"),
+            col("embedding").as("qemb"), col("nrm").as("nq"))
+        val cand = live.select(col("cid"), col("vec_id").as("nbr"),
+          col("embedding").as("vemb"), col("nrm").as("nv"))
+        val w = Window.partitionBy(col("src"))
+          .orderBy(round(col("cosim0"), 9).desc, col("nbr"))
+        val recomputed = srcs.join(cand, Seq("cid")).filter(col("src") =!= col("nbr"))
+          .withColumn("cosim0", dotExpr / (col("nq") * col("nv")))
+          .withColumn("rn", row_number().over(w)).filter(col("rn") <= 3)
+          .select(col("src"), col("nbr"), round(col("cosim0"), 9).as("cosim"), col("rn"))
+        // pin the repaired rows before the swap reads-vs-writes the table
+        val repaired = keep.select(col("src"), col("nbr"), col("cosim"), col("rn"))
+          .unionByName(recomputed).localCheckpoint()
+        graft.sources.IndexStore.replaceTable(s, path, "edges", repaired)
+        graft.sources.IndexStore.writeStamp(s, path, stamp, Map(
+          "n_del" -> del.count().toString,
+          "n_repaired" -> affected.count().toString))
+      }
+    }
+    path
+  }
+
+  /** q243: the repaired graph served from the post-takedown branch, with
+    * the erasure audited in-frame: zero surviving traces (no edge
+    * touches a deleted id, either side), the request size, and how many
+    * sources the repair actually re-ranked — the O(affected) bound made
+    * visible. The oracle recomputes the WHOLE graph from the filtered
+    * pair set (same cells, deleted ids absent from both sides) and
+    * re-derives both audit counts from raw data, so an under-repaired
+    * source (stale rank), an over-repair, or a leaked edge all
+    * hash-mismatch. */
+  def knnTakedown(s: SparkSession, dir: String): DataFrame = {
+    tune(s)
+    val path = knnTakedownBranch(s, dir)
+    val meta = graft.sources.IndexStore.readMeta(s, path)
+    val edges = graft.sources.IndexStore.read(s, path, "edges")
+    val del = table(s, dir, "embeddings")
+      .filter(col("vec_id") % 89 === 17).select(col("vec_id")).localCheckpoint()
+    val traces = edges.join(broadcast(del.select(col("vec_id").as("src"))), Seq("src"))
+      .agg(count(lit(1)).as("n"))
+      .unionByName(edges.join(broadcast(del.select(col("vec_id").as("nbr"))), Seq("nbr"))
+        .agg(count(lit(1)).as("n")))
+      .agg(sum(col("n")).as("removed_traces"))
+    val audit = traces
+      .withColumn("n_del", lit(meta("n_del").toLong))
+      .withColumn("n_repaired", lit(meta("n_repaired").toLong))
+    edges.select(col("src").as("vec_id"), col("nbr"), col("cosim"), col("rn"))
+      .crossJoin(broadcast(audit))
+  }
+
+  private val knnTakedownSql =
+    s"""WITH $knnGraphCtes,
+       |del AS (SELECT vec_id FROM embeddings WHERE vec_id % 89 = 17),
+       |g2 AS (
+       |  SELECT src, nbr, cosim, rn FROM (
+       |    SELECT src, nbr, cosim,
+       |           CAST(ROW_NUMBER() OVER (PARTITION BY src ORDER BY cosim DESC, nbr) AS INT) AS rn
+       |    FROM gcos
+       |    WHERE src NOT IN (SELECT vec_id FROM del)
+       |      AND nbr NOT IN (SELECT vec_id FROM del))
+       |  WHERE rn <= 3)
+       |SELECT src AS vec_id, nbr, cosim, rn,
+       |       CAST(0 AS BIGINT) AS removed_traces,
+       |       (SELECT CAST(COUNT(*) AS BIGINT) FROM del) AS n_del,
+       |       (SELECT CAST(COUNT(DISTINCT src) AS BIGINT) FROM g
+       |        WHERE src NOT IN (SELECT vec_id FROM del)
+       |          AND nbr IN (SELECT vec_id FROM del)) AS n_repaired
+       |FROM g2""".stripMargin
+
   private val knnClustersSql =
     s"""WITH RECURSIVE $knnGraphCtes,
        |mpairs AS (
@@ -4060,6 +4202,9 @@ object Similarity extends QueryModule {
     GQuery("q242_label_noise",
       "label-noise audit via kNN neighborhood agreement: per-vector strict-minority gate (2*n_agree < n_nbrs, integer — no float thresholds) over the q239 graph, rolled up per label with the scorable/isolated split made visible; the confident-learning-style screen a labeled set runs before training",
       labelNoise, Some(labelNoiseSql)),
+    GQuery("q243_knn_takedown",
+      "takedown over the persisted kNN-graph store with O(affected) repair: deleting a vector also invalidates the lists it appeared IN, but removal only shrinks candidate sets, so untouched lists carry through and only sources that lost a neighbor re-rank against their cell minus the request — oracled bit-equal to a from-scratch rebuild over the filtered pairs, with zero traces and the repair count pinned",
+      knnTakedown, Some(knnTakedownSql)),
     GQuery("q224_vector_takedown",
       "takedown erasure over the persisted IVF index: one anti-join over assign, centroids kept (probes just stop returning the erased ids), centroid-seed requests refused loudly",
       vectorTakedown, Some(vectorTakedownSql)),
