@@ -167,6 +167,7 @@ object PlanFingerprint {
     // broadcast trace audits) — a drift that recomputed the graph or
     // the repair at probe time is what the lock catches
     "q243_knn_takedown",
+    "q244_feed_synced_knn",
   )
 
   /** Structural counts of the STEADY-STATE initial plan.

@@ -199,6 +199,10 @@ object ScaleRung {
     // (the store build + O(affected) repair are one-time, stamped);
     // wall must track edge bytes, the takedown-family serving shape
     "q243_knn_takedown",
+    // q244's warm probe is the same edges-scan shape over the synced
+    // store; the one-time build holds the only super-linear term (the
+    // base graph), and both feed legs are delta/affected-sized
+    "q244_feed_synced_knn",
   )
 
   /** The RocksDB-vs-memory crossover experiment: the two streaming rigs

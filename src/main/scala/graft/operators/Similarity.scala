@@ -3829,14 +3829,7 @@ object Similarity extends QueryModule {
     val w = Window.partitionBy(col("src"))
       .orderBy(round(col("cosim0"), 9).desc, col("nbr"))
     if (np <= 1) {
-      val u = a.select(col("cid"), col("vec_id").as("src"),
-        col("embedding").as("qemb"), col("nrm").as("nq"))
-      val v = a.select(col("cid"), col("vec_id").as("nbr"),
-        col("embedding").as("vemb"), col("nrm").as("nv"))
-      u.join(v, Seq("cid")).filter(col("src") =!= col("nbr"))
-        .withColumn("cosim0", dotExpr / (col("nq") * col("nv")))
-        .withColumn("rn", row_number().over(w)).filter(col("rn") <= 3)
-        .select(col("src"), col("nbr"), round(col("cosim0"), 9).as("cosim"), col("rn"))
+      cellGraph(a)
     } else {
       // top-P cells per source against the broadcast stored centroids
       // (same metric + tie-break as the stored assignment, so P=2's cell
@@ -3863,6 +3856,23 @@ object Similarity extends QueryModule {
         .withColumn("rn", row_number().over(w)).filter(col("rn") <= 3)
         .select(col("src"), col("nbr"), round(col("cosim0"), 9).as("cosim"), col("rn"))
     }
+  }
+
+  /** The cell-scoped top-3 edges of an arbitrary `(cid, vec_id,
+    * embedding, nrm)` membership frame — the graph core under the q239
+    * default path, the q244 sync store's build, and any caller with its
+    * own population. */
+  private def cellGraph(a: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("src"))
+      .orderBy(round(col("cosim0"), 9).desc, col("nbr"))
+    val u = a.select(col("cid"), col("vec_id").as("src"),
+      col("embedding").as("qemb"), col("nrm").as("nq"))
+    val v = a.select(col("cid"), col("vec_id").as("nbr"),
+      col("embedding").as("vemb"), col("nrm").as("nv"))
+    u.join(v, Seq("cid")).filter(col("src") =!= col("nbr"))
+      .withColumn("cosim0", dotExpr / (col("nq") * col("nv")))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") <= 3)
+      .select(col("src"), col("nbr"), round(col("cosim0"), 9).as("cosim"), col("rn"))
   }
 
   /** q240: MUTUAL-kNN pairs — the graph symmetrization curation actually
@@ -4136,6 +4146,203 @@ object Similarity extends QueryModule {
        |          AND nbr IN (SELECT vec_id FROM del)) AS n_repaired
        |FROM g2""".stripMargin
 
+  // ---- q244: feed-driven sync of the kNN-graph store ----
+
+  /** Build-if-stale the feed-synced kNN-graph store — the graph joins
+    * the "every serving structure follows the lake" arc (q227–q230):
+    * v1 commits the embeddings, the graph (plus its IVF substrate)
+    * builds FROM the lake, and the v1→v3 change feed applies O(delta +
+    * affected), never O(graph):
+    *  - DELETE leg: the q243 repair — untouched lists carry through
+    *    (removal only shrinks candidate sets); only sources whose top-3
+    *    lost a member re-rank against their cell minus the deletes.
+    *  - INSERT leg: arrivals coarse-assign against the STORED centroids
+    *    (O(batch)); each arrival's own list computes against its cell's
+    *    survivors ∪ co-arriving batch-mates; existing survivors MERGE —
+    *    insertion only ADDS candidates, so a survivor's new top-3 can
+    *    only contain its old list members or arrivals, and re-windowing
+    *    (old edges ∪ cross-edges to same-cell arrivals) is exactly the
+    *    top-3 of the updated cell. No survivor ever re-scores against
+    *    its whole cell for an insert.
+    * The final stamp is written only after both legs; a crash mid-sync
+    * rebuilds. The oracle recomputes the WHOLE graph from the lake's
+    * current logical state (survivors keep their v1 cells, arrivals
+    * assign against the v1 centroids), so a stale rank, an unmerged
+    * cross-edge, or a leaked deleted id all hash-mismatch. */
+  private[graft] def knnSyncStore(s: SparkSession, dir: String): String = {
+    val idxPath = "target/tmp/knn_sync_" + processTag + "_" +
+      dir.replaceAll("[^A-Za-z0-9.]+", "_")
+    val stamp = "knnsync1|" +
+      graft.sources.IndexStore.sourceStamp(s, Seq(s"$dir/embeddings.parquet"))
+    synchronized {
+      if (!graft.sources.IndexStore.isCurrent(s, idxPath, stamp)) {
+        val f = embeddingFeedFixture(s, dir, "knnsync")
+        val (cents0, assign0, m) = buildIvfIndex(f.base)
+        graft.sources.IndexStore.write(s, idxPath, "knnsync-building", Seq(
+          "edges" -> cellGraph(assign0),
+          "centroids" -> cents0,
+          "assign" -> assign0.repartitionByRange(col("cid"), col("vec_id"))
+            .sortWithinPartitions(col("cid"), col("vec_id"))))
+        cleanupAtExit(idxPath)
+        def rd(t: String) = graft.sources.IndexStore.read(s, idxPath, t)
+        // DELETE leg: membership anti-join + the q243 O(affected) repair
+        val del = f.del.localCheckpoint()
+        val kept = rd("assign")
+          .join(broadcast(del), Seq("vec_id"), "left_anti").localCheckpoint()
+        graft.sources.IndexStore.replaceTable(s, idxPath, "assign",
+          kept.repartitionByRange(col("cid"), col("vec_id"))
+            .sortWithinPartitions(col("cid"), col("vec_id")))
+        val edges0 = rd("edges")
+        val keepSrc = edges0.join(
+          broadcast(del.select(col("vec_id").as("src"))), Seq("src"), "left_anti")
+        val affected = keepSrc.join(
+            broadcast(del.select(col("vec_id").as("nbr"))), Seq("nbr"), "left_semi")
+          .select(col("src")).distinct().localCheckpoint()
+        val keep = keepSrc.join(broadcast(affected), Seq("src"), "left_anti")
+        val survivors = rd("assign")
+        val recomputed = cellGraphFor(survivors,
+          survivors.join(broadcast(affected.select(col("src").as("vec_id"))),
+            Seq("vec_id"), "left_semi"))
+        graft.sources.IndexStore.replaceTable(s, idxPath, "edges",
+          keep.select(col("src"), col("nbr"), col("cosim"), col("rn"))
+            .unionByName(recomputed).localCheckpoint())
+        // INSERT leg: coarse-assign arrivals, then MERGE
+        val aa = coarseAssignArrivals(s, idxPath, f.inserts).localCheckpoint()
+        val cross = survivors.select(col("cid"), col("vec_id").as("src"),
+            col("embedding").as("qemb"), col("nrm").as("nq"))
+          .join(aa.select(col("cid"), col("vec_id").as("nbr"),
+            col("embedding").as("vemb"), col("nrm").as("nv")), Seq("cid"))
+          .withColumn("cosim0", dotExpr / (col("nq") * col("nv")))
+          .select(col("src"), col("nbr"), round(col("cosim0"), 9).as("cosim"))
+        val w = Window.partitionBy(col("src"))
+          .orderBy(col("cosim").desc, col("nbr"))
+        val merged = rd("edges").select(col("src"), col("nbr"), col("cosim"))
+          .unionByName(cross)
+          .withColumn("rn", row_number().over(w)).filter(col("rn") <= 3)
+        val withArrivals = survivors.unionByName(aa)
+        val arrivalEdges = cellGraphFor(withArrivals,
+          withArrivals.join(broadcast(aa.select(col("vec_id"))),
+            Seq("vec_id"), "left_semi"))
+        graft.sources.IndexStore.replaceTable(s, idxPath, "edges",
+          merged.select(col("src"), col("nbr"), col("cosim"), col("rn"))
+            .unionByName(arrivalEdges).localCheckpoint())
+        graft.sources.IndexStore.append(s, idxPath, "assign", aa)
+        graft.sources.IndexStore.writeStamp(s, idxPath, stamp, Map(
+          "m" -> m.toString,
+          "n_feed_inserts" -> f.inserts.count().toString,
+          "n_feed_deletes" -> del.count().toString,
+          "n_repaired_del" -> affected.count().toString))
+      }
+    }
+    idxPath
+  }
+
+  /** [[cellGraph]] restricted to a SOURCE subset: `srcs` rank against
+    * the full candidate membership `cand` (same cells) — the repair and
+    * arrival legs' scoped form. */
+  private def cellGraphFor(cand: DataFrame, srcs: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("src"))
+      .orderBy(round(col("cosim0"), 9).desc, col("nbr"))
+    srcs.select(col("cid"), col("vec_id").as("src"),
+        col("embedding").as("qemb"), col("nrm").as("nq"))
+      .join(cand.select(col("cid"), col("vec_id").as("nbr"),
+        col("embedding").as("vemb"), col("nrm").as("nv")), Seq("cid"))
+      .filter(col("src") =!= col("nbr"))
+      .withColumn("cosim0", dotExpr / (col("nq") * col("nv")))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") <= 3)
+      .select(col("src"), col("nbr"), round(col("cosim0"), 9).as("cosim"), col("rn"))
+  }
+
+  /** q244: the synced graph served from the store, audits in-frame —
+    * feed counts, the delete leg's repair size (the O(affected) bound
+    * made visible), and zero surviving traces of the deleted ids on
+    * either edge side. */
+  def feedSyncedKnn(s: SparkSession, dir: String): DataFrame = {
+    tune(s)
+    val path = knnSyncStore(s, dir)
+    val meta = graft.sources.IndexStore.readMeta(s, path)
+    val edges = graft.sources.IndexStore.read(s, path, "edges")
+    val m = meta("m").toLong
+    val del = table(s, dir, "embeddings")
+      .filter(col("vec_id") % 89 === 17 && col("vec_id") % m =!= 0)
+      .select(col("vec_id")).localCheckpoint()
+    val traces = edges.join(broadcast(del.select(col("vec_id").as("src"))), Seq("src"))
+      .agg(count(lit(1)).as("n"))
+      .unionByName(edges.join(broadcast(del.select(col("vec_id").as("nbr"))), Seq("nbr"))
+        .agg(count(lit(1)).as("n")))
+      .agg(sum(col("n")).as("removed_traces"))
+    val audit = traces
+      .withColumn("n_feed_inserts", lit(meta("n_feed_inserts").toLong))
+      .withColumn("n_feed_deletes", lit(meta("n_feed_deletes").toLong))
+      .withColumn("n_repaired_del", lit(meta("n_repaired_del").toLong))
+    edges.select(col("src").as("vec_id"), col("nbr"), col("cosim"), col("rn"))
+      .crossJoin(broadcast(audit))
+  }
+
+  /** q244's oracle: the whole graph recomputed from the lake's current
+    * logical state — survivors keep their v1 cells (centroids did not
+    * move), arrivals assign fresh against the v1 centroids (the q229
+    * chain), and the delete leg's repair count re-derives from the BASE
+    * graph (sources surviving whose top-3 touched the erased set). */
+  private val feedSyncedKnnSql =
+    s"""WITH $knnGraphCtes,
+       |erased AS (
+       |  SELECT vec_id FROM embeddings
+       |  WHERE vec_id % 89 = 17
+       |    AND vec_id % (SELECT CAST(ceil(sqrt(COUNT(*))) AS BIGINT) FROM embeddings) <> 0),
+       |flat_n AS (SELECT vec_id + 500000 AS vec_id, pos, -xd AS xd FROM flat WHERE vec_id % 31 = 2),
+       |norms_n AS (SELECT vec_id + 500000 AS vec_id, nrm FROM norms WHERE vec_id % 31 = 2),
+       |adots_n AS (
+       |  SELECT f.vec_id, c.cid, CAST(SUM(CAST(f.xd*c.cx AS DECIMAL(38,20))) AS DOUBLE) AS dot
+       |  FROM flat_n f JOIN cent c ON f.pos = c.pos
+       |  GROUP BY f.vec_id, c.cid),
+       |acos_n AS (
+       |  SELECT a.vec_id, a.cid, a.dot / (n2.nrm * n1.nrm) AS cosim
+       |  FROM adots_n a JOIN norms_n n1 ON n1.vec_id = a.vec_id JOIN norms n2 ON n2.vec_id = a.cid),
+       |assign_n AS (
+       |  SELECT vec_id, cid FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cosim DESC, cid) AS rn
+       |    FROM acos_n)
+       |  WHERE rn = 1),
+       |members AS (
+       |  SELECT vec_id, cid FROM assign WHERE vec_id NOT IN (SELECT vec_id FROM erased)
+       |  UNION ALL SELECT vec_id, cid FROM assign_n),
+       |flat_all AS (
+       |  SELECT vec_id, pos, xd FROM flat WHERE vec_id NOT IN (SELECT vec_id FROM erased)
+       |  UNION ALL SELECT vec_id, pos, xd FROM flat_n),
+       |norms_all AS (
+       |  SELECT vec_id, nrm FROM norms WHERE vec_id NOT IN (SELECT vec_id FROM erased)
+       |  UNION ALL SELECT vec_id, nrm FROM norms_n),
+       |g4pairs AS (
+       |  SELECT u.vec_id AS src, v.vec_id AS nbr
+       |  FROM members u JOIN members v ON u.cid = v.cid AND u.vec_id <> v.vec_id),
+       |g4dots AS (
+       |  SELECT p.src, p.nbr,
+       |         CAST(SUM(CAST(a.xd*b.xd AS DECIMAL(38,20))) AS DOUBLE) AS dot
+       |  FROM g4pairs p
+       |  JOIN flat_all a ON a.vec_id = p.src
+       |  JOIN flat_all b ON b.vec_id = p.nbr AND b.pos = a.pos
+       |  GROUP BY p.src, p.nbr),
+       |g4cos AS (
+       |  SELECT d.src, d.nbr, round(d.dot / (n1.nrm * n2.nrm), 9) AS cosim
+       |  FROM g4dots d
+       |  JOIN norms_all n1 ON n1.vec_id = d.src
+       |  JOIN norms_all n2 ON n2.vec_id = d.nbr),
+       |g4 AS (
+       |  SELECT src, nbr, cosim, rn FROM (
+       |    SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY src ORDER BY cosim DESC, nbr) AS INT) AS rn
+       |    FROM g4cos)
+       |  WHERE rn <= 3)
+       |SELECT src AS vec_id, nbr, cosim, rn,
+       |       CAST(0 AS BIGINT) AS removed_traces,
+       |       (SELECT CAST(COUNT(*) AS BIGINT) FROM embeddings WHERE vec_id % 31 = 2)
+       |         AS n_feed_inserts,
+       |       (SELECT CAST(COUNT(*) AS BIGINT) FROM erased) AS n_feed_deletes,
+       |       (SELECT CAST(COUNT(DISTINCT src) AS BIGINT) FROM g
+       |        WHERE src NOT IN (SELECT vec_id FROM erased)
+       |          AND nbr IN (SELECT vec_id FROM erased)) AS n_repaired_del
+       |FROM g4""".stripMargin
+
   private val knnClustersSql =
     s"""WITH RECURSIVE $knnGraphCtes,
        |mpairs AS (
@@ -4205,6 +4412,9 @@ object Similarity extends QueryModule {
     GQuery("q243_knn_takedown",
       "takedown over the persisted kNN-graph store with O(affected) repair: deleting a vector also invalidates the lists it appeared IN, but removal only shrinks candidate sets, so untouched lists carry through and only sources that lost a neighbor re-rank against their cell minus the request — oracled bit-equal to a from-scratch rebuild over the filtered pairs, with zero traces and the repair count pinned",
       knnTakedown, Some(knnTakedownSql)),
+    GQuery("q244_feed_synced_knn",
+      "feed-driven sync of the kNN-graph store, O(delta + affected): deletes ride the q243 repair, arrivals coarse-assign against stored centroids and MERGE into survivors' lists (insertion only adds candidates, so re-windowing old edges plus cross-edges to same-cell arrivals IS the updated top-3 — no survivor re-scores its whole cell); oracled bit-equal to a rebuild from the lake's current state with the repair size pinned",
+      feedSyncedKnn, Some(feedSyncedKnnSql)),
     GQuery("q224_vector_takedown",
       "takedown erasure over the persisted IVF index: one anti-join over assign, centroids kept (probes just stop returning the erased ids), centroid-seed requests refused loudly",
       vectorTakedown, Some(vectorTakedownSql)),
