@@ -1722,10 +1722,18 @@ object Dedup extends QueryModule {
     * table WITHOUT a `seg` column is the folded physical layout (the
     * dedup fold collapses seg, unlike the other families) — its rows
     * are already post-erasure and the masks are gone, so it passes
-    * through untouched. */
+    * through untouched — but ONLY with an empty mask: a non-empty mask
+    * against a seg-less layout has no seq to scope to, and passing the
+    * frame through would silently LEAK deleted rows (ADVICE r16). The
+    * check is one limit-1 probe on a checkpointed kilobyte frame, paid
+    * only on the post-fold path. */
   private def maskOn(df: DataFrame, mask: DataFrame, keyCol: String): DataFrame =
-    if (!df.columns.contains("seg")) df
-    else df.join(broadcast(mask), df(keyCol) === mask(keyCol) && df("seg") <= mask("seq"),
+    if (!df.columns.contains("seg")) {
+      require(mask.isEmpty,
+        s"maskOn: non-empty $keyCol mask against a seg-less (folded) layout " +
+          "would silently leak deleted rows; fold the mask or keep seg")
+      df
+    } else df.join(broadcast(mask), df(keyCol) === mask(keyCol) && df("seg") <= mask("seq"),
       "left_anti")
 
   /** The masked LIVE view of the q234 store's four tables (seg dropped —

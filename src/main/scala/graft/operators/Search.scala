@@ -1277,9 +1277,9 @@ object Search extends QueryModule {
   // ---- q237: the auto-fold policy FIRING (VERDICT r15 item 2) ----
 
   /** Build-if-stale the auto-folded sync store: q231's masked feed apply
-    * run under a deployment-TIGHTENED fold threshold
-    * (`spark.graft.mask.maxDeletedFraction` = 0.005, set for the build
-    * and restored), so the fixture's ~1% deleted fraction CROSSES it and
+    * run under a deployment-TIGHTENED fold threshold (0.005, passed as
+    * an explicit parameter of this build — never a session-conf
+    * mutation), so the fixture's ~1% deleted fraction CROSSES it and
     * the policy check at the end of the feed apply fires
     * [[foldDeleteMask]] — the same function a manual compaction calls.
     * The store this leaves behind is physically identical to q227's
@@ -1299,13 +1299,13 @@ object Search extends QueryModule {
         graft.sources.IndexStore.appendDeleteMask(s, idxPath,
           f.deleteIds.withColumn("seq", lit(0L)))
         applyFeedToIndex(s, idxPath, seg = 1, f.inserts, f.deleteIds.limit(0))
-        val knob = "spark.graft.mask.maxDeletedFraction"
-        val prev = s.conf.getOption(knob)
-        s.conf.set(knob, "0.005")
-        val folded =
-          try graft.sources.IndexStore.autoFoldIfNeeded(
-            s, idxPath, "doclen", "doc_id")(foldDeleteMask(s, idxPath))
-          finally prev.fold(s.conf.unset(knob))(v => s.conf.set(knob, v))
+        // the tightened threshold is a parameter of THIS build, not a
+        // session mutation: a conf set/restore window would be observed
+        // by any concurrently-building masked store in the same session
+        // and spuriously fold its mask (ADVICE r16)
+        val folded = graft.sources.IndexStore.autoFoldIfNeeded(
+          s, idxPath, "doclen", "doc_id", threshold = Some(0.005))(
+          foldDeleteMask(s, idxPath))
         graft.sources.IndexStore.writeStamp(s, idxPath, stamp, Map(
           "n_feed_inserts" -> f.inserts.count().toString,
           "n_feed_deletes" -> f.deleteIds.count().toString,

@@ -86,14 +86,41 @@ object IndexStore {
     * the only (old, valid) store — restore it; an aside copy beside a
     * live store is post-swap garbage — drop it. Called by the store's
     * universal entry points ([[isCurrent]]/[[readStamp]]) and by
-    * [[write]] at entry. Idempotent; metadata-only when clean. */
+    * [[write]] at entry. Idempotent; metadata-only when clean.
+    *
+    * WRITER-IN-FLIGHT GUARD (ADVICE r16): a reader hitting this gate
+    * DURING another process's live swap window (live renamed aside, tmp
+    * not yet renamed in) must not "heal" — restoring the aside copy
+    * would make the in-flight writer's rename(tmp, live) fail and
+    * discard its staged data. A swap in flight is recognizable by a
+    * FRESH `_building_*` staging sibling (the writer stages before it
+    * touches live); recovery is skipped while one exists. A crashed
+    * writer's orphaned staging dir ages past [[SwapInFlightMs]] and
+    * recovery resumes — the bounded-staleness trade of recognizing
+    * liveness from the filesystem alone. Beyond that window the store
+    * keeps its documented single-writer-per-path assumption across
+    * processes (same as [[replaceTable]]): two concurrent WRITERS of one
+    * path are excluded by convention (the fixture rigs serialize under a
+    * JVM lock; a multi-writer deployment versions the directory name). */
+  private[graft] val SwapInFlightMs = 10 * 60 * 1000L
+  private def swapInFlight(fs: FileSystem, live: Path): Boolean = {
+    val parent = live.getParent
+    if (parent == null || !fs.exists(parent)) false
+    else {
+      val pre = s".${live.getName}_building_"
+      val now = System.currentTimeMillis()
+      fs.listStatus(parent).exists(st =>
+        st.getPath.getName.startsWith(pre) &&
+          now - st.getModificationTime < SwapInFlightMs)
+    }
+  }
   def healStoreSwap(s: SparkSession, path: String): Unit = {
     val live = new Path(path)
     val bak = storeBak(path)
     val fs = fsOf(s, live)
     if (fs.exists(bak)) {
       if (!fs.exists(live)) {
-        if (!fs.rename(bak, live))
+        if (!swapInFlight(fs, live) && !fs.rename(bak, live))
           throw new java.io.IOException(
             s"store swap recovery: cannot restore $bak -> $live")
       } else fs.delete(bak, true): Unit
@@ -652,15 +679,21 @@ object IndexStore {
 
   /** The auto-fold policy (VERDICT r15 item 2), checked at feed-apply
     * time by every masked sync path: when the store's [[maskedFraction]]
-    * crosses [[maskFoldThreshold]], run the family's `fold` (which
-    * rewrites the tables and drops the sidecar) and return true. Below
-    * threshold the mask stays — the delete leg remains O(delta). The
-    * fold a threshold fires is the SAME function a manual compaction
-    * calls, so fold-at-threshold ≡ manual fold by construction
-    * (MaskFoldSpec pins it anyway, against a copied store). */
+    * crosses the threshold, run the family's `fold` (which rewrites the
+    * tables and drops the sidecar) and return true. Below threshold the
+    * mask stays — the delete leg remains O(delta). The fold a threshold
+    * fires is the SAME function a manual compaction calls, so
+    * fold-at-threshold ≡ manual fold by construction (MaskFoldSpec pins
+    * it anyway, against a copied store). `threshold` defaults to the
+    * session knob ([[maskFoldThreshold]]); a caller with a store-local
+    * policy (q237's deployment-tightened build) passes it EXPLICITLY
+    * instead of mutating the session conf — a session-global mutation
+    * would be observed by any concurrently-building masked store in the
+    * same SparkSession and spuriously fold ITS mask (ADVICE r16). */
   def autoFoldIfNeeded(s: SparkSession, path: String, keyTable: String,
-      keyCol: String)(fold: => Unit): Boolean = {
-    val fire = maskedFraction(s, path, keyTable, keyCol) > maskFoldThreshold(s)
+      keyCol: String, threshold: Option[Double] = None)(fold: => Unit): Boolean = {
+    val t = threshold.getOrElse(maskFoldThreshold(s))
+    val fire = maskedFraction(s, path, keyTable, keyCol) > t
     if (fire) fold
     fire
   }

@@ -513,7 +513,20 @@ class CrashRecoverySpec extends AnyFunSuite {
     val live = new org.apache.hadoop.fs.Path(store)
     val bak = new org.apache.hadoop.fs.Path(s"$base/.swrite_old")
     assert(fs.rename(live, bak), "test setup: open the kill window")
-    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$base/.swrite_building_dead"))
+    val deadTmp = new org.apache.hadoop.fs.Path(s"$base/.swrite_building_dead")
+    fs.mkdirs(deadTmp)
+    // writer-in-flight guard (ADVICE r16): while the staging dir is
+    // FRESH the gate must NOT heal — a reader racing a LIVE writer's
+    // two-rename window would otherwise restore the aside copy and
+    // fail the writer's rename(tmp, live). The gate defers (stale
+    // verdict, aside intact) instead.
+    assert(!graft.sources.IndexStore.isCurrent(s, store, "v1"),
+      "a fresh staging dir marks a writer in flight: the gate must defer")
+    assert(fs.exists(bak), "deferred heal must leave the aside copy intact")
+    // age the staging dir past the in-flight window: the writer is dead,
+    // the gate heals
+    fs.setTimes(deadTmp,
+      System.currentTimeMillis() - graft.sources.IndexStore.SwapInFlightMs - 1000L, -1)
     // the stamp gate heals: the OLD store is back and validates
     assert(graft.sources.IndexStore.isCurrent(s, store, "v1"),
       "mid-swap crash: the gate must restore the aside copy")
