@@ -17,6 +17,17 @@ import org.apache.spark.sql.SparkSession
   * how a production pipeline runs these stages (substrate materialized once
   * per run, consumed by every downstream query).
   *
+  * WARM-PASS CONTRACT (VERDICT r16 item 1): before any timed pass, one
+  * UNTIMED pass runs every selected query once. The warm-substrate rigs
+  * (feed-sync/loop/streamed stores) build their stamped stores on first
+  * invocation; without the warm pass, min-of-2 could bill a query's
+  * one-time store build — or a contention hit landing ON the build pass —
+  * to its recurring row (the r16 driver artifact recorded q145 at 1.88x of
+  * its frozen row that way). With it, every timed pass measures the warm
+  * steady state the rung rows and PLANS bands describe; one-time build
+  * costs live in the PLANS tables, not the bench. Disable for quick dev
+  * loops with SPARK_GRAFT_BENCH_WARMPASS=0.
+  *
   * Output: the full per-query JSON line is printed first; a short summary
   * line (total only, no per-query map) is printed LAST so a truncating
   * tail-capture of the run log still yields a parseable total.
@@ -44,6 +55,16 @@ object Bench {
     // optional args = query-name subset (dev iteration); no args = full set
     val all = SparkEntry.queries.keys.toSeq.sorted
     val names = if (args.nonEmpty) all.filter(args.toSet) else all
+    // untimed warm pass: pre-build every stamped substrate store and
+    // session-cached frame so no timed pass can bill a one-time build
+    // (see the warm-pass contract in the scaladoc); failures surface in
+    // the timed passes' error accounting, not here
+    if (sys.env.getOrElse("SPARK_GRAFT_BENCH_WARMPASS", "1") != "0")
+      names.foreach { name =>
+        try SparkEntry.queries(name)(spark, sfDir)
+          .write.format("noop").mode("overwrite").save()
+        catch { case _: Throwable => () }
+      }
     val timings = scala.collection.mutable.LinkedHashMap[String, Double]()
     val errors = scala.collection.mutable.LinkedHashSet[String]()
     (1 to runs).foreach { pass =>

@@ -3797,8 +3797,10 @@ object Similarity extends QueryModule {
     * this is the curation structure SemDeDup clustering quality,
     * diversity analysis, and graph-based filtering consume). Candidates
     * are IVF-CELL-SCOPED from the persisted q184 assignment — pair
-    * volume is Σ cell², the q186 shape, never corpus² — and the cell id
-    * is the one shuffle key. Singleton cells contribute no rows (their
+    * volume is Σ cell², the q186 shape, never corpus² — and the salted
+    * cell join ([[saltedCellJoin]], VERDICT r16 item 2) bounds PER-TASK
+    * pair volume too, so a skewed mega-cell spreads over ceil(g²/target)
+    * tasks instead of serializing through one. Singleton cells contribute no rows (their
     * vector has no in-cell neighbor), which the oracle reproduces; a
     * recall-complete deployment would probe adjacent cells exactly like
     * q184's multi-probe serving path, the same trade SemDeDup documents.
@@ -3845,8 +3847,8 @@ object Similarity extends QueryModule {
         .withColumn("ccos", dotExpr / (col("nq") * col("nc")))
         .withColumn("rp", row_number().over(wq)).filter(col("rp") <= np)
         .select(col("src"), col("cid"))
-      val cand = srcCells
-        .join(a.select(col("cid"), col("vec_id").as("nbr")), Seq("cid"))
+      val cand = saltedCellJoin(srcCells,
+          a.select(col("cid"), col("vec_id").as("nbr")), "nbr")
         .filter(col("src") =!= col("nbr"))
         .select(col("src"), col("nbr")).distinct()
       cand.join(q, Seq("src"))
@@ -3861,18 +3863,79 @@ object Similarity extends QueryModule {
   /** The cell-scoped top-3 edges of an arbitrary `(cid, vec_id,
     * embedding, nrm)` membership frame — the graph core under the q239
     * default path, the q244 sync store's build, and any caller with its
-    * own population. */
-  private def cellGraph(a: DataFrame): DataFrame = {
-    val w = Window.partitionBy(col("src"))
-      .orderBy(round(col("cosim0"), 9).desc, col("nbr"))
-    val u = a.select(col("cid"), col("vec_id").as("src"),
-      col("embedding").as("qemb"), col("nrm").as("nq"))
-    val v = a.select(col("cid"), col("vec_id").as("nbr"),
-      col("embedding").as("vemb"), col("nrm").as("nv"))
-    u.join(v, Seq("cid")).filter(col("src") =!= col("nbr"))
-      .withColumn("cosim0", dotExpr / (col("nq") * col("nv")))
-      .withColumn("rn", row_number().over(w)).filter(col("rn") <= 3)
-      .select(col("src"), col("nbr"), round(col("cosim0"), 9).as("cosim"), col("rn"))
+    * own population. Per-task pair volume is bounded by the salted join
+    * ([[saltedCellJoin]] — VERDICT r16 item 2). */
+  private def cellGraph(a: DataFrame): DataFrame = cellGraphFor(a, a)
+
+  /** Target in-cell pair rows per task for the kNN-graph joins — the
+    * [[graft.operators.Dedup.selfPairTarget]] dial for the vector
+    * family, sized down because each pair costs a 64-dim dot product,
+    * not a comparison. Configurable so the flood spec can exercise the
+    * scaling law at fixture scale. */
+  private[graft] def knnPairTarget(s: SparkSession): Long =
+    s.conf.get("spark.graft.knn.targetPairsPerTask", "4000000").toLong
+
+  /** Salted in-cell candidate join — the q239 family's skew guard
+    * (VERDICT r16 item 2, the [[graft.operators.Dedup.selfPairs]]
+    * pattern keyed by IVF cell). `u.join(v, Seq("cid"))` routes a whole
+    * cell's pair volume through ONE task: with balanced ~sqrt(N) cells
+    * that is the standard IVF budget, but a skewed mega-cell (the
+    * boilerplate-flood shape q196's capped SemDeDup exists for) makes
+    * one cell's cell² dominate a single task. Here `right` (the
+    * candidate membership) lands in bucket pmod(id, nb) within its
+    * cell; `left` (the sources) replicates to every bucket and is
+    * REPARTITIONED on (cid, bucket) with an explicit partition count
+    * (AQE sizes coalescing from the tiny pre-join map output and cannot
+    * see the cell² expansion behind it). Each (src, nbr) pair meets
+    * exactly once — results are BIT-IDENTICAL to the unsalted join, so
+    * every oracle is unchanged; what changes is that a cell of size g
+    * spreads over nb = ceil(g²/target) tasks, bounding per-task pairs
+    * at ~[[knnPairTarget]] for any g (when `left` is a subset of the
+    * membership, the repair/arrival legs' case, the bound only
+    * tightens). nb is 1 below the target — small cells pay one
+    * kilobyte-scale size-lookup broadcast and nothing else. The bucket
+    * count sizing costs one driver-side max() over the ~K-row cell-size
+    * frame (metadata-scale, the selfPairs precedent). */
+  private[graft] def saltedCellJoin(left: DataFrame, right: DataFrame,
+      rightIdCol: String): DataFrame = {
+    val reserved = Set("__kg", "__knb", "__kbkt")
+    require(!(left.columns ++ right.columns).exists(reserved.contains),
+      s"saltedCellJoin reserves columns ${reserved.mkString(", ")}")
+    val s = left.sparkSession
+    val target = knnPairTarget(s).toDouble
+    val gCol = col("__kg").cast("double")
+    val sz = right.groupBy(col("cid")).agg(count(lit(1)).as("__kg"))
+      .withColumn("__knb",
+        least(col("__kg"),
+          greatest(lit(1L), ceil(gCol * gCol / lit(target)).cast("long"))).cast("int"))
+      .select(col("cid"), col("__knb"))
+    val maxNb = sz.agg(max(col("__knb"))).head().get(0) match {
+      case null   => 1
+      case i: Int => i
+    }
+    // fast path — no cell exceeds the target: the plain cid join IS the
+    // bounded plan (largest task ≤ target by the nb=1 verdict just
+    // measured), so pay zero extra exchanges. The size probe that makes
+    // this decision is one map-side-collapsed count over ~K cells — the
+    // measured-tier pattern (Dedup.connectedComponents); the salt below
+    // engages exactly when skew exists.
+    if (maxNb <= 1) left.join(right, Seq("cid"))
+    else {
+      // 4x the largest fan-out: (cid, bucket) keys place by HASH, so the
+      // per-task bound carries a small pigeonhole factor (k keys into np
+      // partitions co-locates a few); 4x keeps the expected max keys per
+      // partition near 1 — the flood spec asserts the resulting <= ~4T cap
+      val np = math.max(s.sparkContext.defaultParallelism,
+        math.min(4 * maxNb, 1 << 20))
+      val l = left.join(broadcast(sz), Seq("cid"))
+        .withColumn("__kbkt", explode(expr("sequence(0, __knb - 1)")))
+        .drop("__knb")
+        .repartition(np, col("cid"), col("__kbkt"))
+      val r = right.join(broadcast(sz), Seq("cid"))
+        .withColumn("__kbkt", pmod(col(rightIdCol), col("__knb")).cast("int"))
+        .drop("__knb")
+      l.join(r, Seq("cid", "__kbkt")).drop("__kbkt")
+    }
   }
 
   /** q240: MUTUAL-kNN pairs — the graph symmetrization curation actually
@@ -4075,18 +4138,11 @@ object Similarity extends QueryModule {
         val (_, assign) = corpusIvfIndex(s, dir)
         val live = assign.select(col("cid"), col("vec_id"), col("embedding"), col("nrm"))
           .join(broadcast(del), Seq("vec_id"), "left_anti")
-        val srcs = live.join(broadcast(affected.select(col("src").as("vec_id"))),
-            Seq("vec_id"), "left_semi")
-          .select(col("cid"), col("vec_id").as("src"),
-            col("embedding").as("qemb"), col("nrm").as("nq"))
-        val cand = live.select(col("cid"), col("vec_id").as("nbr"),
-          col("embedding").as("vemb"), col("nrm").as("nv"))
-        val w = Window.partitionBy(col("src"))
-          .orderBy(round(col("cosim0"), 9).desc, col("nbr"))
-        val recomputed = srcs.join(cand, Seq("cid")).filter(col("src") =!= col("nbr"))
-          .withColumn("cosim0", dotExpr / (col("nq") * col("nv")))
-          .withColumn("rn", row_number().over(w)).filter(col("rn") <= 3)
-          .select(col("src"), col("nbr"), round(col("cosim0"), 9).as("cosim"), col("rn"))
+        // only the affected sources re-rank, each against its cell minus
+        // the deleted ids — the salted scoped form (per-task pair bound)
+        val recomputed = cellGraphFor(live,
+          live.join(broadcast(affected.select(col("src").as("vec_id"))),
+            Seq("vec_id"), "left_semi"))
         // pin the repaired rows before the swap reads-vs-writes the table
         val repaired = keep.select(col("src"), col("nbr"), col("cosim"), col("rn"))
           .unionByName(recomputed).localCheckpoint()
@@ -4164,11 +4220,17 @@ object Similarity extends QueryModule {
     *    (old edges ∪ cross-edges to same-cell arrivals) is exactly the
     *    top-3 of the updated cell. No survivor ever re-scores against
     *    its whole cell for an insert.
-    * The final stamp is written only after both legs; a crash mid-sync
-    * rebuilds. The oracle recomputes the WHOLE graph from the lake's
-    * current logical state (survivors keep their v1 cells, arrivals
-    * assign against the v1 centroids), so a stale rank, an unmerged
-    * cross-edge, or a leaked deleted id all hash-mismatch. */
+    * The O(delta + affected) claim is about re-SCORING compute (who
+    * recomputes dot products against whom); the table-swap WRITE is one
+    * O(edges) rewrite per sync — both legs fold into a single
+    * [[graft.sources.IndexStore.replaceTable]] (ADVICE r16; edges are
+    * top-k-bounded ≤ 3N rows of ids+scores, never embedding bytes). The
+    * delta-byte write path is the masked sibling q245. The final stamp
+    * is written only after both legs; a crash mid-sync rebuilds. The
+    * oracle recomputes the WHOLE graph from the lake's current logical
+    * state (survivors keep their v1 cells, arrivals assign against the
+    * v1 centroids), so a stale rank, an unmerged cross-edge, or a
+    * leaked deleted id all hash-mismatch. */
   private[graft] def knnSyncStore(s: SparkSession, dir: String): String = {
     val idxPath = "target/tmp/knn_sync_" + processTag + "_" +
       dir.replaceAll("[^A-Za-z0-9.]+", "_")
@@ -4203,9 +4265,13 @@ object Similarity extends QueryModule {
         val recomputed = cellGraphFor(survivors,
           survivors.join(broadcast(affected.select(col("src").as("vec_id"))),
             Seq("vec_id"), "left_semi"))
-        graft.sources.IndexStore.replaceTable(s, idxPath, "edges",
-          keep.select(col("src"), col("nbr"), col("cosim"), col("rn"))
-            .unionByName(recomputed).localCheckpoint())
+        // the delete leg's result stays a FRAME (checkpointed, not
+        // written): both legs fold into ONE edges rewrite below, halving
+        // the sync's table-swap I/O (ADVICE r16 — the write cost per
+        // sync is one O(edges) rewrite; the O(affected) claim is about
+        // re-SCORING compute, which this does not change)
+        val afterDelete = keep.select(col("src"), col("nbr"), col("cosim"), col("rn"))
+          .unionByName(recomputed).localCheckpoint()
         // INSERT leg: coarse-assign arrivals, then MERGE
         val aa = coarseAssignArrivals(s, idxPath, f.inserts).localCheckpoint()
         val cross = survivors.select(col("cid"), col("vec_id").as("src"),
@@ -4216,7 +4282,7 @@ object Similarity extends QueryModule {
           .select(col("src"), col("nbr"), round(col("cosim0"), 9).as("cosim"))
         val w = Window.partitionBy(col("src"))
           .orderBy(col("cosim").desc, col("nbr"))
-        val merged = rd("edges").select(col("src"), col("nbr"), col("cosim"))
+        val merged = afterDelete.select(col("src"), col("nbr"), col("cosim"))
           .unionByName(cross)
           .withColumn("rn", row_number().over(w)).filter(col("rn") <= 3)
         val withArrivals = survivors.unionByName(aa)
@@ -4239,14 +4305,19 @@ object Similarity extends QueryModule {
 
   /** [[cellGraph]] restricted to a SOURCE subset: `srcs` rank against
     * the full candidate membership `cand` (same cells) — the repair and
-    * arrival legs' scoped form. */
+    * arrival legs' scoped form. The in-cell join is salted
+    * ([[saltedCellJoin]]), so per-task pair volume stays bounded under
+    * a skewed mega-cell; each pair meets exactly once, results
+    * bit-identical to the plain cid join. */
   private def cellGraphFor(cand: DataFrame, srcs: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("src"))
       .orderBy(round(col("cosim0"), 9).desc, col("nbr"))
-    srcs.select(col("cid"), col("vec_id").as("src"),
-        col("embedding").as("qemb"), col("nrm").as("nq"))
-      .join(cand.select(col("cid"), col("vec_id").as("nbr"),
-        col("embedding").as("vemb"), col("nrm").as("nv")), Seq("cid"))
+    saltedCellJoin(
+        srcs.select(col("cid"), col("vec_id").as("src"),
+          col("embedding").as("qemb"), col("nrm").as("nq")),
+        cand.select(col("cid"), col("vec_id").as("nbr"),
+          col("embedding").as("vemb"), col("nrm").as("nv")),
+        "nbr")
       .filter(col("src") =!= col("nbr"))
       .withColumn("cosim0", dotExpr / (col("nq") * col("nv")))
       .withColumn("rn", row_number().over(w)).filter(col("rn") <= 3)

@@ -617,4 +617,72 @@ class SimilaritySpec extends AnyFunSuite {
         "nprobe=2 must actually widen the candidate set on the fixture")
     } finally s.conf.unset(knob)
   }
+
+  test("kNN cell join survives a 10k-copy mega-cell flood with a hard per-task pair cap") {
+    // VERDICT r16 item 2: u.join(v, Seq("cid")) routes a whole cell's
+    // pair volume through ONE task — a skewed mega-cell (the boilerplate
+    // flood that motivated the capped SemDeDup) makes cell² dominate.
+    // The salted join's scaling law is dimensionless (pairs/task <= ~T
+    // for any g with nb = ceil(g²/T)), so exercising it at g=1e4 with T
+    // scaled to 2e6 proves the bound a 1e6-copy flood gets at the 4e6
+    // production default — the DedupSpec selfPairs shape keyed by cell.
+    import s.implicits._
+    val knob = "spark.graft.knn.targetPairsPerTask"
+    val target = 2000000L
+    val prev = s.conf.getOption(knob)
+    val prevB = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    s.conf.set(knob, target.toString)
+    // the spread assertion relies on the right side broadcasting so the
+    // join output inherits the left's explicit repartition (the
+    // DedupSpec selfPairs precedent); when the right side is too big to
+    // broadcast, the join's own (cid, bucket) exchange still spreads the
+    // mega-cell over ~shuffle-partition tasks — spread either way
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    try {
+      // one mega-cell of 10k members plus two small cells that must keep
+      // paying nb=1 (no replication below the target)
+      val flood = s.range(10000L).select(lit(0L).as("cid"), col("id").as("vec_id"))
+        .unionByName(s.range(10L).select(lit(1L).as("cid"), (col("id") + 20000L).as("vec_id")))
+        .unionByName(s.range(7L).select(lit(2L).as("cid"), (col("id") + 30000L).as("vec_id")))
+      val joined = Similarity.saltedCellJoin(
+          flood.select(col("cid"), col("vec_id").as("src")),
+          flood.select(col("cid"), col("vec_id").as("nbr")), "nbr")
+        .filter(col("src") =!= col("nbr"))
+        .withColumn("pid", spark_partition_id())
+      val byTask = joined.groupBy(col("pid")).count().collect()
+      val total = byTask.map(_.getLong(1)).sum
+      assert(total == 10000L * 9999L + 10L * 9L + 7L * 6L,
+        s"every in-cell pair must meet exactly once, got $total")
+      assert(byTask.length >= 16,
+        s"mega-cell pair emission must spread across tasks, got ${byTask.length} partitions")
+      // the cap carries a small pigeonhole factor: (cid, bucket) keys
+      // place by hash, so a partition can co-locate a few of the 50
+      // buckets — 4x target bounds that while still forbidding the
+      // single-task cell² (which would be 25x here)
+      val maxTask = byTask.map(_.getLong(1)).max
+      assert(maxTask <= 4L * target,
+        s"per-task pair volume must be capped near targetPairsPerTask: max=$maxTask > 4*$target")
+    } finally {
+      prev.fold(s.conf.unset(knob))(v => s.conf.set(knob, v))
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold", prevB)
+    }
+  }
+
+  test("salted cell graph is bit-identical to the unsalted join (q239 under a tiny pair target)") {
+    // the salting must be invisible in results at ANY target: forcing
+    // nb > 1 for every fixture cell must reproduce the default graph
+    // row-for-row (same pairs, same rounded cosines, same ranks) — the
+    // exactness contract that keeps every q239-family oracle unchanged
+    val knob = "spark.graft.knn.targetPairsPerTask"
+    def rows(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.collect().map(_.toString).sorted.toSeq
+    val base = rows(SparkEntry.queries("q239_knn_graph")(s, TestSpark.sf))
+    val prev = s.conf.getOption(knob)
+    s.conf.set(knob, "50")
+    try {
+      val salted = rows(SparkEntry.queries("q239_knn_graph")(s, TestSpark.sf))
+      assert(salted == base,
+        "a tiny pair target (every cell salted) must not change a single edge")
+    } finally prev.fold(s.conf.unset(knob))(v => s.conf.set(knob, v))
+  }
 }
