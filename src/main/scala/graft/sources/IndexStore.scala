@@ -107,10 +107,13 @@ object IndexStore {
     val parent = live.getParent
     if (parent == null || !fs.exists(parent)) false
     else {
-      val pre = s".${live.getName}_building_"
+      // a writer stages under _building_ (write), a brancher under
+      // _copying_ (copy) — both swap rename-aside, both must suppress
+      // the reader-side heal while in flight
+      val pres = Seq(s".${live.getName}_building_", s".${live.getName}_copying_")
       val now = System.currentTimeMillis()
       fs.listStatus(parent).exists(st =>
-        st.getPath.getName.startsWith(pre) &&
+        pres.exists(st.getPath.getName.startsWith) &&
           now - st.getModificationTime < SwapInFlightMs)
     }
   }
@@ -249,11 +252,21 @@ object IndexStore {
     * before the lowercase table names, so a crash mid-copy left a
     * destination whose stamp VALIDATED over incomplete tables — a
     * store that would silently serve wrong rows after restart instead
-    * of failing the stamp check and re-branching. */
+    * of failing the stamp check and re-branching.
+    *
+    * RENAME-ASIDE (r17, VERDICT r16 item 6): the swap over an existing
+    * destination is the same aside protocol as [[write]]/[[replaceTable]]
+    * — old dst → the fixed `.old` name, tmp → dst, drop `.old` — so no
+    * kill window leaves the branch ABSENT (the residual delete-then-
+    * rename window did: loud and rebuildable, but inconsistent with the
+    * store's crash model everywhere else). A crash between the renames
+    * is healed at the [[isCurrent]]/[[readStamp]] gates via
+    * [[healStoreSwap]], exactly like a torn [[write]]. */
   def copy(s: SparkSession, from: String, to: String): Unit = {
     val src = new Path(from)
     val dst = new Path(to)
     val fs = fsOf(s, src)
+    healStoreSwap(s, to)
     val tag = java.lang.management.ManagementFactory.getRuntimeMXBean.getName
       .replaceAll("[^A-Za-z0-9]", "") + "_" + System.nanoTime()
     val tmp = new Path(dst.getParent, s".${dst.getName}_copying_$tag")
@@ -262,14 +275,25 @@ object IndexStore {
       fs.delete(tmp, true)
       throw new java.io.IOException(s"index copy: $from -> $to failed")
     }
-    if (fs.exists(dst)) fs.delete(dst, true)
+    val bak = storeBak(to)
+    if (fs.exists(dst) && !fs.rename(dst, bak)) {
+      fs.delete(tmp, true)
+      throw new java.io.IOException(
+        s"index copy: rename $dst -> $bak failed; destination untouched")
+    }
     if (!fs.rename(tmp, dst)) {
+      // bak (if present) is now the only copy — roll it back before any
+      // delete, mirroring replaceTable's failure discipline
+      if (fs.exists(bak) && !fs.exists(dst) && !fs.rename(bak, dst))
+        throw new java.io.IOException(
+          s"index copy failed AND rollback failed; old branch is at $bak")
       fs.delete(tmp, true)
       // benign race: a concurrent brancher may have swapped its complete
       // copy in; if SOMETHING complete is live, the branch exists
       if (!fs.exists(dst))
         throw new java.io.IOException(s"index copy: cannot rename $tmp -> $dst")
     }
+    if (fs.exists(bak)) fs.delete(bak, true): Unit
   }
 
   /** Read one named table of a stored index. If the table directory is

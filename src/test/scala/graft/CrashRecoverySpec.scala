@@ -577,6 +577,30 @@ class CrashRecoverySpec extends AnyFunSuite {
     assert(!graft.sources.IndexStore.isCurrent(s, dst, "copyspec"))
     graft.sources.IndexStore.copy(s, src, dst)
     assert(graft.sources.IndexStore.isCurrent(s, dst, "copyspec"))
+    // kill window C (r17, VERDICT r16 item 6): the RE-copy swap is
+    // rename-aside like write/replaceTable — a crash between its two
+    // renames leaves the OLD branch under the fixed aside name, healed
+    // at the stamp gate (old-or-new, never absent). Simulate: old dst
+    // taken aside, the copier's staged tmp left behind.
+    val dstP = new org.apache.hadoop.fs.Path(dst)
+    val cbak = new org.apache.hadoop.fs.Path(s"$base/.cpdst_old")
+    val ctmp = new org.apache.hadoop.fs.Path(s"$base/.cpdst_copying_deadbrancher")
+    fs.delete(deadTmp, true) // window A's fresh leftover would defer the heal
+    assert(fs.rename(dstP, cbak), "test setup: open the copy kill window")
+    fs.mkdirs(ctmp)
+    // fresh staging dir = brancher possibly in flight: the gate defers
+    assert(!graft.sources.IndexStore.isCurrent(s, dst, "copyspec"),
+      "a fresh copy staging dir marks a brancher in flight: the gate must defer")
+    assert(fs.exists(cbak), "deferred heal must leave the aside branch intact")
+    // age it: the brancher is dead, the gate restores the OLD branch
+    fs.setTimes(ctmp,
+      System.currentTimeMillis() - graft.sources.IndexStore.SwapInFlightMs - 1000L, -1)
+    assert(graft.sources.IndexStore.isCurrent(s, dst, "copyspec"),
+      "copy kill window: the gate must restore the aside branch")
+    assert(graft.sources.IndexStore.read(s, dst, "t").count() == 4L && !fs.exists(cbak))
+    // and a completed re-copy over the healed branch leaves no aside
+    graft.sources.IndexStore.copy(s, src, dst)
+    assert(graft.sources.IndexStore.isCurrent(s, dst, "copyspec") && !fs.exists(cbak))
   }
 
   test("replaceTable killed after the swap, before the bak delete: stale bak is dropped, new data serves") {
