@@ -168,6 +168,10 @@ object PlanFingerprint {
     // the repair at probe time is what the lock catches
     "q243_knn_takedown",
     "q244_feed_synced_knn",
+    // q245's value: the masked probe must stay the q244 edges scan plus
+    // BROADCAST mask anti-joins — a drift that shuffles the masks or
+    // recomputes the sync at probe time is what the lock catches
+    "q245_masked_feed_sync_knn",
   )
 
   /** Structural counts of the STEADY-STATE initial plan.

@@ -203,6 +203,11 @@ object ScaleRung {
     // store; the one-time build holds the only super-linear term (the
     // base graph), and both feed legs are delta/affected-sized
     "q244_feed_synced_knn",
+    // q245's warm probe is q244's edges scan plus three broadcast
+    // anti-joins over kilobyte masks — same wall/shuffle shape as the
+    // physical store; the masked sync's writes are delta/affected-sized
+    // by construction (that is the row's point, the q231 pattern)
+    "q245_masked_feed_sync_knn",
   )
 
   /** The RocksDB-vs-memory crossover experiment: the two streaming rigs

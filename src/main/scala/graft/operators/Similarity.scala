@@ -3744,8 +3744,12 @@ object Similarity extends QueryModule {
     val dedupPath = graft.operators.Dedup.ensureCorpusIndex(s, dir)
     corpusIvfIndex(s, dir)
     corpusPqIndex(s, dir)
+    // the fifth serving family (VERDICT r16 item 3): the persisted
+    // kNN-graph store joins the manifest — its edge count is the q239
+    // graph's cardinality, re-derived from raw embeddings by the oracle
+    val knngPath = knnGraphStore(s, dir)
     val optional = Set("bloom", graft.sources.IndexStore.DeleteMaskTable,
-      "mask_gone", "mask_reps")
+      "mask_gone", "mask_reps", "mask_stale")
     def rows(family: String, path: String): Seq[DataFrame] =
       graft.sources.IndexStore.tableNames(s, path).filterNot(optional)
         .map(t => graft.sources.IndexStore.read(s, path, t)
@@ -3753,7 +3757,8 @@ object Similarity extends QueryModule {
           .select(lit(family).as("family"), lit(t).as("tbl"), col("n_rows")))
     (rows("dedup", dedupPath) ++
       rows("ivf", fixtureIvfIndexPath(dir)) ++
-      rows("pq", fixturePqIndexPath(dir)))
+      rows("pq", fixturePqIndexPath(dir)) ++
+      rows("knng", knngPath))
       .reduce(_ unionByName _)
   }
 
@@ -3768,6 +3773,9 @@ object Similarity extends QueryModule {
        |rep_cor AS (SELECT MIN(doc_id) AS doc_id, text FROM corpus GROUP BY text),
        |${sideSigsSql("cor")},
        |$flatSql,
+       |$normsSql,
+       |$ivfAssignSql,
+       |$knnGChainSql,
        |$pqSubSql,
        |$pqCwSql
        |SELECT 'dedup' AS family, 'bands' AS tbl,
@@ -3787,7 +3795,9 @@ object Similarity extends QueryModule {
        |UNION ALL SELECT 'pq', 'codebooks',
        |       (SELECT CAST(COUNT(*) AS BIGINT) FROM (SELECT DISTINCT code, j FROM pcw))
        |UNION ALL SELECT 'pq', 'codes',
-       |       (SELECT CAST($PqM * COUNT(*) AS BIGINT) FROM embeddings)""".stripMargin
+       |       (SELECT CAST($PqM * COUNT(*) AS BIGINT) FROM embeddings)
+       |UNION ALL SELECT 'knng', 'edges',
+       |       (SELECT CAST(COUNT(*) AS BIGINT) FROM g)""".stripMargin
   }
 
   // ---- q239: kNN-graph construction (VERDICT r15 item 7) ----
@@ -3959,14 +3969,14 @@ object Similarity extends QueryModule {
       .select(col("va"), col("vb"), col("cosim"), col("rank_ab"), col("rank_ba"))
   }
 
-  /** The shared kNN-graph CTE chain (flat → norms → assign → in-cell
-    * pairs → exact dots → rounded cosines → top-3 `g`) under q239, q240,
-    * and the q241 clusters. */
-  private val knnGraphCtes =
-    s"""$flatSql,
-       |$normsSql,
-       |$ivfAssignSql,
-       |gpairs AS (
+  /** The g-chain BODY (in-cell pairs → exact dots → rounded cosines →
+    * top-3 `g`; expects flat/norms/assign in scope) — split out so the
+    * q236 manifest oracle can splice it into a WITH chain that already
+    * carries `flat`. */
+  // lazy: spliced into storeManifestsSql, which initializes EARLIER in
+  // declaration order — a plain val would interpolate null
+  private lazy val knnGChainSql =
+    s"""gpairs AS (
        |  SELECT u.vec_id AS src, v.vec_id AS nbr
        |  FROM assign u JOIN assign v ON u.cid = v.cid AND u.vec_id <> v.vec_id),
        |gdots AS (
@@ -3986,6 +3996,14 @@ object Similarity extends QueryModule {
        |    SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY src ORDER BY cosim DESC, nbr) AS INT) AS rn
        |    FROM gcos)
        |  WHERE rn <= 3)""".stripMargin
+
+  /** The shared kNN-graph CTE chain (flat → norms → assign → the
+    * g-chain) under q239, q240, and the q241 clusters. */
+  private val knnGraphCtes =
+    s"""$flatSql,
+       |$normsSql,
+       |$ivfAssignSql,
+       |$knnGChainSql""".stripMargin
 
   private val mutualKnnSql =
     s"""WITH $knnGraphCtes
@@ -4414,6 +4432,223 @@ object Similarity extends QueryModule {
        |          AND nbr IN (SELECT vec_id FROM erased)) AS n_repaired_del
        |FROM g4""".stripMargin
 
+  // ---- q245: feed sync with O(delta) MASKED deletes for the kNN graph
+  // (VERDICT r16 item 3 — the fifth family gets the sidecar treatment) ----
+
+  /** The kNN graph's SECOND mask table: `(src, seq)` rows naming sources
+    * whose stored top-3 list was SUPERSEDED by a later-seg restatement
+    * (delete-leg repairs at seq 0, insert-leg merges at seq 1). The
+    * standard `deletes` sidecar can't carry these — a repaired source is
+    * still a live MEMBER (its assign row must survive the mask) while
+    * its old EDGE rows must hide — so the graph family splits "the
+    * vector is gone" from "the list was restated", the same multi-mask
+    * split as the dedup family's mask_gone/mask_reps. */
+  private[graft] val KnnStaleMaskTable = "mask_stale"
+
+  private[graft] def knnStaleMask(s: SparkSession, path: String): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    graft.sources.IndexStore.readTableOrEmpty(s, path, KnnStaleMaskTable,
+      StructType(Seq(StructField("src", LongType), StructField("seq", LongType))))
+  }
+
+  /** The masked LIVE view of a seg-tagged edges table: rows hide when
+    * their SOURCE is a deleted vector (`deletes` mask — those lists are
+    * gone with the vector) or a restated source (`mask_stale` — a newer
+    * seg carries the current list), both scoped `seg <= seq` so a
+    * re-appended source's newer rows stay visible (the Iceberg-v2 rule
+    * every family's mask follows). Two broadcast anti-joins over
+    * kilobyte masks. */
+  private[graft] def maskedKnnEdges(edges: DataFrame, deletes: DataFrame,
+      stale: DataFrame): DataFrame = {
+    val d = edges.join(broadcast(deletes),
+      edges("src") === deletes("vec_id") && edges("seg") <= deletes("seq"),
+      "left_anti")
+    d.join(broadcast(stale),
+      d("src") === stale("src") && d("seg") <= stale("seq"), "left_anti")
+  }
+
+  /** Fold the q245 store's masks into the physical layout and drop them
+    * — MaskFoldSpec pins the folded edges content equal to q244's
+    * physically-synced store's. Edges keep their seg column (provenance,
+    * like the vector family's fold); assign is re-laid cid-sorted. */
+  private[graft] def foldKnnMask(s: SparkSession, path: String): Unit = {
+    val del = graft.sources.IndexStore.readDeleteMaskOrEmpty(s, path, "vec_id")
+      .localCheckpoint()
+    val stale = knnStaleMask(s, path).localCheckpoint()
+    val edges = maskedKnnEdges(
+      graft.sources.IndexStore.read(s, path, "edges"), del, stale).localCheckpoint()
+    val assign = applyVecMask(
+      graft.sources.IndexStore.read(s, path, "assign"), del).localCheckpoint()
+    graft.sources.IndexStore.replaceTable(s, path, "edges", edges)
+    graft.sources.IndexStore.replaceTable(s, path, "assign",
+      assign.repartitionByRange(col("cid"), col("vec_id"))
+        .sortWithinPartitions(col("cid"), col("vec_id")))
+    graft.sources.IndexStore.dropTable(s, path,
+      graft.sources.IndexStore.DeleteMaskTable)
+    graft.sources.IndexStore.dropTable(s, path, KnnStaleMaskTable)
+  }
+
+  /** Build-if-stale the mask-synced kNN-graph store: the same lake and
+    * v1→v3 feed as q244, with every leg's WRITE delta-sized — the
+    * sidecar treatment the other four families got in q231–q234, so the
+    * graph store no longer pays q244's O(edges) rewrite per sync:
+    *  - DELETE leg: deleted ids land in the `deletes` mask (O(delta)
+    *    bytes — hides their assign rows and their edge lists); sources
+    *    whose top-3 lost a member land in `mask_stale` (seq 0) and their
+    *    REPAIRED lists append as seg 1 — O(affected) rows appended,
+    *    nothing rewritten.
+    *  - INSERT leg: arrivals coarse-assign against the STORED centroids
+    *    and append (assign seg 2) with their own lists (edges seg 2,
+    *    ranked against cell survivors ∪ co-arrivals); survivors whose
+    *    top-3 GAINS a cross-edge (cosine ≥ their visible third-best, the
+    *    over-inclusive-but-safe gate; fewer than 3 edges always
+    *    qualifies) land in `mask_stale` (seq 1) with their re-windowed
+    *    list appended at seg 2. Insertion only ADDS candidates, so
+    *    re-windowing (visible list ∪ that source's cross-edges) IS the
+    *    updated top-3 — no survivor re-scores its cell.
+    * The served graph is bit-equal to q244's physically-synced one (the
+    * oracle is q244's chain; MaskFoldSpec pins fold ≡ physical), and the
+    * auto-fold policy is checked at apply time like every masked sync
+    * (the fixture's ~1% deleted fraction stays below the 0.1 default). */
+  private[graft] def knnMaskSyncStore(s: SparkSession, dir: String): String = {
+    val idxPath = "target/tmp/knn_msync_" + processTag + "_" +
+      dir.replaceAll("[^A-Za-z0-9.]+", "_")
+    val stamp = "knnmasksync1|" +
+      graft.sources.IndexStore.sourceStamp(s, Seq(s"$dir/embeddings.parquet"))
+    synchronized {
+      if (!graft.sources.IndexStore.isCurrent(s, idxPath, stamp)) {
+        val f = embeddingFeedFixture(s, dir, "knnmasksync")
+        val (cents0, assign0, m) = buildIvfIndex(f.base)
+        graft.sources.IndexStore.write(s, idxPath, "knnmasksync-building", Seq(
+          "centroids" -> cents0,
+          "assign" -> assign0.withColumn("seg", lit(0L))
+            .repartitionByRange(col("cid"), col("vec_id"))
+            .sortWithinPartitions(col("cid"), col("vec_id")),
+          "edges" -> cellGraph(assign0).withColumn("seg", lit(0L))))
+        cleanupAtExit(idxPath)
+        def rd(t: String) = graft.sources.IndexStore.read(s, idxPath, t)
+        // ---- DELETE leg: O(delta) mask bytes + O(affected) appended rows
+        val del = f.del.localCheckpoint()
+        graft.sources.IndexStore.appendDeleteMask(s, idxPath,
+          del.withColumn("seq", lit(0L)))
+        val edges0 = rd("edges")
+        val affected = edges0
+          .join(broadcast(del.select(col("vec_id").as("src"))), Seq("src"), "left_anti")
+          .join(broadcast(del.select(col("vec_id").as("nbr"))), Seq("nbr"), "left_semi")
+          .select(col("src")).distinct().localCheckpoint()
+        graft.sources.IndexStore.append(s, idxPath, KnnStaleMaskTable,
+          affected.withColumn("seq", lit(0L)))
+        // masked live membership, pinned BEFORE arrivals append to assign
+        val live = applyVecMask(rd("assign"), del.withColumn("seq", lit(0L)))
+          .select(col("cid"), col("vec_id"), col("embedding"), col("nrm"))
+          .localCheckpoint()
+        val repaired = cellGraphFor(live,
+          live.join(broadcast(affected.select(col("src").as("vec_id"))),
+            Seq("vec_id"), "left_semi"))
+        graft.sources.IndexStore.append(s, idxPath, "edges",
+          repaired.withColumn("seg", lit(1L)).localCheckpoint())
+        // ---- INSERT leg: appends + the entering-edge restatements
+        val aa = coarseAssignArrivals(s, idxPath, f.inserts).localCheckpoint()
+        graft.sources.IndexStore.append(s, idxPath, "assign",
+          aa.withColumn("seg", lit(2L)))
+        val withArrivals = live.unionByName(aa)
+        val arrivalEdges = cellGraphFor(withArrivals,
+          withArrivals.join(broadcast(aa.select(col("vec_id"))),
+            Seq("vec_id"), "left_semi"))
+        val cross = saltedCellJoin(
+            live.select(col("cid"), col("vec_id").as("src"),
+              col("embedding").as("qemb"), col("nrm").as("nq")),
+            aa.select(col("cid"), col("vec_id").as("nbr"),
+              col("embedding").as("vemb"), col("nrm").as("nv")), "nbr")
+          .withColumn("cosim0", dotExpr / (col("nq") * col("nv")))
+          .select(col("src"), col("nbr"), round(col("cosim0"), 9).as("cosim"))
+          .localCheckpoint()
+        // the post-delete-leg visible lists (seg 0 survivors + seg 1
+        // repairs), pinned before the edges table grows again
+        val vis = maskedKnnEdges(rd("edges"),
+            graft.sources.IndexStore.readDeleteMaskOrEmpty(s, idxPath, "vec_id"),
+            knnStaleMask(s, idxPath))
+          .select(col("src"), col("nbr"), col("cosim"), col("rn"))
+          .localCheckpoint()
+        // a cross-edge ENTERS a survivor's top-3 iff it beats-or-ties the
+        // visible third-best (ties on the rounded cosine are resolved by
+        // nbr id, so >= is over-inclusive — harmless: a restated list that
+        // didn't change masks identical rows) or the list has slots free
+        val third = vis.groupBy(col("src")).agg(
+          count(lit(1)).as("n_edges"),
+          max(when(col("rn") === 3, col("cosim"))).as("cosim3"))
+        val affected2 = cross.join(third, Seq("src"), "left")
+          .filter(col("n_edges").isNull || col("n_edges") < 3 ||
+            col("cosim") >= col("cosim3"))
+          .select(col("src")).distinct().localCheckpoint()
+        graft.sources.IndexStore.append(s, idxPath, KnnStaleMaskTable,
+          affected2.withColumn("seq", lit(1L)))
+        val w = Window.partitionBy(col("src"))
+          .orderBy(col("cosim").desc, col("nbr"))
+        val restated = vis.join(broadcast(affected2), Seq("src"), "left_semi")
+          .select(col("src"), col("nbr"), col("cosim"))
+          .unionByName(cross.join(broadcast(affected2), Seq("src"), "left_semi")
+            .select(col("src"), col("nbr"), col("cosim")))
+          .withColumn("rn", row_number().over(w)).filter(col("rn") <= 3)
+          .select(col("src"), col("nbr"), col("cosim"), col("rn"))
+        graft.sources.IndexStore.append(s, idxPath, "edges",
+          restated.unionByName(arrivalEdges)
+            .withColumn("seg", lit(2L)).localCheckpoint())
+        // the auto-fold policy, same gate as every masked sync: ~1%
+        // deleted sits below the 0.1 default, so the masks stay
+        val folded = graft.sources.IndexStore.autoFoldIfNeeded(
+          s, idxPath, "assign", "vec_id")(foldKnnMask(s, idxPath))
+        graft.sources.IndexStore.writeStamp(s, idxPath, stamp, Map(
+          "m" -> m.toString,
+          "n_feed_inserts" -> f.inserts.count().toString,
+          "n_feed_deletes" -> del.count().toString,
+          "n_repaired_del" -> affected.count().toString,
+          "n_restated" -> affected2.count().toString,
+          "auto_folded" -> folded.toString))
+      }
+    }
+    idxPath
+  }
+
+  /** q245: the synced graph served THROUGH the masks — q244's rows
+    * bit-for-bit (the oracle is q244's chain), with the delete leg's
+    * write cost now delta bytes instead of an edges rewrite. Audits:
+    * zero surviving traces of the deleted ids through the masked view,
+    * the mask size, the feed counts, and the repair bound. */
+  def maskedFeedSyncedKnn(s: SparkSession, dir: String): DataFrame = {
+    tune(s)
+    val path = knnMaskSyncStore(s, dir)
+    val meta = graft.sources.IndexStore.readMeta(s, path)
+    val delMask = graft.sources.IndexStore.readDeleteMaskOrEmpty(s, path, "vec_id")
+      .localCheckpoint()
+    val stale = knnStaleMask(s, path).localCheckpoint()
+    val edges = maskedKnnEdges(
+      graft.sources.IndexStore.read(s, path, "edges"), delMask, stale)
+    val m = meta("m").toLong
+    val del = table(s, dir, "embeddings")
+      .filter(col("vec_id") % 89 === 17 && col("vec_id") % m =!= 0)
+      .select(col("vec_id")).localCheckpoint()
+    val traces = edges.join(broadcast(del.select(col("vec_id").as("src"))), Seq("src"))
+      .agg(count(lit(1)).as("n"))
+      .unionByName(edges.join(broadcast(del.select(col("vec_id").as("nbr"))), Seq("nbr"))
+        .agg(count(lit(1)).as("n")))
+      .agg(sum(col("n")).as("removed_traces"))
+    val audit = traces
+      .crossJoin(broadcast(delMask.agg(count(lit(1)).as("n_mask_rows"))))
+      .withColumn("n_feed_inserts", lit(meta("n_feed_inserts").toLong))
+      .withColumn("n_feed_deletes", lit(meta("n_feed_deletes").toLong))
+      .withColumn("n_repaired_del", lit(meta("n_repaired_del").toLong))
+    edges.select(col("src").as("vec_id"), col("nbr"), col("cosim"), col("rn"))
+      .crossJoin(broadcast(audit))
+  }
+
+  /** q245's oracle: q244's chain verbatim (the masked view must be
+    * bit-equal to the physical sync) plus the mask-size audit. */
+  private[graft] lazy val maskedFeedSyncedKnnSql = sqlReplaced(feedSyncedKnnSql,
+    "CAST(0 AS BIGINT) AS removed_traces,",
+    "CAST(0 AS BIGINT) AS removed_traces,\n" +
+      "(SELECT CAST(COUNT(*) AS BIGINT) FROM erased) AS n_mask_rows,")
+
   private val knnClustersSql =
     s"""WITH RECURSIVE $knnGraphCtes,
        |mpairs AS (
@@ -4466,7 +4701,7 @@ object Similarity extends QueryModule {
       "IVF ANN served from the persisted index: probe reads only the probed clusters' cid-pruned bytes; same oracle as q65",
       ivfAnnIndexed, Some(ivfAnnSql)),
     GQuery("q236_store_manifests",
-      "manifest symmetry: the q235 DESCRIBE surface extended to the dedup/IVF/PQ stores — one row per (family, table, cardinality) enumerated from each store's own listing, every count re-derived from raw corpus/embeddings (the PQ codebook count re-runs the Lloyd rounds)",
+      "manifest symmetry: the q235 DESCRIBE surface extended to the dedup/IVF/PQ/kNN-graph stores — one row per (family, table, cardinality) enumerated from each store's own listing, every count re-derived from raw corpus/embeddings (the PQ codebook count re-runs the Lloyd rounds; the knng edge count re-derives the whole cell-scoped top-3 graph)",
       storeManifests, Some(storeManifestsSql)),
     GQuery("q239_knn_graph",
       "kNN-graph construction: every corpus vector's top-3 cosine neighbors, IVF-cell-scoped from the persisted assignment (pair volume tracks cluster sizes, never corpus squared), exact-oracled per cell",
@@ -4486,6 +4721,9 @@ object Similarity extends QueryModule {
     GQuery("q244_feed_synced_knn",
       "feed-driven sync of the kNN-graph store, O(delta + affected): deletes ride the q243 repair, arrivals coarse-assign against stored centroids and MERGE into survivors' lists (insertion only adds candidates, so re-windowing old edges plus cross-edges to same-cell arrivals IS the updated top-3 — no survivor re-scores its whole cell); oracled bit-equal to a rebuild from the lake's current state with the repair size pinned",
       feedSyncedKnn, Some(feedSyncedKnnSql)),
+    GQuery("q245_masked_feed_sync_knn",
+      "feed sync with O(delta) masked deletes for the kNN-graph store: deleted ids ride the delete-mask sidecar, superseded top-3 lists ride a second (src, seq) stale mask with their repaired/re-windowed replacements appended as later segments — every leg's write is delta- or affected-sized, no edges rewrite; served view oracled bit-equal to q244's physical sync, fold ≡ physical pinned in MaskFoldSpec",
+      maskedFeedSyncedKnn, Some(maskedFeedSyncedKnnSql)),
     GQuery("q224_vector_takedown",
       "takedown erasure over the persisted IVF index: one anti-join over assign, centroids kept (probes just stop returning the erased ids), centroid-seed requests refused loudly",
       vectorTakedown, Some(vectorTakedownSql)),

@@ -134,6 +134,38 @@ class MaskFoldSpec extends AnyFunSuite {
       "folded codes must equal the physically-rewritten store's")
   }
 
+  test("knn-graph family: folding the masks reproduces q244's physically-synced edges") {
+    import graft.operators.Similarity
+    SparkEntry.queries("q245_masked_feed_sync_knn")(s, sf).collect()
+    SparkEntry.queries("q244_feed_synced_knn")(s, sf).collect()
+    val maskPath = Similarity.knnMaskSyncStore(s, sf)
+    val physPath = Similarity.knnSyncStore(s, sf)
+    val fold = maskPath + "_foldspec"
+    IndexStore.copy(s, maskPath, fold)
+    Similarity.foldKnnMask(s, fold)
+    graft.operators.Similarity.cleanupAtExit(fold)
+    assert(IndexStore.readDeleteMask(s, fold).isEmpty,
+      "fold must drop the delete-mask sidecar")
+    assert(Similarity.knnStaleMask(s, fold).isEmpty,
+      "fold must drop the stale-list mask")
+    // the folded edges equal the physical sync's (seg is provenance on
+    // the fold side only — the physical store collapses legs in place)
+    val cols = Seq("src", "nbr", "cosim", "rn").map(col)
+    val a = IndexStore.read(s, fold, "edges").select(cols.toIndexedSeq: _*)
+    val b = IndexStore.read(s, physPath, "edges").select(cols.toIndexedSeq: _*)
+    val onlyA = a.exceptAll(b).limit(5).collect().toSeq
+    val onlyB = b.exceptAll(a).limit(5).collect().toSeq
+    assert(onlyA.isEmpty && onlyB.isEmpty,
+      s"folded edges must equal the physically-synced store's; " +
+        s"fold-only: $onlyA; physical-only: $onlyB")
+    // membership too: folded assign equals the physical store's
+    val mcols = Seq("cid", "vec_id", "nrm").map(col)
+    val ma = IndexStore.read(s, fold, "assign").select(mcols.toIndexedSeq: _*)
+    val mb = IndexStore.read(s, physPath, "assign").select(mcols.toIndexedSeq: _*)
+    assert(ma.exceptAll(mb).isEmpty && mb.exceptAll(ma).isEmpty,
+      "folded assign must equal the physically-synced store's")
+  }
+
   test("dedup family: folding the group-survival masks reproduces q228's rewritten store") {
     import graft.operators.Dedup
     SparkEntry.queries("q234_masked_feed_sync_screen")(s, sf).collect()
