@@ -208,6 +208,11 @@ object ScaleRung {
     // physical store; the masked sync's writes are delta/affected-sized
     // by construction (that is the row's point, the q231 pattern)
     "q245_masked_feed_sync_knn",
+    // q246's warm probe is the ledgered edges view (committed segment
+    // dirs + broadcast mask anti-joins); the seed graph build is the
+    // one-time linear term, each micro-batch commit is delta/affected-
+    // sized like q245's legs
+    "q246_stream_knn_sync",
   )
 
   /** The RocksDB-vs-memory crossover experiment: the two streaming rigs

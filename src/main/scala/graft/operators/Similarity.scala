@@ -4649,6 +4649,233 @@ object Similarity extends QueryModule {
     "CAST(0 AS BIGINT) AS removed_traces,\n" +
       "(SELECT CAST(COUNT(*) AS BIGINT) FROM erased) AS n_mask_rows,")
 
+  // ---- q246: the kNN sync as a STREAM through the exactly-once ledger
+  // (VERDICT r16 item 4 — streaming == batch for the graph sync) ----
+
+  /** The q246 streaming store's path — process-unique and reaped at JVM
+    * exit, like every streaming store. */
+  private[graft] def knnStreamPath(dir: String): String =
+    "target/tmp/knn_stream_" + processTag + "_" +
+      dir.replaceAll("[^A-Za-z0-9.]+", "_")
+
+  /** The q246 store's four ledgered tables. `deletes`/`stale` are the
+    * q245 masks as COMMITTED SEGMENTS: a mask row in segment N hides
+    * matching rows of strictly older segments (`row.segment < mask
+    * .segment` — the partition value IS the seq, so the Iceberg scoping
+    * rule needs no extra column), and the cross-table visibility rule
+    * makes each micro-batch's masks + appended lists appear atomically. */
+  private[graft] val KnnStreamTables = Seq("edges", "assign", "deletes", "stale")
+
+  /** Fresh-seed the streaming graph store: centroids land as a flat
+    * table (quantizer geometry, never segmented), and all four ledgered
+    * tables commit segment 0 through the SAME exactly-once path every
+    * micro-batch uses (edges = the base cell graph; assign = the base
+    * membership; empty mask segments). Stamp written last. */
+  private[graft] def seedKnnStream(s: SparkSession, dir: String,
+      base: DataFrame): (String, Long) = {
+    val path = knnStreamPath(dir)
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) fs.delete(p, true)
+    val (cents0, assign0, m) = buildIvfIndex(base)
+    val assignSeed = assign0.localCheckpoint()
+    val emptyDel = assignSeed.select(col("vec_id")).limit(0)
+    val emptyStale = assignSeed.select(col("vec_id").as("src")).limit(0)
+    val wrote = new java.util.concurrent.atomic.AtomicInteger(0)
+    def commit(t: String, df: DataFrame): Unit =
+      if (graft.sources.IndexStore.appendSegmentIfAbsent(s, path, t, "segment", 0L, df))
+        wrote.incrementAndGet(): Unit
+    graft.sources.IndexStore.inParallel(Seq(
+      () => commit("edges", cellGraph(assignSeed)),
+      () => commit("assign", assignSeed
+        .repartitionByRange(col("cid"), col("vec_id"))
+        .sortWithinPartitions(col("cid"), col("vec_id"))),
+      () => commit("deletes", emptyDel),
+      () => commit("stale", emptyStale)))
+    require(wrote.get == KnnStreamTables.size,
+      s"fresh streaming graph store at $path had segments")
+    // the stored centroid table is the arrivals' coarse-assign target,
+    // the same role as in every sync store
+    graft.sources.IndexStore.replaceTable(s, path, "centroids",
+      cents0.localCheckpoint())
+    graft.sources.IndexStore.writeStamp(s, path, "knnstream-seeded|" +
+      graft.sources.IndexStore.sourceStamp(s, Seq(s"$dir/embeddings.parquet")),
+      Map("m" -> m.toString))
+    cleanupAtExit(path)
+    (path, m)
+  }
+
+  /** The cross-table visible segment set of the streaming graph store. */
+  private[graft] def knnStreamVisible(s: SparkSession, path: String): Seq[Long] =
+    graft.sources.IndexStore.commonCommittedSegments(
+      s, path, KnnStreamTables, "segment")
+
+  /** The masked LIVE view over an explicit visible segment set:
+    * (edges, membership). Masks scope `row.segment < mask.segment` —
+    * strictly older, so a segment's own appends are never hidden by its
+    * own masks. */
+  private[graft] def knnStreamView(s: SparkSession, path: String,
+      vis: Seq[Long]): (DataFrame, DataFrame) = {
+    def rd(t: String) =
+      graft.sources.IndexStore.readSegments(s, path, t, "segment", vis)
+    val del = rd("deletes").localCheckpoint()
+    val stale = rd("stale").localCheckpoint()
+    val e0 = rd("edges")
+    val e1 = e0.join(broadcast(del),
+      e0("src") === del("vec_id") && e0("segment") < del("segment"), "left_anti")
+    val edges = e1.join(broadcast(stale),
+      e1("src") === stale("src") && e1("segment") < stale("segment"), "left_anti")
+    val a0 = rd("assign")
+    val members = a0.join(broadcast(del),
+        a0("vec_id") === del("vec_id") && a0("segment") < del("segment"), "left_anti")
+      .select(col("cid"), col("vec_id"), col("embedding"), col("nrm"))
+    (edges, members)
+  }
+
+  /** Commit one feed micro-batch as segment `segId` of ALL FOUR tables,
+    * then DELIBERATELY re-commit (the crash-recovery replay). The
+    * frames derive from the visible state of segments < segId — prior
+    * committed segments never change, so a replay recomputes identical
+    * frames and the ledger makes it a metadata no-op: returns the
+    * written-table counts of the two passes ((4, 0) for a fresh
+    * segment) plus the batch's (n_inserts, n_deletes, n_repaired)
+    * audit. Delete rows ride the q243/q245 O(affected) repair; insert
+    * rows the q245 entering-edge restatement — streaming == batch leg
+    * for leg. */
+  private[graft] def knnStreamCommit(s: SparkSession, path: String, segId: Long,
+      batch: DataFrame): ((Int, Int), (Long, Long, Long)) = {
+    val del = batch.filter(col("change") === "delete")
+      .select(col("vec_id")).localCheckpoint()
+    val ins = batch.filter(col("change") === "insert")
+      .select(col("vec_id"), col("embedding")).localCheckpoint()
+    // the delete leg's repair size, captured when the frames build (the
+    // first commit always builds them in this rig — the store is
+    // fresh-seeded per process, so no segment pre-exists)
+    var nRepaired = 0L
+    lazy val frames: Seq[(String, DataFrame)] = {
+      val vis = knnStreamVisible(s, path).filter(_ < segId)
+      val (visEdges0, members0) = knnStreamView(s, path, vis)
+      val visEdges = visEdges0
+        .select(col("src"), col("nbr"), col("cosim"), col("rn")).localCheckpoint()
+      // ---- delete leg (the q243 repair, O(affected))
+      val live = members0.join(broadcast(del), Seq("vec_id"), "left_anti")
+        .localCheckpoint()
+      val affected = visEdges
+        .join(broadcast(del.select(col("vec_id").as("src"))), Seq("src"), "left_anti")
+        .join(broadcast(del.select(col("vec_id").as("nbr"))), Seq("nbr"), "left_semi")
+        .select(col("src")).distinct().localCheckpoint()
+      nRepaired = affected.count()
+      val repaired = cellGraphFor(live,
+        live.join(broadcast(affected.select(col("src").as("vec_id"))),
+          Seq("vec_id"), "left_semi"))
+      // the post-delete visible lists this batch's insert leg ranks against
+      val visAfterDel = visEdges
+        .join(broadcast(del.select(col("vec_id").as("src"))), Seq("src"), "left_anti")
+        .join(broadcast(affected), Seq("src"), "left_anti")
+        .unionByName(repaired)
+      // ---- insert leg (the q245 entering-edge restatement)
+      val aa = coarseAssignArrivals(s, path, ins).localCheckpoint()
+      val withArrivals = live.unionByName(aa)
+      val arrivalEdges = cellGraphFor(withArrivals,
+        withArrivals.join(broadcast(aa.select(col("vec_id"))),
+          Seq("vec_id"), "left_semi"))
+      val cross = saltedCellJoin(
+          live.select(col("cid"), col("vec_id").as("src"),
+            col("embedding").as("qemb"), col("nrm").as("nq")),
+          aa.select(col("cid"), col("vec_id").as("nbr"),
+            col("embedding").as("vemb"), col("nrm").as("nv")), "nbr")
+        .withColumn("cosim0", dotExpr / (col("nq") * col("nv")))
+        .select(col("src"), col("nbr"), round(col("cosim0"), 9).as("cosim"))
+        .localCheckpoint()
+      val third = visAfterDel.groupBy(col("src")).agg(
+        count(lit(1)).as("n_edges"),
+        max(when(col("rn") === 3, col("cosim"))).as("cosim3"))
+      val affected2 = cross.join(third, Seq("src"), "left")
+        .filter(col("n_edges").isNull || col("n_edges") < 3 ||
+          col("cosim") >= col("cosim3"))
+        .select(col("src")).distinct().localCheckpoint()
+      val w = Window.partitionBy(col("src"))
+        .orderBy(col("cosim").desc, col("nbr"))
+      val restated = visAfterDel.join(broadcast(affected2), Seq("src"), "left_semi")
+        .select(col("src"), col("nbr"), col("cosim"))
+        .unionByName(cross.join(broadcast(affected2), Seq("src"), "left_semi")
+          .select(col("src"), col("nbr"), col("cosim")))
+        .withColumn("rn", row_number().over(w)).filter(col("rn") <= 3)
+        .select(col("src"), col("nbr"), col("cosim"), col("rn"))
+      Seq(
+        "edges" -> repaired.unionByName(restated).unionByName(arrivalEdges)
+          .localCheckpoint(),
+        "assign" -> aa,
+        "deletes" -> del,
+        "stale" -> affected.unionByName(affected2.select(col("src")))
+          .localCheckpoint())
+    }
+    def commitAll(): Int =
+      if (KnnStreamTables.forall(t => graft.sources.IndexStore
+            .segmentCommitted(s, path, t, "segment", segId))) 0
+      else {
+        val wrote = new java.util.concurrent.atomic.AtomicInteger(0)
+        graft.sources.IndexStore.inParallel(frames.map { case (t, df) => () =>
+          if (graft.sources.IndexStore.appendSegmentIfAbsent(
+              s, path, t, "segment", segId, df))
+            wrote.incrementAndGet(): Unit
+        })
+        wrote.get
+      }
+    val first = commitAll()
+    val replay = commitAll()
+    ((first, replay), (ins.count(), del.count(), nRepaired))
+  }
+
+  /** q246's answer frame: q244's rows served THROUGH the ledgered masks
+    * (cross-table visible segments only), with q244's audits plus the
+    * observed replay flag. */
+  private[graft] def knnStreamResult(s: SparkSession, dir: String, path: String,
+      replayNoop: Boolean): DataFrame = {
+    val meta = graft.sources.IndexStore.readMeta(s, path)
+    val vis = knnStreamVisible(s, path)
+    val (edges0, _) = knnStreamView(s, path, vis)
+    val edges = edges0.select(col("src"), col("nbr"), col("cosim"), col("rn"))
+    val m = meta("m").toLong
+    val del = table(s, dir, "embeddings")
+      .filter(col("vec_id") % 89 === 17 && col("vec_id") % m =!= 0)
+      .select(col("vec_id")).localCheckpoint()
+    val traces = edges.join(broadcast(del.select(col("vec_id").as("src"))), Seq("src"))
+      .agg(count(lit(1)).as("n"))
+      .unionByName(edges.join(broadcast(del.select(col("vec_id").as("nbr"))), Seq("nbr"))
+        .agg(count(lit(1)).as("n")))
+      .agg(sum(col("n")).as("removed_traces"))
+    val audit = traces
+      .withColumn("n_feed_inserts", lit(meta("n_feed_inserts").toLong))
+      .withColumn("n_feed_deletes", lit(meta("n_feed_deletes").toLong))
+      .withColumn("n_repaired_del", lit(meta("n_repaired_del").toLong))
+      .withColumn("replay_was_noop", lit(replayNoop))
+    edges.select(col("src").as("vec_id"), col("nbr"), col("cosim"), col("rn"))
+      .crossJoin(broadcast(audit))
+  }
+
+  /** q246's oracle: q244's chain verbatim (streaming == batch for the
+    * graph sync) with the replay verdict pinned TRUE. */
+  private[graft] lazy val streamKnnSyncSql = sqlReplaced(feedSyncedKnnSql,
+    "CAST(0 AS BIGINT) AS removed_traces,",
+    "CAST(0 AS BIGINT) AS removed_traces,\nTRUE AS replay_was_noop,")
+
+  /** The v1→v3 embedding change feed staged for the q246 stream — one
+    * schema for both legs (deletes carry a null embedding). Drained from
+    * a REAL lake feed ([[embeddingFeedFixture]]), not re-derived, so the
+    * stream consumes exactly what the batch sync consumed. */
+  private[graft] def knnStreamFeedBatches(s: SparkSession, dir: String)
+      : Seq[(Int, DataFrame)] = {
+    val f = embeddingFeedFixture(s, dir, "knnstream")
+    Seq(
+      1 -> f.del.select(col("vec_id"),
+        lit(null).cast("array<float>").as("embedding"),
+        lit("delete").as("change")),
+      2 -> f.inserts.select(col("vec_id"), col("embedding"),
+        lit("insert").as("change")))
+  }
+
+
   private val knnClustersSql =
     s"""WITH RECURSIVE $knnGraphCtes,
        |mpairs AS (

@@ -1194,6 +1194,103 @@ object StreamOps extends QueryModule {
     (path, replayNoop)
   }
 
+  /** q246: the kNN-graph sync as a STREAM (VERDICT r16 item 4) — the
+    * fifth family's micro-batch twin, completing the set (dedup q134,
+    * vector-screen q144, search q177/q219, PQ q205, IVF q215). The
+    * v1→v3 embedding change feed (drained from a REAL lake fixture)
+    * stages as two files; each micro-batch applies its rows through the
+    * SAME repair/restatement legs as the batch syncs — deletes ride the
+    * q243 O(affected) repair, arrivals the q245 entering-edge
+    * restatement — and commits masks + appended lists as ONE exactly-
+    * once tagged segment across all four ledgered tables (edges, assign,
+    * deletes, stale). Each commit is deliberately replayed; a correct
+    * ledger makes every replay a metadata no-op (frames re-derive from
+    * strictly older segments, which never change, so the replay is also
+    * deterministic). The served graph is q244's bit-for-bit — the oracle
+    * is q244's chain with the replay verdict pinned — so streaming ==
+    * batch for the graph sync, crash-torn segments invisible until the
+    * replay completes them (CrashRecoverySpec pins the torn case). */
+  def streamKnnSync(s: SparkSession, dir: String): DataFrame = {
+    tune(s)
+    withStatePartitions(s, 8) {
+      val (path, replayNoop) = warmKnnStream(s, dir)
+      graft.operators.Similarity.knnStreamResult(s, dir, path, replayNoop)
+    }
+  }
+
+  /** The q246 substrate under the warm convention: seed + stream +
+    * exactly-once flag collection once per (process, corpus); the
+    * completion stamp (with the feed-count audits and the replay-noop
+    * verdict in meta) lands only after a CLEAN run. */
+  private def warmKnnStream(s: SparkSession, dir: String): (String, Boolean) =
+    synchronized {
+      val path = graft.operators.Similarity.knnStreamPath(dir)
+      val stamp = "knnstream-done|" + graft.sources.IndexStore.sourceStamp(
+        s, Seq(s"$dir/embeddings.parquet"))
+      if (graft.sources.IndexStore.isCurrent(s, path, stamp))
+        (path, graft.sources.IndexStore.readMeta(s, path)("replay_noop").toBoolean)
+      else {
+        val (p, noop, meta) = runKnnSyncStream(s, dir)
+        if (noop) graft.sources.IndexStore.writeStamp(s, p, stamp, meta)
+        (p, noop)
+      }
+    }
+
+  /** The q246 rig body: seed the ledgered graph store, drive the two
+    * feed micro-batches through the four-table exactly-once commit, and
+    * return (path, clean-run verdict, the stamp meta — m carried from
+    * the seed, feed counts summed across batches, replay flag). */
+  private def runKnnSyncStream(s: SparkSession, dir: String)
+      : (String, Boolean, Map[String, String]) = {
+    val batches = graft.operators.Similarity.knnStreamFeedBatches(s, dir)
+    val schema = batches.head._2.schema
+    val srcDir = stagedOnce(s"knnsync:$dir") { sd =>
+      val t0 = 1000000000000L
+      batches.foreach { case (segId, b) =>
+        stageFile(s, sd, b, f"b${segId}%02d_feed", t0 + segId * 600000L)
+      }
+    }
+    val (path, m) = graft.operators.Similarity.seedKnnStream(
+      s, dir, table(s, dir, "embeddings"))
+    val nTables = graft.operators.Similarity.KnnStreamTables.size
+    val flags = new java.util.concurrent.ConcurrentHashMap[Long, (Int, Int)]()
+    val counts = new java.util.concurrent.ConcurrentHashMap[Long, (Long, Long, Long)]()
+    val src = s.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(srcDir)
+    val qname = s"graft_stream_knnsync_${counter.incrementAndGet()}"
+    val q = src.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        // mtime-pinned file order: micro-batch N carries feed slice N+1
+        // and commits as segment N+1 (seed = segment 0)
+        val (fl, c) = graft.operators.Similarity.knnStreamCommit(
+          batch.sparkSession, path, batchId + 1, batch)
+        flags.put(batchId + 1, fl)
+        counts.put(batchId + 1, c)
+        ()
+      }
+      .option("checkpointLocation", s"$ckBase/$qname")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val nb = q.recentProgress.count(_.numInputRows > 0)
+    require(nb == 2, s"kNN sync harness needs exactly 2 non-empty micro-batches, got $nb")
+    dropCheckpoint(s"$ckBase/$qname")
+    import scala.jdk.CollectionConverters._
+    val fl = flags.asScala.values.toSeq
+    val replayNoop = fl.sizeIs == 2 &&
+      fl.forall { case (first, replay) => first == nTables && replay == 0 }
+    val cs = counts.asScala.values.toSeq
+    val meta = Map(
+      "m" -> m.toString,
+      "replay_noop" -> "true",
+      "n_feed_inserts" -> cs.map(_._1).sum.toString,
+      "n_feed_deletes" -> cs.map(_._2).sum.toString,
+      "n_repaired_del" -> cs.map(_._3).sum.toString)
+    (path, replayNoop, meta)
+  }
+
   /** q220: ledger-aware compaction of the MULTI-TABLE streamed search
     * store — q217's maintenance op carried to the store whose commit
     * unit spans four tables. After the full q219 stream, every table
@@ -1346,6 +1443,11 @@ object StreamOps extends QueryModule {
     GQuery("q215_stream_ivf_refresh",
       "streaming sequential IVF refresh: exactly-once tagged-segment commits per micro-batch, replay audited as no-op; probe oracle == batch q195",
       streamIvfRefresh, Some(graft.operators.Similarity.ivfRefreshSeqStreamSql)),
+    // Same oracle chain as the batch q244 — the kNN-graph sync's
+    // streaming == batch, with the exactly-once segment ledger audited.
+    GQuery("q246_stream_knn_sync",
+      "streaming kNN-graph sync: each feed micro-batch applies the q243 delete repair + q245 entering-edge restatement and commits masks + appended lists as one exactly-once segment across four ledgered tables; replay audited as no-op; oracle == batch q244 with the verdict pinned",
+      streamKnnSync, Some(graft.operators.Similarity.streamKnnSyncSql)),
     GQuery("q217_stream_ivf_compact",
       "ledger-aware compaction of the streaming segment store: committed rows collapse to seg=0, tombstone markers keep post-compaction replays exactly-once",
       streamIvfCompact, Some(graft.operators.Similarity.ivfStreamCompactSql)),

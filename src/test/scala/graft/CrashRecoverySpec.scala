@@ -603,6 +603,59 @@ class CrashRecoverySpec extends AnyFunSuite {
     assert(graft.sources.IndexStore.isCurrent(s, dst, "copyspec") && !fs.exists(cbak))
   }
 
+  test("kNN stream sync: a segment torn between two tables is invisible, the replay completes it with identical rows") {
+    // VERDICT r16 item 4's crash case: each q246 micro-batch commits
+    // masks + appended lists across FOUR ledgered tables; a crash
+    // between two tables' commits must leave the whole segment
+    // invisible (no half-applied feed is ever served) until the
+    // recovering replay — which re-derives its frames from strictly
+    // OLDER segments, unchanged by the crash — completes the
+    // stragglers with identical rows and the segment appears
+    // atomically.
+    import graft.operators.Similarity
+    Engine.tune(s)
+    val sf = TestSpark.sf
+    val (path, _) = Similarity.seedKnnStream(s, sf,
+      Engine.table(s, sf, "embeddings"))
+    val feed = Similarity.knnStreamFeedBatches(s, sf)
+    val delBatch = feed.head._2.localCheckpoint()
+    // commit the delete micro-batch as segment 1 (first=4, replay=0)
+    val ((first, replay), (_, nDel, _)) =
+      Similarity.knnStreamCommit(s, path, 1L, delBatch)
+    assert(first == 4 && replay == 0, s"fresh segment: expected (4,0), got ($first,$replay)")
+    assert(nDel > 0, "the fixture's delete slice must be non-empty")
+    // knnStreamResult reads the audit meta — the rig writes it after a
+    // clean run; stand in for it here (m carried from the seed)
+    graft.sources.IndexStore.writeStamp(s, path, "tornspec",
+      Map("m" -> graft.sources.IndexStore.readMeta(s, path)("m"),
+        "n_feed_inserts" -> "0", "n_feed_deletes" -> nDel.toString,
+        "n_repaired_del" -> "0"))
+    val want = Similarity.knnStreamResult(s, sf, path, replayNoop = true)
+      .collect().map(_.toString).sorted.toSeq
+    // tear the segment: drop ONE table's segment dir (crash between
+    // two tables' first commits)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI("file:///"), s.sparkContext.hadoopConfiguration)
+    val tornDir = new org.apache.hadoop.fs.Path(s"$path/stale/segment=1")
+    assert(fs.delete(tornDir, true), "test setup: tear the stale table's segment")
+    // the joint view excludes the torn segment everywhere: the feed is
+    // wholly invisible (pre-delete state serves — deleted ids still
+    // present, no torn half-applied masks)
+    assert(Similarity.knnStreamVisible(s, path) == Seq(0L),
+      "a torn segment must be invisible in the cross-table view")
+    // the replay completes exactly the straggler table with identical
+    // rows (frames re-derive from segment 0 alone)
+    val ((first2, replay2), _) = Similarity.knnStreamCommit(s, path, 1L, delBatch)
+    assert(first2 == 1 && replay2 == 0,
+      s"replay must complete only the torn table: expected (1,0), got ($first2,$replay2)")
+    assert(Similarity.knnStreamVisible(s, path) == Seq(0L, 1L),
+      "the healed segment must appear atomically")
+    val got = Similarity.knnStreamResult(s, sf, path, replayNoop = true)
+      .collect().map(_.toString).sorted.toSeq
+    assert(got == want,
+      "the healed view must equal the pre-tear view row-for-row")
+  }
+
   test("replaceTable killed after the swap, before the bak delete: stale bak is dropped, new data serves") {
     import s.implicits._
     val store = s"$base/tswap2"
