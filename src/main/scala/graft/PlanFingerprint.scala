@@ -172,6 +172,10 @@ object PlanFingerprint {
     // BROADCAST mask anti-joins — a drift that shuffles the masks or
     // recomputes the sync at probe time is what the lock catches
     "q245_masked_feed_sync_knn",
+    // q247's value: the widened candidate build must keep the broadcast
+    // centroid cover + dedup'd pair set — a drift to a corpus-wide join
+    // is what the lock catches
+    "q247_knn_graph_np2",
   )
 
   /** Structural counts of the STEADY-STATE initial plan.

@@ -213,6 +213,10 @@ object ScaleRung {
     // one-time linear term, each micro-batch commit is delta/affected-
     // sized like q245's legs
     "q246_stream_knn_sync",
+    // q247 doubles q239's per-source candidate volume (top-2 cells) —
+    // the rung must show ~2x q239's pair shuffle, same cell-scoped
+    // shape, never corpus^2
+    "q247_knn_graph_np2",
   )
 
   /** The RocksDB-vs-memory crossover experiment: the two streaming rigs

@@ -3834,9 +3834,16 @@ object Similarity extends QueryModule {
     * plan-locked stored-assignment path byte-identical; the widened
     * mode is spec-covered (never worsens any vector's best neighbor,
     * never loses a default-mode edge — SimilaritySpec). */
-  private def knnGraphFrame(s: SparkSession, dir: String): DataFrame = {
+  private def knnGraphFrame(s: SparkSession, dir: String): DataFrame =
+    knnGraphFrameNp(s, dir,
+      s.conf.getOption("spark.graft.knn.nprobe").map(_.toInt).getOrElse(1))
+
+  /** [[knnGraphFrame]] with the probe width as an EXPLICIT parameter —
+    * the q247 registered widened graph passes 2 directly instead of
+    * mutating the session knob (the ADVICE r16 concurrency rule: build
+    * parameters travel as parameters). */
+  private def knnGraphFrameNp(s: SparkSession, dir: String, np: Int): DataFrame = {
     val (cents, assign) = corpusIvfIndex(s, dir)
-    val np = s.conf.getOption("spark.graft.knn.nprobe").map(_.toInt).getOrElse(1)
     val a = assign.select(col("cid"), col("vec_id"), col("embedding"), col("nrm"))
     val w = Window.partitionBy(col("src"))
       .orderBy(round(col("cosim0"), 9).desc, col("nbr"))
@@ -3845,9 +3852,12 @@ object Similarity extends QueryModule {
     } else {
       // top-P cells per source against the broadcast stored centroids
       // (same metric + tie-break as the stored assignment, so P=2's cell
-      // set is a superset of the stored cell); candidate (src, nbr)
-      // pairs dedup'd before scoring so a neighbor shared by two probed
-      // cells is ranked once
+      // set is a superset of the stored cell). Candidate pairs need NO
+      // dedup: IVF cells PARTITION the corpus (assignment is argmax with
+      // a total tie-break), so a neighbor belongs to exactly one probed
+      // cell and each (src, nbr) meets once — the widened build is one
+      // salted cell join with the source embedding carried along, the
+      // cellGraphFor shape with probed (not home) cells on the left
       val q = a.select(col("vec_id").as("src"),
         col("embedding").as("qemb"), col("nrm").as("nq"))
       val wq = Window.partitionBy(col("src")).orderBy(col("ccos").desc, col("cid"))
@@ -3856,14 +3866,11 @@ object Similarity extends QueryModule {
           col("embedding").as("vemb"), col("nc"))))
         .withColumn("ccos", dotExpr / (col("nq") * col("nc")))
         .withColumn("rp", row_number().over(wq)).filter(col("rp") <= np)
-        .select(col("src"), col("cid"))
-      val cand = saltedCellJoin(srcCells,
-          a.select(col("cid"), col("vec_id").as("nbr")), "nbr")
+        .select(col("src"), col("cid"), col("qemb"), col("nq"))
+      saltedCellJoin(srcCells,
+          a.select(col("cid"), col("vec_id").as("nbr"),
+            col("embedding").as("vemb"), col("nrm").as("nv")), "nbr")
         .filter(col("src") =!= col("nbr"))
-        .select(col("src"), col("nbr")).distinct()
-      cand.join(q, Seq("src"))
-        .join(a.select(col("vec_id").as("nbr"),
-          col("embedding").as("vemb"), col("nrm").as("nv")), Seq("nbr"))
         .withColumn("cosim0", dotExpr / (col("nq") * col("nv")))
         .withColumn("rn", row_number().over(w)).filter(col("rn") <= 3)
         .select(col("src"), col("nbr"), round(col("cosim0"), 9).as("cosim"), col("rn"))
@@ -4916,6 +4923,56 @@ object Similarity extends QueryModule {
        |  FROM gcos)
        |WHERE rn <= 3""".stripMargin
 
+  // ---- q247: the WIDENED (nprobe=2) graph, oracled (VERDICT r16 item 5) ----
+
+  /** q247: the q239 graph at nprobe=2 — the recall dial promoted from
+    * spec-only to an ORACLED build path. Each source gathers candidates
+    * from its top-2 coarse cells against the broadcast STORED centroids
+    * (same metric and tie-break as the stored assignment, so the cell
+    * set is a superset of the default's), which closes the
+    * singleton-cell recall hole at ~2x the pair volume; candidate pairs
+    * dedup before scoring so a neighbor shared by both probed cells is
+    * ranked once. The probe width travels as an explicit parameter of
+    * this query — never a session-conf mutation. The MAINTAINED store
+    * stays nprobe=1 (q243's cell-scoped repair refuses a widened store
+    * it would under-repair — the refusal is the documented contract;
+    * this query makes the dial usable on the build path with a green
+    * oracle, which re-derives the top-2 cell cover in SQL). */
+  def knnGraphNp2(s: SparkSession, dir: String): DataFrame = {
+    tune(s)
+    knnGraphFrameNp(s, dir, 2)
+      .select(col("src").as("vec_id"), col("nbr"), col("cosim"), col("rn"))
+  }
+
+  private val knnGraphNp2Sql =
+    s"""WITH $flatSql,
+       |$normsSql,
+       |$ivfAssignSql,
+       |src2 AS (
+       |  SELECT vec_id AS src, cid FROM (
+       |    SELECT vec_id, cid, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cosim DESC, cid) AS rp
+       |    FROM acos)
+       |  WHERE rp <= 2),
+       |wcand AS (
+       |  SELECT DISTINCT s.src, a.vec_id AS nbr
+       |  FROM src2 s JOIN assign a ON a.cid = s.cid AND a.vec_id <> s.src),
+       |wdots AS (
+       |  SELECT p.src, p.nbr,
+       |         CAST(SUM(CAST(a.xd*b.xd AS DECIMAL(38,20))) AS DOUBLE) AS dot
+       |  FROM wcand p
+       |  JOIN flat a ON a.vec_id = p.src
+       |  JOIN flat b ON b.vec_id = p.nbr AND b.pos = a.pos
+       |  GROUP BY p.src, p.nbr),
+       |wcos AS (
+       |  SELECT d.src, d.nbr, round(d.dot / (n1.nrm * n2.nrm), 9) AS cosim
+       |  FROM wdots d
+       |  JOIN norms n1 ON n1.vec_id = d.src
+       |  JOIN norms n2 ON n2.vec_id = d.nbr)
+       |SELECT src AS vec_id, nbr, cosim, rn FROM (
+       |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY src ORDER BY cosim DESC, nbr) AS INT) AS rn
+       |  FROM wcos)
+       |WHERE rn <= 3""".stripMargin
+
   override val queries: Seq[GQuery] = Seq(
     GQuery("q55_array_ops", "array column structural access (F16)", arrayOps, Some(arrayOpsSql)),
     GQuery("q59_hof_ops", "filter/exists/forall/transform higher-order array breadth (F16)",
@@ -4933,6 +4990,9 @@ object Similarity extends QueryModule {
     GQuery("q239_knn_graph",
       "kNN-graph construction: every corpus vector's top-3 cosine neighbors, IVF-cell-scoped from the persisted assignment (pair volume tracks cluster sizes, never corpus squared), exact-oracled per cell",
       knnGraph, Some(knnGraphSql)),
+    GQuery("q247_knn_graph_np2",
+      "the widened (nprobe=2) kNN graph, oracled: each source gathers candidates from its top-2 coarse cells against the stored centroids (superset of the default cell — closes the singleton-cell recall hole at ~2x pair volume), candidates dedup'd before scoring; the recall dial promoted from spec-only to an oracled build path, width passed as an explicit parameter, maintained store stays nprobe=1 by the q243 repair contract",
+      knnGraphNp2, Some(knnGraphNp2Sql)),
     GQuery("q240_mutual_knn",
       "mutual-kNN symmetrization: pairs where each vector is in the other's top-3 (reciprocity, the high-precision near-dup candidate filter over the directed graph) — one checkpointed q239 graph self-joined on the reversed edge, both ranks carried",
       mutualKnn, Some(mutualKnnSql)),
