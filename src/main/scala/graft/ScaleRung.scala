@@ -217,6 +217,10 @@ object ScaleRung {
     // the rung must show ~2x q239's pair shuffle, same cell-scoped
     // shape, never corpus^2
     "q247_knn_graph_np2",
+    // q248 adds a second fixed-budget probe leg over the q246 store;
+    // its delta over q246 must stay flat (the as-of leg's file index is
+    // SMALLER), the q218/q221 pattern for the fifth family
+    "q248_stream_knn_asof",
   )
 
   /** The RocksDB-vs-memory crossover experiment: the two streaming rigs

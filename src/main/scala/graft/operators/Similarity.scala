@@ -4380,9 +4380,13 @@ object Similarity extends QueryModule {
     * move), arrivals assign fresh against the v1 centroids (the q229
     * chain), and the delete leg's repair count re-derives from the BASE
     * graph (sources surviving whose top-3 touched the erased set). */
-  private val feedSyncedKnnSql =
-    s"""WITH $knnGraphCtes,
-       |erased AS (
+  /** The synced-state CTE chain (erased feed slice → negated arrivals →
+    * current members → the whole-graph rebuild `g4`; expects the
+    * [[knnGraphCtes]] names in scope) — split out so the q248 as-of
+    * oracle can pair the current-state leg with a horizon leg over the
+    * same WITH chain. */
+  private lazy val knnSyncedChainSql =
+    s"""erased AS (
        |  SELECT vec_id FROM embeddings
        |  WHERE vec_id % 89 = 17
        |    AND vec_id % (SELECT CAST(ceil(sqrt(COUNT(*))) AS BIGINT) FROM embeddings) <> 0),
@@ -4428,7 +4432,11 @@ object Similarity extends QueryModule {
        |  SELECT src, nbr, cosim, rn FROM (
        |    SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY src ORDER BY cosim DESC, nbr) AS INT) AS rn
        |    FROM g4cos)
-       |  WHERE rn <= 3)
+       |  WHERE rn <= 3)""".stripMargin
+
+  private val feedSyncedKnnSql =
+    s"""WITH $knnGraphCtes,
+       |$knnSyncedChainSql
        |SELECT src AS vec_id, nbr, cosim, rn,
        |       CAST(0 AS BIGINT) AS removed_traces,
        |       (SELECT CAST(COUNT(*) AS BIGINT) FROM embeddings WHERE vec_id % 31 = 2)
@@ -4866,6 +4874,46 @@ object Similarity extends QueryModule {
   private[graft] lazy val streamKnnSyncSql = sqlReplaced(feedSyncedKnnSql,
     "CAST(0 AS BIGINT) AS removed_traces,",
     "CAST(0 AS BIGINT) AS removed_traces,\nTRUE AS replay_was_noop,")
+
+  /** q248's answer frame: the SAME masked-view read at two horizons of
+    * the streamed store — `full` (every committed segment: the current
+    * synced graph) and `asof1` (segments ≤ 1: the graph as it stood
+    * after the delete batch, before the arrivals landed). The horizon
+    * bounds the visible segment set itself (intersected per-table
+    * ledgers filtered to ≤ h), so segment 2's directories never enter
+    * any table's file index — directory-level pruning, the q218/q221
+    * shape for the fifth family. The asof1 leg is bit-equal to a
+    * rebuild over the filtered base pairs (the q243 repair proof), the
+    * full leg to the q244 rebuild — both pinned by the oracle. */
+  private[graft] def knnStreamAsOfResult(s: SparkSession, path: String): DataFrame = {
+    def leg(h: Long, name: String): DataFrame = {
+      val vis = knnStreamVisible(s, path).filter(_ <= h)
+      val (edges, _) = knnStreamView(s, path, vis)
+      edges.select(lit(name).as("horizon"), col("src").as("vec_id"),
+        col("nbr"), col("cosim"), col("rn"))
+    }
+    leg(Long.MaxValue, "full").unionByName(leg(1L, "asof1"))
+  }
+
+  /** q248's oracle: the current-state leg is q244's g4 chain; the
+    * horizon leg re-derives the post-delete graph from the BASE pairs
+    * with the erased ids absent from both sides (bit-equal to the
+    * repaired state by the q243 argument: removal only shrinks
+    * candidate sets). */
+  private[graft] lazy val streamKnnAsOfSql =
+    s"""WITH $knnGraphCtes,
+       |$knnSyncedChainSql,
+       |gh AS (
+       |  SELECT src, nbr, cosim, rn FROM (
+       |    SELECT src, nbr, cosim,
+       |           CAST(ROW_NUMBER() OVER (PARTITION BY src ORDER BY cosim DESC, nbr) AS INT) AS rn
+       |    FROM gcos
+       |    WHERE src NOT IN (SELECT vec_id FROM erased)
+       |      AND nbr NOT IN (SELECT vec_id FROM erased))
+       |  WHERE rn <= 3)
+       |SELECT 'full' AS horizon, src AS vec_id, nbr, cosim, rn FROM g4
+       |UNION ALL
+       |SELECT 'asof1' AS horizon, src AS vec_id, nbr, cosim, rn FROM gh""".stripMargin
 
   /** The v1→v3 embedding change feed staged for the q246 stream — one
     * schema for both legs (deletes carry a null embedding). Drained from

@@ -1218,6 +1218,22 @@ object StreamOps extends QueryModule {
     }
   }
 
+  /** q248: as-of over the STREAMED kNN-graph store — the horizon read
+    * completing the fifth family's symmetry (q218/q221's shape): the
+    * same masked-view probe at horizon full (the current synced graph)
+    * and horizon 1 (post-delete, pre-arrival). The horizon bounds the
+    * visible segment set itself, so the pruned segment's directories
+    * never enter planning; both legs share one view definition and one
+    * oracle (current = q244's rebuild, horizon = the filtered-base
+    * rebuild the q243 repair proof licenses). */
+  def streamKnnAsOf(s: SparkSession, dir: String): DataFrame = {
+    tune(s)
+    withStatePartitions(s, 8) {
+      val (path, _) = warmKnnStream(s, dir)
+      graft.operators.Similarity.knnStreamAsOfResult(s, path)
+    }
+  }
+
   /** The q246 substrate under the warm convention: seed + stream +
     * exactly-once flag collection once per (process, corpus); the
     * completion stamp (with the feed-count audits and the replay-noop
@@ -1448,6 +1464,9 @@ object StreamOps extends QueryModule {
     GQuery("q246_stream_knn_sync",
       "streaming kNN-graph sync: each feed micro-batch applies the q243 delete repair + q245 entering-edge restatement and commits masks + appended lists as one exactly-once segment across four ledgered tables; replay audited as no-op; oracle == batch q244 with the verdict pinned",
       streamKnnSync, Some(graft.operators.Similarity.streamKnnSyncSql)),
+    GQuery("q248_stream_knn_asof",
+      "as-of over the streamed kNN-graph store: the masked-view probe at horizon full (current synced graph, q244's rebuild) and horizon 1 (post-delete pre-arrival, the filtered-base rebuild) — the horizon bounds the visible segment set itself so pruned segment directories never enter planning",
+      streamKnnAsOf, Some(graft.operators.Similarity.streamKnnAsOfSql)),
     GQuery("q217_stream_ivf_compact",
       "ledger-aware compaction of the streaming segment store: committed rows collapse to seg=0, tombstone markers keep post-compaction replays exactly-once",
       streamIvfCompact, Some(graft.operators.Similarity.ivfStreamCompactSql)),
