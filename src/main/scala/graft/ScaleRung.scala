@@ -221,6 +221,12 @@ object ScaleRung {
     // its delta over q246 must stay flat (the as-of leg's file index is
     // SMALLER), the q218/q221 pattern for the fifth family
     "q248_stream_knn_asof",
+    // q249's warm probe reads the COMPACTED store — one data-bearing
+    // segment per table, empty masks — so its recurring row should sit
+    // at-or-under q246's (same view, fewer files, no mask anti-join
+    // work); the fold itself is the one-time O(visible view) rewrite,
+    // paid at the stamped copy like every compaction twin (q217/q220)
+    "q249_knn_stream_compact",
   )
 
   /** The RocksDB-vs-memory crossover experiment: the two streaming rigs

@@ -4887,6 +4887,13 @@ object Similarity extends QueryModule {
     * full leg to the q244 rebuild — both pinned by the oracle. */
   private[graft] def knnStreamAsOfResult(s: SparkSession, path: String): DataFrame = {
     def leg(h: Long, name: String): DataFrame = {
+      // a compacted store forfeits horizons below its compaction point
+      // (fold-on-compact rewrote those segments' history into the base) —
+      // serving them would silently answer with POST-fold rows; refuse
+      val through = knnStreamCompactedThrough(s, path)
+      require(h >= through,
+        s"as-of horizon $h is below the store's compaction point $through " +
+          s"at $path — folded history is not servable")
       val vis = knnStreamVisible(s, path).filter(_ <= h)
       val (edges, _) = knnStreamView(s, path, vis)
       edges.select(lit(name).as("horizon"), col("src").as("vec_id"),
@@ -4894,6 +4901,113 @@ object Similarity extends QueryModule {
     }
     leg(Long.MaxValue, "full").unionByName(leg(1L, "asof1"))
   }
+
+  /** The compaction point recorded by [[compactKnnStream]] — horizons
+    * below it are forfeited. Absent key (a never-compacted store) means
+    * every horizon is servable. */
+  private[graft] def knnStreamCompactedThrough(s: SparkSession, path: String): Long =
+    graft.sources.IndexStore.readMeta(s, path)
+      .get("compacted_through").map(_.toLong).getOrElse(Long.MinValue)
+
+  // ---- q249: ledger-aware MASK-FOLDING compaction of the streamed
+  // kNN-graph store — q217/q220's maintenance op carried to the one
+  // streamed store that owns segment-scoped mask sidecars ----
+
+  /** Compact all four ledgered tables of the q246 store at `path` over
+    * the joint visible set, FOLDING the masks into the data tables as
+    * the rows collapse (the compaction IS a mask fold — the base segment
+    * afterwards holds exactly the pre-compaction visible view and the
+    * mask tables are empty). Returns the compaction point (max visible
+    * segment id).
+    *
+    * Two invariants make every crash window of this multi-table rewrite
+    * serve the SAME view (each single-table swap is itself atomic):
+    *  - folded rows park under the visible set's MAX id, not its min —
+    *    a not-yet-compacted `stale` mask at segment N would re-hide a
+    *    restated list that the fold collapsed to a segment < N (the mask
+    *    and its restatement were born in the SAME segment; fold-at-max
+    *    keeps every already-applied mask strictly-not-newer than every
+    *    folded row, so raw masks over folded data tables match nothing);
+    *  - data tables compact FIRST, mask tables LAST — the reverse order
+    *    has a window where raw un-folded edges serve with their masks
+    *    already emptied, leaking deleted rows. With this order every
+    *    intermediate state reads bit-identical to the pre-compaction
+    *    view, which CrashRecoverySpec pins at the worst window (data
+    *    folded, masks still raw). */
+  private[graft] def compactKnnStream(s: SparkSession, path: String,
+      masksToo: Boolean = true): Long = {
+    val vis = knnStreamVisible(s, path)
+    val into = vis.max
+    val (edges, members) = knnStreamView(s, path, vis)
+    val foldedEdges = edges
+      .select(col("src"), col("nbr"), col("cosim"), col("rn")).localCheckpoint()
+    val foldedAssign = members.localCheckpoint()
+    graft.sources.IndexStore.inParallel(Seq(
+      () => graft.sources.IndexStore.compactSegmentLedger(s, path, "edges",
+        "segment", sortCols = Seq("src", "rn"), rangeCols = Seq("src"),
+        onlySegs = Some(vis), fold = Some(_ => foldedEdges),
+        intoSeg = Some(into)),
+      () => graft.sources.IndexStore.compactSegmentLedger(s, path, "assign",
+        "segment", sortCols = Seq("cid", "vec_id"),
+        rangeCols = Seq("cid", "vec_id"), onlySegs = Some(vis),
+        fold = Some(_ => foldedAssign), intoSeg = Some(into))))
+    // masksToo=false stops at the worst crash window (data tables folded,
+    // masks still raw) — CrashRecoverySpec's hook; production always
+    // completes, and an interrupted run re-enters idempotently
+    if (masksToo)
+      graft.sources.IndexStore.inParallel(Seq(
+        () => graft.sources.IndexStore.compactSegmentLedger(s, path, "deletes",
+          "segment", sortCols = Seq("vec_id"), rangeCols = Seq("vec_id"),
+          onlySegs = Some(vis), fold = Some(df => df.limit(0)),
+          intoSeg = Some(into)),
+        () => graft.sources.IndexStore.compactSegmentLedger(s, path, "stale",
+          "segment", sortCols = Seq("src"), rangeCols = Seq("src"),
+          onlySegs = Some(vis), fold = Some(df => df.limit(0)),
+          intoSeg = Some(into))))
+    into
+  }
+
+  /** q249's answer frame: q246's served rows read from the COMPACTED
+    * store (fold-on-compact must be invisible to the reader — the oracle
+    * is q244's chain, so a row the fold lost or leaked hash-mismatches),
+    * plus the maintenance audits: `replay_after_compact` (both feed
+    * batches re-driven against the tombstoned ledger wrote nothing),
+    * `n_data_segments` (data-bearing committed edge segments, counted
+    * from the store's files — 1 after a full-set fold), and
+    * `masks_folded` (both mask tables serve zero visible rows). */
+  private[graft] def knnStreamCompactResult(s: SparkSession, path: String,
+      replayNoop: Boolean): DataFrame = {
+    val vis = knnStreamVisible(s, path)
+    val (edges0, _) = knnStreamView(s, path, vis)
+    val edges = edges0.select(col("src").as("vec_id"),
+      col("nbr"), col("cosim"), col("rn"))
+    val hp = new org.apache.hadoop.fs.Path(
+      new org.apache.hadoop.fs.Path(path), "edges")
+    val fs = hp.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val nDataSegs = fs.listStatus(hp).count { st =>
+      st.isDirectory && st.getPath.getName.startsWith("segment=") &&
+        fs.exists(new org.apache.hadoop.fs.Path(st.getPath, "_COMMITTED")) &&
+        fs.listStatus(st.getPath).exists(_.getPath.getName.endsWith(".parquet"))
+    }.toLong
+    val nMaskRows = Seq("deletes", "stale").map(t =>
+      graft.sources.IndexStore.readSegments(s, path, t, "segment", vis).count()).sum
+    val audit = s.range(1).select(
+      lit(replayNoop).as("replay_after_compact"),
+      lit(nDataSegs).as("n_data_segments"),
+      lit(nMaskRows == 0L).as("masks_folded"))
+    edges.crossJoin(broadcast(audit))
+  }
+
+  /** q249's oracle: q244's chain (compaction must not change one served
+    * row) with the three maintenance audits pinned. */
+  private[graft] lazy val streamKnnCompactSql =
+    s"""WITH $knnGraphCtes,
+       |$knnSyncedChainSql
+       |SELECT src AS vec_id, nbr, cosim, rn,
+       |       TRUE AS replay_after_compact,
+       |       CAST(1 AS BIGINT) AS n_data_segments,
+       |       TRUE AS masks_folded
+       |FROM g4""".stripMargin
 
   /** q248's oracle: the current-state leg is q244's g4 chain; the
     * horizon leg re-derives the post-delete graph from the BASE pairs

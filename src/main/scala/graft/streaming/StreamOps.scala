@@ -1234,6 +1234,68 @@ object StreamOps extends QueryModule {
     }
   }
 
+  /** q249: mask-folding ledger compaction of the streamed kNN-graph
+    * store — q217/q220's maintenance op carried to the fifth family's
+    * streamed store, the first whose ledger carries segment-scoped MASK
+    * sidecars. Compaction and mask fold are one rewrite
+    * ([[graft.operators.Similarity.compactKnnStream]]): the visible
+    * masked view collapses into fresh range-sorted files under the
+    * visible set's MAX segment id (fold-at-max — under the min, a
+    * not-yet-compacted stale mask would re-hide the restated lists it
+    * was born beside), every pre-compaction segment keeps a TOMBSTONE
+    * commit marker, and the mask tables compact to empty (their rows
+    * are IN the data now). Data tables swap first, masks last, so every
+    * crash window between the four single-table swaps serves the
+    * bit-identical view (CrashRecoverySpec pins the worst window). The
+    * rig then re-drives both feed micro-batches: the tombstoned ledger
+    * must make every commit a metadata no-op, pinned by the oracle as
+    * replay_after_compact=TRUE beside the byte-identical q244 rows,
+    * n_data_segments=1 audited from the files, and masks_folded=TRUE
+    * audited from the mask tables. As-of horizons below the compaction
+    * point are forfeited LOUDLY (the q248 read refuses them via the
+    * recorded compaction point — a silent answer would serve post-fold
+    * rows as history). */
+  def streamKnnCompact(s: SparkSession, dir: String): DataFrame = {
+    tune(s)
+    withStatePartitions(s, 8) {
+      val (cpath, stillNoop) = warmCompactedKnnStream(s, dir)
+      graft.operators.Similarity.knnStreamCompactResult(s, cpath, stillNoop)
+    }
+  }
+
+  /** q249's substrate: a stamped COPY of the warm q246 store, compacted
+    * once per process (the q220 convention — compacting a copy keeps the
+    * shared q246/q248 store's horizons intact; a crash mid-compact
+    * leaves the copy failing this stamp check and re-copies). */
+  private def warmCompactedKnnStream(s: SparkSession, dir: String): (String, Boolean) =
+    synchronized {
+      val (path, replayNoop) = warmKnnStream(s, dir)
+      val cpath = path + "_compacted"
+      val stamp = "knnstream-compacted|" + graft.sources.IndexStore.sourceStamp(
+        s, Seq(s"$dir/embeddings.parquet"))
+      if (graft.sources.IndexStore.isCurrent(s, cpath, stamp))
+        (cpath, graft.sources.IndexStore.readMeta(s, cpath)("replay_after_compact").toBoolean)
+      else {
+        require(replayNoop, "pre-compaction stream must commit exactly once")
+        graft.sources.IndexStore.copy(s, path, cpath)
+        graft.operators.Similarity.cleanupAtExit(cpath)
+        val through = graft.operators.Similarity.compactKnnStream(s, cpath)
+        // the recovery retry, AFTER compaction: both feed batches re-commit;
+        // tombstones must answer "already committed" across all four tables
+        val replays = graft.operators.Similarity.knnStreamFeedBatches(s, dir).map {
+          case (segId, b) => graft.operators.Similarity.knnStreamCommit(
+            s, cpath, segId.toLong, b)._1
+        }
+        val stillNoop = replays.forall { case (first, second) => first == 0 && second == 0 }
+        val meta = graft.sources.IndexStore.readMeta(s, cpath) ++ Map(
+          "replay_after_compact" -> stillNoop.toString,
+          "compacted_through" -> through.toString)
+        // stamp only a CLEAN run — see warmIvfStream
+        if (stillNoop) graft.sources.IndexStore.writeStamp(s, cpath, stamp, meta)
+        (cpath, stillNoop)
+      }
+    }
+
   /** The q246 substrate under the warm convention: seed + stream +
     * exactly-once flag collection once per (process, corpus); the
     * completion stamp (with the feed-count audits and the replay-noop
@@ -1467,6 +1529,9 @@ object StreamOps extends QueryModule {
     GQuery("q248_stream_knn_asof",
       "as-of over the streamed kNN-graph store: the masked-view probe at horizon full (current synced graph, q244's rebuild) and horizon 1 (post-delete pre-arrival, the filtered-base rebuild) — the horizon bounds the visible segment set itself so pruned segment directories never enter planning",
       streamKnnAsOf, Some(graft.operators.Similarity.streamKnnAsOfSql)),
+    GQuery("q249_knn_stream_compact",
+      "mask-folding ledger compaction of the streamed kNN-graph store: the visible masked view collapses under the max segment id (tombstoned ledger, replay still no-op), mask tables compact to empty, served rows byte-identical to q244's chain",
+      streamKnnCompact, Some(graft.operators.Similarity.streamKnnCompactSql)),
     GQuery("q217_stream_ivf_compact",
       "ledger-aware compaction of the streaming segment store: committed rows collapse to seg=0, tombstone markers keep post-compaction replays exactly-once",
       streamIvfCompact, Some(graft.operators.Similarity.ivfStreamCompactSql)),

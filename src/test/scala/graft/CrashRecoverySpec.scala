@@ -674,4 +674,87 @@ class CrashRecoverySpec extends AnyFunSuite {
     assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$store/.t.old")),
       "a completed replace leaves no bak behind")
   }
+
+  test("kNN stream compaction: the worst crash window (data folded, masks raw) serves the identical view; fold completes, replays no-op, old horizons refuse") {
+    // q249's crash model. The mask-folding compaction rewrites four
+    // tables one atomic swap at a time; its two invariants — folded
+    // rows park under the visible set's MAX id, data tables before
+    // mask tables — exist exactly so the window between the swaps
+    // serves the bit-identical view. This drives the store to the
+    // worst window and checks, then completes and checks the rest.
+    import graft.operators.Similarity
+    import graft.sources.IndexStore
+    Engine.tune(s)
+    val sf = TestSpark.sf
+    val (path, _) = Similarity.seedKnnStream(s, sf,
+      Engine.table(s, sf, "embeddings"))
+    val feed = Similarity.knnStreamFeedBatches(s, sf).map {
+      case (segId, b) => segId -> b.localCheckpoint()
+    }
+    feed.foreach { case (segId, b) =>
+      val ((first, replay), _) = Similarity.knnStreamCommit(s, path, segId.toLong, b)
+      assert(first == 4 && replay == 0, s"fresh segment $segId: got ($first,$replay)")
+    }
+    val vis0 = Similarity.knnStreamVisible(s, path)
+    assert(vis0 == Seq(0L, 1L, 2L))
+    def viewRows(): Seq[String] = {
+      val (edges, members) = Similarity.knnStreamView(
+        s, path, Similarity.knnStreamVisible(s, path))
+      (edges.select(col("src"), col("nbr"), col("cosim"), col("rn"))
+        .collect().map("e" + _.toString) ++
+       members.select(col("cid"), col("vec_id")).collect().map("m" + _.toString))
+        .sorted.toSeq
+    }
+    val want = viewRows()
+
+    // the worst window: edges+assign folded at segment=2, masks still raw.
+    // Fold-at-max makes the raw masks match nothing (they hide only rows
+    // of STRICTLY older segments), so the view must not change.
+    Similarity.compactKnnStream(s, path, masksToo = false)
+    assert(Similarity.knnStreamVisible(s, path) == vis0,
+      "tombstones must keep every segment committed through the window")
+    assert(viewRows() == want,
+      "the half-compacted store must serve the bit-identical view")
+
+    // recovery completes the fold (re-entering the data phase is
+    // idempotent); masks now empty, view still identical
+    assert(Similarity.compactKnnStream(s, path) == 2L)
+    assert(viewRows() == want,
+      "the fully compacted store must serve the bit-identical view")
+    Seq("deletes", "stale").foreach(t =>
+      assert(IndexStore.readSegments(s, path, t, "segment", vis0).count() == 0L,
+        s"mask table $t must compact to empty"))
+    // exactly one data-bearing edges segment remains (segment=2)
+    val fs2 = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI("file:///"), s.sparkContext.hadoopConfiguration)
+    val dataSegs = fs2.listStatus(new org.apache.hadoop.fs.Path(s"$path/edges"))
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("segment="))
+      .filter(st => fs2.listStatus(st.getPath).exists(_.getPath.getName.endsWith(".parquet")))
+      .map(_.getPath.getName).toSeq
+    assert(dataSegs == Seq("segment=2"),
+      s"folded rows must park under the set's MAX id, got $dataSegs")
+
+    // a recovering stream's replay of both feed batches: metadata no-op
+    feed.foreach { case (segId, b) =>
+      val ((first, replay), _) = Similarity.knnStreamCommit(s, path, segId.toLong, b)
+      assert(first == 0 && replay == 0,
+        s"replay of segment $segId after compaction must write nothing")
+    }
+
+    // horizons below the compaction point refuse loudly
+    IndexStore.writeStamp(s, path, "compactspec",
+      IndexStore.readMeta(s, path) ++ Map("compacted_through" -> "2"))
+    val e = intercept[IllegalArgumentException] {
+      Similarity.knnStreamAsOfResult(s, path)
+    }
+    assert(e.getMessage.contains("compaction point"),
+      s"as-of below the compaction point must name the refusal: ${e.getMessage}")
+
+    // and the forged-ledger hazard: intoSeg outside the compacted set throws
+    val e2 = intercept[IllegalArgumentException] {
+      IndexStore.compactSegmentLedger(s, path, "edges", "segment",
+        Seq("src", "rn"), Seq("src"), onlySegs = Some(vis0), intoSeg = Some(99L))
+    }
+    assert(e2.getMessage.contains("forge"))
+  }
 }
