@@ -227,6 +227,15 @@ object ScaleRung {
     // work); the fold itself is the one-time O(visible view) rewrite,
     // paid at the stamped copy like every compaction twin (q217/q220)
     "q249_knn_stream_compact",
+    // q250 adds ONE source-hash shuffle (window + rollup share the
+    // partitioning) over the tokenized corpus plus the broadcast
+    // |sources|-row allocation — wall should track corpus bytes
+    // linearly, shuffle ~ (doc_id, tk) rows
+    "q250_mixture_realize",
+    // q251's explode multiplies rows by the per-source epoch count —
+    // shuffle tracks INSTANCES (the mixing outcome), not the corpus;
+    // the per-source counts ride one map-side-combined agg + broadcast
+    "q251_epoch_mixture",
   )
 
   /** The RocksDB-vs-memory crossover experiment: the two streaming rigs

@@ -860,10 +860,14 @@ object ScaleOps extends QueryModule {
   def budgetWaterfill(s: SparkSession, dir: String): DataFrame = {
     tune(s)
     import org.apache.spark.sql.expressions.Window
+    // localCheckpoint: four downstream references (tot/ranked/cut/final)
+    // would each re-derive this |sources|-row frame from a full corpus
+    // scan+agg — pin the 20 rows once so the corpus is scanned once
     val cnts = table(s, dir, "documents")
       .select(col("source"),
         expr("size(filter(split(text, ' '), x -> x != ''))").cast("long").as("tk"))
       .groupBy(col("source")).agg(sum(col("tk")).as("c"))
+      .localCheckpoint()
     val tot = cnts.agg(sum(col("c")).as("total"), count(lit(1)).as("n"))
       .withColumn("budget", expr("(total * 19) div 20"))
       .select(col("n"), col("budget"))
@@ -888,8 +892,11 @@ object ScaleOps extends QueryModule {
         (col("alloc") < col("c")).as("capped"))
   }
 
-  private val budgetWaterfillSql =
-    """WITH c AS (
+  /** The q179 allocation as a WITH chain (names `c`/`tot`/`b`/`r`/`cand`/
+    * `alloc` in scope) — shared verbatim by the q179 oracle and the q250
+    * realization oracle, so the two can never disagree on the level. */
+  private val waterfillCtes =
+    """c AS (
       |  SELECT source,
       |         CAST(SUM(len(list_filter(string_split(text, ' '), x -> x <> ''))) AS BIGINT) AS c
       |  FROM documents GROUP BY source),
@@ -905,16 +912,157 @@ object ScaleOps extends QueryModule {
       |         WHERE budget - (prefix - c) >= 0
       |           AND (budget - (prefix - c)) // (n - k + 1) < c
       |           AND (budget - (prefix - c)) // (n - k + 1) >= cprev
-      |         ORDER BY k LIMIT 1)
-      |SELECT r.source, r.c AS tokens,
-      |       CAST(CASE WHEN cand.k0 IS NULL OR r.k < cand.k0 THEN r.c ELSE cand.lvl END AS BIGINT) AS alloc,
-      |       (CASE WHEN cand.k0 IS NULL OR r.k < cand.k0 THEN r.c ELSE cand.lvl END) < r.c AS capped
-      |FROM r LEFT JOIN cand ON TRUE""".stripMargin
+      |         ORDER BY k LIMIT 1),
+      |alloc AS (
+      |  SELECT r.source, r.c AS tokens,
+      |         CAST(CASE WHEN cand.k0 IS NULL OR r.k < cand.k0 THEN r.c ELSE cand.lvl END AS BIGINT) AS alloc,
+      |         (CASE WHEN cand.k0 IS NULL OR r.k < cand.k0 THEN r.c ELSE cand.lvl END) < r.c AS capped
+      |  FROM r LEFT JOIN cand ON TRUE)""".stripMargin
+
+  private val budgetWaterfillSql =
+    s"""WITH $waterfillCtes
+       |SELECT source, tokens, alloc, capped FROM alloc""".stripMargin
+
+  /** Mixture realization (q250): turn q179's per-source token allocation
+    * into the actual document selection a training run materializes —
+    * per source, documents in deterministic hash order (md5 of doc_id,
+    * doc_id tie-break: a uniform, engine-independent shuffle of each
+    * source), kept greedily while the tokens BEFORE a document still sit
+    * under the source's waterfill level. Greedy-prefix semantics: the
+    * boundary document is kept (its prefix-before is under the level),
+    * so kept_tokens first reaches-or-crosses alloc and never undershoots
+    * a source that has the tokens — the deterministic equivalent of
+    * "take from the shuffled stream until the budget meter fills".
+    *
+    * Scale shape: ONE shuffle (hash by source for the running-prefix
+    * window; the groupBy reuses the partitioning), the |sources|-row
+    * allocation rides a broadcast. Same honest caveat as q113's rank
+    * window — a pathologically huge single source lands its rows on one
+    * reducer; the production refinement is the same two-phase pre-filter
+    * (hash threshold ~ alloc/c, then exact-prefix the ~alloc survivors),
+    * and the single-window form here is the semantics that refinement
+    * must reproduce. */
+  def mixtureRealize(s: SparkSession, dir: String): DataFrame = {
+    tune(s)
+    import org.apache.spark.sql.expressions.Window
+    val alloc = budgetWaterfill(s, dir).select(col("source"), col("alloc"))
+    val w = Window.partitionBy(col("source"))
+      .orderBy(md5Long(col("doc_id").cast("string")), col("doc_id"))
+    table(s, dir, "documents")
+      .select(col("doc_id"), col("source"),
+        expr("size(filter(split(text, ' '), x -> x != ''))").cast("long").as("tk"))
+      .withColumn("prefix",
+        sum(col("tk")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .join(broadcast(alloc), Seq("source"))
+      .withColumn("kept", col("prefix") - col("tk") < col("alloc"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+           sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
+           sum(when(col("kept"), col("tk")).otherwise(0L)).as("kept_tokens"),
+           min(col("alloc")).as("alloc"))
+  }
+
+  /** Temperature-weighted epoch mixing (q251): the standard multilingual/
+    * multi-domain sampling scheme — per-source target tokens proportional
+    * to c^0.5 (temperature α=0.5 flattens the source distribution: small
+    * sources upsample, dominant sources downsample) against a half-corpus
+    * budget, realized as FULL EPOCHS plus a fractional epoch by per-doc
+    * hash lottery. Everything is integer-exact so both engines agree to
+    * the bit: the temperature weight is floor(sqrt(c)) (the double sqrt
+    * of a < 2^52 integer is correctly rounded in both engines, so the
+    * floor can't straddle), the target is (budget * isq) div sigma, and
+    * the lottery threshold ((target mod c) * 10^6) div c — no float sums
+    * whose order could drift an ULP across engines. Upsampling is a real
+    * explode (one row per (doc, epoch) instance — what a training-data
+    * materialization actually writes), and the oracle recomputes the
+    * same counts in closed form, cross-checking the explode itself.
+    *
+    * Scale shape: per-source counts (one map-side-combined shuffle), the
+    * |sources|-row mixing table broadcasts back, the explode is row-local
+    * with multiplicity bounded by the epoch cap, and the final rollup is
+    * one shuffle. At 100 TB the materialized instances are the product —
+    * this rollup is the audit a pipeline runs over them. */
+  def epochMixture(s: SparkSession, dir: String): DataFrame = {
+    tune(s)
+    val d = table(s, dir, "documents")
+      .select(col("doc_id"), col("source"),
+        expr("size(filter(split(text, ' '), x -> x != ''))").cast("long").as("tk"))
+    // localCheckpoint: tot and mix both reference this |sources|-row
+    // frame — pin it so the corpus is scanned once for the counts
+    val c = d.groupBy(col("source")).agg(sum(col("tk")).as("c"))
+      .withColumn("isq", floor(sqrt(col("c"))).cast("long"))
+      .localCheckpoint()
+    val tot = c.agg(sum(col("c")).as("total"), sum(col("isq")).as("sigma"))
+    val mix = c.crossJoin(broadcast(tot))
+      .withColumn("target_t", expr("((total div 2) * isq) div sigma"))
+      .withColumn("epochs_full", expr("target_t div c"))
+      .withColumn("rem_thresh", expr("((target_t % c) * 1000000) div c"))
+      .select(col("source"), col("target_t"), col("epochs_full"), col("rem_thresh"))
+    d.join(broadcast(mix), Seq("source"))
+      .withColumn("extra",
+        pmod(md5Long(concat(col("doc_id").cast("string"), lit("#ep"))),
+          lit(1000000L)) < col("rem_thresh"))
+      .withColumn("n_inst",
+        col("epochs_full") + when(col("extra"), 1L).otherwise(0L))
+      .withColumn("inst", explode(
+        when(col("n_inst") >= 1L, sequence(lit(1L), col("n_inst")))
+          .otherwise(expr("CAST(array() AS array<bigint>)"))))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_instances"),
+           sum(col("tk")).as("realized_tokens"),
+           min(col("target_t")).as("target_t"),
+           min(col("epochs_full")).as("epochs_full"))
+  }
+
+  private val epochMixtureSql =
+    s"""WITH d AS (SELECT doc_id, source,
+       |        CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT) AS tk
+       |      FROM documents),
+       |c AS (SELECT source, CAST(SUM(tk) AS BIGINT) AS c FROM d GROUP BY source),
+       |ci AS (SELECT source, c, CAST(floor(sqrt(c)) AS BIGINT) AS isq FROM c),
+       |tot AS (SELECT CAST(SUM(c) AS BIGINT) AS total, CAST(SUM(isq) AS BIGINT) AS sigma FROM ci),
+       |t AS (SELECT source, c, ((total // 2) * isq) // sigma AS target_t
+       |      FROM ci CROSS JOIN tot),
+       |t2 AS (SELECT source, target_t, target_t // c AS epochs_full,
+       |              ((target_t % c) * 1000000) // c AS rem_thresh
+       |       FROM t),
+       |k AS (SELECT d.source, d.tk, t2.target_t, t2.epochs_full,
+       |        t2.epochs_full + (CASE WHEN ${MD5L("CAST(doc_id AS VARCHAR) || '#ep'")} % 1000000 < t2.rem_thresh
+       |                          THEN 1 ELSE 0 END) AS n_inst
+       |      FROM d JOIN t2 ON t2.source = d.source)
+       |SELECT source, CAST(SUM(n_inst) AS BIGINT) AS n_instances,
+       |CAST(SUM(tk * n_inst) AS BIGINT) AS realized_tokens,
+       |MIN(target_t) AS target_t, MIN(epochs_full) AS epochs_full
+       |FROM k GROUP BY source HAVING SUM(n_inst) > 0""".stripMargin
+
+  private val mixtureRealizeSql =
+    s"""WITH $waterfillCtes,
+       |d AS (SELECT doc_id, source,
+       |        CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT) AS tk
+       |      FROM documents),
+       |p AS (SELECT source, tk,
+       |        SUM(tk) OVER (PARTITION BY source
+       |          ORDER BY ${MD5L("CAST(doc_id AS VARCHAR)")}, doc_id
+       |          ROWS UNBOUNDED PRECEDING) AS prefix
+       |      FROM d),
+       |k AS (SELECT p.source, p.tk, a.alloc, (p.prefix - p.tk < a.alloc) AS kept
+       |      FROM p JOIN alloc a ON a.source = p.source)
+       |SELECT source, COUNT(*) AS n_docs,
+       |CAST(SUM(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       |CAST(SUM(CASE WHEN kept THEN tk ELSE 0 END) AS BIGINT) AS kept_tokens,
+       |MIN(alloc) AS alloc
+       |FROM k GROUP BY source""".stripMargin
 
   override val queries: Seq[GQuery] = Seq(
     GQuery("q179_budget_waterfill",
       "token-budget water-filling across sources: closed-form integer level, metadata-scale window",
       budgetWaterfill, Some(budgetWaterfillSql)),
+    GQuery("q250_mixture_realize",
+      "mixture realization: q179's allocation turned into the actual per-source document selection — deterministic hash order, greedy token-prefix cut at the waterfill level, one shuffle",
+      mixtureRealize, Some(mixtureRealizeSql)),
+    GQuery("q251_epoch_mixture",
+      "temperature-weighted epoch mixing: integer-exact sqrt-temperature targets, full epochs + hash-lottery fractional epoch, upsampling realized by a real explode and cross-checked closed-form",
+      epochMixture, Some(epochMixtureSql)),
     GQuery("q105_heavy_hitters",
       "Count-Min sketch heavy hitters with machine-checked one-sided error contract",
       heavyHitters, Some(heavyHittersSql)),
