@@ -236,6 +236,12 @@ object ScaleRung {
     // shuffle tracks INSTANCES (the mixing outcome), not the corpus;
     // the per-source counts ride one map-side-combined agg + broadcast
     "q251_epoch_mixture",
+    // q252's window input is ~margin x alloc tokens per source however
+    // large the source: shuffle tracks the kept FRACTION (~2x budget/
+    // corpus — linear like q250's but ~5x smaller in bytes, the
+    // prefilter visibly cutting the window's input), and the per-source
+    // reducer bound is the point the flood spec pins
+    "q252_capped_realize",
   )
 
   /** The RocksDB-vs-memory crossover experiment: the two streaming rigs

@@ -857,7 +857,15 @@ object ScaleOps extends QueryModule {
     * metadata; the single-partition window is 20 rows here and bounded
     * by source cardinality at any corpus size.
     */
-  def budgetWaterfill(s: SparkSession, dir: String): DataFrame = {
+  def budgetWaterfill(s: SparkSession, dir: String): DataFrame =
+    waterfillAlloc(s, dir, 19L, 20L)
+
+  /** The waterfill allocation at budget = total * num / den — q179's body
+    * with the ratio as a parameter (q179 keeps 19/20; q252 allocates the
+    * tight 1/10 budget where capping — and therefore the two-phase
+    * prefilter — actually bites). */
+  private[graft] def waterfillAlloc(s: SparkSession, dir: String,
+      num: Long, den: Long): DataFrame = {
     tune(s)
     import org.apache.spark.sql.expressions.Window
     // localCheckpoint: four downstream references (tot/ranked/cut/final)
@@ -869,7 +877,7 @@ object ScaleOps extends QueryModule {
       .groupBy(col("source")).agg(sum(col("tk")).as("c"))
       .localCheckpoint()
     val tot = cnts.agg(sum(col("c")).as("total"), count(lit(1)).as("n"))
-      .withColumn("budget", expr("(total * 19) div 20"))
+      .withColumn("budget", expr(s"(total * $num) div $den"))
       .select(col("n"), col("budget"))
     val w = Window.orderBy(col("c"), col("source"))
     val ranked = cnts
@@ -894,14 +902,16 @@ object ScaleOps extends QueryModule {
 
   /** The q179 allocation as a WITH chain (names `c`/`tot`/`b`/`r`/`cand`/
     * `alloc` in scope) — shared verbatim by the q179 oracle and the q250
-    * realization oracle, so the two can never disagree on the level. */
-  private val waterfillCtes =
-    """c AS (
+    * realization oracle, so the two can never disagree on the level.
+    * The budget ratio is a parameter for the same reason as
+    * [[waterfillAlloc]]'s. */
+  private def waterfillCtesAt(num: Long, den: Long) =
+    s"""c AS (
       |  SELECT source,
       |         CAST(SUM(len(list_filter(string_split(text, ' '), x -> x <> ''))) AS BIGINT) AS c
       |  FROM documents GROUP BY source),
       |tot AS (SELECT CAST(SUM(c) AS BIGINT) AS total, CAST(COUNT(*) AS BIGINT) AS n FROM c),
-      |b AS (SELECT (total * 19) // 20 AS budget, n FROM tot),
+      |b AS (SELECT (total * $num) // $den AS budget, n FROM tot),
       |r AS (SELECT source, c,
       |             CAST(ROW_NUMBER() OVER (ORDER BY c, source) AS BIGINT) AS k,
       |             CAST(SUM(c) OVER (ORDER BY c, source ROWS UNBOUNDED PRECEDING) AS BIGINT) AS prefix,
@@ -918,6 +928,8 @@ object ScaleOps extends QueryModule {
       |         CAST(CASE WHEN cand.k0 IS NULL OR r.k < cand.k0 THEN r.c ELSE cand.lvl END AS BIGINT) AS alloc,
       |         (CASE WHEN cand.k0 IS NULL OR r.k < cand.k0 THEN r.c ELSE cand.lvl END) < r.c AS capped
       |  FROM r LEFT JOIN cand ON TRUE)""".stripMargin
+
+  private val waterfillCtes = waterfillCtesAt(19L, 20L)
 
   private val budgetWaterfillSql =
     s"""WITH $waterfillCtes
@@ -942,10 +954,17 @@ object ScaleOps extends QueryModule {
     * (hash threshold ~ alloc/c, then exact-prefix the ~alloc survivors),
     * and the single-window form here is the semantics that refinement
     * must reproduce. */
-  def mixtureRealize(s: SparkSession, dir: String): DataFrame = {
+  def mixtureRealize(s: SparkSession, dir: String): DataFrame =
+    realizeAt(s, dir, 19L, 20L)
+
+  /** The single-window realization at an arbitrary budget ratio — q250's
+    * body; the q252 spec runs it at 1/10 as the exact reference the
+    * two-phase path must reproduce. */
+  private[graft] def realizeAt(s: SparkSession, dir: String,
+      num: Long, den: Long): DataFrame = {
     tune(s)
     import org.apache.spark.sql.expressions.Window
-    val alloc = budgetWaterfill(s, dir).select(col("source"), col("alloc"))
+    val alloc = waterfillAlloc(s, dir, num, den).select(col("source"), col("alloc"))
     val w = Window.partitionBy(col("source"))
       .orderBy(md5Long(col("doc_id").cast("string")), col("doc_id"))
     table(s, dir, "documents")
@@ -961,6 +980,101 @@ object ScaleOps extends QueryModule {
            sum(when(col("kept"), col("tk")).otherwise(0L)).as("kept_tokens"),
            min(col("alloc")).as("alloc"))
   }
+
+  /** Two-phase capped realization (q252): the production refinement
+    * q113 and q250 document lands as a real code path — at a TIGHT
+    * budget (total/10: the "corpus is 10x the training budget" shape
+    * where capping actually bites) a dominant source's rank window would
+    * otherwise rank its ENTIRE row set on one reducer to keep ~10% of
+    * it. Phase 1 pre-filters each source by a hash THRESHOLD: the kept
+    * documents of the greedy prefix cut are exactly the minimal
+    * hash-order prefix reaching the allocation, and `{h < t}` is itself
+    * a hash-order prefix, so whenever mass({h < t}) >= alloc the exact
+    * answer is contained in the survivors — a checkable, deterministic
+    * containment, not a probabilistic hope. The threshold starts at
+    * margin x alloc/c of the hash space (margin 2); one aggregation pass
+    * measures the actual surviving mass per source, and any source that
+    * came up short (possible only in the exponentially-unlikely tail, or
+    * with a deliberately starved margin) escalates its threshold 4x and
+    * re-measures — loudly convergent, never silently wrong. Phase 2 runs
+    * q250's exact running-prefix window over the survivors only: the
+    * window input per source is ~margin x alloc tokens however large the
+    * source, which is the whole point. Output and oracle are q250's
+    * single-window semantics at the 1/10 budget — the refinement is
+    * proven bit-equal, not merely argued. Corpus scans: counts (via the
+    * allocation), one mass-measure pass per escalation round (normally
+    * one), and the window pass. */
+  def cappedRealize(s: SparkSession, dir: String): DataFrame =
+    cappedRealizeM(s, dir, 2L)
+
+  private[graft] def cappedRealizeM(s: SparkSession, dir: String,
+      marginNum: Long): DataFrame = {
+    tune(s)
+    import org.apache.spark.sql.expressions.Window
+    import s.implicits._
+    val Full = 1L << 60
+    // |sources|-row allocation, collected: bounded driver-side metadata
+    // (the probe-cells pattern)
+    val allocRows = waterfillAlloc(s, dir, 1L, 10L)
+      .select(col("source"), col("tokens"), col("alloc"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    def thresh(alloc: Long, c: Long): Long = {
+      val t = (BigInt(1) << 60) * marginNum * alloc / c
+      if (t >= Full) Full else t.toLong
+    }
+    val alloc = allocRows.map { case (src, _, a) => src -> a }.toMap
+    // alloc=0 (degenerate budget) gets t=Full: zero tokens survive the cut
+    // either way, but the source must still appear as a zero row like the
+    // single-window form reports it
+    var t = allocRows.map { case (src, c, a) =>
+      src -> (if (a == 0L) Full else thresh(a, c)) }.toMap
+    val docs = table(s, dir, "documents")
+      .select(col("doc_id"), col("source"),
+        expr("size(filter(split(text, ' '), x -> x != ''))").cast("long").as("tk"))
+      .withColumn("h", md5Long(col("doc_id").cast("string")))
+    // escalation loop: measure surviving mass, widen any short source.
+    // n_docs (the full per-source count q250 reports) rides the same pass.
+    var nDocs = Map.empty[String, Long]
+    var done = false
+    var rounds = 0
+    while (!done) {
+      rounds += 1
+      require(rounds <= 32, "prefilter threshold escalation did not converge")
+      val tDf = broadcast(t.toSeq.toDF("source", "t"))
+      val m = docs.join(tDf, Seq("source"))
+        .groupBy(col("source"))
+        .agg(sum(when(col("h") < col("t"), col("tk")).otherwise(0L)).as("pre_mass"),
+             count(lit(1)).as("n_docs"))
+        .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+      if (nDocs.isEmpty) nDocs = m.map { case (k, (_, n)) => k -> n }
+      val short = allocRows.collect {
+        case (src, _, _) if t(src) < Full &&
+          m.get(src).forall(_._1 < alloc(src)) => src
+      }
+      if (short.isEmpty) done = true
+      else t = t ++ short.map(src =>
+        src -> (if (t(src) == 0L) Full else math.min(Full, t(src) * 4)))
+    }
+    // exact phase: q250's running-prefix window, survivors only
+    val tDf = broadcast(t.toSeq.toDF("source", "t"))
+    val sideDf = broadcast(allocRows.toSeq
+      .map { case (src, _, a) => (src, a, nDocs(src)) }
+      .toDF("source", "alloc", "n_docs"))
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("h"), col("doc_id"))
+    docs.join(tDf, Seq("source")).filter(col("h") < col("t"))
+      .withColumn("prefix",
+        sum(col("tk")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .join(sideDf, Seq("source"))
+      .withColumn("kept", col("prefix") - col("tk") < col("alloc"))
+      .groupBy(col("source"))
+      .agg(min(col("n_docs")).as("n_docs"),
+           sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
+           sum(when(col("kept"), col("tk")).otherwise(0L)).as("kept_tokens"),
+           min(col("alloc")).as("alloc"))
+  }
+
+  private val cappedRealizeSql = realizeSqlAt(waterfillCtesAt(1L, 10L))
 
   /** Temperature-weighted epoch mixing (q251): the standard multilingual/
     * multi-domain sampling scheme — per-source target tokens proportional
@@ -1035,8 +1149,14 @@ object ScaleOps extends QueryModule {
        |MIN(target_t) AS target_t, MIN(epochs_full) AS epochs_full
        |FROM k GROUP BY source HAVING SUM(n_inst) > 0""".stripMargin
 
-  private val mixtureRealizeSql =
-    s"""WITH $waterfillCtes,
+  private val mixtureRealizeSql = realizeSqlAt(waterfillCtes)
+
+  /** The greedy-prefix realization chain over a given allocation CTE
+    * chain — shared by the q250 oracle (19/20 budget) and the q252
+    * oracle (1/10 budget: the SAME single-window semantics the two-phase
+    * implementation must reproduce bit-for-bit). */
+  private def realizeSqlAt(ctes: String) =
+    s"""WITH $ctes,
        |d AS (SELECT doc_id, source,
        |        CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT) AS tk
        |      FROM documents),
@@ -1063,6 +1183,9 @@ object ScaleOps extends QueryModule {
     GQuery("q251_epoch_mixture",
       "temperature-weighted epoch mixing: integer-exact sqrt-temperature targets, full epochs + hash-lottery fractional epoch, upsampling realized by a real explode and cross-checked closed-form",
       epochMixture, Some(epochMixtureSql)),
+    GQuery("q252_capped_realize",
+      "two-phase skew-proof realization at a tight (1/10) budget: hash-threshold prefilter with measured-mass containment check + escalation, exact prefix window over survivors only — oracled bit-equal to the single-window semantics",
+      cappedRealize, Some(cappedRealizeSql)),
     GQuery("q105_heavy_hitters",
       "Count-Min sketch heavy hitters with machine-checked one-sided error contract",
       heavyHitters, Some(heavyHittersSql)),

@@ -232,4 +232,44 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(readFiles <= buckets.length && readFiles < allFiles,
       s"pruning must skip files: read $readFiles of $allFiles")
   }
+
+  test("q252 two-phase realization: bit-equal to the single window on a mega-source flood, prefilter bites, starved margin escalates to the same answer") {
+    import graft.operators.ScaleOps
+    import s.implicits._
+    // a deliberately skewed corpus: one source with 5000 docs would land
+    // its whole row set on one rank-window reducer in the single-window
+    // form; the 1/10 budget caps it hard, so the prefilter must cut most
+    // of its rows before the window
+    val dir = s"target/tmp/floodmix_${java.util.UUID.randomUUID().toString.take(8)}"
+    val mega = (1 to 5000).map(i =>
+      (s"m$i", "mega", Seq.fill(20)(s"tok$i").mkString(" ")))
+    val small = for (k <- 1 to 10; i <- 1 to 20)
+      yield (s"s${k}_$i", s"small$k", Seq.fill(20)("w").mkString(" "))
+    (mega ++ small).toDF("doc_id", "source", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+
+    def rows(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.collect().map(_.toString).sorted.toSeq
+    val exact = rows(ScaleOps.realizeAt(s, dir, 1L, 10L))
+    assert(rows(ScaleOps.cappedRealizeM(s, dir, 2L)) == exact,
+      "two-phase must reproduce the single-window semantics bit-for-bit")
+    // the mechanism: margin-2 threshold keeps ~2x alloc/c of the mega
+    // source — recompute the phase-1 formula and count survivors
+    val af = ScaleOps.waterfillAlloc(s, dir, 1L, 10L)
+      .filter(col("source") === "mega").collect().head
+    val (c, alloc) = (af.getAs[Long]("tokens"), af.getAs[Long]("alloc"))
+    assert(alloc * 2 < c, s"flood setup: mega must be hard-capped ($alloc vs $c)")
+    val t = ((BigInt(1) << 60) * 2L * alloc / c).toLong
+    val survivors = table(s, dir, "documents")
+      .filter(col("source") === "mega")
+      .filter(md5Long(col("doc_id").cast("string")) < t).count()
+    assert(survivors < 1500,
+      s"prefilter must cut most of the mega source's rows, kept $survivors of 5000")
+    // a starved margin forces the escalation path; the answer must not move
+    assert(rows(ScaleOps.cappedRealizeM(s, dir, 1L)) == exact,
+      "escalated thresholds must converge to the same exact answer")
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI("file:///"), s.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(dir), true)
+  }
 }
