@@ -176,6 +176,20 @@ object PlanFingerprint {
     // centroid cover + dedup'd pair set — a drift to a corpus-wide join
     // is what the lock catches
     "q247_knn_graph_np2",
+    // round-17 (lock-on-landing): q250's value is the ONE corpus
+    // exchange (the source-hash window whose partitioning the rollup
+    // reuses) beside a broadcast allocation; q252's is the prefilter
+    // staying a broadcast-joined scan-level filter before the window;
+    // q253's is the hop/scoring joins staying broadcast (query batch +
+    // beam frames) with the one corpus-sized term being the exact-audit
+    // leg — a drift that shuffles the corpus per hop is what the lock
+    // catches. q249/q251 follow the streaming-rig / explode-rig
+    // exclusions respectively (q251's explode multiplies rows by a
+    // data-dependent epoch count; its shape is pinned by the oracle's
+    // closed form instead).
+    "q250_mixture_realize",
+    "q252_capped_realize",
+    "q253_graph_ann_serve",
   )
 
   /** Structural counts of the STEADY-STATE initial plan.

@@ -242,6 +242,11 @@ object ScaleRung {
     // prefilter visibly cutting the window's input), and the per-source
     // reducer bound is the point the flood spec pins
     "q252_capped_realize",
+    // q253's recurring cost: the session-cached widened graph build
+    // (q247's linear term, paid once), |Q| x beam x degree hop frames
+    // (kilobytes), and the |Q| x N exact-audit leg — wall should track
+    // the audit leg (linear in corpus x query fraction), hops ~free
+    "q253_graph_ann_serve",
   )
 
   /** The RocksDB-vs-memory crossover experiment: the two streaming rigs

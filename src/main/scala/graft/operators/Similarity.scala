@@ -5106,11 +5106,11 @@ object Similarity extends QueryModule {
       .select(col("src").as("vec_id"), col("nbr"), col("cosim"), col("rn"))
   }
 
-  private val knnGraphNp2Sql =
-    s"""WITH $flatSql,
-       |$normsSql,
-       |$ivfAssignSql,
-       |src2 AS (
+  /** The widened (top-2-cells) edge chain as CTEs (`src2`/`wcand`/
+    * `wdots`/`wcos`/`g2` in scope) — shared by the q247 oracle and the
+    * q253 beam-search oracle that hops over exactly these edges. */
+  private lazy val knnNp2ChainSql =
+    s"""src2 AS (
        |  SELECT vec_id AS src, cid FROM (
        |    SELECT vec_id, cid, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cosim DESC, cid) AS rp
        |    FROM acos)
@@ -5129,11 +5129,250 @@ object Similarity extends QueryModule {
        |  SELECT d.src, d.nbr, round(d.dot / (n1.nrm * n2.nrm), 9) AS cosim
        |  FROM wdots d
        |  JOIN norms n1 ON n1.vec_id = d.src
-       |  JOIN norms n2 ON n2.vec_id = d.nbr)
-       |SELECT src AS vec_id, nbr, cosim, rn FROM (
-       |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY src ORDER BY cosim DESC, nbr) AS INT) AS rn
-       |  FROM wcos)
-       |WHERE rn <= 3""".stripMargin
+       |  JOIN norms n2 ON n2.vec_id = d.nbr),
+       |g2 AS (
+       |  SELECT src, nbr, cosim, rn FROM (
+       |    SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY src ORDER BY cosim DESC, nbr) AS INT) AS rn
+       |    FROM wcos)
+       |  WHERE rn <= 3)""".stripMargin
+
+  private val knnGraphNp2Sql =
+    s"""WITH $flatSql,
+       |$normsSql,
+       |$ivfAssignSql,
+       |$knnNp2ChainSql
+       |SELECT src AS vec_id, nbr, cosim, rn FROM g2""".stripMargin
+
+  // ---- q253: graph-based ANN serving over the widened kNN graph ----
+
+  /** q253: the kNN graph promoted from curation artifact to SERVING
+    * index — batch beam search, the graph-ANN query shape (NSW/HNSW's
+    * base layer, run breadth-synchronous over a query batch instead of
+    * pointer-chasing one query at a time, which is what graph ANN looks
+    * like on Spark). Each query (a ~4% held-out slice of the corpus,
+    * searching for its own neighbors, self excluded) seeds with the
+    * exact top-B of its IVF home cell, then takes H=2 hops: the beam's
+    * members' stored edges propose candidates, candidates are rescored
+    * with the TRUE cosine against the query, and the beam re-windows to
+    * B. The hops run over the WIDENED (nprobe=2, q247) edges — this is
+    * deliberate and the reason the dial exists: the default graph is
+    * cell-scoped, so hops over it could never propose anything the
+    * home-cell seed hasn't already ranked (beam search would be a
+    * no-op); np2 edges cross cell boundaries, so each hop genuinely
+    * extends recall past the seed cell at fixed per-hop cost (beam x
+    * degree proposals per query, deduped before the one scoring join).
+    * The oracle replays the identical unrolled search (same seed, same
+    * two hops, same rounding and tie-breaks) and the exact top-3 audit —
+    * a divergent beam anywhere hash-mismatches. The audit follows q188's
+    * convention: ABSOLUTE recall is reported as measured data, not gated
+    * — on this fixture it is a property of the quantizer (random-member
+    * seed centroids make cells near-uncorrelated with true neighbors, so
+    * any cell-seeded search's recall ~ cells-touched/cells; measured
+    * ~0.2 here), and it is exactly the number that drives B/H/nprobe
+    * tuning. What IS gated is the search's invariant: the beam contains
+    * the seed's survivors, so hops can only add exact hits — per query
+    * and in total, beam hits >= seed hits, pinned as a boolean. Scale:
+    * queries broadcast everywhere (the probe-batch pattern); the per-hop
+    * proposal frame is |Q| x B x degree rows; the one corpus-sized term
+    * is the exact-audit leg (|Q| x N brute force, the q64 shape) — in
+    * production that audit runs on a sampled slice exactly like this
+    * one. */
+  def graphAnnServe(s: SparkSession, dir: String): DataFrame = {
+    tune(s)
+    val B = 4
+    val (_, assign) = corpusIvfIndex(s, dir)
+    val a = graft.SessionCache.cached(s, s"sim:annserve:a:$dir")(
+      assign.select(col("cid"), col("vec_id"), col("embedding"), col("nrm"))
+        .localCheckpoint())
+    // the widened edges, built once per session (q247's frame — the
+    // store stays nprobe=1 by the q243 repair contract, so the serving
+    // graph is session-cached from the oracled build path)
+    val edges = graft.SessionCache.cached(s, s"sim:annserve:g2:$dir")(
+      knnGraphFrameNp(s, dir, 2).select(col("src"), col("nbr")).localCheckpoint())
+    val queries = a.filter(col("vec_id") % 23 === 3)
+      .select(col("cid").as("qcid"), col("vec_id").as("qid"),
+        col("embedding").as("qemb"), col("nrm").as("nq"))
+      .localCheckpoint()
+    val qkeys = queries.select(col("qid"), col("qemb"), col("nq"))
+    val wq = Window.partitionBy(col("qid")).orderBy(col("cosim").desc, col("cand"))
+    def score(cand: DataFrame): DataFrame =
+      cand.join(broadcast(qkeys), Seq("qid"))
+        .join(a.select(col("vec_id").as("cand"), col("embedding").as("vemb"),
+          col("nrm").as("nv")), Seq("cand"))
+        .select(col("qid"), col("cand"),
+          round(dotExpr / (col("nq") * col("nv")), 9).as("cosim"))
+    // seed: exact top-B of the query's stored home cell
+    val seedCand = queries.select(col("qid"), col("qcid"))
+      .join(a.select(col("cid").as("qcid"), col("vec_id").as("cand")), Seq("qcid"))
+      .filter(col("cand") =!= col("qid"))
+      .select(col("qid"), col("cand"))
+    val seed = score(seedCand)
+      .withColumn("rn", row_number().over(wq)).filter(col("rn") <= B)
+      .select(col("qid"), col("cand"), col("cosim")).localCheckpoint()
+    var beam = seed
+    for (_ <- 1 to 2) {
+      val proposals = beam.select(col("qid"), col("cand").as("src"))
+        .join(edges, Seq("src"))
+        .select(col("qid"), col("nbr").as("cand"))
+        .filter(col("cand") =!= col("qid"))
+        .distinct()
+        .join(beam.select(col("qid"), col("cand")), Seq("qid", "cand"), "left_anti")
+      beam = beam.unionByName(score(proposals))
+        .withColumn("rn", row_number().over(wq)).filter(col("rn") <= B)
+        .select(col("qid"), col("cand"), col("cosim")).localCheckpoint()
+    }
+    val gtop = beam.withColumn("rn", row_number().over(wq))
+      .filter(col("rn") <= 3).localCheckpoint()
+    // the exact audit: brute-force top-3 per query (the q64 probe shape)
+    val exact = a.select(col("vec_id").as("cand"), col("embedding").as("vemb"),
+        col("nrm").as("nv"))
+      .join(broadcast(queries.select(col("qid"), col("qemb"), col("nq"))),
+        col("cand") =!= col("qid"))
+      .select(col("qid"), col("cand"),
+        round(dotExpr / (col("nq") * col("nv")), 9).as("cosim"))
+      .withColumn("rn", row_number().over(wq)).filter(col("rn") <= 3)
+      .select(col("qid"), col("cand"))
+    val exactCk = exact.localCheckpoint()
+    val seedTop = seed.withColumn("rn", row_number().over(wq))
+      .filter(col("rn") <= 3).select(col("qid"), col("cand"))
+    def hitsOf(top: DataFrame, out: String): DataFrame =
+      top.select(col("qid")).distinct()
+        .join(top.join(exactCk, Seq("qid", "cand"), "left_semi")
+          .groupBy(col("qid")).agg(count(lit(1)).as("nh")), Seq("qid"), "left")
+        .select(col("qid"), coalesce(col("nh"), lit(0L)).as(out))
+    val perq = hitsOf(gtop.select(col("qid"), col("cand")), "n_exact_hits")
+      .join(hitsOf(seedTop, "n_seed_hits"), Seq("qid"))
+      .localCheckpoint()
+    val aud = perq.agg(sum(col("n_exact_hits")).as("recall_num"),
+        sum(col("n_seed_hits")).as("seed_num"),
+        (count(lit(1)) * 3).as("recall_den"))
+      .withColumn("hops_no_loss", col("recall_num") >= col("seed_num"))
+    gtop.select(col("qid").as("vec_id"), col("cand").as("nbr"),
+        col("cosim"), col("rn"))
+      .join(broadcast(perq.withColumnRenamed("qid", "vec_id")), Seq("vec_id"))
+      .crossJoin(broadcast(aud))
+  }
+
+  private val graphAnnServeSql =
+    s"""WITH $flatSql,
+       |$normsSql,
+       |$ivfAssignSql,
+       |$knnNp2ChainSql,
+       |q AS (SELECT vec_id AS qid, cid AS qcid FROM assign WHERE vec_id % 23 = 3),
+       |scand AS (
+       |  SELECT q.qid, a.vec_id AS cand
+       |  FROM q JOIN assign a ON a.cid = q.qcid AND a.vec_id <> q.qid),
+       |sdots AS (
+       |  SELECT p.qid, p.cand,
+       |         CAST(SUM(CAST(a.xd*b.xd AS DECIMAL(38,20))) AS DOUBLE) AS dot
+       |  FROM scand p
+       |  JOIN flat a ON a.vec_id = p.qid
+       |  JOIN flat b ON b.vec_id = p.cand AND b.pos = a.pos
+       |  GROUP BY p.qid, p.cand),
+       |seed AS (
+       |  SELECT qid, cand, cosim FROM (
+       |    SELECT d.qid, d.cand, round(d.dot / (n1.nrm * n2.nrm), 9) AS cosim,
+       |           ROW_NUMBER() OVER (PARTITION BY d.qid
+       |             ORDER BY round(d.dot / (n1.nrm * n2.nrm), 9) DESC, d.cand) AS rn
+       |    FROM sdots d
+       |    JOIN norms n1 ON n1.vec_id = d.qid
+       |    JOIN norms n2 ON n2.vec_id = d.cand)
+       |  WHERE rn <= 4),
+       |h1cand AS (
+       |  SELECT DISTINCT s.qid, e.nbr AS cand
+       |  FROM seed s JOIN g2 e ON e.src = s.cand
+       |  WHERE e.nbr <> s.qid
+       |    AND NOT EXISTS (SELECT 1 FROM seed s2 WHERE s2.qid = s.qid AND s2.cand = e.nbr)),
+       |h1dots AS (
+       |  SELECT p.qid, p.cand,
+       |         CAST(SUM(CAST(a.xd*b.xd AS DECIMAL(38,20))) AS DOUBLE) AS dot
+       |  FROM h1cand p
+       |  JOIN flat a ON a.vec_id = p.qid
+       |  JOIN flat b ON b.vec_id = p.cand AND b.pos = a.pos
+       |  GROUP BY p.qid, p.cand),
+       |h1cos AS (
+       |  SELECT d.qid, d.cand, round(d.dot / (n1.nrm * n2.nrm), 9) AS cosim
+       |  FROM h1dots d
+       |  JOIN norms n1 ON n1.vec_id = d.qid
+       |  JOIN norms n2 ON n2.vec_id = d.cand),
+       |beam1 AS (
+       |  SELECT qid, cand, cosim FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosim DESC, cand) AS rn
+       |    FROM (SELECT * FROM seed UNION ALL SELECT * FROM h1cos))
+       |  WHERE rn <= 4),
+       |h2cand AS (
+       |  SELECT DISTINCT b.qid, e.nbr AS cand
+       |  FROM beam1 b JOIN g2 e ON e.src = b.cand
+       |  WHERE e.nbr <> b.qid
+       |    AND NOT EXISTS (SELECT 1 FROM beam1 b2 WHERE b2.qid = b.qid AND b2.cand = e.nbr)),
+       |h2dots AS (
+       |  SELECT p.qid, p.cand,
+       |         CAST(SUM(CAST(a.xd*b.xd AS DECIMAL(38,20))) AS DOUBLE) AS dot
+       |  FROM h2cand p
+       |  JOIN flat a ON a.vec_id = p.qid
+       |  JOIN flat b ON b.vec_id = p.cand AND b.pos = a.pos
+       |  GROUP BY p.qid, p.cand),
+       |h2cos AS (
+       |  SELECT d.qid, d.cand, round(d.dot / (n1.nrm * n2.nrm), 9) AS cosim
+       |  FROM h2dots d
+       |  JOIN norms n1 ON n1.vec_id = d.qid
+       |  JOIN norms n2 ON n2.vec_id = d.cand),
+       |beam2 AS (
+       |  SELECT qid, cand, cosim FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosim DESC, cand) AS rn
+       |    FROM (SELECT * FROM beam1 UNION ALL SELECT * FROM h2cos))
+       |  WHERE rn <= 4),
+       |gtop AS (
+       |  SELECT qid, cand, cosim, CAST(rn AS INT) AS rn FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosim DESC, cand) AS rn
+       |    FROM beam2)
+       |  WHERE rn <= 3),
+       |ecand AS (
+       |  SELECT q.qid, n.vec_id AS cand FROM q JOIN norms n ON n.vec_id <> q.qid),
+       |edots AS (
+       |  SELECT p.qid, p.cand,
+       |         CAST(SUM(CAST(a.xd*b.xd AS DECIMAL(38,20))) AS DOUBLE) AS dot
+       |  FROM ecand p
+       |  JOIN flat a ON a.vec_id = p.qid
+       |  JOIN flat b ON b.vec_id = p.cand AND b.pos = a.pos
+       |  GROUP BY p.qid, p.cand),
+       |etop AS (
+       |  SELECT qid, cand FROM (
+       |    SELECT d.qid, d.cand,
+       |           ROW_NUMBER() OVER (PARTITION BY d.qid
+       |             ORDER BY round(d.dot / (n1.nrm * n2.nrm), 9) DESC, d.cand) AS rn
+       |    FROM edots d
+       |    JOIN norms n1 ON n1.vec_id = d.qid
+       |    JOIN norms n2 ON n2.vec_id = d.cand)
+       |  WHERE rn <= 3),
+       |seed3 AS (
+       |  SELECT qid, cand FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosim DESC, cand) AS rn
+       |    FROM seed)
+       |  WHERE rn <= 3),
+       |perq AS (
+       |  SELECT g.qid, CAST(COUNT(e.cand) AS BIGINT) AS n_exact_hits
+       |  FROM (SELECT DISTINCT qid, cand FROM gtop) g
+       |  LEFT JOIN etop e ON e.qid = g.qid AND e.cand = g.cand
+       |  GROUP BY g.qid),
+       |sperq AS (
+       |  SELECT s.qid, CAST(COUNT(e.cand) AS BIGINT) AS n_seed_hits
+       |  FROM seed3 s
+       |  LEFT JOIN etop e ON e.qid = s.qid AND e.cand = s.cand
+       |  GROUP BY s.qid),
+       |aud AS (
+       |  SELECT CAST(SUM(p.n_exact_hits) AS BIGINT) AS recall_num,
+       |         CAST(SUM(sp.n_seed_hits) AS BIGINT) AS seed_num,
+       |         CAST(3 * COUNT(*) AS BIGINT) AS recall_den
+       |  FROM perq p JOIN sperq sp ON sp.qid = p.qid)
+       |SELECT t.qid AS vec_id, t.cand AS nbr, t.cosim, t.rn,
+       |       p.n_exact_hits, sp.n_seed_hits,
+       |       a.recall_num, a.seed_num, a.recall_den,
+       |       (a.recall_num >= a.seed_num) AS hops_no_loss
+       |FROM gtop t
+       |JOIN perq p ON p.qid = t.qid
+       |JOIN sperq sp ON sp.qid = t.qid
+       |CROSS JOIN aud a""".stripMargin
 
   override val queries: Seq[GQuery] = Seq(
     GQuery("q55_array_ops", "array column structural access (F16)", arrayOps, Some(arrayOpsSql)),
@@ -5155,6 +5394,9 @@ object Similarity extends QueryModule {
     GQuery("q247_knn_graph_np2",
       "the widened (nprobe=2) kNN graph, oracled: each source gathers candidates from its top-2 coarse cells against the stored centroids (superset of the default cell — closes the singleton-cell recall hole at ~2x pair volume), candidates dedup'd before scoring; the recall dial promoted from spec-only to an oracled build path, width passed as an explicit parameter, maintained store stays nprobe=1 by the q243 repair contract",
       knnGraphNp2, Some(knnGraphNp2Sql)),
+    GQuery("q253_graph_ann_serve",
+      "graph-based ANN serving: IVF-seeded beam search (B=4, 2 hops) over the widened kNN graph's cross-cell edges, rescored with true cosine per hop; exact-top-3 recall reported as measured data (q188 convention) with the hops-never-lose-recall invariant gated — the oracle replays the identical unrolled search",
+      graphAnnServe, Some(graphAnnServeSql)),
     GQuery("q240_mutual_knn",
       "mutual-kNN symmetrization: pairs where each vector is in the other's top-3 (reciprocity, the high-precision near-dup candidate filter over the directed graph) — one checkpointed q239 graph self-joined on the reversed edge, both ranks carried",
       mutualKnn, Some(mutualKnnSql)),
