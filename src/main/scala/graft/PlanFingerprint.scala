@@ -173,8 +173,9 @@ object PlanFingerprint {
     // recomputes the sync at probe time is what the lock catches
     "q245_masked_feed_sync_knn",
     // q247's value: the widened candidate build must keep the broadcast
-    // centroid cover + dedup'd pair set — a drift to a corpus-wide join
-    // is what the lock catches
+    // centroid cover + the single salted cell join (no pair dedup — cells
+    // partition the corpus) — a drift to a corpus-wide join or a
+    // re-introduced pair exchange is what the lock catches
     "q247_knn_graph_np2",
     // round-17 (lock-on-landing): q250's value is the ONE corpus
     // exchange (the source-hash window whose partitioning the rollup

@@ -31,6 +31,16 @@ object ScaleOps extends QueryModule {
         .withColumn("n", size(col("toks")))
     }
 
+  /** The mixing family's per-document token count (non-empty whitespace
+    * tokens), ONE definition for the four consumers (q179/q250/q251/q252)
+    * and one SQL twin for their oracles — a tokenization tweak applied in
+    * fewer than all places would silently de-synchronize the family. */
+  private def tkCol: org.apache.spark.sql.Column =
+    expr("size(filter(split(text, ' '), x -> x != ''))").cast("long")
+
+  private val tkSql =
+    "CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT)"
+
   private def toksF(s: SparkSession, dir: String): DataFrame =
     graft.SessionCache.cached(s, s"scaleops:toks:$dir") {
       docToksF(s, dir)
@@ -873,7 +883,7 @@ object ScaleOps extends QueryModule {
     // scan+agg — pin the 20 rows once so the corpus is scanned once
     val cnts = table(s, dir, "documents")
       .select(col("source"),
-        expr("size(filter(split(text, ' '), x -> x != ''))").cast("long").as("tk"))
+        tkCol.as("tk"))
       .groupBy(col("source")).agg(sum(col("tk")).as("c"))
       .localCheckpoint()
     val tot = cnts.agg(sum(col("c")).as("total"), count(lit(1)).as("n"))
@@ -908,7 +918,7 @@ object ScaleOps extends QueryModule {
   private def waterfillCtesAt(num: Long, den: Long) =
     s"""c AS (
       |  SELECT source,
-      |         CAST(SUM(len(list_filter(string_split(text, ' '), x -> x <> ''))) AS BIGINT) AS c
+      |         CAST(SUM($tkSql) AS BIGINT) AS c
       |  FROM documents GROUP BY source),
       |tot AS (SELECT CAST(SUM(c) AS BIGINT) AS total, CAST(COUNT(*) AS BIGINT) AS n FROM c),
       |b AS (SELECT (total * $num) // $den AS budget, n FROM tot),
@@ -969,7 +979,7 @@ object ScaleOps extends QueryModule {
       .orderBy(md5Long(col("doc_id").cast("string")), col("doc_id"))
     table(s, dir, "documents")
       .select(col("doc_id"), col("source"),
-        expr("size(filter(split(text, ' '), x -> x != ''))").cast("long").as("tk"))
+        tkCol.as("tk"))
       .withColumn("prefix",
         sum(col("tk")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .join(broadcast(alloc), Seq("source"))
@@ -1014,10 +1024,14 @@ object ScaleOps extends QueryModule {
     import s.implicits._
     val Full = 1L << 60
     // |sources|-row allocation, collected: bounded driver-side metadata
-    // (the probe-cells pattern)
+    // (the probe-cells pattern). A NULL source drops here — the
+    // single-window form loses it to its inner equi-join the same way,
+    // so the two paths stay row-equal on such input (and without the
+    // filter the nDocs lookup below would throw for the null group)
     val allocRows = waterfillAlloc(s, dir, 1L, 10L)
       .select(col("source"), col("tokens"), col("alloc"))
-      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .collect().collect { case r if !r.isNullAt(0) =>
+        (r.getString(0), r.getLong(1), r.getLong(2)) }
     def thresh(alloc: Long, c: Long): Long = {
       val t = (BigInt(1) << 60) * marginNum * alloc / c
       if (t >= Full) Full else t.toLong
@@ -1030,7 +1044,7 @@ object ScaleOps extends QueryModule {
       src -> (if (a == 0L) Full else thresh(a, c)) }.toMap
     val docs = table(s, dir, "documents")
       .select(col("doc_id"), col("source"),
-        expr("size(filter(split(text, ' '), x -> x != ''))").cast("long").as("tk"))
+        tkCol.as("tk"))
       .withColumn("h", md5Long(col("doc_id").cast("string")))
     // escalation loop: measure surviving mass, widen any short source.
     // n_docs (the full per-source count q250 reports) rides the same pass.
@@ -1082,14 +1096,19 @@ object ScaleOps extends QueryModule {
     * sources upsample, dominant sources downsample) against a half-corpus
     * budget, realized as FULL EPOCHS plus a fractional epoch by per-doc
     * hash lottery. Everything is integer-exact so both engines agree to
-    * the bit: the temperature weight is floor(sqrt(c)) (the double sqrt
-    * of a < 2^52 integer is correctly rounded in both engines, so the
-    * floor can't straddle), the target is (budget * isq) div sigma, and
-    * the lottery threshold ((target mod c) * 10^6) div c — no float sums
-    * whose order could drift an ULP across engines. Upsampling is a real
-    * explode (one row per (doc, epoch) instance — what a training-data
-    * materialization actually writes), and the oracle recomputes the
-    * same counts in closed form, cross-checking the explode itself.
+    * the bit: the temperature weight is floor(sqrt(c)) (both engines
+    * take the SAME correctly-rounded IEEE double sqrt, so the floor is
+    * identical at every c), and the target/threshold arithmetic runs in
+    * WIDE integers — driver-side BigInt here, HUGEINT in the oracle —
+    * because the intermediate products ((budget * isq), (rem * 10^6))
+    * overflow a 64-bit long at the 100 TB corpus sizes this query is
+    * designed for, and ANSI-off Spark would wrap silently where DuckDB
+    * errors. The per-source mixing table is |sources|-row driver-side
+    * metadata (the q252 pattern), so exact BigInt is free. Upsampling is
+    * a real explode (one row per (doc, epoch) instance — what a
+    * training-data materialization actually writes), and the oracle
+    * recomputes the same counts in closed form, cross-checking the
+    * explode itself.
     *
     * Scale shape: per-source counts (one map-side-combined shuffle), the
     * |sources|-row mixing table broadcasts back, the explode is row-local
@@ -1098,20 +1117,26 @@ object ScaleOps extends QueryModule {
     * this rollup is the audit a pipeline runs over them. */
   def epochMixture(s: SparkSession, dir: String): DataFrame = {
     tune(s)
+    import s.implicits._
     val d = table(s, dir, "documents")
-      .select(col("doc_id"), col("source"),
-        expr("size(filter(split(text, ' '), x -> x != ''))").cast("long").as("tk"))
-    // localCheckpoint: tot and mix both reference this |sources|-row
-    // frame — pin it so the corpus is scanned once for the counts
-    val c = d.groupBy(col("source")).agg(sum(col("tk")).as("c"))
-      .withColumn("isq", floor(sqrt(col("c"))).cast("long"))
-      .localCheckpoint()
-    val tot = c.agg(sum(col("c")).as("total"), sum(col("isq")).as("sigma"))
-    val mix = c.crossJoin(broadcast(tot))
-      .withColumn("target_t", expr("((total div 2) * isq) div sigma"))
-      .withColumn("epochs_full", expr("target_t div c"))
-      .withColumn("rem_thresh", expr("((target_t % c) * 1000000) div c"))
-      .select(col("source"), col("target_t"), col("epochs_full"), col("rem_thresh"))
+      .select(col("doc_id"), col("source"), tkCol.as("tk"))
+    // |sources|-row counts, collected: the mixing math runs driver-side
+    // in BigInt (exact at any corpus size); NULL sources drop here like
+    // the inner joins drop them everywhere else in the family
+    val cRows = d.groupBy(col("source")).agg(sum(col("tk")).as("c"))
+      .collect().collect { case r if !r.isNullAt(0) =>
+        (r.getString(0), r.getLong(1)) }
+    val isq = cRows.map { case (src, c) =>
+      (src, c, BigInt(math.floor(math.sqrt(c.toDouble)).toLong)) }
+    val sigma = isq.map(_._3).sum
+    val budget = BigInt(cRows.map(_._2).sum) / 2
+    val mixRows = isq.map { case (src, c, w) =>
+      val target = (budget * w / sigma).toLong
+      val epochs = target / c
+      val remThresh = ((BigInt(target % c) * 1000000L) / c).toLong
+      (src, target, epochs, remThresh)
+    }.toSeq
+    val mix = mixRows.toDF("source", "target_t", "epochs_full", "rem_thresh")
     d.join(broadcast(mix), Seq("source"))
       .withColumn("extra",
         pmod(md5Long(concat(col("doc_id").cast("string"), lit("#ep"))),
@@ -1129,16 +1154,15 @@ object ScaleOps extends QueryModule {
   }
 
   private val epochMixtureSql =
-    s"""WITH d AS (SELECT doc_id, source,
-       |        CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT) AS tk
-       |      FROM documents),
+    s"""WITH d AS (SELECT doc_id, source, $tkSql AS tk FROM documents),
        |c AS (SELECT source, CAST(SUM(tk) AS BIGINT) AS c FROM d GROUP BY source),
-       |ci AS (SELECT source, c, CAST(floor(sqrt(c)) AS BIGINT) AS isq FROM c),
-       |tot AS (SELECT CAST(SUM(c) AS BIGINT) AS total, CAST(SUM(isq) AS BIGINT) AS sigma FROM ci),
-       |t AS (SELECT source, c, ((total // 2) * isq) // sigma AS target_t
+       |ci AS (SELECT source, c, CAST(floor(sqrt(c)) AS HUGEINT) AS isq FROM c),
+       |tot AS (SELECT CAST(SUM(c) AS HUGEINT) AS total, SUM(isq) AS sigma FROM ci),
+       |t AS (SELECT source, c,
+       |             CAST(((total // 2) * isq) // sigma AS BIGINT) AS target_t
        |      FROM ci CROSS JOIN tot),
        |t2 AS (SELECT source, target_t, target_t // c AS epochs_full,
-       |              ((target_t % c) * 1000000) // c AS rem_thresh
+       |              CAST((CAST(target_t % c AS HUGEINT) * 1000000) // c AS BIGINT) AS rem_thresh
        |       FROM t),
        |k AS (SELECT d.source, d.tk, t2.target_t, t2.epochs_full,
        |        t2.epochs_full + (CASE WHEN ${MD5L("CAST(doc_id AS VARCHAR) || '#ep'")} % 1000000 < t2.rem_thresh
@@ -1158,7 +1182,7 @@ object ScaleOps extends QueryModule {
   private def realizeSqlAt(ctes: String) =
     s"""WITH $ctes,
        |d AS (SELECT doc_id, source,
-       |        CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT) AS tk
+       |        $tkSql AS tk
        |      FROM documents),
        |p AS (SELECT source, tk,
        |        SUM(tk) OVER (PARTITION BY source

@@ -4886,11 +4886,12 @@ object Similarity extends QueryModule {
     * rebuild over the filtered base pairs (the q243 repair proof), the
     * full leg to the q244 rebuild — both pinned by the oracle. */
   private[graft] def knnStreamAsOfResult(s: SparkSession, path: String): DataFrame = {
+    // a compacted store forfeits horizons below its compaction point
+    // (fold-on-compact rewrote those segments' history into the base) —
+    // serving them would silently answer with POST-fold rows; refuse.
+    // One meta read for both legs: the point is a per-store constant.
+    val through = knnStreamCompactedThrough(s, path)
     def leg(h: Long, name: String): DataFrame = {
-      // a compacted store forfeits horizons below its compaction point
-      // (fold-on-compact rewrote those segments' history into the base) —
-      // serving them would silently answer with POST-fold rows; refuse
-      val through = knnStreamCompactedThrough(s, path)
       require(h >= through,
         s"as-of horizon $h is below the store's compaction point $through " +
           s"at $path — folded history is not servable")
@@ -4945,12 +4946,12 @@ object Similarity extends QueryModule {
     graft.sources.IndexStore.inParallel(Seq(
       () => graft.sources.IndexStore.compactSegmentLedger(s, path, "edges",
         "segment", sortCols = Seq("src", "rn"), rangeCols = Seq("src"),
-        onlySegs = Some(vis), fold = Some(_ => foldedEdges),
+        onlySegs = Some(vis), foldInto = Some(foldedEdges),
         intoSeg = Some(into)),
       () => graft.sources.IndexStore.compactSegmentLedger(s, path, "assign",
         "segment", sortCols = Seq("cid", "vec_id"),
         rangeCols = Seq("cid", "vec_id"), onlySegs = Some(vis),
-        fold = Some(_ => foldedAssign), intoSeg = Some(into))))
+        foldInto = Some(foldedAssign), intoSeg = Some(into))))
     // masksToo=false stops at the worst crash window (data tables folded,
     // masks still raw) — CrashRecoverySpec's hook; production always
     // completes, and an interrupted run re-enters idempotently
@@ -4958,11 +4959,17 @@ object Similarity extends QueryModule {
       graft.sources.IndexStore.inParallel(Seq(
         () => graft.sources.IndexStore.compactSegmentLedger(s, path, "deletes",
           "segment", sortCols = Seq("vec_id"), rangeCols = Seq("vec_id"),
-          onlySegs = Some(vis), fold = Some(df => df.limit(0)),
+          onlySegs = Some(vis),
+          foldInto = Some(graft.sources.IndexStore
+            .readSegments(s, path, "deletes", "segment", vis)
+            .drop("segment").limit(0).localCheckpoint()),
           intoSeg = Some(into)),
         () => graft.sources.IndexStore.compactSegmentLedger(s, path, "stale",
           "segment", sortCols = Seq("src"), rangeCols = Seq("src"),
-          onlySegs = Some(vis), fold = Some(df => df.limit(0)),
+          onlySegs = Some(vis),
+          foldInto = Some(graft.sources.IndexStore
+            .readSegments(s, path, "stale", "segment", vis)
+            .drop("segment").limit(0).localCheckpoint()),
           intoSeg = Some(into))))
     into
   }
@@ -5181,14 +5188,19 @@ object Similarity extends QueryModule {
     tune(s)
     val B = 4
     val (_, assign) = corpusIvfIndex(s, dir)
-    val a = graft.SessionCache.cached(s, s"sim:annserve:a:$dir")(
+    // cachedValue + explicit unpersist: the frames are localCheckpointed
+    // (lineage truncation for the loopy consumers), and cached() would
+    // ADD an InMemoryRelation layer on top of the checkpoint blocks —
+    // double-pinning corpus-sized data for the session lifetime
+    val a = graft.SessionCache.cachedValue(s, s"sim:annserve:a:$dir")(
       assign.select(col("cid"), col("vec_id"), col("embedding"), col("nrm"))
-        .localCheckpoint())
+        .localCheckpoint())(df => { df.unpersist(); () })
     // the widened edges, built once per session (q247's frame — the
     // store stays nprobe=1 by the q243 repair contract, so the serving
     // graph is session-cached from the oracled build path)
-    val edges = graft.SessionCache.cached(s, s"sim:annserve:g2:$dir")(
-      knnGraphFrameNp(s, dir, 2).select(col("src"), col("nbr")).localCheckpoint())
+    val edges = graft.SessionCache.cachedValue(s, s"sim:annserve:g2:$dir")(
+      knnGraphFrameNp(s, dir, 2).select(col("src"), col("nbr"))
+        .localCheckpoint())(df => { df.unpersist(); () })
     val queries = a.filter(col("vec_id") % 23 === 3)
       .select(col("cid").as("qcid"), col("vec_id").as("qid"),
         col("embedding").as("qemb"), col("nrm").as("nq"))
@@ -5392,7 +5404,7 @@ object Similarity extends QueryModule {
       "kNN-graph construction: every corpus vector's top-3 cosine neighbors, IVF-cell-scoped from the persisted assignment (pair volume tracks cluster sizes, never corpus squared), exact-oracled per cell",
       knnGraph, Some(knnGraphSql)),
     GQuery("q247_knn_graph_np2",
-      "the widened (nprobe=2) kNN graph, oracled: each source gathers candidates from its top-2 coarse cells against the stored centroids (superset of the default cell — closes the singleton-cell recall hole at ~2x pair volume), candidates dedup'd before scoring; the recall dial promoted from spec-only to an oracled build path, width passed as an explicit parameter, maintained store stays nprobe=1 by the q243 repair contract",
+      "the widened (nprobe=2) kNN graph, oracled: each source gathers candidates from its top-2 coarse cells against the stored centroids (superset of the default cell — closes the singleton-cell recall hole at ~2x pair volume) through one salted cell join, no pair dedup (cells partition the corpus, so a pair cannot duplicate across probed cells); the recall dial promoted from spec-only to an oracled build path, width passed as an explicit parameter, maintained store stays nprobe=1 by the q243 repair contract",
       knnGraphNp2, Some(knnGraphNp2Sql)),
     GQuery("q253_graph_ann_serve",
       "graph-based ANN serving: IVF-seeded beam search (B=4, 2 hops) over the widened kNN graph's cross-cell edges, rescored with true cosine per hop; exact-top-3 recall reported as measured data (q188 convention) with the hops-never-lose-recall invariant gated — the oracle replays the identical unrolled search",

@@ -524,24 +524,28 @@ object IndexStore {
     * horizons below the compaction point are forfeited, the same trade
     * as the flat [[graft.operators.Similarity.compactSeqSegments]].
     *
-    * `fold` (optional) rewrites the compacted set's UNION of rows before
-    * they stage — the hook a MASKED store uses to apply its segment-
+    * `foldInto` (optional) REPLACES the compacted set's rows with the
+    * caller's frame — the hook a MASKED store uses to apply its segment-
     * scoped mask sidecars during compaction (fold-on-compact), so the
     * base segment holds exactly the visible rows and the mask tables can
-    * compact to empty. `intoSeg` (optional, must be a member of the
-    * compacted set — any other id would FORGE a ledger entry) overrides
-    * which committed id receives the folded rows. A masked store MUST
-    * pass the set's MAX: its masks scope `row.partCol < mask.partCol`,
-    * so folded rows parked under the set's min would be re-hidden by the
-    * very masks already folded into them (a restated row and the stale
-    * mask that superseded its predecessor land in the same segment; fold
+    * compact to empty. The caller asserts the frame is the semantic
+    * equivalent of the compacted rows AND that it is pinned (checkpointed
+    * or otherwise independent of the table's current files) — it stages
+    * as-is, with no defensive re-checkpoint and no read of the rows it
+    * replaces. `intoSeg` (optional, must be a member of the compacted
+    * set — any other id would FORGE a ledger entry) overrides which
+    * committed id receives the folded rows. A masked store MUST pass the
+    * set's MAX: its masks scope `row.partCol < mask.partCol`, so folded
+    * rows parked under the set's min would be re-hidden by the very
+    * masks already folded into them (a restated row and the stale mask
+    * that superseded its predecessor land in the same segment; fold
     * collapses that distinction, and only the max id keeps every already-
     * applied mask strictly-not-newer than every folded row). Unmasked
     * stores keep the default min — the historical q217/q220 layout. */
   def compactSegmentLedger(s: SparkSession, path: String, table: String,
       partCol: String, sortCols: Seq[String], rangeCols: Seq[String],
       onlySegs: Option[Seq[Long]] = None,
-      fold: Option[DataFrame => DataFrame] = None,
+      foldInto: Option[DataFrame] = None,
       intoSeg: Option[Long] = None): Unit = {
     import org.apache.spark.sql.functions.col
     val tbl = new Path(new Path(path), table)
@@ -575,9 +579,11 @@ object IndexStore {
       fs.create(new Path(new Path(tmp, s"$partCol=$v"), "_COMMITTED"), true).close()
     }
     // the rewrite reads the very files the swap replaces — pin the rows
-    stage(fold.getOrElse(identity[DataFrame] _)(
-        readSegments(s, path, table, partCol, segs).drop(partCol))
-      .localCheckpoint(), into)
+    // (a foldInto frame is pinned by the caller's contract, so staging
+    // it through a second checkpoint would just duplicate its blocks)
+    stage(foldInto.getOrElse(
+      readSegments(s, path, table, partCol, segs).drop(partCol).localCheckpoint()),
+      into)
     segs.filter(_ != into).foreach { v =>
       val d = new Path(tmp, s"$partCol=$v")
       if (!fs.mkdirs(d))
