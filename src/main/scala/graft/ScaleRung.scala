@@ -247,6 +247,9 @@ object ScaleRung {
     // (kilobytes), and the |Q| x N exact-audit leg — wall should track
     // the audit leg (linear in corpus x query fraction), hops ~free
     "q253_graph_ann_serve",
+    // q254 is the q250 realization plus |sources|-row share arithmetic —
+    // its row should sit at q250's plus noise, nothing corpus-sized added
+    "q254_mix_datacard",
   )
 
   /** The RocksDB-vs-memory crossover experiment: the two streaming rigs

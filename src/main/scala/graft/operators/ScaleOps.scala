@@ -1179,9 +1179,11 @@ object ScaleOps extends QueryModule {
     * chain — shared by the q250 oracle (19/20 budget) and the q252
     * oracle (1/10 budget: the SAME single-window semantics the two-phase
     * implementation must reproduce bit-for-bit). */
-  private def realizeSqlAt(ctes: String) =
-    s"""WITH $ctes,
-       |d AS (SELECT doc_id, source,
+  /** The realization itself as CTEs (`d`/`p`/`k`/`realized` in scope,
+    * expects an `alloc` chain) — shared by the q250/q252 oracles and the
+    * q254 data-card oracle built over the realized mixture. */
+  private lazy val realizeChainSql =
+    s"""d AS (SELECT doc_id, source,
        |        $tkSql AS tk
        |      FROM documents),
        |p AS (SELECT source, tk,
@@ -1190,12 +1192,57 @@ object ScaleOps extends QueryModule {
        |          ROWS UNBOUNDED PRECEDING) AS prefix
        |      FROM d),
        |k AS (SELECT p.source, p.tk, a.alloc, (p.prefix - p.tk < a.alloc) AS kept
-       |      FROM p JOIN alloc a ON a.source = p.source)
-       |SELECT source, COUNT(*) AS n_docs,
-       |CAST(SUM(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
-       |CAST(SUM(CASE WHEN kept THEN tk ELSE 0 END) AS BIGINT) AS kept_tokens,
-       |MIN(alloc) AS alloc
-       |FROM k GROUP BY source""".stripMargin
+       |      FROM p JOIN alloc a ON a.source = p.source),
+       |realized AS (
+       |  SELECT source, COUNT(*) AS n_docs,
+       |  CAST(SUM(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       |  CAST(SUM(CASE WHEN kept THEN tk ELSE 0 END) AS BIGINT) AS kept_tokens,
+       |  MIN(alloc) AS alloc
+       |  FROM k GROUP BY source)""".stripMargin
+
+  private def realizeSqlAt(ctes: String) =
+    s"""WITH $ctes,
+       |$realizeChainSql
+       |SELECT source, n_docs, n_kept, kept_tokens, alloc FROM realized""".stripMargin
+
+  /** Mixing data card (q254): the audit table a training run publishes
+    * beside the materialized mixture — per source, the natural share of
+    * the corpus vs the realized share of the mixture (both in ppm), the
+    * waterfill allocation and its cap flag, and the kept counts. This is
+    * q137's data-card role for the MIXING step: the one-page answer to
+    * "what did the mix actually do to each source". Share arithmetic
+    * runs wide (DECIMAL(38,0) intermediates here, HUGEINT in the
+    * oracle): `tokens * 10^6` overflows a 64-bit long at the corpus
+    * sizes this is designed for — the q251 lesson applied at landing.
+    * Everything after the q250 realization is |sources|-row metadata. */
+  def mixDatacard(s: SparkSession, dir: String): DataFrame = {
+    tune(s)
+    val a = waterfillAlloc(s, dir, 19L, 20L)
+    val r = realizeAt(s, dir, 19L, 20L)
+      .select(col("source"), col("n_kept"), col("kept_tokens"))
+    val j = a.join(broadcast(r), Seq("source"))
+    val t = j.agg(sum(col("tokens")).as("total"),
+      sum(col("kept_tokens")).as("ktotal"))
+    j.crossJoin(broadcast(t))
+      .withColumn("natural_ppm",
+        expr("CAST((CAST(tokens AS DECIMAL(38,0)) * 1000000) div CAST(total AS DECIMAL(38,0)) AS BIGINT)"))
+      .withColumn("realized_ppm",
+        expr("CAST((CAST(kept_tokens AS DECIMAL(38,0)) * 1000000) div CAST(ktotal AS DECIMAL(38,0)) AS BIGINT)"))
+      .select(col("source"), col("tokens"), col("alloc"), col("capped"),
+        col("n_kept"), col("kept_tokens"), col("natural_ppm"), col("realized_ppm"))
+  }
+
+  private val mixDatacardSql =
+    s"""WITH ${waterfillCtesAt(19L, 20L)},
+       |$realizeChainSql,
+       |tots AS (SELECT CAST(SUM(tokens) AS HUGEINT) AS total FROM alloc),
+       |ktot AS (SELECT CAST(SUM(kept_tokens) AS HUGEINT) AS ktotal FROM realized)
+       |SELECT a.source, a.tokens, a.alloc, a.capped, r.n_kept, r.kept_tokens,
+       |       CAST((CAST(a.tokens AS HUGEINT) * 1000000) // t.total AS BIGINT) AS natural_ppm,
+       |       CAST((CAST(r.kept_tokens AS HUGEINT) * 1000000) // k.ktotal AS BIGINT) AS realized_ppm
+       |FROM alloc a
+       |JOIN realized r ON r.source = a.source
+       |CROSS JOIN tots t CROSS JOIN ktot k""".stripMargin
 
   override val queries: Seq[GQuery] = Seq(
     GQuery("q179_budget_waterfill",
@@ -1210,6 +1257,9 @@ object ScaleOps extends QueryModule {
     GQuery("q252_capped_realize",
       "two-phase skew-proof realization at a tight (1/10) budget: hash-threshold prefilter with measured-mass containment check + escalation, exact prefix window over survivors only — oracled bit-equal to the single-window semantics",
       cappedRealize, Some(cappedRealizeSql)),
+    GQuery("q254_mix_datacard",
+      "mixing data card: per-source natural vs realized shares (ppm, wide-integer exact), waterfill allocation + cap flag, kept counts — the audit table a training run publishes beside the materialized mixture",
+      mixDatacard, Some(mixDatacardSql)),
     GQuery("q105_heavy_hitters",
       "Count-Min sketch heavy hitters with machine-checked one-sided error contract",
       heavyHitters, Some(heavyHittersSql)),

@@ -685,4 +685,21 @@ class SimilaritySpec extends AnyFunSuite {
         "a tiny pair target (every cell salted) must not change a single edge")
     } finally prev.fold(s.conf.unset(knob))(v => s.conf.set(knob, v))
   }
+
+  test("q253 beam hops never lose exact recall and strictly gain it on the fixture") {
+    // the gated invariant (hops_no_loss) plus the stronger property the
+    // fixture exhibits: at least one query's exact hit is reachable only
+    // through a cross-cell hop, so the beam's recall is STRICTLY above
+    // the IVF-seed's — the mechanism measurably does something
+    val r = Similarity.graphAnnServe(s, TestSpark.sf)
+      .select(col("recall_num"), col("seed_num"), col("hops_no_loss"))
+      .distinct().collect()
+    assert(r.length == 1, "the audit columns must be a single global row")
+    val row = r.head
+    assert(row.getAs[Boolean]("hops_no_loss"),
+      "the beam must never lose an exact hit the seed had")
+    assert(row.getAs[Long]("recall_num") > row.getAs[Long]("seed_num"),
+      s"hops must strictly improve recall on the fixture: " +
+        s"beam=${row.getAs[Long]("recall_num")} seed=${row.getAs[Long]("seed_num")}")
+  }
 }
