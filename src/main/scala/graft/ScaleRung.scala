@@ -250,6 +250,10 @@ object ScaleRung {
     // q254 is the q250 realization plus |sources|-row share arithmetic —
     // its row should sit at q250's plus noise, nothing corpus-sized added
     "q254_mix_datacard",
+    // q255 adds the scores-annotation join (doc_id sort-merge, the one
+    // extra corpus-linear term) before q250's window/rollup shape —
+    // shuffle should track corpus rows, wall stay near-flat at 10x
+    "q255_quality_fill",
   )
 
   /** The RocksDB-vs-memory crossover experiment: the two streaming rigs

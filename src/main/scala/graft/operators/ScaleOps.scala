@@ -1232,6 +1232,76 @@ object ScaleOps extends QueryModule {
         col("n_kept"), col("kept_tokens"), col("natural_ppm"), col("realized_ppm"))
   }
 
+  /** Quality-first budget fill (q255): the selection policy a
+    * quality-aware mixing run uses instead of q250's uniform one — each
+    * source fills its (tight, 1/10) waterfill allocation from its BEST
+    * quality deciles first (q67's integer bucket; hash + doc_id break
+    * ties within a decile, so the order is deterministic and engine-
+    * independent — no float ordering anywhere near the cut). The kept
+    * set is a prefix of the bucket-descending order, so every kept
+    * document's bucket >= every dropped document's, which gives the
+    * gated invariant: the kept average bucket >= the source's overall
+    * average, checked per source as an integer cross-multiplication
+    * (kept_bucket_sum * n_docs >= bucket_sum * n_kept).
+    *
+    * Scale shape: the quality frame is a separately-derived scoring
+    * artifact joined back to the corpus on doc_id — the standard
+    * "annotate the corpus with model scores" sort-merge join a real
+    * pipeline pays (scores are materialized by a scoring run, not
+    * recomputed inside every consumer); then q250's one-shuffle
+    * window/rollup shape over the annotated rows. */
+  def qualityFill(s: SparkSession, dir: String): DataFrame = {
+    tune(s)
+    import org.apache.spark.sql.expressions.Window
+    val alloc = waterfillAlloc(s, dir, 1L, 10L).select(col("source"), col("alloc"))
+    val qb = graft.operators.TextOps.qualityPerDoc(s, dir)
+      .select(col("doc_id"), col("bucket"))
+    val docs = table(s, dir, "documents")
+      .select(col("doc_id"), col("source"), tkCol.as("tk"))
+      .join(qb, Seq("doc_id"))
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("bucket").desc, md5Long(col("doc_id").cast("string")), col("doc_id"))
+    docs
+      .withColumn("prefix",
+        sum(col("tk")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .join(broadcast(alloc), Seq("source"))
+      .withColumn("kept", col("prefix") - col("tk") < col("alloc"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+           sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
+           sum(when(col("kept"), col("tk")).otherwise(0L)).as("kept_tokens"),
+           min(col("alloc")).as("alloc"),
+           sum(when(col("kept"), col("bucket")).otherwise(0L)).as("kept_bucket_sum"),
+           sum(col("bucket")).as("bucket_sum"))
+      .withColumn("quality_gained",
+        col("kept_bucket_sum") * col("n_docs") >= col("bucket_sum") * col("n_kept"))
+  }
+
+  private val qualityFillSql =
+    s"""WITH ${waterfillCtesAt(1L, 10L)},
+       |${graft.operators.TextOps.qualityPerDocSql},
+       |dq AS (
+       |  SELECT d.doc_id, d.source, $tkSql AS tk, q.bucket
+       |  FROM documents d JOIN qdoc q ON q.doc_id = d.doc_id),
+       |pq AS (SELECT source, tk, bucket,
+       |        SUM(tk) OVER (PARTITION BY source
+       |          ORDER BY bucket DESC, ${MD5L("CAST(doc_id AS VARCHAR)")}, doc_id
+       |          ROWS UNBOUNDED PRECEDING) AS prefix
+       |      FROM dq),
+       |kq AS (SELECT pq.source, pq.tk, pq.bucket, a.alloc,
+       |              (pq.prefix - pq.tk < a.alloc) AS kept
+       |      FROM pq JOIN alloc a ON a.source = pq.source)
+       |SELECT source, COUNT(*) AS n_docs,
+       |CAST(SUM(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       |CAST(SUM(CASE WHEN kept THEN tk ELSE 0 END) AS BIGINT) AS kept_tokens,
+       |MIN(alloc) AS alloc,
+       |CAST(SUM(CASE WHEN kept THEN bucket ELSE 0 END) AS BIGINT) AS kept_bucket_sum,
+       |CAST(SUM(bucket) AS BIGINT) AS bucket_sum,
+       |(CAST(SUM(CASE WHEN kept THEN bucket ELSE 0 END) AS BIGINT) * COUNT(*) >=
+       | CAST(SUM(bucket) AS BIGINT) * CAST(SUM(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT))
+       |  AS quality_gained
+       |FROM kq GROUP BY source""".stripMargin
+
   private val mixDatacardSql =
     s"""WITH ${waterfillCtesAt(19L, 20L)},
        |$realizeChainSql,
@@ -1260,6 +1330,9 @@ object ScaleOps extends QueryModule {
     GQuery("q254_mix_datacard",
       "mixing data card: per-source natural vs realized shares (ppm, wide-integer exact), waterfill allocation + cap flag, kept counts — the audit table a training run publishes beside the materialized mixture",
       mixDatacard, Some(mixDatacardSql)),
+    GQuery("q255_quality_fill",
+      "quality-first budget fill: each source fills its tight waterfill allocation from its best quality deciles first (integer buckets, hash tie-break — no float ordering near the cut); kept-average >= overall-average gated per source as an integer cross-multiplication",
+      qualityFill, Some(qualityFillSql)),
     GQuery("q105_heavy_hitters",
       "Count-Min sketch heavy hitters with machine-checked one-sided error contract",
       heavyHitters, Some(heavyHittersSql)),

@@ -67,7 +67,7 @@ object TextOps extends QueryModule {
     */
   /** Per-doc quality score + decile bucket — the shared frame behind the
     * bucket profile (q67) and the curriculum interleave (q181). */
-  private def qualityPerDoc(s: SparkSession, dir: String): DataFrame =
+  private[graft] def qualityPerDoc(s: SparkSession, dir: String): DataFrame =
     spread(table(s, dir, "documents"))
       .withColumn("pt", concat(lit(" "), col("text"), lit(" ")))
       .withColumn("n_tok", size(regexp_extract_all(col("text"), lit("[a-z0-9]+"), lit(0))))
@@ -86,7 +86,7 @@ object TextOps extends QueryModule {
       .select(col("doc_id"), col("quality"), col("bucket"))
 
   /** The same per-doc frame as a DuckDB CTE named `qdoc`. */
-  private val qualityPerDocSql =
+  private[graft] val qualityPerDocSql =
     s"""qdoc AS (
        |  SELECT doc_id, quality, CAST(least(floor(quality * 10), 9) AS BIGINT) AS bucket FROM (
        |    SELECT doc_id, 0.4 * least(avg_wlen / 8.0, 1.0)
