@@ -254,6 +254,10 @@ object ScaleRung {
     // extra corpus-linear term) before q250's window/rollup shape —
     // shuffle should track corpus rows, wall stay near-flat at 10x
     "q255_quality_fill",
+    // q256 adds the md5-keyed survivor pick (one fixed-width-key
+    // shuffle, the q60 exchange) before q250's shape over survivors —
+    // shuffle linear in corpus rows, wall near-flat at 10x
+    "q256_dedup_mixture",
   )
 
   /** The RocksDB-vs-memory crossover experiment: the two streaming rigs

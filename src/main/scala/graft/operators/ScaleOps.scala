@@ -877,15 +877,23 @@ object ScaleOps extends QueryModule {
   private[graft] def waterfillAlloc(s: SparkSession, dir: String,
       num: Long, den: Long): DataFrame = {
     tune(s)
-    import org.apache.spark.sql.expressions.Window
     // localCheckpoint: four downstream references (tot/ranked/cut/final)
     // would each re-derive this |sources|-row frame from a full corpus
     // scan+agg — pin the 20 rows once so the corpus is scanned once
-    val cnts = table(s, dir, "documents")
-      .select(col("source"),
-        tkCol.as("tk"))
-      .groupBy(col("source")).agg(sum(col("tk")).as("c"))
-      .localCheckpoint()
+    waterfillFromCounts(
+      table(s, dir, "documents")
+        .select(col("source"), tkCol.as("tk"))
+        .groupBy(col("source")).agg(sum(col("tk")).as("c"))
+        .localCheckpoint(),
+      num, den)
+  }
+
+  /** The waterfill closed form over an arbitrary `(source, c)` counts
+    * frame (caller-pinned |sources|-row metadata) — q256 allocates over
+    * the DEDUPED corpus's counts through exactly this code path. */
+  private def waterfillFromCounts(cnts: DataFrame,
+      num: Long, den: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val tot = cnts.agg(sum(col("c")).as("total"), count(lit(1)).as("n"))
       .withColumn("budget", expr(s"(total * $num) div $den"))
       .select(col("n"), col("budget"))
@@ -915,11 +923,18 @@ object ScaleOps extends QueryModule {
     * realization oracle, so the two can never disagree on the level.
     * The budget ratio is a parameter for the same reason as
     * [[waterfillAlloc]]'s. */
-  private def waterfillCtesAt(num: Long, den: Long) =
-    s"""c AS (
-      |  SELECT source,
-      |         CAST(SUM($tkSql) AS BIGINT) AS c
-      |  FROM documents GROUP BY source),
+  private def waterfillCtesAt(num: Long, den: Long): String =
+    waterfillCtesOver(
+      s"""c AS (
+         |  SELECT source,
+         |         CAST(SUM($tkSql) AS BIGINT) AS c
+         |  FROM documents GROUP BY source)""".stripMargin, num, den)
+
+  /** The closed-form chain over a caller-supplied `c AS (...)` counts
+    * CTE — the SQL twin of [[waterfillFromCounts]] (q256 supplies
+    * survivor counts). */
+  private def waterfillCtesOver(cSql: String, num: Long, den: Long) =
+    s"""$cSql,
       |tot AS (SELECT CAST(SUM(c) AS BIGINT) AS total, CAST(COUNT(*) AS BIGINT) AS n FROM c),
       |b AS (SELECT (total * $num) // $den AS budget, n FROM tot),
       |r AS (SELECT source, c,
@@ -1302,6 +1317,83 @@ object ScaleOps extends QueryModule {
        |  AS quality_gained
        |FROM kq GROUP BY source""".stripMargin
 
+  /** Dedup-aware mixture (q256): the realization the pipeline ACTUALLY
+    * runs — mixing over the deduplicated corpus, not the raw one, or a
+    * boilerplate-flooded source buys allocation with its copies. Exact
+    * dedup is q60's policy (md5(text) groups, min-doc_id survivor: a
+    * deterministic canonical pick), and the whole chain downstream —
+    * per-source counts, the 1/10 waterfill, the hash-prefix realization
+    * — runs over survivors through the SAME code paths as q179/q250
+    * ([[waterfillFromCounts]] / the shared window shape), so the two
+    * mixtures can never disagree on mechanics, only on input. The
+    * per-source audit carries n_dupes (what dedup removed) beside the
+    * kept counts, which is the number a mixing data card needs to
+    * explain allocation shifts between the raw and deduped runs.
+    *
+    * Scale shape: one md5-keyed shuffle for the survivor pick (128-bit
+    * fixed-width key, the q60 exchange), then q250's one-shuffle
+    * window/rollup over survivors; the allocation is |sources|-row
+    * metadata off the same survivor scan. */
+  def dedupMixture(s: SparkSession, dir: String): DataFrame = {
+    tune(s)
+    import org.apache.spark.sql.expressions.Window
+    val wd = Window.partitionBy(col("h")).orderBy(col("doc_id"))
+    val marked = table(s, dir, "documents")
+      .select(col("doc_id"), col("source"), tkCol.as("tk"),
+        md5(col("text")).as("h"))
+      .withColumn("is_dup", row_number().over(wd) > 1)
+    val surv = marked.filter(!col("is_dup"))
+    val cnts = surv.groupBy(col("source")).agg(sum(col("tk")).as("c"))
+      .localCheckpoint()
+    val alloc = waterfillFromCounts(cnts, 1L, 10L)
+      .select(col("source"), col("alloc"))
+    val dupes = marked.groupBy(col("source"))
+      .agg(sum(when(col("is_dup"), 1L).otherwise(0L)).as("n_dupes"))
+    val w = Window.partitionBy(col("source"))
+      .orderBy(md5Long(col("doc_id").cast("string")), col("doc_id"))
+    surv
+      .withColumn("prefix",
+        sum(col("tk")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .join(broadcast(alloc), Seq("source"))
+      .withColumn("kept", col("prefix") - col("tk") < col("alloc"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_surv"),
+           sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
+           sum(when(col("kept"), col("tk")).otherwise(0L)).as("kept_tokens"),
+           min(col("alloc")).as("alloc"))
+      .join(broadcast(dupes), Seq("source"))
+  }
+
+  private val dedupMixtureSql = {
+    val survCtes =
+      s"""md AS (
+         |  SELECT doc_id, source, $tkSql AS tk,
+         |         ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) > 1 AS is_dup
+         |  FROM documents),
+         |surv AS (SELECT doc_id, source, tk FROM md WHERE NOT is_dup)""".stripMargin
+    val cSql =
+      """c AS (SELECT source, CAST(SUM(tk) AS BIGINT) AS c FROM surv GROUP BY source)"""
+    s"""WITH $survCtes,
+       |${waterfillCtesOver(cSql, 1L, 10L)},
+       |p AS (SELECT source, tk,
+       |        SUM(tk) OVER (PARTITION BY source
+       |          ORDER BY ${MD5L("CAST(doc_id AS VARCHAR)")}, doc_id
+       |          ROWS UNBOUNDED PRECEDING) AS prefix
+       |      FROM surv),
+       |k AS (SELECT p.source, p.tk, a.alloc, (p.prefix - p.tk < a.alloc) AS kept
+       |      FROM p JOIN alloc a ON a.source = p.source),
+       |dupes AS (SELECT source,
+       |            CAST(SUM(CASE WHEN is_dup THEN 1 ELSE 0 END) AS BIGINT) AS n_dupes
+       |          FROM md GROUP BY source)
+       |SELECT k.source, COUNT(*) AS n_surv,
+       |CAST(SUM(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       |CAST(SUM(CASE WHEN kept THEN tk ELSE 0 END) AS BIGINT) AS kept_tokens,
+       |MIN(alloc) AS alloc,
+       |MIN(d.n_dupes) AS n_dupes
+       |FROM k JOIN dupes d ON d.source = k.source
+       |GROUP BY k.source""".stripMargin
+  }
+
   private val mixDatacardSql =
     s"""WITH ${waterfillCtesAt(19L, 20L)},
        |$realizeChainSql,
@@ -1330,6 +1422,9 @@ object ScaleOps extends QueryModule {
     GQuery("q254_mix_datacard",
       "mixing data card: per-source natural vs realized shares (ppm, wide-integer exact), waterfill allocation + cap flag, kept counts — the audit table a training run publishes beside the materialized mixture",
       mixDatacard, Some(mixDatacardSql)),
+    GQuery("q256_dedup_mixture",
+      "dedup-aware mixture: exact-dedup survivors (md5 groups, min-doc_id canonical) feed the same waterfill + hash-prefix realization code paths as q250 at the tight budget, with per-source n_dupes audited — mixing over the corpus the pipeline actually trains on",
+      dedupMixture, Some(dedupMixtureSql)),
     GQuery("q255_quality_fill",
       "quality-first budget fill: each source fills its tight waterfill allocation from its best quality deciles first (integer buckets, hash tie-break — no float ordering near the cut); kept-average >= overall-average gated per source as an integer cross-multiplication",
       qualityFill, Some(qualityFillSql)),
