@@ -191,6 +191,18 @@ object PlanFingerprint {
     "q250_mixture_realize",
     "q252_capped_realize",
     "q253_graph_ann_serve",
+    // round-18 (lock-on-landing + the r17 ADVICE gap): q254's value is
+    // the q250 realization shape + |sources|-row broadcast share
+    // arithmetic; q255's is the scores sort-merge join + boundary-bucket
+    // prefilter staying broadcast-joined scan-level filters before the
+    // SHARDED window; q256's is the md5-keyed dedup exchange + the
+    // verbatim q252 prefilter — exactly the shapes their ScaleRung
+    // comments say must not drift. (q250/q252 re-locked this round: the
+    // single-reducer-per-source window was replaced by the sharded
+    // two-pass prefix sum, an intentional shape change.)
+    "q254_mix_datacard",
+    "q255_quality_fill",
+    "q256_dedup_mixture",
   )
 
   /** Structural counts of the STEADY-STATE initial plan.

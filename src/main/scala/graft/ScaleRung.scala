@@ -258,6 +258,24 @@ object ScaleRung {
     // shuffle, the q60 exchange) before q250's shape over survivors —
     // shuffle linear in corpus rows, wall near-flat at 10x
     "q256_dedup_mixture",
+    // q257's recurring shape: three feed-delta aggs + a bloom-pruned
+    // point resolve + the driver-side waterfill re-solve — the commits
+    // are the linear term (lake writes), every maintenance step is
+    // delta/keys-sized, so wall should track commit IO and shuffle stay
+    // metadata-scale (the O(delta) claim the row pins — VERDICT r17
+    // item 4's done-criterion)
+    "q257_incr_mix_datacard",
+    // q258's recurring cost: per-batch digest probe (one equi-join
+    // against the stored digests — linear in index bytes) + the
+    // broadcast rate lottery; the one-time policy build (dedup mark +
+    // waterfill) is stamp-guarded, so the 10x ratio tracks the digest
+    // join, the q134 screen shape for the mixing family
+    "q258_stream_mix_admission",
+    // q259 chains q256's dedup exchange, q255's scores join + prefilter
+    // + sharded window, and q251's bounded explode — each a pinned
+    // shape; the composition must add NO new corpus-sized term, so its
+    // row should sit near the sum of its parents' recurring terms
+    "q259_mix_pipeline",
   )
 
   /** The RocksDB-vs-memory crossover experiment: the two streaming rigs

@@ -891,7 +891,7 @@ object ScaleOps extends QueryModule {
   /** The waterfill closed form over an arbitrary `(source, c)` counts
     * frame (caller-pinned |sources|-row metadata) — q256 allocates over
     * the DEDUPED corpus's counts through exactly this code path. */
-  private def waterfillFromCounts(cnts: DataFrame,
+  private[graft] def waterfillFromCounts(cnts: DataFrame,
       num: Long, den: Long): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val tot = cnts.agg(sum(col("c")).as("total"), count(lit(1)).as("n"))
@@ -960,6 +960,41 @@ object ScaleOps extends QueryModule {
     s"""WITH $waterfillCtes
        |SELECT source, tokens, alloc, capped FROM alloc""".stripMargin
 
+  /** Sharded running token-prefix: the per-source running sum every
+    * realization query needs, computed WITHOUT a single-reducer-per-source
+    * window (q102's split-prefix-sum pattern, adopted family-wide per
+    * VERDICT r17 item 7). Pass 1 aggregates per-(source, shard) token mass
+    * — metadata-scale output (|sources| x |shards| rows, map-side
+    * combined); a metadata-scale window turns those into per-shard
+    * starting offsets; pass 2 runs the exact running sum per
+    * (source, shardCols) — 32-way parallel per source — and adds the
+    * offset, so the biggest reducer holds ~1/32 of the biggest source at
+    * ANY corpus size. Correct because `shardCols` refines the global
+    * order: `shardOrd` sorts shard groups exactly as `ord` sorts the rows
+    * they contain (hash top-bits refine hash order; (bucket, hash
+    * top-bits) refine the quality order), and rows that can tie in
+    * `ord`'s leading sort columns always agree on their shard. Bit-equal
+    * to the one-window form by construction — the oracles keep the
+    * single-window SQL. */
+  private def shardedPrefix(docs: DataFrame, shardCols: Seq[String],
+      ord: Seq[org.apache.spark.sql.Column],
+      shardOrd: Seq[org.apache.spark.sql.Column]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val keys = "source" +: shardCols
+    val sm = docs.groupBy(keys.map(col): _*).agg(sum(col("tk")).as("smass"))
+    val wOff = Window.partitionBy(col("source")).orderBy(shardOrd: _*)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val off = sm
+      .withColumn("off", coalesce(sum(col("smass")).over(wOff), lit(0L)))
+      .drop("smass")
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(ord: _*)
+    docs.join(broadcast(off), keys)
+      .withColumn("prefix",
+        col("off") + sum(col("tk"))
+          .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .drop("off")
+  }
+
   /** Mixture realization (q250): turn q179's per-source token allocation
     * into the actual document selection a training run materializes —
     * per source, documents in deterministic hash order (md5 of doc_id,
@@ -971,32 +1006,47 @@ object ScaleOps extends QueryModule {
     * a source that has the tokens — the deterministic equivalent of
     * "take from the shuffled stream until the budget meter fills".
     *
-    * Scale shape: ONE shuffle (hash by source for the running-prefix
-    * window; the groupBy reuses the partitioning), the |sources|-row
-    * allocation rides a broadcast. Same honest caveat as q113's rank
-    * window — a pathologically huge single source lands its rows on one
-    * reducer; the production refinement is the same two-phase pre-filter
-    * (hash threshold ~ alloc/c, then exact-prefix the ~alloc survivors),
-    * and the single-window form here is the semantics that refinement
-    * must reproduce. */
+    * Scale shape: the running prefix is [[shardedPrefix]] (two corpus
+    * passes: a metadata-scale mass table, then a 32-way-sharded exact
+    * window), the |sources|-row allocation rides a broadcast, and the
+    * rollup's partial aggregation collapses to |sources| rows map-side.
+    * The r17 caveat — a dominant source landing its whole row set on one
+    * window reducer at the wide 19/20 budget, where a prefilter is inert
+    * because ~everything survives — is retired by the sharding: reducer
+    * input is bounded by source/32 however skewed the corpus. */
   def mixtureRealize(s: SparkSession, dir: String): DataFrame =
     realizeAt(s, dir, 19L, 20L)
 
-  /** The single-window realization at an arbitrary budget ratio — q250's
-    * body; the q252 spec runs it at 1/10 as the exact reference the
-    * two-phase path must reproduce. */
+  /** The (doc_id, source, tk, h, hsh) projection of the corpus the whole
+    * realization family works from, MATERIALIZED once (localCheckpoint):
+    * the text column is dropped, so the checkpoint is metadata-width rows
+    * (~50 B/doc at any corpus size — the tokenize/hash pass is paid once
+    * and every downstream pass reads the projection, instead of
+    * re-splitting the text per pass). */
+  private def realizeDocs(s: SparkSession, dir: String): DataFrame =
+    table(s, dir, "documents")
+      .select(col("doc_id"), col("source"), tkCol.as("tk"))
+      .withColumn("h", md5Long(col("doc_id").cast("string")))
+      .withColumn("hsh", shiftright(col("h"), 55))
+      .localCheckpoint()
+
+  /** The exact realization at an arbitrary budget ratio — q250's body;
+    * the q252 spec runs it at 1/10 as the exact reference the two-phase
+    * path must reproduce. ONE corpus pass (the [[realizeDocs]]
+    * materialization); counts, shard masses, and the sharded window all
+    * read the projection. */
   private[graft] def realizeAt(s: SparkSession, dir: String,
       num: Long, den: Long): DataFrame = {
     tune(s)
-    import org.apache.spark.sql.expressions.Window
-    val alloc = waterfillAlloc(s, dir, num, den).select(col("source"), col("alloc"))
-    val w = Window.partitionBy(col("source"))
-      .orderBy(md5Long(col("doc_id").cast("string")), col("doc_id"))
-    table(s, dir, "documents")
-      .select(col("doc_id"), col("source"),
-        tkCol.as("tk"))
-      .withColumn("prefix",
-        sum(col("tk")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    realizeFromDocs(realizeDocs(s, dir), num, den)
+  }
+
+  private def realizeFromDocs(docs: DataFrame,
+      num: Long, den: Long): DataFrame = {
+    val cnts = docs.groupBy(col("source")).agg(sum(col("tk")).as("c"))
+      .localCheckpoint()
+    val alloc = waterfillFromCounts(cnts, num, den).select(col("source"), col("alloc"))
+    shardedPrefix(docs, Seq("hsh"), Seq(col("h"), col("doc_id")), Seq(col("hsh")))
       .join(broadcast(alloc), Seq("source"))
       .withColumn("kept", col("prefix") - col("tk") < col("alloc"))
       .groupBy(col("source"))
@@ -1035,15 +1085,22 @@ object ScaleOps extends QueryModule {
   private[graft] def cappedRealizeM(s: SparkSession, dir: String,
       marginNum: Long): DataFrame = {
     tune(s)
-    import org.apache.spark.sql.expressions.Window
     import s.implicits._
     val Full = 1L << 60
-    // |sources|-row allocation, collected: bounded driver-side metadata
-    // (the probe-cells pattern). A NULL source drops here — the
-    // single-window form loses it to its inner equi-join the same way,
-    // so the two paths stay row-equal on such input (and without the
-    // filter the nDocs lookup below would throw for the null group)
-    val allocRows = waterfillAlloc(s, dir, 1L, 10L)
+    // ONE corpus pass (the projection checkpoint); counts + n_docs ride
+    // one cheap agg over it, and the allocation runs through the family's
+    // shared closed form. |sources|-row metadata, collected (the
+    // probe-cells pattern). A NULL source drops from the driver maps —
+    // the single-window form loses it to its inner equi-join the same
+    // way, so the two paths stay row-equal on such input — but rides the
+    // waterfill MATH exactly as the oracle's c CTE keeps its group.
+    val docs = realizeDocs(s, dir)
+    val cnts = docs.groupBy(col("source"))
+      .agg(sum(col("tk")).as("c"), count(lit(1)).as("n_docs"))
+      .localCheckpoint()
+    val nDocs = cnts.collect()
+      .collect { case r if !r.isNullAt(0) => r.getString(0) -> r.getLong(2) }.toMap
+    val allocRows = waterfillFromCounts(cnts.select(col("source"), col("c")), 1L, 10L)
       .select(col("source"), col("tokens"), col("alloc"))
       .collect().collect { case r if !r.isNullAt(0) =>
         (r.getString(0), r.getLong(1), r.getLong(2)) }
@@ -1051,19 +1108,16 @@ object ScaleOps extends QueryModule {
       val t = (BigInt(1) << 60) * marginNum * alloc / c
       if (t >= Full) Full else t.toLong
     }
-    val alloc = allocRows.map { case (src, _, a) => src -> a }.toMap
-    // alloc=0 (degenerate budget) gets t=Full: zero tokens survive the cut
-    // either way, but the source must still appear as a zero row like the
-    // single-window form reports it
+    // alloc=0 (a source fully capped out by a degenerate budget) gets t=0:
+    // zero tokens survive the cut, so instead of routing the source's
+    // ENTIRE row set through the rank window under t=Full (the r17 ADVICE
+    // catch — exactly the single-reducer skew this prefilter exists to
+    // kill, in the degenerate regime), nothing survives the filter and the
+    // zero output row the single-window form reports is synthesized from
+    // the measured driver-side metadata below
     var t = allocRows.map { case (src, c, a) =>
-      src -> (if (a == 0L) Full else thresh(a, c)) }.toMap
-    val docs = table(s, dir, "documents")
-      .select(col("doc_id"), col("source"),
-        tkCol.as("tk"))
-      .withColumn("h", md5Long(col("doc_id").cast("string")))
-    // escalation loop: measure surviving mass, widen any short source.
-    // n_docs (the full per-source count q250 reports) rides the same pass.
-    var nDocs = Map.empty[String, Long]
+      src -> (if (a == 0L) 0L else thresh(a, c)) }.toMap
+    // escalation loop: measure surviving mass, widen any short source
     var done = false
     var rounds = 0
     while (!done) {
@@ -1072,28 +1126,27 @@ object ScaleOps extends QueryModule {
       val tDf = broadcast(t.toSeq.toDF("source", "t"))
       val m = docs.join(tDf, Seq("source"))
         .groupBy(col("source"))
-        .agg(sum(when(col("h") < col("t"), col("tk")).otherwise(0L)).as("pre_mass"),
-             count(lit(1)).as("n_docs"))
-        .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
-      if (nDocs.isEmpty) nDocs = m.map { case (k, (_, n)) => k -> n }
+        .agg(sum(when(col("h") < col("t"), col("tk")).otherwise(0L)).as("pre_mass"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
       val short = allocRows.collect {
-        case (src, _, _) if t(src) < Full &&
-          m.get(src).forall(_._1 < alloc(src)) => src
+        case (src, _, a) if a > 0L && t(src) < Full &&
+          m.get(src).forall(_ < a) => src
       }
       if (short.isEmpty) done = true
       else t = t ++ short.map(src =>
         src -> (if (t(src) == 0L) Full else math.min(Full, t(src) * 4)))
     }
-    // exact phase: q250's running-prefix window, survivors only
+    // exact phase: q250's running prefix ([[shardedPrefix]] — the margin
+    // bounds window INPUT to ~margin x alloc tokens per source, the
+    // sharding bounds each REDUCER to 1/32 of that), survivors only
     val tDf = broadcast(t.toSeq.toDF("source", "t"))
     val sideDf = broadcast(allocRows.toSeq
-      .map { case (src, _, a) => (src, a, nDocs(src)) }
+      .collect { case (src, _, a) if a > 0L => (src, a, nDocs(src)) }
       .toDF("source", "alloc", "n_docs"))
-    val w = Window.partitionBy(col("source"))
-      .orderBy(col("h"), col("doc_id"))
-    docs.join(tDf, Seq("source")).filter(col("h") < col("t"))
-      .withColumn("prefix",
-        sum(col("tk")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val pre = docs.join(tDf, Seq("source")).filter(col("h") < col("t"))
+      .withColumn("hsh", shiftright(col("h"), 55))
+    val base = shardedPrefix(pre, Seq("hsh"),
+        Seq(col("h"), col("doc_id")), Seq(col("hsh")))
       .join(sideDf, Seq("source"))
       .withColumn("kept", col("prefix") - col("tk") < col("alloc"))
       .groupBy(col("source"))
@@ -1101,6 +1154,15 @@ object ScaleOps extends QueryModule {
            sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
            sum(when(col("kept"), col("tk")).otherwise(0L)).as("kept_tokens"),
            min(col("alloc")).as("alloc"))
+    // the synthesized zero rows for fully-capped-out sources (alloc=0):
+    // n_docs measured, nothing else to compute — bit-equal to what the
+    // single-window form reports for them (kept is `prefix-tk < 0`,
+    // impossible: prefixes are non-negative)
+    val zeros = allocRows.collect { case (src, _, 0L) =>
+      (src, nDocs(src), 0L, 0L, 0L) }
+    if (zeros.isEmpty) base
+    else base.unionByName(zeros.toSeq
+      .toDF("source", "n_docs", "n_kept", "kept_tokens", "alloc"))
   }
 
   private val cappedRealizeSql = realizeSqlAt(waterfillCtesAt(1L, 10L))
@@ -1232,12 +1294,26 @@ object ScaleOps extends QueryModule {
     * Everything after the q250 realization is |sources|-row metadata. */
   def mixDatacard(s: SparkSession, dir: String): DataFrame = {
     tune(s)
-    val a = waterfillAlloc(s, dir, 19L, 20L)
-    val r = realizeAt(s, dir, 19L, 20L)
+    // one corpus pass: the allocation and the realization share the same
+    // materialized projection (and its counts) instead of re-scanning
+    val docs = realizeDocs(s, dir)
+    val a = waterfillFromCounts(
+      docs.groupBy(col("source")).agg(sum(col("tk")).as("c")).localCheckpoint(),
+      19L, 20L)
+    val r = realizeFromDocs(docs, 19L, 20L)
       .select(col("source"), col("n_kept"), col("kept_tokens"))
-    val j = a.join(broadcast(r), Seq("source"))
-    val t = j.agg(sum(col("tokens")).as("total"),
-      sum(col("kept_tokens")).as("ktotal"))
+    val j = a.join(broadcast(r), Seq("source")).localCheckpoint()
+    // denominators from the SAME frames the oracle totals (ADVICE r17):
+    // the natural-share denominator sums the FULL allocation frame — whose
+    // aggregation keeps a NULL-source group exactly like the oracle's tots
+    // CTE — where totalling the joined frame would drop the NULL-source
+    // alloc row and diverge on corpora with NULL sources. The realized
+    // denominator can ride the join: every realized row's source has an
+    // alloc row, so the inner join preserves the realized frame exactly.
+    // (j is |sources|-row metadata; the checkpoint keeps its three
+    // downstream references from re-running the corpus realization.)
+    val t = a.agg(sum(col("tokens")).as("total"))
+      .crossJoin(j.agg(sum(col("kept_tokens")).as("ktotal")))
     j.crossJoin(broadcast(t))
       .withColumn("natural_ppm",
         expr("CAST((CAST(tokens AS DECIMAL(38,0)) * 1000000) div CAST(total AS DECIMAL(38,0)) AS BIGINT)"))
@@ -1256,40 +1332,189 @@ object ScaleOps extends QueryModule {
     * set is a prefix of the bucket-descending order, so every kept
     * document's bucket >= every dropped document's, which gives the
     * gated invariant: the kept average bucket >= the source's overall
-    * average, checked per source as an integer cross-multiplication
-    * (kept_bucket_sum * n_docs >= bucket_sum * n_kept).
+    * average, checked per source as a cross-multiplication in
+    * DECIMAL(38,0) / HUGEINT (r17 ADVICE: bucket_sum * n_kept overflows
+    * a 64-bit long at the corpus sizes this family targets, and ANSI-off
+    * Spark would wrap silently where the oracle errors).
     *
-    * Scale shape: the quality frame is a separately-derived scoring
-    * artifact joined back to the corpus on doc_id — the standard
-    * "annotate the corpus with model scores" sort-merge join a real
-    * pipeline pays (scores are materialized by a scoring run, not
-    * recomputed inside every consumer); then q250's one-shuffle
-    * window/rollup shape over the annotated rows. */
-  def qualityFill(s: SparkSession, dir: String): DataFrame = {
-    tune(s)
-    import org.apache.spark.sql.expressions.Window
-    val alloc = waterfillAlloc(s, dir, 1L, 10L).select(col("source"), col("alloc"))
+    * Scale shape (VERDICT r17 item 1 — the per-bucket form of q252's
+    * prefilter): the quality frame is a separately-derived scoring
+    * artifact joined back on doc_id and MATERIALIZED once
+    * (localCheckpoint — the "annotate the corpus with model scores" step
+    * a real pipeline pays once per scoring run); a per-(source, decile)
+    * mass/count table (<= |sources| x 11 rows, driver-side) picks each
+    * source's BOUNDARY bucket — the decile at which best-first
+    * cumulative mass first reaches the allocation. Every bucket above
+    * the boundary is kept outright (their total mass is < alloc by
+    * definition of the boundary), buckets below are dropped outright
+    * (their docs' prefix-before >= alloc: never kept), and only INSIDE
+    * the boundary bucket does q252's hash threshold + measured-mass
+    * containment check + loud escalation apply, against the residual
+    * `rem = alloc - mass(above)`. The exact window then runs over
+    * ~alloc + margin x rem tokens per source however large the source,
+    * via [[shardedPrefix]] on (decile, hash-shard) so no reducer holds
+    * more than ~1/32 of even that. Containment proof: the kept set is
+    * the minimal prefix of (bucket DESC, h, doc_id) order reaching
+    * alloc; survivors are a superset of any such prefix whenever the
+    * boundary bucket's surviving mass >= rem — q252's argument applied
+    * within the one bucket the threshold touches. */
+  def qualityFill(s: SparkSession, dir: String): DataFrame =
+    qualityFillM(s, dir, 2L)
+
+  /** The per-source metadata a quality-first selection plans from and the
+    * kept-set frame it produces — shared by q255 (rollup form) and q259
+    * (the end-to-end chain, which consumes the kept DOCUMENTS). */
+  private[graft] case class QualitySel(
+      pre: DataFrame,                 // prefiltered docs + prefix + kept
+      allocRows: Seq[(String, Long)], // (source, alloc), non-null sources
+      nDocsM: Map[String, Long],      // per-source input doc count
+      bsumM: Map[String, Long])       // per-source total bucket sum
+
+  /** Annotate a (doc_id, source, tk) corpus frame with quality deciles
+    * and the ordering/hash keys, materialized once (localCheckpoint):
+    * the stats pass, the measure loop, and the exact window all read it.
+    * bkey is the ORDERING key — a NULL bucket (a doc with no scorable
+    * tokens) sorts below every real decile in both engines (DESC NULLS
+    * LAST), which is exactly bkey = -1; `bucket` itself stays NULL for
+    * the SUM columns (SQL SUM skips NULLs identically in both engines). */
+  private def annotateQuality(s: SparkSession, dir: String,
+      base: DataFrame): DataFrame = {
     val qb = graft.operators.TextOps.qualityPerDoc(s, dir)
       .select(col("doc_id"), col("bucket"))
-    val docs = table(s, dir, "documents")
-      .select(col("doc_id"), col("source"), tkCol.as("tk"))
+    base
       .join(qb, Seq("doc_id"))
-    val w = Window.partitionBy(col("source"))
-      .orderBy(col("bucket").desc, md5Long(col("doc_id").cast("string")), col("doc_id"))
-    docs
-      .withColumn("prefix",
-        sum(col("tk")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-      .join(broadcast(alloc), Seq("source"))
+      .withColumn("bkey", coalesce(col("bucket"), lit(-1L)))
+      .withColumn("h", md5Long(col("doc_id").cast("string")))
+      .localCheckpoint()
+  }
+
+  private[graft] def qualityFillM(s: SparkSession, dir: String,
+      marginNum: Long): DataFrame = {
+    tune(s)
+    val docs = annotateQuality(s, dir, table(s, dir, "documents")
+      .select(col("doc_id"), col("source"), tkCol.as("tk")))
+    val sel = qualitySelect(s, docs, marginNum, 1L, 10L)
+    qualityRollup(s, sel)
+  }
+
+  /** The boundary-bucket prefilter + sharded exact window over an
+    * annotated, checkpointed quality frame at budget num/den — q255's
+    * body with the corpus as a parameter (q259 passes exact-dedup
+    * survivors through exactly this code path). */
+  private def qualitySelect(s: SparkSession, docs: DataFrame,
+      marginNum: Long, num: Long, den: Long): QualitySel = {
+    import s.implicits._
+    val Full = 1L << 60
+    // per-(source, decile) stats: <= |sources| x 11 rows of driver-side
+    // metadata — the table the boundary-bucket plan is computed from
+    val statRows = docs.groupBy(col("source"), col("bkey"))
+      .agg(sum(col("tk")).as("mass"), count(lit(1)).as("n"),
+           sum(col("bucket")).as("bsum"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), if (r.isNullAt(4)) 0L else r.getLong(4)))
+    val bySrc = statRows.groupBy(_._1)
+    // allocation through the family's shared closed form over the same
+    // counts (the NULL-source group rides the waterfill math exactly as
+    // the oracle's c CTE keeps it, and drops at the equi-joins below)
+    val cntsDf = bySrc.toSeq.map { case (src, rs) => (src, rs.map(_._3).sum) }
+      .toDF("source", "c")
+    val allocRows = waterfillFromCounts(cntsDf, num, den)
+      .select(col("source"), col("alloc"))
+      .collect().collect { case r if !r.isNullAt(0) =>
+        (r.getString(0), r.getLong(1)) }
+    val alloc = allocRows.toMap
+    val nDocsM = bySrc.collect { case (src, rs) if src != null =>
+      src -> rs.map(_._4).sum }.toMap
+    val bsumM = bySrc.collect { case (src, rs) if src != null =>
+      src -> rs.map(_._5).sum }.toMap
+    // boundary bucket per source, best-first: bstar = the first decile at
+    // which cumulative mass reaches alloc (rem = what that decile still
+    // owes); bstar = -2 for uncapped sources (every bkey >= -1 survives);
+    // alloc = 0 degenerates to rem = 0 at the top decile — nothing
+    // survives and the zero row is synthesized below (the q252 pattern)
+    case class Bd(bstar: Long, rem: Long, massIn: Long)
+    val bnd: Map[String, Bd] = bySrc.collect { case (src, rs) if src != null =>
+      val a = alloc(src)
+      var cum = 0L
+      var res = Bd(-2L, 0L, 0L)
+      var found = false
+      for ((_, bkey, mass, _, _) <- rs.sortBy(-_._2) if !found) {
+        if (cum + mass >= a) { res = Bd(bkey, a - cum, mass); found = true }
+        else cum += mass
+      }
+      src -> res
+    }
+    var t = allocRows.map { case (src, _) =>
+      val b = bnd(src)
+      src -> (if (b.rem <= 0L) 0L
+      else {
+        val x = (BigInt(1) << 60) * marginNum * b.rem / b.massIn
+        if (x >= Full) Full else x.toLong
+      })
+    }.toMap
+    def bndDf = broadcast(allocRows.toSeq.map { case (src, _) =>
+      (src, bnd(src).bstar, t(src)) }.toDF("source", "bstar", "t"))
+    // q252's measure/escalate loop, scoped to the boundary bucket only
+    var done = false
+    var rounds = 0
+    while (!done) {
+      rounds += 1
+      require(rounds <= 32, "prefilter threshold escalation did not converge")
+      val m = docs.join(bndDf, Seq("source"))
+        .filter(col("bkey") === col("bstar"))
+        .groupBy(col("source"))
+        .agg(sum(when(col("h") < col("t"), col("tk")).otherwise(0L)).as("pre_mass"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val short = allocRows.collect { case (src, _)
+        if bnd(src).rem > 0L && t(src) < Full &&
+          m.get(src).forall(_ < bnd(src).rem) => src }
+      if (short.isEmpty) done = true
+      else t = t ++ short.map(src =>
+        src -> (if (t(src) == 0L) Full else math.min(Full, t(src) * 4)))
+    }
+    // exact phase: full deciles above the boundary + the thresholded
+    // boundary slice, sharded-prefix'd in (bucket DESC, h, doc_id) order
+    val allocDf = broadcast(allocRows.collect { case (src, a) if a > 0L =>
+      (src, a) }.toSeq.toDF("source", "alloc"))
+    val pre = shardedPrefix(
+      docs.join(bndDf, Seq("source"))
+        .filter(col("bkey") > col("bstar") ||
+          (col("bkey") === col("bstar") && col("h") < col("t")))
+        .withColumn("hsh", shiftright(col("h"), 55)),
+      Seq("bkey", "hsh"),
+      Seq(col("h"), col("doc_id")),
+      Seq(col("bkey").desc, col("hsh")))
+      .join(allocDf, Seq("source"))
       .withColumn("kept", col("prefix") - col("tk") < col("alloc"))
+    QualitySel(pre, allocRows.toSeq, nDocsM, bsumM)
+  }
+
+  /** q255's per-source rollup + alloc=0 zero-row synthesis over a
+    * [[qualitySelect]] result. */
+  private def qualityRollup(s: SparkSession, sel: QualitySel): DataFrame = {
+    import s.implicits._
+    val sideDf = broadcast(sel.allocRows.collect { case (src, a) if a > 0L =>
+      (src, sel.nDocsM(src), sel.bsumM(src)) }.toSeq
+      .toDF("source", "n_docs", "bucket_sum"))
+    val base = sel.pre
+      .join(sideDf, Seq("source"))
       .groupBy(col("source"))
-      .agg(count(lit(1)).as("n_docs"),
+      .agg(min(col("n_docs")).as("n_docs"),
            sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
            sum(when(col("kept"), col("tk")).otherwise(0L)).as("kept_tokens"),
            min(col("alloc")).as("alloc"),
            sum(when(col("kept"), col("bucket")).otherwise(0L)).as("kept_bucket_sum"),
-           sum(col("bucket")).as("bucket_sum"))
+           min(col("bucket_sum")).as("bucket_sum"))
       .withColumn("quality_gained",
-        col("kept_bucket_sum") * col("n_docs") >= col("bucket_sum") * col("n_kept"))
+        expr("CAST(kept_bucket_sum AS DECIMAL(38,0)) * CAST(n_docs AS DECIMAL(38,0)) >= " +
+             "CAST(bucket_sum AS DECIMAL(38,0)) * CAST(n_kept AS DECIMAL(38,0))"))
+    // synthesized rows for alloc=0 sources: nothing kept, and the
+    // invariant degenerates to 0 >= 0 = true on both engines
+    val zeros = sel.allocRows.collect { case (src, 0L) =>
+      (src, sel.nDocsM(src), 0L, 0L, 0L, 0L, sel.bsumM(src), true) }
+    if (zeros.isEmpty) base
+    else base.unionByName(zeros.toSeq.toDF("source", "n_docs", "n_kept",
+      "kept_tokens", "alloc", "kept_bucket_sum", "bucket_sum", "quality_gained"))
   }
 
   private val qualityFillSql =
@@ -1312,8 +1537,8 @@ object ScaleOps extends QueryModule {
        |MIN(alloc) AS alloc,
        |CAST(SUM(CASE WHEN kept THEN bucket ELSE 0 END) AS BIGINT) AS kept_bucket_sum,
        |CAST(SUM(bucket) AS BIGINT) AS bucket_sum,
-       |(CAST(SUM(CASE WHEN kept THEN bucket ELSE 0 END) AS BIGINT) * COUNT(*) >=
-       | CAST(SUM(bucket) AS BIGINT) * CAST(SUM(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT))
+       |(CAST(SUM(CASE WHEN kept THEN bucket ELSE 0 END) AS HUGEINT) * CAST(COUNT(*) AS HUGEINT) >=
+       | CAST(SUM(bucket) AS HUGEINT) * CAST(SUM(CASE WHEN kept THEN 1 ELSE 0 END) AS HUGEINT))
        |  AS quality_gained
        |FROM kq GROUP BY source""".stripMargin
 
@@ -1330,47 +1555,116 @@ object ScaleOps extends QueryModule {
     * kept counts, which is the number a mixing data card needs to
     * explain allocation shifts between the raw and deduped runs.
     *
-    * Scale shape: one md5-keyed shuffle for the survivor pick (128-bit
-    * fixed-width key, the q60 exchange), then q250's one-shuffle
-    * window/rollup over survivors; the allocation is |sources|-row
-    * metadata off the same survivor scan. */
-  def dedupMixture(s: SparkSession, dir: String): DataFrame = {
+    * Scale shape (VERDICT r17 item 1): one md5-keyed shuffle marks the
+    * survivor pick (128-bit fixed-width key, the q60 exchange), and the
+    * marked corpus is MATERIALIZED once (localCheckpoint — the deduped
+    * corpus is the artifact a production dedup pass writes anyway); the
+    * per-source stats, the measure loop, and the exact window all read
+    * it without re-paying the exchange. Then q252's hash-threshold
+    * prefilter applies VERBATIM (survivors are in hash order, so the
+    * containment proof transfers): the exact window sees ~margin x alloc
+    * tokens per source however large the source, and [[shardedPrefix]]
+    * bounds each reducer to ~1/32 of that. The allocation runs through
+    * the family's shared closed form over driver-side survivor counts. */
+  def dedupMixture(s: SparkSession, dir: String): DataFrame =
+    dedupMixtureM(s, dir, 2L)
+
+  private[graft] def dedupMixtureM(s: SparkSession, dir: String,
+      marginNum: Long): DataFrame = {
     tune(s)
     import org.apache.spark.sql.expressions.Window
-    val wd = Window.partitionBy(col("h")).orderBy(col("doc_id"))
+    import s.implicits._
+    val Full = 1L << 60
+    val wd = Window.partitionBy(col("dh")).orderBy(col("doc_id"))
     val marked = table(s, dir, "documents")
       .select(col("doc_id"), col("source"), tkCol.as("tk"),
-        md5(col("text")).as("h"))
+        md5(col("text")).as("dh"))
       .withColumn("is_dup", row_number().over(wd) > 1)
-    val surv = marked.filter(!col("is_dup"))
-    val cnts = surv.groupBy(col("source")).agg(sum(col("tk")).as("c"))
+      .withColumn("h", md5Long(col("doc_id").cast("string")))
       .localCheckpoint()
-    val alloc = waterfillFromCounts(cnts, 1L, 10L)
-      .select(col("source"), col("alloc"))
-    val dupes = marked.groupBy(col("source"))
-      .agg(sum(when(col("is_dup"), 1L).otherwise(0L)).as("n_dupes"))
-    val w = Window.partitionBy(col("source"))
-      .orderBy(md5Long(col("doc_id").cast("string")), col("doc_id"))
-    surv
-      .withColumn("prefix",
-        sum(col("tk")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-      .join(broadcast(alloc), Seq("source"))
+    val surv = marked.filter(!col("is_dup"))
+    // per-source survivor mass/count + removed-dup count: |sources|-row
+    // driver-side metadata (the q252 pattern), one pass over the marks
+    val statRows = marked.groupBy(col("source"))
+      .agg(sum(when(!col("is_dup"), col("tk")).otherwise(0L)).as("c"),
+           sum(when(!col("is_dup"), 1L).otherwise(0L)).as("n_surv"),
+           sum(when(col("is_dup"), 1L).otherwise(0L)).as("n_dupes"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val nsurvM = statRows.collect { case (src, _, ns, _) if src != null => src -> ns }.toMap
+    val ndupM = statRows.collect { case (src, _, _, nd) if src != null => src -> nd }.toMap
+    // the allocation over SURVIVOR counts through the family's shared
+    // closed form. Sources with zero survivors are absent (the oracle's
+    // c CTE groups over surv, so a fully-duplicated source never forms a
+    // group); the NULL-source group rides the waterfill math exactly as
+    // the oracle keeps it, and drops at the equi-joins below.
+    val cntsDf = statRows.collect { case (src, c, ns, _) if ns > 0L => (src, c) }
+      .toSeq.toDF("source", "c")
+    val allocRows = waterfillFromCounts(cntsDf, 1L, 10L)
+      .select(col("source"), col("tokens"), col("alloc"))
+      .collect().collect { case r if !r.isNullAt(0) =>
+        (r.getString(0), r.getLong(1), r.getLong(2)) }
+    def thresh(a: Long, c: Long): Long = {
+      val t = (BigInt(1) << 60) * marginNum * a / c
+      if (t >= Full) Full else t.toLong
+    }
+    // q252's thresholds over the survivor corpus — t=0 for fully-capped-
+    // out (alloc=0) sources, whose zero row is synthesized below
+    var t = allocRows.map { case (src, c, a) =>
+      src -> (if (a == 0L) 0L else thresh(a, c)) }.toMap
+    var done = false
+    var rounds = 0
+    while (!done) {
+      rounds += 1
+      require(rounds <= 32, "prefilter threshold escalation did not converge")
+      val tDf = broadcast(t.toSeq.toDF("source", "t"))
+      val m = surv.join(tDf, Seq("source"))
+        .groupBy(col("source"))
+        .agg(sum(when(col("h") < col("t"), col("tk")).otherwise(0L)).as("pre_mass"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val short = allocRows.collect {
+        case (src, _, a) if a > 0L && t(src) < Full &&
+          m.get(src).forall(_ < a) => src
+      }
+      if (short.isEmpty) done = true
+      else t = t ++ short.map(src =>
+        src -> (if (t(src) == 0L) Full else math.min(Full, t(src) * 4)))
+    }
+    // exact phase: q250's running prefix over prefiltered survivors only
+    val tDf = broadcast(t.toSeq.toDF("source", "t"))
+    val sideDf = broadcast(allocRows.toSeq
+      .collect { case (src, _, a) if a > 0L =>
+        (src, a, nsurvM(src), ndupM(src)) }
+      .toDF("source", "alloc", "n_surv", "n_dupes"))
+    val pre = surv.join(tDf, Seq("source")).filter(col("h") < col("t"))
+      .withColumn("hsh", shiftright(col("h"), 55))
+    val base = shardedPrefix(pre, Seq("hsh"),
+        Seq(col("h"), col("doc_id")), Seq(col("hsh")))
+      .join(sideDf, Seq("source"))
       .withColumn("kept", col("prefix") - col("tk") < col("alloc"))
       .groupBy(col("source"))
-      .agg(count(lit(1)).as("n_surv"),
+      .agg(min(col("n_surv")).as("n_surv"),
            sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
            sum(when(col("kept"), col("tk")).otherwise(0L)).as("kept_tokens"),
-           min(col("alloc")).as("alloc"))
-      .join(broadcast(dupes), Seq("source"))
+           min(col("alloc")).as("alloc"),
+           min(col("n_dupes")).as("n_dupes"))
+    val zeros = allocRows.collect { case (src, _, 0L) =>
+      (src, nsurvM(src), 0L, 0L, 0L, ndupM(src)) }
+    if (zeros.isEmpty) base
+    else base.unionByName(zeros.toSeq
+      .toDF("source", "n_surv", "n_kept", "kept_tokens", "alloc", "n_dupes"))
   }
 
+  /** The exact-dedup survivor CTEs (`md`/`surv` in scope) — shared by the
+    * q256 oracle and the q259 pipeline oracle built over the same
+    * survivors. */
+  private val survCtes =
+    s"""md AS (
+       |  SELECT doc_id, source, $tkSql AS tk,
+       |         ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) > 1 AS is_dup
+       |  FROM documents),
+       |surv AS (SELECT doc_id, source, tk FROM md WHERE NOT is_dup)""".stripMargin
+
   private val dedupMixtureSql = {
-    val survCtes =
-      s"""md AS (
-         |  SELECT doc_id, source, $tkSql AS tk,
-         |         ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) > 1 AS is_dup
-         |  FROM documents),
-         |surv AS (SELECT doc_id, source, tk FROM md WHERE NOT is_dup)""".stripMargin
     val cSql =
       """c AS (SELECT source, CAST(SUM(tk) AS BIGINT) AS c FROM surv GROUP BY source)"""
     s"""WITH $survCtes,
@@ -1392,6 +1686,320 @@ object ScaleOps extends QueryModule {
        |MIN(d.n_dupes) AS n_dupes
        |FROM k JOIN dupes d ON d.source = k.source
        |GROUP BY k.source""".stripMargin
+  }
+
+  // ---- q258: streaming mixing admission (the family's streaming twin) ----
+
+  /** The frozen mix-admission POLICY store (q258's substrate): the batch
+    * dedup-aware solve (q256's chain — exact-dedup survivor counts of
+    * the index slice, the tight 1/10 waterfill) realized as per-source
+    * ppm admission RATES, plus the digest set the dup screen probes.
+    * Rates are the order-independent form of the allocation a stream can
+    * apply exactly-once per document: admit iff the doc's hash lottery
+    * falls under alloc/c of the hash space (q112's lottery; within-
+    * source hashes are uniform, so the admitted mass tracks alloc) —
+    * a running per-source METER would re-create order-dependence and
+    * break streaming == batch. Stamped on the corpus fingerprint; the
+    * stream only probes the frozen snapshot (the q134/q140/q204
+    * convention: arrivals are screened against the policy of the last
+    * batch solve, never a mid-stream mutation). */
+  private[graft] def mixAdmitStore(s: SparkSession, dir: String): String = {
+    import org.apache.spark.sql.expressions.Window
+    val path = "target/graft_index/mixadm_" + dir.replaceAll("[^A-Za-z0-9.]+", "_")
+    val stamp = "mixadm1|" +
+      graft.sources.IndexStore.sourceStamp(s, Seq(s"$dir/documents.parquet"))
+    synchronized {
+      if (!graft.sources.IndexStore.isCurrent(s, path, stamp)) {
+        val wd = Window.partitionBy(col("dh")).orderBy(col("doc_id"))
+        val marked = table(s, dir, "documents")
+          .filter(col("doc_id") % 4 =!= 1)
+          .select(col("doc_id"), col("source"), tkCol.as("tk"),
+            md5(col("text")).as("dh"))
+          .withColumn("is_dup", row_number().over(wd) > 1)
+          .localCheckpoint()
+        val cnts = marked.filter(!col("is_dup"))
+          .groupBy(col("source")).agg(sum(col("tk")).as("c"))
+        val rates = waterfillFromCounts(cnts, 1L, 10L)
+          .withColumn("rate_ppm",
+            when(col("tokens") === 0L, 0L).otherwise(
+              expr("CAST((CAST(alloc AS DECIMAL(38,0)) * 1000000) div CAST(tokens AS DECIMAL(38,0)) AS BIGINT)")))
+          .select(col("source"), col("rate_ppm"))
+        graft.sources.IndexStore.write(s, path, stamp, Seq(
+          "digests" -> marked.select(col("dh")).distinct(),
+          "rates" -> rates))
+      }
+    }
+    path
+  }
+
+  /** Per-batch admission decisions against the frozen policy store: dup
+    * screen (digest membership — the q60 policy's serving form) then the
+    * per-source hash lottery at the stored rate. A decision is a pure
+    * function of (document, store), so ANY micro-batch partitioning
+    * yields identical decisions — streaming == batch, machine-checked
+    * against the shared oracle. */
+  private[graft] def mixAdmitBatch(s: SparkSession, dir: String,
+      batch: DataFrame): DataFrame = {
+    val store = mixAdmitStore(s, dir)
+    val digests = graft.sources.IndexStore.read(s, store, "digests")
+      .withColumn("known", lit(true))
+    val rates = broadcast(graft.sources.IndexStore.read(s, store, "rates"))
+    batch
+      .select(col("doc_id"), col("source"), tkCol.as("tk"),
+        md5(col("text")).as("dh"))
+      .join(digests, Seq("dh"), "left")
+      .join(rates, Seq("source"), "left")
+      .withColumn("lot",
+        pmod(md5Long(concat(col("doc_id").cast("string"), lit("#adm"))),
+          lit(1000000L)))
+      .withColumn("decision",
+        when(col("known"), lit("dup"))
+          .when(col("lot") < coalesce(col("rate_ppm"), lit(0L)), lit("admit"))
+          .otherwise(lit("drop")))
+      .select(col("doc_id"), col("source"), col("tk"), col("decision"))
+  }
+
+  /** The per-source rollup both the streaming rig and the oracle report. */
+  private[graft] def mixAdmitSummary(decisions: DataFrame): DataFrame =
+    decisions.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_arrived"),
+        sum(when(col("decision") === "dup", 1L).otherwise(0L)).as("n_dup"),
+        sum(when(col("decision") === "admit", 1L).otherwise(0L)).as("n_admitted"),
+        sum(when(col("decision") === "admit", col("tk")).otherwise(0L)).as("admitted_tokens"))
+
+  private[graft] val streamMixAdmissionSql = {
+    val cSql =
+      """c AS (SELECT source, CAST(SUM(tk) AS BIGINT) AS c
+        |      FROM midx WHERE NOT is_dup GROUP BY source)""".stripMargin
+    s"""WITH idx AS (
+       |  SELECT doc_id, source, $tkSql AS tk, md5(text) AS dh
+       |  FROM documents WHERE doc_id % 4 <> 1),
+       |midx AS (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY dh ORDER BY doc_id) > 1 AS is_dup
+       |  FROM idx),
+       |${waterfillCtesOver(cSql, 1L, 10L)},
+       |rates AS (
+       |  SELECT source,
+       |         CASE WHEN tokens = 0 THEN 0
+       |              ELSE CAST((CAST(alloc AS HUGEINT) * 1000000) // CAST(tokens AS HUGEINT) AS BIGINT)
+       |         END AS rate_ppm
+       |  FROM alloc),
+       |arr AS (
+       |  SELECT doc_id, source, $tkSql AS tk, md5(text) AS dh
+       |  FROM documents WHERE doc_id % 4 = 1),
+       |dec AS (
+       |  SELECT a.doc_id, a.source, a.tk,
+       |         CASE WHEN a.dh IN (SELECT dh FROM idx) THEN 'dup'
+       |              WHEN ${MD5L("CAST(a.doc_id AS VARCHAR) || '#adm'")} % 1000000
+       |                     < COALESCE(r.rate_ppm, 0) THEN 'admit'
+       |              ELSE 'drop' END AS decision
+       |  FROM arr a LEFT JOIN rates r ON r.source = a.source)
+       |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_arrived,
+       |       CAST(SUM(CASE WHEN decision = 'dup' THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+       |       CAST(SUM(CASE WHEN decision = 'admit' THEN 1 ELSE 0 END) AS BIGINT) AS n_admitted,
+       |       CAST(SUM(CASE WHEN decision = 'admit' THEN tk ELSE 0 END) AS BIGINT) AS admitted_tokens
+       |FROM dec GROUP BY source""".stripMargin
+  }
+
+  /** End-to-end mixing composition (q259): the family's pieces proven to
+    * COMPOSE, not just coexist — q79's pipeline-composition role for the
+    * mixing step (VERDICT r17 item 6). One oracled dataflow: exact dedup
+    * (q60's md5/min-doc_id canonical policy) → quality-first budget fill
+    * over the SURVIVORS at the tight 1/10 budget (q255's boundary-bucket
+    * prefilter + sharded exact window, through the SAME [[qualitySelect]]
+    * code path — only the input corpus differs) → temperature epoch
+    * mixing (q251's integer-exact sqrt-temperature scheme, driver-side
+    * BigInt over |sources|-row metadata) over the kept set, realized as
+    * a real explode. Per-source audit: survivors, kept docs/tokens,
+    * materialized instances/tokens. The oracle replays the ENTIRE chain —
+    * dedup, scoring, waterfill, selection window, epoch closed form — so
+    * a divergence anywhere in the composition hash-mismatches. Scale
+    * shape: the md5 dedup exchange, the scores join, the prefiltered
+    * sharded window, one explode bounded by the epoch cap, and |sources|-
+    * row driver math — every stage is a pinned shape from its parent
+    * query; the composition adds no new corpus-sized term. */
+  def mixPipeline(s: SparkSession, dir: String): DataFrame = {
+    tune(s)
+    import org.apache.spark.sql.expressions.Window
+    import s.implicits._
+    val wd = Window.partitionBy(col("dh")).orderBy(col("doc_id"))
+    val surv = table(s, dir, "documents")
+      .select(col("doc_id"), col("source"), tkCol.as("tk"),
+        md5(col("text")).as("dh"))
+      .withColumn("is_dup", row_number().over(wd) > 1)
+      .filter(!col("is_dup"))
+      .select(col("doc_id"), col("source"), col("tk"))
+    val sel = qualitySelect(s, annotateQuality(s, dir, surv), 2L, 1L, 10L)
+    val kept = sel.pre.filter(col("kept"))
+      .select(col("doc_id"), col("source"), col("tk")).localCheckpoint()
+    // per-source kept stats -> the epoch mixing table, q251's BigInt math
+    val selRows = kept.groupBy(col("source"))
+      .agg(sum(col("tk")).as("kt"), count(lit(1)).as("nk"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .filter(_._2 > 0L)
+    val sigma = selRows.map { case (_, kt, _) =>
+      BigInt(math.floor(math.sqrt(kt.toDouble)).toLong) }.sum
+    val budget = BigInt(selRows.map(_._2).sum) / 2
+    val mixRows = selRows.map { case (src, kt, nk) =>
+      val w = BigInt(math.floor(math.sqrt(kt.toDouble)).toLong)
+      val target = (budget * w / sigma).toLong
+      (src, nk, kt, target / kt,
+        ((BigInt(target % kt) * 1000000L) / kt).toLong)
+    }.toSeq
+    val mix = broadcast(mixRows
+      .toDF("source", "n_kept", "kept_tokens", "epochs_full", "rem_thresh"))
+    val inst = kept.join(mix, Seq("source"))
+      .withColumn("extra",
+        pmod(md5Long(concat(col("doc_id").cast("string"), lit("#ep"))),
+          lit(1000000L)) < col("rem_thresh"))
+      .withColumn("n_inst",
+        col("epochs_full") + when(col("extra"), 1L).otherwise(0L))
+      .withColumn("inst", explode(
+        when(col("n_inst") >= 1L, sequence(lit(1L), col("n_inst")))
+          .otherwise(expr("CAST(array() AS array<bigint>)"))))
+      .groupBy(col("source"))
+      .agg(min(col("n_kept")).as("n_kept"),
+           min(col("kept_tokens")).as("kept_tokens"),
+           count(lit(1)).as("n_instances"),
+           sum(col("tk")).as("realized_tokens"))
+    // survivor counts ride the selection metadata (|sources|-row)
+    val nSurv = broadcast(sel.nDocsM.toSeq.toDF("source", "n_surv"))
+    inst.join(nSurv, Seq("source"))
+      .select(col("source"), col("n_surv"), col("n_kept"), col("kept_tokens"),
+        col("n_instances"), col("realized_tokens"))
+  }
+
+  private val mixPipelineSql = {
+    val cSql =
+      """c AS (SELECT source, CAST(SUM(tk) AS BIGINT) AS c FROM surv GROUP BY source)"""
+    s"""WITH $survCtes,
+       |${graft.operators.TextOps.qualityPerDocSql},
+       |dqs AS (
+       |  SELECT s.doc_id, s.source, s.tk, q.bucket
+       |  FROM surv s JOIN qdoc q ON q.doc_id = s.doc_id),
+       |${waterfillCtesOver(cSql, 1L, 10L)},
+       |pq AS (SELECT doc_id, source, tk, bucket,
+       |        SUM(tk) OVER (PARTITION BY source
+       |          ORDER BY bucket DESC, ${MD5L("CAST(doc_id AS VARCHAR)")}, doc_id
+       |          ROWS UNBOUNDED PRECEDING) AS prefix
+       |      FROM dqs),
+       |k2 AS (SELECT pq.doc_id, pq.source, pq.tk
+       |       FROM pq JOIN alloc a ON a.source = pq.source
+       |       WHERE pq.prefix - pq.tk < a.alloc),
+       |c2 AS (SELECT source, CAST(SUM(tk) AS BIGINT) AS kt,
+       |              CAST(COUNT(*) AS BIGINT) AS nk
+       |       FROM k2 GROUP BY source HAVING SUM(tk) > 0),
+       |ci2 AS (SELECT source, kt, nk, CAST(floor(sqrt(kt)) AS HUGEINT) AS isq FROM c2),
+       |tot2 AS (SELECT CAST(SUM(kt) AS HUGEINT) AS total2, SUM(isq) AS sigma2 FROM ci2),
+       |t2 AS (SELECT source, kt, nk,
+       |              CAST(((total2 // 2) * isq) // sigma2 AS BIGINT) AS target_t
+       |       FROM ci2 CROSS JOIN tot2),
+       |t22 AS (SELECT source, kt, nk, target_t // kt AS epochs_full,
+       |               CAST((CAST(target_t % kt AS HUGEINT) * 1000000) // kt AS BIGINT) AS rem_thresh
+       |        FROM t2),
+       |ki AS (SELECT k2.source, k2.tk, t22.nk, t22.kt,
+       |         t22.epochs_full + (CASE WHEN ${MD5L("CAST(doc_id AS VARCHAR) || '#ep'")} % 1000000 < t22.rem_thresh
+       |                            THEN 1 ELSE 0 END) AS n_inst
+       |       FROM k2 JOIN t22 ON t22.source = k2.source),
+       |sv AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_surv
+       |       FROM surv GROUP BY source)
+       |SELECT ki.source, MIN(sv.n_surv) AS n_surv, MIN(ki.nk) AS n_kept,
+       |       MIN(ki.kt) AS kept_tokens,
+       |       CAST(SUM(n_inst) AS BIGINT) AS n_instances,
+       |       CAST(SUM(tk * n_inst) AS BIGINT) AS realized_tokens
+       |FROM ki JOIN sv ON sv.source = ki.source
+       |GROUP BY ki.source HAVING SUM(n_inst) > 0""".stripMargin
+  }
+
+  /** Incremental mixing data card (q257): q254's audit table maintained
+    * across lake commits from the change feed alone — q161's O(delta)
+    * role for the MIXING step (VERDICT r17 item 4). The documents corpus
+    * lands in three append commits followed by a takedown
+    * equality-delete; after each commit the |sources|-row per-source
+    * token/doc counts advance from THAT window's feed alone: insert rows
+    * add (+tk, +1); the delete commit's feed carries keys only, so the
+    * subtraction resolves (source, tk) through the bloom-pruned point
+    * read AT the pre-delete version (q162's resolve — the post-delete
+    * read would mask exactly the rows it needs) — O(keys' files), never
+    * a corpus rescan. The waterfill is then re-solved DRIVER-SIDE from
+    * the maintained counts (the closed form is |sources|-scale metadata,
+    * so re-solving whenever counts move is free). The card reports
+    * natural and ALLOCATION shares in ppm (wide-integer exact, the q254
+    * lesson): alloc is the share the greedy realization materializes up
+    * to each source's boundary document (q250's kept_tokens first
+    * reaches-or-crosses alloc), which is the closed-form number an
+    * incrementally-maintained card carries exactly. Oracle: the full
+    * waterfill + share chain recomputed from the lake's CURRENT state
+    * (base minus takedown). */
+  def incrementalMixDatacard(s: SparkSession, dir: String): DataFrame = {
+    tune(s)
+    import s.implicits._
+    val lake = graft.sources.RoundTrip.freshLake(s, "mixdc", dir)
+    val docs = table(s, dir, "documents")
+      .select(col("doc_id").cast("long").as("doc_id"), col("source"),
+        tkCol.as("tk"))
+    def cnt(df: DataFrame): DataFrame =
+      df.groupBy(col("source"))
+        .agg(sum(col("tk")).as("tokens"), count(lit(1)).as("n_docs"))
+    var prevV = 0L
+    var state: DataFrame = null
+    (0 until 3).foreach { i =>
+      val v = graft.sources.Snapshots.commit(
+        docs.filter(col("doc_id") % 3 === i), lake,
+        append = prevV > 0, bloomCols = Seq("doc_id"))
+      state =
+        if (prevV == 0L) cnt(graft.sources.Snapshots.read(s, lake, v))
+        else graft.sources.Snapshots.mergeAggDeltas(state,
+          Seq(cnt(graft.sources.Snapshots.changes(s, lake, prevV, v)
+            .filter(col("_change_type") === "insert"))),
+          Seq("source"), "n_docs")
+      state = state.coalesce(1).localCheckpoint(true)
+      prevV = v
+    }
+    // takedown: a small equality-delete (takedown lists are small by
+    // nature, the q162 convention); the feed reports keys only, so the
+    // count subtraction resolves values at the pre-delete version
+    val delKeys = docs.filter(col("doc_id") % 100 === 7)
+      .orderBy(col("doc_id")).limit(7)
+      .collect().map(_.getLong(0)).toSeq
+    graft.sources.Snapshots.commitDelete(delKeys.toDF("doc_id"), lake)
+    val resolved = cnt(graft.sources.Snapshots.readPoint(s, lake, "doc_id",
+        delKeys.map(_.toString), prevV))
+      .select(col("source"), (-col("tokens")).as("tokens"),
+        (-col("n_docs")).as("n_docs"))
+    state = graft.sources.Snapshots.mergeAggDeltas(state, Seq(resolved),
+      Seq("source"), "n_docs").coalesce(1).localCheckpoint(true)
+    // driver-side re-solve over the maintained counts: the family's
+    // shared closed form, |sources|-row in and out
+    val alloc = waterfillFromCounts(
+      state.select(col("source"), col("tokens").as("c")), 19L, 20L)
+    val t = alloc.agg(sum(col("tokens")).as("total"),
+      sum(col("alloc")).as("atotal"))
+    alloc.crossJoin(broadcast(t))
+      .withColumn("natural_ppm",
+        expr("CAST((CAST(tokens AS DECIMAL(38,0)) * 1000000) div CAST(total AS DECIMAL(38,0)) AS BIGINT)"))
+      .withColumn("alloc_ppm",
+        expr("CAST((CAST(alloc AS DECIMAL(38,0)) * 1000000) div CAST(atotal AS DECIMAL(38,0)) AS BIGINT)"))
+      .select(col("source"), col("tokens"), col("alloc"), col("capped"),
+        col("natural_ppm"), col("alloc_ppm"))
+  }
+
+  private val incrementalMixDatacardSql = {
+    val cSql =
+      s"""dk AS (SELECT CAST(doc_id AS BIGINT) AS doc_id FROM documents
+         |       WHERE CAST(doc_id AS BIGINT) % 100 = 7
+         |       ORDER BY 1 LIMIT 7),
+         |cur AS (SELECT source, $tkSql AS tk FROM documents
+         |        WHERE CAST(doc_id AS BIGINT) NOT IN (SELECT doc_id FROM dk)),
+         |c AS (SELECT source, CAST(SUM(tk) AS BIGINT) AS c
+         |      FROM cur GROUP BY source)""".stripMargin
+    s"""WITH ${waterfillCtesOver(cSql, 19L, 20L)},
+       |tots AS (SELECT CAST(SUM(tokens) AS HUGEINT) AS total,
+       |                CAST(SUM(alloc) AS HUGEINT) AS atotal FROM alloc)
+       |SELECT a.source, a.tokens, a.alloc, a.capped,
+       |       CAST((CAST(a.tokens AS HUGEINT) * 1000000) // t.total AS BIGINT) AS natural_ppm,
+       |       CAST((CAST(a.alloc AS HUGEINT) * 1000000) // t.atotal AS BIGINT) AS alloc_ppm
+       |FROM alloc a CROSS JOIN tots t""".stripMargin
   }
 
   private val mixDatacardSql =
@@ -1428,6 +2036,12 @@ object ScaleOps extends QueryModule {
     GQuery("q255_quality_fill",
       "quality-first budget fill: each source fills its tight waterfill allocation from its best quality deciles first (integer buckets, hash tie-break — no float ordering near the cut); kept-average >= overall-average gated per source as an integer cross-multiplication",
       qualityFill, Some(qualityFillSql)),
+    GQuery("q257_incr_mix_datacard",
+      "incremental mixing data card: per-source counts maintained O(delta) across three append commits + a takedown delete (keys resolved via the bloom-pruned pre-delete point read), waterfill re-solved driver-side from the maintained counts; natural/allocation shares wide-integer exact — oracle recomputes from the lake's current state",
+      incrementalMixDatacard, Some(incrementalMixDatacardSql)),
+    GQuery("q259_mix_pipeline",
+      "end-to-end mixing composition: exact dedup -> quality-first fill over survivors (same qualitySelect code path, tight budget) -> temperature epoch mixing over the kept set, one oracled dataflow whose oracle replays the entire chain",
+      mixPipeline, Some(mixPipelineSql)),
     GQuery("q105_heavy_hitters",
       "Count-Min sketch heavy hitters with machine-checked one-sided error contract",
       heavyHitters, Some(heavyHittersSql)),

@@ -5184,6 +5184,31 @@ object Similarity extends QueryModule {
     * is the exact-audit leg (|Q| x N brute force, the q64 shape) — in
     * production that audit runs on a sampled slice exactly like this
     * one. */
+  /** The PERSISTED widened (nprobe=2) graph — q253's serving substrate as
+    * a durable branch store, not a per-session rebuild (VERDICT r17 item
+    * 3: "at 100 TB a serving index you rebuild per process isn't a
+    * serving index"). A separate store path from [[knnGraphStore]]: the
+    * probe width is baked into the stamp (the q247 convention — the dial
+    * travels as a parameter, never session conf), so the np1 maintained
+    * store and the np2 serving branch can never serve each other's
+    * readers. Maintenance contract: q243's cell-scoped O(affected) repair
+    * serves the DEFAULT graph only (its candidate rule is the home cell);
+    * this branch is read-only for takedown — an erasure on the widened
+    * graph re-stamps and rebuilds from the filtered corpus (the refusal
+    * at [[knnTakedownBranch]], unchanged). A restart therefore costs a
+    * stamp check + an edges scan, not a graph build. */
+  private[graft] def knnGraphNp2Store(s: SparkSession, dir: String): String = {
+    val path = "target/graft_index/knng2_" + dir.replaceAll("[^A-Za-z0-9.]+", "_")
+    val stamp = "knng1|np2|" +
+      graft.sources.IndexStore.sourceStamp(s, Seq(s"$dir/embeddings.parquet"))
+    synchronized {
+      if (!graft.sources.IndexStore.isCurrent(s, path, stamp))
+        graft.sources.IndexStore.write(s, path, stamp,
+          Seq("edges" -> knnGraphFrameNp(s, dir, 2)))
+    }
+    path
+  }
+
   def graphAnnServe(s: SparkSession, dir: String): DataFrame = {
     tune(s)
     val B = 4
@@ -5195,12 +5220,12 @@ object Similarity extends QueryModule {
     val a = graft.SessionCache.cachedValue(s, s"sim:annserve:a:$dir")(
       assign.select(col("cid"), col("vec_id"), col("embedding"), col("nrm"))
         .localCheckpoint())(df => { df.unpersist(); () })
-    // the widened edges, built once per session (q247's frame — the
-    // store stays nprobe=1 by the q243 repair contract, so the serving
-    // graph is session-cached from the oracled build path)
-    val edges = graft.SessionCache.cachedValue(s, s"sim:annserve:g2:$dir")(
-      knnGraphFrameNp(s, dir, 2).select(col("src"), col("nbr"))
-        .localCheckpoint())(df => { df.unpersist(); () })
+    // the widened edges, served from the PERSISTED np2 branch store
+    // (stamp-guarded: warm calls and restarts read the edges table, only
+    // an embeddings change re-runs q247's build path)
+    val edges = graft.sources.IndexStore
+      .read(s, knnGraphNp2Store(s, dir), "edges")
+      .select(col("src"), col("nbr"))
     val queries = a.filter(col("vec_id") % 23 === 3)
       .select(col("cid").as("qcid"), col("vec_id").as("qid"),
         col("embedding").as("qemb"), col("nrm").as("nq"))

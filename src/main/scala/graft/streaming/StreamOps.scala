@@ -654,6 +654,57 @@ object StreamOps extends QueryModule {
     }
   }
 
+  /** Streaming mixing admission (q258): the mixing family's streaming ==
+    * batch twin (VERDICT r17 item 5, the q134/q144/q177/q194/q205/q246
+    * convention). Arriving documents are screened per micro-batch
+    * against the FROZEN admission-policy store
+    * ([[graft.operators.ScaleOps.mixAdmitStore]]: the q256 batch solve's
+    * digest set + per-source ppm rates): known digests are rejected as
+    * dups, fresh documents pass the per-source hash lottery at the
+    * stored rate — the order-independent realization of the allocation
+    * (a running meter would make decisions depend on arrival order and
+    * break replay). Decisions land in a batchId-scoped log
+    * (replay-idempotent); the accumulated rollup is verified against
+    * the shared oracle, which replays policy + screen + lottery from
+    * the corpus. */
+  def streamMixAdmission(s: SparkSession, dir: String): DataFrame = {
+    tune(s)
+    withStatePartitions(s, 8) {
+      val arrivals = table(s, dir, "documents")
+        .filter(col("doc_id") % 4 === 1)
+        .select(col("doc_id"), col("source"), col("text"))
+      val schema = arrivals.schema
+      val srcDir = stagedOnce(s"mixadm:$dir") { sd =>
+        val t0 = 1000000000000L
+        stageFile(s, sd, arrivals.filter(col("doc_id") % 8 === 1), "b0_lo", t0)
+        stageFile(s, sd, arrivals.filter(col("doc_id") % 8 === 5), "b1_hi", t0 + 600000L)
+      }
+      // build-or-validate the policy store BEFORE the stream starts:
+      // triggers only probe a frozen snapshot (the q134/q177 convention)
+      graft.operators.ScaleOps.mixAdmitStore(s, dir)
+      val out = s"$ckBase/mixadm_out_${counter.incrementAndGet()}"
+      val src = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(srcDir)
+      val qname = s"graft_stream_mixadm_${counter.incrementAndGet()}"
+      val q = src.writeStream
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          graft.operators.ScaleOps.mixAdmitBatch(batch.sparkSession, dir, batch)
+            .write.mode("overwrite").parquet(s"$out/batch=$batchId")
+          ()
+        }
+        .option("checkpointLocation", s"$ckBase/$qname")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val batches = q.recentProgress.count(_.numInputRows > 0)
+      require(batches >= 2,
+        s"mix-admission harness needs >= 2 non-empty micro-batches, got $batches")
+      dropCheckpoint(s"$ckBase/$qname")
+      graft.operators.ScaleOps.mixAdmitSummary(
+        s.read.parquet(out).select(col("doc_id"), col("source"), col("tk"), col("decision")))
+    }
+  }
+
   /** Streaming model-based admission (q194): arriving documents are
     * scored per micro-batch with the hashed-linear quality classifier
     * ([[graft.operators.Search.classifyDocs]] — the text-side scorer;
@@ -1512,6 +1563,9 @@ object StreamOps extends QueryModule {
     GQuery("q194_stream_classifier",
       "streaming model-based admission: per-micro-batch integer-logit scoring of arriving docs; streaming == batch",
       streamClassifier, Some(streamClassifierSql)),
+    GQuery("q258_stream_mix_admission",
+      "streaming mixing admission: arriving docs screened per micro-batch against the frozen dedup-aware allocation policy (digest dup screen + per-source hash lottery at the stored q256-chain rate); decisions are pure per-doc functions of the store, so streaming == batch against the shared oracle",
+      streamMixAdmission, Some(graft.operators.ScaleOps.streamMixAdmissionSql)),
     // Same oracle as the batch q204 — the PQ family's streaming == batch.
     GQuery("q205_stream_pq_screen",
       "streaming ADC admission: per-micro-batch screening against the persisted PQ index; oracle == batch q204",

@@ -272,4 +272,238 @@ class ScaleOpsSpec extends AnyFunSuite {
       new java.net.URI("file:///"), s.sparkContext.hadoopConfiguration)
     fs.delete(new org.apache.hadoop.fs.Path(dir), true)
   }
+
+  // ---- mixing-family skew-proofing (round 18): naive single-window
+  // references the sharded/prefiltered implementations must reproduce ----
+
+  private def tkc = expr("size(filter(split(text, ' '), x -> x != ''))").cast("long")
+
+  private def rowsOf(df: org.apache.spark.sql.DataFrame): Seq[String] =
+    df.collect().map(_.toString).sorted.toSeq
+
+  /** q250's ORIGINAL one-window-per-source realization — the semantics
+    * [[ScaleOps.realizeAt]]'s sharded prefix must reproduce bit-for-bit. */
+  private def naiveRealize(dir: String, num: Long, den: Long) = {
+    import org.apache.spark.sql.expressions.Window
+    val alloc = ScaleOps.waterfillAlloc(s, dir, num, den)
+      .select(col("source"), col("alloc"))
+    val w = Window.partitionBy(col("source"))
+      .orderBy(md5Long(col("doc_id").cast("string")), col("doc_id"))
+    table(s, dir, "documents")
+      .select(col("doc_id"), col("source"), tkc.as("tk"))
+      .withColumn("prefix",
+        sum(col("tk")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .join(broadcast(alloc), Seq("source"))
+      .withColumn("kept", col("prefix") - col("tk") < col("alloc"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+           sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
+           sum(when(col("kept"), col("tk")).otherwise(0L)).as("kept_tokens"),
+           min(col("alloc")).as("alloc"))
+  }
+
+  /** q255's ORIGINAL single-window quality fill (kept-average invariant in
+    * the widened decimal form the production query now reports). */
+  private def naiveQualityFill(dir: String) = {
+    import org.apache.spark.sql.expressions.Window
+    val alloc = ScaleOps.waterfillAlloc(s, dir, 1L, 10L)
+      .select(col("source"), col("alloc"))
+    val qb = graft.operators.TextOps.qualityPerDoc(s, dir)
+      .select(col("doc_id"), col("bucket"))
+    val docs = table(s, dir, "documents")
+      .select(col("doc_id"), col("source"), tkc.as("tk"))
+      .join(qb, Seq("doc_id"))
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("bucket").desc, md5Long(col("doc_id").cast("string")), col("doc_id"))
+    docs
+      .withColumn("prefix",
+        sum(col("tk")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .join(broadcast(alloc), Seq("source"))
+      .withColumn("kept", col("prefix") - col("tk") < col("alloc"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+           sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
+           sum(when(col("kept"), col("tk")).otherwise(0L)).as("kept_tokens"),
+           min(col("alloc")).as("alloc"),
+           sum(when(col("kept"), col("bucket")).otherwise(0L)).as("kept_bucket_sum"),
+           sum(col("bucket")).as("bucket_sum"))
+      .withColumn("quality_gained",
+        expr("CAST(kept_bucket_sum AS DECIMAL(38,0)) * CAST(n_docs AS DECIMAL(38,0)) >= " +
+             "CAST(bucket_sum AS DECIMAL(38,0)) * CAST(n_kept AS DECIMAL(38,0))"))
+  }
+
+  /** q256's ORIGINAL single-window form over exact-dedup survivors. */
+  private def naiveDedupMixture(dir: String) = {
+    import org.apache.spark.sql.expressions.Window
+    val wd = Window.partitionBy(col("h")).orderBy(col("doc_id"))
+    val marked = table(s, dir, "documents")
+      .select(col("doc_id"), col("source"), tkc.as("tk"), md5(col("text")).as("h"))
+      .withColumn("is_dup", org.apache.spark.sql.functions.row_number().over(wd) > 1)
+    val surv = marked.filter(!col("is_dup"))
+    val cnts = surv.groupBy(col("source")).agg(sum(col("tk")).as("c"))
+    val alloc = ScaleOps.waterfillFromCounts(cnts, 1L, 10L)
+      .select(col("source"), col("alloc"))
+    val dupes = marked.groupBy(col("source"))
+      .agg(sum(when(col("is_dup"), 1L).otherwise(0L)).as("n_dupes"))
+    val w = Window.partitionBy(col("source"))
+      .orderBy(md5Long(col("doc_id").cast("string")), col("doc_id"))
+    surv
+      .withColumn("prefix",
+        sum(col("tk")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .join(broadcast(alloc), Seq("source"))
+      .withColumn("kept", col("prefix") - col("tk") < col("alloc"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_surv"),
+           sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
+           sum(when(col("kept"), col("tk")).otherwise(0L)).as("kept_tokens"),
+           min(col("alloc")).as("alloc"))
+      .join(broadcast(dupes), Seq("source"))
+  }
+
+  private def writeDocs(rows: Seq[(String, String, String)]): String = {
+    import s.implicits._
+    val dir = s"target/tmp/mixflood_${java.util.UUID.randomUUID().toString.take(8)}"
+    rows.toDF("doc_id", "source", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  private def rmDir(dir: String): Unit = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI("file:///"), s.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(dir), true)
+  }
+
+  test("q250 sharded prefix sum is bit-equal to the single-window realization on a mega-source flood") {
+    val mega = (1 to 3000).map(i =>
+      (s"m$i", "mega", Seq.fill(20)(s"tok$i").mkString(" ")))
+    val small = for (k <- 1 to 8; i <- 1 to 25)
+      yield (s"s${k}_$i", s"small$k", Seq.fill(10)("w").mkString(" "))
+    val dir = writeDocs(mega ++ small)
+    // wide budget (19/20, q250's) AND tight budget: the sharding must be
+    // exact at any ratio, since it replaces the window rather than
+    // prefiltering it
+    assert(rowsOf(ScaleOps.realizeAt(s, dir, 19L, 20L)) == rowsOf(naiveRealize(dir, 19L, 20L)),
+      "sharded prefix must reproduce the single window at the wide budget")
+    assert(rowsOf(ScaleOps.realizeAt(s, dir, 1L, 10L)) == rowsOf(naiveRealize(dir, 1L, 10L)),
+      "sharded prefix must reproduce the single window at the tight budget")
+    rmDir(dir)
+  }
+
+  test("q256 dedup-aware mixture: bit-equal to the single-window form on a mega flood; prefilter bites; dup-only source stays absent; starved margin converges") {
+    // mega: 3000 unique docs + 1500 exact dups of its own first 1500; a
+    // "shadow" source whose every doc duplicates a mega text (higher
+    // doc_id => mega stays canonical => shadow has ZERO survivors and
+    // must be absent from the output of both forms)
+    val megaU = (1 to 3000).map(i =>
+      (s"m$i", "mega", Seq.fill(20)(s"tok$i").mkString(" ")))
+    val megaD = (1 to 1500).map(i =>
+      (s"md$i", "mega", Seq.fill(20)(s"tok$i").mkString(" ")))
+    val shadow = (1 to 20).map(i =>
+      (s"zz$i", "shadow", Seq.fill(20)(s"tok$i").mkString(" ")))
+    val small = for (k <- 1 to 10; i <- 1 to 20)
+      yield (s"s${k}_$i", s"small$k", Seq.fill(20)(s"w${k}_$i").mkString(" "))
+    val dir = writeDocs(megaU ++ megaD ++ shadow ++ small)
+    val exact = rowsOf(naiveDedupMixture(dir))
+    val got = ScaleOps.dedupMixture(s, dir)
+    assert(rowsOf(got) == exact,
+      "prefiltered dedup mixture must reproduce the single-window semantics bit-for-bit")
+    assert(!got.collect().exists(_.getString(0) == "shadow"),
+      "a fully-duplicated source has no survivors and must not appear")
+    // the mechanism: margin-2 threshold keeps ~2x alloc/c of mega's
+    // SURVIVORS — recompute the phase-1 formula over the survivor corpus
+    val r = got.filter(col("source") === "mega").collect().head
+    val (nSurv, alloc) = (r.getAs[Long]("n_surv"), r.getAs[Long]("alloc"))
+    assert(nSurv == 3000L, s"mega survivor count: $nSurv")
+    val c = 3000L * 20L
+    assert(alloc * 2 < c, s"flood setup: mega must be hard-capped ($alloc vs $c)")
+    val t = ((BigInt(1) << 60) * 2L * alloc / c).toLong
+    val winInput = table(s, dir, "documents")
+      .filter(col("source") === "mega")
+      .filter(md5Long(col("doc_id").cast("string")) < t).count()
+    assert(winInput < 1200,
+      s"prefilter must cut most of mega's survivors before the window, kept $winInput of 3000")
+    assert(rowsOf(ScaleOps.dedupMixtureM(s, dir, 1L)) == exact,
+      "escalated thresholds must converge to the same exact answer")
+    rmDir(dir)
+  }
+
+  test("q255 quality fill: bit-equal to the single-window form on a mega flood; boundary-bucket prefilter cuts window input; starved margin converges") {
+    // mega: 2500 high-quality docs (8-char words => bucket 7) + 2500
+    // low-quality docs (single-char stopwords => bucket 0); the tight
+    // budget's boundary lands INSIDE the high tier, so the whole low
+    // tier must be dropped outright and the high tier thresholded
+    val megaHi = (1 to 2500).map(i =>
+      (s"h$i", "mega", Seq.fill(20)("abcdefgh").mkString(" ")))
+    val megaLo = (1 to 2500).map(i =>
+      (s"l$i", "mega", Seq.fill(20)("a").mkString(" ")))
+    val small = for (k <- 1 to 10; i <- 1 to 20)
+      yield (s"s${k}_$i", s"small$k", Seq.fill(20)("w").mkString(" "))
+    val dir = writeDocs(megaHi ++ megaLo ++ small)
+    val exact = rowsOf(naiveQualityFill(dir))
+    val got = ScaleOps.qualityFill(s, dir)
+    assert(rowsOf(got) == exact,
+      "prefiltered quality fill must reproduce the single-window semantics bit-for-bit")
+    // the mechanism: recompute the boundary plan for mega — alloc lands
+    // inside the high tier, so window input is ~margin x alloc / 20 docs
+    val r = got.filter(col("source") === "mega").collect().head
+    val alloc = r.getAs[Long]("alloc")
+    val hiMass = 2500L * 20L
+    assert(alloc < hiMass, s"boundary must land inside the high tier ($alloc vs $hiMass)")
+    val t = ((BigInt(1) << 60) * 2L * alloc / hiMass).toLong
+    val qb = graft.operators.TextOps.qualityPerDoc(s, dir).select(col("doc_id"), col("bucket"))
+    val winInput = table(s, dir, "documents").filter(col("source") === "mega")
+      .join(qb, Seq("doc_id"))
+      .filter(col("bucket") === 7L && md5Long(col("doc_id").cast("string")) < t)
+      .count()
+    assert(winInput < 1500,
+      s"boundary prefilter must cut most of mega's rows, kept $winInput of 5000")
+    // and nothing from the dropped low tier may be kept: kept tokens all
+    // come from bucket-7 docs (every kept doc's bucket >= dropped's)
+    assert(r.getAs[Long]("kept_bucket_sum") == 7L * r.getAs[Long]("n_kept"),
+      "kept set must be drawn entirely from the top decile tier")
+    assert(rowsOf(ScaleOps.qualityFillM(s, dir, 1L)) == exact,
+      "escalated thresholds must converge to the same exact answer")
+    rmDir(dir)
+  }
+
+  test("q259 composition shares q256's survivor universe, and its kept token mass sits in the greedy crossing band") {
+    val dir = TestSpark.sf
+    val byQ256 = ScaleOps.dedupMixture(s, dir)
+      .select(col("source"), col("n_surv"), col("alloc")).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val rows = ScaleOps.mixPipeline(s, dir)
+      .select(col("source"), col("n_surv"), col("kept_tokens")).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (src, ns, kt) = (r.getString(0), r.getLong(1), r.getLong(2))
+      // same dedup policy, same corpus => same survivor universe
+      assert(byQ256(src)._1 == ns,
+        s"$src: survivor count ${ns} != q256's ${byQ256(src)._1}")
+      // greedy crossing: kept mass first reaches-or-crosses the SAME
+      // allocation (identical survivor counts => identical waterfill),
+      // whatever order (hash vs quality-first) filled it
+      val alloc = byQ256(src)._2
+      assert(kt >= alloc || ns == 0L,
+        s"$src: quality fill undershot the allocation ($kt < $alloc)")
+    }
+  }
+
+  test("mixing family degenerate budgets: alloc=0 sources get synthesized zero rows bit-equal to the single-window forms") {
+    // 30 one-token sources + a zero-token source: the 1/10 budget's
+    // water level is 0, so EVERY source caps out at alloc=0 — the regime
+    // where the r17 q252 shape routed whole sources through one reducer
+    // (ADVICE r17) and where the synthesized-zero path is the whole query
+    val tiny = (1 to 30).map(i => (s"d$i", s"src$i", s"tok$i"))
+    val dir = writeDocs(tiny :+ (("dv", "void", "")))
+    assert(rowsOf(ScaleOps.cappedRealizeM(s, dir, 2L)) == rowsOf(naiveRealize(dir, 1L, 10L)),
+      "q252 must synthesize zero rows equal to the single-window output")
+    assert(rowsOf(ScaleOps.qualityFill(s, dir)) == rowsOf(naiveQualityFill(dir)),
+      "q255 must synthesize zero rows equal to the single-window output")
+    assert(rowsOf(ScaleOps.dedupMixture(s, dir)) == rowsOf(naiveDedupMixture(dir)),
+      "q256 must synthesize zero rows equal to the single-window output")
+    val n = ScaleOps.cappedRealize(s, dir).filter(col("alloc") === 0L).count()
+    assert(n == 31L, s"all 31 sources must appear as zero rows, got $n")
+    rmDir(dir)
+  }
 }

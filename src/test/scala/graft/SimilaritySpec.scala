@@ -702,4 +702,24 @@ class SimilaritySpec extends AnyFunSuite {
       s"hops must strictly improve recall on the fixture: " +
         s"beam=${row.getAs[Long]("recall_num")} seed=${row.getAs[Long]("seed_num")}")
   }
+
+  test("q253 serving substrate is a persisted stamped np2 store: warm serve is a stamp check, edges equal the q247 build") {
+    val dir = TestSpark.sf
+    val path = Similarity.knnGraphNp2Store(s, dir) // builds if stale
+    val stampF = new java.io.File(path, "_STAMP")
+    assert(stampF.exists, "np2 branch store must carry a stamp")
+    // the stored edges ARE the oracled widened build, bit-for-bit
+    val stored = graft.sources.IndexStore.read(s, path, "edges")
+      .select(col("src"), col("nbr"), col("cosim"), col("rn"))
+      .collect().map(_.toString).sorted.toSeq
+    val built = Similarity.knnGraphNp2(s, dir)
+      .select(col("vec_id").as("src"), col("nbr"), col("cosim"), col("rn"))
+      .collect().map(_.toString).sorted.toSeq
+    assert(stored == built, "persisted np2 edges must equal the q247 build path")
+    // a warm serve call must NOT rebuild: the stamp file stays untouched
+    val mt0 = stampF.lastModified()
+    Similarity.graphAnnServe(s, dir).collect()
+    assert(stampF.lastModified() == mt0,
+      "a restart/warm call must cost a stamp check, not a graph build")
+  }
 }

@@ -191,4 +191,32 @@ class StreamingSpec extends AnyFunSuite {
     assert(fullFiles.exists(_.contains("seg=2")),
       "full read must still see the streamed segment")
   }
+
+  test("q258 mixing admission: decisions are batch-partitioning independent and re-runs land identical rollups") {
+    import org.apache.spark.sql.functions._
+    import graft.Engine._
+    val dir = TestSpark.sf
+    def rows(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.collect().map(_.toString).sorted.toSeq
+    // a decision is a pure function of (doc, frozen store): screening the
+    // whole arrival set in one batch == screening the two staged halves
+    // separately — the property that makes streaming == batch hold for
+    // ANY micro-batch partitioning
+    val arrivals = table(s, dir, "documents")
+      .filter(col("doc_id") % 4 === 1)
+      .select(col("doc_id"), col("source"), col("text"))
+    val whole = graft.operators.ScaleOps.mixAdmitBatch(s, dir, arrivals)
+    val split = graft.operators.ScaleOps
+      .mixAdmitBatch(s, dir, arrivals.filter(col("doc_id") % 8 === 1))
+      .unionByName(graft.operators.ScaleOps
+        .mixAdmitBatch(s, dir, arrivals.filter(col("doc_id") % 8 === 5)))
+    assert(rows(whole) == rows(split),
+      "admission decisions must not depend on micro-batch partitioning")
+    // the rig end-to-end twice: the second run (fresh checkpoint, same
+    // frozen policy store) must reproduce the rollup exactly — replayed
+    // batchId-scoped decision logs are content no-ops
+    val r1 = rows(StreamOps.streamMixAdmission(s, dir))
+    assert(r1.nonEmpty && r1 == rows(StreamOps.streamMixAdmission(s, dir)),
+      "a re-run against the frozen policy must land identical decisions")
+  }
 }
