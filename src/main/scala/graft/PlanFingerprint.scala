@@ -203,6 +203,18 @@ object PlanFingerprint {
     "q254_mix_datacard",
     "q255_quality_fill",
     "q256_dedup_mixture",
+    // q259's locked value: the final leg (epoch explode + rollup over
+    // the checkpointed kept set, broadcast mix table) must stay one
+    // hash exchange with broadcast joins — a drift that shuffled the
+    // mix table or re-derived the kept set corpus-side is what the lock
+    // catches; the upstream dedup/selection legs are the q256/q255
+    // locked shapes, pinned there (they run inside the eager
+    // checkpoints here). q257 follows the loop-rig exclusion (its
+    // returned frame is metadata-scale arithmetic over the checkpointed
+    // maintained state — the q161 class; the interesting invariants are
+    // the feed-delta maintenance, spec'd and rung-measured); q258
+    // follows the streaming-rig exclusion.
+    "q259_mix_pipeline",
   )
 
   /** Structural counts of the STEADY-STATE initial plan.
