@@ -995,6 +995,48 @@ object ScaleOps extends QueryModule {
       .drop("off")
   }
 
+  /** q252's measured-containment threshold machinery, ONE definition for
+    * its three consumers (q252, q255's boundary bucket, q256): seed each
+    * source's hash threshold at margin x required/mass of the hash space
+    * (t = 0 when nothing is required — the synthesized-zero-row path),
+    * then measure the actually-surviving mass under the current
+    * thresholds and escalate any short source 4x (a threshold rounded to
+    * 0 jumps straight to Full) until every requirement is covered —
+    * loudly convergent (32-round cap is unreachable before t saturates),
+    * never silently wrong. `measure` runs the consumer's own one-pass
+    * aggregation under a given threshold map. A policy change here (the
+    * margin, the escalation factor, the containment check) reaches all
+    * three prefilters at once — the drift a copy would invite is the
+    * bit-equality guarantee breaking in ONE query while its siblings
+    * stay green. */
+  private def escalateThresholds(specs: Seq[(String, Long, Long)],
+      marginNum: Long,
+      measure: Map[String, Long] => Map[String, Long]): Map[String, Long] = {
+    val Full = 1L << 60
+    var t = specs.map { case (src, req, mass) =>
+      src -> (if (req <= 0L) 0L
+      else {
+        val x = (BigInt(1) << 60) * marginNum * req / mass
+        if (x >= Full) Full else x.toLong
+      })
+    }.toMap
+    var done = false
+    var rounds = 0
+    while (!done) {
+      rounds += 1
+      require(rounds <= 32, "prefilter threshold escalation did not converge")
+      val m = measure(t)
+      val short = specs.collect {
+        case (src, req, _) if req > 0L && t(src) < Full &&
+          m.get(src).forall(_ < req) => src
+      }
+      if (short.isEmpty) done = true
+      else t = t ++ short.map(src =>
+        src -> (if (t(src) == 0L) Full else math.min(Full, t(src) * 4)))
+    }
+    t
+  }
+
   /** Mixture realization (q250): turn q179's per-source token allocation
     * into the actual document selection a training run materializes —
     * per source, documents in deterministic hash order (md5 of doc_id,
@@ -1086,7 +1128,6 @@ object ScaleOps extends QueryModule {
       marginNum: Long): DataFrame = {
     tune(s)
     import s.implicits._
-    val Full = 1L << 60
     // ONE corpus pass (the projection checkpoint); counts + n_docs ride
     // one cheap agg over it, and the allocation runs through the family's
     // shared closed form. |sources|-row metadata, collected (the
@@ -1104,10 +1145,6 @@ object ScaleOps extends QueryModule {
       .select(col("source"), col("tokens"), col("alloc"))
       .collect().collect { case r if !r.isNullAt(0) =>
         (r.getString(0), r.getLong(1), r.getLong(2)) }
-    def thresh(alloc: Long, c: Long): Long = {
-      val t = (BigInt(1) << 60) * marginNum * alloc / c
-      if (t >= Full) Full else t.toLong
-    }
     // alloc=0 (a source fully capped out by a degenerate budget) gets t=0:
     // zero tokens survive the cut, so instead of routing the source's
     // ENTIRE row set through the rank window under t=Full (the r17 ADVICE
@@ -1115,36 +1152,24 @@ object ScaleOps extends QueryModule {
     // kill, in the degenerate regime), nothing survives the filter and the
     // zero output row the single-window form reports is synthesized from
     // the measured driver-side metadata below
-    var t = allocRows.map { case (src, c, a) =>
-      src -> (if (a == 0L) 0L else thresh(a, c)) }.toMap
-    // escalation loop: measure surviving mass, widen any short source
-    var done = false
-    var rounds = 0
-    while (!done) {
-      rounds += 1
-      require(rounds <= 32, "prefilter threshold escalation did not converge")
-      val tDf = broadcast(t.toSeq.toDF("source", "t"))
-      val m = docs.join(tDf, Seq("source"))
-        .groupBy(col("source"))
-        .agg(sum(when(col("h") < col("t"), col("tk")).otherwise(0L)).as("pre_mass"))
-        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-      val short = allocRows.collect {
-        case (src, _, a) if a > 0L && t(src) < Full &&
-          m.get(src).forall(_ < a) => src
-      }
-      if (short.isEmpty) done = true
-      else t = t ++ short.map(src =>
-        src -> (if (t(src) == 0L) Full else math.min(Full, t(src) * 4)))
-    }
+    val t = escalateThresholds(
+      allocRows.toSeq.map { case (src, c, a) => (src, a, c) }, marginNum,
+      tMap => {
+        val tDf = broadcast(tMap.toSeq.toDF("source", "t"))
+        docs.join(tDf, Seq("source"))
+          .groupBy(col("source"))
+          .agg(sum(when(col("h") < col("t"), col("tk")).otherwise(0L)).as("pre_mass"))
+          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      })
     // exact phase: q250's running prefix ([[shardedPrefix]] — the margin
     // bounds window INPUT to ~margin x alloc tokens per source, the
     // sharding bounds each REDUCER to 1/32 of that), survivors only
+    // (hsh already rides the realizeDocs projection)
     val tDf = broadcast(t.toSeq.toDF("source", "t"))
     val sideDf = broadcast(allocRows.toSeq
       .collect { case (src, _, a) if a > 0L => (src, a, nDocs(src)) }
       .toDF("source", "alloc", "n_docs"))
     val pre = docs.join(tDf, Seq("source")).filter(col("h") < col("t"))
-      .withColumn("hsh", shiftright(col("h"), 55))
     val base = shardedPrefix(pre, Seq("hsh"),
         Seq(col("h"), col("doc_id")), Seq(col("hsh")))
       .join(sideDf, Seq("source"))
@@ -1203,32 +1228,44 @@ object ScaleOps extends QueryModule {
     val cRows = d.groupBy(col("source")).agg(sum(col("tk")).as("c"))
       .collect().collect { case r if !r.isNullAt(0) =>
         (r.getString(0), r.getLong(1)) }
-    val isq = cRows.map { case (src, c) =>
-      (src, c, BigInt(math.floor(math.sqrt(c.toDouble)).toLong)) }
-    val sigma = isq.map(_._3).sum
-    val budget = BigInt(cRows.map(_._2).sum) / 2
-    val mixRows = isq.map { case (src, c, w) =>
-      val target = (budget * w / sigma).toLong
-      val epochs = target / c
-      val remThresh = ((BigInt(target % c) * 1000000L) / c).toLong
-      (src, target, epochs, remThresh)
-    }.toSeq
-    val mix = mixRows.toDF("source", "target_t", "epochs_full", "rem_thresh")
-    d.join(broadcast(mix), Seq("source"))
-      .withColumn("extra",
-        pmod(md5Long(concat(col("doc_id").cast("string"), lit("#ep"))),
-          lit(1000000L)) < col("rem_thresh"))
-      .withColumn("n_inst",
-        col("epochs_full") + when(col("extra"), 1L).otherwise(0L))
-      .withColumn("inst", explode(
-        when(col("n_inst") >= 1L, sequence(lit(1L), col("n_inst")))
-          .otherwise(expr("CAST(array() AS array<bigint>)"))))
+    val mix = epochMixTable(cRows.toSeq)
+      .toDF("source", "target_t", "epochs_full", "rem_thresh")
+    withEpochInstances(d.join(broadcast(mix), Seq("source")))
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_instances"),
            sum(col("tk")).as("realized_tokens"),
            min(col("target_t")).as("target_t"),
            min(col("epochs_full")).as("epochs_full"))
   }
+
+  /** q251's integer-exact epoch table over per-source token counts
+    * (α=0.5 temperature against a half-total budget): (source, target_t,
+    * epochs_full, rem_thresh), driver-side BigInt — ONE closed form for
+    * q251 (corpus counts) and q259 (kept-set counts), so a rounding-order
+    * tweak can never de-synchronize them from their shared oracles. */
+  private def epochMixTable(counts: Seq[(String, Long)]): Seq[(String, Long, Long, Long)] = {
+    val isq = counts.map { case (src, c) =>
+      (src, c, BigInt(math.floor(math.sqrt(c.toDouble)).toLong)) }
+    val sigma = isq.map(_._3).sum
+    val budget = BigInt(counts.map(_._2).sum) / 2
+    isq.map { case (src, c, w) =>
+      val target = (budget * w / sigma).toLong
+      (src, target, target / c, ((BigInt(target % c) * 1000000L) / c).toLong)
+    }
+  }
+
+  /** The per-document epoch realization (hash-lottery fractional epoch +
+    * full-epoch explode) over a frame carrying epochs_full/rem_thresh —
+    * q251's explode, shared with q259. */
+  private def withEpochInstances(df: DataFrame): DataFrame = df
+    .withColumn("extra",
+      pmod(md5Long(concat(col("doc_id").cast("string"), lit("#ep"))),
+        lit(1000000L)) < col("rem_thresh"))
+    .withColumn("n_inst",
+      col("epochs_full") + when(col("extra"), 1L).otherwise(0L))
+    .withColumn("inst", explode(
+      when(col("n_inst") >= 1L, sequence(lit(1L), col("n_inst")))
+        .otherwise(expr("CAST(array() AS array<bigint>)"))))
 
   private val epochMixtureSql =
     s"""WITH d AS (SELECT doc_id, source, $tkSql AS tk FROM documents),
@@ -1371,19 +1408,20 @@ object ScaleOps extends QueryModule {
       bsumM: Map[String, Long])       // per-source total bucket sum
 
   /** Annotate a (doc_id, source, tk) corpus frame with quality deciles
-    * and the ordering/hash keys, materialized once (localCheckpoint):
-    * the stats pass, the measure loop, and the exact window all read it.
-    * bkey is the ORDERING key — a NULL bucket (a doc with no scorable
-    * tokens) sorts below every real decile in both engines (DESC NULLS
-    * LAST), which is exactly bkey = -1; `bucket` itself stays NULL for
-    * the SUM columns (SQL SUM skips NULLs identically in both engines). */
+    * and the hash key, materialized once (localCheckpoint): the stats
+    * pass, the measure loop, and the exact window all read it. `bucket`
+    * is TOTAL (provably non-NULL, so it can order and group directly):
+    * every quality term passes through `least(expr, 1.0)`, and least()
+    * skips NULL arguments identically in Spark and DuckDB — a doc with
+    * no scorable tokens gets NULL ratios, least() collapses them to the
+    * 1.0 bound, and the score lands in a real decile (0.4 -> bucket 4
+    * for the zero-token case), never NULL. */
   private def annotateQuality(s: SparkSession, dir: String,
       base: DataFrame): DataFrame = {
     val qb = graft.operators.TextOps.qualityPerDoc(s, dir)
       .select(col("doc_id"), col("bucket"))
     base
       .join(qb, Seq("doc_id"))
-      .withColumn("bkey", coalesce(col("bucket"), lit(-1L)))
       .withColumn("h", md5Long(col("doc_id").cast("string")))
       .localCheckpoint()
   }
@@ -1404,14 +1442,12 @@ object ScaleOps extends QueryModule {
   private def qualitySelect(s: SparkSession, docs: DataFrame,
       marginNum: Long, num: Long, den: Long): QualitySel = {
     import s.implicits._
-    val Full = 1L << 60
     // per-(source, decile) stats: <= |sources| x 11 rows of driver-side
     // metadata — the table the boundary-bucket plan is computed from
-    val statRows = docs.groupBy(col("source"), col("bkey"))
-      .agg(sum(col("tk")).as("mass"), count(lit(1)).as("n"),
-           sum(col("bucket")).as("bsum"))
+    val statRows = docs.groupBy(col("source"), col("bucket"))
+      .agg(sum(col("tk")).as("mass"), count(lit(1)).as("n"))
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
-        r.getLong(3), if (r.isNullAt(4)) 0L else r.getLong(4)))
+        r.getLong(3)))
     val bySrc = statRows.groupBy(_._1)
     // allocation through the family's shared closed form over the same
     // counts (the NULL-source group rides the waterfill math exactly as
@@ -1426,64 +1462,50 @@ object ScaleOps extends QueryModule {
     val nDocsM = bySrc.collect { case (src, rs) if src != null =>
       src -> rs.map(_._4).sum }.toMap
     val bsumM = bySrc.collect { case (src, rs) if src != null =>
-      src -> rs.map(_._5).sum }.toMap
+      src -> rs.map(r => r._2 * r._4).sum }.toMap
     // boundary bucket per source, best-first: bstar = the first decile at
     // which cumulative mass reaches alloc (rem = what that decile still
-    // owes); bstar = -2 for uncapped sources (every bkey >= -1 survives);
+    // owes); bstar = -1 for uncapped sources (every bucket >= 0 survives);
     // alloc = 0 degenerates to rem = 0 at the top decile — nothing
     // survives and the zero row is synthesized below (the q252 pattern)
     case class Bd(bstar: Long, rem: Long, massIn: Long)
     val bnd: Map[String, Bd] = bySrc.collect { case (src, rs) if src != null =>
       val a = alloc(src)
       var cum = 0L
-      var res = Bd(-2L, 0L, 0L)
+      var res = Bd(-1L, 0L, 0L)
       var found = false
-      for ((_, bkey, mass, _, _) <- rs.sortBy(-_._2) if !found) {
-        if (cum + mass >= a) { res = Bd(bkey, a - cum, mass); found = true }
+      for ((_, bucket, mass, _) <- rs.sortBy(-_._2) if !found) {
+        if (cum + mass >= a) { res = Bd(bucket, a - cum, mass); found = true }
         else cum += mass
       }
       src -> res
     }
-    var t = allocRows.map { case (src, _) =>
-      val b = bnd(src)
-      src -> (if (b.rem <= 0L) 0L
-      else {
-        val x = (BigInt(1) << 60) * marginNum * b.rem / b.massIn
-        if (x >= Full) Full else x.toLong
-      })
-    }.toMap
-    def bndDf = broadcast(allocRows.toSeq.map { case (src, _) =>
-      (src, bnd(src).bstar, t(src)) }.toDF("source", "bstar", "t"))
-    // q252's measure/escalate loop, scoped to the boundary bucket only
-    var done = false
-    var rounds = 0
-    while (!done) {
-      rounds += 1
-      require(rounds <= 32, "prefilter threshold escalation did not converge")
-      val m = docs.join(bndDf, Seq("source"))
-        .filter(col("bkey") === col("bstar"))
+    // q252's threshold machinery ([[escalateThresholds]]), scoped to the
+    // boundary bucket only: required mass is rem, measured inside bstar
+    def bndDfOf(tMap: Map[String, Long]) =
+      broadcast(allocRows.toSeq.map { case (src, _) =>
+        (src, bnd(src).bstar, tMap(src)) }.toDF("source", "bstar", "t"))
+    val t = escalateThresholds(
+      allocRows.toSeq.map { case (src, _) =>
+        (src, bnd(src).rem, bnd(src).massIn) }, marginNum,
+      tMap => docs.join(bndDfOf(tMap), Seq("source"))
+        .filter(col("bucket") === col("bstar"))
         .groupBy(col("source"))
         .agg(sum(when(col("h") < col("t"), col("tk")).otherwise(0L)).as("pre_mass"))
-        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-      val short = allocRows.collect { case (src, _)
-        if bnd(src).rem > 0L && t(src) < Full &&
-          m.get(src).forall(_ < bnd(src).rem) => src }
-      if (short.isEmpty) done = true
-      else t = t ++ short.map(src =>
-        src -> (if (t(src) == 0L) Full else math.min(Full, t(src) * 4)))
-    }
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap)
+    val bndDf = bndDfOf(t)
     // exact phase: full deciles above the boundary + the thresholded
     // boundary slice, sharded-prefix'd in (bucket DESC, h, doc_id) order
     val allocDf = broadcast(allocRows.collect { case (src, a) if a > 0L =>
       (src, a) }.toSeq.toDF("source", "alloc"))
     val pre = shardedPrefix(
       docs.join(bndDf, Seq("source"))
-        .filter(col("bkey") > col("bstar") ||
-          (col("bkey") === col("bstar") && col("h") < col("t")))
+        .filter(col("bucket") > col("bstar") ||
+          (col("bucket") === col("bstar") && col("h") < col("t")))
         .withColumn("hsh", shiftright(col("h"), 55)),
-      Seq("bkey", "hsh"),
+      Seq("bucket", "hsh"),
       Seq(col("h"), col("doc_id")),
-      Seq(col("bkey").desc, col("hsh")))
+      Seq(col("bucket").desc, col("hsh")))
       .join(allocDf, Seq("source"))
       .withColumn("kept", col("prefix") - col("tk") < col("alloc"))
     QualitySel(pre, allocRows.toSeq, nDocsM, bsumM)
@@ -1569,17 +1591,27 @@ object ScaleOps extends QueryModule {
   def dedupMixture(s: SparkSession, dir: String): DataFrame =
     dedupMixtureM(s, dir, 2L)
 
-  private[graft] def dedupMixtureM(s: SparkSession, dir: String,
-      marginNum: Long): DataFrame = {
-    tune(s)
+  /** q60's canonical exact-dedup marking — ONE definition for its three
+    * Spark-side consumers (q256, q258's policy store, q259; the SQL twin
+    * is [[survCtes]]): md5(text) groups, the min-doc_id member is
+    * canonical, every other member is_dup. A change to the canonical-
+    * survivor policy reaches all three at once. */
+  private def markDups(s: SparkSession, dir: String,
+      pred: org.apache.spark.sql.Column = lit(true)): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    import s.implicits._
-    val Full = 1L << 60
     val wd = Window.partitionBy(col("dh")).orderBy(col("doc_id"))
-    val marked = table(s, dir, "documents")
+    table(s, dir, "documents")
+      .filter(pred)
       .select(col("doc_id"), col("source"), tkCol.as("tk"),
         md5(col("text")).as("dh"))
       .withColumn("is_dup", row_number().over(wd) > 1)
+  }
+
+  private[graft] def dedupMixtureM(s: SparkSession, dir: String,
+      marginNum: Long): DataFrame = {
+    tune(s)
+    import s.implicits._
+    val marked = markDups(s, dir)
       .withColumn("h", md5Long(col("doc_id").cast("string")))
       .localCheckpoint()
     val surv = marked.filter(!col("is_dup"))
@@ -1603,32 +1635,18 @@ object ScaleOps extends QueryModule {
       .select(col("source"), col("tokens"), col("alloc"))
       .collect().collect { case r if !r.isNullAt(0) =>
         (r.getString(0), r.getLong(1), r.getLong(2)) }
-    def thresh(a: Long, c: Long): Long = {
-      val t = (BigInt(1) << 60) * marginNum * a / c
-      if (t >= Full) Full else t.toLong
-    }
-    // q252's thresholds over the survivor corpus — t=0 for fully-capped-
-    // out (alloc=0) sources, whose zero row is synthesized below
-    var t = allocRows.map { case (src, c, a) =>
-      src -> (if (a == 0L) 0L else thresh(a, c)) }.toMap
-    var done = false
-    var rounds = 0
-    while (!done) {
-      rounds += 1
-      require(rounds <= 32, "prefilter threshold escalation did not converge")
-      val tDf = broadcast(t.toSeq.toDF("source", "t"))
-      val m = surv.join(tDf, Seq("source"))
-        .groupBy(col("source"))
-        .agg(sum(when(col("h") < col("t"), col("tk")).otherwise(0L)).as("pre_mass"))
-        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-      val short = allocRows.collect {
-        case (src, _, a) if a > 0L && t(src) < Full &&
-          m.get(src).forall(_ < a) => src
-      }
-      if (short.isEmpty) done = true
-      else t = t ++ short.map(src =>
-        src -> (if (t(src) == 0L) Full else math.min(Full, t(src) * 4)))
-    }
+    // q252's threshold machinery ([[escalateThresholds]]) VERBATIM over
+    // the survivor corpus — t=0 for fully-capped-out (alloc=0) sources,
+    // whose zero row is synthesized below
+    val t = escalateThresholds(
+      allocRows.toSeq.map { case (src, c, a) => (src, a, c) }, marginNum,
+      tMap => {
+        val tDf = broadcast(tMap.toSeq.toDF("source", "t"))
+        surv.join(tDf, Seq("source"))
+          .groupBy(col("source"))
+          .agg(sum(when(col("h") < col("t"), col("tk")).otherwise(0L)).as("pre_mass"))
+          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      })
     // exact phase: q250's running prefix over prefiltered survivors only
     val tDf = broadcast(t.toSeq.toDF("source", "t"))
     val sideDf = broadcast(allocRows.toSeq
@@ -1704,18 +1722,12 @@ object ScaleOps extends QueryModule {
     * convention: arrivals are screened against the policy of the last
     * batch solve, never a mid-stream mutation). */
   private[graft] def mixAdmitStore(s: SparkSession, dir: String): String = {
-    import org.apache.spark.sql.expressions.Window
     val path = "target/graft_index/mixadm_" + dir.replaceAll("[^A-Za-z0-9.]+", "_")
     val stamp = "mixadm1|" +
       graft.sources.IndexStore.sourceStamp(s, Seq(s"$dir/documents.parquet"))
     synchronized {
       if (!graft.sources.IndexStore.isCurrent(s, path, stamp)) {
-        val wd = Window.partitionBy(col("dh")).orderBy(col("doc_id"))
-        val marked = table(s, dir, "documents")
-          .filter(col("doc_id") % 4 =!= 1)
-          .select(col("doc_id"), col("source"), tkCol.as("tk"),
-            md5(col("text")).as("dh"))
-          .withColumn("is_dup", row_number().over(wd) > 1)
+        val marked = markDups(s, dir, col("doc_id") % 4 =!= 1)
           .localCheckpoint()
         val cnts = marked.filter(!col("is_dup"))
           .groupBy(col("source")).agg(sum(col("tk")).as("c"))
@@ -1820,43 +1832,25 @@ object ScaleOps extends QueryModule {
     * query; the composition adds no new corpus-sized term. */
   def mixPipeline(s: SparkSession, dir: String): DataFrame = {
     tune(s)
-    import org.apache.spark.sql.expressions.Window
     import s.implicits._
-    val wd = Window.partitionBy(col("dh")).orderBy(col("doc_id"))
-    val surv = table(s, dir, "documents")
-      .select(col("doc_id"), col("source"), tkCol.as("tk"),
-        md5(col("text")).as("dh"))
-      .withColumn("is_dup", row_number().over(wd) > 1)
-      .filter(!col("is_dup"))
+    val surv = markDups(s, dir).filter(!col("is_dup"))
       .select(col("doc_id"), col("source"), col("tk"))
     val sel = qualitySelect(s, annotateQuality(s, dir, surv), 2L, 1L, 10L)
     val kept = sel.pre.filter(col("kept"))
       .select(col("doc_id"), col("source"), col("tk")).localCheckpoint()
-    // per-source kept stats -> the epoch mixing table, q251's BigInt math
+    // per-source kept stats -> the epoch mixing table: q251's shared
+    // closed form ([[epochMixTable]]) over the KEPT counts
     val selRows = kept.groupBy(col("source"))
       .agg(sum(col("tk")).as("kt"), count(lit(1)).as("nk"))
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
       .filter(_._2 > 0L)
-    val sigma = selRows.map { case (_, kt, _) =>
-      BigInt(math.floor(math.sqrt(kt.toDouble)).toLong) }.sum
-    val budget = BigInt(selRows.map(_._2).sum) / 2
-    val mixRows = selRows.map { case (src, kt, nk) =>
-      val w = BigInt(math.floor(math.sqrt(kt.toDouble)).toLong)
-      val target = (budget * w / sigma).toLong
-      (src, nk, kt, target / kt,
-        ((BigInt(target % kt) * 1000000L) / kt).toLong)
-    }.toSeq
+    val ktM = selRows.map { case (src, kt, _) => src -> kt }.toMap
+    val nkM = selRows.map { case (src, _, nk) => src -> nk }.toMap
+    val mixRows = epochMixTable(selRows.toSeq.map { case (src, kt, _) => (src, kt) })
+      .map { case (src, _, ep, rt) => (src, nkM(src), ktM(src), ep, rt) }
     val mix = broadcast(mixRows
       .toDF("source", "n_kept", "kept_tokens", "epochs_full", "rem_thresh"))
-    val inst = kept.join(mix, Seq("source"))
-      .withColumn("extra",
-        pmod(md5Long(concat(col("doc_id").cast("string"), lit("#ep"))),
-          lit(1000000L)) < col("rem_thresh"))
-      .withColumn("n_inst",
-        col("epochs_full") + when(col("extra"), 1L).otherwise(0L))
-      .withColumn("inst", explode(
-        when(col("n_inst") >= 1L, sequence(lit(1L), col("n_inst")))
-          .otherwise(expr("CAST(array() AS array<bigint>)"))))
+    val inst = withEpochInstances(kept.join(mix, Seq("source")))
       .groupBy(col("source"))
       .agg(min(col("n_kept")).as("n_kept"),
            min(col("kept_tokens")).as("kept_tokens"),
