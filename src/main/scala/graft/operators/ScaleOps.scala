@@ -1708,10 +1708,28 @@ object ScaleOps extends QueryModule {
 
   // ---- q258: streaming mixing admission (the family's streaming twin) ----
 
+  /** q258's synthetic arrival batch (the q131/augmentedDocs convention —
+    * the corpus fixture itself is nearly dup-free, so a corpus slice
+    * would never exercise the dup screen): exact COPIES of corpus texts
+    * under new doc_ids (+200000 — the digest screen must reject every
+    * one) interleaved with fresh near-variants (+100000, first 10 chars
+    * dropped: distinct digests, so they reach the rate lottery). Both
+    * legs use moduli co-prime with the fixture's 20-source cycle, so
+    * every source arrives on both legs. */
+  private[graft] def mixArrivalBatch(s: SparkSession, dir: String): DataFrame = {
+    val d = table(s, dir, "documents")
+      .select(col("doc_id"), col("source"), col("text"))
+    d.filter(col("doc_id") % 7 === 0)
+      .select((col("doc_id") + 200000L).as("doc_id"), col("source"), col("text"))
+      .unionByName(d.filter(col("doc_id") % 7 === 3)
+        .select((col("doc_id") + 100000L).as("doc_id"), col("source"),
+          expr("substr(text, 11)").as("text")))
+  }
+
   /** The frozen mix-admission POLICY store (q258's substrate): the batch
     * dedup-aware solve (q256's chain — exact-dedup survivor counts of
-    * the index slice, the tight 1/10 waterfill) realized as per-source
-    * ppm admission RATES, plus the digest set the dup screen probes.
+    * the corpus, the tight 1/10 waterfill) realized as per-source ppm
+    * admission RATES, plus the digest set the dup screen probes.
     * Rates are the order-independent form of the allocation a stream can
     * apply exactly-once per document: admit iff the doc's hash lottery
     * falls under alloc/c of the hash space (q112's lottery; within-
@@ -1723,11 +1741,11 @@ object ScaleOps extends QueryModule {
     * batch solve, never a mid-stream mutation). */
   private[graft] def mixAdmitStore(s: SparkSession, dir: String): String = {
     val path = "target/graft_index/mixadm_" + dir.replaceAll("[^A-Za-z0-9.]+", "_")
-    val stamp = "mixadm1|" +
+    val stamp = "mixadm2|" +
       graft.sources.IndexStore.sourceStamp(s, Seq(s"$dir/documents.parquet"))
     synchronized {
       if (!graft.sources.IndexStore.isCurrent(s, path, stamp)) {
-        val marked = markDups(s, dir, col("doc_id") % 4 =!= 1)
+        val marked = markDups(s, dir)
           .localCheckpoint()
         val cnts = marked.filter(!col("is_dup"))
           .groupBy(col("source")).agg(sum(col("tk")).as("c"))
@@ -1781,14 +1799,9 @@ object ScaleOps extends QueryModule {
 
   private[graft] val streamMixAdmissionSql = {
     val cSql =
-      """c AS (SELECT source, CAST(SUM(tk) AS BIGINT) AS c
-        |      FROM midx WHERE NOT is_dup GROUP BY source)""".stripMargin
-    s"""WITH idx AS (
-       |  SELECT doc_id, source, $tkSql AS tk, md5(text) AS dh
-       |  FROM documents WHERE doc_id % 4 <> 1),
-       |midx AS (
-       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY dh ORDER BY doc_id) > 1 AS is_dup
-       |  FROM idx),
+      """c AS (SELECT source, CAST(SUM(tk) AS BIGINT) AS c FROM surv GROUP BY source)"""
+    val arrTk = tkSql.replace("text", "a.text")
+    s"""WITH $survCtes,
        |${waterfillCtesOver(cSql, 1L, 10L)},
        |rates AS (
        |  SELECT source,
@@ -1797,11 +1810,14 @@ object ScaleOps extends QueryModule {
        |         END AS rate_ppm
        |  FROM alloc),
        |arr AS (
-       |  SELECT doc_id, source, $tkSql AS tk, md5(text) AS dh
-       |  FROM documents WHERE doc_id % 4 = 1),
+       |  SELECT doc_id + 200000 AS doc_id, source, text
+       |  FROM documents WHERE doc_id % 7 = 0
+       |  UNION ALL
+       |  SELECT doc_id + 100000, source, substr(text, 11)
+       |  FROM documents WHERE doc_id % 7 = 3),
        |dec AS (
-       |  SELECT a.doc_id, a.source, a.tk,
-       |         CASE WHEN a.dh IN (SELECT dh FROM idx) THEN 'dup'
+       |  SELECT a.doc_id, a.source, $arrTk AS tk,
+       |         CASE WHEN md5(a.text) IN (SELECT md5(text) FROM documents) THEN 'dup'
        |              WHEN ${MD5L("CAST(a.doc_id AS VARCHAR) || '#adm'")} % 1000000
        |                     < COALESCE(r.rate_ppm, 0) THEN 'admit'
        |              ELSE 'drop' END AS decision

@@ -659,9 +659,11 @@ object StreamOps extends QueryModule {
     * convention). Arriving documents are screened per micro-batch
     * against the FROZEN admission-policy store
     * ([[graft.operators.ScaleOps.mixAdmitStore]]: the q256 batch solve's
-    * digest set + per-source ppm rates): known digests are rejected as
-    * dups, fresh documents pass the per-source hash lottery at the
-    * stored rate — the order-independent realization of the allocation
+    * corpus digest set + per-source ppm rates); arrivals are the q131
+    * convention's synthetic batch (exact copies of corpus texts under
+    * new ids + fresh near-variants, every source on both legs): known
+    * digests are rejected as dups, fresh documents pass the per-source
+    * hash lottery at the stored rate — the order-independent realization of the allocation
     * (a running meter would make decisions depend on arrival order and
     * break replay). Decisions land in a batchId-scoped log
     * (replay-idempotent); the accumulated rollup is verified against
@@ -670,14 +672,12 @@ object StreamOps extends QueryModule {
   def streamMixAdmission(s: SparkSession, dir: String): DataFrame = {
     tune(s)
     withStatePartitions(s, 8) {
-      val arrivals = table(s, dir, "documents")
-        .filter(col("doc_id") % 4 === 1)
-        .select(col("doc_id"), col("source"), col("text"))
+      val arrivals = graft.operators.ScaleOps.mixArrivalBatch(s, dir)
       val schema = arrivals.schema
       val srcDir = stagedOnce(s"mixadm:$dir") { sd =>
         val t0 = 1000000000000L
-        stageFile(s, sd, arrivals.filter(col("doc_id") % 8 === 1), "b0_lo", t0)
-        stageFile(s, sd, arrivals.filter(col("doc_id") % 8 === 5), "b1_hi", t0 + 600000L)
+        stageFile(s, sd, arrivals.filter(col("doc_id") % 2 === 0), "b0_even", t0)
+        stageFile(s, sd, arrivals.filter(col("doc_id") % 2 === 1), "b1_odd", t0 + 600000L)
       }
       // build-or-validate the policy store BEFORE the stream starts:
       // triggers only probe a frozen snapshot (the q134/q177 convention)
@@ -1564,7 +1564,7 @@ object StreamOps extends QueryModule {
       "streaming model-based admission: per-micro-batch integer-logit scoring of arriving docs; streaming == batch",
       streamClassifier, Some(streamClassifierSql)),
     GQuery("q258_stream_mix_admission",
-      "streaming mixing admission: arriving docs screened per micro-batch against the frozen dedup-aware allocation policy (digest dup screen + per-source hash lottery at the stored q256-chain rate); decisions are pure per-doc functions of the store, so streaming == batch against the shared oracle",
+      "streaming mixing admission: a synthetic arrival batch (exact corpus copies + fresh variants, the q131 convention) screened per micro-batch against the frozen dedup-aware allocation policy — digest dup screen rejects the copies, fresh docs draw the per-source hash lottery at the stored q256-chain rate; decisions are pure per-doc functions of the store, so streaming == batch against the shared oracle",
       streamMixAdmission, Some(graft.operators.ScaleOps.streamMixAdmissionSql)),
     // Same oracle as the batch q204 — the PQ family's streaming == batch.
     GQuery("q205_stream_pq_screen",
