@@ -3748,6 +3748,12 @@ object Similarity extends QueryModule {
     // kNN-graph store joins the manifest — its edge count is the q239
     // graph's cardinality, re-derived from raw embeddings by the oracle
     val knngPath = knnGraphStore(s, dir)
+    // round-18 additions: the np2 SERVING branch (q253's substrate — its
+    // edge count is the widened q247 build, re-derived by the oracle) and
+    // the mixing admission policy store (q258's substrate — corpus
+    // digests + per-source rates, re-derived from the raw corpus)
+    val knng2Path = knnGraphNp2Store(s, dir)
+    val mixadmPath = graft.operators.ScaleOps.mixAdmitStore(s, dir)
     val optional = Set("bloom", graft.sources.IndexStore.DeleteMaskTable,
       "mask_gone", "mask_reps", "mask_stale")
     def rows(family: String, path: String): Seq[DataFrame] =
@@ -3758,7 +3764,9 @@ object Similarity extends QueryModule {
     (rows("dedup", dedupPath) ++
       rows("ivf", fixtureIvfIndexPath(dir)) ++
       rows("pq", fixturePqIndexPath(dir)) ++
-      rows("knng", knngPath))
+      rows("knng", knngPath) ++
+      rows("knng2", knng2Path) ++
+      rows("mixadm", mixadmPath))
       .reduce(_ unionByName _)
   }
 
@@ -3776,6 +3784,7 @@ object Similarity extends QueryModule {
        |$normsSql,
        |$ivfAssignSql,
        |$knnGChainSql,
+       |$knnNp2ChainSql,
        |$pqSubSql,
        |$pqCwSql
        |SELECT 'dedup' AS family, 'bands' AS tbl,
@@ -3797,7 +3806,17 @@ object Similarity extends QueryModule {
        |UNION ALL SELECT 'pq', 'codes',
        |       (SELECT CAST($PqM * COUNT(*) AS BIGINT) FROM embeddings)
        |UNION ALL SELECT 'knng', 'edges',
-       |       (SELECT CAST(COUNT(*) AS BIGINT) FROM g)""".stripMargin
+       |       (SELECT CAST(COUNT(*) AS BIGINT) FROM g)
+       |UNION ALL SELECT 'knng2', 'edges',
+       |       (SELECT CAST(COUNT(*) AS BIGINT) FROM g2)
+       |UNION ALL SELECT 'mixadm', 'digests',
+       |       (SELECT CAST(COUNT(DISTINCT md5(text)) AS BIGINT) FROM documents)
+       |UNION ALL SELECT 'mixadm', 'rates',
+       |       (SELECT CAST(COUNT(*) AS BIGINT) FROM (
+       |          SELECT source FROM (
+       |            SELECT source,
+       |                   ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) > 1 AS is_dup
+       |            FROM documents) WHERE NOT is_dup GROUP BY source))""".stripMargin
   }
 
   // ---- q239: kNN-graph construction (VERDICT r15 item 7) ----
