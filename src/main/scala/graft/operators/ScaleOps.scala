@@ -1596,12 +1596,10 @@ object ScaleOps extends QueryModule {
     * is [[survCtes]]): md5(text) groups, the min-doc_id member is
     * canonical, every other member is_dup. A change to the canonical-
     * survivor policy reaches all three at once. */
-  private def markDups(s: SparkSession, dir: String,
-      pred: org.apache.spark.sql.Column = lit(true)): DataFrame = {
+  private def markDups(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val wd = Window.partitionBy(col("dh")).orderBy(col("doc_id"))
     table(s, dir, "documents")
-      .filter(pred)
       .select(col("doc_id"), col("source"), tkCol.as("tk"),
         md5(col("text")).as("dh"))
       .withColumn("is_dup", row_number().over(wd) > 1)
@@ -1754,8 +1752,12 @@ object ScaleOps extends QueryModule {
             when(col("tokens") === 0L, 0L).otherwise(
               expr("CAST((CAST(alloc AS DECIMAL(38,0)) * 1000000) div CAST(tokens AS DECIMAL(38,0)) AS BIGINT)")))
           .select(col("source"), col("rate_ppm"))
+        // a NULL text has no digest in either engine (md5(NULL) = NULL;
+        // COUNT(DISTINCT) and IN-probes skip it) — keep the stored set
+        // NULL-free so the q236 manifest count matches its oracle
         graft.sources.IndexStore.write(s, path, stamp, Seq(
-          "digests" -> marked.select(col("dh")).distinct(),
+          "digests" -> marked.select(col("dh"))
+            .filter(col("dh").isNotNull).distinct(),
           "rates" -> rates))
       }
     }

@@ -3722,12 +3722,14 @@ object Similarity extends QueryModule {
       |CAST(embedding[1] AS DOUBLE) * 2 AS first_doubled
       |FROM embeddings WHERE vec_id % 10 = 0""".stripMargin
 
-  // ---- q236: manifest symmetry — the ops DESCRIBE surface for the
-  // dedup/IVF/PQ stores (VERDICT r15 item 3; q235 covers search) ----
+  // ---- q236: manifest symmetry — the ops DESCRIBE surface for every
+  // serving store beside search (VERDICT r15 item 3; q235 covers search) ----
 
-  /** q236: one row per (family, table, cardinality) across the OTHER
-    * three serving stores — the structural audit a deployment runs over
-    * ALL its indexes, not just search (q235). Tables are enumerated from
+  /** q236: one row per (family, table, cardinality) across every OTHER
+    * serving store — dedup/IVF/PQ, the kNN graph, its np2 serving
+    * branch, and the mixing admission policy store — the structural
+    * audit a deployment runs over ALL its indexes, not just search
+    * (q235). Tables are enumerated from
     * each store's own directory listing, minus the documented OPTIONAL
     * sidecars (bloom blobs and delete masks exist only when their
     * workload ran — their audits live with their own queries q147/
