@@ -467,6 +467,46 @@ class ScaleOpsSpec extends AnyFunSuite {
     rmDir(dir)
   }
 
+  test("q255 boundary in the LOW tier: the whole high tier is kept outright, only the low tier is thresholded, still bit-equal") {
+    // complement of the main flood (whose boundary lands INSIDE the top
+    // tier with nothing above it): here the high tier's mass is well
+    // under the allocation, so the prefilter must keep it OUTRIGHT and
+    // threshold only the low tier against the residual
+    val megaHi = (1 to 100).map(i =>
+      (s"h$i", "mega", Seq.fill(20)("abcdefgh").mkString(" ")))
+    val megaLo = (1 to 4900).map(i =>
+      (s"l$i", "mega", Seq.fill(20)("a").mkString(" ")))
+    val small = for (k <- 1 to 10; i <- 1 to 20)
+      yield (s"s${k}_$i", s"small$k", Seq.fill(20)("w").mkString(" "))
+    val dir = writeDocs(megaHi ++ megaLo ++ small)
+    val exact = rowsOf(naiveQualityFill(dir))
+    val got = ScaleOps.qualityFill(s, dir)
+    assert(rowsOf(got) == exact,
+      "low-tier boundary must still reproduce the single-window semantics bit-for-bit")
+    val r = got.filter(col("source") === "mega").collect().head
+    val (alloc, nKept, kbs) = (r.getAs[Long]("alloc"),
+      r.getAs[Long]("n_kept"), r.getAs[Long]("kept_bucket_sum"))
+    val hiMass = 100L * 20L
+    assert(alloc > hiMass && alloc * 2 < 100000L,
+      s"setup: boundary must land in the low tier ($alloc vs $hiMass)")
+    // every high-tier doc is kept (they sort first and their mass is
+    // under alloc), and the kept set extends into the low tier
+    assert(nKept > 100L, s"kept set must cross into the low tier ($nKept)")
+    assert(kbs == 7L * 100L + 0L * (nKept - 100L),
+      "all 100 high-tier docs (bucket 7) kept outright, low-tier keeps at bucket 0")
+    // the mechanism: low-tier window input ~ margin x rem of 4900 docs
+    val rem = alloc - hiMass
+    val t = ((BigInt(1) << 60) * 2L * rem / (4900L * 20L)).toLong
+    val qb = graft.operators.TextOps.qualityPerDoc(s, dir).select(col("doc_id"), col("bucket"))
+    val winInput = table(s, dir, "documents").filter(col("source") === "mega")
+      .join(qb, Seq("doc_id"))
+      .filter(col("bucket") === 0L && md5Long(col("doc_id").cast("string")) < t)
+      .count() + 100L
+    assert(winInput < 1500L,
+      s"the low tier must be mostly cut before the window, input $winInput of 5000")
+    rmDir(dir)
+  }
+
   test("q259 composition shares q256's survivor universe, and its kept token mass sits in the greedy crossing band") {
     val dir = TestSpark.sf
     val byQ256 = ScaleOps.dedupMixture(s, dir)
