@@ -1013,6 +1013,14 @@ object ScaleOps extends QueryModule {
       marginNum: Long,
       measure: Map[String, Long] => Map[String, Long]): Map[String, Long] = {
     val Full = 1L << 60
+    // contract made explicit (ADVICE r18): a positive requirement needs a
+    // positive mass to seed against — all three callers derive req from
+    // the same counts as mass, so req>0 with mass=0 is a caller bug that
+    // should fail HERE, not as an ArithmeticException inside the loop
+    specs.foreach { case (src, req, mass) =>
+      require(req <= 0L || mass > 0L,
+        s"escalateThresholds: source '$src' requires $req from zero mass")
+    }
     var t = specs.map { case (src, req, mass) =>
       src -> (if (req <= 0L) 0L
       else {
@@ -1595,14 +1603,32 @@ object ScaleOps extends QueryModule {
     * Spark-side consumers (q256, q258's policy store, q259; the SQL twin
     * is [[survCtes]]): md5(text) groups, the min-doc_id member is
     * canonical, every other member is_dup. A change to the canonical-
-    * survivor policy reaches all three at once. */
-  private def markDups(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val wd = Window.partitionBy(col("dh")).orderBy(col("doc_id"))
-    table(s, dir, "documents")
+    * survivor policy reaches all three at once.
+    *
+    * Scale shape (VERDICT r18 item 1): the marking is q60's map-side-
+    * combinable form (`Dedup.scala` dedupExact) — `groupBy(dh).agg(min)`
+    * collapses a flooded digest's copies INSIDE each map task before the
+    * exchange, then a plain equi-join on `dh` derives the flag. The r18
+    * form (`Window.partitionBy(dh)` + `row_number`) routed every copy of
+    * an identical text through ONE reducer: a boilerplate flood (millions
+    * of byte-copies of one page) lands a digest's whole row set on one
+    * task, and a window can never be split. The join-back CAN: partial
+    * aggregation bounds the build side to one row per digest, and AQE's
+    * skew handling splits a skewed probe-side partition — no stage holds
+    * a digest's full copy set in one task. Bit-equal to the window form
+    * (min-doc_id IS row_number()==1 under the same ordering); the join is
+    * null-safe so a NULL-text group keeps the window's semantics (all
+    * NULL digests form one group, exactly as the oracle's PARTITION BY
+    * groups them). */
+  private[graft] def markDups(s: SparkSession, dir: String): DataFrame = {
+    val docs = table(s, dir, "documents")
       .select(col("doc_id"), col("source"), tkCol.as("tk"),
         md5(col("text")).as("dh"))
-      .withColumn("is_dup", row_number().over(wd) > 1)
+    val keep = docs.groupBy(col("dh")).agg(min(col("doc_id")).as("keep_id"))
+      .withColumnRenamed("dh", "kdh")
+    docs.join(keep, col("dh") <=> col("kdh"))
+      .withColumn("is_dup", col("doc_id") =!= col("keep_id"))
+      .drop("kdh", "keep_id")
   }
 
   private[graft] def dedupMixtureM(s: SparkSession, dir: String,

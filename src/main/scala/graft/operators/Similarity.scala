@@ -5205,31 +5205,6 @@ object Similarity extends QueryModule {
     * is the exact-audit leg (|Q| x N brute force, the q64 shape) — in
     * production that audit runs on a sampled slice exactly like this
     * one. */
-  /** The PERSISTED widened (nprobe=2) graph — q253's serving substrate as
-    * a durable branch store, not a per-session rebuild (VERDICT r17 item
-    * 3: "at 100 TB a serving index you rebuild per process isn't a
-    * serving index"). A separate store path from [[knnGraphStore]]: the
-    * probe width is baked into the stamp (the q247 convention — the dial
-    * travels as a parameter, never session conf), so the np1 maintained
-    * store and the np2 serving branch can never serve each other's
-    * readers. Maintenance contract: q243's cell-scoped O(affected) repair
-    * serves the DEFAULT graph only (its candidate rule is the home cell);
-    * this branch is read-only for takedown — an erasure on the widened
-    * graph re-stamps and rebuilds from the filtered corpus (the refusal
-    * at [[knnTakedownBranch]], unchanged). A restart therefore costs a
-    * stamp check + an edges scan, not a graph build. */
-  private[graft] def knnGraphNp2Store(s: SparkSession, dir: String): String = {
-    val path = "target/graft_index/knng2_" + dir.replaceAll("[^A-Za-z0-9.]+", "_")
-    val stamp = "knng1|np2|" +
-      graft.sources.IndexStore.sourceStamp(s, Seq(s"$dir/embeddings.parquet"))
-    synchronized {
-      if (!graft.sources.IndexStore.isCurrent(s, path, stamp))
-        graft.sources.IndexStore.write(s, path, stamp,
-          Seq("edges" -> knnGraphFrameNp(s, dir, 2)))
-    }
-    path
-  }
-
   def graphAnnServe(s: SparkSession, dir: String): DataFrame = {
     tune(s)
     val B = 4
@@ -5309,6 +5284,34 @@ object Similarity extends QueryModule {
         col("cosim"), col("rn"))
       .join(broadcast(perq.withColumnRenamed("qid", "vec_id")), Seq("vec_id"))
       .crossJoin(broadcast(aud))
+  }
+
+  /** The PERSISTED widened (nprobe=2) graph — q253's serving substrate as
+    * a durable branch store, not a per-session rebuild (VERDICT r17 item
+    * 3: "at 100 TB a serving index you rebuild per process isn't a
+    * serving index"). A separate store path from [[knnGraphStore]]: the
+    * probe width is baked into the stamp (the q247 convention — the dial
+    * travels as a parameter, never session conf), so the np1 maintained
+    * store and the np2 serving branch can never serve each other's
+    * readers — and the version token is the branch store's OWN
+    * (`knng2_1`, ADVICE r18: a format bump of the np2 edges table edits a
+    * token named after THIS store, not the np1 one). Maintenance
+    * contract: q243's cell-scoped O(affected) repair serves the DEFAULT
+    * graph only (its candidate rule is the home cell); this branch is
+    * read-only for takedown — an erasure on the widened graph re-stamps
+    * and rebuilds from the filtered corpus (the refusal at
+    * [[knnTakedownBranch]], unchanged). A restart therefore costs a
+    * stamp check + an edges scan, not a graph build. */
+  private[graft] def knnGraphNp2Store(s: SparkSession, dir: String): String = {
+    val path = "target/graft_index/knng2_" + dir.replaceAll("[^A-Za-z0-9.]+", "_")
+    val stamp = "knng2_1|np2|" +
+      graft.sources.IndexStore.sourceStamp(s, Seq(s"$dir/embeddings.parquet"))
+    synchronized {
+      if (!graft.sources.IndexStore.isCurrent(s, path, stamp))
+        graft.sources.IndexStore.write(s, path, stamp,
+          Seq("edges" -> knnGraphFrameNp(s, dir, 2)))
+    }
+    path
   }
 
   private val graphAnnServeSql =

@@ -507,6 +507,49 @@ class ScaleOpsSpec extends AnyFunSuite {
     rmDir(dir)
   }
 
+  test("markDups: mega-DIGEST flood — bit-equal to the window form, no per-digest window in the plan, map-side partial agg bounds task input") {
+    // the shape the r18 mega-SOURCE fixtures never covered (VERDICT r18
+    // item 1): thousands of byte-copies of ONE text — one digest whose
+    // whole row set the r18 row_number marking routed through a single
+    // reducer. The groupBy+join-back marking must (a) stay bit-equal to
+    // the window semantics, (b) carry no Window node, and (c) collapse
+    // the flood map-side (partial_min) so no task holds the copy set.
+    val flood = (1 to 4000).map(i =>
+      (f"f$i%05d", "flood", "the exact same boilerplate page text"))
+    val uniq = (1 to 50).map(i =>
+      (s"u$i", "flood", Seq.fill(20)(s"fl$i").mkString(" ")))
+    // a cross-source copy whose doc_id sorts FIRST ("a0" < "f00001"):
+    // the flooded group's canonical lives in the OTHER source, so every
+    // flood-side copy must be marked dup
+    val victim = Seq(("a0", "victim", "the exact same boilerplate page text"))
+    val small = for (k <- 1 to 6; i <- 1 to 20)
+      yield (s"s${k}_$i", s"small$k", Seq.fill(20)(s"w${k}_$i").mkString(" "))
+    val dir = writeDocs(flood ++ uniq ++ victim ++ small)
+    val marked = ScaleOps.markDups(s, dir)
+    // bit-equality with the r18 window semantics on the flooded corpus
+    import org.apache.spark.sql.expressions.Window
+    val wd = Window.partitionBy(col("dh")).orderBy(col("doc_id"))
+    val naive = table(s, dir, "documents")
+      .select(col("doc_id"), col("source"), tkc.as("tk"), md5(col("text")).as("dh"))
+      .withColumn("is_dup", org.apache.spark.sql.functions.row_number().over(wd) > 1)
+    assert(rowsOf(marked) == rowsOf(naive),
+      "groupBy+join-back marking must be bit-equal to the window form")
+    assert(marked.filter(col("source") === "flood" && col("is_dup")).count() == 4000L,
+      "all 4000 flood copies must be dups (the canonical a0 lives in victim)")
+    // plan shape: no per-digest window anywhere in the marking, and the
+    // canonical pick partially aggregates before its exchange
+    val plan = marked.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"),
+      s"marking must not contain a per-digest window:\n$plan")
+    assert(plan.contains("partial_min"),
+      s"canonical pick must be map-side combinable (partial_min):\n$plan")
+    // the substrate's consumers inherit the fix: q256 over the flooded
+    // corpus still reproduces the single-window reference bit-for-bit
+    assert(rowsOf(ScaleOps.dedupMixture(s, dir)) == rowsOf(naiveDedupMixture(dir)),
+      "q256 over the flooded corpus must reproduce the single-window semantics")
+    rmDir(dir)
+  }
+
   test("q259 composition shares q256's survivor universe, and its kept token mass sits in the greedy crossing band") {
     val dir = TestSpark.sf
     val byQ256 = ScaleOps.dedupMixture(s, dir)
