@@ -215,6 +215,12 @@ object PlanFingerprint {
     // the feed-delta maintenance, spec'd and rung-measured); q258
     // follows the streaming-rig exclusion.
     "q259_mix_pipeline",
+    // round-19: q260 follows the q257/q228 loop-rig exclusion — its
+    // returned frame is the q258 probe (broadcast rates + digest
+    // membership) over a store whose state depends on the in-process
+    // lake fixture; the interesting invariants are the O(delta) feed
+    // apply and the replay no-op, spec'd (ScaleOpsSpec) and
+    // rung-measured.
   )
 
   /** Structural counts of the STEADY-STATE initial plan.

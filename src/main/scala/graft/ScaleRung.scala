@@ -276,6 +276,14 @@ object ScaleRung {
     // shape; the composition must add NO new corpus-sized term, so its
     // row should sit near the sum of its parents' recurring terms
     "q259_mix_pipeline",
+    // q260's recurring shape: the q258 probe (digest equi-join +
+    // broadcast lottery) against the SYNCED store, whose one-time build
+    // (lake commits + v1 keys/digests) is stamp-guarded; the feed apply
+    // shuffles only touched-group canonicals (O(delta)) and the rates
+    // re-solve is |sources|-row driver math — so wall should track the
+    // probe and shuffle stay near the q258 row, NOT the corpus (the
+    // O(delta) claim VERDICT r18 item 3's done-criterion pins)
+    "q260_feed_synced_mixadm",
   )
 
   /** The RocksDB-vs-memory crossover experiment: the two streaming rigs

@@ -1620,8 +1620,13 @@ object ScaleOps extends QueryModule {
     * null-safe so a NULL-text group keeps the window's semantics (all
     * NULL digests form one group, exactly as the oracle's PARTITION BY
     * groups them). */
-  private[graft] def markDups(s: SparkSession, dir: String): DataFrame = {
-    val docs = table(s, dir, "documents")
+  private[graft] def markDups(s: SparkSession, dir: String): DataFrame =
+    markDupsIn(table(s, dir, "documents"))
+
+  /** [[markDups]] over any (doc_id, source, text) frame — the q260 sync
+    * store builds from a LAKE state, not the fixture table. */
+  private[graft] def markDupsIn(docs0: DataFrame): DataFrame = {
+    val docs = docs0
       .select(col("doc_id"), col("source"), tkCol.as("tk"),
         md5(col("text")).as("dh"))
     val keep = docs.groupBy(col("dh")).agg(min(col("doc_id")).as("keep_id"))
@@ -1763,6 +1768,18 @@ object ScaleOps extends QueryModule {
     * stream only probes the frozen snapshot (the q134/q140/q204
     * convention: arrivals are screened against the policy of the last
     * batch solve, never a mid-stream mutation). */
+  /** The per-source ppm admission rates from survivor token counts —
+    * ONE definition for the frozen (q258) and feed-synced (q260) policy
+    * stores: the tight 1/10 waterfill re-solved over whatever counts the
+    * store currently carries, expressed as the order-independent lottery
+    * rate (alloc/c of the hash space, wide-integer exact). */
+  private def ratesFrom(cnts: DataFrame): DataFrame =
+    waterfillFromCounts(cnts, 1L, 10L)
+      .withColumn("rate_ppm",
+        when(col("tokens") === 0L, 0L).otherwise(
+          expr("CAST((CAST(alloc AS DECIMAL(38,0)) * 1000000) div CAST(tokens AS DECIMAL(38,0)) AS BIGINT)")))
+      .select(col("source"), col("rate_ppm"))
+
   private[graft] def mixAdmitStore(s: SparkSession, dir: String): String = {
     val path = "target/graft_index/mixadm_" + dir.replaceAll("[^A-Za-z0-9.]+", "_")
     val stamp = "mixadm2|" +
@@ -1773,11 +1790,7 @@ object ScaleOps extends QueryModule {
           .localCheckpoint()
         val cnts = marked.filter(!col("is_dup"))
           .groupBy(col("source")).agg(sum(col("tk")).as("c"))
-        val rates = waterfillFromCounts(cnts, 1L, 10L)
-          .withColumn("rate_ppm",
-            when(col("tokens") === 0L, 0L).otherwise(
-              expr("CAST((CAST(alloc AS DECIMAL(38,0)) * 1000000) div CAST(tokens AS DECIMAL(38,0)) AS BIGINT)")))
-          .select(col("source"), col("rate_ppm"))
+        val rates = ratesFrom(cnts)
         // a NULL text has no digest in either engine (md5(NULL) = NULL;
         // COUNT(DISTINCT) and IN-probes skip it) — keep the stored set
         // NULL-free so the q236 manifest count matches its oracle
@@ -1797,8 +1810,15 @@ object ScaleOps extends QueryModule {
     * yields identical decisions — streaming == batch, machine-checked
     * against the shared oracle. */
   private[graft] def mixAdmitBatch(s: SparkSession, dir: String,
+      batch: DataFrame): DataFrame =
+    mixAdmitBatchAt(s, mixAdmitStore(s, dir), batch)
+
+  /** The admission probe against an explicit policy store path — the ONE
+    * decision code path for both the frozen store (q258) and the
+    * feed-synced store (q260): the two queries can only disagree on the
+    * POLICY they probe, never on the probe itself. */
+  private[graft] def mixAdmitBatchAt(s: SparkSession, store: String,
       batch: DataFrame): DataFrame = {
-    val store = mixAdmitStore(s, dir)
     val digests = graft.sources.IndexStore.read(s, store, "digests")
       .withColumn("known", lit(true))
     val rates = broadcast(graft.sources.IndexStore.read(s, store, "rates"))
@@ -1854,6 +1874,229 @@ object ScaleOps extends QueryModule {
        |       CAST(SUM(CASE WHEN decision = 'dup' THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
        |       CAST(SUM(CASE WHEN decision = 'admit' THEN 1 ELSE 0 END) AS BIGINT) AS n_admitted,
        |       CAST(SUM(CASE WHEN decision = 'admit' THEN tk ELSE 0 END) AS BIGINT) AS admitted_tokens
+       |FROM dec GROUP BY source""".stripMargin
+  }
+
+  // ---- q260: feed-driven sync of the mix-admission policy store ----
+
+  /** Group canonicals from a member-keys frame (dh, doc_id, source, tk):
+    * one row per digest carrying the min-doc_id holder's (source, tk) —
+    * q60's canonical policy over ANY key set, map-side combinable
+    * (partial min of the struct). NULL digests form one group, matching
+    * [[markDupsIn]]'s null-safe join and the oracle's PARTITION BY. */
+  private def canonOf(keys: DataFrame): DataFrame =
+    keys.groupBy(col("dh"))
+      .agg(min(struct(col("doc_id"), col("source"), col("tk"))).as("k"))
+      .select(col("dh"), col("k.doc_id").as("doc_id"),
+        col("k.source").as("source"), col("k.tk").as("tk"))
+
+  /** One O(delta) feed application onto the synced policy store at
+    * `path`: deletes remove holders (a digest is forgotten only when its
+    * LAST holder goes — q228's group-survival rule — and a deleted
+    * canonical with surviving holders PROMOTES the next-lowest doc_id,
+    * possibly shifting a count between sources), inserts append holders
+    * (a re-ingested deleted text restores its digest). Work restricted
+    * to TOUCHED groups (keys ⋈ delete-ids ∪ arrival digests — O(delta)
+    * rows): old/new canonicals are compared only there, count deltas
+    * merge into the |sources|-row counts table, and the rates re-solve
+    * driver-side through the family's shared closed form ([[ratesFrom]])
+    * — no text is ever re-hashed and no corpus-sized shuffle runs.
+    * Idempotent by construction: replaying the same feed finds the
+    * delete-ids already gone and the arrival holders already present
+    * (duplicate holder rows are the q228 append tolerance — min-struct
+    * canonicals and digest membership are insensitive to them), so
+    * decisions, counts, and rates do not move — pinned by spec. */
+  private[graft] def applyMixAdmFeed(s: SparkSession, path: String,
+      inserts: DataFrame, delKeys: DataFrame): Unit = {
+    def rd(t: String) = graft.sources.IndexStore.read(s, path, t)
+    val del = broadcast(delKeys.select(col("doc_id")).localCheckpoint())
+    val insKeys = inserts
+      .select(col("doc_id"), col("source"), tkCol.as("tk"),
+        md5(col("text")).as("dh"))
+      .localCheckpoint()
+    val keysT = rd("keys")
+    val touched = broadcast(
+      keysT.join(del, Seq("doc_id")).select(col("dh"))
+        .unionByName(insKeys.select(col("dh")))
+        .distinct().localCheckpoint())
+    def restrict(k: DataFrame): DataFrame =
+      k.join(touched.withColumnRenamed("dh", "tdh"),
+        col("dh") <=> col("tdh")).drop("tdh")
+    val oldC = canonOf(restrict(keysT)).localCheckpoint()
+    val keys2 = keysT.join(del, Seq("doc_id"), "left_anti")
+      .unionByName(insKeys).localCheckpoint()
+    val newC = canonOf(restrict(keys2)).localCheckpoint()
+    // digest-set movement: gone = touched groups whose last holder left;
+    // added = touched groups that exist only post-apply (restored texts)
+    val goneD = broadcast(oldC.select(col("dh"))
+      .join(newC.select(col("dh").as("ndh")), col("dh") <=> col("ndh"), "left_anti")
+      .localCheckpoint())
+    val addD = newC.select(col("dh"))
+      .join(oldC.select(col("dh").as("odh")), col("dh") <=> col("odh"), "left_anti")
+      .filter(col("dh").isNotNull)
+    val dig2 = rd("digests").join(goneD, Seq("dh"), "left_anti")
+      .unionByName(addD).localCheckpoint()
+    // count deltas from canonical movement only (old out, new in), merged
+    // into the |sources|-row counts; a source whose canonicals all left
+    // drops out, exactly as the oracle's survivor grouping never forms it
+    val counts2 = rd("counts")
+      .unionByName(oldC.groupBy(col("source")).agg((-sum(col("tk"))).as("c")))
+      .unionByName(newC.groupBy(col("source")).agg(sum(col("tk")).as("c")))
+      .groupBy(col("source")).agg(sum(col("c")).as("c"))
+      .filter(col("c") > 0L).localCheckpoint()
+    val rates2 = ratesFrom(counts2).localCheckpoint()
+    graft.sources.IndexStore.inParallel(Seq(
+      () => graft.sources.IndexStore.replaceTable(s, path, "keys", keys2),
+      () => graft.sources.IndexStore.replaceTable(s, path, "digests", dig2),
+      () => graft.sources.IndexStore.replaceTable(s, path, "counts", counts2),
+      () => graft.sources.IndexStore.replaceTable(s, path, "rates", rates2)))
+  }
+
+  /** Build-if-stale the FEED-SYNCED mix-admission policy store (q260's
+    * substrate — VERDICT r18 item 3: the sixth serving family joins the
+    * lake-O(delta) matrix; the frozen q258 store keeps its build-only
+    * stamp lifecycle as the "policy of the last batch solve" it is
+    * documented to be). The q228 feed cycle over the documents corpus:
+    * v1 commits the corpus and the store builds FROM THE LAKE (digests,
+    * member keys, canonical counts, rates); v2 equality-deletes the
+    * takedown ids (doc_id % 97 = 13); v3 re-ingests the % 31 = 2 texts
+    * under fresh ids (+500000, same source); the v1->v3 feed is drained
+    * once and applied via [[applyMixAdmFeed]]. Final stamp only AFTER
+    * the apply (crash mid-sync rebuilds); feed counts in meta. */
+  private[graft] def mixAdmitSyncStore(s: SparkSession, dir: String): String = {
+    val path = "target/tmp/mixadm_sync_" +
+      graft.operators.Similarity.processTag + "_" +
+      dir.replaceAll("[^A-Za-z0-9.]+", "_")
+    val stamp = "mixadmsync1|" +
+      graft.sources.IndexStore.sourceStamp(s, Seq(s"$dir/documents.parquet"))
+    synchronized {
+      if (!graft.sources.IndexStore.isCurrent(s, path, stamp)) {
+        val lake = graft.sources.RoundTrip.freshLake(s, "mixadmsync", dir)
+        val docs = table(s, dir, "documents")
+          .select(col("doc_id").cast("long").as("doc_id"), col("source"),
+            col("text"))
+        val v1 = graft.sources.Snapshots.commit(docs, lake, append = false)
+        val base = graft.sources.Snapshots.read(s, lake, v1)
+        graft.sources.Snapshots.commitDelete(
+          docs.filter(col("doc_id") % 97 === 13).select("doc_id"), lake)
+        val v3 = graft.sources.Snapshots.commit(
+          docs.filter(col("doc_id") % 31 === 2)
+            .select((col("doc_id") + 500000L).as("doc_id"), col("source"),
+              col("text")),
+          lake, append = true)
+        val feed = graft.sources.Snapshots.changes(s, lake, v1, v3)
+          .localCheckpoint()
+        // v1 store: member keys, NULL-free digest set, canonical counts,
+        // rates — all from the lake state the feed windows against
+        val keys0 = base
+          .select(col("doc_id"), col("source"), tkCol.as("tk"),
+            md5(col("text")).as("dh"))
+          .localCheckpoint()
+        val counts0 = canonOf(keys0)
+          .groupBy(col("source")).agg(sum(col("tk")).as("c"))
+          .filter(col("c") > 0L)
+        graft.sources.IndexStore.write(s, path, "mixadmsync-building", Seq(
+          "keys" -> keys0,
+          "digests" -> keys0.select(col("dh"))
+            .filter(col("dh").isNotNull).distinct(),
+          "counts" -> counts0,
+          "rates" -> ratesFrom(counts0)))
+        graft.operators.Similarity.cleanupAtExit(path)
+        val inserts = feed.filter(col("_change_type") === "insert")
+          .select(col("doc_id"), col("source"), col("text"))
+        val delKeys = feed.filter(col("_change_type") === "delete")
+          .select(col("doc_id"))
+        applyMixAdmFeed(s, path, inserts, delKeys)
+        graft.sources.IndexStore.writeStamp(s, path, stamp, Map(
+          "n_feed_inserts" -> inserts.count().toString,
+          "n_feed_deletes" -> delKeys.count().toString))
+      }
+    }
+    path
+  }
+
+  /** q260: the mix-admission policy store FEED-SYNCED (VERDICT r18 item
+    * 3) — the sixth serving family follows the lake O(delta) like
+    * q228/q229/q230/q244 instead of its r18 stamp-rebuild-whole
+    * lifecycle. The probe is q258's arrival batch through the SAME
+    * decision code path ([[mixAdmitBatchAt]]), now against the SYNCED
+    * policy: copies of taken-down (and not re-ingested) texts are no
+    * longer dups — they fall through to the lottery at the RE-SOLVED
+    * rates — while re-ingested texts still screen out, and the rates
+    * reflect canonical promotion across sources. Audit: the synced
+    * digest count (must equal the current corpus's distinct non-NULL
+    * text count — the q228 structural equality that catches over- or
+    * under-erasure even when no decision flips) plus the feed counts.
+    * Oracle: rates, decisions, and the audit recomputed from the lake's
+    * CURRENT logical state (corpus minus takedowns plus re-ingestions).
+    * Scale shape: the one-time v1 build is corpus-sized behind the
+    * stamp (warm-pass contract); the recurring apply shuffles O(delta)
+    * (touched-group canonicals), the probe is q258's digest-probe +
+    * broadcast lottery, and the rates re-solve is |sources|-row driver
+    * metadata. */
+  def feedSyncedMixAdmission(s: SparkSession, dir: String): DataFrame = {
+    tune(s)
+    val store = mixAdmitSyncStore(s, dir)
+    val meta = graft.sources.IndexStore.readMeta(s, store)
+    // count(*), not countDistinct: the digest table is distinct BY
+    // CONSTRUCTION (the build writes .distinct(); the apply removes gone
+    // digests and appends only absent ones, and a feed replay appends
+    // nothing — spec'd) — so the structural equality holds without a
+    // digest-wide distinct shuffle, keeping the audit's shuffle at
+    // partial-count bytes instead of linear in index size
+    val audit = graft.sources.IndexStore.read(s, store, "digests")
+      .agg(count(lit(1)).as("n_digests"))
+      .withColumn("n_feed_inserts", lit(meta("n_feed_inserts").toLong))
+      .withColumn("n_feed_deletes", lit(meta("n_feed_deletes").toLong))
+    mixAdmitSummary(mixAdmitBatchAt(s, store, mixArrivalBatch(s, dir)))
+      .crossJoin(broadcast(audit))
+  }
+
+  private[graft] val feedSyncedMixAdmissionSql = {
+    val cSql =
+      """c AS (SELECT source, CAST(SUM(tk) AS BIGINT) AS c FROM surv GROUP BY source)"""
+    val arrTk = tkSql.replace("text", "a.text")
+    s"""WITH cur AS (
+       |  SELECT CAST(doc_id AS BIGINT) AS doc_id, source, text FROM documents
+       |  WHERE CAST(doc_id AS BIGINT) % 97 <> 13
+       |  UNION ALL
+       |  SELECT CAST(doc_id AS BIGINT) + 500000, source, text FROM documents
+       |  WHERE CAST(doc_id AS BIGINT) % 31 = 2),
+       |md AS (
+       |  SELECT doc_id, source, $tkSql AS tk,
+       |         ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) > 1 AS is_dup
+       |  FROM cur),
+       |surv AS (SELECT doc_id, source, tk FROM md WHERE NOT is_dup),
+       |${waterfillCtesOver(cSql, 1L, 10L)},
+       |rates AS (
+       |  SELECT source,
+       |         CASE WHEN tokens = 0 THEN 0
+       |              ELSE CAST((CAST(alloc AS HUGEINT) * 1000000) // CAST(tokens AS HUGEINT) AS BIGINT)
+       |         END AS rate_ppm
+       |  FROM alloc),
+       |arr AS (
+       |  SELECT doc_id + 200000 AS doc_id, source, text
+       |  FROM documents WHERE doc_id % 7 = 0
+       |  UNION ALL
+       |  SELECT doc_id + 100000, source, substr(text, 11)
+       |  FROM documents WHERE doc_id % 7 = 3),
+       |dec AS (
+       |  SELECT a.doc_id, a.source, $arrTk AS tk,
+       |         CASE WHEN md5(a.text) IN (SELECT md5(text) FROM cur) THEN 'dup'
+       |              WHEN ${MD5L("CAST(a.doc_id AS VARCHAR) || '#adm'")} % 1000000
+       |                     < COALESCE(r.rate_ppm, 0) THEN 'admit'
+       |              ELSE 'drop' END AS decision
+       |  FROM arr a LEFT JOIN rates r ON r.source = a.source)
+       |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_arrived,
+       |       CAST(SUM(CASE WHEN decision = 'dup' THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+       |       CAST(SUM(CASE WHEN decision = 'admit' THEN 1 ELSE 0 END) AS BIGINT) AS n_admitted,
+       |       CAST(SUM(CASE WHEN decision = 'admit' THEN tk ELSE 0 END) AS BIGINT) AS admitted_tokens,
+       |       (SELECT CAST(COUNT(DISTINCT md5(text)) AS BIGINT) FROM cur
+       |        WHERE text IS NOT NULL) AS n_digests,
+       |       (SELECT CAST(COUNT(*) AS BIGINT) FROM documents
+       |        WHERE CAST(doc_id AS BIGINT) % 31 = 2) AS n_feed_inserts,
+       |       (SELECT CAST(COUNT(*) AS BIGINT) FROM documents
+       |        WHERE CAST(doc_id AS BIGINT) % 97 = 13) AS n_feed_deletes
        |FROM dec GROUP BY source""".stripMargin
   }
 
@@ -2077,6 +2320,9 @@ object ScaleOps extends QueryModule {
     GQuery("q257_incr_mix_datacard",
       "incremental mixing data card: per-source counts maintained O(delta) across three append commits + a takedown delete (keys resolved via the bloom-pruned pre-delete point read), waterfill re-solved driver-side from the maintained counts; natural/allocation shares wide-integer exact — oracle recomputes from the lake's current state",
       incrementalMixDatacard, Some(incrementalMixDatacardSql)),
+    GQuery("q260_feed_synced_mixadm",
+      "feed-synced mix-admission policy store: the sixth serving family joins the lake O(delta) matrix — takedown deletes forget a digest only when its last holder goes (canonical promotion shifts counts between sources), re-ingestions restore digests, rates re-solved driver-side from the maintained |sources|-row counts; q258's probe code path against the synced policy, digest-count structural audit, oracle recomputes everything from the lake's current state",
+      feedSyncedMixAdmission, Some(feedSyncedMixAdmissionSql)),
     GQuery("q259_mix_pipeline",
       "end-to-end mixing composition: exact dedup -> quality-first fill over survivors (same qualitySelect code path, tight budget) -> temperature epoch mixing over the kept set, one oracled dataflow whose oracle replays the entire chain",
       mixPipeline, Some(mixPipelineSql)),

@@ -550,6 +550,45 @@ class ScaleOpsSpec extends AnyFunSuite {
     rmDir(dir)
   }
 
+  test("q260 feed-synced mix-admission: takedowns really erase digests, both decision mechanisms fire, and a feed replay is a no-op on digests/counts/rates/decisions") {
+    import graft.operators.ScaleOps
+    val dir = TestSpark.sf
+    val store = ScaleOps.mixAdmitSyncStore(s, dir)
+    def rd(t: String) = graft.sources.IndexStore.read(s, store, t)
+    val docs = table(s, dir, "documents")
+      .select(col("doc_id").cast("long").as("doc_id"), col("source"), col("text"))
+    // the delete leg was real: at least one taken-down (not re-ingested,
+    // not otherwise held) text left the digest set
+    val baseDistinct = docs.filter(col("text").isNotNull)
+      .select(md5(col("text"))).distinct().count()
+    val nDig = rd("digests").count()
+    assert(nDig < baseDistinct,
+      s"takedown must shrink the digest set ($nDig vs $baseDistinct)")
+    // both mechanisms fire against the SYNCED policy (q258's strictness
+    // convention): the dup screen rejects and the lottery admits
+    val arrivals = ScaleOps.mixArrivalBatch(s, dir)
+    val d = ScaleOps.mixAdmitBatchAt(s, store, arrivals).groupBy().agg(
+      sum(when(col("decision") === "dup", 1L).otherwise(0L)),
+      sum(when(col("decision") === "admit", 1L).otherwise(0L))).collect()(0)
+    assert(d.getLong(0) > 0L, "the synced dup screen must reject the copies")
+    assert(d.getLong(1) > 0L, "the synced lottery must admit fresh arrivals")
+    // replay the SAME drained feed window onto the synced store: the
+    // delete ids are already gone and the arrival holders already present
+    // (duplicate holder rows are the q228 append tolerance), so digests,
+    // counts, rates, and decisions must not move — the property that
+    // makes a re-delivered window safe for the streaming form
+    def snap() = (rowsOf(rd("rates")), rowsOf(rd("counts")),
+      rd("digests").count(),
+      rowsOf(ScaleOps.mixAdmitSummary(ScaleOps.mixAdmitBatchAt(s, store, arrivals))))
+    val before = snap()
+    ScaleOps.applyMixAdmFeed(s, store,
+      docs.filter(col("doc_id") % 31 === 2)
+        .select((col("doc_id") + 500000L).as("doc_id"), col("source"), col("text")),
+      docs.filter(col("doc_id") % 97 === 13).select(col("doc_id")))
+    assert(snap() == before,
+      "replaying the same feed window must be a no-op on the policy store")
+  }
+
   test("q259 composition shares q256's survivor universe, and its kept token mass sits in the greedy crossing band") {
     val dir = TestSpark.sf
     val byQ256 = ScaleOps.dedupMixture(s, dir)
