@@ -215,6 +215,14 @@ object PlanFingerprint {
     // the feed-delta maintenance, spec'd and rung-measured); q258
     // follows the streaming-rig exclusion.
     "q259_mix_pipeline",
+    // round-19 (lock-on-landing): q261's locked value is its final leg —
+    // the epoch explode + ONE (source, shard)-partitioned pack window +
+    // two-level rollup over the checkpointed kept set with the broadcast
+    // mix table; a drift that globalized the pack window (losing the
+    // 16-way shard bound) or shuffled the mix table is what the lock
+    // catches. Upstream legs are q256/q255's locked shapes, pinned
+    // there (they run inside the shared mixChain's eager checkpoint).
+    "q261_mix_pack_pipeline",
     // round-19: q260 follows the q257/q228 loop-rig exclusion — its
     // returned frame is the q258 probe (broadcast rates + digest
     // membership) over a store whose state depends on the in-process

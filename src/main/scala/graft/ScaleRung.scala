@@ -284,6 +284,12 @@ object ScaleRung {
     // probe and shuffle stay near the q258 row, NOT the corpus (the
     // O(delta) claim VERDICT r18 item 3's done-criterion pins)
     "q260_feed_synced_mixadm",
+    // q261 adds ONE instance-sized sharded pack window + a two-level
+    // rollup to q259's final leg (the chain itself is the session-cached
+    // mixChain state, warm after the first consumer) — its row should
+    // sit near q259's with shuffle tracking the instance count, no new
+    // corpus-sized term
+    "q261_mix_pack_pipeline",
   )
 
   /** The RocksDB-vs-memory crossover experiment: the two streaming rigs

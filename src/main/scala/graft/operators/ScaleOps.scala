@@ -2117,43 +2117,105 @@ object ScaleOps extends QueryModule {
     * sharded window, one explode bounded by the epoch cap, and |sources|-
     * row driver math — every stage is a pinned shape from its parent
     * query; the composition adds no new corpus-sized term. */
+  /** The dedup -> fill -> mix chain's SHARED state (q259 and q261): the
+    * checkpointed kept set, the |sources|-row epoch mixing table, and the
+    * survivor counts — built once per (session, corpus) so the two
+    * consumers read the SAME realization (a policy tweak can never
+    * de-synchronize the audit from the packed product). */
+  private[graft] final case class MixChain(kept: DataFrame, mix: DataFrame,
+      nDocsM: Map[String, Long])
+
+  private def mixChainOf(s: SparkSession, dir: String): MixChain =
+    graft.SessionCache.cachedValue(s, s"scaleops:mixchain:$dir") {
+      import s.implicits._
+      val surv = markDups(s, dir).filter(!col("is_dup"))
+        .select(col("doc_id"), col("source"), col("tk"))
+      val sel = qualitySelect(s, annotateQuality(s, dir, surv), 2L, 1L, 10L)
+      val kept = sel.pre.filter(col("kept"))
+        .select(col("doc_id"), col("source"), col("tk")).localCheckpoint()
+      // per-source kept stats -> the epoch mixing table: q251's shared
+      // closed form ([[epochMixTable]]) over the KEPT counts
+      val selRows = kept.groupBy(col("source"))
+        .agg(sum(col("tk")).as("kt"), count(lit(1)).as("nk"))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+        .filter(_._2 > 0L)
+      val ktM = selRows.map { case (src, kt, _) => src -> kt }.toMap
+      val nkM = selRows.map { case (src, _, nk) => src -> nk }.toMap
+      val mixRows = epochMixTable(selRows.toSeq.map { case (src, kt, _) => (src, kt) })
+        .map { case (src, _, ep, rt) => (src, nkM(src), ktM(src), ep, rt) }
+      val mix = broadcast(mixRows
+        .toDF("source", "n_kept", "kept_tokens", "epochs_full", "rem_thresh"))
+      MixChain(kept, mix, sel.nDocsM)
+    }(mc => { mc.kept.unpersist(); () })
+
   def mixPipeline(s: SparkSession, dir: String): DataFrame = {
     tune(s)
     import s.implicits._
-    val surv = markDups(s, dir).filter(!col("is_dup"))
-      .select(col("doc_id"), col("source"), col("tk"))
-    val sel = qualitySelect(s, annotateQuality(s, dir, surv), 2L, 1L, 10L)
-    val kept = sel.pre.filter(col("kept"))
-      .select(col("doc_id"), col("source"), col("tk")).localCheckpoint()
-    // per-source kept stats -> the epoch mixing table: q251's shared
-    // closed form ([[epochMixTable]]) over the KEPT counts
-    val selRows = kept.groupBy(col("source"))
-      .agg(sum(col("tk")).as("kt"), count(lit(1)).as("nk"))
-      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
-      .filter(_._2 > 0L)
-    val ktM = selRows.map { case (src, kt, _) => src -> kt }.toMap
-    val nkM = selRows.map { case (src, _, nk) => src -> nk }.toMap
-    val mixRows = epochMixTable(selRows.toSeq.map { case (src, kt, _) => (src, kt) })
-      .map { case (src, _, ep, rt) => (src, nkM(src), ktM(src), ep, rt) }
-    val mix = broadcast(mixRows
-      .toDF("source", "n_kept", "kept_tokens", "epochs_full", "rem_thresh"))
-    val inst = withEpochInstances(kept.join(mix, Seq("source")))
+    val mc = mixChainOf(s, dir)
+    val inst = withEpochInstances(mc.kept.join(mc.mix, Seq("source")))
       .groupBy(col("source"))
       .agg(min(col("n_kept")).as("n_kept"),
            min(col("kept_tokens")).as("kept_tokens"),
            count(lit(1)).as("n_instances"),
            sum(col("tk")).as("realized_tokens"))
     // survivor counts ride the selection metadata (|sources|-row)
-    val nSurv = broadcast(sel.nDocsM.toSeq.toDF("source", "n_surv"))
+    val nSurv = broadcast(mc.nDocsM.toSeq.toDF("source", "n_surv"))
     inst.join(nSurv, Seq("source"))
       .select(col("source"), col("n_surv"), col("n_kept"), col("kept_tokens"),
         col("n_instances"), col("realized_tokens"))
   }
 
-  private val mixPipelineSql = {
+  /** Mix -> pack (q261): the training-data chain CLOSED (VERDICT r18
+    * item 4) — q259's materialized epoch instances fed through q102's
+    * sequence packer, so the dataflow a training run actually executes
+    * (dedup -> quality fill -> temperature mix -> context-window packing)
+    * is ONE oracled query. The instance frame comes from the SHARED
+    * [[mixChainOf]] state + the SAME [[withEpochInstances]] explode as
+    * q259 (the two queries cannot disagree on what was materialized);
+    * the packer is q102's shape verbatim — a sharded running token count
+    * (16 hash shards, the packer's own convention) ordered (doc_id,
+    * inst) inside a shard, pack_id = floor(prefix-before / 2048). Epoch
+    * instances of one document pack adjacently by construction — the
+    * deterministic layout both engines can replay bit-for-bit; a real
+    * run would shuffle-interleave epochs, but the ACCOUNTING (instances,
+    * packs, token conservation) is order-free and is what the oracle
+    * pins. Per-source audit: packs, instances, packed tokens (must equal
+    * q259's realized tokens — token conservation through the packer),
+    * max pack fill. Scale shape: the chain's stages are its parents'
+    * pinned shapes; packing adds ONE instance-sized shuffle whose
+    * reducer input is bounded by source/16 (q102's argument), and the
+    * rollup collapses to |sources| x 16 x packs rows map-side. */
+  def mixPackPipeline(s: SparkSession, dir: String): DataFrame = {
+    tune(s)
+    import org.apache.spark.sql.expressions.Window
+    val mc = mixChainOf(s, dir)
+    val inst = withEpochInstances(mc.kept.join(mc.mix, Seq("source")))
+      .select(col("doc_id"), col("source"), col("tk"), col("inst"))
+      .withColumn("shard",
+        pmod(md5Long(concat(col("doc_id").cast("string"), lit("#"),
+          col("inst").cast("string"))), lit(16)))
+    val w = Window.partitionBy(col("source"), col("shard"))
+      .orderBy(col("doc_id"), col("inst"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    inst
+      .withColumn("cum", sum(col("tk")).over(w))
+      .withColumn("pack_id", expr("(cum - tk) div 2048"))
+      .groupBy(col("source"), col("shard"), col("pack_id"))
+      .agg(count(lit(1)).as("n"), sum(col("tk")).as("pt"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_packs"),
+           sum(col("n")).as("n_instances"),
+           sum(col("pt")).as("packed_tokens"),
+           max(col("pt")).as("max_pack_tokens"))
+  }
+
+  /** The dedup -> fill -> mix chain as CTEs (`surv`/`k2`/`ki` in scope;
+    * `ki` carries per-doc n_inst WITH doc_id) — the SQL twin of
+    * [[mixChainOf]], shared by the q259 and q261 oracles. */
+  private val mixChainCtes = {
     val cSql =
       """c AS (SELECT source, CAST(SUM(tk) AS BIGINT) AS c FROM surv GROUP BY source)"""
-    s"""WITH $survCtes,
+    s"""$survCtes,
        |${graft.operators.TextOps.qualityPerDocSql},
        |dqs AS (
        |  SELECT s.doc_id, s.source, s.tk, q.bucket
@@ -2178,10 +2240,14 @@ object ScaleOps extends QueryModule {
        |t22 AS (SELECT source, kt, nk, target_t // kt AS epochs_full,
        |               CAST((CAST(target_t % kt AS HUGEINT) * 1000000) // kt AS BIGINT) AS rem_thresh
        |        FROM t2),
-       |ki AS (SELECT k2.source, k2.tk, t22.nk, t22.kt,
+       |ki AS (SELECT k2.doc_id, k2.source, k2.tk, t22.nk, t22.kt,
        |         t22.epochs_full + (CASE WHEN ${MD5L("CAST(doc_id AS VARCHAR) || '#ep'")} % 1000000 < t22.rem_thresh
        |                            THEN 1 ELSE 0 END) AS n_inst
-       |       FROM k2 JOIN t22 ON t22.source = k2.source),
+       |       FROM k2 JOIN t22 ON t22.source = k2.source)""".stripMargin
+  }
+
+  private val mixPipelineSql =
+    s"""WITH $mixChainCtes,
        |sv AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_surv
        |       FROM surv GROUP BY source)
        |SELECT ki.source, MIN(sv.n_surv) AS n_surv, MIN(ki.nk) AS n_kept,
@@ -2190,7 +2256,30 @@ object ScaleOps extends QueryModule {
        |       CAST(SUM(tk * n_inst) AS BIGINT) AS realized_tokens
        |FROM ki JOIN sv ON sv.source = ki.source
        |GROUP BY ki.source HAVING SUM(n_inst) > 0""".stripMargin
-  }
+
+  private val mixPackPipelineSql =
+    s"""WITH $mixChainCtes,
+       |insts AS (
+       |  SELECT source, doc_id, tk, unnest(range(1, n_inst + 1)) AS inst
+       |  FROM ki WHERE n_inst >= 1),
+       |shd AS (
+       |  SELECT source, doc_id, tk, inst,
+       |         ${MD5L("CAST(doc_id AS VARCHAR) || '#' || CAST(inst AS VARCHAR)")} % 16 AS shard
+       |  FROM insts),
+       |cm AS (
+       |  SELECT source, shard, tk,
+       |         SUM(tk) OVER (PARTITION BY source, shard ORDER BY doc_id, inst
+       |           ROWS UNBOUNDED PRECEDING) AS cum
+       |  FROM shd),
+       |pk AS (
+       |  SELECT source, shard, (cum - tk) // 2048 AS pack_id,
+       |         COUNT(*) AS n, CAST(SUM(tk) AS BIGINT) AS pt
+       |  FROM cm GROUP BY 1, 2, 3)
+       |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_packs,
+       |       CAST(SUM(n) AS BIGINT) AS n_instances,
+       |       CAST(SUM(pt) AS BIGINT) AS packed_tokens,
+       |       CAST(MAX(pt) AS BIGINT) AS max_pack_tokens
+       |FROM pk GROUP BY source""".stripMargin
 
   /** Incremental mixing data card (q257): q254's audit table maintained
     * across lake commits from the change feed alone — q161's O(delta)
@@ -2323,6 +2412,9 @@ object ScaleOps extends QueryModule {
     GQuery("q260_feed_synced_mixadm",
       "feed-synced mix-admission policy store: the sixth serving family joins the lake O(delta) matrix — takedown deletes forget a digest only when its last holder goes (canonical promotion shifts counts between sources), re-ingestions restore digests, rates re-solved driver-side from the maintained |sources|-row counts; q258's probe code path against the synced policy, digest-count structural audit, oracle recomputes everything from the lake's current state",
       feedSyncedMixAdmission, Some(feedSyncedMixAdmissionSql)),
+    GQuery("q261_mix_pack_pipeline",
+      "the training-data chain closed: q259's materialized epoch instances fed through q102's sharded sequence packer (same mixChain state, same explode — the audit and the packed product can never disagree), per-source packs/instances/packed-token conservation/max fill, oracle replays dedup -> fill -> mix -> pack end to end",
+      mixPackPipeline, Some(mixPackPipelineSql)),
     GQuery("q259_mix_pipeline",
       "end-to-end mixing composition: exact dedup -> quality-first fill over survivors (same qualitySelect code path, tight budget) -> temperature epoch mixing over the kept set, one oracled dataflow whose oracle replays the entire chain",
       mixPipeline, Some(mixPipelineSql)),

@@ -589,6 +589,33 @@ class ScaleOpsSpec extends AnyFunSuite {
       "replaying the same feed window must be a no-op on the policy store")
   }
 
+  test("q261 packs exactly what q259 materialized: per-source instance and token conservation through the packer") {
+    import graft.operators.ScaleOps
+    val dir = TestSpark.sf
+    // the two consumers of the shared mixChain state must agree exactly:
+    // every epoch instance q259 reports lands in a pack, and the packed
+    // token mass equals the realized token mass — nothing dropped,
+    // nothing double-packed
+    val audit = ScaleOps.mixPipeline(s, dir)
+      .select(col("source"), col("n_instances"), col("realized_tokens"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val packed = ScaleOps.mixPackPipeline(s, dir).collect()
+    assert(packed.nonEmpty)
+    assert(packed.map(_.getString(0)).toSet == audit.keySet,
+      "packer must cover exactly the audited sources")
+    packed.foreach { r =>
+      val src = r.getString(0)
+      assert((r.getAs[Long]("n_instances"), r.getAs[Long]("packed_tokens")) == audit(src),
+        s"conservation through the packer must hold for $src")
+    }
+    // the packer demonstrably packs (not one pack per instance, nor one
+    // pack per source swallowing everything)
+    assert(packed.exists(_.getAs[Long]("n_packs") > 1L),
+      "some source must split across packs at this SF")
+    assert(packed.forall(r => r.getAs[Long]("n_packs") <= r.getAs[Long]("n_instances")),
+      "a pack holds at least one instance")
+  }
+
   test("q259 composition shares q256's survivor universe, and its kept token mass sits in the greedy crossing band") {
     val dir = TestSpark.sf
     val byQ256 = ScaleOps.dedupMixture(s, dir)
