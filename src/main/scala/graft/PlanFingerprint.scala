@@ -223,6 +223,13 @@ object PlanFingerprint {
     // catches. Upstream legs are q256/q255's locked shapes, pinned
     // there (they run inside the shared mixChain's eager checkpoint).
     "q261_mix_pack_pipeline",
+    // round-19 (lock-on-landing): q262's locked value is the weights
+    // join (one doc_id-keyed exchange against the checkpointed CC
+    // labels, the q90 rig class) + the waterfill's |sources|-row
+    // metadata window + the broadcast stats join — a drift that
+    // re-derived the substrate corpus-side per call or shuffled the
+    // tiny counts is what the lock catches.
+    "q262_softdedup_mixture",
     // round-19: q260 follows the q257/q228 loop-rig exclusion — its
     // returned frame is the q258 probe (broadcast rates + digest
     // membership) over a store whose state depends on the in-process

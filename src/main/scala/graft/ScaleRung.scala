@@ -290,6 +290,12 @@ object ScaleRung {
     // sit near q259's with shuffle tracking the instance count, no new
     // corpus-sized term
     "q261_mix_pack_pipeline",
+    // q262 rides the q89/q90 substrate (rep collapse, capped byte-band
+    // blocking, CC tiers) + ONE doc_id-keyed weights join + the
+    // |sources|-row waterfill — the substrate is the linear term (its
+    // own rung rows pin it); the marginal shape here is the weights
+    // join tracking corpus rows with no new quadratic term
+    "q262_softdedup_mixture",
   )
 
   /** The RocksDB-vs-memory crossover experiment: the two streaming rigs

@@ -1735,6 +1735,111 @@ object ScaleOps extends QueryModule {
        |GROUP BY k.source""".stripMargin
   }
 
+  // ---- q262: near-dup-aware (soft-dedup) mixture ----
+
+  /** q262: the allocation counts made NEAR-dup-aware (VERDICT r18 item
+    * 5) — q256 guards the mixture against exact floods only; a flood of
+    * near-duplicates (distinct digests, same content) still buys
+    * allocation there. q135's soft-dedup weights close that hole: every
+    * document in a SimHash near-dup cluster of size k contributes
+    * 1/k-weighted token mass to its source's count, so a duplicated
+    * "idea" funds allocation once no matter how many variants exist —
+    * and no document is dropped (the soft alternative the q135 scaladoc
+    * motivates, now composed into the family's allocation instead of
+    * reported beside it). The corpus is the mixing fixture's q131/q258
+    * convention — documents plus injected near-variants (+100000,
+    * substr(text, 11), SAME source) so the mechanism is demonstrably
+    * live at every SF (the fixture corpus alone is nearly dup-free; the
+    * q258 lesson). Weights are exact integer ppm (1e6 div k) over the
+    * q89/q135 substrate (dup-group reps, capped byte-band blocking,
+    * hamming <= 3, CC labels); the per-source effective mass
+    * floor(Σ tk·w_ppm / 1e6) runs in DECIMAL(38,0)/HUGEINT (the q254
+    * wide-integer lesson: Σ tk·1e6 wraps a 64-bit long at target corpus
+    * sizes) and feeds the family's shared waterfill at the tight 1/10
+    * budget. Output per source: raw tokens, clustered-doc count,
+    * effective tokens, allocation + cap flag.
+    *
+    * Scale shape: the substrate is the dedup family's pinned one (rep
+    * collapse before any bucket, per-bucket caps, reducer-bounded CC
+    * tiers); the weights join is one doc_id-keyed exchange; everything
+    * after the per-source aggregate is |sources|-row driver metadata.
+    * The session cache holds the |corpus|-row kOf frame, not pairs. */
+  def softDedupMixture(s: SparkSession, dir: String): DataFrame = {
+    tune(s)
+    val kOf = graft.SessionCache.cached(s, s"scaleops:softmixk:$dir") {
+      val d = table(s, dir, "documents")
+        .select(col("doc_id"), col("source"), col("text"))
+      val near = d.filter(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + 100000L).as("doc_id"), col("source"),
+          expr("substr(text, 11)").as("text"))
+      val corpus = spread(d.unionByName(near))
+      val groups = Dedup.dupGroups(corpus.select(col("doc_id"), col("text")))
+      val fps = Dedup.simhashFrom(
+        groups.select(col("gid").as("doc_id"), col("text")))
+      val labels = Dedup.connectedComponents(
+        Dedup.simhashPairsAssemble(groups, fps).select(col("da"), col("db")))
+      val sizes = labels.groupBy(col("lab")).agg(count(lit(1)).as("k"))
+      corpus.select(col("doc_id"), col("source"), tkCol.as("tk"))
+        .join(labels.join(sizes, "lab").select(col("n").as("doc_id"), col("k")),
+          Seq("doc_id"), "left")
+    }
+    val cnts = kOf
+      .withColumn("w_ppm", expr("1000000 div coalesce(k, 1L)"))
+      .groupBy(col("source"))
+      .agg(sum(col("tk")).as("raw_tokens"),
+           sum(when(col("k") > 1L, 1L).otherwise(0L)).as("n_clustered"),
+           expr("CAST(SUM(CAST(tk AS DECIMAL(38,0)) * w_ppm) div 1000000 AS BIGINT)").as("c"))
+      .localCheckpoint()
+    waterfillFromCounts(cnts.select(col("source"), col("c")), 1L, 10L)
+      .withColumnRenamed("tokens", "eff_tokens")
+      .join(broadcast(cnts.select(col("source"), col("raw_tokens"),
+        col("n_clustered"))), Seq("source"))
+      .select(col("source"), col("raw_tokens").as("tokens"), col("n_clustered"),
+        col("eff_tokens"), col("alloc"), col("capped"))
+  }
+
+  private val softDedupMixtureSql = {
+    val bandSelects = (0 until 4)
+      .map(j => s"SELECT doc_id, fp, $j AS band, (fp >> ${8 * j}) & 255 AS bkey FROM fps")
+      .mkString(" UNION ALL ")
+    val cSql = """c AS (SELECT source, c FROM cw)"""
+    s"""WITH RECURSIVE docs AS (
+       |  SELECT doc_id, source, text FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + 100000, source, substr(text, 11)
+       |  FROM documents WHERE doc_id % 10 = 0),
+       |toks AS (SELECT doc_id, ${MD5L("w")} AS h
+       |         FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM docs)),
+       |votes AS (SELECT doc_id, ${(0 until 32).map(j => s"SUM(((h >> $j) & 1) * 2 - 1) AS sb$j").mkString(", ")}
+       |          FROM toks GROUP BY doc_id),
+       |fps AS (SELECT doc_id, CAST(${(0 until 32).map(j => s"(CASE WHEN sb$j > 0 THEN ${1L << j} ELSE 0 END)").mkString(" + ")} AS BIGINT) AS fp
+       |        FROM votes),
+       |bands AS ($bandSelects),
+       |prs AS (
+       |  SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+       |  FROM bands a JOIN bands b
+       |  ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+       |  WHERE bit_count(xor(a.fp, b.fp)) <= 3),
+       |edges AS (SELECT da AS n, db AS m FROM prs UNION SELECT db, da FROM prs),
+       |reach(n, lab) AS (
+       |  SELECT n, n FROM (SELECT DISTINCT n FROM edges)
+       |  UNION
+       |  SELECT e.n, r.lab FROM edges e JOIN reach r ON r.n = e.m),
+       |labels AS (SELECT n, MIN(lab) AS lab FROM reach GROUP BY n),
+       |ksz AS (SELECT lab, COUNT(*) AS k FROM labels GROUP BY lab),
+       |kof AS (SELECT labels.n AS doc_id, k FROM labels JOIN ksz ON labels.lab = ksz.lab),
+       |wd AS (SELECT d.source, $tkSql AS tk, COALESCE(kof.k, 1) AS k
+       |       FROM docs d LEFT JOIN kof ON d.doc_id = kof.doc_id),
+       |cw AS (SELECT source, CAST(SUM(tk) AS BIGINT) AS raw_tokens,
+       |              CAST(SUM(CASE WHEN k > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_clustered,
+       |              CAST(SUM(CAST(tk AS HUGEINT) * (1000000 // k)) // 1000000 AS BIGINT) AS c
+       |       FROM wd GROUP BY source),
+       |${waterfillCtesOver(cSql, 1L, 10L)}
+       |SELECT a.source, cw.raw_tokens AS tokens, cw.n_clustered,
+       |       a.tokens AS eff_tokens, a.alloc, a.capped
+       |FROM alloc a JOIN cw ON cw.source = a.source""".stripMargin
+  }
+
   // ---- q258: streaming mixing admission (the family's streaming twin) ----
 
   /** q258's synthetic arrival batch (the q131/augmentedDocs convention —
@@ -2412,6 +2517,9 @@ object ScaleOps extends QueryModule {
     GQuery("q260_feed_synced_mixadm",
       "feed-synced mix-admission policy store: the sixth serving family joins the lake O(delta) matrix — takedown deletes forget a digest only when its last holder goes (canonical promotion shifts counts between sources), re-ingestions restore digests, rates re-solved driver-side from the maintained |sources|-row counts; q258's probe code path against the synced policy, digest-count structural audit, oracle recomputes everything from the lake's current state",
       feedSyncedMixAdmission, Some(feedSyncedMixAdmissionSql)),
+    GQuery("q262_softdedup_mixture",
+      "near-dup-aware mixture: q135's soft-dedup 1/cluster-size ppm weights composed into the allocation counts (SimHash CC over the dup-group substrate, wide-integer effective mass, shared waterfill at the tight budget) so a near-dup flood — distinct digests, same content — can't buy allocation; per-source raw vs effective tokens, clustered-doc audit, alloc + cap flag",
+      softDedupMixture, Some(softDedupMixtureSql)),
     GQuery("q261_mix_pack_pipeline",
       "the training-data chain closed: q259's materialized epoch instances fed through q102's sharded sequence packer (same mixChain state, same explode — the audit and the packed product can never disagree), per-source packs/instances/packed-token conservation/max fill, oracle replays dedup -> fill -> mix -> pack end to end",
       mixPackPipeline, Some(mixPackPipelineSql)),

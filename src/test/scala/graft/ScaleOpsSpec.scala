@@ -616,6 +616,53 @@ class ScaleOpsSpec extends AnyFunSuite {
       "a pack holds at least one instance")
   }
 
+  test("q262 near-dup flood: distinct digests, same content — the flood's effective mass collapses to ~one idea and cannot buy allocation") {
+    import graft.operators.ScaleOps
+    // the flood q256 is blind to (VERDICT r18 item 5): 800 documents,
+    // every one a distinct TRANSPOSITION (one pairwise swap) of the same
+    // 41-token text — 800 pairwise-distinct sequences (exact dedup keeps
+    // every one) over ONE token multiset, hence identical SimHash
+    // fingerprints, hence one hamming-0 near-dup cluster. 800 reps stay
+    // under the 1024 band-bucket cap, so the capped substrate sees every
+    // pair. doc_ids avoid % 10 == 0 so the corpus is exactly what we
+    // write (no injected variants).
+    val toks = (1 to 41).map(i => f"ft$i%02d").toVector
+    val swaps = (for (a <- 0 until 41; b <- a + 1 until 41) yield (a, b)).take(800)
+    val flood = swaps.zipWithIndex.map { case ((a, b), i) =>
+      val t = toks.updated(a, toks(b)).updated(b, toks(a))
+      (10L * i + 1L, "flood", t.mkString(" "))
+    }
+    val small = (1 to 10).flatMap(k => (1 to 20).map(i =>
+      (100000L + 1000L * k + 10L * i + 3L, s"small$k",
+        (1 to 20).map(j => s"w${k}_${i}_$j").mkString(" "))))
+    val dir = s"target/tmp/softflood_${java.util.UUID.randomUUID().toString.take(8)}"
+    import s.implicits._
+    (flood ++ small).toDF("doc_id", "source", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = ScaleOps.softDedupMixture(s, dir).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val f = got("flood")
+    // digests really are distinct: exact dedup would keep all 800
+    assert(table(s, dir, "documents").filter(col("source") === "flood")
+      .select(md5(col("text"))).distinct().count() == 800L,
+      "transpositions must produce 800 distinct digests")
+    assert(f.getAs[Long]("n_clustered") == 800L,
+      s"every flood doc must sit in the near-dup cluster: ${f.getAs[Long]("n_clustered")}")
+    // effective mass ~ tokens/800: the whole flood funds ~one document
+    val (raw, eff) = (f.getAs[Long]("tokens"), f.getAs[Long]("eff_tokens"))
+    assert(raw == 800L * 41L, s"flood raw mass: $raw")
+    assert(eff <= raw / 400L,
+      s"the flood's effective mass must collapse (raw $raw, eff $eff)")
+    // and allocation follows effective mass: the flood cannot out-allocate
+    // an honest small source despite 4x its raw tokens
+    val smallAlloc = got("small1").getAs[Long]("alloc")
+    assert(f.getAs[Long]("alloc") <= smallAlloc,
+      s"a near-dup flood must not buy allocation (flood ${f.getAs[Long]("alloc")} vs small $smallAlloc)")
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI("file:///"), s.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(dir), true)
+  }
+
   test("q259 composition shares q256's survivor universe, and its kept token mass sits in the greedy crossing band") {
     val dir = TestSpark.sf
     val byQ256 = ScaleOps.dedupMixture(s, dir)
