@@ -1,0 +1,58 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Diagnostic main: q253's graph-ANN serving recall vs its three dials
+  * (beam width B, hop count H, graph probe width nprobe).
+  *
+  * The registered q253 reports absolute recall as measured data (~0.2 on
+  * this fixture — a property of the random-member-seed quantizer, the
+  * q188 convention); this rig is the measurement that makes the number
+  * DRIVE tuning (VERDICT r18 item 6): for each (B, H, np) cell it runs
+  * the same rig ([[graft.operators.Similarity.graphAnnServeAt]] — the
+  * q253 code path with the dials exposed) and prints recall@3, the
+  * seed-only recall (what the IVF home cell alone finds), the hop gain,
+  * and wall seconds — one markdown row per cell, no stores touched
+  * (edges built inline per np so the np2 serving store stays pristine).
+  * The chosen defaults and the adjudication live in PLANS.md
+  * ("Round-19: the q253 recall dial measured").
+  *
+  * Usage: SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 sbt "runMain graft.GraphAnnSweep"
+  */
+object GraphAnnSweep {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    Engine.tune(spark)
+    spark.sparkContext.setLogLevel("ERROR")
+    import graft.operators.Similarity
+
+    val grid = for {
+      np <- Seq(1, 2, 3)
+      b <- Seq(4, 8)
+      h <- Seq(1, 2, 3)
+    } yield (np, b, h)
+    println("| nprobe | B | H | recall@3 | seed recall | hop gain | wall s |")
+    println("|---|---|---|---|---|---|---|")
+    grid.foreach { case (np, b, h) =>
+      val edges = Similarity.knnGraphFrameNp(spark, sfDir, np)
+        .select(col("src"), col("nbr")).localCheckpoint()
+      val t0 = System.nanoTime()
+      val aud = Similarity.graphAnnServeAt(spark, sfDir, b, h, edges)
+        .select(col("recall_num"), col("seed_num"), col("recall_den"))
+        .limit(1).collect()(0)
+      val sec = (System.nanoTime() - t0) / 1e9
+      val (rn, sn, rd) =
+        (aud.getLong(0).toDouble, aud.getLong(1).toDouble, aud.getLong(2).toDouble)
+      println(f"| $np | $b | $h | ${rn / rd}%.3f | ${sn / rd}%.3f | ${(rn - sn) / rd}%.3f | $sec%.1f |")
+    }
+    spark.stop()
+  }
+}

@@ -3863,7 +3863,7 @@ object Similarity extends QueryModule {
     * the q247 registered widened graph passes 2 directly instead of
     * mutating the session knob (the ADVICE r16 concurrency rule: build
     * parameters travel as parameters). */
-  private def knnGraphFrameNp(s: SparkSession, dir: String, np: Int): DataFrame = {
+  private[graft] def knnGraphFrameNp(s: SparkSession, dir: String, np: Int): DataFrame = {
     val (cents, assign) = corpusIvfIndex(s, dir)
     val a = assign.select(col("cid"), col("vec_id"), col("embedding"), col("nrm"))
     val w = Window.partitionBy(col("src"))
@@ -5207,7 +5207,24 @@ object Similarity extends QueryModule {
     * one. */
   def graphAnnServe(s: SparkSession, dir: String): DataFrame = {
     tune(s)
-    val B = 4
+    // the widened edges, served from the PERSISTED np2 branch store
+    // (stamp-guarded: warm calls and restarts read the edges table, only
+    // an embeddings change re-runs q247's build path)
+    val edges = graft.sources.IndexStore
+      .read(s, knnGraphNp2Store(s, dir), "edges")
+      .select(col("src"), col("nbr"))
+    graphAnnServeAt(s, dir, 4, 2, edges)
+  }
+
+  /** q253's rig with its dials exposed (beam width B, hop count H, any
+    * edge frame — wider nprobe graphs come from [[knnGraphFrameNp]]):
+    * the measurement surface behind [[GraphAnnSweep]]'s B/H/nprobe
+    * recall table (VERDICT r18 item 6 — the reported ~0.2 absolute
+    * recall should DRIVE tuning, not just sit in the audit). NOT
+    * registered: the registered q253 pins (B=4, H=2, np2-store edges)
+    * and its oracle replays exactly that unrolled search. */
+  private[graft] def graphAnnServeAt(s: SparkSession, dir: String,
+      B: Int, hops: Int, edges: DataFrame): DataFrame = {
     val (_, assign) = corpusIvfIndex(s, dir)
     // cachedValue + explicit unpersist: the frames are localCheckpointed
     // (lineage truncation for the loopy consumers), and cached() would
@@ -5216,12 +5233,6 @@ object Similarity extends QueryModule {
     val a = graft.SessionCache.cachedValue(s, s"sim:annserve:a:$dir")(
       assign.select(col("cid"), col("vec_id"), col("embedding"), col("nrm"))
         .localCheckpoint())(df => { df.unpersist(); () })
-    // the widened edges, served from the PERSISTED np2 branch store
-    // (stamp-guarded: warm calls and restarts read the edges table, only
-    // an embeddings change re-runs q247's build path)
-    val edges = graft.sources.IndexStore
-      .read(s, knnGraphNp2Store(s, dir), "edges")
-      .select(col("src"), col("nbr"))
     val queries = a.filter(col("vec_id") % 23 === 3)
       .select(col("cid").as("qcid"), col("vec_id").as("qid"),
         col("embedding").as("qemb"), col("nrm").as("nq"))
@@ -5243,7 +5254,7 @@ object Similarity extends QueryModule {
       .withColumn("rn", row_number().over(wq)).filter(col("rn") <= B)
       .select(col("qid"), col("cand"), col("cosim")).localCheckpoint()
     var beam = seed
-    for (_ <- 1 to 2) {
+    for (_ <- 1 to hops) {
       val proposals = beam.select(col("qid"), col("cand").as("src"))
         .join(edges, Seq("src"))
         .select(col("qid"), col("nbr").as("cand"))
