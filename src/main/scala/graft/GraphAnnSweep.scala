@@ -34,24 +34,24 @@ object GraphAnnSweep {
     spark.sparkContext.setLogLevel("ERROR")
     import graft.operators.Similarity
 
-    val grid = for {
-      np <- Seq(1, 2, 3)
-      b <- Seq(4, 8)
-      h <- Seq(1, 2, 3)
-    } yield (np, b, h)
     println("| nprobe | B | H | recall@3 | seed recall | hop gain | wall s |")
     println("|---|---|---|---|---|---|---|")
-    grid.foreach { case (np, b, h) =>
+    // one graph build per nprobe (the only dial the edges depend on),
+    // unpersisted before the next — not per grid cell (self-review r19)
+    Seq(1, 2, 3).foreach { np =>
       val edges = Similarity.knnGraphFrameNp(spark, sfDir, np)
         .select(col("src"), col("nbr")).localCheckpoint()
-      val t0 = System.nanoTime()
-      val aud = Similarity.graphAnnServeAt(spark, sfDir, b, h, edges)
-        .select(col("recall_num"), col("seed_num"), col("recall_den"))
-        .limit(1).collect()(0)
-      val sec = (System.nanoTime() - t0) / 1e9
-      val (rn, sn, rd) =
-        (aud.getLong(0).toDouble, aud.getLong(1).toDouble, aud.getLong(2).toDouble)
-      println(f"| $np | $b | $h | ${rn / rd}%.3f | ${sn / rd}%.3f | ${(rn - sn) / rd}%.3f | $sec%.1f |")
+      for (b <- Seq(4, 8); h <- Seq(1, 2, 3)) {
+        val t0 = System.nanoTime()
+        val aud = Similarity.graphAnnServeAt(spark, sfDir, b, h, edges)
+          .select(col("recall_num"), col("seed_num"), col("recall_den"))
+          .limit(1).collect()(0)
+        val sec = (System.nanoTime() - t0) / 1e9
+        val (rn, sn, rd) =
+          (aud.getLong(0).toDouble, aud.getLong(1).toDouble, aud.getLong(2).toDouble)
+        println(f"| $np | $b | $h | ${rn / rd}%.3f | ${sn / rd}%.3f | ${(rn - sn) / rd}%.3f | $sec%.1f |")
+      }
+      edges.unpersist()
     }
     spark.stop()
   }

@@ -272,9 +272,13 @@ object ScaleRung {
     // join, the q134 screen shape for the mixing family
     "q258_stream_mix_admission",
     // q259 chains q256's dedup exchange, q255's scores join + prefilter
-    // + sharded window, and q251's bounded explode — each a pinned
-    // shape; the composition must add NO new corpus-sized term, so its
-    // row should sit near the sum of its parents' recurring terms
+    // + sharded window, and q251's bounded explode — each a pinned shape
+    // living inside the session-cached mixChain (round-19), so q259's
+    // MEASURED row is the warm form: metadata-scale rollup over the
+    // cached/checkpointed chain (whichever of q259/q261 runs first pays
+    // the chain build in its warm pass; the build's shapes are q255/
+    // q256's own locked+rung-measured stages). The composition still
+    // must add NO new corpus-sized term of its own.
     "q259_mix_pipeline",
     // q260's recurring shape: the q258 probe (digest equi-join +
     // broadcast lottery) against the SYNCED store, whose one-time build

@@ -1623,12 +1623,25 @@ object ScaleOps extends QueryModule {
   private[graft] def markDups(s: SparkSession, dir: String): DataFrame =
     markDupsIn(table(s, dir, "documents"))
 
-  /** [[markDups]] over any (doc_id, source, text) frame — the q260 sync
-    * store builds from a LAKE state, not the fixture table. */
+  /** The digest-key projection — ONE definition of how (doc_id, source,
+    * tk, dh) derive from a document, for every consumer of q60's
+    * canonical policy: the marking below, the q260 sync store's build
+    * ([[mixAdmitSyncStore]] keys0) and its feed apply
+    * ([[applyMixAdmFeed]] insKeys). A policy change here (text
+    * normalization before the digest, a tk tweak) reaches the dedup
+    * marking and the feed-synced store together — edited in one and not
+    * the other they would silently diverge while every marked-dup test
+    * stays green (the round's self-review catch). */
+  private def digestKeys(docs0: DataFrame): DataFrame =
+    docs0.select(col("doc_id"), col("source"), tkCol.as("tk"),
+      md5(col("text")).as("dh"))
+
+  /** [[markDups]] over any (doc_id, source, text) frame — the marking
+    * consumers read the fixture table; the q260 store family derives its
+    * key tables from the same [[digestKeys]] projection over LAKE
+    * states. */
   private[graft] def markDupsIn(docs0: DataFrame): DataFrame = {
-    val docs = docs0
-      .select(col("doc_id"), col("source"), tkCol.as("tk"),
-        md5(col("text")).as("dh"))
+    val docs = digestKeys(docs0)
     val keep = docs.groupBy(col("dh")).agg(min(col("doc_id")).as("keep_id"))
       .withColumnRenamed("dh", "kdh")
     docs.join(keep, col("dh") <=> col("kdh"))
@@ -2015,10 +2028,7 @@ object ScaleOps extends QueryModule {
       inserts: DataFrame, delKeys: DataFrame): Unit = {
     def rd(t: String) = graft.sources.IndexStore.read(s, path, t)
     val del = broadcast(delKeys.select(col("doc_id")).localCheckpoint())
-    val insKeys = inserts
-      .select(col("doc_id"), col("source"), tkCol.as("tk"),
-        md5(col("text")).as("dh"))
-      .localCheckpoint()
+    val insKeys = digestKeys(inserts).localCheckpoint()
     val keysT = rd("keys")
     val touched = broadcast(
       keysT.join(del, Seq("doc_id")).select(col("dh"))
@@ -2093,10 +2103,7 @@ object ScaleOps extends QueryModule {
           .localCheckpoint()
         // v1 store: member keys, NULL-free digest set, canonical counts,
         // rates — all from the lake state the feed windows against
-        val keys0 = base
-          .select(col("doc_id"), col("source"), tkCol.as("tk"),
-            md5(col("text")).as("dh"))
-          .localCheckpoint()
+        val keys0 = digestKeys(base).localCheckpoint()
         val counts0 = canonOf(keys0)
           .groupBy(col("source")).agg(sum(col("tk")).as("c"))
           .filter(col("c") > 0L)
