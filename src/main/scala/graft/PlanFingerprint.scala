@@ -230,6 +230,13 @@ object PlanFingerprint {
     // re-derived the substrate corpus-side per call or shuffled the
     // tiny counts is what the lock catches.
     "q262_softdedup_mixture",
+    // q263's locked value is the realization leg over the session-cached
+    // weighted-survivor frame: the broadcast threshold filter BEFORE the
+    // sharded window (q252's shape with effective costs) + the broadcast
+    // alloc join + one rollup — a drift that globalized the window or
+    // shuffled the |sources|-row sides is what the lock catches; the
+    // substrate legs are the q60/q89/q90 locked shapes inside the cache.
+    "q263_weighted_realize",
     // round-19: q260 follows the q257/q228 loop-rig exclusion — its
     // returned frame is the q258 probe (broadcast rates + digest
     // membership) over a store whose state depends on the in-process

@@ -300,6 +300,12 @@ object ScaleRung {
     // own rung rows pin it); the marginal shape here is the weights
     // join tracking corpus rows with no new quadratic term
     "q262_softdedup_mixture",
+    // q263's recurring shape: q252's measured prefilter + the 32-way
+    // sharded exact window over EFFECTIVE costs, reading the session-
+    // cached weighted-survivor frame (the CC substrate is the one-time
+    // term, same posture as q262) — shuffle should track ~margin x
+    // alloc of effective mass per source, no corpus-sized term
+    "q263_weighted_realize",
   )
 
   /** The RocksDB-vs-memory crossover experiment: the two streaming rigs

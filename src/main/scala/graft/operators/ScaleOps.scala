@@ -1853,6 +1853,175 @@ object ScaleOps extends QueryModule {
        |FROM alloc a JOIN cw ON cw.source = a.source""".stripMargin
   }
 
+  // ---- q263: weighted realization (exact dedup + soft weights -> selection) ----
+
+  /** q263: the two dedup guards UNIFIED into the actual document
+    * selection — exact dedup (q60's policy via [[markDupsIn]]) removes
+    * byte-copies, q135's soft weights price the surviving near-dups, and
+    * the realization greedily fills each source's allocation charging
+    * every document its EFFECTIVE cost (rtk x w_ppm, floored to
+    * MILLItokens per doc — integer-exact in both engines and long-safe
+    * at target corpus sizes where ppm units would wrap: 1e14 tokens x
+    * 1e3 < 2^63). This is soft-dedup TRAINING realized: no surviving
+    * document is barred from selection, but a near-dup cluster's members
+    * are each ~1/k of a document, so a flood fills its source's budget
+    * with many cheap variants totalling ~one idea of effective mass
+    * instead of starving honest content — where q256 (drop-exact) and
+    * q262 (allocation-only) each cover half the story. Chain: exact
+    * survivors -> SimHash CC weights over SURVIVORS (cluster sizes count
+    * what training actually sees, not the removed copies) -> waterfill
+    * over effective mass at the tight 1/10 budget -> q252's threshold
+    * prefilter ([[escalateThresholds]] verbatim, measured over effective
+    * mass) -> [[shardedPrefix]] exact window over survivors' effective
+    * costs. Per-source audit: survivors, kept docs, kept RAW tokens,
+    * kept effective millitokens, allocation (millitokens). Oracle
+    * replays the entire chain (dedup window, CC, weights, waterfill,
+    * selection window) — single-window SQL vs the sharded/prefiltered
+    * implementation, the family's bit-equality contract.
+    *
+    * Scale shape: every stage is a pinned family shape — the md5 dedup
+    * exchange, the q89/q135 capped substrate + CC tiers, one doc_id-
+    * keyed weights join, |sources|-row driver waterfill, the measured
+    * prefilter, and the 32-way sharded window over ~margin x alloc of
+    * effective mass per source. */
+  def weightedRealize(s: SparkSession, dir: String): DataFrame =
+    weightedRealizeM(s, dir, 2L)
+
+  /** The survivor frame with effective costs (rtk raw tokens, tk =
+    * effective millitokens, h = the family's hash order), session-cached
+    * — the CC substrate is the one-time term, the realization reads it. */
+  private[graft] def weightedDocs(s: SparkSession, dir: String): DataFrame =
+    graft.SessionCache.cached(s, s"scaleops:wreal:$dir") {
+      val d = table(s, dir, "documents")
+        .select(col("doc_id"), col("source"), col("text"))
+      val near = d.filter(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + 100000L).as("doc_id"), col("source"),
+          expr("substr(text, 11)").as("text"))
+      val corpus = d.unionByName(near)
+      val surv = spread(corpus.join(
+        markDupsIn(corpus).filter(!col("is_dup")).select(col("doc_id")),
+        Seq("doc_id"), "left_semi"))
+      val groups = Dedup.dupGroups(surv.select(col("doc_id"), col("text")))
+      val fps = Dedup.simhashFrom(
+        groups.select(col("gid").as("doc_id"), col("text")))
+      val labels = Dedup.connectedComponents(
+        Dedup.simhashPairsAssemble(groups, fps).select(col("da"), col("db")))
+      val sizes = labels.groupBy(col("lab")).agg(count(lit(1)).as("k"))
+      surv.select(col("doc_id"), col("source"), tkCol.as("rtk"))
+        .join(labels.join(sizes, "lab").select(col("n").as("doc_id"), col("k")),
+          Seq("doc_id"), "left")
+        .withColumn("w_ppm", expr("1000000 div coalesce(k, 1L)"))
+        .withColumn("tk", expr("(rtk * w_ppm) div 1000"))
+        .withColumn("h", md5Long(col("doc_id").cast("string")))
+        .select(col("doc_id"), col("source"), col("rtk"), col("tk"), col("h"))
+    }
+
+  private[graft] def weightedRealizeM(s: SparkSession, dir: String,
+      marginNum: Long): DataFrame = {
+    tune(s)
+    import s.implicits._
+    val wd = weightedDocs(s, dir)
+    val statRows = wd.groupBy(col("source"))
+      .agg(sum(col("tk")).as("c"), count(lit(1)).as("n_surv"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val nsurvM = statRows.collect { case (src, _, ns) if src != null => src -> ns }.toMap
+    val cntsDf = statRows.toSeq.toDF("source", "c", "n_surv")
+      .select(col("source"), col("c"))
+    val allocRows = waterfillFromCounts(cntsDf, 1L, 10L)
+      .select(col("source"), col("tokens"), col("alloc"))
+      .collect().collect { case r if !r.isNullAt(0) =>
+        (r.getString(0), r.getLong(1), r.getLong(2)) }
+    // q252's threshold machinery over EFFECTIVE mass — the same measured
+    // containment + loud escalation, only the cost column differs
+    val t = escalateThresholds(
+      allocRows.toSeq.map { case (src, c, a) => (src, a, c) }, marginNum,
+      tMap => {
+        val tDf = broadcast(tMap.toSeq.toDF("source", "t"))
+        wd.join(tDf, Seq("source"))
+          .groupBy(col("source"))
+          .agg(sum(when(col("h") < col("t"), col("tk")).otherwise(0L)).as("pre_mass"))
+          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      })
+    val tDf = broadcast(t.toSeq.toDF("source", "t"))
+    val sideDf = broadcast(allocRows.toSeq
+      .collect { case (src, _, a) if a > 0L => (src, a, nsurvM(src)) }
+      .toDF("source", "alloc", "n_surv"))
+    val pre = wd.join(tDf, Seq("source")).filter(col("h") < col("t"))
+      .withColumn("hsh", shiftright(col("h"), 55))
+    val base = shardedPrefix(pre, Seq("hsh"),
+        Seq(col("h"), col("doc_id")), Seq(col("hsh")))
+      .join(sideDf, Seq("source"))
+      .withColumn("kept", col("prefix") - col("tk") < col("alloc"))
+      .groupBy(col("source"))
+      .agg(min(col("n_surv")).as("n_surv"),
+           sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
+           sum(when(col("kept"), col("rtk")).otherwise(0L)).as("kept_tokens"),
+           sum(when(col("kept"), col("tk")).otherwise(0L)).as("kept_eff_milli"),
+           min(col("alloc")).as("alloc_milli"))
+    val zeros = allocRows.collect { case (src, _, 0L) =>
+      (src, nsurvM(src), 0L, 0L, 0L, 0L) }
+    if (zeros.isEmpty) base
+    else base.unionByName(zeros.toSeq.toDF(
+      "source", "n_surv", "n_kept", "kept_tokens", "kept_eff_milli", "alloc_milli"))
+  }
+
+  private val weightedRealizeSql = {
+    val bandSelects = (0 until 4)
+      .map(j => s"SELECT doc_id, fp, $j AS band, (fp >> ${8 * j}) & 255 AS bkey FROM fps")
+      .mkString(" UNION ALL ")
+    val cSql = """c AS (SELECT source, CAST(SUM(tk) AS BIGINT) AS c FROM wde GROUP BY source)"""
+    s"""WITH RECURSIVE corpus AS (
+       |  SELECT doc_id, source, text FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + 100000, source, substr(text, 11)
+       |  FROM documents WHERE doc_id % 10 = 0),
+       |md AS (
+       |  SELECT doc_id, source, text, $tkSql AS rtk,
+       |         ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) > 1 AS is_dup
+       |  FROM corpus),
+       |docs AS (SELECT doc_id, text FROM md WHERE NOT is_dup),
+       |toks AS (SELECT doc_id, ${MD5L("w")} AS h
+       |         FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM docs)),
+       |votes AS (SELECT doc_id, ${(0 until 32).map(j => s"SUM(((h >> $j) & 1) * 2 - 1) AS sb$j").mkString(", ")}
+       |          FROM toks GROUP BY doc_id),
+       |fps AS (SELECT doc_id, CAST(${(0 until 32).map(j => s"(CASE WHEN sb$j > 0 THEN ${1L << j} ELSE 0 END)").mkString(" + ")} AS BIGINT) AS fp
+       |        FROM votes),
+       |bands AS ($bandSelects),
+       |prs AS (
+       |  SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+       |  FROM bands a JOIN bands b
+       |  ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+       |  WHERE bit_count(xor(a.fp, b.fp)) <= 3),
+       |edges AS (SELECT da AS n, db AS m FROM prs UNION SELECT db, da FROM prs),
+       |reach(n, lab) AS (
+       |  SELECT n, n FROM (SELECT DISTINCT n FROM edges)
+       |  UNION
+       |  SELECT e.n, r.lab FROM edges e JOIN reach r ON r.n = e.m),
+       |labels AS (SELECT n, MIN(lab) AS lab FROM reach GROUP BY n),
+       |ksz AS (SELECT lab, COUNT(*) AS k FROM labels GROUP BY lab),
+       |kof AS (SELECT labels.n AS doc_id, k FROM labels JOIN ksz ON labels.lab = ksz.lab),
+       |wde AS (
+       |  SELECT m.doc_id, m.source, m.rtk,
+       |         (m.rtk * (1000000 // COALESCE(kof.k, 1))) // 1000 AS tk
+       |  FROM md m LEFT JOIN kof ON kof.doc_id = m.doc_id
+       |  WHERE NOT m.is_dup),
+       |${waterfillCtesOver(cSql, 1L, 10L)},
+       |p AS (SELECT source, rtk, tk,
+       |        SUM(tk) OVER (PARTITION BY source
+       |          ORDER BY ${MD5L("CAST(doc_id AS VARCHAR)")}, doc_id
+       |          ROWS UNBOUNDED PRECEDING) AS prefix
+       |      FROM wde),
+       |kk AS (SELECT p.source, p.rtk, p.tk, a.alloc,
+       |              (p.prefix - p.tk < a.alloc) AS kept
+       |       FROM p JOIN alloc a ON a.source = p.source)
+       |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_surv,
+       |CAST(SUM(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       |CAST(SUM(CASE WHEN kept THEN rtk ELSE 0 END) AS BIGINT) AS kept_tokens,
+       |CAST(SUM(CASE WHEN kept THEN tk ELSE 0 END) AS BIGINT) AS kept_eff_milli,
+       |MIN(alloc) AS alloc_milli
+       |FROM kk GROUP BY source""".stripMargin
+  }
+
   // ---- q258: streaming mixing admission (the family's streaming twin) ----
 
   /** q258's synthetic arrival batch (the q131/augmentedDocs convention —
@@ -2524,6 +2693,9 @@ object ScaleOps extends QueryModule {
     GQuery("q260_feed_synced_mixadm",
       "feed-synced mix-admission policy store: the sixth serving family joins the lake O(delta) matrix — takedown deletes forget a digest only when its last holder goes (canonical promotion shifts counts between sources), re-ingestions restore digests, rates re-solved driver-side from the maintained |sources|-row counts; q258's probe code path against the synced policy, digest-count structural audit, oracle recomputes everything from the lake's current state",
       feedSyncedMixAdmission, Some(feedSyncedMixAdmissionSql)),
+    GQuery("q263_weighted_realize",
+      "weighted realization — the dedup guards unified into the selection: exact-dedup survivors priced at q135's 1/cluster-size effective cost (millitoken-exact), waterfill over effective mass at the tight budget, q252's measured prefilter + sharded exact window charging each kept doc its effective cost; a near-dup flood fills its budget with cheap variants totalling ~one idea instead of starving honest sources; oracle replays dedup, CC, weights, waterfill, and the selection window",
+      weightedRealize, Some(weightedRealizeSql)),
     GQuery("q262_softdedup_mixture",
       "near-dup-aware mixture: q135's soft-dedup 1/cluster-size ppm weights composed into the allocation counts (SimHash CC over the dup-group substrate, wide-integer effective mass, shared waterfill at the tight budget) so a near-dup flood — distinct digests, same content — can't buy allocation; per-source raw vs effective tokens, clustered-doc audit, alloc + cap flag",
       softDedupMixture, Some(softDedupMixtureSql)),

@@ -663,6 +663,74 @@ class ScaleOpsSpec extends AnyFunSuite {
     fs.delete(new org.apache.hadoop.fs.Path(dir), true)
   }
 
+  /** q263's ORIGINAL single-window weighted realization over the same
+    * survivor/cost frame — what the prefiltered sharded form must
+    * reproduce bit-for-bit (the oracle keeps this SQL shape). */
+  private def naiveWeightedRealize(dir: String) = {
+    import org.apache.spark.sql.expressions.Window
+    val wd = ScaleOps.weightedDocs(s, dir)
+    val alloc = ScaleOps.waterfillFromCounts(
+      wd.groupBy(col("source")).agg(sum(col("tk")).as("c")), 1L, 10L)
+      .select(col("source"), col("alloc"))
+    val w = Window.partitionBy(col("source")).orderBy(col("h"), col("doc_id"))
+    wd
+      .withColumn("prefix",
+        sum(col("tk")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .join(broadcast(alloc), Seq("source"))
+      .withColumn("kept", col("prefix") - col("tk") < col("alloc"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_surv"),
+           sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
+           sum(when(col("kept"), col("rtk")).otherwise(0L)).as("kept_tokens"),
+           sum(when(col("kept"), col("tk")).otherwise(0L)).as("kept_eff_milli"),
+           min(col("alloc")).as("alloc_milli"))
+  }
+
+  test("q263 dual-guard flood: exact copies removed, near-dup variants admitted at ~1/k cost — bit-equal to the single-window weighted form, escalation converges") {
+    import graft.operators.ScaleOps
+    // both guards on one source: 800 transposition variants (distinct
+    // digests, ONE hamming-0 cluster) + 400 byte-copies of variant 0
+    // (exact dups). Exact dedup drops the copies; the weights price the
+    // 800 survivors at ~1/800 each, so the flood fills its allocation
+    // with MANY cheap variants totalling ~one idea of effective mass —
+    // the soft-dedup training semantic, not a ban.
+    val toks = (1 to 41).map(i => f"ft$i%02d").toVector
+    val swaps = (for (a <- 0 until 41; b <- a + 1 until 41) yield (a, b)).take(800)
+    val flood = swaps.zipWithIndex.map { case ((a, b), i) =>
+      val t = toks.updated(a, toks(b)).updated(b, toks(a))
+      (10L * i + 1L, "flood", t.mkString(" "))
+    }
+    val copies = (0 until 400).map(i =>
+      (200000L + 10L * i + 7L, "flood", flood.head._3))
+    val small = (1 to 10).flatMap(k => (1 to 20).map(i =>
+      (100000L + 1000L * k + 10L * i + 3L, s"small$k",
+        (1 to 20).map(j => s"w${k}_${i}_$j").mkString(" "))))
+    import s.implicits._
+    val dir = s"target/tmp/wrealflood_${java.util.UUID.randomUUID().toString.take(8)}"
+    (flood ++ copies ++ small).toDF("doc_id", "source", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val exact = rowsOf(naiveWeightedRealize(dir))
+    val got = ScaleOps.weightedRealize(s, dir)
+    assert(rowsOf(got) == exact,
+      "prefiltered sharded weighted realization must reproduce the single-window form bit-for-bit")
+    val f = got.collect().map(r => r.getString(0) -> r).toMap.apply("flood")
+    assert(f.getAs[Long]("n_surv") == 800L,
+      s"exact dedup must drop the 400 byte-copies: ${f.getAs[Long]("n_surv")}")
+    assert(f.getAs[Long]("n_kept") > 400L,
+      s"cheap variants fill the budget (soft dedup admits, not bans): ${f.getAs[Long]("n_kept")}")
+    // the flood's effective spend stays inside its allocation (+ one
+    // boundary doc), and it cannot out-allocate an honest small source
+    val (eff, alloc) = (f.getAs[Long]("kept_eff_milli"), f.getAs[Long]("alloc_milli"))
+    assert(eff <= alloc + 100L, s"effective spend must respect the allocation ($eff vs $alloc)")
+    val smallAlloc = got.collect().collectFirst {
+      case r if r.getString(0) == "small1" => r.getAs[Long]("alloc_milli") }.get
+    assert(alloc <= smallAlloc,
+      s"the flood must not out-allocate an honest source ($alloc vs $smallAlloc)")
+    assert(rowsOf(ScaleOps.weightedRealizeM(s, dir, 1L)) == exact,
+      "escalated thresholds must converge to the same exact answer")
+    rmDir(dir)
+  }
+
   test("q259 composition shares q256's survivor universe, and its kept token mass sits in the greedy crossing band") {
     val dir = TestSpark.sf
     val byQ256 = ScaleOps.dedupMixture(s, dir)
