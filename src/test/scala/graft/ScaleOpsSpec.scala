@@ -663,6 +663,58 @@ class ScaleOpsSpec extends AnyFunSuite {
     fs.delete(new org.apache.hadoop.fs.Path(dir), true)
   }
 
+  test("q260 delete-leg mechanisms: cross-source canonical promotion shifts counts, a re-ingested takedown restores its digest, a last-holder delete erases it") {
+    import graft.operators.ScaleOps
+    // a corpus crafted around the builder's fixed feed formulas
+    // (delete doc_id % 97 == 13, re-ingest doc_id % 31 == 2 as +500000):
+    //  - text T: held by id 110 (% 97 == 13 -> deleted, source a) AND
+    //    id 250 (survives, source b). Pre-delete canonical is 110, so T's
+    //    tokens count for a; the delete PROMOTES 250 -> T must shift to b.
+    //  - text U: held only by id 207 (% 97 == 13, % 31 != 2) -> last
+    //    holder deleted, never re-ingested: digest ERASED.
+    //  - text W: held only by id 498 (% 97 == 13 AND % 31 == 2) -> the
+    //    takedown is re-ingested as 500498 (same source): digest RESTORED,
+    //    counts unchanged (canonical moves within the source).
+    //  - filler docs in each source so no count hits zero.
+    val tT = (1 to 7).map(i => s"tt$i").mkString(" ")   // 7 tokens
+    val tU = (1 to 5).map(i => s"uu$i").mkString(" ")   // 5 tokens
+    val tW = (1 to 3).map(i => s"ww$i").mkString(" ")   // 3 tokens
+    // 100-token fillers per source so the tight 1/10 budget yields a
+    // nonzero waterfill level (a toy-sized corpus would alloc 0 and make
+    // the rates assertion vacuous)
+    val fill = (src: String) => (1 to 100).map(j => s"f$src$j").mkString(" ")
+    val docs = Seq(
+      (110L, "a", tT), (250L, "b", tT),
+      (207L, "b", tU),
+      (498L, "c", tW),
+      (1L, "a", fill("a")), (2L, "b", fill("b")), (3L, "c", fill("c")))
+    import s.implicits._
+    val dir = s"target/tmp/mixadmmech_${java.util.UUID.randomUUID().toString.take(8)}"
+    docs.toDF("doc_id", "source", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val store = ScaleOps.mixAdmitSyncStore(s, dir)
+    def rd(t: String) = graft.sources.IndexStore.read(s, store, t)
+    val digests = rd("digests").collect().map(_.getString(0)).toSet
+    def dh(text: String): String = docs.toDF("doc_id", "source", "text")
+      .filter(col("text") === text).select(md5(col("text")))
+      .collect().head.getString(0)
+    assert(digests.contains(dh(tT)), "T keeps its digest (surviving holder in b)")
+    assert(!digests.contains(dh(tU)), "U's last holder was deleted: digest erased")
+    assert(digests.contains(dh(tW)), "W was re-ingested: digest restored")
+    // counts: T's 7 tokens PROMOTED from a to b; W's 3 stay in c
+    val counts = rd("counts").collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts("a") == 100L, s"a = its filler only after the promotion: ${counts("a")}")
+    assert(counts("b") == 100L + 7L, s"b gains T's tokens (filler 100 + T 7): ${counts("b")}")
+    assert(counts("c") == 100L + 3L, s"c keeps W through the restore (filler 100 + W 3): ${counts("c")}")
+    // and the rates table is the waterfill re-solve over exactly these
+    // counts (the driver-side re-solve really ran against the shifted
+    // counts, not the pre-delete ones)
+    val rates = rd("rates").collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rates.keySet == Set("a", "b", "c") && rates("b") > 0L,
+      s"rates must be re-solved over the synced counts: $rates")
+    rmDir(dir)
+  }
+
   /** q263's ORIGINAL single-window weighted realization over the same
     * survivor/cost frame — what the prefiltered sharded form must
     * reproduce bit-for-bit (the oracle keeps this SQL shape). */
