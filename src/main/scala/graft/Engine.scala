@@ -136,6 +136,36 @@ object Engine {
   def spread(df: DataFrame): DataFrame =
     df.repartition(df.sparkSession.sparkContext.defaultParallelism)
 
+  /** Assert that a corpus's ids leave headroom below a synthetic-id
+    * offset (ADVICE r19): several fixtures inject documents under
+    * `doc_id + 100000/+200000/+500000`-style offsets, and the family's
+    * canonical policies (min-doc_id) silently assume the injected range
+    * is disjoint from the real one — violable once a corpus outgrows the
+    * offset. One max() aggregate; call it from STAMPED or session-cached
+    * builders only (zero recurring cost), never from per-probe paths. */
+  def assertIdHeadroom(df: DataFrame, idCol: String, offset: Long): Unit = {
+    val mx = df.agg(max(col(idCol)).cast("long")).head()
+    if (!mx.isNullAt(0))
+      require(mx.getLong(0) < offset,
+        s"synthetic-id offset +$offset collides with real $idCol range " +
+          s"(max ${mx.getLong(0)}): raise the offset or re-derive injected " +
+          "ids from max(doc_id)")
+  }
+
+  /** The exact form of the same guard, for augmented corpora whose
+    * crafted fixtures legitimately carry ids past the offset (the flood
+    * specs): the actual hazard is an injected id EQUAL to a real one
+    * (min-doc_id canonical policies would then merge two documents), so
+    * assert set-disjointness of the injected ids — one limit-1 semi-join,
+    * again only from cached/stamped builders. */
+  def assertIdsDisjoint(real: DataFrame, injected: DataFrame,
+      idCol: String): Unit =
+    require(injected.select(col(idCol))
+        .join(real.select(col(idCol)), idCol, "left_semi").limit(1).isEmpty,
+      s"an injected synthetic $idCol collides with a real one: the " +
+        "min-doc_id canonical policy would silently merge two documents; " +
+        "re-derive the injected ids from a disjoint range")
+
   // ---------------------------------------------------------------- parity
 
   /** Exact, order-independent sum of a double column: accumulate as

@@ -43,9 +43,15 @@ object GraphAnnSweep {
         .select(col("src"), col("nbr")).localCheckpoint()
       for (b <- Seq(4, 8); h <- Seq(1, 2, 3)) {
         val t0 = System.nanoTime()
-        val aud = Similarity.graphAnnServeAt(spark, sfDir, b, h, edges)
+        // per-cell checkpoint tracking (ADVICE r19): each serve call
+        // checkpoints seed/beam/audit frames; without unpersisting them
+        // the 18 cells accumulate checkpoint blocks in storage memory
+        val ckFrames = scala.collection.mutable.Buffer.empty[
+          org.apache.spark.sql.DataFrame]
+        val aud = Similarity.graphAnnServeAt(spark, sfDir, b, h, edges, ckFrames)
           .select(col("recall_num"), col("seed_num"), col("recall_den"))
           .limit(1).collect()(0)
+        ckFrames.foreach(_.unpersist())
         val sec = (System.nanoTime() - t0) / 1e9
         val (rn, sn, rd) =
           (aud.getLong(0).toDouble, aud.getLong(1).toDouble, aud.getLong(2).toDouble)

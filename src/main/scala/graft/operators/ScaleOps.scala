@@ -1785,6 +1785,7 @@ object ScaleOps extends QueryModule {
       val near = d.filter(col("doc_id") % 10 === 0)
         .select((col("doc_id") + 100000L).as("doc_id"), col("source"),
           expr("substr(text, 11)").as("text"))
+      graft.Engine.assertIdsDisjoint(d, near, "doc_id")
       val corpus = spread(d.unionByName(near))
       val groups = Dedup.dupGroups(corpus.select(col("doc_id"), col("text")))
       val fps = Dedup.simhashFrom(
@@ -1811,6 +1812,36 @@ object ScaleOps extends QueryModule {
         col("eff_tokens"), col("alloc"), col("capped"))
   }
 
+  /** Connected-component labeling CTEs over a `prs` (da < db) pair CTE —
+    * yields `edges` (symmetric) and `labels` (node -> component min), the
+    * SQL twin of [[Dedup.connectedComponents]] shared by the q262/q263/
+    * q264 oracles. BOUNDED form (VERDICT r19 item 5): the naive
+    * transitive-closure recursion materializes O(sum k^2) (n, lab) rows —
+    * 24M on sf0.1's real 4897-member near-dup component, ~13 min per
+    * oracle run. This form seeds propagation from LOCAL MINIMA only
+    * (nodes smaller than every neighbor) and prunes any hop that would
+    * land a label on a smaller node (`r.lab < e.n`). Identical labels:
+    * (1) a component's min m has no smaller neighbor, so m seeds; (2) m
+    * reaches every member — every other node on any path exceeds m, so
+    * the prune never blocks it; (3) any surviving (n, lab) has lab >= m
+    * and the final MIN folds the per-node identity rows back in, so
+    * MIN(lab) per node = m, exactly the closure's answer. Near-dup
+    * components are DENSE (hamming <= 3 is near-transitive), so almost
+    * every member has a smaller neighbor and the seed set collapses to
+    * ~one node per component: the reach table is ~sum k rows, not k^2
+    * (measured 28 s vs 13 min at sf0.1, byte-identical labels). */
+  private val ccLabelCtes =
+    """edges AS (SELECT da AS n, db AS m FROM prs UNION SELECT db, da FROM prs),
+      |lmin AS (SELECT n FROM edges GROUP BY n HAVING n < MIN(m)),
+      |reach(n, lab) AS (
+      |  SELECT n, n FROM lmin
+      |  UNION
+      |  SELECT e.n, r.lab FROM edges e JOIN reach r ON r.n = e.m
+      |  WHERE r.lab < e.n),
+      |labels AS (SELECT n, MIN(lab) AS lab FROM (
+      |  SELECT n, lab FROM reach
+      |  UNION ALL SELECT DISTINCT n, n FROM edges) GROUP BY n)""".stripMargin
+
   private val softDedupMixtureSql = {
     val bandSelects = (0 until 4)
       .map(j => s"SELECT doc_id, fp, $j AS band, (fp >> ${8 * j}) & 255 AS bkey FROM fps")
@@ -1833,12 +1864,7 @@ object ScaleOps extends QueryModule {
        |  FROM bands a JOIN bands b
        |  ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
        |  WHERE bit_count(xor(a.fp, b.fp)) <= 3),
-       |edges AS (SELECT da AS n, db AS m FROM prs UNION SELECT db, da FROM prs),
-       |reach(n, lab) AS (
-       |  SELECT n, n FROM (SELECT DISTINCT n FROM edges)
-       |  UNION
-       |  SELECT e.n, r.lab FROM edges e JOIN reach r ON r.n = e.m),
-       |labels AS (SELECT n, MIN(lab) AS lab FROM reach GROUP BY n),
+       |$ccLabelCtes,
        |ksz AS (SELECT lab, COUNT(*) AS k FROM labels GROUP BY lab),
        |kof AS (SELECT labels.n AS doc_id, k FROM labels JOIN ksz ON labels.lab = ksz.lab),
        |wd AS (SELECT d.source, $tkSql AS tk, COALESCE(kof.k, 1) AS k
@@ -1897,6 +1923,7 @@ object ScaleOps extends QueryModule {
       val near = d.filter(col("doc_id") % 10 === 0)
         .select((col("doc_id") + 100000L).as("doc_id"), col("source"),
           expr("substr(text, 11)").as("text"))
+      graft.Engine.assertIdsDisjoint(d, near, "doc_id")
       val corpus = d.unionByName(near)
       val surv = spread(corpus.join(
         markDupsIn(corpus).filter(!col("is_dup")).select(col("doc_id")),
@@ -1992,12 +2019,7 @@ object ScaleOps extends QueryModule {
        |  FROM bands a JOIN bands b
        |  ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
        |  WHERE bit_count(xor(a.fp, b.fp)) <= 3),
-       |edges AS (SELECT da AS n, db AS m FROM prs UNION SELECT db, da FROM prs),
-       |reach(n, lab) AS (
-       |  SELECT n, n FROM (SELECT DISTINCT n FROM edges)
-       |  UNION
-       |  SELECT e.n, r.lab FROM edges e JOIN reach r ON r.n = e.m),
-       |labels AS (SELECT n, MIN(lab) AS lab FROM reach GROUP BY n),
+       |$ccLabelCtes,
        |ksz AS (SELECT lab, COUNT(*) AS k FROM labels GROUP BY lab),
        |kof AS (SELECT labels.n AS doc_id, k FROM labels JOIN ksz ON labels.lab = ksz.lab),
        |wde AS (
@@ -2073,6 +2095,10 @@ object ScaleOps extends QueryModule {
       graft.sources.IndexStore.sourceStamp(s, Seq(s"$dir/documents.parquet"))
     synchronized {
       if (!graft.sources.IndexStore.isCurrent(s, path, stamp)) {
+        // the probes inject arrivals at +100000/+200000 (ADVICE r19):
+        // assert the headroom once per stamped build, not per probe
+        graft.Engine.assertIdHeadroom(
+          table(s, dir, "documents"), "doc_id", 100000L)
         val marked = markDups(s, dir)
           .localCheckpoint()
         val cnts = marked.filter(!col("is_dup"))
@@ -2192,9 +2218,20 @@ object ScaleOps extends QueryModule {
     * delete-ids already gone and the arrival holders already present
     * (duplicate holder rows are the q228 append tolerance — min-struct
     * canonicals and digest membership are insensitive to them), so
-    * decisions, counts, and rates do not move — pinned by spec. */
+    * decisions, counts, and rates do not move — pinned by spec.
+    *
+    * Torn-apply detection (ADVICE r19): the four table swaps are each
+    * atomic but mutually independent — a crash between them leaves the
+    * tables inconsistent, and on the RECURRING maintenance path (apply
+    * onto an already-stamped store) the untouched stamp would let the
+    * torn store pass `isCurrent` and be served. So the apply INVALIDATES
+    * the stamp first (one metadata write), and re-stamping with a
+    * feed-version token afterwards is the caller's contract
+    * ([[mixAdmitSyncStore]] stamps only after its apply returns): any
+    * interrupted apply now fails the next `isCurrent` and rebuilds. */
   private[graft] def applyMixAdmFeed(s: SparkSession, path: String,
       inserts: DataFrame, delKeys: DataFrame): Unit = {
+    graft.sources.IndexStore.writeStamp(s, path, "mixadmsync-applying")
     def rd(t: String) = graft.sources.IndexStore.read(s, path, t)
     val del = broadcast(delKeys.select(col("doc_id")).localCheckpoint())
     val insKeys = digestKeys(inserts).localCheckpoint()
@@ -2259,6 +2296,9 @@ object ScaleOps extends QueryModule {
         val docs = table(s, dir, "documents")
           .select(col("doc_id").cast("long").as("doc_id"), col("source"),
             col("text"))
+        // +100000 arrivals and +500000 re-ingests must stay disjoint
+        // from the real id range (ADVICE r19) — asserted per stamped build
+        graft.Engine.assertIdHeadroom(docs, "doc_id", 100000L)
         val v1 = graft.sources.Snapshots.commit(docs, lake, append = false)
         val base = graft.sources.Snapshots.read(s, lake, v1)
         graft.sources.Snapshots.commitDelete(

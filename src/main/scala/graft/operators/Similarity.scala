@@ -5224,7 +5224,8 @@ object Similarity extends QueryModule {
     * registered: the registered q253 pins (B=4, H=2, np2-store edges)
     * and its oracle replays exactly that unrolled search. */
   private[graft] def graphAnnServeAt(s: SparkSession, dir: String,
-      B: Int, hops: Int, edges: DataFrame): DataFrame = {
+      B: Int, hops: Int, edges: DataFrame,
+      track: scala.collection.mutable.Buffer[DataFrame] = null): DataFrame = {
     val (_, assign) = corpusIvfIndex(s, dir)
     // cachedValue + explicit unpersist: the frames are localCheckpointed
     // (lineage truncation for the loopy consumers), and cached() would
@@ -5233,10 +5234,18 @@ object Similarity extends QueryModule {
     val a = graft.SessionCache.cachedValue(s, s"sim:annserve:a:$dir")(
       assign.select(col("cid"), col("vec_id"), col("embedding"), col("nrm"))
         .localCheckpoint())(df => { df.unpersist(); () })
-    val queries = a.filter(col("vec_id") % 23 === 3)
+    // every per-call checkpoint registers with `track` (ADVICE r19: the
+    // 18-cell sweep leaked all of them — blocks accumulated across cells);
+    // a null tracker (the registered q253 path) keeps the old lifecycle,
+    // where the frames die with the session
+    def ck(df: DataFrame): DataFrame = {
+      val c = df.localCheckpoint()
+      if (track != null) track += c
+      c
+    }
+    val queries = ck(a.filter(col("vec_id") % 23 === 3)
       .select(col("cid").as("qcid"), col("vec_id").as("qid"),
-        col("embedding").as("qemb"), col("nrm").as("nq"))
-      .localCheckpoint()
+        col("embedding").as("qemb"), col("nrm").as("nq")))
     val qkeys = queries.select(col("qid"), col("qemb"), col("nq"))
     val wq = Window.partitionBy(col("qid")).orderBy(col("cosim").desc, col("cand"))
     def score(cand: DataFrame): DataFrame =
@@ -5250,9 +5259,9 @@ object Similarity extends QueryModule {
       .join(a.select(col("cid").as("qcid"), col("vec_id").as("cand")), Seq("qcid"))
       .filter(col("cand") =!= col("qid"))
       .select(col("qid"), col("cand"))
-    val seed = score(seedCand)
+    val seed = ck(score(seedCand)
       .withColumn("rn", row_number().over(wq)).filter(col("rn") <= B)
-      .select(col("qid"), col("cand"), col("cosim")).localCheckpoint()
+      .select(col("qid"), col("cand"), col("cosim")))
     var beam = seed
     for (_ <- 1 to hops) {
       val proposals = beam.select(col("qid"), col("cand").as("src"))
@@ -5261,12 +5270,12 @@ object Similarity extends QueryModule {
         .filter(col("cand") =!= col("qid"))
         .distinct()
         .join(beam.select(col("qid"), col("cand")), Seq("qid", "cand"), "left_anti")
-      beam = beam.unionByName(score(proposals))
+      beam = ck(beam.unionByName(score(proposals))
         .withColumn("rn", row_number().over(wq)).filter(col("rn") <= B)
-        .select(col("qid"), col("cand"), col("cosim")).localCheckpoint()
+        .select(col("qid"), col("cand"), col("cosim")))
     }
-    val gtop = beam.withColumn("rn", row_number().over(wq))
-      .filter(col("rn") <= 3).localCheckpoint()
+    val gtop = ck(beam.withColumn("rn", row_number().over(wq))
+      .filter(col("rn") <= 3))
     // the exact audit: brute-force top-3 per query (the q64 probe shape)
     val exact = a.select(col("vec_id").as("cand"), col("embedding").as("vemb"),
         col("nrm").as("nv"))
@@ -5276,7 +5285,7 @@ object Similarity extends QueryModule {
         round(dotExpr / (col("nq") * col("nv")), 9).as("cosim"))
       .withColumn("rn", row_number().over(wq)).filter(col("rn") <= 3)
       .select(col("qid"), col("cand"))
-    val exactCk = exact.localCheckpoint()
+    val exactCk = ck(exact)
     val seedTop = seed.withColumn("rn", row_number().over(wq))
       .filter(col("rn") <= 3).select(col("qid"), col("cand"))
     def hitsOf(top: DataFrame, out: String): DataFrame =
@@ -5284,9 +5293,8 @@ object Similarity extends QueryModule {
         .join(top.join(exactCk, Seq("qid", "cand"), "left_semi")
           .groupBy(col("qid")).agg(count(lit(1)).as("nh")), Seq("qid"), "left")
         .select(col("qid"), coalesce(col("nh"), lit(0L)).as(out))
-    val perq = hitsOf(gtop.select(col("qid"), col("cand")), "n_exact_hits")
-      .join(hitsOf(seedTop, "n_seed_hits"), Seq("qid"))
-      .localCheckpoint()
+    val perq = ck(hitsOf(gtop.select(col("qid"), col("cand")), "n_exact_hits")
+      .join(hitsOf(seedTop, "n_seed_hits"), Seq("qid")))
     val aud = perq.agg(sum(col("n_exact_hits")).as("recall_num"),
         sum(col("n_seed_hits")).as("seed_num"),
         (count(lit(1)) * 3).as("recall_den"))

@@ -712,6 +712,19 @@ class ScaleOpsSpec extends AnyFunSuite {
     val rates = rd("rates").collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(rates.keySet == Set("a", "b", "c") && rates("b") > 0L,
       s"rates must be re-solved over the synced counts: $rates")
+    // ADVICE r19: a recurring apply must INVALIDATE the stamp before its
+    // four independent table swaps — a crash mid-apply on an already-
+    // stamped store would otherwise pass isCurrent and serve torn tables.
+    // Re-stamping afterwards (with a feed-version token) is the caller's
+    // contract; an apply that dies leaves the store loudly stale.
+    assert(graft.sources.IndexStore.readStamp(s, store)
+        .exists(_.startsWith("mixadmsync1|")),
+      "precondition: the built store is stamped current")
+    val emptyDocs = docs.toDF("doc_id", "source", "text").limit(0)
+    ScaleOps.applyMixAdmFeed(s, store, emptyDocs, emptyDocs.select("doc_id"))
+    assert(graft.sources.IndexStore.readStamp(s, store)
+        .contains("mixadmsync-applying"),
+      "an apply without a re-stamp must leave the store detectably torn")
     rmDir(dir)
   }
 
