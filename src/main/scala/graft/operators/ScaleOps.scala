@@ -1943,61 +1943,127 @@ object ScaleOps extends QueryModule {
         .select(col("doc_id"), col("source"), col("rtk"), col("tk"), col("h"))
     }
 
+  /** The weighted realization's SHARED selection state (q263 and q264):
+    * the checkpointed per-document decision frame (source, doc_id, rtk,
+    * tk, kept, n_surv, alloc) over the prefiltered survivors, plus the
+    * |sources|-row metadata — built once per (session, corpus, margin),
+    * the [[MixChain]] convention, so the audit and the packed product
+    * read the SAME realization and can never disagree on what was kept. */
+  private[graft] final case class WSel(sel: DataFrame,
+      nsurvM: Map[String, Long], allocRows: Seq[(String, Long, Long)])
+
+  private def weightedSelOf(s: SparkSession, dir: String,
+      marginNum: Long): WSel =
+    graft.SessionCache.cachedValue(s, s"scaleops:wsel:$dir:$marginNum") {
+      import s.implicits._
+      val wd = weightedDocs(s, dir)
+      val statRows = wd.groupBy(col("source"))
+        .agg(sum(col("tk")).as("c"), count(lit(1)).as("n_surv"))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      val nsurvM = statRows.collect { case (src, _, ns) if src != null => src -> ns }.toMap
+      val cntsDf = statRows.toSeq.toDF("source", "c", "n_surv")
+        .select(col("source"), col("c"))
+      val allocRows = waterfillFromCounts(cntsDf, 1L, 10L)
+        .select(col("source"), col("tokens"), col("alloc"))
+        .collect().collect { case r if !r.isNullAt(0) =>
+          (r.getString(0), r.getLong(1), r.getLong(2)) }.toSeq
+      // q252's threshold machinery over EFFECTIVE mass — the same measured
+      // containment + loud escalation, only the cost column differs
+      val t = escalateThresholds(
+        allocRows.map { case (src, c, a) => (src, a, c) }, marginNum,
+        tMap => {
+          val tDf = broadcast(tMap.toSeq.toDF("source", "t"))
+          wd.join(tDf, Seq("source"))
+            .groupBy(col("source"))
+            .agg(sum(when(col("h") < col("t"), col("tk")).otherwise(0L)).as("pre_mass"))
+            .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+        })
+      val tDf = broadcast(t.toSeq.toDF("source", "t"))
+      val sideDf = broadcast(allocRows
+        .collect { case (src, _, a) if a > 0L => (src, a, nsurvM(src)) }
+        .toDF("source", "alloc", "n_surv"))
+      val pre = wd.join(tDf, Seq("source")).filter(col("h") < col("t"))
+        .withColumn("hsh", shiftright(col("h"), 55))
+      val sel = shardedPrefix(pre, Seq("hsh"),
+          Seq(col("h"), col("doc_id")), Seq(col("hsh")))
+        .join(sideDf, Seq("source"))
+        .withColumn("kept", col("prefix") - col("tk") < col("alloc"))
+        .select(col("source"), col("doc_id"), col("rtk"), col("tk"),
+          col("kept"), col("n_surv"), col("alloc"))
+        .localCheckpoint()
+      WSel(sel, nsurvM, allocRows)
+    }(w => { w.sel.unpersist(); () })
+
   private[graft] def weightedRealizeM(s: SparkSession, dir: String,
       marginNum: Long): DataFrame = {
     tune(s)
     import s.implicits._
-    val wd = weightedDocs(s, dir)
-    val statRows = wd.groupBy(col("source"))
-      .agg(sum(col("tk")).as("c"), count(lit(1)).as("n_surv"))
-      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
-    val nsurvM = statRows.collect { case (src, _, ns) if src != null => src -> ns }.toMap
-    val cntsDf = statRows.toSeq.toDF("source", "c", "n_surv")
-      .select(col("source"), col("c"))
-    val allocRows = waterfillFromCounts(cntsDf, 1L, 10L)
-      .select(col("source"), col("tokens"), col("alloc"))
-      .collect().collect { case r if !r.isNullAt(0) =>
-        (r.getString(0), r.getLong(1), r.getLong(2)) }
-    // q252's threshold machinery over EFFECTIVE mass — the same measured
-    // containment + loud escalation, only the cost column differs
-    val t = escalateThresholds(
-      allocRows.toSeq.map { case (src, c, a) => (src, a, c) }, marginNum,
-      tMap => {
-        val tDf = broadcast(tMap.toSeq.toDF("source", "t"))
-        wd.join(tDf, Seq("source"))
-          .groupBy(col("source"))
-          .agg(sum(when(col("h") < col("t"), col("tk")).otherwise(0L)).as("pre_mass"))
-          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-      })
-    val tDf = broadcast(t.toSeq.toDF("source", "t"))
-    val sideDf = broadcast(allocRows.toSeq
-      .collect { case (src, _, a) if a > 0L => (src, a, nsurvM(src)) }
-      .toDF("source", "alloc", "n_surv"))
-    val pre = wd.join(tDf, Seq("source")).filter(col("h") < col("t"))
-      .withColumn("hsh", shiftright(col("h"), 55))
-    val base = shardedPrefix(pre, Seq("hsh"),
-        Seq(col("h"), col("doc_id")), Seq(col("hsh")))
-      .join(sideDf, Seq("source"))
-      .withColumn("kept", col("prefix") - col("tk") < col("alloc"))
+    val ws = weightedSelOf(s, dir, marginNum)
+    val base = ws.sel
       .groupBy(col("source"))
       .agg(min(col("n_surv")).as("n_surv"),
            sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
            sum(when(col("kept"), col("rtk")).otherwise(0L)).as("kept_tokens"),
            sum(when(col("kept"), col("tk")).otherwise(0L)).as("kept_eff_milli"),
            min(col("alloc")).as("alloc_milli"))
-    val zeros = allocRows.collect { case (src, _, 0L) =>
-      (src, nsurvM(src), 0L, 0L, 0L, 0L) }
+    val zeros = ws.allocRows.collect { case (src, _, 0L) =>
+      (src, ws.nsurvM(src), 0L, 0L, 0L, 0L) }
     if (zeros.isEmpty) base
     else base.unionByName(zeros.toSeq.toDF(
       "source", "n_surv", "n_kept", "kept_tokens", "kept_eff_milli", "alloc_milli"))
   }
 
-  private val weightedRealizeSql = {
+  /** Weighted selection -> packer (q264, VERDICT r19 "what's missing"
+    * item 3): q263's kept set fed through q102's sharded sequence packer,
+    * closing the dedup -> soft weights -> effective-cost fill -> pack
+    * composition on SHARED machinery ([[weightedSelOf]] — the audit and
+    * the packed product read the same checkpointed realization, the
+    * [[MixChain]] convention). Packs hold PHYSICAL tokens (a 2048-token
+    * context window is raw text; the effective cost priced the SELECTION,
+    * not the bytes), so the packer runs over rtk with q102's shape
+    * verbatim — 16 hash shards, (doc_id) order inside a shard, pack_id =
+    * floor(prefix-before / 2048) — while each pack's effective
+    * millitoken mass rides beside it: per source, packed_tokens must
+    * equal q263's kept_tokens and packed_eff_milli its kept_eff_milli
+    * (conservation through the packer, spec'd), so the training run's
+    * physical layout and its curriculum accounting reconcile exactly.
+    * Scale shape: the chain is q263's pinned stages; packing adds ONE
+    * kept-set-sized shuffle with reducer input bounded by source/16
+    * (q102's argument), and the rollup collapses map-side. */
+  def weightedPackPipeline(s: SparkSession, dir: String): DataFrame = {
+    tune(s)
+    import org.apache.spark.sql.expressions.Window
+    val ws = weightedSelOf(s, dir, 2L)
+    val kept = ws.sel.filter(col("kept"))
+      .withColumn("shard",
+        pmod(md5Long(concat(col("doc_id").cast("string"), lit("#pk"))), lit(16)))
+    val w = Window.partitionBy(col("source"), col("shard"))
+      .orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    kept
+      .withColumn("cum", sum(col("rtk")).over(w))
+      .withColumn("pack_id", expr("(cum - rtk) div 2048"))
+      .groupBy(col("source"), col("shard"), col("pack_id"))
+      .agg(count(lit(1)).as("n"), sum(col("rtk")).as("pt"),
+        sum(col("tk")).as("et"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_packs"),
+           sum(col("n")).as("n_docs"),
+           sum(col("pt")).as("packed_tokens"),
+           sum(col("et")).as("packed_eff_milli"),
+           max(col("pt")).as("max_pack_tokens"))
+  }
+
+  /** The weighted chain as CTEs (`corpus`/`md`/`wde`/`alloc`/`kk` in
+    * scope; `kk` carries the per-document kept decision WITH doc_id) —
+    * the SQL twin of [[weightedSelOf]], shared by the q263 and q264
+    * oracles. */
+  private val weightedChainCtes = {
     val bandSelects = (0 until 4)
       .map(j => s"SELECT doc_id, fp, $j AS band, (fp >> ${8 * j}) & 255 AS bkey FROM fps")
       .mkString(" UNION ALL ")
     val cSql = """c AS (SELECT source, CAST(SUM(tk) AS BIGINT) AS c FROM wde GROUP BY source)"""
-    s"""WITH RECURSIVE corpus AS (
+    s"""corpus AS (
        |  SELECT doc_id, source, text FROM documents
        |  UNION ALL
        |  SELECT doc_id + 100000, source, substr(text, 11)
@@ -2028,21 +2094,48 @@ object ScaleOps extends QueryModule {
        |  FROM md m LEFT JOIN kof ON kof.doc_id = m.doc_id
        |  WHERE NOT m.is_dup),
        |${waterfillCtesOver(cSql, 1L, 10L)},
-       |p AS (SELECT source, rtk, tk,
+       |p AS (SELECT source, doc_id, rtk, tk,
        |        SUM(tk) OVER (PARTITION BY source
        |          ORDER BY ${MD5L("CAST(doc_id AS VARCHAR)")}, doc_id
        |          ROWS UNBOUNDED PRECEDING) AS prefix
        |      FROM wde),
-       |kk AS (SELECT p.source, p.rtk, p.tk, a.alloc,
+       |kk AS (SELECT p.source, p.doc_id, p.rtk, p.tk, a.alloc,
        |              (p.prefix - p.tk < a.alloc) AS kept
-       |       FROM p JOIN alloc a ON a.source = p.source)
+       |       FROM p JOIN alloc a ON a.source = p.source)""".stripMargin
+  }
+
+  private val weightedRealizeSql =
+    s"""WITH RECURSIVE $weightedChainCtes
        |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_surv,
        |CAST(SUM(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
        |CAST(SUM(CASE WHEN kept THEN rtk ELSE 0 END) AS BIGINT) AS kept_tokens,
        |CAST(SUM(CASE WHEN kept THEN tk ELSE 0 END) AS BIGINT) AS kept_eff_milli,
        |MIN(alloc) AS alloc_milli
        |FROM kk GROUP BY source""".stripMargin
-  }
+
+  private val weightedPackSql =
+    s"""WITH RECURSIVE $weightedChainCtes,
+       |kept AS (SELECT source, doc_id, rtk, tk FROM kk WHERE kept),
+       |shd AS (
+       |  SELECT source, doc_id, rtk, tk,
+       |         ${MD5L("CAST(doc_id AS VARCHAR) || '#pk'")} % 16 AS shard
+       |  FROM kept),
+       |cm AS (
+       |  SELECT source, shard, rtk, tk,
+       |         SUM(rtk) OVER (PARTITION BY source, shard ORDER BY doc_id
+       |           ROWS UNBOUNDED PRECEDING) AS cum
+       |  FROM shd),
+       |pk2 AS (
+       |  SELECT source, shard, (cum - rtk) // 2048 AS pack_id,
+       |         COUNT(*) AS n, CAST(SUM(rtk) AS BIGINT) AS pt,
+       |         CAST(SUM(tk) AS BIGINT) AS et
+       |  FROM cm GROUP BY 1, 2, 3)
+       |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_packs,
+       |       CAST(SUM(n) AS BIGINT) AS n_docs,
+       |       CAST(SUM(pt) AS BIGINT) AS packed_tokens,
+       |       CAST(SUM(et) AS BIGINT) AS packed_eff_milli,
+       |       CAST(MAX(pt) AS BIGINT) AS max_pack_tokens
+       |FROM pk2 GROUP BY source""".stripMargin
 
   // ---- q258: streaming mixing admission (the family's streaming twin) ----
 
@@ -2131,15 +2224,25 @@ object ScaleOps extends QueryModule {
     * feed-synced store (q260): the two queries can only disagree on the
     * POLICY they probe, never on the probe itself. */
   private[graft] def mixAdmitBatchAt(s: SparkSession, store: String,
+      batch: DataFrame): DataFrame =
+    mixAdmitBatchOn(
+      graft.sources.IndexStore.read(s, store, "digests"),
+      graft.sources.IndexStore.read(s, store, "rates"), batch)
+
+  /** The probe over explicit (digests, rates) FRAMES — the one decision
+    * body behind every policy representation: the frozen store (q258),
+    * the feed-synced store (q260), the mask-synced view (q265), and the
+    * streamed ledger view (q266) all route here, so they can only
+    * disagree on the POLICY they serve, never on the probe itself. */
+  private[graft] def mixAdmitBatchOn(digests: DataFrame, rates: DataFrame,
       batch: DataFrame): DataFrame = {
-    val digests = graft.sources.IndexStore.read(s, store, "digests")
-      .withColumn("known", lit(true))
-    val rates = broadcast(graft.sources.IndexStore.read(s, store, "rates"))
+    val dig = digests.select(col("dh")).withColumn("known", lit(true))
+    val r = broadcast(rates.select(col("source"), col("rate_ppm")))
     batch
       .select(col("doc_id"), col("source"), tkCol.as("tk"),
         md5(col("text")).as("dh"))
-      .join(digests, Seq("dh"), "left")
-      .join(rates, Seq("source"), "left")
+      .join(dig, Seq("dh"), "left")
+      .join(r, Seq("source"), "left")
       .withColumn("lot",
         pmod(md5Long(concat(col("doc_id").cast("string"), lit("#adm"))),
           lit(1000000L)))
@@ -2284,6 +2387,43 @@ object ScaleOps extends QueryModule {
     * under fresh ids (+500000, same source); the v1->v3 feed is drained
     * once and applied via [[applyMixAdmFeed]]. Final stamp only AFTER
     * the apply (crash mid-sync rebuilds); feed counts in meta. */
+  /** One drained feed cycle over a documents lake, shared by the q260
+    * physical and q265 masked sync-store builders (the q228/q234
+    * shared-fixture convention — MaskFoldSpec's fold-equality contract
+    * assumes both stores saw the SAME feed): v1 commits the corpus; v2
+    * equality-deletes the takedown ids (doc_id % 97 = 13); v3 re-ingests
+    * the % 31 = 2 texts under fresh ids (+500000, same source); the
+    * v1->v3 feed is drained once. */
+  private case class MixFeed(base: DataFrame, inserts: DataFrame,
+      delKeys: DataFrame)
+
+  private def mixAdmFeedFixture(s: SparkSession, dir: String,
+      name: String): MixFeed = {
+    val lake = graft.sources.RoundTrip.freshLake(s, name, dir)
+    val docs = table(s, dir, "documents")
+      .select(col("doc_id").cast("long").as("doc_id"), col("source"),
+        col("text"))
+    // +100000 arrivals and +500000 re-ingests must stay disjoint
+    // from the real id range (ADVICE r19) — asserted per stamped build
+    graft.Engine.assertIdHeadroom(docs, "doc_id", 100000L)
+    val v1 = graft.sources.Snapshots.commit(docs, lake, append = false)
+    val base = graft.sources.Snapshots.read(s, lake, v1)
+    graft.sources.Snapshots.commitDelete(
+      docs.filter(col("doc_id") % 97 === 13).select("doc_id"), lake)
+    val v3 = graft.sources.Snapshots.commit(
+      docs.filter(col("doc_id") % 31 === 2)
+        .select((col("doc_id") + 500000L).as("doc_id"), col("source"),
+          col("text")),
+      lake, append = true)
+    val feed = graft.sources.Snapshots.changes(s, lake, v1, v3)
+      .localCheckpoint()
+    MixFeed(base,
+      feed.filter(col("_change_type") === "insert")
+        .select(col("doc_id"), col("source"), col("text")),
+      feed.filter(col("_change_type") === "delete")
+        .select(col("doc_id")))
+  }
+
   private[graft] def mixAdmitSyncStore(s: SparkSession, dir: String): String = {
     val path = "target/tmp/mixadm_sync_" +
       graft.operators.Similarity.processTag + "_" +
@@ -2292,27 +2432,10 @@ object ScaleOps extends QueryModule {
       graft.sources.IndexStore.sourceStamp(s, Seq(s"$dir/documents.parquet"))
     synchronized {
       if (!graft.sources.IndexStore.isCurrent(s, path, stamp)) {
-        val lake = graft.sources.RoundTrip.freshLake(s, "mixadmsync", dir)
-        val docs = table(s, dir, "documents")
-          .select(col("doc_id").cast("long").as("doc_id"), col("source"),
-            col("text"))
-        // +100000 arrivals and +500000 re-ingests must stay disjoint
-        // from the real id range (ADVICE r19) — asserted per stamped build
-        graft.Engine.assertIdHeadroom(docs, "doc_id", 100000L)
-        val v1 = graft.sources.Snapshots.commit(docs, lake, append = false)
-        val base = graft.sources.Snapshots.read(s, lake, v1)
-        graft.sources.Snapshots.commitDelete(
-          docs.filter(col("doc_id") % 97 === 13).select("doc_id"), lake)
-        val v3 = graft.sources.Snapshots.commit(
-          docs.filter(col("doc_id") % 31 === 2)
-            .select((col("doc_id") + 500000L).as("doc_id"), col("source"),
-              col("text")),
-          lake, append = true)
-        val feed = graft.sources.Snapshots.changes(s, lake, v1, v3)
-          .localCheckpoint()
+        val f = mixAdmFeedFixture(s, dir, "mixadmsync")
         // v1 store: member keys, NULL-free digest set, canonical counts,
         // rates — all from the lake state the feed windows against
-        val keys0 = digestKeys(base).localCheckpoint()
+        val keys0 = digestKeys(f.base).localCheckpoint()
         val counts0 = canonOf(keys0)
           .groupBy(col("source")).agg(sum(col("tk")).as("c"))
           .filter(col("c") > 0L)
@@ -2323,14 +2446,10 @@ object ScaleOps extends QueryModule {
           "counts" -> counts0,
           "rates" -> ratesFrom(counts0)))
         graft.operators.Similarity.cleanupAtExit(path)
-        val inserts = feed.filter(col("_change_type") === "insert")
-          .select(col("doc_id"), col("source"), col("text"))
-        val delKeys = feed.filter(col("_change_type") === "delete")
-          .select(col("doc_id"))
-        applyMixAdmFeed(s, path, inserts, delKeys)
+        applyMixAdmFeed(s, path, f.inserts, f.delKeys)
         graft.sources.IndexStore.writeStamp(s, path, stamp, Map(
-          "n_feed_inserts" -> inserts.count().toString,
-          "n_feed_deletes" -> delKeys.count().toString))
+          "n_feed_inserts" -> f.inserts.count().toString,
+          "n_feed_deletes" -> f.delKeys.count().toString))
       }
     }
     path
@@ -2419,6 +2538,393 @@ object ScaleOps extends QueryModule {
        |       (SELECT CAST(COUNT(*) AS BIGINT) FROM documents
        |        WHERE CAST(doc_id AS BIGINT) % 97 = 13) AS n_feed_deletes
        |FROM dec GROUP BY source""".stripMargin
+  }
+
+  // ---- q265: feed sync with O(delta) MASKED deletes for the
+  // mix-admission policy store (VERDICT r19 "what's missing" item 2) ----
+
+  /** Seq-scoped broadcast anti-join of one mask table on `keyCol` — the
+    * q234 rule verbatim: a mask row at `seq` hides matching rows of
+    * segments <= seq, so a digest re-ingested by the arrival leg (seg 1)
+    * is immediately visible THROUGH the mask. A seg-less table is the
+    * folded physical layout; it passes through only with an EMPTY mask
+    * (a non-empty mask with no seq to scope to would silently leak
+    * deleted rows — the ADVICE r16 lesson, kept). */
+  private def mixMaskOn(df: DataFrame, mask: DataFrame,
+      keyCol: String): DataFrame =
+    if (!df.columns.contains("seg")) {
+      require(mask.isEmpty,
+        s"mixMaskOn: non-empty $keyCol mask against a seg-less (folded) " +
+          "layout would silently leak deleted rows; fold the mask or keep seg")
+      df
+    } else df.join(broadcast(mask),
+      df(keyCol) <=> mask(keyCol) && df("seg") <= mask("seq"), "left_anti")
+
+  /** The masked LIVE view of the q265 store: (digests, keys, delete
+    * mask) — digests masked by `mask_gone` (dh), keys by the raw delete
+    * mask (doc_id), seg dropped (probes are seg-agnostic). Lazy frames;
+    * the masks are checkpointed kilobytes. */
+  private[graft] def maskedMixAdmView(s: SparkSession, path: String)
+      : (DataFrame, DataFrame, DataFrame) = {
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    def rd(t: String) = graft.sources.IndexStore.read(s, path, t)
+    val gone = graft.sources.IndexStore.readTableOrEmpty(s, path, "mask_gone",
+      StructType(Seq(StructField("dh", StringType), StructField("seq", LongType))))
+      .localCheckpoint()
+    val del = graft.sources.IndexStore.readDeleteMaskOrEmpty(s, path, "doc_id")
+      .localCheckpoint()
+    (mixMaskOn(rd("digests"), gone, "dh").drop("seg"),
+      mixMaskOn(rd("keys"), del, "doc_id").drop("seg"),
+      del)
+  }
+
+  /** Fold the q265 masks into the physical layout and drop them —
+    * MaskFoldSpec pins the result table-equal to q260's physically-
+    * rewritten store (same feed fixture, same final state). */
+  private[graft] def foldMixAdmMask(s: SparkSession, path: String): Unit = {
+    val (dig, keys, _) = maskedMixAdmView(s, path)
+    val frames = Seq("digests" -> dig.localCheckpoint(),
+      "keys" -> keys.localCheckpoint())
+    graft.sources.IndexStore.inParallel(frames.map { case (t, df) =>
+      () => graft.sources.IndexStore.replaceTable(s, path, t, df)
+    })
+    Seq(graft.sources.IndexStore.DeleteMaskTable, "mask_gone")
+      .foreach(graft.sources.IndexStore.dropTable(s, path, _))
+  }
+
+  /** Build-if-stale the mask-synced mix-admission store:
+    * [[mixAdmitSyncStore]]'s lake and feed, but the delete leg lands as
+    * sidecar MASKS instead of the corpus-cardinality keys/digests
+    * rewrite — [[applyMixAdmFeed]] computes O(delta) but WRITES O(index)
+    * (four replaceTable swaps per apply); at 100 TB the keys table is
+    * corpus-cardinality and that write amplification is the recurring
+    * cost, exactly the hole q231/q232/q234 closed for the other
+    * families. The two feed legs apply SEQUENTIALLY (the q234 shape, and
+    * what a real ordered feed does):
+    *  - delete leg: group survival computed once against the v1 keys
+    *    (O(delta + keys) compute) — its result lands as two derived
+    *    kilobyte masks (`deletes` (doc_id, seq) masking keys;
+    *    `mask_gone` (dh, seq) masking digests), nothing rewritten;
+    *  - insert leg: arrival holders append as seg-1 keys rows, and
+    *    digests absent from the POST-DELETE view append as seg-1 digest
+    *    rows — so a taken-down text re-ingested in the same window is
+    *    served through its own mask (seg 1 > seq 0), the Iceberg-v2
+    *    rule, and the fixture genuinely exercises it (%97=13 AND %31=2
+    *    ids exist).
+    * counts/rates stay replaceTable swaps — they are |sources|-row
+    * kilobytes, not the amplification target — and the count deltas
+    * TELESCOPE across the legs to q260's jointly-applied totals.
+    * Auto-fold policy rides the member-level masked fraction (~1% here,
+    * below the 0.1 default, so the masks stay — q234's posture). Stamp
+    * invalidation contract as [[applyMixAdmFeed]]: building-stamp until
+    * the apply completes. */
+  private[graft] def mixAdmMaskSyncStore(s: SparkSession, dir: String): String = {
+    val path = "target/tmp/mixadm_msync_" +
+      graft.operators.Similarity.processTag + "_" +
+      dir.replaceAll("[^A-Za-z0-9.]+", "_")
+    val stamp = "mixadmmasksync1|" +
+      graft.sources.IndexStore.sourceStamp(s, Seq(s"$dir/documents.parquet"))
+    synchronized {
+      if (!graft.sources.IndexStore.isCurrent(s, path, stamp)) {
+        val f = mixAdmFeedFixture(s, dir, "mixadmmasksync")
+        val keys0 = digestKeys(f.base).localCheckpoint()
+        val counts0 = canonOf(keys0)
+          .groupBy(col("source")).agg(sum(col("tk")).as("c"))
+          .filter(col("c") > 0L).localCheckpoint()
+        def seg0(df: DataFrame) = df.withColumn("seg", lit(0L))
+        graft.sources.IndexStore.write(s, path, "mixadmmasksync-building", Seq(
+          "keys" -> seg0(keys0),
+          "digests" -> seg0(keys0.select(col("dh"))
+            .filter(col("dh").isNotNull).distinct()),
+          "counts" -> counts0,
+          "rates" -> ratesFrom(counts0)))
+        graft.operators.Similarity.cleanupAtExit(path)
+        val del = broadcast(f.delKeys.localCheckpoint())
+        val insKeys = digestKeys(f.inserts).localCheckpoint()
+        // ---- delete leg: the q260 group-survival decision, computed
+        // once against v1 keys, stored as masks
+        val touchedD = broadcast(keys0.join(del, Seq("doc_id"))
+          .select(col("dh")).distinct().localCheckpoint())
+        def restrictTo(k: DataFrame, t: DataFrame): DataFrame =
+          k.join(t.withColumnRenamed("dh", "tdh"),
+            col("dh") <=> col("tdh")).drop("tdh")
+        val keys1 = keys0.join(del, Seq("doc_id"), "left_anti")
+        val oldCd = canonOf(restrictTo(keys0, touchedD)).localCheckpoint()
+        val newCd = canonOf(restrictTo(keys1, touchedD)).localCheckpoint()
+        val goneD = oldCd.select(col("dh"))
+          .join(newCd.select(col("dh").as("ndh")),
+            col("dh") <=> col("ndh"), "left_anti")
+          .filter(col("dh").isNotNull).localCheckpoint()
+        graft.sources.IndexStore.appendDeleteMask(s, path,
+          del.withColumn("seq", lit(0L)))
+        graft.sources.IndexStore.append(s, path, "mask_gone",
+          goneD.withColumn("seq", lit(0L)))
+        // ---- insert leg against the POST-DELETE view: arrival holders
+        // append; digests absent post-delete re-append at seg 1
+        val touchedI = broadcast(insKeys.select(col("dh")).distinct()
+          .localCheckpoint())
+        val oldCi = canonOf(restrictTo(keys1, touchedI)).localCheckpoint()
+        val keys2 = keys1.unionByName(insKeys)
+        val newCi = canonOf(restrictTo(keys2, touchedI)).localCheckpoint()
+        val addD = newCi.select(col("dh"))
+          .join(oldCi.select(col("dh").as("odh")),
+            col("dh") <=> col("odh"), "left_anti")
+          .filter(col("dh").isNotNull)
+        def seg1(df: DataFrame) = df.withColumn("seg", lit(1L))
+        // count deltas telescope: (newCd - oldCd) + (newCi - oldCi)
+        val counts2 = counts0
+          .unionByName(oldCd.groupBy(col("source")).agg((-sum(col("tk"))).as("c")))
+          .unionByName(newCd.groupBy(col("source")).agg(sum(col("tk")).as("c")))
+          .unionByName(oldCi.groupBy(col("source")).agg((-sum(col("tk"))).as("c")))
+          .unionByName(newCi.groupBy(col("source")).agg(sum(col("tk")).as("c")))
+          .groupBy(col("source")).agg(sum(col("c")).as("c"))
+          .filter(col("c") > 0L).localCheckpoint()
+        graft.sources.IndexStore.inParallel(Seq(
+          () => graft.sources.IndexStore.append(s, path, "keys", seg1(insKeys)),
+          () => graft.sources.IndexStore.append(s, path, "digests", seg1(addD)),
+          () => graft.sources.IndexStore.replaceTable(s, path, "counts", counts2),
+          () => graft.sources.IndexStore.replaceTable(s, path, "rates",
+            ratesFrom(counts2).localCheckpoint())))
+        val folded = graft.sources.IndexStore.autoFoldIfNeeded(
+          s, path, "keys", "doc_id")(foldMixAdmMask(s, path))
+        graft.sources.IndexStore.writeStamp(s, path, stamp, Map(
+          "n_feed_inserts" -> insKeys.count().toString,
+          "n_feed_deletes" -> del.count().toString,
+          "auto_folded" -> folded.toString))
+      }
+    }
+    path
+  }
+
+  /** q265: q258's arrival probe over the MASK-synced mix-admission
+    * store — q260's semantics with the erasure served through sidecar
+    * masks. Decisions flow through [[mixAdmitBatchOn]] over the masked
+    * digest view and the re-solved rates, so they equal q260's
+    * bit-for-bit (the shared oracle recomputes them from the lake's
+    * current logical state); the structural digest-count audit runs over
+    * the MASKED view, catching an over- or under-scoped mask exactly as
+    * it catches a bad rewrite, and the raw mask size is pinned beside
+    * the feed counts (the q234 audit surface). */
+  def maskedMixAdmission(s: SparkSession, dir: String): DataFrame = {
+    tune(s)
+    val path = mixAdmMaskSyncStore(s, dir)
+    val meta = graft.sources.IndexStore.readMeta(s, path)
+    val (dig, _, del) = maskedMixAdmView(s, path)
+    val rates = graft.sources.IndexStore.read(s, path, "rates")
+    // count(*) is q260's audit contract (the view is duplicate-free by
+    // construction: the base is distinct, seg-1 appends only digests
+    // absent from the post-delete view, masks only remove)
+    val audit = dig.agg(count(lit(1)).as("n_digests"))
+      .crossJoin(broadcast(del.agg(count(lit(1)).as("n_mask_rows"))))
+      .withColumn("n_feed_inserts", lit(meta("n_feed_inserts").toLong))
+      .withColumn("n_feed_deletes", lit(meta("n_feed_deletes").toLong))
+    mixAdmitSummary(mixAdmitBatchOn(dig, rates, mixArrivalBatch(s, dir)))
+      .crossJoin(broadcast(audit))
+  }
+
+  /** q265's oracle: q260's chain verbatim plus the mask-size audit (the
+    * q234 anchor-splice convention). */
+  private[graft] val maskedMixAdmissionSql = {
+    val anchor = "AS n_digests,"
+    require(feedSyncedMixAdmissionSql.contains(anchor),
+      "q265 oracle anchor drifted")
+    feedSyncedMixAdmissionSql.replace(anchor,
+      "AS n_digests,\n(SELECT CAST(COUNT(*) AS BIGINT) FROM documents " +
+        "WHERE CAST(doc_id AS BIGINT) % 97 = 13) AS n_mask_rows,")
+  }
+
+  // ---- q266: the mix-admission sync as a STREAM through the
+  // exactly-once ledger (VERDICT r19 "what's missing" item 1 — the sixth
+  // family's streaming twin, completing the set: dedup q134, vector
+  // q144, search q177/q219, PQ q205, IVF q215, kNN graph q246) ----
+
+  /** The q266 store's five ledgered tables. `deletes` masks member keys
+    * (doc_id), `dgone` masks digests (dh) — both as COMMITTED SEGMENTS
+    * under the q246 scoping rule (`row.segment < mask.segment`, so a
+    * digest re-ingested by a later batch is visible through the mask);
+    * `cdelta` ledgers the per-source canonical token-count DELTAS, so
+    * the current counts are one |sources|-row sum over visible segments
+    * and the rates re-solve driver-side at read. */
+  private[graft] val MixAdmStreamTables =
+    Seq("keys", "digests", "deletes", "dgone", "cdelta")
+
+  private[graft] def mixAdmStreamPath(dir: String): String =
+    "target/tmp/mixadm_stream_" + graft.operators.Similarity.processTag +
+      "_" + dir.replaceAll("[^A-Za-z0-9.]+", "_")
+
+  /** Fresh-seed the streaming policy store from the lake's v1 state and
+    * stage the drained feed as two micro-batch slices (deletes, then
+    * inserts — one schema, deletes carry null source/text). All five
+    * ledgered tables commit segment 0 through the SAME exactly-once path
+    * every micro-batch uses; stamp written last. */
+  private[graft] def seedMixAdmStream(s: SparkSession, dir: String)
+      : (String, Seq[(Int, DataFrame)]) = {
+    val f = mixAdmFeedFixture(s, dir, "mixadmstream")
+    val path = mixAdmStreamPath(dir)
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) fs.delete(p, true)
+    val keys0 = digestKeys(f.base).localCheckpoint()
+    val counts0 = canonOf(keys0)
+      .groupBy(col("source")).agg(sum(col("tk")).as("c"))
+      .filter(col("c") > 0L)
+    val wrote = new java.util.concurrent.atomic.AtomicInteger(0)
+    def commit(t: String, df: DataFrame): Unit =
+      if (graft.sources.IndexStore.appendSegmentIfAbsent(
+          s, path, t, "segment", 0L, df))
+        wrote.incrementAndGet(): Unit
+    graft.sources.IndexStore.inParallel(Seq(
+      () => commit("keys", keys0),
+      () => commit("digests", keys0.select(col("dh"))
+        .filter(col("dh").isNotNull).distinct()),
+      () => commit("deletes", keys0.select(col("doc_id")).limit(0)),
+      () => commit("dgone", keys0.select(col("dh")).limit(0)),
+      () => commit("cdelta", counts0)))
+    require(wrote.get == MixAdmStreamTables.size,
+      s"fresh streaming mixadm store at $path had segments")
+    graft.sources.IndexStore.writeStamp(s, path, "mixadmstream-seeded|" +
+      graft.sources.IndexStore.sourceStamp(s, Seq(s"$dir/documents.parquet")))
+    graft.operators.Similarity.cleanupAtExit(path)
+    (path, Seq(
+      1 -> f.delKeys.select(col("doc_id"),
+        lit(null).cast("string").as("source"),
+        lit(null).cast("string").as("text"),
+        lit("delete").as("change")),
+      2 -> f.inserts.select(col("doc_id"), col("source"), col("text"),
+        lit("insert").as("change"))))
+  }
+
+  /** The cross-table visible segment set of the streaming policy store. */
+  private[graft] def mixAdmStreamVisible(s: SparkSession, path: String): Seq[Long] =
+    graft.sources.IndexStore.commonCommittedSegments(
+      s, path, MixAdmStreamTables, "segment")
+
+  /** The masked LIVE view over an explicit visible segment set:
+    * (member keys, digests). Masks scope `row.segment < mask.segment` —
+    * strictly older, the q246 rule, so a batch's own appends are never
+    * hidden by its own masks and a re-ingested digest in a later
+    * segment serves through the older gone-mask. */
+  private[graft] def mixAdmStreamView(s: SparkSession, path: String,
+      vis: Seq[Long]): (DataFrame, DataFrame) = {
+    def rd(t: String) =
+      graft.sources.IndexStore.readSegments(s, path, t, "segment", vis)
+    val del = rd("deletes").localCheckpoint()
+    val dg = rd("dgone").localCheckpoint()
+    val k0 = rd("keys")
+    val keys = k0.join(broadcast(del),
+        k0("doc_id") === del("doc_id") && k0("segment") < del("segment"),
+        "left_anti")
+      .select(col("doc_id"), col("source"), col("tk"), col("dh"))
+    val d0 = rd("digests")
+    val dig = d0.join(broadcast(dg),
+        d0("dh") <=> dg("dh") && d0("segment") < dg("segment"), "left_anti")
+      .select(col("dh"))
+    (keys, dig)
+  }
+
+  /** Commit one feed micro-batch as segment `segId` of ALL FIVE tables,
+    * then DELIBERATELY re-commit (the crash-recovery replay). The frames
+    * derive from the visible state of segments < segId — prior committed
+    * segments never change, so a replay recomputes identical frames and
+    * the ledger makes it a metadata no-op. The batch's delete leg is
+    * q260's O(delta) group-survival decision landed as mask segments
+    * (gone digests, raw delete ids); the insert leg appends holders and
+    * the digests absent from the pre-batch view; the canonical count
+    * movement lands as a `cdelta` segment, so counts/rates need no
+    * rewrite anywhere — the stream's recurring write is O(delta) rows
+    * across five segment directories. Returns the written-table counts
+    * of the two passes ((5, 0) for a fresh segment) plus the batch's
+    * (n_inserts, n_deletes) audit. */
+  private[graft] def mixAdmStreamCommit(s: SparkSession, path: String,
+      segId: Long, batch: DataFrame): ((Int, Int), (Long, Long)) = {
+    val del = batch.filter(col("change") === "delete")
+      .select(col("doc_id")).localCheckpoint()
+    val ins = batch.filter(col("change") === "insert")
+      .select(col("doc_id"), col("source"), col("text")).localCheckpoint()
+    lazy val frames: Seq[(String, DataFrame)] = {
+      val vis = mixAdmStreamVisible(s, path).filter(_ < segId)
+      val (keysV, _) = mixAdmStreamView(s, path, vis)
+      val delB = broadcast(del)
+      val insKeys = digestKeys(ins).localCheckpoint()
+      val touched = broadcast(
+        keysV.join(delB, Seq("doc_id")).select(col("dh"))
+          .unionByName(insKeys.select(col("dh")))
+          .distinct().localCheckpoint())
+      def restrict(k: DataFrame): DataFrame =
+        k.join(touched.withColumnRenamed("dh", "tdh"),
+          col("dh") <=> col("tdh")).drop("tdh")
+      val oldC = canonOf(restrict(keysV)).localCheckpoint()
+      val keys2 = keysV.join(delB, Seq("doc_id"), "left_anti")
+        .unionByName(insKeys)
+      val newC = canonOf(restrict(keys2)).localCheckpoint()
+      val goneD = oldC.select(col("dh"))
+        .join(newC.select(col("dh").as("ndh")),
+          col("dh") <=> col("ndh"), "left_anti")
+        .filter(col("dh").isNotNull).localCheckpoint()
+      val addD = newC.select(col("dh"))
+        .join(oldC.select(col("dh").as("odh")),
+          col("dh") <=> col("odh"), "left_anti")
+        .filter(col("dh").isNotNull).localCheckpoint()
+      val cd = oldC.groupBy(col("source")).agg((-sum(col("tk"))).as("c"))
+        .unionByName(newC.groupBy(col("source")).agg(sum(col("tk")).as("c")))
+        .groupBy(col("source")).agg(sum(col("c")).as("c"))
+        .filter(col("c") =!= 0L).localCheckpoint()
+      Seq("keys" -> insKeys, "digests" -> addD, "deletes" -> del,
+        "dgone" -> goneD, "cdelta" -> cd)
+    }
+    def commitAll(): Int =
+      if (MixAdmStreamTables.forall(t => graft.sources.IndexStore
+            .segmentCommitted(s, path, t, "segment", segId))) 0
+      else {
+        val wrote = new java.util.concurrent.atomic.AtomicInteger(0)
+        graft.sources.IndexStore.inParallel(frames.map { case (t, df) => () =>
+          if (graft.sources.IndexStore.appendSegmentIfAbsent(
+              s, path, t, "segment", segId, df))
+            wrote.incrementAndGet(): Unit
+        })
+        wrote.get
+      }
+    val first = commitAll()
+    val replay = commitAll()
+    ((first, replay), (ins.count(), del.count()))
+  }
+
+  /** q266's answer frame: q260's rows served THROUGH the ledgered masks
+    * (cross-table visible segments only) — counts summed from the cdelta
+    * ledger, rates re-solved driver-side through the family's shared
+    * closed form, decisions through the ONE probe body — with q260's
+    * structural audit plus the observed replay flag. */
+  private[graft] def mixAdmStreamResult(s: SparkSession, dir: String,
+      path: String, replayNoop: Boolean): DataFrame = {
+    val meta = graft.sources.IndexStore.readMeta(s, path)
+    val vis = mixAdmStreamVisible(s, path)
+    val (_, dig) = mixAdmStreamView(s, path, vis)
+    val counts = graft.sources.IndexStore
+      .readSegments(s, path, "cdelta", "segment", vis)
+      .groupBy(col("source")).agg(sum(col("c")).as("c"))
+      .filter(col("c") > 0L)
+    val rates = ratesFrom(counts)
+    // count(*) is the family's audit contract: segment 0 is distinct by
+    // construction and every later segment appends only digests absent
+    // from its pre-batch view (masks only remove) — spec'd by the
+    // bit-equality with q260 below
+    val audit = dig.agg(count(lit(1)).as("n_digests"))
+      .withColumn("n_feed_inserts", lit(meta("n_feed_inserts").toLong))
+      .withColumn("n_feed_deletes", lit(meta("n_feed_deletes").toLong))
+      .withColumn("replay_was_noop", lit(replayNoop))
+    mixAdmitSummary(mixAdmitBatchOn(dig, rates, mixArrivalBatch(s, dir)))
+      .crossJoin(broadcast(audit))
+  }
+
+  /** q266's oracle: q260's chain verbatim (streaming == batch for the
+    * policy sync — the two micro-batch legs TELESCOPE to the joint
+    * apply) with the replay verdict pinned TRUE. */
+  private[graft] val streamMixAdmSyncSql = {
+    val anchor = "AS n_digests,"
+    require(feedSyncedMixAdmissionSql.contains(anchor),
+      "q266 oracle anchor drifted")
+    feedSyncedMixAdmissionSql.replace(anchor,
+      "AS n_digests,\nTRUE AS replay_was_noop,")
   }
 
   /** End-to-end mixing composition (q259): the family's pieces proven to
@@ -2733,9 +3239,15 @@ object ScaleOps extends QueryModule {
     GQuery("q260_feed_synced_mixadm",
       "feed-synced mix-admission policy store: the sixth serving family joins the lake O(delta) matrix — takedown deletes forget a digest only when its last holder goes (canonical promotion shifts counts between sources), re-ingestions restore digests, rates re-solved driver-side from the maintained |sources|-row counts; q258's probe code path against the synced policy, digest-count structural audit, oracle recomputes everything from the lake's current state",
       feedSyncedMixAdmission, Some(feedSyncedMixAdmissionSql)),
+    GQuery("q265_masked_mixadm_sync",
+      "mask-synced mix-admission store: q260's feed apply with the delete leg landed as kilobyte sidecar masks (doc_id mask on member keys, gone-digest mask on the digest set, Iceberg seg<=seq scoping so a re-ingested takedown is served through its own mask) instead of corpus-cardinality table rewrites; counts/rates stay |sources|-row swaps and telescope across the legs; probe via the shared decision body over the masked view, digest-count + mask-size audit, auto-fold policy audited in meta",
+      maskedMixAdmission, Some(maskedMixAdmissionSql)),
     GQuery("q263_weighted_realize",
       "weighted realization — the dedup guards unified into the selection: exact-dedup survivors priced at q135's 1/cluster-size effective cost (millitoken-exact), waterfill over effective mass at the tight budget, q252's measured prefilter + sharded exact window charging each kept doc its effective cost; a near-dup flood fills its budget with cheap variants totalling ~one idea instead of starving honest sources; oracle replays dedup, CC, weights, waterfill, and the selection window",
       weightedRealize, Some(weightedRealizeSql)),
+    GQuery("q264_weighted_pack",
+      "weighted selection -> packer: q263's kept set through q102's sharded sequence packer on the shared realization state — physical 2048-token packs with the effective millitoken mass riding beside them; per-source packs/docs, raw and effective token conservation through the packer, max fill; oracle replays dedup -> CC weights -> waterfill -> selection -> pack",
+      weightedPackPipeline, Some(weightedPackSql)),
     GQuery("q262_softdedup_mixture",
       "near-dup-aware mixture: q135's soft-dedup 1/cluster-size ppm weights composed into the allocation counts (SimHash CC over the dup-group substrate, wide-integer effective mass, shared waterfill at the tight budget) so a near-dup flood — distinct digests, same content — can't buy allocation; per-source raw vs effective tokens, clustered-doc audit, alloc + cap flag",
       softDedupMixture, Some(softDedupMixtureSql)),

@@ -790,6 +790,16 @@ object Similarity extends QueryModule {
 
   private def kmeansRefineWith(s: SparkSession, dir: String, m: Long): DataFrame = {
     val e = withNorm(table(s, dir, "embeddings").select(col("vec_id"), col("embedding")))
+    val (_, assign1) = lloydStep(e, m)
+    assign1.select(col("vec_id"), col("cid_seed"), col("cid").as("cid_refined"),
+      (col("cid") =!= col("cid_seed")).as("moved"))
+  }
+
+  /** ONE Lloyd step over the modulus seeding — q185's math factored so
+    * the refined-quantizer index (q267) and the q185/q197 refinement
+    * reports share it verbatim: returns (refined centroids (cid, qemb,
+    * nc), refined assignment (cid, vec_id, vemb, nrm, cid_seed)). */
+  private def lloydStep(e: DataFrame, m: Long): (DataFrame, DataFrame) = {
     val cents0 = e.filter(col("vec_id") % m === 0)
       .select(col("vec_id").as("cid"), col("embedding").as("qemb"), col("nrm").as("nc"))
     val acos0 = e.withColumnRenamed("embedding", "vemb")
@@ -814,36 +824,43 @@ object Similarity extends QueryModule {
     val acos1 = assign0.join(broadcast(cents1))
       .withColumn("cosim1", dotExpr / (col("nc") * col("nrm")))
     val w1 = Window.partitionBy(col("vec_id")).orderBy(col("cosim1").desc, col("cid"))
-    acos1.withColumn("rn", row_number().over(w1))
+    val assign1 = acos1.withColumn("rn", row_number().over(w1))
       .filter(col("rn") === 1)
-      .select(col("vec_id"), col("cid_seed"), col("cid").as("cid_refined"),
-        (col("cid") =!= col("cid_seed")).as("moved"))
+      .select(col("cid"), col("vec_id"), col("vemb"), col("nrm"), col("cid_seed"))
+    (cents1, assign1)
   }
+
+  /** The one-Lloyd-step CTE block (newc -> newnorm -> adots2 -> acos2 ->
+    * assign2) over an in-scope `assign` seeding — shared by the
+    * q185/q197 refinement oracles and the q267 refined-quantizer probe
+    * oracle. */
+  private val lloydCtes =
+    """newc AS (
+      |  SELECT a.cid, f.pos,
+      |         CAST(SUM(CAST(f.xd AS DECIMAL(38,20))) AS DOUBLE) / COUNT(f.xd) AS cx
+      |  FROM assign a JOIN flat f ON f.vec_id = a.vec_id
+      |  GROUP BY a.cid, f.pos),
+      |newnorm AS (
+      |  SELECT cid, sqrt(CAST(SUM(CAST(cx*cx AS DECIMAL(38,20))) AS DOUBLE)) AS nc
+      |  FROM newc GROUP BY cid),
+      |adots2 AS (
+      |  SELECT f.vec_id, c.cid, CAST(SUM(CAST(f.xd*c.cx AS DECIMAL(38,20))) AS DOUBLE) AS dot
+      |  FROM flat f JOIN newc c ON f.pos = c.pos
+      |  GROUP BY f.vec_id, c.cid),
+      |acos2 AS (
+      |  SELECT d.vec_id, d.cid, d.dot / (nn.nc * n1.nrm) AS cosim
+      |  FROM adots2 d JOIN norms n1 ON n1.vec_id = d.vec_id JOIN newnorm nn ON nn.cid = d.cid),
+      |assign2 AS (
+      |  SELECT vec_id, cid AS cid_refined FROM (
+      |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cosim DESC, cid) AS rn
+      |    FROM acos2)
+      |  WHERE rn = 1)""".stripMargin
 
   private def kmeansRefineSqlWith(assignSql: String): String =
     s"""WITH $flatSql,
        |$normsSql,
        |$assignSql,
-       |newc AS (
-       |  SELECT a.cid, f.pos,
-       |         CAST(SUM(CAST(f.xd AS DECIMAL(38,20))) AS DOUBLE) / COUNT(f.xd) AS cx
-       |  FROM assign a JOIN flat f ON f.vec_id = a.vec_id
-       |  GROUP BY a.cid, f.pos),
-       |newnorm AS (
-       |  SELECT cid, sqrt(CAST(SUM(CAST(cx*cx AS DECIMAL(38,20))) AS DOUBLE)) AS nc
-       |  FROM newc GROUP BY cid),
-       |adots2 AS (
-       |  SELECT f.vec_id, c.cid, CAST(SUM(CAST(f.xd*c.cx AS DECIMAL(38,20))) AS DOUBLE) AS dot
-       |  FROM flat f JOIN newc c ON f.pos = c.pos
-       |  GROUP BY f.vec_id, c.cid),
-       |acos2 AS (
-       |  SELECT d.vec_id, d.cid, d.dot / (nn.nc * n1.nrm) AS cosim
-       |  FROM adots2 d JOIN norms n1 ON n1.vec_id = d.vec_id JOIN newnorm nn ON nn.cid = d.cid),
-       |assign2 AS (
-       |  SELECT vec_id, cid AS cid_refined FROM (
-       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cosim DESC, cid) AS rn
-       |    FROM acos2)
-       |  WHERE rn = 1)
+       |$lloydCtes
        |SELECT a0.vec_id, a0.cid AS cid_seed, a1.cid_refined,
        |       a1.cid_refined <> a0.cid AS moved
        |FROM assign a0 JOIN assign2 a1 ON a0.vec_id = a1.vec_id""".stripMargin

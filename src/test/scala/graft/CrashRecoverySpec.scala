@@ -656,6 +656,44 @@ class CrashRecoverySpec extends AnyFunSuite {
       "the healed view must equal the pre-tear view row-for-row")
   }
 
+  test("mixadm stream sync: a segment torn between two of the five tables is invisible, the replay completes it with identical rows") {
+    // q266's crash case (the q246 shape carried to the sixth family):
+    // each micro-batch commits key/digest appends + two masks + the
+    // count-delta ledger across FIVE tables; a crash between two
+    // tables' commits must leave the segment invisible everywhere —
+    // no half-applied policy is ever served (a torn cdelta without its
+    // masks would re-solve rates against phantom counts) — until the
+    // replay completes the stragglers from strictly older segments.
+    import graft.operators.ScaleOps
+    Engine.tune(s)
+    val sf = TestSpark.sf
+    val (path, batches) = ScaleOps.seedMixAdmStream(s, sf)
+    val delBatch = batches.head._2.localCheckpoint()
+    val ((first, replay), (_, nDel)) =
+      ScaleOps.mixAdmStreamCommit(s, path, 1L, delBatch)
+    assert(first == 5 && replay == 0, s"fresh segment: expected (5,0), got ($first,$replay)")
+    assert(nDel > 0, "the fixture's delete slice must be non-empty")
+    graft.sources.IndexStore.writeStamp(s, path, "tornspec",
+      Map("n_feed_inserts" -> "0", "n_feed_deletes" -> nDel.toString))
+    val want = ScaleOps.mixAdmStreamResult(s, sf, path, replayNoop = true)
+      .collect().map(_.toString).sorted.toSeq
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI("file:///"), s.sparkContext.hadoopConfiguration)
+    val tornDir = new org.apache.hadoop.fs.Path(s"$path/cdelta/segment=1")
+    assert(fs.delete(tornDir, true), "test setup: tear the cdelta segment")
+    assert(ScaleOps.mixAdmStreamVisible(s, path) == Seq(0L),
+      "a torn segment must be invisible in the cross-table view")
+    val ((first2, replay2), _) = ScaleOps.mixAdmStreamCommit(s, path, 1L, delBatch)
+    assert(first2 == 1 && replay2 == 0,
+      s"replay must complete only the torn table: expected (1,0), got ($first2,$replay2)")
+    assert(ScaleOps.mixAdmStreamVisible(s, path) == Seq(0L, 1L),
+      "the healed segment must appear atomically")
+    val got = ScaleOps.mixAdmStreamResult(s, sf, path, replayNoop = true)
+      .collect().map(_.toString).sorted.toSeq
+    assert(got == want,
+      "the healed view must equal the pre-tear view row-for-row")
+  }
+
   test("replaceTable killed after the swap, before the bak delete: stale bak is dropped, new data serves") {
     import s.implicits._
     val store = s"$base/tswap2"

@@ -98,6 +98,35 @@ class MaskFoldSpec extends AnyFunSuite {
     assert(!folded.filter(col("tok") === "green").isEmpty)
   }
 
+  test("mixadm family: folding the masks reproduces q260's physically-rewritten store") {
+    import graft.operators.ScaleOps
+    SparkEntry.queries("q265_masked_mixadm_sync")(s, sf).collect()
+    SparkEntry.queries("q260_feed_synced_mixadm")(s, sf).collect()
+    val maskPath = ScaleOps.mixAdmMaskSyncStore(s, sf)
+    val physPath = ScaleOps.mixAdmitSyncStore(s, sf)
+    val fold = maskPath + "_foldspec"
+    IndexStore.copy(s, maskPath, fold)
+    ScaleOps.foldMixAdmMask(s, fold)
+    graft.operators.Similarity.cleanupAtExit(fold)
+    assert(IndexStore.readDeleteMask(s, fold).isEmpty,
+      "fold must drop the delete-mask sidecar")
+    assert(!IndexStore.tableNames(s, fold).contains("mask_gone"),
+      "fold must drop the gone-digest mask")
+    // the two stores saw the SAME drained feed (shared fixture), so every
+    // table must converge: keys/digests (the folded erasure), counts and
+    // rates (they telescoped across the masked legs)
+    for (t <- Seq("keys", "digests", "counts", "rates")) {
+      val cols = IndexStore.read(s, fold, t).columns.sorted.map(col)
+      val a = IndexStore.read(s, fold, t).select(cols.toIndexedSeq: _*)
+      val b = IndexStore.read(s, physPath, t).select(cols.toIndexedSeq: _*)
+      val onlyA = a.exceptAll(b).limit(5).collect().toSeq
+      val onlyB = b.exceptAll(a).limit(5).collect().toSeq
+      assert(onlyA.isEmpty && onlyB.isEmpty,
+        s"table '$t' differs between folded-mask and physical stores; " +
+          s"fold-only: $onlyA; physical-only: $onlyB")
+    }
+  }
+
   test("vector family: folding the mask reproduces q229's physically-rewritten assign") {
     import graft.operators.Similarity
     SparkEntry.queries("q232_masked_feed_sync_ann")(s, sf).collect()

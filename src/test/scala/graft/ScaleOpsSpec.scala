@@ -616,6 +616,65 @@ class ScaleOpsSpec extends AnyFunSuite {
       "a pack holds at least one instance")
   }
 
+  test("q265 serves q260's decisions bit-for-bit through the masks, and the re-ingested takedown rides the Iceberg seg rule") {
+    import graft.operators.ScaleOps
+    val dir = TestSpark.sf
+    // same feed fixture, same probe body: the masked store and the
+    // physically-rewritten store may only differ in REPRESENTATION
+    val phys = rowsOf(ScaleOps.feedSyncedMixAdmission(s, dir))
+    val masked = rowsOf(ScaleOps.maskedMixAdmission(s, dir)
+      .drop("n_mask_rows"))
+    assert(masked == phys,
+      "masked-store decisions/audit must equal the physical store's")
+    // the mask mechanism is demonstrably live: gone-digests masked at
+    // seq 0, and a taken-down-and-re-ingested text (%97=13 AND %31=2
+    // ids exist in the fixture) is served through its own mask as a
+    // seg-1 digest row
+    val path = ScaleOps.mixAdmMaskSyncStore(s, dir)
+    val gone = graft.sources.IndexStore.read(s, path, "mask_gone")
+    assert(gone.count() > 0L, "the delete leg must land gone-digest masks")
+    val reAdded = graft.sources.IndexStore.read(s, path, "digests")
+      .filter(col("seg") === 1L)
+      .join(gone.select(col("dh")), Seq("dh"), "left_semi")
+    assert(reAdded.count() > 0L,
+      "a re-ingested takedown must return as a seg-1 digest visible through its mask")
+  }
+
+  test("q264 packs exactly what q263 kept: per-source doc, raw-token and effective-mass conservation through the packer") {
+    import graft.operators.ScaleOps
+    val dir = TestSpark.sf
+    // the two consumers of the shared weighted-selection state must agree
+    // exactly: every doc q263 kept lands in a pack, the packed physical
+    // mass equals the kept raw tokens, and the effective millitoken
+    // accounting survives the packer — layout and curriculum reconcile
+    val real = ScaleOps.weightedRealize(s, dir).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val packed = ScaleOps.weightedPackPipeline(s, dir).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val keptSrcs = real.collect {
+      case (src, r) if r.getAs[Long]("n_kept") > 0L => src }.toSet
+    assert(packed.keySet == keptSrcs,
+      "packer must cover exactly the sources with kept documents")
+    keptSrcs.foreach { src =>
+      val (r, p) = (real(src), packed(src))
+      assert(p.getAs[Long]("n_docs") == r.getAs[Long]("n_kept"),
+        s"doc conservation for $src")
+      assert(p.getAs[Long]("packed_tokens") == r.getAs[Long]("kept_tokens"),
+        s"raw-token conservation for $src")
+      assert(p.getAs[Long]("packed_eff_milli") == r.getAs[Long]("kept_eff_milli"),
+        s"effective-mass conservation for $src")
+    }
+    // the packer demonstrably packs, and a pack overfills only by its
+    // last document's spill (pack_id = floor(prefix-before / 2048))
+    assert(packed.values.exists(_.getAs[Long]("n_packs") > 1L),
+      "some source must split across packs at this SF")
+    val maxKeptRtk = ScaleOps.weightedDocs(s, dir)
+      .agg(max(col("rtk"))).head().getLong(0)
+    assert(packed.values.forall(
+        _.getAs[Long]("max_pack_tokens") < 2048L + maxKeptRtk),
+      "a pack exceeds the window only by its final document's spill")
+  }
+
   test("q262 near-dup flood: distinct digests, same content — the flood's effective mass collapses to ~one idea and cannot buy allocation") {
     import graft.operators.ScaleOps
     // the flood q256 is blind to (VERDICT r18 item 5): 800 documents,
