@@ -59,6 +59,33 @@ object GraphAnnSweep {
       }
       edges.unpersist()
     }
+    // the REFINED-quantizer substrate (q267's Lloyd store) at the same
+    // dials — the r19 sweep found recall quantizer-bound (seed 0.130
+    // dominated every B/H/np cell); this section measures whether the
+    // named lever (q185's Lloyd step) moves the SERVING number
+    println()
+    println("| quantizer=refined: nprobe | B | H | recall@3 | seed recall | hop gain | wall s |")
+    println("|---|---|---|---|---|---|---|")
+    val (rc, ra) = Similarity.corpusRefinedIvfIndex(spark, sfDir)
+    Seq(1, 2).foreach { np =>
+      val redges = Similarity.knnGraphFrameNpOn(rc, ra, np)
+        .select(col("src"), col("nbr")).localCheckpoint()
+      for (b <- Seq(4, 8); h <- Seq(1, 2)) {
+        val t0 = System.nanoTime()
+        val ckFrames = scala.collection.mutable.Buffer.empty[
+          org.apache.spark.sql.DataFrame]
+        val aud = Similarity.graphAnnServeAt(spark, sfDir, b, h, redges,
+            ckFrames, quantizer = "refined")
+          .select(col("recall_num"), col("seed_num"), col("recall_den"))
+          .limit(1).collect()(0)
+        ckFrames.foreach(_.unpersist())
+        val sec = (System.nanoTime() - t0) / 1e9
+        val (rn, sn, rd) =
+          (aud.getLong(0).toDouble, aud.getLong(1).toDouble, aud.getLong(2).toDouble)
+        println(f"| $np | $b | $h | ${rn / rd}%.3f | ${sn / rd}%.3f | ${(rn - sn) / rd}%.3f | $sec%.1f |")
+      }
+      redges.unpersist()
+    }
     spark.stop()
   }
 }

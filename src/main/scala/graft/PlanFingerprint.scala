@@ -230,12 +230,14 @@ object PlanFingerprint {
     // re-derived the substrate corpus-side per call or shuffled the
     // tiny counts is what the lock catches.
     "q262_softdedup_mixture",
-    // q263's locked value is the realization leg over the session-cached
-    // weighted-survivor frame: the broadcast threshold filter BEFORE the
-    // sharded window (q252's shape with effective costs) + the broadcast
-    // alloc join + one rollup — a drift that globalized the window or
-    // shuffled the |sources|-row sides is what the lock catches; the
-    // substrate legs are the q60/q89/q90 locked shapes inside the cache.
+    // q263's locked value (re-locked round-20 when the realization moved
+    // into the shared session-cached WSel state so q264 packs the SAME
+    // selection): one rollup exchange over the checkpointed selection
+    // frame — the realization legs (broadcast threshold filter before
+    // the sharded window, q252's shape with effective costs) run inside
+    // the eager cache build, the q259/mixChain convention; a drift that
+    // re-derived the selection corpus-side per call is what the lock
+    // catches.
     "q263_weighted_realize",
     // round-19: q260 follows the q257/q228 loop-rig exclusion — its
     // returned frame is the q258 probe (broadcast rates + digest
@@ -243,6 +245,32 @@ object PlanFingerprint {
     // lake fixture; the interesting invariants are the O(delta) feed
     // apply and the replay no-op, spec'd (ScaleOpsSpec) and
     // rung-measured.
+    //
+    // round-20 (lock-on-landing): q264's locked value is the packer leg
+    // over the session-cached weighted selection — ONE hash exchange
+    // into the 16-shard running window plus the two map-side rollups; a
+    // drift that re-derived the selection per call (the cached_scan
+    // disappearing) or globalized the pack window is what the lock
+    // catches. The substrate is q263's locked shape inside the cache.
+    "q264_weighted_pack",
+    // q265/q266 follow the q260 exclusion rules: q265's returned frame
+    // is the shared probe over a mask-synced store built from the
+    // in-process lake fixture (fold-equality and mask scoping are
+    // spec'd in MaskFoldSpec/ScaleOpsSpec); q266 is a streaming rig
+    // (exactly-once ledger, torn-segment invisibility spec'd in
+    // CrashRecoverySpec).
+    //
+    // q267's locked value: the totals aggregate + broadcast audit join
+    // over the checkpointed per-probe hits frame — the gate's scan legs
+    // (two stamped-index reads, broadcast slice probes, three top-3
+    // windows) run at checkpoint time; a drift that re-ran them per
+    // call (exchanges past the checkpoint scan) is what the lock
+    // catches.
+    "q267_refined_ann_recall",
+    // q268 is q253's locked shape re-pointed at the refined branch
+    // store — same beam legs, same audit legs; locked separately so a
+    // drift in EITHER generation's serving plan is caught on its own.
+    "q268_refined_graph_ann",
   )
 
   /** Structural counts of the STEADY-STATE initial plan.

@@ -306,6 +306,30 @@ object ScaleRung {
     // term, same posture as q262) — shuffle should track ~margin x
     // alloc of effective mass per source, no corpus-sized term
     "q263_weighted_realize",
+    // round-20: q264 adds ONE kept-set-sized pack window (16 shards) +
+    // two rollups to q263's cached selection (whichever of q263/q264
+    // runs first pays the realization in its warm pass) — its row
+    // should sit near q263's with shuffle tracking the KEPT set, no
+    // corpus-sized term
+    "q264_weighted_pack",
+    // q265's recurring shape: q260's probe served through broadcast
+    // kilobyte masks — wall and shuffle should track q260's row (the
+    // masks add two broadcast anti-joins, never an exchange); the
+    // one-time masked build is stamp-guarded like the physical one
+    "q265_masked_mixadm_sync",
+    // q266's recurring shape: the same probe over the ledgered view
+    // (segment union + two broadcast mask anti-joins + the |sources|-row
+    // cdelta sum) — the rig cost (seed + two micro-batch commits) is
+    // stamp-guarded; the row should track q260/q265
+    "q266_stream_mixadm_sync",
+    // q267: two stamped-index scans + broadcast slice probes + three
+    // top-3 windows — the gate's cost is one baseline scan per leg
+    // (q188's posture, on the bigger %23 slice); no quadratic term
+    "q267_refined_ann_recall",
+    // q268 is q253's serving shape over the refined branch store — the
+    // row should track q253's (same beam legs, same |Q| x N exact-audit
+    // leg; only the quantizer generation differs)
+    "q268_refined_graph_ann",
   )
 
   /** The RocksDB-vs-memory crossover experiment: the two streaming rigs

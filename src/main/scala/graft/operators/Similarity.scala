@@ -1134,6 +1134,178 @@ object Similarity extends QueryModule {
        |FROM exact3 e LEFT JOIN ivf3 i ON i.qid = e.qid AND i.vid = e.vid
        |GROUP BY e.qid""".stripMargin
 
+  // ---- q267: the Lloyd-REFINED quantizer as a serving index, recall
+  // gain measured against the seed quantizer (VERDICT r19 ask 1: the
+  // q188/q253 recall is quantizer-bound — seed 0.130 dominates every
+  // graph/beam dial — and the named lever is q185's Lloyd step) ----
+
+  private[graft] def refinedIvfIndexPath(dir: String): String =
+    "target/graft_index/ivfr_" + dir.replaceAll("[^A-Za-z0-9.]+", "_")
+
+  /** Build-or-load the REFINED fixture IVF index: the modulus seeding
+    * pushed through ONE [[lloydStep]] (q185's decimal-exact math,
+    * shared verbatim), then the corpus re-assigned to the refined
+    * means. Same durable layout as [[corpusIvfIndex]] (broadcastable
+    * centroids; cid-range-sorted assign so probes prune to the probed
+    * clusters' bytes). The centroid VERSION travels in the stamp
+    * (`ivfr1|lloyd1|`, ADVICE r19): bumping the Lloyd depth re-keys the
+    * store, so no probe can ever mix centroids of one generation with
+    * an assignment of another. */
+  private[graft] def corpusRefinedIvfIndex(s: SparkSession, dir: String)
+      : (DataFrame, DataFrame) = {
+    val path = refinedIvfIndexPath(dir)
+    synchronized {
+      val stamp = "ivfr1|lloyd1|" +
+        graft.sources.IndexStore.sourceStamp(s, Seq(s"$dir/embeddings.parquet"))
+      if (!graft.sources.IndexStore.isCurrent(s, path, stamp)) {
+        val corpus = table(s, dir, "embeddings")
+        val e = withNorm(corpus.select(col("vec_id"), col("embedding")))
+        val m = math.ceil(math.sqrt(corpus.count().toDouble)).toLong.max(1L)
+        val (cents1, assign1) = lloydStep(e, m)
+        graft.sources.IndexStore.write(s, path, stamp, Seq(
+          "centroids" -> cents1
+            .select(col("cid"), col("qemb").as("embedding"), col("nc")),
+          "assign" -> assign1
+            .select(col("cid"), col("vec_id"), col("vemb").as("embedding"),
+              col("nrm"))
+            .repartitionByRange(col("cid"), col("vec_id"))
+            .sortWithinPartitions(col("cid"), col("vec_id"))),
+          Map("m" -> m.toString, "lloyd_steps" -> "1"))
+      }
+    }
+    (graft.SessionCache.cached(s, s"sim:ivfrc:$dir")(
+        graft.sources.IndexStore.read(s, path, "centroids")),
+      graft.sources.IndexStore.read(s, path, "assign"))
+  }
+
+  /** q267: the ANN quality gate (q188's comparison) run over BOTH
+    * quantizer generations side by side — the seed-pick index (q184's
+    * store) and the Lloyd-refined index — against the exact baseline,
+    * on q253's SERVING query slice (vec_id % 23 = 3, the set whose
+    * seed recall the r19 sweep measured at 0.130 and found
+    * quantizer-bound). Refining moves only cluster MEMBERSHIP (probe
+    * scores are true cosines either way), so the recall delta isolates
+    * exactly what the quantizer is responsible for. Both totals and the
+    * per-probe recalls are hash-pinned against the oracle, which
+    * replays the Lloyd step and both probes bit-for-bit — the GAIN is
+    * therefore a machine-checked measurement, and per the q188
+    * convention it is reported as data, not asserted: measured on this
+    * fixture one Lloyd step lifts slice recall@3 at sf0.01
+    * (0.167 -> 0.258) and sf0.1 (0.130 -> 0.149) and costs one hit at
+    * sf0.001 (0.242 -> 0.227) — the gain appears once cells are
+    * meaningfully populated, and the adjudication (which generation the
+    * serving substrates should key on, and why they stay seed-keyed
+    * today) lives in PLANS "Round-20: the Lloyd-refined quantizer
+    * measured". Cost posture: the gate is one baseline scan per leg
+    * (q188's contract); the refined store is one stamped Lloyd pass. */
+  def refinedAnnRecall(s: SparkSession, dir: String): DataFrame = {
+    tune(s)
+    val (_, sassign) = corpusIvfIndex(s, dir)
+    val (_, rassign) = corpusRefinedIvfIndex(s, dir)
+    val wq = Window.partitionBy(col("qid")).orderBy(col("cosim").desc, col("vid"))
+    def probes(assign: DataFrame): DataFrame =
+      assign.filter(col("vec_id") % 23 === 3)
+        .select(col("cid"), col("vec_id").as("qid"),
+          col("embedding").as("qemb"), col("nrm").as("nq"))
+    // same-cluster candidates, true-cosine rescore, top-3 (the q253
+    // rounding convention before the window)
+    def cellTop3(assign: DataFrame): DataFrame =
+      assign.select(col("cid"), col("vec_id").as("vid"),
+          col("embedding").as("vemb"), col("nrm").as("nv"))
+        .join(broadcast(probes(assign)), Seq("cid"))
+        .filter(col("qid") =!= col("vid"))
+        .withColumn("cosim", round(dotExpr / (col("nq") * col("nv")), 9))
+        .withColumn("rn", row_number().over(wq)).filter(col("rn") <= 3)
+        .select(col("qid"), col("vid"))
+    val exact = sassign.select(col("vec_id").as("vid"),
+        col("embedding").as("vemb"), col("nrm").as("nv"))
+      .join(broadcast(probes(sassign).drop("cid")), col("qid") =!= col("vid"))
+      .withColumn("cosim", round(dotExpr / (col("nq") * col("nv")), 9))
+      .withColumn("rn", row_number().over(wq)).filter(col("rn") <= 3)
+      .select(col("qid"), col("vid")).localCheckpoint()
+    def hitsOf(ap: DataFrame, out: String): DataFrame =
+      exact.join(ap.select(col("qid").as("aqid"), col("vid").as("avid")),
+          col("qid") === col("aqid") && col("vid") === col("avid"), "left")
+        .groupBy(col("qid"))
+        .agg(count(col("avid")).as(out))
+    val perq = hitsOf(cellTop3(sassign), "hits_seed")
+      .join(hitsOf(cellTop3(rassign), "hits_refined"), Seq("qid"))
+      .localCheckpoint()
+    val tot = perq.agg(sum(col("hits_seed")).as("seed_total"),
+        sum(col("hits_refined")).as("refined_total"),
+        (count(lit(1)) * 3).as("recall_den"))
+      .withColumn("refined_gains", col("refined_total") > col("seed_total"))
+    perq.crossJoin(broadcast(tot))
+  }
+
+  private val refinedAnnRecallSql =
+    s"""WITH $flatSql,
+       |$normsSql,
+       |$ivfAssignSql,
+       |$lloydCtes,
+       |pairs AS (
+       |  SELECT q.vec_id AS qid, v.vec_id AS vid
+       |  FROM assign q JOIN assign v ON q.cid = v.cid AND q.vec_id % 23 = 3 AND q.vec_id <> v.vec_id),
+       |rpairs AS (
+       |  SELECT q.vec_id AS qid, v.vec_id AS vid
+       |  FROM assign2 q JOIN assign2 v ON q.cid_refined = v.cid_refined AND q.vec_id % 23 = 3 AND q.vec_id <> v.vec_id),
+       |pdots AS (
+       |  SELECT p.qid, p.vid, CAST(SUM(CAST(a.xd*b.xd AS DECIMAL(38,20))) AS DOUBLE) AS dot
+       |  FROM pairs p
+       |  JOIN flat a ON a.vec_id = p.qid
+       |  JOIN flat b ON b.vec_id = p.vid AND b.pos = a.pos
+       |  GROUP BY p.qid, p.vid),
+       |rdots AS (
+       |  SELECT p.qid, p.vid, CAST(SUM(CAST(a.xd*b.xd AS DECIMAL(38,20))) AS DOUBLE) AS dot
+       |  FROM rpairs p
+       |  JOIN flat a ON a.vec_id = p.qid
+       |  JOIN flat b ON b.vec_id = p.vid AND b.pos = a.pos
+       |  GROUP BY p.qid, p.vid),
+       |ivf3 AS (
+       |  SELECT qid, vid FROM (
+       |    SELECT d.qid, d.vid,
+       |           ROW_NUMBER() OVER (PARTITION BY d.qid
+       |             ORDER BY round(d.dot / (n1.nrm * n2.nrm), 9) DESC, d.vid) AS rn
+       |    FROM pdots d JOIN norms n1 ON n1.vec_id = d.qid JOIN norms n2 ON n2.vec_id = d.vid)
+       |  WHERE rn <= 3),
+       |rivf3 AS (
+       |  SELECT qid, vid FROM (
+       |    SELECT d.qid, d.vid,
+       |           ROW_NUMBER() OVER (PARTITION BY d.qid
+       |             ORDER BY round(d.dot / (n1.nrm * n2.nrm), 9) DESC, d.vid) AS rn
+       |    FROM rdots d JOIN norms n1 ON n1.vec_id = d.qid JOIN norms n2 ON n2.vec_id = d.vid)
+       |  WHERE rn <= 3),
+       |edots AS (
+       |  SELECT q.vec_id AS qid, v.vec_id AS vid,
+       |         CAST(SUM(CAST(q.xd*v.xd AS DECIMAL(38,20))) AS DOUBLE) AS dot
+       |  FROM flat q JOIN flat v ON q.pos = v.pos AND q.vec_id <> v.vec_id
+       |  WHERE q.vec_id % 23 = 3
+       |  GROUP BY q.vec_id, v.vec_id),
+       |exact3 AS (
+       |  SELECT qid, vid FROM (
+       |    SELECT e.qid, e.vid,
+       |           ROW_NUMBER() OVER (PARTITION BY e.qid
+       |             ORDER BY round(e.dot / (a.nrm * b.nrm), 9) DESC, e.vid) AS rn
+       |    FROM edots e JOIN norms a ON a.vec_id = e.qid JOIN norms b ON b.vec_id = e.vid)
+       |  WHERE rn <= 3),
+       |perq AS (
+       |  SELECT e.qid,
+       |         CAST(COUNT(i.vid) AS BIGINT) AS hits_seed,
+       |         CAST(COUNT(r.vid) AS BIGINT) AS hits_refined
+       |  FROM exact3 e
+       |  LEFT JOIN ivf3 i ON i.qid = e.qid AND i.vid = e.vid
+       |  LEFT JOIN rivf3 r ON r.qid = e.qid AND r.vid = e.vid
+       |  GROUP BY e.qid),
+       |tot AS (
+       |  SELECT CAST(SUM(hits_seed) AS BIGINT) AS seed_total,
+       |         CAST(SUM(hits_refined) AS BIGINT) AS refined_total,
+       |         CAST(COUNT(*) * 3 AS BIGINT) AS recall_den
+       |  FROM perq)
+       |SELECT p.qid, p.hits_seed, p.hits_refined,
+       |       t.seed_total, t.refined_total, t.recall_den,
+       |       t.refined_total > t.seed_total AS refined_gains
+       |FROM perq p CROSS JOIN tot t""".stripMargin
+
   // ------------------------------------------------------------------
   // Product quantization (Jégou, Douze, Schmid 2011, "Product
   // Quantization for Nearest Neighbor Search") — the memory-bound ANN
@@ -3882,6 +4054,14 @@ object Similarity extends QueryModule {
     * parameters travel as parameters). */
   private[graft] def knnGraphFrameNp(s: SparkSession, dir: String, np: Int): DataFrame = {
     val (cents, assign) = corpusIvfIndex(s, dir)
+    knnGraphFrameNpOn(cents, assign, np)
+  }
+
+  /** [[knnGraphFrameNp]] over an explicit (centroids, assignment) pair —
+    * the GraphAnnSweep rig builds refined-quantizer edges through this
+    * without touching any store. */
+  private[graft] def knnGraphFrameNpOn(cents: DataFrame, assign: DataFrame,
+      np: Int): DataFrame = {
     val a = assign.select(col("cid"), col("vec_id"), col("embedding"), col("nrm"))
     val w = Window.partitionBy(col("src"))
       .orderBy(round(col("cosim0"), 9).desc, col("nbr"))
@@ -5242,13 +5422,20 @@ object Similarity extends QueryModule {
     * and its oracle replays exactly that unrolled search. */
   private[graft] def graphAnnServeAt(s: SparkSession, dir: String,
       B: Int, hops: Int, edges: DataFrame,
-      track: scala.collection.mutable.Buffer[DataFrame] = null): DataFrame = {
-    val (_, assign) = corpusIvfIndex(s, dir)
+      track: scala.collection.mutable.Buffer[DataFrame] = null,
+      quantizer: String = "seed"): DataFrame = {
+    // `quantizer` picks the ASSIGNMENT generation the search seeds from
+    // ("seed" = the registered q253 substrate; "refined" = the q267
+    // Lloyd store) — a sweep dial, never a session-conf mutation
+    val assign = quantizer match {
+      case "refined" => corpusRefinedIvfIndex(s, dir)._2
+      case _         => corpusIvfIndex(s, dir)._2
+    }
     // cachedValue + explicit unpersist: the frames are localCheckpointed
     // (lineage truncation for the loopy consumers), and cached() would
     // ADD an InMemoryRelation layer on top of the checkpoint blocks —
     // double-pinning corpus-sized data for the session lifetime
-    val a = graft.SessionCache.cachedValue(s, s"sim:annserve:a:$dir")(
+    val a = graft.SessionCache.cachedValue(s, s"sim:annserve:a:$quantizer:$dir")(
       assign.select(col("cid"), col("vec_id"), col("embedding"), col("nrm"))
         .localCheckpoint())(df => { df.unpersist(); () })
     // every per-call checkpoint registers with `track` (ADVICE r19: the
@@ -5350,12 +5537,11 @@ object Similarity extends QueryModule {
     path
   }
 
-  private val graphAnnServeSql =
-    s"""WITH $flatSql,
-       |$normsSql,
-       |$ivfAssignSql,
-       |$knnNp2ChainSql,
-       |q AS (SELECT vec_id AS qid, cid AS qcid FROM assign WHERE vec_id % 23 = 3),
+  /** The beam-search body of the q253 oracle (expects `assign` + `g2`
+    * in scope) — shared verbatim by the q268 refined-generation oracle,
+    * which swaps only WHAT `assign`/`g2` mean. */
+  private val graphAnnServeBodySql =
+    s"""q AS (SELECT vec_id AS qid, cid AS qcid FROM assign WHERE vec_id % 23 = 3),
        |scand AS (
        |  SELECT q.qid, a.vec_id AS cand
        |  FROM q JOIN assign a ON a.cid = q.qcid AND a.vec_id <> q.qid),
@@ -5471,6 +5657,85 @@ object Similarity extends QueryModule {
        |JOIN sperq sp ON sp.qid = t.qid
        |CROSS JOIN aud a""".stripMargin
 
+  private val graphAnnServeSql =
+    s"""WITH $flatSql,
+       |$normsSql,
+       |$ivfAssignSql,
+       |$knnNp2ChainSql,
+       |$graphAnnServeBodySql""".stripMargin
+
+  /** q268's oracle: the identical unrolled beam search + exact audit,
+    * over the REFINED generation — `assign`/`acos` swap for the Lloyd
+    * store's membership/scores (`rassign`/`acos2`), the widened chain
+    * and the serve body stay byte-shared with q253's oracle (targeted
+    * anchor replaces, each required), so the two generations can only
+    * differ in the quantizer. */
+  private val refinedGraphAnnServeSql = {
+    val a1 = "FROM acos)"
+    val a2 = "JOIN assign a ON a.cid = s.cid"
+    require(knnNp2ChainSql.contains(a1) && knnNp2ChainSql.contains(a2),
+      "q268 chain anchors drifted")
+    val rchain = knnNp2ChainSql
+      .replace(a1, "FROM acos2)")
+      .replace(a2, "JOIN rassign a ON a.cid = s.cid")
+    val b1 = "FROM assign WHERE vec_id % 23 = 3"
+    val b2 = "JOIN assign a ON a.cid = q.qcid"
+    require(graphAnnServeBodySql.contains(b1) &&
+      graphAnnServeBodySql.contains(b2), "q268 body anchors drifted")
+    val rbody = graphAnnServeBodySql
+      .replace(b1, "FROM rassign WHERE vec_id % 23 = 3")
+      .replace(b2, "JOIN rassign a ON a.cid = q.qcid")
+    s"""WITH $flatSql,
+       |$normsSql,
+       |$ivfAssignSql,
+       |$lloydCtes,
+       |rassign AS (SELECT vec_id, cid_refined AS cid FROM assign2),
+       |$rchain,
+       |$rbody""".stripMargin
+  }
+
+  /** The PERSISTED widened (nprobe=2) graph over the REFINED quantizer —
+    * q268's serving substrate, a sibling branch of [[knnGraphNp2Store]].
+    * The stamp carries the branch format token AND the quantizer
+    * generation (`knngr2_1|np2|ivfr1|lloyd1|`): bumping either the edge
+    * format or the Lloyd depth re-keys this store, so a reader can never
+    * mix a refined graph with seed centroids or vice versa (the ADVICE
+    * r18/r19 version-token conventions composed). Same maintenance
+    * contract as the np2 branch: read-only for takedown, rebuild on
+    * embeddings change. */
+  private[graft] def knnGraphRefinedNp2Store(s: SparkSession, dir: String): String = {
+    val path = "target/graft_index/knngr2_" + dir.replaceAll("[^A-Za-z0-9.]+", "_")
+    val stamp = "knngr2_1|np2|ivfr1|lloyd1|" +
+      graft.sources.IndexStore.sourceStamp(s, Seq(s"$dir/embeddings.parquet"))
+    synchronized {
+      if (!graft.sources.IndexStore.isCurrent(s, path, stamp)) {
+        val (rc, ra) = corpusRefinedIvfIndex(s, dir)
+        graft.sources.IndexStore.write(s, path, stamp,
+          Seq("edges" -> knnGraphFrameNpOn(rc, ra, 2)))
+      }
+    }
+    path
+  }
+
+  /** q268: q253's graph-ANN serving RE-POINTED at the Lloyd-refined
+    * generation — the re-pointing the q267 gain licenses, measured
+    * before registration (GraphAnnSweep, PLANS "Round-20: the
+    * Lloyd-refined quantizer measured"): at the registered dials (B=4,
+    * H=2, np2 edges) the refined substrate serves recall@3 0.169 vs the
+    * seed generation's 0.134 at sf0.1 — the quantizer was the binding
+    * constraint, exactly as the r19 sweep diagnosed. Same query shape,
+    * same audits, same hops-never-lose-recall invariant; the seed
+    * baseline (q253) stays registered so the generations are compared
+    * query-to-query every round. Both stores are stamp-guarded branch
+    * builds; serving reads the edges table only. */
+  def refinedGraphAnnServe(s: SparkSession, dir: String): DataFrame = {
+    tune(s)
+    val edges = graft.sources.IndexStore
+      .read(s, knnGraphRefinedNp2Store(s, dir), "edges")
+      .select(col("src"), col("nbr"))
+    graphAnnServeAt(s, dir, 4, 2, edges, quantizer = "refined")
+  }
+
   override val queries: Seq[GQuery] = Seq(
     GQuery("q55_array_ops", "array column structural access (F16)", arrayOps, Some(arrayOpsSql)),
     GQuery("q59_hof_ops", "filter/exists/forall/transform higher-order array breadth (F16)",
@@ -5494,6 +5759,9 @@ object Similarity extends QueryModule {
     GQuery("q253_graph_ann_serve",
       "graph-based ANN serving: IVF-seeded beam search (B=4, 2 hops) over the widened kNN graph's cross-cell edges, rescored with true cosine per hop; exact-top-3 recall reported as measured data (q188 convention) with the hops-never-lose-recall invariant gated — the oracle replays the identical unrolled search",
       graphAnnServe, Some(graphAnnServeSql)),
+    GQuery("q268_refined_graph_ann",
+      "graph-ANN serving re-pointed at the Lloyd-refined quantizer: the q267-measured gain realized on the serving path — IVF-seeded beam search (B=4, 2 hops) over the refined generation's widened edges from a doubly version-keyed branch store (knngr2_1|np2|ivfr1|lloyd1); recall@3 0.169 vs the seed generation's 0.134 at sf0.1 at identical dials; oracle replays the Lloyd step + the identical unrolled search",
+      refinedGraphAnnServe, Some(refinedGraphAnnServeSql)),
     GQuery("q240_mutual_knn",
       "mutual-kNN symmetrization: pairs where each vector is in the other's top-3 (reciprocity, the high-precision near-dup candidate filter over the directed graph) — one checkpointed q239 graph self-joined on the reversed edge, both ranks carried",
       mutualKnn, Some(mutualKnnSql)),
@@ -5542,6 +5810,9 @@ object Similarity extends QueryModule {
     GQuery("q188_ann_recall",
       "ANN quality gate: recall@3 of the persisted-IVF probe vs the exact brute-force top-3, per probe",
       annRecall, Some(annRecallSql)),
+    GQuery("q267_refined_ann_recall",
+      "Lloyd-refined quantizer as a serving index: the modulus seeding pushed through one q185 Lloyd step into a stamped version-keyed store (ivfr1|lloyd1), then q188's recall comparison run over BOTH quantizer generations against the exact baseline on q253's serving slice — per-probe and total recall@3 hash-pinned, the measured gain machine-checked as data (lifts at sf0.01/sf0.1, costs one hit at sf0.001; adjudicated in PLANS)",
+      refinedAnnRecall, Some(refinedAnnRecallSql)),
     GQuery("q198_pq_codes",
       "product-quantization encoding (8x8-dim subspaces, ~64 Lloyd-refined codewords each) served from the persisted PQ index",
       pqEncode, Some(pqEncodeSql)),

@@ -5,6 +5,35 @@ import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
 class SimilaritySpec extends AnyFunSuite {
+
+  test("q267 refined IVF store: version-keyed stamp, assignment equals q185's refined labels") {
+    import graft.operators.Similarity
+    val s = TestSpark.spark
+    val sf = TestSpark.sf
+    Engine.tune(s)
+    val (_, ra) = Similarity.corpusRefinedIvfIndex(s, sf)
+    // the stamp carries the centroid GENERATION (ADVICE r19: a Lloyd
+    // depth bump must re-key the store, never silently mix generations)
+    val stamp = graft.sources.IndexStore.readStamp(
+      s, Similarity.refinedIvfIndexPath(sf))
+    assert(stamp.exists(_.startsWith("ivfr1|lloyd1|")),
+      s"refined store stamp must carry the centroid version: $stamp")
+    assert(graft.sources.IndexStore.readMeta(
+      s, Similarity.refinedIvfIndexPath(sf))("lloyd_steps") == "1")
+    // the stored assignment IS q185's refined labeling (shared lloydStep
+    // — the report query and the serving store can never diverge)
+    val fromStore = ra.select(col("vec_id"), col("cid")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val fromQ185 = Similarity.kmeansRefine(s, sf)
+      .select(col("vec_id"), col("cid_refined")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fromStore == fromQ185,
+      "refined store assignment must equal q185's cid_refined labeling")
+    // and movement is real: the refinement is not an identity relabel
+    assert(fromStore.exists { case (v, c) => fromQ185(v) == c } &&
+      Similarity.kmeansRefine(s, sf).filter(col("moved")).count() > 0L,
+      "some vectors must move under the Lloyd step at this SF")
+  }
   private lazy val s = TestSpark.spark
 
   test("brute-force KNN returns exactly k=5 ranked neighbors per probe") {
