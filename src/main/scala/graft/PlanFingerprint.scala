@@ -271,6 +271,13 @@ object PlanFingerprint {
     // store — same beam legs, same audit legs; locked separately so a
     // drift in EITHER generation's serving plan is caught on its own.
     "q268_refined_graph_ann",
+    // q269/q270 follow the q248/q249 streaming-rig exclusions: both read
+    // ledgered stores built from the in-process lake fixture (q269's
+    // horizon legs bound the visible segment set; q270 serves a
+    // compacted COPY). Their interesting invariants — directory-level
+    // horizon pruning, fold-at-max mask invisibility, tombstoned replay
+    // no-ops, the horizon forfeit — are spec'd (CrashRecoverySpec) and
+    // oracled bit-equal to q260's chain.
   )
 
   /** Structural counts of the STEADY-STATE initial plan.

@@ -330,6 +330,16 @@ object ScaleRung {
     // row should track q253's (same beam legs, same |Q| x N exact-audit
     // leg; only the quantizer generation differs)
     "q268_refined_graph_ann",
+    // q269's recurring shape: TWO of q266's probe legs (one per
+    // horizon), each a broadcast digest anti-join + |sources|-row cdelta
+    // sum — the row should track ~2x q266's serving side; the horizon
+    // filter prunes segment directories, never scans them
+    "q269_stream_mixadm_asof",
+    // q270's recurring shape: q266's probe over the compacted copy —
+    // the compaction itself is a once-per-store rewrite of the five
+    // O(delta)-sized ledgers (kilobytes here); serving cost should
+    // match q266's, not exceed it (fewer segments to intersect)
+    "q270_mixadm_stream_compact",
   )
 
   /** The RocksDB-vs-memory crossover experiment: the two streaming rigs

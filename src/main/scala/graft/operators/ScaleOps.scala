@@ -2492,16 +2492,17 @@ object ScaleOps extends QueryModule {
       .crossJoin(broadcast(audit))
   }
 
-  private[graft] val feedSyncedMixAdmissionSql = {
+  /** The decision-summary SQL over an arbitrary current-state CTE body —
+    * ONE generator behind the q260 oracle and the q269 horizon legs (the
+    * admission chain is identical; only WHAT "current" means differs).
+    * `auditCols` appends extra audit columns after n_digests. */
+  private def mixAdmDecisionSqlOver(curSql: String,
+      auditCols: String): String = {
     val cSql =
       """c AS (SELECT source, CAST(SUM(tk) AS BIGINT) AS c FROM surv GROUP BY source)"""
     val arrTk = tkSql.replace("text", "a.text")
     s"""WITH cur AS (
-       |  SELECT CAST(doc_id AS BIGINT) AS doc_id, source, text FROM documents
-       |  WHERE CAST(doc_id AS BIGINT) % 97 <> 13
-       |  UNION ALL
-       |  SELECT CAST(doc_id AS BIGINT) + 500000, source, text FROM documents
-       |  WHERE CAST(doc_id AS BIGINT) % 31 = 2),
+       |$curSql),
        |md AS (
        |  SELECT doc_id, source, $tkSql AS tk,
        |         ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) > 1 AS is_dup
@@ -2532,13 +2533,31 @@ object ScaleOps extends QueryModule {
        |       CAST(SUM(CASE WHEN decision = 'admit' THEN 1 ELSE 0 END) AS BIGINT) AS n_admitted,
        |       CAST(SUM(CASE WHEN decision = 'admit' THEN tk ELSE 0 END) AS BIGINT) AS admitted_tokens,
        |       (SELECT CAST(COUNT(DISTINCT md5(text)) AS BIGINT) FROM cur
-       |        WHERE text IS NOT NULL) AS n_digests,
-       |       (SELECT CAST(COUNT(*) AS BIGINT) FROM documents
-       |        WHERE CAST(doc_id AS BIGINT) % 31 = 2) AS n_feed_inserts,
-       |       (SELECT CAST(COUNT(*) AS BIGINT) FROM documents
-       |        WHERE CAST(doc_id AS BIGINT) % 97 = 13) AS n_feed_deletes
+       |        WHERE text IS NOT NULL) AS n_digests$auditCols
        |FROM dec GROUP BY source""".stripMargin
   }
+
+  /** The lake's CURRENT logical state (corpus minus takedowns plus
+    * re-ingestions) and the post-delete pre-re-ingest HORIZON state —
+    * the two "current" bodies the q260/q265/q266 oracles and the q269
+    * as-of legs share. */
+  private val mixAdmCurSql =
+    """  SELECT CAST(doc_id AS BIGINT) AS doc_id, source, text FROM documents
+      |  WHERE CAST(doc_id AS BIGINT) % 97 <> 13
+      |  UNION ALL
+      |  SELECT CAST(doc_id AS BIGINT) + 500000, source, text FROM documents
+      |  WHERE CAST(doc_id AS BIGINT) % 31 = 2""".stripMargin
+
+  private val mixAdmAsOf1Sql =
+    """  SELECT CAST(doc_id AS BIGINT) AS doc_id, source, text FROM documents
+      |  WHERE CAST(doc_id AS BIGINT) % 97 <> 13""".stripMargin
+
+  private[graft] val feedSyncedMixAdmissionSql =
+    mixAdmDecisionSqlOver(mixAdmCurSql,
+      ",\n(SELECT CAST(COUNT(*) AS BIGINT) FROM documents" +
+        "\n WHERE CAST(doc_id AS BIGINT) % 31 = 2) AS n_feed_inserts," +
+        "\n(SELECT CAST(COUNT(*) AS BIGINT) FROM documents" +
+        "\n WHERE CAST(doc_id AS BIGINT) % 97 = 13) AS n_feed_deletes")
 
   // ---- q265: feed sync with O(delta) MASKED deletes for the
   // mix-admission policy store (VERDICT r19 "what's missing" item 2) ----
@@ -2785,14 +2804,23 @@ object ScaleOps extends QueryModule {
     graft.sources.IndexStore.writeStamp(s, path, "mixadmstream-seeded|" +
       graft.sources.IndexStore.sourceStamp(s, Seq(s"$dir/documents.parquet")))
     graft.operators.Similarity.cleanupAtExit(path)
-    (path, Seq(
-      1 -> f.delKeys.select(col("doc_id"),
-        lit(null).cast("string").as("source"),
-        lit(null).cast("string").as("text"),
-        lit("delete").as("change")),
-      2 -> f.inserts.select(col("doc_id"), col("source"), col("text"),
-        lit("insert").as("change"))))
+    (path, mixAdmBatchesOf(f))
   }
+
+  private def mixAdmBatchesOf(f: MixFeed): Seq[(Int, DataFrame)] = Seq(
+    1 -> f.delKeys.select(col("doc_id"),
+      lit(null).cast("string").as("source"),
+      lit(null).cast("string").as("text"),
+      lit("delete").as("change")),
+    2 -> f.inserts.select(col("doc_id"), col("source"), col("text"),
+      lit("insert").as("change")))
+
+  /** The feed micro-batch slices WITHOUT re-seeding any store — the q270
+    * post-compaction replay re-derives them (the fixture drain is
+    * deterministic per corpus). */
+  private[graft] def seedMixAdmStreamBatches(s: SparkSession,
+      dir: String): Seq[(Int, DataFrame)] =
+    mixAdmBatchesOf(mixAdmFeedFixture(s, dir, "mixadmreplay"))
 
   /** The cross-table visible segment set of the streaming policy store. */
   private[graft] def mixAdmStreamVisible(s: SparkSession, path: String): Seq[Long] =
@@ -2925,6 +2953,165 @@ object ScaleOps extends QueryModule {
       "q266 oracle anchor drifted")
     feedSyncedMixAdmissionSql.replace(anchor,
       "AS n_digests,\nTRUE AS replay_was_noop,")
+  }
+
+  // ---- q269/q270: as-of horizons and mask-folding compaction for the
+  // streamed mix-admission store (the q248/q249 symmetry for the sixth
+  // family) ----
+
+  /** The compaction point recorded by [[compactMixAdmStream]] — horizons
+    * below it are forfeited; absent key = every horizon servable. */
+  private[graft] def mixAdmCompactedThrough(s: SparkSession, path: String): Long =
+    graft.sources.IndexStore.readMeta(s, path)
+      .get("compacted_through").map(_.toLong).getOrElse(Long.MinValue)
+
+  /** q269's answer frame: the SAME policy probe at two horizons of the
+    * streamed store — `full` (every committed segment: the current
+    * synced policy, q260's decisions) and `asof1` (segments <= 1: the
+    * policy as it stood after the takedown batch, before the re-ingests
+    * landed — deleted texts' copies already fall through to the lottery
+    * at post-delete rates, but re-ingested texts do NOT yet screen out).
+    * The horizon bounds the visible segment set itself (intersected
+    * per-table ledgers filtered to <= h), so segment 2's directories
+    * never enter planning — the q218/q248 directory-pruning shape.
+    * Counts sum from the cdelta ledger AT the horizon and rates
+    * re-solve per leg, so the whole policy (digest set AND rates) is
+    * horizon-consistent. A compacted store forfeits horizons below its
+    * compaction point — refused loudly, the q248 rule. */
+  private[graft] def mixAdmStreamAsOfResult(s: SparkSession, dir: String,
+      path: String): DataFrame = {
+    val through = mixAdmCompactedThrough(s, path)
+    def leg(h: Long, name: String): DataFrame = {
+      require(h >= through,
+        s"as-of horizon $h is below the store's compaction point $through " +
+          s"at $path — folded history is not servable")
+      val vis = mixAdmStreamVisible(s, path).filter(_ <= h)
+      val (_, dig) = mixAdmStreamView(s, path, vis)
+      val counts = graft.sources.IndexStore
+        .readSegments(s, path, "cdelta", "segment", vis)
+        .groupBy(col("source")).agg(sum(col("c")).as("c"))
+        .filter(col("c") > 0L)
+      val nd = dig.agg(count(lit(1)).as("n_digests"))
+      mixAdmitSummary(
+          mixAdmitBatchOn(dig, ratesFrom(counts), mixArrivalBatch(s, dir)))
+        .crossJoin(broadcast(nd))
+        .select(lit(name).as("horizon"), col("source"), col("n_arrived"),
+          col("n_dup"), col("n_admitted"), col("admitted_tokens"),
+          col("n_digests"))
+    }
+    leg(Long.MaxValue, "full").unionByName(leg(1L, "asof1"))
+  }
+
+  /** q269's oracle: each horizon leg is the shared decision chain over
+    * that horizon's logical state — full = the lake's current state
+    * (q260's oracle body), asof1 = corpus minus takedowns with NO
+    * re-ingests. */
+  private[graft] val streamMixAdmAsOfSql =
+    s"""SELECT 'full' AS horizon, t.* FROM (
+       |${mixAdmDecisionSqlOver(mixAdmCurSql, "")}) t
+       |UNION ALL
+       |SELECT 'asof1' AS horizon, t.* FROM (
+       |${mixAdmDecisionSqlOver(mixAdmAsOf1Sql, "")}) t""".stripMargin
+
+  /** Compact all five ledgered tables of the q266 store at `path` over
+    * the joint visible set, FOLDING the masks into the data tables and
+    * the cdelta ledger into its per-source SUM as the rows collapse —
+    * the q249 invariants verbatim: folded rows park under the visible
+    * set's MAX id (raw strictly-older masks can never re-hide them),
+    * data tables compact FIRST and mask tables LAST, so every crash
+    * window between the single-table swaps serves the bit-identical
+    * view (`masksToo = false` stops at the worst window —
+    * CrashRecoverySpec's hook). Returns the compaction point. */
+  private[graft] def compactMixAdmStream(s: SparkSession, path: String,
+      masksToo: Boolean = true): Long = {
+    val vis = mixAdmStreamVisible(s, path)
+    val into = vis.max
+    val (keys, dig) = mixAdmStreamView(s, path, vis)
+    val foldedKeys = keys.localCheckpoint()
+    val foldedDig = dig.localCheckpoint()
+    val foldedCounts = graft.sources.IndexStore
+      .readSegments(s, path, "cdelta", "segment", vis)
+      .groupBy(col("source")).agg(sum(col("c")).as("c"))
+      .localCheckpoint()
+    def emptyOf(t: String, cols: Seq[String]): DataFrame =
+      graft.sources.IndexStore.readSegments(s, path, t, "segment", vis)
+        .select(cols.map(col): _*).limit(0).localCheckpoint()
+    graft.sources.IndexStore.inParallel(Seq(
+      () => graft.sources.IndexStore.compactSegmentLedger(s, path, "keys",
+        "segment", sortCols = Seq("doc_id"), rangeCols = Seq("doc_id"),
+        onlySegs = Some(vis), foldInto = Some(foldedKeys),
+        intoSeg = Some(into)),
+      () => graft.sources.IndexStore.compactSegmentLedger(s, path, "digests",
+        "segment", sortCols = Seq("dh"), rangeCols = Seq("dh"),
+        onlySegs = Some(vis), foldInto = Some(foldedDig),
+        intoSeg = Some(into)),
+      () => graft.sources.IndexStore.compactSegmentLedger(s, path, "cdelta",
+        "segment", sortCols = Seq("source"), rangeCols = Seq("source"),
+        onlySegs = Some(vis), foldInto = Some(foldedCounts),
+        intoSeg = Some(into))))
+    if (masksToo)
+      graft.sources.IndexStore.inParallel(Seq(
+        () => graft.sources.IndexStore.compactSegmentLedger(s, path, "deletes",
+          "segment", sortCols = Seq("doc_id"), rangeCols = Seq("doc_id"),
+          onlySegs = Some(vis),
+          foldInto = Some(emptyOf("deletes", Seq("doc_id"))),
+          intoSeg = Some(into)),
+        () => graft.sources.IndexStore.compactSegmentLedger(s, path, "dgone",
+          "segment", sortCols = Seq("dh"), rangeCols = Seq("dh"),
+          onlySegs = Some(vis),
+          foldInto = Some(emptyOf("dgone", Seq("dh"))),
+          intoSeg = Some(into))))
+    into
+  }
+
+  /** q270's answer frame: q266's served decisions read from the
+    * COMPACTED store (fold-on-compact must be invisible — the oracle is
+    * q260's chain, so a digest the fold lost or leaked, or a count the
+    * cdelta sum moved, hash-mismatches), plus the maintenance audits:
+    * `replay_after_compact` (both feed batches re-driven against the
+    * tombstoned ledger wrote nothing), `n_data_segments` (data-bearing
+    * committed key segments counted from the files — 1 after a full
+    * fold), `masks_folded` (both mask tables serve zero visible rows). */
+  private[graft] def mixAdmStreamCompactResult(s: SparkSession, dir: String,
+      path: String, replayNoop: Boolean): DataFrame = {
+    val meta = graft.sources.IndexStore.readMeta(s, path)
+    val vis = mixAdmStreamVisible(s, path)
+    val (_, dig) = mixAdmStreamView(s, path, vis)
+    val counts = graft.sources.IndexStore
+      .readSegments(s, path, "cdelta", "segment", vis)
+      .groupBy(col("source")).agg(sum(col("c")).as("c"))
+      .filter(col("c") > 0L)
+    val hp = new org.apache.hadoop.fs.Path(
+      new org.apache.hadoop.fs.Path(path), "keys")
+    val fs = hp.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val nDataSegs = fs.listStatus(hp).count { st =>
+      st.isDirectory && st.getPath.getName.startsWith("segment=") &&
+        fs.exists(new org.apache.hadoop.fs.Path(st.getPath, "_COMMITTED")) &&
+        fs.listStatus(st.getPath).exists(_.getPath.getName.endsWith(".parquet"))
+    }.toLong
+    val nMaskRows = Seq("deletes", "dgone").map(t =>
+      graft.sources.IndexStore.readSegments(s, path, t, "segment", vis)
+        .count()).sum
+    val audit = dig.agg(count(lit(1)).as("n_digests"))
+      .withColumn("n_feed_inserts", lit(meta("n_feed_inserts").toLong))
+      .withColumn("n_feed_deletes", lit(meta("n_feed_deletes").toLong))
+      .withColumn("replay_after_compact", lit(replayNoop))
+      .withColumn("n_data_segments", lit(nDataSegs))
+      .withColumn("masks_folded", lit(nMaskRows == 0L))
+    mixAdmitSummary(
+        mixAdmitBatchOn(dig, ratesFrom(counts), mixArrivalBatch(s, dir)))
+      .crossJoin(broadcast(audit))
+  }
+
+  /** q270's oracle: q260's chain (compaction must not change one
+    * decision) with the three maintenance audits pinned. */
+  private[graft] val streamMixAdmCompactSql = {
+    val anchor = "AS n_feed_deletes"
+    require(feedSyncedMixAdmissionSql.contains(anchor),
+      "q270 oracle anchor drifted")
+    feedSyncedMixAdmissionSql.replace(anchor,
+      "AS n_feed_deletes,\nTRUE AS replay_after_compact," +
+        "\nCAST(1 AS BIGINT) AS n_data_segments,\nTRUE AS masks_folded")
   }
 
   /** End-to-end mixing composition (q259): the family's pieces proven to

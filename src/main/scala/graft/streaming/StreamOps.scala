@@ -1295,6 +1295,89 @@ object StreamOps extends QueryModule {
     }
   }
 
+  /** q269: as-of over the STREAMED mix-admission store — the horizon
+    * read completing the sixth family's q248 symmetry: the same policy
+    * probe at horizon full (the current synced policy, q260's
+    * decisions) and horizon 1 (post-takedown, pre-re-ingest — copies of
+    * deleted texts already pass the digest screen at the post-delete
+    * rates, re-ingested texts do not yet screen out). The horizon
+    * bounds the visible segment set itself, so the pruned segment's
+    * directories never enter planning; counts and rates re-derive per
+    * horizon from the cdelta ledger, so the whole policy is
+    * horizon-consistent; both legs share one view definition and one
+    * oracle (each leg = the shared decision chain over that horizon's
+    * logical corpus state). */
+  def streamMixAdmAsOf(s: SparkSession, dir: String): DataFrame = {
+    tune(s)
+    withStatePartitions(s, 8) {
+      val (path, _) = warmMixAdmStream(s, dir)
+      graft.operators.ScaleOps.mixAdmStreamAsOfResult(s, dir, path)
+    }
+  }
+
+  /** q270: mask-folding ledger compaction of the streamed mix-admission
+    * store — q249's maintenance op for the sixth family: the visible
+    * masked view collapses into fresh sorted files under the visible
+    * set's MAX segment id (fold-at-max), the cdelta ledger folds to its
+    * per-source SUM, the mask tables compact to empty, every
+    * pre-compaction segment keeps a tombstone commit marker, and data
+    * tables swap before mask tables so every crash window serves the
+    * bit-identical policy (CrashRecoverySpec pins the worst window).
+    * The rig re-drives both feed micro-batches against the tombstoned
+    * ledger (must be metadata no-ops) and as-of horizons below the
+    * recorded compaction point are forfeited loudly via the q269 read's
+    * refusal. */
+  def streamMixAdmCompact(s: SparkSession, dir: String): DataFrame = {
+    tune(s)
+    withStatePartitions(s, 8) {
+      val (cpath, stillNoop) = warmCompactedMixAdmStream(s, dir)
+      graft.operators.ScaleOps.mixAdmStreamCompactResult(s, dir, cpath, stillNoop)
+    }
+  }
+
+  /** q270's substrate: a stamped COPY of the warm q266 store, compacted
+    * once per process (the q249/q220 convention — compacting a copy
+    * keeps the shared q266/q269 store's horizons intact; a crash
+    * mid-compact leaves the copy failing this stamp check and
+    * re-copies). */
+  private def warmCompactedMixAdmStream(s: SparkSession, dir: String)
+      : (String, Boolean) =
+    synchronized {
+      val (path, replayNoop) = warmMixAdmStream(s, dir)
+      val cpath = path + "_compacted"
+      val stamp = "mixadmstream-compacted|" + graft.sources.IndexStore
+        .sourceStamp(s, Seq(s"$dir/documents.parquet"))
+      if (graft.sources.IndexStore.isCurrent(s, cpath, stamp))
+        (cpath, graft.sources.IndexStore
+          .readMeta(s, cpath)("replay_after_compact").toBoolean)
+      else {
+        require(replayNoop, "pre-compaction stream must commit exactly once")
+        graft.sources.IndexStore.copy(s, path, cpath)
+        graft.operators.Similarity.cleanupAtExit(cpath)
+        val through = graft.operators.ScaleOps.compactMixAdmStream(s, cpath)
+        // the recovery retry, AFTER compaction: both feed batches
+        // re-commit; tombstones must answer "already committed" across
+        // all five tables
+        val (_, batches) = {
+          // the staged batches are deterministic per (process, corpus) —
+          // re-derive them without re-seeding the live store
+          val b = graft.operators.ScaleOps.seedMixAdmStreamBatches(s, dir)
+          ((), b)
+        }
+        val replays = batches.map { case (segId, b) =>
+          graft.operators.ScaleOps.mixAdmStreamCommit(
+            s, cpath, segId.toLong, b)._1
+        }
+        val stillNoop = replays.forall { case (first, second) =>
+          first == 0 && second == 0 }
+        val meta = graft.sources.IndexStore.readMeta(s, cpath) ++ Map(
+          "replay_after_compact" -> stillNoop.toString,
+          "compacted_through" -> through.toString)
+        if (stillNoop) graft.sources.IndexStore.writeStamp(s, cpath, stamp, meta)
+        (cpath, stillNoop)
+      }
+    }
+
   /** The q266 substrate under the warm convention: seed + stream +
     * exactly-once flag collection once per (process, corpus); the
     * completion stamp (feed-count audits + replay-noop verdict in meta)
@@ -1670,11 +1753,17 @@ object StreamOps extends QueryModule {
     GQuery("q215_stream_ivf_refresh",
       "streaming sequential IVF refresh: exactly-once tagged-segment commits per micro-batch, replay audited as no-op; probe oracle == batch q195",
       streamIvfRefresh, Some(graft.operators.Similarity.ivfRefreshSeqStreamSql)),
-    // Same oracle chain as the batch q244 — the kNN-graph sync's
-    // streaming == batch, with the exactly-once segment ledger audited.
     GQuery("q266_stream_mixadm_sync",
       "streaming mix-admission policy sync: each feed micro-batch lands q260's O(delta) group-survival decision as one exactly-once segment across five ledgered tables (keys/digest appends, delete + gone-digest masks, count-delta ledger); counts sum at read, rates re-solve driver-side, decisions via the shared probe body; replay audited as no-op; oracle == batch q260 with the verdict pinned",
       streamMixAdmSync, Some(graft.operators.ScaleOps.streamMixAdmSyncSql)),
+    GQuery("q269_stream_mixadm_asof",
+      "as-of over the streamed mix-admission store: the same policy probe at horizon full (current synced policy) and horizon 1 (post-takedown, pre-re-ingest) — the horizon bounds the visible segment set so pruned directories never enter planning; counts/rates re-derive per horizon from the cdelta ledger; oracle runs the shared decision chain over each horizon's logical corpus state",
+      streamMixAdmAsOf, Some(graft.operators.ScaleOps.streamMixAdmAsOfSql)),
+    GQuery("q270_mixadm_stream_compact",
+      "mask-folding ledger compaction of the streamed mix-admission store: the visible view collapses under the max segment id (fold-at-max, data before masks), the cdelta ledger folds to its per-source sum, masks compact to empty, tombstones keep post-compaction replays exactly-once; served decisions byte-identical to q260's chain",
+      streamMixAdmCompact, Some(graft.operators.ScaleOps.streamMixAdmCompactSql)),
+    // Same oracle chain as the batch q244 — the kNN-graph sync's
+    // streaming == batch, with the exactly-once segment ledger audited.
     GQuery("q246_stream_knn_sync",
       "streaming kNN-graph sync: each feed micro-batch applies the q243 delete repair + q245 entering-edge restatement and commits masks + appended lists as one exactly-once segment across four ledgered tables; replay audited as no-op; oracle == batch q244 with the verdict pinned",
       streamKnnSync, Some(graft.operators.Similarity.streamKnnSyncSql)),

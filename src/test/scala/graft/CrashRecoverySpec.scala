@@ -795,4 +795,92 @@ class CrashRecoverySpec extends AnyFunSuite {
     }
     assert(e2.getMessage.contains("forge"))
   }
+
+  test("mixadm stream compaction: the worst crash window (data folded, masks raw) serves the identical policy; fold completes, replays no-op, old horizons refuse") {
+    // q270's crash model — the q249 invariants carried to the sixth
+    // family's FIVE tables: the mask-folding compaction rewrites them
+    // one atomic swap at a time; folded rows park under the visible
+    // set's MAX id and data tables (keys/digests/cdelta) swap before
+    // mask tables (deletes/dgone), so every window between the swaps
+    // serves the bit-identical policy state. masksToo=false stops the
+    // compactor at the worst such window.
+    import graft.operators.ScaleOps
+    import graft.sources.IndexStore
+    Engine.tune(s)
+    val sf = TestSpark.sf
+    val (path, batches) = ScaleOps.seedMixAdmStream(s, sf)
+    val staged = batches.map { case (segId, b) => segId -> b.localCheckpoint() }
+    var nIns = 0L
+    var nDel = 0L
+    staged.foreach { case (segId, b) =>
+      val ((first, replay), (i, d)) =
+        ScaleOps.mixAdmStreamCommit(s, path, segId.toLong, b)
+      assert(first == 5 && replay == 0,
+        s"fresh segment $segId: expected (5,0), got ($first,$replay)")
+      nIns += i; nDel += d
+    }
+    IndexStore.writeStamp(s, path, "compactspec",
+      Map("n_feed_inserts" -> nIns.toString, "n_feed_deletes" -> nDel.toString))
+    val vis0 = ScaleOps.mixAdmStreamVisible(s, path)
+    assert(vis0 == Seq(0L, 1L, 2L))
+    // the full policy state: masked member keys, masked digest set, and
+    // the cdelta ledger's per-source sum (what rates re-solve from)
+    def viewRows(): Seq[String] = {
+      val vis = ScaleOps.mixAdmStreamVisible(s, path)
+      val (keys, dig) = ScaleOps.mixAdmStreamView(s, path, vis)
+      val counts = IndexStore.readSegments(s, path, "cdelta", "segment", vis)
+        .groupBy(col("source")).agg(sum(col("c")).as("c"))
+      (keys.collect().map("k" + _.toString) ++
+       dig.collect().map("d" + _.toString) ++
+       counts.collect().map("c" + _.toString)).sorted.toSeq
+    }
+    val want = viewRows()
+
+    // the worst window: keys/digests/cdelta folded at segment=2, both
+    // mask tables still raw. Fold-at-max makes the raw masks match
+    // nothing (they hide only STRICTLY older segments), so the served
+    // policy must not move.
+    ScaleOps.compactMixAdmStream(s, path, masksToo = false)
+    assert(ScaleOps.mixAdmStreamVisible(s, path) == vis0,
+      "tombstones must keep every segment committed through the window")
+    assert(viewRows() == want,
+      "the half-compacted store must serve the bit-identical policy")
+
+    // recovery completes the fold (re-entering the data phase is
+    // idempotent); masks now empty, policy still identical
+    assert(ScaleOps.compactMixAdmStream(s, path) == 2L)
+    assert(viewRows() == want,
+      "the fully compacted store must serve the bit-identical policy")
+    Seq("deletes", "dgone").foreach(t =>
+      assert(IndexStore.readSegments(s, path, t, "segment", vis0).count() == 0L,
+        s"mask table $t must compact to empty"))
+    // exactly one data-bearing keys segment remains (segment=2)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI("file:///"), s.sparkContext.hadoopConfiguration)
+    val dataSegs = fs.listStatus(new org.apache.hadoop.fs.Path(s"$path/keys"))
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("segment="))
+      .filter(st => fs.listStatus(st.getPath).exists(_.getPath.getName.endsWith(".parquet")))
+      .map(_.getPath.getName).toSeq
+    assert(dataSegs == Seq("segment=2"),
+      s"folded rows must park under the set's MAX id, got $dataSegs")
+
+    // a recovering stream's replay of both feed batches: metadata no-op
+    // across all five tombstoned ledgers
+    staged.foreach { case (segId, b) =>
+      val ((first, replay), _) =
+        ScaleOps.mixAdmStreamCommit(s, path, segId.toLong, b)
+      assert(first == 0 && replay == 0,
+        s"replay of segment $segId after compaction must write nothing")
+    }
+
+    // horizons below the recorded compaction point refuse loudly (the
+    // q269 read's forfeit rule)
+    IndexStore.writeStamp(s, path, "compactspec",
+      IndexStore.readMeta(s, path) ++ Map("compacted_through" -> "2"))
+    val e = intercept[IllegalArgumentException] {
+      ScaleOps.mixAdmStreamAsOfResult(s, sf, path)
+    }
+    assert(e.getMessage.contains("compaction point"),
+      s"as-of below the compaction point must name the refusal: ${e.getMessage}")
+  }
 }
