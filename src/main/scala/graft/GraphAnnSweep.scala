@@ -59,10 +59,15 @@ object GraphAnnSweep {
       }
       edges.unpersist()
     }
-    // the REFINED-quantizer substrate (q267's Lloyd store) at the same
-    // dials — the r19 sweep found recall quantizer-bound (seed 0.130
-    // dominated every B/H/np cell); this section measures whether the
-    // named lever (q185's Lloyd step) moves the SERVING number
+    // the REFINED-quantizer substrate (q267's Lloyd store) over the
+    // REDUCED grid np {1,2} x B {4,8} x H {1,2} — the seed sweep showed
+    // np=3 and H=3 add nothing past their cheaper neighbors (H
+    // saturates at 2, np=3 buys +0.023 at 1.5x beam cost), so the
+    // refined section probes only the dials a deployment would run,
+    // including the REGISTERED (np=2, B=4, H=2); the r19 sweep found
+    // recall quantizer-bound (seed 0.130 dominated every cell) and this
+    // section measures whether the named lever (q185's Lloyd step)
+    // moves the SERVING number
     println()
     println("| quantizer=refined: nprobe | B | H | recall@3 | seed recall | hop gain | wall s |")
     println("|---|---|---|---|---|---|---|")

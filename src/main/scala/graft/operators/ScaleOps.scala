@@ -2637,6 +2637,40 @@ object ScaleOps extends QueryModule {
     * below the 0.1 default, so the masks stay — q234's posture). Stamp
     * invalidation contract as [[applyMixAdmFeed]]: building-stamp until
     * the apply completes. */
+  /** The O(delta) group-survival diff — ONE body behind the q265 feed
+    * legs and the q266 micro-batch frames (the two representations'
+    * decision bit-equality contract depends on these staying in
+    * lockstep; a shared body makes divergence impossible). Restricts
+    * work to the TOUCHED digest groups (delete-id holders ∪ arrival
+    * digests), diffs the canonical sets before/after the batch, and
+    * returns the gone digests, the newly-present digests, and the
+    * old/new touched-canon frames the callers' count-delta arithmetic
+    * telescopes over. All frames localCheckpointed (O(delta) rows). */
+  private case class SurvivalDelta(gone: DataFrame, added: DataFrame,
+      oldCanon: DataFrame, newCanon: DataFrame)
+
+  private def survivalDelta(keysBefore: DataFrame, delIds: DataFrame,
+      insKeys: DataFrame): SurvivalDelta = {
+    val delB = broadcast(delIds)
+    val touched = broadcast(
+      keysBefore.join(delB, Seq("doc_id")).select(col("dh"))
+        .unionByName(insKeys.select(col("dh")))
+        .distinct().localCheckpoint())
+    def restrict(k: DataFrame): DataFrame =
+      k.join(touched.withColumnRenamed("dh", "tdh"),
+        col("dh") <=> col("tdh")).drop("tdh")
+    val oldC = canonOf(restrict(keysBefore)).localCheckpoint()
+    val keysAfter = keysBefore.join(delB, Seq("doc_id"), "left_anti")
+      .unionByName(insKeys)
+    val newC = canonOf(restrict(keysAfter)).localCheckpoint()
+    def minus(a: DataFrame, b: DataFrame): DataFrame =
+      a.select(col("dh"))
+        .join(b.select(col("dh").as("odh")),
+          col("dh") <=> col("odh"), "left_anti")
+        .filter(col("dh").isNotNull).localCheckpoint()
+    SurvivalDelta(minus(oldC, newC), minus(newC, oldC), oldC, newC)
+  }
+
   private[graft] def mixAdmMaskSyncStore(s: SparkSession, dir: String): String = {
     val path = "target/tmp/mixadm_msync_" +
       graft.operators.Similarity.processTag + "_" +
@@ -2661,46 +2695,31 @@ object ScaleOps extends QueryModule {
         val del = broadcast(f.delKeys.localCheckpoint())
         val insKeys = digestKeys(f.inserts).localCheckpoint()
         // ---- delete leg: the q260 group-survival decision, computed
-        // once against v1 keys, stored as masks
-        val touchedD = broadcast(keys0.join(del, Seq("doc_id"))
-          .select(col("dh")).distinct().localCheckpoint())
-        def restrictTo(k: DataFrame, t: DataFrame): DataFrame =
-          k.join(t.withColumnRenamed("dh", "tdh"),
-            col("dh") <=> col("tdh")).drop("tdh")
-        val keys1 = keys0.join(del, Seq("doc_id"), "left_anti")
-        val oldCd = canonOf(restrictTo(keys0, touchedD)).localCheckpoint()
-        val newCd = canonOf(restrictTo(keys1, touchedD)).localCheckpoint()
-        val goneD = oldCd.select(col("dh"))
-          .join(newCd.select(col("dh").as("ndh")),
-            col("dh") <=> col("ndh"), "left_anti")
-          .filter(col("dh").isNotNull).localCheckpoint()
+        // once against v1 keys, stored as masks (survivalDelta with an
+        // empty arrival side — pure deletes can only ERASE digests)
+        val dLeg = survivalDelta(keys0, del, insKeys.limit(0))
         graft.sources.IndexStore.appendDeleteMask(s, path,
           del.withColumn("seq", lit(0L)))
         graft.sources.IndexStore.append(s, path, "mask_gone",
-          goneD.withColumn("seq", lit(0L)))
+          dLeg.gone.withColumn("seq", lit(0L)))
         // ---- insert leg against the POST-DELETE view: arrival holders
         // append; digests absent post-delete re-append at seg 1
-        val touchedI = broadcast(insKeys.select(col("dh")).distinct()
-          .localCheckpoint())
-        val oldCi = canonOf(restrictTo(keys1, touchedI)).localCheckpoint()
-        val keys2 = keys1.unionByName(insKeys)
-        val newCi = canonOf(restrictTo(keys2, touchedI)).localCheckpoint()
-        val addD = newCi.select(col("dh"))
-          .join(oldCi.select(col("dh").as("odh")),
-            col("dh") <=> col("odh"), "left_anti")
-          .filter(col("dh").isNotNull)
+        // (survivalDelta with an empty delete side — pure inserts can
+        // only ADD digests)
+        val keys1 = keys0.join(del, Seq("doc_id"), "left_anti")
+        val iLeg = survivalDelta(keys1, del.limit(0), insKeys)
         def seg1(df: DataFrame) = df.withColumn("seg", lit(1L))
         // count deltas telescope: (newCd - oldCd) + (newCi - oldCi)
         val counts2 = counts0
-          .unionByName(oldCd.groupBy(col("source")).agg((-sum(col("tk"))).as("c")))
-          .unionByName(newCd.groupBy(col("source")).agg(sum(col("tk")).as("c")))
-          .unionByName(oldCi.groupBy(col("source")).agg((-sum(col("tk"))).as("c")))
-          .unionByName(newCi.groupBy(col("source")).agg(sum(col("tk")).as("c")))
+          .unionByName(dLeg.oldCanon.groupBy(col("source")).agg((-sum(col("tk"))).as("c")))
+          .unionByName(dLeg.newCanon.groupBy(col("source")).agg(sum(col("tk")).as("c")))
+          .unionByName(iLeg.oldCanon.groupBy(col("source")).agg((-sum(col("tk"))).as("c")))
+          .unionByName(iLeg.newCanon.groupBy(col("source")).agg(sum(col("tk")).as("c")))
           .groupBy(col("source")).agg(sum(col("c")).as("c"))
           .filter(col("c") > 0L).localCheckpoint()
         graft.sources.IndexStore.inParallel(Seq(
           () => graft.sources.IndexStore.append(s, path, "keys", seg1(insKeys)),
-          () => graft.sources.IndexStore.append(s, path, "digests", seg1(addD)),
+          () => graft.sources.IndexStore.append(s, path, "digests", seg1(iLeg.added)),
           () => graft.sources.IndexStore.replaceTable(s, path, "counts", counts2),
           () => graft.sources.IndexStore.replaceTable(s, path, "rates",
             ratesFrom(counts2).localCheckpoint())))
@@ -2865,40 +2884,26 @@ object ScaleOps extends QueryModule {
     * (n_inserts, n_deletes) audit. */
   private[graft] def mixAdmStreamCommit(s: SparkSession, path: String,
       segId: Long, batch: DataFrame): ((Int, Int), (Long, Long)) = {
+    // raw slices only here — the checkpoints live inside the lazy
+    // frames block, so a replayed batch whose segments are already
+    // committed (the q270 post-compaction path) stays a pure
+    // metadata probe and pins no checkpoint blocks
     val del = batch.filter(col("change") === "delete")
-      .select(col("doc_id")).localCheckpoint()
+      .select(col("doc_id"))
     val ins = batch.filter(col("change") === "insert")
-      .select(col("doc_id"), col("source"), col("text")).localCheckpoint()
+      .select(col("doc_id"), col("source"), col("text"))
     lazy val frames: Seq[(String, DataFrame)] = {
       val vis = mixAdmStreamVisible(s, path).filter(_ < segId)
       val (keysV, _) = mixAdmStreamView(s, path, vis)
-      val delB = broadcast(del)
-      val insKeys = digestKeys(ins).localCheckpoint()
-      val touched = broadcast(
-        keysV.join(delB, Seq("doc_id")).select(col("dh"))
-          .unionByName(insKeys.select(col("dh")))
-          .distinct().localCheckpoint())
-      def restrict(k: DataFrame): DataFrame =
-        k.join(touched.withColumnRenamed("dh", "tdh"),
-          col("dh") <=> col("tdh")).drop("tdh")
-      val oldC = canonOf(restrict(keysV)).localCheckpoint()
-      val keys2 = keysV.join(delB, Seq("doc_id"), "left_anti")
-        .unionByName(insKeys)
-      val newC = canonOf(restrict(keys2)).localCheckpoint()
-      val goneD = oldC.select(col("dh"))
-        .join(newC.select(col("dh").as("ndh")),
-          col("dh") <=> col("ndh"), "left_anti")
-        .filter(col("dh").isNotNull).localCheckpoint()
-      val addD = newC.select(col("dh"))
-        .join(oldC.select(col("dh").as("odh")),
-          col("dh") <=> col("odh"), "left_anti")
-        .filter(col("dh").isNotNull).localCheckpoint()
-      val cd = oldC.groupBy(col("source")).agg((-sum(col("tk"))).as("c"))
-        .unionByName(newC.groupBy(col("source")).agg(sum(col("tk")).as("c")))
+      val delC = del.localCheckpoint()
+      val insKeys = digestKeys(ins.localCheckpoint()).localCheckpoint()
+      val sd = survivalDelta(keysV, delC, insKeys)
+      val cd = sd.oldCanon.groupBy(col("source")).agg((-sum(col("tk"))).as("c"))
+        .unionByName(sd.newCanon.groupBy(col("source")).agg(sum(col("tk")).as("c")))
         .groupBy(col("source")).agg(sum(col("c")).as("c"))
         .filter(col("c") =!= 0L).localCheckpoint()
-      Seq("keys" -> insKeys, "digests" -> addD, "deletes" -> del,
-        "dgone" -> goneD, "cdelta" -> cd)
+      Seq("keys" -> insKeys, "digests" -> sd.added, "deletes" -> delC,
+        "dgone" -> sd.gone, "cdelta" -> cd)
     }
     def commitAll(): Int =
       if (MixAdmStreamTables.forall(t => graft.sources.IndexStore
@@ -2916,6 +2921,14 @@ object ScaleOps extends QueryModule {
     val replay = commitAll()
     ((first, replay), (ins.count(), del.count()))
   }
+
+  /** Audit column from store meta with a LOUD fallback: the feed-count
+    * meta lands with the done-stamp, which a NON-clean drain never
+    * writes — report -1 there so the oracle mismatches visibly (the
+    * designed diagnostic beside replay_was_noop=false) instead of the
+    * read dying on a missing meta key. */
+  private def metaLong(meta: Map[String, String], k: String): Long =
+    meta.get(k).map(_.toLong).getOrElse(-1L)
 
   /** q266's answer frame: q260's rows served THROUGH the ledgered masks
     * (cross-table visible segments only) — counts summed from the cdelta
@@ -2937,8 +2950,8 @@ object ScaleOps extends QueryModule {
     // from its pre-batch view (masks only remove) — spec'd by the
     // bit-equality with q260 below
     val audit = dig.agg(count(lit(1)).as("n_digests"))
-      .withColumn("n_feed_inserts", lit(meta("n_feed_inserts").toLong))
-      .withColumn("n_feed_deletes", lit(meta("n_feed_deletes").toLong))
+      .withColumn("n_feed_inserts", lit(metaLong(meta, "n_feed_inserts")))
+      .withColumn("n_feed_deletes", lit(metaLong(meta, "n_feed_deletes")))
       .withColumn("replay_was_noop", lit(replayNoop))
     mixAdmitSummary(mixAdmitBatchOn(dig, rates, mixArrivalBatch(s, dir)))
       .crossJoin(broadcast(audit))
@@ -3093,8 +3106,8 @@ object ScaleOps extends QueryModule {
       graft.sources.IndexStore.readSegments(s, path, t, "segment", vis)
         .count()).sum
     val audit = dig.agg(count(lit(1)).as("n_digests"))
-      .withColumn("n_feed_inserts", lit(meta("n_feed_inserts").toLong))
-      .withColumn("n_feed_deletes", lit(meta("n_feed_deletes").toLong))
+      .withColumn("n_feed_inserts", lit(metaLong(meta, "n_feed_inserts")))
+      .withColumn("n_feed_deletes", lit(metaLong(meta, "n_feed_deletes")))
       .withColumn("replay_after_compact", lit(replayNoop))
       .withColumn("n_data_segments", lit(nDataSegs))
       .withColumn("masks_folded", lit(nMaskRows == 0L))

@@ -1358,12 +1358,9 @@ object StreamOps extends QueryModule {
         // the recovery retry, AFTER compaction: both feed batches
         // re-commit; tombstones must answer "already committed" across
         // all five tables
-        val (_, batches) = {
-          // the staged batches are deterministic per (process, corpus) —
-          // re-derive them without re-seeding the live store
-          val b = graft.operators.ScaleOps.seedMixAdmStreamBatches(s, dir)
-          ((), b)
-        }
+        // the staged batches are deterministic per (process, corpus) —
+        // re-derive them without re-seeding the live store
+        val batches = graft.operators.ScaleOps.seedMixAdmStreamBatches(s, dir)
         val replays = batches.map { case (segId, b) =>
           graft.operators.ScaleOps.mixAdmStreamCommit(
             s, cpath, segId.toLong, b)._1

@@ -30,8 +30,7 @@ class SimilaritySpec extends AnyFunSuite {
     assert(fromStore == fromQ185,
       "refined store assignment must equal q185's cid_refined labeling")
     // and movement is real: the refinement is not an identity relabel
-    assert(fromStore.exists { case (v, c) => fromQ185(v) == c } &&
-      Similarity.kmeansRefine(s, sf).filter(col("moved")).count() > 0L,
+    assert(Similarity.kmeansRefine(s, sf).filter(col("moved")).count() > 0L,
       "some vectors must move under the Lloyd step at this SF")
   }
   private lazy val s = TestSpark.spark
