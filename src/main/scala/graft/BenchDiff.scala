@@ -6,11 +6,10 @@ package graft
   * adjudication threshold PLANS.md uses, sized above this host's
   * documented ±20% contention band so a hit names a real mechanism, not
   * noise. No Spark, no dependencies: `sbt "runMain graft.BenchDiff"`
-  * diffs the frozen baseline (BENCH_FULL_r19.json — re-frozen at r19:
-  * the flood-proof markDups rewrite deliberately traded one extra
-  * digest exchange on q256 (+0.45 s isolated) for a marking no
-  * identical-text flood can single-reducer, so the r18 row would gate
-  * on a known, adjudicated trade; earlier artifacts kept for history) against the current BENCH_FULL.json; pass
+  * diffs the frozen baseline (BENCH_FULL_r20.json — re-frozen at r20
+  * so the seven new rows (q264-q270) gate alongside the carried 261;
+  * the r19-vs-r20 movement was self-gated at freeze time against
+  * BENCH_FULL_r19.json; earlier artifacts kept for history) against the current BENCH_FULL.json; pass
   * explicit paths to diff any two rounds. Exit code 2 when regressions trip, so the gate composes
   * into scripts; improvements and added/removed queries are reported for
   * context but never gate.
@@ -55,7 +54,7 @@ object BenchDiff {
   }
 
   def main(args: Array[String]): Unit = {
-    val basePath = args.lift(0).getOrElse("BENCH_FULL_r19.json")
+    val basePath = args.lift(0).getOrElse("BENCH_FULL_r20.json")
     val curPath = args.lift(1).getOrElse("BENCH_FULL.json")
     val base = perQuery(basePath)
     val cur = perQuery(curPath)
