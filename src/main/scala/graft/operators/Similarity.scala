@@ -1140,7 +1140,12 @@ object Similarity extends QueryModule {
   // graph/beam dial — and the named lever is q185's Lloyd step) ----
 
   private[graft] def refinedIvfIndexPath(dir: String): String =
-    "target/graft_index/ivfr_" + dir.replaceAll("[^A-Za-z0-9.]+", "_")
+    // distinct prefix: "ivfr_" is q191's refreshed-assignment store
+    // (refreshedIvfPath); sharing one directory made the two stores'
+    // stamp checks invalidate each other — every access ping-ponged a
+    // full rebuild and deleted the other store's live files out from
+    // under session-cached readers (the r20 inherited test failure)
+    "target/graft_index/ivflloyd_" + dir.replaceAll("[^A-Za-z0-9.]+", "_")
 
   /** Build-or-load the REFINED fixture IVF index: the modulus seeding
     * pushed through ONE [[lloydStep]] (q185's decimal-exact math,
