@@ -183,8 +183,27 @@ object Search extends QueryModule {
 
   /** Deterministic fixture query set: every doc with doc_id % 50 = 7 poses
     * its first 3 distinct tokens as a query (qid = the posing doc_id). */
+  /** Partition count for probe/query frames that feed broadcast-side
+    * scoring joins. One row-group fixture scans arrive as a SINGLE
+    * partition, which serializes the whole scoring pipeline onto one
+    * task (measured on q214: two ~1.5-1.9 s single-task stages doing
+    * the entire per-horizon BM25 scoring). But full `spread` is wrong
+    * here too: every task pays a fixed ~0.5 s re-inflating the
+    * broadcast hash relations it probes, so 32 near-empty probe slices
+    * cost 17-23 s of CPU for 0.9 s of real work (measured; q214 went
+    * 4.2 s -> 5.8 s). A small fixed slice count is the right posture at
+    * ANY scale: in the broadcast-probe regime the probe set is
+    * metadata-scale by definition, and once the index outgrows the
+    * broadcast threshold the scoring join plans as a shuffle join whose
+    * exchange re-partitions the probe side anyway, making this count
+    * irrelevant. Measured on q214: 1 slice 4.20 s, 4 slices 3.02 s,
+    * 32 slices 5.84 s (isolated min-of-3). */
+  private val ProbeSlices = 4
+
   private[graft] def querySet(d: DataFrame): DataFrame =
-    d.filter(col("doc_id") % 50 === 7)
+    // re-slice BEFORE tokenizing: the shuffle moves only the ~2%
+    // filtered probe docs, and the regex/explode then run in parallel
+    d.filter(col("doc_id") % 50 === 7).repartition(ProbeSlices)
       .select(col("doc_id").as("qid"),
         explode(array_distinct(slice(
           regexp_extract_all(col("text"), lit("[a-z0-9]+"), lit(0)), 1, 3))).as("tok"))
@@ -215,6 +234,14 @@ object Search extends QueryModule {
       .agg(sum(col("df")).as("df"))
     val dl = idx.doclen.select(col("doc_id"), col("dl"))
     val stats = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+    // Join order measured both ways (r20): streaming the postings table
+    // with the probe frame broadcast reads better on paper, but the
+    // store's postings parquet is a single row group locally, so the
+    // scan cannot split and the scoring serializes (q214 3.0 -> 3.7 s).
+    // The unhinted shape below broadcasts whichever side the planner
+    // estimates smaller — postings at bench SF (probe tasks bounded by
+    // ProbeSlices), a shuffle join at scale once estimates outgrow the
+    // threshold — and self-adapts without a hint.
     q.join(broadcast(dict.join(broadcast(q.select("tok").distinct()), "tok")), "tok")
       .join(idx.postings.select(col("tok"), col("doc_id"), col("tf")), "tok")
       .join(dl, "doc_id")
@@ -1640,26 +1667,31 @@ object Search extends QueryModule {
     // word 3-gram shingles: discriminative enough that a set's rarest
     // tokens (the prefix) have genuinely small document frequencies —
     // the property prefix filtering's candidate bound lives on
-    // every downstream shuffle keys on a 96-bit (xxhash64, murmur3) pair
-    // of the shingle, computed ONCE here, never the ~25-byte string —
-    // the same compact-exchange-key pattern (and the same immaterial
-    // n^2/2^96 collision odds) as Similarity.vecGroups / Dedup.dupGroups;
-    // the string stays in the frame only for the deterministic prefix
-    // tiebreak ordering
+    // every downstream operation keys on a 96-bit (xxhash64, murmur3)
+    // pair of the shingle, computed ONCE here, never the ~25-byte
+    // string — the same compact-exchange-key pattern (and the same
+    // immaterial n^2/2^96 collision odds) as Similarity.vecGroups /
+    // Dedup.dupGroups. The string is dropped at the substrate: the
+    // prefix ordering ties break on (k1, k2) instead — still ONE global
+    // total order on tokens, which is all the prefix-filter theorem
+    // needs (candidates may differ, but verification is exact and the
+    // oracle brute-forces all pairs, so results cannot move) — and the
+    // cached frame, the window shuffle, and its sort all shrink to
+    // fixed-width longs (guide §2.3: narrower types, project early).
     val sets = graft.SessionCache.cached(s, s"search:pjsets:$dir") {
       spread(pjDocs(docs(s, dir)))
         .withColumn("ws", split(col("text"), " "))
         .filter(size(col("ws")) >= 3)
         .select(col("doc_id"), explode(expr(
           "transform(sequence(1, size(ws)-2), i -> concat_ws(' ', element_at(ws, i), element_at(ws, i+1), element_at(ws, i+2)))")).as("sh"))
-        .distinct()
-        .select(col("doc_id"), col("sh"),
+        .select(col("doc_id"),
           xxhash64(col("sh")).as("k1"), hash(col("sh")).as("k2"))
+        .distinct()
     }
     val sizes = sets.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val gdf = sets.groupBy(col("k1"), col("k2")).agg(count(lit(1)).as("gdf"))
     val wOrd = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("doc_id")).orderBy(col("gdf"), col("sh"))
+      .partitionBy(col("doc_id")).orderBy(col("gdf"), col("k1"), col("k2"))
     val prefixes = sets.join(gdf, Seq("k1", "k2")).join(sizes, "doc_id")
       .withColumn("r", row_number().over(wOrd))
       .filter(col("r") <= col("n") - ((lit(4) * col("n") + 4) / 5).cast("long") + 1)
