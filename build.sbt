@@ -24,6 +24,12 @@ val jdk17AddOpens = Seq(
   "java.base/sun.security.action", "java.base/sun.util.calendar",
 ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
 javaOptions ++= jdk17AddOpens ++ Seq(
+  // JVM-wide whole-stage-codegen compile cache: the default 100 entries
+  // thrash under a 268-query registry (thread-dump sampling showed
+  // executor tasks inside CodeGenerator.compile mid-bench); fragments
+  // are small, so a deep cache trades a few MB of metaspace for
+  // compiling each distinct fragment once per JVM.
+  "-Dspark.sql.codegen.cache.maxEntries=10000",
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",

@@ -41,6 +41,10 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      // static conf, must be set at session build: the 100-entry default
+      // codegen cache thrashes under the 268-query registry (see
+      // OPTIMIZATION_r20.md); also set for forked JVMs in build.sbt
+      .config("spark.sql.codegen.cache.maxEntries", "10000")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     Engine.tune(spark)
