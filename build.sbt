@@ -30,6 +30,7 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // are small, so a deep cache trades a few MB of metaspace for
   // compiling each distinct fragment once per JVM.
   "-Dspark.sql.codegen.cache.maxEntries=10000",
+  "-Dspark.shuffle.sort.bypassMergeThreshold=1",
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
